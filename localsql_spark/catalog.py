@@ -1,0 +1,132 @@
+"""File discovery, table naming, and catalog registration.
+
+Reproduces the reference's native ingestion/catalog surface
+(reference: localsql/localsql.py:78-153, 288-313 — format sniffing, table
+auto-naming, directory discovery with per-file error isolation) on top of the
+Spark session catalog: each file becomes a temp view named after the file, and
+``spark.sql`` then runs directly over the views (no per-query copy — the
+reference's copy-into-SQLite step, localsql/localsql.py:230, intentionally has
+no equivalent here).
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from localsql_spark.sources.readers import df_from_file, SUPPORTED_EXTS
+
+# reference: localsql/localsql.py:41 — special chars mapped to "_"
+_RE_SPECIAL = re.compile(r"""[:*?\-<=>|"'.{}\[\]() ]""")
+_RE_UNDERSCORES = re.compile(r"__+")
+
+
+def tablename_from_file(file: str | Path) -> str:
+    """Filename -> SQL identifier (reference: localsql/localsql.py:147-153).
+
+    Special characters become ``_``, runs of ``_`` collapse, and a leading
+    digit gets a ``t`` prefix: ``csv.csv`` -> ``csv_csv``,
+    ``2020-sales.csv`` -> ``t2020_sales_csv``.
+    """
+    name = Path(file).name
+    name = _RE_SPECIAL.sub("_", name)
+    name = _RE_UNDERSCORES.sub("_", name)
+    if name and name[0].isdigit():
+        name = "t" + name
+    return name
+
+
+def register_file(spark: SparkSession, file: str | Path, *,
+                  format: str | None = None, json_normalize: bool = False,
+                  name: str | None = None) -> tuple[str, DataFrame]:
+    """Load one file and register it as a temp view. Returns (name, df)."""
+    df = df_from_file(spark, file, format=format, json_normalize=json_normalize)
+    table = name or tablename_from_file(file)
+    df.createOrReplaceTempView(table)
+    return table, df
+
+
+def discover_files(directory: str | Path, recursive: bool = False) -> list[Path]:
+    """Glob candidate data files (reference: localsql/localsql.py:288-300)."""
+    pattern = "**/*.*" if recursive else "*.*"
+    out = []
+    for p in sorted(Path(directory).glob(pattern)):
+        if not p.is_file():
+            continue
+        suffixes = [s.lstrip(".").lower() for s in p.suffixes]
+        if suffixes and (suffixes[-1] in SUPPORTED_EXTS
+                         or (len(suffixes) >= 2 and suffixes[-2] in SUPPORTED_EXTS)):
+            out.append(p)
+    return out
+
+
+def register_directory(spark: SparkSession, directory: str | Path, *,
+                       recursive: bool = False, json_normalize: bool = False,
+                       verbose: bool = True) -> dict[str, DataFrame]:
+    """Register every readable file in a directory; per-file errors are
+    isolated and non-fatal (reference: localsql/localsql.py:302-313)."""
+    tables: dict[str, DataFrame] = {}
+    for f in discover_files(directory, recursive=recursive):
+        try:
+            name, df = register_file(spark, f, json_normalize=json_normalize)
+            tables[name] = df
+            if verbose:
+                print(f"{f} -> table {name!r} columns={len(df.columns)}")
+        except Exception as e:  # noqa: BLE001 — per-file isolation by design
+            if verbose:
+                print(f"{f}: {e}")
+    return tables
+
+
+_CACHE_DIR = Path(__file__).resolve().parent.parent / ".cache" / "parquet_us"
+
+
+def _normalize_nanos(path: Path) -> Path:
+    """Spark's parquet reader rejects TIMESTAMP(NANOS) columns
+    (PARQUET_TYPE_ILLEGAL); the driver's testdata uses them.  Rewrite once
+    with microsecond timestamps via pyarrow and read the normalized copy —
+    downstream scans stay native/distributed with full predicate pushdown.
+    At real scale this is the standard one-time ETL normalization step (Spark
+    cannot scan NANOS parquet at all); it is cached and mtime-invalidated.
+    """
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    if not any(str(f.type).startswith("timestamp[ns") for f in schema):
+        return path
+    rel = Path(*path.parts[-2:])  # e.g. sf0.01/orders.parquet
+    out = _CACHE_DIR / rel
+    if out.exists() and out.stat().st_mtime >= path.stat().st_mtime:
+        return out
+    out.parent.mkdir(parents=True, exist_ok=True)
+    table = pq.read_table(path)
+    pq.write_table(table, out, coerce_timestamps="us",
+                   allow_truncated_timestamps=True)
+    return out
+
+
+def register_testdata(spark: SparkSession, sf_dir: str,
+                      tables: Iterable[str] = ("region", "nation", "customer",
+                                               "supplier", "part", "orders",
+                                               "lineitem", "events",
+                                               "documents", "embeddings"),
+                      ) -> dict[str, DataFrame]:
+    """Register the driver's parquet tables from an sf directory as views."""
+    out = {}
+    for t in tables:
+        path = Path(f"{sf_dir}/{t}.parquet")
+        if path.exists():
+            df = spark.read.parquet(str(_normalize_nanos(path)))
+            df.createOrReplaceTempView(t)
+            out[t] = df
+    return out
+
+
+def tables_descr(spark: SparkSession, tables: dict[str, DataFrame]) -> DataFrame:
+    """Catalog-stats table ['Table','Rows','Columns'] (reference:
+    localsql/localsql.py:50-54; bytes omitted — not meaningful pre-collect)."""
+    rows = [(n, df.count(), len(df.columns)) for n, df in sorted(tables.items())]
+    return spark.createDataFrame(rows, "Table string, Rows long, Columns long")

@@ -1,0 +1,122 @@
+"""The engine facade: SQL over auto-registered file tables.
+
+Reproduces the reference's ``LocalSQL`` class surface
+(reference: localsql/localsql.py:22-266) Spark-first:
+
+- ``run_sql(q)`` -> DataFrame via ``spark.sql`` directly over temp views —
+  no per-query table copy (the reference pays O(table) per query copying
+  DataFrames into SQLite, localsql/localsql.py:230; Catalyst instead gets
+  predicate pushdown / column pruning / join selection for free).
+- special commands ``\\t \\td \\s \\pp \\lsql \\lpy`` (reference:
+  localsql/localsql.py:155-214).
+- bare table name -> schema dump (reference: localsql/localsql.py:226-228).
+- ``latest_result`` register feeding export (reference: localsql/localsql.py:34).
+- ``/t`` transpose suffix -> vertical show (reference: localsql/localsql.py:349-358).
+- python escape hatch evaluating against {spark, tables, F}
+  (reference: localsql/localsql.py:245-260).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.utils import AnalysisException
+
+from localsql_spark.catalog import register_directory, register_file, tables_descr
+from localsql_spark.sinks.writers import export_result
+
+
+class LocalSparkSQL:
+    def __init__(self, spark: SparkSession | None = None):
+        if spark is None:
+            from localsql_spark.session import get_spark
+            spark = get_spark()
+        self.spark = spark
+        self.tables: dict[str, DataFrame] = {}
+        self.latest_result: DataFrame | None = None
+        self.pretty = True
+        self.py_mode = False
+
+    # -- catalog ----------------------------------------------------------
+    def load_file(self, file: str | Path, **kw) -> str:
+        name, df = register_file(self.spark, file, **kw)
+        self.tables[name] = df
+        return name
+
+    def load_directory(self, directory: str | Path, **kw) -> dict[str, DataFrame]:
+        found = register_directory(self.spark, directory, **kw)
+        self.tables.update(found)
+        return found
+
+    # -- query ------------------------------------------------------------
+    def run_sql(self, query: str) -> DataFrame | None:
+        """Execute SQL (or a special command / bare table name) and cache the
+        result for export (reference: localsql/localsql.py:216-243)."""
+        query = query.strip().rstrip(";")
+        if not query:
+            return None
+        if query.startswith("\\"):
+            return self.special(query)
+        if query in self.tables:
+            # bare table name -> schema info (reference: localsql/localsql.py:226-228)
+            self.tables[query].printSchema()
+            return None
+        try:
+            result = self.spark.sql(query)
+        except AnalysisException as e:
+            # error shaping (reference: localsql/localsql.py:235-242)
+            raise RuntimeError(str(e).split(";")[0]) from None
+        self.latest_result = result
+        return result
+
+    def run_py(self, command: str):
+        """Python escape hatch (reference: localsql/localsql.py:245-260)."""
+        from pyspark.sql import functions as F  # noqa: N812
+
+        ns = {"spark": self.spark, "tables": self.tables, "F": F, "self": self}
+        try:
+            return eval(command, ns)  # noqa: S307 — REPL escape hatch by design
+        except SyntaxError:
+            exec(command, ns)  # noqa: S102
+            return None
+
+    # -- special commands ---------------------------------------------------
+    def special(self, command: str) -> DataFrame | None:
+        cmd, _, args = command.partition(" ")
+        if cmd == "\\t":
+            for name in sorted(self.tables):
+                print(name)
+            return None
+        if cmd == "\\td":
+            descr = tables_descr(self.spark, self.tables)
+            descr.show(truncate=False)
+            return descr
+        if cmd == "\\s":
+            if self.latest_result is None:
+                raise RuntimeError("no result to save")
+            export_result(self.latest_result, args.strip())
+            return None
+        if cmd == "\\pp":
+            self.pretty = not self.pretty
+            return None
+        if cmd == "\\lpy":
+            self.py_mode = True
+            return None
+        if cmd == "\\lsql":
+            self.py_mode = False
+            return None
+        raise RuntimeError(f"unknown special command {cmd!r}")
+
+    # -- presentation -------------------------------------------------------
+    def print_result(self, df: DataFrame, transpose: bool = False,
+                     n: int = 20) -> None:
+        """Plain/pretty/vertical display (reference: localsql/localsql.py:262-266,
+        349-358)."""
+        if transpose:
+            df.show(n=n, truncate=False, vertical=True)
+        elif self.pretty:
+            df.show(n=n, truncate=False)
+        else:
+            for row in df.limit(n).collect():
+                print(row)

@@ -1,0 +1,57 @@
+"""SparkSession construction tuned for the engine.
+
+Local test profile is ``local[$SPARK_GRAFT_CPUS]`` but every setting is chosen
+to also hold on a large multi-executor cluster:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing) so the
+  same declarative plans survive a 100x scale-up without hand-tuning.
+- ``spark.sql.shuffle.partitions`` starts small locally; AQE coalescing makes
+  the exact number unimportant, and on a real cluster it should be ~2-3x the
+  total cores (set via env).
+- Arrow enabled: every Pandas-UDF path in operators/ is Arrow-batched.
+- Session timezone pinned to UTC so timestamp semantics are stable across
+  driver/executors and match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.orderByOrdinal": "true",
+    "spark.sql.groupByOrdinal": "true",
+    # Files: keep scan partitions big enough to amortize task overhead but
+    # small enough to fit executor memory at scale.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # UI off for test/bench runs; a real deployment can re-enable.
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "localsql_spark", master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so
+    the driver/bench can control parallelism; on a real cluster pass
+    ``master=None`` with ``--master`` supplied by spark-submit.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = builder.master(master)
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    builder = builder.config("spark.sql.shuffle.partitions", shuffle_parts)
+    for k, v in _DEFAULTS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

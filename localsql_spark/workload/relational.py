@@ -1,0 +1,714 @@
+"""SURVEY.md §2B relational operator surface, one registry entry per operator
+family, each paired with its DuckDB oracle SQL.
+
+The reference exposes this whole surface by delegating to SQLite
+(reference: localsql/localsql.py:230); here each family is expressed
+Spark-first (DataFrame API or spark.sql) and Catalyst picks the physical plan.
+
+Determinism notes (driver hash-compares values):
+- SUM/AVG over doubles go through DECIMAL casts so aggregation order cannot
+  change low bits (row-level doubles are bit-identical across engines; only
+  reduction order varies).
+- Window aggregates also use DECIMAL (DuckDB's segment-tree evaluation
+  associates differently than Spark's running frame).
+- Timestamps are surfaced via identical string formats on both sides.
+- Every LIMIT/top-k breaks ties on a unique key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from localsql_spark.workload import load, query
+
+
+def dsum(col: str | Column, scale: str = "decimal(18,2)") -> Column:
+    """Order-insensitive exact sum of a double column via decimal."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(scale)).cast("double")
+
+
+def davg(col: str | Column, scale: str = "decimal(18,2)") -> Column:
+    """Deterministic average: exact decimal sum, one double division."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(scale)).cast("double") / F.count(c)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation: GROUP BY + sum/avg/min/max/count (TPC-H Q1 shape) — flagship
+# ---------------------------------------------------------------------------
+
+@query("q1_pricing_summary", oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(9,2))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(9,2)) * CAST(1 + l_tax AS DECIMAL(9,2))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan → filter → hash-aggregate → (sort). Catalyst does partial (map-
+    side) aggregation before the shuffle; at 100 TB the shuffle carries only
+    |groups|×|partitions| rows (4 groups here)."""
+    li = load(spark, sf_dir)["lineitem"]
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc1 = (F.lit(1) - F.col("l_discount")).cast("decimal(9,2)")
+    tax1 = (F.lit(1) + F.col("l_tax")).cast("decimal(9,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(price * disc1).cast("double").alias("sum_disc_price"),
+            F.sum(price * disc1 * tax1).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount", "decimal(9,2)").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins: multi-way equi-join + group + top-k (TPC-H Q3 shape)
+# ---------------------------------------------------------------------------
+
+@query("q3_top_orders", oracle="""
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(9,2))) AS DOUBLE) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""")
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer is the small side → broadcast hint; lineitem⋈orders shuffles
+    on orderkey. Top-k compiles to TakeOrderedAndProject (no global sort)."""
+    t = load(spark, sf_dir)
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp"))
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc1 = (F.lit(1) - F.col("l_discount")).cast("decimal(9,2)")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(price * disc1).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way join over the full star (TPC-H Q5 shape) — broadcast small dims
+# ---------------------------------------------------------------------------
+
+@query("q5_nation_revenue", oracle="""
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(9,2))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+""")
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: region/nation/supplier/customer broadcast; only
+    lineitem⋈orders is a shuffle join. Region filter prunes before joining."""
+    t = load(spark, sf_dir)
+    region = t["region"].filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc1 = (F.lit(1) - F.col("l_discount")).cast("decimal(9,2)")
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(price * disc1).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filter + global aggregate, no grouping (TPC-H Q6 shape)
+# ---------------------------------------------------------------------------
+
+@query("q6_forecast_revenue", oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 25
+""")
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All predicates push to the parquet scan (PushedFilters); single
+    partial+final agg, no shuffle of data rows."""
+    li = load(spark, sf_dir)["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 25))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                  * F.col("l_discount").cast("decimal(9,2)"))
+            .cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Outer joins: LEFT JOIN null-extension (reference golden README.md:65-71)
+# ---------------------------------------------------------------------------
+
+@query("left_join_order_counts", oracle="""
+SELECT c_custkey, c_name,
+       COUNT(o_orderkey) AS order_cnt,
+       CAST(SUM(CAST(COALESCE(o_totalprice, 0) AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+""")
+def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join keeps customers with zero orders (COUNT(col) skips the
+    null-extended rows — the reference demos the same null extension at
+    README.md:65-71)."""
+    t = load(spark, sf_dir)
+    return (
+        t["customer"].join(t["orders"],
+                           F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("order_cnt"),
+             F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0)).cast("decimal(18,2)"))
+             .cast("double").alias("total_spend"))
+    )
+
+
+@query("right_full_outer_join", oracle="""
+SELECT COALESCE(n_nationkey, -1) AS nationkey,
+       n_name,
+       COUNT(s_suppkey) AS supplier_cnt
+FROM supplier FULL OUTER JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_nationkey, n_name
+""")
+def right_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (dialect contract includes RIGHT/FULL on modern SQLite,
+    reference README.md:40); nations with no suppliers survive null-extended."""
+    t = load(spark, sf_dir)
+    return (
+        t["supplier"].join(t["nation"],
+                           F.col("s_nationkey") == F.col("n_nationkey"), "full")
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count("s_suppkey").alias("supplier_cnt"))
+        .select(F.coalesce(F.col("n_nationkey"), F.lit(-1)).alias("nationkey"),
+                "n_name", "supplier_cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (reference reaches these via IN / NOT EXISTS subqueries)
+# ---------------------------------------------------------------------------
+
+@query("anti_join_customers_without_orders", oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    return (t["customer"]
+            .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+@query("semi_join_parts_ordered", oracle="""
+SELECT p_partkey, p_name FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
+""")
+def semi_join_parts_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    li = t["lineitem"].filter(F.col("l_quantity") >= 49)
+    return (t["part"]
+            .join(li, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+            .select("p_partkey", "p_name"))
+
+
+# ---------------------------------------------------------------------------
+# Cross join
+# ---------------------------------------------------------------------------
+
+@query("cross_join_region_pairs", oracle="""
+SELECT a.r_name AS from_region, b.r_name AS to_region
+FROM region a CROSS JOIN region b
+WHERE a.r_name <> b.r_name
+""")
+def cross_join_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    a = t["region"].select(F.col("r_name").alias("from_region"))
+    b = t["region"].select(F.col("r_name").alias("to_region"))
+    return a.crossJoin(b).filter(F.col("from_region") != F.col("to_region"))
+
+
+# ---------------------------------------------------------------------------
+# Theta (non-equi) join
+# ---------------------------------------------------------------------------
+
+@query("theta_join_price_band", oracle="""
+SELECT s_suppkey, COUNT(*) AS richer_nations
+FROM supplier JOIN nation ON s_nationkey <> n_nationkey
+GROUP BY s_suppkey
+""")
+def theta_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure non-equi condition → Spark picks BroadcastNestedLoopJoin (nation
+    is tiny); the reference's SQLite runs the same shape as a nested loop."""
+    t = load(spark, sf_dir)
+    return (t["supplier"]
+            .join(F.broadcast(t["nation"]), F.col("s_nationkey") != F.col("n_nationkey"))
+            .groupBy("s_suppkey")
+            .agg(F.count(F.lit(1)).alias("richer_nations")))
+
+
+# ---------------------------------------------------------------------------
+# group_concat / HAVING / COUNT(DISTINCT)
+# ---------------------------------------------------------------------------
+
+@query("group_concat_suppliers", oracle="""
+SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""")
+def group_concat_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLite group_concat ≈ concat_ws ∘ sort_array ∘ collect_list (sorted to
+    pin the nondeterministic collect order)."""
+    t = load(spark, sf_dir)
+    return (t["supplier"]
+            .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.concat_ws(",", F.sort_array(F.collect_list("s_name")))
+                 .alias("suppliers")))
+
+
+@query("having_count_distinct", oracle="""
+SELECT l_suppkey,
+       COUNT(DISTINCT l_partkey) AS distinct_parts,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY l_suppkey
+HAVING COUNT(DISTINCT l_partkey) > 50
+""")
+def having_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir)["lineitem"]
+    return (li.groupBy("l_suppkey")
+            .agg(F.countDistinct("l_partkey").alias("distinct_parts"),
+                 F.count(F.lit(1)).alias("n_items"))
+            .filter(F.col("distinct_parts") > 50))
+
+
+# ---------------------------------------------------------------------------
+# Projection / CASE / DISTINCT
+# ---------------------------------------------------------------------------
+
+@query("distinct_case_projection", oracle="""
+SELECT DISTINCT p_brand,
+       CASE WHEN p_size < 10 THEN 'small'
+            WHEN p_size < 30 THEN 'medium'
+            ELSE 'large' END AS size_class
+FROM part
+""")
+def distinct_case_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir)["part"]
+    return (part.select(
+        "p_brand",
+        F.when(F.col("p_size") < 10, "small")
+         .when(F.col("p_size") < 30, "medium")
+         .otherwise("large").alias("size_class"))
+        .distinct())
+
+
+# ---------------------------------------------------------------------------
+# ORDER BY NULLS LAST + LIMIT/OFFSET (reference golden README.md:75-78)
+# ---------------------------------------------------------------------------
+
+@query("order_nulls_limit_offset", oracle="""
+SELECT c_custkey, c_name,
+       CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+FROM customer
+ORDER BY bal DESC NULLS LAST, c_custkey
+LIMIT 20 OFFSET 5
+""")
+def order_nulls_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit null ordering (reference demos ORDER BY 1 ASC NULLS LAST at
+    README.md:75); LIMIT+OFFSET via Spark SQL (3.4+). Unique-key tiebreak
+    keeps the row set deterministic."""
+    load(spark, sf_dir)
+    return spark.sql("""
+        SELECT c_custkey, c_name,
+               CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+        FROM customer
+        ORDER BY bal DESC NULLS LAST, c_custkey
+        LIMIT 20 OFFSET 5
+    """)
+
+
+# ---------------------------------------------------------------------------
+# Ordinal GROUP BY / ORDER BY (reference golden README.md:75)
+# ---------------------------------------------------------------------------
+
+@query("ordinal_group_order", oracle="""
+SELECT o_orderpriority, COUNT(*) AS cnt
+FROM orders
+GROUP BY 1
+ORDER BY 1
+""")
+def ordinal_group_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir)
+    return spark.sql(
+        "SELECT o_orderpriority, COUNT(*) AS cnt FROM orders GROUP BY 1 ORDER BY 1")
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+@query("setop_union_distinct", oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey FROM supplier
+""")
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    return (t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+            .union(t["supplier"].select("s_nationkey"))
+            .distinct())
+
+
+@query("setop_union_all_counts", oracle="""
+SELECT nationkey, COUNT(*) AS cnt FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION ALL
+  SELECT s_nationkey FROM supplier
+) u GROUP BY nationkey
+""")
+def setop_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    return (t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+            .union(t["supplier"].select("s_nationkey"))
+            .groupBy("nationkey").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+@query("setop_intersect", oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+""")
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    return (t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+            .intersect(t["supplier"].select("s_nationkey")))
+
+
+@query("setop_except", oracle="""
+SELECT n_nationkey AS nationkey FROM nation
+EXCEPT
+SELECT s_nationkey FROM supplier
+""")
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    return (t["nation"].select(F.col("n_nationkey").alias("nationkey"))
+            .exceptAll(t["supplier"].select("s_nationkey")).distinct())
+
+
+# ---------------------------------------------------------------------------
+# Window functions: ranking / analytic / frames
+# ---------------------------------------------------------------------------
+
+@query("window_rank_top3_orders", oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+         RANK()       OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+         DENSE_RANK() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS drnk
+  FROM orders) x
+WHERE rn <= 3
+""")
+def window_rank_top3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number — the distributed top-k idiom (one
+    shuffle on the partition key, no global sort)."""
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (orders.select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"))
+        .filter(F.col("rn") <= 3))
+
+
+@query("window_lag_lead_events", oracle="""
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       LAG(event_type)  OVER w AS prev_type,
+       LEAD(event_type) OVER w AS next_type,
+       FIRST_VALUE(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS first_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("event_type").over(wf).alias("first_type"))
+
+
+@query("window_running_sum", oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_spend
+FROM orders
+""")
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame aggregate (ROWS BETWEEN); decimal inside the frame so DuckDB's
+    segment-tree association matches Spark's running accumulation exactly."""
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir)["orders"]
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+        .cast("double").alias("running_spend"))
+
+
+@query("window_ntile_percentile", oracle="""
+SELECT c_custkey,
+       NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+       CAST(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey) AS DOUBLE) AS pct_rank,
+       CAST(CUME_DIST() OVER (ORDER BY c_acctbal, c_custkey) AS DOUBLE) AS cume
+FROM customer
+""")
+def window_ntile_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = load(spark, sf_dir)["customer"]
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).cast("double").alias("pct_rank"),
+        F.cume_dist().over(w).cast("double").alias("cume"))
+
+
+# ---------------------------------------------------------------------------
+# Subqueries: scalar / correlated / IN — and CTEs
+# ---------------------------------------------------------------------------
+
+@query("scalar_subquery_above_avg", oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice > 2 * (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+  FROM orders)
+""")
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > 2 * (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          FROM orders)
+    """)
+
+
+@query("correlated_subquery_above_nation_avg", oracle="""
+SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
+WHERE c_acctbal > (
+  SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+""")
+def correlated_subquery_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into an
+    aggregate + join; the deterministic-avg comparison keeps boundary rows
+    identical across engines."""
+    load(spark, sf_dir)
+    return spark.sql("""
+        SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
+        WHERE c_acctbal > (
+          SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+    """)
+
+
+@query("in_subquery_parts", oracle="""
+SELECT p_partkey, p_retailprice FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48)
+""")
+def in_subquery_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir)
+    return spark.sql("""
+        SELECT p_partkey, p_retailprice FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48)
+    """)
+
+
+@query("cte_two_level", oracle="""
+WITH nation_cust AS (
+  SELECT n_name, c_custkey FROM customer JOIN nation ON c_nationkey = n_nationkey
+), nation_orders AS (
+  SELECT nc.n_name, COUNT(o.o_orderkey) AS n_orders
+  FROM nation_cust nc LEFT JOIN orders o ON o.o_custkey = nc.c_custkey
+  GROUP BY nc.n_name
+)
+SELECT n_name, n_orders FROM nation_orders WHERE n_orders > 0
+""")
+def cte_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir)
+    return spark.sql("""
+        WITH nation_cust AS (
+          SELECT n_name, c_custkey FROM customer JOIN nation ON c_nationkey = n_nationkey
+        ), nation_orders AS (
+          SELECT nc.n_name, COUNT(o.o_orderkey) AS n_orders
+          FROM nation_cust nc LEFT JOIN orders o ON o.o_custkey = nc.c_custkey
+          GROUP BY nc.n_name
+        )
+        SELECT n_name, n_orders FROM nation_orders WHERE n_orders > 0
+    """)
+
+
+@query("derived_table_exists", oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""")
+def derived_table_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS → Catalyst turns it into a left-semi
+    join on orderkey."""
+    load(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+    """)
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS / ROLLUP / CUBE (Spark extension beyond SQLite surface)
+# ---------------------------------------------------------------------------
+
+@query("rollup_region_nation", oracle="""
+SELECT r_name, n_name, COUNT(*) AS cnt
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+""")
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    return (t["nation"]
+            .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+            .rollup("r_name", "n_name")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+@query("cube_status_priority", oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""")
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir)["orders"]
+    return (orders.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+# ---------------------------------------------------------------------------
+# Pivot (manual CASE aggregation in the oracle)
+# ---------------------------------------------------------------------------
+
+@query("pivot_returnflag_by_status", oracle="""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_A,
+       CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_N,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_R
+FROM lineitem
+GROUP BY l_linestatus
+""")
+def pivot_returnflag_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir)["lineitem"]
+    pivoted = (li.groupBy("l_linestatus")
+               .pivot("l_returnflag", ["A", "N", "R"])
+               .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")))
+    return pivoted.select(
+        "l_linestatus",
+        F.col("A").alias("qty_A"),
+        F.col("N").alias("qty_N"),
+        F.col("R").alias("qty_R"))
+
+
+# ---------------------------------------------------------------------------
+# explode / unnest over the array column
+# ---------------------------------------------------------------------------
+
+@query("explode_embedding_positions", oracle="""
+SELECT vec_id, ord - 1 AS pos, CAST(e AS DOUBLE) AS val
+FROM (SELECT vec_id,
+             unnest(embedding) AS e,
+             generate_subscripts(embedding, 1) AS ord
+      FROM embeddings WHERE vec_id < 5) u
+""")
+def explode_embedding_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir)["embeddings"]
+    return (emb.filter(F.col("vec_id") < 5)
+            .select("vec_id", F.posexplode("embedding").alias("pos", "e"))
+            .select("vec_id", "pos", F.col("e").cast("double").alias("val")))
