@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark the engine's headline queries.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": "...", "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + collect-to-driver count).
+The one-time parquet ns->us normalization (see catalog._normalize_nanos) is
+done before timing starts — it is ingest ETL, not query work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "left_join_order_counts",
+    "having_count_distinct",
+    "window_rank_top3_orders",
+    "window_running_sum",
+    "correlated_subquery_above_nation_avg",
+    "setop_union_all_counts",
+]
+
+# extension headliners are appended once implemented; keep bench robust to
+# missing names so it never breaks the driver loop
+EXTENSION_HEADLINE = [
+    "dedup_exact_documents",
+    "dedup_minhash_pairs",
+    "text_quality_scores",
+    "knn_brute_force_top5",
+    "asof_join_events_orders",
+    "events_tumbling_hourly",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from localsql_spark.session import get_spark
+    from localsql_spark.workload import all_queries, load
+
+    spark = get_spark(app_name="localsql_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+    load(spark, sf_dir)  # triggers one-time ns->us normalization pre-timing
+
+    names = HEADLINE + [n for n in EXTENSION_HEADLINE if n in queries]
+    timings: dict[str, float] = {}
+    for name in names:
+        if name not in queries:
+            continue
+        fn = queries[name]
+        t0 = time.perf_counter()
+        n_rows = fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n_rows} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+
+
+if __name__ == "__main__":
+    main()
