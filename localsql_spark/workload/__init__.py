@@ -41,7 +41,13 @@ def query(name: str, oracle: str | None = None):
 
 
 def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register the driver's parquet tables as temp views and return them."""
+    """Register the driver's parquet tables as temp views and return them.
+
+    Pins the session timezone to UTC at runtime: queries may run under the
+    driver's own SparkSession (not our builder), and NTZ->LTZ casts /
+    date_format must agree with the DuckDB oracle's naive-as-UTC semantics.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     from localsql_spark.catalog import register_testdata
     return register_testdata(spark, sf_dir)
 
