@@ -1,0 +1,142 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference has no dedup surface (closest is SELECT DISTINCT via
+localsql/localsql.py:230); these are the scale extensions a training-data
+pipeline needs.  Design points for 100 TB:
+
+- All per-document work (shingling, hashing, signatures) is row-local
+  ``pyspark.sql.functions`` expressions — no Python UDFs, no shuffle.
+- The only shuffles are the ones the algorithms require: one groupBy on the
+  content hash (exact), one band-bucket self-join (MinHash-LSH: O(docs×bands)
+  rows, not O(docs²)), one shingle-inverted-index join (Jaccard).
+- Hot LSH buckets / ultra-common shingles are the skew risk at scale; AQE
+  skew-join handles moderate cases, and ``df_cap`` drops degenerate shingles
+  (standard document-frequency cap) before the join.
+
+Hash portability: minhash/simhash use md5-derived integers
+(``conv(substr(md5(x),1,8),16,10)``) so the DuckDB oracle can reproduce the
+exact same signatures — no engine-specific hash functions.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from localsql_spark.operators.text import normalize_text, word_shingles
+
+N_MINHASH = 16
+N_BANDS = 4  # 4 bands x 4 rows: catches jaccard >~ 0.5 with high prob
+
+
+def _md5_min(shingles: Column, seed: int) -> Column:
+    """One minhash component: min over shingles of md5(seed:shingle).
+    Fixed-width lowercase hex, so lexicographic min == numeric min."""
+    return F.array_min(F.transform(
+        shingles, lambda s: F.substring(F.md5(F.concat(F.lit(f"{seed}:"), s)), 1, 16)))
+
+
+def minhash_signature(text: Column, n: int = N_MINHASH) -> Column:
+    """array<string> of n minhash components over distinct 3-word shingles."""
+    shingles = word_shingles(text, 3)
+    return F.array(*[_md5_min(shingles, j) for j in range(n)])
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content-hash groupBy: one shuffle on md5(normalized
+    text) (hash keys, not full texts, move in the exchange's groupBy key).
+    Returns (text_hash, keep_id, copies)."""
+    return (df.select(F.md5(normalize_text(F.col(text_col))).alias("text_hash"),
+                      F.col(id_col))
+            .groupBy("text_hash")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("copies")))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", threshold: float = 0.5,
+                      n: int = N_MINHASH, bands: int = N_BANDS) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + banded LSH.
+
+    sig -> band keys -> bucket self-join (the LSH trick: only docs sharing a
+    band collide, so the join is linear in docs×bands instead of quadratic)
+    -> estimate jaccard as the fraction of equal signature components ->
+    filter by threshold.  Returns (doc_a, doc_b, est_jaccard).
+    """
+    rows = n // bands
+    sig = df.select(F.col(id_col).alias("doc_id"),
+                    minhash_signature(F.col(text_col), n).alias("sig"))
+    band_arr = F.array(*[
+        F.md5(F.concat_ws("|", *[F.element_at("sig", b * rows + r + 1)
+                                 for r in range(rows)]))
+        for b in range(bands)])
+    banded = sig.select("doc_id", "sig",
+                        F.posexplode(band_arr).alias("band_id", "band_key"))
+    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"),
+                      "band_id", "band_key")
+    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"),
+                      "band_id", "band_key")
+    pairs = (a.join(b, ["band_id", "band_key"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", "sig_a", "sig_b")
+             .distinct())
+    matches = functools.reduce(operator.add, [
+        (F.element_at("sig_a", j + 1) == F.element_at("sig_b", j + 1)).cast("int")
+        for j in range(n)])
+    return (pairs
+            .select("doc_a", "doc_b",
+                    (matches.cast("double") / n).alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= threshold))
+
+
+def simhash32(text: Column) -> Column:
+    """32-bit SimHash over distinct words: bit i is the sign of the sum of
+    (+1/-1) votes from each token's md5-derived 32-bit hash.  Row-local."""
+    toks = F.array_distinct(F.split(normalize_text(text), " "))
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    out = F.lit(0).cast("long")
+    for i in range(32):
+        vote = F.aggregate(
+            hashes, F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << i)) != 0,  # noqa: B023
+                                        1).otherwise(-1))
+        out = out + F.when(vote > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", block_col: str = "lang",
+                        threshold: float = 0.2,
+                        df_cap: int | None = None) -> DataFrame:
+    """Exact Jaccard over distinct 3-word shingles for pairs sharing a
+    blocking key, via an inverted-index self-join (shuffle on shingle; the
+    intersection count falls out of a groupBy, never materializing O(n²)).
+
+    ``df_cap`` optionally drops shingles appearing in more than that many
+    docs — the standard degenerate-shingle guard at scale.
+    Returns (doc_a, doc_b, jaccard).
+    """
+    sh = df.select(F.col(id_col).alias("doc_id"), F.col(block_col).alias("blk"),
+                   F.explode(word_shingles(F.col(text_col), 3)).alias("s"))
+    if df_cap is not None:
+        freq = sh.groupBy("s").agg(F.countDistinct("doc_id").alias("df"))
+        sh = sh.join(F.broadcast(freq.filter(F.col("df") <= df_cap)), "s")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "blk", "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "blk", "s")
+    inter = (a.join(b, ["blk", "s"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("i")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b",
+                    (F.col("i").cast("double")
+                     / (F.col("na") + F.col("nb") - F.col("i"))).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))

@@ -1,0 +1,125 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID (stopword heuristic), quality scoring, token counting, document
+fingerprinting.
+
+These go beyond the reference (which has no text operators; its whole text
+surface is SQLite string functions via localsql/localsql.py:230) and are
+built as pure ``pyspark.sql.functions`` column expressions — JVM-side,
+whole-stage-codegen-able, no Python in the hot path, so they scan-scale
+linearly to 100 TB with zero shuffles (all row-local).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small, fixed, deterministic stopword sets per language.  A heuristic
+# classifier, not a model: the point is distributed plumbing with an
+# SQL-expressible oracle, and it is easily swapped for fastText & co.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "is", "of", "to"),
+    "de": ("der", "die", "und", "nicht", "das"),
+    "fr": ("le", "la", "et", "les", "une"),
+    "es": ("el", "los", "que", "una", "por"),
+    "zh": ("de", "le_zh", "shi", "wo", "bu"),
+}
+PUNCT_RE = r"[.,;:!?'\"()\[\]{}-]"
+WORD_RE = r"[a-z0-9]+"
+
+
+def _padded(text: Column) -> Column:
+    return F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+
+
+def lang_score(text: Column, lang: str) -> Column:
+    """Number of the language's stopwords present in the text (0..5)."""
+    padded = _padded(text)
+    score = F.lit(0)
+    for w in LANG_STOPWORDS[lang]:
+        score = score + padded.contains(f" {w} ").cast("int")
+    return score
+
+
+def langid(text: Column) -> Column:
+    """Predicted language = argmax stopword score, ties broken by the fixed
+    key order of LANG_STOPWORDS; 'und' when no stopword matches."""
+    langs = list(LANG_STOPWORDS)
+    scores = {lang: lang_score(text, lang) for lang in langs}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(langs):  # reversed so earlier langs win ties
+        expr = F.when((scores[lang] == best) & (best > 0), lang).otherwise(expr)
+    return expr
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(text), r"\s+")).cast("long")
+
+
+def token_count_words(text: Column) -> Column:
+    """BPE-ish lower-alnum token count (regex word runs)."""
+    return F.regexp_count(F.lower(text), F.lit(WORD_RE)).cast("long")
+
+
+def punct_ratio(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(PUNCT_RE)).cast("double") / F.length(text)
+
+
+def digit_ratio(text: Column) -> Column:
+    return F.regexp_count(text, F.lit("[0-9]")).cast("double") / F.length(text)
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of whitespace tokens that are the language's stopwords."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    stops = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return n_stop.cast("double") / F.size(toks)
+
+
+def avg_word_len(text: Column) -> Column:
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.size(toks)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite 0..4 quality heuristic (each signal contributes one point):
+    reasonable length, low punctuation, low digits, sane avg word length."""
+    return (
+        F.length(text).between(50, 20000).cast("int")
+        + (punct_ratio(text) < 0.10).cast("int")
+        + (digit_ratio(text) < 0.20).cast("int")
+        + avg_word_len(text).between(2.0, 12.0).cast("int")
+    ).cast("long")
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(text))
+
+
+def fingerprint_h32(text: Column) -> Column:
+    """32-bit numeric fingerprint (first 8 md5 hex digits as bigint) — the
+    portable-hash idiom shared with the DuckDB oracle
+    (Spark conv(hex,16,10) == DuckDB CAST('0x'||hex AS BIGINT))."""
+    return F.conv(F.substring(fingerprint_md5(text), 1, 8), 16, 10).cast("long")
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of the normalized text (array<string>).
+    Row-local (no shuffle); the building block for MinHash/Jaccard dedup."""
+    toks = F.split(normalize_text(text), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j + 1) for j in range(k)])
+    return F.when(n >= k, F.array_distinct(F.transform(idx, shingle))
+                  ).otherwise(F.array(normalize_text(text)))

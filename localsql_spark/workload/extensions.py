@@ -1,11 +1,367 @@
-"""North-star extensions (BASELINE.json spark_approach + task brief): dedup,
-similarity search, text analysis, as-of/range joins, event windowing — the
-operators a 100 TB training-data pipeline needs, over the driver's
-documents / embeddings / events tables."""
+"""North-star extensions (BASELINE.json): dedup, similarity search, text
+analysis over the driver's documents/embeddings tables.
+
+Every oracle reproduces the operator's exact algorithm in DuckDB SQL
+(portable md5-derived hashes, decimal-summed float reductions), so the
+correctness gate checks the real computation, not a proxy.
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from localsql_spark.operators import dedup as D
+from localsql_spark.operators import similarity as S
+from localsql_spark.operators import text as T
 from localsql_spark.workload import load, query
+
+# Shared oracle fragment: normalized text + distinct 3-word shingles,
+# mirroring operators.text.normalize_text / word_shingles.
+_SHINGLES_CTE = r"""
+norm AS (SELECT doc_id, lang,
+                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+         FROM documents),
+tok AS (SELECT doc_id, lang, string_split(t, ' ') AS toks FROM norm),
+sh AS (SELECT DISTINCT doc_id, lang,
+              concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]) AS s
+       FROM tok, UNNEST(range(greatest(len(toks) - 2, 1))) u(i))
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@query("text_token_stats", oracle=r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS word_tokens,
+       CAST(length(text) AS BIGINT) AS chars,
+       (CAST(length(text) AS BIGINT) = n_chars) AS chars_match
+FROM documents
+""")
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + regex word tokens. Row-local,
+    codegen'd, zero shuffles (operators.text)."""
+    docs = load(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id",
+        T.token_count_ws(F.col("text")).alias("ws_tokens"),
+        T.token_count_words(F.col("text")).alias("word_tokens"),
+        F.length("text").cast("long").alias("chars"),
+        (F.length("text").cast("long") == F.col("n_chars")).alias("chars_match"))
+
+
+@query("text_quality_scores", oracle=r"""
+WITH norm AS (
+  SELECT doc_id, text, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
+       CAST(length(regexp_replace(t, '\s', '', 'g')) AS DOUBLE)
+         / len(string_split(t, ' ')) AS avg_wlen,
+       CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE)
+         / length(text) AS punct_r,
+       CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+         / length(text) AS digit_r,
+       CAST((length(text) BETWEEN 50 AND 20000) AS INT)
+         + CAST((CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE) / length(text) < 0.10) AS INT)
+         + CAST((CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text) < 0.20) AS INT)
+         + CAST((CAST(length(regexp_replace(t, '\s', '', 'g')) AS DOUBLE) / len(string_split(t, ' ')) BETWEEN 2.0 AND 12.0) AS INT)
+         AS quality
+FROM norm
+""")
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: length / punctuation / digit ratios, avg word
+    length, composite 0-4 score (operators.text.quality_score)."""
+    docs = load(spark, sf_dir)["documents"]
+    t = T.normalize_text(F.col("text"))
+    n_words = F.size(F.split(t, " "))
+    avg_wlen = (F.length(F.regexp_replace(t, r"\s", "")).cast("double") / n_words)
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        avg_wlen.alias("avg_wlen"),
+        T.punct_ratio(F.col("text")).alias("punct_r"),
+        T.digit_ratio(F.col("text")).alias("digit_r"),
+        (F.length("text").between(50, 20000).cast("int")
+         + (T.punct_ratio(F.col("text")) < 0.10).cast("int")
+         + (T.digit_ratio(F.col("text")) < 0.20).cast("int")
+         + avg_wlen.between(2.0, 12.0).cast("int")).cast("long").alias("quality"))
+
+
+def _langid_oracle() -> str:
+    pad = "concat(' ', lower(text), ' ')"
+    score = {
+        lang: " + ".join(f"CAST(contains({pad}, ' {w} ') AS INT)" for w in words)
+        for lang, words in T.LANG_STOPWORDS.items()
+    }
+    scores_sql = ",\n       ".join(f"({expr}) AS score_{lang}"
+                                   for lang, expr in score.items())
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in T.LANG_STOPWORDS) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lang} = {best} AND {best} > 0 THEN '{lang}'"
+        for lang in T.LANG_STOPWORDS) + " ELSE 'und' END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, {scores_sql}
+  FROM documents)
+SELECT doc_id, lang AS lang_true, {case} AS lang_pred,
+       ({case} = lang) AS is_match
+FROM scored
+"""
+
+
+@query("text_langid", oracle=_langid_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID (operators.text.langid): argmax of
+    per-language stopword hits, fixed tie order, 'und' when nothing hits."""
+    docs = load(spark, sf_dir)["documents"]
+    pred = T.langid(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        pred.alias("lang_pred"),
+        (pred == F.col("lang")).alias("is_match"))
+
+
+@query("text_fingerprint", oracle=r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5,
+       CAST('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 8) AS BIGINT) AS fp_h32
+FROM documents
+""")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 of normalized text + 32-bit numeric variant
+    (operators.text.fingerprint_*)."""
+    docs = load(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id",
+        T.fingerprint_md5(F.col("text")).alias("fp_md5"),
+        T.fingerprint_h32(F.col("text")).alias("fp_h32"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@query("dedup_exact_documents", oracle=r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_hash,
+       min(doc_id) AS keep_id,
+       count(*) AS copies
+FROM documents
+GROUP BY 1
+""")
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one shuffle on the content hash
+    (operators.dedup.exact_dedup)."""
+    docs = load(spark, sf_dir)["documents"]
+    return D.exact_dedup(docs)
+
+
+@query("dedup_minhash_signature", oracle=f"""
+WITH {_SHINGLES_CTE},
+mh AS (SELECT doc_id, j,
+              min(substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 16)) AS c
+       FROM sh CROSS JOIN UNNEST(range({D.N_MINHASH})) u2(j)
+       GROUP BY doc_id, j)
+SELECT doc_id, string_agg(c, '|' ORDER BY j) AS sig
+FROM mh GROUP BY doc_id
+""")
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures ({n} md5-derived components over distinct 3-word
+    shingles) — the per-document half of MinHash-LSH, fully row-local
+    (operators.dedup.minhash_signature).""".format(n=D.N_MINHASH)
+    docs = load(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id",
+        F.concat_ws("|", D.minhash_signature(F.col("text"))).alias("sig"))
+
+
+_MINHASH_PAIRS_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+mh AS (SELECT doc_id, j,
+              min(substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 16)) AS c
+       FROM sh CROSS JOIN UNNEST(range({D.N_MINHASH})) u2(j)
+       GROUP BY doc_id, j),
+sig AS (SELECT doc_id, list(c ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+bands AS (SELECT doc_id, b,
+                 md5(sig[4*b+1] || '|' || sig[4*b+2] || '|' || sig[4*b+3] || '|' || sig[4*b+4]) AS bkey
+          FROM sig CROSS JOIN UNNEST(range({D.N_BANDS})) u3(b)),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
+                       AND x.doc_id < y.doc_id),
+pairsig AS (SELECT doc_a, doc_b, sa.sig AS sig_a, sb.sig AS sig_b
+            FROM cand JOIN sig sa ON sa.doc_id = doc_a
+                      JOIN sig sb ON sb.doc_id = doc_b)
+SELECT doc_a, doc_b,
+       CAST(sum(CASE WHEN sig_a[j+1] = sig_b[j+1] THEN 1 ELSE 0 END) AS DOUBLE)
+         / {D.N_MINHASH} AS est_jaccard
+FROM pairsig CROSS JOIN UNNEST(range({D.N_MINHASH})) u4(j)
+GROUP BY doc_a, doc_b
+HAVING CAST(sum(CASE WHEN sig_a[j+1] = sig_b[j+1] THEN 1 ELSE 0 END) AS DOUBLE)
+         / {D.N_MINHASH} >= 0.5
+"""
+
+
+@query("dedup_minhash_pairs", oracle=_MINHASH_PAIRS_ORACLE)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs: banded bucket self-join (linear in
+    docs x bands, never O(n^2)) then signature-overlap estimate
+    (operators.dedup.minhash_lsh_pairs)."""
+    docs = load(spark, sf_dir)["documents"]
+    return D.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+@query("dedup_simhash", oracle=r"""
+WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM documents),
+tok AS (SELECT DISTINCT doc_id, tk
+        FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS tk FROM norm)),
+h AS (SELECT doc_id, CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT) AS h FROM tok),
+votes AS (SELECT doc_id, i,
+                 sum(CASE WHEN (h & (CAST(1 AS BIGINT) << i)) <> 0 THEN 1 ELSE -1 END) AS v
+          FROM h CROSS JOIN UNNEST(range(32)) u(i)
+          GROUP BY doc_id, i)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+""")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document — row-local bit-vote expression
+    (operators.dedup.simhash32); near-dups then cluster by hamming distance."""
+    docs = load(spark, sf_dir)["documents"]
+    return docs.select("doc_id", D.simhash32(F.col("text")).alias("simhash"))
+
+
+@query("dedup_ngram_jaccard", oracle=f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang
+                                AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+           JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+""")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set Jaccard for same-language pairs via an inverted-
+    index join (operators.dedup.ngram_jaccard_pairs)."""
+    docs = load(spark, sf_dir)["documents"]
+    return D.ngram_jaccard_pairs(docs, block_col="lang", threshold=0.2)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COSINE_ORACLE_BODY = """
+qe AS (SELECT query_id, generate_subscripts(qv, 1) AS p, unnest(qv) AS x FROM q),
+ce AS (SELECT neighbor_id, generate_subscripts(cv, 1) AS p, unnest(cv) AS y FROM c),
+dots AS (SELECT query_id, neighbor_id,
+                CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 12)
+                              AS DECIMAL(38,12))) AS DOUBLE) AS dotp
+         FROM qe JOIN ce ON qe.p = ce.p
+         WHERE query_id <> neighbor_id
+         GROUP BY query_id, neighbor_id),
+norms AS (SELECT vec_id,
+                 sqrt(CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 12)
+                               AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+          FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) ne
+          GROUP BY vec_id),
+scored AS (SELECT query_id, neighbor_id,
+                  round(dotp / (nq.nrm * nc.nrm), 9) AS cos_sim
+           FROM dots JOIN norms nq ON nq.vec_id = query_id
+                     JOIN norms nc ON nc.vec_id = neighbor_id)
+SELECT query_id, neighbor_id, cos_sim, rn FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored) ranked
+WHERE rn <= 5
+"""
+
+
+@query("knn_brute_force_top5", oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+{_COSINE_ORACLE_BODY}
+""")
+def knn_brute_force_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5: broadcast queries x corpus scan, row-local
+    zip_with dot product, windowed top-k (operators.similarity)."""
+    emb = load(spark, sf_dir)["embeddings"]
+    return S.knn_brute_force(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+_BUCKET_SQL = " + ".join(
+    f"CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
+    for i in range(8))
+
+
+@query("knn_lsh_bucketed_top5", oracle=f"""
+WITH b AS (SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS INT) AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 10),
+cand AS (SELECT q.query_id, cb.vec_id AS neighbor_id, cb.embedding AS cv
+         FROM b cb JOIN q ON cb.bucket = q.bucket AND cb.vec_id <> q.query_id),
+qe AS (SELECT query_id, generate_subscripts(qv, 1) AS p, unnest(qv) AS x FROM q),
+ce AS (SELECT query_id, neighbor_id, generate_subscripts(cv, 1) AS p, unnest(cv) AS y
+       FROM cand),
+dots AS (SELECT ce.query_id, ce.neighbor_id,
+                CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 12)
+                              AS DECIMAL(38,12))) AS DOUBLE) AS dotp
+         FROM ce JOIN qe ON ce.p = qe.p AND ce.query_id = qe.query_id
+         GROUP BY 1, 2),
+norms AS (SELECT vec_id,
+                 sqrt(CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 12)
+                               AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+          FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) ne
+          GROUP BY vec_id),
+scored AS (SELECT query_id, neighbor_id,
+                  round(dotp / (nq.nrm * nc.nrm), 9) AS cos_sim
+           FROM dots JOIN norms nq ON nq.vec_id = query_id
+                     JOIN norms nc ON nc.vec_id = neighbor_id)
+SELECT query_id, neighbor_id, cos_sim, rn FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored) ranked
+WHERE rn <= 5
+""")
+def knn_lsh_bucketed_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via sign-bucket LSH: candidates share the query's
+    8-bit leading-sign bucket, so each query scans ~1/256 of the corpus
+    (operators.similarity.knn_lsh_bucketed)."""
+    emb = load(spark, sf_dir)["embeddings"]
+    return S.knn_lsh_bucketed(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query("embedding_near_dup", oracle=f"""
+WITH b AS (SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS INT) AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b),
+c0 AS (SELECT b2.vec_id AS neighbor_id, b2.embedding AS cv, q.query_id AS qid
+       FROM b b2 JOIN q ON b2.bucket = q.bucket AND q.query_id < b2.vec_id),
+qe AS (SELECT query_id, generate_subscripts(qv, 1) AS p, unnest(qv) AS x FROM q),
+ce AS (SELECT qid, neighbor_id, generate_subscripts(cv, 1) AS p, unnest(cv) AS y FROM c0),
+dots AS (SELECT qid AS vec_a, neighbor_id AS vec_b,
+                CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 12)
+                              AS DECIMAL(38,12))) AS DOUBLE) AS dotp
+         FROM ce JOIN qe ON ce.p = qe.p AND qe.query_id = ce.qid
+         GROUP BY 1, 2),
+norms AS (SELECT vec_id,
+                 sqrt(CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 12)
+                               AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+          FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) ne
+          GROUP BY vec_id)
+SELECT vec_a, vec_b, round(dotp / (na.nrm * nb.nrm), 9) AS cos_sim
+FROM dots JOIN norms na ON na.vec_id = vec_a
+          JOIN norms nb ON nb.vec_id = vec_b
+WHERE round(dotp / (na.nrm * nb.nrm), 9) >= 0.9
+""")
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.9) with sign-bucket
+    blocking (operators.similarity.embedding_near_dup_pairs)."""
+    emb = load(spark, sf_dir)["embeddings"]
+    return S.embedding_near_dup_pairs(emb, threshold=0.9)
