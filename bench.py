@@ -40,8 +40,9 @@ EXTENSION_HEADLINE = [
     "dedup_minhash_pairs",
     "text_quality_scores",
     "knn_brute_force_top5",
-    "asof_join_events_orders",
+    "asof_join_purchase_click",
     "events_tumbling_hourly",
+    "events_session_30m",
 ]
 
 

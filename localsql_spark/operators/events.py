@@ -1,0 +1,139 @@
+"""Event-time operators: tumbling / sliding / session windows and as-of joins.
+
+The reference has no time-series surface at all (SURVEY.md §2B "Streaming —
+none anywhere in the reference"); these are the north-star extensions over the
+driver's ``events`` table. Everything here is built from native Spark
+primitives (``F.window``, ``F.session_window``, window functions, one shuffle
+per operator) and works unchanged under Structured Streaming where noted.
+
+Scale notes
+-----------
+- ``F.window`` / ``F.session_window`` are plain grouping expressions: the agg
+  is a single hash-partial + shuffle-on-key exchange, identical to any
+  groupBy. No driver-side materialization anywhere.
+- ``asof_join`` uses the union-tag + running ``last(ignorenulls)`` pattern:
+  ONE shuffle on the join key, no correlated per-row probing and no broadcast
+  requirement, so it survives arbitrarily large both sides. This is the same
+  strategy Flink/Kafka-streams use for temporal joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(events: DataFrame, duration: str, ts_col: str = "ts",
+                 group_cols: list[str] | None = None,
+                 aggs: list[Column] | None = None) -> DataFrame:
+    """Fixed, non-overlapping event-time windows via ``F.window``.
+
+    Works identically in batch and Structured Streaming (add a watermark for
+    the streaming case — see streaming/stream_agg.py).
+    """
+    group_cols = group_cols or []
+    aggs = aggs or [F.count("*").alias("n")]
+    return (events
+            .groupBy(F.window(ts_col, duration).alias("w"), *group_cols)
+            .agg(*aggs)
+            .select(F.col("w.start").alias("w_start"),
+                    F.col("w.end").alias("w_end"),
+                    *group_cols,
+                    *[F.col(c) for c in _agg_names(aggs)]))
+
+
+def sliding_agg(events: DataFrame, duration: str, slide: str,
+                ts_col: str = "ts", group_cols: list[str] | None = None,
+                aggs: list[Column] | None = None) -> DataFrame:
+    """Overlapping windows: each event lands in duration/slide windows."""
+    group_cols = group_cols or []
+    aggs = aggs or [F.count("*").alias("n")]
+    return (events
+            .groupBy(F.window(ts_col, duration, slide).alias("w"), *group_cols)
+            .agg(*aggs)
+            .select(F.col("w.start").alias("w_start"),
+                    F.col("w.end").alias("w_end"),
+                    *group_cols,
+                    *[F.col(c) for c in _agg_names(aggs)]))
+
+
+def session_agg(events: DataFrame, gap: str, ts_col: str = "ts",
+                key_cols: list[str] | None = None,
+                aggs: list[Column] | None = None) -> DataFrame:
+    """Session windows (merge events closer than ``gap``) via the native
+    ``F.session_window`` grouping expression — batch and streaming capable.
+
+    Window end = last event + gap (Spark semantics; the SQL-oracle mirror is
+    the classic gaps-and-islands rewrite)."""
+    key_cols = key_cols or []
+    aggs = aggs or [F.count("*").alias("n")]
+    return (events
+            .groupBy(F.session_window(ts_col, gap).alias("w"), *key_cols)
+            .agg(*aggs)
+            .select(F.col("w.start").alias("s_start"),
+                    F.col("w.end").alias("s_end"),
+                    *key_cols,
+                    *[F.col(c) for c in _agg_names(aggs)]))
+
+
+def asof_join(left: DataFrame, right: DataFrame, *, on: list[str],
+              left_ts: str, right_ts: str,
+              right_cols: list[str] | None = None,
+              tiebreak: str | None = None,
+              suffix: str = "_asof") -> DataFrame:
+    """Backward as-of join: for each left row, the latest right row with
+    ``right.right_ts <= left.left_ts`` and equal keys.
+
+    Implementation: tag both sides, union, ONE shuffle on ``on``, then a
+    running ``last(..., ignorenulls=True)`` over (ts, side) picks the most
+    recent right payload at or before each left row. At equal timestamps the
+    right row sorts first (side 0 < 1), so "at or before" includes ties;
+    among equal-ts right rows the largest ``tiebreak`` wins (deterministic).
+
+    Left rows with no prior right row keep NULL payloads (left-outer
+    semantics). Cost: one shuffle + one window pass, both sides arbitrarily
+    large — never a broadcast or a per-row probe.
+    """
+    right_cols = right_cols or [c for c in right.columns
+                                if c not in on and c != right_ts]
+    tb = F.col(tiebreak) if tiebreak else F.lit(0)
+    payload = F.struct(F.col(right_ts).alias("__rts"),
+                       *[F.col(c).alias(c) for c in right_cols])
+
+    r = right.select(*on,
+                     F.col(right_ts).alias("__ts"),
+                     F.lit(0).alias("__side"),
+                     tb.alias("__tb"),
+                     payload.alias("__payload"),
+                     *[F.lit(None).alias(f"__l_{i}")
+                       for i in range(len(left.columns))])
+    lcols = left.columns
+    l = left.select(*on,
+                    F.col(left_ts).alias("__ts"),
+                    F.lit(1).alias("__side"),
+                    F.lit(None).cast(r.schema["__tb"].dataType).alias("__tb"),
+                    F.lit(None).cast(r.schema["__payload"].dataType)
+                        .alias("__payload"),
+                    *[F.col(c).alias(f"__l_{i}") for i, c in enumerate(lcols)])
+
+    w = (Window.partitionBy(*on)
+         .orderBy(F.col("__ts").asc(), F.col("__side").asc(),
+                  F.col("__tb").asc_nulls_first())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = (r.unionByName(l)
+               .withColumn("__m", F.last("__payload", ignorenulls=True).over(w))
+               .filter(F.col("__side") == 1))
+    return matched.select(
+        *[F.col(f"__l_{i}").alias(c) for i, c in enumerate(lcols)],
+        F.col(f"__m.__rts").alias(f"{right_ts}{suffix}"),
+        *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in right_cols])
+
+
+def _agg_names(aggs: list[Column]) -> list[str]:
+    """Output names of aggregate columns (requires .alias on each)."""
+    names = []
+    for c in aggs:
+        # Column's alias is the last name in its expression string "x AS name"
+        s = c._jc.toString()
+        names.append(s.split(" AS ")[-1].strip("`") if " AS " in s else s)
+    return names

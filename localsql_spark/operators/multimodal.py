@@ -1,0 +1,125 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
+
+The reference has no multimodal surface; this is the north-star extension for
+training-data pipelines. The REAL parts here — schema, partitioning, UDF
+signatures, Arrow batch shapes, metadata propagation — are what matters at
+100 TB. The codec step itself is STUBBED (this container has no image/audio
+libraries): ``decode_image`` raises ``NotImplementedError`` unless handed the
+deterministic fake codec, whose behavior is pure arithmetic on the payload so
+the whole pipeline stays oracle-checkable end-to-end.
+
+Scale notes: every stage is a narrow ``mapInPandas`` over the scan — no
+shuffle, no driver collect; binary payloads stream through Arrow record
+batches. On a real cluster the only knob that matters is
+``spark.sql.files.maxPartitionBytes`` (keep batches of big blobs within
+executor memory) plus ``spark.sql.execution.arrow.maxRecordsPerBatch`` for
+row-count control.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Typed metadata carried alongside every blob. At scale this travels with the
+# binary through every stage so downstream filters (fmt/width pushdown on the
+# metadata parquet columns) never touch the payload bytes.
+MEDIA_SCHEMA = ("doc_id long, media binary, "
+                "meta struct<fmt:string, width:int, height:int, n_bytes:long>")
+
+FEATURE_SCHEMA = ("doc_id long, n_bytes long, digest string, "
+                  "fmt string, width int, height int, mean_byte double")
+
+_FMTS = ("png", "jpeg", "webp")
+
+
+def attach_fake_media(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic fake media blob per document (payload = utf-8
+    text bytes; metadata arithmetic on doc_id). Stands in for reading real
+    image bytes from parquet/tar shards — schema and downstream plumbing are
+    identical to the real thing."""
+    fmt = F.element_at(F.array(*[F.lit(f) for f in _FMTS]),
+                       (F.col("doc_id") % 3 + 1).cast("int"))
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("media"),
+        F.struct(
+            fmt.alias("fmt"),
+            ((F.col("doc_id") % 16 + 1) * 64).cast("int").alias("width"),
+            ((F.col("doc_id") % 9 + 1) * 64).cast("int").alias("height"),
+            F.length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"))
+
+
+def decode_image(payload: bytes, fmt: str, *, codec: str = "real"):
+    """Decode a blob to pixels. The real path requires an image library this
+    container does not ship — STUB, clearly marked. The 'fake' codec is the
+    deterministic stand-in used by tests/oracles."""
+    if codec == "real":
+        raise NotImplementedError(
+            "no image codec in this environment; run with codec='fake' or "
+            "install pillow/opencv on the cluster image")
+    # fake codec: "pixels" are the raw payload bytes
+    return payload
+
+
+def extract_features(media: DataFrame, *, codec: str = "fake") -> DataFrame:
+    """Arrow-batched feature extraction over binary media: byte length, md5
+    digest, metadata passthrough, mean byte value (the fake codec's stand-in
+    for an embedding/stat computed from decoded pixels).
+
+    mapInPandas keeps this a narrow map over the scan — no shuffle; batch
+    shape is (rows per Arrow batch) x (payload sizes), both bounded by the
+    session's Arrow/file-split settings.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            pixels = [decode_image(b, m["fmt"], codec=codec)
+                      for b, m in zip(pdf["media"], pdf["meta"])]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [len(b) for b in pdf["media"]],
+                "digest": [hashlib.md5(b).hexdigest() for b in pdf["media"]],
+                "fmt": [m["fmt"] for m in pdf["meta"]],
+                "width": pd.array([m["width"] for m in pdf["meta"]],
+                                  dtype="int32"),
+                "height": pd.array([m["height"] for m in pdf["meta"]],
+                                   dtype="int32"),
+                "mean_byte": [(sum(px) / len(px)) if len(px) else None
+                              for px in pixels],
+            })
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, *, every: int = 4096,
+                 frame_len: int = 16) -> DataFrame:
+    """'Video' frame sampling stand-in: slice the payload every ``every``
+    bytes into ``frame_len``-byte frames and emit one row per frame with its
+    digest — the exact explode/batch shape a real frame sampler produces.
+    Narrow map + explode; no shuffle."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_no": [], "offset": [], "frame_md5": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                for i, off in enumerate(range(0, len(blob), every)):
+                    frame = blob[off:off + frame_len]
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(i)
+                    out["offset"].append(off)
+                    out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run, schema="doc_id long, frame_no int, offset long, frame_md5 string")

@@ -1,0 +1,117 @@
+"""Structured Streaming operators over the driver's ``events`` table.
+
+The reference is pure batch (SURVEY.md §2B "Streaming — none"); this module is
+the north-star streaming extension. Each helper runs a real Structured
+Streaming query (file source -> watermarked transformation -> memory sink,
+``availableNow`` trigger so it drains the backlog and stops), then returns the
+sink contents as a plain DataFrame so the driver's DuckDB oracle can check it
+exactly like a batch query.
+
+Scale notes: the same code runs unbounded on a cluster by swapping the sink
+(kafka/delta) and dropping the trigger; state lives in the HDFS-backed state
+store, partitioned by the grouping key, so the operator scales with executors,
+not driver memory. Complete-output memory sink here is test harness only.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _stream_source(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """File-stream over one normalized parquet file (schema pinned from the
+    batch reader — streaming sources require an explicit schema)."""
+    from pathlib import Path
+
+    from localsql_spark.catalog import _normalize_nanos
+
+    path = _normalize_nanos(Path(f"{sf_dir}/{table}.parquet"))
+    schema = spark.read.parquet(str(path)).schema
+    # the file source streams a DIRECTORY (the landing dir on a real
+    # deployment); expose the single test file through a per-table dir
+    src_dir = path.parent / f"__stream_{table}"
+    src_dir.mkdir(exist_ok=True)
+    link = src_dir / path.name
+    if not link.exists():
+        link.symlink_to(path.resolve())
+    stream = spark.readStream.schema(schema).parquet(str(src_dir))
+    if "ts" in stream.columns:
+        # watermarks require TIMESTAMP (LTZ); session TZ is pinned UTC so the
+        # NTZ->LTZ cast is an identity relabel
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+def _drain_to_memory(stream_df: DataFrame, name: str,
+                     output_mode: str) -> DataFrame:
+    """Run the streaming query to completion (availableNow) into an in-memory
+    sink table and return it as a batch DataFrame."""
+    spark = stream_df.sparkSession
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    query = (stream_df.writeStream.format("memory").queryName(name)
+             .outputMode(output_mode)
+             .option("checkpointLocation",
+                     tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+             .trigger(availableNow=True)
+             .start())
+    query.awaitTermination()
+    return spark.table(name)
+
+
+def tumbling_stream(spark: SparkSession, sf_dir: str,
+                    duration: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation as a real streaming query.
+
+    Complete output mode so every window (including ones above the final
+    watermark) lands in the sink — the result is then bit-identical to the
+    batch tumbling aggregation and shares its oracle.
+    """
+    ev = _stream_source(spark, sf_dir, "events")
+    agg = (ev.withWatermark("ts", watermark)
+           .groupBy(F.window("ts", duration).alias("w"), "event_type")
+           .agg(F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_value")))
+    out = _drain_to_memory(agg, "events_tumbling_stream_sink", "complete")
+    return out.select(
+        F.unix_micros(F.col("w.start").cast("timestamp")).alias("w_start_us"),
+        "event_type", "n", "sum_value")
+
+
+def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running event count + decimal-exact value total kept in the
+    state store (grouped by user_id -> state scales horizontally).
+
+    With the backlog drained the final state equals the batch per-user
+    aggregate, so it shares an exact SQL oracle.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # integer cents: associative + exact, safe to accumulate per-batch
+            cents += int(pdf["value"].mul(100).round(0).astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "sum_value": [cents / 100.0]})
+
+    ev = _stream_source(spark, sf_dir, "events")
+    out = (ev.groupBy("user_id")
+           .applyInPandasWithState(
+               update,
+               outputStructType="user_id long, n_events long, sum_value double",
+               stateStructType="n long, cents long",
+               outputMode="update",
+               timeoutConf=GroupStateTimeout.NoTimeout))
+    return _drain_to_memory(out, "stateful_user_stats_sink", "update")

@@ -72,4 +72,6 @@ def _ensure_loaded():
         from localsql_spark.workload import relational  # noqa: F401
         from localsql_spark.workload import functions_suite  # noqa: F401
         from localsql_spark.workload import extensions  # noqa: F401
+        from localsql_spark.workload import events_suite  # noqa: F401
+        from localsql_spark.workload import multimodal_suite  # noqa: F401
         _loaded = True

@@ -1,0 +1,166 @@
+"""Event-time workload: tumbling / sliding / session windows + as-of join
+over the driver's ``events`` table (north-star extension — the reference has
+no time-series surface at all, SURVEY.md §2B).
+
+Determinism: window bounds surface as epoch microseconds (BIGINT on both
+sides), value sums go through DECIMAL(18,2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from localsql_spark.operators import events as E
+from localsql_spark.workload import load, query
+
+def _us(c):
+    """Epoch microseconds of an NTZ timestamp (session TZ pinned UTC, so the
+    NTZ->LTZ cast is an identity relabel; matches DuckDB epoch_us)."""
+    return F.unix_micros(F.col(c).cast("timestamp"))
+
+
+def _val_sum():
+    return F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+
+
+@query("events_tumbling_hourly", oracle="""
+SELECT epoch_us(date_trunc('hour', ts)) AS w_start_us, event_type,
+       count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""")
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type: one shuffle
+    (hash-partial then exchange on (window, type)); streaming-capable as-is
+    (operators.events.tumbling_agg)."""
+    ev = load(spark, sf_dir)["events"]
+    out = E.tumbling_agg(ev, "1 hour", group_cols=["event_type"],
+                         aggs=[F.count("*").alias("n"),
+                               _val_sum().alias("sum_value")])
+    return out.select(_us("w_start").alias("w_start_us"),
+                      "event_type", "n", "sum_value")
+
+
+@query("events_sliding_1h_30m", oracle="""
+WITH e AS (SELECT event_type, value,
+                  CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 AS b
+           FROM events),
+w AS (SELECT event_type, value, (b - 1800 * i) AS ws
+      FROM e CROSS JOIN UNNEST([0, 1]) u(i))
+SELECT ws * 1000000 AS w_start_us, event_type, count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM w GROUP BY 1, 2
+""")
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h length, 30m slide): each event expands into
+    duration/slide = 2 windows before the single grouping shuffle
+    (operators.events.sliding_agg)."""
+    ev = load(spark, sf_dir)["events"]
+    out = E.sliding_agg(ev, "1 hour", "30 minutes", group_cols=["event_type"],
+                        aggs=[F.count("*").alias("n"),
+                              _val_sum().alias("sum_value")])
+    return out.select(_us("w_start").alias("w_start_us"),
+                      "event_type", "n", "sum_value")
+
+
+@query("events_session_30m", oracle="""
+WITH o AS (SELECT user_id, ts, event_id, value,
+                  lag(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pts
+           FROM events),
+m AS (SELECT *, CASE WHEN pts IS NULL
+                      OR epoch_us(ts) - epoch_us(pts) > 1800000000
+                     THEN 1 ELSE 0 END AS brk
+      FROM o),
+s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+SELECT user_id, epoch_us(min(ts)) AS s_start_us,
+       epoch_us(max(ts)) + 1800000000 AS s_end_us,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sid
+""")
+def events_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-minute inactivity gap) via the native
+    ``F.session_window`` grouping — batch now, streaming-capable unchanged.
+    Oracle is the classic gaps-and-islands rewrite; session end = last event
+    + gap on both sides (operators.events.session_agg)."""
+    ev = load(spark, sf_dir)["events"]
+    out = E.session_agg(ev, "30 minutes", key_cols=["user_id"],
+                        aggs=[F.count("*").alias("n_events"),
+                              _val_sum().alias("sum_value")])
+    return out.select("user_id",
+                      _us("s_start").alias("s_start_us"),
+                      _us("s_end").alias("s_end_us"),
+                      "n_events", "sum_value")
+
+
+@query("asof_join_purchase_click", oracle="""
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, event_id AS click_id, value AS click_value
+      FROM events WHERE event_type = 'click'),
+j AS (SELECT p.event_id, p.user_id, p.ts, c.ts AS cts,
+             c.click_id, c.click_value,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC, c.click_id DESC) AS rn
+      FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
+SELECT event_id, user_id, epoch_us(ts) AS purchase_us,
+       epoch_us(cts) AS click_us, click_id, click_value
+FROM j WHERE rn = 1
+""")
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase matched to the user's most recent
+    click at-or-before it. Union-tag + running last(ignorenulls) — ONE
+    shuffle on user_id, no correlated probe, both sides scale freely
+    (operators.events.asof_join)."""
+    ev = load(spark, sf_dir)["events"]
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("event_id", "user_id", "ts"))
+    c = (ev.filter(F.col("event_type") == "click")
+         .select("user_id", "ts",
+                 F.col("event_id").alias("click_id"),
+                 F.col("value").alias("click_value")))
+    j = E.asof_join(p, c, on=["user_id"], left_ts="ts", right_ts="ts",
+                    right_cols=["click_id", "click_value"],
+                    tiebreak="click_id")
+    return j.select("event_id", "user_id",
+                    _us("ts").alias("purchase_us"),
+                    _us("ts_asof").alias("click_us"),
+                    F.col("click_id_asof").alias("click_id"),
+                    F.col("click_value_asof").alias("click_value"))
+
+
+@query("streaming_tumbling_hourly", oracle="""
+SELECT epoch_us(date_trunc('hour', ts)) AS w_start_us, event_type,
+       count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""")
+def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling aggregation as a REAL Structured Streaming query:
+    file stream -> watermark -> windowed agg -> memory sink (availableNow),
+    result checked against the same batch oracle
+    (streaming.stream_agg.tumbling_stream)."""
+    from localsql_spark.streaming.stream_agg import tumbling_stream
+
+    load(spark, sf_dir)
+    return tumbling_stream(spark, sf_dir)
+
+
+@query("streaming_stateful_user_stats", oracle="""
+SELECT user_id, count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+""")
+def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running totals in the keyed state store; drained final state equals the
+    batch aggregate exactly (integer-cents accumulation)
+    (streaming.stream_agg.stateful_user_stats)."""
+    from localsql_spark.streaming.stream_agg import stateful_user_stats
+
+    load(spark, sf_dir)
+    return stateful_user_stats(spark, sf_dir)

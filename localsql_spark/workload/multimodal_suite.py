@@ -1,0 +1,49 @@
+"""Multimodal workload: binary media columns + Arrow-batched feature
+extraction / frame sampling (operators.multimodal). The fake codec is pure
+arithmetic on the payload bytes, so even the Python mapInPandas stages are
+exact-oracle-checked (documents.text is ASCII, so DuckDB's VARCHAR functions
+see the same bytes Spark's BINARY functions do).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from localsql_spark.operators import multimodal as M
+from localsql_spark.workload import load, query
+
+
+@query("multimodal_features", oracle="""
+WITH b AS (SELECT doc_id, text FROM documents)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       md5(text) AS digest,
+       ['png','jpeg','webp'][CAST(doc_id % 3 AS INT) + 1] AS fmt,
+       CAST((doc_id % 16 + 1) * 64 AS INT) AS width,
+       CAST((doc_id % 9 + 1) * 64 AS INT) AS height,
+       CAST(list_aggregate(list_transform(split(text, ''), x -> ascii(x)),
+                           'sum') AS DOUBLE) / length(text) AS mean_byte
+FROM b
+""")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media pipeline: attach blob + typed metadata, then Arrow-batched
+    mapInPandas feature extraction (byte stats, md5 digest, fake-codec decode).
+    Narrow map over the scan — zero shuffles
+    (operators.multimodal.extract_features)."""
+    docs = load(spark, sf_dir)["documents"]
+    return M.extract_features(M.attach_fake_media(docs), codec="fake")
+
+
+@query("multimodal_frame_sample", oracle="""
+WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents)
+SELECT doc_id, CAST(i AS INT) AS frame_no,
+       CAST(i * 4096 AS BIGINT) AS "offset",
+       md5(substring(text, CAST(i * 4096 + 1 AS BIGINT), 16)) AS frame_md5
+FROM b CROSS JOIN UNNEST(range(CAST(ceil(n / 4096.0) AS BIGINT))) u(i)
+""")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Video' frame sampling: one row per 4096-byte stride with a 16-byte
+    frame digest — the explode/batch shape of a real frame sampler, stub
+    codec (operators.multimodal.frame_sample)."""
+    docs = load(spark, sf_dir)["documents"]
+    return M.frame_sample(M.attach_fake_media(docs), every=4096, frame_len=16)
