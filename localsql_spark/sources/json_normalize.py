@@ -17,14 +17,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
-def _flatten_cols(schema: StructType, prefix: str = "") -> list[Column]:
+def _flatten_cols(schema: StructType, parent: Column, prefix: str) -> list[Column]:
     cols: list[Column] = []
     for field in schema.fields:
         full = f"{prefix}{field.name}"
+        child = parent.getField(field.name)
         if isinstance(field.dataType, StructType):
-            cols.extend(_flatten_cols(field.dataType, prefix=f"{full}."))
+            cols.extend(_flatten_cols(field.dataType, child, f"{full}."))
         else:
-            cols.append(F.col(f"`{full.replace('`', '')}`").alias(full))
+            cols.append(child.alias(full))
     return cols
 
 
@@ -36,10 +37,11 @@ def flatten_structs(df: DataFrame) -> DataFrame:
     """
     cols = []
     for field in df.schema.fields:
+        base = F.col(f"`{field.name}`")
         if isinstance(field.dataType, StructType):
-            cols.extend(_flatten_cols(field.dataType, prefix=f"{field.name}."))
+            cols.extend(_flatten_cols(field.dataType, base, f"{field.name}."))
         else:
-            cols.append(F.col(f"`{field.name}`"))
+            cols.append(base)
     return df.select(*cols)
 
 

@@ -1,0 +1,135 @@
+"""Engine facade + CLI behavior: special commands, export, transpose, python
+mode, one-shot query mode (reference UX surface, SURVEY.md §2A A10-A18).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from localsql_spark.engine import LocalSparkSQL
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    (tmp_path / "t.csv").write_text("id,v\n1,a\n2,b\n3,c\n")
+    e = LocalSparkSQL(spark)
+    e.load_directory(tmp_path, verbose=False)
+    return e
+
+
+def test_bare_table_name_prints_schema(eng, capsys):
+    assert eng.run_sql("t_csv") is None
+    assert "id" in capsys.readouterr().out
+
+
+def test_special_t_lists_tables(eng, capsys):
+    eng.run_sql("\\t")
+    assert "t_csv" in capsys.readouterr().out
+
+
+def test_special_td_stats(eng):
+    descr = eng.run_sql("\\td")
+    row = {r["Table"]: r for r in descr.collect()}["t_csv"]
+    assert row["Rows"] == 3 and row["Columns"] == 2
+
+
+def test_latest_result_and_export_csv(eng, tmp_path):
+    eng.run_sql("SELECT * FROM t_csv WHERE id <= 2")
+    out = tmp_path / "out.csv"
+    eng.run_sql(f"\\s {out}")
+    import glob
+    files = glob.glob(str(out / "*.csv"))
+    assert files, "export should write csv part file(s)"
+    body = "".join(open(f).read() for f in files)
+    assert "1,a" in body and "2,b" in body and "3,c" not in body
+
+
+def test_export_jsonl(eng, tmp_path):
+    eng.run_sql("SELECT id, v FROM t_csv ORDER BY id")
+    out = tmp_path / "out.jsonl"
+    eng.run_sql(f"\\s {out}")
+    import glob
+    lines = []
+    for f in glob.glob(str(out / "*.json")):
+        lines += [json.loads(x) for x in open(f).read().splitlines() if x]
+    assert {(r["id"], r["v"]) for r in lines} == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_export_without_result_raises(spark):
+    e = LocalSparkSQL(spark)
+    with pytest.raises(RuntimeError, match="no result"):
+        e.run_sql("\\s /tmp/x.csv")
+
+
+def test_pp_toggle(eng):
+    assert eng.pretty
+    eng.run_sql("\\pp")
+    assert not eng.pretty
+
+
+def test_py_mode_roundtrip(eng):
+    eng.run_sql("\\lpy")
+    assert eng.py_mode
+    assert eng.run_py("1 + 1") == 2
+    assert eng.run_py("tables['t_csv'].count()") == 3
+    eng.run_py("x = 5")  # statement path (exec fallback)
+    eng.run_sql("\\lsql")
+    assert not eng.py_mode
+
+
+def test_error_shaping(eng):
+    with pytest.raises(RuntimeError) as ei:
+        eng.run_sql("SELECT nope FROM t_csv")
+    assert "JVM stack" not in str(ei.value)
+
+
+def test_unknown_special(eng):
+    with pytest.raises(RuntimeError, match="unknown special"):
+        eng.run_sql("\\zz")
+
+
+def test_transpose_print(eng, capsys):
+    df = eng.run_sql("SELECT * FROM t_csv ORDER BY id")
+    eng.print_result(df, transpose=True)
+    out = capsys.readouterr().out
+    assert "RECORD" in out  # vertical mode marker
+
+
+# -- CLI ---------------------------------------------------------------------
+
+def test_cli_one_shot(spark, tmp_path, capsys, monkeypatch):
+    """python -m localsql_spark.cli -d DIR -q SQL -s -> pure result stdout."""
+    (tmp_path / "n.csv").write_text("id,v\n1,x\n2,y\n")
+    from localsql_spark import cli
+
+    rc = cli.main(["-d", str(tmp_path), "-q",
+                   "SELECT count(*) AS n FROM n_csv", "-s"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "2" in out
+    assert str(tmp_path) not in out  # -s silences load chatter
+
+
+def test_cli_run_line_transpose_and_errors(spark, tmp_path, capsys):
+    from localsql_spark import cli
+    from localsql_spark.engine import LocalSparkSQL
+
+    eng = LocalSparkSQL(spark)
+    (tmp_path / "z.csv").write_text("a,b\n1,2\n")
+    eng.load_directory(tmp_path, verbose=False)
+    cli.run_line(eng, "SELECT * FROM z_csv /t")
+    assert "RECORD" in capsys.readouterr().out
+    cli.run_line(eng, "SELECT broken FROM z_csv")  # printed, not raised
+    assert "broken" in capsys.readouterr().err
+
+
+def test_cli_completion_words(spark, tmp_path):
+    from localsql_spark import cli
+    from localsql_spark.engine import LocalSparkSQL
+
+    eng = LocalSparkSQL(spark)
+    (tmp_path / "c with space.csv").write_text("plain,weird col\n1,2\n")
+    eng.load_directory(tmp_path, verbose=False)
+    words = cli.completion_words(eng)
+    assert "plain" in words and "`weird col`" in words

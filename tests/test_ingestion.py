@@ -1,0 +1,210 @@
+"""Ingestion-parity tests: FIXTURES.md F1-F6 recreated from scratch (the
+reference's examples/ semantics, not its files) plus the README golden cases
+G1-G3. Pins format sniffing, table naming, JSON union-of-keys widening,
+nested/ragged handling, normalize mode, and compressor handling.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import zipfile
+
+import pytest
+
+from localsql_spark.catalog import discover_files, tablename_from_file
+from localsql_spark.engine import LocalSparkSQL
+from localsql_spark.sources.readers import df_from_file, sniff_format
+
+
+# -- fixture data (FIXTURES.md F1-F6) ---------------------------------------
+
+F1_CSV = "id,b,c\n1,4,7\n2,5,8\n3,6,9\n"
+F3_ONE_JSON = [{"id": 1, "b": 4}, {"id": 2, "c": 5}, {"id": 3, "d": 6}]
+F4_LINES = [{"id": 1, "b": 4}, {"id": 2, "b": 5}, {"id": 3, "c": 6}]
+F5_NESTED = [{"id": 1, "nest": {"a": 1, "b": [1, 2, 3]}},
+             {"id": 2, "nest": 5},
+             {"id": 3, "c": 6}]
+
+
+def _write_xlsx(path, header, rows):
+    """Minimal valid xlsx (zip of SpreadsheetML) via stdlib — inline strings
+    for the header, numbers for data."""
+    def cell(ref, v):
+        if isinstance(v, str):
+            return f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>'
+        return f'<c r="{ref}"><v>{v}</v></c>'
+
+    def row(idx, vals):
+        cells = "".join(cell(f"{chr(65 + i)}{idx}", v)
+                        for i, v in enumerate(vals))
+        return f'<row r="{idx}">{cells}</row>'
+
+    all_rows = [row(1, header)] + [row(i + 2, r) for i, r in enumerate(rows)]
+    sheet = ('<?xml version="1.0"?><worksheet xmlns='
+             '"http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+             f'<sheetData>{"".join(all_rows)}</sheetData></worksheet>')
+    ct = ('<?xml version="1.0"?><Types xmlns='
+          '"http://schemas.openxmlformats.org/package/2006/content-types">'
+          '<Default Extension="xml" ContentType="application/xml"/>'
+          '<Default Extension="rels" ContentType="application/vnd.'
+          'openxmlformats-package.relationships+xml"/>'
+          '<Override PartName="/xl/workbook.xml" ContentType="application/'
+          'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+          '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="appli'
+          'cation/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+          '</Types>')
+    wb = ('<?xml version="1.0"?><workbook xmlns="http://schemas.openxml'
+          'formats.org/spreadsheetml/2006/main"><sheets>'
+          '<sheet name="Sheet1" sheetId="1" r:id="rId1" xmlns:r="http://'
+          'schemas.openxmlformats.org/officeDocument/2006/relationships"/>'
+          '</sheets></workbook>')
+    rels = ('<?xml version="1.0"?><Relationships xmlns="http://schemas.open'
+            'xmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId0" Type="http://schemas.openxmlformats.org/'
+            'officeDocument/2006/relationships/officeDocument" '
+            'Target="xl/workbook.xml"/></Relationships>')
+    wbrels = ('<?xml version="1.0"?><Relationships xmlns="http://schemas.open'
+              'xmlformats.org/package/2006/relationships">'
+              '<Relationship Id="rId1" Type="http://schemas.openxmlformats.'
+              'org/officeDocument/2006/relationships/worksheet" '
+              'Target="worksheets/sheet1.xml"/></Relationships>')
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("_rels/.rels", rels)
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", wbrels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+@pytest.fixture(scope="module")
+def example_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("examples")
+    (d / "csv.csv").write_text(F1_CSV)
+    (d / "one.json").write_text(json.dumps(F3_ONE_JSON))
+    (d / "lines.json").write_text(
+        "\n".join(json.dumps(r) for r in F4_LINES))
+    (d / "lines_nested.json").write_text(
+        "\n".join(json.dumps(r) for r in F5_NESTED))
+    with gzip.open(d / "lines_nested2.json.gz", "wt") as f:
+        f.write("\n".join(json.dumps(r) for r in F5_NESTED))
+    _write_xlsx(d / "excel.xlsx",
+                ["id", "b", "c"],
+                [[1, 6, 11], [2, 7, 12], [3, 8, 13], [4, 9, 14], [5, 10, 15]])
+    return d
+
+
+@pytest.fixture(scope="module")
+def eng(spark, example_dir):
+    e = LocalSparkSQL(spark)
+    e.load_directory(example_dir, verbose=False)
+    return e
+
+
+# -- A8: table naming --------------------------------------------------------
+
+@pytest.mark.parametrize("fname,expected", [
+    ("csv.csv", "csv_csv"),
+    ("2020-sales.csv", "t2020_sales_csv"),
+    ("my file (1).json", "my_file_1_json"),
+    ("lines_nested.json.gz", "lines_nested_json_gz"),
+])
+def test_tablename_from_file(fname, expected):
+    assert tablename_from_file(fname) == expected
+
+
+# -- A1: format sniffing -----------------------------------------------------
+
+@pytest.mark.parametrize("fname,fmt,comp", [
+    ("a.csv", "csv", None),
+    ("a.json.gz", "json", "gz"),
+    ("a.jsonl.bz2", "jsonl", "bz2"),
+    ("a.csv.zip", "csv", "zip"),
+    ("a.xlsx", "xlsx", None),
+    ("a.unknown", None, None),
+])
+def test_sniff_format(fname, fmt, comp):
+    assert sniff_format(fname) == (fmt, comp)
+
+
+# -- A9: discovery -----------------------------------------------------------
+
+def test_discover_files(example_dir):
+    names = {p.name for p in discover_files(example_dir)}
+    assert names == {"csv.csv", "one.json", "lines.json",
+                     "lines_nested.json", "lines_nested2.json.gz",
+                     "excel.xlsx"}
+
+
+# -- F1-F6 load semantics ----------------------------------------------------
+
+def test_f1_csv(eng):
+    rows = eng.run_sql("SELECT * FROM csv_csv ORDER BY id").collect()
+    assert [tuple(r) for r in rows] == [(1, 4, 7), (2, 5, 8), (3, 6, 9)]
+
+
+def test_f2_excel(eng):
+    rows = eng.run_sql("SELECT * FROM excel_xlsx ORDER BY id").collect()
+    assert [tuple(r) for r in rows] == [
+        (1, 6, 11), (2, 7, 12), (3, 8, 13), (4, 9, 14), (5, 10, 15)]
+
+
+def test_f3_union_of_keys(eng):
+    """JSON array-of-objects: union-of-keys widening, 3 rows -> 4 columns."""
+    df = eng.tables["one_json"]
+    assert sorted(df.columns) == ["b", "c", "d", "id"]
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["b"] == 4 and rows[1]["c"] is None
+    assert rows[2]["c"] == 5 and rows[2]["d"] is None
+    assert rows[3]["d"] == 6
+
+
+def test_f4_jsonl(eng):
+    df = eng.tables["lines_json"]
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["b"] == 4 and rows[2]["b"] == 5 and rows[2]["c"] is None
+    assert rows[3]["c"] == 6
+
+
+def test_f5_ragged_nested(eng):
+    """Object-on-row-1 / scalar-on-row-2 field: Spark reads `nest` as string
+    (matching the reference's stringified behavior for ragged types)."""
+    df = eng.tables["lines_nested_json"]
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[2]["nest"] == "5"
+    assert "a" in rows[1]["nest"] and rows[3]["nest"] is None
+
+
+def test_f6_gz(eng):
+    """Compressor sniffing: .json.gz streams through the native reader."""
+    a = eng.tables["lines_nested_json"].drop("_corrupt_record", "c").collect()
+    b = eng.tables["lines_nested2_json_gz"].drop("_corrupt_record", "c").collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_normalize_mode(spark, example_dir):
+    """-jn: consistent nested objects flatten to dotted columns."""
+    p = example_dir / "consistent_nested.json"
+    p.write_text("\n".join(json.dumps(
+        {"id": i, "nest": {"a": i * 10, "b": [i]}}) for i in (1, 2)))
+    df = df_from_file(spark, p, json_normalize=True)
+    assert "nest.a" in df.columns
+    got = {r["id"]: r["nest.a"] for r in df.collect()}
+    assert got == {1: 10, 2: 20}
+
+
+# -- README goldens G2/G3 ----------------------------------------------------
+
+def test_g2_left_join_null_extension(eng):
+    rows = eng.run_sql(
+        "SELECT e.id, j.id AS jid FROM excel_xlsx e "
+        "LEFT JOIN one_json j ON e.id = j.id ORDER BY e.id").collect()
+    assert [(r["id"], r["jid"]) for r in rows] == [
+        (1, 1), (2, 2), (3, 3), (4, None), (5, None)]
+
+
+def test_g3_groupby_nulls_last(eng):
+    rows = eng.run_sql(
+        "SELECT c, count(*) AS cnt FROM one_json "
+        "GROUP BY c ORDER BY 1 ASC NULLS LAST").collect()
+    assert [(r["c"], r["cnt"]) for r in rows] == [(5, 1), (None, 2)]
