@@ -129,6 +129,39 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: list[str],
         *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in right_cols])
 
 
+def range_join(left: DataFrame, right: DataFrame, *, on: list[str],
+               left_ts: str, right_ts: str, lower_s: float,
+               upper_s: float) -> DataFrame:
+    """Interval join: pairs with ``right_ts - left_ts`` in [lower_s, upper_s]
+    seconds (plus equal keys), via BUCKETED candidate generation.
+
+    A naive theta join is a per-key cross product. Instead each side is
+    bucketed to ``ceil(span)``-second buckets and the left side expands to
+    the (at most 2-3) buckets its window can reach, so the join is a plain
+    equi-join on (keys, bucket) — shuffle-partitionable, skew-handled by AQE
+    — followed by the exact range filter. This is the standard scale pattern
+    for range/interval joins (same shape Databricks' range-join optimization
+    produces).
+    """
+    span = max(upper_s - lower_s, 1e-9)
+    bucket_s = int(span) + 1
+    lts = F.col(left_ts).cast("timestamp")
+    rts = F.col(right_ts).cast("timestamp")
+    n_buckets = int(span // bucket_s) + 2  # window spans <= 2 buckets + slack
+
+    l = left.withColumn(
+        "__b0", F.floor((F.unix_micros(lts) / 1e6 + lower_s) / bucket_s))
+    l = l.withColumn("__b", F.explode(F.array(
+        *[F.col("__b0") + i for i in range(n_buckets)]))).drop("__b0")
+    r = right.withColumn(
+        "__b", F.floor(F.unix_micros(rts) / 1e6 / bucket_s))
+
+    delta = (F.unix_micros(rts) - F.unix_micros(lts)) / 1e6
+    return (l.join(r, on=[*on, "__b"])
+            .filter((delta >= lower_s) & (delta <= upper_s))
+            .drop("__b"))
+
+
 def _agg_names(aggs: list[Column]) -> list[str]:
     """Output names of aggregate columns (requires .alias on each)."""
     names = []

@@ -133,6 +133,35 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("click_value_asof").alias("click_value"))
 
 
+@query("range_join_purchase_error_5m", oracle="""
+WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS pts FROM events
+           WHERE event_type = 'purchase'),
+e AS (SELECT user_id, event_id AS error_id, ts AS ets FROM events
+      WHERE event_type = 'error')
+SELECT p.user_id, purchase_id, error_id,
+       epoch_us(pts) AS purchase_us, epoch_us(ets) AS error_us
+FROM p JOIN e ON p.user_id = e.user_id
+WHERE epoch_us(ets) - epoch_us(pts) BETWEEN 0 AND 300000000
+""")
+def range_join_purchase_error_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (errors within 5 minutes AFTER a purchase, same user)
+    via bucketed candidate generation — an equi-join on (user, time-bucket)
+    plus exact filter, never a per-key cross product
+    (operators.events.range_join)."""
+    ev = load(spark, sf_dir)["events"]
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id", F.col("event_id").alias("purchase_id"),
+                 F.col("ts").alias("pts")))
+    e = (ev.filter(F.col("event_type") == "error")
+         .select("user_id", F.col("event_id").alias("error_id"),
+                 F.col("ts").alias("ets")))
+    j = E.range_join(p, e, on=["user_id"], left_ts="pts", right_ts="ets",
+                     lower_s=0.0, upper_s=300.0)
+    return j.select("user_id", "purchase_id", "error_id",
+                    _us("pts").alias("purchase_us"),
+                    _us("ets").alias("error_us"))
+
+
 @query("streaming_tumbling_hourly", oracle="""
 SELECT epoch_us(date_trunc('hour', ts)) AS w_start_us, event_type,
        count(*) AS n,

@@ -712,3 +712,69 @@ def explode_embedding_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (emb.filter(F.col("vec_id") < 5)
             .select("vec_id", F.posexplode("embedding").alias("pos", "e"))
             .select("vec_id", "pos", F.col("e").cast("double").alias("val")))
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark >= 4.0 closes the SQLite-dialect gap noted in
+# SURVEY.md §2B) — month series expanded recursively, joined to orders
+# ---------------------------------------------------------------------------
+
+@query("recursive_cte_monthly_orders", oracle="""
+WITH RECURSIVE months(m) AS (
+  SELECT DATE '1996-01-01' AS m
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months WHERE m < DATE '1997-12-01')
+SELECT strftime(m, '%Y-%m') AS month, count(o_orderkey) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM months LEFT JOIN orders
+  ON date_trunc('month', o_orderdate) = CAST(m AS TIMESTAMP)
+GROUP BY m
+""")
+def recursive_cte_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE month-series generation (24 iterations driver-side plan
+    expansion, each a trivial row) left-joined to orders — the recursion is
+    O(iterations) plan steps, the heavy side stays one distributed join."""
+    load(spark, sf_dir)
+    return spark.sql("""
+WITH RECURSIVE months(m) AS (
+  SELECT DATE '1996-01-01' AS m
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months WHERE m < DATE '1997-12-01')
+SELECT date_format(m, 'yyyy-MM') AS month, count(o_orderkey) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM months LEFT JOIN orders
+  ON date_trunc('month', o_orderdate) = CAST(m AS TIMESTAMP)
+GROUP BY m
+""")
+
+
+# ---------------------------------------------------------------------------
+# Analytic window functions: first/last/nth value + lead with default
+# ---------------------------------------------------------------------------
+
+@query("window_analytic_first_last_nth", oracle="""
+SELECT user_id, event_id,
+  first_value(value) OVER w AS first_v,
+  last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v,
+  nth_value(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_v,
+  lead(value, 2, -1.0) OVER w AS lead2_v
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def window_analytic_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value with explicit full-partition
+    frames + lead with default — one shuffle on user_id shared by all four
+    (single Window operator; reference surface: SQLite analytic fns)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "user_id", "event_id",
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(wfull).alias("last_v"),
+        F.nth_value("value", 3).over(wfull).alias("third_v"),
+        F.lead("value", 2, -1.0).over(w).alias("lead2_v"))
