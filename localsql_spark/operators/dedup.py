@@ -26,23 +26,51 @@ import operator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from localsql_spark.operators import spread
 from localsql_spark.operators.text import normalize_text, word_shingles
 
 N_MINHASH = 16
 N_BANDS = 4  # 4 bands x 4 rows: catches jaccard >~ 0.5 with high prob
 
+# Affine-permutation minhash: each shingle is md5-hashed ONCE, then the n
+# components are (a_j*h + b_j) mod P — the classic universal-hash family.
+# P = 2^31-1 keeps every product under 2^62 (no int64 overflow on either
+# engine); a_j/b_j are fixed LCG-derived constants so the DuckDB oracle can
+# reproduce signatures bit-for-bit.
+MINHASH_P = 2_147_483_647
 
-def _md5_min(shingles: Column, seed: int) -> Column:
-    """One minhash component: min over shingles of md5(seed:shingle).
-    Fixed-width lowercase hex, so lexicographic min == numeric min."""
-    return F.array_min(F.transform(
-        shingles, lambda s: F.substring(F.md5(F.concat(F.lit(f"{seed}:"), s)), 1, 16)))
+
+def minhash_a(j: int) -> int:
+    return (1103515245 * (j + 1) + 12345) % MINHASH_P
+
+
+def minhash_b(j: int) -> int:
+    return (2654435761 * (j + 1) + 1013904223) % MINHASH_P
 
 
 def minhash_signature(text: Column, n: int = N_MINHASH) -> Column:
-    """array<string> of n minhash components over distinct 3-word shingles."""
+    """array<long> of n minhash components over distinct 3-word shingles.
+
+    Performance shape: the shingle array is materialized once and folded in a
+    single ``aggregate`` pass — one md5 per shingle plus n integer
+    multiply-mods, NOT n passes over the text.  (The naive per-component
+    formulation re-evaluates the whole normalize+shingle pipeline n times;
+    Catalyst does not share subexpressions across aggregate expressions, which
+    cost ~26x wall time at sf0.1.)
+    """
     shingles = word_shingles(text, 3)
-    return F.array(*[_md5_min(shingles, j) for j in range(n)])
+    hs = F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        % MINHASH_P)
+    init = F.array_repeat(F.lit(MINHASH_P).cast("long"), n)
+
+    def fold(acc: Column, h: Column) -> Column:
+        cand = F.array(*[(h * minhash_a(j) + minhash_b(j)) % MINHASH_P
+                         for j in range(n)])
+        return F.zip_with(acc, cand, lambda a, c: F.least(a, c))
+
+    return F.aggregate(hs, init, fold)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -50,8 +78,9 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     """Exact dedup via content-hash groupBy: one shuffle on md5(normalized
     text) (hash keys, not full texts, move in the exchange's groupBy key).
     Returns (text_hash, keep_id, copies)."""
-    return (df.select(F.md5(normalize_text(F.col(text_col))).alias("text_hash"),
-                      F.col(id_col))
+    return (spread(df)
+            .select(F.md5(normalize_text(F.col(text_col))).alias("text_hash"),
+                    F.col(id_col))
             .groupBy("text_hash")
             .agg(F.min(id_col).alias("keep_id"),
                  F.count(F.lit(1)).alias("copies")))
@@ -68,26 +97,35 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     filter by threshold.  Returns (doc_a, doc_b, est_jaccard).
     """
     rows = n // bands
-    sig = df.select(F.col(id_col).alias("doc_id"),
-                    minhash_signature(F.col(text_col), n).alias("sig"))
+    # Materialize signatures ONCE (doc_id + n longs — tiny next to the corpus;
+    # at real scale this is the classic "write signatures, then self-join"
+    # stage).  Without the persist barrier Catalyst's projection collapse
+    # inlines the signature fold into every element_at reference — n-fold
+    # recompute per side (~25x wall time at sf0.1).
+    sig = (spread(df).select(F.col(id_col).alias("doc_id"),
+                     minhash_signature(F.col(text_col), n).alias("sig"))
+           .persist())
     band_arr = F.array(*[
         F.md5(F.concat_ws("|", *[F.element_at("sig", b * rows + r + 1)
                                  for r in range(rows)]))
         for b in range(bands)])
-    banded = sig.select("doc_id", "sig",
+    banded = sig.select("doc_id",
                         F.posexplode(band_arr).alias("band_id", "band_key"))
-    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"),
-                      "band_id", "band_key")
-    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"),
-                      "band_id", "band_key")
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
+    # candidate ids only through the join/distinct; signatures re-attached
+    # from the cached table afterwards (narrow shuffle payload)
     pairs = (a.join(b, ["band_id", "band_key"])
              .filter(F.col("doc_a") < F.col("doc_b"))
-             .select("doc_a", "doc_b", "sig_a", "sig_b")
+             .select("doc_a", "doc_b")
              .distinct())
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    pairsig = pairs.join(sa, "doc_a").join(sb, "doc_b")
     matches = functools.reduce(operator.add, [
         (F.element_at("sig_a", j + 1) == F.element_at("sig_b", j + 1)).cast("int")
         for j in range(n)])
-    return (pairs
+    return (pairsig
             .select("doc_a", "doc_b",
                     (matches.cast("double") / n).alias("est_jaccard"))
             .filter(F.col("est_jaccard") >= threshold))
@@ -121,7 +159,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     docs — the standard degenerate-shingle guard at scale.
     Returns (doc_a, doc_b, jaccard).
     """
-    sh = df.select(F.col(id_col).alias("doc_id"), F.col(block_col).alias("blk"),
+    sh = spread(df).select(F.col(id_col).alias("doc_id"), F.col(block_col).alias("blk"),
                    F.explode(word_shingles(F.col(text_col), 3)).alias("s"))
     if df_cap is not None:
         freq = sh.groupBy("s").agg(F.countDistinct("doc_id").alias("df"))

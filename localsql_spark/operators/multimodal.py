@@ -25,6 +25,8 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from localsql_spark.operators import spread
+
 # Typed metadata carried alongside every blob. At scale this travels with the
 # binary through every stage so downstream filters (fmt/width pushdown on the
 # metadata parquet columns) never touch the payload bytes.
@@ -45,7 +47,7 @@ def attach_fake_media(docs: DataFrame) -> DataFrame:
     fmt = F.element_at(F.array(*[F.lit(f) for f in _FMTS]),
                        (F.col("doc_id") % 3 + 1).cast("int"))
     payload = F.encode(F.col("text"), "UTF-8")
-    return docs.select(
+    return spread(docs).select(
         "doc_id",
         payload.alias("media"),
         F.struct(

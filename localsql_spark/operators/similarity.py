@@ -28,6 +28,8 @@ import operator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from localsql_spark.operators import spread
+
 _DEC = "decimal(28,12)"
 
 
@@ -72,7 +74,7 @@ def knn_brute_force(corpus: DataFrame, queries: DataFrame, k: int = 5,
     from pyspark.sql.window import Window
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = spread(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = (c.crossJoin(F.broadcast(q))
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
@@ -93,8 +95,8 @@ def knn_lsh_bucketed(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
                        sign_bucket(F.col(vec_col), bits).alias("bucket"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-                      sign_bucket(F.col(vec_col), bits).alias("bucket"))
+    c = spread(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+                                sign_bucket(F.col(vec_col), bits).alias("bucket"))
     scored = (c.join(F.broadcast(q), "bucket")
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
@@ -113,6 +115,7 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
     pairs within a bucket with cosine >= threshold.  High-cosine pairs agree
     on leading signs with high probability, so the bucket join replaces the
     O(n²) cross product. Returns (vec_a, vec_b, cos_sim)."""
+    corpus = spread(corpus)
     c1 = corpus.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"),
                        sign_bucket(F.col(vec_col), bits).alias("bucket"))
     c2 = corpus.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"),

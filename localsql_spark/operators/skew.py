@@ -1,0 +1,72 @@
+"""Skew-mitigation helpers: salted two-phase aggregation and salted joins.
+
+At 100 TB a handful of hot keys (one event_type, one language, the empty
+document) can pin a whole stage on one task. AQE's skew-join splitting covers
+sort-merge joins; these helpers cover the aggregation side and
+broadcast-resistant hot-key joins explicitly:
+
+- ``salted_agg``: groupBy (key, salt) partial -> groupBy key final. The first
+  shuffle spreads each hot key over ``n_salts`` reducers; the second is tiny
+  (|keys| x n_salts rows). Works for any algebraic aggregate (sum/count/min/
+  max; avg as sum+count).
+- ``salted_join``: replicate the small side ``n_salts`` times, salt the big
+  side uniformly — every hot key's rows land on ``n_salts`` different
+  reducers instead of one.
+
+Both are pure DataFrame combinators: no UDFs, no driver materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int, col_name: str = "__salt",
+              deterministic_by: str | None = None) -> DataFrame:
+    """Add a salt column in [0, n_salts). ``deterministic_by`` salts by a
+    hash of that column (reproducible, oracle-friendly); default is uniform
+    random (what production uses — pure load balancing, result-invariant)."""
+    if deterministic_by is not None:
+        salt = F.pmod(F.hash(F.col(deterministic_by)), F.lit(n_salts))
+    else:
+        salt = (F.rand() * n_salts).cast("int")
+    return df.withColumn(col_name, salt)
+
+
+def salted_agg(df: DataFrame, keys: list[str], aggs: dict[str, Column],
+               n_salts: int = 16,
+               deterministic_by: str | None = None) -> DataFrame:
+    """Two-phase aggregation immune to hot grouping keys.
+
+    ``aggs`` maps output name -> partial aggregate expression; the final
+    re-aggregation applies the matching combiner (sum for sum/count, min for
+    min, max for max). Result is identical to a direct groupBy — the salt
+    only changes the shuffle layout.
+    """
+    partial = (with_salt(df, n_salts, deterministic_by=deterministic_by)
+               .groupBy(*keys, "__salt")
+               .agg(*[expr.alias(name) for name, expr in aggs.items()]))
+    combiners = []
+    for name, expr in aggs.items():
+        fn = expr._jc.toString().lower()
+        if fn.startswith("min"):
+            combiners.append(F.min(name).alias(name))
+        elif fn.startswith("max"):
+            combiners.append(F.max(name).alias(name))
+        else:  # sum / count partials both re-combine by sum
+            combiners.append(F.sum(name).alias(name))
+    return partial.groupBy(*keys).agg(*combiners)
+
+
+def salted_join(big: DataFrame, small: DataFrame, on: list[str],
+                n_salts: int = 16) -> DataFrame:
+    """Inner equi-join resilient to hot keys on the big side: the small side
+    is replicated ``n_salts`` times (explode of a literal range — cheap when
+    |small| x n_salts still fits a shuffle), the big side salts uniformly,
+    and the join key becomes (keys..., salt)."""
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    salted_big = with_salt(big, n_salts)
+    return (salted_big.join(salted_small, [*on, "__salt"])
+            .drop("__salt"))

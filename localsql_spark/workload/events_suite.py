@@ -133,6 +133,32 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("click_value_asof").alias("click_value"))
 
 
+@query("salted_agg_event_type", oracle="""
+SELECT event_type, count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       min(value) AS min_v, max(value) AS max_v
+FROM events GROUP BY 1
+""")
+def salted_agg_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase aggregation: groupBy (key, salt) spreads hot keys
+    over 16 reducers, then a tiny final groupBy(key) recombines — result
+    bit-identical to the direct groupBy (decimal partials), which is exactly
+    what the oracle checks (operators.skew.salted_agg)."""
+    from localsql_spark.operators.skew import salted_agg
+
+    ev = load(spark, sf_dir)["events"]
+    out = salted_agg(
+        ev, ["event_type"],
+        {"n": F.count(F.lit(1)),
+         "sum_value": F.sum(F.col("value").cast("decimal(18,2)")),
+         "min_v": F.min("value"),
+         "max_v": F.max("value")},
+        n_salts=16)
+    return out.select("event_type", "n",
+                      F.col("sum_value").cast("double").alias("sum_value"),
+                      "min_v", "max_v")
+
+
 @query("range_join_purchase_error_5m", oracle="""
 WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS pts FROM events
            WHERE event_type = 'purchase'),

@@ -160,34 +160,44 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(docs)
 
 
-@query("dedup_minhash_signature", oracle=f"""
-WITH {_SHINGLES_CTE},
+# One md5 per shingle -> n affine permutations (a_j*h + b_j) mod P; exact
+# mirror of operators.dedup.minhash_signature.
+_MH_CTE = f"""
 mh AS (SELECT doc_id, j,
-              min(substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 16)) AS c
+              min(((CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % {D.MINHASH_P})
+                   * ((1103515245 * (j + 1) + 12345) % {D.MINHASH_P})
+                   + (2654435761 * (j + 1) + 1013904223) % {D.MINHASH_P})
+                  % {D.MINHASH_P}) AS c
        FROM sh CROSS JOIN UNNEST(range({D.N_MINHASH})) u2(j)
        GROUP BY doc_id, j)
-SELECT doc_id, string_agg(c, '|' ORDER BY j) AS sig
+"""
+
+
+@query("dedup_minhash_signature", oracle=f"""
+WITH {_SHINGLES_CTE},
+{_MH_CTE}
+SELECT doc_id, string_agg(CAST(c AS VARCHAR), '|' ORDER BY j) AS sig
 FROM mh GROUP BY doc_id
 """)
 def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures ({n} md5-derived components over distinct 3-word
-    shingles) — the per-document half of MinHash-LSH, fully row-local
-    (operators.dedup.minhash_signature).""".format(n=D.N_MINHASH)
+    """MinHash signatures ({n} components: one md5 per shingle + affine
+    permutations, single-pass fold) — the per-document half of MinHash-LSH,
+    fully row-local (operators.dedup.minhash_signature).""".format(n=D.N_MINHASH)
     docs = load(spark, sf_dir)["documents"]
+    sig = D.minhash_signature(F.col("text"))
     return docs.select(
         "doc_id",
-        F.concat_ws("|", D.minhash_signature(F.col("text"))).alias("sig"))
+        F.concat_ws("|", F.transform(sig, lambda c: c.cast("string")))
+         .alias("sig"))
 
 
 _MINHASH_PAIRS_ORACLE = f"""
 WITH {_SHINGLES_CTE},
-mh AS (SELECT doc_id, j,
-              min(substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 16)) AS c
-       FROM sh CROSS JOIN UNNEST(range({D.N_MINHASH})) u2(j)
-       GROUP BY doc_id, j),
+{_MH_CTE},
 sig AS (SELECT doc_id, list(c ORDER BY j) AS sig FROM mh GROUP BY doc_id),
 bands AS (SELECT doc_id, b,
-                 md5(sig[4*b+1] || '|' || sig[4*b+2] || '|' || sig[4*b+3] || '|' || sig[4*b+4]) AS bkey
+                 md5(CAST(sig[4*b+1] AS VARCHAR) || '|' || CAST(sig[4*b+2] AS VARCHAR)
+                     || '|' || CAST(sig[4*b+3] AS VARCHAR) || '|' || CAST(sig[4*b+4] AS VARCHAR)) AS bkey
           FROM sig CROSS JOIN UNNEST(range({D.N_BANDS})) u3(b)),
 cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey

@@ -1,0 +1,134 @@
+"""Unit tests for the event-time operators on tiny hand-built frames:
+as-of join tie/no-match semantics, range join boundary inclusion, session
+window merging, salted aggregation equivalence, spread() no-op behavior.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from localsql_spark.operators import events as E
+from localsql_spark.operators import spread
+from localsql_spark.operators.skew import salted_agg, salted_join
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [(1, 10, ts("2024-01-01 10:00:00")),
+         (2, 10, ts("2024-01-01 10:05:00")),
+         (3, 20, ts("2024-01-01 09:00:00"))],
+        "pid long, k long, pts timestamp")
+    right = spark.createDataFrame(
+        [(100, 10, ts("2024-01-01 09:59:00"), 1.0),
+         (101, 10, ts("2024-01-01 10:00:00"), 2.0),   # tie with pid=1
+         (102, 10, ts("2024-01-01 10:00:00"), 3.0),   # same-ts, higher id
+         (103, 10, ts("2024-01-01 10:04:00"), 4.0),
+         (104, 30, ts("2024-01-01 08:00:00"), 5.0)],
+        "rid long, k long, rts timestamp, v double")
+    return left, right
+
+
+def test_asof_includes_equal_ts_and_breaks_ties_by_id(spark, asof_frames):
+    left, right = asof_frames
+    out = E.asof_join(left, right, on=["k"], left_ts="pts", right_ts="rts",
+                      right_cols=["rid", "v"], tiebreak="rid")
+    rows = {r["pid"]: r for r in out.collect()}
+    # pid=1 at 10:00 matches the 10:00 right rows (inclusive); rid 102 wins the tie
+    assert rows[1]["rid_asof"] == 102 and rows[1]["v_asof"] == 3.0
+    # pid=2 at 10:05 -> most recent is 10:04
+    assert rows[2]["rid_asof"] == 103
+    # pid=3: key 20 has no right rows at all -> left-outer nulls
+    assert rows[3]["rid_asof"] is None and rows[3]["rts_asof"] is None
+
+
+def test_asof_no_earlier_row_is_null(spark, asof_frames):
+    left, right = asof_frames
+    early = spark.createDataFrame(
+        [(9, 10, ts("2024-01-01 01:00:00"))], "pid long, k long, pts timestamp")
+    out = E.asof_join(early, right, on=["k"], left_ts="pts", right_ts="rts",
+                      right_cols=["rid"], tiebreak="rid")
+    assert out.collect()[0]["rid_asof"] is None
+
+
+def test_range_join_boundaries(spark):
+    left = spark.createDataFrame(
+        [(1, 1, ts("2024-01-01 10:00:00"))], "lid long, k long, lts timestamp")
+    right = spark.createDataFrame(
+        [(10, 1, ts("2024-01-01 10:00:00")),   # delta = 0 (inclusive)
+         (11, 1, ts("2024-01-01 10:05:00")),   # delta = 300 (inclusive)
+         (12, 1, ts("2024-01-01 10:05:01")),   # delta = 301 (out)
+         (13, 1, ts("2024-01-01 09:59:59")),   # delta = -1 (out)
+         (14, 2, ts("2024-01-01 10:01:00"))],  # wrong key
+        "rid long, k long, rts timestamp")
+    out = E.range_join(left, right, on=["k"], left_ts="lts", right_ts="rts",
+                       lower_s=0.0, upper_s=300.0)
+    assert sorted(r["rid"] for r in out.collect()) == [10, 11]
+
+
+def test_range_join_negative_window(spark):
+    """Window strictly BEFORE the left event ([-300, -1] seconds)."""
+    left = spark.createDataFrame(
+        [(1, 1, ts("2024-01-01 10:00:00"))], "lid long, k long, lts timestamp")
+    right = spark.createDataFrame(
+        [(10, 1, ts("2024-01-01 09:56:00")),
+         (11, 1, ts("2024-01-01 10:00:00")),
+         (12, 1, ts("2024-01-01 09:54:59"))],
+        "rid long, k long, rts timestamp")
+    out = E.range_join(left, right, on=["k"], left_ts="lts", right_ts="rts",
+                       lower_s=-300.0, upper_s=-1.0)
+    assert sorted(r["rid"] for r in out.collect()) == [10]
+
+
+def test_session_agg_merges_within_gap(spark):
+    ev = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00")),
+         (1, ts("2024-01-01 10:20:00")),    # 20m gap -> same session
+         (1, ts("2024-01-01 11:30:00")),    # 70m gap -> new session
+         (2, ts("2024-01-01 10:00:00"))],
+        "user_id long, ts timestamp")
+    out = E.session_agg(ev, "30 minutes", key_cols=["user_id"],
+                        aggs=[F.count("*").alias("n")])
+    sessions = {(r["user_id"], r["n"]) for r in out.collect()}
+    assert sessions == {(1, 2), (1, 1), (2, 1)}
+    # session end = last event + gap
+    first = [r for r in out.collect() if r["user_id"] == 1 and r["n"] == 2][0]
+    assert first["s_end"] == ts("2024-01-01 10:50:00")
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").cast("double").alias("v"))
+    out = salted_agg(df, ["k"],
+                     {"n": F.count(F.lit(1)),
+                      "s": F.sum(F.col("v").cast("decimal(18,2)")),
+                      "mn": F.min("v"), "mx": F.max("v")}, n_salts=8)
+    plain = df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(18,2)")).alias("s"),
+        F.min("v").alias("mn"), F.max("v").alias("mx"))
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_equals_plain_join(spark):
+    big = spark.range(0, 500).select((F.col("id") % 5).alias("k"), "id")
+    small = spark.createDataFrame([(i, f"v{i}") for i in range(5)], "k long, tag string")
+    out = salted_join(big, small, on=["k"], n_salts=4)
+    plain = big.join(small, "k")
+    assert out.count() == plain.count() == 500
+    assert sorted(map(tuple, out.select("k", "id", "tag").collect())) == \
+        sorted(map(tuple, plain.select("k", "id", "tag").collect()))
+
+
+def test_spread_is_noop_when_well_partitioned(spark):
+    df = spark.range(0, 100).repartition(64)
+    assert spread(df) is df
+    one = spark.range(0, 100).coalesce(1)
+    assert spread(one).rdd.getNumPartitions() > 1
