@@ -108,6 +108,52 @@ def knn_lsh_bucketed(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "neighbor_id", "cos_sim", "rn"))
 
 
+def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            n_cells: int = 16, n_probe: int = 4) -> DataFrame:
+    """IVF (inverted-file) approximate kNN: coarse-quantize the corpus into
+    ``n_cells`` cells, probe the ``n_probe`` cells nearest each query.
+
+    Index build = one pass assigning every vector to its nearest centroid
+    (broadcast centroids); search = probe-cell equi-join instead of a full
+    scan, so each query touches ~n_probe/n_cells of the corpus. Centroids
+    here are deterministic seed vectors (vec_id < n_cells) rather than
+    k-means iterates, keeping the whole structure oracle-expressible; on a
+    real deployment swap in trained centroids — the plan shape is identical.
+    """
+    from pyspark.sql.window import Window
+
+    cents = (corpus.filter(F.col(id_col) < n_cells)
+             .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cent")))
+
+    def nearest_cells(df: DataFrame, side_id: str, vec: str, n: int) -> DataFrame:
+        """Attach the n nearest cell ids (by cosine to centroid)."""
+        w = Window.partitionBy(side_id).orderBy(
+            F.col("__csim").desc(), F.col("cell"))
+        return (df.crossJoin(F.broadcast(cents))
+                .withColumn("__csim", cosine(F.col(vec), F.col("cent")))
+                .withColumn("__crn", F.row_number().over(w))
+                .filter(F.col("__crn") <= n)
+                .drop("cent", "__csim", "__crn"))
+
+    c = spread(corpus).select(F.col(id_col).alias("neighbor_id"),
+                              F.col(vec_col).alias("cv"))
+    c_cells = nearest_cells(c, "neighbor_id", "cv", 1)  # index: 1 cell/vector
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    q_cells = nearest_cells(q, "query_id", "qv", n_probe)
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (c_cells.join(F.broadcast(q_cells), "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id",
+                    cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rn"))
+
+
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
                              id_col: str = "vec_id", vec_col: str = "embedding",
                              bits: int = 8) -> DataFrame:

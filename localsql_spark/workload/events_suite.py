@@ -219,3 +219,45 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 
     load(spark, sf_dir)
     return stateful_user_stats(spark, sf_dir)
+
+
+@query("grouped_zscore_pandas", oracle="""
+WITH stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mu,
+         count(*) AS n,
+         CAST(SUM(CAST(round(value * value, 4) AS DECIMAL(28,4))) AS DOUBLE)
+           AS ss
+  FROM events GROUP BY 1)
+SELECT e.event_id, e.event_type,
+       round((e.value - mu) / sqrt(ss / n - mu * mu), 6) AS zscore
+FROM events e JOIN stats USING (event_type)
+""")
+def grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas transform (applyInPandas): per-event_type z-score
+    computed inside an Arrow batch per group. The Python stage mirrors the
+    decimal-exact moment computation so the result is bit-comparable to the
+    SQL oracle. Plan shape: one shuffle on the grouping key, then a narrow
+    vectorized map per group — the canonical per-group normalization at
+    scale (operators: pyspark applyInPandas)."""
+    from decimal import Decimal
+
+    def zscore(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        v = pdf["value"]
+        mu = float(sum(Decimal(f"{x:.2f}") for x in v)) / n
+        ss = float(sum(Decimal(f"{round(x * x, 4):.4f}") for x in v))
+        sd = (ss / n - mu * mu) ** 0.5
+        return pd.DataFrame({
+            "event_id": pdf["event_id"],
+            "event_type": pdf["event_type"],
+            "zscore": ((v - mu) / sd).round(6),
+        })
+
+    ev = load(spark, sf_dir)["events"]
+    return (ev.select("event_id", "event_type", "value")
+            .groupBy("event_type")
+            .applyInPandas(zscore,
+                           "event_id long, event_type string, zscore double"))

@@ -348,6 +348,68 @@ def knn_lsh_bucketed_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_lsh_bucketed(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+_IVF_ORACLE = """
+WITH cents AS (SELECT vec_id AS cell, embedding AS cent FROM embeddings
+               WHERE vec_id < 16),
+norms AS (SELECT vec_id,
+                 sqrt(CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 12)
+                               AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+          FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) ne
+          GROUP BY vec_id),
+ve AS (SELECT vec_id, generate_subscripts(embedding, 1) AS p,
+              unnest(embedding) AS x FROM embeddings),
+ce AS (SELECT cell, generate_subscripts(cent, 1) AS p, unnest(cent) AS y
+       FROM cents),
+celldots AS (SELECT vec_id, cell,
+                    CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 12)
+                             AS DECIMAL(38,12))) AS DOUBLE) AS dotp
+             FROM ve JOIN ce ON ve.p = ce.p GROUP BY vec_id, cell),
+cellsim AS (SELECT cd.vec_id, cd.cell, round(dotp / (nv.nrm * nc.nrm), 9) AS csim
+            FROM celldots cd JOIN norms nv ON nv.vec_id = cd.vec_id
+                             JOIN norms nc ON nc.vec_id = cd.cell),
+ranked AS (SELECT vec_id, cell,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY csim DESC, cell) AS crn
+           FROM cellsim),
+cassign AS (SELECT vec_id AS neighbor_id, cell FROM ranked WHERE crn = 1),
+qprobe AS (SELECT vec_id AS query_id, cell FROM ranked
+           WHERE crn <= 4 AND vec_id < 10),
+cand AS (SELECT q.query_id, a.neighbor_id
+         FROM qprobe q JOIN cassign a ON a.cell = q.cell
+         WHERE a.neighbor_id <> q.query_id),
+qe AS (SELECT vec_id AS query_id, generate_subscripts(embedding, 1) AS p,
+              unnest(embedding) AS x FROM embeddings WHERE vec_id < 10),
+ne2 AS (SELECT vec_id, generate_subscripts(embedding, 1) AS p,
+               unnest(embedding) AS y FROM embeddings),
+cd AS (SELECT cand.query_id, cand.neighbor_id,
+              CAST(SUM(CAST(round(CAST(qe.x AS DOUBLE) * CAST(ne2.y AS DOUBLE), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS dotp
+       FROM cand JOIN qe ON qe.query_id = cand.query_id
+                 JOIN ne2 ON ne2.vec_id = cand.neighbor_id AND ne2.p = qe.p
+       GROUP BY 1, 2),
+scored AS (SELECT query_id, neighbor_id,
+                  round(dotp / (nq.nrm * nn.nrm), 9) AS cos_sim
+           FROM cd JOIN norms nq ON nq.vec_id = query_id
+                   JOIN norms nn ON nn.vec_id = neighbor_id)
+SELECT query_id, neighbor_id, cos_sim, rn FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored) r
+WHERE rn <= 5
+"""
+
+
+@query("knn_ivf_top5", oracle=_IVF_ORACLE)
+def knn_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate kNN: corpus coarse-quantized to 16 cells (broadcast
+    centroids, one assignment pass), queries probe their 4 nearest cells —
+    each query scans ~4/16 of the corpus via a cell equi-join instead of a
+    full scan (operators.similarity.knn_ivf)."""
+    emb = load(spark, sf_dir)["embeddings"]
+    return S.knn_ivf(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                     n_cells=16, n_probe=4)
+
+
 @query("embedding_near_dup", oracle=f"""
 WITH b AS (SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS INT) AS bucket FROM embeddings),
 q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b),

@@ -1,0 +1,51 @@
+"""Bucketed tables must join without shuffles: the whole point of paying the
+write-time shuffle is that the per-query Exchange disappears. Asserted
+against the physical plan, not just results.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from localsql_spark.sinks.bucketing import cobucket_join, write_bucketed
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    orders = spark.range(0, 10_000).select(
+        F.col("id").alias("o_orderkey"),
+        (F.col("id") % 1000).alias("custkey"),
+        (F.col("id") * 3 % 97).cast("double").alias("price"))
+    cust = spark.range(0, 1000).select(
+        F.col("id").alias("custkey"),
+        F.concat(F.lit("c"), F.col("id")).alias("name"))
+    write_bucketed(orders, "b_orders", ["custkey"], n_buckets=8)
+    write_bucketed(cust, "b_cust", ["custkey"], n_buckets=8)
+    yield
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_cobucketed_join_has_no_exchange(spark, bucketed_tables):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = cobucket_join(spark, "b_orders", "b_cust", ["custkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bucketed_agg_has_no_exchange(spark, bucketed_tables):
+    agg = (spark.table("b_orders").groupBy("custkey")
+           .agg(F.sum(F.col("price").cast("decimal(18,2)")).alias("s")))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"bucketed agg still shuffles:\n{plan}"
+    assert agg.count() == 1000
+
+
+def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
+    joined = cobucket_join(spark, "b_orders", "b_cust", ["custkey"])
+    assert joined.filter(F.col("name") == "c7").count() == 10
