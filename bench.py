@@ -40,9 +40,15 @@ EXTENSION_HEADLINE = [
     "dedup_minhash_pairs",
     "text_quality_scores",
     "knn_brute_force_top5",
+    "knn_ivf_top5",
     "asof_join_purchase_click",
+    "range_join_purchase_error_5m",
     "events_tumbling_hourly",
     "events_session_30m",
+    "salted_agg_event_type",
+    "grouped_zscore_pandas",
+    "multimodal_features",
+    "pipeline_clean_corpus",
 ]
 
 

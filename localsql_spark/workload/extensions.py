@@ -18,6 +18,18 @@ from localsql_spark.workload import load, query
 
 # Shared oracle fragment: normalized text + distinct 3-word shingles,
 # mirroring operators.text.normalize_text / word_shingles.
+def _shingles_cte(src: str = "documents") -> str:
+    return r"""
+norm AS (SELECT doc_id, lang,
+                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+         FROM SRC),""".replace("SRC", src) + r"""
+tok AS (SELECT doc_id, lang, string_split(t, ' ') AS toks FROM norm),
+sh AS (SELECT DISTINCT doc_id, lang,
+              concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]) AS s
+       FROM tok, UNNEST(range(greatest(len(toks) - 2, 1))) u(i))
+"""
+
+
 _SHINGLES_CTE = r"""
 norm AS (SELECT doc_id, lang,
                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
@@ -191,8 +203,9 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("sig"))
 
 
-_MINHASH_PAIRS_ORACLE = f"""
-WITH {_SHINGLES_CTE},
+def _minhash_pairs_sql(src: str = "documents") -> str:
+    return f"""
+WITH {_shingles_cte(src)},
 {_MH_CTE},
 sig AS (SELECT doc_id, list(c ORDER BY j) AS sig FROM mh GROUP BY doc_id),
 bands AS (SELECT doc_id, b,
@@ -213,6 +226,9 @@ GROUP BY doc_a, doc_b
 HAVING CAST(sum(CASE WHEN sig_a[j+1] = sig_b[j+1] THEN 1 ELSE 0 END) AS DOUBLE)
          / {D.N_MINHASH} >= 0.5
 """
+
+
+_MINHASH_PAIRS_ORACLE = _minhash_pairs_sql()
 
 
 @query("dedup_minhash_pairs", oracle=_MINHASH_PAIRS_ORACLE)
@@ -437,3 +453,50 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking (operators.similarity.embedding_near_dup_pairs)."""
     emb = load(spark, sf_dir)["embeddings"]
     return S.embedding_near_dup_pairs(emb, threshold=0.9)
+
+
+_CLEAN_CORPUS_ORACLE = f"""
+WITH quality AS (
+  SELECT doc_id, lang, text,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+  WHERE length(text) BETWEEN 50 AND 20000
+    AND CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{{}}-]')) AS DOUBLE)
+        / length(text) < 0.10
+    AND CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+        / length(text) < 0.20),
+exact_keep AS (
+  SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(t)),
+near_pairs AS ({_minhash_pairs_sql('(SELECT doc_id, lang, text FROM quality) qsrc')}),
+near_drop AS (SELECT DISTINCT doc_b AS doc_id FROM near_pairs)
+SELECT q.doc_id, q.lang, CAST(length(q.text) AS BIGINT) AS n_chars
+FROM quality q
+JOIN exact_keep k ON k.doc_id = q.doc_id
+LEFT JOIN near_drop d ON d.doc_id = q.doc_id
+WHERE d.doc_id IS NULL
+"""
+
+
+@query("pipeline_clean_corpus", oracle=_CLEAN_CORPUS_ORACLE)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning: quality gate (length/punct/digit
+    ratios) -> exact dedup (keep lowest doc_id per content hash) -> MinHash
+    near-dup removal (drop the higher id of every confirmed pair). Composes
+    the individual operators; plan = row-local filters + one hash-dedup
+    shuffle + the linear LSH self-join + two anti/semi joins."""
+    docs = load(spark, sf_dir)["documents"]
+    quality = docs.filter(
+        F.length("text").between(50, 20000)
+        & (T.punct_ratio(F.col("text")) < 0.10)
+        & (T.digit_ratio(F.col("text")) < 0.20))
+    exact_keep = (quality
+                  .groupBy(T.fingerprint_md5(F.col("text")).alias("h"))
+                  .agg(F.min("doc_id").alias("doc_id"))
+                  .select("doc_id"))
+    near_drop = (D.minhash_lsh_pairs(quality, threshold=0.5)
+                 .select(F.col("doc_b").alias("doc_id")).distinct())
+    return (quality
+            .join(exact_keep, "doc_id", "left_semi")
+            .join(near_drop, "doc_id", "left_anti")
+            .select("doc_id", "lang",
+                    F.length("text").cast("long").alias("n_chars")))

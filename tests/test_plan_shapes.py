@@ -1,0 +1,64 @@
+"""Physical-plan regression tests: the scale properties we rely on (filter
+pushdown, column pruning, broadcast of small dimensions, bounded shuffle
+counts) asserted against the optimized plans at sf0.001 — they must not
+silently regress as queries evolve.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as m
+
+    return m.queries()
+
+
+def test_q1_pushdown_and_pruning(spark, queries):
+    df = queries["q1_pricing_summary"](spark, SF_SMALL)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # pruned scan: key columns only, never the full 11-column lineitem
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert plan.count("Exchange") == 1, "Q1 must shuffle exactly once"
+
+
+def test_q5_broadcasts_dimensions(spark, queries):
+    plan = _plan(queries["q5_nation_revenue"](spark, SF_SMALL))
+    assert plan.count("BroadcastExchange") >= 3, \
+        "customer/supplier/nation/region must broadcast"
+    assert plan.count("BroadcastNestedLoopJoin") == 0
+
+
+def test_q3_top_k_never_global_sorts(spark, queries):
+    plan = _plan(queries["q3_top_orders"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan, \
+        "ORDER BY+LIMIT must compile to top-k, not a global sort"
+
+
+def test_knn_broadcasts_queries_not_corpus(spark, queries):
+    plan = _plan(queries["knn_brute_force_top5"](spark, SF_SMALL))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_join_is_equi_not_cross(spark, queries):
+    plan = _plan(queries["dedup_minhash_pairs"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multimodal_is_narrow(spark, queries):
+    plan = _plan(queries["multimodal_features"](spark, SF_SMALL))
+    assert "Exchange" not in plan.replace("RoundRobinPartitioning", "XX") \
+        or plan.count("Exchange") <= 1, \
+        "feature extraction must stay a narrow map (one spread repartition max)"
