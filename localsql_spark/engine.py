@@ -33,6 +33,8 @@ class LocalSparkSQL:
             from localsql_spark.session import get_spark
             spark = get_spark()
         self.spark = spark
+        from localsql_spark.functions.sqlite_compat import register_sqlite_compat
+        register_sqlite_compat(spark)  # glob_match / typeof in user SQL
         self.tables: dict[str, DataFrame] = {}
         self.latest_result: DataFrame | None = None
         self.pretty = True

@@ -36,9 +36,80 @@ def export_result(df: DataFrame, path: str | Path, *,
         n = df.limit(XLSX_MAX_ROWS + 1).count()
         if n > XLSX_MAX_ROWS:
             raise ValueError(f"result exceeds xlsx row limit ({XLSX_MAX_ROWS})")
-        df.toPandas().to_excel(path, index=False)
+        pdf = df.toPandas()
+        try:
+            pdf.to_excel(path, index=False)  # pandas needs openpyxl for this
+        except ImportError:
+            _write_xlsx_stdlib(pdf, path)
     elif ext == "parquet":
         df.write.mode("overwrite").parquet(path)
     else:
         raise ValueError(f"unsupported export format {ext!r}")
     return path
+
+
+def _write_xlsx_stdlib(pdf, path: str) -> None:
+    """Minimal single-sheet xlsx writer (zipfile + SpreadsheetML) used when
+    openpyxl is absent — mirror of the stdlib reader in sources/readers.py.
+    Strings as inline strings, numbers as numbers, None as empty."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    def col_ref(i: int) -> str:
+        out = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            out = chr(65 + r) + out
+        return out
+
+    def cell(ri: int, ci: int, v) -> str:
+        ref = f"{col_ref(ci)}{ri}"
+        if v is None or (isinstance(v, float) and v != v):
+            return ""
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        return (f'<c r="{ref}" t="inlineStr"><is><t>{escape(str(v))}</t>'
+                '</is></c>')
+
+    rows_xml = []
+    header = f'<row r="1">{"".join(cell(1, i, c) for i, c in enumerate(pdf.columns))}</row>'
+    rows_xml.append(header)
+    for r, tup in enumerate(pdf.itertuples(index=False, name=None), start=2):
+        rows_xml.append(
+            f'<row r="{r}">{"".join(cell(r, i, v) for i, v in enumerate(tup))}</row>')
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sheet = (f'<?xml version="1.0"?><worksheet xmlns="{ns}">'
+             f'<sheetData>{"".join(rows_xml)}</sheetData></worksheet>')
+    ct = ('<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats'
+          '.org/package/2006/content-types">'
+          '<Default Extension="xml" ContentType="application/xml"/>'
+          '<Default Extension="rels" ContentType="application/vnd.openxml'
+          'formats-package.relationships+xml"/>'
+          '<Override PartName="/xl/workbook.xml" ContentType="application/'
+          'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+          '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="appl'
+          'ication/vnd.openxmlformats-officedocument.spreadsheetml.workshee'
+          't+xml"/></Types>')
+    wb = (f'<?xml version="1.0"?><workbook xmlns="{ns}" xmlns:r="http://sch'
+          'emas.openxmlformats.org/officeDocument/2006/relationships">'
+          '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>'
+          '</workbook>')
+    rels = ('<?xml version="1.0"?><Relationships xmlns="http://schemas.open'
+            'xmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId0" Type="http://schemas.openxmlformats.or'
+            'g/officeDocument/2006/relationships/officeDocument" Target="xl'
+            '/workbook.xml"/></Relationships>')
+    wbrels = ('<?xml version="1.0"?><Relationships xmlns="http://schemas.op'
+              'enxmlformats.org/package/2006/relationships">'
+              '<Relationship Id="rId1" Type="http://schemas.openxmlformats.'
+              'org/officeDocument/2006/relationships/worksheet" Target="wor'
+              'ksheets/sheet1.xml"/></Relationships>')
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("_rels/.rels", rels)
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", wbrels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)

@@ -261,3 +261,56 @@ def grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type")
             .applyInPandas(zscore,
                            "event_id long, event_type string, zscore double"))
+
+
+@query("events_props_json", oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket
+FROM events
+""")
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over a real string column (events.props) — the json1
+    capability the reference reaches via SQLite (SURVEY.md §2B json1):
+    get_json_object stays row-local/codegen'd; at scale prefer one from_json
+    with an explicit schema when extracting many keys."""
+    ev = load(spark, sf_dir)["events"]
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_id", k.alias("k"), (k % 10).alias("k_bucket"))
+
+
+@query("cogroup_user_activity", oracle="""
+WITH e AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+o AS (SELECT o_custkey AS user_id, count(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_order_price
+      FROM orders GROUP BY 1)
+SELECT COALESCE(e.user_id, o.user_id) AS user_id,
+       COALESCE(n_events, 0) AS n_events,
+       COALESCE(n_orders, 0) AS n_orders,
+       sum_order_price
+FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+""")
+def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map Pandas (groupBy.cogroup.applyInPandas): per-key merge of
+    two tables' groups in one Arrow-batched Python stage — the API for
+    custom two-sided per-key logic that SQL can't express. One shuffle per
+    side on the key; the oracle is the degenerate (aggregate-only) case."""
+    from decimal import Decimal
+
+    def merge(key, ev_pdf, ord_pdf):
+        import pandas as pd
+
+        total = (float(sum(Decimal(f"{x:.2f}") for x in ord_pdf["o_totalprice"]))
+                 if len(ord_pdf) else None)
+        return pd.DataFrame({
+            "user_id": [key[0]], "n_events": [len(ev_pdf)],
+            "n_orders": [len(ord_pdf)], "sum_order_price": [total]})
+
+    t = load(spark, sf_dir)
+    ev = t["events"].select("user_id", "event_id")
+    orders = t["orders"].select(F.col("o_custkey").alias("user_id"),
+                                "o_totalprice")
+    return (ev.groupBy("user_id").cogroup(orders.groupBy("user_id"))
+            .applyInPandas(merge, "user_id long, n_events long, "
+                                  "n_orders long, sum_order_price double"))

@@ -133,3 +133,25 @@ def test_cli_completion_words(spark, tmp_path):
     eng.load_directory(tmp_path, verbose=False)
     words = cli.completion_words(eng)
     assert "plain" in words and "`weird col`" in words
+
+
+def test_export_xlsx_roundtrip(eng, tmp_path, spark):
+    """xlsx export (stdlib SpreadsheetML writer when openpyxl is absent)
+    must round-trip through our own xlsx reader."""
+    eng.run_sql("SELECT id, v FROM t_csv ORDER BY id")
+    out = tmp_path / "result.xlsx"
+    eng.run_sql(f"\\s {out}")
+    assert out.exists()
+    from localsql_spark.sources.readers import read_excel
+    back = read_excel(spark, out)
+    assert [tuple(r) for r in back.orderBy("id").collect()] == [
+        (1, "a"), (2, "b"), (3, "c")]
+
+
+def test_sqlite_compat_registered(eng):
+    """glob_match / typeof are reachable from user SQL via the facade."""
+    rows = eng.run_sql(
+        "SELECT typeof(id) AS t, glob_match(v, 'a*') AS g "
+        "FROM t_csv ORDER BY id").collect()
+    assert rows[0]["t"] == "integer" and rows[0]["g"] is True
+    assert rows[1]["g"] is False
