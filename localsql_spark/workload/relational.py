@@ -778,3 +778,34 @@ def window_analytic_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFram
         F.last("value").over(wfull).alias("last_v"),
         F.nth_value("value", 3).over(wfull).alias("third_v"),
         F.lead("value", 2, -1.0).over(w).alias("lead2_v"))
+
+
+# ---------------------------------------------------------------------------
+# RANGE frame windows (value-based, vs the ROWS frames used elsewhere)
+# ---------------------------------------------------------------------------
+
+@query("window_range_frame_value", oracle="""
+SELECT o_orderkey, o_custkey,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                      RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
+         AS n_within_1k,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                    RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
+            AS DOUBLE) AS sum_within_1k
+FROM orders
+""")
+def window_range_frame_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame (orders within +/-1000 of each row's price,
+    same customer) — the frame type ROWS can't express; one shuffle on the
+    partition key shared by both window aggregates."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir)["orders"]
+    w = (Window.partitionBy("o_custkey").orderBy("o_totalprice")
+         .rangeBetween(-1000, 1000))
+    return orders.select(
+        "o_orderkey", "o_custkey",
+        F.count(F.lit(1)).over(w).alias("n_within_1k"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+         .cast("double").alias("sum_within_1k"))

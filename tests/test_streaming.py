@@ -1,0 +1,70 @@
+"""Structured Streaming semantics: checkpointed exactly-once resume across
+restarts (the property that makes the streaming path production-usable), and
+batch-equivalence of the windowed aggregation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def landing(tmp_path, spark):
+    """A landing directory that receives files over time + fixed checkpoint
+    and output locations."""
+    d = tmp_path / "landing"
+    d.mkdir()
+    return {"src": d, "ck": str(tmp_path / "ck"), "out": str(tmp_path / "out")}
+
+
+def _write_batch(spark, landing, start, n):
+    (spark.range(start, start + n)
+     .select(F.col("id").alias("event_id"), (F.col("id") % 7).alias("user_id"))
+     .coalesce(1).write.mode("append").parquet(str(landing["src"])))
+
+
+def _drain(spark, landing):
+    schema = "event_id long, user_id long"
+    stream = spark.readStream.schema(schema).parquet(str(landing["src"]))
+    q = (stream.writeStream.format("parquet")
+         .option("path", landing["out"])
+         .option("checkpointLocation", landing["ck"])
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+def test_checkpoint_resume_is_exactly_once(spark, landing):
+    _write_batch(spark, landing, 0, 100)
+    _drain(spark, landing)
+    assert spark.read.parquet(landing["out"]).count() == 100
+
+    # restart with MORE data in the source: only the delta may be processed
+    _write_batch(spark, landing, 100, 50)
+    _drain(spark, landing)
+    out = spark.read.parquet(landing["out"])
+    assert out.count() == 150, "restart must not reprocess committed files"
+    assert out.select("event_id").distinct().count() == 150
+
+
+def test_streaming_tumbling_equals_batch(spark):
+    """The streaming windowed agg must equal the batch computation exactly
+    (same oracle in the driver gate; pinned here as a direct comparison)."""
+    from localsql_spark.streaming.stream_agg import tumbling_stream
+    from localsql_spark.workload import load
+
+    sf = "/root/testdata/sf0.001"
+    load(spark, sf)
+    streamed = {tuple(r) for r in tumbling_stream(spark, sf).collect()}
+    ev = load(spark, sf)["events"]
+    batch = {tuple(r) for r in
+             (ev.groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour")
+                         .alias("w"), "event_type")
+              .agg(F.count("*").alias("n"),
+                   F.sum(F.col("value").cast("decimal(18,2)"))
+                    .cast("double").alias("sum_value"))
+              .select(F.unix_micros(F.col("w.start").cast("timestamp"))
+                      .alias("w_start_us"),
+                      "event_type", "n", "sum_value")).collect()}
+    assert streamed == batch
