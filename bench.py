@@ -62,6 +62,14 @@ def main() -> None:
     queries = all_queries()
     load(spark, sf_dir)  # triggers one-time ns->us normalization pre-timing
 
+    # JVM/codegen warmup (standard practice: JIT the agg/join/scan codepaths
+    # once so the first timed query isn't charged for compiler startup)
+    from pyspark.sql import functions as F
+    spark.range(0, 1_000_000).agg(F.sum("id")).collect()
+    spark.table("region").join(spark.table("nation"),
+                               F.col("r_regionkey") == F.col("n_regionkey")
+                               ).count()
+
     names = HEADLINE + [n for n in EXTENSION_HEADLINE if n in queries]
     timings: dict[str, float] = {}
     for name in names:

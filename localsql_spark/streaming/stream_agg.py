@@ -84,6 +84,39 @@ def tumbling_stream(spark: SparkSession, sf_dir: str,
         "event_type", "n", "sum_value")
 
 
+def streaming_dedup(spark: SparkSession, sf_dir: str,
+                    watermark: str = "24 hours") -> DataFrame:
+    """Streaming exact dedup via ``dropDuplicatesWithinWatermark``: state
+    keeps one entry per key until the watermark passes it, so duplicates
+    arriving within the lateness bound are dropped with BOUNDED state — the
+    incremental-ingest dedup primitive for a training-data pipeline.
+
+    The test source is the events file exposed TWICE (two symlinks in the
+    landing dir), so every row arrives duplicated across files; the deduped
+    output must equal the plain table, which is exactly what the oracle
+    checks.
+    """
+    from pathlib import Path
+
+    from localsql_spark.catalog import _normalize_nanos
+
+    path = _normalize_nanos(Path(f"{sf_dir}/events.parquet"))
+    src_dir = path.parent / "__stream_events_doubled"
+    src_dir.mkdir(exist_ok=True)
+    for name in ("a.parquet", "b.parquet"):
+        link = src_dir / name
+        if not link.exists():
+            link.symlink_to(path.resolve())
+    schema = spark.read.parquet(str(path)).schema
+    stream = (spark.readStream.schema(schema).parquet(str(src_dir))
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    deduped = (stream
+               .withWatermark("ts", watermark)
+               .dropDuplicatesWithinWatermark(["event_id"])
+               .select("event_id", "user_id", "event_type", "value"))
+    return _drain_to_memory(deduped, "streaming_dedup_sink", "append")
+
+
 def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     per-user running event count + decimal-exact value total kept in the

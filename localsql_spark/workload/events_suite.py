@@ -314,3 +314,17 @@ def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ev.groupBy("user_id").cogroup(orders.groupBy("user_id"))
             .applyInPandas(merge, "user_id long, n_events long, "
                                   "n_orders long, sum_order_price double"))
+
+
+@query("streaming_dedup_events", oracle="""
+SELECT event_id, user_id, event_type, value FROM events
+""")
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) over a source
+    that delivers every event TWICE (two files): bounded keyed state drops
+    the duplicates, output equals the plain table
+    (streaming.stream_agg.streaming_dedup)."""
+    from localsql_spark.streaming.stream_agg import streaming_dedup
+
+    load(spark, sf_dir)
+    return streaming_dedup(spark, sf_dir)
