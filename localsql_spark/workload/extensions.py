@@ -500,3 +500,24 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(near_drop, "doc_id", "left_anti")
             .select("doc_id", "lang",
                     F.length("text").cast("long").alias("n_chars")))
+
+
+@query("sample_documents_hashmod", oracle="""
+SELECT doc_id, lang,
+       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10
+         AS bucket
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10
+      < CASE WHEN lang = 'en' THEN 5 ELSE 2 END
+""")
+def sample_documents_hashmod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by hash-mod bucket (50% of 'en',
+    20% otherwise) — the reproducible sampling a training pipeline needs
+    (same rows on every run/cluster, no rand()); row-local filter, fully
+    pushdown-friendly, zero shuffles."""
+    docs = load(spark, sf_dir)["documents"]
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                     16, 10).cast("long") % 10)
+    rate = F.when(F.col("lang") == "en", 5).otherwise(2)
+    return (docs.filter(bucket < rate)
+            .select("doc_id", "lang", bucket.alias("bucket")))

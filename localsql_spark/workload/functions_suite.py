@@ -222,3 +222,33 @@ def fn_cast_typeconv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").cast("double").alias("ln_dbl"),
         (F.col("l_quantity") > 25).alias("qty_big"),
         (F.col("l_quantity") > 25).cast("int").alias("qty_big_int"))
+
+
+@query("fn_string_suite2", oracle="""
+SELECT p_partkey,
+       ltrim(concat('  ', p_name)) AS ltrim_v,
+       rtrim(concat(p_name, '  ')) AS rtrim_v,
+       printf('%s-%03d', p_brand, p_size) AS fmt_v,
+       hex(p_brand) AS hex_v,
+       chr(65 + p_size % 26) AS chr_v,
+       ascii(substring(p_name, 1, 1)) AS ascii_v,
+       p_size % 7 AS mod_v,
+       round(tan(CAST(p_size AS DOUBLE) / 10), 9) AS tan_v
+FROM part
+""")
+def fn_string_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining SQLite core scalar names (SURVEY §2B list): ltrim/rtrim,
+    printf -> format_string, hex, char -> chr, unicode -> ascii, mod, tan.
+    All row-local codegen'd expressions."""
+    part = load(spark, sf_dir)["part"]
+    return part.select(
+        "p_partkey",
+        F.ltrim(F.concat(F.lit("  "), F.col("p_name"))).alias("ltrim_v"),
+        F.rtrim(F.concat(F.col("p_name"), F.lit("  "))).alias("rtrim_v"),
+        F.format_string("%s-%03d", F.col("p_brand"), F.col("p_size"))
+         .alias("fmt_v"),
+        F.hex(F.col("p_brand")).alias("hex_v"),
+        F.chr(65 + F.col("p_size") % 26).alias("chr_v"),
+        F.ascii(F.substring("p_name", 1, 1)).alias("ascii_v"),
+        (F.col("p_size") % 7).alias("mod_v"),
+        F.round(F.tan(F.col("p_size").cast("double") / 10), 9).alias("tan_v"))

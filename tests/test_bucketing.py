@@ -49,3 +49,19 @@ def test_bucketed_agg_has_no_exchange(spark, bucketed_tables):
 def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
     joined = cobucket_join(spark, "b_orders", "b_cust", ["custkey"])
     assert joined.filter(F.col("name") == "c7").count() == 10
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """write.partitionBy + a partition-key filter must scan only the matching
+    partition directories (PartitionFilters in the scan, not a post-filter)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 10_000).select(
+        "id", (F.col("id") % 4).cast("string").alias("lang"))
+    out = str(tmp_path / "part_docs")
+    df.write.partitionBy("lang").mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out).filter(F.col("lang") == "2")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    assert back.count() == 2500
