@@ -80,9 +80,12 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: list[str],
               left_ts: str, right_ts: str,
               right_cols: list[str] | None = None,
               tiebreak: str | None = None,
+              direction: str = "backward",
               suffix: str = "_asof") -> DataFrame:
-    """Backward as-of join: for each left row, the latest right row with
-    ``right.right_ts <= left.left_ts`` and equal keys.
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` (``direction="backward"``, default) or the
+    earliest right row with ``right_ts >= left_ts`` (``"forward"``),
+    with equal keys.
 
     Implementation: tag both sides, union, ONE shuffle on ``on``, then a
     running ``last(..., ignorenulls=True)`` over (ts, side) picks the most
@@ -116,9 +119,21 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: list[str],
                         .alias("__payload"),
                     *[F.col(c).alias(f"__l_{i}") for i, c in enumerate(lcols)])
 
+    if direction == "backward":
+        # ascending traversal; at equal ts the right row precedes the left
+        # (side 0 < 1) so "at or before" is inclusive; among equal-ts right
+        # rows the LAST seen (largest tiebreak) wins
+        order = [F.col("__ts").asc(), F.col("__side").asc(),
+                 F.col("__tb").asc_nulls_first()]
+    elif direction == "forward":
+        # descending traversal; right still precedes left at equal ts, and
+        # the last seen right row is the SMALLEST tiebreak (desc order)
+        order = [F.col("__ts").desc(), F.col("__side").asc(),
+                 F.col("__tb").desc_nulls_first()]
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     w = (Window.partitionBy(*on)
-         .orderBy(F.col("__ts").asc(), F.col("__side").asc(),
-                  F.col("__tb").asc_nulls_first())
+         .orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     matched = (r.unionByName(l)
                .withColumn("__m", F.last("__payload", ignorenulls=True).over(w))

@@ -132,3 +132,24 @@ def test_spread_is_noop_when_well_partitioned(spark):
     assert spread(df) is df
     one = spark.range(0, 100).coalesce(1)
     assert spread(one).rdd.getNumPartitions() > 1
+
+
+def test_asof_forward_direction(spark, asof_frames):
+    left, right = asof_frames
+    out = E.asof_join(left, right, on=["k"], left_ts="pts", right_ts="rts",
+                      right_cols=["rid", "v"], tiebreak="rid",
+                      direction="forward")
+    rows = {r["pid"]: r for r in out.collect()}
+    # pid=1 at 10:00: equal-ts rows qualify; smallest rid (101) wins the tie
+    assert rows[1]["rid_asof"] == 101
+    # pid=2 at 10:05: no right row at-or-after -> null
+    assert rows[2]["rid_asof"] is None
+    # pid=3 key 20: no right rows at all -> null
+    assert rows[3]["rid_asof"] is None
+
+
+def test_asof_bad_direction_raises(spark, asof_frames):
+    left, right = asof_frames
+    with pytest.raises(ValueError, match="backward|forward"):
+        E.asof_join(left, right, on=["k"], left_ts="pts", right_ts="rts",
+                    direction="sideways")
