@@ -84,6 +84,27 @@ def tumbling_stream(spark: SparkSession, sf_dir: str,
         "event_type", "n", "sum_value")
 
 
+def session_stream(spark: SparkSession, sf_dir: str,
+                   gap: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Per-user session windows as a streaming query (``F.session_window``
+    grouping + watermark; state merges/expires sessions per key). Complete
+    output mode drains every session so the result equals the batch
+    sessionization and shares its gaps-and-islands oracle."""
+    ev = _stream_source(spark, sf_dir, "events")
+    agg = (ev.withWatermark("ts", watermark)
+           .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+           .agg(F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_value")))
+    out = _drain_to_memory(agg, "events_session_stream_sink", "complete")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("w.start").cast("timestamp")).alias("s_start_us"),
+        F.unix_micros(F.col("w.end").cast("timestamp")).alias("s_end_us"),
+        "n_events", "sum_value")
+
+
 def streaming_dedup(spark: SparkSession, sf_dir: str,
                     watermark: str = "24 hours") -> DataFrame:
     """Streaming exact dedup via ``dropDuplicatesWithinWatermark``: state

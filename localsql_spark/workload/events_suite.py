@@ -328,3 +328,31 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load(spark, sf_dir)
     return streaming_dedup(spark, sf_dir)
+
+
+@query("streaming_session_30m", oracle="""
+WITH o AS (SELECT user_id, ts, event_id, value,
+                  lag(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pts
+           FROM events),
+m AS (SELECT *, CASE WHEN pts IS NULL
+                      OR epoch_us(ts) - epoch_us(pts) > 1800000000
+                     THEN 1 ELSE 0 END AS brk
+      FROM o),
+s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+SELECT user_id, epoch_us(min(ts)) AS s_start_us,
+       epoch_us(max(ts)) + 1800000000 AS s_end_us,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sid
+""")
+def streaming_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization as a REAL streaming query: session_window + watermark
+    with merging keyed state, drained to completion — equals the batch
+    gaps-and-islands result (streaming.stream_agg.session_stream)."""
+    from localsql_spark.streaming.stream_agg import session_stream
+
+    load(spark, sf_dir)
+    return session_stream(spark, sf_dir)

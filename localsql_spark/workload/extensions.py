@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from localsql_spark.operators import spread
 from localsql_spark.operators import dedup as D
 from localsql_spark.operators import similarity as S
 from localsql_spark.operators import text as T
@@ -521,3 +522,60 @@ def sample_documents_hashmod(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate = F.when(F.col("lang") == "en", 5).otherwise(2)
     return (docs.filter(bucket < rate)
             .select("doc_id", "lang", bucket.alias("bucket")))
+
+
+_SIMHASH_CTE = r"""
+norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+         FROM documents),
+tok AS (SELECT DISTINCT doc_id, tk
+        FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS tk FROM norm)),
+h AS (SELECT doc_id, CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT) AS h FROM tok),
+votes AS (SELECT doc_id, i,
+                 sum(CASE WHEN (h & (CAST(1 AS BIGINT) << i)) <> 0
+                          THEN 1 ELSE -1 END) AS v
+          FROM h CROSS JOIN UNNEST(range(32)) u(i)
+          GROUP BY doc_id, i),
+sh AS (SELECT doc_id,
+              CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i)
+                            ELSE 0 END) AS BIGINT) AS simhash
+       FROM votes GROUP BY doc_id)
+"""
+
+
+@query("dedup_simhash_pairs", oracle=f"""
+WITH {_SIMHASH_CTE},
+bands AS (SELECT doc_id, simhash, b, (simhash >> (8 * b)) & 255 AS byte
+          FROM sh CROSS JOIN UNNEST(range(4)) u2(b)),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                x.simhash AS ha, y.simhash AS hb
+         FROM bands x JOIN bands y
+           ON x.b = y.b AND x.byte = y.byte AND x.doc_id < y.doc_id)
+SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= 3
+""")
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: byte-band LSH on the 32-bit hash (any pair
+    with hamming <= 3 shares at least one of 4 bytes, pigeonhole) -> linear
+    candidate join -> exact popcount filter. Same banded-join shape as
+    MinHash-LSH but on a 1-word signature — the cheap first-pass near-dup
+    detector at scale."""
+    docs = load(spark, sf_dir)["documents"]
+    sh = (spread(docs)
+          .select("doc_id", D.simhash32(F.col("text")).alias("simhash"))
+          .persist())
+    bands = sh.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright("simhash", 8 * b).bitwiseAND(255)
+            for b in range(4)])).alias("b", "byte"))
+    a = bands.select(F.col("doc_id").alias("doc_a"),
+                     F.col("simhash").alias("ha"), "b", "byte")
+    b = bands.select(F.col("doc_id").alias("doc_b"),
+                     F.col("simhash").alias("hb"), "b", "byte")
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (a.join(b, ["b", "byte"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "ha", "hb").distinct()
+            .select("doc_a", "doc_b", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= 3))
