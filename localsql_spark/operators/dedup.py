@@ -133,18 +133,34 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
 def simhash32(text: Column) -> Column:
     """32-bit SimHash over distinct words: bit i is the sign of the sum of
-    (+1/-1) votes from each token's md5-derived 32-bit hash.  Row-local."""
+    (+1/-1) votes from each token's md5-derived 32-bit hash.  Row-local.
+
+    Single ``aggregate`` fold carrying all 32 vote counters — one md5 per
+    token (32 separate vote aggregates would re-evaluate the token-hash
+    array per bit; see minhash_signature for the same pitfall)."""
     toks = F.array_distinct(F.split(normalize_text(text), " "))
     hashes = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
-    out = F.lit(0).cast("long")
-    for i in range(32):
-        vote = F.aggregate(
-            hashes, F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << i)) != 0,  # noqa: B023
-                                        1).otherwise(-1))
-        out = out + F.when(vote > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+    init = F.array_repeat(F.lit(0), 32)
+
+    def fold(acc: Column, h: Column) -> Column:
+        votes = F.array(*[
+            F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            for i in range(32)])
+        return F.zip_with(acc, votes, lambda a, v: a + v)
+
+    def pack(acc: Column) -> Column:
+        # acc is the BOUND accumulator variable — evaluated once, so the 32
+        # element_at references are cheap (vs. referencing the whole fold
+        # expression 32 times, which would re-inline it per bit)
+        out = F.lit(0).cast("long")
+        for i in range(32):
+            out = out + F.when(F.element_at(acc, i + 1) > 0,
+                               F.lit(1 << i).cast("long")).otherwise(
+                                   F.lit(0).cast("long"))
+        return out
+
+    return F.aggregate(hashes, init, fold, pack)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
