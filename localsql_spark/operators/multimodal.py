@@ -125,3 +125,31 @@ def frame_sample(media: DataFrame, *, every: int = 4096,
 
     return media.mapInPandas(
         run, schema="doc_id long, frame_no int, offset long, frame_md5 string")
+
+
+def resize_media(media: DataFrame, *, factor: int = 2) -> DataFrame:
+    """'Resize' stand-in: downsample the payload by taking every
+    ``factor``-th byte and halve the metadata dimensions — the exact
+    schema/batch shape of a real image resize (decode -> scale -> re-encode),
+    with the codec stubbed to deterministic byte-stride sampling.
+    Narrow Arrow-batched map; no shuffle."""
+    stride = factor * factor  # 2D downsample ~ factor^2 fewer pixels
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            resized = [bytes(b[::stride]) for b in pdf["media"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "new_width": pd.array(
+                    [m["width"] // factor for m in pdf["meta"]], dtype="int32"),
+                "new_height": pd.array(
+                    [m["height"] // factor for m in pdf["meta"]], dtype="int32"),
+                "n_bytes": [len(r) for r in resized],
+                "digest": [hashlib.md5(r).hexdigest() for r in resized],
+            })
+
+    return media.mapInPandas(
+        run, schema="doc_id long, new_width int, new_height int, "
+                    "n_bytes long, digest string")

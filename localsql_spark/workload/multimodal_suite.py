@@ -47,3 +47,26 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec (operators.multimodal.frame_sample)."""
     docs = load(spark, sf_dir)["documents"]
     return M.frame_sample(M.attach_fake_media(docs), every=4096, frame_len=16)
+
+
+@query("multimodal_resize", oracle="""
+WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+px AS (SELECT doc_id,
+              string_agg(substr(text, CAST(1 + i * 4 AS BIGINT), 1),
+                         '' ORDER BY i) AS sampled
+       FROM b CROSS JOIN UNNEST(range(CAST(ceil(n / 4.0) AS BIGINT))) u(i)
+       GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST((b.doc_id % 16 + 1) * 64 / 2 AS INT) AS new_width,
+       CAST((b.doc_id % 9 + 1) * 64 / 2 AS INT) AS new_height,
+       CAST(length(sampled) AS BIGINT) AS n_bytes,
+       md5(sampled) AS digest
+FROM b JOIN px ON b.doc_id = px.doc_id
+""")
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Image resize' stage: stride-downsampled payload + halved dimensions
+    via Arrow-batched mapInPandas (codec stubbed deterministically, plumbing
+    real) — completes the decode/extract/resize/frame-sample multimodal set
+    (operators.multimodal.resize_media)."""
+    docs = load(spark, sf_dir)["documents"]
+    return M.resize_media(M.attach_fake_media(docs), factor=2)
