@@ -356,3 +356,44 @@ def streaming_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load(spark, sf_dir)
     return session_stream(spark, sf_dir)
+
+
+def _hll_oracle() -> str:
+    from localsql_spark.operators.sketches import HLL_ALPHA, HLL_B, HLL_M
+
+    m, w = HLL_M, 32 - HLL_B
+    return f"""
+WITH h AS (SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) AS h
+           FROM events),
+r AS (SELECT h % {m} AS bucket,
+             CASE WHEN (h >> {HLL_B}) = 0 THEN {w + 1}
+                  ELSE {w} - CAST(floor(log2(CAST(h >> {HLL_B} AS DOUBLE)))
+                                  AS INT) END AS rank
+      FROM h),
+regs AS (SELECT bucket, max(rank) AS m_rank FROM r GROUP BY bucket),
+agg AS (SELECT count(*) AS seen, SUM(pow(2.0, -m_rank)) AS present_sum
+        FROM regs)
+SELECT CAST(seen AS BIGINT) AS n_buckets_seen,
+       round(CASE WHEN ({HLL_ALPHA * m * m!r} / (present_sum + ({m} - seen)))
+                       <= {2.5 * m}
+                   AND ({m} - seen) > 0
+                  THEN {m} * ln({float(m)!r} / ({m} - seen))
+                  ELSE {HLL_ALPHA * m * m!r} / (present_sum + ({m} - seen))
+             END, 6) AS estimate
+FROM agg
+"""
+
+
+@query("hll_distinct_users", oracle=_hll_oracle())
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct-count of events.user_id: md5-derived
+    bucket+rank registers, linear-counting small-range correction — the
+    sketch and estimate are bit-reproducible in any engine (unlike the
+    builtin HLL++), so the oracle checks the real algorithm. Narrow map ->
+    fixed-fan-in groupBy(bucket) -> single-row aggregate; merges across
+    datasets by per-bucket max (operators.sketches)."""
+    from localsql_spark.operators.sketches import hll_estimate
+
+    ev = load(spark, sf_dir)["events"]
+    return hll_estimate(ev, "user_id")

@@ -153,3 +153,13 @@ def test_asof_bad_direction_raises(spark, asof_frames):
     with pytest.raises(ValueError, match="backward|forward"):
         E.asof_join(left, right, on=["k"], left_ts="pts", right_ts="rts",
                     direction="sideways")
+
+
+def test_hll_estimate_within_error_bound(spark):
+    from localsql_spark.operators.sketches import hll_error_bound, hll_estimate
+
+    for true_n in (150, 5000):
+        df = spark.range(0, 50_000).select((F.col("id") % true_n).alias("k"))
+        est = hll_estimate(df, "k").collect()[0]["estimate"]
+        rel_err = abs(est - true_n) / true_n
+        assert rel_err < hll_error_bound(3.0), (true_n, est, rel_err)
