@@ -123,3 +123,39 @@ def word_shingles(text: Column, k: int = 3) -> Column:
         " ", *[F.element_at(toks, i + j + 1) for j in range(k)])
     return F.when(n >= k, F.array_distinct(F.transform(idx, shingle))
                   ).otherwise(F.array(normalize_text(text)))
+
+
+def bm25_scores(docs, terms: list[str], *, k1: float = 1.2, b: float = 0.75,
+                text_col: str = "text", id_col: str = "doc_id"):
+    """BM25 relevance of every document against a bag of query ``terms`` via
+    an inverted index: explode tokens -> per-(doc,term) tf -> per-term df ->
+    idf * saturated-tf. One explode + two fixed-fan-in aggregates + a
+    broadcast of the tiny (term, df) table; never a cross product.
+
+    Determinism: tf/df/doclen are exact integers; idf and the final score
+    are single double expressions rounded to 9 (portable across engines).
+    Returns (doc_id, score) for docs matching at least one term.
+    """
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators import spread
+
+    toks = (spread(docs)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(F.split(normalize_text(F.col(text_col)), " "))
+                    .alias("term")))
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(F.count(F.lit(1)).alias("n_docs"),
+                       F.avg(F.col("dl").cast("double")).alias("avgdl"))
+    tf = (toks.filter(F.col("term").isin(terms))
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs, avgdl = F.col("n_docs").cast("double"), F.col("avgdl")
+    idf = F.log((n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    contrib = (idf * F.col("tf") * (k1 + 1)
+               / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)))
+    return (tf.join(F.broadcast(df_), "term")
+            .join(doclen, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(F.round(contrib, 12)), 9).alias("score")))

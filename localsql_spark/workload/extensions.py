@@ -579,3 +579,31 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", "ha", "hb").distinct()
             .select("doc_a", "doc_b", hamming.alias("hamming"))
             .filter(F.col("hamming") <= 3))
+
+
+@query("text_bm25_scores", oracle=r"""
+WITH norm AS (SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM documents),
+toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM norm),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl
+          FROM doclen),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('join', 'hash', 'vector') GROUP BY 1, 2),
+idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+SELECT tf.doc_id,
+       round(SUM(round(
+         ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+         * tf * 2.2
+         / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 12)), 9) AS score
+FROM tf JOIN idf USING (term) JOIN doclen USING (doc_id) CROSS JOIN stats
+GROUP BY tf.doc_id
+""")
+def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring against a query bag ('join hash vector') via an
+    inverted index: explode -> tf/df aggregates -> broadcast tiny stats —
+    the topic-filtering scorer for corpus curation
+    (operators.text.bm25_scores)."""
+    docs = load(spark, sf_dir)["documents"]
+    return T.bm25_scores(docs, ["join", "hash", "vector"])
