@@ -194,3 +194,41 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                     (F.col("i").cast("double")
                      / (F.col("na") + F.col("nb") - F.col("i"))).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
+
+
+def connected_components(edges: DataFrame, a_col: str = "doc_a",
+                         b_col: str = "doc_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected pair list: every node gets the
+    MIN node id reachable from it (the canonical duplicate-cluster id).
+
+    Min-label propagation: each round every node takes the min of its own
+    label and its neighbors' labels — converges in O(component diameter)
+    rounds (near-dup clusters are shallow), each round one join + one
+    groupBy, all distributed; the driver only checks the scalar
+    changed-count. This is the standard large-scale CC formulation.
+    Returns (node, cluster_id).
+    """
+    sym = (edges.select(F.col(a_col).alias("s"), F.col(b_col).alias("t"))
+           .unionByName(edges.select(F.col(b_col).alias("s"),
+                                     F.col(a_col).alias("t"))))
+    sym = sym.distinct().persist()
+    labels = (sym.select(F.col("s").alias("node")).distinct()
+              .withColumn("label", F.col("node")).persist())
+    for _ in range(max_iter):
+        neighbor_min = (sym.join(labels, sym.t == labels.node)
+                        .groupBy("s").agg(F.min("label").alias("nmin")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels.node == neighbor_min.s, "left")
+                      .select("node",
+                              F.least("label", F.coalesce("nmin", "label"))
+                              .alias("label"))
+                      .persist())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

@@ -607,3 +607,27 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators.text.bm25_scores)."""
     docs = load(spark, sf_dir)["documents"]
     return T.bm25_scores(docs, ["join", "hash", "vector"])
+
+
+@query("dedup_clusters", oracle=f"""
+WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}),
+edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT s AS n FROM edges),
+reach(n, r) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT reach.n, edges.t FROM reach JOIN edges ON edges.s = reach.n
+)
+SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n
+""")
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair list -> duplicate CLUSTERS: min-label-propagation
+    connected components (converges in diameter rounds, one join+groupBy
+    each, fully distributed) over the MinHash-LSH pairs; cluster id = min
+    doc_id, i.e. the canonical survivor
+    (operators.dedup.connected_components)."""
+    docs = load(spark, sf_dir)["documents"]
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
+    cc = D.connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
