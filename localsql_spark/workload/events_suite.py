@@ -397,3 +397,42 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir)["events"]
     return hll_estimate(ev, "user_id")
+
+
+@query("percentiles_by_event_type", oracle="""
+SELECT event_type,
+       round(quantile_cont(CAST(value AS DOUBLE), 0.25), 9) AS p25,
+       round(quantile_cont(CAST(value AS DOUBLE), 0.5), 9) AS p50,
+       round(quantile_cont(CAST(value AS DOUBLE), 0.75), 9) AS p75
+FROM events GROUP BY 1
+""")
+def percentiles_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont` semantics). Exact percentiles need a per-group
+    sort; at 100 TB swap in `percentile_approx` (t-digest-style mergeable
+    sketch) when rank error is acceptable."""
+    ev = load(spark, sf_dir)["events"]
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.percentile("value", F.lit(0.25)), 9).alias("p25"),
+                 F.round(F.percentile("value", F.lit(0.5)), 9).alias("p50"),
+                 F.round(F.percentile("value", F.lit(0.75)), 9).alias("p75")))
+
+
+@query("histogram_order_totals", oracle="""
+SELECT CAST(least(floor(o_totalprice / 30000), 19) AS BIGINT) AS bin,
+       count(*) AS n,
+       round(min(o_totalprice), 2) AS bin_min,
+       round(max(o_totalprice), 2) AS bin_max
+FROM orders GROUP BY 1
+""")
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (20 bins of 30k, last bin open-ended) via pure
+    bucket arithmetic — a single partial-aggregated groupBy whose fan-in is
+    the bin count, independent of data size."""
+    orders = load(spark, sf_dir)["orders"]
+    bin_ = F.least(F.floor(F.col("o_totalprice") / 30000), F.lit(19)) \
+            .cast("long")
+    return (orders.groupBy(bin_.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+                 F.round(F.max("o_totalprice"), 2).alias("bin_max")))
