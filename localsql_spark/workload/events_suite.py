@@ -436,3 +436,20 @@ def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.min("o_totalprice"), 2).alias("bin_min"),
                  F.round(F.max("o_totalprice"), 2).alias("bin_max")))
+
+
+@query("events_props_variant", oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events
+WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+""")
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured data via Spark 4 VARIANT: parse_json once into the
+    binary variant encoding, then typed path extraction — the modern
+    (shreddable, columnar) path for JSON at scale, vs per-access string
+    re-parsing with get_json_object."""
+    ev = load(spark, sf_dir)["events"]
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (ev.select("event_id", k.alias("k"))
+            .filter(F.col("k") >= 50))
