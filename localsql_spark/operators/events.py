@@ -158,6 +158,12 @@ def range_join(left: DataFrame, right: DataFrame, *, on: list[str],
     for range/interval joins (same shape Databricks' range-join optimization
     produces).
     """
+    if left_ts == right_ts:
+        # the joined frame would carry two identically-named ts columns and
+        # the range filter could not disambiguate them
+        raise ValueError(
+            "range_join needs distinct timestamp column names; alias one "
+            f"side (both are {left_ts!r})")
     span = max(upper_s - lower_s, 1e-9)
     bucket_s = int(span) + 1
     lts = F.col(left_ts).cast("timestamp")

@@ -54,8 +54,16 @@ def salted_agg(df: DataFrame, keys: list[str], aggs: dict[str, Column],
             combiners.append(F.min(name).alias(name))
         elif fn.startswith("max"):
             combiners.append(F.max(name).alias(name))
-        else:  # sum / count partials both re-combine by sum
+        elif fn.startswith(("sum", "count")):
+            # both partial kinds re-combine by sum
             combiners.append(F.sum(name).alias(name))
+        else:
+            # avg/stddev/collect_* etc. would silently mis-combine (a sum of
+            # per-salt averages is not the average) — refuse loudly;
+            # decompose avg as sum+count at the call site instead
+            raise ValueError(
+                f"salted_agg only re-combines sum/count/min/max partials; "
+                f"got {fn.split('(')[0]!r} for {name!r}")
     return partial.groupBy(*keys).agg(*combiners)
 
 

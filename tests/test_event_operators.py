@@ -163,3 +163,18 @@ def test_hll_estimate_within_error_bound(spark):
         est = hll_estimate(df, "k").collect()[0]["estimate"]
         rel_err = abs(est - true_n) / true_n
         assert rel_err < hll_error_bound(3.0), (true_n, est, rel_err)
+
+
+def test_salted_agg_rejects_non_algebraic(spark):
+    df = spark.range(0, 10).select((F.col("id") % 2).alias("k"),
+                                   F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError, match="sum/count/min/max"):
+        salted_agg(df, ["k"], {"a": F.avg("v")}, n_salts=4)
+
+
+def test_range_join_rejects_same_ts_name(spark):
+    df = spark.createDataFrame(
+        [(1, 1, ts("2024-01-01 10:00:00"))], "lid long, k long, ts timestamp")
+    with pytest.raises(ValueError, match="distinct timestamp column names"):
+        E.range_join(df, df, on=["k"], left_ts="ts", right_ts="ts",
+                     lower_s=0.0, upper_s=10.0)
