@@ -178,8 +178,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     sh = spread(df).select(F.col(id_col).alias("doc_id"), F.col(block_col).alias("blk"),
                    F.explode(word_shingles(F.col(text_col), 3)).alias("s"))
     if df_cap is not None:
+        # anti-join against the DEGENERATE shingles (df > cap): that set is
+        # small by construction, so it broadcasts at any corpus size — the
+        # kept-shingle set grows with the corpus and must never be hinted
         freq = sh.groupBy("s").agg(F.countDistinct("doc_id").alias("df"))
-        sh = sh.join(F.broadcast(freq.filter(F.col("df") <= df_cap)), "s")
+        sh = sh.join(F.broadcast(freq.filter(F.col("df") > df_cap)),
+                     "s", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "blk", "s")
     b = sh.select(F.col("doc_id").alias("doc_b"), "blk", "s")

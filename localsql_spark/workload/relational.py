@@ -96,8 +96,10 @@ ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """)
 def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """customer is the small side → broadcast hint; lineitem⋈orders shuffles
-    on orderkey. Top-k compiles to TakeOrderedAndProject (no global sort)."""
+    """customer scales WITH the data (no broadcast hint — Catalyst/AQE
+    broadcasts while it fits and falls back to shuffle join beyond that);
+    lineitem⋈orders shuffles on orderkey. Top-k compiles to
+    TakeOrderedAndProject (no global sort)."""
     t = load(spark, sf_dir)
     cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
     orders = t["orders"].filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
@@ -105,7 +107,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc1 = (F.lit(1) - F.col("l_discount")).cast("decimal(9,2)")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(price * disc1).cast("double").alias("revenue"))
@@ -136,8 +138,10 @@ WHERE r_name IN ('ASIA', 'EUROPE')
 GROUP BY n_name
 """)
 def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star join: region/nation/supplier/customer broadcast; only
-    lineitem⋈orders is a shuffle join. Region filter prunes before joining."""
+    """Star join. Broadcast hints ONLY on the fixed-cardinality dims
+    (nation=25, region=5 rows at every scale factor); customer/supplier grow
+    with the data, so their join strategy is left to Catalyst/AQE — broadcast
+    while small, shuffle join at scale. Region filter prunes before joining."""
     t = load(spark, sf_dir)
     region = t["region"].filter(F.col("r_name").isin("ASIA", "EUROPE"))
     orders = t["orders"].filter(
@@ -148,8 +152,8 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["supplier"]),
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"],
               (F.col("l_suppkey") == F.col("s_suppkey"))
               & (F.col("c_nationkey") == F.col("s_nationkey")))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
