@@ -1,0 +1,97 @@
+"""A Spark 4 Python DataSource for xlsx: ``spark.read.format("xlsx")``.
+
+The reference reads Excel driver-side through pandas
+(reference: localsql/localsql.py:104-105). This makes xlsx a first-class
+DISTRIBUTED source instead: one input partition per file (a directory/glob of
+workbooks scans in parallel), each parsed on an executor by the stdlib
+SpreadsheetML parser (sources/readers.py), schema inferred once on the driver
+from the first file. Single-workbook reads behave like the reference;
+thousand-workbook directories scale like any other Spark source.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (BooleanType, DoubleType, LongType, StringType,
+                               StructField, StructType)
+
+
+def _expand(path: str) -> list[str]:
+    p = Path(path)
+    if p.is_dir():
+        return sorted(str(f) for f in p.glob("*.xlsx"))
+    if any(ch in path for ch in "*?["):
+        parent = Path(path).parent
+        return sorted(str(f) for f in parent.glob(Path(path).name))
+    return [path]
+
+
+def _infer_schema(file: str) -> StructType:
+    from localsql_spark.sources.readers import _read_xlsx_stdlib
+
+    pdf = _read_xlsx_stdlib(file)
+    fields = []
+    for col, dtype in zip(pdf.columns, pdf.dtypes):
+        k = str(dtype)
+        if k.startswith("int"):
+            t = LongType()
+        elif k.startswith("float"):
+            t = DoubleType()
+        elif k.startswith("bool"):
+            t = BooleanType()
+        else:
+            t = StringType()
+        fields.append(StructField(str(col), t, nullable=True))
+    return StructType(fields)
+
+
+class XlsxDataSource(DataSource):
+    """``spark.read.format("xlsx").load(path)`` — path may be a file, a
+    directory of workbooks, or a glob."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "xlsx"
+
+    def schema(self) -> StructType:
+        files = _expand(self.options["path"])
+        if not files:
+            raise FileNotFoundError(self.options["path"])
+        return _infer_schema(files[0])
+
+    def reader(self, schema: StructType) -> "XlsxReader":
+        return XlsxReader(self.options["path"], schema)
+
+
+class XlsxReader(DataSourceReader):
+    def __init__(self, path: str, schema: StructType):
+        self.files = _expand(path)
+        self.schema = schema
+
+    def partitions(self):
+        # one partition per workbook: a directory of N files scans N-wide
+        return [InputPartition(f) for f in self.files]
+
+    def read(self, partition):
+        from localsql_spark.sources.readers import _read_xlsx_stdlib
+
+        pdf = _read_xlsx_stdlib(partition.value)
+        names = [f.name for f in self.schema.fields]
+        pdf = pdf[[c for c in pdf.columns if str(c) in names]]
+        for field in self.schema.fields:
+            if field.name not in map(str, pdf.columns):
+                pdf[field.name] = None
+        pdf = pdf[names]
+        def conv(v):
+            if v is None or (isinstance(v, float) and v != v):  # None / NaN
+                return None
+            return v.item() if hasattr(v, "item") else v  # numpy -> python
+
+        for tup in pdf.itertuples(index=False, name=None):
+            yield tuple(conv(v) for v in tup)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(XlsxDataSource)

@@ -208,3 +208,24 @@ def test_g3_groupby_nulls_last(eng):
         "SELECT c, count(*) AS cnt FROM one_json "
         "GROUP BY c ORDER BY 1 ASC NULLS LAST").collect()
     assert [(r["c"], r["cnt"]) for r in rows] == [(5, 1), (None, 2)]
+
+
+def test_xlsx_datasource_distributed(spark, example_dir, tmp_path):
+    """spark.read.format('xlsx'): one partition per workbook, same rows as
+    the driver-side reader, directory scan works."""
+    from localsql_spark.sources.xlsx_datasource import register
+    register(spark)
+
+    df = spark.read.format("xlsx").load(str(example_dir / "excel.xlsx"))
+    assert [tuple(r) for r in df.orderBy("id").collect()] == [
+        (1, 6, 11), (2, 7, 12), (3, 8, 13), (4, 9, 14), (5, 10, 15)]
+
+    # directory of two workbooks -> two partitions, union of rows
+    d = tmp_path / "books"
+    d.mkdir()
+    import shutil
+    shutil.copy(example_dir / "excel.xlsx", d / "a.xlsx")
+    shutil.copy(example_dir / "excel.xlsx", d / "b.xlsx")
+    many = spark.read.format("xlsx").load(str(d))
+    assert many.count() == 10
+    assert many.rdd.getNumPartitions() == 2
