@@ -631,3 +631,74 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
     cc = D.connected_components(pairs)
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+@query("embedding_int8_quantize", oracle="""
+WITH mx AS (SELECT vec_id, label,
+                   greatest(list_aggregate(list_transform(embedding,
+                                x -> abs(CAST(x AS DOUBLE))), 'max'), 1e-12)
+                     AS scale
+            FROM embeddings)
+SELECT e.vec_id, e.label,
+       round(mx.scale, 9) AS scale,
+       array_to_string(list_transform(e.embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) / mx.scale * 127, 0) AS INT))
+         [1:8], ',') AS q8_head,
+       CAST(list_aggregate(list_transform(e.embedding,
+           x -> abs(CAST(round(CAST(x AS DOUBLE) / mx.scale * 127, 0) AS INT))),
+           'max') AS INT) AS q8_absmax
+FROM embeddings e JOIN mx ON e.vec_id = mx.vec_id
+""")
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization (scale = max |x|): the
+    embedding-compression step before similarity indexing at scale —
+    row-local transform, zero shuffles; emits the first 8 quantized values
+    + the abs-max as compact checkable projections."""
+    emb = load(spark, sf_dir)["embeddings"]
+    xd = lambda x: x.cast("double")  # noqa: E731
+    scale = F.greatest(
+        F.array_max(F.transform("embedding", lambda x: F.abs(xd(x)))),
+        F.lit(1e-12))
+    q = F.transform("embedding",
+                    lambda x: F.round(xd(x) / F.col("scale") * 127, 0)
+                    .cast("int"))
+    return (emb.withColumn("scale", scale)
+            .select("vec_id", "label",
+                    F.round("scale", 9).alias("scale_r"),
+                    F.concat_ws(",", F.transform(
+                        F.slice(q, 1, 8),
+                        lambda v: v.cast("string"))).alias("q8_head"),
+                    F.array_max(F.transform(q, F.abs)).alias("q8_absmax"))
+            .withColumnRenamed("scale_r", "scale"))
+
+
+@query("pack_documents_2048", oracle=r"""
+WITH t AS (SELECT doc_id, lang,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                    AS n_tok
+           FROM documents),
+c AS (SELECT doc_id, lang, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+SELECT doc_id, lang, n_tok,
+       CAST(floor((cum - 1) / 2048) AS BIGINT) AS pack_id
+FROM c
+""")
+def pack_documents_2048(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: assign documents (per language, in a
+    deterministic order) to fixed 2048-token packs via a running token sum —
+    the greedy contiguous packing used to fill context windows. One window
+    shuffle on the packing key; at scale the key includes a shard id so no
+    single partition orders the whole corpus."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir)["documents"]
+    n_tok = T.token_count_ws(F.col("text"))
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (docs.select("doc_id", "lang", n_tok.alias("n_tok"))
+            .withColumn("cum", F.sum("n_tok").over(w))
+            .select("doc_id", "lang", "n_tok",
+                    F.floor((F.col("cum") - 1) / 2048).cast("long")
+                    .alias("pack_id")))
