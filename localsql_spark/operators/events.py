@@ -81,6 +81,7 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: list[str],
               right_cols: list[str] | None = None,
               tiebreak: str | None = None,
               direction: str = "backward",
+              tolerance_s: float | None = None,
               suffix: str = "_asof") -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right_ts <= left_ts`` (``direction="backward"``, default) or the
@@ -138,6 +139,12 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: list[str],
     matched = (r.unionByName(l)
                .withColumn("__m", F.last("__payload", ignorenulls=True).over(w))
                .filter(F.col("__side") == 1))
+    if tolerance_s is not None:
+        # drop matches further than tolerance from the left timestamp
+        gap = F.abs(F.unix_micros(F.col("__ts").cast("timestamp"))
+                    - F.unix_micros(F.col("__m.__rts").cast("timestamp")))
+        matched = matched.withColumn(
+            "__m", F.when(gap <= int(tolerance_s * 1e6), F.col("__m")))
     return matched.select(
         *[F.col(f"__l_{i}").alias(c) for i, c in enumerate(lcols)],
         F.col(f"__m.__rts").alias(f"{right_ts}{suffix}"),

@@ -702,3 +702,39 @@ def pack_documents_2048(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang", "n_tok",
                     F.floor((F.col("cum") - 1) / 2048).cast("long")
                     .alias("pack_id")))
+
+
+@query("decontaminate_training_set", oracle=f"""
+WITH {_shingles_cte()},
+eval_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+train AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0),
+hits AS (SELECT doc_id, count(*) AS n_shared
+         FROM (SELECT DISTINCT train.doc_id, train.s
+               FROM train JOIN eval_sh ON train.s = eval_sh.s) h
+         GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(hits.n_shared, 0) AS n_shared,
+       (hits.doc_id IS NOT NULL) AS contaminated
+FROM (SELECT DISTINCT doc_id FROM train) d
+LEFT JOIN hits ON d.doc_id = hits.doc_id
+""")
+def decontaminate_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ANY 3-word
+    shingle with a held-out eval set (doc_id % 50 == 0 here). Inverted-index
+    semi-join on the shingle — the standard n-gram overlap check run before
+    training; the eval shingle set stays distributed (no broadcast: eval
+    sets can be large)."""
+    docs = load(spark, sf_dir)["documents"]
+    sh = (spread(docs)
+          .select("doc_id",
+                  F.explode(T.word_shingles(F.col("text"), 3)).alias("s")))
+    eval_sh = (sh.filter(F.col("doc_id") % 50 == 0)
+               .select("s").distinct())
+    train = sh.filter(F.col("doc_id") % 50 != 0)
+    hits = (train.join(eval_sh, "s")
+            .select("doc_id", "s").distinct()
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared")))
+    train_docs = train.select("doc_id").distinct()
+    return (train_docs.join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+                    F.col("n_shared").isNotNull().alias("contaminated")))

@@ -178,3 +178,16 @@ def test_range_join_rejects_same_ts_name(spark):
     with pytest.raises(ValueError, match="distinct timestamp column names"):
         E.range_join(df, df, on=["k"], left_ts="ts", right_ts="ts",
                      lower_s=0.0, upper_s=10.0)
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, asof_frames):
+    left, right = asof_frames
+    out = E.asof_join(left, right, on=["k"], left_ts="pts", right_ts="rts",
+                      right_cols=["rid"], tiebreak="rid", tolerance_s=90.0)
+    rows = {r["pid"]: r for r in out.collect()}
+    assert rows[1]["rid_asof"] == 102      # 0s gap: kept
+    assert rows[2]["rid_asof"] == 103      # 60s gap: kept
+    wide = E.asof_join(left, right, on=["k"], left_ts="pts", right_ts="rts",
+                       right_cols=["rid"], tiebreak="rid", tolerance_s=30.0)
+    rows = {r["pid"]: r for r in wide.collect()}
+    assert rows[2]["rid_asof"] is None     # 60s gap > 30s tolerance: nulled
