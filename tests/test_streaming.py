@@ -68,3 +68,32 @@ def test_streaming_tumbling_equals_batch(spark):
                       .alias("w_start_us"),
                       "event_type", "n", "sum_value")).collect()}
     assert streamed == batch
+
+
+def test_foreachbatch_upsert_latest_version_wins(spark, tmp_path):
+    from localsql_spark.streaming.foreach_upsert import stream_upsert_parquet
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ck = str(tmp_path / "table"), str(tmp_path / "ck")
+    schema = "k long, v long, ver long"
+
+    (spark.range(0, 100).select(F.col("id").alias("k"),
+                                F.lit(1).alias("v"), F.lit(1).alias("ver"))
+     .coalesce(1).write.mode("append").parquet(str(src)))
+    stream_upsert_parquet(spark, source_dir=str(src), schema=schema,
+                          key="k", version="ver", out_dir=out,
+                          checkpoint_dir=ck)
+    assert spark.read.parquet(out).count() == 100
+
+    # overlapping second delivery with a newer version for keys 50-149
+    (spark.range(50, 150).select(F.col("id").alias("k"),
+                                 F.lit(2).alias("v"), F.lit(2).alias("ver"))
+     .coalesce(1).write.mode("append").parquet(str(src)))
+    stream_upsert_parquet(spark, source_dir=str(src), schema=schema,
+                          key="k", version="ver", out_dir=out,
+                          checkpoint_dir=ck)
+    table = spark.read.parquet(out)
+    assert table.count() == 150, "upsert must not duplicate keys"
+    assert table.filter((F.col("k") == 75) & (F.col("v") == 2)).count() == 1
+    assert table.filter((F.col("k") == 25) & (F.col("v") == 1)).count() == 1
