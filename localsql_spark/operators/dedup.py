@@ -235,4 +235,12 @@ def connected_components(edges: DataFrame, a_col: str = "doc_a",
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausting max_iter means some component (diameter > max_iter, e.g.
+        # a long near-dup chain) still carries SPLIT labels — returning them
+        # silently would keep multiple "canonical" docs per cluster
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (components deeper than the round count exist)")
+    sym.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

@@ -31,30 +31,30 @@ def tumbling_agg(events: DataFrame, duration: str, ts_col: str = "ts",
     Works identically in batch and Structured Streaming (add a watermark for
     the streaming case — see streaming/stream_agg.py).
     """
-    group_cols = group_cols or []
-    aggs = aggs or [F.count("*").alias("n")]
-    return (events
-            .groupBy(F.window(ts_col, duration).alias("w"), *group_cols)
-            .agg(*aggs)
-            .select(F.col("w.start").alias("w_start"),
-                    F.col("w.end").alias("w_end"),
-                    *group_cols,
-                    *[F.col(c) for c in _agg_names(aggs)]))
+    group_cols = list(group_cols) if group_cols is not None else []
+    aggs = list(aggs) if aggs is not None else [F.count("*").alias("n")]
+    agged = (events
+             .groupBy(F.window(ts_col, duration).alias("w"), *group_cols)
+             .agg(*aggs))
+    return agged.select(F.col("w.start").alias("w_start"),
+                        F.col("w.end").alias("w_end"),
+                        *group_cols,
+                        *_agg_out_names(agged, group_cols))
 
 
 def sliding_agg(events: DataFrame, duration: str, slide: str,
                 ts_col: str = "ts", group_cols: list[str] | None = None,
                 aggs: list[Column] | None = None) -> DataFrame:
     """Overlapping windows: each event lands in duration/slide windows."""
-    group_cols = group_cols or []
-    aggs = aggs or [F.count("*").alias("n")]
-    return (events
-            .groupBy(F.window(ts_col, duration, slide).alias("w"), *group_cols)
-            .agg(*aggs)
-            .select(F.col("w.start").alias("w_start"),
-                    F.col("w.end").alias("w_end"),
-                    *group_cols,
-                    *[F.col(c) for c in _agg_names(aggs)]))
+    group_cols = list(group_cols) if group_cols is not None else []
+    aggs = list(aggs) if aggs is not None else [F.count("*").alias("n")]
+    agged = (events
+             .groupBy(F.window(ts_col, duration, slide).alias("w"), *group_cols)
+             .agg(*aggs))
+    return agged.select(F.col("w.start").alias("w_start"),
+                        F.col("w.end").alias("w_end"),
+                        *group_cols,
+                        *_agg_out_names(agged, group_cols))
 
 
 def session_agg(events: DataFrame, gap: str, ts_col: str = "ts",
@@ -65,15 +65,15 @@ def session_agg(events: DataFrame, gap: str, ts_col: str = "ts",
 
     Window end = last event + gap (Spark semantics; the SQL-oracle mirror is
     the classic gaps-and-islands rewrite)."""
-    key_cols = key_cols or []
-    aggs = aggs or [F.count("*").alias("n")]
-    return (events
-            .groupBy(F.session_window(ts_col, gap).alias("w"), *key_cols)
-            .agg(*aggs)
-            .select(F.col("w.start").alias("s_start"),
-                    F.col("w.end").alias("s_end"),
-                    *key_cols,
-                    *[F.col(c) for c in _agg_names(aggs)]))
+    key_cols = list(key_cols) if key_cols is not None else []
+    aggs = list(aggs) if aggs is not None else [F.count("*").alias("n")]
+    agged = (events
+             .groupBy(F.session_window(ts_col, gap).alias("w"), *key_cols)
+             .agg(*aggs))
+    return agged.select(F.col("w.start").alias("s_start"),
+                        F.col("w.end").alias("s_end"),
+                        *key_cols,
+                        *_agg_out_names(agged, key_cols))
 
 
 def asof_join(left: DataFrame, right: DataFrame, *, on: list[str],
@@ -98,8 +98,9 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: list[str],
     semantics). Cost: one shuffle + one window pass, both sides arbitrarily
     large — never a broadcast or a per-row probe.
     """
-    right_cols = right_cols or [c for c in right.columns
-                                if c not in on and c != right_ts]
+    if right_cols is None:  # explicit [] = timestamp-only as-of, respect it
+        right_cols = [c for c in right.columns
+                      if c not in on and c != right_ts]
     tb = F.col(tiebreak) if tiebreak else F.lit(0)
     payload = F.struct(F.col(right_ts).alias("__rts"),
                        *[F.col(c).alias(c) for c in right_cols])
@@ -190,11 +191,9 @@ def range_join(left: DataFrame, right: DataFrame, *, on: list[str],
             .drop("__b"))
 
 
-def _agg_names(aggs: list[Column]) -> list[str]:
-    """Output names of aggregate columns (requires .alias on each)."""
-    names = []
-    for c in aggs:
-        # Column's alias is the last name in its expression string "x AS name"
-        s = c._jc.toString()
-        names.append(s.split(" AS ")[-1].strip("`") if " AS " in s else s)
-    return names
+def _agg_out_names(agged: DataFrame, group_cols: list[str]) -> list[Column]:
+    """Aggregate output columns = everything the groupBy produced except the
+    window struct and the grouping keys (robust to unaliased aggregates and
+    casts — no expression-string parsing)."""
+    skip = {"w", *group_cols}
+    return [F.col(f"`{c}`") for c in agged.columns if c not in skip]

@@ -32,7 +32,12 @@ def _hash32(col: Column) -> Column:
 
 
 def hll_buckets(df: DataFrame, col: str) -> DataFrame:
-    """Per-bucket max rank: the HLL register table (m rows max)."""
+    """Per-bucket max rank: the HLL register table (m rows max).
+
+    NULLs are dropped first (SQL COUNT DISTINCT semantics): md5(NULL) is
+    NULL and would otherwise create a phantom NULL register that biases the
+    estimate."""
+    df = df.filter(F.col(col).isNotNull())
     h = _hash32(F.col(col))
     bucket = (h % HLL_M).alias("bucket")
     # rank = 1 + leading zeros of the remaining 24 bits (position of the

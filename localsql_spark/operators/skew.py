@@ -47,23 +47,39 @@ def salted_agg(df: DataFrame, keys: list[str], aggs: dict[str, Column],
     partial = (with_salt(df, n_salts, deterministic_by=deterministic_by)
                .groupBy(*keys, "__salt")
                .agg(*[expr.alias(name) for name, expr in aggs.items()]))
+    # DISTINCT is invisible in every Column string form (Spark 4 toString
+    # drops the flag) — only the analyzed plan shows it. A per-salt DISTINCT
+    # double-counts values whose rows span salts, so refuse it.
+    plan = partial._jdf.queryExecution().analyzed().toString()
+    if "(distinct " in plan.lower():
+        raise ValueError(
+            "salted_agg cannot re-combine DISTINCT aggregates (a value's "
+            "rows may span salts and would be counted once per salt)")
+    import re as _re
+
     combiners = []
     for name, expr in aggs.items():
         fn = expr._jc.toString().lower()
-        if fn.startswith("min"):
-            combiners.append(F.min(name).alias(name))
-        elif fn.startswith("max"):
-            combiners.append(F.max(name).alias(name))
-        elif fn.startswith(("sum", "count")):
-            # both partial kinds re-combine by sum
-            combiners.append(F.sum(name).alias(name))
-        else:
-            # avg/stddev/collect_* etc. would silently mis-combine (a sum of
-            # per-salt averages is not the average) — refuse loudly;
-            # decompose avg as sum+count at the call site instead
+        # EXACT function-name match, DISTINCT rejected: count(DISTINCT x)
+        # split across salts double-counts values, min_by/max_by under a
+        # plain min/max combiner return the wrong column's extremum
+        m = _re.match(r"^(sum|count|min|max)\(", fn)
+        if not m or "distinct" in fn:
+            # avg/stddev/collect_*/…_by/DISTINCT would silently mis-combine
+            # (a sum of per-salt averages is not the average) — refuse
+            # loudly; decompose avg as sum+count at the call site instead
             raise ValueError(
-                f"salted_agg only re-combines sum/count/min/max partials; "
-                f"got {fn.split('(')[0]!r} for {name!r}")
+                f"salted_agg only re-combines plain sum/count/min/max "
+                f"partials; got {fn.split('(')[0]!r} for {name!r}"
+                + (" (DISTINCT is not salt-decomposable)"
+                   if "distinct" in fn else ""))
+        kind = m.group(1)
+        if kind == "min":
+            combiners.append(F.min(name).alias(name))
+        elif kind == "max":
+            combiners.append(F.max(name).alias(name))
+        else:  # sum / count partials both re-combine by sum
+            combiners.append(F.sum(name).alias(name))
     return partial.groupBy(*keys).agg(*combiners)
 
 

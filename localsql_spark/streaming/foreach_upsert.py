@@ -7,13 +7,18 @@ Checkpointing still applies: a restart re-delivers only uncommitted batches,
 and the merge is idempotent (same key+version -> same result), giving
 effectively-exactly-once end-to-end.
 
-Production note: rewriting the whole table per batch is the plain-parquet
-cost of updates; a table format with transactional MERGE (Delta/Iceberg)
-replaces the rewrite with a metadata swap — the foreachBatch shape is
-identical, only the write inside changes.
+Crash-safety: each batch writes the merged table to a NEW directory and
+flips a pointer file afterwards, so a failure mid-write leaves the previous
+table generation intact (plain-parquet poor-man's transaction). A table
+format with transactional MERGE (Delta/Iceberg) replaces all of this with a
+metadata swap — the foreachBatch shape is identical, only the write inside
+changes.
 """
 
 from __future__ import annotations
+
+import shutil
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -21,12 +26,32 @@ from pyspark.sql import functions as F
 
 def merge_upsert(existing: DataFrame | None, batch: DataFrame, *,
                  key: str, version: str) -> DataFrame:
-    """Latest-version-per-key merge of a batch into the existing table."""
+    """Latest-version-per-key merge of a batch into the existing table.
+
+    Ties on (key, version) — e.g. checkpoint re-delivery of the same row —
+    break on a deterministic hash of the full row, so the survivor is stable
+    across runs (idempotency the docstring promises).
+    """
     merged = batch if existing is None else existing.unionByName(batch)
     w = (Window.partitionBy(key)
-         .orderBy(F.col(version).desc(), F.col(key)))
+         .orderBy(F.col(version).desc(),
+                  F.xxhash64(*[F.col(c) for c in merged.columns])))
     return (merged.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def _current_generation(out_dir: str) -> Path | None:
+    pointer = Path(out_dir) / "_CURRENT"
+    if not pointer.exists():
+        return None
+    gen = Path(out_dir) / pointer.read_text().strip()
+    return gen if gen.exists() else None
+
+
+def read_table(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """Read the current generation of an upsert table (None if empty)."""
+    gen = _current_generation(out_dir)
+    return spark.read.parquet(str(gen)) if gen is not None else None
 
 
 def stream_upsert_parquet(spark: SparkSession, *, source_dir: str,
@@ -34,17 +59,21 @@ def stream_upsert_parquet(spark: SparkSession, *, source_dir: str,
                           out_dir: str, checkpoint_dir: str) -> None:
     """Drain a file stream into a keyed parquet table via foreachBatch
     upserts (availableNow trigger: process backlog, then stop)."""
+    Path(out_dir).mkdir(parents=True, exist_ok=True)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        try:
-            existing = spark.read.parquet(out_dir)
-            existing.cache().count()  # break lineage before overwriting source
-        except Exception:  # first batch: nothing to merge yet
-            existing = None
+        # existence is checked explicitly — any OTHER read failure must
+        # propagate, not silently restart the table from this batch
+        existing = read_table(spark, out_dir)
         result = merge_upsert(existing, batch_df, key=key, version=version)
-        result.write.mode("overwrite").parquet(out_dir)
-        if existing is not None:
-            existing.unpersist()
+        # write the new generation FIRST, then flip the pointer: a failure
+        # mid-write leaves the previous generation untouched
+        new_gen = f"gen_{batch_id}"
+        result.write.mode("overwrite").parquet(str(Path(out_dir) / new_gen))
+        old = _current_generation(out_dir)
+        (Path(out_dir) / "_CURRENT").write_text(new_gen)
+        if old is not None and old.name != new_gen:
+            shutil.rmtree(old, ignore_errors=True)
 
     q = (spark.readStream.schema(schema).parquet(source_dir)
          .writeStream.foreachBatch(upsert)

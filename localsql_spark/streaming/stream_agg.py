@@ -168,4 +168,10 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                stateStructType="n long, cents long",
                outputMode="update",
                timeoutConf=GroupStateTimeout.NoTimeout))
-    return _drain_to_memory(out, "stateful_user_stats_sink", "update")
+    drained = _drain_to_memory(out, "stateful_user_stats_sink", "update")
+    # update mode emits once per key PER BATCH; if the backlog split into
+    # several micro-batches a user appears multiple times with intermediate
+    # running totals — keep the final (maximal, totals are monotone) emission
+    return (drained.groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"),
+                 F.max("sum_value").alias("sum_value")))

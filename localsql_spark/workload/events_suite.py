@@ -365,7 +365,7 @@ def _hll_oracle() -> str:
     return f"""
 WITH h AS (SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
                        AS BIGINT) AS h
-           FROM events),
+           FROM events WHERE user_id IS NOT NULL),
 r AS (SELECT h % {m} AS bucket,
              CASE WHEN (h >> {HLL_B}) = 0 THEN {w + 1}
                   ELSE {w} - CAST(floor(log2(CAST(h >> {HLL_B} AS DOUBLE)))

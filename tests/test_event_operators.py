@@ -191,3 +191,46 @@ def test_asof_tolerance_nulls_stale_matches(spark, asof_frames):
                        right_cols=["rid"], tiebreak="rid", tolerance_s=30.0)
     rows = {r["pid"]: r for r in wide.collect()}
     assert rows[2]["rid_asof"] is None     # 60s gap > 30s tolerance: nulled
+
+
+def test_salted_agg_rejects_distinct_and_by_variants(spark):
+    df = spark.range(0, 10).select((F.col("id") % 2).alias("k"),
+                                   F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError, match="DISTINCT"):
+        salted_agg(df, ["k"], {"d": F.countDistinct("v")}, n_salts=4)
+    with pytest.raises(ValueError):
+        salted_agg(df, ["k"], {"m": F.min_by("v", "v")}, n_salts=4)
+
+
+def test_asof_empty_right_cols_respected(spark, asof_frames):
+    left, right = asof_frames
+    out = E.asof_join(left, right, on=["k"], left_ts="pts", right_ts="rts",
+                      right_cols=[], tiebreak="rid")
+    assert set(out.columns) == {"pid", "k", "pts", "rts_asof"}
+
+
+def test_tumbling_agg_accepts_unaliased_aggs(spark):
+    ev = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:05:00"), 2.0)], "id long, ts timestamp, v double")
+    out = E.tumbling_agg(ev, "1 hour", aggs=[F.sum(F.col("v").cast("decimal(18,2)"))])
+    row = out.collect()[0]
+    assert float(row[-1]) == 2.0  # unaliased agg still surfaces
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest as _pytest
+    from localsql_spark.operators.dedup import connected_components
+
+    # a 10-node chain has diameter 9 > max_iter=2
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_a long, doc_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+
+
+def test_hll_ignores_nulls(spark):
+    from localsql_spark.operators.sketches import hll_estimate
+
+    df = spark.createDataFrame([(1,), (2,), (None,), (None,)], "k int")
+    row = hll_estimate(df, "k").collect()[0]
+    assert row["n_buckets_seen"] == 2  # no phantom NULL register

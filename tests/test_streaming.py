@@ -84,7 +84,8 @@ def test_foreachbatch_upsert_latest_version_wins(spark, tmp_path):
     stream_upsert_parquet(spark, source_dir=str(src), schema=schema,
                           key="k", version="ver", out_dir=out,
                           checkpoint_dir=ck)
-    assert spark.read.parquet(out).count() == 100
+    from localsql_spark.streaming.foreach_upsert import read_table
+    assert read_table(spark, out).count() == 100
 
     # overlapping second delivery with a newer version for keys 50-149
     (spark.range(50, 150).select(F.col("id").alias("k"),
@@ -93,7 +94,7 @@ def test_foreachbatch_upsert_latest_version_wins(spark, tmp_path):
     stream_upsert_parquet(spark, source_dir=str(src), schema=schema,
                           key="k", version="ver", out_dir=out,
                           checkpoint_dir=ck)
-    table = spark.read.parquet(out)
+    table = read_table(spark, out)
     assert table.count() == 150, "upsert must not duplicate keys"
     assert table.filter((F.col("k") == 75) & (F.col("v") == 2)).count() == 1
     assert table.filter((F.col("k") == 25) & (F.col("v") == 1)).count() == 1
