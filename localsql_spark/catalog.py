@@ -126,7 +126,16 @@ def register_testdata(spark: SparkSession, sf_dir: str,
 
 
 def tables_descr(spark: SparkSession, tables: dict[str, DataFrame]) -> DataFrame:
-    """Catalog-stats table ['Table','Rows','Columns'] (reference:
-    localsql/localsql.py:50-54; bytes omitted — not meaningful pre-collect)."""
-    rows = [(n, df.count(), len(df.columns)) for n, df in sorted(tables.items())]
-    return spark.createDataFrame(rows, "Table string, Rows long, Columns long")
+    """Catalog-stats table ['Table','Rows','Columns','Bytes'] (reference:
+    localsql/localsql.py:50-54). The reference reports pandas in-memory
+    bytes; distributed data has no single resident size, so Bytes here is
+    row_count x average UnsafeRow-ish size from a 1000-row sample — an
+    estimate, which is what a catalog stat is for."""
+    rows = []
+    for n, df in sorted(tables.items()):
+        count = df.count()
+        sample = df.limit(1000).collect()
+        avg = (sum(len(str(r)) for r in sample) / len(sample)) if sample else 0
+        rows.append((n, count, len(df.columns), int(count * avg)))
+    return spark.createDataFrame(
+        rows, "Table string, Rows long, Columns long, Bytes long")
