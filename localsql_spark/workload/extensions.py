@@ -738,3 +738,47 @@ def decontaminate_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id",
                     F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
                     F.col("n_shared").isNotNull().alias("contaminated")))
+
+
+@query("text_bpe_token_count", oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text),
+         '(?:''s|''t|''re|''ve|''m|''ll|''d)|( ?[a-z]+)|( ?[0-9]+)|( ?[^\s a-z0-9]+)'))
+         AS BIGINT) AS bpe_tokens,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens
+FROM documents
+""")
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenizer count (GPT-2-shaped pattern: contraction
+    suffixes, space-prefixed letter/digit/punct runs) next to the whitespace
+    count — the cheap token-budget estimator before real BPE; row-local
+    regex, zero shuffles."""
+    docs = load(spark, sf_dir)["documents"]
+    pat = r"(?:'s|'t|'re|'ve|'m|'ll|'d)| ?[a-z]+| ?[0-9]+| ?[^\s a-z0-9]+"
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(pat), F.lit(0)))
+         .cast("long").alias("bpe_tokens"),
+        T.token_count_ws(F.col("text")).alias("ws_tokens"))
+
+
+@query("mix_sources_weighted", oracle="""
+SELECT doc_id, source,
+       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+         % 100 AS bucket
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+      < CASE source WHEN 'web' THEN 80 WHEN 'books' THEN 50 ELSE 20 END
+""")
+def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixing: per-source sampling rates (web 80%, books
+    50%, rest 20%) via the deterministic hash-mod bucket — the mixture-
+    weights step of corpus assembly; reproducible across runs and engines,
+    pushdown-friendly, zero shuffles."""
+    docs = load(spark, sf_dir)["documents"]
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                     16, 10).cast("long") % 100)
+    rate = (F.when(F.col("source") == "web", 80)
+            .when(F.col("source") == "books", 50).otherwise(20))
+    return (docs.filter(bucket < rate)
+            .select("doc_id", "source", bucket.alias("bucket")))
