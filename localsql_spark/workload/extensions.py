@@ -768,17 +768,19 @@ SELECT doc_id, source,
          % 100 AS bucket
 FROM documents
 WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
-      < CASE source WHEN 'web' THEN 80 WHEN 'books' THEN 50 ELSE 20 END
+      < CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 80
+             WHEN CAST(substr(source, 4) AS INT) < 10 THEN 50
+             ELSE 20 END
 """)
 def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted dataset mixing: per-source sampling rates (web 80%, books
-    50%, rest 20%) via the deterministic hash-mod bucket — the mixture-
-    weights step of corpus assembly; reproducible across runs and engines,
-    pushdown-friendly, zero shuffles."""
+    """Weighted dataset mixing: per-source sampling rates (src0-4: 80%,
+    src5-9: 50%, rest: 20%) via the deterministic hash-mod bucket — the
+    mixture-weights step of corpus assembly; reproducible across runs and
+    engines, pushdown-friendly, zero shuffles."""
     docs = load(spark, sf_dir)["documents"]
     bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
                      16, 10).cast("long") % 100)
-    rate = (F.when(F.col("source") == "web", 80)
-            .when(F.col("source") == "books", 50).otherwise(20))
+    src_id = F.substring("source", 4, 10).cast("int")
+    rate = F.when(src_id < 5, 80).when(src_id < 10, 50).otherwise(20)
     return (docs.filter(bucket < rate)
             .select("doc_id", "source", bucket.alias("bucket")))
