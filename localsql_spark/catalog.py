@@ -17,10 +17,12 @@ from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from localsql_spark.sources.readers import df_from_file, SUPPORTED_EXTS
+from localsql_spark.sources.readers import COMPRESSORS, SUPPORTED_EXTS, df_from_file
 
-# reference: localsql/localsql.py:41 — special chars mapped to "_"
-_RE_SPECIAL = re.compile(r"""[:*?\-<=>|"'.{}\[\]() ]""")
+# reference: localsql/localsql.py:41 maps a fixed char list to "_"; widened
+# here to every non-identifier char so names like report#1.csv can't produce
+# an invalid view identifier (which would fail registration silently)
+_RE_SPECIAL = re.compile(r"[^A-Za-z0-9_]")
 _RE_UNDERSCORES = re.compile(r"__+")
 
 
@@ -58,7 +60,8 @@ def discover_files(directory: str | Path, recursive: bool = False) -> list[Path]
             continue
         suffixes = [s.lstrip(".").lower() for s in p.suffixes]
         if suffixes and (suffixes[-1] in SUPPORTED_EXTS
-                         or (len(suffixes) >= 2 and suffixes[-2] in SUPPORTED_EXTS)):
+                         or (len(suffixes) >= 2 and suffixes[-1] in COMPRESSORS
+                             and suffixes[-2] in SUPPORTED_EXTS)):
             out.append(p)
     return out
 

@@ -76,7 +76,10 @@ class LocalSparkSQL:
         """Python escape hatch (reference: localsql/localsql.py:245-260)."""
         from pyspark.sql import functions as F  # noqa: N812
 
-        ns = {"spark": self.spark, "tables": self.tables, "F": F, "self": self}
+        if not hasattr(self, "_py_ns"):  # persists across \lpy lines
+            self._py_ns = {"spark": self.spark, "tables": self.tables,
+                           "F": F, "self": self}
+        ns = self._py_ns
         try:
             return eval(command, ns)  # noqa: S307 — REPL escape hatch by design
         except SyntaxError:
@@ -91,9 +94,8 @@ class LocalSparkSQL:
                 print(name)
             return None
         if cmd == "\\td":
-            descr = tables_descr(self.spark, self.tables)
-            descr.show(truncate=False)
-            return descr
+            # returned (not shown here): run_line/one-shot prints it once
+            return tables_descr(self.spark, self.tables)
         if cmd == "\\s":
             if self.latest_result is None:
                 raise RuntimeError("no result to save")

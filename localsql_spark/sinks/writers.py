@@ -27,11 +27,16 @@ def export_result(df: DataFrame, path: str | Path, *,
     path = str(path)
     ext = Path(path).suffix.lstrip(".").lower()
     if ext == "csv":
-        out = df.coalesce(1) if single_file else df
-        out.write.mode("overwrite").option("header", True).csv(path)
+        if single_file:
+            _write_single_file(df, path, "csv",
+                               writer_opts={"header": True})
+        else:
+            df.write.mode("overwrite").option("header", True).csv(path)
     elif ext in ("json", "jsonl", "ndjson"):
-        out = df.coalesce(1) if single_file else df
-        out.write.mode("overwrite").json(path)
+        if single_file:
+            _write_single_file(df, path, "json")
+        else:
+            df.write.mode("overwrite").json(path)
     elif ext == "xlsx":
         n = df.limit(XLSX_MAX_ROWS + 1).count()
         if n > XLSX_MAX_ROWS:
@@ -46,6 +51,27 @@ def export_result(df: DataFrame, path: str | Path, *,
     else:
         raise ValueError(f"unsupported export format {ext!r}")
     return path
+
+
+def _write_single_file(df: DataFrame, path: str, fmt: str,
+                       writer_opts: dict | None = None) -> None:
+    """Write ONE plain file at ``path`` (reference \\s semantics): Spark
+    writes a 1-partition directory to a temp location, then the single part
+    file moves to the target. Guarded by coalesce(1) — only for results that
+    fit one writer; use single_file=False for big distributed exports."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="export_")
+    out_dir = f"{tmp}/out"
+    writer = df.coalesce(1).write.mode("overwrite")
+    for k, v in (writer_opts or {}).items():
+        writer = writer.option(k, v)
+    getattr(writer, fmt)(out_dir)
+    part = next(p for p in Path(out_dir).iterdir()
+                if p.name.startswith("part-"))
+    shutil.move(str(part), path)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _write_xlsx_stdlib(pdf, path: str) -> None:
@@ -65,6 +91,8 @@ def _write_xlsx_stdlib(pdf, path: str) -> None:
 
     def cell(ri: int, ci: int, v) -> str:
         ref = f"{col_ref(ci)}{ri}"
+        if hasattr(v, "item"):  # numpy scalar -> python scalar
+            v = v.item()
         if v is None or (isinstance(v, float) and v != v):
             return ""
         if isinstance(v, bool):

@@ -53,8 +53,28 @@ def sniff_format(file: str | Path) -> tuple[str | None, str | None]:
     return fmt, None
 
 
+_TEMPFILES: list[str] = []
+
+
+def _cleanup_tempfiles() -> None:
+    import os
+
+    for f in _TEMPFILES:
+        try:
+            os.unlink(f)
+        except OSError:
+            pass
+
+
+import atexit  # noqa: E402
+
+atexit.register(_cleanup_tempfiles)
+
+
 def _decompress_to_temp(file: Path, comp: str) -> Path:
-    """Driver-side decompression for codecs Spark can't stream (zip/xz)."""
+    """Driver-side decompression for codecs Spark can't stream (zip/xz).
+    Spark reads lazily, so the temp file must outlive this call; it is
+    removed at interpreter exit."""
     openers = {"gz": gzip.open, "bz2": bz2.open, "xz": lzma.open}
     suffix = "".join(Path(file).suffixes[:-1]) or ".dat"
     tmp = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
@@ -66,6 +86,7 @@ def _decompress_to_temp(file: Path, comp: str) -> Path:
         with openers[comp](file, "rb") as f:
             tmp.write(f.read())
     tmp.close()
+    _TEMPFILES.append(tmp.name)
     return Path(tmp.name)
 
 
@@ -116,6 +137,7 @@ def _read_xlsx_stdlib(path: str | Path):
         rows: list[dict[int, object]] = []
         for row in root.iter("{http://schemas.openxmlformats.org/spreadsheetml/2006/main}row"):
             cells: dict[int, object] = {}
+            next_col = 1  # cells without r= are position-implied (legal)
             for c in row:
                 ref = c.get("r", "")
                 col_idx = 0
@@ -124,6 +146,9 @@ def _read_xlsx_stdlib(path: str | Path):
                         col_idx = col_idx * 26 + (ord(ch.upper()) - 64)
                     else:
                         break
+                if col_idx == 0:
+                    col_idx = next_col
+                next_col = col_idx + 1
                 v = c.find("m:v", ns)
                 is_node = c.find("m:is", ns)
                 if v is None and is_node is not None:
@@ -175,10 +200,10 @@ def df_from_file(spark: SparkSession, file: str | Path, *,
     # gz/bz2 stream through Spark's text-based readers natively; zip/xz don't.
     if comp in ("zip", "xz") or (comp and fmt == "xlsx"):
         path = _decompress_to_temp(file, comp)
+    is_tsv = fmt == "tsv"  # sniffed ext, so data.tsv.xz/.zip keep tabs too
     fmt = {"jsonl": "json", "ndjson": "json", "tsv": "csv"}.get(fmt, fmt)
     if fmt == "csv":
-        sep = "\t" if str(file).endswith((".tsv", ".tsv.gz", ".tsv.bz2")) else ","
-        return read_csv(spark, path, sep=sep)
+        return read_csv(spark, path, sep="\t" if is_tsv else ",")
     if fmt == "json":
         df = read_json(spark, path)
         if json_normalize:

@@ -84,13 +84,19 @@ class XlsxReader(DataSourceReader):
             if field.name not in map(str, pdf.columns):
                 pdf[field.name] = None
         pdf = pdf[names]
-        def conv(v):
+        want_str = [isinstance(f.dataType, StringType)
+                    for f in self.schema.fields]
+
+        def conv(v, to_str):
             if v is None or (isinstance(v, float) and v != v):  # None / NaN
                 return None
-            return v.item() if hasattr(v, "item") else v  # numpy -> python
+            v = v.item() if hasattr(v, "item") else v  # numpy -> python
+            # mixed-type (object-dtype) columns infer as string; coerce so a
+            # raw int/bool in them can't crash the Arrow conversion
+            return str(v) if to_str and not isinstance(v, str) else v
 
         for tup in pdf.itertuples(index=False, name=None):
-            yield tuple(conv(v) for v in tup)
+            yield tuple(conv(v, ws) for v, ws in zip(tup, want_str))
 
 
 def register(spark) -> None:

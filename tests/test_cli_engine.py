@@ -39,10 +39,8 @@ def test_latest_result_and_export_csv(eng, tmp_path):
     eng.run_sql("SELECT * FROM t_csv WHERE id <= 2")
     out = tmp_path / "out.csv"
     eng.run_sql(f"\\s {out}")
-    import glob
-    files = glob.glob(str(out / "*.csv"))
-    assert files, "export should write csv part file(s)"
-    body = "".join(open(f).read() for f in files)
+    assert out.is_file(), "export must produce a plain single file"
+    body = out.read_text()
     assert "1,a" in body and "2,b" in body and "3,c" not in body
 
 
@@ -50,10 +48,8 @@ def test_export_jsonl(eng, tmp_path):
     eng.run_sql("SELECT id, v FROM t_csv ORDER BY id")
     out = tmp_path / "out.jsonl"
     eng.run_sql(f"\\s {out}")
-    import glob
-    lines = []
-    for f in glob.glob(str(out / "*.json")):
-        lines += [json.loads(x) for x in open(f).read().splitlines() if x]
+    assert out.is_file(), "export must produce a plain single file"
+    lines = [json.loads(x) for x in out.read_text().splitlines() if x]
     assert {(r["id"], r["v"]) for r in lines} == {(1, "a"), (2, "b"), (3, "c")}
 
 
@@ -155,3 +151,16 @@ def test_sqlite_compat_registered(eng):
         "FROM t_csv ORDER BY id").collect()
     assert rows[0]["t"] == "integer" and rows[0]["g"] is True
     assert rows[1]["g"] is False
+
+
+def test_py_mode_state_persists_across_lines(eng):
+    eng.run_py("x = 41")
+    assert eng.run_py("x + 1") == 42
+
+
+def test_td_prints_once_via_run_line(eng, capsys):
+    from localsql_spark import cli
+
+    cli.run_line(eng, "\\td")
+    out = capsys.readouterr().out
+    assert out.count("t_csv") == 1  # shown exactly once
