@@ -74,7 +74,20 @@ def register_directory(spark: SparkSession, directory: str | Path, *,
     tables: dict[str, DataFrame] = {}
     for f in discover_files(directory, recursive=recursive):
         try:
-            name, df = register_file(spark, f, json_normalize=json_normalize)
+            # distinct files can normalize to the same identifier
+            # ('report#1.csv' and 'report$1.csv' -> report_1_csv); uniquify
+            # with a numeric suffix instead of silently overwriting the view
+            name = tablename_from_file(f)
+            if name in tables:
+                i = 2
+                while f"{name}_{i}" in tables:
+                    i += 1
+                uniq = f"{name}_{i}"
+                if verbose:
+                    print(f"{f}: table name {name!r} taken -> {uniq!r}")
+                name = uniq
+            name, df = register_file(spark, f, json_normalize=json_normalize,
+                                     name=name)
             tables[name] = df
             if verbose:
                 print(f"{f} -> table {name!r} columns={len(df.columns)}")

@@ -80,7 +80,16 @@ def _decompress_to_temp(file: Path, comp: str) -> Path:
     tmp = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
     if comp == "zip":
         with zipfile.ZipFile(file) as z:
-            inner = z.namelist()[0]
+            # real-world zips lead with directory entries or macOS metadata
+            # (__MACOSX/, .DS_Store) — pick the first actual data member
+            inner = next(
+                (i.filename for i in z.infolist()
+                 if not i.is_dir()
+                 and not i.filename.startswith("__MACOSX")
+                 and not Path(i.filename).name.startswith(".")),
+                None)
+            if inner is None:
+                raise ValueError(f"no data member found in {file}")
             tmp.write(z.read(inner))
     else:
         with openers[comp](file, "rb") as f:
@@ -197,8 +206,10 @@ def df_from_file(spark: SparkSession, file: str | Path, *,
     if fmt is None:
         raise ValueError(f"cannot determine format of {file}")
     path: Path = file
-    # gz/bz2 stream through Spark's text-based readers natively; zip/xz don't.
-    if comp in ("zip", "xz") or (comp and fmt == "xlsx"):
+    # gz/bz2 stream through Spark's TEXT-based readers natively (csv/json);
+    # zip/xz never stream, and the binary formats (xlsx/parquet) can't go
+    # through the codec path at all — those decompress driver-side.
+    if comp in ("zip", "xz") or (comp and fmt in ("xlsx", "parquet")):
         path = _decompress_to_temp(file, comp)
     is_tsv = fmt == "tsv"  # sniffed ext, so data.tsv.xz/.zip keep tabs too
     fmt = {"jsonl": "json", "ndjson": "json", "tsv": "csv"}.get(fmt, fmt)

@@ -17,6 +17,7 @@ changes.
 
 from __future__ import annotations
 
+import os
 import shutil
 from pathlib import Path
 
@@ -54,6 +55,39 @@ def read_table(spark: SparkSession, out_dir: str) -> DataFrame | None:
     return spark.read.parquet(str(gen)) if gen is not None else None
 
 
+def apply_batch(batch_df: DataFrame, batch_id: int, *, key: str,
+                version: str, out_dir: str) -> bool:
+    """Merge ONE micro-batch into the generation-pointer table. Returns True
+    if applied, False if skipped as an already-applied redelivery.
+
+    Crash-recovery contract: if a failure lands after the _CURRENT pointer
+    flipped to ``gen_{batch_id}`` but before the streaming checkpoint
+    committed, restart re-delivers the same batch_id; re-running the merge
+    would make ``read_table`` read the very gen directory the overwrite
+    targets. The batch is already fully applied at that point (the pointer
+    only flips after a successful write), so the redelivery is skipped.
+    """
+    spark = batch_df.sparkSession
+    new_gen = f"gen_{batch_id}"
+    old = _current_generation(out_dir)
+    if old is not None and old.name == new_gen:
+        return False
+    # existence is checked explicitly — any OTHER read failure must
+    # propagate, not silently restart the table from this batch
+    existing = read_table(spark, out_dir)
+    result = merge_upsert(existing, batch_df, key=key, version=version)
+    # write the new generation FIRST, then flip the pointer atomically
+    # (temp + rename): a failure mid-write leaves the previous generation
+    # untouched, and the pointer can never be observed half-written
+    result.write.mode("overwrite").parquet(str(Path(out_dir) / new_gen))
+    tmp = Path(out_dir) / "_CURRENT.tmp"
+    tmp.write_text(new_gen)
+    os.replace(tmp, Path(out_dir) / "_CURRENT")
+    if old is not None and old.name != new_gen:
+        shutil.rmtree(old, ignore_errors=True)
+    return True
+
+
 def stream_upsert_parquet(spark: SparkSession, *, source_dir: str,
                           schema: str, key: str, version: str,
                           out_dir: str, checkpoint_dir: str) -> None:
@@ -62,18 +96,8 @@ def stream_upsert_parquet(spark: SparkSession, *, source_dir: str,
     Path(out_dir).mkdir(parents=True, exist_ok=True)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        # existence is checked explicitly — any OTHER read failure must
-        # propagate, not silently restart the table from this batch
-        existing = read_table(spark, out_dir)
-        result = merge_upsert(existing, batch_df, key=key, version=version)
-        # write the new generation FIRST, then flip the pointer: a failure
-        # mid-write leaves the previous generation untouched
-        new_gen = f"gen_{batch_id}"
-        result.write.mode("overwrite").parquet(str(Path(out_dir) / new_gen))
-        old = _current_generation(out_dir)
-        (Path(out_dir) / "_CURRENT").write_text(new_gen)
-        if old is not None and old.name != new_gen:
-            shutil.rmtree(old, ignore_errors=True)
+        apply_batch(batch_df, batch_id, key=key, version=version,
+                    out_dir=out_dir)
 
     q = (spark.readStream.schema(schema).parquet(source_dir)
          .writeStream.foreachBatch(upsert)

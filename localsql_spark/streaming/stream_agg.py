@@ -171,7 +171,10 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained = _drain_to_memory(out, "stateful_user_stats_sink", "update")
     # update mode emits once per key PER BATCH; if the backlog split into
     # several micro-batches a user appears multiple times with intermediate
-    # running totals — keep the final (maximal, totals are monotone) emission
+    # running totals — keep the final emission, identified by max n_events
+    # (strictly increasing: a key only emits when its batch has rows). The
+    # total is paired to that emission via max_by, NOT maxed independently —
+    # with negative event values an intermediate total can exceed the final.
     return (drained.groupBy("user_id")
             .agg(F.max("n_events").alias("n_events"),
-                 F.max("sum_value").alias("sum_value")))
+                 F.max_by("sum_value", "n_events").alias("sum_value")))

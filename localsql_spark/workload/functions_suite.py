@@ -72,17 +72,23 @@ def fn_like_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT p_partkey,
        abs(p_retailprice - 1000) AS abs_diff,
        round(p_retailprice, 1) AS price_r1,
-       ceil(p_retailprice) AS price_ceil,
-       floor(p_retailprice) AS price_floor,
+       CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
        CAST(p_size % 7 AS INT) AS size_mod7,
-       sign(p_retailprice - 1200.0) AS price_sign,
+       CAST(sign(p_retailprice - 1200.0) AS INT) AS price_sign,
        CAST(p_size AS DOUBLE) * p_size AS size_sq,
        sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt
 FROM part
 """)
 def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """abs/round/ceil/floor/mod/sign/sqrt — all IEEE-deterministic (sqrt is
-    correctly rounded by spec, unlike exp/ln below)."""
+    correctly rounded by spec, unlike exp/ln below).
+
+    Types pinned on BOTH sides (round-1 driver hash failure): Spark floor/ceil
+    return LONG while DuckDB's return DOUBLE, and Spark signum returns DOUBLE
+    while DuckDB sign() returns TINYINT — numerically equal values hash
+    differently, so floor/ceil are CAST AS BIGINT and sign AS INT in the
+    oracle, matched by .cast() here."""
     part = load(spark, sf_dir)["part"]
     return part.select(
         "p_partkey",
@@ -91,7 +97,7 @@ def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil("p_retailprice").alias("price_ceil"),
         F.floor("p_retailprice").alias("price_floor"),
         (F.col("p_size") % 7).cast("int").alias("size_mod7"),
-        F.signum(F.col("p_retailprice") - 1200.0).alias("price_sign"),
+        F.signum(F.col("p_retailprice") - 1200.0).cast("int").alias("price_sign"),
         (F.col("p_size").cast("double") * F.col("p_size")).alias("size_sq"),
         F.sqrt(F.col("p_size").cast("double")).alias("size_sqrt"))
 

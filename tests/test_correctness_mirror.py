@@ -16,6 +16,23 @@ import pytest
 from tests.conftest import SF_ORACLE
 
 
+def _dtype_family(dtype) -> str:
+    """Collapse a pandas dtype to the family the driver's typed hash would
+    see.  int-vs-float is a REAL mismatch (round-1 ``fn_math_suite`` failed
+    the driver hash on exactly that: 949 vs 949.0), so the mirror must be
+    dtype-sensitive, not value-only."""
+    import pandas as pd
+    if pd.api.types.is_bool_dtype(dtype):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dtype):
+        return "int"
+    if pd.api.types.is_float_dtype(dtype):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dtype):
+        return "datetime"
+    return "object"
+
+
 def _normalize(df) -> list[tuple]:
     """pandas DataFrame -> sorted list of value tuples with columns sorted by
     name, floats rounded to 9 significant-ish decimals, NaN -> None."""
@@ -54,6 +71,12 @@ def test_query_matches_oracle(spark, duck, name, fn, oracle):
     assert sorted(sdf.columns) == sorted(ddf.columns), (
         f"{name}: column mismatch {sorted(sdf.columns)} vs {sorted(ddf.columns)}")
     assert len(sdf) == len(ddf), f"{name}: row count {len(sdf)} vs {len(ddf)}"
+    type_mismatch = {
+        c: (_dtype_family(sdf[c].dtype), _dtype_family(ddf[c].dtype))
+        for c in sdf.columns
+        if _dtype_family(sdf[c].dtype) != _dtype_family(ddf[c].dtype)}
+    assert not type_mismatch, (
+        f"{name}: dtype-family mismatch (spark, oracle): {type_mismatch}")
     srows, drows = _normalize(sdf), _normalize(ddf)
     mismatches = [(a, b) for a, b in zip(srows, drows) if a != b]
     assert not mismatches, f"{name}: {len(mismatches)} mismatching rows; first: {mismatches[:3]}"

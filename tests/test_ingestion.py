@@ -229,3 +229,46 @@ def test_xlsx_datasource_distributed(spark, example_dir, tmp_path):
     many = spark.read.format("xlsx").load(str(d))
     assert many.count() == 10
     assert many.rdd.getNumPartitions() == 2
+
+
+def test_zip_skips_directory_and_metadata_entries(spark, tmp_path):
+    """Real-world zips lead with folder prefixes and __MACOSX metadata; the
+    reader must pick the first actual data member (ADVICE r1)."""
+    target = tmp_path / "data.csv.zip"
+    with zipfile.ZipFile(target, "w") as z:
+        z.writestr("folder/", "")                       # directory entry
+        z.writestr("__MACOSX/._data.csv", "junk")       # macOS metadata
+        z.writestr("folder/.DS_Store", "junk")          # hidden file
+        z.writestr("folder/data.csv", F1_CSV)           # the real payload
+    df = df_from_file(spark, target)
+    assert df.count() == 3
+    assert df.columns == ["id", "b", "c"]
+
+
+def test_gz_parquet_decompresses_driver_side(spark, tmp_path):
+    """parquet is a binary format — .parquet.gz cannot stream through the
+    text codec path and must decompress driver-side (ADVICE r1)."""
+    plain = tmp_path / "t.parquet"
+    spark.range(0, 10).toDF("n").coalesce(1).write.parquet(str(tmp_path / "pq"))
+    import shutil as _sh
+    part = next((tmp_path / "pq").glob("part-*.parquet"))
+    _sh.copy(part, plain)
+    gz = tmp_path / "t.parquet.gz"
+    with open(plain, "rb") as fin, gzip.open(gz, "wb") as fout:
+        fout.write(fin.read())
+    df = df_from_file(spark, gz)
+    assert df.count() == 10
+    assert sorted(r["n"] for r in df.collect()) == list(range(10))
+
+
+def test_register_directory_uniquifies_name_collisions(spark, tmp_path):
+    """Distinct files normalizing to the same identifier must BOTH survive
+    registration, not silently overwrite (ADVICE r1)."""
+    from localsql_spark.catalog import register_directory
+
+    (tmp_path / "report#1.csv").write_text("a\n1\n")
+    (tmp_path / "report$1.csv").write_text("b\n2\n")
+    tables = register_directory(spark, tmp_path, verbose=False)
+    assert sorted(tables) == ["report_1_csv", "report_1_csv_2"]
+    cols = {name: df.columns for name, df in tables.items()}
+    assert sorted(cols.values()) == [["a"], ["b"]]

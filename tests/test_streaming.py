@@ -98,3 +98,33 @@ def test_foreachbatch_upsert_latest_version_wins(spark, tmp_path):
     assert table.count() == 150, "upsert must not duplicate keys"
     assert table.filter((F.col("k") == 75) & (F.col("v") == 2)).count() == 1
     assert table.filter((F.col("k") == 25) & (F.col("v") == 1)).count() == 1
+
+
+def test_upsert_redelivery_after_pointer_flip_is_skipped(spark, tmp_path):
+    """Crash window: pointer flipped to gen_N but the streaming checkpoint
+    didn't commit -> restart re-delivers batch N. The re-applied batch must
+    be skipped (already merged), not overwrite the directory being read
+    (ADVICE r1, medium)."""
+    from localsql_spark.streaming.foreach_upsert import apply_batch, read_table
+
+    out = str(tmp_path / "table")
+    (tmp_path / "table").mkdir()
+    batch = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.lit(1).alias("v"), F.lit(1).alias("ver"))
+
+    assert apply_batch(batch, 0, key="k", version="ver", out_dir=out) is True
+    assert read_table(spark, out).count() == 50
+
+    # same batch_id again == checkpoint redelivery: must be a no-op
+    assert apply_batch(batch, 0, key="k", version="ver", out_dir=out) is False
+    table = read_table(spark, out)
+    assert table.count() == 50
+    assert table.filter(F.col("v") == 1).count() == 50
+
+    # and the NEXT batch still applies normally on top
+    batch2 = spark.range(25, 75).select(
+        F.col("id").alias("k"), F.lit(2).alias("v"), F.lit(2).alias("ver"))
+    assert apply_batch(batch2, 1, key="k", version="ver", out_dir=out) is True
+    table = read_table(spark, out)
+    assert table.count() == 75
+    assert table.filter((F.col("k") == 30) & (F.col("v") == 2)).count() == 1
