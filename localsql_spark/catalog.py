@@ -124,13 +124,25 @@ def _normalize_nanos(path: Path) -> Path:
     return out
 
 
+# keyed by (session, sf_dir, tables): every workload query calls load() ->
+# register_testdata, and re-reading 10 parquet footers + re-registering 10
+# views per query is pure fixed overhead (~the dominant cost of a small-sf
+# benchmark run). Views are session-scoped, so the session id is in the key.
+_TESTDATA_CACHE: dict[tuple[int, str, tuple[str, ...]], dict[str, DataFrame]] = {}
+
+
 def register_testdata(spark: SparkSession, sf_dir: str,
                       tables: Iterable[str] = ("region", "nation", "customer",
                                                "supplier", "part", "orders",
                                                "lineitem", "events",
                                                "documents", "embeddings"),
                       ) -> dict[str, DataFrame]:
-    """Register the driver's parquet tables from an sf directory as views."""
+    """Register the driver's parquet tables from an sf directory as views
+    (memoized per session + directory)."""
+    key = (id(spark), str(sf_dir), tuple(tables))
+    cached = _TESTDATA_CACHE.get(key)
+    if cached is not None:
+        return cached
     out = {}
     for t in tables:
         path = Path(f"{sf_dir}/{t}.parquet")
@@ -138,6 +150,7 @@ def register_testdata(spark: SparkSession, sf_dir: str,
             df = spark.read.parquet(str(_normalize_nanos(path)))
             df.createOrReplaceTempView(t)
             out[t] = df
+    _TESTDATA_CACHE[key] = out
     return out
 
 

@@ -39,20 +39,31 @@ def completion_words(eng: LocalSparkSQL) -> list[str]:
 
 
 def build_parser() -> argparse.ArgumentParser:
+    from localsql_spark import __version__
+
     p = argparse.ArgumentParser(
         prog="localsql-spark",
         description="SQL over local data files, executed by Spark")
     p.add_argument("files", nargs="*", help="data files to load as tables")
     p.add_argument("-d", "--directory", help="load every readable file in DIR")
     p.add_argument("-r", "--recursive", action="store_true",
-                   help="with -d: recurse into subdirectories")
+                   help="recurse into subdirectories (of -d DIR, or of .)")
     p.add_argument("-q", "--query", help="run one query and exit")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="verbose mode (Spark warnings + Python warnings shown)")
     p.add_argument("-s", "--silent", action="store_true",
                    help="suppress load chatter (pure result on stdout)")
     p.add_argument("-jn", "--json-normalize", action="store_true",
                    help="flatten nested JSON into dotted columns")
+    p.add_argument("--version", "-V", action="version",
+                   version=f"localsql-spark/{__version__}")
     p.add_argument("--master", default=None,
                    help="Spark master (default local[$SPARK_GRAFT_CPUS])")
+    try:  # optional shell completion (reference: localsql/localsql.py:6,278)
+        import argcomplete
+        argcomplete.autocomplete(p)
+    except ImportError:
+        pass
     return p
 
 
@@ -93,7 +104,14 @@ def repl(eng: LocalSparkSQL) -> None:
             history = FileHistory(str(HISTORY_FILE))
         except OSError:  # unwritable home — run without history
             pass
-        session = PromptSession(history=history)
+        lexer = None
+        try:  # SQL syntax highlighting when pygments is importable
+            from prompt_toolkit.lexers import PygmentsLexer
+            from pygments.lexers.sql import SqlLexer
+            lexer = PygmentsLexer(SqlLexer)
+        except ImportError:
+            pass
+        session = PromptSession(history=history, lexer=lexer)
         completer = WordCompleter(completion_words(eng), ignore_case=True)
         prompt_fn = lambda: session.prompt("> ", completer=completer)  # noqa: E731
     except ImportError:
@@ -115,11 +133,17 @@ def main(argv: list[str] | None = None) -> int:
 
     eng = LocalSparkSQL(get_spark(app_name="localsql_spark_cli",
                                   master=args.master))
-    eng.spark.sparkContext.setLogLevel("ERROR")
+    eng.spark.sparkContext.setLogLevel("WARN" if args.verbose else "ERROR")
+    if not args.verbose:
+        import warnings
+        warnings.simplefilter("ignore")
 
     verbose = not args.silent
-    if args.directory:
-        eng.load_directory(args.directory, recursive=args.recursive,
+    directory = args.directory
+    if directory is None and args.recursive and not args.files:
+        directory = "."  # bare -r searches the cwd (reference: localsql.py:293-296)
+    if directory:
+        eng.load_directory(directory, recursive=args.recursive,
                            json_normalize=args.json_normalize,
                            verbose=verbose)
     for f in args.files:
@@ -130,6 +154,9 @@ def main(argv: list[str] | None = None) -> int:
         except Exception as e:  # noqa: BLE001 — per-file isolation
             if verbose:
                 print(f"{f}: {e}", file=sys.stderr)
+    if not eng.tables and verbose:
+        print("Supported files not found. Try -r, -d or --help",
+              file=sys.stderr)
 
     if args.query is not None:  # one-shot mode
         result = eng.run_sql(args.query)

@@ -61,8 +61,9 @@ class LocalSparkSQL:
         if query.startswith("\\"):
             return self.special(query)
         if query in self.tables:
-            # bare table name -> schema info (reference: localsql/localsql.py:226-228)
-            self.tables[query].printSchema()
+            # bare table name -> info dump (reference: localsql/localsql.py:226-228
+            # calls pandas df.info(): schema + entries + non-null counts)
+            self.table_info(query)
             return None
         try:
             result = self.spark.sql(query)
@@ -86,6 +87,29 @@ class LocalSparkSQL:
             exec(command, ns)  # noqa: S102
             return None
 
+    def table_info(self, name: str) -> None:
+        """``df.info()``-style dump for a bare table name: schema, row count,
+        and per-column non-null counts — all from ONE distributed aggregate
+        (no per-column jobs; reference: localsql/localsql.py:226-228)."""
+        from pyspark.sql import functions as F  # noqa: N812
+
+        df = self.tables[name]
+        df.printSchema()
+        stats = df.agg(
+            F.count(F.lit(1)).alias("__rows"),
+            *[F.count(c).alias(c) for c in df.columns]).collect()[0]
+        print(f"{stats['__rows']} entries, {len(df.columns)} columns")
+        for c in df.columns:
+            print(f"  {c}: {stats[c]} non-null")
+
+    SPECIAL_HELP = (
+        "  \\t     List of tables.\n"
+        "  \\td    Detailed list of tables.\n"
+        "  \\s     Save last not empty results to file.\n"
+        "  \\pp    Toggle pretty print.\n"
+        "  \\lpy   Python commands mode\n"
+        "  \\lsql  SQL commands mode\n")
+
     # -- special commands ---------------------------------------------------
     def special(self, command: str) -> DataFrame | None:
         cmd, _, args = command.partition(" ")
@@ -98,11 +122,18 @@ class LocalSparkSQL:
             return tables_descr(self.spark, self.tables)
         if cmd == "\\s":
             if self.latest_result is None:
-                raise RuntimeError("no result to save")
-            export_result(self.latest_result, args.strip())
+                raise RuntimeError(
+                    "no result to save — run the query before save")
+            target = args.strip()
+            export_result(self.latest_result, target)
+            # feedback on stderr (reference eprints, localsql.py:188) so the
+            # one-shot -s stdout stays pure result
+            import sys
+            print(f"Result saved to {target}", file=sys.stderr)
             return None
         if cmd == "\\pp":
             self.pretty = not self.pretty
+            print("Pretty print " + ("ON" if self.pretty else "OFF"))
             return None
         if cmd == "\\lpy":
             self.py_mode = True
@@ -110,7 +141,11 @@ class LocalSparkSQL:
         if cmd == "\\lsql":
             self.py_mode = False
             return None
-        raise RuntimeError(f"unknown special command {cmd!r}")
+        # unknown special -> help cheat sheet, non-fatal
+        # (reference: localsql/localsql.py:161-167)
+        print(f"Unrecognized special command: {cmd}")
+        print(self.SPECIAL_HELP)
+        return None
 
     # -- presentation -------------------------------------------------------
     def print_result(self, df: DataFrame, transpose: bool = False,

@@ -3,7 +3,23 @@ text analysis, event-time, multimodal."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark size confs come back as '134217728', '134217728b', or '128m'."""
+    v = v.strip().lower()
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if v.endswith(suffix):
+            v, mult = v[:-1], m
+            break
+    else:
+        if v.endswith("b"):
+            v = v[:-1]
+    return int(v) * mult
 
 
 def spread(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
@@ -12,12 +28,61 @@ def spread(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     Small local files arrive as a single input split, which serializes every
     downstream expression/UDF on one core (observed 3-8x wall-time loss on
     the doc/embedding operators).  Repartition to the default parallelism
-    when the input has fewer than ``min_fraction`` x that many partitions;
-    at real scale inputs already have >= cores splits and this is a no-op —
-    the shuffle is only paid exactly when the cluster would otherwise idle.
+    when the scan would produce fewer than ``min_fraction`` x that many
+    splits; at real scale inputs already have >= cores splits and this is a
+    no-op — the shuffle is only paid exactly when the cluster would otherwise
+    idle.
+
+    The split estimate is plan-side (``df.inputFiles()`` + file sizes vs
+    ``spark.sql.files.maxPartitionBytes``), NOT ``df.rdd.getNumPartitions()``
+    — the RDD probe forces a DataFrame->RDD conversion per operator call.
+    Non-file plans and non-local storage are left untouched: their
+    partitioning already comes from shuffle sizing or the source's own splits.
     """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2.0, target * min_fraction):
+    sess = df.sparkSession
+    target = sess.sparkContext.defaultParallelism
+    threshold = max(2, int(target * min_fraction))
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — estimate only, never fail the query
+        return df
+    if not files:
+        return df
+    total = 0
+    for f in files:
+        if not f.startswith("file:"):
+            return df  # remote storage: trust the source's split planning
+        try:
+            total += os.path.getsize(f.removeprefix("file:"))
+        except OSError:
+            return df
+    max_bytes = _parse_bytes(
+        sess.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    est_splits = max(len(files), -(-total // max_bytes))
+    if est_splits < threshold:
         return df.repartition(target)
     return df
+
+
+# -- persist lifecycle --------------------------------------------------------
+# Operators that persist intermediates (LSH signatures, CC labels) register
+# them here so long-lived sessions (REPL, repeated pipeline runs) can release
+# storage instead of accumulating cached tables.
+
+_PERSISTED: list[DataFrame] = []
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """persist() + register for a later ``cleanup()``."""
+    df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def cleanup() -> int:
+    """Unpersist every operator-cached DataFrame; returns how many."""
+    n = 0
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+        n += 1
+    return n

@@ -26,7 +26,7 @@ import operator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from localsql_spark.operators import spread
+from localsql_spark.operators import spread, track_persist
 from localsql_spark.operators.text import normalize_text, word_shingles
 
 N_MINHASH = 16
@@ -102,9 +102,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # stage).  Without the persist barrier Catalyst's projection collapse
     # inlines the signature fold into every element_at reference — n-fold
     # recompute per side (~25x wall time at sf0.1).
-    sig = (spread(df).select(F.col(id_col).alias("doc_id"),
-                     minhash_signature(F.col(text_col), n).alias("sig"))
-           .persist())
+    # registered via track_persist so operators.cleanup() can release it in a
+    # long-lived REPL session (repeated dedup calls must not accumulate cache)
+    sig = track_persist(
+        spread(df).select(F.col(id_col).alias("doc_id"),
+                          minhash_signature(F.col(text_col), n).alias("sig")))
     band_arr = F.array(*[
         F.md5(F.concat_ws("|", *[F.element_at("sig", b * rows + r + 1)
                                  for r in range(rows)]))
@@ -216,18 +218,17 @@ def connected_components(edges: DataFrame, a_col: str = "doc_a",
     sym = (edges.select(F.col(a_col).alias("s"), F.col(b_col).alias("t"))
            .unionByName(edges.select(F.col(b_col).alias("s"),
                                      F.col(a_col).alias("t"))))
-    sym = sym.distinct().persist()
-    labels = (sym.select(F.col("s").alias("node")).distinct()
-              .withColumn("label", F.col("node")).persist())
+    sym = track_persist(sym.distinct())
+    labels = track_persist(sym.select(F.col("s").alias("node")).distinct()
+                           .withColumn("label", F.col("node")))
     for _ in range(max_iter):
         neighbor_min = (sym.join(labels, sym.t == labels.node)
                         .groupBy("s").agg(F.min("label").alias("nmin")))
-        new_labels = (labels.join(neighbor_min,
-                                  labels.node == neighbor_min.s, "left")
-                      .select("node",
-                              F.least("label", F.coalesce("nmin", "label"))
-                              .alias("label"))
-                      .persist())
+        new_labels = track_persist(
+            labels.join(neighbor_min, labels.node == neighbor_min.s, "left")
+            .select("node",
+                    F.least("label", F.coalesce("nmin", "label"))
+                    .alias("label")))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.label") != F.col("o.label")).count())

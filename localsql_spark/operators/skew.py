@@ -34,6 +34,33 @@ def with_salt(df: DataFrame, n_salts: int, col_name: str = "__salt",
     return df.withColumn(col_name, salt)
 
 
+def _analyzed_plan_string(df: DataFrame) -> str:
+    """Analyzed-plan text via DataFrame internals (no public API exists for
+    this in PySpark as of 4.x). Verified against pyspark 4.1; if the
+    attribute chain moves in a future release, fail with a pointer here
+    rather than an opaque AttributeError deep in a query."""
+    try:
+        return df._jdf.queryExecution().analyzed().toString()
+    except AttributeError as e:
+        import pyspark
+        raise RuntimeError(
+            "salted_agg's DISTINCT validation uses DataFrame._jdf internals "
+            f"that moved in pyspark {pyspark.__version__}; update "
+            "localsql_spark/operators/skew.py:_analyzed_plan_string") from e
+
+
+def _column_string(col: Column) -> str:
+    """Column expression text via Column internals (same caveat as above)."""
+    try:
+        return col._jc.toString()
+    except AttributeError as e:
+        import pyspark
+        raise RuntimeError(
+            "salted_agg's combiner matching uses Column._jc internals "
+            f"that moved in pyspark {pyspark.__version__}; update "
+            "localsql_spark/operators/skew.py:_column_string") from e
+
+
 def salted_agg(df: DataFrame, keys: list[str], aggs: dict[str, Column],
                n_salts: int = 16,
                deterministic_by: str | None = None) -> DataFrame:
@@ -50,7 +77,7 @@ def salted_agg(df: DataFrame, keys: list[str], aggs: dict[str, Column],
     # DISTINCT is invisible in every Column string form (Spark 4 toString
     # drops the flag) — only the analyzed plan shows it. A per-salt DISTINCT
     # double-counts values whose rows span salts, so refuse it.
-    plan = partial._jdf.queryExecution().analyzed().toString()
+    plan = _analyzed_plan_string(partial)
     if "(distinct " in plan.lower():
         raise ValueError(
             "salted_agg cannot re-combine DISTINCT aggregates (a value's "
@@ -59,7 +86,7 @@ def salted_agg(df: DataFrame, keys: list[str], aggs: dict[str, Column],
 
     combiners = []
     for name, expr in aggs.items():
-        fn = expr._jc.toString().lower()
+        fn = _column_string(expr).lower()
         # EXACT function-name match, DISTINCT rejected: count(DISTINCT x)
         # split across salts double-counts values, min_by/max_by under a
         # plain min/max combiner return the wrong column's extremum

@@ -561,9 +561,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-LSH but on a 1-word signature — the cheap first-pass near-dup
     detector at scale."""
     docs = load(spark, sf_dir)["documents"]
-    sh = (spread(docs)
-          .select("doc_id", D.simhash32(F.col("text")).alias("simhash"))
-          .persist())
+    from localsql_spark.operators import track_persist
+    sh = track_persist(
+        spread(docs)
+        .select("doc_id", D.simhash32(F.col("text")).alias("simhash")))
     bands = sh.select(
         "doc_id", "simhash",
         F.posexplode(F.array(*[

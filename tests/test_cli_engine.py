@@ -21,7 +21,25 @@ def eng(spark, tmp_path):
 
 def test_bare_table_name_prints_schema(eng, capsys):
     assert eng.run_sql("t_csv") is None
-    assert "id" in capsys.readouterr().out
+    out = capsys.readouterr().out
+    assert "id" in out
+    # df.info()-parity: entries + per-column non-null counts
+    # (reference: localsql/localsql.py:226-228)
+    assert "3 entries" in out
+    assert "id: 3 non-null" in out
+
+
+def test_pp_and_save_feedback(eng, tmp_path, capsys):
+    """\\pp and \\s announce what they did (reference:
+    localsql/localsql.py:171-206)."""
+    eng.run_sql("\\pp")
+    assert "Pretty print OFF" in capsys.readouterr().out
+    eng.run_sql("\\pp")
+    assert "Pretty print ON" in capsys.readouterr().out
+    eng.run_sql("SELECT * FROM t_csv")
+    out = tmp_path / "fb.csv"
+    eng.run_sql(f"\\s {out}")
+    assert f"Result saved to {out}" in capsys.readouterr().err
 
 
 def test_special_t_lists_tables(eng, capsys):
@@ -81,9 +99,13 @@ def test_error_shaping(eng):
     assert "JVM stack" not in str(ei.value)
 
 
-def test_unknown_special(eng):
-    with pytest.raises(RuntimeError, match="unknown special"):
-        eng.run_sql("\\zz")
+def test_unknown_special_prints_help(eng, capsys):
+    """Typos get the cheat sheet, not an exception (reference:
+    localsql/localsql.py:161-167)."""
+    assert eng.run_sql("\\zz") is None
+    out = capsys.readouterr().out
+    assert "Unrecognized special command" in out
+    assert "\\td" in out and "\\lpy" in out
 
 
 def test_transpose_print(eng, capsys):
@@ -164,3 +186,31 @@ def test_td_prints_once_via_run_line(eng, capsys):
     cli.run_line(eng, "\\td")
     out = capsys.readouterr().out
     assert out.count("t_csv") == 1  # shown exactly once
+
+
+def test_cli_version_flag(capsys):
+    from localsql_spark import cli
+
+    with pytest.raises(SystemExit) as ei:
+        cli.build_parser().parse_args(["--version"])
+    assert ei.value.code == 0
+    assert "localsql-spark/" in capsys.readouterr().out
+
+
+def test_cli_verbose_flag_parses():
+    from localsql_spark import cli
+
+    args = cli.build_parser().parse_args(["-v"])
+    assert args.verbose is True
+    assert cli.build_parser().parse_args([]).verbose is False
+
+
+def test_cli_no_tables_hint(spark, tmp_path, capsys, monkeypatch):
+    """Empty catalog prints the reference's 'try -r, -d or --help' hint."""
+    from localsql_spark import cli
+
+    monkeypatch.chdir(tmp_path)  # nothing loadable here
+    rc = cli.main(["-q", "SELECT 1 AS one"])
+    captured = capsys.readouterr()
+    assert rc == 0
+    assert "Supported files not found" in captured.err

@@ -127,11 +127,25 @@ def test_salted_join_equals_plain_join(spark):
         sorted(map(tuple, plain.select("k", "id", "tag").collect()))
 
 
-def test_spread_is_noop_when_well_partitioned(spark):
-    df = spark.range(0, 100).repartition(64)
-    assert spread(df) is df
-    one = spark.range(0, 100).coalesce(1)
-    assert spread(one).rdd.getNumPartitions() > 1
+def test_spread_repartitions_single_small_file(spark, tmp_path):
+    """One small input split -> repartition to default parallelism; the check
+    is plan-side (inputFiles + sizes), so non-file plans pass through as-is."""
+    p = str(tmp_path / "small")
+    spark.range(0, 1000).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = spread(df)
+    assert out is not df
+    assert out.rdd.getNumPartitions() > 1
+    # non-file plan: left untouched (partitioning comes from shuffle sizing)
+    rng = spark.range(0, 100).coalesce(1)
+    assert spread(rng) is rng
+
+
+def test_spread_is_noop_when_well_partitioned(spark, tmp_path):
+    p = str(tmp_path / "many")
+    spark.range(0, 1000).repartition(64).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert spread(df) is df  # 64 file splits >= parallelism threshold
 
 
 def test_asof_forward_direction(spark, asof_frames):
@@ -234,3 +248,36 @@ def test_hll_ignores_nulls(spark):
     df = spark.createDataFrame([(1,), (2,), (None,), (None,)], "k int")
     row = hll_estimate(df, "k").collect()[0]
     assert row["n_buckets_seen"] == 2  # no phantom NULL register
+
+
+def test_persist_cleanup_releases_operator_caches(spark):
+    """minhash_lsh_pairs persists its signature table; operators.cleanup()
+    must release it (long-lived REPL sessions must not accumulate cache)."""
+    from localsql_spark.operators import _PERSISTED, cleanup
+    from localsql_spark.operators.dedup import minhash_lsh_pairs
+
+    cleanup()  # start from a clean slate
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " + str(i % 3))
+         for i in range(20)], "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df)
+    pairs.count()
+    assert len(_PERSISTED) > 0
+    released = cleanup()
+    assert released > 0 and not _PERSISTED
+    pairs.count()  # recompute after unpersist still works
+
+
+def test_salted_agg_internals_drift_guard():
+    """If DataFrame._jdf / Column._jc move in a future pyspark, salted_agg
+    must fail with a pointer to the helper, not an opaque AttributeError."""
+    from localsql_spark.operators.skew import (_analyzed_plan_string,
+                                               _column_string)
+
+    class NotADataFrame:
+        pass
+
+    with pytest.raises(RuntimeError, match="skew.py"):
+        _analyzed_plan_string(NotADataFrame())
+    with pytest.raises(RuntimeError, match="skew.py"):
+        _column_string(NotADataFrame())
