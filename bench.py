@@ -49,6 +49,9 @@ EXTENSION_HEADLINE = [
     "grouped_zscore_pandas",
     "multimodal_features",
     "pipeline_clean_corpus",
+    "text_tfidf_top_terms",
+    "events_funnel_conversion",
+    "dedup_clusters_bigstar",
 ]
 
 

@@ -214,25 +214,33 @@ def connected_components(edges: DataFrame, a_col: str = "doc_a",
     groupBy, all distributed; the driver only checks the scalar
     changed-count. This is the standard large-scale CC formulation.
     Returns (node, cluster_id).
+
+    Each round ends in ``localCheckpoint()``: iterative plans reference the
+    previous round's frame more than once, so WITHOUT lineage truncation the
+    logical plan grows exponentially in rounds and analysis OOMs the driver
+    around round ~30 (persist alone does not cut the logical plan).  On a
+    cluster where executor loss must not kill the job, swap in
+    ``checkpoint()`` with a durable checkpoint dir — same shape, durable
+    lineage cut.
     """
     sym = (edges.select(F.col(a_col).alias("s"), F.col(b_col).alias("t"))
            .unionByName(edges.select(F.col(b_col).alias("s"),
                                      F.col(a_col).alias("t"))))
     sym = track_persist(sym.distinct())
-    labels = track_persist(sym.select(F.col("s").alias("node")).distinct()
-                           .withColumn("label", F.col("node")))
+    labels = (sym.select(F.col("s").alias("node")).distinct()
+              .withColumn("label", F.col("node")).localCheckpoint())
     for _ in range(max_iter):
         neighbor_min = (sym.join(labels, sym.t == labels.node)
                         .groupBy("s").agg(F.min("label").alias("nmin")))
-        new_labels = track_persist(
+        new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.s, "left")
             .select("node",
                     F.least("label", F.coalesce("nmin", "label"))
-                    .alias("label")))
+                    .alias("label"))
+            .localCheckpoint())
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.label") != F.col("o.label")).count())
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -245,3 +253,85 @@ def connected_components(edges: DataFrame, a_col: str = "doc_a",
             "raise max_iter (components deeper than the round count exist)")
     sym.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def connected_components_bigstar(edges: DataFrame, a_col: str = "doc_a",
+                                 b_col: str = "doc_b",
+                                 max_iter: int = 20) -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds
+    (the MapReduce CC formulation of Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14 — public algorithm).
+
+    Same contract as :func:`connected_components` (every node gets the MIN
+    reachable node id), different convergence: O(log^2 n) rounds regardless
+    of component DIAMETER, vs O(diameter) for min-label propagation.  At
+    100 TB a pathological duplicate chain (each doc near-dups its neighbor)
+    makes diameter-bound propagation crawl; star contraction doesn't care.
+
+    - large-star: every node's larger neighbors re-attach to its local min;
+    - small-star: every node's smaller-or-equal neighbors contract onto it.
+    Both are one groupBy (local min) + one equi-join per round, fully
+    distributed; the driver only compares a (count, hash-sum) fingerprint
+    for the convergence test.
+    """
+    def star(E: DataFrame, larger: bool) -> DataFrame:
+        # E is symmetric (u, v); m(u) = min over the closed neighborhood
+        m = (E.groupBy("u").agg(F.min("v").alias("mn"))
+             .select("u", F.least("u", "mn").alias("m")))
+        if larger:   # large-star: rewire strictly-larger neighbors to m(u)
+            sel = E.filter(F.col("v") > F.col("u"))
+        else:        # small-star: contract smaller-or-equal neighbors onto m(u)
+            sel = E.filter(F.col("v") <= F.col("u"))
+        out = sel.join(m, "u").select(F.col("v").alias("u"),
+                                      F.col("m").alias("v"))
+        if not larger:
+            out = out.unionByName(m.select("u", F.col("m").alias("v")))
+        # drop self-loops, canonicalize, and re-symmetrize for the next op
+        canon = (out.filter(F.col("u") != F.col("v"))
+                 .select(F.greatest("u", "v").alias("u"),
+                         F.least("u", "v").alias("v"))
+                 .distinct())
+        return canon.unionByName(
+            canon.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def fingerprint(E: DataFrame) -> tuple[int, int]:
+        # hash-sum in decimal(38): a LONG sum of 64-bit hashes overflows
+        row = E.agg(F.count(F.lit(1)).alias("n"),
+                    F.coalesce(F.sum(F.xxhash64("u", "v")
+                                     .cast("decimal(38,0)")),
+                               F.lit(0).cast("decimal(38,0)"))
+                    .alias("h")).collect()[0]
+        return row["n"], int(row["h"])
+
+    # localCheckpoint per round: without the lineage cut the alternating-star
+    # plan (each round references the previous E several times) grows
+    # exponentially and OOMs the driver during analysis — see
+    # connected_components for the durability tradeoff.
+    sym = (edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+           .unionByName(edges.select(F.col(b_col).alias("u"),
+                                     F.col(a_col).alias("v")))
+           .filter(F.col("u") != F.col("v"))
+           .distinct().localCheckpoint())
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    E, fp = sym, fingerprint(sym)
+    for _ in range(max_iter):
+        new_E = star(star(E, larger=True), larger=False).localCheckpoint()
+        new_fp = fingerprint(new_E)
+        E = new_E
+        if new_fp == fp:
+            break
+        fp = new_fp
+    else:
+        raise RuntimeError(
+            f"connected_components_bigstar did not converge in {max_iter} "
+            "rounds (expected O(log^2 n) — check for pathological input)")
+    # fixed point: every component is a star centered at its min node; a
+    # non-center's only neighbor is the center, while the center's neighbors
+    # are all LARGER — least(u, min(v)) covers both
+    centers = (E.groupBy("u").agg(F.min("v").alias("mn"))
+               .select("u", F.least("u", "mn").alias("cluster_id")))
+    out = (nodes.join(centers, nodes.node == centers.u, "left")
+           .select("node", F.coalesce(F.col("cluster_id"), F.col("node"))
+                   .alias("cluster_id")))
+    E.unpersist()
+    return out

@@ -48,6 +48,8 @@ def export_result(df: DataFrame, path: str | Path, *,
             _write_xlsx_stdlib(pdf, path)
     elif ext == "parquet":
         df.write.mode("overwrite").parquet(path)
+    elif ext == "orc":
+        df.write.mode("overwrite").orc(path)
     else:
         raise ValueError(f"unsupported export format {ext!r}")
     return path

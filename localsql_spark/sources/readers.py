@@ -35,7 +35,8 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-SUPPORTED_EXTS = ("csv", "tsv", "xlsx", "json", "jsonl", "ndjson", "parquet")
+SUPPORTED_EXTS = ("csv", "tsv", "xlsx", "json", "jsonl", "ndjson", "parquet",
+                  "orc")
 COMPRESSORS = ("gz", "bz2", "zip", "xz")  # reference: localsql/localsql.py:91
 
 
@@ -209,7 +210,7 @@ def df_from_file(spark: SparkSession, file: str | Path, *,
     # gz/bz2 stream through Spark's TEXT-based readers natively (csv/json);
     # zip/xz never stream, and the binary formats (xlsx/parquet) can't go
     # through the codec path at all — those decompress driver-side.
-    if comp in ("zip", "xz") or (comp and fmt in ("xlsx", "parquet")):
+    if comp in ("zip", "xz") or (comp and fmt in ("xlsx", "parquet", "orc")):
         path = _decompress_to_temp(file, comp)
     is_tsv = fmt == "tsv"  # sniffed ext, so data.tsv.xz/.zip keep tabs too
     fmt = {"jsonl": "json", "ndjson": "json", "tsv": "csv"}.get(fmt, fmt)
@@ -225,4 +226,6 @@ def df_from_file(spark: SparkSession, file: str | Path, *,
         return read_excel(spark, path)
     if fmt == "parquet":
         return spark.read.parquet(str(path))
+    if fmt == "orc":
+        return spark.read.orc(str(path))
     raise ValueError(f"unsupported format {fmt!r} for {file}")

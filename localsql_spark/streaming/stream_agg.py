@@ -178,3 +178,45 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (drained.groupBy("user_id")
             .agg(F.max("n_events").alias("n_events"),
                  F.max_by("sum_value", "n_events").alias("sum_value")))
+
+
+def stream_stream_attribution(spark: SparkSession, sf_dir: str,
+                              window: str = "30 minutes",
+                              watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: each purchase attributed to every click
+    by the same user in the preceding ``window``.
+
+    This is the canonical Structured Streaming two-stream join: BOTH sides
+    carry watermarks and the join condition bounds event time on both ends
+    (``click_ts BETWEEN purchase_ts - window AND purchase_ts``), which is
+    what lets the state store expire buffered rows — an unbounded-state
+    stream-stream join is rejected by Spark.  State is keyed by user_id, so
+    it scales with executors.  Drained with availableNow, the result equals
+    the batch interval join and shares its exact oracle.
+    """
+    clicks = (_stream_source(spark, sf_dir, "events")
+              .filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("click_user"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", watermark))
+    purchases = (_stream_source(spark, sf_dir, "events")
+                 .filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id").alias("purchase_user"),
+                         F.col("ts").alias("purchase_ts"))
+                 .withWatermark("purchase_ts", watermark))
+    joined = purchases.join(
+        clicks,
+        F.expr(f"""
+            purchase_user = click_user AND
+            click_ts >= purchase_ts - INTERVAL {window} AND
+            click_ts <= purchase_ts
+        """))
+    out = _drain_to_memory(
+        joined.select("purchase_id", F.col("purchase_user").alias("user_id"),
+                      "click_id",
+                      (F.unix_micros("purchase_ts")
+                       - F.unix_micros("click_ts")).alias("lag_us")),
+        "stream_stream_attribution_sink", "append")
+    return out

@@ -453,3 +453,23 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
     return (ev.select("event_id", k.alias("k"))
             .filter(F.col("k") >= 50))
+
+
+@query("streaming_join_attribution", oracle="""
+SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+       c.event_id AS click_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM events p JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+""")
+def streaming_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchase<-click attribution within 30
+    minutes) as a REAL two-stream Structured Streaming join with watermarks
+    on both sides — bounded state, availableNow drain; equals the batch
+    interval join exactly (streaming.stream_agg.stream_stream_attribution)."""
+    from localsql_spark.streaming.stream_agg import stream_stream_attribution
+
+    load(spark, sf_dir)
+    return stream_stream_attribution(spark, sf_dir)

@@ -785,3 +785,217 @@ def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate = F.when(src_id < 5, 80).when(src_id < 10, 50).otherwise(20)
     return (docs.filter(bucket < rate)
             .select("doc_id", "source", bucket.alias("bucket")))
+
+
+@query("text_tfidf_top_terms", oracle=r"""
+WITH norm AS (SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM documents),
+toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM norm),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (SELECT doc_id, term,
+                  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 9) AS tfidf
+           FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+ranked AS (SELECT doc_id, term, tfidf,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term ASC) AS rk
+           FROM scored)
+SELECT doc_id, term, tfidf, rk FROM ranked WHERE rk <= 3
+""")
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms: tf groupBy (one shuffle on
+    (doc, term)), document frequency as COUNT OVER (PARTITION BY term) — a
+    window on the already-aggregated tf rows, NOT a second aggregation of
+    the token subtree (a groupBy+re-join formulation makes Catalyst compute
+    the tokenize+tf pipeline twice; the window shares it) — idf = ln(N/df),
+    then a per-doc ranking window.  Rank ties break on the term itself so
+    the result is deterministic.  N comes from a scalar agg that Catalyst
+    broadcasts as a one-row cross — never a driver collect."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir)["documents"]
+    toks = (spread(docs)
+            .select("doc_id",
+                    F.explode(F.split(T.normalize_text(F.col("text")), " "))
+                    .alias("term")))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.withColumn("df", F.count(F.lit(1))
+                            .over(Window.partitionBy("term")))
+              .crossJoin(F.broadcast(n_docs))
+              .select("doc_id", "term",
+                      F.round(F.col("tf")
+                              * F.log(F.col("n_docs").cast("double")
+                                      / F.col("df")), 9).alias("tfidf")))
+    w = (Window.partitionBy("doc_id")
+         .orderBy(F.col("tfidf").desc(), F.col("term").asc()))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("doc_id", "term", "tfidf", F.col("rk").cast("long").alias("rk")))
+
+
+@query("dedup_levenshtein_pairs", oracle="""
+WITH blocked AS (SELECT doc_id, lang, n_chars // 32 AS lb,
+                        substr(text, 1, 64) AS head
+                 FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+FROM blocked a JOIN blocked b
+  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= 12
+""")
+def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs with (lang, length-bucket) blocking.
+
+    levenshtein is O(len^2) PER PAIR, so at scale the join must never go
+    quadratic in the corpus: candidates are restricted to the same language
+    and the same 32-char length bucket (docs differing wildly in length
+    can't be near-dups), and the distance runs over a fixed 64-char head so
+    per-pair cost is bounded.  Blocking is an approximation by design —
+    pairs straddling a bucket boundary are missed (standard
+    sorted-neighborhood tradeoff; the oracle encodes the same blocking).
+    """
+    docs = load(spark, sf_dir)["documents"]
+    blocked = (spread(docs)
+               .select("doc_id", "lang",
+                       (F.col("n_chars") / 32).cast("long").alias("lb"),
+                       F.substring("text", 1, 64).alias("head")))
+    a = blocked.select(F.col("doc_id").alias("doc_a"), "lang", "lb",
+                       F.col("head").alias("head_a"))
+    b = blocked.select(F.col("doc_id").alias("doc_b"), "lang", "lb",
+                       F.col("head").alias("head_b"))
+    dist = F.levenshtein("head_a", "head_b")
+    return (a.join(b, ["lang", "lb"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .filter(dist <= 12)
+            .select("doc_a", "doc_b", dist.cast("long").alias("edit_dist")))
+
+
+@query("events_funnel_conversion", oracle="""
+WITH v AS (SELECT user_id, min(ts) AS vts FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS cts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.vts GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS pts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.cts GROUP BY 1)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_view_click,
+       (SELECT count(*) FROM p) AS n_view_click_purchase
+""")
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase) conversion counts: each
+    step is a groupBy-min on user_id plus a user_id equi-join against the
+    previous step, so after the first shuffle every stage is co-partitioned
+    on user_id (no re-shuffle of the events side beyond the join key).  The
+    sequence constraint is event-TIME ordering (strictly later than the
+    previous step's first occurrence), not ingestion order."""
+    ev = load(spark, sf_dir)["events"].select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("vts")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter(F.col("ts") > F.col("vts"))
+         .groupBy("user_id").agg(F.min("ts").alias("cts")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("ts") > F.col("cts"))
+         .groupBy("user_id").agg(F.min("ts").alias("pts")))
+    return (v.agg(F.count(F.lit(1)).alias("n_view"))
+            .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+            .crossJoin(p.agg(F.count(F.lit(1))
+                             .alias("n_view_click_purchase"))))
+
+
+@query("sketch_countmin_terms", oracle=r"""
+WITH norm AS (SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM documents),
+toks AS (SELECT unnest(string_split(t, ' ')) AS term FROM norm),
+buckets AS (SELECT d,
+                   CAST('0x' || substr(md5(CAST(d AS VARCHAR) || '|' || term), 1, 8)
+                        AS BIGINT) % 128 AS bucket,
+                   count(*) AS cnt
+            FROM toks CROSS JOIN UNNEST(range(2)) u(d)
+            GROUP BY 1, 2),
+probes AS (SELECT unnest(['the', 'data', 'query', 'spark']) AS term),
+probe_buckets AS (SELECT term, d,
+                         CAST('0x' || substr(md5(CAST(d AS VARCHAR) || '|' || term), 1, 8)
+                              AS BIGINT) % 128 AS bucket
+                  FROM probes CROSS JOIN UNNEST(range(2)) u(d)),
+exact AS (SELECT p.term, count(t.term) AS exact_count
+          FROM probes p LEFT JOIN toks t ON t.term = p.term GROUP BY 1)
+SELECT pb.term,
+       min(b.cnt) AS est_count,
+       min(e.exact_count) AS exact_count
+FROM probe_buckets pb
+JOIN buckets b ON b.d = pb.d AND b.bucket = pb.bucket
+JOIN exact e ON e.term = pb.term
+GROUP BY pb.term
+""")
+def sketch_countmin_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch term frequencies: depth 2 x width 128 counter table
+    built with ONE groupBy over (row, md5-bucket) — the sketch is
+    fixed-size (256 rows) no matter how large the corpus, which is the
+    whole point at 100 TB: frequency estimates with bounded memory and a
+    mergeable structure (counter tables from different partitions/days sum
+    cell-wise).  Estimates are min-over-rows and only ever OVERestimate
+    (collisions add); the exact counts ride along to exhibit the bound.
+    md5-derived bucket hashes keep the sketch bit-identical on DuckDB."""
+    docs = load(spark, sf_dir)["documents"]
+    toks = (spread(docs)
+            .select(F.explode(F.split(T.normalize_text(F.col("text")), " "))
+                    .alias("term")))
+    depths = F.array(*[F.lit(d) for d in range(2)])
+
+    def bucket(d: Column, term: Column) -> Column:
+        return (F.conv(F.substring(
+            F.md5(F.concat(d.cast("string"), F.lit("|"), term)), 1, 8),
+            16, 10).cast("long") % 128)
+
+    counters = (toks.select(F.explode(depths).alias("d"), "term")
+                .select("d", bucket(F.col("d"), F.col("term")).alias("bucket"))
+                .groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt")))
+    probe_terms = ["the", "data", "query", "spark"]
+    probes = spark.createDataFrame([(t,) for t in probe_terms], "term string")
+    probe_buckets = (probes.select("term", F.explode(depths).alias("d"))
+                     .select("term", "d",
+                             bucket(F.col("d"), F.col("term")).alias("bucket")))
+    tok2 = toks.select(F.col("term").alias("t2"))
+    exact = (probes.join(tok2, probes.term == tok2.t2, "left")
+             .groupBy("term")
+             .agg(F.count("t2").alias("exact_count")))
+    return (probe_buckets
+            .join(F.broadcast(counters), ["d", "bucket"])
+            .groupBy("term").agg(F.min("cnt").alias("est_count"))
+            .join(exact, "term")
+            .select("term", "est_count", "exact_count"))
+
+
+@query("dedup_clusters_bigstar", oracle=f"""
+WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}),
+edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT s AS n FROM edges),
+reach(n, r) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT reach.n, edges.t FROM reach JOIN edges ON edges.s = reach.n
+)
+SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n
+""")
+def dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters via alternating large-star/small-star contraction
+    (operators.dedup.connected_components_bigstar): identical result to
+    dedup_clusters (same oracle), but convergence is O(log^2 n) rounds
+    independent of component DIAMETER — the variant that survives
+    pathological near-dup chains at 100 TB where min-label propagation
+    needs one round per hop."""
+    docs = load(spark, sf_dir)["documents"]
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
+    cc = D.connected_components_bigstar(pairs)
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")

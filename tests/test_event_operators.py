@@ -281,3 +281,38 @@ def test_salted_agg_internals_drift_guard():
         _analyzed_plan_string(NotADataFrame())
     with pytest.raises(RuntimeError, match="skew.py"):
         _column_string(NotADataFrame())
+
+
+@pytest.mark.parametrize("edges,desc", [
+    ([(i, i + 1) for i in range(30)], "30-deep chain (diameter stress)"),
+    ([(0, 1), (1, 2), (5, 6), (6, 7), (7, 5), (10, 11)], "3 components + cycle"),
+    ([(2, 9), (9, 4), (4, 7), (3, 8), (8, 1), (0, 5), (5, 6)], "unordered ids"),
+    ([(1, 2), (2, 1), (3, 3), (3, 4)], "dups + self-loop"),
+])
+def test_bigstar_cc_matches_label_propagation(spark, edges, desc):
+    """Alternating-star CC must produce exactly the same clustering as
+    min-label propagation — including on a 30-deep chain, where propagation
+    needs 30 rounds but star contraction needs O(log^2 n)."""
+    from localsql_spark.operators.dedup import (connected_components,
+                                                connected_components_bigstar)
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    expected = sorted(map(tuple, connected_components(
+        df, max_iter=40).collect()))
+    got = sorted(map(tuple, connected_components_bigstar(df).collect()))
+    assert got == expected, desc
+
+
+def test_bigstar_cc_deep_chain_beats_round_budget(spark):
+    """A 30-node chain exceeds a 10-round propagation budget but converges
+    fine under star contraction with the same budget — the scale headroom
+    the operator exists for."""
+    from localsql_spark.operators.dedup import (connected_components,
+                                                connected_components_bigstar)
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(30)],
+                                  "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=10)
+    out = connected_components_bigstar(chain, max_iter=10)
+    assert {r["cluster_id"] for r in out.collect()} == {0}

@@ -272,3 +272,16 @@ def test_register_directory_uniquifies_name_collisions(spark, tmp_path):
     assert sorted(tables) == ["report_1_csv", "report_1_csv_2"]
     cols = {name: df.columns for name, df in tables.items()}
     assert sorted(cols.values()) == [["a"], ["b"]]
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC is a first-class source/sink alongside parquet: export a result
+    to .orc, sniff + read it back via the normal ingestion path."""
+    from localsql_spark.sinks.writers import export_result
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    out = str(tmp_path / "t.orc")
+    export_result(df, out)
+    assert sniff_format(out) == ("orc", None)
+    back = df_from_file(spark, out)
+    assert sorted(map(tuple, back.collect())) == [(1, "a"), (2, "b")]
