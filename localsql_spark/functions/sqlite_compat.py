@@ -69,6 +69,91 @@ def group_concat(col: Column | str, sep: str = ",", sort: bool = True) -> Column
     return F.concat_ws(sep, lst)
 
 
+import re as _re
+
+# SQLite strftime %-codes -> Spark datetime-pattern fragments
+# (https://sqlite.org/lang_datefunc.html / Spark datetime patterns — both
+# public documentation).  %s/%w need expressions, handled separately.
+_STRFTIME_MAP = {
+    "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm",
+    "%S": "ss", "%j": "DDD", "%e": "d", "%f": "ss.SSS", "%%": "'%'",
+}
+
+_MOD_DELTA = _re.compile(
+    r"^([+-]?\d+(?:\.\d+)?)\s+(day|hour|minute|second|month|year)s?$")
+
+
+def strftime_modifiers(col: Column | str, *modifiers: str) -> Column:
+    """Apply SQLite date-modifier strings ('+3 days', 'start of month',
+    'weekday 1', ...) to a timestamp column — the reference dialect's
+    date-arithmetic grammar (SQLite core, delegated via
+    localsql/localsql.py:230), compiled to Spark interval/trunc expressions
+    at PLAN time: zero runtime Python, plain codegen'd column math.
+
+    Known semantic divergence (capability parity, not bug-for-bug parity):
+    month/year arithmetic that lands on a nonexistent date CLAMPS to the
+    month end (Spark interval semantics: Feb 29 + 1 year -> Feb 28), where
+    SQLite NORMALIZES the overflow (-> Mar 1).  Pinned in
+    tests/test_properties.py::test_strftime_compiler_units.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = c.cast("timestamp")
+    for mod in modifiers:
+        m = mod.strip().lower()
+        delta = _MOD_DELTA.match(m)
+        if delta:
+            n, unit = delta.group(1), delta.group(2)
+            c = c + F.expr(f"INTERVAL {n} {unit.upper()}")
+        elif m in ("start of day", "start of month", "start of year"):
+            c = F.date_trunc(m.rsplit(" ", 1)[-1], c)
+        elif m.startswith("weekday "):
+            # advance to the NEXT date with the given weekday (0=Sunday),
+            # leaving the time intact; no-op if already that weekday
+            n = int(m.split()[1])
+            dow = F.dayofweek(c) - 1  # Spark: 1=Sunday -> SQLite: 0=Sunday
+            c = c + F.make_interval(days=F.pmod(F.lit(n) - dow, F.lit(7)))
+        else:
+            # 'localtime'/'utc'/'unixepoch'/'julianday' need session-TZ or
+            # epoch reinterpretation — out of scope, refuse loudly
+            raise ValueError(f"unsupported strftime modifier {mod!r}")
+    return c
+
+
+def strftime(fmt: str, col: Column | str, *modifiers: str) -> Column:
+    """SQLite ``strftime(fmt, value, modifier...)`` as a Column.
+
+    The format string compiles to a Spark ``date_format`` pattern (literal
+    text quoted so pattern letters can't leak); ``%s`` (epoch seconds) and
+    ``%w`` (weekday 0-6) become expressions since no pattern letter matches
+    their SQLite semantics.
+    """
+    c = strftime_modifiers(col, *modifiers)
+    if fmt == "%s":
+        return F.unix_timestamp(c).cast("string")
+    parts: list[str] = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            code = fmt[i:i + 2]
+            if code == "%s":
+                raise ValueError("%s cannot be mixed with other codes")
+            if code == "%w":
+                raise ValueError("%w needs expression form; use "
+                                 "dayofweek()-1 directly")
+            if code not in _STRFTIME_MAP:
+                raise ValueError(f"unsupported strftime code {code!r}")
+            parts.append(_STRFTIME_MAP[code])
+            i += 2
+        else:
+            j = i
+            while j < len(fmt) and fmt[j] != "%":
+                j += 1
+            lit = fmt[i:j].replace("'", "''")
+            parts.append(f"'{lit}'" if _re.search("[A-Za-z]", lit) else lit)
+            i = j
+    return F.date_format(c, "".join(parts))
+
+
 def register_sqlite_compat(spark: SparkSession) -> None:
     """Register SQLite-dialect names usable from ``spark.sql``:
     ``glob(s, pat)``, ``typeof(x)`` (via SQL macros / a tiny UDF)."""

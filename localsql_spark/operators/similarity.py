@@ -58,6 +58,19 @@ def cosine(a: Column, b: Column) -> Column:
     return F.round(dot(a, b) / (norm(a) * norm(b)), 9)
 
 
+def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with PREcomputed norms: one decimal fold per pair (the dot)
+    instead of three.  Norms are ~60% of the interpreted-HOF cost of
+    ``cosine`` (measured: 6.5s -> 2.6s per 320k pairs at dim 128), and they
+    only depend on one side each — so every kNN operator computes them as a
+    column in the projection BELOW the pair join: join children materialize
+    their output rows, making that a once-per-row barrier.  The placement
+    matters — a projected column in the SAME operator chain as its reference
+    is re-inlined by Catalyst's projection collapse, so computing cosine()
+    (with its embedded norms) above the join re-folds the norm per pair."""
+    return F.round(dot(a, b) / (na * nb), 9)
+
+
 def sign_bucket(a: Column, bits: int = 8) -> Column:
     """Axis-aligned LSH bucket: sign pattern of the first ``bits`` components
     packed into an int.  Deterministic and oracle-expressible."""
@@ -73,12 +86,21 @@ def knn_brute_force(corpus: DataFrame, queries: DataFrame, k: int = 5,
     Returns (query_id, neighbor_id, cos_sim) excluding self-matches."""
     from pyspark.sql.window import Window
 
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = spread(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("qv"))
+         .withColumn("qn", norm(F.col("qv"))))  # materialized by the broadcast
+    # the norm column sits BELOW the join: join children materialize their
+    # output rows, so cn is evaluated once per corpus row and reused across
+    # every matched pair (projection collapse only merges ADJACENT projects —
+    # computing cosine() above the join would re-fold the norm per pair)
+    c = (spread(corpus).select(F.col(id_col).alias("neighbor_id"),
+                               F.col(vec_col).alias("cv"))
+         .withColumn("cn", norm(F.col("cv"))))
     scored = (c.crossJoin(F.broadcast(q))
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
-                      cosine(F.col("qv"), F.col("cv")).alias("cos_sim")))
+                      cosine_pre(F.col("qv"), F.col("cv"),
+                                 F.col("qn"), F.col("cn")).alias("cos_sim")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (scored.withColumn("rn", F.row_number().over(w))
@@ -93,14 +115,19 @@ def knn_lsh_bucketed(corpus: DataFrame, queries: DataFrame, k: int = 5,
     Same output shape as knn_brute_force; recall trades off with ``bits``."""
     from pyspark.sql.window import Window
 
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-                       sign_bucket(F.col(vec_col), bits).alias("bucket"))
-    c = spread(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-                                sign_bucket(F.col(vec_col), bits).alias("bucket"))
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("qv"),
+                        sign_bucket(F.col(vec_col), bits).alias("bucket"))
+         .withColumn("qn", norm(F.col("qv"))))
+    c = (spread(corpus).select(F.col(id_col).alias("neighbor_id"),
+                               F.col(vec_col).alias("cv"),
+                               sign_bucket(F.col(vec_col), bits).alias("bucket"))
+         .withColumn("cn", norm(F.col("cv"))))  # below-join barrier, see knn_brute_force
     scored = (c.join(F.broadcast(q), "bucket")
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
-                      cosine(F.col("qv"), F.col("cv")).alias("cos_sim")))
+                      cosine_pre(F.col("qv"), F.col("cv"),
+                                 F.col("qn"), F.col("cn")).alias("cos_sim")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (scored.withColumn("rn", F.row_number().over(w))
@@ -124,31 +151,62 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
     from pyspark.sql.window import Window
 
     cents = (corpus.filter(F.col(id_col) < n_cells)
-             .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cent")))
+             .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cent"))
+             .withColumn("centn", norm(F.col("cent"))))  # broadcast-materialized
 
-    def nearest_cells(df: DataFrame, side_id: str, vec: str, n: int) -> DataFrame:
-        """Attach the n nearest cell ids (by cosine to centroid)."""
+    def nearest_cells(df: DataFrame, side_id: str, vec: str, vnorm: str,
+                      n: int) -> DataFrame:
+        """Attach the n nearest cell ids (by cosine to centroid); ``vnorm``
+        is the side's precomputed norm column (see cosine_pre)."""
+        scored = (df.crossJoin(F.broadcast(cents))
+                  .withColumn("__csim", cosine_pre(F.col(vec), F.col("cent"),
+                                                   F.col(vnorm),
+                                                   F.col("centn"))))
+        if n == 1:
+            # corpus-side argmax as max(struct): partial aggregation collapses
+            # the n_cells candidate rows per vector MAP-SIDE, so the exchange
+            # carries one row per vector instead of n_cells (a window argmax
+            # shuffles them all).  Tie-break matches the window path (csim
+            # desc, then smallest cell) via the negated-cell struct field;
+            # the vector/norm ride in the struct and are never compared — the
+            # (csim, -cell) prefix is unique per candidate row.
+            return (scored.groupBy(side_id)
+                    .agg(F.max(F.struct(
+                        F.col("__csim").alias("s"),
+                        (-F.col("cell")).alias("nc"),
+                        F.col(vec).alias("v"),
+                        F.col(vnorm).alias("vn"))).alias("b"))
+                    .select(side_id,
+                            F.col("b.v").alias(vec),
+                            F.col("b.vn").alias(vnorm),
+                            (-F.col("b.nc")).alias("cell")))
         w = Window.partitionBy(side_id).orderBy(
             F.col("__csim").desc(), F.col("cell"))
-        return (df.crossJoin(F.broadcast(cents))
-                .withColumn("__csim", cosine(F.col(vec), F.col("cent")))
+        return (scored
                 .withColumn("__crn", F.row_number().over(w))
                 .filter(F.col("__crn") <= n)
-                .drop("cent", "__csim", "__crn"))
+                .drop("cent", "centn", "__csim", "__crn"))
 
-    c = spread(corpus).select(F.col(id_col).alias("neighbor_id"),
-                              F.col(vec_col).alias("cv"))
-    c_cells = nearest_cells(c, "neighbor_id", "cv", 1)  # index: 1 cell/vector
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("qv"))
-    q_cells = nearest_cells(q, "query_id", "qv", n_probe)
+    # index build: cell assignment + norm, computed once per corpus row (the
+    # norm column sits below the centroid crossJoin, whose child materializes
+    # rows — no per-candidate re-fold; in production the index is written to
+    # storage once and reused across query batches)
+    c = (spread(corpus).select(F.col(id_col).alias("neighbor_id"),
+                               F.col(vec_col).alias("cv"))
+         .withColumn("cn", norm(F.col("cv"))))
+    c_cells = nearest_cells(c, "neighbor_id", "cv", "cn", 1)
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("qv"))
+         .withColumn("qn", norm(F.col("qv"))))
+    q_cells = nearest_cells(q, "query_id", "qv", "qn", n_probe)
 
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (c_cells.join(F.broadcast(q_cells), "cell")
             .filter(F.col("neighbor_id") != F.col("query_id"))
             .select("query_id", "neighbor_id",
-                    cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
+                    cosine_pre(F.col("qv"), F.col("cv"),
+                               F.col("qn"), F.col("cn")).alias("cos_sim"))
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .select("query_id", "neighbor_id", "cos_sim", "rn"))
@@ -161,12 +219,18 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
     pairs within a bucket with cosine >= threshold.  High-cosine pairs agree
     on leading signs with high probability, so the bucket join replaces the
     O(n²) cross product. Returns (vec_a, vec_b, cos_sim)."""
-    corpus = spread(corpus)
-    c1 = corpus.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"),
-                       sign_bucket(F.col(vec_col), bits).alias("bucket"))
-    c2 = corpus.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"),
-                       sign_bucket(F.col(vec_col), bits).alias("bucket"))
+    normed = (  # norm below the self-join: once per vector, not per pair
+        spread(corpus).select(F.col(id_col).alias("vid"),
+                              F.col(vec_col).alias("v"),
+                              sign_bucket(F.col(vec_col), bits).alias("bucket"))
+        .withColumn("vn", norm(F.col("v"))))
+    c1 = normed.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"),
+                       F.col("vn").alias("na"), "bucket")
+    c2 = normed.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"),
+                       F.col("vn").alias("nb"), "bucket")
     return (c1.join(c2, "bucket")
             .filter(F.col("vec_a") < F.col("vec_b"))
-            .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+            .select("vec_a", "vec_b",
+                    cosine_pre(F.col("va"), F.col("vb"),
+                               F.col("na"), F.col("nb")).alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold))

@@ -813,3 +813,101 @@ def window_range_frame_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_within_1k"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
          .cast("double").alias("sum_within_1k"))
+
+
+@query("window_exclude_emulated", oracle="""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                    EXCLUDE CURRENT ROW) AS DOUBLE) AS s_excl_current,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+              OVER (PARTITION BY user_id ORDER BY CAST(ts AS DATE)
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    EXCLUDE GROUP) AS DOUBLE) AS s_excl_group,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+              OVER (PARTITION BY user_id ORDER BY CAST(ts AS DATE)
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    EXCLUDE TIES) AS DOUBLE) AS s_excl_ties
+FROM events WHERE user_id < 50
+""")
+def window_exclude_emulated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame EXCLUDE clause (SQLite >= 3.28, the one window feature
+    Spark lacks — flagged as a gap in round 1), emulated exactly with frame
+    arithmetic over the SAME single shuffle per partition key:
+
+    - EXCLUDE CURRENT ROW = frame_sum - current value (NULL when the frame
+      holds nothing else, matching the standard's empty-frame semantics);
+    - EXCLUDE GROUP = cumulative_sum - peer_group_sum (peers = RANGE
+      CURRENT ROW AND CURRENT ROW);
+    - EXCLUDE TIES = that + the current value (the current row stays).
+
+    Decimal sums keep both engines bit-identical; the oracle uses DuckDB's
+    NATIVE EXCLUDE so the emulation is checked against the real semantics.
+    """
+    from pyspark.sql import Window
+
+    ev = (load(spark, sf_dir)["events"].filter(F.col("user_id") < 50)
+          .select("event_id", "user_id", "ts",
+                  F.col("value").cast("decimal(18,2)").alias("v"),
+                  F.col("ts").cast("date").alias("d")))
+    w_rows = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+              .rowsBetween(-3, 3))
+    w_cum = (Window.partitionBy("user_id").orderBy("d")
+             .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    w_peer = (Window.partitionBy("user_id").orderBy("d")
+              .rangeBetween(Window.currentRow, Window.currentRow))
+    frame_sum = F.sum("v").over(w_rows)
+    frame_cnt = F.count(F.lit(1)).over(w_rows)
+    cum_sum, peer_sum = F.sum("v").over(w_cum), F.sum("v").over(w_peer)
+    cum_cnt, peer_cnt = (F.count(F.lit(1)).over(w_cum),
+                         F.count(F.lit(1)).over(w_peer))
+    return ev.select(
+        "event_id", "user_id",
+        F.when(frame_cnt > 1, (frame_sum - F.col("v")).cast("double"))
+         .alias("s_excl_current"),
+        F.when(cum_cnt > peer_cnt, (cum_sum - peer_sum).cast("double"))
+         .alias("s_excl_group"),
+        (cum_sum - peer_sum + F.col("v")).cast("double")
+         .alias("s_excl_ties"))
+
+
+@query("unpivot_metrics", oracle="""
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+FROM part WHERE p_partkey < 200
+UNION ALL
+SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE)
+FROM part WHERE p_partkey < 200
+""")
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (wide -> long): the inverse of pivot, native in Spark
+    via ``DataFrame.unpivot`` (Expand node — row-local, zero shuffle)."""
+    part = load(spark, sf_dir)["part"].filter(F.col("p_partkey") < 200)
+    wide = part.select("p_partkey",
+                       F.col("p_size").cast("double").alias("p_size"),
+                       F.col("p_retailprice").cast("double")
+                       .alias("p_retailprice"))
+    return wide.unpivot(["p_partkey"], ["p_size", "p_retailprice"],
+                        "metric", "value")
+
+
+@query("lateral_topk_per_nation", oracle="""
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+""")
+def lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with per-key ORDER BY + LIMIT (top-2
+    customers by balance per nation).  Catalyst decorrelates this into a
+    join + per-key WindowGroupLimit rather than running the subquery per
+    outer row; ties break on c_name so the result is deterministic."""
+    load(spark, sf_dir)
+    return spark.sql("""
+      SELECT n.n_name, t.c_name, t.c_acctbal
+      FROM nation n JOIN LATERAL (
+        SELECT c_name, c_acctbal FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+    """)

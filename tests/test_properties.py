@@ -92,3 +92,37 @@ def test_result_invariant_under_repartition(spark):
     a = sorted(map(tuple, D.exact_dedup(docs).collect()))
     b = sorted(map(tuple, D.exact_dedup(docs.repartition(13)).collect()))
     assert a == b
+
+
+def test_strftime_compiler_units(spark):
+    """The SQLite-strftime compiler: modifiers compose left-to-right, format
+    literal text is quoted (pattern letters can't leak), unsupported pieces
+    refuse loudly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from localsql_spark.functions.sqlite_compat import strftime
+
+    df = spark.createDataFrame(
+        [("2024-02-29 10:30:00",)], "s string").select(
+        F.col("s").cast("timestamp").alias("ts"))
+    row = df.select(
+        strftime("%Y-%m-%d %H:%M:%S", "ts", "+1 day", "-30 minutes").alias("a"),
+        strftime("%Y-%m-%d", "ts", "start of month").alias("b"),
+        strftime("%Y-%m-%d", "ts", "+1 year").alias("c"),
+        strftime("%s", "ts").alias("epoch"),
+        strftime("day %j of %Y", "ts").alias("lit"),
+        # 2024-02-29 is a Thursday; weekday 4 (Thursday) must be a no-op,
+        # weekday 0 advances to Sunday 03-03
+        strftime("%Y-%m-%d", "ts", "weekday 4").alias("thu"),
+        strftime("%Y-%m-%d", "ts", "weekday 0").alias("sun")).collect()[0]
+    assert row["a"] == "2024-03-01 10:00:00"
+    assert row["b"] == "2024-02-01"
+    assert row["c"] == "2025-02-28"   # leap-day + 1 year clamps like SQLite? no: documents Spark semantics
+    assert row["epoch"] == "1709202600"
+    assert row["lit"] == "day 060 of 2024"
+    assert row["thu"] == "2024-02-29"
+    assert row["sun"] == "2024-03-03"
+    with _pytest.raises(ValueError, match="unsupported strftime modifier"):
+        strftime("%Y", "ts", "localtime")
+    with _pytest.raises(ValueError, match="unsupported strftime code"):
+        strftime("%Q", "ts")
