@@ -13,7 +13,8 @@ from __future__ import annotations
 
 from pathlib import Path
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceStreamReader, InputPartition)
 from pyspark.sql.types import (BooleanType, DoubleType, LongType, StringType,
                                StructField, StructType)
 
@@ -64,6 +65,9 @@ class XlsxDataSource(DataSource):
     def reader(self, schema: StructType) -> "XlsxReader":
         return XlsxReader(self.options["path"], schema)
 
+    def streamReader(self, schema: StructType) -> "XlsxStreamReader":
+        return XlsxStreamReader(self.options["path"], schema)
+
 
 class XlsxReader(DataSourceReader):
     def __init__(self, path: str, schema: StructType):
@@ -97,6 +101,36 @@ class XlsxReader(DataSourceReader):
 
         for tup in pdf.itertuples(index=False, name=None):
             yield tuple(conv(v, ws) for v, ws in zip(tup, want_str))
+
+
+class XlsxStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("xlsx")`` over a landing DIRECTORY of
+    workbooks: each micro-batch picks up workbooks that appeared since the
+    last offset, one input partition per new file (parsed executor-side,
+    same as the batch reader).  The offset is the sorted list of files seen
+    — the same discovery contract as Spark's own file stream source, so
+    checkpoint recovery replays deterministically via partitions(start,end).
+    """
+
+    def __init__(self, path: str, schema: StructType):
+        self.path, self.schema_ = path, schema
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        return {"files": _expand(self.path)}
+
+    def partitions(self, start: dict, end: dict):
+        new = [f for f in end.get("files", [])
+               if f not in set(start.get("files", []))]
+        return [InputPartition(f) for f in new]
+
+    def read(self, partition):
+        yield from XlsxReader(partition.value, self.schema_).read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # discovery is stateless; the checkpoint holds the offset
 
 
 def register(spark) -> None:

@@ -128,3 +128,35 @@ def test_upsert_redelivery_after_pointer_flip_is_skipped(spark, tmp_path):
     table = read_table(spark, out)
     assert table.count() == 75
     assert table.filter((F.col("k") == 30) & (F.col("v") == 2)).count() == 1
+
+
+def test_xlsx_streaming_source_picks_up_new_workbooks(spark, tmp_path):
+    """spark.readStream.format('xlsx') over a landing dir: each micro-batch
+    reads only workbooks that appeared since the last offset, executor-side,
+    one partition per new file."""
+    import shutil
+    from tests.test_ingestion import _write_xlsx
+    from localsql_spark.sources.xlsx_datasource import register
+    register(spark)
+
+    land = tmp_path / "land"
+    land.mkdir()
+    _write_xlsx(land / "a.xlsx", ["id", "v"], [[1, 10], [2, 20]])
+
+    out = str(tmp_path / "out")
+    q = (spark.readStream.format("xlsx").load(str(land))
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .start())
+    try:
+        q.processAllAvailable()
+        assert spark.read.parquet(out).count() == 2
+
+        _write_xlsx(land / "b.xlsx", ["id", "v"], [[3, 30]])
+        q.processAllAvailable()
+        got = spark.read.parquet(out)
+        assert got.count() == 3, "second batch must add only the new workbook"
+        assert sorted(map(tuple, got.collect())) == [(1, 10), (2, 20), (3, 30)]
+    finally:
+        q.stop()
