@@ -73,6 +73,8 @@ def main() -> None:
                                F.col("r_regionkey") == F.col("n_regionkey")
                                ).count()
 
+    from localsql_spark.operators import cleanup
+
     names = HEADLINE + [n for n in EXTENSION_HEADLINE if n in queries]
     timings: dict[str, float] = {}
     for name in names:
@@ -82,6 +84,7 @@ def main() -> None:
         t0 = time.perf_counter()
         n_rows = fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        cleanup()  # release operator-persisted intermediates between queries
         print(f"# {name}: {timings[name]:.3f}s ({n_rows} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Empirical scaling check for the heavy operators.
+
+Replicates the sf0.1 ``documents`` / ``embeddings`` / ``events`` tables Nx
+(ids shifted, text/vectors perturbed so the near-duplicate RATE stays
+constant instead of every row gaining N exact copies), then times each
+heavy operator at 1x / 4x / 16x and reports the growth factor per 4x of
+data.  A scale-safe (linear) operator should grow ~4x per step; quadratic
+blowups show up as ~16x steps.  Results go to SCALE.md.
+
+    python tools/scale_check.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+FACTORS = (1, 4, 16)
+
+
+def replicate(spark, sf_dir: str, out_root: Path) -> dict[int, dict[str, str]]:
+    """Write Nx variants of the tables; returns factor -> table -> path."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.catalog import _normalize_nanos
+
+    out: dict[int, dict[str, str]] = {}
+    docs = spark.read.parquet(str(_normalize_nanos(Path(sf_dir) / "documents.parquet")))
+    emb = spark.read.parquet(str(_normalize_nanos(Path(sf_dir) / "embeddings.parquet")))
+    ev = spark.read.parquet(str(_normalize_nanos(Path(sf_dir) / "events.parquet")))
+    n_docs = docs.count()
+    n_emb = emb.count()
+    n_ev = ev.count()
+    for f in FACTORS:
+        paths = {}
+        rep = F.explode(F.array(*[F.lit(i) for i in range(f)])).alias("r")
+        d = (docs.select("*", rep)
+             .select((F.col("doc_id") + F.col("r") * n_docs).alias("doc_id"),
+                     # replica text gets a suffix so the near-dup rate stays
+                     # ~constant; replica 0 keeps the original corpus intact
+                     F.when(F.col("r") == 0, F.col("text"))
+                     .otherwise(F.concat_ws(" ", "text",
+                                            F.col("r").cast("string"),
+                                            F.col("doc_id").cast("string")))
+                     .alias("text"),
+                     "lang", "source", "n_chars"))
+        p = out_root / f"docs_{f}x"
+        d.repartition(max(4, 2 * f)).write.mode("overwrite").parquet(str(p))
+        paths["documents"] = str(p)
+        e = (emb.select("*", rep)
+             .select((F.col("vec_id") + F.col("r") * n_emb).alias("vec_id"),
+                     F.transform("embedding",
+                                 lambda x: x + F.col("r").cast("float") / 1000)
+                     .alias("embedding"),
+                     "label"))
+        p = out_root / f"emb_{f}x"
+        e.repartition(max(4, 2 * f)).write.mode("overwrite").parquet(str(p))
+        paths["embeddings"] = str(p)
+        v = (ev.select("*", rep)
+             .select((F.col("event_id") + F.col("r") * n_ev).alias("event_id"),
+                     (F.col("ts") + F.make_interval(mins=F.col("r"))).alias("ts"),
+                     (F.col("user_id") + F.col("r") * 1000).alias("user_id"),
+                     "event_type", "value", "props"))
+        p = out_root / f"ev_{f}x"
+        v.repartition(max(4, 2 * f)).write.mode("overwrite").parquet(str(p))
+        paths["events"] = str(p)
+        out[f] = paths
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators import cleanup
+    from localsql_spark.operators import dedup as D
+    from localsql_spark.operators import events as E
+    from localsql_spark.operators import similarity as S
+    from localsql_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_check")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = Path(tempfile.mkdtemp(prefix="scale_check_"))
+    print(f"# replicating {sf_dir} into {root}", file=sys.stderr)
+    paths = replicate(spark, sf_dir, root)
+    # JIT warmup
+    spark.range(0, 1_000_000).agg(F.sum("id")).collect()
+
+    def op_minhash(f):
+        docs = spark.read.parquet(paths[f]["documents"])
+        return D.minhash_lsh_pairs(docs, threshold=0.5).count()
+
+    def op_clusters_bigstar(f):
+        docs = spark.read.parquet(paths[f]["documents"])
+        pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
+        return D.connected_components_bigstar(pairs).count()
+
+    def op_exact_dedup(f):
+        docs = spark.read.parquet(paths[f]["documents"])
+        return D.exact_dedup(docs).count()
+
+    def op_knn_ivf(f):
+        emb = spark.read.parquet(paths[f]["embeddings"])
+        queries = emb.filter(F.col("vec_id") < 50)
+        return S.knn_ivf(emb, queries).count()
+
+    def op_asof(f):
+        ev = spark.read.parquet(paths[f]["events"])
+        pur = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("pid"), "user_id",
+            F.col("ts").cast("timestamp").alias("pts"))
+        clk = ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("cid"), "user_id",
+            F.col("ts").cast("timestamp").alias("cts"))
+        return E.asof_join(pur, clk, on=["user_id"], left_ts="pts",
+                           right_ts="cts", right_cols=["cid"],
+                           tiebreak="cid").count()
+
+    ops = {"exact_dedup": op_exact_dedup, "minhash_lsh_pairs": op_minhash,
+           "clusters_bigstar": op_clusters_bigstar, "knn_ivf": op_knn_ivf,
+           "asof_join": op_asof}
+
+    results: dict[str, dict[int, float]] = {}
+    for name, fn in ops.items():
+        results[name] = {}
+        for f in FACTORS:
+            t0 = time.perf_counter()
+            rows = fn(f)
+            dt = time.perf_counter() - t0
+            results[name][f] = dt
+            cleanup()
+            print(f"# {name} {f}x: {dt:.2f}s ({rows} rows)", file=sys.stderr)
+
+    lines = [
+        "# SCALE — empirical scaling of the heavy operators",
+        "",
+        f"`tools/scale_check.py` on `{sf_dir}` replicated 1x/4x/16x "
+        "(constant near-dup rate, shifted ids).  A scale-safe operator "
+        "grows ~4x wall per 4x data; quadratic blowups grow ~16x per step.",
+        "",
+        "| operator | 1x | 4x | 16x | growth 1x->4x | growth 4x->16x |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, r in results.items():
+        g1 = r[4] / r[1] if r[1] else float("nan")
+        g2 = r[16] / r[4] if r[4] else float("nan")
+        lines.append(f"| {name} | {r[1]:.2f}s | {r[4]:.2f}s | {r[16]:.2f}s "
+                     f"| {g1:.1f}x | {g2:.1f}x |")
+    lines += [
+        "",
+        "Growth below 4.0x per step reflects fixed per-query overhead still",
+        "being amortized; well above 4x indicates super-linear work.",
+    ]
+    Path("SCALE.md").write_text("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
