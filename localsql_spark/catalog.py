@@ -124,11 +124,17 @@ def _normalize_nanos(path: Path) -> Path:
     return out
 
 
-# keyed by (session, sf_dir, tables): every workload query calls load() ->
-# register_testdata, and re-reading 10 parquet footers + re-registering 10
-# views per query is pure fixed overhead (~the dominant cost of a small-sf
-# benchmark run). Views are session-scoped, so the session id is in the key.
-_TESTDATA_CACHE: dict[tuple[int, str, tuple[str, ...]], dict[str, DataFrame]] = {}
+# Memoized per (session, sf_dir): every workload query calls load() ->
+# register_testdata, and re-reading 10 parquet footers per query is pure
+# fixed overhead (~the dominant cost of a small-sf benchmark run).  The key
+# is a WeakKeyDictionary on the session object — id() would collide when a
+# stopped session's id is reused — and a cache hit still re-runs
+# createOrReplaceTempView (cheap catalog upsert) so a view some other code
+# replaced or dropped is restored rather than silently left stale.
+import weakref
+
+_TESTDATA_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary())
 
 
 def register_testdata(spark: SparkSession, sf_dir: str,
@@ -138,19 +144,20 @@ def register_testdata(spark: SparkSession, sf_dir: str,
                                                "documents", "embeddings"),
                       ) -> dict[str, DataFrame]:
     """Register the driver's parquet tables from an sf directory as views
-    (memoized per session + directory)."""
-    key = (id(spark), str(sf_dir), tuple(tables))
-    cached = _TESTDATA_CACHE.get(key)
-    if cached is not None:
-        return cached
-    out = {}
-    for t in tables:
-        path = Path(f"{sf_dir}/{t}.parquet")
-        if path.exists():
-            df = spark.read.parquet(str(_normalize_nanos(path)))
-            df.createOrReplaceTempView(t)
-            out[t] = df
-    _TESTDATA_CACHE[key] = out
+    (parquet reads memoized per session + directory; view registration
+    always re-applied)."""
+    per_session = _TESTDATA_CACHE.setdefault(spark, {})
+    key = (str(sf_dir), tuple(tables))
+    out = per_session.get(key)
+    if out is None:
+        out = {}
+        for t in tables:
+            path = Path(f"{sf_dir}/{t}.parquet")
+            if path.exists():
+                out[t] = spark.read.parquet(str(_normalize_nanos(path)))
+        per_session[key] = out
+    for t, df in out.items():
+        df.createOrReplaceTempView(t)
     return out
 
 

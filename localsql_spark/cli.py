@@ -88,6 +88,12 @@ def run_line(eng: LocalSparkSQL, line: str, *, silent: bool = False) -> None:
             eng.print_result(result, transpose=transpose)
     except Exception as e:  # noqa: BLE001 — REPL isolates errors by design
         print(e, file=sys.stderr)
+    finally:
+        # release operator-persisted intermediates (LSH signatures, CC
+        # labels) once the line's result is printed — a long-lived REPL
+        # session must not accumulate cached tables across queries
+        from localsql_spark.operators import cleanup
+        cleanup()
 
 
 def repl(eng: LocalSparkSQL) -> None:

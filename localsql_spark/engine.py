@@ -95,9 +95,13 @@ class LocalSparkSQL:
 
         df = self.tables[name]
         df.printSchema()
+        # backtick-quote column references: flattened-JSON tables carry
+        # literal dots in column names ('nest.a'), which a bare string
+        # reference would resolve as struct-field access
         stats = df.agg(
             F.count(F.lit(1)).alias("__rows"),
-            *[F.count(c).alias(c) for c in df.columns]).collect()[0]
+            *[F.count(F.col("`" + c.replace("`", "``") + "`")).alias(c)
+              for c in df.columns]).collect()[0]
         print(f"{stats['__rows']} entries, {len(df.columns)} columns")
         for c in df.columns:
             print(f"  {c}: {stats[c]} non-null")

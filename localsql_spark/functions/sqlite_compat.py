@@ -144,6 +144,11 @@ def strftime(fmt: str, col: Column | str, *modifiers: str) -> Column:
                 raise ValueError(f"unsupported strftime code {code!r}")
             parts.append(_STRFTIME_MAP[code])
             i += 2
+        elif fmt[i] == "%":
+            # bare trailing '%': a literal percent (otherwise the literal
+            # scan below would stop at it immediately and never advance)
+            parts.append("'%'")
+            i += 1
         else:
             j = i
             while j < len(fmt) and fmt[j] != "%":

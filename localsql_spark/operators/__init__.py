@@ -9,16 +9,18 @@ from pyspark.sql import DataFrame
 
 
 def _parse_bytes(v: str) -> int:
-    """Spark size confs come back as '134217728', '134217728b', or '128m'."""
+    """Spark size confs come back as '134217728', '134217728b', '128m', or
+    the two-letter forms '128mb'/'1gb'/'1tb' — strip the optional 'b' FIRST
+    so both spellings parse."""
     v = v.strip().lower()
+    if v.endswith("b"):
+        v = v[:-1]  # '134217728b' -> digits, '128mb' -> '128m'
     mult = 1
-    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                      ("t", 1 << 40)):
         if v.endswith(suffix):
             v, mult = v[:-1], m
             break
-    else:
-        if v.endswith("b"):
-            v = v[:-1]
     return int(v) * mult
 
 
@@ -48,12 +50,16 @@ def spread(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
         return df
     if not files:
         return df
+    from urllib.parse import unquote
+
     total = 0
     for f in files:
         if not f.startswith("file:"):
             return df  # remote storage: trust the source's split planning
         try:
-            total += os.path.getsize(f.removeprefix("file:"))
+            # inputFiles() returns percent-encoded URIs — 'my docs' arrives
+            # as 'my%20docs' and must be unquoted before stat'ing
+            total += os.path.getsize(unquote(f.removeprefix("file:")))
         except OSError:
             return df
     max_bytes = _parse_bytes(

@@ -122,9 +122,9 @@ class XlsxStreamReader(DataSourceStreamReader):
         return {"files": _expand(self.path)}
 
     def partitions(self, start: dict, end: dict):
-        new = [f for f in end.get("files", [])
-               if f not in set(start.get("files", []))]
-        return [InputPartition(f) for f in new]
+        seen = set(start.get("files", []))  # hoisted: O(n+m), not O(n*m)
+        return [InputPartition(f) for f in end.get("files", [])
+                if f not in seen]
 
     def read(self, partition):
         yield from XlsxReader(partition.value, self.schema_).read(partition)

@@ -857,18 +857,26 @@ def window_exclude_emulated(spark: SparkSession, sf_dir: str) -> DataFrame:
              .rangeBetween(Window.unboundedPreceding, Window.currentRow))
     w_peer = (Window.partitionBy("user_id").orderBy("d")
               .rangeBetween(Window.currentRow, Window.currentRow))
-    frame_sum = F.sum("v").over(w_rows)
-    frame_cnt = F.count(F.lit(1)).over(w_rows)
-    cum_sum, peer_sum = F.sum("v").over(w_cum), F.sum("v").over(w_peer)
-    cum_cnt, peer_cnt = (F.count(F.lit(1)).over(w_cum),
-                         F.count(F.lit(1)).over(w_peer))
+    # NULL fidelity: native EXCLUDE sums ignore NULLs and yield NULL only
+    # when the remaining frame has NO non-null value — so the emulation
+    # subtracts coalesced sums and gates on NON-NULL counts (F.count of the
+    # value column), not row counts.  F.sum already skips NULLs.
+    zero = F.lit(0).cast("decimal(18,2)")
+    v, vc = F.col("v"), F.coalesce(F.col("v"), F.lit(0)).cast("decimal(18,2)")
+    own = v.isNotNull().cast("long")
+    frame_sum = F.coalesce(F.sum("v").over(w_rows), zero)
+    frame_nn = F.count("v").over(w_rows)  # non-null values in the frame
+    cum_sum = F.coalesce(F.sum("v").over(w_cum), zero)
+    peer_sum = F.coalesce(F.sum("v").over(w_peer), zero)
+    cum_nn, peer_nn = F.count("v").over(w_cum), F.count("v").over(w_peer)
     return ev.select(
         "event_id", "user_id",
-        F.when(frame_cnt > 1, (frame_sum - F.col("v")).cast("double"))
+        F.when(frame_nn - own > 0, (frame_sum - vc).cast("double"))
          .alias("s_excl_current"),
-        F.when(cum_cnt > peer_cnt, (cum_sum - peer_sum).cast("double"))
+        F.when(cum_nn - peer_nn > 0, (cum_sum - peer_sum).cast("double"))
          .alias("s_excl_group"),
-        (cum_sum - peer_sum + F.col("v")).cast("double")
+        F.when(cum_nn - peer_nn + own > 0,
+               (cum_sum - peer_sum + vc).cast("double"))
          .alias("s_excl_ties"))
 
 

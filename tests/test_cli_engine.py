@@ -214,3 +214,16 @@ def test_cli_no_tables_hint(spark, tmp_path, capsys, monkeypatch):
     captured = capsys.readouterr()
     assert rc == 0
     assert "Supported files not found" in captured.err
+
+
+def test_table_info_handles_dotted_columns(spark, tmp_path, capsys):
+    """Bare-table info must survive flattened-JSON column names containing
+    literal dots (code-review r2)."""
+    (tmp_path / "nested.json").write_text(
+        '{"id": 1, "nest": {"a": 5}}\n{"id": 2, "nest": {"a": null}}\n')
+    e = LocalSparkSQL(spark)
+    e.load_directory(tmp_path, json_normalize=True, verbose=False)
+    assert e.run_sql("nested_json") is None
+    out = capsys.readouterr().out
+    assert "2 entries" in out
+    assert "nest.a: 1 non-null" in out

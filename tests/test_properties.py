@@ -126,3 +126,85 @@ def test_strftime_compiler_units(spark):
         strftime("%Y", "ts", "localtime")
     with _pytest.raises(ValueError, match="unsupported strftime code"):
         strftime("%Q", "ts")
+
+
+def test_strftime_trailing_percent_terminates(spark):
+    """A format string ending in a bare '%' is a literal percent, not an
+    infinite loop (code-review r2)."""
+    from pyspark.sql import functions as F
+    from localsql_spark.functions.sqlite_compat import strftime
+
+    df = spark.createDataFrame([("2024-01-15 08:00:00",)], "s string").select(
+        F.col("s").cast("timestamp").alias("ts"))
+    row = df.select(strftime("growth %d%", "ts").alias("x")).collect()[0]
+    assert row["x"] == "growth 15%"
+
+
+def test_parse_bytes_two_letter_suffixes():
+    """Spark byte-strings come in '128m' AND '128mb' spellings
+    (code-review r2)."""
+    from localsql_spark.operators import _parse_bytes
+
+    assert _parse_bytes("134217728") == 128 << 20
+    assert _parse_bytes("134217728b") == 128 << 20
+    assert _parse_bytes("128m") == 128 << 20
+    assert _parse_bytes("128mb") == 128 << 20
+    assert _parse_bytes("1gb") == 1 << 30
+    assert _parse_bytes("1tb") == 1 << 40
+    assert _parse_bytes("64k") == 64 << 10
+
+
+def test_register_testdata_restores_replaced_view(spark):
+    """A cache hit must re-register the views: other code replacing a view
+    name must not poison subsequent load() calls (code-review r2)."""
+    from tests.conftest import SF_SMALL
+    from localsql_spark.catalog import register_testdata
+
+    register_testdata(spark, SF_SMALL)
+    true_count = spark.table("region").count()
+    spark.range(0, 1).toDF("bogus").createOrReplaceTempView("region")
+    register_testdata(spark, SF_SMALL)  # cache hit — must restore the view
+    assert spark.table("region").count() == true_count
+    assert "bogus" not in spark.table("region").columns
+
+
+def test_window_exclude_emulation_null_fidelity(spark, tmp_path):
+    """The EXCLUDE emulation must match DuckDB's NATIVE EXCLUDE even when
+    the summed value contains NULLs: sums skip NULLs, and the result is
+    NULL exactly when the remaining frame has no non-null value
+    (code-review r2)."""
+    import duckdb
+    from pyspark.sql import functions as F
+    from localsql_spark.workload import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rows = [  # (event_id, ts, user_id, value): NULLs + all-null days
+        (1, "2024-01-01 10:00:00", 7, None),
+        (2, "2024-01-01 11:00:00", 7, None),     # day 1: all-null peers
+        (3, "2024-01-02 10:00:00", 7, 5.0),
+        (4, "2024-01-02 11:00:00", 7, None),
+        (5, "2024-01-03 10:00:00", 7, 2.0),
+        (6, "2024-01-03 11:00:00", 7, 3.0),
+        (7, "2024-01-04 10:00:00", 7, None),     # trailing null day
+        (8, "2024-01-01 10:00:00", 8, None),     # lone-user, single null
+    ]
+    df = spark.createDataFrame(rows, "event_id long, s string, user_id long, value double").select(
+        "event_id", F.col("s").cast("timestamp").alias("ts"), "user_id", "value",
+        F.lit("x").alias("event_type"), F.lit("{}").alias("props"))
+    sf = tmp_path / "sf_null"
+    sf.mkdir()
+    # single FILE (not a directory): the catalog's nanos-normalizer and the
+    # driver's layout both expect <sf>/events.parquet to be a plain file
+    df.coalesce(1).write.parquet(str(tmp_path / "_ev"))
+    part = next(p for p in (tmp_path / "_ev").iterdir()
+                if p.name.startswith("part-"))
+    part.rename(sf / "events.parquet")
+
+    got = {r["event_id"]: (r["s_excl_current"], r["s_excl_group"], r["s_excl_ties"])
+           for r in REGISTRY["window_exclude_emulated"].fn(spark, str(sf)).collect()}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = {r[0]: (r[2], r[3], r[4]) for r in con.execute(
+        REGISTRY["window_exclude_emulated"].oracle).fetchall()}
+    assert got == want, {k: (got[k], want[k]) for k in got if got[k] != want[k]}
