@@ -92,3 +92,14 @@ def cleanup() -> int:
         _PERSISTED.pop().unpersist()
         n += 1
     return n
+
+
+def hash32(col):
+    """The portable 32-bit hash idiom shared with every DuckDB oracle:
+    first 8 md5 hex digits as a bigint — Spark ``conv(substr(md5(x),1,8),
+    16,10)`` == DuckDB ``CAST('0x' || substr(md5(x),1,8) AS BIGINT)``.
+    ONE definition so the Spark side and the oracle SQL form can't drift."""
+    from pyspark.sql import functions as F
+
+    return (F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+            .cast("long"))

@@ -27,8 +27,9 @@ HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
 
 
 def _hash32(col: Column) -> Column:
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10) \
-            .cast("long")
+    from localsql_spark.operators import hash32
+
+    return hash32(col)
 
 
 def hll_buckets(df: DataFrame, col: str) -> DataFrame:

@@ -110,7 +110,9 @@ def fingerprint_h32(text: Column) -> Column:
     """32-bit numeric fingerprint (first 8 md5 hex digits as bigint) — the
     portable-hash idiom shared with the DuckDB oracle
     (Spark conv(hex,16,10) == DuckDB CAST('0x'||hex AS BIGINT))."""
-    return F.conv(F.substring(fingerprint_md5(text), 1, 8), 16, 10).cast("long")
+    from localsql_spark.operators import hash32
+
+    return hash32(normalize_text(text))
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:

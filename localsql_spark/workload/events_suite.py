@@ -21,7 +21,9 @@ def _us(c):
 
 
 def _val_sum():
-    return F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+    # the determinism-critical decimal-routed sum idiom lives in ONE place
+    from localsql_spark.workload.relational import dsum
+    return dsum("value")
 
 
 @query("events_tumbling_hourly", oracle="""

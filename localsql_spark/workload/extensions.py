@@ -31,15 +31,7 @@ sh AS (SELECT DISTINCT doc_id, lang,
 """
 
 
-_SHINGLES_CTE = r"""
-norm AS (SELECT doc_id, lang,
-                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
-         FROM documents),
-tok AS (SELECT doc_id, lang, string_split(t, ' ') AS toks FROM norm),
-sh AS (SELECT DISTINCT doc_id, lang,
-              concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]) AS s
-       FROM tok, UNNEST(range(greatest(len(toks) - 2, 1))) u(i))
-"""
+_SHINGLES_CTE = _shingles_cte()  # single source of truth for the fragment
 
 
 # ---------------------------------------------------------------------------
@@ -517,8 +509,8 @@ def sample_documents_hashmod(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same rows on every run/cluster, no rand()); row-local filter, fully
     pushdown-friendly, zero shuffles."""
     docs = load(spark, sf_dir)["documents"]
-    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
-                     16, 10).cast("long") % 10)
+    from localsql_spark.operators import hash32
+    bucket = hash32(F.col("doc_id")) % 10
     rate = F.when(F.col("lang") == "en", 5).otherwise(2)
     return (docs.filter(bucket < rate)
             .select("doc_id", "lang", bucket.alias("bucket")))
@@ -663,14 +655,15 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.transform("embedding",
                     lambda x: F.round(xd(x) / F.col("scale") * 127, 0)
                     .cast("int"))
+    # output aliases don't affect input resolution within the select, so
+    # the rounded scale can take the name directly
     return (emb.withColumn("scale", scale)
             .select("vec_id", "label",
-                    F.round("scale", 9).alias("scale_r"),
+                    F.round("scale", 9).alias("scale"),
                     F.concat_ws(",", F.transform(
                         F.slice(q, 1, 8),
                         lambda v: v.cast("string"))).alias("q8_head"),
-                    F.array_max(F.transform(q, F.abs)).alias("q8_absmax"))
-            .withColumnRenamed("scale_r", "scale"))
+                    F.array_max(F.transform(q, F.abs)).alias("q8_absmax")))
 
 
 @query("pack_documents_2048", oracle=r"""
@@ -731,8 +724,9 @@ def decontaminate_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_sh = (sh.filter(F.col("doc_id") % 50 == 0)
                .select("s").distinct())
     train = sh.filter(F.col("doc_id") % 50 != 0)
+    # (doc_id, s) is already unique: word_shingles array_distincts per doc
+    # and eval_sh is a distinct set, so no dedup shuffle before the count
     hits = (train.join(eval_sh, "s")
-            .select("doc_id", "s").distinct()
             .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared")))
     train_docs = train.select("doc_id").distinct()
     return (train_docs.join(hits, "doc_id", "left")
@@ -779,8 +773,8 @@ def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixture-weights step of corpus assembly; reproducible across runs and
     engines, pushdown-friendly, zero shuffles."""
     docs = load(spark, sf_dir)["documents"]
-    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
-                     16, 10).cast("long") % 100)
+    from localsql_spark.operators import hash32
+    bucket = hash32(F.col("doc_id")) % 100
     src_id = F.substring("source", 4, 10).cast("int")
     rate = F.when(src_id < 5, 80).when(src_id < 10, 50).otherwise(20)
     return (docs.filter(bucket < rate)
@@ -952,10 +946,10 @@ def sketch_countmin_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("term")))
     depths = F.array(*[F.lit(d) for d in range(2)])
 
+    from localsql_spark.operators import hash32
+
     def bucket(d: Column, term: Column) -> Column:
-        return (F.conv(F.substring(
-            F.md5(F.concat(d.cast("string"), F.lit("|"), term)), 1, 8),
-            16, 10).cast("long") % 128)
+        return hash32(F.concat(d.cast("string"), F.lit("|"), term)) % 128
 
     counters = (toks.select(F.explode(depths).alias("d"), "term")
                 .select("d", bucket(F.col("d"), F.col("term")).alias("bucket"))

@@ -450,8 +450,12 @@ SELECT s_nationkey FROM supplier
 """)
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
+    # subtract() IS SQL EXCEPT (set semantics: drop any row present on the
+    # right, regardless of left multiplicity) — exceptAll().distinct() keeps
+    # a row whenever left multiplicity exceeds right, which diverges on
+    # duplicated left keys
     return (t["nation"].select(F.col("n_nationkey").alias("nationkey"))
-            .exceptAll(t["supplier"].select("s_nationkey")).distinct())
+            .subtract(t["supplier"].select("s_nationkey")))
 
 
 # ---------------------------------------------------------------------------

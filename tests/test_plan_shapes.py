@@ -62,3 +62,42 @@ def test_multimodal_is_narrow(spark, queries):
     assert "Exchange" not in plan.replace("RoundRobinPartitioning", "XX") \
         or plan.count("Exchange") <= 1, \
         "feature extraction must stay a narrow map (one spread repartition max)"
+
+
+def test_lateral_decorrelates_to_group_limit(spark, queries):
+    """LATERAL (ORDER BY ... LIMIT k) must decorrelate into a join +
+    per-key rank limit — NOT a per-outer-row subquery loop."""
+    plan = _plan(queries["lateral_topk_per_nation"](spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan or "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_unpivot_is_narrow(spark, queries):
+    """UNPIVOT compiles to Expand — row-local, zero shuffles."""
+    plan = _plan(queries["unpivot_metrics"](spark, SF_SMALL))
+    assert "Expand" in plan
+    assert "Exchange" not in plan
+
+
+def test_tfidf_single_token_subtree(spark, queries):
+    """Document frequency via window (not groupBy+rejoin) must not duplicate
+    the tokenize+tf pipeline: exactly one documents scan feeds it."""
+    plan = _plan(queries["text_tfidf_top_terms"](spark, SF_SMALL))
+    import re
+    tokenize_scans = len(re.findall(r"(?<!pos)explode|posexplode", plan))
+    assert tokenize_scans <= 1, "token explode must appear once in the plan"
+
+
+def test_countmin_counter_table_is_fixed_size(spark, queries):
+    """The count-min counter table must broadcast (it is 256 cells no matter
+    the corpus size) — the probe join must never shuffle the corpus."""
+    plan = _plan(queries["sketch_countmin_terms"](spark, SF_SMALL))
+    assert "BroadcastExchange" in plan
+
+
+def test_exclude_emulation_single_shuffle_per_key(spark, queries):
+    """All five window aggregates share the user_id partitioning: at most
+    the initial scan repartition plus one shuffle per distinct sort order."""
+    plan = _plan(queries["window_exclude_emulated"](spark, SF_SMALL))
+    # two sort orders (ts,event_id) and (d) over the same partition key
+    assert plan.count("Exchange hashpartitioning") <= 2
