@@ -153,3 +153,43 @@ def resize_media(media: DataFrame, *, factor: int = 2) -> DataFrame:
     return media.mapInPandas(
         run, schema="doc_id long, new_width int, new_height int, "
                     "n_bytes long, digest string")
+
+
+def audio_energy(media: DataFrame, *, window: int = 1024) -> DataFrame:
+    """'Audio' loudness analysis stand-in: decode the payload as unsigned
+    8-bit PCM (fake codec — a real one swaps in soundfile/ffmpeg with the
+    identical batch shape) and emit one row per ``window``-sample chunk with
+    its RMS energy and peak.  This is the silence-trim / loudness-filter
+    primitive of an audio training pipeline.  Narrow Arrow map + per-row
+    explode; no shuffle.
+
+    Determinism: samples are small ints, so the squared sum is exact in
+    float64; one division + sqrt (correctly rounded by IEEE) + round(9)
+    makes the RMS bit-identical on any engine.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "window_no": [], "n_samples": [],
+                   "rms": [], "peak": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                a = np.frombuffer(bytes(blob), dtype=np.uint8)
+                for i in range(0, max(len(a), 1), window):
+                    seg = a[i:i + window].astype(np.float64)
+                    if not len(seg):
+                        continue
+                    out["doc_id"].append(doc_id)
+                    out["window_no"].append(i // window)
+                    out["n_samples"].append(len(seg))
+                    out["rms"].append(round(
+                        float(np.sqrt((seg * seg).sum() / len(seg))), 9))
+                    out["peak"].append(int(seg.max()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run,
+        schema="doc_id long, window_no int, n_samples long, "
+               "rms double, peak int")

@@ -70,3 +70,27 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators.multimodal.resize_media)."""
     docs = load(spark, sf_dir)["documents"]
     return M.resize_media(M.attach_fake_media(docs), factor=2)
+
+
+@query("multimodal_audio_energy", oracle="""
+WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+w AS (SELECT doc_id, i,
+             substring(text, CAST(i * 1024 + 1 AS BIGINT), 1024) AS seg
+      FROM b CROSS JOIN UNNEST(range(CAST(ceil(n / 1024.0) AS BIGINT))) u(i)),
+s AS (SELECT doc_id, i,
+             list_transform(split(seg, ''), x -> ascii(x)) AS vals
+      FROM w)
+SELECT doc_id, CAST(i AS INT) AS window_no,
+       CAST(len(vals) AS BIGINT) AS n_samples,
+       round(sqrt(CAST(list_aggregate(list_transform(vals, x -> x * x),
+                                      'sum') AS DOUBLE) / len(vals)), 9) AS rms,
+       CAST(list_aggregate(vals, 'max') AS INT) AS peak
+FROM s
+""")
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Audio' per-window RMS energy + peak over the fake-PCM payload — the
+    loudness/silence-filter primitive, Arrow-batched mapInPandas, exact
+    (integer squared-sums, one division, round-9)
+    (operators.multimodal.audio_energy)."""
+    docs = load(spark, sf_dir)["documents"]
+    return M.audio_energy(M.attach_fake_media(docs), window=1024)
