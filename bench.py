@@ -65,13 +65,24 @@ def main() -> None:
     queries = all_queries()
     load(spark, sf_dir)  # triggers one-time ns->us normalization pre-timing
 
-    # JVM/codegen warmup (standard practice: JIT the agg/join/scan codepaths
-    # once so the first timed query isn't charged for compiler startup)
+    # JVM/codegen + Python-worker warmup (standard practice: JIT the
+    # agg/join/scan, higher-order-function, window, and Arrow codepaths once
+    # so the first timed query isn't charged for compiler/worker startup)
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
     spark.range(0, 1_000_000).agg(F.sum("id")).collect()
     spark.table("region").join(spark.table("nation"),
                                F.col("r_regionkey") == F.col("n_regionkey")
                                ).count()
+    (spark.range(0, 10_000)
+     .select(F.aggregate(F.sequence(F.lit(1), F.lit(64)),
+                         F.lit(0).cast("decimal(28,12)"),
+                         lambda a, x: (a + x.cast("decimal(28,12)"))
+                         .cast("decimal(28,12)")).alias("s"),
+             F.row_number().over(Window.partitionBy(F.col("id") % 7)
+                                 .orderBy("id")).alias("rn"))
+     .agg(F.sum("s"), F.max("rn")).collect())
+    (spark.range(0, 1000).mapInPandas(lambda it: it, "id long").count())
 
     from localsql_spark.operators import cleanup
 
