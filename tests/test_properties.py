@@ -208,3 +208,29 @@ def test_window_exclude_emulation_null_fidelity(spark, tmp_path):
     want = {r[0]: (r[2], r[3], r[4]) for r in con.execute(
         REGISTRY["window_exclude_emulated"].oracle).fetchall()}
     assert got == want, {k: (got[k], want[k]) for k in got if got[k] != want[k]}
+
+
+def test_knn_brute_force_matches_numpy_ground_truth(spark):
+    """Independent oracle: exact top-k against a numpy cosine computation on
+    deterministic vectors (not the structurally-similar SQL oracle)."""
+    import numpy as np
+    from localsql_spark.operators.similarity import knn_brute_force
+
+    dim, n = 16, 60
+    vecs = {i: np.array([((i * 31 + j * 17) % 23) - 11.0 for j in range(dim)])
+            for i in range(n)}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>")
+    queries = df.filter("vec_id < 3")
+    got = {(r["query_id"], r["rn"]): r["neighbor_id"]
+           for r in knn_brute_force(df, queries, k=4).collect()}
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for q in range(3):
+        scored = sorted(((round(cos(vecs[q], vecs[i]), 9), -i, i)
+                         for i in range(n) if i != q), reverse=True)
+        for rank, (_, _, i) in enumerate(scored[:4], start=1):
+            assert got[(q, rank)] == i, (q, rank, got[(q, rank)], i)
