@@ -232,12 +232,14 @@ def connected_components(edges: DataFrame, a_col: str = "doc_a",
     for _ in range(max_iter):
         neighbor_min = (sym.join(labels, sym.t == labels.node)
                         .groupBy("s").agg(F.min("label").alias("nmin")))
+        # LAZY checkpoint: the changed-count below materializes it, so each
+        # round runs ONE job instead of an eager-checkpoint job plus a count
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.s, "left")
             .select("node",
                     F.least("label", F.coalesce("nmin", "label"))
                     .alias("label"))
-            .localCheckpoint())
+            .localCheckpoint(eager=False))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.label") != F.col("o.label")).count())
@@ -315,7 +317,9 @@ def connected_components_bigstar(edges: DataFrame, a_col: str = "doc_a",
     nodes = sym.select(F.col("u").alias("node")).distinct()
     E, fp = sym, fingerprint(sym)
     for _ in range(max_iter):
-        new_E = star(star(E, larger=True), larger=False).localCheckpoint()
+        # lazy: the fingerprint materializes the checkpoint in the same job
+        new_E = star(star(E, larger=True),
+                     larger=False).localCheckpoint(eager=False)
         new_fp = fingerprint(new_E)
         E = new_E
         if new_fp == fp:
