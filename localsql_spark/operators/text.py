@@ -147,8 +147,12 @@ def bm25_scores(docs, terms: list[str], *, k1: float = 1.2, b: float = 0.75,
                     F.explode(F.split(normalize_text(F.col(text_col)), " "))
                     .alias("term")))
     doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # avgdl per the determinism policy: exact integer sum, ONE double
+    # division — F.avg over doubles is partial-aggregation-order dependent
+    # and diverged from the oracle in the low bits at sf0.1
     stats = doclen.agg(F.count(F.lit(1)).alias("n_docs"),
-                       F.avg(F.col("dl").cast("double")).alias("avgdl"))
+                       (F.sum("dl").cast("double")
+                        / F.count(F.lit(1))).alias("avgdl"))
     tf = (toks.filter(F.col("term").isin(terms))
           .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -156,8 +160,14 @@ def bm25_scores(docs, terms: list[str], *, k1: float = 1.2, b: float = 0.75,
     idf = F.log((n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     contrib = (idf * F.col("tf") * (k1 + 1)
                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)))
+    # the per-doc sum runs over a handful of term contributions, but a
+    # double sum is still addition-order dependent — decimal-route it, and
+    # apply the final round IN DECIMAL: rounding the exact decimal sum
+    # through a double hits half-boundary cases where the two engines'
+    # double representations fall on opposite sides of the .5
     return (tf.join(F.broadcast(df_), "term")
             .join(doclen, "doc_id")
             .crossJoin(F.broadcast(stats))
             .groupBy("doc_id")
-            .agg(F.round(F.sum(F.round(contrib, 12)), 9).alias("score")))
+            .agg(F.round(F.sum(F.round(contrib, 12).cast("decimal(28,12)")),
+                         9).cast("double").alias("score")))

@@ -580,16 +580,17 @@ WITH norm AS (SELECT doc_id,
               FROM documents),
 toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM norm),
 doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-stats AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl
+stats AS (SELECT count(*) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
           FROM doclen),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
        WHERE term IN ('join', 'hash', 'vector') GROUP BY 1, 2),
 idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
 SELECT tf.doc_id,
-       round(SUM(round(
+       CAST(round(SUM(CAST(round(
          ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
          * tf * 2.2
-         / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 12)), 9) AS score
+         / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 12) AS DECIMAL(28,12))), 9) AS DOUBLE) AS score
 FROM tf JOIN idf USING (term) JOIN doclen USING (doc_id) CROSS JOIN stats
 GROUP BY tf.doc_id
 """)
