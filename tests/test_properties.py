@@ -234,3 +234,52 @@ def test_knn_brute_force_matches_numpy_ground_truth(spark):
                          for i in range(n) if i != q), reverse=True)
         for rank, (_, _, i) in enumerate(scored[:4], start=1):
             assert got[(q, rank)] == i, (q, rank, got[(q, rank)], i)
+
+
+@given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40)),
+                min_size=1, max_size=60))
+@settings(max_examples=12, deadline=None)
+def test_bigstar_cc_random_graphs_match_propagation(spark, edges):
+    """On arbitrary random graphs (self-loops, dups, disconnected nodes),
+    star contraction and min-label propagation must produce the identical
+    clustering — and both must equal a pure-Python union-find."""
+    from localsql_spark.operators.dedup import (connected_components,
+                                                connected_components_bigstar)
+
+    real = [e for e in edges if e[0] != e[1]]
+    if not real:
+        return
+    df = spark.createDataFrame(real, "doc_a long, doc_b long")
+    star = {(r["node"], r["cluster_id"])
+            for r in connected_components_bigstar(df).collect()}
+    prop = {(r["node"], r["cluster_id"])
+            for r in connected_components(df, max_iter=90).collect()}
+    assert star == prop
+    # union-find ground truth
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in real:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in parent}
+    assert star == want
+
+
+def test_countmin_never_underestimates(spark):
+    """Count-min property: estimates only ever OVERcount (collisions add)."""
+    from localsql_spark.workload import REGISTRY, _ensure_loaded
+    from tests.conftest import SF_ORACLE
+
+    _ensure_loaded()
+    rows = REGISTRY["sketch_countmin_terms"].fn(spark, SF_ORACLE).collect()
+    assert rows, "probe terms must produce estimates"
+    for r in rows:
+        assert r["est_count"] >= r["exact_count"], r
