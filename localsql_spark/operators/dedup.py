@@ -88,13 +88,23 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", threshold: float = 0.5,
-                      n: int = N_MINHASH, bands: int = N_BANDS) -> DataFrame:
+                      n: int = N_MINHASH, bands: int = N_BANDS,
+                      bucket_cap: int | None = None) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + banded LSH.
 
     sig -> band keys -> bucket self-join (the LSH trick: only docs sharing a
     band collide, so the join is linear in docs×bands instead of quadratic)
     -> estimate jaccard as the fraction of equal signature components ->
     filter by threshold.  Returns (doc_a, doc_b, est_jaccard).
+
+    ``bucket_cap``: drop buckets with more than this many members before the
+    self-join.  A hot bucket is the LSH skew hazard at scale — thousands of
+    boilerplate/identical documents share every band and the bucket joins
+    quadratically (2k copies -> 2M pairs per band).  Members of an over-cap
+    bucket are near-certain exact/near-exact duplicates, which the far
+    cheaper :func:`exact_dedup` hash pass already collapses, so dropping the
+    bucket loses nothing a real pipeline needs (run exact dedup first).  The
+    over-cap bucket list is tiny by construction and broadcasts.
     """
     rows = n // bands
     # Materialize signatures ONCE (doc_id + n longs — tiny next to the corpus;
@@ -113,6 +123,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         for b in range(bands)])
     banded = sig.select("doc_id",
                         F.posexplode(band_arr).alias("band_id", "band_key"))
+    if bucket_cap is not None:
+        hot = (banded.groupBy("band_id", "band_key")
+               .agg(F.count(F.lit(1)).alias("sz"))
+               .filter(F.col("sz") > bucket_cap)
+               .select("band_id", "band_key"))
+        banded = banded.join(F.broadcast(hot), ["band_id", "band_key"],
+                             "left_anti")
     a = banded.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
     # candidate ids only through the join/distinct; signatures re-attached

@@ -316,3 +316,25 @@ def test_bigstar_cc_deep_chain_beats_round_budget(spark):
         connected_components(chain, max_iter=10)
     out = connected_components_bigstar(chain, max_iter=10)
     assert {r["cluster_id"] for r in out.collect()} == {0}
+
+
+def test_minhash_bucket_cap_drops_hot_buckets_only(spark):
+    """bucket_cap must drop ONLY the hot-bucket (mass-duplicate) pairs; the
+    ordinary near-dup pairs must be exactly the uncapped result."""
+    from localsql_spark.operators.dedup import minhash_lsh_pairs
+
+    base = [(i, f"the quick brown fox jumps over dog number {i} "
+                f"with extra words {i % 4}") for i in range(12)]
+    clones = [(100 + i, "identical boilerplate text repeated verbatim "
+                        "across the whole corpus again and again")
+              for i in range(30)]
+    df = spark.createDataFrame(base + clones, "doc_id long, text string")
+
+    uncapped = minhash_lsh_pairs(df)
+    capped = minhash_lsh_pairs(df, bucket_cap=10)
+    unc = {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()}
+    cap = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    clone_pairs = {p for p in unc if p[0] >= 100 and p[1] >= 100}
+    assert len(clone_pairs) == 30 * 29 // 2, "clones must all pair uncapped"
+    assert cap == unc - clone_pairs, \
+        "cap must remove exactly the hot-bucket pairs"

@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Empirical skew-robustness check.
+
+Builds two deliberately skewed datasets from sf0.1 and measures the
+mitigations against their naive counterparts:
+
+1. mass-duplicate corpus (2,000 verbatim copies of one document among the
+   5,000 real ones) -> MinHash-LSH with and without ``bucket_cap``: the hot
+   bucket pairs quadratically (~2M pairs) without the cap;
+2. hot-key events (one user owns ~50% of all rows) -> plain groupBy vs
+   ``salted_agg``, and a hot-key join vs ``salted_join``.
+
+Results go to SKEW.md.
+
+    python tools/skew_check.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from pyspark.sql import functions as F
+
+    from localsql_spark.catalog import _normalize_nanos
+    from localsql_spark.operators import cleanup
+    from localsql_spark.operators.dedup import minhash_lsh_pairs
+    from localsql_spark.operators.skew import salted_agg, salted_join
+    from localsql_spark.session import get_spark
+
+    spark = get_spark(app_name="skew_check")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(0, 1_000_000).agg(F.sum("id")).collect()
+
+    lines = ["# SKEW — empirical skew-robustness of the mitigations", "",
+             f"`tools/skew_check.py` on `{sf_dir}`.", ""]
+
+    # -- 1: mass-duplicate corpus vs LSH bucket_cap -------------------------
+    docs = spark.read.parquet(str(Path(sf_dir) / "documents.parquet"))
+    one = docs.filter(F.col("doc_id") == 0).select("text").limit(1)
+    clones = (spark.range(1_000_000, 1_002_000)
+              .select(F.col("id").alias("doc_id"))
+              .crossJoin(F.broadcast(one)))
+    skewed_docs = (docs.select("doc_id", "text").unionByName(clones)
+                   .repartition(32).localCheckpoint())
+
+    t0 = time.perf_counter()
+    n_uncapped = minhash_lsh_pairs(skewed_docs).count()
+    t_uncapped = time.perf_counter() - t0
+    cleanup()
+    t0 = time.perf_counter()
+    n_capped = minhash_lsh_pairs(skewed_docs, bucket_cap=64).count()
+    t_capped = time.perf_counter() - t0
+    cleanup()
+    lines += [
+        "## MinHash-LSH hot bucket (2,000 verbatim clones in the corpus)",
+        "",
+        "| variant | pairs emitted | wall |",
+        "|---|---|---|",
+        f"| no cap (hot bucket joins quadratically) | {n_uncapped:,} | {t_uncapped:.2f}s |",
+        f"| bucket_cap=64 (over-cap buckets dropped; exact dedup owns them) | {n_capped:,} | {t_capped:.2f}s |",
+        "",
+    ]
+
+    # -- 2: hot-key aggregation / join --------------------------------------
+    ev = spark.read.parquet(str(_normalize_nanos(Path(sf_dir) / "events.parquet")))
+    hot = (ev.crossJoin(F.broadcast(spark.range(0, 1).select(F.lit(1).alias("__x"))))
+           .select(F.lit(1).alias("user_id"), "event_type", "value"))
+    skewed_ev = (ev.select("user_id", "event_type", "value")
+                 .unionByName(hot.select("user_id", "event_type", "value"))
+                 .repartition(32).localCheckpoint())
+    n_rows = skewed_ev.count()
+
+    t0 = time.perf_counter()
+    plain = (skewed_ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.col("value").cast("decimal(18,2)")).alias("s"))
+             .count())
+    t_plain = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    salted = salted_agg(
+        skewed_ev, ["user_id"],
+        {"n": F.count(F.lit(1)),
+         "s": F.sum(F.col("value").cast("decimal(18,2)"))},
+        n_salts=32).count()
+    t_salted = time.perf_counter() - t0
+
+    dim = (skewed_ev.select("user_id").distinct()
+           .withColumn("tag", F.concat(F.lit("u"), F.col("user_id"))))
+    t0 = time.perf_counter()
+    nj_plain = skewed_ev.join(dim, "user_id").count()
+    t_jplain = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    nj_salt = salted_join(skewed_ev, dim, on=["user_id"], n_salts=32).count()
+    t_jsalt = time.perf_counter() - t0
+
+    lines += [
+        f"## Hot-key events (user 1 owns ~50% of {n_rows:,} rows)",
+        "",
+        "| operation | rows | wall |",
+        "|---|---|---|",
+        f"| plain groupBy (one reducer owns the hot key) | {plain:,} groups | {t_plain:.2f}s |",
+        f"| salted_agg n_salts=32 (two-phase) | {salted:,} groups | {t_salted:.2f}s |",
+        f"| plain equi-join on the hot key | {nj_plain:,} | {t_jplain:.2f}s |",
+        f"| salted_join n_salts=32 | {nj_salt:,} | {t_jsalt:.2f}s |",
+        "",
+        "Notes: at local[32]/sf0.1 the hot key fits one core, so wall times",
+        "stay close — the structural difference is the shuffle layout: the",
+        "salted variants spread the hot key over n_salts reducers, which is",
+        "what prevents a single straggler task at cluster scale.  AQE skew",
+        "handling also splits sort-merge-join partitions automatically; the",
+        "salted forms cover aggregations and broadcast-resistant joins,",
+        "which AQE does not.",
+        "The LSH bucket_cap row is the one that changes COMPLEXITY, not",
+        "layout: the hot bucket's quadratic pair blowup disappears, and its",
+        "members remain covered by the exact-dedup hash pass.",
+    ]
+    Path("SKEW.md").write_text("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
