@@ -475,3 +475,28 @@ def streaming_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load(spark, sf_dir)
     return stream_stream_attribution(spark, sf_dir)
+
+
+@query("salted_join_user_tags", oracle="""
+WITH dim AS (SELECT DISTINCT user_id,
+                    concat('u', CAST(user_id AS VARCHAR)) AS tag
+             FROM events)
+SELECT e.event_id, e.user_id, d.tag
+FROM events e JOIN dim d ON e.user_id = d.user_id
+WHERE e.event_type = 'purchase'
+""")
+def salted_join_user_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-resilient equi-join via salting (operators.skew.salted_join):
+    the small side replicates n_salts times, the big side salts uniformly at
+    random, and the salt is dropped after the join — the RESULT is invariant
+    to the salt layout (what the oracle checks: it equals the plain join),
+    while every hot user spreads over n_salts reducers instead of one."""
+    from localsql_spark.operators.skew import salted_join
+
+    ev = (load(spark, sf_dir)["events"]
+          .filter(F.col("event_type") == "purchase")
+          .select("event_id", "user_id"))
+    dim = (load(spark, sf_dir)["events"].select("user_id").distinct()
+           .withColumn("tag", F.concat(F.lit("u"),
+                                       F.col("user_id").cast("string"))))
+    return salted_join(ev, dim, on=["user_id"], n_salts=8)

