@@ -351,8 +351,10 @@ def connected_components_bigstar(edges: DataFrame, a_col: str = "doc_a",
     # are all LARGER — least(u, min(v)) covers both
     centers = (E.groupBy("u").agg(F.min("v").alias("mn"))
                .select("u", F.least("u", "mn").alias("cluster_id")))
-    out = (nodes.join(centers, nodes.node == centers.u, "left")
-           .select("node", F.coalesce(F.col("cluster_id"), F.col("node"))
-                   .alias("cluster_id")))
-    E.unpersist()
-    return out
+    # per-round localCheckpoint blocks are freed by Spark's ContextCleaner
+    # once the intermediate DataFrames go out of scope (unpersist() has no
+    # effect on checkpointed frames); the returned plan references only the
+    # final E
+    return (nodes.join(centers, nodes.node == centers.u, "left")
+            .select("node", F.coalesce(F.col("cluster_id"), F.col("node"))
+                    .alias("cluster_id")))

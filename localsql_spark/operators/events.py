@@ -105,6 +105,10 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: list[str],
     payload = F.struct(F.col(right_ts).alias("__rts"),
                        *[F.col(c).alias(c) for c in right_cols])
 
+    # NULL right timestamps can never satisfy the as-of predicate, but an
+    # ascending sort puts NULLs FIRST — an unfiltered dirty row would be
+    # carried as the "most recent prior" match for every left row
+    right = right.filter(F.col(right_ts).isNotNull())
     r = right.select(*on,
                      F.col(right_ts).alias("__ts"),
                      F.lit(0).alias("__side"),

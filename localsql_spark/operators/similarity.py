@@ -54,8 +54,15 @@ def norm(a: Column) -> Column:
     return F.sqrt(_dec_sum(F.transform(a, lambda x: x.cast("double") * x.cast("double"))))
 
 
+def _safe_div(num: Column, den: Column) -> Column:
+    """NULL (not a crash) when the denominator is zero: Spark 4's default
+    ANSI mode raises DIVIDE_BY_ZERO, so one zero-norm embedding (empty doc,
+    padding row) would abort a whole kNN job without the guard."""
+    return F.when(den != 0, num / den)
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return F.round(dot(a, b) / (norm(a) * norm(b)), 9)
+    return F.round(_safe_div(dot(a, b), norm(a) * norm(b)), 9)
 
 
 def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
@@ -68,7 +75,7 @@ def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
     matters — a projected column in the SAME operator chain as its reference
     is re-inlined by Catalyst's projection collapse, so computing cosine()
     (with its embedded norms) above the join re-folds the norm per pair."""
-    return F.round(dot(a, b) / (na * nb), 9)
+    return F.round(_safe_div(dot(a, b), na * nb), 9)
 
 
 def sign_bucket(a: Column, bits: int = 8) -> Column:

@@ -69,8 +69,11 @@ def hll_estimate(df: DataFrame, col: str) -> DataFrame:
     zeros = F.lit(m) - seen
     est = F.when((raw <= 2.5 * m) & (zeros > 0),
                  F.lit(m) * F.log(F.lit(m) / zeros)).otherwise(raw)
+    # empty input -> zero registers -> NULL sums; the distinct count of an
+    # empty set is 0, not NULL
     return agg.select(F.col("seen").cast("long").alias("n_buckets_seen"),
-                      F.round(est, 6).alias("estimate"))
+                      F.coalesce(F.round(est, 6), F.lit(0.0))
+                      .alias("estimate"))
 
 
 def hll_error_bound(confidence_sigmas: float = 3.0) -> float:

@@ -76,9 +76,14 @@ def salted_agg(df: DataFrame, keys: list[str], aggs: dict[str, Column],
                .agg(*[expr.alias(name) for name, expr in aggs.items()]))
     # DISTINCT is invisible in every Column string form (Spark 4 toString
     # drops the flag) — only the analyzed plan shows it. A per-salt DISTINCT
-    # double-counts values whose rows span salts, so refuse it.
-    plan = _analyzed_plan_string(partial)
-    if "(distinct " in plan.lower():
+    # double-counts values whose rows span salts, so refuse it.  Only the
+    # TOP Aggregate node (the partial we just built) is inspected: a
+    # distinct aggregate ALREADY COMPUTED upstream in df's own plan is fine
+    # and must not trigger a spurious rejection.
+    plan_lines = _analyzed_plan_string(partial).splitlines()
+    top_agg = next((ln for ln in plan_lines
+                    if ln.lstrip().startswith("Aggregate")), "")
+    if "(distinct " in top_agg.lower():
         raise ValueError(
             "salted_agg cannot re-combine DISTINCT aggregates (a value's "
             "rows may span salts and would be counted once per salt)")

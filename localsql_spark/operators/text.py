@@ -54,8 +54,11 @@ def langid(text: Column) -> Column:
 
 
 def token_count_ws(text: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(F.split(F.trim(text), r"\s+")).cast("long")
+    """Whitespace token count.  Empty/whitespace-only text is 0 tokens —
+    ``split('')`` yields one empty element and would count 1 (the oracle SQL
+    carries the same guard)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0))\
+        .otherwise(F.size(F.split(F.trim(text), r"\s+"))).cast("long")
 
 
 def token_count_words(text: Column) -> Column:
@@ -64,11 +67,14 @@ def token_count_words(text: Column) -> Column:
 
 
 def punct_ratio(text: Column) -> Column:
-    return F.regexp_count(text, F.lit(PUNCT_RE)).cast("double") / F.length(text)
+    # nullif guard: '' has length 0 and ANSI mode raises on x/0
+    return (F.regexp_count(text, F.lit(PUNCT_RE)).cast("double")
+            / F.nullif(F.length(text), F.lit(0)))
 
 
 def digit_ratio(text: Column) -> Column:
-    return F.regexp_count(text, F.lit("[0-9]")).cast("double") / F.length(text)
+    return (F.regexp_count(text, F.lit("[0-9]")).cast("double")
+            / F.nullif(F.length(text), F.lit(0)))
 
 
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
@@ -76,7 +82,7 @@ def stopword_ratio(text: Column, lang: str = "en") -> Column:
     toks = F.split(F.lower(F.trim(text)), r"\s+")
     stops = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
-    return n_stop.cast("double") / F.size(toks)
+    return n_stop.cast("double") / F.nullif(token_count_ws(text), F.lit(0))
 
 
 def avg_word_len(text: Column) -> Column:

@@ -132,18 +132,49 @@ def _read_xlsx_stdlib(path: str | Path):
     import pandas as pd
 
     ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    m_uri = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+    def _first_sheet_target(z: zipfile.ZipFile) -> str | None:
+        """Workbook DISPLAY order lives in xl/workbook.xml (+ its rels), not
+        in the worksheet file names — a sheet created second but dragged to
+        the front is sheet2.xml yet first in the workbook."""
+        try:
+            wb = ET.fromstring(z.read("xl/workbook.xml"))
+            sheets = wb.find("m:sheets", ns)
+            first = sheets.findall("m:sheet", ns)[0]
+            rid = first.get("{http://schemas.openxmlformats.org/"
+                            "officeDocument/2006/relationships}id")
+            rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+            rel_ns = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+            for rel in rels.iter(rel_ns + "Relationship"):
+                if rel.get("Id") == rid:
+                    target = rel.get("Target")
+                    target = target.lstrip("/")
+                    if not target.startswith("xl/"):
+                        target = "xl/" + target
+                    return target if target in z.namelist() else None
+        except (KeyError, ET.ParseError, IndexError, AttributeError):
+            return None
+        return None
+
     with zipfile.ZipFile(path) as z:
         shared: list[str] = []
         if "xl/sharedStrings.xml" in z.namelist():
             root = ET.fromstring(z.read("xl/sharedStrings.xml"))
             for si in root.findall("m:si", ns):
-                shared.append("".join(t.text or "" for t in si.iter(
-                    "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}t")))
-        sheet_names = sorted(n for n in z.namelist()
-                             if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n))
-        if not sheet_names:
-            raise ValueError(f"no worksheet found in {path}")
-        root = ET.fromstring(z.read(sheet_names[0]))
+                # drop rPh subtrees before collecting text runs
+                for rph in si.findall(f"{m_uri}rPh"):
+                    si.remove(rph)
+                shared.append("".join(t.text or ""
+                                      for t in si.iter(m_uri + "t")))
+        first = _first_sheet_target(z)
+        if first is None:
+            sheet_names = sorted(n for n in z.namelist()
+                                 if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n))
+            if not sheet_names:
+                raise ValueError(f"no worksheet found in {path}")
+            first = sheet_names[0]
+        root = ET.fromstring(z.read(first))
         rows: list[dict[int, object]] = []
         for row in root.iter("{http://schemas.openxmlformats.org/spreadsheetml/2006/main}row"):
             cells: dict[int, object] = {}

@@ -24,8 +24,10 @@ def _expand(path: str) -> list[str]:
     if p.is_dir():
         return sorted(str(f) for f in p.glob("*.xlsx"))
     if any(ch in path for ch in "*?["):
-        parent = Path(path).parent
-        return sorted(str(f) for f in parent.glob(Path(path).name))
+        # stdlib glob handles wildcards in ANY segment ('/data/*/book.xlsx'),
+        # not just the filename component
+        import glob as _glob
+        return sorted(_glob.glob(path))
     return [path]
 
 

@@ -40,7 +40,9 @@ _SHINGLES_CTE = _shingles_cte()  # single source of truth for the fragment
 
 @query("text_token_stats", oracle=r"""
 SELECT doc_id,
-       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\s+')) END
+            AS BIGINT) AS ws_tokens,
        CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS word_tokens,
        CAST(length(text) AS BIGINT) AS chars,
        (CAST(length(text) AS BIGINT) = n_chars) AS chars_match
@@ -67,12 +69,12 @@ SELECT doc_id,
        CAST(length(regexp_replace(t, '\s', '', 'g')) AS DOUBLE)
          / len(string_split(t, ' ')) AS avg_wlen,
        CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE)
-         / length(text) AS punct_r,
+         / NULLIF(length(text), 0) AS punct_r,
        CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
-         / length(text) AS digit_r,
+         / NULLIF(length(text), 0) AS digit_r,
        CAST((length(text) BETWEEN 50 AND 20000) AS INT)
-         + CAST((CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE) / length(text) < 0.10) AS INT)
-         + CAST((CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text) < 0.20) AS INT)
+         + CAST((CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE) / NULLIF(length(text), 0) < 0.10) AS INT)
+         + CAST((CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / NULLIF(length(text), 0) < 0.20) AS INT)
          + CAST((CAST(length(regexp_replace(t, '\s', '', 'g')) AS DOUBLE) / len(string_split(t, ' ')) BETWEEN 2.0 AND 12.0) AS INT)
          AS quality
 FROM norm

@@ -338,3 +338,66 @@ def test_minhash_bucket_cap_drops_hot_buckets_only(spark):
     assert len(clone_pairs) == 30 * 29 // 2, "clones must all pair uncapped"
     assert cap == unc - clone_pairs, \
         "cap must remove exactly the hot-bucket pairs"
+
+
+def test_cosine_zero_norm_does_not_crash(spark):
+    """A zero vector must yield NULL cosine (ANSI mode would otherwise raise
+    DIVIDE_BY_ZERO and abort the whole kNN job)."""
+    from localsql_spark.operators.similarity import knn_brute_force
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [0.0, 0.0]), (2, [2.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    out = knn_brute_force(df, df.filter("vec_id = 0"), k=3).collect()
+    sims = {r["neighbor_id"]: r["cos_sim"] for r in out}
+    assert sims[1] is None  # zero-norm neighbor scores NULL, job survives
+    assert sims[3] is not None
+
+
+def test_asof_ignores_null_right_timestamps(spark, asof_frames):
+    left, right = asof_frames
+    from pyspark.sql import functions as F
+    dirty = right.unionByName(
+        spark.createDataFrame([(999, 20, None, 9.9)],
+                              "rid long, k long, rts timestamp, v double"))
+    out = E.asof_join(left, dirty, on=["k"], left_ts="pts", right_ts="rts",
+                      right_cols=["rid", "v"], tiebreak="rid")
+    rows = {r["pid"]: r for r in out.collect()}
+    # pid=3 (key 20) has ONLY the NULL-ts dirty row -> must stay unmatched
+    assert rows[3]["rid_asof"] is None and rows[3]["v_asof"] is None
+
+
+def test_salted_agg_accepts_upstream_distinct(spark):
+    """A distinct aggregate computed UPSTREAM of the input must not trigger
+    the per-salt-DISTINCT rejection (only the new partial is checked)."""
+    df = (spark.range(0, 300)
+          .select((F.col("id") % 5).alias("user_id"),
+                  (F.col("id") % 7).alias("event_type"))
+          .groupBy("user_id")
+          .agg(F.countDistinct("event_type").alias("nt")))
+    out = salted_agg(df, ["nt"], {"n": F.count(F.lit(1))}, n_salts=4)
+    assert {(r["nt"], r["n"]) for r in out.collect()} == {(7, 5)}
+
+
+def test_hll_empty_input_estimates_zero(spark):
+    from localsql_spark.operators.sketches import hll_estimate
+
+    df = spark.range(0, 100).select(F.col("id").alias("k")).filter("k < 0")
+    row = hll_estimate(df, "k").collect()[0]
+    assert row["n_buckets_seen"] == 0
+    assert row["estimate"] == 0.0
+
+
+def test_empty_text_guards(spark):
+    """Empty documents: 0 whitespace tokens and NULL ratios — not a crash,
+    not a phantom token."""
+    from localsql_spark.operators import text as T
+
+    df = spark.createDataFrame([("",), ("   ",), ("two words",)], "text string")
+    rows = df.select(
+        T.token_count_ws(F.col("text")).alias("ws"),
+        T.punct_ratio(F.col("text")).alias("pr"),
+        T.digit_ratio(F.col("text")).alias("dr")).collect()
+    assert [r["ws"] for r in rows] == [0, 0, 2]
+    assert rows[0]["pr"] is None and rows[0]["dr"] is None
+    assert rows[2]["pr"] == 0.0

@@ -285,3 +285,88 @@ def test_orc_roundtrip(spark, tmp_path):
     assert sniff_format(out) == ("orc", None)
     back = df_from_file(spark, out)
     assert sorted(map(tuple, back.collect())) == [(1, "a"), (2, "b")]
+
+
+def _write_xlsx_custom(path, sheet_files, first_rid_target, shared_si=None):
+    """Workbook with explicit workbook.xml ordering (and optional raw
+    sharedStrings <si> xml) for reader edge cases."""
+    m = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    r = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    ct = ('<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats'
+          '.org/package/2006/content-types">'
+          '<Default Extension="xml" ContentType="application/xml"/>'
+          '<Default Extension="rels" ContentType="application/vnd.'
+          'openxmlformats-package.relationships+xml"/></Types>')
+    wb = (f'<?xml version="1.0"?><workbook xmlns="{m}" xmlns:r="{r}">'
+          f'<sheets><sheet name="Front" sheetId="1" r:id="rId1"/></sheets>'
+          '</workbook>')
+    rel_ns = "http://schemas.openxmlformats.org/package/2006/relationships"
+    wbrels = (f'<?xml version="1.0"?><Relationships xmlns="{rel_ns}">'
+              f'<Relationship Id="rId1" Type="{r}/worksheet" '
+              f'Target="{first_rid_target}"/></Relationships>')
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", wbrels)
+        if shared_si is not None:
+            z.writestr("xl/sharedStrings.xml",
+                       f'<?xml version="1.0"?><sst xmlns="{m}">'
+                       f'{shared_si}</sst>')
+        for name, body in sheet_files.items():
+            z.writestr(name, body)
+
+
+def _sheet_xml(header, value):
+    m = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    return (f'<?xml version="1.0"?><worksheet xmlns="{m}"><sheetData>'
+            f'<row r="1"><c r="A1" t="inlineStr"><is><t>{header}</t></is></c></row>'
+            f'<row r="2"><c r="A2"><v>{value}</v></c></row>'
+            '</sheetData></worksheet>')
+
+
+def test_xlsx_first_sheet_follows_workbook_order(spark, tmp_path):
+    """Display order comes from xl/workbook.xml, not worksheet file names: a
+    workbook whose front sheet is stored as sheet2.xml must read sheet2."""
+    from localsql_spark.sources.readers import _read_xlsx_stdlib
+
+    f = tmp_path / "reordered.xlsx"
+    _write_xlsx_custom(
+        f,
+        {"xl/worksheets/sheet1.xml": _sheet_xml("wrong", 111),
+         "xl/worksheets/sheet2.xml": _sheet_xml("right", 222)},
+        first_rid_target="worksheets/sheet2.xml")
+    pdf = _read_xlsx_stdlib(f)
+    assert list(pdf.columns) == ["right"]
+    assert pdf.iloc[0, 0] == 222
+
+
+def test_xlsx_shared_strings_skip_phonetic_runs(spark, tmp_path):
+    """<rPh> phonetic (furigana) runs must not be concatenated into cell
+    text — openpyxl excludes them too."""
+    from localsql_spark.sources.readers import _read_xlsx_stdlib
+
+    m = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    si = ('<si><t>Tokyo</t><rPh sb="0" eb="2"><t>TOUKYOU</t></rPh>'
+          '<phoneticPr fontId="1"/></si>')
+    sheet = (f'<?xml version="1.0"?><worksheet xmlns="{m}"><sheetData>'
+             '<row r="1"><c r="A1" t="inlineStr"><is><t>city</t></is></c></row>'
+             '<row r="2"><c r="A2" t="s"><v>0</v></c></row>'
+             '</sheetData></worksheet>')
+    f = tmp_path / "phonetic.xlsx"
+    _write_xlsx_custom(f, {"xl/worksheets/sheet1.xml": sheet},
+                       first_rid_target="worksheets/sheet1.xml",
+                       shared_si=si)
+    pdf = _read_xlsx_stdlib(f)
+    assert pdf.iloc[0, 0] == "Tokyo"
+
+
+def test_xlsx_datasource_glob_in_directory_segment(spark, tmp_path, example_dir):
+    """A wildcard in a DIRECTORY segment must expand ('/data/*/book.xlsx')."""
+    import shutil
+    from localsql_spark.sources.xlsx_datasource import _expand
+
+    for sub in ("a", "b"):
+        (tmp_path / sub).mkdir()
+        shutil.copy(example_dir / "excel.xlsx", tmp_path / sub / "book.xlsx")
+    got = _expand(str(tmp_path / "*" / "book.xlsx"))
+    assert len(got) == 2
