@@ -92,8 +92,10 @@ def register_directory(spark: SparkSession, directory: str | Path, *,
             if verbose:
                 print(f"{f} -> table {name!r} columns={len(df.columns)}")
         except Exception as e:  # noqa: BLE001 — per-file isolation by design
-            if verbose:
-                print(f"{f}: {e}")
+            # errors go to stderr unconditionally: silent mode protects
+            # stdout, not failure visibility
+            import sys
+            print(f"{f}: {e}", file=sys.stderr)
     return tables
 
 

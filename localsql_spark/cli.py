@@ -158,14 +158,20 @@ def main(argv: list[str] | None = None) -> int:
             if verbose:
                 print(f"{f} -> table {name!r}")
         except Exception as e:  # noqa: BLE001 — per-file isolation
-            if verbose:
-                print(f"{f}: {e}", file=sys.stderr)
+            # errors always reach stderr — hiding them under --silent turns
+            # the later query failure into an inexplicable missing-table
+            # error, and stderr never pollutes the pure-stdout contract
+            print(f"{f}: {e}", file=sys.stderr)
     if not eng.tables and verbose:
         print("Supported files not found. Try -r, -d or --help",
               file=sys.stderr)
 
     if args.query is not None:  # one-shot mode
-        result = eng.run_sql(args.query)
+        try:
+            result = eng.run_sql(args.query)
+        except Exception as e:  # noqa: BLE001 — shaped message, not traceback
+            print(e, file=sys.stderr)
+            return 1
         if result is not None:
             eng.print_result(result)
         return 0

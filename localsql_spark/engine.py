@@ -42,6 +42,18 @@ class LocalSparkSQL:
 
     # -- catalog ----------------------------------------------------------
     def load_file(self, file: str | Path, **kw) -> str:
+        if "name" not in kw:
+            # uniquify against the live catalog, same as register_directory:
+            # two positional files normalizing to one identifier must not
+            # silently shadow each other
+            from localsql_spark.catalog import tablename_from_file
+            name = tablename_from_file(file)
+            if name in self.tables:
+                i = 2
+                while f"{name}_{i}" in self.tables:
+                    i += 1
+                name = f"{name}_{i}"
+            kw["name"] = name
         name, df = register_file(self.spark, file, **kw)
         self.tables[name] = df
         return name
@@ -97,12 +109,16 @@ class LocalSparkSQL:
         df.printSchema()
         # backtick-quote column references: flattened-JSON tables carry
         # literal dots in column names ('nest.a'), which a bare string
-        # reference would resolve as struct-field access
+        # reference would resolve as struct-field access.  The row-count
+        # alias must not shadow a real column of the same name.
+        rows_alias = "__rows"
+        while rows_alias in df.columns:
+            rows_alias += "_"
         stats = df.agg(
-            F.count(F.lit(1)).alias("__rows"),
+            F.count(F.lit(1)).alias(rows_alias),
             *[F.count(F.col("`" + c.replace("`", "``") + "`")).alias(c)
               for c in df.columns]).collect()[0]
-        print(f"{stats['__rows']} entries, {len(df.columns)} columns")
+        print(f"{stats[rows_alias]} entries, {len(df.columns)} columns")
         for c in df.columns:
             print(f"  {c}: {stats[c]} non-null")
 
@@ -129,6 +145,14 @@ class LocalSparkSQL:
                 raise RuntimeError(
                     "no result to save — run the query before save")
             target = args.strip()
+            if not target:
+                # reference prints usage on a missing filename
+                # (localsql/localsql.py:172-175)
+                import sys
+                print("Save result to file.\n"
+                      "Usage: \\s <filename>.<csv/json/jsonl/xlsx/parquet/orc>",
+                      file=sys.stderr)
+                return None
             export_result(self.latest_result, target)
             # feedback on stderr (reference eprints, localsql.py:188) so the
             # one-shot -s stdout stays pure result

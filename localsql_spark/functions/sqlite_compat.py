@@ -14,12 +14,16 @@ from pyspark.sql import functions as F
 
 
 def glob_to_regex(pattern: str) -> str:
-    """SQLite GLOB pattern -> anchored regex (* ? [...] wildcards).
+    """SQLite GLOB pattern -> UNanchored regex body (* ? [...] wildcards).
 
     GLOB is case-sensitive shell-style matching (SQLite core function,
-    delegated by the reference via localsql/localsql.py:230).
+    delegated by the reference via localsql/localsql.py:230).  Anchoring is
+    the caller's job because the two consumers need different spellings:
+    ``^...$`` lets ``$`` match before a trailing newline (so 'abc\\n' would
+    GLOB 'abc', which SQLite rejects) — Java rlike wants ``\\A...\\z``,
+    Python uses ``re.fullmatch``.
     """
-    out = ["^"]
+    out = []
     i = 0
     while i < len(pattern):
         ch = pattern[i]
@@ -32,9 +36,10 @@ def glob_to_regex(pattern: str) -> str:
             if j == -1:
                 out.append("\\[")
             else:
-                body = pattern[i + 1:j]
-                if body.startswith("^"):
-                    body = "^" + body[1:].replace("\\", "\\\\")
+                # backslashes inside ANY class body are literal in GLOB —
+                # escape them in both the negated and plain branches (an
+                # unescaped trailing backslash is a regex syntax error)
+                body = pattern[i + 1:j].replace("\\", "\\\\")
                 out.append(f"[{body}]")
                 i = j
         elif ch in ".^$+{}()|\\":
@@ -42,14 +47,14 @@ def glob_to_regex(pattern: str) -> str:
         else:
             out.append(ch)
         i += 1
-    out.append("$")
     return "".join(out)
 
 
 def glob(col: Column | str, pattern: str) -> Column:
-    """``col GLOB pattern`` as a Column (rlike on the translated regex)."""
+    """``col GLOB pattern`` as a Column (rlike on the translated regex,
+    absolute anchors — no trailing-newline leniency)."""
     c = F.col(col) if isinstance(col, str) else col
-    return c.rlike(glob_to_regex(pattern))
+    return c.rlike("\\A" + glob_to_regex(pattern) + "\\z")
 
 
 def total(col: Column | str) -> Column:
@@ -103,7 +108,18 @@ def strftime_modifiers(col: Column | str, *modifiers: str) -> Column:
         delta = _MOD_DELTA.match(m)
         if delta:
             n, unit = delta.group(1), delta.group(2)
-            c = c + F.expr(f"INTERVAL {n} {unit.upper()}")
+            if "." in n:
+                # Spark intervals only allow fractions on SECOND; SQLite
+                # accepts '+1.5 days' (= 36 hours) — compile fractional
+                # day/hour/minute amounts down to seconds
+                secs = {"day": 86400, "hour": 3600, "minute": 60,
+                        "second": 1}.get(unit)
+                if secs is None:
+                    raise ValueError(
+                        f"fractional {unit} modifier not supported: {mod!r}")
+                c = c + F.expr(f"INTERVAL {float(n) * secs} SECOND")
+            else:
+                c = c + F.expr(f"INTERVAL {n} {unit.upper()}")
         elif m in ("start of day", "start of month", "start of year"):
             c = F.date_trunc(m.rsplit(" ", 1)[-1], c)
         elif m.startswith("weekday "):
@@ -159,6 +175,23 @@ def strftime(fmt: str, col: Column | str, *modifiers: str) -> Column:
     return F.date_format(c, "".join(parts))
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=256)
+def _glob_compiled(p: str):
+    return _re.compile(glob_to_regex(p))
+
+
+def _glob_match_py(s, p):
+    """Row-side GLOB for the registered UDF: NULL in (either operand) ->
+    NULL out (SQLite semantics); pattern translation/compile is cached,
+    not re-run per row.  Module-level so the UDF pickles."""
+    if s is None or p is None:
+        return None
+    return _glob_compiled(p).fullmatch(s) is not None
+
+
 def register_sqlite_compat(spark: SparkSession) -> None:
     """Register SQLite-dialect names usable from ``spark.sql``:
     ``glob(s, pat)``, ``typeof(x)`` (via SQL macros / a tiny UDF)."""
@@ -182,7 +215,4 @@ def register_sqlite_compat(spark: SparkSession) -> None:
         return "text"
 
     spark.udf.register("typeof", _typeof)
-    spark.udf.register(
-        "glob_match",
-        lambda s, p: s is not None and bool(__import__("re").match(glob_to_regex(p), s)),
-        "boolean")
+    spark.udf.register("glob_match", _glob_match_py, "boolean")

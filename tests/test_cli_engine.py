@@ -227,3 +227,54 @@ def test_table_info_handles_dotted_columns(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "2 entries" in out
     assert "nest.a: 1 non-null" in out
+
+
+def test_glob_newline_and_backslash_class_semantics(eng, spark):
+    """GLOB must not match a trailing newline (absolute anchors), must treat
+    backslashes in character classes literally, and glob_match must return
+    NULL (not crash) on NULL operands (code-review r2)."""
+    from localsql_spark.functions.sqlite_compat import glob_to_regex
+
+    import re as _re
+    assert _re.compile(glob_to_regex("[a\\]"))      # no unterminated class
+    assert not _re.compile(glob_to_regex("[\\d]")).fullmatch("7")
+    df = spark.createDataFrame(
+        [("abc", "abc"), ("abc\n", "abc"), (None, "abc"), ("abc", None)],
+        "s string, p string")
+    df.createOrReplaceTempView("glob_t")
+    rows = eng.run_sql(
+        "SELECT glob_match(s, p) AS g FROM glob_t").collect()
+    assert [r["g"] for r in rows] == [True, False, None, None]
+
+
+def test_cli_one_shot_error_is_shaped(spark, tmp_path, capsys):
+    """-q with a broken query prints the shaped message and exits 1 — no
+    raw traceback (code-review r2)."""
+    (tmp_path / "ok.csv").write_text("a\n1\n")
+    from localsql_spark import cli
+
+    rc = cli.main(["-d", str(tmp_path), "-q", "SELECT nope FROM ok_csv", "-s"])
+    captured = capsys.readouterr()
+    assert rc == 1
+    assert "Traceback" not in captured.err
+    assert "nope" in captured.err
+
+
+def test_positional_file_collision_uniquified(spark, tmp_path):
+    """Two positional files normalizing to the same table name must both
+    load (code-review r2)."""
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    (tmp_path / "a" / "data.csv").write_text("x\n1\n")
+    (tmp_path / "b" / "data.csv").write_text("y\n2\n")
+    e = LocalSparkSQL(spark)
+    n1 = e.load_file(tmp_path / "a" / "data.csv")
+    n2 = e.load_file(tmp_path / "b" / "data.csv")
+    assert n1 == "data_csv" and n2 == "data_csv_2"
+    assert e.tables[n1].columns == ["x"] and e.tables[n2].columns == ["y"]
+
+
+def test_save_without_filename_prints_usage(eng, capsys):
+    eng.run_sql("SELECT * FROM t_csv")
+    assert eng.run_sql("\\s") is None
+    assert "Usage: \\s" in capsys.readouterr().err

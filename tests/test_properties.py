@@ -30,11 +30,10 @@ def test_tablename_is_valid_identifier_and_idempotent(name):
                max_size=30))
 @settings(max_examples=200, deadline=None)
 def test_glob_to_regex_compiles_and_anchors(pat):
-    rx = glob_to_regex(pat)
+    rx = glob_to_regex(pat)  # unanchored body; callers fullmatch/\A..\z it
     compiled = re.compile(rx)  # must always be a valid regex
-    assert rx.endswith(r"\Z") or rx.endswith("$")
     if "*" not in pat and "?" not in pat and "[" not in pat:
-        assert compiled.match(pat), "literal pattern must match itself"
+        assert compiled.fullmatch(pat), "literal pattern must match itself"
 
 
 # -- Spark operator invariants ----------------------------------------------
@@ -107,6 +106,7 @@ def test_strftime_compiler_units(spark):
         F.col("s").cast("timestamp").alias("ts"))
     row = df.select(
         strftime("%Y-%m-%d %H:%M:%S", "ts", "+1 day", "-30 minutes").alias("a"),
+        strftime("%Y-%m-%d %H:%M:%S", "ts", "+1.5 days").alias("frac"),
         strftime("%Y-%m-%d", "ts", "start of month").alias("b"),
         strftime("%Y-%m-%d", "ts", "+1 year").alias("c"),
         strftime("%s", "ts").alias("epoch"),
@@ -116,6 +116,7 @@ def test_strftime_compiler_units(spark):
         strftime("%Y-%m-%d", "ts", "weekday 4").alias("thu"),
         strftime("%Y-%m-%d", "ts", "weekday 0").alias("sun")).collect()[0]
     assert row["a"] == "2024-03-01 10:00:00"
+    assert row["frac"] == "2024-03-01 22:30:00"  # +36h, SQLite fractional day
     assert row["b"] == "2024-02-01"
     assert row["c"] == "2025-02-28"   # leap-day + 1 year clamps like SQLite? no: documents Spark semantics
     assert row["epoch"] == "1709202600"
