@@ -138,6 +138,33 @@ def streaming_dedup(spark: SparkSession, sf_dir: str,
     return _drain_to_memory(deduped, "streaming_dedup_sink", "append")
 
 
+def user_stats_update(key, pdfs, state):
+    """Per-user running (count, integer-cents total) state update — module
+    level so tests can drive it through their own multi-batch sources."""
+    import pandas as pd
+
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        # integer cents: associative + exact, safe to accumulate per-batch
+        cents += int(pdf["value"].mul(100).round(0).astype("int64").sum())
+    state.update((n, cents))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                        "sum_value": [cents / 100.0]})
+
+
+def recombine_final_emissions(drained: DataFrame) -> DataFrame:
+    """Update mode emits once per key PER BATCH; with a multi-batch backlog
+    a user appears multiple times with intermediate running totals — keep
+    the final emission, identified by max n_events (strictly increasing: a
+    key only emits when its batch has rows).  The total is paired to that
+    emission via max_by, NOT maxed independently — with negative event
+    values an intermediate total can exceed the final."""
+    return (drained.groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"),
+                 F.max_by("sum_value", "n_events").alias("sum_value")))
+
+
 def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     per-user running event count + decimal-exact value total kept in the
@@ -146,38 +173,18 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     With the backlog drained the final state equals the batch per-user
     aggregate, so it shares an exact SQL oracle.
     """
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    def update(key, pdfs, state: GroupState):
-        import pandas as pd
-
-        n, cents = state.get if state.exists else (0, 0)
-        for pdf in pdfs:
-            n += len(pdf)
-            # integer cents: associative + exact, safe to accumulate per-batch
-            cents += int(pdf["value"].mul(100).round(0).astype("int64").sum())
-        state.update((n, cents))
-        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
-                            "sum_value": [cents / 100.0]})
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     ev = _stream_source(spark, sf_dir, "events")
     out = (ev.groupBy("user_id")
            .applyInPandasWithState(
-               update,
+               user_stats_update,
                outputStructType="user_id long, n_events long, sum_value double",
                stateStructType="n long, cents long",
                outputMode="update",
                timeoutConf=GroupStateTimeout.NoTimeout))
     drained = _drain_to_memory(out, "stateful_user_stats_sink", "update")
-    # update mode emits once per key PER BATCH; if the backlog split into
-    # several micro-batches a user appears multiple times with intermediate
-    # running totals — keep the final emission, identified by max n_events
-    # (strictly increasing: a key only emits when its batch has rows). The
-    # total is paired to that emission via max_by, NOT maxed independently —
-    # with negative event values an intermediate total can exceed the final.
-    return (drained.groupBy("user_id")
-            .agg(F.max("n_events").alias("n_events"),
-                 F.max_by("sum_value", "n_events").alias("sum_value")))
+    return recombine_final_emissions(drained)
 
 
 def stream_stream_attribution(spark: SparkSession, sf_dir: str,

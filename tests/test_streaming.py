@@ -160,3 +160,41 @@ def test_xlsx_streaming_source_picks_up_new_workbooks(spark, tmp_path):
         assert sorted(map(tuple, got.collect())) == [(1, 10), (2, 20), (3, 30)]
     finally:
         q.stop()
+
+
+def test_stateful_recombination_survives_multi_batch_negatives(spark, tmp_path):
+    """Force a TWO-micro-batch backlog (maxFilesPerTrigger=1) whose second
+    batch carries negative values: the final per-user total must come from
+    the LAST emission (max_by pairing), not an independent max — an
+    intermediate running total exceeds the final one here (ADVICE r1)."""
+    import tempfile
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from localsql_spark.streaming.stream_agg import (recombine_final_emissions,
+                                                     user_stats_update)
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (spark.createDataFrame([(7, 5.0), (7, 5.0)], "user_id long, value double")
+     .coalesce(1).write.parquet(str(land / "f1.parquet")))
+    (spark.createDataFrame([(7, -20.0)], "user_id long, value double")
+     .coalesce(1).write.parquet(str(land / "f2.parquet")))
+
+    stream = (spark.readStream.schema("user_id long, value double")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(land) + "/*"))
+    out = (stream.groupBy("user_id")
+           .applyInPandasWithState(
+               user_stats_update,
+               outputStructType="user_id long, n_events long, sum_value double",
+               stateStructType="n long, cents long",
+               outputMode="update",
+               timeoutConf=GroupStateTimeout.NoTimeout))
+    q = (out.writeStream.format("memory").queryName("multi_batch_state")
+         .outputMode("update")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_mb_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    drained = spark.table("multi_batch_state")
+    assert drained.count() >= 2, "backlog must split into multiple batches"
+    row = recombine_final_emissions(drained).collect()[0]
+    assert (row["user_id"], row["n_events"], row["sum_value"]) == (7, 3, -10.0)
