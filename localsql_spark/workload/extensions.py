@@ -890,28 +890,34 @@ SELECT (SELECT count(*) FROM v) AS n_view,
        (SELECT count(*) FROM p) AS n_view_click_purchase
 """)
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel (view -> click -> purchase) conversion counts: each
-    step is a groupBy-min on user_id plus a user_id equi-join against the
-    previous step, so after the first shuffle every stage is co-partitioned
-    on user_id (no re-shuffle of the events side beyond the join key).  The
-    sequence constraint is event-TIME ordering (strictly later than the
-    previous step's first occurrence), not ingestion order."""
+    """Ordered funnel (view -> click -> purchase) conversion counts in ONE
+    scan + ONE shuffle: three whole-partition window minima over the same
+    user_id partitioning (each step's cutoff references the previous
+    step's — Catalyst reuses the single exchange across the window passes),
+    then a per-user collapse and a scalar count.  A staged
+    groupBy-join-groupBy formulation re-scans and re-shuffles the events
+    table once per funnel step.  The sequence constraint is event-TIME
+    ordering (strictly later than the previous step's first occurrence)."""
+    from pyspark.sql import Window
+
     ev = load(spark, sf_dir)["events"].select(
         "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
-    v = (ev.filter(F.col("event_type") == "view")
-         .groupBy("user_id").agg(F.min("ts").alias("vts")))
-    c = (ev.filter(F.col("event_type") == "click")
-         .join(v, "user_id")
-         .filter(F.col("ts") > F.col("vts"))
-         .groupBy("user_id").agg(F.min("ts").alias("cts")))
-    p = (ev.filter(F.col("event_type") == "purchase")
-         .join(c, "user_id")
-         .filter(F.col("ts") > F.col("cts"))
-         .groupBy("user_id").agg(F.min("ts").alias("pts")))
-    return (v.agg(F.count(F.lit(1)).alias("n_view"))
-            .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
-            .crossJoin(p.agg(F.count(F.lit(1))
-                             .alias("n_view_click_purchase"))))
+    w = Window.partitionBy("user_id")
+    fv = ev.withColumn(
+        "fv", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w))
+    fc = fv.withColumn(
+        "fc", F.min(F.when((F.col("event_type") == "click")
+                           & (F.col("ts") > F.col("fv")), F.col("ts"))).over(w))
+    fp = fc.withColumn(
+        "fp", F.min(F.when((F.col("event_type") == "purchase")
+                           & (F.col("ts") > F.col("fc")), F.col("ts"))).over(w))
+    per_user = fp.groupBy("user_id").agg(
+        F.max("fv").alias("fv"), F.max("fc").alias("fc"),
+        F.max("fp").alias("fp"))
+    return per_user.agg(
+        F.count("fv").alias("n_view"),
+        F.count("fc").alias("n_view_click"),
+        F.count("fp").alias("n_view_click_purchase"))
 
 
 @query("sketch_countmin_terms", oracle=r"""
