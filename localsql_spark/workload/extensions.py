@@ -726,22 +726,26 @@ def decontaminate_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join on the shingle — the standard n-gram overlap check run before
     training; the eval shingle set stays distributed (no broadcast: eval
     sets can be large)."""
+    from pyspark.sql import Window
+
     docs = load(spark, sf_dir)["documents"]
+    # ONE scan + two shuffles: the eval-side/train-side split of the shingle
+    # table is a per-shingle window flag ("does any eval doc carry this
+    # shingle"), not separate subtrees — a semi-join formulation makes
+    # Catalyst compute the normalize+shingle explode once per reference
+    # (3 scans).  (doc_id, s) is unique (word_shingles array_distincts), so
+    # sum(in_eval) counts a train doc's distinct shared shingles.
     sh = (spread(docs)
           .select("doc_id",
-                  F.explode(T.word_shingles(F.col("text"), 3)).alias("s")))
-    eval_sh = (sh.filter(F.col("doc_id") % 50 == 0)
-               .select("s").distinct())
-    train = sh.filter(F.col("doc_id") % 50 != 0)
-    # (doc_id, s) is already unique: word_shingles array_distincts per doc
-    # and eval_sh is a distinct set, so no dedup shuffle before the count
-    hits = (train.join(eval_sh, "s")
-            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared")))
-    train_docs = train.select("doc_id").distinct()
-    return (train_docs.join(hits, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
-                    F.col("n_shared").isNotNull().alias("contaminated")))
+                  F.explode(T.word_shingles(F.col("text"), 3)).alias("s"),
+                  (F.col("doc_id") % 50 == 0).alias("is_eval")))
+    in_eval = F.max(F.col("is_eval").cast("int")).over(Window.partitionBy("s"))
+    return (sh.withColumn("in_eval", in_eval)
+            .filter(~F.col("is_eval"))
+            .groupBy("doc_id")
+            .agg(F.sum("in_eval").alias("n_shared"))
+            .select("doc_id", "n_shared",
+                    (F.col("n_shared") > 0).alias("contaminated")))
 
 
 @query("text_bpe_token_count", oracle=r"""
