@@ -194,28 +194,39 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     docs — the standard degenerate-shingle guard at scale.
     Returns (doc_a, doc_b, jaccard).
     """
-    sh = spread(df).select(F.col(id_col).alias("doc_id"), F.col(block_col).alias("blk"),
-                   F.explode(word_shingles(F.col(text_col), 3)).alias("s"))
+    from pyspark.sql import Window
+
+    sh = spread(df).select(F.col(id_col).alias("doc_id"),
+                           F.col(block_col).alias("blk"),
+                           F.explode(word_shingles(F.col(text_col), 3))
+                           .alias("s"))
     if df_cap is not None:
-        # anti-join against the DEGENERATE shingles (df > cap): that set is
-        # small by construction, so it broadcasts at any corpus size — the
-        # kept-shingle set grows with the corpus and must never be hinted
-        freq = sh.groupBy("s").agg(F.countDistinct("doc_id").alias("df"))
-        sh = sh.join(F.broadcast(freq.filter(F.col("df") > df_cap)),
-                     "s", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "blk", "s")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "blk", "s")
-    inter = (a.join(b, ["blk", "s"])
-             .filter(F.col("doc_a") < F.col("doc_b"))
-             .groupBy("doc_a", "doc_b")
-             .agg(F.count(F.lit(1)).alias("i")))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+        # document frequency as a per-shingle window count ((doc_id, s) is
+        # unique, so count(*) == countDistinct(doc)) — a groupBy+anti-join
+        # formulation re-computes the whole shingle subtree per reference
+        sh = (sh.withColumn("df", F.count(F.lit(1))
+                            .over(Window.partitionBy("s")))
+              .filter(F.col("df") <= df_cap).drop("df"))
+    # per-doc shingle count rides on each row (window over doc), and the
+    # finished table is persisted ONCE: the self-join references it twice,
+    # which would otherwise run the explode+windows pipeline twice — the
+    # same "write the index, then self-join" shape as MinHash-LSH
+    sh = track_persist(
+        sh.withColumn("n", F.count(F.lit(1))
+                      .over(Window.partitionBy("doc_id"))))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "blk", "s",
+                  F.col("n").alias("na"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), "blk", "s",
+                  F.col("n").alias("nb"))
+    return (a.join(b, ["blk", "s"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("i"),
+                 F.min("na").alias("na"), F.min("nb").alias("nb"))
             .select("doc_a", "doc_b",
                     (F.col("i").cast("double")
-                     / (F.col("na") + F.col("nb") - F.col("i"))).alias("jaccard"))
+                     / (F.col("na") + F.col("nb") - F.col("i")))
+                    .alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
 
 

@@ -148,11 +148,17 @@ def bm25_scores(docs, terms: list[str], *, k1: float = 1.2, b: float = 0.75,
 
     from localsql_spark.operators import spread
 
+    from localsql_spark.operators import track_persist
+
     toks = (spread(docs)
             .select(F.col(id_col).alias("doc_id"),
                     F.explode(F.split(normalize_text(F.col(text_col)), " "))
                     .alias("term")))
-    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # doclen is referenced twice (corpus stats + the per-doc join) and is
+    # tiny (one row per doc) — persist it so the tokenize pipeline runs once
+    # per consumer chain instead of once per reference
+    doclen = track_persist(
+        toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")))
     # avgdl per the determinism policy: exact integer sum, ONE double
     # division — F.avg over doubles is partial-aggregation-order dependent
     # and diverged from the oracle in the low bits at sf0.1

@@ -479,11 +479,17 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup removal (drop the higher id of every confirmed pair). Composes
     the individual operators; plan = row-local filters + one hash-dedup
     shuffle + the linear LSH self-join + two anti/semi joins."""
+    from localsql_spark.operators import track_persist
+
     docs = load(spark, sf_dir)["documents"]
-    quality = docs.filter(
+    # the quality-gated corpus feeds THREE stages (exact keep-list, LSH
+    # near-dup, final projection); persist it once — on a real pipeline this
+    # is the staged write of the filtered corpus between jobs, and without
+    # it each stage re-scans and re-filters the full input
+    quality = track_persist(docs.filter(
         F.length("text").between(50, 20000)
         & (T.punct_ratio(F.col("text")) < 0.10)
-        & (T.digit_ratio(F.col("text")) < 0.20))
+        & (T.digit_ratio(F.col("text")) < 0.20)))
     exact_keep = (quality
                   .groupBy(T.fingerprint_md5(F.col("text")).alias("h"))
                   .agg(F.min("doc_id").alias("doc_id"))
