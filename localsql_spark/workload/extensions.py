@@ -485,8 +485,11 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the quality-gated corpus feeds THREE stages (exact keep-list, LSH
     # near-dup, final projection); persist it once — on a real pipeline this
     # is the staged write of the filtered corpus between jobs, and without
-    # it each stage re-scans and re-filters the full input
-    quality = track_persist(docs.filter(
+    # it each stage re-scans and re-filters the full input.  spread() runs
+    # BEFORE the persist: a cache freezes the partition layout, and caching
+    # a single-split local scan would pin every downstream stage (the LSH
+    # signature fold above all) to one core.
+    quality = track_persist(spread(docs).filter(
         F.length("text").between(50, 20000)
         & (T.punct_ratio(F.col("text")) < 0.10)
         & (T.digit_ratio(F.col("text")) < 0.20)))
