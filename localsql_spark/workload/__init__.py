@@ -94,17 +94,34 @@ _HEAVY = frozenset({
 })
 
 
+# Queries added after the current round's 50-entry driver window was already
+# full of still-unverified entries. They sort after the heavy pending block so
+# they cannot displace a query that has been waiting for its CORRECTNESS row
+# since round 1; they enter the window themselves once DRIVER_VERIFIED is
+# refreshed from the next CORRECTNESS_r{N}.json.
+_DEFERRED = frozenset({
+    "qualify_top_suppliers", "grouping_sets_orders", "fn_stats_suite",
+    "fn_array_suite", "text_pii_redact", "text_repetition_signals",
+    "split_train_val_test", "sketch_bloom_membership",
+    "streaming_enrich_static",
+})
+
+
 def _ordered() -> dict[str, QuerySpec]:
     """Registry in driver-check priority order: entries WITHOUT a green
-    CORRECTNESS row from a prior round first (cheap before heavy,
-    registration order within each class), previously-verified ones after."""
+    CORRECTNESS row from a prior round first (cheap before heavy, then
+    newly-added deferred, registration order within each class),
+    previously-verified ones after."""
     _ensure_loaded()
     pending_cheap = {n: s for n, s in REGISTRY.items()
-                     if n not in DRIVER_VERIFIED and n not in _HEAVY}
+                     if n not in DRIVER_VERIFIED and n not in _HEAVY
+                     and n not in _DEFERRED}
     pending_heavy = {n: s for n, s in REGISTRY.items()
                      if n not in DRIVER_VERIFIED and n in _HEAVY}
+    deferred = {n: s for n, s in REGISTRY.items()
+                if n not in DRIVER_VERIFIED and n in _DEFERRED}
     done = {n: s for n, s in REGISTRY.items() if n in DRIVER_VERIFIED}
-    return {**pending_cheap, **pending_heavy, **done}
+    return {**pending_cheap, **pending_heavy, **deferred, **done}
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -923,3 +923,146 @@ def lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_nationkey = n.n_nationkey
         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
     """)
+
+
+# ---------------------------------------------------------------------------
+# QUALIFY / GROUPING SETS / statistical aggregates / array functions
+# ---------------------------------------------------------------------------
+
+@query("qualify_top_suppliers", oracle="""
+SELECT s_nationkey, s_suppkey, s_name, s_acctbal
+FROM supplier
+QUALIFY ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                           ORDER BY s_acctbal DESC, s_suppkey) <= 3
+""")
+def qualify_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY clause (filter on a window function without a subquery) —
+    DuckDB has it natively; Spark expresses the same plan as window +
+    filter + drop.  Catalyst turns the rn<=3 filter into WindowGroupLimit,
+    so each shuffle partition keeps only 3 rows per key before the window
+    sort — the scale-correct per-group top-k."""
+    from pyspark.sql.window import Window
+
+    sup = load(spark, sf_dir)["supplier"]
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return (sup.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 3)
+            .select("s_nationkey", "s_suppkey", "s_name", "s_acctbal"))
+
+
+@query("grouping_sets_orders", oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""")
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer control than rollup/cube) with the
+    grouping_id disambiguator.  Spark's grouping_id() bit order (first
+    grouping column = MSB) matches DuckDB's GROUPING(a, b).  Physical plan
+    is one Expand (row replicated per grouping set, row-local) + one hash
+    aggregate — the same single shuffle a plain GROUP BY costs."""
+    orders = load(spark, sf_dir)["orders"]
+    return (orders.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus", "o_orderpriority")
+        .agg(F.grouping_id().alias("gid"),
+             F.count("*").alias("n_orders"),
+             dsum("o_totalprice").alias("sum_price")))
+
+
+@query("fn_stats_suite", oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       (sxy - sx * sy / n) / n                   AS covar_pop_qty_price,
+       (sxy - sx * sy / n) / (n - 1)             AS covar_samp_qty_price,
+       (sxy - sx * sy / n)
+         / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+                                                 AS corr_qty_price,
+       sqrt((sxx - sx * sx / n) / n)             AS stddev_pop_qty,
+       sqrt((sxx - sx * sx / n) / (n - 1))       AS stddev_samp_qty,
+       (syy - sy * sy / n) / (n - 1)             AS var_samp_price
+FROM m
+""")
+def fn_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: corr / covar / stddev / variance.  Native
+    F.corr etc. merge per-partition co-moments, so their low bits depend on
+    partition merge order; instead both engines derive the statistics from
+    EXACT decimal power sums with an identical double expression tree —
+    bit-deterministic at any partitioning, and still one shuffle (the sums
+    are ordinary partial-aggregable SUMs).  Reference surface: SQLite math
+    via delegated aggregate queries (localsql/localsql.py:230)."""
+    li = load(spark, sf_dir)["lineitem"]
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p * p).cast("double").alias("syy"),
+        F.sum(q * p).cast("double").alias("sxy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov = sxy - sx * sy / n
+    vx, vy = sxx - sx * sx / n, syy - sy * sy / n
+    return m.select(
+        "l_returnflag", "n",
+        (cov / n).alias("covar_pop_qty_price"),
+        (cov / (n - F.lit(1))).alias("covar_samp_qty_price"),
+        (cov / F.sqrt(vx * vy)).alias("corr_qty_price"),
+        F.sqrt(vx / n).alias("stddev_pop_qty"),
+        F.sqrt(vx / (n - F.lit(1))).alias("stddev_samp_qty"),
+        (vy / (n - F.lit(1))).alias("var_samp_price"))
+
+
+@query("fn_array_suite", oracle="""
+SELECT vec_id,
+       len(embedding)                                        AS arr_len,
+       CAST(list_max(embedding) AS DOUBLE)                   AS max_val,
+       CAST(list_min(embedding) AS DOUBLE)                   AS min_val,
+       list_position(embedding, list_max(embedding))         AS max_pos,
+       len(list_filter(embedding, x -> x > 0))               AS n_pos,
+       CAST(CAST(embedding[1] AS DOUBLE)
+            + CAST(embedding[2] AS DOUBLE)
+            + CAST(embedding[3] AS DOUBLE) AS DOUBLE)        AS first3_sum,
+       CAST(list_sort(embedding)[1] AS DOUBLE)               AS sorted_head,
+       list_contains(embedding, list_max(embedding))         AS has_max
+FROM embeddings
+WHERE vec_id < 500
+""")
+def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/list function surface over the embedding column: size, min/max,
+    position, lambda filter, element access, sort, membership — all
+    row-local Catalyst expressions (zero shuffle, WholeStageCodegen).
+    Scalars only in the output: float32 elements cast to double bit-exactly
+    on both engines, and the 3-element sum is a FIXED evaluation order on
+    both sides so no decimal detour is needed."""
+    emb = load(spark, sf_dir)["embeddings"].filter(F.col("vec_id") < 500)
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(e).alias("arr_len"),
+        F.array_max(e).cast("double").alias("max_val"),
+        F.array_min(e).cast("double").alias("min_val"),
+        F.array_position(e, F.array_max(e)).alias("max_pos"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
+        (F.element_at(e, 1).cast("double")
+         + F.element_at(e, 2).cast("double")
+         + F.element_at(e, 3).cast("double")).alias("first3_sum"),
+        F.element_at(F.array_sort(e), 1).cast("double").alias("sorted_head"),
+        F.array_contains(e, F.array_max(e)).alias("has_max"))
