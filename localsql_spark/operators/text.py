@@ -183,3 +183,82 @@ def bm25_scores(docs, terms: list[str], *, k1: float = 1.2, b: float = 0.75,
             .groupBy("doc_id")
             .agg(F.round(F.sum(F.round(contrib, 12).cast("decimal(28,12)")),
                          9).cast("double").alias("score")))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns are deliberately RE2-compatible (character classes + bounded
+# repetition, no lookaround) so the same literal pattern string runs in both
+# Spark (java.util.regex) and the DuckDB oracle (RE2).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Occurrences of one PII pattern (row-local, codegen-able)."""
+    return F.size(F.regexp_extract_all(text, F.lit(PII_PATTERNS[kind]), F.lit(0)))
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace every PII occurrence with a <KIND> placeholder.  Order is
+    fixed (email, phone, ipv4) so overlapping matches resolve identically
+    everywhere; each pass is a row-local regexp_replace — zero shuffle,
+    linear scan at any scale."""
+    out = text
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Repetition / duplication quality signals (Gopher-style)
+# ---------------------------------------------------------------------------
+
+def _words(text: Column) -> Column:
+    return F.split(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")), " ")
+
+
+def distinct_word_ratio(text: Column) -> Column:
+    """|distinct words| / |words| — low values flag boilerplate/spam.
+    Single double division of two exact ints: bit-deterministic."""
+    w = _words(text)
+    return F.size(F.array_distinct(w)).cast("double") / F.size(w)
+
+
+def top_word_fraction(text: Column) -> Column:
+    """Fraction of the document occupied by its single most frequent word
+    (Gopher repetition rule).  Computed ROW-LOCALLY with a lambda fold over
+    the distinct words — O(distinct×n) per row but zero shuffle, which at
+    100 TB beats the explode + two-shuffle groupBy formulation for the
+    bounded document lengths of a crawl corpus."""
+    w = _words(text)
+    top = F.array_max(F.transform(
+        F.array_distinct(w),
+        lambda d: F.size(F.filter(w, lambda x: x == d))))
+    return top.cast("double") / F.size(w)
+
+
+def dup_ngram_fraction(text: Column, n: int = 2) -> Column:
+    """Fraction of the document's n-grams that are repeats of an n-gram
+    already present elsewhere in the SAME document: 1 - distinct/total.
+    Row-local (shingle array built per row, no shuffle)."""
+    w = _words(text)
+    # sequence(0, size-n) DESCENDS when the doc has < n words (negative
+    # element_at under ANSI) — gate the shingle build on size >= n
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - F.lit(n)),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + F.lit(j + 1))
+                                         for j in range(n)])))\
+        .otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    return (F.when(total > 0,
+                   (total - F.size(F.array_distinct(grams))).cast("double")
+                   / total)
+            .otherwise(F.lit(0.0)))

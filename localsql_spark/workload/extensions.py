@@ -1021,3 +1021,133 @@ def dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
     cc = D.connected_components_bigstar(pairs)
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction / repetition signals / train-val-test split
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus carries no real PII, so the query first APPENDS a
+# deterministic doc_id-derived contact line (same expression on both
+# engines), then counts and redacts it — exercising the regex machinery
+# with a non-trivial effect while staying oracle-checkable.
+_PII_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com tel +1-555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.' || CAST(doc_id % 200 AS VARCHAR)"
+    " || '.0.' || CAST(doc_id % 250 AS VARCHAR)")
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}"
+_PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+@query("text_pii_redact", oracle=f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_email,
+       len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phone,
+       len(regexp_extract_all(t, '{_PII_IPV4}')) AS n_ipv4,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IPV4}', '<IPV4>', 'g')) AS redacted_md5,
+       length(regexp_replace(regexp_replace(regexp_replace(t,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IPV4}', '<IPV4>', 'g')) AS redacted_len
+FROM aug
+""")
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails / phones / IPv4) for training-data hygiene:
+    per-doc occurrence counts + the redacted text (surfaced as md5+length
+    so the gate checks the exact output string without hashing megabytes).
+    Pure row-local regexp expressions — RE2-compatible patterns shared
+    verbatim with the oracle, zero shuffle, linear scan at 100 TB."""
+    docs = load(spark, sf_dir)["documents"]
+    aug = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@mail.example.com tel +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."), (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 250).cast("string"))
+    d = docs.select("doc_id", aug.alias("t"))
+    red = T.pii_redact(F.col("t"))
+    return d.select(
+        "doc_id",
+        T.pii_count(F.col("t"), "email").alias("n_email"),
+        T.pii_count(F.col("t"), "phone").alias("n_phone"),
+        T.pii_count(F.col("t"), "ipv4").alias("n_ipv4"),
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).alias("redacted_len"))
+
+
+@query("text_repetition_signals", oracle=r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+           AS toks
+  FROM documents),
+grams AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(len(toks) - 1),
+                                  i -> concat_ws(' ', toks[i+1], toks[i+2]))
+              ELSE [] END AS bg
+  FROM norm)
+SELECT doc_id,
+       len(toks) AS n_words,
+       CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+         AS distinct_ratio,
+       CAST(list_max(list_transform(list_distinct(toks),
+              d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE)
+         / len(toks) AS top_word_frac,
+       CASE WHEN len(bg) > 0
+            THEN CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+            ELSE 0.0 END AS dup_bigram_frac
+FROM grams
+""")
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: distinct-word ratio, top-word
+    fraction, duplicate-bigram fraction.  All three are ROW-LOCAL lambda
+    folds over the token array (no explode, no shuffle): the two-shuffle
+    explode+groupBy formulation is strictly worse at 100 TB for crawl-bounded
+    document lengths.  Ratios are one double division of exact ints."""
+    docs = load(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id",
+        F.size(T._words(F.col("text"))).alias("n_words"),
+        T.distinct_word_ratio(F.col("text")).alias("distinct_ratio"),
+        T.top_word_fraction(F.col("text")).alias("top_word_frac"),
+        T.dup_ngram_fraction(F.col("text"), 2).alias("dup_bigram_frac"))
+
+
+@query("split_train_val_test", oracle="""
+WITH b AS (
+  SELECT source, n_chars,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 100 AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM b GROUP BY 1, 2
+""")
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 train/val/test split by portable hash-mod —
+    membership is a pure function of doc_id (stable across runs, clusters,
+    and engines; no rand()).  The verification aggregates per split×source.
+    Row-local bucket assignment + one partial-aggregated shuffle."""
+    from localsql_spark.operators import hash32
+    docs = load(spark, sf_dir)["documents"]
+    bucket = hash32(F.col("doc_id")) % 100
+    split = (F.when(bucket < 80, "train")
+             .when(bucket < 90, "val").otherwise("test"))
+    return (docs.select(split.alias("split"), "source", "n_chars")
+            .groupBy("split", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars")))

@@ -284,3 +284,74 @@ def test_countmin_never_underestimates(spark):
     assert rows, "probe terms must produce estimates"
     for r in rows:
         assert r["est_count"] >= r["exact_count"], r
+
+
+def test_pii_redact_and_counts(spark):
+    from pyspark.sql import functions as F
+    from localsql_spark.operators import text as T
+
+    rows = [
+        ("a@b.com and c.d@sub.example.org", 2, 0, 0),
+        ("call +1-555-0042 or +44-123-4567", 0, 2, 0),
+        ("host 10.0.0.1 peer 192.168.1.254", 0, 0, 2),
+        ("no pii here at all", 0, 0, 0),
+        ("", 0, 0, 0),
+        ("mixed a@b.io +1-555-1 10.1.2.3", 1, 0, 1),  # short phone no match
+    ]
+    df = spark.createDataFrame([(t,) for t, *_ in rows], ["t"])
+    got = df.select(
+        "t",
+        T.pii_count(F.col("t"), "email").alias("e"),
+        T.pii_count(F.col("t"), "phone").alias("p"),
+        T.pii_count(F.col("t"), "ipv4").alias("i"),
+        T.pii_redact(F.col("t")).alias("red")).collect()
+    by_text = {r["t"]: r for r in got}
+    for t, e, p, i in rows:
+        r = by_text[t]
+        assert (r["e"], r["p"], r["i"]) == (e, p, i), t
+        if e:
+            assert "<EMAIL>" in r["red"] and "@" not in r["red"]
+        if i:
+            assert "<IPV4>" in r["red"]
+
+
+def test_repetition_signals_edges(spark):
+    from pyspark.sql import functions as F
+    from localsql_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [("w",), ("a a a a",), ("a b c d",), ("a b a b a",)], ["t"])
+    got = {r["t"]: r for r in df.select(
+        "t",
+        T.distinct_word_ratio(F.col("t")).alias("dr"),
+        T.top_word_fraction(F.col("t")).alias("tw"),
+        T.dup_ngram_fraction(F.col("t"), 2).alias("dup")).collect()}
+    # single word: no bigrams -> dup 0, ratios 1
+    assert got["w"]["dr"] == 1.0 and got["w"]["tw"] == 1.0 and got["w"]["dup"] == 0.0
+    # all same word: distinct ratio 1/4, top fraction 1, all 3 bigrams dup of first
+    assert got["a a a a"]["dr"] == 0.25 and got["a a a a"]["tw"] == 1.0
+    assert abs(got["a a a a"]["dup"] - 2 / 3) < 1e-12
+    # all distinct
+    assert got["a b c d"]["dr"] == 1.0 and got["a b c d"]["tw"] == 0.25
+    assert got["a b c d"]["dup"] == 0.0
+    # alternating: bigrams [ab, ba, ab, ba] -> 2 dup of 4
+    assert abs(got["a b a b a"]["dup"] - 0.5) < 1e-12
+
+
+def test_train_val_test_split_is_exhaustive_partition(spark):
+    """Every doc lands in exactly one split and proportions are ~80/10/10."""
+    from localsql_spark.workload import REGISTRY, _ensure_loaded
+    _ensure_loaded()
+    import tests.conftest as C
+
+    df = REGISTRY["split_train_val_test"].fn(spark, C.SF_ORACLE)
+    agg = {r["split"]: r["n"] for r in
+           df.groupBy("split").agg(__import__("pyspark.sql.functions",
+                                              fromlist=["F"]).sum("n_docs")
+                                   .alias("n")).collect()}
+    import duckdb
+    total = duckdb.sql(
+        f"SELECT count(*) FROM '{C.SF_ORACLE}/documents.parquet'").fetchone()[0]
+    assert sum(agg.values()) == total
+    assert 0.7 < agg["train"] / total < 0.9
+    assert 0.05 < agg["val"] / total < 0.15
