@@ -79,3 +79,53 @@ def hll_estimate(df: DataFrame, col: str) -> DataFrame:
 def hll_error_bound(confidence_sigmas: float = 3.0) -> float:
     """Relative standard error of HLL with m buckets is ~1.04/sqrt(m)."""
     return confidence_sigmas * 1.04 / math.sqrt(HLL_M)
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom filter
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 16    # filter bits
+BLOOM_K = 4          # hash functions = disjoint 8-hex-digit md5 slices
+
+# Spark's builtin BloomFilter (DataFrame.stat.bloomFilter / the AQE runtime
+# bloom join) is the production fast path, but its bit layout is JVM-
+# internal.  This one derives its K hashes from fixed md5 hex slices so an
+# independent engine reproduces the EXACT bit set — same portability
+# rationale as the HLL above, and the filter itself is exchangeable
+# (ship the bit table, not a JVM object).
+
+
+def _bloom_positions(col: Column) -> list[Column]:
+    """K bit positions for a key: md5 hex chars [1-8],[9-16],[17-24],[25-32],
+    each taken base-16 mod M.  Identical expression in the DuckDB oracles."""
+    md = F.md5(col.cast("string"))
+    return [(F.conv(F.substring(md, 1 + 8 * j, 8), 16, 10).cast("long")
+             % BLOOM_M).alias(f"bit{j}") for j in range(BLOOM_K)]
+
+
+def bloom_build(df: DataFrame, col: str) -> DataFrame:
+    """The filter as a DataFrame of DISTINCT set bit positions (<= M rows —
+    bounded regardless of input size, so it broadcasts at any scale).
+    Distributed build: row-local position expressions, one distinct
+    shuffle whose output is capped at M rows.  Merging two filters is
+    UNION DISTINCT of their bit tables."""
+    keys = df.filter(F.col(col).isNotNull())
+    pos = keys.select(F.explode(F.array(*_bloom_positions(F.col(col))))
+                      .alias("bit"))
+    return pos.distinct()
+
+
+def bloom_probe(bits: DataFrame, probes: DataFrame, col: str) -> DataFrame:
+    """Rows of ``probes`` whose key MAY be in the filter (all K bits set).
+    The bit table is broadcast (<= M rows); probe side stays distributed —
+    explode to (key, bit), broadcast-join, keep keys with K matched
+    positions.  No false negatives, bounded false positives."""
+    pos = probes.select(
+        F.col(col), F.explode(F.array(*_bloom_positions(F.col(col))))
+        .alias("bit"))
+    hits = pos.join(F.broadcast(bits), "bit")
+    return (hits.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("_n_set"))
+            .filter(F.col("_n_set") == BLOOM_K)
+            .select(col))

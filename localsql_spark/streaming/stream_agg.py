@@ -227,3 +227,26 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str,
                        - F.unix_micros("click_ts")).alias("lag_us")),
         "stream_stream_attribution_sink", "append")
     return out
+
+
+def enrich_static_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the BATCH
+    customer dimension, then aggregated per segment x event_type.
+
+    The static side is re-read per micro-batch (Structured Streaming's
+    stream-static contract — a dim update is picked up by the next batch)
+    and joins as a broadcast hash join with NO streaming state: only the
+    aggregation holds state, keyed by the tiny group domain.  This is the
+    canonical "enrich a firehose against a dimension table" deployment
+    shape; at scale the dim broadcast is per-executor, not per-row."""
+    from localsql_spark.workload import load
+
+    ev = _stream_source(spark, sf_dir, "events")
+    cust = load(spark, sf_dir)["customer"].select(
+        F.col("c_custkey"), F.col("c_mktsegment"))
+    joined = ev.join(F.broadcast(cust), ev["user_id"] == F.col("c_custkey"))
+    agg = (joined.groupBy("c_mktsegment", "event_type")
+           .agg(F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_value")))
+    return _drain_to_memory(agg, "events_enrich_static_sink", "complete")

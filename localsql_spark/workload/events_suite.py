@@ -500,3 +500,20 @@ def salted_join_user_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
            .withColumn("tag", F.concat(F.lit("u"),
                                        F.col("user_id").cast("string"))))
     return salted_join(ev, dim, on=["user_id"], n_salts=8)
+
+
+@query("streaming_enrich_static", oracle="""
+SELECT c_mktsegment, event_type, count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+""")
+def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment as a REAL streaming query (file
+    stream joined to the batch customer dim, no join state, aggregate-only
+    state, availableNow drain) — equals the batch join+aggregate exactly
+    (streaming.stream_agg.enrich_static_stream)."""
+    from localsql_spark.streaming.stream_agg import enrich_static_stream
+
+    load(spark, sf_dir)
+    return enrich_static_stream(spark, sf_dir)

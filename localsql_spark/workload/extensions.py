@@ -1151,3 +1151,48 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("split", "source")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_chars").alias("sum_chars")))
+
+
+_BLOOM_POS_SQL = ("CAST('0x' || substr(md5(CAST(KEY AS VARCHAR)), 1 + 8*j, 8)"
+                  " AS BIGINT) % 65536")
+
+
+@query("sketch_bloom_membership", oracle=f"""
+WITH bits AS (
+  SELECT DISTINCT {_BLOOM_POS_SQL.replace("KEY", "c_custkey")} AS bit
+  FROM customer CROSS JOIN UNNEST([0, 1, 2, 3]) u(j)),
+probes AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+ph AS (
+  SELECT k, {_BLOOM_POS_SQL.replace("KEY", "k")} AS bit
+  FROM probes CROSS JOIN UNNEST([0, 1, 2, 3]) u(j)),
+maybe AS (
+  SELECT k FROM ph JOIN bits USING (bit) GROUP BY k HAVING count(*) = 4),
+truth AS (
+  SELECT DISTINCT p.k FROM probes p JOIN customer c ON p.k = c.c_custkey)
+SELECT CAST((SELECT count(*) FROM probes) AS BIGINT) AS n_probes,
+       CAST((SELECT count(*) FROM maybe) AS BIGINT) AS n_maybe,
+       CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM maybe m LEFT JOIN truth t ON m.k = t.k
+             WHERE t.k IS NULL) AS BIGINT) AS n_false_pos
+""")
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom filter: build over customer keys, probe with order
+    keys (a mostly-disjoint domain), and report maybe/true/false-positive
+    counts.  The audit joins probe results against exact membership, so the
+    gate verifies the filter's no-false-negative guarantee AND the exact
+    false-positive set of this hash family.  Scale shape: bit table <= 64Ki
+    rows (broadcast), probes stay distributed; Spark's JVM-internal
+    ``stat.bloomFilter`` is the non-portable production alternative."""
+    from localsql_spark.operators import sketches as SK
+    t = load(spark, sf_dir)
+    bits = SK.bloom_build(t["customer"], "c_custkey")
+    probes = t["orders"].select(F.col("o_orderkey").alias("k")).distinct()
+    maybe = SK.bloom_probe(bits, probes, "k")
+    truth = probes.join(t["customer"],
+                        probes["k"] == F.col("c_custkey"), "left_semi")
+    n_probes = probes.agg(F.count(F.lit(1)).cast("long").alias("n_probes"))
+    n_maybe = maybe.agg(F.count(F.lit(1)).cast("long").alias("n_maybe"))
+    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    n_fp = (maybe.join(truth, "k", "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_false_pos")))
+    return n_probes.crossJoin(n_maybe).crossJoin(n_true).crossJoin(n_fp)

@@ -355,3 +355,19 @@ def test_train_val_test_split_is_exhaustive_partition(spark):
     assert sum(agg.values()) == total
     assert 0.7 < agg["train"] / total < 0.9
     assert 0.05 < agg["val"] / total < 0.15
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    """Every inserted key must probe positive; FP rate stays near theory."""
+    import math
+    from localsql_spark.operators import sketches as SK
+
+    members = spark.range(0, 2000).withColumnRenamed("id", "k")
+    outsiders = spark.range(1_000_000, 1_004_000).withColumnRenamed("id", "k")
+    bits = SK.bloom_build(members, "k")
+    assert SK.bloom_probe(bits, members, "k").count() == 2000
+    n_bits = bits.count()
+    fp = SK.bloom_probe(bits, outsiders, "k").count()
+    # expected FP rate = (set_fraction)^K; allow generous slack
+    rate_theory = (n_bits / SK.BLOOM_M) ** SK.BLOOM_K
+    assert fp / 4000 < max(5 * rate_theory, 0.01)
