@@ -241,3 +241,78 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
                     cosine_pre(F.col("va"), F.col("vb"),
                                F.col("na"), F.col("nb")).alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# K-means (Lloyd iteration) for embedding-space curation
+# ---------------------------------------------------------------------------
+
+def l2_sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance, decimal-summed (order-insensitive, portable)."""
+    return _dec_sum(F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))))
+
+
+def kmeans_assign(corpus: DataFrame, centroids: DataFrame,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Nearest-centroid assignment: (id, cluster_id, dist).  Centroids are
+    broadcast (k rows); the distance is a row-local zip_with fold, the
+    argmin a per-vector window — one shuffle on the vector id, corpus never
+    collected.  Ties break on cluster id."""
+    from pyspark.sql.window import Window
+
+    c = centroids.select(F.col("cell"), F.col("cent"))
+    scored = (spread(corpus)
+              .select(F.col(id_col), F.col(vec_col).alias("v"))
+              .crossJoin(F.broadcast(c))
+              .select(id_col, "cell", l2_sq(F.col("v"), F.col("cent"))
+                      .alias("dist")))
+    w = Window.partitionBy(id_col).orderBy("dist", "cell")
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, F.col("cell").alias("cluster_id"),
+                    F.col("dist")))
+
+
+def kmeans_update(corpus: DataFrame, assign: DataFrame,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Centroid update: per-cluster per-dimension mean, rebuilt into an
+    array<double>.  posexplode -> groupBy(cluster, dim) partial-aggregated
+    decimal mean (deterministic: exact decimal sum, ONE double division) ->
+    sort-collect back to arrays.  Shuffle volume is |vectors|x|dims| narrow
+    rows, the standard distributed-kmeans shape."""
+    elems = (corpus.join(assign.select(id_col, "cluster_id"), id_col)
+             .select("cluster_id",
+                     F.posexplode(F.col(vec_col)).alias("p", "x")))
+    dim_means = (elems.groupBy("cluster_id", "p")
+                 .agg((F.sum(F.round(F.col("x").cast("double"), 12)
+                             .cast("decimal(38,12)")).cast("double")
+                       / F.count(F.lit(1))).alias("m")))
+    return (dim_means.groupBy("cluster_id")
+            .agg(F.transform(F.sort_array(F.collect_list(F.struct("p", "m"))),
+                             lambda s: s["m"]).alias("cent"))
+            .select(F.col("cluster_id").alias("cell"), "cent"))
+
+
+def kmeans_lloyd(corpus: DataFrame, n_clusters: int = 8, n_iter: int = 1,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """K-means with deterministic seeding (the first ``n_clusters`` vectors
+    by id — swap in kmeans|| sampling on a real deployment; the plan shape
+    is identical) and ``n_iter`` Lloyd rounds: assign -> mean-update ->
+    re-assign.  The workhorse of embedding-space curation (SemDeDup-style
+    cluster-then-filter, data mixing by cluster, coverage analysis).
+
+    Returns the final (id, cluster_id, dist) assignment; dist rounded to 9
+    like the cosine operators.  Each round is one broadcast-assign + one
+    narrow-row aggregate; rounds are few and the loop is driver-side only
+    (no lineage blowup at n_iter this small)."""
+    cents = (corpus.filter(F.col(id_col) < n_clusters)
+             .select(F.col(id_col).alias("cell"),
+                     F.transform(F.col(vec_col),
+                                 lambda x: x.cast("double")).alias("cent")))
+    for _ in range(n_iter):
+        assign = kmeans_assign(corpus, cents, id_col, vec_col)
+        cents = kmeans_update(corpus, assign, id_col, vec_col)
+    final = kmeans_assign(corpus, cents, id_col, vec_col)
+    return final.select(id_col, "cluster_id", F.round("dist", 9).alias("dist"))

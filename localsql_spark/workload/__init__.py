@@ -103,7 +103,8 @@ _DEFERRED = frozenset({
     "qualify_top_suppliers", "grouping_sets_orders", "fn_stats_suite",
     "fn_array_suite", "text_pii_redact", "text_repetition_signals",
     "split_train_val_test", "sketch_bloom_membership",
-    "streaming_enrich_static",
+    "streaming_enrich_static", "embedding_kmeans_clusters",
+    "events_retention_cohorts",
 })
 
 

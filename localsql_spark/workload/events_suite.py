@@ -517,3 +517,36 @@ def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load(spark, sf_dir)
     return enrich_static_stream(spark, sf_dir)
+
+
+@query("events_retention_cohorts", oracle="""
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+  FROM events GROUP BY user_id),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', f.cohort, a.wk) / 7 AS BIGINT) AS week_offset,
+       count(*) AS n_users
+FROM active a JOIN first_seen f USING (user_id)
+GROUP BY 1, 2
+""")
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen week, counted in every
+    subsequent active week (the product-analytics staple).  Two aggregates
+    sharing the user_id shuffle key + one equi-join on user_id — at scale
+    the first-seen table is |users| rows and co-partitioned with the
+    distinct-activity table, so the join is shuffle-free after the aggs.
+    Week offsets are exact (both sides are week-truncated, so the day diff
+    is always a multiple of 7)."""
+    ev = load(spark, sf_dir)["events"]
+    first_seen = (ev.groupBy("user_id")
+                  .agg(F.date_trunc("week", F.min("ts")).alias("cohort")))
+    active = (ev.select("user_id",
+                        F.date_trunc("week", F.col("ts")).alias("wk"))
+              .distinct())
+    return (active.join(first_seen, "user_id")
+            .groupBy(F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+                     (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+                     .cast("long").alias("week_offset"))
+            .agg(F.count(F.lit(1)).alias("n_users")))

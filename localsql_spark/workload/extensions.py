@@ -1196,3 +1196,49 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_fp = (maybe.join(truth, "k", "left_anti")
             .agg(F.count(F.lit(1)).cast("long").alias("n_false_pos")))
     return n_probes.crossJoin(n_maybe).crossJoin(n_true).crossJoin(n_fp)
+
+
+_KM_DIST = ("CAST(SUM(CAST(round((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y), 12)"
+            " AS DECIMAL(28,12))) AS DOUBLE)")
+
+_KMEANS_ORACLE = f"""
+WITH seeds AS (
+  SELECT vec_id AS cell,
+         list_transform(embedding, e -> CAST(e AS DOUBLE)) AS cent
+  FROM embeddings WHERE vec_id < 8),
+ve AS (SELECT vec_id, generate_subscripts(embedding, 1) AS p,
+              unnest(embedding) AS x FROM embeddings),
+ce0 AS (SELECT cell, generate_subscripts(cent, 1) AS p, unnest(cent) AS y
+        FROM seeds),
+d0 AS (SELECT vec_id, cell, {_KM_DIST} AS dist
+       FROM ve JOIN ce0 USING (p) GROUP BY vec_id, cell),
+a0 AS (SELECT vec_id, cell FROM (
+         SELECT vec_id, cell,
+                ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cell) AS rn
+         FROM d0) r WHERE rn = 1),
+ce1 AS (SELECT a0.cell, ve.p,
+               CAST(SUM(CAST(round(CAST(ve.x AS DOUBLE), 12)
+                             AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS y
+        FROM ve JOIN a0 USING (vec_id) GROUP BY a0.cell, ve.p),
+d1 AS (SELECT vec_id, cell, {_KM_DIST} AS dist
+       FROM ve JOIN ce1 USING (p) GROUP BY vec_id, cell)
+SELECT vec_id, cell AS cluster_id, round(dist, 9) AS dist FROM (
+  SELECT vec_id, cell, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+  FROM d1) r WHERE rn = 1
+"""
+
+
+@query("embedding_kmeans_clusters", oracle=_KMEANS_ORACLE)
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over the embedding space (one full Lloyd round from
+    deterministic seeds): the embedding-curation workhorse — SemDeDup-style
+    cluster-then-filter, cluster-balanced mixing, coverage analysis all
+    start from this assignment.  Assignment is a broadcast of k centroids +
+    row-local decimal-fold distances; the update is a narrow
+    (cluster, dim, x) aggregate (operators.similarity.kmeans_lloyd).  The
+    oracle replays both phases exactly, so the gate checks the true
+    two-phase computation."""
+    emb = load(spark, sf_dir)["embeddings"]
+    return S.kmeans_lloyd(emb, n_clusters=8, n_iter=1)
