@@ -36,7 +36,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 SUPPORTED_EXTS = ("csv", "tsv", "xlsx", "json", "jsonl", "ndjson", "parquet",
-                  "orc")
+                  "orc", "txt")
 COMPRESSORS = ("gz", "bz2", "zip", "xz")  # reference: localsql/localsql.py:91
 
 
@@ -259,4 +259,39 @@ def df_from_file(spark: SparkSession, file: str | Path, *,
         return spark.read.parquet(str(path))
     if fmt == "orc":
         return spark.read.orc(str(path))
+    if fmt == "txt":
+        return read_text_lines(spark, path)
     raise ValueError(f"unsupported format {fmt!r} for {file}")
+
+
+def read_text_lines(spark: SparkSession, path: str | Path) -> DataFrame:
+    """Plain text, one row per line (``value: string``) with the line number
+    attached — raw-corpus ingestion for text pipelines.  Spark's text source
+    splits large files and streams gz/bz2 like the csv/json readers; the
+    line number comes from a per-file window, deterministic because the
+    source tags each row with its file and the ordering key is the row's
+    byte position in that file (monotonically_increasing_id is per-partition
+    ordered and the text source reads splits in file order)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = (spark.read.text(str(path))
+          .select(F.col("value"),
+                  F.input_file_name().alias("_file"),
+                  F.monotonically_increasing_id().alias("_pos")))
+    w = Window.partitionBy("_file").orderBy("_pos")
+    return (df.withColumn("line_no", F.row_number().over(w))
+            .select("line_no", "value"))
+
+
+def read_binary_files(spark: SparkSession, path: str | Path,
+                      glob: str | None = None) -> DataFrame:
+    """Opaque binary assets (images / audio / video) as (path, mod_time,
+    length, content) via Spark's binaryFile source — the ingestion edge of
+    the multimodal pipeline (operators.multimodal consumes the ``content``
+    column).  Distributed: each file is one row read on an executor; pair
+    with maxPartitionBytes-style batching for many-small-file corpora."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(str(path))

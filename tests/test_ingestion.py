@@ -370,3 +370,36 @@ def test_xlsx_datasource_glob_in_directory_segment(spark, tmp_path, example_dir)
         shutil.copy(example_dir / "excel.xlsx", tmp_path / sub / "book.xlsx")
     got = _expand(str(tmp_path / "*" / "book.xlsx"))
     assert len(got) == 2
+
+
+def test_text_lines_reader_numbers_lines_in_order(spark, tmp_path):
+    import gzip
+
+    f = tmp_path / "corpus.txt"
+    lines = [f"line {i} payload" for i in range(50)]
+    f.write_text("\n".join(lines) + "\n")
+    from localsql_spark.sources.readers import df_from_file
+
+    got = df_from_file(spark, f).orderBy("line_no").collect()
+    assert [r["value"] for r in got] == lines
+    assert [r["line_no"] for r in got] == list(range(1, 51))
+    # gz streams through the same text source
+    gz = tmp_path / "corpus.txt.gz"
+    gz.write_bytes(gzip.compress(("\n".join(lines) + "\n").encode()))
+    got_gz = df_from_file(spark, gz).orderBy("line_no").collect()
+    assert [r["value"] for r in got_gz] == lines
+
+
+def test_binary_files_reader_reads_content(spark, tmp_path):
+    blobs = {f"img_{i}.bin": bytes([i]) * (10 + i) for i in range(4)}
+    for name, data in blobs.items():
+        (tmp_path / name).write_bytes(data)
+    (tmp_path / "skip.txt").write_text("not a blob")
+    from localsql_spark.sources.readers import read_binary_files
+
+    rows = read_binary_files(spark, tmp_path, glob="*.bin").collect()
+    assert len(rows) == 4
+    by_name = {r["path"].rsplit("/", 1)[-1]: r for r in rows}
+    for name, data in blobs.items():
+        assert bytes(by_name[name]["content"]) == data
+        assert by_name[name]["length"] == len(data)
