@@ -104,7 +104,7 @@ _DEFERRED = frozenset({
     "fn_array_suite", "text_pii_redact", "text_repetition_signals",
     "split_train_val_test", "sketch_bloom_membership",
     "streaming_enrich_static", "embedding_kmeans_clusters",
-    "events_retention_cohorts",
+    "events_retention_cohorts", "basket_part_pairs",
 })
 
 

@@ -1242,3 +1242,34 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-phase computation."""
     emb = load(spark, sf_dir)["embeddings"]
     return S.kmeans_lloyd(emb, n_clusters=8, n_iter=1)
+
+
+@query("basket_part_pairs", oracle="""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+SELECT part_a, part_b, count(*) AS n_baskets
+FROM pairs GROUP BY part_a, part_b
+ORDER BY n_baskets DESC, part_a, part_b
+LIMIT 20
+""")
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing in the same order,
+    top-20 by basket count.  Self-equi-join on the basket key after a
+    distinct — ONE shuffle partitioning both sides by l_orderkey, then
+    TakeOrderedAndProject for the top-k (no global sort).  Pair fan-out is
+    quadratic PER BASKET, which is safe when basket sizes are bounded (7
+    here, grocery-scale in practice); for heavy-tailed baskets cap or salt
+    the hot baskets first — same guard as minhash_lsh_pairs' bucket_cap."""
+    li = load(spark, sf_dir)["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    return (a.join(b, "l_orderkey")
+            .filter(F.col("part_a") < F.col("part_b"))
+            .groupBy("part_a", "part_b")
+            .agg(F.count(F.lit(1)).alias("n_baskets"))
+            .orderBy(F.col("n_baskets").desc(), "part_a", "part_b")
+            .limit(20))
