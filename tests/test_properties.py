@@ -371,3 +371,35 @@ def test_bloom_filter_no_false_negatives(spark):
     # expected FP rate = (set_fraction)^K; allow generous slack
     rate_theory = (n_bits / SK.BLOOM_M) ** SK.BLOOM_K
     assert fp / 4000 < max(5 * rate_theory, 0.01)
+
+
+def test_kmeans_lloyd_matches_numpy_ground_truth(spark):
+    """One Lloyd round (seed-assign, mean-update, re-assign) against an
+    independent numpy implementation on deterministic vectors."""
+    import numpy as np
+    from localsql_spark.operators.similarity import kmeans_lloyd
+
+    dim, n, k = 8, 50, 4
+    vecs = {i: np.array([((i * 13 + j * 7) % 19) - 9.0 for j in range(dim)])
+            for i in range(n)}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["cluster_id"]
+           for r in kmeans_lloyd(df, n_clusters=k, n_iter=1).collect()}
+
+    def assign(cents):
+        out = {}
+        for i, v in vecs.items():
+            d = [(float(np.sum((v - c) ** 2)), cell) for cell, c in cents]
+            out[i] = min(d)[1]
+        return out
+
+    a0 = assign([(c, vecs[c]) for c in range(k)])
+    cents1 = []
+    for c in range(k):
+        members = [vecs[i] for i, cl in a0.items() if cl == c]
+        if members:
+            cents1.append((c, np.mean(members, axis=0)))
+    a1 = assign(cents1)
+    assert got == a1
