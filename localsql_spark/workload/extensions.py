@@ -1184,18 +1184,26 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows (broadcast), probes stay distributed; Spark's JVM-internal
     ``stat.bloomFilter`` is the non-portable production alternative."""
     from localsql_spark.operators import sketches as SK
+    from localsql_spark.operators import track_persist
     t = load(spark, sf_dir)
     bits = SK.bloom_build(t["customer"], "c_custkey")
-    probes = t["orders"].select(F.col("o_orderkey").alias("k")).distinct()
-    maybe = SK.bloom_probe(bits, probes, "k")
-    truth = probes.join(t["customer"],
-                        probes["k"] == F.col("c_custkey"), "left_semi")
-    n_probes = probes.agg(F.count(F.lit(1)).cast("long").alias("n_probes"))
-    n_maybe = maybe.agg(F.count(F.lit(1)).cast("long").alias("n_maybe"))
-    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
-    n_fp = (maybe.join(truth, "k", "left_anti")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_false_pos")))
-    return n_probes.crossJoin(n_maybe).crossJoin(n_true).crossJoin(n_fp)
+    # persisted: referenced by the probe pass AND as the audit's base frame —
+    # without the persist each reference re-runs the orders scan + distinct
+    probes = track_persist(
+        t["orders"].select(F.col("o_orderkey").alias("k")).distinct())
+    maybe = (SK.bloom_probe(bits, probes, "k")
+             .withColumn("is_maybe", F.lit(1)))
+    members = (t["customer"]  # c_custkey is unique: no distinct needed
+               .select(F.col("c_custkey").alias("k"), F.lit(1).alias("is_member")))
+    # ONE aggregate over flag-joined probes instead of four cross-joined
+    # single-row counts (which re-derived the whole probe subtree per count:
+    # 38 static exchanges -> a handful)
+    return (probes.join(maybe, "k", "left").join(members, "k", "left")
+            .agg(F.count(F.lit(1)).alias("n_probes"),
+                 F.sum(F.coalesce("is_maybe", F.lit(0))).alias("n_maybe"),
+                 F.sum(F.coalesce("is_member", F.lit(0))).alias("n_true"),
+                 F.sum(((F.col("is_maybe") == 1) & F.col("is_member").isNull())
+                       .cast("int")).alias("n_false_pos")))
 
 
 _KM_DIST = ("CAST(SUM(CAST(round((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y), 12)"
