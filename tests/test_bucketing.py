@@ -65,3 +65,43 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(lang" in plan
     assert back.count() == 2500
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """A filter on the partition column must prune at planning time
+    (PartitionFilters in the scan, pruned input files), not row-filter."""
+    import io
+    import contextlib
+    from pyspark.sql import functions as F
+    from localsql_spark.sinks.layout import write_partitioned, read_partitioned
+
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("src"),
+        (F.col("id") * 2).alias("v"))
+    write_partitioned(df, tmp_path / "t", ["src"], sort_cols=["v"])
+    back = read_partitioned(spark, tmp_path / "t").filter(F.col("src") == "2")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    # the equality predicate must land in PartitionFilters (planning-time
+    # directory pruning), NOT in the row-level DataFilters
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf_lines and any("= 2" in ln for ln in pf_lines), plan
+    data_lines = [ln for ln in plan.splitlines() if "DataFilters" in ln]
+    assert all("src" not in ln for ln in data_lines), plan
+    assert back.count() == 250
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from localsql_spark.sinks.layout import compact_parquet
+
+    # 64 tiny files
+    spark.range(0, 10_000).repartition(64).write.parquet(str(tmp_path / "t"))
+    import glob
+    before = len(glob.glob(str(tmp_path / "t" / "*.parquet")))
+    assert before >= 32
+    n_after = compact_parquet(spark, tmp_path / "t", target_mb=128)
+    assert n_after < before and n_after >= 1
+    assert spark.read.parquet(str(tmp_path / "t")).count() == 10_000
