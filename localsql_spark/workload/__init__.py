@@ -105,6 +105,7 @@ _DEFERRED = frozenset({
     "split_train_val_test", "sketch_bloom_membership",
     "streaming_enrich_static", "embedding_kmeans_clusters",
     "events_retention_cohorts", "basket_part_pairs",
+    "table_fingerprint_documents",
 })
 
 

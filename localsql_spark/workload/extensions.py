@@ -1281,3 +1281,35 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_baskets"))
             .orderBy(F.col("n_baskets").desc(), "part_a", "part_b")
             .limit(20))
+
+
+@query("table_fingerprint_documents", oracle="""
+SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 64
+         AS bucket,
+       count(*) AS n_rows,
+       CAST(SUM(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                         || ':' || md5(text)), 1, 8)
+                          AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR)
+         AS hash_sum
+FROM documents
+GROUP BY 1
+""")
+def table_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed table fingerprint: 64 buckets of (row count, order-
+    insensitive content-hash sum) — how you verify a 100 TB copy/migration
+    without moving the data: both sides compute 64 tiny rows, a mismatched
+    bucket pinpoints WHERE to drill down (then recurse into that bucket).
+    Row-local hash expressions + one fixed-fan-in shuffle; the commutative
+    decimal SUM makes the fingerprint partition-order invariant.  Hash-sum
+    surfaces as VARCHAR because a 38-digit decimal exceeds both engines'
+    64-bit integer output paths."""
+    from localsql_spark.operators import hash32
+    docs = load(spark, sf_dir)["documents"]
+    row_hash = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                   F.lit(":"), F.md5(F.col("text")))), 1, 8),
+        16, 10).cast("long")
+    return (docs.groupBy((hash32(F.col("doc_id")) % 64).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(row_hash.cast("decimal(38,0)")).cast("string")
+                 .alias("hash_sum")))

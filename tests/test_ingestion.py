@@ -403,3 +403,18 @@ def test_binary_files_reader_reads_content(spark, tmp_path):
     for name, data in blobs.items():
         assert bytes(by_name[name]["content"]) == data
         assert by_name[name]["length"] == len(data)
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Files written at different pipeline versions (columns added over
+    time) must union under mergeSchema with NULL back-fill — the schema-
+    evolution contract a long-lived ingestion directory depends on."""
+    spark.createDataFrame([(1, "a")], "id long, name string")\
+        .write.parquet(str(tmp_path / "t" / "v1"))
+    spark.createDataFrame([(2, "b", 9.5)], "id long, name string, score double")\
+        .write.parquet(str(tmp_path / "t" / "v2"))
+    df = (spark.read.option("mergeSchema", "true")
+          .option("recursiveFileLookup", "true").parquet(str(tmp_path / "t")))
+    rows = {r["id"]: r for r in df.collect()}
+    assert set(df.columns) == {"id", "name", "score"}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
