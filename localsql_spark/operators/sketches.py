@@ -117,15 +117,19 @@ def bloom_build(df: DataFrame, col: str) -> DataFrame:
 
 
 def bloom_probe(bits: DataFrame, probes: DataFrame, col: str) -> DataFrame:
-    """Rows of ``probes`` whose key MAY be in the filter (all K bits set).
-    The bit table is broadcast (<= M rows); probe side stays distributed —
-    explode to (key, bit), broadcast-join, keep keys with K matched
-    positions.  No false negatives, bounded false positives."""
-    pos = probes.select(
+    """Rows of ``probes`` (all columns, duplicates preserved) whose key MAY
+    be in the filter (all K bits set); NULL keys never match (a Bloom filter
+    holds no NULL, mirroring ``IN`` semantics).  The bit table is broadcast
+    (<= M rows); probe side stays distributed — distinct keys explode to
+    (key, bit), broadcast-join, keys with K matched positions semi-join the
+    input back.  No false negatives, bounded false positives."""
+    keys = probes.select(col).distinct()
+    pos = keys.select(
         F.col(col), F.explode(F.array(*_bloom_positions(F.col(col))))
         .alias("bit"))
     hits = pos.join(F.broadcast(bits), "bit")
-    return (hits.groupBy(col)
-            .agg(F.count(F.lit(1)).alias("_n_set"))
-            .filter(F.col("_n_set") == BLOOM_K)
-            .select(col))
+    matched = (hits.groupBy(col)
+               .agg(F.count(F.lit(1)).alias("_n_set"))
+               .filter(F.col("_n_set") == BLOOM_K)
+               .select(col))
+    return probes.join(matched, col, "left_semi")

@@ -247,16 +247,25 @@ def dup_ngram_fraction(text: Column, n: int = 2) -> Column:
     """Fraction of the document's n-grams that are repeats of an n-gram
     already present elsewhere in the SAME document: 1 - distinct/total.
     Row-local (shingle array built per row, no shuffle)."""
+    import functools
+
     w = _words(text)
-    # sequence(0, size-n) DESCENDS when the doc has < n words (negative
-    # element_at under ANSI) — gate the shingle build on size >= n
-    grams = F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - F.lit(n)),
-            lambda i: F.concat_ws(" ", *[F.element_at(w, i + F.lit(j + 1))
-                                         for j in range(n)])))\
-        .otherwise(F.array().cast("array<string>"))
+    # Shingles come from zip_with over n shifted slices, NOT from an indexed
+    # transform(sequence, i -> element_at(w, i+j)): expressions inside a
+    # lambda are re-evaluated per element (codegen subexpression elimination
+    # does not cross LambdaFunction boundaries), so the element_at form
+    # re-ran the whole normalize+split pipeline O(words) times per row —
+    # measured 12x slower at sf0.1.  Slices reference w from the OUTER scope
+    # (CSE applies) and the lambdas below touch only lambda variables.
+    n_grams = F.size(w) - F.lit(n - 1)
+    shifted = [F.slice(w, j + 1, n_grams) for j in range(n)]
+    grams = functools.reduce(
+        lambda acc, s: F.zip_with(acc, s,
+                                  lambda a, b: F.concat_ws(" ", a, b)),
+        shifted[1:], shifted[0])
+    # slice length goes negative when the doc has < n words — gate it
+    grams = (F.when(F.size(w) >= n, grams)
+             .otherwise(F.array().cast("array<string>")))
     total = F.size(grams)
     return (F.when(total > 0,
                    (total - F.size(F.array_distinct(grams))).cast("double")

@@ -59,19 +59,31 @@ def dir_bytes(path: str | Path) -> int:
 def compact_parquet(spark: SparkSession, path: str | Path,
                     target_mb: int = 128) -> int:
     """Rewrite a parquet directory into ceil(bytes / target_mb) files;
-    returns the new file count.  Uses a staging directory + atomic swap so a
-    mid-compaction failure never leaves the table half-rewritten (readers
-    see old or new, nothing in between).  On a cluster this is the
-    maintenance job run after streaming ingestion; coalesce (not
-    repartition) so the rewrite itself is shuffle-free."""
+    returns the new file count.  The data is never at risk: the rewrite
+    lands in a staging dir, the live dir moves aside, staging moves in, and
+    only then is the old data deleted.  The two renames are not one atomic
+    operation, so a crash can leave the table momentarily absent — the
+    recovery pass at the top of the NEXT run heals every intermediate state
+    (restores the old generation if the swap died mid-way, clears stale
+    staging), which is the contract a scheduled maintenance job needs.  On a
+    cluster this runs after streaming ingestion; coalesce (not repartition)
+    keeps the rewrite shuffle-free."""
     import shutil
 
     path = Path(path)
+    staging = path.with_name(path.name + "__compacting")
+    old = path.with_name(path.name + "__old")
+    # ---- recovery from a previous crashed run --------------------------
+    if old.exists() and not path.exists():
+        old.rename(path)            # died between the two renames
+    if staging.exists():
+        shutil.rmtree(staging)      # incomplete rewrite: discard
+    if old.exists():
+        shutil.rmtree(old)          # swap finished, cleanup didn't
+    # ---- rewrite + swap ------------------------------------------------
     n_files = max(1, math.ceil(dir_bytes(path) / (target_mb * (1 << 20))))
     df = spark.read.parquet(str(path))
-    staging = path.with_name(path.name + "__compacting")
     df.coalesce(n_files).write.mode("overwrite").parquet(str(staging))
-    old = path.with_name(path.name + "__old")
     path.rename(old)
     staging.rename(path)
     shutil.rmtree(old)

@@ -277,11 +277,13 @@ def read_text_lines(spark: SparkSession, path: str | Path) -> DataFrame:
 
     df = (spark.read.text(str(path))
           .select(F.col("value"),
-                  F.input_file_name().alias("_file"),
+                  F.input_file_name().alias("file"),
                   F.monotonically_increasing_id().alias("_pos")))
-    w = Window.partitionBy("_file").orderBy("_pos")
+    w = Window.partitionBy("file").orderBy("_pos")
+    # the file column stays in the output: line_no restarts per file, so
+    # directory/glob input is only unambiguous with the provenance attached
     return (df.withColumn("line_no", F.row_number().over(w))
-            .select("line_no", "value"))
+            .select("file", "line_no", "value"))
 
 
 def read_binary_files(spark: SparkSession, path: str | Path,

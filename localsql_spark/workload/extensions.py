@@ -1064,8 +1064,11 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc occurrence counts + the redacted text (surfaced as md5+length
     so the gate checks the exact output string without hashing megabytes).
     Pure row-local regexp expressions — RE2-compatible patterns shared
-    verbatim with the oracle, zero shuffle, linear scan at 100 TB."""
-    docs = load(spark, sf_dir)["documents"]
+    verbatim with the oracle, zero shuffle, linear scan at 100 TB.  The
+    double reference to the redacted chain (md5 + length) is safe: codegen
+    subexpression elimination shares it WITHIN this projection (measured —
+    unlike lambda-internal references, which it cannot share)."""
+    docs = spread(load(spark, sf_dir)["documents"])
     aug = F.concat(
         F.col("text"), F.lit(" contact user"),
         F.col("doc_id").cast("string"), F.lit("@mail.example.com tel +1-555-"),
@@ -1114,7 +1117,7 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds over the token array (no explode, no shuffle): the two-shuffle
     explode+groupBy formulation is strictly worse at 100 TB for crawl-bounded
     document lengths.  Ratios are one double division of exact ints."""
-    docs = load(spark, sf_dir)["documents"]
+    docs = spread(load(spark, sf_dir)["documents"])
     return docs.select(
         "doc_id",
         F.size(T._words(F.col("text"))).alias("n_words"),

@@ -67,9 +67,9 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert back.count() == 2500
 
 
-def test_partitioned_write_prunes_partitions(spark, tmp_path):
-    """A filter on the partition column must prune at planning time
-    (PartitionFilters in the scan, pruned input files), not row-filter."""
+def test_layout_write_partitioned_prunes(spark, tmp_path):
+    """sinks.layout.write_partitioned: a filter on the partition column must
+    prune at planning time (PartitionFilters in the scan), not row-filter."""
     import io
     import contextlib
     from pyspark.sql import functions as F
@@ -105,3 +105,28 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     n_after = compact_parquet(spark, tmp_path / "t", target_mb=128)
     assert n_after < before and n_after >= 1
     assert spark.read.parquet(str(tmp_path / "t")).count() == 10_000
+
+
+def test_compact_parquet_recovers_from_crash_states(spark, tmp_path):
+    """Every intermediate crash state must heal on the next run: table moved
+    aside but swap unfinished; stale staging; finished swap without cleanup."""
+    from localsql_spark.sinks.layout import compact_parquet
+
+    t = tmp_path / "t"
+    spark.range(0, 1000).repartition(8).write.parquet(str(t))
+    old, staging = tmp_path / "t__old", tmp_path / "t__compacting"
+
+    # crash between the two renames: table dir gone, data in __old
+    t.rename(old)
+    compact_parquet(spark, t, target_mb=128)
+    assert spark.read.parquet(str(t)).count() == 1000
+    assert not old.exists() and not staging.exists()
+
+    # stale staging from an interrupted rewrite + leftover __old
+    staging.mkdir()
+    (staging / "junk").write_text("partial")
+    old.mkdir()
+    (old / "junk").write_text("stale generation")
+    compact_parquet(spark, t, target_mb=128)
+    assert spark.read.parquet(str(t)).count() == 1000
+    assert not old.exists() and not staging.exists()

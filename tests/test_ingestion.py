@@ -383,6 +383,7 @@ def test_text_lines_reader_numbers_lines_in_order(spark, tmp_path):
     got = df_from_file(spark, f).orderBy("line_no").collect()
     assert [r["value"] for r in got] == lines
     assert [r["line_no"] for r in got] == list(range(1, 51))
+    assert all(r["file"].endswith("corpus.txt") for r in got)
     # gz streams through the same text source
     gz = tmp_path / "corpus.txt.gz"
     gz.write_bytes(gzip.compress(("\n".join(lines) + "\n").encode()))

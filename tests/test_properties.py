@@ -344,11 +344,11 @@ def test_train_val_test_split_is_exhaustive_partition(spark):
     _ensure_loaded()
     import tests.conftest as C
 
+    from pyspark.sql import functions as F
+
     df = REGISTRY["split_train_val_test"].fn(spark, C.SF_ORACLE)
     agg = {r["split"]: r["n"] for r in
-           df.groupBy("split").agg(__import__("pyspark.sql.functions",
-                                              fromlist=["F"]).sum("n_docs")
-                                   .alias("n")).collect()}
+           df.groupBy("split").agg(F.sum("n_docs").alias("n")).collect()}
     import duckdb
     total = duckdb.sql(
         f"SELECT count(*) FROM '{C.SF_ORACLE}/documents.parquet'").fetchone()[0]
