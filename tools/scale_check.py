@@ -121,9 +121,22 @@ def main() -> None:
                            right_ts="cts", right_cols=["cid"],
                            tiebreak="cid").count()
 
+    def op_kmeans(f):
+        emb = spark.read.parquet(paths[f]["embeddings"])
+        return S.kmeans_lloyd(emb, n_clusters=8, n_iter=1).count()
+
+    def op_repetition(f):
+        from localsql_spark.operators import text as T
+        docs = spark.read.parquet(paths[f]["documents"])
+        return docs.select(
+            T.distinct_word_ratio(F.col("text")).alias("a"),
+            T.top_word_fraction(F.col("text")).alias("b"),
+            T.dup_ngram_fraction(F.col("text"), 2).alias("c")).count()
+
     ops = {"exact_dedup": op_exact_dedup, "minhash_lsh_pairs": op_minhash,
            "clusters_bigstar": op_clusters_bigstar, "knn_ivf": op_knn_ivf,
-           "asof_join": op_asof}
+           "asof_join": op_asof, "kmeans_lloyd": op_kmeans,
+           "repetition_signals": op_repetition}
 
     results: dict[str, dict[int, float]] = {}
     for name, fn in ops.items():
