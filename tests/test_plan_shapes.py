@@ -101,3 +101,67 @@ def test_exclude_emulation_single_shuffle_per_key(spark, queries):
     plan = _plan(queries["window_exclude_emulated"](spark, SF_SMALL))
     # two sort orders (ts,event_id) and (d) over the same partition key
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_qualify_uses_window_group_limit(spark, queries):
+    """The rn<=3 filter must push into WindowGroupLimit so each shuffle
+    partition keeps 3 rows per key BEFORE the window sort."""
+    plan = _plan(queries["qualify_top_suppliers"](spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_repetition_signals_zero_shuffle_pruned(spark, queries):
+    """Row-local lambda folds: no Exchange at all, two-column pruned scan."""
+    plan = _plan(queries["text_repetition_signals"](spark, SF_SMALL))
+    assert "Exchange" not in plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" in read and "source" not in read and "lang" not in read
+
+
+def test_kmeans_broadcasts_centroids_not_corpus(spark, queries):
+    """Assignment joins must broadcast the k centroids; the corpus side
+    stays distributed (no corpus-side BroadcastExchange of embeddings)."""
+    plan = _plan(queries["embedding_kmeans_clusters"](spark, SF_SMALL))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fingerprint_single_shuffle(spark, queries):
+    plan = _plan(queries["table_fingerprint_documents"](spark, SF_SMALL))
+    assert plan.count("Exchange") <= 2  # partial->final agg only
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The skew story's runtime half: AQE must detect a hot key in a
+    sort-merge join and split that partition (skew=true in the final plan),
+    complementing the explicit salting operators for pre-AQE paths."""
+    from pyspark.sql import functions as F
+
+    old = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold")}
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, 7).otherwise(F.col("id"))
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"))
+        dim = spark.range(0, 300_000).select(F.col("id").alias("k"),
+                                             (F.col("id") * 2).alias("v"))
+        j = big.join(dim, "k")
+        j.write.format("noop").mode("overwrite").save()
+        plan = _plan(j)
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
