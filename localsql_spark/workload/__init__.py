@@ -53,10 +53,31 @@ def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 # Names with a fully-green driver CORRECTNESS row in a prior round
-# (CORRECTNESS_r01.json: 49 of 50 checked entries passed; the driver checks a
-# bounded prefix of ``queries()``, so previously-verified entries yield their
-# slots to the ones still awaiting a hard-signal row).
+# (CORRECTNESS_r01.json: 49/50 checked entries passed; CORRECTNESS_r02.json:
+# 50/50. The driver checks a bounded prefix of ``queries()``, so
+# previously-verified entries yield their slots to the ones still awaiting a
+# hard-signal row).
 DRIVER_VERIFIED: frozenset[str] = frozenset({
+    # --- green in CORRECTNESS_r02.json (all 50 checked entries passed) ---
+    "window_exclude_emulated", "unpivot_metrics", "lateral_topk_per_nation",
+    "fn_math_suite", "fn_strftime_modifiers", "dedup_simhash",
+    "sample_documents_hashmod", "text_bm25_scores", "embedding_int8_quantize",
+    "pack_documents_2048", "decontaminate_training_set", "text_bpe_token_count",
+    "mix_sources_weighted", "text_tfidf_top_terms", "dedup_levenshtein_pairs",
+    "events_funnel_conversion", "sketch_countmin_terms", "events_tumbling_hourly",
+    "events_sliding_1h_30m", "events_session_30m", "asof_join_purchase_click",
+    "salted_agg_event_type", "range_join_purchase_error_5m", "events_props_json",
+    "hll_distinct_users", "percentiles_by_event_type", "histogram_order_totals",
+    "events_props_variant", "salted_join_user_tags", "multimodal_features",
+    "multimodal_frame_sample", "multimodal_resize", "multimodal_audio_energy",
+    "dedup_minhash_pairs", "dedup_ngram_jaccard", "knn_brute_force_top5",
+    "knn_lsh_bucketed_top5", "knn_ivf_top5", "embedding_near_dup",
+    "pipeline_clean_corpus", "dedup_simhash_pairs", "dedup_clusters",
+    "dedup_clusters_bigstar", "streaming_tumbling_hourly",
+    "streaming_stateful_user_stats", "grouped_zscore_pandas",
+    "cogroup_user_activity", "streaming_dedup_events", "streaming_session_30m",
+    "streaming_join_attribution",
+    # --- green in CORRECTNESS_r01.json ---
     "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
     "q6_forecast_revenue", "left_join_order_counts", "right_full_outer_join",
     "anti_join_customers_without_orders", "semi_join_parts_ordered",
