@@ -112,9 +112,14 @@ def test_qualify_uses_window_group_limit(spark, queries):
 
 
 def test_repetition_signals_zero_shuffle_pruned(spark, queries):
-    """Row-local lambda folds: no Exchange at all, two-column pruned scan."""
+    """Row-local lambda folds: no hash-partitioning shuffle, two-column
+    pruned scan.  A RoundRobin repartition is allowed — ``spread()`` inserts
+    one on single-split local input so per-row work parallelizes; at real
+    scale (>= parallelism input splits) it is a no-op (see
+    test_spread_* below)."""
     plan = _plan(queries["text_repetition_signals"](spark, SF_SMALL))
-    assert "Exchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "text" in read and "source" not in read and "lang" not in read
 
@@ -156,8 +161,14 @@ def test_aqe_splits_skewed_join_partitions(spark):
         dim = spark.range(0, 300_000).select(F.col("id").alias("k"),
                                              (F.col("id") * 2).alias("v"))
         j = big.join(dim, "k")
-        j.write.format("noop").mode("overwrite").save()
-        plan = _plan(j)
+        # Execute the DataFrame's OWN QueryExecution JVM-side (a noop write
+        # builds a separate execution, so re-explaining `j` afterwards would
+        # print a fresh isFinalPlan=false adaptive plan with no skew info).
+        # AdaptiveSparkPlanExec.execute() finalizes the plan; RDD.count()
+        # materializes it without shipping rows to Python.
+        qe = j._jdf.queryExecution()
+        qe.executedPlan().execute().count()
+        plan = qe.executedPlan().toString()
         assert "skew=true" in plan, plan[:4000]
     finally:
         for k, v in old.items():
@@ -165,3 +176,51 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# -- spread() no-op contract --------------------------------------------------
+# spread() exists ONLY to rescue single-split local inputs (CPU-bound per-row
+# work serialized on one core).  At scale — many input splits, or any
+# non-local filesystem — it must be an exact no-op so real clusters never pay
+# an extra shuffle.  Pin both sides of that contract.
+
+
+def test_spread_repartitions_single_split_local_input(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators import spread
+
+    p = str(tmp_path / "one_split")
+    spark.range(0, 1000).coalesce(1).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p).select(F.col("id") * 2)
+    out = spread(df)
+    assert out is not df
+    assert "RoundRobinPartitioning" in _plan(out)
+
+
+def test_spread_noop_at_or_above_parallelism_splits(spark, tmp_path):
+    from localsql_spark.operators import spread
+
+    p = str(tmp_path / "many_splits")
+    n = spark.sparkContext.defaultParallelism * 2
+    spark.range(0, 10_000).repartition(n).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    assert len(df.inputFiles()) >= spark.sparkContext.defaultParallelism
+    out = spread(df)
+    assert out is df, "spread must be an identity at >= parallelism splits"
+
+
+def test_spread_noop_for_non_local_storage(spark):
+    from localsql_spark.operators import spread
+
+    df = spark.range(0, 10).toDF("id")
+    # simulate a remote-store scan: spread must trust the source's splits
+    df.inputFiles = lambda: ["s3a://bucket/part-00000.parquet"]
+    assert spread(df) is df
+
+
+def test_spread_noop_for_non_file_plans(spark):
+    from localsql_spark.operators import spread
+
+    df = spark.range(0, 10)  # no files behind the plan at all
+    assert spread(df) is df
