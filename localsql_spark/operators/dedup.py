@@ -124,12 +124,21 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     banded = sig.select("doc_id",
                         F.posexplode(band_arr).alias("band_id", "band_key"))
     if bucket_cap is not None:
+        # adaptive cap: probe the bucket histogram first (map-side-combined
+        # aggregation over the cached-signature-derived band table — the
+        # shuffle carries one narrow row per distinct bucket) and pay the
+        # anti-join ONLY when an over-cap bucket actually exists.  A healthy
+        # corpus that already went through exact dedup usually has none, and
+        # then the capped plan is bit-identical to the uncapped one; the
+        # probe doubles as the bucket-skew monitoring stat a production run
+        # wants logged anyway.
         hot = (banded.groupBy("band_id", "band_key")
                .agg(F.count(F.lit(1)).alias("sz"))
                .filter(F.col("sz") > bucket_cap)
                .select("band_id", "band_key"))
-        banded = banded.join(F.broadcast(hot), ["band_id", "band_key"],
-                             "left_anti")
+        if not hot.isEmpty():
+            banded = banded.join(F.broadcast(hot), ["band_id", "band_key"],
+                                 "left_anti")
     a = banded.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
     # candidate ids only through the join/distinct; signatures re-attached
