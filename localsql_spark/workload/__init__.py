@@ -97,6 +97,14 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "fn_json_suite", "fn_cast_typeconv", "fn_string_suite2",
     "text_token_stats", "text_quality_scores", "text_langid",
     "text_fingerprint", "dedup_exact_documents", "dedup_minhash_signature",
+    # --- green in CORRECTNESS_r03.json (all 50 checked entries passed;
+    #     the 13 below were the round-3 _DEFERRED rotation) ---
+    "qualify_top_suppliers", "grouping_sets_orders", "fn_stats_suite",
+    "fn_array_suite", "text_pii_redact", "text_repetition_signals",
+    "split_train_val_test", "sketch_bloom_membership",
+    "streaming_enrich_static", "embedding_kmeans_clusters",
+    "events_retention_cohorts", "basket_part_pairs",
+    "table_fingerprint_documents",
 })
 
 
@@ -119,15 +127,10 @@ _HEAVY = frozenset({
 # full of still-unverified entries. They sort after the heavy pending block so
 # they cannot displace a query that has been waiting for its CORRECTNESS row
 # since round 1; they enter the window themselves once DRIVER_VERIFIED is
-# refreshed from the next CORRECTNESS_r{N}.json.
-_DEFERRED = frozenset({
-    "qualify_top_suppliers", "grouping_sets_orders", "fn_stats_suite",
-    "fn_array_suite", "text_pii_redact", "text_repetition_signals",
-    "split_train_val_test", "sketch_bloom_membership",
-    "streaming_enrich_static", "embedding_kmeans_clusters",
-    "events_retention_cohorts", "basket_part_pairs",
-    "table_fingerprint_documents",
-})
+# refreshed from the next CORRECTNESS_r{N}.json.  (Every query registered
+# through round 3 now has a green row, so the set is empty — round-4
+# additions go straight into the pending block at the window head.)
+_DEFERRED: frozenset[str] = frozenset()
 
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -1316,3 +1316,67 @@ def table_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.sum(row_hash.cast("decimal(38,0)")).cast("string")
                  .alias("hash_sum")))
+
+
+_MERGE_UPSERT_ORACLE = """
+WITH base AS (
+  SELECT doc_id, lang, text, 1 AS version FROM documents),
+upd AS (
+  SELECT doc_id, lang, 'v2 ' || text AS text, 2 AS version
+  FROM documents
+  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        % 7 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, lang, 'new ' || text, 1
+  FROM documents
+  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        % 11 = 0),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY version DESC)
+         AS rn
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM upd))
+SELECT doc_id, lang, version, md5(text) AS text_md5
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("merge_upsert_documents", oracle=_MERGE_UPSERT_ORACLE)
+def merge_upsert_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE/upsert into a lang-partitioned parquet table
+    (sinks.merge.merge_into_partitioned): documents as version-1 base, a
+    deterministic correction batch (1/7 of keys re-texted at version 2, 1/11
+    inserted as new keys), latest version per key wins.  Only touched
+    partitions are read (partition-pruned scan) and rewritten (staged
+    directory swap); the driver-side footprint is the touched-partition
+    list.  The reference has no persistence at all (table lifetime =
+    process, reference: localsql/localsql.py:31) — this is the batch twin
+    of the streaming foreachBatch upsert sink."""
+    import shutil
+    from pathlib import Path
+
+    from localsql_spark.operators import hash32
+    from localsql_spark.sinks.merge import merge_into_partitioned
+
+    docs = load(spark, sf_dir)["documents"]
+    base = docs.select("doc_id", "lang", "text",
+                       F.lit(1).cast("int").alias("version"))
+    upd_mod = (docs.filter(hash32(F.col("doc_id")) % 7 == 0)
+               .select("doc_id", "lang",
+                       F.concat(F.lit("v2 "), F.col("text")).alias("text"),
+                       F.lit(2).cast("int").alias("version")))
+    upd_new = (docs.filter(hash32(F.col("doc_id")) % 11 == 0)
+               .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "lang",
+                       F.concat(F.lit("new "), F.col("text")).alias("text"),
+                       F.lit(1).cast("int").alias("version")))
+    updates = upd_mod.unionByName(upd_new)
+
+    scratch = (Path(__file__).resolve().parent.parent.parent / ".cache"
+               / "merge_upsert" / Path(sf_dir.rstrip("/")).name)
+    shutil.rmtree(scratch, ignore_errors=True)
+    base.write.partitionBy("lang").parquet(str(scratch))
+    merge_into_partitioned(spark, str(scratch), updates,
+                           key="doc_id", version="version",
+                           partition_col="lang")
+    out = spark.read.parquet(str(scratch))
+    return out.select("doc_id", "lang", "version",
+                      F.md5("text").alias("text_md5"))

@@ -1,0 +1,118 @@
+"""Batch MERGE/upsert sink (sinks.merge): latest-version-per-key semantics,
+touched-partition-only rewrite, idempotency, stable-partition contract."""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from localsql_spark.sinks.merge import merge_into_partitioned
+
+
+def _write_base(spark, path):
+    base = spark.createDataFrame(
+        [(1, "a", "one", 1), (2, "a", "two", 1), (3, "b", "three", 1),
+         (4, "c", "four", 1)],
+        "k long, p string, txt string, version int")
+    base.write.partitionBy("p").parquet(path)
+
+
+def _snapshot(path):
+    """(relative file, mtime_ns) for every data file under a partition."""
+    return {(str(f.relative_to(path)), f.stat().st_mtime_ns)
+            for f in Path(path).rglob("*.parquet")}
+
+
+def test_merge_updates_inserts_and_prunes_untouched_partitions(
+        spark, tmp_path):
+    base_dir = str(tmp_path / "tbl")
+    _write_base(spark, base_dir)
+    before_b = {e for e in _snapshot(base_dir) if e[0].startswith("p=b")}
+    updates = spark.createDataFrame(
+        [(1, "a", "one-v2", 2),     # update existing key
+         (5, "c", "five", 1)],      # insert new key
+        "k long, p string, txt string, version int")
+
+    touched = merge_into_partitioned(spark, base_dir, updates,
+                                     key="k", version="version",
+                                     partition_col="p")
+    assert sorted(touched) == ["a", "c"]
+    got = {(r.k, r.p, r.txt, r.version)
+           for r in spark.read.parquet(base_dir).collect()}
+    assert got == {(1, "a", "one-v2", 2), (2, "a", "two", 1),
+                   (3, "b", "three", 1), (4, "c", "four", 1),
+                   (5, "c", "five", 1)}
+    # the untouched partition's files were never rewritten
+    after_b = {e for e in _snapshot(base_dir) if e[0].startswith("p=b")}
+    assert after_b == before_b
+
+
+def test_merge_is_idempotent_on_redelivery(spark, tmp_path):
+    base_dir = str(tmp_path / "tbl")
+    _write_base(spark, base_dir)
+    updates = spark.createDataFrame(
+        [(2, "a", "two-v3", 3)], "k long, p string, txt string, version int")
+    merge_into_partitioned(spark, base_dir, updates, key="k",
+                           version="version", partition_col="p")
+    first = sorted((r.k, r.txt, r.version)
+                   for r in spark.read.parquet(base_dir).collect())
+    merge_into_partitioned(spark, base_dir, updates, key="k",
+                           version="version", partition_col="p")
+    second = sorted((r.k, r.txt, r.version)
+                    for r in spark.read.parquet(base_dir).collect())
+    assert first == second
+    assert (2, "two-v3", 3) in first
+
+
+def test_merge_stale_version_never_wins(spark, tmp_path):
+    base_dir = str(tmp_path / "tbl")
+    _write_base(spark, base_dir)
+    newer = spark.createDataFrame(
+        [(3, "b", "three-v5", 5)], "k long, p string, txt string, version int")
+    merge_into_partitioned(spark, base_dir, newer, key="k",
+                           version="version", partition_col="p")
+    stale = spark.createDataFrame(
+        [(3, "b", "three-v2", 2)], "k long, p string, txt string, version int")
+    merge_into_partitioned(spark, base_dir, stale, key="k",
+                           version="version", partition_col="p")
+    rows = {(r.k, r.txt, r.version)
+            for r in spark.read.parquet(base_dir).collect() if r.k == 3}
+    assert rows == {(3, "three-v5", 5)}
+
+
+def test_merge_creates_table_when_base_missing(spark, tmp_path):
+    base_dir = str(tmp_path / "fresh")
+    updates = spark.createDataFrame(
+        [(7, "x", "seven", 1)], "k long, p string, txt string, version int")
+    merge_into_partitioned(spark, base_dir, updates, key="k",
+                           version="version", partition_col="p")
+    assert [(r.k, r.p, r.txt) for r in
+            spark.read.parquet(base_dir).collect()] == [(7, "x", "seven")]
+
+
+def test_merge_rejects_partition_moving_key(spark, tmp_path):
+    base_dir = str(tmp_path / "tbl")
+    _write_base(spark, base_dir)
+    moving = spark.createDataFrame(
+        [(1, "a", "x", 2), (1, "b", "y", 3)],
+        "k long, p string, txt string, version int")
+    with pytest.raises(ValueError, match="stable per key"):
+        merge_into_partitioned(spark, base_dir, moving, key="k",
+                               version="version", partition_col="p")
+
+
+def test_merge_base_read_is_partition_pruned(spark, tmp_path):
+    """The base-side scan must carry a PartitionFilters entry on the touched
+    values — proportional-to-footprint I/O is the whole point."""
+    from localsql_spark.sinks.merge import read_base_partitions
+
+    base_dir = str(tmp_path / "tbl")
+    _write_base(spark, base_dir)
+    df = read_base_partitions(spark, base_dir, "p", ["a"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "p#" in plan
+    assert df.select("p").distinct().collect() == [("a",)] or \
+        [r.p for r in df.select("p").distinct().collect()] == ["a"]
