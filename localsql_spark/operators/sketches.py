@@ -133,3 +133,66 @@ def bloom_probe(bits: DataFrame, probes: DataFrame, col: str) -> DataFrame:
                .filter(F.col("_n_set") == BLOOM_K)
                .select(col))
     return probes.join(matched, col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Portable quantile sketch (bottom-k hash-rank sample, KMV-style)
+# ---------------------------------------------------------------------------
+
+QUANTILE_K = 1024  # sample size: rank stderr ~ sqrt(q(1-q)/k) < 1.6%
+
+# Spark's builtin approx_percentile (Greenwald-Khanna) and DataSketches KLL
+# are the production fast paths, but their summaries are engine-internal, so
+# an independent engine can't verify them bit-for-bit.  This sketch keeps
+# the k rows with the SMALLEST md5-derived hash of a unique key — a
+# deterministic uniform sample (the hash order is a fixed random permutation
+# of the rows), which is the portable analog of the random sampling KLL's
+# upper compactor levels perform:
+#
+# - bounded: <= k rows whatever the input size (broadcastable summary);
+# - mergeable: sketch(A union B) == bottom-k(sketch(A) union sketch(B)) —
+#   the same associative-merge property HLL registers have;
+# - deterministic + portable: any engine with md5 reproduces the EXACT
+#   sample, so the DuckDB oracle checks the real algorithm;
+# - distributed build: per-partition bottom-k, then merge
+#   (TakeOrderedAndProject — no full sort, no full shuffle).
+#
+# Quantile estimate: the sample's empirical quantile; rank error is
+# O(1/sqrt(k)) uniformly over q.  (True KLL reaches the same guarantee with
+# less memory via compactor levels, but its randomized compaction can't be
+# reproduced engine-independently; at k=1024 the sample IS small enough to
+# broadcast, so the extra machinery buys nothing here.)
+
+
+def quantile_sketch(df: DataFrame, value_col: str, key_col: str,
+                    k: int = QUANTILE_K) -> DataFrame:
+    """The sketch: k (v, rk) rows with the smallest hash rank over distinct
+    keys.  NULL values are excluded (quantiles of the non-null domain,
+    matching SQL percentile semantics)."""
+    rk = _hash32(F.col(key_col))
+    return (df.filter(F.col(value_col).isNotNull())
+            .select(F.col(value_col).cast("double").alias("v"),
+                    rk.alias("rk"))
+            .orderBy("rk").limit(k))
+
+
+def quantile_estimates(sketch: DataFrame,
+                       qs: tuple[float, ...] = (0.01, 0.25, 0.5, 0.75,
+                                                0.9, 0.99)) -> DataFrame:
+    """(q, estimate) per requested quantile: the sample value at 1-based
+    index floor(q*(n-1))+1 in (v, rk) order.  Runs entirely on the bounded
+    sketch (<= k rows), so the single-partition window and the tiny
+    broadcast cross-join are free by construction."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v", "rk")
+    ranked = (sketch.select(
+        "v", "rk", F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1))).alias("n")))
+    spark = sketch.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    return (ranked.crossJoin(F.broadcast(qdf))
+            .filter(F.col("rn")
+                    == F.floor(F.col("q") * (F.col("n") - 1)) + 1)
+            .select("q", F.col("v").alias("estimate")))

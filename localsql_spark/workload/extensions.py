@@ -1380,3 +1380,32 @@ def merge_upsert_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.read.parquet(str(scratch))
     return out.select("doc_id", "lang", "version",
                       F.md5("text").alias("text_md5"))
+
+
+@query("sketch_quantiles", oracle="""
+WITH s AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+           AS rk
+  FROM events WHERE value IS NOT NULL
+  ORDER BY rk LIMIT 1024),
+r AS (
+  SELECT v, row_number() OVER (ORDER BY v, rk) AS rn, count(*) OVER () AS n
+  FROM s),
+qs AS (SELECT * FROM (VALUES (0.01), (0.25), (0.5), (0.75), (0.9), (0.99))
+       t(q))
+SELECT CAST(q AS DOUBLE) AS q, v AS estimate
+FROM r JOIN qs ON rn = CAST(floor(q * (n - 1)) AS BIGINT) + 1
+""")
+def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable quantile sketch (operators.sketches.quantile_sketch):
+    bottom-1024 hash-rank uniform sample over events.value — bounded,
+    mergeable, and bit-reproducible by any engine with md5, so the oracle
+    checks the exact algorithm.  Distribution monitoring at 100 TB runs on
+    the broadcastable sketch instead of the exact shuffle-heavy
+    percentile_disc path (percentiles_by_event_type is the exact twin)."""
+    from localsql_spark.operators.sketches import (quantile_estimates,
+                                                   quantile_sketch)
+
+    ev = load(spark, sf_dir)["events"]
+    return quantile_estimates(quantile_sketch(ev, "value", "event_id"))
