@@ -1298,24 +1298,15 @@ FROM documents
 GROUP BY 1
 """)
 def table_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed table fingerprint: 64 buckets of (row count, order-
-    insensitive content-hash sum) — how you verify a 100 TB copy/migration
-    without moving the data: both sides compute 64 tiny rows, a mismatched
-    bucket pinpoints WHERE to drill down (then recurse into that bucket).
-    Row-local hash expressions + one fixed-fan-in shuffle; the commutative
-    decimal SUM makes the fingerprint partition-order invariant.  Hash-sum
-    surfaces as VARCHAR because a 38-digit decimal exceeds both engines'
-    64-bit integer output paths."""
-    from localsql_spark.operators import hash32
+    """Distributed table fingerprint (operators.fingerprint): 64 buckets of
+    (row count, order-insensitive content-hash sum) — how you verify a
+    100 TB copy/migration without moving the data: both sides compute 64
+    tiny rows, a mismatched bucket pinpoints WHERE to drill down (then
+    recurse into that bucket).  Row-local hash expressions + one
+    fixed-fan-in shuffle."""
+    from localsql_spark.operators.fingerprint import table_fingerprint
     docs = load(spark, sf_dir)["documents"]
-    row_hash = F.conv(
-        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
-                                   F.lit(":"), F.md5(F.col("text")))), 1, 8),
-        16, 10).cast("long")
-    return (docs.groupBy((hash32(F.col("doc_id")) % 64).alias("bucket"))
-            .agg(F.count(F.lit(1)).alias("n_rows"),
-                 F.sum(row_hash.cast("decimal(38,0)")).cast("string")
-                 .alias("hash_sum")))
+    return table_fingerprint(docs, "doc_id", F.col("text"))
 
 
 _MERGE_UPSERT_ORACLE = """
@@ -1409,3 +1400,67 @@ def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir)["events"]
     return quantile_estimates(quantile_sketch(ev, "value", "event_id"))
+
+
+_FP_SQL = """
+SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 64
+         AS bucket,
+       count(*) AS n_rows,
+       CAST(SUM(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                         || ':' || md5(text)), 1, 8)
+                          AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR)
+         AS hash_sum
+FROM {src}
+GROUP BY 1
+"""
+
+
+@query("fingerprint_drift", oracle=f"""
+WITH snap_b AS (
+  SELECT doc_id,
+         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 7 = 0
+              THEN 'v2 ' || text ELSE text END AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, 'new ' || text
+  FROM documents
+  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        % 11 = 0),
+fa AS ({_FP_SQL.format(src='documents')}),
+fb AS ({_FP_SQL.format(src='snap_b')})
+SELECT coalesce(fa.bucket, fb.bucket) AS bucket,
+       coalesce(fa.n_rows, 0) AS n_rows_a,
+       coalesce(fb.n_rows, 0) AS n_rows_b,
+       coalesce(fa.hash_sum, '0') AS hash_a,
+       coalesce(fb.hash_sum, '0') AS hash_b
+FROM fa FULL OUTER JOIN fb ON fa.bucket = fb.bucket
+WHERE fa.n_rows IS DISTINCT FROM fb.n_rows
+   OR fa.hash_sum IS DISTINCT FROM fb.hash_sum
+""")
+def fingerprint_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot drift check (operators.fingerprint.fingerprint_diff):
+    fingerprint two corpus versions — the documents table vs a
+    deterministically-evolved snapshot (1/7 of keys re-texted, 1/11 new
+    keys, the same derivation merge_upsert_documents applies) — and report
+    only the buckets whose (count, hash-sum) differ.  Each side is one
+    fixed-fan-in aggregation; the diff joins two <= 64-row frames, so the
+    comparison cost is independent of corpus size — the snapshot-audit
+    primitive for an incrementally-updated 100 TB training corpus."""
+    from localsql_spark.operators.fingerprint import (fingerprint_diff,
+                                                      table_fingerprint)
+    from localsql_spark.operators import hash32
+
+    docs = load(spark, sf_dir)["documents"]
+    snap_b = (docs.select(
+        "doc_id",
+        F.when(hash32(F.col("doc_id")) % 7 == 0,
+               F.concat(F.lit("v2 "), F.col("text")))
+        .otherwise(F.col("text")).alias("text"))
+        .unionByName(
+            docs.filter(hash32(F.col("doc_id")) % 11 == 0)
+            .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                    F.concat(F.lit("new "), F.col("text")).alias("text"))))
+    fa = table_fingerprint(docs, "doc_id", F.col("text"))
+    fb = table_fingerprint(snap_b, "doc_id", F.col("text"))
+    return fingerprint_diff(fa, fb)

@@ -465,3 +465,62 @@ def test_quantile_sketch_merge_equals_sketch_of_union(spark):
               .orderBy("rk").limit(k))
     assert (sorted((r.v, r.rk) for r in whole.collect())
             == sorted((r.v, r.rk) for r in merged.collect()))
+
+
+# -- table fingerprint / drift diff -------------------------------------------
+
+
+def test_fingerprint_diff_empty_for_identical_tables(spark):
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators.fingerprint import (fingerprint_diff,
+                                                      table_fingerprint)
+
+    df = spark.range(0, 500).select(F.col("id").alias("k"),
+                                    F.md5(F.col("id").cast("string"))
+                                    .alias("payload"))
+    fa = table_fingerprint(df, "k", F.col("payload"))
+    # partition layout must not matter (commutative hash-sum)
+    fb = table_fingerprint(df.repartition(7), "k", F.col("payload"))
+    assert fingerprint_diff(fa, fb).isEmpty()
+
+
+def test_fingerprint_diff_localizes_single_row_change(spark):
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators import hash32
+    from localsql_spark.operators.fingerprint import (fingerprint_diff,
+                                                      table_fingerprint)
+
+    df = spark.range(0, 500).select(F.col("id").alias("k"),
+                                    F.md5(F.col("id").cast("string"))
+                                    .alias("payload"))
+    changed = df.withColumn(
+        "payload", F.when(F.col("k") == 123, F.lit("mutated"))
+        .otherwise(F.col("payload")))
+    diff = fingerprint_diff(table_fingerprint(df, "k", F.col("payload")),
+                            table_fingerprint(changed, "k", F.col("payload")))
+    rows = diff.collect()
+    assert len(rows) == 1, rows
+    expected_bucket = spark.range(1).select(
+        (hash32(F.lit(123)) % 64).alias("b")).collect()[0].b
+    assert rows[0].bucket == expected_bucket
+    # a payload change keeps counts equal; only the hash-sum moves
+    assert rows[0].n_rows_a == rows[0].n_rows_b
+    assert rows[0].hash_a != rows[0].hash_b
+
+
+def test_fingerprint_diff_reports_missing_bucket_as_zero(spark):
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators.fingerprint import (fingerprint_diff,
+                                                      table_fingerprint)
+
+    df = spark.range(0, 100).select(F.col("id").alias("k"),
+                                    F.lit("x").alias("payload"))
+    fa = table_fingerprint(df, "k", F.col("payload"), buckets=4)
+    fb = table_fingerprint(df.filter(F.lit(False)), "k", F.col("payload"),
+                           buckets=4)
+    rows = fingerprint_diff(fa, fb).collect()
+    assert {r.bucket for r in rows} == {0, 1, 2, 3}
+    assert all(r.n_rows_b == 0 and r.hash_b == "0" for r in rows)
