@@ -166,18 +166,21 @@ def main(argv: list[str] | None = None) -> int:
         print("Supported files not found. Try -r, -d or --help",
               file=sys.stderr)
 
-    if args.query is not None:  # one-shot mode
-        try:
-            result = eng.run_sql(args.query)
-        except Exception as e:  # noqa: BLE001 — shaped message, not traceback
-            print(e, file=sys.stderr)
-            return 1
-        if result is not None:
-            eng.print_result(result)
-        return 0
+    try:
+        if args.query is not None:  # one-shot mode
+            try:
+                result = eng.run_sql(args.query)
+            except Exception as e:  # noqa: BLE001 — shaped message, no traceback
+                print(e, file=sys.stderr)
+                return 1
+            if result is not None:
+                eng.print_result(result)
+            return 0
 
-    repl(eng)
-    return 0
+        repl(eng)
+        return 0
+    finally:
+        eng.close()  # run_line cleans per REPL line; this covers -q/-s exits
 
 
 if __name__ == "__main__":

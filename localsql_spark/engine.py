@@ -40,6 +40,26 @@ class LocalSparkSQL:
         self.pretty = True
         self.py_mode = False
 
+    # -- lifecycle ---------------------------------------------------------
+    def close(self) -> None:
+        """Release engine-held storage: operator-persisted intermediates
+        (LSH signature tables, CC label frames) registered via
+        ``operators.track_persist``.  The REPL releases these per line
+        (cli.run_line's finally); embedders driving the engine API directly
+        call ``close()`` — or use the engine as a context manager — so
+        repeated pipeline runs in one long-lived session don't accumulate
+        cached tables.  The SparkSession itself is NOT stopped: it may be
+        shared with the caller."""
+        from localsql_spark.operators import cleanup
+        cleanup()
+
+    def __enter__(self) -> "LocalSparkSQL":
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        self.close()
+        return False
+
     # -- catalog ----------------------------------------------------------
     def load_file(self, file: str | Path, **kw) -> str:
         if "name" not in kw:

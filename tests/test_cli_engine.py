@@ -278,3 +278,37 @@ def test_save_without_filename_prints_usage(eng, capsys):
     eng.run_sql("SELECT * FROM t_csv")
     assert eng.run_sql("\\s") is None
     assert "Usage: \\s" in capsys.readouterr().err
+
+
+def test_engine_close_releases_operator_caches(spark):
+    """Repeated pipeline runs through the engine API (no REPL line, so no
+    run_line finally) must not accumulate operator-persisted tables:
+    close() — or context-manager exit — releases them."""
+    from localsql_spark.engine import LocalSparkSQL
+    from localsql_spark.operators import _PERSISTED, cleanup
+    from localsql_spark.operators.dedup import minhash_lsh_pairs
+
+    cleanup()  # clean slate
+    df = spark.createDataFrame(
+        [(i, "engine close lifecycle text " + str(i % 3))
+         for i in range(12)], "doc_id long, text string")
+    eng = LocalSparkSQL(spark)
+    for _ in range(3):
+        minhash_lsh_pairs(df).count()  # a pipeline run that persists
+        eng.close()
+        assert not _PERSISTED, "close() must leave the cache registry empty"
+
+
+def test_engine_context_manager_closes(spark):
+    from localsql_spark.engine import LocalSparkSQL
+    from localsql_spark.operators import _PERSISTED, cleanup
+    from localsql_spark.operators.dedup import minhash_lsh_pairs
+
+    cleanup()
+    df = spark.createDataFrame(
+        [(i, "context manager text " + str(i % 2)) for i in range(10)],
+        "doc_id long, text string")
+    with LocalSparkSQL(spark):
+        minhash_lsh_pairs(df).count()
+        assert len(_PERSISTED) > 0
+    assert not _PERSISTED
