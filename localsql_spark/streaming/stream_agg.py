@@ -250,3 +250,84 @@ def enrich_static_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("value").cast("decimal(18,2)"))
                  .cast("double").alias("sum_value")))
     return _drain_to_memory(agg, "events_enrich_static_sink", "complete")
+
+
+def late_data_stream(spark: SparkSession, sf_dir: str,
+                     duration: str = "1 hour",
+                     watermark: str = "2 hours") -> DataFrame:
+    """Watermark late-data DROP, proven end-to-end with an exact oracle.
+
+    The landing directory delivers four files in four micro-batches
+    (``maxFilesPerTrigger=1``, modification-time order):
+
+    1. the events file (on-time data);
+    2. a clock-advancer row 48h past the corpus max event time;
+    3. a second advancer (49h) — a BUFFER batch, because Spark's stateful
+       operators filter late input with the watermark of the PREVIOUS batch
+       while evicting/emitting with the current one (two-pass wm
+       propagation; measured here: an advancer only one batch ahead leaves
+       the late filter at the pre-advancer wm and the re-delivery
+       double-counts every still-open window).  After this batch the
+       advanced watermark is operative for late filtering;
+    4. the SAME events file again — a full late re-delivery.  Every row is
+       now 46h below the late-filter watermark, so the aggregation drops
+       all of them (observable as numRowsDroppedByWatermark == the file's
+       row count); eviction in the same batch flushes every real window to
+       the append-mode sink.
+
+    The sink then holds each closed hourly window exactly ONCE, equal to the
+    batch aggregation over the original events — which is what the oracle
+    checks: had late rows been accepted, every count/sum would be doubled.
+    Both advancers' own windows stay open (window end + delay exceeds the
+    final watermark) and are asserted absent by the same equality.
+    """
+    import shutil
+    from pathlib import Path
+
+    from localsql_spark.catalog import _CACHE_DIR, _normalize_nanos
+
+    path = _normalize_nanos(Path(f"{sf_dir}/events.parquet"))
+    # landing dir lives in the repo cache — testdata is read-only territory
+    src_dir = (_CACHE_DIR.parent / "stream_late"
+               / Path(sf_dir.rstrip("/")).name)
+    if not src_dir.exists():
+        src_dir.mkdir(parents=True)
+        schema_df = spark.read.parquet(str(path))
+        max_ts = schema_df.agg(F.max("ts")).collect()[0][0]
+        shutil.copy(path, src_dir / "a_events.parquet")
+        import datetime
+        import os
+        import tempfile
+
+        for hours, name in ((48, "b_advancer.parquet"),
+                            (49, "c_advancer_buffer.parquet")):
+            adv = spark.createDataFrame(
+                [(-1, max_ts + datetime.timedelta(hours=hours), -1,
+                  "advancer", 0.0, None)],
+                schema_df.schema)
+            tmp = tempfile.mkdtemp(prefix="late_adv_")
+            adv.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(Path(tmp).glob("part-*.parquet"))
+            shutil.move(str(part), src_dir / name)
+            shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copy(path, src_dir / "d_late_redelivery.parquet")
+        t0 = (src_dir / "a_events.parquet").stat().st_mtime
+        for i, name in enumerate(("a_events.parquet", "b_advancer.parquet",
+                                  "c_advancer_buffer.parquet",
+                                  "d_late_redelivery.parquet")):
+            os.utime(src_dir / name, (t0 + 100 * i, t0 + 100 * i))
+
+    schema = spark.read.parquet(str(path)).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src_dir))
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    agg = (stream.withWatermark("ts", watermark)
+           .groupBy(F.window("ts", duration).alias("w"), "event_type")
+           .agg(F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_value")))
+    out = _drain_to_memory(agg, "events_late_data_sink", "append")
+    return out.select(
+        F.unix_micros(F.col("w.start").cast("timestamp")).alias("w_start_us"),
+        "event_type", "n", "sum_value")

@@ -550,3 +550,23 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (F.datediff(F.col("wk"), F.col("cohort")) / 7)
                      .cast("long").alias("week_offset"))
             .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+@query("streaming_late_data", oracle="""
+SELECT epoch_us(date_trunc('hour', ts)) AS w_start_us, event_type,
+       count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""")
+def streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data drop, proven with an exact oracle: the source
+    re-delivers the ENTIRE events file in a final micro-batch after a
+    clock-advancer pushed the watermark 46h past every real event, so each
+    late row must be discarded and each closed window must appear exactly
+    once.  The oracle is the plain batch hourly aggregation — counts would
+    be doubled if late data leaked, and the advancer's open window must be
+    absent (streaming.stream_agg.late_data_stream)."""
+    from localsql_spark.streaming.stream_agg import late_data_stream
+
+    load(spark, sf_dir)
+    return late_data_stream(spark, sf_dir)

@@ -198,3 +198,92 @@ def test_stateful_recombination_survives_multi_batch_negatives(spark, tmp_path):
     assert drained.count() >= 2, "backlog must split into multiple batches"
     row = recombine_final_emissions(drained).collect()[0]
     assert (row["user_id"], row["n_events"], row["sum_value"]) == (7, 3, -10.0)
+
+
+def test_watermark_drops_late_rows_exactly_once(spark, tmp_path):
+    """Late-data contract, minimal synthetic case: a re-delivered file whose
+    rows are all below the operative watermark contributes NOTHING — each
+    window appears exactly once with its on-time count.  The advancer needs
+    a buffer batch behind it: Spark filters late input with the PREVIOUS
+    batch's watermark and evicts with the current one (see
+    stream_agg.late_data_stream)."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+
+    from pathlib import Path
+
+    d = tmp_path / "landing"
+    d.mkdir()
+
+    def write_one(name, rows, order):
+        tmp = tempfile.mkdtemp()
+        (spark.createDataFrame(rows, "k int, ts timestamp")
+         .coalesce(1).write.mode("overwrite").parquet(tmp))
+        p = next(Path(tmp).glob("part-*.parquet"))
+        shutil.move(str(p), d / name)
+        os.utime(d / name, (1_000_000 + order * 100,) * 2)
+
+    T = dt.datetime(2024, 1, 1)
+    H = dt.timedelta(hours=1)
+    write_one("a.parquet", [(1, T), (2, T + H)], 0)          # on-time
+    write_one("b.parquet", [(9, T + 100 * H)], 1)            # advancer
+    write_one("c.parquet", [(9, T + 101 * H)], 2)            # buffer batch
+    write_one("d.parquet", [(1, T), (2, T + H)], 3)          # late redelivery
+
+    stream = (spark.readStream.schema("k int, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    agg = (stream.withWatermark("ts", "2 hours")
+           .groupBy(F.window("ts", "1 hour").alias("w"))
+           .agg(F.count("*").alias("n")))
+    q = (agg.writeStream.format("memory").queryName("late_drop_sink")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted((r.w.start, r.n)
+                 for r in spark.table("late_drop_sink").collect())
+    assert got == [(T, 1), (T + H, 1)], got
+    dropped = sum(p["stateOperators"][0]["numRowsDroppedByWatermark"]
+                  for p in q.recentProgress if p["stateOperators"])
+    assert dropped == 2, "both late rows must be dropped by the watermark"
+
+
+def test_stream_upsert_replay_after_restart_is_exactly_once(spark, tmp_path):
+    """End-to-end foreachBatch replay: drain, then RESTART the same stream
+    (same checkpoint) with more source files — committed batches must not
+    re-apply, new data must merge, and the keyed table must equal the
+    latest-version-per-key truth."""
+    from localsql_spark.streaming.foreach_upsert import (read_table,
+                                                         stream_upsert_parquet)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ck = str(tmp_path / "table"), str(tmp_path / "ck")
+
+    def land(rows, name):
+        (spark.createDataFrame(rows, "k long, v string, ver int")
+         .coalesce(1).write.mode("append").parquet(str(src)))
+
+    land([(1, "one", 1), (2, "two", 1)], "f1")
+    stream_upsert_parquet(spark, source_dir=str(src),
+                          schema="k long, v string, ver int", key="k",
+                          version="ver", out_dir=out, checkpoint_dir=ck)
+    assert {(r.k, r.v, r.ver) for r in read_table(spark, out).collect()} \
+        == {(1, "one", 1), (2, "two", 1)}
+
+    # restart with a correction + an insert in the source backlog
+    land([(1, "one-v2", 2), (3, "three", 1)], "f2")
+    stream_upsert_parquet(spark, source_dir=str(src),
+                          schema="k long, v string, ver int", key="k",
+                          version="ver", out_dir=out, checkpoint_dir=ck)
+    got = {(r.k, r.v, r.ver) for r in read_table(spark, out).collect()}
+    assert got == {(1, "one-v2", 2), (2, "two", 1), (3, "three", 1)}
+
+    # idle restart: nothing new -> nothing changes (no double-apply)
+    stream_upsert_parquet(spark, source_dir=str(src),
+                          schema="k long, v string, ver int", key="k",
+                          version="ver", out_dir=out, checkpoint_dir=ck)
+    assert {(r.k, r.v, r.ver) for r in read_table(spark, out).collect()} \
+        == got
