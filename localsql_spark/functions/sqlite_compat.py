@@ -183,24 +183,38 @@ def _glob_compiled(p: str):
     return _re.compile(glob_to_regex(p))
 
 
-def _glob_match_py(s, p):
-    """Row-side GLOB for the registered UDF: NULL in (either operand) ->
-    NULL out (SQLite semantics); pattern translation/compile is cached,
-    not re-run per row.  Module-level so the UDF pickles."""
-    if s is None or p is None:
-        return None
-    return _glob_compiled(p).fullmatch(s) is not None
+def _glob_match_pandas(s, p):
+    """Vectorized GLOB for the registered UDF (Arrow-batched pandas_udf —
+    no row-at-a-time Python path left in the compat surface): the regex is
+    translated/compiled ONCE per distinct pattern per batch (patterns are
+    nearly always a single literal), then applied over the whole slice.
+    NULL in either operand -> NULL out (SQLite semantics).  A pure-SQL
+    translation was considered and rejected: GLOB character classes
+    ([^abc], backslash-literal bodies) cannot round-trip through a
+    regexp_replace chain without corrupting negation.  Literal-pattern
+    DataFrame callers should use :func:`glob` (pure JVM rlike).
+    Module-level so the UDF pickles."""
+    import pandas as pd
+
+    out = pd.Series([None] * len(s), index=s.index, dtype=object)
+    for pat in p.dropna().unique():
+        rex = _glob_compiled(pat)
+        mask = (p == pat) & s.notna()
+        out[mask] = [rex.fullmatch(v) is not None for v in s[mask]]
+    return out
 
 
 def register_sqlite_compat(spark: SparkSession) -> None:
     """Register SQLite-dialect names usable from ``spark.sql``:
-    ``glob(s, pat)``, ``typeof(x)`` (via SQL macros / a tiny UDF)."""
+    ``glob(s, pat)``, ``typeof(x)`` (Arrow-batched UDFs)."""
     from pyspark.sql.types import StringType
 
     # typeof: introspection nicety (SQLite core); a real UDF because the
     # answer depends on the *runtime* type only for untyped dialects — here
-    # we report the Spark SQL type name of the value's column.
-    @F.udf(returnType=StringType())
+    # we report the Spark SQL type name of the value's column.  Arrow-
+    # batched (useArrow): the values arrive as a columnar batch instead of
+    # pickled rows.
+    @F.udf(returnType=StringType(), useArrow=True)
     def _typeof(x):
         if x is None:
             return "null"
@@ -210,9 +224,13 @@ def register_sqlite_compat(spark: SparkSession) -> None:
             return "integer"
         if isinstance(x, float):
             return "real"
+        import decimal
+        if isinstance(x, decimal.Decimal):
+            return "real"  # SQLite has no decimal storage class: 1.5 -> REAL
         if isinstance(x, (bytes, bytearray)):
             return "blob"
         return "text"
 
     spark.udf.register("typeof", _typeof)
-    spark.udf.register("glob_match", _glob_match_py, "boolean")
+    spark.udf.register("glob_match",
+                       F.pandas_udf(_glob_match_pandas, "boolean"))
