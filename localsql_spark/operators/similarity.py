@@ -316,3 +316,52 @@ def kmeans_lloyd(corpus: DataFrame, n_clusters: int = 8, n_iter: int = 1,
         cents = kmeans_update(corpus, assign, id_col, vec_col)
     final = kmeans_assign(corpus, cents, id_col, vec_col)
     return final.select(id_col, "cluster_id", F.round("dist", 9).alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-then-prune semantic deduplication
+# ---------------------------------------------------------------------------
+
+def semdedup_prune(corpus: DataFrame, n_clusters: int = 8,
+                   threshold: float = 0.9, n_iter: int = 1,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al., "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication", arXiv:2303.09540
+    — public algorithm): k-means-cluster the embedding space, then compare
+    pairs ONLY within a cluster and drop the higher id of every pair with
+    cosine >= threshold.  Returns the kept rows as (id, cluster_id).
+
+    Scale shape: clustering confines the quadratic pair comparison to
+    cluster-local blocks — the exact blocking idea of the LSH/sign-bucket
+    dedups, but with learned (data-adaptive) partitions, which is why it
+    catches paraphrase-level duplicates hash blocking misses.  The tagged
+    (id, vector, norm, cluster) table is persisted once and self-joined on
+    cluster_id; norms sit below the join (computed once per vector — see
+    cosine_pre).  A degenerate mega-cluster is the same skew hazard as a
+    hot LSH bucket: raise n_clusters (production SemDeDup uses ~100k
+    clusters at web scale) or cap clusters like minhash bucket_cap.
+    """
+    from localsql_spark.operators import track_persist
+
+    assign = kmeans_lloyd(corpus, n_clusters=n_clusters, n_iter=n_iter,
+                          id_col=id_col, vec_col=vec_col)
+    tagged = track_persist(
+        spread(corpus).join(assign.select(id_col, "cluster_id"), id_col)
+        .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
+                "cluster_id")
+        .withColumn("vn", norm(F.col("v"))))
+    a = tagged.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"),
+                      F.col("vn").alias("na"), "cluster_id")
+    b = tagged.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"),
+                      F.col("vn").alias("nb"), "cluster_id")
+    drops = (a.join(b, "cluster_id")
+             .filter(F.col("vec_a") < F.col("vec_b"))
+             .select("vec_b",
+                     cosine_pre(F.col("va"), F.col("vb"),
+                                F.col("na"), F.col("nb")).alias("cos_sim"))
+             .filter(F.col("cos_sim") >= threshold)
+             .select(F.col("vec_b").alias("vid"))
+             .distinct())
+    return (tagged.join(drops, "vid", "left_anti")
+            .select(F.col("vid").alias(id_col), "cluster_id"))

@@ -196,3 +196,33 @@ def quantile_estimates(sketch: DataFrame,
             .filter(F.col("rn")
                     == F.floor(F.col("q") * (F.col("n") - 1)) + 1)
             .select("q", F.col("v").alias("estimate")))
+
+
+def hll_estimate_by(df: DataFrame, col: str, group_col: str) -> DataFrame:
+    """Grouped HLL: one (n_buckets_seen, estimate) row PER GROUP — the
+    per-source/per-day distinct-count monitoring shape.  Same portable
+    registers as :func:`hll_estimate`, keyed by (group, bucket): two
+    fixed-fan-in shuffles (groups x m rows, then groups), merge across
+    datasets stays per-bucket max within each group."""
+    df = df.filter(F.col(col).isNotNull() & F.col(group_col).isNotNull())
+    h = _hash32(F.col(col))
+    bucket = (h % HLL_M).alias("bucket")
+    suffix = F.shiftright(h, HLL_B)
+    width = 32 - HLL_B
+    rank = F.when(suffix == 0, width + 1).otherwise(
+        width - F.floor(F.log2(suffix.cast("double"))).cast("int"))
+    regs = (df.select(F.col(group_col), bucket, rank.cast("int").alias("rank"))
+            .groupBy(group_col, "bucket").agg(F.max("rank").alias("m_rank")))
+    agg = regs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("seen"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m_rank"))).alias("present_sum"))
+    m = float(HLL_M)
+    seen = F.col("seen").cast("double")
+    denom = F.col("present_sum") + (F.lit(m) - seen)
+    raw = F.lit(HLL_ALPHA * m * m) / denom
+    zeros = F.lit(m) - seen
+    est = F.when((raw <= 2.5 * m) & (zeros > 0),
+                 F.lit(m) * F.log(F.lit(m) / zeros)).otherwise(raw)
+    return agg.select(F.col(group_col),
+                      F.col("seen").cast("long").alias("n_buckets_seen"),
+                      F.round(est, 6).alias("estimate"))

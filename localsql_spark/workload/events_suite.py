@@ -570,3 +570,47 @@ def streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load(spark, sf_dir)
     return late_data_stream(spark, sf_dir)
+
+
+def _hll_by_type_oracle() -> str:
+    from localsql_spark.operators.sketches import HLL_ALPHA, HLL_B, HLL_M
+
+    m, w = HLL_M, 32 - HLL_B
+    return f"""
+WITH h AS (SELECT event_type,
+                  CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) AS h
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+r AS (SELECT event_type, h % {m} AS bucket,
+             CASE WHEN (h >> {HLL_B}) = 0 THEN {w + 1}
+                  ELSE {w} - CAST(floor(log2(CAST(h >> {HLL_B} AS DOUBLE)))
+                                  AS INT) END AS rank
+      FROM h),
+regs AS (SELECT event_type, bucket, max(rank) AS m_rank
+         FROM r GROUP BY event_type, bucket),
+agg AS (SELECT event_type, count(*) AS seen,
+               SUM(pow(2.0, -m_rank)) AS present_sum
+        FROM regs GROUP BY event_type)
+SELECT event_type, CAST(seen AS BIGINT) AS n_buckets_seen,
+       round(CASE WHEN ({HLL_ALPHA * m * m!r} / (present_sum + ({m} - seen)))
+                       <= {2.5 * m}
+                   AND ({m} - seen) > 0
+                  THEN {m} * ln({float(m)!r} / ({m} - seen))
+                  ELSE {HLL_ALPHA * m * m!r} / (present_sum + ({m} - seen))
+             END, 6) AS estimate
+FROM agg
+"""
+
+
+@query("hll_distinct_users_by_type", oracle=_hll_by_type_oracle())
+def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped portable HLL (operators.sketches.hll_estimate_by): per-
+    event_type distinct-user estimates from md5-derived registers — the
+    per-source cardinality monitoring a pipeline dashboards at 100 TB.
+    Two fixed-fan-in shuffles (types x 256 register rows, then types);
+    sketches merge across days/datasets by per-bucket max within a group."""
+    from localsql_spark.operators.sketches import hll_estimate_by
+
+    ev = load(spark, sf_dir)["events"]
+    return hll_estimate_by(ev, "user_id", "event_type")

@@ -1464,3 +1464,77 @@ def fingerprint_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     fa = table_fingerprint(docs, "doc_id", F.col("text"))
     fb = table_fingerprint(snap_b, "doc_id", F.col("text"))
     return fingerprint_diff(fa, fb)
+
+
+@query("semdedup_keep", oracle=f"""
+WITH assign AS ({_KMEANS_ORACLE}),
+ve2 AS (SELECT vec_id, generate_subscripts(embedding, 1) AS p,
+               unnest(embedding) AS x FROM embeddings),
+norms AS (SELECT vec_id,
+                 sqrt(CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE),
+                                          12) AS DECIMAL(38,12)))
+                           AS DOUBLE)) AS nrm
+          FROM ve2 GROUP BY vec_id),
+pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM assign a JOIN assign b
+            ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id),
+dots AS (SELECT p.vec_a, p.vec_b,
+                CAST(SUM(CAST(round(CAST(xa.x AS DOUBLE) * CAST(xb.x AS DOUBLE),
+                                    12) AS DECIMAL(38,12))) AS DOUBLE) AS dotp
+         FROM pairs p
+         JOIN ve2 xa ON xa.vec_id = p.vec_a
+         JOIN ve2 xb ON xb.vec_id = p.vec_b AND xb.p = xa.p
+         GROUP BY 1, 2),
+drops AS (SELECT DISTINCT vec_b
+          FROM dots
+          JOIN norms na ON na.vec_id = vec_a
+          JOIN norms nb ON nb.vec_id = vec_b
+          WHERE round(dotp / (na.nrm * nb.nrm), 9) >= 0.4)
+SELECT a.vec_id, a.cluster_id
+FROM assign a LEFT JOIN drops d ON d.vec_b = a.vec_id
+WHERE d.vec_b IS NULL
+""")
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (operators.similarity.semdedup_prune,
+    public algorithm arXiv:2303.09540): k-means clusters the embedding
+    space, cosine pairs are compared only WITHIN a cluster, the higher id
+    of every above-threshold pair is dropped.  Learned blocking confines the
+    quadratic comparison to cluster-local work — the embedding-space
+    counterpart of LSH bucketing, catching paraphrase duplicates that
+    lexical hashing misses.  The oracle replays the full Lloyd round and
+    the intra-cluster pair pruning exactly."""
+    emb = load(spark, sf_dir)["embeddings"]
+    # threshold 0.4: the synthetic embeddings carry no planted semantic
+    # duplicates (max intra-cluster cosine ~0.51 at sf0.01), so the demo
+    # threshold sits at the top ~0.1% of intra-cluster pairs to exercise
+    # real pruning; production SemDeDup uses ~0.95+ on model embeddings.
+    return S.semdedup_prune(emb, n_clusters=8, threshold=0.4, n_iter=1)
+
+
+@query("sample_per_lang_topk", oracle="""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         AS BIGINT), doc_id) AS rn
+  FROM documents)
+SELECT doc_id, lang, rn FROM r WHERE rn <= 20
+""")
+def sample_per_lang_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group sampling: the 20 docs with the smallest
+    md5-hash rank PER LANGUAGE — the reproducible, engine-independent
+    analog of per-stratum reservoir sampling (same rows every run, every
+    cluster, every engine).  The rank filter compiles to WindowGroupLimit,
+    so each shuffle partition keeps only 20 rows per group BEFORE the
+    window sort — per-group work is bounded, not corpus-bound
+    (plan-asserted in tests/test_plan_shapes.py)."""
+    from pyspark.sql import Window
+
+    from localsql_spark.operators import hash32
+
+    docs = load(spark, sf_dir)["documents"]
+    w = Window.partitionBy("lang").orderBy(hash32(F.col("doc_id")), "doc_id")
+    return (docs.select("doc_id", "lang",
+                        F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= 20))

@@ -224,3 +224,19 @@ def test_spread_noop_for_non_file_plans(spark):
 
     df = spark.range(0, 10)  # no files behind the plan at all
     assert spread(df) is df
+
+
+def test_per_group_sample_uses_window_group_limit(spark, queries):
+    """Per-group hash sampling must push the rn<=20 filter into
+    WindowGroupLimit: bounded per-group state before the window sort."""
+    plan = _plan(queries["sample_per_lang_topk"](spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_grouped_hll_register_table_is_fixed_fan_in(spark, queries):
+    """Grouped HLL: two aggregations only (groups x 256 registers, then
+    groups) — no join, no extra shuffle."""
+    plan = _plan(queries["hll_distinct_users_by_type"](spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Join" not in plan

@@ -524,3 +524,24 @@ def test_fingerprint_diff_reports_missing_bucket_as_zero(spark):
     rows = fingerprint_diff(fa, fb).collect()
     assert {r.bucket for r in rows} == {0, 1, 2, 3}
     assert all(r.n_rows_b == 0 and r.hash_b == "0" for r in rows)
+
+
+def test_semdedup_drops_planted_duplicate_keeps_lowest_id(spark):
+    """Two identical vectors must land in one cluster and the higher id must
+    be pruned; a distant singleton must survive."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators.similarity import semdedup_prune
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (5, [1.0, 0.0, 0.0, 0.0]),    # exact dup of 0 -> dropped
+        (7, [0.9, 0.1, 0.0, 0.0]),    # near 0 (cos ~0.99) -> dropped
+        (9, [0.0, 0.0, 1.0, 0.0]),    # far from everything -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = semdedup_prune(df, n_clusters=2, threshold=0.95, n_iter=1)
+    ids = sorted(r.vec_id for r in kept.collect())
+    assert 5 not in ids and 0 in ids
+    assert 9 in ids and 1 in ids
