@@ -52,6 +52,11 @@ EXTENSION_HEADLINE = [
     "text_tfidf_top_terms",
     "events_funnel_conversion",
     "dedup_clusters_bigstar",
+    # round 4 additions
+    "merge_upsert_documents",
+    "sketch_quantiles",
+    "fingerprint_drift",
+    "semdedup_keep",
 ]
 
 

@@ -191,7 +191,10 @@ def quantile_estimates(sketch: DataFrame,
         F.count(F.lit(1)).over(
             Window.partitionBy(F.lit(1))).alias("n")))
     spark = sketch.sparkSession
-    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    # quantile list as a plan-side literal array (no driver createDataFrame
+    # round-trip, no ExistingRDD scan in the plan)
+    qdf = spark.range(1).select(
+        F.explode(F.array(*[F.lit(float(x)) for x in qs])).alias("q"))
     return (ranked.crossJoin(F.broadcast(qdf))
             .filter(F.col("rn")
                     == F.floor(F.col("q") * (F.col("n") - 1)) + 1)
