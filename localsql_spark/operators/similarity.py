@@ -365,3 +365,109 @@ def semdedup_prune(corpus: DataFrame, n_clusters: int = 8,
              .distinct())
     return (tagged.join(drops, "vid", "left_anti")
             .select(F.col("vid").alias(id_col), "cluster_id"))
+
+
+def semdedup_prune_two_level(corpus: DataFrame, n_clusters: int = 64,
+                             n_coarse: int = 8, threshold: float = 0.9,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup with IVF-accelerated assignment, for corpus-proportional
+    cluster counts.
+
+    Flat :func:`semdedup_prune` assigns every vector against ALL k
+    centroids — O(N*k) distance folds, and production SemDeDup wants k to
+    GROW with the corpus (constant expected cluster size keeps the
+    intra-cluster pair block bounded), which makes flat assignment
+    quadratic in N (measured: 7.8x wall per 4x data before this operator —
+    SCALE.md).  The standard fix is hierarchical quantization over ONE
+    flat centroid set (exactly faiss's IVF idea, and what web-scale
+    SemDeDup runs): a small coarse quantizer (n_coarse cells, built by
+    k-means over the k fine CENTROIDS — k rows, cheap) routes each vector
+    to a cell, and the vector then compares only against that cell's fine
+    centroids.  Assignment cost drops to O(N*(kc + k/kc)) while the
+    cluster semantics stay those of one flat k-clustering — NOT an
+    independent k-means per cell, which would force multi-cluster splits
+    onto cells holding a single duplicate group and miss their pairs.
+
+    Approximation note: a vector whose true nearest fine centroid sits in
+    a different coarse cell is assigned to its cell-local best — the
+    standard IVF trade (raise n_coarse quality or probe >1 cells to
+    tighten it); duplicates that co-locate keep being caught because near-
+    identical vectors route to the same cell.
+
+    One Lloyd round refines the fine centroids (update keyed by fine id;
+    the coarse quantizer stays fixed, as in IVF practice).  Pruning as in
+    flat SemDeDup: cosine pairs within a fine cluster, drop the higher id
+    at >= threshold.  Returns kept rows as (id, cluster_id).
+    """
+    from localsql_spark.operators import track_persist
+
+    # flat fine-centroid seeds: first k vectors by id (swap in kmeans||
+    # sampling in production — see kmeans_lloyd)
+    seeds = (corpus.filter(F.col(id_col) < n_clusters)
+             .select(F.col(id_col).alias("fine"),
+                     F.transform(F.col(vec_col),
+                                 lambda x: x.cast("double")).alias("cent")))
+    # coarse quantizer: k-means over the k SEED CENTROIDS (k rows)
+    coarse_cents = kmeans_update(
+        seeds, kmeans_lloyd(seeds, n_clusters=n_coarse, n_iter=0,
+                            id_col="fine", vec_col="cent"),
+        id_col="fine", vec_col="cent")
+
+    def cells_of(cents: DataFrame) -> DataFrame:
+        # (fine, cent, cell): each fine centroid's coarse cell — k rows
+        return (kmeans_assign(cents.select(F.col("fine").alias("f_id"),
+                                           F.col("cent")),
+                              coarse_cents, id_col="f_id", vec_col="cent")
+                .select(F.col("f_id").alias("fine"),
+                        F.col("cluster_id").alias("cell"))
+                .join(cents, "fine"))
+
+    vecs = track_persist(
+        spread(corpus).select(F.col(id_col).alias("vid"),
+                              F.transform(F.col(vec_col),
+                                          lambda x: x.cast("double"))
+                              .alias("v")))
+    # vector -> coarse cell once (O(N*kc)); reused by both assignment rounds
+    vcell = track_persist(
+        kmeans_assign(vecs, coarse_cents, id_col="vid", vec_col="v")
+        .select("vid", F.col("cluster_id").alias("cell")))
+    tagged = vecs.join(vcell, "vid")
+
+    def assign(cents_with_cell: DataFrame) -> DataFrame:
+        # cell-local argmin over fine centroids (max(struct) so partial
+        # aggregation collapses candidates map-side — see knn_ivf)
+        cand = (tagged.join(cents_with_cell, "cell")
+                .select("vid", l2_sq(F.col("v"), F.col("cent")).alias("d"),
+                        "fine"))
+        return (cand.groupBy("vid")
+                .agg(F.max(F.struct((-F.col("d")).alias("nd"),
+                                    (-F.col("fine")).alias("nf"))).alias("b"))
+                .select("vid", (-F.col("b.nf")).cast("long").alias("fine")))
+
+    a0 = assign(cells_of(seeds))
+    # Lloyd update of the FLAT fine centroids (keyed by fine id), then
+    # re-derive their coarse cells (k rows) and re-assign
+    cents1 = (kmeans_update(vecs.join(a0, "vid"),
+                            a0.select("vid", F.col("fine").alias("cluster_id")),
+                            id_col="vid", vec_col="v")
+              .select(F.col("cell").alias("fine"), "cent"))
+    final = assign(cells_of(cents1))
+
+    t2 = track_persist(vecs.join(final, "vid")
+                       .withColumn("vn", norm(F.col("v"))))
+    a = t2.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"),
+                  F.col("vn").alias("na"), "fine")
+    b = t2.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"),
+                  F.col("vn").alias("nb"), "fine")
+    drops = (a.join(b, "fine")
+             .filter(F.col("vec_a") < F.col("vec_b"))
+             .select("vec_b",
+                     cosine_pre(F.col("va"), F.col("vb"),
+                                F.col("na"), F.col("nb")).alias("cos_sim"))
+             .filter(F.col("cos_sim") >= threshold)
+             .select(F.col("vec_b").alias("vid"))
+             .distinct())
+    return (t2.join(drops, "vid", "left_anti")
+            .select(F.col("vid").alias(id_col),
+                    F.col("fine").alias("cluster_id")))

@@ -48,6 +48,15 @@ def get_spark(app_name: str = "localsql_spark", master: str | None = None,
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
     builder = builder.master(master)
+    if master.startswith("local"):
+        # local mode defaults to a 1g driver heap, which holds EVERY
+        # "executor" thread's working set — 32 concurrent tasks GC-thrash
+        # under cache + shuffle pressure (observed: GCLocker retry failures
+        # in the 16x scale harness).  On a real cluster executor memory is
+        # spark-submit's concern and this branch never fires.
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "16g"))
     shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
     builder = builder.config("spark.sql.shuffle.partitions", shuffle_parts)
     for k, v in _DEFAULTS.items():

@@ -545,3 +545,61 @@ def test_semdedup_drops_planted_duplicate_keeps_lowest_id(spark):
     ids = sorted(r.vec_id for r in kept.collect())
     assert 5 not in ids and 0 in ids
     assert 9 in ids and 1 in ids
+
+
+def test_semdedup_two_level_drops_planted_duplicates(spark):
+    """Hierarchical SemDeDup: planted near-identical vectors are pruned to
+    one survivor (lowest id); well-separated vectors all survive."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators.similarity import semdedup_prune_two_level
+
+    rows = []
+    # 4 well-separated axis directions, 5 vectors each: one original plus
+    # 4 near-copies (tiny jitter in an off-axis dim -> cosine ~1).  Ids are
+    # interleaved (id = 10*j + axis) so the deterministic lowest-id seeds
+    # are DIVERSE vectors — seeding k-means from near-duplicate ids would
+    # degenerate the clustering (same care a production deployment takes
+    # via kmeans||/sampled seeding).
+    for axis in range(4):
+        for j in range(5):
+            v = [0.0] * 8
+            v[axis] = 1.0
+            v[4 + axis] = 0.001 * j
+            rows.append((10 * j + axis, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # k = 4 matches the number of natural groups — more clusters than
+    # groups would SPLIT a duplicate group, and SemDeDup (by design) never
+    # compares across clusters; sizing k to the expected duplicate-group
+    # count is part of the algorithm's contract.
+    kept = semdedup_prune_two_level(df, n_clusters=4, n_coarse=2,
+                                    threshold=0.99)
+    ids = sorted(r.vec_id for r in kept.collect())
+    # exactly one survivor per planted group, and it is the group's min id
+    assert ids == [0, 1, 2, 3], ids
+
+
+def test_semdedup_two_level_matches_flat_on_separated_data(spark):
+    """When every planted group fits one fine cluster, hierarchical and flat
+    SemDeDup keep the same ids (the hierarchy changes cost, not the
+    answer, on separable data)."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators.similarity import (semdedup_prune,
+                                                     semdedup_prune_two_level)
+
+    rows = []
+    for axis in range(4):
+        for j in range(3):
+            v = [0.0] * 8
+            v[axis] = 1.0
+            v[4 + axis] = 0.002 * j
+            rows.append((10 * j + axis, v))  # interleaved ids: diverse seeds
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    flat = sorted(r.vec_id for r in
+                  semdedup_prune(df, n_clusters=4, threshold=0.99,
+                                 n_iter=1).collect())
+    two = sorted(r.vec_id for r in
+                 semdedup_prune_two_level(df, n_clusters=4, n_coarse=2,
+                                          threshold=0.99).collect())
+    assert flat == two == [0, 1, 2, 3]
