@@ -378,3 +378,65 @@ def connected_components_bigstar(edges: DataFrame, a_col: str = "doc_a",
     return (nodes.join(centers, nodes.node == centers.u, "left")
             .select("node", F.coalesce(F.col("cluster_id"), F.col("node"))
                     .alias("cluster_id")))
+
+
+def minhash_lsh_pairs_incremental(corpus: DataFrame, new: DataFrame,
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id",
+                                  threshold: float = 0.5,
+                                  n: int = N_MINHASH,
+                                  bands: int = N_BANDS) -> DataFrame:
+    """Near-dup pairs TOUCHING a new batch only — the daily-ingest dedup
+    shape: yesterday's corpus was already deduped, so corpus-vs-corpus
+    pairs must never be re-compared.  One band join side is restricted to
+    the new batch, so join work is O(new x bands) probes against the
+    corpus index instead of O(corpus²): ingesting 0.1% new data costs
+    ~0.1% of a full re-dedup.
+
+    The corpus signature table here is recomputed from text for oracle
+    checkability; in production it is read back from the signature store
+    the previous run persisted (the same (doc_id, sig) table
+    :func:`minhash_lsh_pairs` materializes), making the corpus side a
+    narrow scan with no text processing at all.
+
+    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b, where at least
+    one side is from the new batch (new-new pairs included once).
+    """
+    rows = n // bands
+
+    def sigs(df: DataFrame) -> DataFrame:
+        return spread(df).select(
+            F.col(id_col).alias("doc_id"),
+            minhash_signature(F.col(text_col), n).alias("sig"))
+
+    sig_all = track_persist(
+        sigs(corpus).withColumn("is_new", F.lit(False))
+        .unionByName(sigs(new).withColumn("is_new", F.lit(True))))
+    band_arr = F.array(*[
+        F.md5(F.concat_ws("|", *[F.element_at("sig", b * rows + r + 1)
+                                 for r in range(rows)]))
+        for b in range(bands)])
+    banded = sig_all.select(
+        "doc_id", "is_new",
+        F.posexplode(band_arr).alias("band_id", "band_key"))
+    a = banded.select(F.col("doc_id").alias("ida"), "band_id", "band_key")
+    b = (banded.filter(F.col("is_new"))
+         .select(F.col("doc_id").alias("idb"), "band_id", "band_key"))
+    pairs = (a.join(b, ["band_id", "band_key"])
+             .filter(F.col("ida") != F.col("idb"))
+             .select(F.least("ida", "idb").alias("doc_a"),
+                     F.greatest("ida", "idb").alias("doc_b"))
+             .distinct())
+    sa = sig_all.select(F.col("doc_id").alias("doc_a"),
+                        F.col("sig").alias("sig_a"))
+    sb = sig_all.select(F.col("doc_id").alias("doc_b"),
+                        F.col("sig").alias("sig_b"))
+    pairsig = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    matches = functools.reduce(operator.add, [
+        (F.element_at("sig_a", j + 1)
+         == F.element_at("sig_b", j + 1)).cast("int")
+        for j in range(n)])
+    return (pairsig
+            .select("doc_a", "doc_b",
+                    (matches.cast("double") / n).alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= threshold))

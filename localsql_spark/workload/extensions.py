@@ -1538,3 +1538,52 @@ def sample_per_lang_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (docs.select("doc_id", "lang",
                         F.row_number().over(w).alias("rn"))
             .filter(F.col("rn") <= 20))
+
+
+_INCR_HASH = ("CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
+              "AS BIGINT) % 9")
+
+_INCR_DEDUP_ORACLE = f"""
+WITH alls AS (SELECT doc_id, lang, text FROM documents),
+{_shingles_cte('alls').lstrip()},
+{_MH_CTE},
+sig AS (SELECT doc_id, list(c ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+bands AS (SELECT doc_id, b,
+                 md5(CAST(sig[4*b+1] AS VARCHAR) || '|' || CAST(sig[4*b+2] AS VARCHAR)
+                     || '|' || CAST(sig[4*b+3] AS VARCHAR) || '|' || CAST(sig[4*b+4] AS VARCHAR)) AS bkey
+          FROM sig CROSS JOIN UNNEST(range({D.N_BANDS})) u3(b)),
+nb AS (SELECT doc_id FROM documents WHERE {_INCR_HASH} = 0),
+cand AS (SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+                greatest(x.doc_id, y.doc_id) AS doc_b
+         FROM bands x
+         JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
+                      AND x.doc_id <> y.doc_id
+         JOIN nb ON nb.doc_id = y.doc_id),
+pairsig AS (SELECT doc_a, doc_b, sa.sig AS sig_a, sb.sig AS sig_b
+            FROM cand JOIN sig sa ON sa.doc_id = doc_a
+                      JOIN sig sb ON sb.doc_id = doc_b)
+SELECT doc_a, doc_b,
+       CAST(sum(CASE WHEN sig_a[j+1] = sig_b[j+1] THEN 1 ELSE 0 END) AS DOUBLE)
+         / {D.N_MINHASH} AS est_jaccard
+FROM pairsig CROSS JOIN UNNEST(range({D.N_MINHASH})) u4(j)
+GROUP BY doc_a, doc_b
+HAVING CAST(sum(CASE WHEN sig_a[j+1] = sig_b[j+1] THEN 1 ELSE 0 END) AS DOUBLE)
+         / {D.N_MINHASH} >= 0.5
+"""
+
+
+@query("dedup_incremental_new_batch", oracle=_INCR_DEDUP_ORACLE)
+def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection
+    (operators.dedup.minhash_lsh_pairs_incremental): a deterministic 1/9 of
+    documents plays the freshly-ingested batch, the rest the
+    already-deduped corpus; only pairs TOUCHING the new batch are produced
+    — the band join probes the corpus index with new-batch bands, so
+    corpus-vs-corpus work never recurs and the daily cost tracks the
+    ingest size, not the corpus size."""
+    from localsql_spark.operators import hash32
+
+    docs = load(spark, sf_dir)["documents"]
+    is_new = hash32(F.col("doc_id")) % 9 == 0
+    return D.minhash_lsh_pairs_incremental(
+        docs.filter(~is_new), docs.filter(is_new), threshold=0.5)

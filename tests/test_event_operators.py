@@ -401,3 +401,30 @@ def test_empty_text_guards(spark):
     assert [r["ws"] for r in rows] == [0, 0, 2]
     assert rows[0]["pr"] is None and rows[0]["dr"] is None
     assert rows[2]["pr"] == 0.0
+
+
+def test_incremental_minhash_only_pairs_touching_new_batch(spark):
+    """Old-old pairs must never appear (they were deduped yesterday);
+    new-old and new-new pairs must, each once, canonically ordered."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    corpus = spark.createDataFrame(
+        [(1, base + "alpha"), (2, base + "alpha"),   # old-old near-dup pair
+         (3, "totally unrelated content with completely different words "
+             "and nothing shared at all here")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, base + "alpha"),                        # dup of old 1 and 2
+         (11, base + "alpha"),                        # new-new dup of 10
+         (12, "another fully distinct document about other topics "
+              "entirely different vocabulary")],
+        "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b)
+           for r in minhash_lsh_pairs_incremental(corpus, new).collect()}
+    assert (1, 2) not in got, "old-old pair must not be re-emitted"
+    assert {(1, 10), (2, 10), (1, 11), (2, 11), (10, 11)} <= got
+    assert all(a < b for a, b in got)
+    assert not any({a, b} == {1, 2} for a, b in got)
