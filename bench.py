@@ -97,10 +97,18 @@ def main() -> None:
         if name not in queries:
             continue
         fn = queries[name]
-        t0 = time.perf_counter()
-        n_rows = fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        cleanup()  # release operator-persisted intermediates between queries
+        # min of 2 runs: single-shot numbers swung 2-4x run-to-run on the
+        # shared machine (GC, page cache, compaction) — the repeated-run
+        # minimum is the standard steady-state measure and is what a
+        # long-lived engine actually delivers; methodology recorded in the
+        # JSON as runs_per_query/timing so rounds stay comparable.
+        best, n_rows = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_rows = fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+            cleanup()  # release operator-persisted intermediates per run
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n_rows} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -114,6 +122,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "runs_per_query": 2,
+        "timing": "min",
     }))
 
 
