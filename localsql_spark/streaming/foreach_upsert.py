@@ -89,10 +89,11 @@ def apply_batch(batch_df: DataFrame, batch_id: int, *, key: str,
 
 
 def stream_upsert_parquet(spark: SparkSession, *, source_dir: str,
-                          schema: str, key: str, version: str,
+                          schema, key: str, version: str,
                           out_dir: str, checkpoint_dir: str) -> None:
     """Drain a file stream into a keyed parquet table via foreachBatch
-    upserts (availableNow trigger: process backlog, then stop)."""
+    upserts (availableNow trigger: process backlog, then stop).
+    ``schema`` is a DDL string or a StructType."""
     Path(out_dir).mkdir(parents=True, exist_ok=True)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:

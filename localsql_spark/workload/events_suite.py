@@ -614,3 +614,44 @@ def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir)["events"]
     return hll_estimate_by(ev, "user_id", "event_type")
+
+
+@query("streaming_upsert_latest_event", oracle="""
+SELECT user_id, event_id, event_type, value FROM (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC)
+           AS rn
+  FROM events) r
+WHERE rn = 1
+""")
+def streaming_upsert_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The foreachBatch upsert sink driven end-to-end as a driver-gated
+    query: the events backlog streams into a keyed parquet table
+    (streaming.foreach_upsert.stream_upsert_parquet) with key=user_id and
+    version=event_id, so the drained table holds each user's latest event
+    exactly — the checkpointed, crash-safe "mutable table over parquet"
+    a pipeline keeps per-entity state in.  version=event_id is unique per
+    key, so the deterministic-hash tiebreak never fires and the result is
+    oracle-exact (latest-event-per-user in SQL)."""
+    import tempfile
+    from pathlib import Path
+
+    from localsql_spark.catalog import _normalize_nanos
+    from localsql_spark.streaming.foreach_upsert import (read_table,
+                                                         stream_upsert_parquet)
+
+    load(spark, sf_dir)
+    path = _normalize_nanos(Path(f"{sf_dir}/events.parquet"))
+    src_dir = path.parent / "__stream_events"
+    src_dir.mkdir(exist_ok=True)
+    link = src_dir / path.name
+    if not link.exists():
+        link.symlink_to(path.resolve())
+    schema = spark.read.parquet(str(path)).schema  # StructType: DDL-safe
+    out_dir = tempfile.mkdtemp(prefix="upsert_out_")
+    ck = tempfile.mkdtemp(prefix="upsert_ck_")
+    stream_upsert_parquet(spark, source_dir=str(src_dir),
+                          schema=schema, key="user_id", version="event_id",
+                          out_dir=out_dir, checkpoint_dir=ck)
+    return (read_table(spark, out_dir)
+            .select("user_id", "event_id", "event_type", "value"))
