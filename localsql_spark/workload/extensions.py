@@ -450,8 +450,10 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_pairs(emb, threshold=0.9)
 
 
-_CLEAN_CORPUS_ORACLE = f"""
-WITH quality AS (
+# Shared CTE chain for the corpus-cleaning pipeline: quality gate ->
+# exact-dedup keep list -> LSH near-dup drop list.  Used by BOTH the
+# clean-corpus result oracle and the per-document decision-audit oracle.
+_CLEAN_CTES = f"""quality AS (
   SELECT doc_id, lang, text,
          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
   FROM documents
@@ -463,7 +465,10 @@ WITH quality AS (
 exact_keep AS (
   SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(t)),
 near_pairs AS ({_minhash_pairs_sql('(SELECT doc_id, lang, text FROM quality) qsrc')}),
-near_drop AS (SELECT DISTINCT doc_b AS doc_id FROM near_pairs)
+near_drop AS (SELECT DISTINCT doc_b AS doc_id FROM near_pairs)"""
+
+_CLEAN_CORPUS_ORACLE = f"""
+WITH {_CLEAN_CTES}
 SELECT q.doc_id, q.lang, CAST(length(q.text) AS BIGINT) AS n_chars
 FROM quality q
 JOIN exact_keep k ON k.doc_id = q.doc_id
@@ -472,23 +477,18 @@ WHERE d.doc_id IS NULL
 """
 
 
-@query("pipeline_clean_corpus", oracle=_CLEAN_CORPUS_ORACLE)
-def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end training-corpus cleaning: quality gate (length/punct/digit
-    ratios) -> exact dedup (keep lowest doc_id per content hash) -> MinHash
-    near-dup removal (drop the higher id of every confirmed pair). Composes
-    the individual operators; plan = row-local filters + one hash-dedup
-    shuffle + the linear LSH self-join + two anti/semi joins."""
+def _clean_corpus_parts(spark: SparkSession, sf_dir: str):
+    """Shared stages of the corpus-cleaning pipeline: (docs, quality,
+    exact_keep, near_drop) — the quality-gated corpus is persisted once
+    because it feeds THREE stages (exact keep-list, LSH near-dup, final
+    projection); on a real pipeline this is the staged write of the
+    filtered corpus between jobs.  spread() runs BEFORE the persist: a
+    cache freezes the partition layout, and caching a single-split local
+    scan would pin every downstream stage (the LSH signature fold above
+    all) to one core."""
     from localsql_spark.operators import track_persist
 
     docs = load(spark, sf_dir)["documents"]
-    # the quality-gated corpus feeds THREE stages (exact keep-list, LSH
-    # near-dup, final projection); persist it once — on a real pipeline this
-    # is the staged write of the filtered corpus between jobs, and without
-    # it each stage re-scans and re-filters the full input.  spread() runs
-    # BEFORE the persist: a cache freezes the partition layout, and caching
-    # a single-split local scan would pin every downstream stage (the LSH
-    # signature fold above all) to one core.
     quality = track_persist(spread(docs).filter(
         F.length("text").between(50, 20000)
         & (T.punct_ratio(F.col("text")) < 0.10)
@@ -505,11 +505,59 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # capping behavior itself is pinned by the operator unit test.
     near_drop = (D.minhash_lsh_pairs(quality, threshold=0.5, bucket_cap=64)
                  .select(F.col("doc_b").alias("doc_id")).distinct())
+    return docs, quality, exact_keep, near_drop
+
+
+@query("pipeline_clean_corpus", oracle=_CLEAN_CORPUS_ORACLE)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning: quality gate (length/punct/digit
+    ratios) -> exact dedup (keep lowest doc_id per content hash) -> MinHash
+    near-dup removal (drop the higher id of every confirmed pair). Composes
+    the individual operators; plan = row-local filters + one hash-dedup
+    shuffle + the linear LSH self-join + two anti/semi joins."""
+    docs, quality, exact_keep, near_drop = _clean_corpus_parts(spark, sf_dir)
     return (quality
             .join(exact_keep, "doc_id", "left_semi")
             .join(near_drop, "doc_id", "left_anti")
             .select("doc_id", "lang",
                     F.length("text").cast("long").alias("n_chars")))
+
+
+@query("pipeline_dedup_decisions", oracle=f"""
+WITH {_CLEAN_CTES}
+SELECT d.doc_id,
+       CASE WHEN q.doc_id IS NULL THEN 'dropped_quality'
+            WHEN k.doc_id IS NULL THEN 'dropped_exact'
+            WHEN nd.doc_id IS NOT NULL THEN 'dropped_near'
+            ELSE 'kept' END AS decision
+FROM documents d
+LEFT JOIN quality q ON q.doc_id = d.doc_id
+LEFT JOIN exact_keep k ON k.doc_id = d.doc_id
+LEFT JOIN near_drop nd ON nd.doc_id = d.doc_id
+""")
+def pipeline_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document decision audit for the cleaning pipeline: EVERY input
+    doc labeled kept / dropped_quality / dropped_exact / dropped_near —
+    the explainability artifact a production curation run ships next to
+    the cleaned corpus (spot-check drops, quantify stage attrition,
+    reproduce any document's fate).  Same staged plan as
+    pipeline_clean_corpus (shared quality cache) plus three left joins on
+    doc_id; the labels are mutually exclusive by stage order, mirrored
+    exactly in the oracle's CASE."""
+    docs, quality, exact_keep, near_drop = _clean_corpus_parts(spark, sf_dir)
+    q = quality.select("doc_id", F.lit(True).alias("in_q"))
+    k = exact_keep.select("doc_id", F.lit(True).alias("in_k"))
+    nd = near_drop.select("doc_id", F.lit(True).alias("in_nd"))
+    return (docs.select("doc_id")
+            .join(q, "doc_id", "left")
+            .join(k, "doc_id", "left")
+            .join(nd, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("in_q").isNull(), "dropped_quality")
+                .when(F.col("in_k").isNull(), "dropped_exact")
+                .when(F.col("in_nd").isNotNull(), "dropped_near")
+                .otherwise("kept").alias("decision")))
 
 
 @query("sample_documents_hashmod", oracle="""
