@@ -1066,3 +1066,87 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
          + F.element_at(e, 3).cast("double")).alias("first3_sum"),
         F.element_at(F.array_sort(e), 1).cast("double").alias("sorted_head"),
         F.array_contains(e, F.array_max(e)).alias("has_max"))
+
+
+@query("q18_large_volume_orders", oracle="""
+SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+       o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey
+                     HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""")
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over a grouped-HAVING subquery on the fact table
+    itself — Catalyst decorrelates it into an aggregate + semi join, and
+    the 3-way join + re-aggregate sits above it; ORDER BY+LIMIT compiles
+    to top-k.  Decimal quantity sums keep the HAVING boundary identical
+    across engines; ties break on the unique o_orderkey."""
+    load(spark, sf_dir)
+    return spark.sql("""
+        SELECT c_name, c_custkey, o_orderkey,
+               CAST(o_orderdate AS DATE) AS o_date, o_totalprice,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey
+                             HAVING SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                                    > 200)
+        GROUP BY 1, 2, 3, 4, 5
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """)
+
+
+@query("q21_sole_return_supplier", oracle="""
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""")
+def q21_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (receipt-lateness swapped for the returnflag the
+    testdata carries): per finalized multi-supplier order, the supplier
+    who was the ONLY one with a returned line.  Exercises DOUBLE
+    correlation on aliases of the same fact table — the EXISTS
+    decorrelates to a left-semi join, the NOT EXISTS to a left-anti join,
+    both on l_orderkey with an extra non-equi conjunct; no cartesian
+    product anywhere (plan-asserted)."""
+    load(spark, sf_dir)
+    return spark.sql("""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """)

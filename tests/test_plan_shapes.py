@@ -240,3 +240,12 @@ def test_grouped_hll_register_table_is_fixed_fan_in(spark, queries):
     plan = _plan(queries["hll_distinct_users_by_type"](spark, SF_SMALL))
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "Join" not in plan
+
+
+def test_q21_double_correlation_decorrelates(spark, queries):
+    """EXISTS + NOT EXISTS on aliases of the same fact table must become
+    left-semi and left-anti joins — never a per-row subquery loop or a
+    cartesian product."""
+    plan = _plan(queries["q21_sole_return_supplier"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
