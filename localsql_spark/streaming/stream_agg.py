@@ -26,14 +26,16 @@ def _stream_source(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     batch reader — streaming sources require an explicit schema)."""
     from pathlib import Path
 
-    from localsql_spark.catalog import _normalize_nanos
+    from localsql_spark.catalog import _CACHE_DIR, _normalize_nanos
 
     path = _normalize_nanos(Path(f"{sf_dir}/{table}.parquet"))
     schema = spark.read.parquet(str(path)).schema
     # the file source streams a DIRECTORY (the landing dir on a real
-    # deployment); expose the single test file through a per-table dir
-    src_dir = path.parent / f"__stream_{table}"
-    src_dir.mkdir(exist_ok=True)
+    # deployment); expose the single test file through a per-table dir —
+    # under the repo cache, never beside the (read-only) testdata
+    src_dir = (_CACHE_DIR.parent / "stream"
+               / Path(sf_dir.rstrip("/")).name / f"__stream_{table}")
+    src_dir.mkdir(parents=True, exist_ok=True)
     link = src_dir / path.name
     if not link.exists():
         link.symlink_to(path.resolve())
@@ -119,11 +121,12 @@ def streaming_dedup(spark: SparkSession, sf_dir: str,
     """
     from pathlib import Path
 
-    from localsql_spark.catalog import _normalize_nanos
+    from localsql_spark.catalog import _CACHE_DIR, _normalize_nanos
 
     path = _normalize_nanos(Path(f"{sf_dir}/events.parquet"))
-    src_dir = path.parent / "__stream_events_doubled"
-    src_dir.mkdir(exist_ok=True)
+    src_dir = (_CACHE_DIR.parent / "stream"
+               / Path(sf_dir.rstrip("/")).name / "__stream_events_doubled")
+    src_dir.mkdir(parents=True, exist_ok=True)
     for name in ("a.parquet", "b.parquet"):
         link = src_dir / name
         if not link.exists():

@@ -636,14 +636,15 @@ def streaming_upsert_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame
     import tempfile
     from pathlib import Path
 
-    from localsql_spark.catalog import _normalize_nanos
+    from localsql_spark.catalog import _CACHE_DIR, _normalize_nanos
     from localsql_spark.streaming.foreach_upsert import (read_table,
                                                          stream_upsert_parquet)
 
     load(spark, sf_dir)
     path = _normalize_nanos(Path(f"{sf_dir}/events.parquet"))
-    src_dir = path.parent / "__stream_events"
-    src_dir.mkdir(exist_ok=True)
+    src_dir = (_CACHE_DIR.parent / "stream"
+               / Path(sf_dir.rstrip("/")).name / "__stream_events")
+    src_dir.mkdir(parents=True, exist_ok=True)
     link = src_dir / path.name
     if not link.exists():
         link.symlink_to(path.resolve())
