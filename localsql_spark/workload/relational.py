@@ -1069,7 +1069,7 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("q18_large_volume_orders", oracle="""
-SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+SELECT c_name, c_custkey, o_orderkey, CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_date,
        o_totalprice,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM customer
@@ -1091,7 +1091,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir)
     return spark.sql("""
         SELECT c_name, c_custkey, o_orderkey,
-               CAST(o_orderdate AS DATE) AS o_date, o_totalprice,
+               CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_date, o_totalprice,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                  AS sum_qty
         FROM customer
