@@ -116,3 +116,54 @@ def test_merge_base_read_is_partition_pruned(spark, tmp_path):
     assert "PartitionFilters" in plan and "p#" in plan
     assert df.select("p").distinct().collect() == [("a",)] or \
         [r.p for r in df.select("p").distinct().collect()] == ["a"]
+
+
+def test_merge_final_state_is_batch_order_independent(spark, tmp_path):
+    """Version dominance: applying correction batches in ANY order yields
+    the same final table (the property that lets a backfill replay out of
+    order).  Hypothesis drives random keyed/versioned updates; examples are
+    kept small because each runs real Spark jobs."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    upd = st.lists(
+        st.tuples(st.integers(0, 5),          # key
+                  st.sampled_from(["a", "b"]),  # partition (stable per key
+                                                # via key % 2 below)
+                  st.integers(1, 9)),           # version
+        min_size=1, max_size=6)
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(b1=upd, b2=upd)
+    def run(b1, b2):
+        def mk(rows, tag):
+            # partition derived from the key so it can't move between
+            # batches; payload encodes (tag, version) so survivors are
+            # observable
+            return spark.createDataFrame(
+                [(k, "a" if k % 2 == 0 else "b", f"{tag}:{v}", v)
+                 for k, _, v in rows],
+                "k long, p string, txt string, version int")
+
+        import shutil
+        import uuid
+
+        def apply_in(order, which):
+            d = str(tmp_path / f"tbl_{which}_{uuid.uuid4().hex[:8]}")
+            for i, rows in enumerate(order):
+                merge_into_partitioned(spark, d, mk(rows, f"b{i}"),
+                                       key="k", version="version",
+                                       partition_col="p")
+            out = {(r.k, r.version)
+                   for r in spark.read.parquet(d).collect()}
+            shutil.rmtree(d, ignore_errors=True)
+            return out
+
+        # compare on (key, surviving version): the winning PAYLOAD may
+        # legitimately differ when the same (key, version) appears in both
+        # batches (hash tiebreak is deterministic per content, and content
+        # encodes the batch tag)
+        assert apply_in([b1, b2], "fwd") == apply_in([b2, b1], "rev")
+
+    run()

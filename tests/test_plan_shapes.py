@@ -249,3 +249,11 @@ def test_q21_double_correlation_decorrelates(spark, queries):
     plan = _plan(queries["q21_sole_return_supplier"](spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_incremental_dedup_band_join_is_equi(spark, queries):
+    """The new-batch band join must stay an equi join on the band key —
+    never a cartesian product or nested-loop over the corpus."""
+    plan = _plan(queries["dedup_incremental_new_batch"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
