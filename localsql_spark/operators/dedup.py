@@ -132,13 +132,21 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         # then the capped plan is bit-identical to the uncapped one; the
         # probe doubles as the bucket-skew monitoring stat a production run
         # wants logged anyway.
-        hot = (banded.groupBy("band_id", "band_key")
-               .agg(F.count(F.lit(1)).alias("sz"))
-               .filter(F.col("sz") > bucket_cap)
-               .select("band_id", "band_key"))
-        if not hot.isEmpty():
-            banded = banded.join(F.broadcast(hot), ["band_id", "band_key"],
-                                 "left_anti")
+        # The over-cap list is bounded (≤ docs×bands/cap buckets) and tiny in
+        # practice, so collect it ONCE — the histogram job runs exactly one
+        # time whether or not hot buckets exist (the previous isEmpty probe
+        # re-ran it inside the anti-join when a hot bucket was found), and
+        # the cap becomes a local isin filter instead of a broadcast join.
+        hot_keys = [f"{r[0]}:{r[1]}" for r in
+                    (banded.groupBy("band_id", "band_key")
+                     .agg(F.count(F.lit(1)).alias("sz"))
+                     .filter(F.col("sz") > bucket_cap)
+                     .select("band_id", "band_key")
+                     .collect())]
+        if hot_keys:
+            banded = banded.filter(
+                ~F.concat_ws(":", F.col("band_id"), F.col("band_key"))
+                .isin(hot_keys))
     a = banded.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
     # candidate ids only through the join/distinct; signatures re-attached

@@ -170,10 +170,15 @@ def quantile_sketch(df: DataFrame, value_col: str, key_col: str,
     keys.  NULL values are excluded (quantiles of the non-null domain,
     matching SQL percentile semantics)."""
     rk = _hash32(F.col(key_col))
+    # (rk, v) tiebreak: a 32-bit hash collision straddling the k boundary is
+    # rare but possible (birthday bound ~100k rows); without the secondary
+    # key the retained row would be engine/run-dependent, breaking the
+    # bit-reproducibility/mergeability contract above.  The oracle orders
+    # the same way.
     return (df.filter(F.col(value_col).isNotNull())
             .select(F.col(value_col).cast("double").alias("v"),
                     rk.alias("rk"))
-            .orderBy("rk").limit(k))
+            .orderBy("rk", "v").limit(k))
 
 
 def quantile_estimates(sketch: DataFrame,

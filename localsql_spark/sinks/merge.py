@@ -77,6 +77,17 @@ def merge_into_partitioned(spark: SparkSession, base_dir: str,
              updates.select(partition_col).distinct().collect()]
     if not parts:
         return []
+    # NULL partition values are rejected up front: the isin() base-read
+    # filter below can never match NULL, so a NULL-keyed update would stage
+    # a __HIVE_DEFAULT_PARTITION__ directory holding ONLY the update rows
+    # and the swap would silently drop the base rows of that partition.
+    # (Same free probe as the fan-out collect — NULL surfaces as None in
+    # ``parts``, no extra job.)
+    if any(p is None for p in parts):
+        raise ValueError(
+            f"updates carry NULL {partition_col!r} values — NULL partitions "
+            f"cannot be merged safely (isin-based partition pruning skips "
+            f"them); filter or backfill the partition column first")
     # stable-partition contract check over the visible keys: one partition
     # value per key within the batch (cheap — update-batch sized)
     bad = (updates.groupBy(key)

@@ -294,13 +294,21 @@ def late_data_stream(spark: SparkSession, sf_dir: str,
     src_dir = (_CACHE_DIR.parent / "stream_late"
                / Path(sf_dir.rstrip("/")).name)
     if not src_dir.exists():
-        src_dir.mkdir(parents=True)
-        schema_df = spark.read.parquet(str(path))
-        max_ts = schema_df.agg(F.max("ts")).collect()[0][0]
-        shutil.copy(path, src_dir / "a_events.parquet")
+        # Build under a temp sibling and os.rename into place once fully
+        # populated: existence must imply completeness.  (A crash mid-
+        # population previously left a half-built dir that every later run
+        # silently reused, producing wrong streaming results until manually
+        # deleted.)
         import datetime
         import os
         import tempfile
+
+        src_dir.parent.mkdir(parents=True, exist_ok=True)
+        build = Path(tempfile.mkdtemp(prefix=f".{src_dir.name}.build_",
+                                      dir=src_dir.parent))
+        schema_df = spark.read.parquet(str(path))
+        max_ts = schema_df.agg(F.max("ts")).collect()[0][0]
+        shutil.copy(path, build / "a_events.parquet")
 
         for hours, name in ((48, "b_advancer.parquet"),
                             (49, "c_advancer_buffer.parquet")):
@@ -311,14 +319,19 @@ def late_data_stream(spark: SparkSession, sf_dir: str,
             tmp = tempfile.mkdtemp(prefix="late_adv_")
             adv.coalesce(1).write.mode("overwrite").parquet(tmp)
             part = next(Path(tmp).glob("part-*.parquet"))
-            shutil.move(str(part), src_dir / name)
+            shutil.move(str(part), build / name)
             shutil.rmtree(tmp, ignore_errors=True)
-        shutil.copy(path, src_dir / "d_late_redelivery.parquet")
-        t0 = (src_dir / "a_events.parquet").stat().st_mtime
+        shutil.copy(path, build / "d_late_redelivery.parquet")
+        t0 = (build / "a_events.parquet").stat().st_mtime
         for i, name in enumerate(("a_events.parquet", "b_advancer.parquet",
                                   "c_advancer_buffer.parquet",
                                   "d_late_redelivery.parquet")):
-            os.utime(src_dir / name, (t0 + 100 * i, t0 + 100 * i))
+            os.utime(build / name, (t0 + 100 * i, t0 + 100 * i))
+        try:
+            os.rename(build, src_dir)
+        except OSError:
+            # concurrent builder won the rename race — theirs is complete
+            shutil.rmtree(build, ignore_errors=True)
 
     schema = spark.read.parquet(str(path)).schema
     stream = (spark.readStream.schema(schema)

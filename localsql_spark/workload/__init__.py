@@ -105,6 +105,13 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "streaming_enrich_static", "embedding_kmeans_clusters",
     "events_retention_cohorts", "basket_part_pairs",
     "table_fingerprint_documents",
+    # --- green in CORRECTNESS_r04.json (all 50 checked entries passed;
+    #     the 12 below were the round-4 additions) ---
+    "q18_large_volume_orders", "q21_sole_return_supplier",
+    "pipeline_dedup_decisions", "merge_upsert_documents", "sketch_quantiles",
+    "fingerprint_drift", "semdedup_keep", "sample_per_lang_topk",
+    "dedup_incremental_new_batch", "streaming_late_data",
+    "hll_distinct_users_by_type", "streaming_upsert_latest_event",
 })
 
 

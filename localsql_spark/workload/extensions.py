@@ -1427,7 +1427,7 @@ WITH s AS (
          CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
            AS rk
   FROM events WHERE value IS NOT NULL
-  ORDER BY rk LIMIT 1024),
+  ORDER BY rk, v LIMIT 1024),
 r AS (
   SELECT v, row_number() OVER (ORDER BY v, rk) AS rn, count(*) OVER () AS n
   FROM s),

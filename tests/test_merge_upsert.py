@@ -104,6 +104,23 @@ def test_merge_rejects_partition_moving_key(spark, tmp_path):
                                version="version", partition_col="p")
 
 
+def test_merge_rejects_null_partition_values(spark, tmp_path):
+    """NULL partition values must be rejected up front: isin-based base-read
+    pruning can never match NULL, so a NULL-keyed update would stage a
+    __HIVE_DEFAULT_PARTITION__ directory holding only update rows and the
+    swap would drop that partition's base rows."""
+    base_dir = str(tmp_path / "tbl")
+    _write_base(spark, base_dir)
+    with_null = spark.createDataFrame(
+        [(9, None, "nine", 1)], "k long, p string, txt string, version int")
+    with pytest.raises(ValueError, match="NULL"):
+        merge_into_partitioned(spark, base_dir, with_null, key="k",
+                               version="version", partition_col="p")
+    # base untouched
+    got = {(r.k, r.p) for r in spark.read.parquet(base_dir).collect()}
+    assert got == {(1, "a"), (2, "a"), (3, "b"), (4, "c")}
+
+
 def test_merge_base_read_is_partition_pruned(spark, tmp_path):
     """The base-side scan must carry a PartitionFilters entry on the touched
     values — proportional-to-footprint I/O is the whole point."""

@@ -153,10 +153,14 @@ def main() -> None:
             .partitionBy("lang").parquet(base_dir)
         updates = (docs.filter(hash32(F.col("doc_id")) % 7 == 0)
                    .withColumn("version", F.lit(2)))
+        # the base-table write above is fixture setup, not merge cost: time
+        # the merge itself and return (rows, elapsed) so the harness reports
+        # merge_into_partitioned scaling rather than setup scaling
         t0 = time.perf_counter()
         merge_into_partitioned(spark, base_dir, updates, key="doc_id",
                                version="version", partition_col="lang")
-        return spark.read.parquet(base_dir).count()
+        dt = time.perf_counter() - t0
+        return spark.read.parquet(base_dir).count(), dt
 
     def op_quantile_sketch(f):
         from localsql_spark.operators.sketches import (quantile_estimates,
@@ -189,6 +193,10 @@ def main() -> None:
                     results[name][f] = float("nan")
                     continue
                 dt = time.perf_counter() - t0
+                # an op may return (rows, self_timed_sec) to exclude its
+                # fixture setup from the measurement (see op_merge_upsert)
+                if isinstance(rows, tuple):
+                    rows, dt = rows
                 results[name][f] = dt
                 cleanup()
                 print(f"# {name} {f}x: {dt:.2f}s ({rows} rows)",
