@@ -23,7 +23,7 @@ from __future__ import annotations
 import functools
 import operator
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from localsql_spark.operators import spread, track_persist
@@ -114,9 +114,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # recompute per side (~25x wall time at sf0.1).
     # registered via track_persist so operators.cleanup() can release it in a
     # long-lived REPL session (repeated dedup calls must not accumulate cache)
-    sig = track_persist(
-        spread(df).select(F.col(id_col).alias("doc_id"),
-                          minhash_signature(F.col(text_col), n).alias("sig")))
+    sig = track_persist(compute_signatures(df, text_col, id_col, n))
     band_arr = F.array(*[
         F.md5(F.concat_ws("|", *[F.element_at("sig", b * rows + r + 1)
                                  for r in range(rows)]))
@@ -388,6 +386,48 @@ def connected_components_bigstar(edges: DataFrame, a_col: str = "doc_a",
                     .alias("cluster_id")))
 
 
+def compute_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       n: int = N_MINHASH) -> DataFrame:
+    """(doc_id, sig) minhash signature table for ``df`` — the unit every
+    LSH variant here joins on and the schema the signature store persists."""
+    return spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        minhash_signature(F.col(text_col), n).alias("sig"))
+
+
+def write_signature_store(df: DataFrame, path: str,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          n: int = N_MINHASH, mode: str = "overwrite") -> None:
+    """Persist the corpus (doc_id, sig) table as parquet — the artifact a
+    daily-ingest pipeline carries between runs.  Text is processed exactly
+    once per document EVER: tomorrow's run reads this narrow table back
+    (:func:`read_signature_store`) instead of re-shingling the corpus, so
+    the per-day cost tracks the ingest size, not the corpus size.  Append
+    the accepted batch with ``mode="append"`` after its dedup decision
+    (:func:`append_signature_store`) to commit the day's growth.
+
+    At 100 TB of text the store is ~1% of corpus bytes (128 longs + id per
+    doc), scans at full parquet speed, and is the natural bucketing
+    candidate (by doc_id) if downstream re-attachment joins dominate.
+    """
+    compute_signatures(df, text_col, id_col, n).write.mode(mode).parquet(path)
+
+
+def append_signature_store(df: DataFrame, path: str,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           n: int = N_MINHASH) -> None:
+    """Commit a new batch's signatures into the store (post-dedup step of
+    the daily loop: detect against the store, drop dupes, append keepers)."""
+    write_signature_store(df, path, text_col, id_col, n, mode="append")
+
+
+def read_signature_store(spark: SparkSession, path: str) -> DataFrame:
+    """The previous run's (doc_id, sig) table — a narrow columnar scan with
+    no text processing at all."""
+    return spark.read.parquet(path)
+
+
 def minhash_lsh_pairs_incremental(corpus: DataFrame, new: DataFrame,
                                   text_col: str = "text",
                                   id_col: str = "doc_id",
@@ -402,24 +442,48 @@ def minhash_lsh_pairs_incremental(corpus: DataFrame, new: DataFrame,
     ~0.1% of a full re-dedup.
 
     The corpus signature table here is recomputed from text for oracle
-    checkability; in production it is read back from the signature store
-    the previous run persisted (the same (doc_id, sig) table
-    :func:`minhash_lsh_pairs` materializes), making the corpus side a
-    narrow scan with no text processing at all.
+    checkability; :func:`minhash_lsh_pairs_from_store` is the production
+    twin that reads the persisted store instead.
 
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b, where at least
     one side is from the new batch (new-new pairs included once).
     """
+    return _pairs_touching_new(
+        compute_signatures(corpus, text_col, id_col, n),
+        compute_signatures(new, text_col, id_col, n),
+        threshold=threshold, n=n, bands=bands)
+
+
+def minhash_lsh_pairs_from_store(spark: SparkSession, store_path: str,
+                                 new: DataFrame, text_col: str = "text",
+                                 id_col: str = "doc_id",
+                                 threshold: float = 0.5,
+                                 n: int = N_MINHASH,
+                                 bands: int = N_BANDS) -> DataFrame:
+    """Production incremental near-dup: probe the PERSISTED signature store
+    with a new batch.  The corpus side is a narrow (doc_id, sig) parquet
+    scan — no shingling, no md5 over text, no dependency on corpus text
+    even being reachable — so the whole job costs O(new×bands) probes plus
+    one columnar read of the store.  Same result as
+    :func:`minhash_lsh_pairs_incremental` given the store was written by
+    :func:`write_signature_store` over the same corpus (property-tested in
+    tests/test_properties.py)."""
+    return _pairs_touching_new(
+        read_signature_store(spark, store_path),
+        compute_signatures(new, text_col, id_col, n),
+        threshold=threshold, n=n, bands=bands)
+
+
+def _pairs_touching_new(sig_corpus: DataFrame, sig_new: DataFrame,
+                        threshold: float, n: int, bands: int) -> DataFrame:
+    """Shared banded-LSH core over precomputed signatures: candidate pairs
+    where at least one side is from ``sig_new``, scored by signature-
+    component agreement.  Join work is O(new×bands) probes — the corpus
+    side is never self-joined."""
     rows = n // bands
-
-    def sigs(df: DataFrame) -> DataFrame:
-        return spread(df).select(
-            F.col(id_col).alias("doc_id"),
-            minhash_signature(F.col(text_col), n).alias("sig"))
-
     sig_all = track_persist(
-        sigs(corpus).withColumn("is_new", F.lit(False))
-        .unionByName(sigs(new).withColumn("is_new", F.lit(True))))
+        sig_corpus.withColumn("is_new", F.lit(False))
+        .unionByName(sig_new.withColumn("is_new", F.lit(True))))
     band_arr = F.array(*[
         F.md5(F.concat_ws("|", *[F.element_at("sig", b * rows + r + 1)
                                  for r in range(rows)]))

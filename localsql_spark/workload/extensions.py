@@ -1635,3 +1635,29 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = hash32(F.col("doc_id")) % 9 == 0
     return D.minhash_lsh_pairs_incremental(
         docs.filter(~is_new), docs.filter(is_new), threshold=0.5)
+
+
+@query("dedup_incremental_store", oracle=_INCR_DEDUP_ORACLE)
+def dedup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape incremental near-dup
+    (operators.dedup.minhash_lsh_pairs_from_store): the corpus side is the
+    PERSISTED (doc_id, sig) signature store written by yesterday's run
+    (write_signature_store), probed by today's batch — corpus text is never
+    re-shingled; the corpus cost is one narrow columnar scan (~1% of corpus
+    bytes at 100 TB).  Same pair semantics as dedup_incremental_new_batch
+    (shared oracle), but the daily loop a real ingest pipeline runs:
+    detect against store → append keepers (append_signature_store)."""
+    import shutil
+    from pathlib import Path
+
+    from localsql_spark.operators import hash32
+
+    docs = load(spark, sf_dir)["documents"]
+    is_new = hash32(F.col("doc_id")) % 9 == 0
+
+    store = (Path(__file__).resolve().parent.parent.parent / ".cache"
+             / "sig_store" / Path(sf_dir.rstrip("/")).name)
+    shutil.rmtree(store, ignore_errors=True)
+    D.write_signature_store(docs.filter(~is_new), str(store))
+    return D.minhash_lsh_pairs_from_store(
+        spark, str(store), docs.filter(is_new), threshold=0.5)

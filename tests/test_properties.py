@@ -603,3 +603,44 @@ def test_semdedup_two_level_matches_flat_on_separated_data(spark):
                  semdedup_prune_two_level(df, n_clusters=4, n_coarse=2,
                                           threshold=0.99).collect())
     assert flat == two == [0, 1, 2, 3]
+
+
+def test_signature_store_roundtrip_matches_recompute(spark, tmp_path):
+    """The production store-backed incremental path must equal the
+    recompute-from-text path given the store was written over the same
+    corpus; appending a batch then probing again must equal one probe
+    against corpus+batch (the daily-loop invariant)."""
+    from localsql_spark.operators import dedup as D
+
+    rows = [(i, f"alpha beta gamma delta epsilon zeta doc {i % 5} tail "
+                f"common words repeated here") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus, new = docs.filter("doc_id % 4 != 0"), docs.filter("doc_id % 4 = 0")
+
+    store = str(tmp_path / "sig_store")
+    D.write_signature_store(corpus, store)
+    got = sorted(
+        (r.doc_a, r.doc_b, round(r.est_jaccard, 9)) for r in
+        D.minhash_lsh_pairs_from_store(spark, store, new,
+                                       threshold=0.3).collect())
+    want = sorted(
+        (r.doc_a, r.doc_b, round(r.est_jaccard, 9)) for r in
+        D.minhash_lsh_pairs_incremental(corpus, new,
+                                        threshold=0.3).collect())
+    assert got and got == want
+
+    # day 2: commit the batch, probe with a fresh one
+    D.append_signature_store(new, store)
+    day2 = docs.select((F.col("doc_id") + 100).alias("doc_id"), "text")
+    got2 = sorted(
+        (r.doc_a, r.doc_b, round(r.est_jaccard, 9)) for r in
+        D.minhash_lsh_pairs_from_store(spark, store, day2,
+                                       threshold=0.3).collect())
+    want2 = sorted(
+        (r.doc_a, r.doc_b, round(r.est_jaccard, 9)) for r in
+        D.minhash_lsh_pairs_incremental(docs, day2,
+                                        threshold=0.3).collect())
+    assert got2 and got2 == want2
+
+    # the store read is narrow: no text column anywhere in the corpus side
+    assert D.read_signature_store(spark, store).columns == ["doc_id", "sig"]
