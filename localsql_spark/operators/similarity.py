@@ -275,6 +275,30 @@ def kmeans_assign(corpus: DataFrame, centroids: DataFrame,
                     F.col("dist")))
 
 
+def kmeans_assign_topn(corpus: DataFrame, centroids: DataFrame, n: int,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """The ``n`` nearest centroids per vector: (id, cluster_id, dist, rank).
+    Multi-probe building block — IVF search quality knob: probing n>1 cells
+    recovers candidates whose true nearest centroid sits just across a cell
+    boundary, at n× candidate cost.  Same broadcast/window shape as
+    :func:`kmeans_assign` (rank filter compiles to WindowGroupLimit, so
+    per-vector work stays bounded map-side)."""
+    from pyspark.sql.window import Window
+
+    c = centroids.select(F.col("cell"), F.col("cent"))
+    scored = (spread(corpus)
+              .select(F.col(id_col), F.col(vec_col).alias("v"))
+              .crossJoin(F.broadcast(c))
+              .select(id_col, "cell", l2_sq(F.col("v"), F.col("cent"))
+                      .alias("dist")))
+    w = Window.partitionBy(id_col).orderBy("dist", "cell")
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .select(id_col, F.col("cell").alias("cluster_id"),
+                    F.col("dist"), F.col("_rn").alias("rank")))
+
+
 def kmeans_update(corpus: DataFrame, assign: DataFrame,
                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Centroid update: per-cluster per-dimension mean, rebuilt into an
@@ -322,10 +346,32 @@ def kmeans_lloyd(corpus: DataFrame, n_clusters: int = 8, n_iter: int = 1,
 # SemDeDup: cluster-then-prune semantic deduplication
 # ---------------------------------------------------------------------------
 
+def _drop_over_cap_clusters(tagged: DataFrame, cluster_col: str,
+                            cluster_cap: int) -> DataFrame:
+    """Exclude clusters with more than ``cluster_cap`` members from the
+    pairwise-comparison input.  A degenerate mega-cluster (a hub of the
+    embedding space, or a collapsed k-means cell) is the SemDeDup analog of
+    a hot LSH bucket: its pair block is quadratic in the cluster size and
+    dominates the whole job.  Members of an over-cap cluster are KEPT
+    un-pruned — the conservative choice (no false drops; raise n_clusters
+    so clusters shrink, or re-run on the flagged cluster alone).  The
+    over-cap list is bounded (≤ N/cap ids) and collected once — same
+    single-histogram probe as minhash bucket_cap (dedup.py)."""
+    over = [r[0] for r in
+            (tagged.groupBy(cluster_col)
+             .agg(F.count(F.lit(1)).alias("sz"))
+             .filter(F.col("sz") > cluster_cap)
+             .select(cluster_col).collect())]
+    if not over:
+        return tagged
+    return tagged.filter(~F.col(cluster_col).isin(over))
+
+
 def semdedup_prune(corpus: DataFrame, n_clusters: int = 8,
                    threshold: float = 0.9, n_iter: int = 1,
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   cluster_cap: int | None = None) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al., "SemDeDup: Data-efficient
     learning at web-scale through semantic deduplication", arXiv:2303.09540
     — public algorithm): k-means-cluster the embedding space, then compare
@@ -340,7 +386,9 @@ def semdedup_prune(corpus: DataFrame, n_clusters: int = 8,
     cluster_id; norms sit below the join (computed once per vector — see
     cosine_pre).  A degenerate mega-cluster is the same skew hazard as a
     hot LSH bucket: raise n_clusters (production SemDeDup uses ~100k
-    clusters at web scale) or cap clusters like minhash bucket_cap.
+    clusters at web scale) and/or set ``cluster_cap`` — clusters above the
+    cap skip the quadratic pair block and keep all members
+    (:func:`_drop_over_cap_clusters`).
     """
     from localsql_spark.operators import track_persist
 
@@ -351,10 +399,12 @@ def semdedup_prune(corpus: DataFrame, n_clusters: int = 8,
         .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
                 "cluster_id")
         .withColumn("vn", norm(F.col("v"))))
-    a = tagged.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"),
-                      F.col("vn").alias("na"), "cluster_id")
-    b = tagged.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"),
-                      F.col("vn").alias("nb"), "cluster_id")
+    pair_src = (tagged if cluster_cap is None else
+                _drop_over_cap_clusters(tagged, "cluster_id", cluster_cap))
+    a = pair_src.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"),
+                        F.col("vn").alias("na"), "cluster_id")
+    b = pair_src.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"),
+                        F.col("vn").alias("nb"), "cluster_id")
     drops = (a.join(b, "cluster_id")
              .filter(F.col("vec_a") < F.col("vec_b"))
              .select("vec_b",
@@ -370,7 +420,9 @@ def semdedup_prune(corpus: DataFrame, n_clusters: int = 8,
 def semdedup_prune_two_level(corpus: DataFrame, n_clusters: int = 64,
                              n_coarse: int = 8, threshold: float = 0.9,
                              id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> DataFrame:
+                             vec_col: str = "embedding",
+                             cluster_cap: int | None = None,
+                             n_probe: int = 1) -> DataFrame:
     """SemDeDup with IVF-accelerated assignment, for corpus-proportional
     cluster counts.
 
@@ -391,9 +443,12 @@ def semdedup_prune_two_level(corpus: DataFrame, n_clusters: int = 64,
 
     Approximation note: a vector whose true nearest fine centroid sits in
     a different coarse cell is assigned to its cell-local best — the
-    standard IVF trade (raise n_coarse quality or probe >1 cells to
-    tighten it); duplicates that co-locate keep being caught because near-
-    identical vectors route to the same cell.
+    standard IVF trade; duplicates that co-locate keep being caught because
+    near-identical vectors route to the same cell.  ``n_probe`` > 1 probes
+    that many nearest coarse cells per vector (multi-probe IVF), recovering
+    boundary-straddling assignments at n_probe× candidate cost — assignment
+    becomes O(N*(kc + n_probe*k/kc)); n_probe = kc reproduces flat
+    assignment exactly (measured recall-vs-cost in ANN.md).
 
     One Lloyd round refines the fine centroids (update keyed by fine id;
     the coarse quantizer stays fixed, as in IVF practice).  Pruning as in
@@ -428,9 +483,14 @@ def semdedup_prune_two_level(corpus: DataFrame, n_clusters: int = 64,
                               F.transform(F.col(vec_col),
                                           lambda x: x.cast("double"))
                               .alias("v")))
-    # vector -> coarse cell once (O(N*kc)); reused by both assignment rounds
+    # vector -> n_probe coarse cell(s) once (O(N*kc)); reused by both
+    # assignment rounds.  With n_probe > 1 each vector carries multiple
+    # (vid, cell) rows; the argmin in assign() collapses candidates across
+    # all probed cells (fine centroids partition disjointly into cells, so
+    # the union introduces no duplicate candidates).
     vcell = track_persist(
-        kmeans_assign(vecs, coarse_cents, id_col="vid", vec_col="v")
+        kmeans_assign_topn(vecs, coarse_cents, n_probe,
+                           id_col="vid", vec_col="v")
         .select("vid", F.col("cluster_id").alias("cell")))
     tagged = vecs.join(vcell, "vid")
 
@@ -456,10 +516,12 @@ def semdedup_prune_two_level(corpus: DataFrame, n_clusters: int = 64,
 
     t2 = track_persist(vecs.join(final, "vid")
                        .withColumn("vn", norm(F.col("v"))))
-    a = t2.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"),
-                  F.col("vn").alias("na"), "fine")
-    b = t2.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"),
-                  F.col("vn").alias("nb"), "fine")
+    pair_src = (t2 if cluster_cap is None else
+                _drop_over_cap_clusters(t2, "fine", cluster_cap))
+    a = pair_src.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"),
+                        F.col("vn").alias("na"), "fine")
+    b = pair_src.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"),
+                        F.col("vn").alias("nb"), "fine")
     drops = (a.join(b, "fine")
              .filter(F.col("vec_a") < F.col("vec_b"))
              .select("vec_b",

@@ -644,3 +644,79 @@ def test_signature_store_roundtrip_matches_recompute(spark, tmp_path):
 
     # the store read is narrow: no text column anywhere in the corpus side
     assert D.read_signature_store(spark, store).columns == ["doc_id", "sig"]
+
+
+def test_semdedup_cluster_cap_skips_mega_cluster_keeps_members(spark):
+    """Over-cap clusters skip the quadratic pair block and keep ALL their
+    members (conservative: no false drops); normal clusters still prune."""
+    from localsql_spark.operators.similarity import semdedup_prune
+
+    rows = [
+        # mega-cluster: 8 exact copies near the x axis (ids 0..7)
+        *[(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(8)],
+        # small cluster on the y axis: 20 and its dup 25
+        (20, [0.0, 1.0, 0.0, 0.0]),
+        (25, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = semdedup_prune(df, n_clusters=2, threshold=0.95, n_iter=1,
+                            cluster_cap=5)
+    ids = sorted(r.vec_id for r in capped.collect())
+    # mega-cluster (8 > cap 5) kept whole; y-cluster pruned to lowest id
+    assert [i for i in ids if i < 8] == list(range(8))
+    assert 20 in ids and 25 not in ids
+
+    # cap high enough to bind nothing -> identical to uncapped
+    uncapped = sorted(r.vec_id for r in
+                      semdedup_prune(df, n_clusters=2, threshold=0.95,
+                                     n_iter=1).collect())
+    wide = sorted(r.vec_id for r in
+                  semdedup_prune(df, n_clusters=2, threshold=0.95,
+                                 n_iter=1, cluster_cap=100).collect())
+    assert wide == uncapped
+
+
+def test_semdedup_two_level_cluster_cap(spark):
+    """Same cap contract on the IVF-accelerated variant."""
+    from localsql_spark.operators.similarity import semdedup_prune_two_level
+
+    rows = [
+        *[(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(8)],
+        (20, [0.0, 1.0, 0.0, 0.0]),
+        (25, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = semdedup_prune_two_level(df, n_clusters=4, n_coarse=2,
+                                      threshold=0.95, cluster_cap=5)
+    ids = sorted(r.vec_id for r in capped.collect())
+    assert [i for i in ids if i < 8] == list(range(8))
+    assert 20 in ids and 25 not in ids
+
+
+def test_semdedup_two_level_full_probe_equals_flat(spark):
+    """n_probe = n_coarse makes every vector compare against ALL fine
+    centroids, so multi-probe at full width must reproduce the flat
+    clustering exactly — even on data that is NOT cleanly separable (random
+    vectors), where single-probe boundary effects would differ."""
+    import random
+
+    from localsql_spark.operators.similarity import (semdedup_prune,
+                                                     semdedup_prune_two_level)
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    flat = sorted((r.vec_id, r.cluster_id) for r in
+                  semdedup_prune(df, n_clusters=6, threshold=0.98,
+                                 n_iter=1).collect())
+    full_probe = sorted((r.vec_id, r.cluster_id) for r in
+                        semdedup_prune_two_level(df, n_clusters=6, n_coarse=3,
+                                                 threshold=0.98,
+                                                 n_probe=3).collect())
+    assert flat == full_probe
+
+    # single-probe keeps the output shape and every id appears exactly once
+    single = semdedup_prune_two_level(df, n_clusters=6, n_coarse=3,
+                                      threshold=0.98, n_probe=1).collect()
+    assert sorted(r.vec_id for r in single) == sorted(set(
+        r.vec_id for r in single))
