@@ -58,16 +58,45 @@ def attach_fake_media(docs: DataFrame) -> DataFrame:
         ).alias("meta"))
 
 
+def _pil_image():
+    """Optional-dependency probe for Pillow (absent in this container; a
+    real cluster image installs it).  Import-gated so every other path in
+    this module works without it."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image(payload: bytes, fmt: str, *, codec: str = "real"):
-    """Decode a blob to pixels. The real path requires an image library this
-    container does not ship — STUB, clearly marked. The 'fake' codec is the
-    deterministic stand-in used by tests/oracles."""
-    if codec == "real":
+    """Decode a blob to pixels (a ``bytes`` of 8-bit grayscale values).
+
+    - ``codec='real'``: decode with Pillow when installed (grayscale
+      convert, row-major bytes — the shape every downstream stat here
+      consumes); raises ``NotImplementedError`` when no image library is
+      present (this container), keeping the limitation explicit.
+    - ``codec='fake'``: deterministic stand-in — "pixels" are the raw
+      payload bytes; used by tests/oracles so the pipeline stays
+      verifiable end-to-end without any codec.
+    - ``codec='auto'``: real when Pillow is importable, fake otherwise —
+      the deploy-everywhere default for feature jobs whose consumers
+      tolerate the stand-in during local runs.
+    """
+    if codec == "fake":
+        return payload
+    if codec in ("real", "auto"):
+        Image = _pil_image()
+        if Image is not None:
+            import io
+            with Image.open(io.BytesIO(bytes(payload))) as im:
+                return im.convert("L").tobytes()
+        if codec == "auto":
+            return payload
         raise NotImplementedError(
             "no image codec in this environment; run with codec='fake' or "
-            "install pillow/opencv on the cluster image")
-    # fake codec: "pixels" are the raw payload bytes
-    return payload
+            "'auto', or install pillow/opencv on the cluster image")
+    raise ValueError(f"unknown codec {codec!r}")
 
 
 def extract_features(media: DataFrame, *, codec: str = "fake") -> DataFrame:

@@ -20,13 +20,17 @@ Scale design (the whole point vs. a naive full-table rewrite):
   partition's data — the shuffle key is the merge key, and rows never cross
   partitions (see the stable-partition contract below).
 - The write stages every merged partition in a scratch directory, then
-  swaps partition directories into place one rename apiece — the same
-  commit primitive Hive-style dynamic partition overwrite uses.  A crash
-  mid-write leaves the base table fully intact; a crash mid-swap leaves
-  whole-partition granularity (some partitions new, some old), which is the
-  known non-transactional-parquet bound — a table format with transactional
-  MERGE (Delta/Iceberg) replaces the swap with a metadata commit and the
-  rest of this shape is unchanged.
+  commits via a WRITE-AHEAD MANIFEST: once staging is complete, a one-line
+  JSON manifest naming the staged partitions is renamed into place — that
+  single rename is the commit point.  Before it, the base table is fully
+  intact (a crash discards staging).  After it, the partition-directory
+  swaps are guaranteed to complete: they are idempotent, and both
+  :func:`recover_pending_merge` and the next merge replay any manifest
+  they find before doing anything else.  A reader that opens the table in
+  the (short) window between manifest commit and final swap can still see
+  mixed partitions — closing that last gap needs a real transactional
+  table format (Delta/Iceberg), where the manifest IS the table metadata;
+  the rest of this shape is unchanged there.
 
 Contract: the partition value of a key must be stable across versions
 (partition by a key-derived or immutable attribute — lang, ingest date of
@@ -40,6 +44,8 @@ values for one key).
 
 from __future__ import annotations
 
+import json
+import os
 import shutil
 from pathlib import Path
 
@@ -71,6 +77,10 @@ def merge_into_partitioned(spark: SparkSession, base_dir: str,
     rule as the streaming upsert sink), so re-running the same batch is
     idempotent.
     """
+    # 0. a manifest left by a crashed predecessor must be replayed BEFORE
+    #    this merge reads anything — its staged partitions are the durable
+    #    table state (spark.read infers the base schema eagerly in step 2)
+    recover_pending_merge(base_dir)
     # 1. touched partitions — the ONLY driver-side materialization, bounded
     #    by the batch's partition fan-out
     parts = [r[0] for r in
@@ -104,21 +114,65 @@ def merge_into_partitioned(spark: SparkSession, base_dir: str,
     # 3. latest-version-per-key resolution (shared with the streaming sink)
     merged = merge_upsert(existing, updates, key=key, version=version)
 
-    # 4. stage the merged partitions, then swap each partition directory
-    #    into place — rename-based commit, touched partitions only
+    # 4. stage the merged partitions, commit the manifest (the atomic
+    #    point), then apply the idempotent partition swaps
     base = Path(base_dir)
     staging = base.parent / f".{base.name}.staging"
     shutil.rmtree(staging, ignore_errors=True)
     (merged.write.mode("overwrite").partitionBy(partition_col)
      .parquet(str(staging)))
     base.mkdir(parents=True, exist_ok=True)
-    for pdir in sorted(staging.glob(f"{partition_col}=*")):
-        target = base / pdir.name
-        old = base / f".{pdir.name}.old"
-        shutil.rmtree(old, ignore_errors=True)
-        if target.exists():
-            target.rename(old)
-        pdir.rename(target)
-        shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(staging, ignore_errors=True)
+    pnames = sorted(p.name for p in staging.glob(f"{partition_col}=*"))
+    manifest = _manifest_path(base)
+    tmp = manifest.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps({"staging": staging.name,
+                               "partitions": pnames}))
+    os.rename(tmp, manifest)  # COMMIT POINT — one rename
+    _apply_manifest(base, manifest)
     return parts
+
+
+def _manifest_path(base: Path) -> Path:
+    return base.parent / f".{base.name}.commit.json"
+
+
+def _apply_manifest(base: Path, manifest: Path) -> None:
+    """Replay the committed swap set.  Idempotent at every step: a staged
+    partition that is already swapped in is skipped (its staging dir is
+    gone), a leftover ``.old`` backup is removed, and re-running after a
+    crash at ANY point completes the remaining swaps — which is what makes
+    the manifest rename above the real commit point."""
+    spec = json.loads(manifest.read_text())
+    staging = base.parent / spec["staging"]
+    base.mkdir(parents=True, exist_ok=True)
+    for pname in spec["partitions"]:
+        pdir = staging / pname
+        target = base / pname
+        old = base / f".{pname}.old"
+        if pdir.exists():
+            shutil.rmtree(old, ignore_errors=True)
+            if target.exists():
+                target.rename(old)
+            pdir.rename(target)
+        # crash between the two renames above leaves old present and
+        # target absent on replay — restore from the backup
+        elif not target.exists() and old.exists():
+            old.rename(target)
+        shutil.rmtree(old, ignore_errors=True)
+    manifest.unlink()
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def recover_pending_merge(base_dir: str) -> bool:
+    """Complete a merge whose process died after the manifest commit but
+    before all partition swaps landed.  Safe to call any time (no-op
+    without a pending manifest); the next :func:`merge_into_partitioned`
+    calls it automatically, so a crashed merge heals on the next write —
+    run it from a reader first for crash-consistent reads without waiting
+    for the next merge.  Returns True if a pending merge was applied."""
+    base = Path(base_dir)
+    manifest = _manifest_path(base)
+    if not manifest.exists():
+        return False
+    _apply_manifest(base, manifest)
+    return True

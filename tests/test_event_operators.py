@@ -428,3 +428,36 @@ def test_incremental_minhash_only_pairs_touching_new_batch(spark):
     assert {(1, 10), (2, 10), (1, 11), (2, 11), (10, 11)} <= got
     assert all(a < b for a, b in got)
     assert not any({a, b} == {1, 2} for a, b in got)
+
+
+def test_decode_image_codec_paths(spark):
+    """Codec contract: fake is identity on payload bytes; real raises the
+    documented NotImplementedError when Pillow is absent (decodes when
+    present); auto falls back to fake without a codec and never raises."""
+    import importlib.util
+
+    import pytest
+
+    from localsql_spark.operators.multimodal import decode_image
+
+    payload = b"\x00\x10 deterministic payload \xff"
+    assert decode_image(payload, "png", codec="fake") == payload
+    assert decode_image(b"", "png", codec="fake") == b""
+    with pytest.raises(ValueError, match="unknown codec"):
+        decode_image(payload, "png", codec="imaginary")
+
+    if importlib.util.find_spec("PIL") is None:
+        with pytest.raises(NotImplementedError, match="image codec"):
+            decode_image(payload, "png", codec="real")
+        assert decode_image(payload, "png", codec="auto") == payload
+    else:
+        from io import BytesIO
+
+        from PIL import Image
+
+        buf = BytesIO()
+        Image.new("RGB", (3, 2), (10, 20, 30)).save(buf, format="PNG")
+        px = decode_image(buf.getvalue(), "png", codec="real")
+        assert len(px) == 6  # 3x2 grayscale bytes
+        assert decode_image(buf.getvalue(), "png",
+                            codec="auto") == px

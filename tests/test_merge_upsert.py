@@ -184,3 +184,71 @@ def test_merge_final_state_is_batch_order_independent(spark, tmp_path):
         assert apply_in([b1, b2], "fwd") == apply_in([b2, b1], "rev")
 
     run()
+
+
+def _crash_state_after_manifest(spark, tmp_path, stop_after: int):
+    """Build the exact on-disk state of a merge that died after the manifest
+    commit, with ``stop_after`` partition swaps already applied (0 = none).
+    Returns (base_dir, expected rows after recovery)."""
+    import json
+
+    base_dir = str(tmp_path / "tbl")
+    _write_base(spark, base_dir)
+    updates = spark.createDataFrame(
+        [(1, "a", "one-v2", 2), (3, "b", "three-v2", 2)],
+        "k long, p string, txt string, version int")
+    # stage manually: run the real merge into a CLONE, steal its outputs
+    clone = str(tmp_path / "clone")
+    _write_base(spark, clone)
+    merge_into_partitioned(spark, clone, updates, key="k",
+                           version="version", partition_col="p")
+    base = Path(base_dir)
+    staging = base.parent / f".{base.name}.staging"
+    staging.mkdir()
+    for part in ("p=a", "p=b"):
+        (Path(clone) / part).rename(staging / part)
+    manifest = base.parent / f".{base.name}.commit.json"
+    manifest.write_text(json.dumps(
+        {"staging": staging.name, "partitions": ["p=a", "p=b"]}))
+    # apply the first ``stop_after`` swaps, then "crash"
+    for part in ["p=a", "p=b"][:stop_after]:
+        import shutil
+        shutil.rmtree(base / part)
+        (staging / part).rename(base / part)
+    expected = {(1, "one-v2", 2), (2, "two", 1), (3, "three-v2", 2),
+                (4, "four", 1)}
+    return base_dir, expected
+
+
+def test_merge_recovery_completes_pending_swaps(spark, tmp_path):
+    """A crash at ANY point after the manifest commit heals on
+    recover_pending_merge: all committed partitions land, manifest and
+    staging are gone."""
+    from localsql_spark.sinks.merge import recover_pending_merge
+
+    for stop_after in (0, 1):
+        d = tmp_path / f"case{stop_after}"
+        d.mkdir()
+        base_dir, expected = _crash_state_after_manifest(spark, d, stop_after)
+        assert recover_pending_merge(base_dir) is True
+        got = {(r.k, r.txt, r.version)
+               for r in spark.read.parquet(base_dir).collect()}
+        assert got == expected
+        base = Path(base_dir)
+        assert not (base.parent / f".{base.name}.commit.json").exists()
+        assert not (base.parent / f".{base.name}.staging").exists()
+        # second call is a clean no-op
+        assert recover_pending_merge(base_dir) is False
+
+
+def test_merge_next_write_replays_crashed_predecessor(spark, tmp_path):
+    """merge_into_partitioned itself heals a pending manifest before
+    reading the base — the crashed batch's updates are never lost."""
+    base_dir, expected = _crash_state_after_manifest(spark, tmp_path, 0)
+    later = spark.createDataFrame(
+        [(4, "c", "four-v2", 2)], "k long, p string, txt string, version int")
+    merge_into_partitioned(spark, base_dir, later, key="k",
+                           version="version", partition_col="p")
+    got = {(r.k, r.txt, r.version)
+           for r in spark.read.parquet(base_dir).collect()}
+    assert got == (expected - {(4, "four", 1)}) | {(4, "four-v2", 2)}
