@@ -1150,3 +1150,224 @@ def q21_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY numwait DESC, s_name
         LIMIT 20
     """)
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar MIN subquery (TPC-H Q2 shape)
+# ---------------------------------------------------------------------------
+
+_Q2_SQL = """
+SELECT DISTINCT p_partkey, p_name, s_name, n_name,
+       l_extendedprice AS min_price
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE' AND p_size <= 15
+  AND l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+                         FROM lineitem l2
+                         JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+                         JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                         JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                         WHERE l2.l_partkey = p_partkey
+                           AND r2.r_name = 'EUROPE')
+ORDER BY min_price, p_partkey, s_name
+LIMIT 100
+"""
+
+
+@query("q2_min_price_supplier", oracle=_Q2_SQL)
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (supplycost swapped for the lineitem price the
+    testdata carries): per European part, the supplier(s) matching the
+    region-wide MINIMUM price — a correlated scalar-aggregate subquery
+    over the same join tree as the outer query.  Catalyst decorrelates it
+    into a per-part min aggregate joined back on (partkey, price); the
+    dims (supplier/nation/region) broadcast, so the only wide exchanges
+    are the two partkey-keyed aggregates/joins on the fact table — the
+    plan a hand-written "window min + filter" would also reach, written
+    declaratively.  Double equality is exact: both sides compare the same
+    stored parquet values, no arithmetic.  Ties deterministic: the
+    DISTINCT triple (price, partkey, s_name) is unique."""
+    load(spark, sf_dir)
+    return spark.sql(_Q2_SQL)
+
+
+# ---------------------------------------------------------------------------
+# EXISTS with outer-column predicate (TPC-H Q4 shape)
+# ---------------------------------------------------------------------------
+
+@query("q4_order_priority", oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""")
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (commit/receipt lateness swapped for ship-after-order,
+    the columns the testdata carries): order-priority histogram of one
+    quarter's orders having at least one late line.  The correlated EXISTS
+    carries a NON-equi conjunct on the outer column (l_shipdate >
+    o_orderdate) — expressed directly as a LEFT SEMI join with a compound
+    condition, the exact operator EXISTS decorrelates to.  Semi-join
+    short-circuits per order (no fact-side aggregation), then the
+    5-row-group aggregate is map-side partial."""
+    t = load(spark, sf_dir)
+    q = t["orders"].filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1996-04-01").cast("date")))
+    late = q.join(
+        t["lineitem"],
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+# ---------------------------------------------------------------------------
+# Multi-join volume by year between two nation sets (TPC-H Q7 shape)
+# ---------------------------------------------------------------------------
+
+@query("q7_volume_shipping", oracle="""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(YEAR FROM l_shipdate) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(9,2)) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+             OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""")
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between two nations by
+    year.  Five-way join where BOTH nation aliases broadcast (25 rows) and
+    the disjunctive nation-pair predicate sits above them; the only wide
+    shuffles are lineitem⋈orders on orderkey and orders⋈customer on
+    custkey.  The year extraction is a scalar expression feeding the
+    group-by — partial aggregation collapses to |pairs|×|years| rows
+    map-side.  Decimal volume keeps the sums order-insensitive."""
+    t = load(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    n1 = t["nation"].select(F.col("n_nationkey").alias("n1_key"),
+                            F.col("n_name").alias("supp_nation"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("n2_key"),
+                            F.col("n_name").alias("cust_nation"))
+    vol = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(9,2)"))
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | (
+        (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
+    )
+    return (t["supplier"]
+            .join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+            .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+            .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+            .filter(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"))
+            .agg(F.sum(vol).cast("double").alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+# ---------------------------------------------------------------------------
+# Group aggregate filtered by a GLOBAL scalar-aggregate threshold (Q11 shape)
+# ---------------------------------------------------------------------------
+
+@query("q11_important_parts", oracle="""
+WITH pv AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1 - l_discount AS DECIMAL(9,2))) AS DOUBLE) AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_5'
+  GROUP BY l_partkey)
+SELECT l_partkey, value
+FROM pv
+WHERE value > (SELECT SUM(value) * 0.001 FROM pv)
+ORDER BY value DESC, l_partkey
+""")
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (supplycost×availqty swapped for discounted price):
+    parts whose one-nation shipped value exceeds 0.1% of that nation's
+    total — a grouped aggregate filtered by a GLOBAL scalar aggregate of
+    itself.  The CTE computes per-part values once; the scalar total is a
+    single-row broadcast reused over the filter (Spark plans the CTE body
+    twice unless cached — at this shape both branches are the same partial
+    agg, and the threshold side collapses to one row before the join, so
+    the rewrite stays cheap).  Threshold arithmetic is double-on-exact-
+    decimal-sums: identical on both engines."""
+    load(spark, sf_dir)
+    return spark.sql("""
+        WITH pv AS (
+          SELECT l_partkey,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(1 - l_discount AS DECIMAL(9,2))) AS DOUBLE)
+                   AS value
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_5'
+          GROUP BY l_partkey)
+        SELECT l_partkey, value
+        FROM pv
+        WHERE value > (SELECT SUM(value) * 0.001 FROM pv)
+        ORDER BY value DESC, l_partkey
+    """)
+
+
+# ---------------------------------------------------------------------------
+# Nested IN + correlated aggregate in HAVING (TPC-H Q20 shape)
+# ---------------------------------------------------------------------------
+
+_Q20_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l1.l_suppkey FROM lineitem l1
+  WHERE l1.l_partkey IN (SELECT p_partkey FROM part
+                         WHERE p_name LIKE 'red%')
+  GROUP BY l1.l_partkey, l1.l_suppkey
+  HAVING SUM(CAST(l1.l_quantity AS DECIMAL(18,2))) >
+         0.1 * (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey))
+ORDER BY s_suppkey
+"""
+
+
+@query("q20_dominant_part_suppliers", oracle=_Q20_SQL)
+def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (availqty swapped for shipped-quantity share):
+    suppliers who shipped >10% of some red part's total volume — a
+    three-deep nesting: IN over a grouped fact subquery whose HAVING
+    compares against a CORRELATED scalar aggregate of the same fact table
+    keyed by the group column.  Catalyst decorrelates the inner scalar
+    into a per-part total aggregate joined back on partkey, and the outer
+    IN into a semi join on suppkey; the part-name IN prunes the fact scan
+    before either aggregate.  Decimal sums keep the 10% boundary identical
+    across engines."""
+    load(spark, sf_dir)
+    return spark.sql(_Q20_SQL)
