@@ -57,6 +57,9 @@ EXTENSION_HEADLINE = [
     "sketch_quantiles",
     "fingerprint_drift",
     "semdedup_keep",
+    # round 5 additions
+    "dedup_incremental_store",
+    "q7_volume_shipping",
 ]
 
 

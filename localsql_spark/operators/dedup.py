@@ -424,8 +424,12 @@ def append_signature_store(df: DataFrame, path: str,
 
 def read_signature_store(spark: SparkSession, path: str) -> DataFrame:
     """The previous run's (doc_id, sig) table — a narrow columnar scan with
-    no text processing at all."""
-    return spark.read.parquet(path)
+    no text processing at all.  recursiveFileLookup covers both layouts:
+    flat part-files (batch ``write``/``append``) and per-batch
+    subdirectories (the streaming ingest sink's idempotent layout,
+    streaming/stream_dedup_ingest.py)."""
+    return (spark.read.option("recursiveFileLookup", "true").parquet(path)
+            .select("doc_id", "sig"))
 
 
 def minhash_lsh_pairs_incremental(corpus: DataFrame, new: DataFrame,
@@ -448,7 +452,7 @@ def minhash_lsh_pairs_incremental(corpus: DataFrame, new: DataFrame,
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b, where at least
     one side is from the new batch (new-new pairs included once).
     """
-    return _pairs_touching_new(
+    return pairs_touching_new(
         compute_signatures(corpus, text_col, id_col, n),
         compute_signatures(new, text_col, id_col, n),
         threshold=threshold, n=n, bands=bands)
@@ -468,14 +472,14 @@ def minhash_lsh_pairs_from_store(spark: SparkSession, store_path: str,
     :func:`minhash_lsh_pairs_incremental` given the store was written by
     :func:`write_signature_store` over the same corpus (property-tested in
     tests/test_properties.py)."""
-    return _pairs_touching_new(
+    return pairs_touching_new(
         read_signature_store(spark, store_path),
         compute_signatures(new, text_col, id_col, n),
         threshold=threshold, n=n, bands=bands)
 
 
-def _pairs_touching_new(sig_corpus: DataFrame, sig_new: DataFrame,
-                        threshold: float, n: int, bands: int) -> DataFrame:
+def pairs_touching_new(sig_corpus: DataFrame, sig_new: DataFrame,
+                       threshold: float, n: int, bands: int) -> DataFrame:
     """Shared banded-LSH core over precomputed signatures: candidate pairs
     where at least one side is from ``sig_new``, scored by signature-
     component agreement.  Join work is O(new×bands) probes — the corpus

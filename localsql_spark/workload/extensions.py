@@ -1661,3 +1661,119 @@ def dedup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     D.write_signature_store(docs.filter(~is_new), str(store))
     return D.minhash_lsh_pairs_from_store(
         spark, str(store), docs.filter(is_new), threshold=0.5)
+
+
+_STREAM_INGEST_HASH3 = ("CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), "
+                        "1, 8) AS BIGINT) % 3")
+
+# Sequential greedy dedup unrolled over the three micro-batches: signatures
+# (and therefore the >= 0.5 pair set) are batch-independent, so allp is
+# computed ONCE globally and each stage is pure set algebra over it —
+# corpus rule: drop a batch doc colliding with any KEPT earlier doc (either
+# pair direction); intra-batch rule: drop the greater id of a colliding
+# batch pair (decided against the pre-drop pair set, matching the one-pass
+# implementation).
+_STREAM_INGEST_ORACLE = f"""
+WITH {_shingles_cte().lstrip()},
+{_MH_CTE},
+sig AS (SELECT doc_id, list(c ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+bands AS (SELECT doc_id, b,
+                 md5(CAST(sig[4*b+1] AS VARCHAR) || '|' || CAST(sig[4*b+2] AS VARCHAR)
+                     || '|' || CAST(sig[4*b+3] AS VARCHAR) || '|' || CAST(sig[4*b+4] AS VARCHAR)) AS bkey
+          FROM sig CROSS JOIN UNNEST(range({D.N_BANDS})) u3(b)),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y
+           ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+pairsig AS (SELECT doc_a, doc_b, sa.sig AS sig_a, sb.sig AS sig_b
+            FROM cand JOIN sig sa ON sa.doc_id = doc_a
+                      JOIN sig sb ON sb.doc_id = doc_b),
+allp AS (SELECT doc_a, doc_b
+         FROM pairsig CROSS JOIN UNNEST(range({D.N_MINHASH})) u4(j)
+         GROUP BY doc_a, doc_b
+         HAVING CAST(sum(CASE WHEN sig_a[j+1] = sig_b[j+1]
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                  / {D.N_MINHASH} >= 0.5),
+p2 AS (SELECT doc_a AS x, doc_b AS y FROM allp
+       UNION ALL SELECT doc_b, doc_a FROM allp),
+bt AS (SELECT doc_id, lang, {_STREAM_INGEST_HASH3} AS b FROM documents),
+k0 AS (SELECT d.doc_id, d.lang FROM bt d WHERE d.b = 0
+       AND NOT EXISTS (SELECT 1 FROM p2 JOIN bt e ON p2.x = e.doc_id
+                       WHERE p2.y = d.doc_id AND e.b = 0
+                         AND p2.x < d.doc_id)),
+k1 AS (SELECT d.doc_id, d.lang FROM bt d WHERE d.b = 1
+       AND NOT EXISTS (SELECT 1 FROM p2 JOIN k0 ON p2.x = k0.doc_id
+                       WHERE p2.y = d.doc_id)
+       AND NOT EXISTS (SELECT 1 FROM p2 JOIN bt e ON p2.x = e.doc_id
+                       WHERE p2.y = d.doc_id AND e.b = 1
+                         AND p2.x < d.doc_id)),
+k01 AS (SELECT doc_id FROM k0 UNION ALL SELECT doc_id FROM k1),
+k2 AS (SELECT d.doc_id, d.lang FROM bt d WHERE d.b = 2
+       AND NOT EXISTS (SELECT 1 FROM p2 JOIN k01 ON p2.x = k01.doc_id
+                       WHERE p2.y = d.doc_id)
+       AND NOT EXISTS (SELECT 1 FROM p2 JOIN bt e ON p2.x = e.doc_id
+                       WHERE p2.y = d.doc_id AND e.b = 2
+                         AND p2.x < d.doc_id))
+SELECT doc_id, lang FROM k0
+UNION ALL SELECT doc_id, lang FROM k1
+UNION ALL SELECT doc_id, lang FROM k2
+"""
+
+
+@query("streaming_dedup_ingest", oracle=_STREAM_INGEST_ORACLE)
+def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup-on-ingest, driver-gated end-to-end
+    (streaming.stream_dedup_ingest): documents arrive as three micro-
+    batches (deterministic hash-mod split, mtime-ordered files,
+    maxFilesPerTrigger=1); each batch probes the PERSISTED signature
+    store via banded LSH, keeps the non-colliding docs (lower id wins
+    within a batch, any kept corpus doc wins across batches), and commits
+    keepers + their signatures idempotently (per-batch overwrite dirs +
+    checkpoint = effectively-exactly-once).  The oracle replays the
+    sequential greedy semantics exactly — batch-independent signatures
+    let it compute the global pair set once and unroll the three stages
+    as set algebra.  This is the continuously-running form of the daily
+    incremental-dedup loop: per-batch cost is O(batch x bands) probes
+    against the index, never corpus-vs-corpus."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from localsql_spark.catalog import _CACHE_DIR
+    from localsql_spark.operators import hash32
+    from localsql_spark.streaming.stream_dedup_ingest import (
+        read_accepted, stream_dedup_ingest)
+
+    docs = load(spark, sf_dir)["documents"]
+    src_dir = (_CACHE_DIR.parent / "stream_dedup_ingest"
+               / Path(sf_dir.rstrip("/")).name)
+    if not src_dir.exists():
+        # temp-build + rename: existence implies completeness (same
+        # contract as the late-data landing dir, stream_agg.py)
+        src_dir.parent.mkdir(parents=True, exist_ok=True)
+        build = Path(tempfile.mkdtemp(prefix=f".{src_dir.name}.build_",
+                                      dir=src_dir.parent))
+        names = ("a_batch0.parquet", "b_batch1.parquet", "c_batch2.parquet")
+        for i, name in enumerate(names):
+            tmp = tempfile.mkdtemp(prefix="ingest_split_")
+            (docs.filter(hash32(F.col("doc_id")) % 3 == i).coalesce(1)
+             .write.mode("overwrite").parquet(tmp))
+            part = next(Path(tmp).glob("part-*.parquet"))
+            shutil.move(str(part), build / name)
+            shutil.rmtree(tmp, ignore_errors=True)
+        t0 = (build / names[0]).stat().st_mtime
+        for i, name in enumerate(names):
+            os.utime(build / name, (t0 + 100 * i, t0 + 100 * i))
+        try:
+            os.rename(build, src_dir)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+
+    schema = spark.read.parquet(str(src_dir / "a_batch0.parquet")).schema
+    out = tempfile.mkdtemp(prefix="ingest_out_")
+    store = tempfile.mkdtemp(prefix="ingest_store_")
+    ck = tempfile.mkdtemp(prefix="ingest_ck_")
+    stream_dedup_ingest(spark, source_dir=str(src_dir), schema=schema,
+                        store_dir=store, out_dir=out, checkpoint_dir=ck,
+                        threshold=0.5)
+    return read_accepted(spark, out).select("doc_id", "lang")

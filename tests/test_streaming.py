@@ -287,3 +287,121 @@ def test_stream_upsert_replay_after_restart_is_exactly_once(spark, tmp_path):
                           version="ver", out_dir=out, checkpoint_dir=ck)
     assert {(r.k, r.v, r.ver) for r in read_table(spark, out).collect()} \
         == got
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_ingest_batch_semantics_and_redelivery(spark, tmp_path):
+    """One batch: corpus collisions drop the batch doc, intra-batch
+    collisions drop the greater id; a redelivered batch rewrites the same
+    per-batch dirs instead of double-appending (idempotency)."""
+    from localsql_spark.operators.dedup import write_signature_store
+    from localsql_spark.streaming.stream_dedup_ingest import (
+        dedup_ingest_batch, read_accepted)
+
+    store = tmp_path / "store"
+    out = tmp_path / "out"
+    store.mkdir(), out.mkdir()
+    corpus = _mk_docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "completely unrelated corpus text about spark and parquet")])
+    write_signature_store(corpus, str(store))
+
+    batch = _mk_docs(spark, [
+        # near-exact copy of corpus doc 1 -> dropped (corpus rule)
+        (10, "the quick brown fox jumps over the lazy dog again and again"),
+        # fresh doc, duplicated inside the batch -> 20 kept, 21 dropped
+        (20, "brand new document with words never seen before in store"),
+        (21, "brand new document with words never seen before in store"),
+        # unique -> kept
+        (30, "another singleton text with its own vocabulary entirely")])
+    n = dedup_ingest_batch(batch, 0, store_dir=str(store), out_dir=str(out))
+    assert n == 2
+    kept = sorted(r.doc_id for r in read_accepted(spark, str(out)).collect())
+    assert kept == [20, 30]
+    # store grew by exactly the keepers
+    from localsql_spark.operators.dedup import read_signature_store
+    ids = sorted(r.doc_id for r in
+                 read_signature_store(spark, str(store)).collect())
+    assert ids == [1, 2, 20, 30]
+
+    # redelivery of the same batch id: same result, no double rows
+    n2 = dedup_ingest_batch(batch, 0, store_dir=str(store), out_dir=str(out))
+    assert n2 == 2
+    assert sorted(r.doc_id for r in
+                  read_accepted(spark, str(out)).collect()) == [20, 30]
+    assert sorted(r.doc_id for r in
+                  read_signature_store(spark, str(store)).collect()) \
+        == [1, 2, 20, 30]
+
+
+def test_dedup_ingest_crash_midbatch_heals_on_rerun(spark, tmp_path):
+    """Simulated crash AFTER the keeper write but BEFORE the signature
+    append (and vice versa): re-running the batch overwrites both dirs to
+    the identical committed state — the probe is immune to the batch's own
+    half-written signatures."""
+    import shutil
+
+    from localsql_spark.operators.dedup import read_signature_store
+    from localsql_spark.streaming.stream_dedup_ingest import (
+        dedup_ingest_batch, read_accepted)
+
+    store = tmp_path / "store"
+    out = tmp_path / "out"
+    store.mkdir(), out.mkdir()
+    batch = _mk_docs(spark, [
+        (5, "some document text that is long enough to shingle properly ok"),
+        (6, "some document text that is long enough to shingle properly ok"),
+        (7, "a different text altogether with nothing shared at all here")])
+    dedup_ingest_batch(batch, 0, store_dir=str(store), out_dir=str(out))
+    # crash state A: signatures committed, keepers lost
+    shutil.rmtree(out / "batch_0")
+    dedup_ingest_batch(batch, 0, store_dir=str(store), out_dir=str(out))
+    assert sorted(r.doc_id for r in
+                  read_accepted(spark, str(out)).collect()) == [5, 7]
+    assert sorted(r.doc_id for r in
+                  read_signature_store(spark, str(store)).collect()) == [5, 7]
+    # crash state B: keepers committed, signatures lost
+    shutil.rmtree(store / "batch_0")
+    dedup_ingest_batch(batch, 0, store_dir=str(store), out_dir=str(out))
+    assert sorted(r.doc_id for r in
+                  read_accepted(spark, str(out)).collect()) == [5, 7]
+    assert sorted(r.doc_id for r in
+                  read_signature_store(spark, str(store)).collect()) == [5, 7]
+
+
+def test_stream_dedup_ingest_restart_is_exactly_once(spark, tmp_path):
+    """Restarting the drained stream with the same checkpoint re-delivers
+    nothing; adding a file afterwards processes ONLY the new batch against
+    the grown store."""
+    from localsql_spark.streaming.stream_dedup_ingest import (
+        read_accepted, stream_dedup_ingest)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    store, out, ck = (str(tmp_path / d) for d in ("store", "out", "ck"))
+    _mk_docs(spark, [
+        (1, "first unique document with plenty of distinct words inside"),
+        (2, "first unique document with plenty of distinct words inside"),
+    ]).coalesce(1).write.mode("append").parquet(str(src))
+    schema = "doc_id long, text string"
+    stream_dedup_ingest(spark, source_dir=str(src), schema=schema,
+                        store_dir=store, out_dir=out, checkpoint_dir=ck)
+    assert sorted(r.doc_id for r in
+                  read_accepted(spark, out).collect()) == [1]
+    # restart without new data: nothing changes
+    stream_dedup_ingest(spark, source_dir=str(src), schema=schema,
+                        store_dir=store, out_dir=out, checkpoint_dir=ck)
+    assert sorted(r.doc_id for r in
+                  read_accepted(spark, out).collect()) == [1]
+    # new file: dup of kept doc 1 dropped, fresh doc kept
+    _mk_docs(spark, [
+        (8, "first unique document with plenty of distinct words inside"),
+        (9, "second era document sharing no vocabulary with the first"),
+    ]).coalesce(1).write.mode("append").parquet(str(src))
+    stream_dedup_ingest(spark, source_dir=str(src), schema=schema,
+                        store_dir=store, out_dir=out, checkpoint_dir=ck)
+    assert sorted(r.doc_id for r in
+                  read_accepted(spark, out).collect()) == [1, 9]

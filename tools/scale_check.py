@@ -162,6 +162,20 @@ def main() -> None:
         dt = time.perf_counter() - t0
         return spark.read.parquet(base_dir).count(), dt
 
+    def op_incremental_store(f):
+        from localsql_spark.operators import dedup as D
+        from localsql_spark.operators import hash32
+        docs = spark.read.parquet(paths[f]["documents"])
+        is_new = hash32(F.col("doc_id")) % 9 == 0
+        store = str(root / f"sig_store_{f}x")
+        # the store write is yesterday's run (fixture); time the probe only —
+        # the daily cost a pipeline actually pays
+        D.write_signature_store(docs.filter(~is_new), store)
+        t0 = time.perf_counter()
+        n = D.minhash_lsh_pairs_from_store(
+            spark, store, docs.filter(is_new), threshold=0.5).count()
+        return n, time.perf_counter() - t0
+
     def op_quantile_sketch(f):
         from localsql_spark.operators.sketches import (quantile_estimates,
                                                        quantile_sketch)
@@ -174,6 +188,7 @@ def main() -> None:
            "asof_join": op_asof, "kmeans_lloyd": op_kmeans,
            "repetition_signals": op_repetition, "semdedup": op_semdedup,
            "merge_upsert": op_merge_upsert,
+           "incremental_store": op_incremental_store,
            "quantile_sketch": op_quantile_sketch}
 
     results: dict[str, dict[int, float]] = {}
