@@ -432,6 +432,32 @@ def read_signature_store(spark: SparkSession, path: str) -> DataFrame:
             .select("doc_id", "sig"))
 
 
+def compact_signature_store(spark: SparkSession, path: str) -> int:
+    """Rewrite a signature store's accumulated per-batch subdirectories
+    (the streaming ingest sink grows one per micro-batch) into flat
+    part-files — the small-file compaction every long-running ingest needs:
+    thousands of KB-scale batch dirs each cost an open + footer parse +
+    task schedule on every probe.  Whole-store swap via rename; run it as a
+    single-writer maintenance step BETWEEN stream runs (it moves the
+    directory out from under a concurrently-running stream's append).
+    Returns the row count of the compacted store."""
+    import shutil
+    from pathlib import Path
+
+    store = Path(path)
+    df = read_signature_store(spark, str(store))
+    tmp = store.parent / f".{store.name}.compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.mode("overwrite").parquet(str(tmp))
+    n = spark.read.parquet(str(tmp)).count()
+    old = store.parent / f".{store.name}.old"
+    shutil.rmtree(old, ignore_errors=True)
+    store.rename(old)
+    tmp.rename(store)
+    shutil.rmtree(old, ignore_errors=True)
+    return n
+
+
 def minhash_lsh_pairs_incremental(corpus: DataFrame, new: DataFrame,
                                   text_col: str = "text",
                                   id_col: str = "doc_id",

@@ -720,3 +720,39 @@ def test_semdedup_two_level_full_probe_equals_flat(spark):
                                       threshold=0.98, n_probe=1).collect()
     assert sorted(r.vec_id for r in single) == sorted(set(
         r.vec_id for r in single))
+
+
+def test_signature_store_compaction_preserves_content(spark, tmp_path):
+    """Compaction flattens per-batch subdirectories into part-files with
+    identical (doc_id, sig) content; probing after compaction gives the
+    same pairs."""
+    from localsql_spark.operators import dedup as D
+
+    rows = [(i, f"document number {i % 6} with shared phrasing and filler "
+                f"words to shingle") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    store = tmp_path / "store"
+    store.mkdir()
+    # simulate the streaming layout: three per-batch subdirs
+    for b in range(3):
+        D.compute_signatures(docs.filter(f"doc_id % 3 = {b}")) \
+         .write.parquet(str(store / f"batch_{b}"))
+    before = sorted((r.doc_id, tuple(r.sig)) for r in
+                    D.read_signature_store(spark, str(store)).collect())
+    probe = _mk = spark.createDataFrame(
+        [(100, rows[0][1])], "doc_id long, text string")
+    pairs_before = sorted(
+        (r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs_from_store(
+            spark, str(store), probe, threshold=0.5).collect())
+
+    n = D.compact_signature_store(spark, str(store))
+    assert n == 30
+    assert not list(store.glob("batch_*"))          # subdirs gone
+    assert list(store.glob("*.parquet"))            # flat files present
+    after = sorted((r.doc_id, tuple(r.sig)) for r in
+                   D.read_signature_store(spark, str(store)).collect())
+    assert after == before
+    pairs_after = sorted(
+        (r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs_from_store(
+            spark, str(store), probe, threshold=0.5).collect())
+    assert pairs_after == pairs_before and pairs_before
