@@ -247,6 +247,20 @@ def main() -> None:
         "(`semdedup_prune_two_level`) brings it back to the linear band",
         "at a higher constant — flat stays the right choice for small",
         "fixed k.",
+        "",
+        "`incremental_store` times ONLY the daily probe (the store write",
+        "is yesterday's run).  Its growth tracks the CORPUS, not the",
+        "batch, because the probe must scan + band the whole signature",
+        "store (a narrow table, ~1% of corpus bytes); the join itself is",
+        "O(new x bands).  That linear store scan is the textbook trade —",
+        "avoiding it needs a band-partitioned store layout with partition",
+        "pruning on the batch's band keys, worthwhile once the store scan",
+        "dominates the probe join (far beyond these factors).",
+        "",
+        "`merge_upsert` times ONLY the merge (base-table build is",
+        "fixture); its cost tracks the UPDATE footprint — near-flat here",
+        "because the touched-partition set saturates at all langs while",
+        "per-partition work stays small.",
     ]
     Path("SCALE.md").write_text("\n".join(lines) + "\n")
     print("\n".join(lines))
