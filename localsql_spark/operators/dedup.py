@@ -73,6 +73,22 @@ def minhash_signature(text: Column, n: int = N_MINHASH) -> Column:
     return F.aggregate(hs, init, fold)
 
 
+def band_keys(sig_df: DataFrame, n: int = N_MINHASH,
+              bands: int = N_BANDS) -> DataFrame:
+    """(doc_id, band_id, band_key) LSH band table from a (doc_id, sig)
+    signature table, plus every other column of ``sig_df`` passed through:
+    one md5 band key per ``n/bands`` consecutive signature components —
+    the unit every LSH bucket join here collides on."""
+    rows = n // bands
+    band_arr = F.array(*[
+        F.md5(F.concat_ws("|", *[F.element_at("sig", b * rows + r + 1)
+                                 for r in range(rows)]))
+        for b in range(bands)])
+    other = [c for c in sig_df.columns if c not in ("doc_id", "sig")]
+    return sig_df.select("doc_id", *other,
+                         F.posexplode(band_arr).alias("band_id", "band_key"))
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Exact dedup via content-hash groupBy: one shuffle on md5(normalized
@@ -115,12 +131,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # registered via track_persist so operators.cleanup() can release it in a
     # long-lived REPL session (repeated dedup calls must not accumulate cache)
     sig = track_persist(compute_signatures(df, text_col, id_col, n))
-    band_arr = F.array(*[
-        F.md5(F.concat_ws("|", *[F.element_at("sig", b * rows + r + 1)
-                                 for r in range(rows)]))
-        for b in range(bands)])
-    banded = sig.select("doc_id",
-                        F.posexplode(band_arr).alias("band_id", "band_key"))
+    banded = band_keys(sig, n, bands)
     if bucket_cap is not None:
         # adaptive cap: probe the bucket histogram first (map-side-combined
         # aggregation over the cached-signature-derived band table — the
@@ -458,6 +469,73 @@ def compact_signature_store(spark: SparkSession, path: str) -> int:
     return n
 
 
+def write_banded_index(sigs: DataFrame, path: str, n: int = N_MINHASH,
+                       bands: int = N_BANDS, mode: str = "overwrite") -> None:
+    """Persist the LSH band table hive-partitioned by the band key's first
+    two hex chars (256 partitions) — the store layout that makes the daily
+    probe PARTITION-PRUNED instead of linear in the corpus.
+
+    The flat signature store's probe must scan + band every corpus
+    signature each day (SCALE.md: cost tracks the corpus).  This index
+    pays the banding shuffle ONCE at write time; a probe then reads only
+    the ``bk_prefix=`` directories the new batch's band keys actually hit
+    — a small batch touches a fraction of the 256 partitions, and the plan
+    carries the prune as a PartitionFilters entry (plan-asserted in
+    tests).  A batch large enough to hit all 256 prefixes degrades to the
+    flat scan, never worse.  ~32x the signature store's row count but only
+    (id, band ids) wide; append new batches with ``mode='append'``."""
+    (band_keys(sigs, n, bands)
+     .withColumn("bk_prefix", F.substring("band_key", 1, 2))
+     .write.mode(mode).partitionBy("bk_prefix").parquet(path))
+
+
+def minhash_lsh_pairs_from_banded_index(
+        spark: SparkSession, index_path: str, sig_store_path: str,
+        new: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+        threshold: float = 0.5, n: int = N_MINHASH,
+        bands: int = N_BANDS) -> DataFrame:
+    """Incremental near-dup probe against the band-partitioned index:
+    candidate generation reads ONLY the index partitions the batch's band
+    keys hit (driver sees the ≤256 touched prefixes, nothing else), then
+    signatures for scoring re-attach from the flat store restricted to
+    candidates.  Same pairs as :func:`minhash_lsh_pairs_from_store`
+    (property-tested); the whole-store scan+band+shuffle of the flat path
+    is replaced by a pruned columnar read."""
+    sig_new = track_persist(compute_signatures(new, text_col, id_col, n))
+    new_banded = track_persist(
+        band_keys(sig_new, n, bands)
+        .withColumn("bk_prefix", F.substring("band_key", 1, 2)))
+    prefixes = [r[0] for r in
+                new_banded.select("bk_prefix").distinct().collect()]
+    idx = (spark.read.option("basePath", index_path).parquet(index_path)
+           .filter(F.col("bk_prefix").isin(prefixes)))
+    a = (idx.select(F.col("doc_id").alias("ida"), "band_id", "band_key")
+         .unionByName(new_banded.select(F.col("doc_id").alias("ida"),
+                                        "band_id", "band_key")))
+    b = new_banded.select(F.col("doc_id").alias("idb"), "band_id",
+                          "band_key")
+    pairs = (a.join(b, ["band_id", "band_key"])
+             .filter(F.col("ida") != F.col("idb"))
+             .select(F.least("ida", "idb").alias("doc_a"),
+                     F.greatest("ida", "idb").alias("doc_b"))
+             .distinct())
+    sig_all = (read_signature_store(spark, sig_store_path)
+               .unionByName(sig_new))
+    sa = sig_all.select(F.col("doc_id").alias("doc_a"),
+                        F.col("sig").alias("sig_a"))
+    sb = sig_all.select(F.col("doc_id").alias("doc_b"),
+                        F.col("sig").alias("sig_b"))
+    pairsig = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    matches = functools.reduce(operator.add, [
+        (F.element_at("sig_a", j + 1)
+         == F.element_at("sig_b", j + 1)).cast("int")
+        for j in range(n)])
+    return (pairsig
+            .select("doc_a", "doc_b",
+                    (matches.cast("double") / n).alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= threshold))
+
+
 def minhash_lsh_pairs_incremental(corpus: DataFrame, new: DataFrame,
                                   text_col: str = "text",
                                   id_col: str = "doc_id",
@@ -510,17 +588,10 @@ def pairs_touching_new(sig_corpus: DataFrame, sig_new: DataFrame,
     where at least one side is from ``sig_new``, scored by signature-
     component agreement.  Join work is O(new×bands) probes — the corpus
     side is never self-joined."""
-    rows = n // bands
     sig_all = track_persist(
         sig_corpus.withColumn("is_new", F.lit(False))
         .unionByName(sig_new.withColumn("is_new", F.lit(True))))
-    band_arr = F.array(*[
-        F.md5(F.concat_ws("|", *[F.element_at("sig", b * rows + r + 1)
-                                 for r in range(rows)]))
-        for b in range(bands)])
-    banded = sig_all.select(
-        "doc_id", "is_new",
-        F.posexplode(band_arr).alias("band_id", "band_key"))
+    banded = band_keys(sig_all, n, bands)
     a = banded.select(F.col("doc_id").alias("ida"), "band_id", "band_key")
     b = (banded.filter(F.col("is_new"))
          .select(F.col("doc_id").alias("idb"), "band_id", "band_key"))

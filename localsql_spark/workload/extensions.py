@@ -1777,3 +1777,32 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                         store_dir=store, out_dir=out, checkpoint_dir=ck,
                         threshold=0.5)
     return read_accepted(spark, out).select("doc_id", "lang")
+
+
+@query("dedup_incremental_banded", oracle=_INCR_DEDUP_ORACLE)
+def dedup_incremental_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup via the BAND-PARTITIONED index
+    (operators.dedup.write_banded_index / minhash_lsh_pairs_from_banded_
+    index): candidate generation reads only the index partitions the new
+    batch's band keys hit (hive-partitioned on the band key's first two
+    hex chars; PartitionFilters plan-asserted in tests), replacing the
+    flat store's whole-corpus scan+band+shuffle — the scale path SCALE.md
+    names once the store scan dominates the daily probe.  Same pair
+    semantics as dedup_incremental_store (shared oracle)."""
+    import shutil
+    from pathlib import Path
+
+    from localsql_spark.operators import hash32
+
+    docs = load(spark, sf_dir)["documents"]
+    is_new = hash32(F.col("doc_id")) % 9 == 0
+
+    root = (Path(__file__).resolve().parent.parent.parent / ".cache"
+            / "band_index" / Path(sf_dir.rstrip("/")).name)
+    store, index = root / "sigs", root / "index"
+    shutil.rmtree(root, ignore_errors=True)
+    D.write_signature_store(docs.filter(~is_new), str(store))
+    D.write_banded_index(D.read_signature_store(spark, str(store)),
+                         str(index))
+    return D.minhash_lsh_pairs_from_banded_index(
+        spark, str(index), str(store), docs.filter(is_new), threshold=0.5)

@@ -756,3 +756,43 @@ def test_signature_store_compaction_preserves_content(spark, tmp_path):
         (r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs_from_store(
             spark, str(store), probe, threshold=0.5).collect())
     assert pairs_after == pairs_before and pairs_before
+
+
+def test_banded_index_probe_matches_flat_store_and_prunes(spark, tmp_path):
+    """The band-partitioned index probe returns exactly the flat-store
+    probe's pairs, and its candidate scan carries a PartitionFilters prune
+    on the touched bk_prefix values."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators import dedup as D
+
+    rows = [(i, f"sentence variant {i % 7} of a corpus with overlapping "
+                f"phrases for banding") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = docs.filter("doc_id % 5 != 0")
+    new = docs.filter("doc_id % 5 = 0")
+
+    store = str(tmp_path / "sig_store")
+    index = str(tmp_path / "band_index")
+    D.write_signature_store(corpus, store)
+    D.write_banded_index(D.read_signature_store(spark, store), index)
+
+    flat = sorted((r.doc_a, r.doc_b, round(r.est_jaccard, 9)) for r in
+                  D.minhash_lsh_pairs_from_store(
+                      spark, store, new, threshold=0.3).collect())
+    via_index = D.minhash_lsh_pairs_from_banded_index(
+        spark, index, store, new, threshold=0.3)
+    got = sorted((r.doc_a, r.doc_b, round(r.est_jaccard, 9))
+                 for r in via_index.collect())
+    assert got and got == flat
+
+    # the index read must be partition-pruned on bk_prefix
+    sig_new = D.compute_signatures(new)
+    prefixes = [r[0] for r in
+                (D.band_keys(sig_new)
+                 .select(F.substring("band_key", 1, 2).alias("p"))
+                 .distinct().collect())]
+    idx = (spark.read.option("basePath", index).parquet(index)
+           .filter(F.col("bk_prefix").isin(prefixes)))
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bk_prefix" in plan
