@@ -122,7 +122,6 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     bucket loses nothing a real pipeline needs (run exact dedup first).  The
     over-cap bucket list is tiny by construction and broadcasts.
     """
-    rows = n // bands
     # Materialize signatures ONCE (doc_id + n longs — tiny next to the corpus;
     # at real scale this is the classic "write signatures, then self-join"
     # stage).  Without the persist barrier Catalyst's projection collapse
@@ -133,29 +132,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     sig = track_persist(compute_signatures(df, text_col, id_col, n))
     banded = band_keys(sig, n, bands)
     if bucket_cap is not None:
-        # adaptive cap: probe the bucket histogram first (map-side-combined
-        # aggregation over the cached-signature-derived band table — the
-        # shuffle carries one narrow row per distinct bucket) and pay the
-        # anti-join ONLY when an over-cap bucket actually exists.  A healthy
-        # corpus that already went through exact dedup usually has none, and
-        # then the capped plan is bit-identical to the uncapped one; the
-        # probe doubles as the bucket-skew monitoring stat a production run
-        # wants logged anyway.
-        # The over-cap list is bounded (≤ docs×bands/cap buckets) and tiny in
-        # practice, so collect it ONCE — the histogram job runs exactly one
-        # time whether or not hot buckets exist (the previous isEmpty probe
-        # re-ran it inside the anti-join when a hot bucket was found), and
-        # the cap becomes a local isin filter instead of a broadcast join.
-        hot_keys = [f"{r[0]}:{r[1]}" for r in
-                    (banded.groupBy("band_id", "band_key")
-                     .agg(F.count(F.lit(1)).alias("sz"))
-                     .filter(F.col("sz") > bucket_cap)
-                     .select("band_id", "band_key")
-                     .collect())]
-        if hot_keys:
-            banded = banded.filter(
-                ~F.concat_ws(":", F.col("band_id"), F.col("band_key"))
-                .isin(hot_keys))
+        # the histogram probe runs exactly once whether or not hot buckets
+        # exist (collect of a bounded over-cap list, then a local isin
+        # filter); a clean corpus pays one map-side-combined aggregation
+        # and keeps a plan bit-identical to the uncapped one — the probe
+        # doubles as the bucket-skew monitoring stat a production run logs
+        banded = _drop_hot_buckets(banded, bucket_cap)
     a = banded.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
     # candidate ids only through the join/distinct; signatures re-attached
@@ -469,8 +451,28 @@ def compact_signature_store(spark: SparkSession, path: str) -> int:
     return n
 
 
+def _drop_hot_buckets(banded: DataFrame, bucket_cap: int) -> DataFrame:
+    """Drop over-cap (band_id, band_key) buckets — the LSH skew guard shared
+    by every probe path: a batch doc hitting a mass-duplicate corpus bucket
+    would generate |bucket| candidates on its own.  Over-cap members are
+    near-certain exact/near-exact duplicates, exact_dedup's job.  Single
+    bounded histogram collect, local isin filter (see minhash_lsh_pairs)."""
+    hot_keys = [f"{r[0]}:{r[1]}" for r in
+                (banded.groupBy("band_id", "band_key")
+                 .agg(F.count(F.lit(1)).alias("sz"))
+                 .filter(F.col("sz") > bucket_cap)
+                 .select("band_id", "band_key")
+                 .collect())]
+    if not hot_keys:
+        return banded
+    return banded.filter(
+        ~F.concat_ws(":", F.col("band_id"), F.col("band_key"))
+        .isin(hot_keys))
+
+
 def write_banded_index(sigs: DataFrame, path: str, n: int = N_MINHASH,
-                       bands: int = N_BANDS, mode: str = "overwrite") -> None:
+                       bands: int = N_BANDS, mode: str = "overwrite",
+                       bucket_cap: int | None = None) -> None:
     """Persist the LSH band table hive-partitioned by the band key's first
     two hex chars (256 partitions) — the store layout that makes the daily
     probe PARTITION-PRUNED instead of linear in the corpus.
@@ -483,9 +485,16 @@ def write_banded_index(sigs: DataFrame, path: str, n: int = N_MINHASH,
     carries the prune as a PartitionFilters entry (plan-asserted in
     tests).  A batch large enough to hit all 256 prefixes degrades to the
     flat scan, never worse.  ~32x the signature store's row count but only
-    (id, band ids) wide; append new batches with ``mode='append'``."""
-    (band_keys(sigs, n, bands)
-     .withColumn("bk_prefix", F.substring("band_key", 1, 2))
+    (id, band ids) wide; append new batches with ``mode='append'``.
+
+    ``bucket_cap`` drops over-cap buckets AT WRITE TIME — a mass-duplicate
+    corpus bucket would hand every future probe |bucket| candidates per
+    colliding batch doc; capping once in the index is cheaper than capping
+    every probe (run exact_dedup first, as with minhash_lsh_pairs)."""
+    banded = band_keys(sigs, n, bands)
+    if bucket_cap is not None:
+        banded = _drop_hot_buckets(banded, bucket_cap)
+    (banded.withColumn("bk_prefix", F.substring("band_key", 1, 2))
      .write.mode(mode).partitionBy("bk_prefix").parquet(path))
 
 
@@ -541,7 +550,8 @@ def minhash_lsh_pairs_incremental(corpus: DataFrame, new: DataFrame,
                                   id_col: str = "doc_id",
                                   threshold: float = 0.5,
                                   n: int = N_MINHASH,
-                                  bands: int = N_BANDS) -> DataFrame:
+                                  bands: int = N_BANDS,
+                                  bucket_cap: int | None = None) -> DataFrame:
     """Near-dup pairs TOUCHING a new batch only — the daily-ingest dedup
     shape: yesterday's corpus was already deduped, so corpus-vs-corpus
     pairs must never be re-compared.  One band join side is restricted to
@@ -559,7 +569,7 @@ def minhash_lsh_pairs_incremental(corpus: DataFrame, new: DataFrame,
     return pairs_touching_new(
         compute_signatures(corpus, text_col, id_col, n),
         compute_signatures(new, text_col, id_col, n),
-        threshold=threshold, n=n, bands=bands)
+        threshold=threshold, n=n, bands=bands, bucket_cap=bucket_cap)
 
 
 def minhash_lsh_pairs_from_store(spark: SparkSession, store_path: str,
@@ -567,7 +577,8 @@ def minhash_lsh_pairs_from_store(spark: SparkSession, store_path: str,
                                  id_col: str = "doc_id",
                                  threshold: float = 0.5,
                                  n: int = N_MINHASH,
-                                 bands: int = N_BANDS) -> DataFrame:
+                                 bands: int = N_BANDS,
+                                 bucket_cap: int | None = None) -> DataFrame:
     """Production incremental near-dup: probe the PERSISTED signature store
     with a new batch.  The corpus side is a narrow (doc_id, sig) parquet
     scan — no shingling, no md5 over text, no dependency on corpus text
@@ -579,11 +590,12 @@ def minhash_lsh_pairs_from_store(spark: SparkSession, store_path: str,
     return pairs_touching_new(
         read_signature_store(spark, store_path),
         compute_signatures(new, text_col, id_col, n),
-        threshold=threshold, n=n, bands=bands)
+        threshold=threshold, n=n, bands=bands, bucket_cap=bucket_cap)
 
 
 def pairs_touching_new(sig_corpus: DataFrame, sig_new: DataFrame,
-                       threshold: float, n: int, bands: int) -> DataFrame:
+                       threshold: float, n: int, bands: int,
+                       bucket_cap: int | None = None) -> DataFrame:
     """Shared banded-LSH core over precomputed signatures: candidate pairs
     where at least one side is from ``sig_new``, scored by signature-
     component agreement.  Join work is O(new×bands) probes — the corpus
@@ -592,6 +604,8 @@ def pairs_touching_new(sig_corpus: DataFrame, sig_new: DataFrame,
         sig_corpus.withColumn("is_new", F.lit(False))
         .unionByName(sig_new.withColumn("is_new", F.lit(True))))
     banded = band_keys(sig_all, n, bands)
+    if bucket_cap is not None:
+        banded = _drop_hot_buckets(banded, bucket_cap)
     a = banded.select(F.col("doc_id").alias("ida"), "band_id", "band_key")
     b = (banded.filter(F.col("is_new"))
          .select(F.col("doc_id").alias("idb"), "band_id", "band_key"))

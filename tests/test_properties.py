@@ -796,3 +796,41 @@ def test_banded_index_probe_matches_flat_store_and_prunes(spark, tmp_path):
            .filter(F.col("bk_prefix").isin(prefixes)))
     plan = idx._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bk_prefix" in plan
+
+
+def test_incremental_probe_bucket_cap_drops_hot_bucket_only(spark, tmp_path):
+    """A mass-duplicate corpus bucket is excluded from the probe under
+    bucket_cap (no candidates generated against it), while normal pairs
+    survive — the skew guard on the daily-ingest path."""
+    from localsql_spark.operators import dedup as D
+
+    boiler = "identical boilerplate text repeated across the whole corpus"
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(20)]
+        + [(100, "one unique corpus document with its own words here")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(200, boiler),
+         (201, "one unique corpus document with its own words here")],
+        "doc_id long, text string")
+    store = str(tmp_path / "store")
+    D.write_signature_store(corpus, store)
+    capped = D.minhash_lsh_pairs_from_store(spark, store, new,
+                                            threshold=0.5, bucket_cap=5)
+    got = sorted((r.doc_a, r.doc_b) for r in capped.collect())
+    assert got == [(100, 201)]  # boilerplate bucket capped away
+    uncapped = D.minhash_lsh_pairs_from_store(spark, store, new,
+                                              threshold=0.5)
+    assert len(uncapped.collect()) >= 21  # 200 pairs with all 20 clones
+
+    # index write-time cap: same exclusion, probe untouched
+    index = str(tmp_path / "idx")
+    D.write_banded_index(D.read_signature_store(spark, store), index,
+                         bucket_cap=5)
+    via_idx = sorted((r.doc_a, r.doc_b) for r in
+                     D.minhash_lsh_pairs_from_banded_index(
+                         spark, index, store, new, threshold=0.5).collect())
+    assert (100, 201) in via_idx
+    assert not any(b == 200 or a == 200 for a, b in via_idx
+                   if a != 200 or b != 200) or all(
+        200 not in (a, b) for a, b in via_idx)
