@@ -234,3 +234,45 @@ def hll_estimate_by(df: DataFrame, col: str, group_col: str) -> DataFrame:
     return agg.select(F.col(group_col),
                       F.col("seen").cast("long").alias("n_buckets_seen"),
                       F.round(est, 6).alias("estimate"))
+
+
+def quantile_sketch_by(df: DataFrame, value_col: str, key_col: str,
+                       group_col: str, k: int = QUANTILE_K) -> DataFrame:
+    """Grouped portable quantile sketch: the k smallest-hash-rank (v, rk)
+    rows PER GROUP — per-source/per-type distribution monitoring with the
+    same bounded/mergeable/bit-reproducible contract as
+    :func:`quantile_sketch`.  The rank filter compiles to WindowGroupLimit,
+    so each shuffle partition keeps only k rows per group before the
+    window sort — per-group work bounded, not corpus-bound (same plan
+    shape as sample_per_lang_topk, plan-asserted there)."""
+    from pyspark.sql import Window
+
+    rk = _hash32(F.col(key_col))
+    w = Window.partitionBy("grp").orderBy("rk", "v")
+    return (df.filter(F.col(value_col).isNotNull())
+            .select(F.col(group_col).alias("grp"),
+                    F.col(value_col).cast("double").alias("v"),
+                    rk.alias("rk"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def quantile_estimates_by(sketch: DataFrame,
+                          qs: tuple[float, ...] = (0.25, 0.5, 0.75,
+                                                   0.99)) -> DataFrame:
+    """(grp, q, estimate) per group: the group sample's value at 1-based
+    index floor(q*(n-1))+1 in (v, rk) order.  Runs on the bounded sketch
+    (<= k rows per group)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("v", "rk")
+    ranked = (sketch.select(
+        "grp", "v", "rk", F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n")))
+    spark = sketch.sparkSession
+    qdf = spark.range(1).select(
+        F.explode(F.array(*[F.lit(float(x)) for x in qs])).alias("q"))
+    return (ranked.crossJoin(F.broadcast(qdf))
+            .filter(F.col("rn")
+                    == F.floor(F.col("q") * (F.col("n") - 1)) + 1)
+            .select("grp", "q", F.col("v").alias("estimate")))

@@ -1806,3 +1806,38 @@ def dedup_incremental_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
                          str(index))
     return D.minhash_lsh_pairs_from_banded_index(
         spark, str(index), str(store), docs.filter(is_new), threshold=0.5)
+
+
+@query("sketch_quantiles_by_type", oracle="""
+WITH s AS (
+  SELECT event_type AS grp, CAST(value AS DOUBLE) AS v,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+           AS rk
+  FROM events WHERE value IS NOT NULL),
+sk AS (SELECT grp, v, rk FROM (
+         SELECT grp, v, rk,
+                row_number() OVER (PARTITION BY grp ORDER BY rk, v) AS srn
+         FROM s) t WHERE srn <= 1024),
+r AS (SELECT grp, v,
+             row_number() OVER (PARTITION BY grp ORDER BY v, rk) AS rn,
+             count(*) OVER (PARTITION BY grp) AS n
+      FROM sk),
+qs AS (SELECT * FROM (VALUES (0.25), (0.5), (0.75), (0.99)) t(q))
+SELECT grp, CAST(q AS DOUBLE) AS q, v AS estimate
+FROM r JOIN qs ON rn = CAST(floor(q * (n - 1)) AS BIGINT) + 1
+""")
+def sketch_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped portable quantile sketch
+    (operators.sketches.quantile_sketch_by): per-event-type bottom-1024
+    hash-rank samples — the per-source distribution monitoring a pipeline
+    dashboards at 100 TB, bounded (k rows per group whatever the corpus),
+    mergeable (bottom-k of unioned sketches), and bit-reproducible on any
+    engine with md5 so the oracle checks the exact algorithm.  The rank
+    filter compiles to WindowGroupLimit: per-group work is bounded before
+    the window sort."""
+    from localsql_spark.operators.sketches import (quantile_estimates_by,
+                                                   quantile_sketch_by)
+
+    ev = load(spark, sf_dir)["events"]
+    return quantile_estimates_by(
+        quantile_sketch_by(ev, "value", "event_id", "event_type"))
