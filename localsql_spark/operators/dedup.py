@@ -102,6 +102,43 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
                  F.count(F.lit(1)).alias("copies")))
 
 
+def write_content_hash_store(df: DataFrame, path: str,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             mode: str = "overwrite") -> None:
+    """Persist the (text_hash, keep_id) exact-dedup index — the cheap first
+    gate of the incremental ingest loop (run BEFORE the minhash probe; an
+    exact duplicate never needs a signature comparison).  Narrow two-column
+    parquet, grows only by accepted new content."""
+    (exact_dedup(df, text_col, id_col)
+     .select("text_hash", "keep_id")
+     .write.mode(mode).parquet(path))
+
+
+def exact_dedup_incremental(spark: SparkSession, store_path: str,
+                            new: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Exact-dedup a new batch against the persisted content-hash store:
+    returns the batch rows with NEW content only (lowest id wins within the
+    batch).  One window on the batch (batch-bounded) + one left-anti join
+    against the store's hash column — the corpus side is a two-column scan,
+    and at 100 TB the store bucket-joins or broadcast-filters (a bloom over
+    text_hash) without changing this shape.  Append the keepers back with
+    :func:`write_content_hash_store` ``mode='append'``."""
+    from pyspark.sql.window import Window
+
+    store = spark.read.option("recursiveFileLookup", "true").parquet(
+        store_path).select("text_hash")
+    h = spread(new).select(
+        F.col(id_col),
+        F.md5(normalize_text(F.col(text_col))).alias("text_hash"))
+    w = Window.partitionBy("text_hash").orderBy(id_col)
+    first = (h.withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") == 1).drop("__rn"))
+    return first.join(store, "text_hash", "left_anti") \
+                .select(id_col, "text_hash")
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", threshold: float = 0.5,
                       n: int = N_MINHASH, bands: int = N_BANDS,

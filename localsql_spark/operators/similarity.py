@@ -219,6 +219,86 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "neighbor_id", "cos_sim", "rn"))
 
 
+def write_ivf_index(corpus: DataFrame, path: str, n_cells: int = 16,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Persist the IVF index :func:`knn_ivf` builds per call: the
+    cell-assigned corpus (id, vector, norm, cell) hive-partitioned BY CELL,
+    plus the (cell, cent, centn) centroid table under ``_centroids/``.
+    A query batch then routes against the tiny centroid read and scans
+    ONLY its probed cells' partitions (``PartitionFilters`` prune — the
+    touched-cell list is ≤ n_cells, collected driver-side).  This is the
+    similarity twin of the banded LSH index: pay assignment once at write
+    time, probe cost tracks n_probe/n_cells of the corpus per batch.
+    Centroids here are the same deterministic seeds knn_ivf uses (swap in
+    trained centroids in production; layout unchanged)."""
+    cents = (corpus.filter(F.col(id_col) < n_cells)
+             .select(F.col(id_col).alias("cell"),
+                     F.col(vec_col).alias("cent"))
+             .withColumn("centn", norm(F.col("cent"))))
+    cents.write.mode("overwrite").parquet(f"{path}/_centroids")
+    c = (spread(corpus).select(F.col(id_col).alias("neighbor_id"),
+                               F.col(vec_col).alias("cv"))
+         .withColumn("cn", norm(F.col("cv"))))
+    scored = (c.crossJoin(F.broadcast(cents))
+              .withColumn("__csim", cosine_pre(F.col("cv"), F.col("cent"),
+                                               F.col("cn"), F.col("centn"))))
+    assigned = (scored.groupBy("neighbor_id")
+                .agg(F.max(F.struct(
+                    F.col("__csim").alias("s"),
+                    (-F.col("cell")).alias("nc"),
+                    F.col("cv").alias("v"),
+                    F.col("cn").alias("vn"))).alias("b"))
+                .select("neighbor_id",
+                        F.col("b.v").alias("cv"),
+                        F.col("b.vn").alias("cn"),
+                        (-F.col("b.nc")).cast("int").alias("cell")))
+    assigned.write.mode("overwrite").partitionBy("cell") \
+        .parquet(f"{path}/cells")
+
+
+def knn_ivf_from_index(spark: SparkSession, index_path: str,
+                       queries: DataFrame, k: int = 5,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       n_probe: int = 4) -> DataFrame:
+    """IVF kNN against the PERSISTED index: same results as
+    :func:`knn_ivf` over the same corpus/seeds (property-tested), but the
+    per-batch cost is a tiny centroid read + a partition-pruned scan of
+    the probed cells — the index is never rebuilt.  Returns
+    (query_id, neighbor_id, cos_sim, rn)."""
+    from pyspark.sql.window import Window
+
+    cents = spark.read.parquet(f"{index_path}/_centroids")
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("qv"))
+         .withColumn("qn", norm(F.col("qv"))))
+    qscored = (q.crossJoin(F.broadcast(cents))
+               .withColumn("__csim", cosine_pre(F.col("qv"), F.col("cent"),
+                                                F.col("qn"),
+                                                F.col("centn"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__csim").desc(), F.col("cell"))
+    q_cells = (qscored.withColumn("__crn", F.row_number().over(w))
+               .filter(F.col("__crn") <= n_probe)
+               .select("query_id", "qv", "qn", "cell"))
+    # touched-cell list: bounded by n_cells whatever the batch size
+    probed = sorted({r[0] for r in
+                     q_cells.select("cell").distinct().collect()})
+    idx = (spark.read.option("basePath", f"{index_path}/cells")
+           .parquet(f"{index_path}/cells")
+           .filter(F.col("cell").isin(probed)))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (idx.join(F.broadcast(q_cells), "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id",
+                    cosine_pre(F.col("qv"), F.col("cv"),
+                               F.col("qn"), F.col("cn")).alias("cos_sim"))
+            .withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rn"))
+
+
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
                              id_col: str = "vec_id", vec_col: str = "embedding",
                              bits: int = 8) -> DataFrame:

@@ -1841,3 +1841,64 @@ def sketch_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir)["events"]
     return quantile_estimates_by(
         quantile_sketch_by(ev, "value", "event_id", "event_type"))
+
+
+@query("dedup_exact_incremental", oracle=r"""
+WITH h AS (SELECT doc_id,
+                  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                    AS text_hash,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 9 AS grp
+           FROM documents)
+SELECT d.doc_id, d.text_hash
+FROM h d
+WHERE d.grp = 0
+  AND NOT EXISTS (SELECT 1 FROM h c
+                  WHERE c.grp <> 0 AND c.text_hash = d.text_hash)
+  AND NOT EXISTS (SELECT 1 FROM h e
+                  WHERE e.grp = 0 AND e.text_hash = d.text_hash
+                    AND e.doc_id < d.doc_id)
+""")
+def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup against the persisted content-hash store
+    (operators.dedup.exact_dedup_incremental): the cheap FIRST gate of the
+    incremental ingest loop — a new batch keeps only never-seen content
+    (lowest id within the batch), via one batch-bounded window and one
+    left-anti join against the store's two-column hash table; the minhash
+    probe then runs only on what survives.  Same 1/9 batch split as the
+    near-dup incremental queries."""
+    import shutil
+    from pathlib import Path
+
+    from localsql_spark.operators import hash32
+
+    docs = load(spark, sf_dir)["documents"]
+    is_new = hash32(F.col("doc_id")) % 9 == 0
+    store = (Path(__file__).resolve().parent.parent.parent / ".cache"
+             / "hash_store" / Path(sf_dir.rstrip("/")).name)
+    shutil.rmtree(store, ignore_errors=True)
+    D.write_content_hash_store(docs.filter(~is_new), str(store))
+    return D.exact_dedup_incremental(spark, str(store), docs.filter(is_new))
+
+
+@query("knn_ivf_index_top5", oracle=_IVF_ORACLE)
+def knn_ivf_index_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF kNN against the PERSISTED index
+    (operators.similarity.write_ivf_index / knn_ivf_from_index): the
+    production similarity-search shape — cell assignment paid once at
+    index-write time (hive-partitioned by cell), each query batch routes
+    on a tiny centroid read and scans only its probed cells' partitions
+    (PartitionFilters plan-asserted in tests).  Identical results to
+    knn_ivf_top5 (shared oracle); the similarity twin of the banded LSH
+    dedup index."""
+    import shutil
+    from pathlib import Path
+
+    emb = load(spark, sf_dir)["embeddings"]
+    index = (Path(__file__).resolve().parent.parent.parent / ".cache"
+             / "ivf_index" / Path(sf_dir.rstrip("/")).name)
+    shutil.rmtree(index, ignore_errors=True)
+    S.write_ivf_index(emb, str(index), n_cells=16)
+    return S.knn_ivf_from_index(spark, str(index),
+                                emb.filter(F.col("vec_id") < 10), k=5,
+                                n_probe=4)

@@ -834,3 +834,38 @@ def test_incremental_probe_bucket_cap_drops_hot_bucket_only(spark, tmp_path):
     assert not any(b == 200 or a == 200 for a, b in via_idx
                    if a != 200 or b != 200) or all(
         200 not in (a, b) for a, b in via_idx)
+
+
+def test_ivf_index_probe_matches_inline_and_prunes(spark, tmp_path):
+    """knn_ivf_from_index over a persisted index returns exactly what
+    knn_ivf computes inline on the same corpus/seeds, and the cell scan is
+    partition-pruned."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators.similarity import (knn_ivf,
+                                                     knn_ivf_from_index,
+                                                     write_ivf_index)
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id < 8")
+
+    inline = sorted(
+        (r.query_id, r.neighbor_id, round(r.cos_sim, 9), r.rn)
+        for r in knn_ivf(emb, queries, k=5, n_cells=8, n_probe=3).collect())
+    index = str(tmp_path / "ivf")
+    write_ivf_index(emb, index, n_cells=8)
+    got = sorted(
+        (r.query_id, r.neighbor_id, round(r.cos_sim, 9), r.rn)
+        for r in knn_ivf_from_index(spark, index, queries, k=5,
+                                    n_probe=3).collect())
+    assert got and got == inline
+
+    # pruned scan: PartitionFilters on cell
+    idx = (spark.read.option("basePath", f"{index}/cells")
+           .parquet(f"{index}/cells").filter(F.col("cell").isin([0, 1])))
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
