@@ -1902,3 +1902,117 @@ def knn_ivf_index_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_ivf_from_index(spark, str(index),
                                 emb.filter(F.col("vec_id") < 10), k=5,
                                 n_probe=4)
+
+
+# Full incremental-ingest decision audit: exact gate first (content-hash
+# store), minhash probe only on exact-survivors.  Signatures are global, so
+# the oracle reuses the global >= 0.5 pair set and restricts it per rule.
+_PIPELINE_INCR_ORACLE = f"""
+WITH {_shingles_cte().lstrip()},
+{_MH_CTE},
+sig AS (SELECT doc_id, list(c ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+bands AS (SELECT doc_id, b,
+                 md5(CAST(sig[4*b+1] AS VARCHAR) || '|' || CAST(sig[4*b+2] AS VARCHAR)
+                     || '|' || CAST(sig[4*b+3] AS VARCHAR) || '|' || CAST(sig[4*b+4] AS VARCHAR)) AS bkey
+          FROM sig CROSS JOIN UNNEST(range({D.N_BANDS})) u3(b)),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y
+           ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+pairsig AS (SELECT doc_a, doc_b, sa.sig AS sig_a, sb.sig AS sig_b
+            FROM cand JOIN sig sa ON sa.doc_id = doc_a
+                      JOIN sig sb ON sb.doc_id = doc_b),
+allp AS (SELECT doc_a, doc_b
+         FROM pairsig CROSS JOIN UNNEST(range({D.N_MINHASH})) u4(j)
+         GROUP BY doc_a, doc_b
+         HAVING CAST(sum(CASE WHEN sig_a[j+1] = sig_b[j+1]
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                  / {D.N_MINHASH} >= 0.5),
+p2 AS (SELECT doc_a AS x, doc_b AS y FROM allp
+       UNION ALL SELECT doc_b, doc_a FROM allp),
+h AS (SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS text_hash,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 9 AS grp
+      FROM documents),
+surv AS (SELECT d.doc_id FROM h d
+         WHERE d.grp = 0
+           AND NOT EXISTS (SELECT 1 FROM h c
+                           WHERE c.grp <> 0 AND c.text_hash = d.text_hash)
+           AND NOT EXISTS (SELECT 1 FROM h e
+                           WHERE e.grp = 0 AND e.text_hash = d.text_hash
+                             AND e.doc_id < d.doc_id)),
+near_drop AS (SELECT s.doc_id FROM surv s
+              WHERE EXISTS (
+                SELECT 1 FROM p2 JOIN h p ON p2.x = p.doc_id
+                WHERE p2.y = s.doc_id
+                  AND (p.grp <> 0
+                       OR (p2.x < s.doc_id
+                           AND p2.x IN (SELECT doc_id FROM surv)))))
+SELECT d.doc_id,
+       CASE WHEN s.doc_id IS NULL THEN 'dropped_exact'
+            WHEN nd.doc_id IS NOT NULL THEN 'dropped_near'
+            ELSE 'kept' END AS decision
+FROM h d
+LEFT JOIN surv s ON s.doc_id = d.doc_id
+LEFT JOIN near_drop nd ON nd.doc_id = d.doc_id
+WHERE d.grp = 0
+"""
+
+
+@query("pipeline_incremental_ingest", oracle=_PIPELINE_INCR_ORACLE)
+def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete incremental-ingest decision audit, composed from the
+    persisted stores: the batch passes the exact gate first
+    (exact_dedup_incremental vs the content-hash store — cheap, catches
+    verbatim copies before any signature work), then only exact-survivors
+    probe the minhash signature store; every batch doc gets a decision
+    (dropped_exact / dropped_near / kept — lower id wins among surviving
+    batch collisions, any corpus doc wins cross-set).  This is the
+    per-document lineage a production ingest run logs; per-batch cost is
+    one hash anti-join plus O(survivors x bands) probes."""
+    import shutil
+    from pathlib import Path
+
+    from localsql_spark.operators import hash32
+
+    docs = load(spark, sf_dir)["documents"]
+    is_new = hash32(F.col("doc_id")) % 9 == 0
+    batch, corpus = docs.filter(is_new), docs.filter(~is_new)
+
+    root = (Path(__file__).resolve().parent.parent.parent / ".cache"
+            / "pipeline_incr" / Path(sf_dir.rstrip("/")).name)
+    shutil.rmtree(root, ignore_errors=True)
+    hash_store, sig_store = root / "hashes", root / "sigs"
+    D.write_content_hash_store(corpus, str(hash_store))
+    D.write_signature_store(corpus, str(sig_store))
+
+    exact_keep = D.exact_dedup_incremental(spark, str(hash_store), batch) \
+                  .select("doc_id")
+    survivors = batch.join(exact_keep, "doc_id", "left_semi")
+    pairs = D.minhash_lsh_pairs_from_store(spark, str(sig_store), survivors,
+                                           threshold=0.5)
+    # drop victim per pair: both survivors -> greater id; else the batch
+    # side (the partner is corpus)
+    si = exact_keep
+    flags = (pairs
+             .join(F.broadcast(si.select(F.col("doc_id").alias("doc_a"),
+                                         F.lit(True).alias("a_in"))),
+                   "doc_a", "left")
+             .join(F.broadcast(si.select(F.col("doc_id").alias("doc_b"),
+                                         F.lit(True).alias("b_in"))),
+                   "doc_b", "left"))
+    near_drops = (flags.select(
+        F.when(F.col("a_in") & F.col("b_in"), F.col("doc_b"))
+        .when(F.col("a_in"), F.col("doc_a"))
+        .otherwise(F.col("doc_b")).alias("doc_id"))
+        .distinct())
+    return (batch.select("doc_id")
+            .join(exact_keep.withColumn("__surv", F.lit(True)),
+                  "doc_id", "left")
+            .join(near_drops.withColumn("__near", F.lit(True)),
+                  "doc_id", "left")
+            .select("doc_id",
+                    F.when(F.col("__surv").isNull(), "dropped_exact")
+                    .when(F.col("__near").isNotNull(), "dropped_near")
+                    .otherwise("kept").alias("decision")))
