@@ -869,3 +869,33 @@ def test_ivf_index_probe_matches_inline_and_prunes(spark, tmp_path):
            .parquet(f"{index}/cells").filter(F.col("cell").isin([0, 1])))
     plan = idx._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_grouped_quantile_sketch_merge_equals_sketch_of_union(spark):
+    """Per-group mergeability: bottom-k of (sketch(A) union sketch(B))
+    within each group equals sketch(A union B) — the property that lets
+    per-day grouped sketches roll up without touching raw data."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators.sketches import quantile_sketch_by
+
+    def mk(lo, hi):
+        return (spark.range(lo, hi)
+                .select(F.col("id").alias("k"),
+                        (F.col("id") % 3).cast("string").alias("g"),
+                        (F.col("id") * 7 % 1000).cast("double").alias("x")))
+
+    a, b = mk(0, 1500), mk(1500, 3000)
+    k = 64
+    union_sketch = sorted(
+        (r.grp, r.rk, r.v) for r in
+        quantile_sketch_by(mk(0, 3000), "x", "k", "g", k=k).collect())
+    sa = quantile_sketch_by(a, "x", "k", "g", k=k)
+    sb = quantile_sketch_by(b, "x", "k", "g", k=k)
+    w = Window.partitionBy("grp").orderBy("rk", "v")
+    merged = sorted(
+        (r.grp, r.rk, r.v) for r in
+        (sa.unionByName(sb).withColumn("__rn", F.row_number().over(w))
+         .filter(F.col("__rn") <= k).drop("__rn")).collect())
+    assert merged == union_sketch and len(union_sketch) == 3 * k
