@@ -70,6 +70,29 @@ def main() -> None:
         print(f"# knn n_probe={n_probe}: recall@{K}={recall:.3f} "
               f"{best:.2f}s", file=sys.stderr)
 
+    # -- 1b. persisted-index amortization: inline build+search vs probe ----
+    import tempfile
+
+    index = tempfile.mkdtemp(prefix="ann_ivf_index_")
+    t0 = time.perf_counter()
+    S.write_ivf_index(emb, index, n_cells=N_CELLS)
+    build_sec = time.perf_counter() - t0
+    probe_best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n_pairs = S.knn_ivf_from_index(spark, index, queries, k=K,
+                                       n_probe=4).count()
+        probe_best = min(probe_best, time.perf_counter() - t0)
+        cleanup()
+    inline_best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        S.knn_ivf(emb, queries, k=K, n_cells=N_CELLS, n_probe=4).count()
+        inline_best = min(inline_best, time.perf_counter() - t0)
+        cleanup()
+    print(f"# ivf index: build {build_sec:.2f}s, probe {probe_best:.2f}s, "
+          f"inline {inline_best:.2f}s ({n_pairs} rows)", file=sys.stderr)
+
     # -- 2. two-level SemDeDup assignment agreement vs n_probe --------------
     t0 = time.perf_counter()
     flat = dict(
@@ -125,6 +148,22 @@ def main() -> None:
         f"~linearly in n_probe; pick the knee for the workload.  At 100 TB "
         f"the same plan holds with trained centroids and a persisted "
         f"index — n_probe stays the per-query cost knob.",
+        "",
+        f"## Persisted IVF index amortization (n_probe=4)",
+        "",
+        "| path | wall (s) |",
+        "|---|---|",
+        f"| `write_ivf_index` (once, at ingest) | {build_sec:.2f} |",
+        f"| `knn_ivf_from_index` probe (per query batch) | {probe_best:.2f} |",
+        f"| inline `knn_ivf` (rebuilds assignment every call) | "
+        f"{inline_best:.2f} |",
+        "",
+        "The index moves the corpus assignment out of the query path: every "
+        "batch after the first pays probe cost only, and the probe's cell "
+        "scan is partition-pruned (PartitionFilters on `cell`).  At 100 TB "
+        "the assignment pass is the expensive half, so the amortization is "
+        "the difference between re-scanning the corpus per batch and "
+        "reading ~n_probe/n_cells of a prebuilt layout.",
         "",
         f"## Two-level SemDeDup: multi-probe fine assignment vs flat "
         f"(flat {flat_sec:.2f}s, k={N_CLUSTERS}, n_coarse={N_COARSE})",
