@@ -32,16 +32,30 @@ def glob_to_regex(pattern: str) -> str:
         elif ch == "?":
             out.append(".")
         elif ch == "[":
-            j = pattern.find("]", i + 1)
+            # SQLite class scan: a ']' immediately after '[' (or '[^') is a
+            # LITERAL member, so the closing bracket search starts past it
+            k = i + 1
+            if k < len(pattern) and pattern[k] == "^":
+                k += 1
+            if k < len(pattern) and pattern[k] == "]":
+                k += 1
+            j = pattern.find("]", k)
             if j == -1:
-                out.append("\\[")
-            else:
-                # backslashes inside ANY class body are literal in GLOB —
-                # escape them in both the negated and plain branches (an
-                # unescaped trailing backslash is a regex syntax error)
-                body = pattern[i + 1:j].replace("\\", "\\\\")
-                out.append(f"[{body}]")
-                i = j
+                # SQLite: an unterminated class can never match any
+                # character, so the whole pattern matches nothing
+                # (sqlite3 patternCompare returns NOMATCH); '(?!)' is the
+                # always-failing regex in both Python and Java
+                return "(?!)"
+            # backslashes and ']' inside ANY class body are literal in
+            # GLOB — escape both (a leading literal ']' member or an
+            # unescaped trailing backslash is a regex syntax error)
+            body = pattern[i + 1:j]
+            neg = body.startswith("^")
+            if neg:
+                body = body[1:]
+            esc = body.replace("\\", "\\\\").replace("]", "\\]")
+            out.append("[" + ("^" if neg else "") + esc + "]")
+            i = j
         elif ch in ".^$+{}()|\\":
             out.append("\\" + ch)
         else:
