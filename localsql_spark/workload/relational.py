@@ -1371,3 +1371,154 @@ def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines."""
     load(spark, sf_dir)
     return spark.sql(_Q20_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Returned-item top customers (TPC-H Q10 shape)
+# ---------------------------------------------------------------------------
+
+@query("q10_returned_items", oracle="""
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(9,2))) AS DOUBLE)
+         AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1996-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+    half-year window.  The date filter prunes orders BEFORE the fact join,
+    the returnflag filter prunes lineitem at the scan (PushedFilters), the
+    25-row nation dim broadcasts, and the top-20 compiles to
+    TakeOrderedAndProject above a partial-aggregated groupBy — no global
+    sort, no full materialization of the grouped set."""
+    load(spark, sf_dir)
+    return spark.sql("""
+        SELECT c_custkey, c_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l_discount AS DECIMAL(9,2))) AS DOUBLE)
+                 AS revenue,
+               c_acctbal, n_name
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(o_orderdate AS DATE) < DATE '1996-07-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """)
+
+
+# ---------------------------------------------------------------------------
+# Conditional-count pivot after join (TPC-H Q12 shape)
+# ---------------------------------------------------------------------------
+
+@query("q12_priority_by_returnflag", oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""")
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode swapped for the returnflag the testdata
+    carries): per line category, how many of the year's lines belong to
+    urgent/high-priority orders vs the rest — conditional-sum pivot above
+    a fact-fact join.  The CASE expressions fold into the partial
+    aggregation (map-side: 3 groups × 2 counters cross the exchange); the
+    year filter reaches the lineitem scan."""
+    t = load(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (t["orders"].join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"))
+            .orderBy("l_returnflag"))
+
+
+# ---------------------------------------------------------------------------
+# Conditional-revenue ratio (TPC-H Q14 shape)
+# ---------------------------------------------------------------------------
+
+@query("q14_promo_revenue_pct", oracle="""
+SELECT CAST(100.0 * SUM(CASE WHEN p_type LIKE 'small%'
+                             THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                  * CAST(1 - l_discount AS DECIMAL(9,2))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1 - l_discount AS DECIMAL(9,2))) AS DOUBLE)
+         AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+""")
+def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape ('PROMO' swapped for the 'small' p_type prefix the
+    testdata carries): the month's revenue share of one part family — a
+    single-row conditional-aggregate ratio over lineitem⋈part.  Both sums
+    travel in ONE partial aggregation (no second pass, no self-join); the
+    division is one double op on exact decimal sums, so the ratio is
+    bit-identical across engines."""
+    t = load(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(9,2)"))
+    promo = F.when(F.col("p_type").like("small%"), rev) \
+             .otherwise(F.lit(0).cast("decimal(18,2)"))
+    return (li.join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+            .agg(((F.lit(100.0) * F.sum(promo).cast("double"))
+                  / F.sum(rev).cast("double")).alias("promo_pct")))
+
+
+# ---------------------------------------------------------------------------
+# Disjunctive multi-attribute predicate (TPC-H Q19 shape)
+# ---------------------------------------------------------------------------
+
+_Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(9,2))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'BRAND#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 21)
+   OR (p_brand = 'BRAND#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity >= 10 AND l_quantity <= 40)
+   OR (p_brand = 'BRAND#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity >= 20 AND l_quantity <= 50)
+"""
+
+
+@query("q19_disjunctive_revenue", oracle=_Q19_SQL)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a 3-way DISJUNCTION of conjunct
+    groups that each mix part attributes and lineitem attributes.
+    Catalyst factors the per-side parts of the OR below the join (the
+    part scan gets `p_brand IN (...)` + size bounds, the lineitem scan
+    gets the quantity envelope — visible as PushedFilters) and evaluates
+    the full disjunction above it; the naive plan would scan everything
+    and filter last.  One conditional aggregation, single row out."""
+    load(spark, sf_dir)
+    return spark.sql(_Q19_SQL)
