@@ -2016,3 +2016,76 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(F.col("__surv").isNull(), "dropped_exact")
                     .when(F.col("__near").isNotNull(), "dropped_near")
                     .otherwise("kept").alias("decision")))
+
+
+_DECON_MINHASH_ORACLE = f"""
+WITH {_shingles_cte().lstrip()},
+{_MH_CTE},
+sig AS (SELECT doc_id, list(c ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+bands AS (SELECT doc_id, b,
+                 md5(CAST(sig[4*b+1] AS VARCHAR) || '|' || CAST(sig[4*b+2] AS VARCHAR)
+                     || '|' || CAST(sig[4*b+3] AS VARCHAR) || '|' || CAST(sig[4*b+4] AS VARCHAR)) AS bkey
+          FROM sig CROSS JOIN UNNEST(range({D.N_BANDS})) u3(b)),
+ev AS (SELECT doc_id FROM documents WHERE doc_id % 50 = 0),
+cand AS (SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+                greatest(x.doc_id, y.doc_id) AS doc_b
+         FROM bands x
+         JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
+                      AND x.doc_id <> y.doc_id
+         JOIN ev ON ev.doc_id = y.doc_id),
+pairsig AS (SELECT doc_a, doc_b, sa.sig AS sig_a, sb.sig AS sig_b
+            FROM cand JOIN sig sa ON sa.doc_id = doc_a
+                      JOIN sig sb ON sb.doc_id = doc_b),
+nd AS (SELECT doc_a, doc_b
+       FROM pairsig CROSS JOIN UNNEST(range({D.N_MINHASH})) u4(j)
+       GROUP BY doc_a, doc_b
+       HAVING CAST(sum(CASE WHEN sig_a[j+1] = sig_b[j+1]
+                            THEN 1 ELSE 0 END) AS DOUBLE)
+                / {D.N_MINHASH} >= 0.5),
+contam AS (SELECT DISTINCT t FROM (
+             SELECT doc_a AS t, doc_b AS e FROM nd
+             UNION ALL SELECT doc_b, doc_a FROM nd) p
+           JOIN ev ON ev.doc_id = p.e
+           WHERE t NOT IN (SELECT doc_id FROM ev))
+SELECT d.doc_id, (c.t IS NOT NULL) AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+LEFT JOIN contam c ON c.t = d.doc_id
+"""
+
+
+@query("decontaminate_minhash", oracle=_DECON_MINHASH_ORACLE)
+def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination via the incremental-probe
+    machinery (operators.dedup.pairs_touching_new with the EVAL set as the
+    probe side): a training doc is contaminated if its minhash jaccard vs
+    any held-out eval doc reaches 0.5 — catching paraphrased leakage the
+    exact n-gram check (decontaminate_training_set) misses.  The eval set
+    is the small side, so probe work is O(eval x bands) against the train
+    band index, never train-vs-train; at 100 TB this is the same persisted
+    signature-store probe the daily dedup runs, pointed at a benchmark."""
+    from localsql_spark.operators.dedup import (compute_signatures,
+                                                pairs_touching_new)
+
+    docs = load(spark, sf_dir)["documents"]
+    is_eval = F.col("doc_id") % 50 == 0
+    train, ev = docs.filter(~is_eval), docs.filter(is_eval)
+    pairs = pairs_touching_new(compute_signatures(train),
+                               compute_signatures(ev),
+                               threshold=0.5, n=D.N_MINHASH,
+                               bands=D.N_BANDS)
+    ev_ids = ev.select(F.col("doc_id").alias("eid"))
+    sides = (pairs.select(F.col("doc_a").alias("t"),
+                          F.col("doc_b").alias("e"))
+             .unionByName(pairs.select(F.col("doc_b").alias("t"),
+                                       F.col("doc_a").alias("e"))))
+    contam = (sides.join(F.broadcast(ev_ids),
+                         sides.e == F.col("eid"))
+              .join(F.broadcast(ev_ids.withColumnRenamed("eid", "tid")),
+                    sides.t == F.col("tid"), "left_anti")
+              .select(F.col("t").alias("doc_id")).distinct()
+              .withColumn("__c", F.lit(True)))
+    return (train.select("doc_id")
+            .join(contam, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("__c"), F.lit(False))
+                    .alias("contaminated")))

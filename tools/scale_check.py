@@ -176,6 +176,31 @@ def main() -> None:
             spark, store, docs.filter(is_new), threshold=0.5).count()
         return n, time.perf_counter() - t0
 
+    def op_banded_index(f):
+        from localsql_spark.operators import dedup as D
+        from localsql_spark.operators import hash32
+        docs = spark.read.parquet(paths[f]["documents"])
+        is_new = hash32(F.col("doc_id")) % 9 == 0
+        store = str(root / f"bsig_{f}x")
+        index = str(root / f"bidx_{f}x")
+        D.write_signature_store(docs.filter(~is_new), store)
+        D.write_banded_index(D.read_signature_store(spark, store), index)
+        t0 = time.perf_counter()
+        n = D.minhash_lsh_pairs_from_banded_index(
+            spark, index, store, docs.filter(is_new), threshold=0.5).count()
+        return n, time.perf_counter() - t0
+
+    def op_knn_ivf_index(f):
+        from localsql_spark.operators import similarity as S2
+        emb = spark.read.parquet(paths[f]["embeddings"])
+        index = str(root / f"ivfidx_{f}x")
+        S2.write_ivf_index(emb, index, n_cells=16)
+        t0 = time.perf_counter()
+        n = S2.knn_ivf_from_index(
+            spark, index, emb.filter(F.col("vec_id") < 10), k=5,
+            n_probe=4).count()
+        return n, time.perf_counter() - t0
+
     def op_quantile_sketch(f):
         from localsql_spark.operators.sketches import (quantile_estimates,
                                                        quantile_sketch)
@@ -189,6 +214,8 @@ def main() -> None:
            "repetition_signals": op_repetition, "semdedup": op_semdedup,
            "merge_upsert": op_merge_upsert,
            "incremental_store": op_incremental_store,
+           "banded_index_probe": op_banded_index,
+           "knn_ivf_index_probe": op_knn_ivf_index,
            "quantile_sketch": op_quantile_sketch}
 
     results: dict[str, dict[int, float]] = {}
@@ -261,6 +288,13 @@ def main() -> None:
         "fixture); its cost tracks the UPDATE footprint — near-flat here",
         "because the touched-partition set saturates at all langs while",
         "per-partition work stays small.",
+        "",
+        "`banded_index_probe` / `knn_ivf_index_probe` time the probe",
+        "against the PREBUILT partition-pruned layouts (index writes are",
+        "fixture): the banded probe still pays a linear pruned read of",
+        "the touched bk_prefix partitions, the IVF probe reads only its",
+        "probed cells — both should sit at or below incremental_store's",
+        "growth.",
     ]
     Path("SCALE.md").write_text("\n".join(lines) + "\n")
     print("\n".join(lines))
