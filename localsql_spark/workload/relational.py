@@ -1461,7 +1461,7 @@ def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @query("q14_promo_revenue_pct", oracle="""
-SELECT CAST(100.0 * SUM(CASE WHEN p_type LIKE 'small%'
+SELECT CAST(100.0 * SUM(CASE WHEN p_type LIKE 'SMALL%'
                              THEN CAST(l_extendedprice AS DECIMAL(18,2))
                                   * CAST(1 - l_discount AS DECIMAL(9,2))
                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
@@ -1473,8 +1473,7 @@ WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
 """)
 def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape ('PROMO' swapped for the 'small' p_type prefix the
-    testdata carries): the month's revenue share of one part family — a
+    """TPC-H Q14 shape (the 'SMALL' p_type family stands in for 'PROMO%'): the month's revenue share of one part family — a
     single-row conditional-aggregate ratio over lineitem⋈part.  Both sums
     travel in ONE partial aggregation (no second pass, no self-join); the
     division is one double op on exact decimal sums, so the ratio is
@@ -1485,7 +1484,7 @@ def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
     rev = (F.col("l_extendedprice").cast("decimal(18,2)")
            * (F.lit(1) - F.col("l_discount")).cast("decimal(9,2)"))
-    promo = F.when(F.col("p_type").like("small%"), rev) \
+    promo = F.when(F.col("p_type").like("SMALL%"), rev) \
              .otherwise(F.lit(0).cast("decimal(18,2)"))
     return (li.join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
             .agg(((F.lit(100.0) * F.sum(promo).cast("double"))
@@ -1522,3 +1521,238 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     and filter last.  One conditional aggregation, single row out."""
     load(spark, sf_dir)
     return spark.sql(_Q19_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Count-of-counts histogram over a filtered LEFT JOIN (TPC-H Q13 shape)
+# ---------------------------------------------------------------------------
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+           ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query("q13_customer_distribution", oracle=_Q13_SQL)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed 0, 1, 2, ... qualifying
+    orders — a two-level aggregation where the FIRST group-by runs over a
+    LEFT JOIN whose extra predicate lives INSIDE the join condition (a
+    WHERE would turn it inner and silently drop the zero-order customers
+    that are the point of the query).  COUNT(o_orderkey) counts non-null
+    matches only; the second aggregate is tiny (distinct count values)."""
+    load(spark, sf_dir)
+    return spark.sql(_Q13_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Max over a grouped-aggregate view (TPC-H Q15 shape)
+# ---------------------------------------------------------------------------
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1 - l_discount AS DECIMAL(9,2))) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@query("q15_top_supplier", oracle=_Q15_SQL)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the quarter's top-revenue supplier(s) — a CTE
+    "view" referenced twice (once joined, once under MAX), the classic
+    aggregate-of-aggregate.  The scalar MAX collapses to a one-row
+    broadcast; both CTE references share the same partial-aggregated
+    shape.  Revenue is an exact decimal sum cast to double, so the
+    equality against MAX compares identical stored doubles on both
+    engines (no arithmetic on the comparison path)."""
+    load(spark, sf_dir)
+    return spark.sql(_Q15_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Correlated per-group average threshold (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+
+_Q17_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+         AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'BRAND#1'
+  AND l_quantity < (SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity
+                                              AS DECIMAL(18,2)))
+                                       AS DOUBLE) / COUNT(l2.l_quantity))
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@query("q17_small_quantity_revenue", oracle=_Q17_SQL)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders below 20% of the part's own
+    average quantity — a correlated scalar-AVG subquery against the same
+    fact table.  Catalyst decorrelates to a per-part aggregate joined back
+    on partkey (one extra shuffle, no per-row re-scan); the brand filter
+    prunes BOTH the outer fact scan and, post-decorrelation, flows into
+    the join.  The average is an exact decimal sum with ONE double
+    division, so the 0.2x threshold lands identically on both engines."""
+    load(spark, sf_dir)
+    return spark.sql(_Q17_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Anti-join + global-average filter by code (TPC-H Q22 shape)
+# ---------------------------------------------------------------------------
+
+_Q22_SQL = """
+WITH cust AS (
+  SELECT c_custkey, c_acctbal, c_nationkey % 5 AS cntrycode
+  FROM customer WHERE c_nationkey % 5 IN (0, 2, 4))
+SELECT cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM cust c
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+                               AS DOUBLE) / COUNT(c2.c_acctbal)
+                   FROM cust c2 WHERE c2.c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND CAST(o.o_orderdate AS DATE) >= DATE '2000-07-01')
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+@query("q22_global_sales_opportunity", oracle=_Q22_SQL)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (phone country code swapped for a nationkey
+    residue): well-funded customers in target codes who never ordered —
+    an uncorrelated scalar-AVG threshold (one-row broadcast) combined
+    with a NOT EXISTS anti join against the orders fact (customers with
+    no RECENT order — every customer here has some historical one), then
+    a tiny group-by.  The anti join is the only wide operation; the CTE is
+    referenced twice with the same scan shape."""
+    load(spark, sf_dir)
+    return spark.sql(_Q22_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Market-share ratio by year (TPC-H Q8 shape)
+# ---------------------------------------------------------------------------
+
+_Q8_SQL = """
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                     ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE)
+       / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(9,2)) AS volume,
+             n2.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA' AND p_type = 'SMALL'
+        AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(o_orderdate AS DATE) < DATE '1998-01-01') all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@query("q8_market_share", oracle=_Q8_SQL)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a region's market
+    for one part type, by order year — an 8-table join tree where every
+    dimension (part filter, both nation aliases, region) broadcasts and
+    only the three fact-side joins shuffle, topped by a conditional-sum
+    ratio whose numerator and denominator travel in ONE partial
+    aggregation.  The CASE arm types are pinned to the volume's decimal
+    so the sums stay exact before the single double division."""
+    load(spark, sf_dir)
+    return spark.sql(_Q8_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Profit by nation and year (TPC-H Q9 shape)
+# ---------------------------------------------------------------------------
+
+_Q9_SQL = """
+SELECT nation, o_year,
+       CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (SELECT n_name AS nation,
+             EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(9,2))
+             - CAST(p_retailprice AS DECIMAL(18,2))
+               * CAST(l_quantity AS DECIMAL(18,2))
+               * CAST(0.1 AS DECIMAL(4,2)) AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%gear%') profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@query("q9_product_profit", oracle=_Q9_SQL)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (supplycost swapped for a retail-price cost proxy —
+    the testdata has no partsupp table): profit on one part family by
+    supplier nation and order year.  The substring part filter prunes the
+    part scan before the fact joins; amount is a pure decimal expression
+    (products and the subtraction), summed exactly and emitted as one
+    double, so grouping/reduction order cannot drift the result."""
+    load(spark, sf_dir)
+    return spark.sql(_Q9_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Distinct-supplier count with NOT IN exclusion (TPC-H Q16 shape)
+# ---------------------------------------------------------------------------
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'BRAND#1' AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@query("q16_supplier_cnt_by_part", oracle=_Q16_SQL)
+def q16_supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem stands in for partsupp; the complaint
+    filter becomes negative account balance): distinct suppliers per part
+    (brand, type, size) bucket, excluding a NOT IN subquery of suppliers.
+    NOT IN over a non-nullable key plans as a null-aware anti join that
+    degenerates to a plain anti join; COUNT(DISTINCT) expands to a
+    two-level aggregate (distinct pairs, then count) — both shuffles are
+    on narrow key tuples, and the IN-list size filter prunes the part
+    scan."""
+    load(spark, sf_dir)
+    return spark.sql(_Q16_SQL)
