@@ -31,6 +31,9 @@ HEADLINE = [
     "window_running_sum",
     "correlated_subquery_above_nation_avg",
     "setop_union_all_counts",
+    # round 5: disjunctive pushdown + count-of-counts LEFT JOIN shapes
+    "q19_disjunctive_revenue",
+    "q13_customer_distribution",
 ]
 
 # extension headliners are appended once implemented; keep bench robust to
