@@ -94,11 +94,26 @@ def main() -> None:
                                  .orderBy("id")).alias("rn"))
      .agg(F.sum("s"), F.max("rn")).collect())
     (spark.range(0, 1000).mapInPandas(lambda it: it, "id long").count())
+    # minhash/simhash folds run on Catalyst's INTERPRETED higher-order-
+    # function path (ArrayAggregate/ZipWith are codegen-fallback); the JVM
+    # C2-compiles that eval loop only after real use, and the first two
+    # executions of the full-size expression pay ~6-13s of warmup at sf0.1
+    # (measured 17s -> 7.8s -> 1.7s steady state).  Warm it on 64 synthetic
+    # rows — JIT the expression classes, cache no benchmark data — so the
+    # timed runs measure the steady state a long-lived engine delivers.
+    from localsql_spark.operators.dedup import minhash_signature, simhash32
+    warm_txt = F.concat_ws(" ", *[F.concat(F.lit(f"w{i}"), (F.col("id") % 7)
+                                           .cast("string"))
+                                  for i in range(12)])
+    (spark.range(0, 64).select(minhash_signature(warm_txt).alias("sig"),
+                               simhash32(warm_txt).alias("sh"))
+     .agg(F.max("sh"), F.max(F.element_at("sig", 1))).collect())
 
     from localsql_spark.operators import cleanup
 
     names = HEADLINE + [n for n in EXTENSION_HEADLINE if n in queries]
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in names:
         if name not in queries:
             continue
@@ -108,14 +123,16 @@ def main() -> None:
         # minimum is the standard steady-state measure and is what a
         # long-lived engine actually delivers; methodology recorded in the
         # JSON as runs_per_query/timing so rounds stay comparable.
-        best, n_rows = float("inf"), 0
+        run_times, n_rows = [], 0
         for _ in range(2):
             t0 = time.perf_counter()
             n_rows = fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
+            run_times.append(round(time.perf_counter() - t0, 3))
             cleanup()  # release operator-persisted intermediates per run
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n_rows} rows)", file=sys.stderr)
+        timings[name] = min(run_times)
+        all_runs[name] = run_times
+        print(f"# {name}: {timings[name]:.3f}s ({n_rows} rows) "
+              f"runs={run_times}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -130,6 +147,7 @@ def main() -> None:
         "sf": sf_val,
         "runs_per_query": 2,
         "timing": "min",
+        "runs": all_runs,
     }))
 
 
