@@ -101,6 +101,51 @@ def main() -> None:
         "",
     ]
 
+    # -- 1c: planted mega-cluster vs SemDeDup cluster_cap -------------------
+    # 2,000 near-identical vectors (one real embedding + per-id jitter in one
+    # dimension) collapse into a single k-means cell — the learned-blocking
+    # analog of the LSH hot bucket; its pair block is quadratic in 2,000.
+    from localsql_spark.operators.similarity import semdedup_prune
+
+    emb = spark.read.parquet(str(Path(sf_dir) / "embeddings.parquet"))
+    seed = emb.filter(F.col("vec_id") == 0).select("embedding").limit(1)
+    mega = (spark.range(1_000_000, 1_002_000)
+            .select(F.col("id").alias("vec_id"))
+            .crossJoin(F.broadcast(seed))
+            .select("vec_id",
+                    F.transform(
+                        "embedding",
+                        lambda x, i: F.when(
+                            i == 0, x + (F.col("vec_id") % 1000)
+                            * F.lit(1e-9)).otherwise(x))
+                    .alias("embedding")))
+    skewed_emb = (emb.select("vec_id", "embedding").unionByName(mega)
+                  .repartition(32).localCheckpoint())
+    t0 = time.perf_counter()
+    n_sd_uncap = semdedup_prune(skewed_emb, n_clusters=32,
+                                threshold=0.95).count()
+    t_sd_uncap = time.perf_counter() - t0
+    cleanup()
+    t0 = time.perf_counter()
+    n_sd_cap = semdedup_prune(skewed_emb, n_clusters=32, threshold=0.95,
+                              cluster_cap=256).count()
+    t_sd_cap = time.perf_counter() - t0
+    cleanup()
+    lines += [
+        "## SemDeDup planted mega-cluster (2,000 near-identical vectors)",
+        "",
+        "| variant | rows kept | wall |",
+        "|---|---|---|",
+        f"| no cap (mega-cluster pair block is quadratic) | {n_sd_uncap:,} | {t_sd_uncap:.2f}s |",
+        f"| cluster_cap=256 (over-cap clusters skip pruning, members kept) | {n_sd_cap:,} | {t_sd_cap:.2f}s |",
+        "",
+        "(4,000 = 2,000 real + 2,000 planted; real clusters prune nothing",
+        "at threshold 0.95 — near-uniform random embeddings — so the kept",
+        "delta is exactly the flagged mega-cluster's conservative keep-all,",
+        "and the wall delta is its removed quadratic pair block.)",
+        "",
+    ]
+
     # -- 2: hot-key aggregation / join --------------------------------------
     ev = spark.read.parquet(str(_normalize_nanos(Path(sf_dir) / "events.parquet")))
     hot = (ev.crossJoin(F.broadcast(spark.range(0, 1).select(F.lit(1).alias("__x"))))
@@ -150,9 +195,11 @@ def main() -> None:
         "handling also splits sort-merge-join partitions automatically; the",
         "salted forms cover aggregations and broadcast-resistant joins,",
         "which AQE does not.",
-        "The LSH bucket_cap row is the one that changes COMPLEXITY, not",
-        "layout: the hot bucket's quadratic pair blowup disappears, and its",
-        "members remain covered by the exact-dedup hash pass.",
+        "The LSH bucket_cap and SemDeDup cluster_cap rows are the ones that",
+        "change COMPLEXITY, not layout: the hot block's quadratic pair",
+        "blowup disappears.  Over-cap LSH buckets stay covered by the",
+        "exact-dedup hash pass; over-cap SemDeDup clusters keep all members",
+        "(conservative — re-run the flagged cluster with more clusters).",
     ]
     Path("SKEW.md").write_text("\n".join(lines) + "\n")
     print("\n".join(lines))
