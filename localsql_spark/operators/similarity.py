@@ -447,11 +447,96 @@ def _drop_over_cap_clusters(tagged: DataFrame, cluster_col: str,
     return tagged.filter(~F.col(cluster_col).isin(over))
 
 
+def _pair_drops(tagged: DataFrame, pair_src: DataFrame, threshold: float,
+                cluster_col: str, backend: str = "gemm") -> DataFrame:
+    """(vid) rows to DROP: the higher id of every same-cluster pair whose
+    round(cosine, 9) >= threshold.  ``tagged`` carries (vid, v, vn, ...) for
+    every vector (rescore side); ``pair_src`` is the cap-filtered subset
+    actually compared.
+
+    Two backends, bit-identical results (property-tested):
+
+    - ``'join'``: cluster-key self-join streaming s² pairs per cluster
+      through the decimal-fold ``cosine_pre`` — pure DataFrame ops, the
+      formulation the DuckDB oracle mirrors line-for-line.  The fold is
+      Catalyst-interpreted (~µs/pair at dim 64), which dominates SemDeDup
+      wall time once clusters hold hundreds of members.
+    - ``'gemm'`` (default): filter-and-verify.  Each cluster's s×d matrix
+      computes all s² cosines in ONE BLAS call inside an Arrow-batched
+      ``applyInPandas`` (ns/pair), keeping pairs with approx cosine >=
+      threshold - 1e-6; the surviving candidates (near-duplicates only — a
+      tiny set for a deduped-rate corpus) are re-scored EXACTLY with the
+      same decimal-fold ``cosine_pre`` before the threshold test, so FP
+      summation order can never flip a boundary pair vs the oracle.  The
+      GEMM error bound (~d·eps plus the 12-dp product rounding, << 1e-9
+      for unit-scale embeddings) is 1000x inside the margin.
+
+    Scale shape of ``'gemm'``: the groupBy ships each cluster ONCE
+    (s rows, same shuffle volume as one join side), and the per-task
+    working set is one cluster's matrix — bounded because SemDeDup keeps
+    expected cluster size constant (k grows with the corpus) and
+    ``cluster_cap`` hard-caps the degenerate case.  The rescore join is
+    candidate-count-sized, not pair-count-sized."""
+    if backend == "gemm":
+        import pandas as pd
+
+        margin = 1e-6
+
+        def per_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            import numpy as np
+            import pandas as pd
+            m = len(pdf)
+            if m < 2:
+                return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                                     "vec_b": pd.Series([], dtype="int64")})
+            ids = pdf["vid"].to_numpy()
+            o = np.argsort(ids)
+            ids = ids[o]
+            V = np.stack([np.asarray(x, dtype=np.float64)
+                          for x in pdf["v"].to_numpy()[o]])
+            nrm = np.linalg.norm(V, axis=1)
+            nrm[nrm == 0] = np.nan  # zero-norm -> NaN cosine -> never kept,
+            # matching _safe_div's NULL semantics in the join backend
+            sims = (V @ V.T) / np.outer(nrm, nrm)
+            iu, ju = np.triu_indices(m, k=1)
+            keep = sims[iu, ju] >= threshold - margin
+            return pd.DataFrame({"vec_a": ids[iu[keep]],
+                                 "vec_b": ids[ju[keep]]})
+
+        cand = (pair_src.select("vid", "v", cluster_col)
+                .groupBy(cluster_col)
+                .applyInPandas(per_cluster, "vec_a long, vec_b long"))
+        ra = tagged.select(F.col("vid").alias("vec_a"),
+                          F.col("v").alias("va"), F.col("vn").alias("na"))
+        rb = tagged.select(F.col("vid").alias("vec_b"),
+                          F.col("v").alias("vb"), F.col("vn").alias("nb"))
+        return (cand.join(ra, "vec_a").join(rb, "vec_b")
+                .select("vec_b",
+                        cosine_pre(F.col("va"), F.col("vb"),
+                                   F.col("na"), F.col("nb")).alias("cos_sim"))
+                .filter(F.col("cos_sim") >= threshold)
+                .select(F.col("vec_b").alias("vid"))
+                .distinct())
+    a = pair_src.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"),
+                        F.col("vn").alias("na"), cluster_col)
+    b = pair_src.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"),
+                        F.col("vn").alias("nb"), cluster_col)
+    return (a.join(b, cluster_col)
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_b",
+                    cosine_pre(F.col("va"), F.col("vb"),
+                               F.col("na"), F.col("nb")).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold)
+            .select(F.col("vec_b").alias("vid"))
+            .distinct())
+
+
 def semdedup_prune(corpus: DataFrame, n_clusters: int = 8,
                    threshold: float = 0.9, n_iter: int = 1,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding",
-                   cluster_cap: int | None = None) -> DataFrame:
+                   cluster_cap: int | None = None,
+                   pair_backend: str = "gemm") -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al., "SemDeDup: Data-efficient
     learning at web-scale through semantic deduplication", arXiv:2303.09540
     — public algorithm): k-means-cluster the embedding space, then compare
@@ -481,18 +566,8 @@ def semdedup_prune(corpus: DataFrame, n_clusters: int = 8,
         .withColumn("vn", norm(F.col("v"))))
     pair_src = (tagged if cluster_cap is None else
                 _drop_over_cap_clusters(tagged, "cluster_id", cluster_cap))
-    a = pair_src.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"),
-                        F.col("vn").alias("na"), "cluster_id")
-    b = pair_src.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"),
-                        F.col("vn").alias("nb"), "cluster_id")
-    drops = (a.join(b, "cluster_id")
-             .filter(F.col("vec_a") < F.col("vec_b"))
-             .select("vec_b",
-                     cosine_pre(F.col("va"), F.col("vb"),
-                                F.col("na"), F.col("nb")).alias("cos_sim"))
-             .filter(F.col("cos_sim") >= threshold)
-             .select(F.col("vec_b").alias("vid"))
-             .distinct())
+    drops = _pair_drops(tagged, pair_src, threshold, "cluster_id",
+                        backend=pair_backend)
     return (tagged.join(drops, "vid", "left_anti")
             .select(F.col("vid").alias(id_col), "cluster_id"))
 
@@ -502,7 +577,8 @@ def semdedup_prune_two_level(corpus: DataFrame, n_clusters: int = 64,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              cluster_cap: int | None = None,
-                             n_probe: int = 1) -> DataFrame:
+                             n_probe: int = 1,
+                             pair_backend: str = "gemm") -> DataFrame:
     """SemDeDup with IVF-accelerated assignment, for corpus-proportional
     cluster counts.
 
@@ -598,18 +674,8 @@ def semdedup_prune_two_level(corpus: DataFrame, n_clusters: int = 64,
                        .withColumn("vn", norm(F.col("v"))))
     pair_src = (t2 if cluster_cap is None else
                 _drop_over_cap_clusters(t2, "fine", cluster_cap))
-    a = pair_src.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"),
-                        F.col("vn").alias("na"), "fine")
-    b = pair_src.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"),
-                        F.col("vn").alias("nb"), "fine")
-    drops = (a.join(b, "fine")
-             .filter(F.col("vec_a") < F.col("vec_b"))
-             .select("vec_b",
-                     cosine_pre(F.col("va"), F.col("vb"),
-                                F.col("na"), F.col("nb")).alias("cos_sim"))
-             .filter(F.col("cos_sim") >= threshold)
-             .select(F.col("vec_b").alias("vid"))
-             .distinct())
+    drops = _pair_drops(t2, pair_src, threshold, "fine",
+                        backend=pair_backend)
     return (t2.join(drops, "vid", "left_anti")
             .select(F.col("vid").alias(id_col),
                     F.col("fine").alias("cluster_id")))

@@ -722,6 +722,45 @@ def test_semdedup_two_level_full_probe_equals_flat(spark):
         r.vec_id for r in single))
 
 
+def test_semdedup_pair_backends_agree(spark):
+    """The GEMM filter-and-verify pair stage must reproduce the join-fold
+    backend exactly — same kept (id, cluster) sets on random data for both
+    the flat and the two-level operator.  The exact-decimal rescore of GEMM
+    candidates is what makes this bit-safe at the threshold boundary."""
+    import random
+
+    from localsql_spark.operators.similarity import (semdedup_prune,
+                                                     semdedup_prune_two_level)
+
+    rng = random.Random(13)
+    # random base vectors plus planted near-duplicate groups so both
+    # above- and below-threshold pairs exist in most clusters
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    rows += [(100 + i, [x + 1e-6 * i for x in rows[i][1]]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    for kwargs in ({"n_clusters": 5, "threshold": 0.9, "n_iter": 1},
+                   {"n_clusters": 5, "threshold": 0.9, "n_iter": 1,
+                    "cluster_cap": 20}):
+        gemm = sorted((r.vec_id, r.cluster_id) for r in
+                      semdedup_prune(df, pair_backend="gemm",
+                                     **kwargs).collect())
+        join = sorted((r.vec_id, r.cluster_id) for r in
+                      semdedup_prune(df, pair_backend="join",
+                                     **kwargs).collect())
+        assert gemm == join, kwargs
+
+    gemm2 = sorted((r.vec_id, r.cluster_id) for r in
+                   semdedup_prune_two_level(df, n_clusters=6, n_coarse=3,
+                                            threshold=0.9, n_probe=2,
+                                            pair_backend="gemm").collect())
+    join2 = sorted((r.vec_id, r.cluster_id) for r in
+                   semdedup_prune_two_level(df, n_clusters=6, n_coarse=3,
+                                            threshold=0.9, n_probe=2,
+                                            pair_backend="join").collect())
+    assert gemm2 == join2
+
+
 def test_signature_store_compaction_preserves_content(spark, tmp_path):
     """Compaction flattens per-batch subdirectories into part-files with
     identical (doc_id, sig) content; probing after compaction gives the
