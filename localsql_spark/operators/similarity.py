@@ -505,7 +505,14 @@ def _pair_drops(tagged: DataFrame, pair_src: DataFrame, threshold: float,
 
         cand = (pair_src.select("vid", "v", cluster_col)
                 .groupBy(cluster_col)
-                .applyInPandas(per_cluster, "vec_a long, vec_b long"))
+                .applyInPandas(per_cluster, "vec_a long, vec_b long")
+                # one big cluster emits ALL its candidates from a single
+                # task — without this narrow re-shuffle the exact rescore's
+                # decimal folds run on one core in exactly the degenerate
+                # case (measured 132s vs 12s for a 2M-candidate planted
+                # mega-cluster).  Sane corpora emit few candidates and AQE
+                # coalesces the shuffle away.
+                .repartition(F.col("vec_a"), F.col("vec_b")))
         ra = tagged.select(F.col("vid").alias("vec_a"),
                           F.col("v").alias("va"), F.col("vn").alias("na"))
         rb = tagged.select(F.col("vid").alias("vec_b"),

@@ -273,7 +273,12 @@ def main() -> None:
         "turns quadratic when k tracks N); the coarse-quantizer routing",
         "(`semdedup_prune_two_level`) brings it back to the linear band",
         "at a higher constant — flat stays the right choice for small",
-        "fixed k.",
+        "fixed k.  The pair stage is the GEMM filter-and-verify backend",
+        "(similarity._pair_drops): before it, the interpreted per-pair",
+        "fold dominated and the 16x step read 3.6x (55.5s wall); the",
+        "per-cluster BLAS pass with exact decimal rescore of candidates",
+        "cut that to the assignment-bound numbers below (bit-identical",
+        "kept sets, property-tested).",
         "",
         "`incremental_store` times ONLY the daily probe (the store write",
         "is yesterday's run).  Its growth tracks the CORPUS, not the",

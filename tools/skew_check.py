@@ -142,7 +142,11 @@ def main() -> None:
         "(4,000 = 2,000 real + 2,000 planted; real clusters prune nothing",
         "at threshold 0.95 — near-uniform random embeddings — so the kept",
         "delta is exactly the flagged mega-cluster's conservative keep-all,",
-        "and the wall delta is its removed quadratic pair block.)",
+        "and the wall delta is its removed quadratic pair block.  The",
+        "uncapped row is the GEMM backend's worst case: a mega-cluster",
+        "defeats the filter-and-verify prefilter — every pair IS a",
+        "candidate — so the exact rescore pays the full quadratic fold",
+        "set anyway; cluster_cap is the guard that matters.)",
         "",
     ]
 
