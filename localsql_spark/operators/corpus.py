@@ -1,0 +1,224 @@
+"""Corpus-preparation operators for training-data pipelines: sequence
+chunking, repeated-span (substring-level) duplication analysis, corpus
+unigram language-model scoring, and one-pass column profiling.
+
+These extend the reference's surface (localsql has no corpus tooling —
+its entire relational layer is a SQLite delegate, localsql/localsql.py:230)
+with the operations a 100 TB LLM-data pipeline runs between ingest and
+tokenization.  Every function is pure DataFrame composition — row-local
+expressions plus the minimum number of key shuffles — and every workload
+query built on them carries an exact DuckDB oracle (portable md5 hashing,
+decimal-summed reductions), so the correctness gate checks the real
+algorithm.
+
+Span-level dedup follows the observation of Lee et al., "Deduplicating
+Training Data Makes Language Models Better" (arXiv:2107.06499): document-
+level near-dup misses long verbatim substrings shared across otherwise-
+distinct documents; scanning fixed-length token windows catches them.
+Their suffix-array construction is replaced by a rolling window + hash
+groupBy — the Spark-native formulation with the same detection semantics
+for windows of the chosen length, and embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from localsql_spark.operators import text as T
+
+
+def _tokens(text: Column) -> Column:
+    """Normalized whitespace tokens — the corpus-wide tokenization shared
+    with the shingle/minhash family (operators.text.normalize_text)."""
+    return F.split(T.normalize_text(text), " ")
+
+
+# ---------------------------------------------------------------------------
+# Sequence chunking
+# ---------------------------------------------------------------------------
+
+def chunk_documents(docs: DataFrame, chunk: int = 64, overlap: int = 16,
+                    doc_id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split each document into fixed-size token windows with overlap — the
+    training-sequence preparation step between cleaning and tokenization
+    (the stride-chunking HuggingFace/Megatron pipelines apply before
+    packing).
+
+    One row per (doc, chunk): ``doc_id, chunk_id, n_tok, chunk_hash`` where
+    ``chunk_hash`` is the md5 of the space-joined chunk tokens (portable:
+    the DuckDB oracle reproduces it bit-for-bit).
+
+    Scale shape: entirely row-local — tokenize, compute the chunk count
+    arithmetically, explode a bounded index sequence, slice.  Zero
+    shuffles, linear in total tokens, embarrassingly parallel at any
+    corpus size.  Short documents produce exactly one (possibly short)
+    chunk, so no document is silently dropped.
+    """
+    step = chunk - overlap
+    if step <= 0:
+        raise ValueError("chunk must exceed overlap")
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n.cast("double") - overlap) / step), F.lit(1)).cast("int")
+    out = (docs.select(doc_id_col, toks.alias("toks"),
+                       F.explode(F.sequence(F.lit(0), n_chunks - 1))
+                       .alias("chunk_id")))
+    sl = F.slice(F.col("toks"), F.col("chunk_id") * step + 1, chunk)
+    return out.select(
+        doc_id_col, "chunk_id",
+        F.size(sl).cast("long").alias("n_tok"),
+        F.md5(F.concat_ws(" ", sl)).alias("chunk_hash"))
+
+
+# ---------------------------------------------------------------------------
+# Repeated-span (substring-level) duplication
+# ---------------------------------------------------------------------------
+
+def repeated_spans(docs: DataFrame, span: int = 8, min_docs: int = 2,
+                   doc_id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Token windows of length ``span`` that occur verbatim in at least
+    ``min_docs`` DISTINCT documents — substring-level duplication that
+    document-level MinHash misses (arXiv:2107.06499: boilerplate headers,
+    license blocks, templated paragraphs shared across documents).
+
+    Returns one row per duplicated span: ``span_hash, n_docs,
+    n_occurrences, first_doc, last_doc``.
+
+    Scale shape: the rolling window is row-local (explode over a bounded
+    index sequence — O(tokens) rows, no joins); the single shuffle is the
+    groupBy on the 128-bit span hash, where map-side partial aggregation
+    collapses within-partition repeats before the exchange.  The output is
+    filtered to cross-document spans, so downstream consumers (masking,
+    span-removal) join a small table back, not the full span stream.
+    """
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    idx = F.when(n >= span, F.sequence(F.lit(0), n - span)
+                 ).otherwise(F.array().cast("array<int>"))
+    spans = (docs.select(doc_id_col, toks.alias("toks"),
+                         F.explode(idx).alias("pos"))
+             .select(doc_id_col,
+                     F.md5(F.concat_ws(
+                         " ", F.slice(F.col("toks"), F.col("pos") + 1, span)))
+                     .alias("span_hash")))
+    return (spans.groupBy("span_hash")
+            .agg(F.countDistinct(doc_id_col).alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_occurrences"),
+                 F.min(doc_id_col).alias("first_doc"),
+                 F.max(doc_id_col).alias("last_doc"))
+            .filter(F.col("n_docs") >= min_docs))
+
+
+# ---------------------------------------------------------------------------
+# Corpus unigram language-model scoring
+# ---------------------------------------------------------------------------
+
+def unigram_logprob(docs: DataFrame, doc_id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Score each document by its mean per-token corpus unigram
+    log-probability — the cheap statistical-LM quality signal (the CCNet /
+    Wikipedia-LM filtering idea at its simplest: documents whose tokens are
+    globally improbable are disproportionately noise, mojibake, or
+    boilerplate-free gibberish).
+
+    Output: ``doc_id, n_tokens, avg_logprob`` (base-10, higher = more
+    typical of the corpus).
+
+    Two passes over the token stream, two key shuffles total: (1) global
+    word frequencies — groupBy(word) with map-side combine, Zipf-bounded
+    output; (2) re-attach frequencies to the token stream by a word-key
+    join and aggregate per document.  The frequency table is left to
+    Catalyst/AQE to broadcast when it fits (it usually does — vocabulary
+    grows ~O(corpus^0.5) under Heaps' law); at 100 TB with an unbounded
+    vocabulary the same plan degrades gracefully to a repartition join on
+    the word key.
+
+    Determinism: per-word log10 is rounded to 9 decimals and summed as
+    DECIMAL(28,9), so partial-aggregation order (Spark) vs sequential order
+    (DuckDB) cannot perturb the doc-level sum; the one double division is
+    IEEE-deterministic.
+    """
+    words = (docs.select(doc_id_col,
+                         F.explode(_tokens(F.col(text_col))).alias("word"))
+             .filter(F.col("word") != ""))
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    lp = (freq.crossJoin(F.broadcast(total))
+          .select("word",
+                  F.round(F.log10(F.col("cnt").cast("double")
+                                  / F.col("total")), 9)
+                  .cast("decimal(28,9)").alias("lp")))
+    return (words.join(F.broadcast(lp), "word")
+            .groupBy(doc_id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum("lp").alias("_sum_lp"))
+            .select(doc_id_col, "n_tokens",
+                    F.round(F.col("_sum_lp").cast("double")
+                            / F.col("n_tokens"), 6).alias("avg_logprob")))
+
+
+# ---------------------------------------------------------------------------
+# One-pass column profiling
+# ---------------------------------------------------------------------------
+
+def profile_columns(df: DataFrame,
+                    cols: list[tuple[str, str]]) -> DataFrame:
+    """Data-quality profile of a table in ONE aggregation pass: per column,
+    null count, exact distinct count, and canonical min/max.
+
+    ``cols`` is a list of (column_name, kind) with kind in ``num`` (any
+    numeric — min/max surfaced as rounded doubles), ``str`` (min/max as-is)
+    or ``date`` (min/max formatted yyyy-MM-dd) — canonical forms chosen so
+    every engine renders the same value (raw double→string or
+    timestamp→string formatting is engine-specific; these are not).
+
+    Output: one row per column — ``col_name, n_nulls, n_distinct, min_num,
+    max_num, min_str, max_str`` (the num/str pair not applicable to the
+    column's kind is NULL).
+
+    Scale shape: a single global aggregate; the multiple COUNT(DISTINCT)s
+    compile to one Expand + two-phase hash aggregate (rows × |cols|
+    intermediate, map-side partial), then the one-row result is exploded
+    row-local into the per-column layout.  No per-column scans, no driver
+    loop — profiling cost is one pass over the table regardless of how
+    many columns are profiled.
+    """
+    aggs: list[Column] = []
+    for name, kind in cols:
+        c = F.col(name)
+        aggs.append(F.count(F.when(c.isNull(), 1)).alias(f"__nn_{name}"))
+        aggs.append(F.countDistinct(c).alias(f"__nd_{name}"))
+        if kind == "num":
+            aggs.append(F.round(F.min(c).cast("double"), 4)
+                        .alias(f"__mn_{name}"))
+            aggs.append(F.round(F.max(c).cast("double"), 4)
+                        .alias(f"__mx_{name}"))
+        elif kind == "date":
+            aggs.append(F.date_format(F.min(c), "yyyy-MM-dd")
+                        .alias(f"__mn_{name}"))
+            aggs.append(F.date_format(F.max(c), "yyyy-MM-dd")
+                        .alias(f"__mx_{name}"))
+        else:
+            aggs.append(F.min(c).cast("string").alias(f"__mn_{name}"))
+            aggs.append(F.max(c).cast("string").alias(f"__mx_{name}"))
+    one = df.agg(*aggs)
+    structs = []
+    for name, kind in cols:
+        is_num = kind == "num"
+        structs.append(F.struct(
+            F.lit(name).alias("col_name"),
+            F.col(f"__nn_{name}").cast("long").alias("n_nulls"),
+            F.col(f"__nd_{name}").cast("long").alias("n_distinct"),
+            (F.col(f"__mn_{name}") if is_num else F.lit(None)
+             .cast("double")).alias("min_num"),
+            (F.col(f"__mx_{name}") if is_num else F.lit(None)
+             .cast("double")).alias("max_num"),
+            (F.lit(None).cast("string") if is_num
+             else F.col(f"__mn_{name}")).alias("min_str"),
+            (F.lit(None).cast("string") if is_num
+             else F.col(f"__mx_{name}")).alias("max_str")))
+    return one.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

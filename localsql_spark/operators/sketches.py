@@ -276,3 +276,67 @@ def quantile_estimates_by(sketch: DataFrame,
             .filter(F.col("rn")
                     == F.floor(F.col("q") * (F.col("n") - 1)) + 1)
             .select("grp", "q", F.col("v").alias("estimate")))
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra (union / intersection over register tables)
+# ---------------------------------------------------------------------------
+
+def _estimate_from_regs(regs: DataFrame) -> DataFrame:
+    """One-row (n_buckets_seen, estimate) from a register table — the same
+    alpha*m^2 / sum(2^-M_j) arithmetic as :func:`hll_estimate`, factored so
+    merged (union) register tables can be estimated too."""
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("seen"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m_rank"))).alias("present_sum"))
+    m = float(HLL_M)
+    seen = F.col("seen").cast("double")
+    denom = F.col("present_sum") + (F.lit(m) - seen)
+    raw = F.lit(HLL_ALPHA * m * m) / denom
+    zeros = F.lit(m) - seen
+    est = F.when((raw <= 2.5 * m) & (zeros > 0),
+                 F.lit(m) * F.log(F.lit(m) / zeros)).otherwise(raw)
+    return agg.select(F.col("seen").cast("long").alias("n_buckets_seen"),
+                      F.coalesce(F.round(est, 6), F.lit(0.0))
+                      .alias("estimate"))
+
+
+def hll_set_estimates(df: DataFrame, col: str, group_col: str,
+                      group_a: str, group_b: str) -> DataFrame:
+    """Distinct-count set algebra WITHOUT touching raw data twice: build
+    per-group HLL registers once, then |A|, |B|, |A ∪ B| (per-bucket max of
+    the two register tables — the standard HLL merge), and |A ∩ B| by
+    inclusion-exclusion.  This is how a pipeline answers "how many users
+    overlap between source A and source B?" at 100 TB: the registers are
+    256 rows per group whatever the input size, so the entire set algebra
+    runs on broadcast-size state after one scan + one fixed-fan-in shuffle.
+
+    Output: one row — ``est_a, est_b, est_union, est_intersect`` (the
+    intersection clamped at >= 0; inclusion-exclusion on estimates can go
+    marginally negative for near-disjoint sets).
+    """
+    df = df.filter(F.col(col).isNotNull()
+                   & F.col(group_col).isin(group_a, group_b))
+    h = _hash32(F.col(col))
+    bucket = (h % HLL_M).alias("bucket")
+    suffix = F.shiftright(h, HLL_B)
+    width = 32 - HLL_B
+    rank = F.when(suffix == 0, width + 1).otherwise(
+        width - F.floor(F.log2(suffix.cast("double"))).cast("int"))
+    regs = (df.select(F.col(group_col).alias("grp"), bucket,
+                      rank.cast("int").alias("rank"))
+            .groupBy("grp", "bucket").agg(F.max("rank").alias("m_rank")))
+    regs = regs.persist()
+    est_a = _estimate_from_regs(regs.filter(F.col("grp") == group_a)) \
+        .select(F.col("estimate").alias("est_a"))
+    est_b = _estimate_from_regs(regs.filter(F.col("grp") == group_b)) \
+        .select(F.col("estimate").alias("est_b"))
+    merged = (regs.groupBy("bucket").agg(F.max("m_rank").alias("m_rank")))
+    est_u = _estimate_from_regs(merged) \
+        .select(F.col("estimate").alias("est_union"))
+    out = (est_a.crossJoin(est_b).crossJoin(est_u)
+           .select("est_a", "est_b", "est_union",
+                   F.round(F.greatest(
+                       F.col("est_a") + F.col("est_b") - F.col("est_union"),
+                       F.lit(0.0)), 6).alias("est_intersect")))
+    return out

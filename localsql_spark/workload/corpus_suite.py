@@ -1,0 +1,210 @@
+"""Round-5 corpus-preparation queries: sequence chunking, substring-level
+(repeated-span) duplication, corpus unigram-LM scoring, one-pass column
+profiling, and HLL set algebra — the between-ingest-and-tokenization
+operations of an LLM training-data pipeline, each with an exact DuckDB
+oracle (portable md5 hashing, decimal-summed reductions).
+
+Extends the reference (localsql has no corpus tooling; its relational layer
+is the SQLite delegate at localsql/localsql.py:230) along the same axis as
+workload.extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from localsql_spark.workload import load, query
+
+# Shared DuckDB fragment: normalized text -> whitespace tokens, mirroring
+# operators.corpus._tokens (= split(normalize_text(text), ' ')).
+_TOK_CTE = r"""
+norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+         FROM documents),
+tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm)
+"""
+
+
+@query("chunk_documents_64_16", oracle=f"""
+WITH {_TOK_CTE.strip()},
+nc AS (SELECT doc_id, toks,
+              greatest(CAST(ceil((CAST(len(toks) AS DOUBLE) - 16) / 48)
+                            AS INT), 1) AS n_chunks
+       FROM tok)
+SELECT doc_id, CAST(i AS INT) AS chunk_id,
+       CAST(len(list_slice(toks, i*48 + 1, i*48 + 64)) AS BIGINT) AS n_tok,
+       md5(array_to_string(list_slice(toks, i*48 + 1, i*48 + 64), ' '))
+         AS chunk_hash
+FROM nc, UNNEST(range(n_chunks)) u(i)
+""")
+def chunk_documents_64_16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride chunking (operators.corpus.chunk_documents): every document
+    split into 64-token windows with 16-token overlap — the training-
+    sequence preparation step before packing/tokenization.  Entirely
+    row-local (tokenize, arithmetic chunk count, explode, slice): zero
+    shuffles, linear in total tokens, parallel at any corpus size."""
+    from localsql_spark.operators.corpus import chunk_documents
+
+    docs = load(spark, sf_dir)["documents"]
+    return chunk_documents(docs, chunk=64, overlap=16)
+
+
+@query("dedup_repeated_spans", oracle=f"""
+WITH {_TOK_CTE.strip()},
+sp AS (SELECT doc_id,
+              md5(array_to_string(list_slice(toks, i + 1, i + 8), ' '))
+                AS span_hash
+       FROM tok, UNNEST(range(CASE WHEN len(toks) >= 8
+                                   THEN len(toks) - 7 ELSE 0 END)) u(i))
+SELECT span_hash, count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM sp GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+""")
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication (operators.corpus.repeated_spans,
+    arXiv:2107.06499): 8-token windows appearing verbatim in >= 2 distinct
+    documents — the boilerplate/license-block/templated-paragraph signal
+    document-level MinHash misses.  Rolling window is row-local; the one
+    shuffle is the span-hash groupBy with map-side combine."""
+    from localsql_spark.operators.corpus import repeated_spans
+
+    docs = load(spark, sf_dir)["documents"]
+    return repeated_spans(docs, span=8, min_docs=2)
+
+
+@query("text_unigram_logprob", oracle=f"""
+WITH {_TOK_CTE.strip()},
+w AS (SELECT doc_id, word FROM tok, UNNEST(toks) u(word) WHERE word <> ''),
+freq AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS total FROM freq),
+lp AS (SELECT word,
+              CAST(round(log10(CAST(cnt AS DOUBLE) / total), 9)
+                   AS DECIMAL(28,9)) AS lp
+       FROM freq, tot)
+SELECT doc_id, count(*) AS n_tokens,
+       round(CAST(SUM(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+FROM w JOIN lp USING (word)
+GROUP BY doc_id
+""")
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus unigram-LM document scoring (operators.corpus.
+    unigram_logprob): mean per-token base-10 log-probability under the
+    corpus's own unigram distribution — the cheap CCNet-style statistical
+    quality signal (globally-improbable token streams are noise/mojibake).
+    Two key shuffles (word frequencies, per-doc aggregate); per-word log10
+    rounded to 9 decimals and summed as DECIMAL so aggregation order can't
+    perturb the result."""
+    from localsql_spark.operators.corpus import unigram_logprob
+
+    docs = load(spark, sf_dir)["documents"]
+    return unigram_logprob(docs)
+
+
+@query("profile_orders_columns", oracle="""
+SELECT 'o_orderkey' AS col_name,
+       count(*) FILTER (WHERE o_orderkey IS NULL) AS n_nulls,
+       count(DISTINCT o_orderkey) AS n_distinct,
+       round(CAST(min(o_orderkey) AS DOUBLE), 4) AS min_num,
+       round(CAST(max(o_orderkey) AS DOUBLE), 4) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*) FILTER (WHERE o_custkey IS NULL),
+       count(DISTINCT o_custkey),
+       round(CAST(min(o_custkey) AS DOUBLE), 4),
+       round(CAST(max(o_custkey) AS DOUBLE), 4), NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*) FILTER (WHERE o_orderstatus IS NULL),
+       count(DISTINCT o_orderstatus), NULL, NULL,
+       min(o_orderstatus), max(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*) FILTER (WHERE o_totalprice IS NULL),
+       count(DISTINCT o_totalprice),
+       round(CAST(min(o_totalprice) AS DOUBLE), 4),
+       round(CAST(max(o_totalprice) AS DOUBLE), 4), NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', count(*) FILTER (WHERE o_orderdate IS NULL),
+       count(DISTINCT o_orderdate), NULL, NULL,
+       strftime(min(o_orderdate), '%Y-%m-%d'),
+       strftime(max(o_orderdate), '%Y-%m-%d')
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*) FILTER (WHERE o_orderpriority IS NULL),
+       count(DISTINCT o_orderpriority), NULL, NULL,
+       min(o_orderpriority), max(o_orderpriority)
+FROM orders
+""")
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiling (operators.corpus.profile_columns): per
+    column, null count + exact distinct + canonical min/max, computed in a
+    SINGLE aggregation pass (multi-COUNT(DISTINCT) compiles to one Expand +
+    two-phase hash aggregate), then exploded row-local into the per-column
+    layout — profiling cost is one table scan however many columns are
+    profiled, no driver loop."""
+    from localsql_spark.operators.corpus import profile_columns
+
+    orders = load(spark, sf_dir)["orders"]
+    return profile_columns(orders, [
+        ("o_orderkey", "num"), ("o_custkey", "num"),
+        ("o_orderstatus", "str"), ("o_totalprice", "num"),
+        ("o_orderdate", "date"), ("o_orderpriority", "str")])
+
+
+def _hll_overlap_oracle() -> str:
+    from localsql_spark.operators.sketches import HLL_ALPHA, HLL_B, HLL_M
+
+    m, w = HLL_M, 32 - HLL_B
+
+    def est(src: str) -> str:
+        return (f"round(CASE WHEN ({HLL_ALPHA * m * m!r} / ({src}.ps + ({m} "
+                f"- {src}.seen))) <= {2.5 * m} AND ({m} - {src}.seen) > 0 "
+                f"THEN {m} * ln({float(m)!r} / ({m} - {src}.seen)) "
+                f"ELSE {HLL_ALPHA * m * m!r} / ({src}.ps + ({m} - {src}.seen))"
+                f" END, 6)")
+
+    return f"""
+WITH h AS (SELECT event_type AS grp,
+                  CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) AS h
+           FROM events
+           WHERE user_id IS NOT NULL
+             AND event_type IN ('click', 'purchase')),
+r AS (SELECT grp, h % {m} AS bucket,
+             CASE WHEN (h >> {HLL_B}) = 0 THEN {w + 1}
+                  ELSE {w} - CAST(floor(log2(CAST(h >> {HLL_B} AS DOUBLE)))
+                                  AS INT) END AS rank
+      FROM h),
+regs AS (SELECT grp, bucket, max(rank) AS m_rank FROM r GROUP BY 1, 2),
+ga AS (SELECT count(*) AS seen, SUM(pow(2.0, -m_rank)) AS ps
+       FROM regs WHERE grp = 'click'),
+gb AS (SELECT count(*) AS seen, SUM(pow(2.0, -m_rank)) AS ps
+       FROM regs WHERE grp = 'purchase'),
+mg AS (SELECT bucket, max(m_rank) AS m_rank FROM regs GROUP BY 1),
+gu AS (SELECT count(*) AS seen, SUM(pow(2.0, -m_rank)) AS ps FROM mg),
+ests AS (SELECT {est('ga')} AS est_a, {est('gb')} AS est_b,
+                {est('gu')} AS est_union
+         FROM ga, gb, gu)
+SELECT est_a, est_b, est_union,
+       round(greatest(est_a + est_b - est_union, 0.0), 6) AS est_intersect
+FROM ests
+"""
+
+
+@query("hll_user_overlap", oracle=_hll_overlap_oracle())
+def hll_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra (operators.sketches.hll_set_estimates): distinct
+    users of 'click' vs 'purchase', their union (per-bucket max register
+    merge — the standard distributed-HLL property) and intersection
+    (inclusion-exclusion, clamped at 0).  One scan + one fixed-fan-in
+    shuffle builds the registers; the entire set algebra then runs on
+    <= 256-row broadcast-size state — the "how many users overlap between
+    sources?" question at 100 TB."""
+    from localsql_spark.operators.sketches import hll_set_estimates
+
+    ev = load(spark, sf_dir)["events"]
+    return hll_set_estimates(ev, "user_id", "event_type",
+                             "click", "purchase")

@@ -938,3 +938,97 @@ def test_grouped_quantile_sketch_merge_equals_sketch_of_union(spark):
         (sa.unionByName(sb).withColumn("__rn", F.row_number().over(w))
          .filter(F.col("__rn") <= k).drop("__rn")).collect())
     assert merged == union_sketch and len(union_sketch) == 3 * k
+
+
+# ---------------------------------------------------------------------------
+# Corpus-preparation operators (operators/corpus.py)
+# ---------------------------------------------------------------------------
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_documents_covers_all_tokens_with_overlap(spark):
+    """Chunks tile the token stream with the requested stride: chunk i
+    starts at i*(chunk-overlap); concatenating each chunk's NON-overlap
+    prefix plus the last chunk reconstructs the document."""
+    from localsql_spark.operators.corpus import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(100))
+    out = (chunk_documents(_docs_df(spark, [(1, text)]),
+                           chunk=32, overlap=8)
+           .orderBy("chunk_id").collect())
+    # n=100, step=24 -> ceil((100-8)/24)=4 chunks
+    assert [r.chunk_id for r in out] == [0, 1, 2, 3]
+    # every chunk except the last is full-size; the last covers the tail
+    assert [r.n_tok for r in out] == [32, 32, 32, 100 - 3 * 24]
+    # short doc: exactly one chunk, nothing dropped
+    short = chunk_documents(_docs_df(spark, [(2, "a b c")]),
+                            chunk=32, overlap=8).collect()
+    assert len(short) == 1 and short[0].n_tok == 3
+
+
+def test_repeated_spans_flags_cross_doc_span_only(spark):
+    """A verbatim 8-token run shared by two docs is reported; a span
+    repeated only WITHIN one doc is not (min_docs=2)."""
+    from localsql_spark.operators.corpus import repeated_spans
+
+    shared = " ".join(f"s{i}" for i in range(8))
+    inner = " ".join(f"r{i}" for i in range(8))
+    rows = [(1, f"alpha beta {shared} gamma"),
+            (2, f"delta {shared} epsilon zeta"),
+            (3, f"{inner} filler one two three four five six {inner}")]
+    out = repeated_spans(_docs_df(spark, rows), span=8, min_docs=2).collect()
+    assert len(out) >= 1
+    docs = {(r.first_doc, r.last_doc) for r in out}
+    assert (1, 2) in docs            # the cross-doc span
+    assert all(not (r.first_doc == 3 and r.last_doc == 3) for r in out)
+
+
+def test_unigram_logprob_ranks_common_words_higher(spark):
+    """A document of corpus-frequent words outscores one of hapaxes, and
+    every logprob is <= 0."""
+    from localsql_spark.operators.corpus import unigram_logprob
+
+    rows = [(i, "the cat sat on the mat") for i in range(1, 10)]
+    rows.append((100, "zyx qwv jkl pqr"))
+    out = {r.doc_id: r.avg_logprob
+           for r in unigram_logprob(_docs_df(spark, rows)).collect()}
+    assert out[1] > out[100]
+    assert all(v <= 0 for v in out.values())
+
+
+def test_profile_columns_counts_nulls_and_distinct(spark):
+    from localsql_spark.operators.corpus import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")],
+        "k long, s string")
+    prof = {r.col_name: r for r in
+            profile_columns(df, [("k", "num"), ("s", "str")]).collect()}
+    assert prof["k"].n_nulls == 1 and prof["k"].n_distinct == 2
+    assert prof["k"].min_num == 1.0 and prof["k"].max_num == 2.0
+    assert prof["k"].min_str is None
+    assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
+    assert prof["s"].min_str == "a" and prof["s"].max_str == "b"
+    assert prof["s"].min_num is None
+
+
+def test_hll_set_estimates_disjoint_and_identical(spark):
+    """Disjoint groups: union ~ |A|+|B| and intersection ~ 0.  Identical
+    groups: union == |A| estimate and intersection == |A| estimate (the
+    register tables are equal, so the merge is exact)."""
+    from localsql_spark.operators.sketches import hll_set_estimates
+
+    disjoint = spark.createDataFrame(
+        [(i, "a") for i in range(500)] + [(i + 10_000, "b")
+                                          for i in range(500)],
+        "user_id long, grp string")
+    r = hll_set_estimates(disjoint, "user_id", "grp", "a", "b").collect()[0]
+    assert r.est_union > max(r.est_a, r.est_b) * 1.5
+    assert r.est_intersect < 0.15 * r.est_union
+    same = spark.createDataFrame(
+        [(i, g) for i in range(500) for g in ("a", "b")],
+        "user_id long, grp string")
+    r2 = hll_set_estimates(same, "user_id", "grp", "a", "b").collect()[0]
+    assert r2.est_a == r2.est_b == r2.est_union == r2.est_intersect
