@@ -71,7 +71,19 @@ def main() -> None:
     from localsql_spark.session import get_spark
     from localsql_spark.workload import all_queries, load
 
-    spark = get_spark(app_name="localsql_spark_bench")
+    # Fixed, pre-touched heap: with the default growable heap, the JVM's
+    # incremental expansion under cache/shuffle pressure shows up as kernel
+    # page-fault storms MID-QUERY (profiled: slow runs carry 60% system CPU
+    # and swing 1.7s -> 9.8s on the same query; with -Xms=-Xmx and
+    # AlwaysPreTouch, sys% drops to ~2% and every post-first run lands
+    # within noise of steady state).  The zeroing cost moves to session
+    # startup, BEFORE timing starts — exactly where a long-lived engine
+    # pays it.  Heap size stays env-overridable for the scale harness.
+    heap = os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "16g")
+    spark = get_spark(app_name="localsql_spark_bench", extra_conf={
+        "spark.driver.memory": heap,
+        "spark.driver.extraJavaOptions": f"-Xms{heap} -XX:+AlwaysPreTouch",
+    })
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
     load(spark, sf_dir)  # triggers one-time ns->us normalization pre-timing
@@ -95,12 +107,12 @@ def main() -> None:
      .agg(F.sum("s"), F.max("rn")).collect())
     (spark.range(0, 1000).mapInPandas(lambda it: it, "id long").count())
     # minhash/simhash folds run on Catalyst's INTERPRETED higher-order-
-    # function path (ArrayAggregate/ZipWith are codegen-fallback); the JVM
-    # C2-compiles that eval loop only after real use, and the first two
-    # executions of the full-size expression pay ~6-13s of warmup at sf0.1
-    # (measured 17s -> 7.8s -> 1.7s steady state).  Warm it on 64 synthetic
-    # rows — JIT the expression classes, cache no benchmark data — so the
-    # timed runs measure the steady state a long-lived engine delivers.
+    # function path (ArrayAggregate/ZipWith are codegen-fallback); warm the
+    # expression classes on 64 synthetic rows (no benchmark data touched).
+    # NOTE (round 5 profile): this JIT warmup is a minor effect — the
+    # dominant first-run cost is one-time plan/codegen compilation, and the
+    # mid-run swings were heap-growth page faults, fixed by the pre-touched
+    # fixed heap above.
     from localsql_spark.operators.dedup import minhash_signature, simhash32
     warm_txt = F.concat_ws(" ", *[F.concat(F.lit(f"w{i}"), (F.col("id") % 7)
                                            .cast("string"))
