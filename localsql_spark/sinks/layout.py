@@ -88,3 +88,86 @@ def compact_parquet(spark: SparkSession, path: str | Path,
     staging.rename(path)
     shutil.rmtree(old)
     return len([p for p in path.glob("*.parquet")])
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 8  # 256 cells per dimension — matches parquet row-group grain
+
+
+def zvalue(x, y, x_min, x_max, y_min, y_max, bits: int = ZORDER_BITS):
+    """Morton-interleaved z-value of two numeric columns, each min-max
+    quantized to ``bits`` bits.  Pure closed-form column arithmetic
+    (quantize -> unrolled bit interleave), identical in any engine — the
+    DuckDB oracle reproduces it bit-for-bit.
+
+    ``x_min``..``y_max`` are plain Python numbers (one tiny pre-aggregate
+    supplies them), so the expression stays literal and codegen-friendly —
+    no join against a stats frame in the hot path."""
+    from pyspark.sql import functions as F
+
+    def quant(c, lo, hi):
+        span = (hi - lo) + 1e-9
+        return F.least(
+            F.floor((c.cast("double") - float(lo)) * (1 << bits) / span),
+            F.lit((1 << bits) - 1)).cast("long")
+
+    qx, qy = quant(x, x_min, x_max), quant(y, y_min, y_max)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (z
+             + F.shiftleft(F.shiftright(qx, i).bitwiseAND(1), 2 * i)
+             + F.shiftleft(F.shiftright(qy, i).bitwiseAND(1), 2 * i + 1))
+    return z
+
+
+def write_zordered(df: DataFrame, path: str | Path, x_col: str, y_col: str,
+                   n_files: int = 8, bits: int = ZORDER_BITS) -> None:
+    """Z-order-clustered parquet write: rows are range-partitioned and
+    sorted by the Morton interleave of (x_col, y_col), so parquet min/max
+    stats become selective for range predicates on EITHER column — the
+    multi-dimensional generalization of ``sort_cols`` clustering that
+    single-column sorting cannot give (sorting by x leaves y scattered
+    across every file).
+
+    At 100 TB this is the layout lever for tables scanned by two
+    independent keys (user x time, part x price): one repartitionByRange
+    shuffle at write time buys planning-time file skipping on both
+    dimensions forever after.  The quantization stats come from one tiny
+    agg on the write path — at scale, substitute known domain bounds to
+    skip even that."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(F.min(x_col).alias("x0"), F.max(x_col).alias("x1"),
+                   F.min(y_col).alias("y0"), F.max(y_col).alias("y1")
+                   ).collect()[0]
+    z = zvalue(F.col(x_col), F.col(y_col), stats.x0, stats.x1,
+               stats.y0, stats.y1, bits)
+    (df.withColumn("__z", z)
+     .repartitionByRange(n_files, "__z")
+     .sortWithinPartitions("__z")
+     .drop("__z")
+     .write.mode("overwrite").parquet(str(path)))
+
+
+def file_skip_ratio(path: str | Path, col: str, lo, hi) -> tuple[int, int]:
+    """(files that a [lo, hi] range predicate on ``col`` must read, total
+    files) according to parquet footer min/max — the planning-time skipping
+    a stats-aware reader achieves on this layout.  Footer-only inspection
+    (pyarrow), no data pages touched."""
+    import pyarrow.parquet as pq
+
+    total = read = 0
+    for p in sorted(Path(path).glob("*.parquet")):
+        md = pq.ParquetFile(p).metadata
+        idx = md.schema.names.index(col)
+        f_lo = min(md.row_group(g).column(idx).statistics.min
+                   for g in range(md.num_row_groups))
+        f_hi = max(md.row_group(g).column(idx).statistics.max
+                   for g in range(md.num_row_groups))
+        total += 1
+        if not (f_hi < lo or f_lo > hi):
+            read += 1
+    return read, total

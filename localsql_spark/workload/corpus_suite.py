@@ -208,3 +208,45 @@ def hll_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir)["events"]
     return hll_set_estimates(ev, "user_id", "event_type",
                              "click", "purchase")
+
+
+def _zorder_oracle() -> str:
+    from localsql_spark.sinks.layout import ZORDER_BITS
+
+    b = ZORDER_BITS
+    terms = " + ".join(
+        f"(((qx >> {i}) & 1) << {2 * i}) + (((qy >> {i}) & 1) << {2 * i + 1})"
+        for i in range(b))
+    return f"""
+WITH st AS (SELECT min(o_custkey) AS x0, max(o_custkey) AS x1,
+                   min(o_totalprice) AS y0, max(o_totalprice) AS y1
+            FROM orders),
+q AS (SELECT o_orderkey,
+             CAST(least(floor((CAST(o_custkey AS DOUBLE) - x0) * {1 << b}
+                              / ((x1 - x0) + 1e-9)), {(1 << b) - 1})
+                  AS BIGINT) AS qx,
+             CAST(least(floor((CAST(o_totalprice AS DOUBLE) - y0) * {1 << b}
+                              / ((y1 - y0) + 1e-9)), {(1 << b) - 1})
+                  AS BIGINT) AS qy
+      FROM orders, st)
+SELECT o_orderkey, {terms} AS zval FROM q
+"""
+
+
+@query("zorder_zvalue_orders", oracle=_zorder_oracle())
+def zorder_zvalue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-value computation (sinks.layout.zvalue): every order's
+    interleaved (o_custkey, o_totalprice) cell id — the clustering key
+    write_zordered sorts by so parquet min/max stats skip files for range
+    predicates on EITHER dimension.  Closed-form quantize + unrolled bit
+    interleave: pure codegen arithmetic, no joins, no shuffles beyond the
+    one-row stats pre-aggregate."""
+    from localsql_spark.sinks.layout import zvalue
+
+    orders = load(spark, sf_dir)["orders"]
+    st = orders.agg(F.min("o_custkey"), F.max("o_custkey"),
+                    F.min("o_totalprice"), F.max("o_totalprice")
+                    ).collect()[0]
+    z = zvalue(F.col("o_custkey"), F.col("o_totalprice"),
+               st[0], st[1], st[2], st[3])
+    return orders.select("o_orderkey", z.alias("zval"))

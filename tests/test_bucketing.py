@@ -130,3 +130,36 @@ def test_compact_parquet_recovers_from_crash_states(spark, tmp_path):
     compact_parquet(spark, t, target_mb=128)
     assert spark.read.parquet(str(t)).count() == 1000
     assert not old.exists() and not staging.exists()
+
+
+def test_zorder_write_skips_files_on_both_dimensions(spark, tmp_path):
+    """Z-order clustering makes parquet footer min/max selective for range
+    predicates on EITHER dimension; a single-column sort leaves the second
+    dimension scattered across every file."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.sinks.layout import file_skip_ratio, write_zordered
+
+    n = 20_000
+    df = (spark.range(n)
+          .select((F.col("id") % 997).alias("x"),
+                  (F.col("id") * 131 % 1009).cast("double").alias("y")))
+    zpath, spath = tmp_path / "zorder", tmp_path / "xsort"
+    write_zordered(df, zpath, "x", "y", n_files=8)
+    # comparison layout: sorted by x only, same file count
+    (df.repartitionByRange(8, "x").sortWithinPartitions("x")
+     .write.mode("overwrite").parquet(str(spath)))
+
+    # narrow range on x: both layouts should skip
+    zx = file_skip_ratio(zpath, "x", 0, 99)
+    sx = file_skip_ratio(spath, "x", 0, 99)
+    assert zx[0] < zx[1] and sx[0] < sx[1]
+    # narrow range on y: only the z-ordered layout skips
+    zy = file_skip_ratio(zpath, "y", 0.0, 100.0)
+    sy = file_skip_ratio(spath, "y", 0.0, 100.0)
+    assert zy[0] < zy[1], f"z-order did not skip on y: {zy}"
+    assert sy[0] == sy[1], f"x-sort unexpectedly skipped on y: {sy}"
+    # layouts hold the same rows
+    a = spark.read.parquet(str(zpath)).orderBy("x", "y").collect()
+    b = df.orderBy("x", "y").collect()
+    assert a == b
