@@ -222,3 +222,42 @@ def profile_columns(df: DataFrame,
             (F.lit(None).cast("string") if is_num
              else F.col(f"__mx_{name}")).alias("max_str")))
     return one.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source rebalancing
+# ---------------------------------------------------------------------------
+
+def temperature_mix(docs: DataFrame, alpha: float = 0.5,
+                    source_col: str = "source",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic temperature-rebalanced sampling across sources: each
+    source's keep probability is ``min(1, (c_s / c_min) ** (alpha - 1))``
+    — the smallest source keeps everything, larger sources are downsampled
+    so effective counts scale like ``c_s ** alpha`` (the multilingual /
+    multi-source mixture-temperature recipe: alpha=1 keeps natural
+    proportions, alpha->0 approaches uniform across sources).
+
+    Selection is the reproducible hash-mod idiom (md5-derived rank of
+    ``doc_id`` vs a per-source integer threshold), so the same rows are
+    kept on every engine, every run, every cluster — no RNG state.
+
+    Scale shape: one count-by-source aggregate (tiny), the per-source
+    thresholds broadcast back, one row-local filter.  Output: kept rows as
+    ``(doc_id, source, thr)`` where ``thr`` is the per-source threshold in
+    parts-per-million.
+    """
+    from localsql_spark.operators import hash32
+
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("c"))
+    cmin = counts.agg(F.min("c").alias("mc"))
+    rates = (counts.crossJoin(F.broadcast(cmin))
+             .select(source_col,
+                     F.floor(F.least(
+                         F.lit(1.0),
+                         F.pow(F.col("c").cast("double") / F.col("mc"),
+                               alpha - 1.0)) * 1_000_000)
+                     .cast("long").alias("thr")))
+    return (docs.join(F.broadcast(rates), source_col)
+            .filter(hash32(F.col(id_col)) % 1_000_000 < F.col("thr"))
+            .select(id_col, source_col, "thr"))

@@ -664,3 +664,48 @@ def pairs_touching_new(sig_corpus: DataFrame, sig_new: DataFrame,
             .select("doc_a", "doc_b",
                     (matches.cast("double") / n).alias("est_jaccard"))
             .filter(F.col("est_jaccard") >= threshold))
+
+
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", block_col: str = "lang",
+                      threshold: float = 0.6,
+                      df_cap: int | None = None) -> DataFrame:
+    """Shingle CONTAINMENT for pairs sharing a blocking key: |A ∩ B| /
+    min(|A|, |B|) over distinct 3-word shingles — the asymmetric near-dup
+    measure that catches a short document embedded verbatim inside a long
+    one (quote farms, aggregator pages, doc+boilerplate wrappers), which
+    symmetric Jaccard scores near 0 when the size ratio is large
+    (Broder's containment measure, the same resemblance/containment split
+    as the original MinHash paper).
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` — shuffle on
+    shingle, intersection falls out of a groupBy, O(n²) never
+    materializes; ``df_cap`` drops degenerate shingles.  Returns
+    (doc_a, doc_b, containment).
+    """
+    from pyspark.sql import Window
+
+    sh = spread(df).select(F.col(id_col).alias("doc_id"),
+                           F.col(block_col).alias("blk"),
+                           F.explode(word_shingles(F.col(text_col), 3))
+                           .alias("s"))
+    if df_cap is not None:
+        sh = (sh.withColumn("df", F.count(F.lit(1))
+                            .over(Window.partitionBy("s")))
+              .filter(F.col("df") <= df_cap).drop("df"))
+    sh = track_persist(
+        sh.withColumn("n", F.count(F.lit(1))
+                      .over(Window.partitionBy("doc_id"))))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "blk", "s",
+                  F.col("n").alias("na"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), "blk", "s",
+                  F.col("n").alias("nb"))
+    return (a.join(b, ["blk", "s"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("i"),
+                 F.min("na").alias("na"), F.min("nb").alias("nb"))
+            .select("doc_a", "doc_b",
+                    (F.col("i").cast("double")
+                     / F.least("na", "nb")).alias("containment"))
+            .filter(F.col("containment") >= threshold))

@@ -250,3 +250,104 @@ def zorder_zvalue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = zvalue(F.col("o_custkey"), F.col("o_totalprice"),
                st[0], st[1], st[2], st[3])
     return orders.select("o_orderkey", z.alias("zval"))
+
+
+@query("dedup_containment_pairs", oracle=r"""
+WITH norm AS (SELECT doc_id, lang,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM documents),
+tok AS (SELECT doc_id, lang, string_split(t, ' ') AS toks FROM norm),
+sh AS (SELECT DISTINCT doc_id, lang,
+              concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]) AS s
+       FROM tok, UNNEST(range(greatest(len(toks) - 2, 1))) u(i)),
+n AS (SELECT doc_id, lang, s, count(*) OVER (PARTITION BY doc_id) AS n
+      FROM sh)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS DOUBLE) / least(min(a.n), min(b.n)) AS containment
+FROM n a JOIN n b ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING CAST(count(*) AS DOUBLE) / least(min(a.n), min(b.n)) >= 0.6
+""")
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle containment |A∩B|/min(|A|,|B|) (operators.dedup.
+    containment_pairs, Broder's containment measure): the asymmetric
+    near-dup check that catches a short document embedded verbatim in a
+    long one — symmetric Jaccard scores such pairs near 0.  Inverted-index
+    self-join blocked by lang; intersection counts fall out of a groupBy,
+    O(n²) never materializes."""
+    from localsql_spark.operators.dedup import containment_pairs
+
+    docs = load(spark, sf_dir)["documents"]
+    return containment_pairs(docs, threshold=0.6)
+
+
+@query("mix_sources_temperature", oracle="""
+WITH c AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+m AS (SELECT min(c) AS mc FROM c),
+r AS (SELECT source,
+             CAST(floor(least(1.0, pow(CAST(c AS DOUBLE) / mc, -0.5))
+                        * 1000000) AS BIGINT) AS thr
+      FROM c, m)
+SELECT d.doc_id, d.source, r.thr
+FROM documents d JOIN r USING (source)
+WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        % 1000000 < r.thr
+""")
+def mix_sources_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced source mixing (operators.corpus.
+    temperature_mix, alpha=0.5): per-source keep probability
+    min(1, (c_s/c_min)^(alpha-1)) so effective counts scale like c^alpha —
+    the multilingual/multi-source mixture recipe between natural
+    proportions (alpha=1) and uniform (alpha->0).  Deterministic hash-mod
+    selection; one tiny count aggregate broadcast back, then a row-local
+    filter."""
+    from localsql_spark.operators.corpus import temperature_mix
+
+    docs = load(spark, sf_dir)["documents"]
+    return temperature_mix(docs, alpha=0.5)
+
+
+@query("corpus_health_by_source", oracle=r"""
+WITH norm AS (
+  SELECT doc_id, source, text,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents),
+q AS (SELECT doc_id, source, md5(t) AS text_hash,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END
+               AS ws_tokens,
+             CAST((length(text) BETWEEN 50 AND 20000) AS INT)
+               + CAST((CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE) / NULLIF(length(text), 0) < 0.10) AS INT)
+               + CAST((CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / NULLIF(length(text), 0) < 0.20) AS INT)
+               + CAST((CAST(length(regexp_replace(t, '\s', '', 'g')) AS DOUBLE) / len(string_split(t, ' ')) BETWEEN 2.0 AND 12.0) AS INT)
+               AS quality
+      FROM norm)
+SELECT source,
+       count(*) AS n_docs,
+       count(*) - count(DISTINCT text_hash) AS n_dup_docs,
+       round(CAST(SUM(quality) AS DOUBLE) / count(*), 6) AS avg_quality,
+       round(CAST(SUM(ws_tokens) AS DOUBLE) / count(*), 6) AS avg_tokens
+FROM q GROUP BY 1
+""")
+def corpus_health_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health dashboard: doc count, exact-duplicate count
+    (docs minus distinct content hashes), mean quality score, mean token
+    count — the monitoring row a pipeline emits per ingest source.  One
+    pass of row-local scoring + a single groupBy(source); integer sums
+    divided once, so aggregation order can't perturb the averages."""
+    from localsql_spark.operators import text as T
+
+    docs = load(spark, sf_dir)["documents"]
+    scored = docs.select(
+        "source",
+        F.md5(T.normalize_text(F.col("text"))).alias("text_hash"),
+        T.token_count_ws(F.col("text")).alias("ws_tokens"),
+        T.quality_score(F.col("text")).alias("quality"))
+    return (scored.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 (F.count(F.lit(1)) - F.countDistinct("text_hash"))
+                 .alias("n_dup_docs"),
+                 F.round(F.sum("quality").cast("double")
+                         / F.count(F.lit(1)), 6).alias("avg_quality"),
+                 F.round(F.sum("ws_tokens").cast("double")
+                         / F.count(F.lit(1)), 6).alias("avg_tokens")))

@@ -1032,3 +1032,43 @@ def test_hll_set_estimates_disjoint_and_identical(spark):
         "user_id long, grp string")
     r2 = hll_set_estimates(same, "user_id", "grp", "a", "b").collect()[0]
     assert r2.est_a == r2.est_b == r2.est_union == r2.est_intersect
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    """A 10-word doc verbatim inside a 200-word doc: containment = 1.0 while
+    Jaccard is tiny — the asymmetric case the operator exists for."""
+    from localsql_spark.operators.dedup import (containment_pairs,
+                                                ngram_jaccard_pairs)
+
+    small = " ".join(f"core{i}" for i in range(10))
+    big = " ".join(f"pad{i}" for i in range(100)) + " " + small + " " + \
+        " ".join(f"tail{i}" for i in range(90))
+    df = spark.createDataFrame([(1, small, "en"), (2, big, "en")],
+                               "doc_id long, text string, lang string")
+    cont = containment_pairs(df, threshold=0.6).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r.doc_a, r.doc_b) == (1, 2) and r.containment == 1.0
+    jac = ngram_jaccard_pairs(df, threshold=0.2).collect()
+    assert jac == []        # symmetric jaccard ~ 8/200 — far below 0.2
+
+
+def test_temperature_mix_thresholds_and_determinism(spark):
+    """alpha=0.5 with sources of 100 vs 400 docs: the small source keeps
+    everything (thr=1e6), the large keeps ~sqrt(1/4)=50% (thr=500000), and
+    the kept set is identical across invocations (hash-mod, no RNG)."""
+    from localsql_spark.operators.corpus import temperature_mix
+
+    rows = [(i, "s") for i in range(100)] + [(1000 + i, "b")
+                                             for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(df, alpha=0.5).collect()
+    thr = {r.source: r.thr for r in out}
+    assert thr["s"] == 1_000_000 and thr["b"] == 500_000
+    kept_s = [r.doc_id for r in out if r.source == "s"]
+    assert len(kept_s) == 100        # smallest source fully kept
+    kept_b = sorted(r.doc_id for r in out if r.source == "b")
+    assert 100 < len(kept_b) < 300   # ~50% of 400, hash-mod variance
+    again = sorted(r.doc_id for r in temperature_mix(df, alpha=0.5).collect()
+                   if r.source == "b")
+    assert kept_b == again

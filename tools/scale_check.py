@@ -83,7 +83,13 @@ def main() -> None:
     from localsql_spark.operators import similarity as S
     from localsql_spark.session import get_spark
 
-    spark = get_spark(app_name="scale_check")
+    import os
+    # fixed pre-touched heap: growable-heap page-fault storms skew growth
+    # ratios exactly like they skewed bench timings (see bench.py)
+    heap = os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "16g")
+    spark = get_spark(app_name="scale_check", extra_conf={
+        "spark.driver.memory": heap,
+        "spark.driver.extraJavaOptions": f"-Xms{heap} -XX:+AlwaysPreTouch"})
     spark.sparkContext.setLogLevel("ERROR")
     root = Path(tempfile.mkdtemp(prefix="scale_check_"))
     print(f"# replicating {sf_dir} into {root}", file=sys.stderr)
@@ -208,6 +214,36 @@ def main() -> None:
         return quantile_estimates(
             quantile_sketch(ev, "value", "event_id")).count()
 
+    def op_chunk(f):
+        from localsql_spark.operators.corpus import chunk_documents
+        docs = spark.read.parquet(paths[f]["documents"])
+        return chunk_documents(docs, chunk=64, overlap=16).count()
+
+    def op_repeated_spans(f):
+        from localsql_spark.operators.corpus import repeated_spans
+        docs = spark.read.parquet(paths[f]["documents"])
+        return repeated_spans(docs, span=8, min_docs=2).count()
+
+    def op_unigram_logprob(f):
+        from localsql_spark.operators.corpus import unigram_logprob
+        docs = spark.read.parquet(paths[f]["documents"])
+        return unigram_logprob(docs).count()
+
+    def op_profile(f):
+        from localsql_spark.operators.corpus import profile_columns
+        ev = spark.read.parquet(paths[f]["events"])
+        return profile_columns(ev, [
+            ("event_id", "num"), ("user_id", "num"), ("event_type", "str"),
+            ("value", "num")]).count()
+
+    def op_zorder_write(f):
+        from localsql_spark.sinks.layout import write_zordered
+        ev = spark.read.parquet(paths[f]["events"])
+        out = str(root / f"zorder_{f}x")
+        write_zordered(ev.select("event_id", "user_id", "value"), out,
+                       "user_id", "value", n_files=4 * f)
+        return spark.read.parquet(out).count()
+
     ops = {"exact_dedup": op_exact_dedup, "minhash_lsh_pairs": op_minhash,
            "clusters_bigstar": op_clusters_bigstar, "knn_ivf": op_knn_ivf,
            "asof_join": op_asof, "kmeans_lloyd": op_kmeans,
@@ -216,7 +252,12 @@ def main() -> None:
            "incremental_store": op_incremental_store,
            "banded_index_probe": op_banded_index,
            "knn_ivf_index_probe": op_knn_ivf_index,
-           "quantile_sketch": op_quantile_sketch}
+           "quantile_sketch": op_quantile_sketch,
+           "chunk_documents": op_chunk,
+           "repeated_spans": op_repeated_spans,
+           "unigram_logprob": op_unigram_logprob,
+           "profile_columns": op_profile,
+           "zorder_write": op_zorder_write}
 
     results: dict[str, dict[int, float]] = {}
     for name, fn in ops.items():
