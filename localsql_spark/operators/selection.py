@@ -1,0 +1,230 @@
+"""Data-selection operators: DSIR importance resampling and Gopher-style
+rule filtering — the "which documents go into the training mix" stage of an
+LLM data pipeline.
+
+These extend the reference's surface (localsql has no corpus tooling — its
+entire relational layer is a SQLite delegate, localsql/localsql.py:230)
+along the same axis as operators.corpus.
+
+DSIR follows Xie et al., "Data Selection for Language Models via Importance
+Resampling" (arXiv:2302.03169 — public algorithm): represent documents as
+bags of hashed n-gram features, fit unigram bucket distributions for the
+TARGET domain and the RAW pool, weight every raw document by its
+log-likelihood ratio under the two distributions, and resample with
+Gumbel-top-k.  The hashed-feature trick is what makes it 100 TB-friendly:
+both "models" are fixed-size bucket histograms (one bounded aggregation
+each), and scoring is a broadcast join against a <= n_buckets-row table.
+
+Gopher rule filtering follows Rae et al., "Scaling Language Models: Methods,
+Analysis & Insights from Training Gopher" (arXiv:2112.11446, Appendix A) —
+the standard battery of row-local document-quality heuristics.
+
+Determinism contract (shared with the whole workload registry): hashing is
+the portable md5-prefix ``hash32`` idiom, per-feature log-ratios are rounded
+to 9 decimals and summed as DECIMAL(28,9) so partial-aggregation order can
+never perturb a document score, and the Gumbel perturbation derives its
+uniform from ``hash32`` — bit-reproducible across engines and runs.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from localsql_spark.operators import hash32
+from localsql_spark.operators import text as T
+
+
+def _features(text: Column) -> Column:
+    """Hashed-feature token stream: normalized unigrams + adjacent bigrams
+    (the arXiv:2302.03169 feature set).  Row-local array expression.
+
+    Two trip-wires, both unit-pinned: (1) ``slice``'s length must be the
+    exact ``size-1``, NOT an Int32.MaxValue "rest of the array" cap —
+    Spark computes start+length in 32-bit, the cap overflows, and the
+    silently-truncated slice makes ``zip_with`` pad nulls so every
+    "bigram" degrades to its first token; (2) ``zip_with`` pads the
+    shorter side with null and ``concat_ws`` SKIPS nulls, so the raw
+    zip's last element would be a spurious unigram — slice to the n-1
+    true bigrams (slice length 0 -> empty array for 0/1-token docs).
+    """
+    toks = F.array_remove(F.split(T.normalize_text(text), " "), "")
+    rest_len = F.greatest(F.size(toks) - 1, F.lit(0))
+    zipped = F.zip_with(toks, F.slice(toks, 2, rest_len),
+                        lambda a, b: F.concat_ws(" ", a, b))
+    bigrams = F.slice(zipped, 1, rest_len)
+    return F.concat(toks, bigrams)
+
+
+def hashed_feature_stream(docs: DataFrame, n_buckets: int = 1024,
+                          doc_id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """One row per (doc, feature occurrence) with its hash bucket — the
+    exploded stream both the model fit and the scoring pass consume.
+    Row-local (explode + hash + mod): zero shuffles on its own."""
+    return (docs.select(doc_id_col,
+                        F.explode(_features(F.col(text_col))).alias("feat"))
+            .withColumn("bucket",
+                        F.pmod(hash32(F.col("feat")), F.lit(n_buckets))))
+
+
+def dsir_weights(docs: DataFrame, is_target: Column,
+                 n_buckets: int = 1024, smoothing: float = 1.0,
+                 doc_id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Per-document DSIR importance log-weight: sum over the document's
+    hashed features of ``log10 p_target(bucket) - log10 p_raw(bucket)``
+    (add-``smoothing`` Laplace estimates over ``n_buckets``).
+
+    ``is_target`` is a boolean Column over ``docs`` marking the in-domain
+    exemplar set (the "quality" side of the ratio); the raw model is fit on
+    ALL of ``docs``, matching the paper's raw-pool formulation.
+
+    Output: ``doc_id, n_feats, logw`` (9-decimal per-feature ratios summed
+    as DECIMAL(28,9) — aggregation-order-proof — then surfaced as a
+    6-decimal double).
+
+    Scale shape: one explode pass feeds BOTH distributions (a single
+    ``n_buckets``-row conditional aggregation — map-side combined, bounded
+    fan-in), the per-bucket ratio table broadcasts (<= n_buckets rows), and
+    the per-doc score is one doc-key shuffle.  Nothing driver-side, nothing
+    proportional to vocabulary: the hashed model stays exactly
+    ``n_buckets`` rows at any corpus size.
+    """
+    # _tgt rides along the explode so ONE pass fits both histograms
+    feats = (docs.select(doc_id_col, is_target.alias("_tgt"),
+                         F.explode(_features(F.col(text_col))).alias("feat"))
+             .withColumn("bucket",
+                         F.pmod(hash32(F.col("feat")), F.lit(n_buckets))))
+    hist = (feats.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("raw_cnt"),
+                 F.sum(F.col("_tgt").cast("long")).alias("tgt_cnt")))
+    tot = hist.agg(F.sum("raw_cnt").alias("raw_tot"),
+                   F.sum("tgt_cnt").alias("tgt_tot"))
+    b, s = float(n_buckets), float(smoothing)
+    ratio = (hist.crossJoin(F.broadcast(tot))
+             .select("bucket",
+                     F.round(
+                         F.log10((F.col("tgt_cnt") + s)
+                                 / (F.col("tgt_tot") + s * b))
+                         - F.log10((F.col("raw_cnt") + s)
+                                   / (F.col("raw_tot") + s * b)),
+                         9).cast("decimal(28,9)").alias("lr")))
+    # the DECIMAL sum is exact; the single double cast + round is the
+    # engine-portable output form (float64 on both sides of the oracle)
+    return (feats.join(F.broadcast(ratio), "bucket")
+            .groupBy(doc_id_col)
+            .agg(F.count(F.lit(1)).alias("n_feats"),
+                 F.round(F.sum("lr").cast("double"), 6).alias("logw")))
+
+
+def gumbel_key(logw: Column, id_col: Column, seed: int = 0) -> Column:
+    """Deterministic Gumbel perturbation for weighted sampling without
+    replacement (Gumbel-top-k): ``logw + (-ln(-ln(u)))`` with the uniform
+    ``u = (hash32(id || seed) + 0.5) / 2^32`` — reproducible across engines
+    (the DuckDB oracle evaluates the identical scalar expression) and runs,
+    unlike ``rand()``.  Top-k by this key IS a weighted sample: P(doc in
+    sample) follows its softmax weight (Gumbel-max trick, public result).
+    """
+    u = (hash32(F.concat(id_col.cast("string"), F.lit(f"#{seed}")))
+         + F.lit(0.5)) / F.lit(4294967296.0)
+    return logw.cast("double") + (-F.log(-F.log(u)))
+
+
+def dsir_resample(weighted: DataFrame, k: int, seed: int = 0,
+                  doc_id_col: str = "doc_id",
+                  logw_col: str = "logw") -> DataFrame:
+    """Gumbel-top-k resampling over DSIR log-weights: the k documents with
+    the largest ``logw + Gumbel(hash-seeded)`` keys — a without-replacement
+    weighted sample of the raw pool tilted toward the target domain.
+
+    Output adds ``sample_key`` (rounded to 6 decimals for portable
+    comparison); ties broken on ``doc_id`` so LIMIT is engine-stable.
+
+    Scale shape: global top-k = TakeOrderedAndProject (per-partition heaps,
+    no full sort, no full shuffle) — the same plan the relational top-k
+    family pins in tests/test_plan_shapes.py.
+    """
+    return (weighted
+            .withColumn("sample_key",
+                        F.round(gumbel_key(F.col(logw_col),
+                                           F.col(doc_id_col), seed), 6))
+            .orderBy(F.col("sample_key").desc(), F.col(doc_id_col))
+            .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule filtering
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(docs: DataFrame, doc_id_col: str = "doc_id",
+                         text_col: str = "text",
+                         min_words: int = 8, max_words: int = 100_000,
+                         min_mean_wl: float = 3.0, max_mean_wl: float = 10.0,
+                         max_symbol_ratio: float = 0.1,
+                         min_alpha_ratio: float = 0.8,
+                         min_stopwords: int = 2) -> DataFrame:
+    """Gopher rule battery (arXiv:2112.11446 Appendix A), one row per doc:
+    the measured statistics, one boolean per rule, and the AND of them as
+    ``keep``.  The word-count bounds default to the testdata's scale
+    (min_words=8) rather than the paper's web-scale 50 — thresholds are
+    parameters, the rules are the point.
+
+    - ``rule_word_count``: ``min_words <= n_words <= max_words``;
+    - ``rule_mean_word_len``: mean word length in [min_mean_wl, max_mean_wl];
+    - ``rule_symbol_ratio``: ('#' or '...') occurrences / words <= max;
+    - ``rule_alpha_words``: fraction of words containing an alphabetic
+      character >= min_alpha_ratio;
+    - ``rule_stopwords``: >= min_stopwords DISTINCT stopwords present.
+
+    Entirely row-local column expressions (split / filter / aggregate over
+    the token array): zero shuffles, linear scan, trivially parallel at any
+    corpus size — the cheap first gate before any pairwise dedup runs.
+    Ratios are rounded to 6 decimals (portable across engines).
+    """
+    toks = F.filter(F.split(T.normalize_text(F.col(text_col)), " "),
+                    lambda w: w != "")
+    n_words = F.size(toks)
+    mean_wl = F.round(
+        F.aggregate(toks, F.lit(0).cast("decimal(28,9)"),
+                    lambda acc, w: (acc + F.length(w).cast("decimal(28,9)"))
+                    .cast("decimal(28,9)")).cast("double")
+        / n_words, 6)
+    n_symbols = (F.length(F.col(text_col))
+                 - F.length(F.regexp_replace(F.col(text_col),
+                                             r"#|\.\.\.", "")))
+    symbol_ratio = F.round(n_symbols.cast("double") / n_words, 6)
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    alpha_ratio = F.round(n_alpha.cast("double") / n_words, 6)
+    n_stop = F.size(F.array_distinct(
+        F.filter(toks, lambda w: functools.reduce(
+            operator.or_, [w == F.lit(s) for s in _GOPHER_STOPWORDS]))))
+    out = (docs.select(
+        doc_id_col,
+        n_words.cast("bigint").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        n_stop.cast("bigint").alias("n_stopwords"))
+        .withColumn("rule_word_count",
+                    (F.col("n_words") >= min_words)
+                    & (F.col("n_words") <= max_words))
+        .withColumn("rule_mean_word_len",
+                    (F.col("mean_word_len") >= min_mean_wl)
+                    & (F.col("mean_word_len") <= max_mean_wl))
+        .withColumn("rule_symbol_ratio",
+                    F.col("symbol_ratio") <= max_symbol_ratio)
+        .withColumn("rule_alpha_words",
+                    F.col("alpha_ratio") >= min_alpha_ratio)
+        .withColumn("rule_stopwords", F.col("n_stopwords") >= min_stopwords))
+    return out.withColumn(
+        "keep",
+        F.col("rule_word_count") & F.col("rule_mean_word_len")
+        & F.col("rule_symbol_ratio") & F.col("rule_alpha_words")
+        & F.col("rule_stopwords"))

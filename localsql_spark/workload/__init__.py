@@ -178,4 +178,5 @@ def _ensure_loaded():
         from localsql_spark.workload import events_suite  # noqa: F401
         from localsql_spark.workload import multimodal_suite  # noqa: F401
         from localsql_spark.workload import corpus_suite  # noqa: F401
+        from localsql_spark.workload import selection_suite  # noqa: F401
         _loaded = True

@@ -1,0 +1,182 @@
+"""Round-5 data-selection queries: DSIR importance weighting/resampling
+(arXiv:2302.03169), Gopher rule filtering (arXiv:2112.11446), and the
+deterministic training-shard export — the "choose the mix, then ship it"
+tail of an LLM data pipeline, each with an exact DuckDB oracle.
+
+Extends the reference (localsql has no corpus tooling; its relational layer
+is the SQLite delegate at localsql/localsql.py:230) along the same axis as
+workload.corpus_suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from localsql_spark.workload import load, query
+
+# Shared DuckDB fragments -----------------------------------------------------
+# hash32(x) == the portable md5-prefix idiom in operators.hash32
+_H32 = "CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
+
+# normalized non-empty tokens + hashed unigram/bigram feature stream with the
+# target flag riding along (mirrors operators.selection.dsir_weights)
+_FEAT_CTE = r"""
+norm AS (SELECT doc_id, lang,
+                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+         FROM documents),
+tok AS (SELECT doc_id, lang,
+               list_filter(string_split(t, ' '), w -> w <> '') AS toks
+        FROM norm),
+feat AS (
+  SELECT doc_id, lang, f FROM tok, UNNEST(toks) u(f)
+  UNION ALL
+  SELECT doc_id, lang, toks[i + 1] || ' ' || toks[i + 2] AS f
+  FROM tok, UNNEST(range(len(toks) - 1)) u(i)
+),
+b AS (SELECT doc_id, lang,
+             CAST('0x' || substr(md5(f), 1, 8) AS BIGINT) % 1024 AS bucket
+      FROM feat),
+hist AS (SELECT bucket, count(*) AS raw_cnt,
+                sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_cnt
+         FROM b GROUP BY 1),
+tot AS (SELECT sum(raw_cnt) AS raw_tot, sum(tgt_cnt) AS tgt_tot FROM hist),
+ratio AS (SELECT bucket,
+                 CAST(round(log10((tgt_cnt + 1.0) / (tgt_tot + 1.0 * 1024))
+                            - log10((raw_cnt + 1.0) / (raw_tot + 1.0 * 1024)),
+                            9) AS DECIMAL(28,9)) AS lr
+          FROM hist, tot),
+w AS (SELECT doc_id, count(*) AS n_feats,
+             round(CAST(sum(lr) AS DOUBLE), 6) AS logw
+      FROM b JOIN ratio USING (bucket) GROUP BY doc_id)
+"""
+
+
+@query("dsir_importance_weights", oracle=f"""
+WITH {_FEAT_CTE.strip()}
+SELECT doc_id, n_feats, logw FROM w
+""")
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (operators.selection.dsir_weights,
+    arXiv:2302.03169): every document scored by the log-likelihood ratio of
+    its hashed unigram+bigram features under the target-domain (lang='en')
+    vs raw-pool bucket distributions — the learned "how target-like is this
+    document" signal that replaces hand-tuned rules for mix selection.
+    One explode feeds BOTH histograms (single bounded 1024-row conditional
+    aggregation), the ratio table broadcasts, one doc-key shuffle; the
+    model size is fixed at n_buckets rows regardless of corpus size."""
+    from localsql_spark.operators.selection import dsir_weights
+
+    docs = load(spark, sf_dir)["documents"]
+    return dsir_weights(docs, is_target=F.col("lang").eqNullSafe("en"),
+                        n_buckets=1024, smoothing=1.0)
+
+
+@query("dsir_resample_top200", oracle=f"""
+WITH {_FEAT_CTE.strip()}
+SELECT doc_id, n_feats, logw,
+       round(CAST(logw AS DOUBLE)
+             + (-ln(-ln(({_H32.format(x="CAST(doc_id AS VARCHAR) || '#0'")}
+                          + 0.5) / 4294967296.0))), 6) AS sample_key
+FROM w
+ORDER BY sample_key DESC, doc_id
+LIMIT 200
+""")
+def dsir_resample_top200(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel-top-k importance resampling (operators.selection.
+    dsir_resample): 200 documents sampled without replacement with
+    probability tilted by their DSIR weight — the actual selection step of
+    arXiv:2302.03169.  The Gumbel perturbation's uniform comes from the
+    portable hash (reproducible across engines/runs, unlike rand());
+    global top-k is TakeOrderedAndProject (per-partition heaps, no full
+    sort), the same scale shape as the relational top-k family."""
+    from localsql_spark.operators.selection import dsir_resample, dsir_weights
+
+    docs = load(spark, sf_dir)["documents"]
+    weighted = dsir_weights(docs, is_target=F.col("lang").eqNullSafe("en"),
+                            n_buckets=1024, smoothing=1.0)
+    return dsir_resample(weighted, k=200, seed=0)
+
+
+@query("gopher_quality_rules", oracle=r"""
+WITH norm AS (SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t,
+                     text AS raw
+              FROM documents),
+tok AS (SELECT doc_id, raw,
+               list_filter(string_split(t, ' '), w -> w <> '') AS toks
+        FROM norm),
+m AS (SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             round(CAST(list_sum(list_transform(toks, w -> length(w)))
+                        AS DOUBLE) / len(toks), 6) AS mean_word_len,
+             round(CAST(len(regexp_extract_all(raw, '#|\.\.\.'))
+                        AS DOUBLE) / len(toks), 6) AS symbol_ratio,
+             round(CAST(len(list_filter(toks,
+                                        w -> regexp_matches(w, '[a-z]')))
+                        AS DOUBLE) / len(toks), 6) AS alpha_ratio,
+             CAST(len(list_distinct(list_filter(toks,
+                 w -> list_contains(['the','be','to','of','and','that',
+                                     'have','with'], w)))) AS BIGINT)
+               AS n_stopwords
+      FROM tok)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio,
+       n_stopwords,
+       n_words BETWEEN 8 AND 100000 AS rule_word_count,
+       mean_word_len BETWEEN 3.0 AND 10.0 AS rule_mean_word_len,
+       symbol_ratio <= 0.1 AS rule_symbol_ratio,
+       alpha_ratio >= 0.8 AS rule_alpha_words,
+       n_stopwords >= 2 AS rule_stopwords,
+       (n_words BETWEEN 8 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8 AND n_stopwords >= 2
+         AS keep
+FROM m
+""")
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule battery (operators.selection.gopher_quality_flags,
+    arXiv:2112.11446 Appendix A): word-count bounds, mean-word-length
+    bounds, symbol ratio, alphabetic-word fraction, distinct-stopword
+    floor — per-doc measurements, per-rule booleans, AND-combined keep.
+    Entirely row-local token-array expressions: zero shuffles, the cheap
+    first gate a 100 TB pipeline runs before any pairwise work."""
+    from localsql_spark.operators.selection import gopher_quality_flags
+
+    docs = load(spark, sf_dir)["documents"]
+    return gopher_quality_flags(docs)
+
+
+_SHARD_H = _H32.format(x="CAST(doc_id AS VARCHAR) || '#s0'")
+_ROW_H = _H32.format(x="CAST(doc_id AS VARCHAR) || '|' || md5(text)")
+
+
+@query("export_training_shards", oracle=rf"""
+SELECT CAST({_SHARD_H} % 16 AS INT) AS shard_id,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens,
+       CAST(sum(CAST({_ROW_H} AS DECIMAL(38,0))) AS VARCHAR) AS content_hash
+FROM documents
+GROUP BY 1
+""")
+def export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard export (sinks.shards): documents dealt
+    into 16 hash-assigned shards, written as shard_id=K/ parquet (one file
+    per shard, rows in independent-hash order — the reproducible global
+    shuffle a training job needs), then read BACK and manifested: per-shard
+    row count, token count, order-insensitive DECIMAL content hash.  The
+    oracle computes the same manifest directly from `documents`, so the
+    round-trip (assign -> repartition -> sorted write -> read) is verified
+    end-to-end.  One hash-key shuffle + bounded 16-row aggregation; skew is
+    impossible by construction (hash-uniform assignment)."""
+    import shutil
+    from pathlib import Path
+
+    from localsql_spark.sinks.shards import (read_training_shards,
+                                             shard_manifest,
+                                             write_training_shards)
+
+    docs = load(spark, sf_dir)["documents"]
+    scratch = (Path(__file__).resolve().parent.parent.parent / ".cache"
+               / "training_shards" / Path(sf_dir.rstrip("/")).name)
+    shutil.rmtree(scratch, ignore_errors=True)
+    write_training_shards(docs, scratch, n_shards=16, seed=0)
+    return shard_manifest(read_training_shards(spark, str(scratch)))

@@ -1,0 +1,150 @@
+"""Data-selection operators (operators.selection) and the deterministic
+training-shard export (sinks.shards): DSIR weighting/resampling, Gopher rule
+flags, shard round-trip reproducibility — plus pins on the two Catalyst
+expression traps the feature builder engineered around."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+# ---------------------------------------------------------------------------
+# feature stream
+# ---------------------------------------------------------------------------
+
+def test_features_unigrams_plus_exact_bigrams(spark):
+    """Pins the two traps in operators.selection._features: (1) slicing the
+    token tail with an Int32.MaxValue length overflows start+length inside
+    Spark's slice and silently truncates (zip_with then pads nulls and
+    concat_ws degrades every bigram to its first token); (2) the raw
+    zip_with tail element is a spurious unigram.  The feature bag must be
+    exactly unigrams + n-1 bigrams."""
+    from localsql_spark.operators.selection import _features
+
+    df = spark.createDataFrame([("alpha  beta gamma",)], "text string")
+    [row] = df.select(_features(F.col("text")).alias("f")).collect()
+    assert row["f"] == ["alpha", "beta", "gamma", "alpha beta", "beta gamma"]
+
+
+def test_features_short_docs(spark):
+    from localsql_spark.operators.selection import _features
+
+    df = spark.createDataFrame([(1, "solo"), (2, "two words")],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["f"] for r in
+           df.select("doc_id", _features(F.col("text")).alias("f")).collect()}
+    assert got[1] == ["solo"]
+    assert got[2] == ["two", "words", "two words"]
+
+
+# ---------------------------------------------------------------------------
+# DSIR
+# ---------------------------------------------------------------------------
+
+def test_dsir_weights_tilt_toward_target_vocabulary(spark):
+    """Docs sharing the target domain's vocabulary must outscore docs made
+    of off-domain vocabulary (the defining property of the importance
+    weight)."""
+    from localsql_spark.operators.selection import dsir_weights
+
+    target = [(i, "physics energy quantum field theory", "en")
+              for i in range(8)]
+    raw_like = [(100, "physics energy quantum field theory", "xx")]
+    raw_off = [(101, "pizza recipe cheese tomato oven", "xx")]
+    docs = _docs(spark, target + raw_like + raw_off)
+    w = {r["doc_id"]: r["logw"] for r in
+         dsir_weights(docs, is_target=F.col("lang") == "en",
+                      n_buckets=64).collect()}
+    assert w[100] > w[101]
+
+
+def test_dsir_resample_deterministic_and_weight_biased(spark):
+    from localsql_spark.operators.selection import dsir_resample
+
+    weighted = spark.createDataFrame(
+        [(i, 5.0 if i < 10 else -5.0) for i in range(100)],
+        "doc_id long, logw double")
+    a = dsir_resample(weighted, k=10, seed=0).collect()
+    b = dsir_resample(weighted, k=10, seed=0).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    # a 10-logit gap dwarfs Gumbel noise: the high-weight block must dominate
+    picked = {r["doc_id"] for r in a}
+    assert len(picked & set(range(10))) >= 9
+    # a different seed re-deals the perturbation
+    c = dsir_resample(weighted, k=10, seed=7).collect()
+    assert [r["sample_key"] for r in c] != [r["sample_key"] for r in a]
+
+
+# ---------------------------------------------------------------------------
+# Gopher rules
+# ---------------------------------------------------------------------------
+
+def test_gopher_rules_flag_each_violation(spark):
+    from localsql_spark.operators.selection import gopher_quality_flags
+
+    good = "the quick brown fox jumps over that lazy dog with some more text"
+    rows = [
+        (1, good, "en"),                        # passes everything
+        (2, "too short", "en"),                 # word count
+        (3, "the of " + "a " * 40, "en"),       # mean word length < 3
+        (4, good + " ###### ## # # # #", "en"),  # symbol ratio
+        (5, "the of 111 222 333 444 555 666 777 888 999 000", "en"),  # alpha
+        (6, "zebra yak xylophone walrus vulture toucan seal rhino", "en"),
+    ]
+    flags = {r["doc_id"]: r for r in
+             gopher_quality_flags(_docs(spark, rows)).collect()}
+    assert flags[1]["keep"]
+    assert not flags[2]["rule_word_count"] and not flags[2]["keep"]
+    assert not flags[3]["rule_mean_word_len"] and not flags[3]["keep"]
+    assert not flags[4]["rule_symbol_ratio"] and not flags[4]["keep"]
+    assert not flags[5]["rule_alpha_words"] and not flags[5]["keep"]
+    assert not flags[6]["rule_stopwords"] and not flags[6]["keep"]
+
+
+# ---------------------------------------------------------------------------
+# training shards
+# ---------------------------------------------------------------------------
+
+def test_shard_export_roundtrip_and_determinism(spark, tmp_path):
+    """Two exports of the same corpus must be byte-for-byte equivalent in
+    manifest terms (assignment, counts, content hashes), and the read-back
+    manifest must equal the pre-write manifest computed directly on the
+    input — the write path loses nothing."""
+    from localsql_spark.sinks.shards import (read_training_shards,
+                                             shard_assignment, shard_manifest,
+                                             write_training_shards)
+
+    docs = _docs(spark, [(i, f"token{i} alpha beta gamma word{i % 7}", "en")
+                         for i in range(200)])
+    pre = shard_manifest(shard_assignment(docs, 8))
+    p1, p2 = tmp_path / "a", tmp_path / "b"
+    write_training_shards(docs, p1, n_shards=8)
+    write_training_shards(docs, p2, n_shards=8)
+    m1 = {r["shard_id"]: (r["n_docs"], r["n_tokens"], r["content_hash"])
+          for r in shard_manifest(read_training_shards(spark, p1)).collect()}
+    m2 = {r["shard_id"]: (r["n_docs"], r["n_tokens"], r["content_hash"])
+          for r in shard_manifest(read_training_shards(spark, p2)).collect()}
+    m0 = {r["shard_id"]: (r["n_docs"], r["n_tokens"], r["content_hash"])
+          for r in pre.collect()}
+    assert m1 == m2 == m0
+    assert len(m1) == 8 and sum(v[0] for v in m1.values()) == 200
+
+
+def test_shard_within_file_order_is_hash_order(spark, tmp_path):
+    """The written row order inside a shard must follow ord_key (the
+    deterministic global shuffle), not the input order."""
+    from localsql_spark.sinks.shards import (read_training_shards,
+                                             write_training_shards)
+
+    docs = _docs(spark, [(i, f"text {i}", "en") for i in range(100)])
+    out = tmp_path / "s"
+    write_training_shards(docs, out, n_shards=2)
+    one = read_training_shards(spark, out).filter(F.col("shard_id") == 0)
+    got = [r["doc_id"] for r in one.collect()]
+    by_ord = [r["doc_id"] for r in one.orderBy("ord_key", "doc_id").collect()]
+    assert got == by_ord
+    assert got != sorted(got)  # hash order decorrelates the input sequence
