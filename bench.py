@@ -63,6 +63,8 @@ EXTENSION_HEADLINE = [
     # round 5 additions
     "dedup_incremental_store",
     "q7_volume_shipping",
+    "dsir_resample_top200",
+    "export_training_shards",
 ]
 
 

@@ -102,10 +102,16 @@ def dsir_weights(docs: DataFrame, is_target: Column,
     hist = (feats.groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("raw_cnt"),
                  F.sum(F.col("_tgt").cast("long")).alias("tgt_cnt")))
-    tot = hist.agg(F.sum("raw_cnt").alias("raw_tot"),
-                   F.sum("tgt_cnt").alias("tgt_tot"))
+    # totals as window sums over the BOUNDED n_buckets-row histogram (one
+    # task, <= n_buckets rows) — a separate .agg() would make Catalyst
+    # expand `hist` twice and re-run the whole corpus explode for it
+    from pyspark.sql import Window
+    whole = Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+                                             Window.unboundedFollowing)
     b, s = float(n_buckets), float(smoothing)
-    ratio = (hist.crossJoin(F.broadcast(tot))
+    ratio = (hist
+             .withColumn("raw_tot", F.sum("raw_cnt").over(whole))
+             .withColumn("tgt_tot", F.sum("tgt_cnt").over(whole))
              .select("bucket",
                      F.round(
                          F.log10((F.col("tgt_cnt") + s)

@@ -244,6 +244,22 @@ def main() -> None:
                        "user_id", "value", n_files=4 * f)
         return spark.read.parquet(out).count()
 
+    def op_dsir_weights(f):
+        from localsql_spark.operators.selection import dsir_weights
+        docs = spark.read.parquet(paths[f]["documents"])
+        return dsir_weights(docs, is_target=F.col("lang") == "en",
+                            n_buckets=1024).count()
+
+    def op_shard_export(f):
+        from localsql_spark.sinks.shards import (shard_manifest,
+                                                 write_training_shards)
+        docs = spark.read.parquet(paths[f]["documents"])
+        out = str(root / f"shards_{f}x")
+        # shard count scales with data (a real pipeline holds shard SIZE
+        # constant); manifest is n_shards rows either way
+        write_training_shards(docs, out, n_shards=16 * f)
+        return shard_manifest(spark.read.parquet(out)).count()
+
     ops = {"exact_dedup": op_exact_dedup, "minhash_lsh_pairs": op_minhash,
            "clusters_bigstar": op_clusters_bigstar, "knn_ivf": op_knn_ivf,
            "asof_join": op_asof, "kmeans_lloyd": op_kmeans,
@@ -257,7 +273,9 @@ def main() -> None:
            "repeated_spans": op_repeated_spans,
            "unigram_logprob": op_unigram_logprob,
            "profile_columns": op_profile,
-           "zorder_write": op_zorder_write}
+           "zorder_write": op_zorder_write,
+           "dsir_weights": op_dsir_weights,
+           "shard_export": op_shard_export}
 
     results: dict[str, dict[int, float]] = {}
     for name, fn in ops.items():
