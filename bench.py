@@ -65,6 +65,7 @@ EXTENSION_HEADLINE = [
     "q7_volume_shipping",
     "dsir_resample_top200",
     "export_training_shards",
+    "rollup_incremental_hourly",
 ]
 
 

@@ -1,0 +1,127 @@
+"""Incrementally-maintained aggregate rollups: a persisted hourly (or
+daily) summary of an append-only event stream, updated per ingest batch by
+touching only the date partitions the batch lands in — the
+hypertable-continuous-aggregate / incremental-view-maintenance shape.
+
+Why this matters at 100 TB: the raw events table grows without bound, but
+dashboards and monitors read the same GROUP BY hour/type aggregate every
+time.  Recomputing it is a full scan per refresh; maintaining it costs one
+aggregation OVER THE NEW BATCH plus a rewrite of the touched date
+partitions — job cost tracks ingest rate, not table size.
+
+Correctness rests on the rollup carrying only ALGEBRAIC (mergeable)
+aggregates — count, sum, min, max — so merging a batch delta into the
+stored state is itself a groupBy over (stored ∪ delta).  Averages and
+ratios derive at READ time (sum/count); percentiles need a mergeable
+sketch (operators.sketches.quantile_sketch) rather than a stored scalar.
+The registered query's oracle recomputes the rollup from the FULL event
+table, proving incremental maintenance ≡ full recompute.
+
+Crash safety reuses the merge sink's staged-write + manifest-rename
+machinery (sinks.merge): the swap set commits atomically via one rename,
+and a crashed maintenance heals on the next write or
+``recover_pending_merge`` call.
+
+The reference has no persistence at all (table lifetime = process,
+reference: localsql/localsql.py:31); this is a pure scale extension.
+
+Determinism: sums go through DECIMAL(28,6) so partial-aggregation order
+cannot perturb low bits; the bucket timestamp surfaces as a formatted
+string (portable across engines).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from localsql_spark.sinks.merge import (_apply_manifest, _manifest_path,
+                                        read_base_partitions,
+                                        recover_pending_merge)
+
+_GRAINS = {"hour": "yyyy-MM-dd HH:00:00", "day": "yyyy-MM-dd 00:00:00"}
+
+
+def rollup_events(events: DataFrame, grain: str = "hour",
+                  ts_col: str = "ts", key_col: str = "event_type",
+                  value_col: str = "value") -> DataFrame:
+    """Aggregate an event frame to the rollup grain: one row per
+    (bucket_ts, key) carrying the four algebraic stats plus the
+    ``event_date`` partition column.  One key shuffle with map-side
+    combine; output cardinality is buckets x keys, corpus-independent."""
+    if grain not in _GRAINS:
+        raise ValueError(f"grain must be one of {sorted(_GRAINS)}")
+    bucket = F.date_trunc(grain, F.col(ts_col))
+    return (events
+            .groupBy(F.date_format(bucket, _GRAINS[grain]).alias("bucket_ts"),
+                     F.col(key_col).alias("key"),
+                     F.date_format(bucket, "yyyy-MM-dd").alias("event_date"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.round(F.col(value_col), 6).cast("decimal(28,6)"))
+                 .alias("sum_value"),
+                 F.min(value_col).alias("min_value"),
+                 F.max(value_col).alias("max_value")))
+
+
+def merge_rollup(stored: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """Combine stored rollup rows with a batch delta: groupBy the bucket
+    key re-applying the algebraic merges (sum+sum, min-of-min, max-of-max).
+    Exactly the partial-aggregate combine Spark itself runs map-side, which
+    is WHY incremental == full recompute."""
+    both = delta if stored is None else stored.unionByName(delta)
+    return (both.groupBy("bucket_ts", "key", "event_date")
+            .agg(F.sum("n_events").alias("n_events"),
+                 F.sum("sum_value").cast("decimal(28,6)").alias("sum_value"),
+                 F.min("min_value").alias("min_value"),
+                 F.max("max_value").alias("max_value")))
+
+
+def maintain_rollup(spark: SparkSession, rollup_dir: str,
+                    new_events: DataFrame, grain: str = "hour",
+                    ts_col: str = "ts", key_col: str = "event_type",
+                    value_col: str = "value") -> list:
+    """Fold a new event batch into the persisted rollup at ``rollup_dir``
+    (created on first call).  Returns the rewritten ``event_date``
+    partition values.
+
+    Plan shape: aggregate the BATCH (one shuffle over batch-sized data),
+    collect only its bounded date fan-out, partition-prune the stored
+    rollup read to those dates, merge, and stage-swap just those
+    partitions via the manifest commit.  Nothing scales with the stored
+    table except the touched-partition read — whose size is bounded by
+    buckets x keys per date, not by event count.
+    """
+    recover_pending_merge(rollup_dir)
+    delta = rollup_events(new_events, grain, ts_col, key_col, value_col)
+    dates = [r[0] for r in delta.select("event_date").distinct().collect()]
+    if not dates:
+        return []
+    stored = read_base_partitions(spark, rollup_dir, "event_date", dates)
+    merged = merge_rollup(stored, delta)
+
+    base = Path(rollup_dir)
+    staging = base.parent / f".{base.name}.staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    (merged.write.mode("overwrite").partitionBy("event_date")
+     .parquet(str(staging)))
+    base.mkdir(parents=True, exist_ok=True)
+    pnames = sorted(p.name for p in staging.glob("event_date=*"))
+    manifest = _manifest_path(base)
+    tmp = manifest.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps({"staging": staging.name,
+                               "partitions": pnames}))
+    os.rename(tmp, manifest)  # COMMIT POINT — one rename
+    _apply_manifest(base, manifest)
+    return dates
+
+
+def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
+    """Read the maintained rollup; filters on ``event_date`` prune whole
+    partitions, and ``avg`` derives as sum/count at read time."""
+    recover_pending_merge(rollup_dir)
+    return spark.read.option("basePath", rollup_dir).parquet(rollup_dir)

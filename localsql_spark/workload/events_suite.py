@@ -656,3 +656,50 @@ def streaming_upsert_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame
                           out_dir=out_dir, checkpoint_dir=ck)
     return (read_table(spark, out_dir)
             .select("user_id", "event_id", "event_type", "value"))
+
+
+@query("rollup_incremental_hourly", oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS bucket_ts,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE), 6)
+         AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       round(CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+             / count(*), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+""")
+def rollup_incremental_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained hourly rollup (sinks.rollup): the events
+    table is split into a bulk load plus two ingest batches (hash-mod on
+    event_id), each folded into the persisted rollup by maintain_rollup —
+    which aggregates ONLY the batch and rewrites ONLY the touched
+    event_date partitions (manifest-committed swap, crash-safe).  The
+    oracle recomputes the rollup from the full table, proving incremental
+    maintenance == full recompute for the algebraic stats; avg derives at
+    read time as sum/count.  Job cost tracks ingest-batch size, not stored
+    table size — the continuous-aggregate shape a 100 TB event store needs."""
+    import shutil
+    from pathlib import Path
+
+    from localsql_spark.operators import hash32
+    from localsql_spark.sinks.rollup import maintain_rollup, read_rollup
+
+    ev = load(spark, sf_dir)["events"]
+    scratch = (Path(__file__).resolve().parent.parent.parent / ".cache"
+               / "rollup_hourly" / Path(sf_dir.rstrip("/")).name)
+    shutil.rmtree(scratch, ignore_errors=True)
+    shutil.rmtree(scratch.parent / f".{scratch.name}.staging",
+                  ignore_errors=True)
+    m = F.pmod(hash32(F.col("event_id")), F.lit(13))
+    for batch in (ev.filter(m >= 2), ev.filter(m == 1), ev.filter(m == 0)):
+        maintain_rollup(spark, str(scratch), batch, grain="hour")
+    r = read_rollup(spark, str(scratch))
+    return r.select(
+        "bucket_ts", F.col("key").alias("event_type"), "n_events",
+        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+        "min_value", "max_value",
+        F.round(F.col("sum_value").cast("double") / F.col("n_events"), 6)
+        .alias("avg_value"))

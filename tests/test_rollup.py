@@ -1,0 +1,92 @@
+"""Incrementally-maintained rollups (sinks.rollup): incremental == full
+recompute, touched-partition-only rewrites, crash recovery via the shared
+manifest machinery."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double")
+
+
+def _rows(df):
+    return {(r["bucket_ts"], r["key"]):
+            (r["n_events"], str(r["sum_value"]), r["min_value"],
+             r["max_value"])
+            for r in df.collect()}
+
+
+def test_incremental_equals_full_recompute(spark, tmp_path):
+    from localsql_spark.sinks.rollup import (maintain_rollup, read_rollup,
+                                             rollup_events)
+
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [(i, base + dt.timedelta(minutes=7 * i), "ab"[i % 2],
+             round(0.1 * i, 2)) for i in range(300)]
+    ev = _events(spark, rows)
+    out = tmp_path / "roll"
+    # three uneven batches, one empty
+    m = F.pmod(F.col("event_id"), F.lit(5))
+    for batch in (ev.filter(m >= 2), ev.filter(m == 1),
+                  ev.filter(m < 0), ev.filter(m == 0)):
+        maintain_rollup(spark, str(out), batch, grain="hour")
+    assert _rows(read_rollup(spark, str(out))) == _rows(rollup_events(ev))
+
+
+def test_only_touched_date_partitions_rewritten(spark, tmp_path):
+    from localsql_spark.sinks.rollup import maintain_rollup, read_rollup
+
+    d1 = dt.datetime(2024, 3, 1, 5)
+    d2 = dt.datetime(2024, 3, 2, 5)
+    out = tmp_path / "roll"
+    maintain_rollup(spark, str(out),
+                    _events(spark, [(1, d1, "a", 1.0), (2, d2, "a", 2.0)]))
+    before = {p.name: sorted(f.name for f in p.glob("*.parquet"))
+              for p in out.glob("event_date=*")}
+    touched = maintain_rollup(spark, str(out),
+                              _events(spark, [(3, d2, "a", 3.0)]))
+    assert touched == ["2024-03-02"]
+    after = {p.name: sorted(f.name for f in p.glob("*.parquet"))
+             for p in out.glob("event_date=*")}
+    # day 1's files are byte-identical (never staged); day 2 was rewritten
+    assert after["event_date=2024-03-01"] == before["event_date=2024-03-01"]
+    assert after["event_date=2024-03-02"] != before["event_date=2024-03-02"]
+    got = {r["bucket_ts"]: r["n_events"]
+           for r in read_rollup(spark, str(out)).collect()}
+    assert got == {"2024-03-01 05:00:00": 1, "2024-03-02 05:00:00": 2}
+
+
+def test_crashed_maintenance_heals_on_read(spark, tmp_path):
+    """A maintenance that died after the manifest commit but before the
+    swaps must complete on the next read (shared recover_pending_merge)."""
+    import json
+    import os
+
+    from localsql_spark.sinks.rollup import (maintain_rollup, read_rollup,
+                                             rollup_events)
+
+    d = dt.datetime(2024, 3, 1, 5)
+    out = tmp_path / "roll"
+    maintain_rollup(spark, str(out), _events(spark, [(1, d, "a", 1.0)]))
+    # hand-stage an update and commit its manifest WITHOUT applying swaps —
+    # exactly the post-crash disk state
+    staging = out.parent / f".{out.name}.staging"
+    merged = rollup_events(_events(spark, [(1, d, "a", 1.0),
+                                           (2, d, "a", 9.0)]))
+    merged.write.mode("overwrite").partitionBy("event_date") \
+        .parquet(str(staging))
+    manifest = out.parent / f".{out.name}.commit.json"
+    tmp = manifest.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps({
+        "staging": staging.name,
+        "partitions": sorted(p.name for p in staging.glob("event_date=*"))}))
+    os.rename(tmp, manifest)
+    got = {r["bucket_ts"]: (r["n_events"], r["max_value"])
+           for r in read_rollup(spark, str(out)).collect()}
+    assert got == {"2024-03-01 05:00:00": (2, 9.0)}
+    assert not manifest.exists() and not staging.exists()

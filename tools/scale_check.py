@@ -244,6 +244,19 @@ def main() -> None:
                        "user_id", "value", n_files=4 * f)
         return spark.read.parquet(out).count()
 
+    def op_rollup_maintain(f):
+        from localsql_spark.sinks.rollup import maintain_rollup
+        ev = spark.read.parquet(paths[f]["events"])
+        out = str(root / f"rollup_{f}x")
+        # bulk load is fixture (yesterday's rollup); time ONE batch fold —
+        # the recurring cost a pipeline actually pays
+        is_new = F.pmod(F.col("event_id"), F.lit(11)) == 0
+        maintain_rollup(spark, out, ev.filter(~is_new))
+        t0 = time.perf_counter()
+        maintain_rollup(spark, out, ev.filter(is_new))
+        dt = time.perf_counter() - t0
+        return spark.read.parquet(out).count(), dt
+
     def op_dsir_weights(f):
         from localsql_spark.operators.selection import dsir_weights
         docs = spark.read.parquet(paths[f]["documents"])
@@ -275,7 +288,8 @@ def main() -> None:
            "profile_columns": op_profile,
            "zorder_write": op_zorder_write,
            "dsir_weights": op_dsir_weights,
-           "shard_export": op_shard_export}
+           "shard_export": op_shard_export,
+           "rollup_maintain": op_rollup_maintain}
 
     results: dict[str, dict[int, float]] = {}
     for name, fn in ops.items():
