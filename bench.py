@@ -66,6 +66,7 @@ EXTENSION_HEADLINE = [
     "dsir_resample_top200",
     "export_training_shards",
     "rollup_incremental_hourly",
+    "knn_pq_top5",
 ]
 
 

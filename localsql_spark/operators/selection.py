@@ -202,9 +202,9 @@ def gopher_quality_flags(docs: DataFrame, doc_id_col: str = "doc_id",
                     lambda acc, w: (acc + F.length(w).cast("decimal(28,9)"))
                     .cast("decimal(28,9)")).cast("double")
         / n_words, 6)
-    n_symbols = (F.length(F.col(text_col))
-                 - F.length(F.regexp_replace(F.col(text_col),
-                                             r"#|\.\.\.", "")))
+    # OCCURRENCE count ('...' is one symbol, not three chars) — must agree
+    # with the oracle's len(regexp_extract_all(...))
+    n_symbols = F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\."))
     symbol_ratio = F.round(n_symbols.cast("double") / n_words, 6)
     n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
     alpha_ratio = F.round(n_alpha.cast("double") / n_words, 6)

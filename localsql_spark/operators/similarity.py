@@ -686,3 +686,119 @@ def semdedup_prune_two_level(corpus: DataFrame, n_clusters: int = 64,
     return (t2.join(drops, "vid", "left_anti")
             .select(F.col("vid").alias(id_col),
                     F.col("fine").alias("cluster_id")))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): memory-bounded ANN codes
+# ---------------------------------------------------------------------------
+
+def _pq_sub(df: DataFrame, m: int, id_col: str, vec_col: str) -> DataFrame:
+    """Split every vector into ``m`` contiguous subvectors: one row per
+    (id, subspace) with the dim/m-length slice.  Row-local explode+slice;
+    the slice length is the exact sub-dimension (NOT an Int32.MaxValue cap
+    — see operators.selection._features for the overflow trap)."""
+    out = (spread(df)
+           .select(F.col(id_col), F.col(vec_col).alias("_v"),
+                   F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s")))
+    dsub = (F.size("_v") / F.lit(m)).cast("int")
+    return out.select(id_col, "s",
+                      F.slice(F.col("_v"), F.col("s") * dsub + 1, dsub)
+                      .alias("v"))
+
+
+def _pq_assign(sub: DataFrame, codebooks: DataFrame,
+               id_col: str) -> DataFrame:
+    """Nearest code per (vector, subspace): the per-subspace analog of
+    kmeans_assign.  Codebooks broadcast (m x k rows); ties break on code."""
+    from pyspark.sql.window import Window
+
+    scored = (sub.join(F.broadcast(codebooks), "s")
+              .select(id_col, "s", "code",
+                      l2_sq(F.col("v"), F.col("cent")).alias("dist")))
+    w = Window.partitionBy(id_col, "s").orderBy("dist", "code")
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, "s", "code", "dist"))
+
+
+def pq_train(corpus: DataFrame, m: int = 4, k_codes: int = 16,
+             n_iter: int = 1, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Train PQ codebooks (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011 — public algorithm): independent k-means
+    per subspace, deterministically seeded from the first ``k_codes``
+    vectors' subvectors (same seeding discipline as kmeans_lloyd).
+
+    Returns (s, code, cent: array<double>) — ``m * k_codes`` rows total, a
+    broadcastable model whatever the corpus size.  Each Lloyd round is one
+    broadcast-assign + one narrow (s, code, dim) aggregate; training cost
+    is the same order as one k-means pass, NOT m passes, because all
+    subspaces ride one exploded stream.
+    """
+    sub = _pq_sub(corpus, m, id_col, vec_col)
+    cents = (sub.filter(F.col(id_col) < k_codes)
+             .select("s", F.col(id_col).alias("code"),
+                     F.transform("v", lambda x: x.cast("double"))
+                     .alias("cent")))
+    for _ in range(n_iter):
+        assign = _pq_assign(sub, cents, id_col)
+        elems = (sub.join(assign.select(id_col, "s", "code"), [id_col, "s"])
+                 .select("s", "code", F.posexplode("v").alias("p", "x")))
+        dim_means = (elems.groupBy("s", "code", "p")
+                     .agg((F.sum(F.round(F.col("x").cast("double"), 12)
+                                 .cast("decimal(38,12)")).cast("double")
+                           / F.count(F.lit(1))).alias("mn")))
+        cents = (dim_means.groupBy("s", "code")
+                 .agg(F.transform(
+                     F.sort_array(F.collect_list(F.struct("p", "mn"))),
+                     lambda st: st["mn"]).alias("cent")))
+    return cents
+
+
+def pq_encode(corpus: DataFrame, codebooks: DataFrame,
+              m: int = 4, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode every vector as its nearest code per subspace: (id, s, code,
+    dist).  This is the stored representation — m small ints per vector
+    (64x compression at dim 64 / m 4 vs float32), which is what makes
+    billion-scale ANN fit in memory.  dist (the per-subspace quantization
+    error) rounds to 9 like the cosine operators."""
+    assign = _pq_assign(_pq_sub(corpus, m, id_col, vec_col),
+                        codebooks, id_col)
+    return assign.select(id_col, "s", "code", F.round("dist", 9).alias("dist"))
+
+
+def knn_pq_adc(corpus: DataFrame, queries: DataFrame, k: int = 5,
+               m: int = 4, k_codes: int = 16, n_iter: int = 1,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Approximate kNN by asymmetric distance computation (ADC): train
+    codebooks, encode the corpus, build each query's lookup table of
+    per-(subspace, code) squared distances, and score every corpus vector
+    as the SUM of m table lookups — never touching the float vectors again.
+
+    Scale shape: the LUT is |queries| x m x k_codes rows (broadcast); the
+    corpus side streams its narrow (id, s, code) codes through one
+    broadcast join and a (query, id) aggregation, then a per-query top-k
+    window.  At 100 TB the codes table is ~1.5% the bytes of the float
+    corpus, and no shuffle carries vectors — only code ids and partial
+    decimal sums.  Returns (query_id, neighbor_id, adc_dist, rn).
+    """
+    from pyspark.sql.window import Window
+
+    codebooks = pq_train(corpus, m, k_codes, n_iter, id_col, vec_col)
+    codes = pq_encode(corpus, codebooks, m, id_col, vec_col)
+    qsub = (_pq_sub(queries, m, id_col, vec_col)
+            .select(F.col(id_col).alias("query_id"), "s", "v"))
+    lut = (qsub.join(F.broadcast(codebooks), "s")
+           .select("query_id", "s", "code",
+                   l2_sq(F.col("v"), F.col("cent")).alias("d")))
+    scored = (codes.join(F.broadcast(lut), ["s", "code"])
+              .filter(F.col("query_id") != F.col(id_col))
+              .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+              .agg(F.round(F.sum(F.round(F.col("d"), 12)
+                                 .cast("decimal(28,12)")).cast("double"), 9)
+                   .alias("adc_dist")))
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k))

@@ -673,8 +673,9 @@ GROUP BY 1, 2
 """)
 def rollup_incremental_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained hourly rollup (sinks.rollup): the events
-    table is split into a bulk load plus two ingest batches (hash-mod on
-    event_id), each folded into the persisted rollup by maintain_rollup —
+    table is split into a bulk load plus an ingest batch (hash-mod on
+    event_id; the multi-batch chain is tested in tests/test_rollup.py),
+    each folded into the persisted rollup by maintain_rollup —
     which aggregates ONLY the batch and rewrites ONLY the touched
     event_date partitions (manifest-committed swap, crash-safe).  The
     oracle recomputes the rollup from the full table, proving incremental
@@ -694,7 +695,7 @@ def rollup_incremental_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(scratch.parent / f".{scratch.name}.staging",
                   ignore_errors=True)
     m = F.pmod(hash32(F.col("event_id")), F.lit(13))
-    for batch in (ev.filter(m >= 2), ev.filter(m == 1), ev.filter(m == 0)):
+    for batch in (ev.filter(m >= 1), ev.filter(m == 0)):
         maintain_rollup(spark, str(scratch), batch, grain="hour")
     r = read_rollup(spark, str(scratch))
     return r.select(

@@ -1303,6 +1303,73 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.kmeans_lloyd(emb, n_clusters=8, n_iter=1)
 
 
+# Per-subspace squared-L2 with the shared decimal discipline (the PQ analog
+# of _KM_DIST; sv/c alias pair bound at use site)
+_PQ_DIST = ("CAST(SUM(CAST(round((CAST(sv.x AS DOUBLE) - cb.y)"
+            " * (CAST(sv.x AS DOUBLE) - cb.y), 12)"
+            " AS DECIMAL(28,12))) AS DOUBLE)")
+
+_PQ_ORACLE = f"""
+WITH sub AS (
+  SELECT vec_id, s,
+         list_transform(list_slice(embedding, s * 16 + 1, s * 16 + 16),
+                        e -> CAST(e AS DOUBLE)) AS v
+  FROM embeddings, UNNEST(range(4)) u(s)),
+sv AS (SELECT vec_id, s, generate_subscripts(v, 1) AS p, unnest(v) AS x
+       FROM sub),
+seeds AS (SELECT s, vec_id AS code, v AS cent FROM sub WHERE vec_id < 16),
+cv0 AS (SELECT s, code, generate_subscripts(cent, 1) AS p, unnest(cent) AS y
+        FROM seeds),
+d0 AS (SELECT sv.vec_id, sv.s, cb.code, {_PQ_DIST} AS dist
+       FROM sv JOIN cv0 cb ON sv.s = cb.s AND sv.p = cb.p
+       GROUP BY sv.vec_id, sv.s, cb.code),
+a0 AS (SELECT vec_id, s, code FROM (
+         SELECT vec_id, s, code,
+                ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                   ORDER BY dist, code) AS rn
+         FROM d0) r WHERE rn = 1),
+c1 AS (SELECT a0.s, a0.code, sv.p,
+              CAST(SUM(CAST(round(CAST(sv.x AS DOUBLE), 12)
+                            AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS y
+       FROM sv JOIN a0 ON sv.vec_id = a0.vec_id AND sv.s = a0.s
+       GROUP BY a0.s, a0.code, sv.p),
+d1 AS (SELECT sv.vec_id, sv.s, cb.code, {_PQ_DIST} AS dist
+       FROM sv JOIN c1 cb ON sv.s = cb.s AND sv.p = cb.p
+       GROUP BY sv.vec_id, sv.s, cb.code),
+codes AS (SELECT vec_id, s, code FROM (
+            SELECT vec_id, s, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                      ORDER BY dist, code) AS rn
+            FROM d1) r WHERE rn = 1),
+scored AS (SELECT l.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(CAST(SUM(CAST(round(l.dist, 12) AS DECIMAL(28,12)))
+                             AS DOUBLE), 9) AS adc_dist
+           FROM codes c JOIN d1 l ON l.s = c.s AND l.code = c.code
+           WHERE l.vec_id < 10 AND l.vec_id <> c.vec_id
+           GROUP BY 1, 2)
+SELECT query_id, neighbor_id, adc_dist, rn FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id) AS rn
+  FROM scored) r WHERE rn <= 5
+"""
+
+
+@query("knn_pq_top5", oracle=_PQ_ORACLE)
+def knn_pq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators.similarity.knn_pq_adc, Jégou et
+    al. TPAMI 2011): per-subspace k-means codebooks (m=4, 16 codes, one
+    Lloyd round from deterministic seeds), corpus encoded to 4 small ints
+    per vector (64x smaller than the float rows), queries scored by
+    asymmetric-distance lookup-table sums — the memory-bounded ANN path
+    for corpora whose float vectors no longer fit the cluster.  The
+    oracle replays training, encoding, and ADC scoring in SQL, so the
+    gate checks the full pipeline, not just the final ranks."""
+    emb = load(spark, sf_dir)["embeddings"]
+    return S.knn_pq_adc(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                        m=4, k_codes=16, n_iter=1)
+
+
 @query("basket_part_pairs", oracle="""
 WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 pairs AS (

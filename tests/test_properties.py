@@ -1072,3 +1072,36 @@ def test_temperature_mix_thresholds_and_determinism(spark):
     again = sorted(r.doc_id for r in temperature_mix(df, alpha=0.5).collect()
                    if r.source == "b")
     assert kept_b == again
+
+
+def test_pq_adc_recovers_planted_clusters(spark):
+    """PQ pipeline end-to-end: 4 well-separated prototype clusters, noisy
+    copies; ADC top-3 for a query must come from the query's own cluster,
+    codes must be one-per-(vector, subspace), and encoding must be
+    deterministic across invocations."""
+    from localsql_spark.operators.similarity import (knn_pq_adc, pq_encode,
+                                                     pq_train)
+
+    dim, per = 8, 10
+    protos = [[10.0 if d // 2 == c else 0.0 for d in range(dim)]
+              for c in range(4)]
+    rows = []
+    for c, p in enumerate(protos):
+        for i in range(per):
+            noise = [((c * per + i) * 7 + d) % 5 * 0.01 for d in range(dim)]
+            rows.append((c * per + i, [p[d] + noise[d] for d in range(dim)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    queries = df.filter((df.vec_id % per) == 0)  # one per cluster
+    top = knn_pq_adc(df, queries, k=3, m=2, k_codes=4, n_iter=1)
+    for r in top.collect():
+        assert r.neighbor_id // per == r.query_id // per, r
+
+    books = pq_train(df, m=2, k_codes=4, n_iter=1)
+    codes1 = sorted((r.vec_id, r.s, r.code)
+                    for r in pq_encode(df, books, m=2).collect())
+    codes2 = sorted((r.vec_id, r.s, r.code)
+                    for r in pq_encode(df, books, m=2).collect())
+    assert codes1 == codes2
+    assert len(codes1) == 40 * 2                  # one code per (vec, s)
+    assert books.count() <= 2 * 4                 # m x k_codes model rows

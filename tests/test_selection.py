@@ -94,6 +94,7 @@ def test_gopher_rules_flag_each_violation(spark):
         (4, good + " ###### ## # # # #", "en"),  # symbol ratio
         (5, "the of 111 222 333 444 555 666 777 888 999 000", "en"),  # alpha
         (6, "zebra yak xylophone walrus vulture toucan seal rhino", "en"),
+        (7, good + " ...", "en"),  # ONE ellipsis occurrence, not 3 chars
     ]
     flags = {r["doc_id"]: r for r in
              gopher_quality_flags(_docs(spark, rows)).collect()}
@@ -103,6 +104,9 @@ def test_gopher_rules_flag_each_violation(spark):
     assert not flags[4]["rule_symbol_ratio"] and not flags[4]["keep"]
     assert not flags[5]["rule_alpha_words"] and not flags[5]["keep"]
     assert not flags[6]["rule_stopwords"] and not flags[6]["keep"]
+    # '...' counts as ONE symbol occurrence (1/14 <= 0.1); the char-count
+    # formulation would read 3/14 and wrongly reject
+    assert flags[7]["rule_symbol_ratio"] and flags[7]["keep"]
 
 
 # ---------------------------------------------------------------------------

@@ -93,6 +93,42 @@ def main() -> None:
     print(f"# ivf index: build {build_sec:.2f}s, probe {probe_best:.2f}s, "
           f"inline {inline_best:.2f}s ({n_pairs} rows)", file=sys.stderr)
 
+    # -- 1c. PQ ADC: recall vs compression (sub-count m sweep) --------------
+    from pyspark.sql.window import Window
+
+    qv = queries.select(F.col("vec_id").alias("query_id"),
+                        F.col("embedding").alias("qv"))
+    cv = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("cv"))
+    w = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
+    t0 = time.perf_counter()
+    l2_truth = {}
+    for r in (cv.crossJoin(F.broadcast(qv))
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(S.l2_sq(F.col("qv"), F.col("cv")), 9)
+                      .alias("d"))
+              .withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= K).collect()):
+        l2_truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    l2_brute_sec = time.perf_counter() - t0
+    pq_rows = []
+    for m, k_codes in ((2, 16), (4, 16), (4, 64), (8, 64), (8, 256)):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            got = {}
+            for r in S.knn_pq_adc(emb, queries, k=K, m=m, k_codes=k_codes,
+                                  n_iter=1).collect():
+                got.setdefault(r.query_id, set()).add(r.neighbor_id)
+            best = min(best, time.perf_counter() - t0)
+            cleanup()
+        recall = sum(len(got.get(q, set()) & t) / len(t)
+                     for q, t in l2_truth.items()) / len(l2_truth)
+        pq_rows.append((m, k_codes, recall, best))
+        print(f"# pq m={m} k={k_codes}: recall@{K}={recall:.3f} {best:.2f}s",
+              file=sys.stderr)
+
     # -- 2. two-level SemDeDup assignment agreement vs n_probe --------------
     t0 = time.perf_counter()
     flat = dict(
@@ -164,6 +200,32 @@ def main() -> None:
         "the assignment pass is the expensive half, so the amortization is "
         "the difference between re-scanning the corpus per batch and "
         "reading ~n_probe/n_cells of a prebuilt layout.",
+        "",
+        f"## PQ ADC: `knn_pq_adc` recall@{K} vs exact L2 brute force "
+        f"({l2_brute_sec:.2f}s; 1 Lloyd round)",
+        "",
+        "| m (subspaces) | codes/subspace | code bits/vector (vs 2048 "
+        "float) | recall@5 | wall (s) |",
+        "|---|---|---|---|---|",
+    ] + [
+        f"| {m} | {k_codes} | {m * k_codes.bit_length() - m} "
+        f"({2048 // (m * (k_codes.bit_length() - 1))}x) "
+        f"| {recall:.3f} | {sec:.2f} |"
+        for m, k_codes, recall, sec in pq_rows
+    ] + [
+        "",
+        "Both PQ knobs move recall: m (finer subspace resolution) and "
+        "k_codes (finer quantization per subspace), with code width "
+        "m*log2(k_codes) bits — even the largest setting here is 32x "
+        "smaller than the float rows.  Near-uniform random embeddings "
+        "are PQ's WORST case (no correlation for the codebooks to "
+        "exploit — see the SemDeDup caveat below), so these recalls are "
+        "a floor: a real corpus with cluster structure quantizes far "
+        "better at the same budget.  The wall times are "
+        "training-dominated (tiny corpus); at scale, codebooks train "
+        "once on a sample, and the per-query cost is the m-lookup ADC "
+        "sum over the codes table — no float vectors move at query "
+        "time.",
         "",
         f"## Two-level SemDeDup: multi-probe fine assignment vs flat "
         f"(flat {flat_sec:.2f}s, k={N_CLUSTERS}, n_coarse={N_COARSE})",

@@ -295,8 +295,13 @@ def main() -> None:
     for name, fn in ops.items():
         results[name] = {}
         for f in FACTORS:
-            # one retry per point: this is a stress harness — a transient
-            # executor failure at 16x should cost one data point, not the run
+            # min of 2 runs per point (same methodology as bench.py): single
+            # measurements on the shared machine carry 2-4x GC/page-cache
+            # spikes that fake a super-linear step; the repeated-run minimum
+            # is the steady-state cost the growth columns should compare.
+            # A failed attempt is also retried once — a transient executor
+            # failure at 16x costs one data point, not the run.
+            times = []
             for attempt in (1, 2):
                 t0 = time.perf_counter()
                 try:
@@ -305,24 +310,26 @@ def main() -> None:
                     cleanup()
                     print(f"# {name} {f}x attempt {attempt} FAILED: "
                           f"{str(e).splitlines()[0][:120]}", file=sys.stderr)
-                    results[name][f] = float("nan")
                     continue
                 dt = time.perf_counter() - t0
                 # an op may return (rows, self_timed_sec) to exclude its
                 # fixture setup from the measurement (see op_merge_upsert)
                 if isinstance(rows, tuple):
                     rows, dt = rows
-                results[name][f] = dt
+                times.append(dt)
                 cleanup()
-                print(f"# {name} {f}x: {dt:.2f}s ({rows} rows)",
+            results[name][f] = min(times) if times else float("nan")
+            if times:
+                print(f"# {name} {f}x: {min(times):.2f}s min of "
+                      f"{[round(t, 2) for t in times]} ({rows} rows)",
                       file=sys.stderr)
-                break
 
     lines = [
         "# SCALE — empirical scaling of the heavy operators",
         "",
         f"`tools/scale_check.py` on `{sf_dir}` replicated 1x/4x/16x "
-        "(constant near-dup rate, shifted ids).  A scale-safe operator "
+        "(constant near-dup rate, shifted ids); min-of-2 wall seconds per "
+        "point.  A scale-safe operator "
         "grows ~4x wall per 4x data; quadratic blowups grow ~16x per step.",
         "",
         "| operator | 1x | 4x | 16x | growth 1x->4x | growth 4x->16x |",
