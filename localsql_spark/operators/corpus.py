@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from localsql_spark.operators import spread
 from localsql_spark.operators import text as T
 
 
@@ -63,7 +64,7 @@ def chunk_documents(docs: DataFrame, chunk: int = 64, overlap: int = 16,
     n = F.size(toks)
     n_chunks = F.greatest(
         F.ceil((n.cast("double") - overlap) / step), F.lit(1)).cast("int")
-    out = (docs.select(doc_id_col, toks.alias("toks"),
+    out = (spread(docs).select(doc_id_col, toks.alias("toks"),
                        F.explode(F.sequence(F.lit(0), n_chunks - 1))
                        .alias("chunk_id")))
     sl = F.slice(F.col("toks"), F.col("chunk_id") * step + 1, chunk)
@@ -99,7 +100,10 @@ def repeated_spans(docs: DataFrame, span: int = 8, min_docs: int = 2,
     n = F.size(toks)
     idx = F.when(n >= span, F.sequence(F.lit(0), n - span)
                  ).otherwise(F.array().cast("array<int>"))
-    spans = (docs.select(doc_id_col, toks.alias("toks"),
+    # spread() first: a small parquet input packs into ONE scan split
+    # (maxPartitionBytes coalescing) and the token explode serializes on a
+    # single core — measured 9.3s vs 2.7s for MORE data in SCALE.md
+    spans = (spread(docs).select(doc_id_col, toks.alias("toks"),
                          F.explode(idx).alias("pos"))
              .select(doc_id_col,
                      F.md5(F.concat_ws(
@@ -142,7 +146,7 @@ def unigram_logprob(docs: DataFrame, doc_id_col: str = "doc_id",
     (DuckDB) cannot perturb the doc-level sum; the one double division is
     IEEE-deterministic.
     """
-    words = (docs.select(doc_id_col,
+    words = (spread(docs).select(doc_id_col,
                          F.explode(_tokens(F.col(text_col))).alias("word"))
              .filter(F.col("word") != ""))
     freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))

@@ -65,8 +65,10 @@ def hashed_feature_stream(docs: DataFrame, n_buckets: int = 1024,
     """One row per (doc, feature occurrence) with its hash bucket — the
     exploded stream both the model fit and the scoring pass consume.
     Row-local (explode + hash + mod): zero shuffles on its own."""
-    return (docs.select(doc_id_col,
-                        F.explode(_features(F.col(text_col))).alias("feat"))
+    from localsql_spark.operators import spread
+    return (spread(docs).select(doc_id_col,
+                                F.explode(_features(F.col(text_col)))
+                                .alias("feat"))
             .withColumn("bucket",
                         F.pmod(hash32(F.col("feat")), F.lit(n_buckets))))
 
@@ -95,8 +97,10 @@ def dsir_weights(docs: DataFrame, is_target: Column,
     ``n_buckets`` rows at any corpus size.
     """
     # _tgt rides along the explode so ONE pass fits both histograms
-    feats = (docs.select(doc_id_col, is_target.alias("_tgt"),
-                         F.explode(_features(F.col(text_col))).alias("feat"))
+    from localsql_spark.operators import spread
+    feats = (spread(docs)
+             .select(doc_id_col, is_target.alias("_tgt"),
+                     F.explode(_features(F.col(text_col))).alias("feat"))
              .withColumn("bucket",
                          F.pmod(hash32(F.col("feat")), F.lit(n_buckets))))
     hist = (feats.groupBy("bucket")

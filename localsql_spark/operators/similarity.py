@@ -734,6 +734,12 @@ def pq_train(corpus: DataFrame, m: int = 4, k_codes: int = 16,
     broadcast-assign + one narrow (s, code, dim) aggregate; training cost
     is the same order as one k-means pass, NOT m passes, because all
     subspaces ride one exploded stream.
+
+    The trained model is MATERIALIZED (collected and rebuilt as a literal
+    frame): it is bounded by construction, and without the cut every
+    downstream reference (encode, LUT) re-expands the whole training
+    subtree into its plan — the static plan for encode+search carried 48
+    exchanges before the cut, ~10 after.
     """
     sub = _pq_sub(corpus, m, id_col, vec_col)
     cents = (sub.filter(F.col(id_col) < k_codes)
@@ -752,7 +758,8 @@ def pq_train(corpus: DataFrame, m: int = 4, k_codes: int = 16,
                  .agg(F.transform(
                      F.sort_array(F.collect_list(F.struct("p", "mn"))),
                      lambda st: st["mn"]).alias("cent")))
-    return cents
+    spark = corpus.sparkSession
+    return spark.createDataFrame(cents.collect(), schema=cents.schema)
 
 
 def pq_encode(corpus: DataFrame, codebooks: DataFrame,

@@ -257,3 +257,87 @@ def test_incremental_dedup_band_join_is_equi(spark, queries):
     plan = _plan(queries["dedup_incremental_new_batch"](spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A date-partitioned fact joined to a FILTERED dim must plan a
+    DynamicPruningExpression on the fact scan: at 100 TB this is the
+    difference between scanning every date directory and only the dates
+    the dim filter selects — partition pruning decided at RUNTIME from the
+    dim side's build, no hand-written date predicate needed.
+
+    Gotcha this test pins: Spark's isLikelySelective() heuristic gates the
+    rule, and it does NOT count a bare boolean-attribute filter — the dim
+    filter must be a comparison/IN/LIKE predicate or DPP silently never
+    fires (cost a debugging session to find)."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 20_000).select(
+        F.col("id").alias("k"),
+        F.date_format(F.date_add(F.lit("2024-01-01"),
+                                 (F.col("id") % 30).cast("int")),
+                      "yyyy-MM-dd").alias("d"))
+    fact.write.partitionBy("d").parquet(str(tmp_path / "fact"))
+    dim = spark.range(0, 30).select(
+        F.col("id").alias("weight"),
+        F.date_format(F.date_add(F.lit("2024-01-01"),
+                                 F.col("id").cast("int")),
+                      "yyyy-MM-dd").alias("dim_d"))
+    dim.write.parquet(str(tmp_path / "dim"))
+
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    dm = spark.read.parquet(str(tmp_path / "dim")).filter("weight < 5")
+    joined = f.join(dm, f.d == dm.dim_d).groupBy("weight").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_runtime_bloom_filter_prunes_selective_join(spark, tmp_path):
+    """With a selective dim filter over a shuffle join, Spark's runtime
+    filter optimization injects a bloom/semi filter on the fact side so
+    most fact rows drop BEFORE the shuffle — at 100 TB this cuts the
+    dominant exchange, not just the join.  Pin that the optimization is
+    available and fires under the thresholds we set, so a config
+    regression can't silently disable it."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 200_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v"))
+    fact.write.parquet(str(tmp_path / "fact"))
+    # the dim filter must be a comparison predicate: isLikelySelective()
+    # ignores bare boolean attributes (same gotcha as the DPP test above)
+    dim = spark.range(0, 50_000).select(
+        F.col("id").alias("k"), (F.col("id") % 1000).alias("w"))
+    dim.write.parquet(str(tmp_path / "dim"))
+
+    old = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"),
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter."
+                           "creationSideThreshold", "10MB"),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"),
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter."
+                       "applicationSideScanSizeThreshold", "0")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter."
+                       "creationSideThreshold", "100MB")
+        # force a shuffle join: broadcast joins don't need runtime filters
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        f = spark.read.parquet(str(tmp_path / "fact"))
+        dm = spark.read.parquet(str(tmp_path / "dim")).filter("w < 1")
+        joined = f.join(dm, "k").groupBy("v").count()
+        plan = (joined._jdf.queryExecution().optimizedPlan().toString()
+                + joined._jdf.queryExecution().executedPlan().toString())
+        assert ("bloomfilter" in plan.lower()
+                or "BloomFilterMightContain" in plan), plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
