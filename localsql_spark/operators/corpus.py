@@ -265,3 +265,109 @@ def temperature_mix(docs: DataFrame, alpha: float = 0.5,
     return (docs.join(F.broadcast(rates), source_col)
             .filter(hash32(F.col(id_col)) % 1_000_000 < F.col("thr"))
             .select(id_col, source_col, "thr"))
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al., arXiv:1508.07909)
+# ---------------------------------------------------------------------------
+
+def word_frequencies(docs: DataFrame, doc_id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(word, cnt) over the normalized token stream — the Zipf-bounded
+    working set every BPE round aggregates over (vocabulary-sized, NOT
+    corpus-sized: ~O(corpus^0.5) under Heaps' law)."""
+    return (spread(docs)
+            .select(F.explode(_tokens(F.col(text_col))).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def _chars(word) -> Column:
+    """Split a word into its character symbols (the BPE base vocabulary).
+    Spark's split keeps the trailing empty match of the zero-width pattern
+    (limit=-1 semantics), so filter it out."""
+    return F.filter(F.split(word, "(?!^)"), lambda c: c != "")
+
+
+def bpe_pair_counts(symbols: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair frequencies weighted by word count: the
+    statistic BOTH the merge picker and the driver-gate query consume.
+    ``symbols`` carries (word, cnt, syms: array<string>).  Row-local pair
+    construction (zip with own tail — exact length, see
+    operators.selection._features for the Int32 slice trap) + one
+    map-side-combined groupBy; output is pair-vocabulary-sized."""
+    tail_len = F.greatest(F.size("syms") - 1, F.lit(0))
+    pairs = F.slice(
+        F.zip_with(F.col("syms"), F.slice(F.col("syms"), 2, tail_len),
+                   lambda a, b: F.concat_ws("|", a, b)),
+        1, tail_len)
+    return (symbols.select("cnt", F.explode(pairs).alias("pair"))
+            .groupBy("pair").agg(F.sum("cnt").alias("n")))
+
+
+def _apply_merge(sym_col: Column, a: str, b: str) -> Column:
+    """Rewrite a symbol array under merge (a, b) -> 'ab': a left-to-right
+    fold that joins each leftmost non-overlapping adjacent (a, b) — the
+    exact BPE application order.  Row-local F.aggregate; 'aaa' under
+    (a, a) becomes ['aa', 'a'], matching the reference algorithm."""
+    return F.aggregate(
+        sym_col, F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == a) & (x == b),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.lit(a + b)))
+        ).otherwise(F.concat(acc, F.array(x))))
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 8,
+              doc_id_col: str = "doc_id",
+              text_col: str = "text") -> list[tuple[str, str, int]]:
+    """Byte-pair-encoding merge training (Sennrich et al., arXiv:1508.07909
+    — public algorithm): ``n_merges`` rounds of count-adjacent-pairs ->
+    merge the most frequent (ties broken lexicographically on the pair, so
+    the result is deterministic across engines and runs).
+
+    Returns [(a, b, count), ...] in merge order — the tokenizer model.
+
+    Scale shape: the loop runs over the DISTINCT-WORD table (Zipf-bounded),
+    not the corpus; each round is one bounded pair aggregation + a
+    row-local array rewrite, with a lazy ``localCheckpoint`` lineage cut
+    per round (same discipline as the connected-components loops — without
+    it the nested-fold plan grows per round).  Only the single argmax row
+    reaches the driver each round.
+    """
+    words = word_frequencies(docs, doc_id_col, text_col)
+    symbols = (words.select("word", "cnt",
+                            _chars(F.col("word")).alias("syms"))
+               .localCheckpoint(eager=False))
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (bpe_pair_counts(symbols)
+               .orderBy(F.col("n").desc(), F.col("pair")).limit(1).collect())
+        if not top or top[0]["n"] < 2:
+            break  # nothing left worth merging
+        a, b = top[0]["pair"].split("|", 1)
+        merges.append((a, b, int(top[0]["n"])))
+        symbols = (symbols.select(
+            "word", "cnt", _apply_merge(F.col("syms"), a, b).alias("syms"))
+            .localCheckpoint(eager=False))
+    return merges
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str, int]],
+               doc_id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Apply a trained merge list to every document: (doc_id, n_tokens_ws,
+    n_bpe_symbols) — the compression measurement (symbols shrink toward
+    tokens-worth-of-subwords as merges apply).  Row-local: the merge list
+    is a constant folded into the plan."""
+    toks = _tokens(F.col(text_col))
+    per_word = F.transform(toks, lambda w: _chars(w))
+    for a, b, _ in merges:
+        per_word = F.transform(per_word,
+                               lambda syms: _apply_merge(syms, a, b))
+    return (spread(docs)
+            .select(doc_id_col, F.size(toks).alias("n_tokens_ws"),
+                    F.aggregate(per_word, F.lit(0),
+                                lambda acc, syms: acc + F.size(syms))
+                    .alias("n_bpe_symbols")))

@@ -1,0 +1,125 @@
+"""Declarative data-quality constraints over a DataFrame — the
+"expectations" gate a pipeline runs on every ingest batch before letting it
+touch the corpus (the public pattern of AWS Deequ / Great Expectations /
+dbt tests, re-expressed as one Spark aggregation).
+
+The reference has no validation surface (its ingest is pandas read + schema
+inference, reference: localsql/localsql.py:80-145); this is a pure scale
+extension alongside operators.corpus.
+
+Design for 100 TB: every ROW-LOCAL rule (not-null, bounds, accepted values,
+regex match) compiles to a conditional-sum column inside ONE aggregation
+pass — adding rules adds columns, not jobs or scans.  Uniqueness rides the
+same pass via count - count_distinct.  Referential rules need the other
+table, so each adds one left-anti join (broadcast when the dimension is
+small) — the only per-rule jobs.  Output is one bounded row per rule:
+``(constraint, metric, violations, passed)``, cheap to store per batch and
+diff across runs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One constraint.  ``kind`` in {'not_null', 'unique', 'between',
+    'accepted', 'matches', 'refers_to'}; see the check_* constructors."""
+    kind: str
+    name: str
+    col: str
+    lo: float | None = None
+    hi: float | None = None
+    values: tuple = ()
+    pattern: str = ""
+    other: DataFrame | None = None
+    other_col: str = ""
+
+
+def not_null(col: str) -> Rule:
+    return Rule("not_null", f"not_null({col})", col)
+
+
+def unique(col: str) -> Rule:
+    return Rule("unique", f"unique({col})", col)
+
+
+def between(col: str, lo: float, hi: float) -> Rule:
+    return Rule("between", f"between({col},{lo},{hi})", col, lo=lo, hi=hi)
+
+
+def accepted(col: str, values: list) -> Rule:
+    return Rule("accepted", f"accepted({col})", col, values=tuple(values))
+
+
+def matches(col: str, pattern: str) -> Rule:
+    return Rule("matches", f"matches({col})", col, pattern=pattern)
+
+
+def refers_to(col: str, other: DataFrame, other_col: str) -> Rule:
+    """Referential integrity: every non-null ``col`` value exists in
+    ``other[other_col]`` (FK -> PK)."""
+    return Rule("refers_to", f"refers_to({col})", col,
+                other=other, other_col=other_col)
+
+
+def _violation(rule: Rule) -> Column:
+    c = F.col(rule.col)
+    if rule.kind == "not_null":
+        return c.isNull().cast("long")
+    if rule.kind == "between":
+        return (c.isNull() | (c < rule.lo) | (c > rule.hi)).cast("long")
+    if rule.kind == "accepted":
+        return (c.isNull()
+                | ~c.isin(list(rule.values))).cast("long")
+    if rule.kind == "matches":
+        return (c.isNull() | ~c.rlike(rule.pattern)).cast("long")
+    raise ValueError(f"not a row-local rule: {rule.kind}")
+
+
+def check_constraints(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Evaluate every rule; one result row per rule:
+    ``constraint, n_rows, violations, passed``.
+
+    Scale shape: all row-local rules + all uniqueness rules share ONE
+    aggregation over a single scan (conditional sums / count_distinct with
+    map-side partial aggregation); each referential rule adds one
+    left-anti join job (broadcast the dimension when small).  The result
+    is |rules| rows — store it per batch, alert on ``passed = false``,
+    diff `metric` across days for drift.
+    """
+    spark = df.sparkSession
+    row_local = [r for r in rules if r.kind in
+                 ("not_null", "between", "accepted", "matches")]
+    uniques = [r for r in rules if r.kind == "unique"]
+    refs = [r for r in rules if r.kind == "refers_to"]
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, r in enumerate(row_local):
+        aggs.append(F.sum(_violation(r)).alias(f"__v{i}"))
+    for i, r in enumerate(uniques):
+        # duplicates = rows - distinct non-null values - (0 or 1 null slot):
+        # count over non-null minus distinct counts every EXTRA occurrence
+        aggs.append((F.count(F.col(r.col))
+                     - F.countDistinct(F.col(r.col))).alias(f"__u{i}"))
+    stats = df.agg(*aggs).collect()[0]
+
+    rows = [(r.name, int(stats["__n"]), int(stats[f"__v{i}"]))
+            for i, r in enumerate(row_local)]
+    rows += [(r.name, int(stats["__n"]), int(stats[f"__u{i}"]))
+             for i, r in enumerate(uniques)]
+    for r in refs:
+        dangling = (df.select(F.col(r.col)).filter(F.col(r.col).isNotNull())
+                    .join(r.other.select(
+                        F.col(r.other_col).alias(r.col)).distinct(),
+                        r.col, "left_anti")
+                    .count())
+        rows.append((r.name, int(stats["__n"]), int(dangling)))
+
+    out = spark.createDataFrame(
+        rows, "constraint string, n_rows long, violations long")
+    return out.withColumn("passed", F.col("violations") == 0)

@@ -347,3 +347,78 @@ def late_data_stream(spark: SparkSession, sf_dir: str,
     return out.select(
         F.unix_micros(F.col("w.start").cast("timestamp")).alias("w_start_us"),
         "event_type", "n", "sum_value")
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4 stateful API)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas ships state over a protobuf channel
+    (pyspark.sql.streaming.proto.StateMessage_pb2), so it hard-requires
+    ``google.protobuf`` at worker runtime — absent in this container.  The
+    operator below is the production-shaped path for environments that
+    have it; callers must gate on this probe."""
+    import importlib.util
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # parent package 'google' absent entirely
+        return False
+
+
+class UserStatsProcessor(StatefulProcessor):
+    """StatefulProcessor for per-user running (count, integer-cents total).
+
+    The Spark-4 successor to applyInPandasWithState: typed state handles
+    (ValueState here; ListState/MapState/timers available), explicit
+    init/close lifecycle, and state schema evolution support — the API a
+    new pipeline should target, kept alongside the applyInPandasWithState
+    twin so both paths stay covered.  Same integer-cents discipline: the
+    accumulator is associative and exact, so the drained final state
+    equals the batch aggregate bit-for-bit.
+    """
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("agg", "n long, cents long")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+        n, cents = self._state.get() if self._state.exists() else (0, 0)
+        for pdf in rows:
+            n += len(pdf)
+            cents += int(pdf["value"].mul(100).round(0)
+                         .astype("int64").sum())
+        self._state.update((n, cents))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "sum_value": [cents / 100.0]})
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running stats via ``transformWithStateInPandas`` — same
+    contract (and same exact SQL oracle) as the applyInPandasWithState
+    twin, driven through the modern typed-state API.
+
+    Raises a clear error when ``google.protobuf`` is missing rather than
+    crashing the TWS driver worker mid-query.
+    """
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas requires google.protobuf "
+            "(pyspark StateMessage channel); it is not installed — use "
+            "stateful_user_stats (applyInPandasWithState) instead")
+    ev = _stream_source(spark, sf_dir, "events")
+    out = (ev.groupBy("user_id")
+           .transformWithStateInPandas(
+               statefulProcessor=UserStatsProcessor(),
+               outputStructType="user_id long, n_events long, "
+                                "sum_value double",
+               outputMode="Update",
+               timeMode="None"))
+    drained = _drain_to_memory(out, "stateful_tws_sink", "update")
+    return recombine_final_emissions(drained)

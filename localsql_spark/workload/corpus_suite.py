@@ -351,3 +351,62 @@ def corpus_health_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / F.count(F.lit(1)), 6).alias("avg_quality"),
                  F.round(F.sum("ws_tokens").cast("double")
                          / F.count(F.lit(1)), 6).alias("avg_tokens")))
+
+
+@query("bpe_pair_stats", oracle=f"""
+WITH {_TOK_CTE.strip()},
+w AS (SELECT word, count(*) AS cnt
+      FROM tok, UNNEST(toks) u(word) WHERE word <> '' GROUP BY 1),
+p AS (SELECT substring(word, i + 1, 1) || '|' || substring(word, i + 2, 1)
+        AS pair, cnt
+      FROM w, UNNEST(range(length(word) - 1)) u(i))
+SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+FROM p GROUP BY 1
+ORDER BY n DESC, pair
+LIMIT 40
+""")
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-1 BPE pair statistics (operators.corpus.bpe_pair_counts,
+    Sennrich et al. arXiv:1508.07909): adjacent character-pair frequencies
+    weighted by word count — the aggregation every BPE training round runs
+    and argmaxes.  The loop operates on the DISTINCT-WORD table
+    (Zipf-bounded, ~O(corpus^0.5)), so training cost is vocabulary-, not
+    corpus-, proportional; the full driver-looped trainer (bpe_train) is
+    pinned by unit test against the hand-computable reference example."""
+    from localsql_spark.operators.corpus import (bpe_pair_counts, _chars,
+                                                 word_frequencies)
+
+    docs = load(spark, sf_dir)["documents"]
+    syms = (word_frequencies(docs)
+            .select("word", "cnt", _chars(F.col("word")).alias("syms")))
+    return (bpe_pair_counts(syms)
+            .orderBy(F.col("n").desc(), F.col("pair")).limit(40))
+
+
+@query("bpe_encode_fixed", oracle=rf"""
+WITH {_TOK_CTE.strip()},
+w AS (SELECT doc_id, word
+      FROM tok, UNNEST(toks) u(word) WHERE word <> ''),
+enc AS (SELECT doc_id,
+               length(replace(replace(replace(word,
+                       'th', chr(1)), chr(1) || 'e', chr(2)),
+                       'an', chr(3))) AS n_syms
+        FROM w)
+SELECT doc_id, count(*) AS n_tokens_ws,
+       CAST(sum(n_syms) AS BIGINT) AS n_bpe_symbols
+FROM enc GROUP BY doc_id
+""")
+def bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE application (operators.corpus.bpe_encode) under a FIXED merge
+    list ('t'+'h', 'th'+'e', 'a'+'n'): per-document whitespace-token and
+    BPE-symbol counts.  The oracle exploits that leftmost-non-overlapping
+    adjacent-pair merging over single-char-origin symbols is EXACTLY
+    string replace with sentinel substitution — so the row-local
+    fold-based rewrite is verified bit-for-bit without replaying the fold
+    in SQL.  Fixed merges keep the oracle closed-form; the trained path
+    runs through the same _apply_merge fold (unit-tested)."""
+    from localsql_spark.operators.corpus import bpe_encode
+
+    docs = load(spark, sf_dir)["documents"]
+    merges = [("t", "h", 0), ("th", "e", 0), ("a", "n", 0)]
+    return bpe_encode(docs, merges)

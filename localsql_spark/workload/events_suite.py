@@ -704,3 +704,11 @@ def rollup_incremental_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value", "max_value",
         F.round(F.col("sum_value").cast("double") / F.col("n_events"), 6)
         .alias("avg_value"))
+
+
+# NOTE: the transformWithStateInPandas twin of streaming_stateful_user_stats
+# (streaming.stream_agg.stateful_user_stats_tws) is NOT registered as a
+# driver query: the TWS state channel hard-requires google.protobuf, absent
+# in this environment (stream_agg.tws_available).  It stays implemented and
+# gate-tested (tests/test_streaming.py) so environments that have protobuf
+# get the modern typed-state path with the same exact-oracle contract.

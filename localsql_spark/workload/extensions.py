@@ -2156,3 +2156,58 @@ def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id",
                     F.coalesce(F.col("__c"), F.lit(False))
                     .alias("contaminated")))
+
+
+@query("validate_orders_constraints", oracle="""
+WITH n AS (SELECT count(*) AS n_rows FROM orders),
+v AS (
+  SELECT 'not_null(o_custkey)' AS rule,
+         (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS violations
+  UNION ALL
+  SELECT 'unique(o_orderkey)',
+         (SELECT count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders)
+  UNION ALL
+  SELECT 'between(o_totalprice,0.0,1000000.0)',
+         (SELECT count(*) FROM orders
+          WHERE o_totalprice IS NULL OR o_totalprice < 0
+             OR o_totalprice > 1000000)
+  UNION ALL
+  SELECT 'accepted(o_orderstatus)',
+         (SELECT count(*) FROM orders
+          WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P'))
+  UNION ALL
+  SELECT 'matches(o_orderpriority)',
+         (SELECT count(*) FROM orders
+          WHERE o_orderpriority IS NULL
+             OR NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+  UNION ALL
+  SELECT 'refers_to(o_custkey)',
+         (SELECT count(*) FROM orders o
+          WHERE o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))
+)
+SELECT rule, n.n_rows, violations, violations = 0 AS passed FROM v, n
+""")
+def validate_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint gate (operators.quality.check_constraints —
+    the Deequ/Great-Expectations pattern): six declarative rules over
+    `orders` (not-null, key uniqueness, numeric bounds, accepted values,
+    format regex, FK referential integrity to `customer`) evaluated as ONE
+    aggregation pass plus one broadcast anti-join for the FK — adding
+    row-local rules adds columns, not scans.  Output is a bounded
+    per-rule report a pipeline stores per ingest batch and alerts on.
+    The oracle recomputes every rule independently in SQL."""
+    from localsql_spark.operators import quality as Q
+
+    t = load(spark, sf_dir)
+    rules = [
+        Q.not_null("o_custkey"),
+        Q.unique("o_orderkey"),
+        Q.between("o_totalprice", 0.0, 1000000.0),
+        Q.accepted("o_orderstatus", ["O", "F", "P"]),
+        Q.matches("o_orderpriority", "^[1-5]-"),
+        Q.refers_to("o_custkey", t["customer"], "c_custkey"),
+    ]
+    return (Q.check_constraints(t["orders"], rules)
+            .withColumnRenamed("constraint", "rule"))

@@ -1105,3 +1105,52 @@ def test_pq_adc_recovers_planted_clusters(spark):
     assert codes1 == codes2
     assert len(codes1) == 40 * 2                  # one code per (vec, s)
     assert books.count() <= 2 * 4                 # m x k_codes model rows
+
+
+def test_bpe_train_reference_example(spark):
+    """The classic Sennrich worked example: merges must come out
+    (e,s) -> (es,t) -> then the tie between (l,o) and (o,w) at 7 breaks
+    lexicographically; counts exact; determinism across invocations."""
+    from localsql_spark.operators.corpus import bpe_train
+
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    df = spark.createDataFrame([(1, " ".join(words))],
+                               "doc_id long, text string")
+    merges = bpe_train(df, n_merges=3)
+    assert merges[0] == ("e", "s", 9)
+    assert merges[1] == ("es", "t", 9)
+    assert merges[2] == ("l", "o", 7)
+    assert bpe_train(df, n_merges=3) == merges
+
+
+def test_bpe_apply_merge_leftmost_nonoverlapping(spark):
+    """'aaaa' under (a,a) must become [aa, aa]; 'aaa' -> [aa, a] — the
+    leftmost-non-overlapping order the reference algorithm specifies."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators.corpus import _apply_merge, _chars
+
+    df = spark.createDataFrame([("aaaa",), ("aaa",), ("bab",)],
+                               "w string")
+    out = {r["w"]: r["m"] for r in df.select(
+        "w", _apply_merge(_chars(F.col("w")), "a", "a").alias("m")
+    ).collect()}
+    assert out["aaaa"] == ["aa", "aa"]
+    assert out["aaa"] == ["aa", "a"]
+    assert out["bab"] == ["b", "a", "b"]
+
+
+def test_bpe_encode_compresses_with_merges(spark):
+    from localsql_spark.operators.corpus import bpe_encode
+
+    df = spark.createDataFrame([(1, "the then there and an")],
+                               "doc_id long, text string")
+    [r0] = bpe_encode(df, []).collect()
+    [r1] = bpe_encode(df, [("t", "h", 0), ("th", "e", 0),
+                           ("a", "n", 0)]).collect()
+    assert r0["n_tokens_ws"] == r1["n_tokens_ws"] == 5
+    # chars: the(3)+then(4)+there(5)+and(3)+an(2) = 17
+    assert r0["n_bpe_symbols"] == 17
+    # the->[the] 1, then->[the,n] 2, there->[the,r,e] 3, and->[an,d] 2,
+    # an->[an] 1  => 9
+    assert r1["n_bpe_symbols"] == 9

@@ -1,0 +1,63 @@
+"""Data-quality constraint suite (operators.quality): every rule kind
+catches its planted violation, clean data passes, and the whole row-local
+battery runs in one aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from localsql_spark.operators import quality as Q
+
+
+def _report(df, rules):
+    return {r["constraint"]: (r["n_rows"], r["violations"], r["passed"])
+            for r in Q.check_constraints(df, rules).collect()}
+
+
+def test_each_rule_kind_catches_its_violation(spark):
+    rows = [
+        (1, 10.0, "O", "1-URGENT", 100),
+        (2, -5.0, "O", "2-HIGH", 100),      # between violation
+        (None, 20.0, "F", "3-MEDIUM", 101),  # not_null violation
+        (4, 30.0, "X", "4-LOW", 102),        # accepted violation
+        (4, 40.0, "P", "nope", None),        # unique dup + matches violation
+    ]
+    df = spark.createDataFrame(
+        rows, "k int, price double, status string, prio string, fk int")
+    dim = spark.createDataFrame([(100,), (101,)], "pk int")
+    rep = _report(df, [
+        Q.not_null("k"), Q.unique("k"), Q.between("price", 0.0, 1e6),
+        Q.accepted("status", ["O", "F", "P"]), Q.matches("prio", "^[1-5]-"),
+        Q.refers_to("fk", dim, "pk"),
+    ])
+    assert rep["not_null(k)"] == (5, 1, False)
+    assert rep["unique(k)"] == (5, 1, False)          # one EXTRA 4
+    assert rep["between(price,0.0,1000000.0)"] == (5, 1, False)
+    assert rep["accepted(status)"] == (5, 1, False)
+    assert rep["matches(prio)"] == (5, 1, False)
+    # fk=102 dangles; the NULL fk is not a referential violation
+    assert rep["refers_to(fk)"] == (5, 1, False)
+
+
+def test_clean_data_passes_everything(spark):
+    df = spark.createDataFrame([(i, float(i), "O") for i in range(50)],
+                               "k int, price double, status string")
+    rep = _report(df, [Q.not_null("k"), Q.unique("k"),
+                       Q.between("price", 0.0, 100.0),
+                       Q.accepted("status", ["O"])])
+    assert all(v == (50, 0, True) for v in rep.values())
+
+
+def test_row_local_rules_share_one_scan(spark):
+    """All row-local + uniqueness rules must evaluate in one aggregation
+    job — the validation gate cannot cost one scan per rule at 100 TB."""
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).cast("double").alias("v"))
+    sc = spark.sparkContext
+    before = sc._jsc.sc().dagScheduler().nextJobId()
+    Q.check_constraints(df, [
+        Q.not_null("k"), Q.unique("k"), Q.between("v", 0.0, 10.0),
+        Q.not_null("v"),
+    ])
+    after = sc._jsc.sc().dagScheduler().nextJobId()
+    assert after - before <= 2, "row-local battery must be ~one job"

@@ -405,3 +405,21 @@ def test_stream_dedup_ingest_restart_is_exactly_once(spark, tmp_path):
                         store_dir=store, out_dir=out, checkpoint_dir=ck)
     assert sorted(r.doc_id for r in
                   read_accepted(spark, out).collect()) == [1, 9]
+
+
+def test_tws_gate_and_path(spark):
+    """transformWithStateInPandas twin: runs end-to-end when protobuf is
+    available; otherwise the gate must fail fast with a clear message
+    (never crash the TWS driver worker mid-query)."""
+    import pytest
+
+    from localsql_spark.streaming.stream_agg import (
+        stateful_user_stats_tws, tws_available)
+
+    if not tws_available():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            stateful_user_stats_tws(spark, "/root/testdata/sf0.001")
+        return
+    out = stateful_user_stats_tws(spark, "/root/testdata/sf0.001")
+    batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    assert out.count() == batch.select("user_id").distinct().count()
