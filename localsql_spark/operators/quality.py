@@ -123,3 +123,58 @@ def check_constraints(df: DataFrame, rules: list[Rule]) -> DataFrame:
     out = spark.createDataFrame(
         rows, "constraint string, n_rows long, violations long")
     return out.withColumn("passed", F.col("violations") == 0)
+
+
+def annotate_violations(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Tag every row with ``failed_rules``: the (rule-order) array of rule
+    names the row violates — empty array means the row is clean.
+
+    Scale shape: row-local rules are pure conditional columns on the scan
+    (no extra job); each ``unique`` rule adds one self-aggregation join on
+    its key (the duplicate-key set, shuffle-partitioned — never collected);
+    each ``refers_to`` adds one left join against the DISTINCT dimension
+    keys (broadcast when small).  No driver materialization anywhere.
+    """
+    out = df
+    flag_cols: list[str] = []
+    for i, r in enumerate(rules):
+        flag = f"__viol_{i}"
+        flag_cols.append(flag)
+        if r.kind in ("not_null", "between", "accepted", "matches"):
+            out = out.withColumn(flag, _violation(r) == 1)
+        elif r.kind == "unique":
+            dups = (df.groupBy(r.col).agg(F.count(F.lit(1)).alias("__c"))
+                    .filter(F.col("__c") > 1)
+                    .select(r.col, F.lit(True).alias(flag)))
+            # null keys never join-match -> not unique-violations (the
+            # not_null rule owns nulls), matching check_constraints
+            out = (out.join(dups, r.col, "left")
+                   .withColumn(flag, F.coalesce(F.col(flag), F.lit(False))))
+        elif r.kind == "refers_to":
+            pk = (r.other.select(F.col(r.other_col).alias(r.col)).distinct()
+                  .withColumn("__pk_hit", F.lit(True)))
+            out = (out.join(pk, r.col, "left")
+                   .withColumn(flag, F.col(r.col).isNotNull()
+                               & F.col("__pk_hit").isNull())
+                   .drop("__pk_hit"))
+        else:
+            raise ValueError(f"unknown rule kind: {r.kind}")
+    failed = F.array_compact(F.array(
+        *[F.when(F.col(f), F.lit(r.name))
+          for f, r in zip(flag_cols, rules)]))
+    # join-on-key moved key columns to the front; restore input order
+    return (out.withColumn("failed_rules", failed)
+            .select(*df.columns, "failed_rules"))
+
+
+def validate_and_split(df: DataFrame, rules: list[Rule]
+                       ) -> tuple[DataFrame, DataFrame]:
+    """Quarantine routing (the dead-letter pattern downstream of the
+    constraint report): returns ``(passed, quarantined)`` where passed
+    rows carry the original schema and quarantined rows add
+    ``failed_rules``.  Route quarantined to a side sink for triage; only
+    passed rows continue into the corpus."""
+    ann = annotate_violations(df, rules)
+    passed = ann.filter(F.size("failed_rules") == 0).drop("failed_rules")
+    quarantined = ann.filter(F.size("failed_rules") > 0)
+    return passed, quarantined

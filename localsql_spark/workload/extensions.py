@@ -2211,3 +2211,143 @@ def validate_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return (Q.check_constraints(t["orders"], rules)
             .withColumnRenamed("constraint", "rule"))
+
+
+@query("quarantine_orders_rows", oracle="""
+WITH q AS (
+  SELECT o_orderkey,
+         concat_ws(',',
+           CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                     OR o_totalprice > 450000
+                THEN 'between(o_totalprice,0.0,450000.0)' END,
+           CASE WHEN o_orderpriority IS NULL
+                     OR NOT regexp_matches(o_orderpriority, '^[1-4]-')
+                THEN 'matches(o_orderpriority)' END) AS failed
+  FROM orders)
+SELECT o_orderkey, failed FROM q WHERE failed <> ''
+""")
+def quarantine_orders_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level quarantine routing (operators.quality.validate_and_split —
+    the dead-letter half of the constraint gate): every order failing at
+    least one rule, tagged with the rule-order list of failed rule names.
+    The battery also carries a unique() and an FK refers_to() rule that
+    this data passes, so the join-backed annotation paths execute in the
+    gated plan too.  The oracle rebuilds the failed-rule list with
+    NULL-skipping concat_ws in exactly the rule order."""
+    from localsql_spark.operators import quality as Q
+
+    t = load(spark, sf_dir)
+    rules = [
+        Q.between("o_totalprice", 0.0, 450000.0),
+        Q.matches("o_orderpriority", "^[1-4]-"),
+        Q.unique("o_orderkey"),
+        Q.refers_to("o_custkey", t["customer"], "c_custkey"),
+    ]
+    _, quarantined = Q.validate_and_split(t["orders"], rules)
+    return quarantined.select(
+        "o_orderkey", F.array_join("failed_rules", ",").alias("failed"))
+
+
+@query("diff_orders_versions", oracle="""
+WITH newv AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 101 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 103 = 0),
+oldv AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+d AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+              THEN 'changed' END AS change,
+         concat_ws(',',
+           CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                     AND o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                THEN 'o_totalprice' END,
+           CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                     AND o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                THEN 'o_orderstatus' END) AS changed
+  FROM oldv o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey)
+SELECT o_orderkey, change, changed FROM d WHERE change IS NOT NULL
+""")
+def diff_orders_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level version diff (operators.diff.table_diff): orders vs a
+    deterministically perturbed next version (keys %101 removed, %97
+    price-bumped, %103 re-added under shifted keys) -> one row per
+    added/removed/changed key with the changed-column list.  One full-outer
+    co-partitioned join; unchanged rows never leave the join stage.  The
+    oracle rebuilds the same perturbation and diffs with IS DISTINCT FROM
+    (the null-safe equality twin of eqNullSafe)."""
+    from localsql_spark.operators.diff import table_diff
+
+    t = load(spark, sf_dir)
+    orders = t["orders"]
+    key = F.col("o_orderkey")
+    new = (orders.filter(key % 101 != 0)
+           .withColumn("o_totalprice",
+                       F.when(key % 97 == 0, F.col("o_totalprice") + 1.0)
+                       .otherwise(F.col("o_totalprice")))
+           .unionByName(orders.filter(key % 103 == 0)
+                        .withColumn("o_orderkey", key + 100000000)))
+    d = table_diff(orders, new, ["o_orderkey"],
+                   ["o_totalprice", "o_orderstatus"])
+    return d.select("o_orderkey", "change",
+                    F.array_join("changed_cols", ",").alias("changed"))
+
+
+@query("scd2_customer_history", oracle="""
+WITH upd AS (
+  SELECT c_custkey, 'MIGRATED' AS seg FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, c_mktsegment FROM customer
+  WHERE c_custkey % 13 = 0 AND c_custkey % 7 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEW' FROM customer WHERE c_custkey % 50 = 0),
+cur AS (SELECT c_custkey, c_mktsegment AS seg FROM customer),
+hist AS (
+  SELECT c.c_custkey, c.seg, CAST(1000000 AS BIGINT) AS valid_from_us,
+         CASE WHEN u.c_custkey IS NOT NULL AND u.seg IS DISTINCT FROM c.seg
+              THEN CAST(2000000 AS BIGINT) END AS valid_to_us
+  FROM cur c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+  UNION ALL
+  SELECT u.c_custkey, u.seg, CAST(2000000 AS BIGINT), NULL
+  FROM upd u LEFT JOIN cur c ON c.c_custkey = u.c_custkey
+  WHERE c.c_custkey IS NULL OR u.seg IS DISTINCT FROM c.seg)
+SELECT c_custkey, seg AS c_mktsegment, valid_from_us, valid_to_us,
+       valid_to_us IS NULL AS is_current
+FROM hist
+""")
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance (operators.scd2 — Kimball pattern):
+    initialize history from `customer` at t0, apply one update batch at t1
+    (keys %7 re-segmented to 'MIGRATED', keys %13 sent UNCHANGED to prove
+    the no-op path stays open, %50 appearing as brand-new keys) and return
+    the full version history with validity intervals.  One co-partitioned
+    full-outer join per batch, row-local <=2-struct explode; closed rows
+    append-only.  The oracle derives the same history set-theoretically:
+    every original row (closed iff a differing update hit it) plus one new
+    open version per differing-or-new key."""
+    from localsql_spark.operators.scd2 import scd2_apply, scd2_init
+
+    t = load(spark, sf_dir)
+    cust = t["customer"]
+    key = F.col("c_custkey")
+    hist0 = scd2_init(cust, ["c_custkey"], ["c_mktsegment"], 1_000_000)
+    updates = (cust.filter(key % 7 == 0)
+               .withColumn("c_mktsegment", F.lit("MIGRATED"))
+               .unionByName(cust.filter((key % 13 == 0) & (key % 7 != 0)))
+               .unionByName(cust.filter(key % 50 == 0)
+                            .withColumn("c_custkey", key + 1000000)
+                            .withColumn("c_mktsegment", F.lit("NEW")))
+               .select("c_custkey", "c_mktsegment"))
+    hist1 = scd2_apply(hist0, updates, ["c_custkey"], ["c_mktsegment"],
+                       2_000_000)
+    return hist1.select(
+        "c_custkey", "c_mktsegment", "valid_from_us", "valid_to_us",
+        F.col("valid_to_us").isNull().alias("is_current"))

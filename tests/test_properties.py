@@ -1154,3 +1154,84 @@ def test_bpe_encode_compresses_with_merges(spark):
     # the->[the] 1, then->[the,n] 2, there->[the,r,e] 3, and->[an,d] 2,
     # an->[an] 1  => 9
     assert r1["n_bpe_symbols"] == 9
+
+
+def test_table_diff_classifies_and_nullsafe(spark):
+    """added/removed/changed classification; null-safe compare: null->null
+    is NOT a change, null->value and value->null ARE; identical rows and
+    key-order perturbation produce no diff rows."""
+    from localsql_spark.operators.diff import table_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, None, "b"), (3, 30.0, None), (4, 40.0, "d")],
+        "k int, v double, s string")
+    new = spark.createDataFrame(
+        [(4, 40.0, "d"), (1, 10.0, "a2"), (2, None, "b"), (5, 50.0, None)],
+        "k int, v double, s string")
+    out = {r["k"]: (r["change"], tuple(r["changed_cols"]))
+           for r in table_diff(old, new, ["k"]).collect()}
+    assert out == {
+        1: ("changed", ("s",)),        # a -> a2
+        3: ("removed", ()),
+        5: ("added", ()),
+    }                                   # 2: null v == null v -> no row
+    # value -> null IS a change
+    new2 = spark.createDataFrame([(1, None, "a")], "k int, v double, s string")
+    [r] = table_diff(old.filter("k = 1"), new2, ["k"]).collect()
+    assert (r["change"], list(r["changed_cols"])) == ("changed", ["v"])
+
+
+def test_table_diff_compare_cols_subset(spark):
+    from localsql_spark.operators.diff import table_diff
+
+    old = spark.createDataFrame([(1, 1.0, "x")], "k int, v double, s string")
+    new = spark.createDataFrame([(1, 1.0, "y")], "k int, v double, s string")
+    assert table_diff(old, new, ["k"], ["v"]).count() == 0  # s not compared
+
+
+def test_scd2_lifecycle_two_batches(spark):
+    """init -> change -> change-back across two batches: three versions
+    for the churning key, correct interval chaining, as-of reads see the
+    right version at every timestamp, no-op updates do not version."""
+    from localsql_spark.operators.scd2 import scd2_apply, scd2_as_of, scd2_init
+
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k int, seg string")
+    h0 = scd2_init(dim, ["k"], ["seg"], 100)
+    # batch 1: k=1 changes, k=2 no-op, k=3 new
+    u1 = spark.createDataFrame([(1, "a2"), (2, "b"), (3, "c")],
+                               "k int, seg string")
+    h1 = scd2_apply(h0, u1, ["k"], ["seg"], 200)
+    # batch 2: k=1 changes BACK to original value
+    u2 = spark.createDataFrame([(1, "a")], "k int, seg string")
+    h2 = scd2_apply(h1, u2, ["k"], ["seg"], 300)
+
+    rows = {(r["k"], r["seg"], r["valid_from_us"], r["valid_to_us"])
+            for r in h2.collect()}
+    assert rows == {
+        (1, "a", 100, 200), (1, "a2", 200, 300), (1, "a", 300, None),
+        (2, "b", 100, None),
+        (3, "c", 200, None),
+    }
+    assert {(r["k"], r["seg"]) for r in scd2_as_of(h2, 150).collect()} == {
+        (1, "a"), (2, "b")}
+    assert {(r["k"], r["seg"]) for r in scd2_as_of(h2, 250).collect()} == {
+        (1, "a2"), (2, "b"), (3, "c")}
+    assert {(r["k"], r["seg"]) for r in scd2_as_of(h2, 300).collect()} == {
+        (1, "a"), (2, "b"), (3, "c")}   # boundary: valid_from inclusive
+
+
+def test_scd2_nullsafe_attr_compare(spark):
+    """null -> null is a no-op; null -> value versions; value -> null
+    versions."""
+    from localsql_spark.operators.scd2 import scd2_apply, scd2_init
+
+    dim = spark.createDataFrame([(1, None), (2, "x")], "k int, seg string")
+    h0 = scd2_init(dim, ["k"], ["seg"], 10)
+    u = spark.createDataFrame([(1, None), (2, None)], "k int, seg string")
+    h1 = scd2_apply(h0, u, ["k"], ["seg"], 20)
+    rows = {(r["k"], r["seg"], r["valid_from_us"], r["valid_to_us"])
+            for r in h1.collect()}
+    assert rows == {
+        (1, None, 10, None),             # no-op
+        (2, "x", 10, 20), (2, None, 20, None),
+    }

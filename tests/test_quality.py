@@ -61,3 +61,36 @@ def test_row_local_rules_share_one_scan(spark):
     ])
     after = sc._jsc.sc().dagScheduler().nextJobId()
     assert after - before <= 2, "row-local battery must be ~one job"
+
+
+def test_validate_and_split_routes_rows(spark):
+    rows = [
+        (1, 10.0, "O", 100),
+        (2, -5.0, "O", 100),     # between
+        (None, 20.0, "F", 101),  # not_null
+        (4, 30.0, "X", 102),     # accepted + dangling fk
+        (4, 40.0, "P", None),    # unique dup (both 4s)
+    ]
+    df = spark.createDataFrame(rows, "k int, price double, s string, fk int")
+    dim = spark.createDataFrame([(100,), (101,)], "pk int")
+    rules = [Q.not_null("k"), Q.unique("k"), Q.between("price", 0.0, 1e6),
+             Q.accepted("s", ["O", "F", "P"]), Q.refers_to("fk", dim, "pk")]
+    passed, quarantined = Q.validate_and_split(df, rules)
+    assert sorted(r["k"] for r in passed.collect()) == [1]
+    bad = {(r["k"], tuple(r["failed_rules"]))
+           for r in quarantined.collect()}
+    assert (2, ("between(price,0.0,1000000.0)",)) in bad
+    assert (None, ("not_null(k)",)) in bad
+    # both k=4 rows are unique-violations; one also fails accepted + fk
+    assert (4, ("unique(k)", "accepted(s)", "refers_to(fk)")) in bad
+    assert (4, ("unique(k)",)) in bad
+    assert passed.columns == df.columns  # original schema preserved
+
+
+def test_split_partitions_exactly(spark):
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") % 10).cast("double").alias("v"))
+    passed, quarantined = Q.validate_and_split(
+        df, [Q.between("v", 0.0, 6.0)])
+    assert passed.count() + quarantined.count() == 200
+    assert quarantined.count() == 60        # v in {7,8,9}
