@@ -1,0 +1,65 @@
+"""Weighted PageRank over an edge table (Page et al. 1999 — public
+algorithm): the ranking primitive a corpus pipeline uses for domain/
+source authority weighting (e.g. harmonic/PageRank-weighted sampling of
+web domains in public corpus recipes).
+
+The reference has no graph surface; this extends the iterative-algorithm
+family next to the connected-components loops (operators.dedup).
+
+Design for 100 TB: the edge table is the big object and stays
+distributed end-to-end — each iteration is one shuffle join
+(edges ⋈ ranks on src, co-partitioned; pre-partition both on src to make
+it exchange-free) plus one groupBy(dst) aggregation.  Rank state is
+node-sized (domains, not documents).  The dangling-mass term is a single
+scalar aggregate per iteration (bounded driver traffic, same discipline
+as the CC convergence fingerprints, dedup.py:342).  Lineage is cut per
+iteration with a lazy localCheckpoint, without which the plan doubles
+per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             weight: str = "w", damping: float = 0.85,
+             n_iter: int = 6) -> DataFrame:
+    """Fixed-iteration weighted PageRank; returns ``(node, rank)``.
+
+    rank_{t+1}(v) = (1-d)/n + d * (Σ_{u→v} rank_t(u)·w(u,v)/outw(u)
+                                   + dangling_t/n)
+    with dangling_t the total rank on nodes without out-edges
+    (redistributed uniformly).  Fixed ``n_iter`` keeps the result
+    deterministic and engine-checkable; convergence-threshold looping is
+    a trivial wrapper (iterate until max |Δrank| < ε).
+    """
+    nodes = (edges.select(F.col(src).alias("node"))
+             .union(edges.select(F.col(dst).alias("node")))
+             .distinct().persist())
+    n = nodes.count()
+    outw = edges.groupBy(F.col(src).alias("node")).agg(
+        F.sum(weight).alias("tw"))
+    norm = (edges.join(outw, F.col(src) == outw.node)
+            .select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"),
+                    (F.col(weight) / F.col("tw")).alias("p"))
+            .persist())
+    has_out = outw.select("node")
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        dangling = (ranks.join(has_out, "node", "left_anti")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                    .collect()[0][0])
+        contrib = (norm.join(ranks.withColumnRenamed("node", "e_src"),
+                             "e_src")
+                   .groupBy(F.col("e_dst").alias("node"))
+                   .agg(F.sum(F.col("rank") * F.col("p")).alias("s")))
+        ranks = (nodes.join(contrib, "node", "left")
+                 .select("node",
+                         (F.lit((1.0 - damping) / n) + F.lit(damping)
+                          * (F.coalesce(F.col("s"), F.lit(0.0))
+                             + F.lit(dangling / n))).alias("rank"))
+                 .localCheckpoint(eager=False))
+    return ranks

@@ -712,3 +712,66 @@ def rollup_incremental_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in this environment (stream_agg.tws_available).  It stays implemented and
 # gate-tested (tests/test_streaming.py) so environments that have protobuf
 # get the modern typed-state path with the same exact-oracle contract.
+
+
+def _pagerank_oracle(n_iter: int = 6) -> str:
+    """Unroll the fixed-iteration PageRank recurrence into chained CTEs —
+    exact parity with operators.graph.pagerank including the dangling-mass
+    term (all arithmetic forced to DOUBLE so both engines run the same
+    IEEE ops)."""
+    parts = ["""
+WITH seq AS (SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+             FROM events),
+e AS (SELECT event_type AS src, nxt AS dst, CAST(count(*) AS DOUBLE) AS w
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+outw AS (SELECT src, sum(w) AS tw FROM e GROUP BY 1),
+ne AS (SELECT e.src, e.dst, e.w / outw.tw AS p
+       FROM e JOIN outw ON e.src = outw.src),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn)"""]
+    for k in range(1, n_iter + 1):
+        parts.append(f""",
+d{k} AS (SELECT coalesce(sum(rank), CAST(0 AS DOUBLE)) AS dang
+         FROM r{k - 1} WHERE node NOT IN (SELECT src FROM outw)),
+c{k} AS (SELECT ne.dst AS node, sum(r.rank * ne.p) AS s
+         FROM ne JOIN r{k - 1} r ON r.node = ne.src GROUP BY 1),
+r{k} AS (SELECT nodes.node,
+         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+           + CAST(0.85 AS DOUBLE)
+             * (coalesce(c{k}.s, CAST(0 AS DOUBLE)) + d{k}.dang / nn.n)
+           AS rank
+         FROM nodes CROSS JOIN nn CROSS JOIN d{k}
+         LEFT JOIN c{k} ON c{k}.node = nodes.node)""")
+    parts.append(f"""
+SELECT node, round(rank, 6) AS rank FROM r{n_iter}""")
+    return "".join(parts)
+
+
+@query("pagerank_event_transitions", oracle=_pagerank_oracle(6))
+def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (operators.graph.pagerank) over the event-type
+    transition graph: edges = (type, next type per user in time order),
+    weight = transition count; 6 fixed iterations, d=0.85, dangling mass
+    redistributed uniformly.  The iterative operator the reference family
+    lacks entirely — each round is one co-partitioned join + one groupBy,
+    rank state is node-sized, and only the dangling scalar reaches the
+    driver.  The oracle unrolls the same recurrence as chained CTEs, so
+    the fixed-point arithmetic is checked bit-for-bit (to the 6-decimal
+    output rounding)."""
+    from pyspark.sql.window import Window
+
+    from localsql_spark.operators.graph import pagerank
+
+    ev = load(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "event_type",
+                    F.lead("event_type").over(w).alias("nxt"))
+    edges = (seq.filter(F.col("nxt").isNotNull())
+             .groupBy(F.col("event_type").alias("src"),
+                      F.col("nxt").alias("dst"))
+             .agg(F.count(F.lit(1)).cast("double").alias("w")))
+    pr = pagerank(edges, damping=0.85, n_iter=6)
+    return pr.select("node", F.round("rank", 6).alias("rank"))

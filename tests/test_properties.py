@@ -1235,3 +1235,32 @@ def test_scd2_nullsafe_attr_compare(spark):
         (1, None, 10, None),             # no-op
         (2, "x", 10, 20), (2, None, 20, None),
     }
+
+
+def test_pagerank_hand_computed_with_dangling(spark):
+    """A -> B (B dangling), d=0.85, 1 iteration:
+    r0 = (.5, .5); dangling = .5
+    rA = .075 + .85*(0 + .25)  = .2875
+    rB = .075 + .85*(.5 + .25) = .7125
+    and total rank mass stays 1.0 every iteration."""
+    from localsql_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([("A", "B", 1.0)], "src string, dst string, w double")
+    out = {r["node"]: r["rank"]
+           for r in pagerank(edges, n_iter=1).collect()}
+    assert abs(out["A"] - 0.2875) < 1e-12
+    assert abs(out["B"] - 0.7125) < 1e-12
+    for it in (2, 5):
+        total = sum(r["rank"] for r in pagerank(edges, n_iter=it).collect())
+        assert abs(total - 1.0) < 1e-9
+
+
+def test_pagerank_symmetric_cycle_is_uniform(spark):
+    from localsql_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("A", "B", 2.0), ("B", "C", 2.0), ("C", "A", 2.0)],
+        "src string, dst string, w double")
+    out = {r["node"]: r["rank"] for r in pagerank(edges, n_iter=8).collect()}
+    for v in out.values():
+        assert abs(v - 1 / 3) < 1e-9

@@ -273,6 +273,38 @@ def main() -> None:
         write_training_shards(docs, out, n_shards=16 * f)
         return shard_manifest(spark.read.parquet(out)).count()
 
+    def op_table_diff(f):
+        from localsql_spark.operators.diff import table_diff
+        docs = spark.read.parquet(paths[f]["documents"])
+        key = F.col("doc_id")
+        new = (docs.filter(key % 101 != 0)
+               .withColumn("source", F.when(key % 97 == 0, F.lit("moved"))
+                           .otherwise(F.col("source")))
+               .unionByName(docs.filter(key % 103 == 0)
+                            .withColumn("doc_id", key + 100_000_000)))
+        return table_diff(docs, new, ["doc_id"],
+                          ["source", "n_chars"]).count()
+
+    def op_scd2_apply(f):
+        from localsql_spark.operators.scd2 import scd2_apply, scd2_init
+        docs = spark.read.parquet(paths[f]["documents"])
+        dim = docs.select("doc_id", "source", "lang")
+        hist = scd2_init(dim, ["doc_id"], ["source", "lang"], 1_000_000)
+        upd = (dim.filter(F.col("doc_id") % 7 == 0)
+               .withColumn("source", F.lit("migrated")))
+        return scd2_apply(hist, upd, ["doc_id"], ["source", "lang"],
+                          2_000_000).count()
+
+    def op_quarantine(f):
+        from localsql_spark.operators import quality as Q
+        ev = spark.read.parquet(paths[f]["events"])
+        _, quarantined = Q.validate_and_split(ev, [
+            Q.not_null("user_id"), Q.unique("event_id"),
+            Q.between("value", 0.0, 400.0),
+            Q.matches("event_type", "^(view|click|cart)$"),
+        ])
+        return quarantined.count()
+
     ops = {"exact_dedup": op_exact_dedup, "minhash_lsh_pairs": op_minhash,
            "clusters_bigstar": op_clusters_bigstar, "knn_ivf": op_knn_ivf,
            "asof_join": op_asof, "kmeans_lloyd": op_kmeans,
@@ -289,7 +321,9 @@ def main() -> None:
            "zorder_write": op_zorder_write,
            "dsir_weights": op_dsir_weights,
            "shard_export": op_shard_export,
-           "rollup_maintain": op_rollup_maintain}
+           "rollup_maintain": op_rollup_maintain,
+           "table_diff": op_table_diff, "scd2_apply": op_scd2_apply,
+           "quarantine_split": op_quarantine}
 
     results: dict[str, dict[int, float]] = {}
     for name, fn in ops.items():
