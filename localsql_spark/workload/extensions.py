@@ -2351,3 +2351,76 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist1.select(
         "c_custkey", "c_mktsegment", "valid_from_us", "valid_to_us",
         F.col("valid_to_us").isNull().alias("is_current"))
+
+
+@query("streaming_quarantine_events", oracle="""
+SELECT event_id,
+       concat_ws(',',
+         CASE WHEN user_id IS NULL THEN 'not_null(user_id)' END,
+         CASE WHEN value IS NULL OR value < 0 OR value > 400
+              THEN 'between(value,0.0,400.0)' END,
+         CASE WHEN event_type IS NULL OR NOT regexp_matches(
+                   event_type, '^(view|click|purchase|signup)$')
+              THEN 'matches(event_type)' END) AS failed
+FROM events
+WHERE user_id IS NULL OR value IS NULL OR value < 0 OR value > 400
+   OR event_type IS NULL
+   OR NOT regexp_matches(event_type, '^(view|click|purchase|signup)$')
+""")
+def streaming_quarantine_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming validate-on-ingest, driver-gated end-to-end
+    (streaming.stream_validate_ingest): events arrive as three
+    micro-batches (hash-mod split, mtime-ordered, maxFilesPerTrigger=1);
+    each batch runs the row-local constraint battery and routes rows —
+    passers to the accepted sink, violators to the quarantine sink with
+    their failed-rule list (per-batch overwrite dirs + checkpoint =
+    effectively-exactly-once).  Row-local rules are batching-independent,
+    so the batch SQL over the whole table is an EXACT oracle for the
+    streamed result — that invariance is the correctness claim."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from localsql_spark.catalog import _CACHE_DIR
+    from localsql_spark.operators import hash32
+    from localsql_spark.operators import quality as Q
+    from localsql_spark.streaming.stream_validate_ingest import (
+        read_routed, stream_validate_ingest)
+
+    ev = load(spark, sf_dir)["events"]
+    src_dir = (_CACHE_DIR.parent / "stream_validate"
+               / Path(sf_dir.rstrip("/")).name)
+    if not src_dir.exists():
+        src_dir.parent.mkdir(parents=True, exist_ok=True)
+        build = Path(tempfile.mkdtemp(prefix=f".{src_dir.name}.build_",
+                                      dir=src_dir.parent))
+        names = ("a_batch0.parquet", "b_batch1.parquet", "c_batch2.parquet")
+        for i, name in enumerate(names):
+            tmp = tempfile.mkdtemp(prefix="vsplit_")
+            (ev.filter(hash32(F.col("event_id")) % 3 == i).coalesce(1)
+             .write.mode("overwrite").parquet(tmp))
+            part = next(Path(tmp).glob("part-*.parquet"))
+            shutil.move(str(part), build / name)
+            shutil.rmtree(tmp, ignore_errors=True)
+        t0 = (build / names[0]).stat().st_mtime
+        for i, name in enumerate(names):
+            os.utime(build / name, (t0 + 100 * i, t0 + 100 * i))
+        try:
+            os.rename(build, src_dir)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+
+    schema = spark.read.parquet(str(src_dir / "a_batch0.parquet")).schema
+    out = tempfile.mkdtemp(prefix="vout_")
+    quar = tempfile.mkdtemp(prefix="vquar_")
+    ck = tempfile.mkdtemp(prefix="vck_")
+    rules = [
+        Q.not_null("user_id"),
+        Q.between("value", 0.0, 400.0),
+        Q.matches("event_type", "^(view|click|purchase|signup)$"),
+    ]
+    stream_validate_ingest(spark, source_dir=str(src_dir), schema=schema,
+                           rules=rules, out_dir=out, quarantine_dir=quar,
+                           checkpoint_dir=ck)
+    return read_routed(spark, quar).select("event_id", "failed")

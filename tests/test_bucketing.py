@@ -163,3 +163,31 @@ def test_zorder_write_skips_files_on_both_dimensions(spark, tmp_path):
     a = spark.read.parquet(str(zpath)).orderBy("x", "y").collect()
     b = df.orderBy("x", "y").collect()
     assert a == b
+
+
+def test_table_diff_over_bucketed_versions_has_no_exchange(spark):
+    """Version-diff at scale: when both table versions are bucketed on the
+    diff key, table_diff's full-outer join plans with NO Exchange — the
+    diff reads pre-hash-partitioned buckets directly, so daily version
+    audits never re-shuffle the big table."""
+    from localsql_spark.operators.diff import table_diff
+    from localsql_spark.sinks.bucketing import write_bucketed
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).cast("double").alias("v"))
+    new = df.withColumn(
+        "v", F.when(F.col("k") % 11 == 0, F.col("v") + 1.0)
+        .otherwise(F.col("v"))).filter(F.col("k") % 17 != 0)
+    write_bucketed(df, "diff_old_b", ["k"], n_buckets=8)
+    write_bucketed(new, "diff_new_b", ["k"], n_buckets=8)
+    d = table_diff(spark.table("diff_old_b"), spark.table("diff_new_b"),
+                   ["k"], ["v"])
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"bucketed diff still shuffles:\n{plan}"
+    rows = d.collect()
+    out = {"added": 0, "removed": 0, "changed": 0}
+    for r in rows:
+        out[r["change"]] += 1
+    # removed: k%17==0 -> 295 keys; changed: k%11==0 minus the %187==0
+    # overlap that was removed -> 455 - 27 = 428; nothing added
+    assert out == {"added": 0, "removed": 295, "changed": 428}

@@ -423,3 +423,39 @@ def test_tws_gate_and_path(spark):
     out = stateful_user_stats_tws(spark, "/root/testdata/sf0.001")
     batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     assert out.count() == batch.select("user_id").distinct().count()
+
+
+def test_stream_validate_ingest_routes_and_replays(spark, tmp_path):
+    """Every row lands in exactly one sink; a checkpoint replay (restart
+    with no new files) changes nothing; non-row-local rules rejected."""
+    import pytest
+
+    from localsql_spark.operators import quality as Q
+    from localsql_spark.streaming.stream_validate_ingest import (
+        read_routed, stream_validate_ingest, validate_ingest_batch)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    df = spark.createDataFrame(
+        [(1, 5.0, "ok"), (2, -1.0, "ok"), (3, 7.0, "bad"), (4, None, "ok")],
+        "k long, v double, s string")
+    df.coalesce(1).write.mode("append").parquet(str(src))
+    out, quar, ck = (str(tmp_path / d) for d in ("out", "quar", "ck"))
+    rules = [Q.between("v", 0.0, 10.0), Q.accepted("s", ["ok"])]
+    schema = "k long, v double, s string"
+    stream_validate_ingest(spark, source_dir=str(src), schema=schema,
+                           rules=rules, out_dir=out, quarantine_dir=quar,
+                           checkpoint_dir=ck)
+    assert sorted(r.k for r in read_routed(spark, out).collect()) == [1]
+    bad = {r.k: r.failed for r in read_routed(spark, quar).collect()}
+    assert bad == {2: "between(v,0.0,10.0)", 3: "accepted(s)",
+                   4: "between(v,0.0,10.0)"}  # null v violates between
+    # replay: restart without new data is a no-op
+    stream_validate_ingest(spark, source_dir=str(src), schema=schema,
+                           rules=rules, out_dir=out, quarantine_dir=quar,
+                           checkpoint_dir=ck)
+    assert sorted(r.k for r in read_routed(spark, out).collect()) == [1]
+    assert len(read_routed(spark, quar).collect()) == 3
+    with pytest.raises(ValueError, match="row-local"):
+        validate_ingest_batch(df, 0, rules=[Q.unique("k")], out_dir=out,
+                              quarantine_dir=quar)

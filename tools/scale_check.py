@@ -305,6 +305,20 @@ def main() -> None:
         ])
         return quarantined.count()
 
+    def op_pagerank(f):
+        from pyspark.sql.window import Window
+
+        from localsql_spark.operators.graph import pagerank
+        ev = spark.read.parquet(paths[f]["events"])
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        seq = ev.select("user_id", "event_type",
+                        F.lead("event_type").over(w).alias("nxt"))
+        edges = (seq.filter(F.col("nxt").isNotNull())
+                 .groupBy(F.col("event_type").alias("src"),
+                          F.col("nxt").alias("dst"))
+                 .agg(F.count(F.lit(1)).cast("double").alias("w")))
+        return pagerank(edges, n_iter=6).count()
+
     ops = {"exact_dedup": op_exact_dedup, "minhash_lsh_pairs": op_minhash,
            "clusters_bigstar": op_clusters_bigstar, "knn_ivf": op_knn_ivf,
            "asof_join": op_asof, "kmeans_lloyd": op_kmeans,
@@ -323,7 +337,7 @@ def main() -> None:
            "shard_export": op_shard_export,
            "rollup_maintain": op_rollup_maintain,
            "table_diff": op_table_diff, "scd2_apply": op_scd2_apply,
-           "quarantine_split": op_quarantine}
+           "quarantine_split": op_quarantine, "pagerank": op_pagerank}
 
     results: dict[str, dict[int, float]] = {}
     for name, fn in ops.items():
