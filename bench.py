@@ -67,6 +67,11 @@ EXTENSION_HEADLINE = [
     "export_training_shards",
     "rollup_incremental_hourly",
     "knn_pq_top5",
+    # round 5: maintenance/governance family
+    "diff_orders_versions",
+    "scd2_customer_history",
+    "pagerank_event_transitions",
+    "bpe_pair_stats",
 ]
 
 

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from localsql_spark.operators import track_persist
+
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              weight: str = "w", damping: float = 0.85,
@@ -37,21 +39,32 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     """
     nodes = (edges.select(F.col(src).alias("node"))
              .union(edges.select(F.col(dst).alias("node")))
-             .distinct().persist())
+             .distinct())
+    nodes = track_persist(nodes)
     n = nodes.count()
     outw = edges.groupBy(F.col(src).alias("node")).agg(
         F.sum(weight).alias("tw"))
     norm = (edges.join(outw, F.col(src) == outw.node)
             .select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"),
-                    (F.col(weight) / F.col("tw")).alias("p"))
-            .persist())
+                    (F.col(weight) / F.col("tw")).alias("p")))
+    norm = track_persist(norm)
     has_out = outw.select("node")
+
+    # one up-front structural probe: a graph with no dangling nodes (every
+    # node has out-edges — the common case for co-occurrence/transition
+    # graphs) never accumulates dangling mass, so the per-iteration scalar
+    # job is skipped entirely
+    dangling_nodes = track_persist(
+        nodes.join(has_out, "node", "left_anti"))
+    any_dangling = not dangling_nodes.isEmpty()
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iter):
-        dangling = (ranks.join(has_out, "node", "left_anti")
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                    .collect()[0][0])
+        dangling = 0.0
+        if any_dangling:
+            dangling = (ranks.join(dangling_nodes, "node", "left_semi")
+                        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                        .collect()[0][0])
         contrib = (norm.join(ranks.withColumnRenamed("node", "e_src"),
                              "e_src")
                    .groupBy(F.col("e_dst").alias("node"))

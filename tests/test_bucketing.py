@@ -170,9 +170,17 @@ def test_table_diff_over_bucketed_versions_has_no_exchange(spark):
     diff key, table_diff's full-outer join plans with NO Exchange — the
     diff reads pre-hash-partitioned buckets directly, so daily version
     audits never re-shuffle the big table."""
+    import shutil
+
     from localsql_spark.operators.diff import table_diff
     from localsql_spark.sinks.bucketing import write_bucketed
 
+    for t in ("diff_old_b", "diff_new_b"):
+        # heal a stale warehouse dir from a crashed prior session (the
+        # catalog forgets the table but the location survives)
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(f"{loc}/{t}", ignore_errors=True)
     df = spark.range(0, 5000).select(
         F.col("id").alias("k"), (F.col("id") % 13).cast("double").alias("v"))
     new = df.withColumn(
@@ -191,3 +199,5 @@ def test_table_diff_over_bucketed_versions_has_no_exchange(spark):
     # removed: k%17==0 -> 295 keys; changed: k%11==0 minus the %187==0
     # overlap that was removed -> 455 - 27 = 428; nothing added
     assert out == {"added": 0, "removed": 295, "changed": 428}
+    spark.sql("DROP TABLE IF EXISTS diff_old_b")
+    spark.sql("DROP TABLE IF EXISTS diff_new_b")
