@@ -178,3 +178,25 @@ def validate_and_split(df: DataFrame, rules: list[Rule]
     passed = ann.filter(F.size("failed_rules") == 0).drop("failed_rules")
     quarantined = ann.filter(F.size("failed_rules") > 0)
     return passed, quarantined
+
+
+def schema_drift(df: DataFrame, expected: dict[str, str]) -> DataFrame:
+    """Schema-drift report for an incoming batch vs the expected contract
+    ``{column: spark_sql_type}``: one row per column with status 'ok' /
+    'type_changed' / 'added' (present but not expected) / 'missing'
+    (expected but absent).  Pure metadata — no data scan, no jobs; run it
+    BEFORE the row gate so a drifted batch fails fast instead of
+    producing a million 'matches' violations."""
+    actual = dict(df.dtypes)
+    rows = []
+    for col, want in expected.items():
+        have = actual.get(col)
+        status = ("missing" if have is None
+                  else "ok" if have == want else "type_changed")
+        rows.append((col, want, have, status))
+    for col, have in actual.items():
+        if col not in expected:
+            rows.append((col, None, have, "added"))
+    return df.sparkSession.createDataFrame(
+        rows, "column string, expected_type string, actual_type string, "
+              "status string")

@@ -2424,3 +2424,36 @@ def streaming_quarantine_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                            rules=rules, out_dir=out, quarantine_dir=quar,
                            checkpoint_dir=ck)
     return read_routed(spark, quar).select("event_id", "failed")
+
+
+@query("scd2_customer_asof", oracle="""
+SELECT c_custkey,
+       CASE WHEN c_custkey % 7 = 0 THEN 'MIGRATED'
+            ELSE c_mktsegment END AS c_mktsegment
+FROM customer
+UNION ALL
+SELECT c_custkey + 1000000, 'NEW' FROM customer WHERE c_custkey % 50 = 0
+""")
+def scd2_customer_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of read over the SCD2 history (operators.scd2.scd2_as_of): the
+    dimension exactly at the update-batch timestamp — closed versions
+    excluded (valid_to = ts is exclusive), the batch's new versions
+    included (valid_from = ts is inclusive).  The oracle is the post-batch
+    state derived directly from the base table, proving interval
+    boundary semantics end-to-end."""
+    from localsql_spark.operators.scd2 import scd2_apply, scd2_as_of, scd2_init
+
+    t = load(spark, sf_dir)
+    cust = t["customer"]
+    key = F.col("c_custkey")
+    hist0 = scd2_init(cust, ["c_custkey"], ["c_mktsegment"], 1_000_000)
+    updates = (cust.filter(key % 7 == 0)
+               .withColumn("c_mktsegment", F.lit("MIGRATED"))
+               .unionByName(cust.filter((key % 13 == 0) & (key % 7 != 0)))
+               .unionByName(cust.filter(key % 50 == 0)
+                            .withColumn("c_custkey", key + 1000000)
+                            .withColumn("c_mktsegment", F.lit("NEW")))
+               .select("c_custkey", "c_mktsegment"))
+    hist1 = scd2_apply(hist0, updates, ["c_custkey"], ["c_mktsegment"],
+                       2_000_000)
+    return scd2_as_of(hist1, 2_000_000)

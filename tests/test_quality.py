@@ -94,3 +94,15 @@ def test_split_partitions_exactly(spark):
         df, [Q.between("v", 0.0, 6.0)])
     assert passed.count() + quarantined.count() == 200
     assert quarantined.count() == 60        # v in {7,8,9}
+
+
+def test_schema_drift_statuses(spark):
+    df = spark.createDataFrame([(1, "x", 2.0)], "k int, s string, v double")
+    rep = {r["column"]: (r["expected_type"], r["actual_type"], r["status"])
+           for r in Q.schema_drift(
+               df, {"k": "int", "s": "bigint", "missing_col": "double"}
+           ).collect()}
+    assert rep["k"] == ("int", "int", "ok")
+    assert rep["s"] == ("bigint", "string", "type_changed")
+    assert rep["missing_col"] == ("double", None, "missing")
+    assert rep["v"] == (None, "double", "added")

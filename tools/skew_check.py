@@ -205,6 +205,48 @@ def main() -> None:
         "exact-dedup hash pass; over-cap SemDeDup clusters keep all members",
         "(conservative — re-run the flagged cluster with more clusters).",
     ]
+
+    # -- 3: hot DUPLICATE key through the quarantine unique-rule ------------
+    # validate_and_split's unique() path aggregates the duplicate-key set
+    # first (bounded: one row per distinct over-represented key), so the
+    # annotate join broadcasts a tiny table even when one key owns half the
+    # rows — the gate is skew-robust by construction, measured here.
+    from localsql_spark.operators import quality as Q
+
+    skewed_kv = (skewed_ev.select(
+        F.col("user_id").alias("k"), "value")
+        .localCheckpoint())
+    uniform_kv = (ev.select(F.col("event_id").alias("k"), "value")
+                  .repartition(32).localCheckpoint())
+    t0 = time.perf_counter()
+    _, q_hot = Q.validate_and_split(
+        skewed_kv, [Q.unique("k"), Q.between("value", 0.0, 400.0)])
+    n_q_hot = q_hot.count()
+    t_q_hot = time.perf_counter() - t0
+    cleanup()
+    t0 = time.perf_counter()
+    _, q_uni = Q.validate_and_split(
+        uniform_kv, [Q.unique("k"), Q.between("value", 0.0, 400.0)])
+    n_q_uni = q_uni.count()
+    t_q_uni = time.perf_counter() - t0
+    cleanup()
+    lines += [
+        "",
+        "## Quarantine unique-rule under a hot duplicate key",
+        "",
+        "(same skewed events: user 1 owns ~50% of rows, so ~half the table",
+        "is a unique(k) violation routed to quarantine)",
+        "",
+        "| input | quarantined | wall |",
+        "|---|---|---|",
+        f"| hot duplicate key (50% of rows share k=1) | {n_q_hot:,} | {t_q_hot:.2f}s |",
+        f"| uniform unique keys (clean path) | {n_q_uni:,} | {t_q_uni:.2f}s |",
+        "",
+        "The duplicate-key side is aggregated before the annotate join (one",
+        "row per over-represented key), so the join side stays tiny and",
+        "broadcastable no matter how hot the key — no quadratic or",
+        "straggler behavior to mitigate.",
+    ]
     Path("SKEW.md").write_text("\n".join(lines) + "\n")
     print("\n".join(lines))
 
