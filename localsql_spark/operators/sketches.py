@@ -164,12 +164,28 @@ QUANTILE_K = 1024  # sample size: rank stderr ~ sqrt(q(1-q)/k) < 1.6%
 # broadcast, so the extra machinery buys nothing here.)
 
 
+QUANTILE_SALT = "qsk:"  # see quantile_sketch docstring
+
+
+def _qrank(key_col: str) -> Column:
+    """Salted hash rank.  The salt makes the sampling hash an INDEPENDENT
+    family from any hash the data itself was derived with: measured on the
+    synthetic events table, the UNSALTED md5(event_id) prefix correlates
+    with `value` (corr +0.033, sample mean 42.5 vs true 49.6 — every
+    quantile biased ~2-5pp low) because the generator evidently used the
+    same md5-prefix construction; salting restores the uniform-sample
+    guarantee on exactly that kind of data.  Oracles prepend the same
+    literal."""
+    return _hash32(F.concat(F.lit(QUANTILE_SALT),
+                            F.col(key_col).cast("string")))
+
+
 def quantile_sketch(df: DataFrame, value_col: str, key_col: str,
                     k: int = QUANTILE_K) -> DataFrame:
-    """The sketch: k (v, rk) rows with the smallest hash rank over distinct
-    keys.  NULL values are excluded (quantiles of the non-null domain,
-    matching SQL percentile semantics)."""
-    rk = _hash32(F.col(key_col))
+    """The sketch: k (v, rk) rows with the smallest salted hash rank over
+    distinct keys.  NULL values are excluded (quantiles of the non-null
+    domain, matching SQL percentile semantics)."""
+    rk = _qrank(key_col)
     # (rk, v) tiebreak: a 32-bit hash collision straddling the k boundary is
     # rare but possible (birthday bound ~100k rows); without the secondary
     # key the retained row would be engine/run-dependent, breaking the
@@ -247,7 +263,7 @@ def quantile_sketch_by(df: DataFrame, value_col: str, key_col: str,
     shape as sample_per_lang_topk, plan-asserted there)."""
     from pyspark.sql import Window
 
-    rk = _hash32(F.col(key_col))
+    rk = _qrank(key_col)
     w = Window.partitionBy("grp").orderBy("rk", "v")
     return (df.filter(F.col(value_col).isNotNull())
             .select(F.col(group_col).alias("grp"),
@@ -340,3 +356,32 @@ def hll_set_estimates(df: DataFrame, col: str, group_col: str,
                        F.col("est_a") + F.col("est_b") - F.col("est_union"),
                        F.lit(0.0)), 6).alias("est_intersect")))
     return out
+
+
+def equidepth_histogram(df: DataFrame, value_col: str, key_col: str,
+                        n_buckets: int = 8,
+                        k: int = QUANTILE_K) -> DataFrame:
+    """Equi-depth histogram: bucket edges from the portable quantile
+    sketch, then one row-local assignment + one groupBy over the full
+    table -> ``(bucket, n, min_v, max_v)``.
+
+    Scale shape: the edge table is ≤ n_buckets-1 rows (folded to ONE
+    array row and broadcast), so the assignment is a row-local fold on
+    the scan — the only shuffle is the n_buckets-row final groupBy.
+    Values equal to an edge land in the lower bucket (strict ``v > e``
+    comparison), deterministically on both engines.
+    """
+    sketch = quantile_sketch(df, value_col, key_col, k)
+    qs = tuple(i / n_buckets for i in range(1, n_buckets))
+    edges = (quantile_estimates(sketch, qs=qs)
+             .agg(F.sort_array(F.collect_list("estimate")).alias("edges")))
+    v = F.col(value_col).cast("double")
+    bucket = F.aggregate(
+        "edges", F.lit(0),
+        lambda acc, e: acc + F.when(v > e, 1).otherwise(0))
+    return (df.filter(v.isNotNull())
+            .crossJoin(F.broadcast(edges))
+            .select(bucket.alias("bucket"), v.alias("v"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("v").alias("min_v"), F.max("v").alias("max_v")))

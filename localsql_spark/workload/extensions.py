@@ -1491,7 +1491,7 @@ def merge_upsert_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("sketch_quantiles", oracle="""
 WITH s AS (
   SELECT CAST(value AS DOUBLE) AS v,
-         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+         CAST('0x' || substr(md5('qsk:' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
            AS rk
   FROM events WHERE value IS NOT NULL
   ORDER BY rk, v LIMIT 1024),
@@ -1878,7 +1878,7 @@ def dedup_incremental_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("sketch_quantiles_by_type", oracle="""
 WITH s AS (
   SELECT event_type AS grp, CAST(value AS DOUBLE) AS v,
-         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+         CAST('0x' || substr(md5('qsk:' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
            AS rk
   FROM events WHERE value IS NOT NULL),
 sk AS (SELECT grp, v, rk FROM (
@@ -2457,3 +2457,40 @@ def scd2_customer_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist1 = scd2_apply(hist0, updates, ["c_custkey"], ["c_mktsegment"],
                        2_000_000)
     return scd2_as_of(hist1, 2_000_000)
+
+
+@query("histogram_equidepth_values", oracle="""
+WITH s AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+         CAST('0x' || substr(md5('qsk:' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+           AS rk
+  FROM events WHERE value IS NOT NULL
+  ORDER BY rk, v LIMIT 1024),
+r AS (
+  SELECT v, row_number() OVER (ORDER BY v, rk) AS rn, count(*) OVER () AS n
+  FROM s),
+qs AS (SELECT i / 8.0 AS q FROM UNNEST(range(1, 8)) t(i)),
+ed AS (SELECT v AS e FROM r JOIN qs
+       ON rn = CAST(floor(q * (n - 1)) AS BIGINT) + 1),
+b AS (SELECT CAST(value AS DOUBLE) AS v,
+             (SELECT count(*) FROM ed WHERE CAST(value AS DOUBLE) > ed.e)
+               AS bucket
+      FROM events WHERE value IS NOT NULL)
+SELECT CAST(bucket AS INT) AS bucket, count(*) AS n,
+       min(v) AS min_v, max(v) AS max_v
+FROM b GROUP BY 1
+""")
+def histogram_equidepth_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of events.value
+    (operators.sketches.equidepth_histogram): 7 bucket edges from the
+    portable bottom-k hash-rank quantile sketch, one row-local fold
+    assignment on the scan, one 8-row groupBy.  The composition of two
+    verified primitives stays exactly verifiable — the oracle replays the
+    sketch sample, the edge selection, and the strict-greater bucket rule
+    bit-for-bit.  The full-table distribution audit at 100 TB costs one
+    scan + one bounded shuffle."""
+    from localsql_spark.operators.sketches import equidepth_histogram
+
+    ev = load(spark, sf_dir)["events"]
+    return (equidepth_histogram(ev, "value", "event_id", n_buckets=8)
+            .withColumn("bucket", F.col("bucket").cast("int")))

@@ -1264,3 +1264,22 @@ def test_pagerank_symmetric_cycle_is_uniform(spark):
     out = {r["node"]: r["rank"] for r in pagerank(edges, n_iter=8).collect()}
     for v in out.values():
         assert abs(v - 1 / 3) < 1e-9
+
+
+def test_equidepth_histogram_balances_and_covers(spark):
+    """k >= n makes the sketch the full sample, so buckets are exactly
+    equi-depth (±1 on boundaries); counts cover every non-null row and
+    bucket ranges tile the domain in order."""
+    from localsql_spark.operators.sketches import equidepth_histogram
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 1000)
+        .cast("double").alias("v"))
+    out = sorted((r["bucket"], r["n"], r["min_v"], r["max_v"])
+                 for r in equidepth_histogram(df, "v", "k", n_buckets=8,
+                                              k=2048).collect())
+    assert [b for b, *_ in out] == list(range(8))
+    assert sum(n for _, n, *_ in out) == 1000
+    assert max(n for _, n, *_ in out) - min(n for _, n, *_ in out) <= 2
+    for (_, _, _, hi), (_, _, lo2, _) in zip(out, out[1:]):
+        assert hi < lo2                        # buckets tile, no overlap
