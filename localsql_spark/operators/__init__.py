@@ -98,7 +98,15 @@ def hash32(col):
     """The portable 32-bit hash idiom shared with every DuckDB oracle:
     first 8 md5 hex digits as a bigint — Spark ``conv(substr(md5(x),1,8),
     16,10)`` == DuckDB ``CAST('0x' || substr(md5(x),1,8) AS BIGINT)``.
-    ONE definition so the Spark side and the oracle SQL form can't drift."""
+    ONE definition so the Spark side and the oracle SQL form can't drift.
+
+    When the hash drives STATISTICAL sampling (not just bucketing or
+    portable ids), salt the input so the sampling hash is an independent
+    family from any hash the data itself may have been generated with —
+    see sketches.QUANTILE_SALT for a measured case where the unsalted
+    rank correlated with the sampled value.  Pure selection-determinism
+    uses (splits, shard assignment, mix thresholds) were measured
+    unbiased on this data and keep the bare form for oracle simplicity."""
     from pyspark.sql import functions as F
 
     return (F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)

@@ -809,3 +809,40 @@ def knn_pq_adc(corpus: DataFrame, queries: DataFrame, k: int = 5,
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k))
+
+
+def knn_pq_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                  shortlist: int = 20, m: int = 4, k_codes: int = 16,
+                  n_iter: int = 1, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """PQ-ADC shortlist -> exact cosine re-rank: the standard production
+    ANN pattern (coarse quantized scores pick ``shortlist`` candidates
+    per query; only those |queries| x shortlist float vectors are fetched
+    for the exact metric).  Returns (query_id, neighbor_id, cos_sim, rn).
+
+    Scale shape: the ADC stage never moves float vectors (codes only);
+    the re-rank joins the corpus against a BROADCAST shortlist —
+    |queries| x shortlist rows — so exactly the candidate vectors stream
+    through one broadcast join, with norms materialized below the join
+    (cosine_pre discipline).  Recall loss vs brute force is confined to
+    candidates the ADC ranked below ``shortlist``; measured in ANN.md.
+    """
+    from pyspark.sql.window import Window
+
+    cand = (knn_pq_adc(corpus, queries, k=shortlist, m=m, k_codes=k_codes,
+                       n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+            .select("query_id", "neighbor_id"))
+    nv = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).alias("cv"))
+          .withColumn("cn", norm(F.col("cv"))))
+    qv = (queries.select(F.col(id_col).alias("query_id"),
+                         F.col(vec_col).alias("qv"))
+          .withColumn("qn", norm(F.col("qv"))))
+    re = (nv.join(F.broadcast(cand), "neighbor_id")
+          .join(F.broadcast(qv), "query_id")
+          .select("query_id", "neighbor_id",
+                  cosine_pre(F.col("qv"), F.col("cv"),
+                             F.col("qn"), F.col("cn")).alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                               "neighbor_id")
+    return re.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

@@ -1370,6 +1370,56 @@ def knn_pq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
                         m=4, k_codes=16, n_iter=1)
 
 
+_PQ_RERANK_ORACLE = _PQ_ORACLE[:_PQ_ORACLE.rindex(
+    "SELECT query_id, neighbor_id, adc_dist, rn")] + """,
+short AS (SELECT query_id, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id) AS rn
+  FROM scored) r WHERE rn <= 20),
+qe AS (SELECT vec_id AS query_id, generate_subscripts(embedding, 1) AS p,
+              unnest(embedding) AS x
+       FROM embeddings WHERE vec_id < 10),
+ce AS (SELECT sh.query_id, sh.neighbor_id,
+              generate_subscripts(e.embedding, 1) AS p,
+              unnest(e.embedding) AS y
+       FROM short sh JOIN embeddings e ON e.vec_id = sh.neighbor_id),
+dots AS (SELECT ce.query_id, ce.neighbor_id,
+                CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 12)
+                              AS DECIMAL(38,12))) AS DOUBLE) AS dotp
+         FROM ce JOIN qe ON ce.p = qe.p AND ce.query_id = qe.query_id
+         GROUP BY 1, 2),
+norms AS (SELECT vec_id,
+                 sqrt(CAST(SUM(CAST(round(CAST(x AS DOUBLE)
+                                          * CAST(x AS DOUBLE), 12)
+                               AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+          FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) ne
+          GROUP BY vec_id),
+rescored AS (SELECT d.query_id, d.neighbor_id,
+                    round(dotp / (nq.nrm * nc.nrm), 9) AS cos_sim
+             FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
+                         JOIN norms nc ON nc.vec_id = d.neighbor_id)
+SELECT query_id, neighbor_id, cos_sim, rn FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM rescored) r WHERE rn <= 5
+"""
+
+
+@query("knn_pq_rerank_top5", oracle=_PQ_RERANK_ORACLE)
+def knn_pq_rerank_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC shortlist (20) + exact cosine re-rank to top-5
+    (operators.similarity.knn_pq_rerank) — the production ANN pattern:
+    quantized codes pick candidates without touching float vectors, then
+    exactly |queries| x 20 vectors are fetched through a broadcast join
+    for the true metric.  The oracle replays codebook training, encoding,
+    ADC shortlisting, AND the decimal-summed cosine rescore."""
+    emb = load(spark, sf_dir)["embeddings"]
+    return S.knn_pq_rerank(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                           shortlist=20, m=4, k_codes=16, n_iter=1)
+
+
 @query("basket_part_pairs", oracle="""
 WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 pairs AS (

@@ -1283,3 +1283,25 @@ def test_equidepth_histogram_balances_and_covers(spark):
     assert max(n for _, n, *_ in out) - min(n for _, n, *_ in out) <= 2
     for (_, _, _, hi), (_, _, lo2, _) in zip(out, out[1:]):
         assert hi < lo2                        # buckets tile, no overlap
+
+
+def test_pq_rerank_with_full_shortlist_is_exact(spark):
+    """shortlist >= corpus makes the ADC cut a no-op, so the re-rank must
+    reproduce exact cosine brute force bit-for-bit (same neighbors, same
+    cos_sim, same ranks)."""
+    import math
+    import random
+
+    from localsql_spark.operators.similarity import (knn_brute_force,
+                                                     knn_pq_rerank)
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 4")
+    exact = {(r.query_id, r.neighbor_id, r.cos_sim)
+             for r in knn_brute_force(df, q, k=5).collect()}
+    rr = {(r.query_id, r.neighbor_id, r.cos_sim)
+          for r in knn_pq_rerank(df, q, k=5, shortlist=40, m=4,
+                                 k_codes=8).collect()}
+    assert rr == exact

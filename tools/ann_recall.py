@@ -129,6 +129,24 @@ def main() -> None:
         print(f"# pq m={m} k={k_codes}: recall@{K}={recall:.3f} {best:.2f}s",
               file=sys.stderr)
 
+    # -- 1d. PQ shortlist + exact cosine re-rank: recall vs shortlist -------
+    rr_rows = []
+    for shortlist in (5, 20, 50, 100):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            got = {}
+            for r in S.knn_pq_rerank(emb, queries, k=K, shortlist=shortlist,
+                                     m=4, k_codes=16, n_iter=1).collect():
+                got.setdefault(r.query_id, set()).add(r.neighbor_id)
+            best = min(best, time.perf_counter() - t0)
+            cleanup()
+        recall = sum(len(got.get(q, set()) & t) / len(t)
+                     for q, t in truth.items()) / len(truth)
+        rr_rows.append((shortlist, recall, best))
+        print(f"# pq_rerank shortlist={shortlist}: recall@{K}={recall:.3f} "
+              f"{best:.2f}s", file=sys.stderr)
+
     # -- 2. two-level SemDeDup assignment agreement vs n_probe --------------
     t0 = time.perf_counter()
     flat = dict(
@@ -226,6 +244,23 @@ def main() -> None:
         "once on a sample, and the per-query cost is the m-lookup ADC "
         "sum over the codes table — no float vectors move at query "
         "time.",
+        "",
+        f"## PQ shortlist + exact re-rank: `knn_pq_rerank` recall@{K} vs "
+        f"cosine brute force ({brute_sec:.2f}s; m=4, 16 codes)",
+        "",
+        "| shortlist | recall@5 | wall (s) |",
+        "|---|---|---|",
+    ] + [
+        f"| {s} | {recall:.3f} | {sec:.2f} |" for s, recall, sec in rr_rows
+    ] + [
+        "",
+        "The production pattern: quantized ADC scores pick a shortlist "
+        "without touching float vectors, then exactly |queries| x "
+        "shortlist vectors are fetched through a broadcast join for the "
+        "true cosine.  Recall is bounded only by whether the true "
+        "neighbors survive the ADC cut, so it climbs with shortlist at "
+        "constant code storage — the cheap knob when PQ codes are too "
+        "coarse (compare the raw ADC recalls above at the same m/k).",
         "",
         f"## Two-level SemDeDup: multi-probe fine assignment vs flat "
         f"(flat {flat_sec:.2f}s, k={N_CLUSTERS}, n_coarse={N_COARSE})",
