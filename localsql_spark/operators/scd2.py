@@ -89,3 +89,35 @@ def scd2_as_of(history: DataFrame, ts_us: int) -> DataFrame:
         (F.col("valid_from_us") <= ts_us)
         & (F.col("valid_to_us").isNull() | (F.col("valid_to_us") > ts_us)))
         .drop("valid_from_us", "valid_to_us"))
+
+
+def scd2_enrich_asof(facts: DataFrame, history: DataFrame,
+                     key_cols: list[str], ts_us_col: str) -> DataFrame:
+    """Enrich each fact row with the dimension version valid at its event
+    time: left join on the key with the interval residual
+    ``valid_from_us <= ts < coalesce(valid_to_us, +inf)`` — the query SCD2
+    histories exist to answer, and the correct replacement for joining
+    facts to the CURRENT dimension (which silently backdates attributes).
+
+    Returns the fact columns plus the history's attribute columns.
+
+    Scale shape: an equi-join on the key carrying the range check as a
+    residual — one co-partitioned shuffle (bucket both sides on the key
+    to remove it); each fact matches at most one version, so output size
+    equals fact size.  Partition the stored history on the current/closed
+    split and recent facts prune to the current slice.
+    """
+    from functools import reduce
+
+    h = history.select(*[F.col(c).alias(f"__h_{c}") for c in history.columns])
+    cond = reduce(lambda a, b: a & b,
+                  [F.col(c) == F.col(f"__h_{c}") for c in key_cols])
+    cond = (cond
+            & (F.col("__h_valid_from_us") <= F.col(ts_us_col))
+            & (F.col("__h_valid_to_us").isNull()
+               | (F.col(ts_us_col) < F.col("__h_valid_to_us"))))
+    attrs = [c for c in history.columns
+             if c not in (*key_cols, "valid_from_us", "valid_to_us")]
+    return (facts.join(h, cond, "left")
+            .select(*facts.columns,
+                    *[F.col(f"__h_{c}").alias(c) for c in attrs]))

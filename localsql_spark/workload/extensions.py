@@ -2544,3 +2544,38 @@ def histogram_equidepth_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir)["events"]
     return (equidepth_histogram(ev, "value", "event_id", n_buckets=8)
             .withColumn("bucket", F.col("bucket").cast("int")))
+
+
+@query("orders_segment_asof", oracle="""
+SELECT o_orderkey, o_custkey AS c_custkey,
+       CASE WHEN o_custkey % 7 = 0
+                 AND epoch_us(o_orderdate) >= 883612800000000
+            THEN 'MIGRATED' ELSE c.c_mktsegment END AS c_mktsegment
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+""")
+def orders_segment_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact enrichment as-of event time (operators.scd2.scd2_enrich_asof —
+    the query SCD2 histories exist for): every order joined to the
+    customer segment that was valid AT ITS ORDER DATE, against a history
+    with one segment migration (keys %7 -> 'MIGRATED' on 1998-01-01).
+    Orders before the migration keep the original segment even for
+    migrated customers — exactly what joining the current dimension gets
+    wrong.  One co-partitioned equi-join with the interval residual; the
+    oracle derives the same answer from the base tables with a CASE on
+    the boundary (valid_from inclusive)."""
+    from localsql_spark.operators.scd2 import (scd2_apply, scd2_enrich_asof,
+                                               scd2_init)
+
+    t = load(spark, sf_dir)
+    cust, orders = t["customer"], t["orders"]
+    t0, t1 = 788_918_400_000_000, 883_612_800_000_000  # 1995/1998-01-01 UTC
+    hist0 = scd2_init(cust, ["c_custkey"], ["c_mktsegment"], t0)
+    updates = (cust.filter(F.col("c_custkey") % 7 == 0)
+               .withColumn("c_mktsegment", F.lit("MIGRATED"))
+               .select("c_custkey", "c_mktsegment"))
+    hist1 = scd2_apply(hist0, updates, ["c_custkey"], ["c_mktsegment"], t1)
+    facts = orders.select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("od_us"))
+    return (scd2_enrich_asof(facts, hist1, ["c_custkey"], "od_us")
+            .select("o_orderkey", "c_custkey", "c_mktsegment"))

@@ -1305,3 +1305,21 @@ def test_pq_rerank_with_full_shortlist_is_exact(spark):
           for r in knn_pq_rerank(df, q, k=5, shortlist=40, m=4,
                                  k_codes=8).collect()}
     assert rr == exact
+
+
+def test_scd2_enrich_asof_picks_right_version(spark):
+    from localsql_spark.operators.scd2 import (scd2_apply, scd2_enrich_asof,
+                                               scd2_init)
+
+    dim = spark.createDataFrame([(1, "old")], "k int, seg string")
+    h = scd2_apply(scd2_init(dim, ["k"], ["seg"], 100),
+                   spark.createDataFrame([(1, "new")], "k int, seg string"),
+                   ["k"], ["seg"], 200)
+    facts = spark.createDataFrame(
+        [(10, 1, 150), (11, 1, 200), (12, 1, 250), (13, 2, 150), (14, 1, 50)],
+        "fid int, k int, ts long")
+    out = {r["fid"]: r["seg"]
+           for r in scd2_enrich_asof(facts, h, ["k"], "ts").collect()}
+    assert out == {10: "old", 11: "new", 12: "new",
+                   13: None,   # unknown key -> left join null
+                   14: None}   # before any version existed
