@@ -137,7 +137,12 @@ _HEAVY = frozenset({
 # refreshed from the next CORRECTNESS_r{N}.json.  (Every query registered
 # through round 3 now has a green row, so the set is empty — round-4
 # additions go straight into the pending block at the window head.)
-_DEFERRED: frozenset[str] = frozenset()
+# Round 5 registered 51 never-checked queries against the 50-entry window;
+# defer the one whose semantics are most redundantly covered elsewhere
+# (scd2_customer_asof shares its operator path with scd2_customer_history
+# and orders_segment_asof, both in-window) so export_training_shards gets
+# its driver row this round.
+_DEFERRED: frozenset[str] = frozenset({"scd2_customer_asof"})
 
 
 def _ordered() -> dict[str, QuerySpec]:
