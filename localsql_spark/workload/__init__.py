@@ -142,7 +142,8 @@ _HEAVY = frozenset({
 # (scd2_customer_asof shares its operator path with scd2_customer_history
 # and orders_segment_asof, both in-window) so export_training_shards gets
 # its driver row this round.
-_DEFERRED: frozenset[str] = frozenset({"scd2_customer_asof"})
+_DEFERRED: frozenset[str] = frozenset({"scd2_customer_asof",
+                                       "bpe_pair_stats_round2"})
 
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -410,3 +410,54 @@ def bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir)["documents"]
     merges = [("t", "h", 0), ("th", "e", 0), ("a", "n", 0)]
     return bpe_encode(docs, merges)
+
+
+@query("bpe_pair_stats_round2", oracle=f"""
+WITH {_TOK_CTE.strip()},
+w AS (SELECT word, count(*) AS cnt
+      FROM tok, UNNEST(toks) u(word) WHERE word <> '' GROUP BY 1),
+p1 AS (SELECT substring(word, i + 1, 1) || '|' || substring(word, i + 2, 1)
+         AS pair, sum(cnt) AS n
+       FROM w, UNNEST(range(length(word) - 1)) u(i)
+       GROUP BY 1),
+m1 AS (SELECT split_part(pair, '|', 1) AS a, split_part(pair, '|', 2) AS b
+       FROM p1 ORDER BY n DESC, pair LIMIT 1),
+enc AS (SELECT w.cnt, replace(w.word, m1.a || m1.b, chr(1)) AS e,
+               m1.a, m1.b
+        FROM w, m1),
+p2 AS (SELECT cnt, a, b,
+              substring(e, i + 1, 1) AS sa, substring(e, i + 2, 1) AS sb
+       FROM enc, UNNEST(range(length(e) - 1)) u(i)),
+dec AS (SELECT cnt,
+               CASE WHEN sa = chr(1) THEN a || b ELSE sa END || '|'
+                 || CASE WHEN sb = chr(1) THEN a || b ELSE sb END AS pair
+        FROM p2)
+SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+FROM dec GROUP BY 1
+ORDER BY n DESC, pair
+LIMIT 40
+""")
+def bpe_pair_stats_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2 BPE pair statistics with the LEARNED round-1 merge applied —
+    the data-dependent step of the training loop, checked cross-engine:
+    the oracle re-derives the same argmax merge from the corpus (round-1
+    tie-break on raw characters, so ordering is engine-identical), applies
+    it via the sentinel-replace equivalence (leftmost-non-overlapping
+    adjacent merge == string replace, see bpe_encode_fixed), and decodes
+    the sentinel back to the multi-character symbol name so round-2
+    tie-breaks compare the same strings.  Only the single argmax row
+    crosses the driver, per training round."""
+    from localsql_spark.operators.corpus import (_apply_merge, _chars,
+                                                 bpe_pair_counts,
+                                                 word_frequencies)
+
+    docs = load(spark, sf_dir)["documents"]
+    syms = (word_frequencies(docs)
+            .select("word", "cnt", _chars(F.col("word")).alias("syms")))
+    top = (bpe_pair_counts(syms)
+           .orderBy(F.col("n").desc(), F.col("pair")).limit(1).collect())
+    a, b = top[0]["pair"].split("|", 1)
+    syms2 = syms.select(
+        "word", "cnt", _apply_merge(F.col("syms"), a, b).alias("syms"))
+    return (bpe_pair_counts(syms2)
+            .orderBy(F.col("n").desc(), F.col("pair")).limit(40))
