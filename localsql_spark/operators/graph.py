@@ -27,7 +27,7 @@ from localsql_spark.operators import track_persist
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              weight: str = "w", damping: float = 0.85,
-             n_iter: int = 6) -> DataFrame:
+             n_iter: int = 6, n_salts: int = 0) -> DataFrame:
     """Fixed-iteration weighted PageRank; returns ``(node, rank)``.
 
     rank_{t+1}(v) = (1-d)/n + d * (Σ_{u→v} rank_t(u)·w(u,v)/outw(u)
@@ -65,10 +65,25 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
             dangling = (ranks.join(dangling_nodes, "node", "left_semi")
                         .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
                         .collect()[0][0])
-        contrib = (norm.join(ranks.withColumnRenamed("node", "e_src"),
-                             "e_src")
-                   .groupBy(F.col("e_dst").alias("node"))
-                   .agg(F.sum(F.col("rank") * F.col("p")).alias("s")))
+        scored = (norm.join(ranks.withColumnRenamed("node", "e_src"),
+                            "e_src")
+                  .select("e_src", F.col("e_dst").alias("node"),
+                          (F.col("rank") * F.col("p")).alias("rp")))
+        if n_salts > 0:
+            # hot-hub graphs (one dst receives edges from a large fraction
+            # of nodes — a popular domain) pile the whole contribution sum
+            # onto one reducer; two-phase salting spreads it over n_salts
+            # partials first (operators.skew.salted_agg discipline), with
+            # a deterministic salt keyed on the SOURCE node.  Sum order
+            # changes, so results can differ in the last float ulp — keep
+            # the default unsalted for bit-stable oracle checks.
+            salted = scored.withColumn(
+                "__salt", F.pmod(F.hash("e_src"), F.lit(n_salts)))
+            contrib = (salted.groupBy("node", "__salt")
+                       .agg(F.sum("rp").alias("ps"))
+                       .groupBy("node").agg(F.sum("ps").alias("s")))
+        else:
+            contrib = scored.groupBy("node").agg(F.sum("rp").alias("s"))
         ranks = (nodes.join(contrib, "node", "left")
                  .select("node",
                          (F.lit((1.0 - damping) / n) + F.lit(damping)

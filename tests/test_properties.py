@@ -1323,3 +1323,21 @@ def test_scd2_enrich_asof_picks_right_version(spark):
     assert out == {10: "old", 11: "new", 12: "new",
                    13: None,   # unknown key -> left join null
                    14: None}   # before any version existed
+
+
+def test_pagerank_salted_matches_plain_to_float_noise(spark):
+    """Salting only changes float sum ORDER: ranks must agree to ~1 ulp
+    with the unsalted path on a graph with a genuine hot hub."""
+    from localsql_spark.operators.graph import pagerank
+
+    edges = []
+    for i in range(1, 60):
+        edges.append((f"n{i}", "hub", 1.0))
+        edges.append(("hub", f"n{i}", 1.0))
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    plain = {r["node"]: r["rank"] for r in pagerank(df, n_iter=4).collect()}
+    salted = {r["node"]: r["rank"]
+              for r in pagerank(df, n_iter=4, n_salts=8).collect()}
+    assert plain.keys() == salted.keys()
+    for k in plain:
+        assert abs(plain[k] - salted[k]) < 1e-12

@@ -319,6 +319,14 @@ def main() -> None:
                  .agg(F.count(F.lit(1)).cast("double").alias("w")))
         return pagerank(edges, n_iter=6).count()
 
+    def op_bpe_pairs(f):
+        from localsql_spark.operators.corpus import (_chars, bpe_pair_counts,
+                                                     word_frequencies)
+        docs = spark.read.parquet(paths[f]["documents"])
+        syms = (word_frequencies(docs)
+                .select("word", "cnt", _chars(F.col("word")).alias("syms")))
+        return bpe_pair_counts(syms).count()
+
     ops = {"exact_dedup": op_exact_dedup, "minhash_lsh_pairs": op_minhash,
            "clusters_bigstar": op_clusters_bigstar, "knn_ivf": op_knn_ivf,
            "asof_join": op_asof, "kmeans_lloyd": op_kmeans,
@@ -337,7 +345,8 @@ def main() -> None:
            "shard_export": op_shard_export,
            "rollup_maintain": op_rollup_maintain,
            "table_diff": op_table_diff, "scd2_apply": op_scd2_apply,
-           "quarantine_split": op_quarantine, "pagerank": op_pagerank}
+           "quarantine_split": op_quarantine, "pagerank": op_pagerank,
+           "bpe_pair_counts": op_bpe_pairs}
 
     results: dict[str, dict[int, float]] = {}
     for name, fn in ops.items():

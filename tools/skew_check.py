@@ -247,6 +247,46 @@ def main() -> None:
         "broadcastable no matter how hot the key — no quadratic or",
         "straggler behavior to mitigate.",
     ]
+
+    # -- 4: hot-hub PageRank (every node links to one hub) ------------------
+    # The contribution groupBy(dst) piles the hub's whole incoming sum onto
+    # one reducer; n_salts routes it through two-phase salted partials.
+    from localsql_spark.operators.graph import pagerank
+
+    n_nodes = 200_000
+    star = (spark.range(1, n_nodes)
+            .select(F.concat(F.lit("n"), F.col("id")).alias("src"),
+                    F.lit("hub").alias("dst"), F.lit(1.0).alias("w"))
+            .unionByName(spark.range(1, n_nodes).select(
+                F.lit("hub").alias("src"),
+                F.concat(F.lit("n"), F.col("id")).alias("dst"),
+                F.lit(1.0).alias("w")))
+            .repartition(32).localCheckpoint())
+    t0 = time.perf_counter()
+    n_pr_plain = pagerank(star, n_iter=3).count()
+    t_pr_plain = time.perf_counter() - t0
+    cleanup()
+    t0 = time.perf_counter()
+    n_pr_salt = pagerank(star, n_iter=3, n_salts=32).count()
+    t_pr_salt = time.perf_counter() - t0
+    cleanup()
+    lines += [
+        "",
+        f"## Hot-hub PageRank (star graph: {n_nodes - 1:,} nodes all "
+        "linking one hub, 3 iterations)",
+        "",
+        "| variant | nodes ranked | wall |",
+        "|---|---|---|",
+        f"| plain contribution groupBy (hub sum on one reducer) | {n_pr_plain:,} | {t_pr_plain:.2f}s |",
+        f"| n_salts=32 (two-phase salted partials) | {n_pr_salt:,} | {t_pr_salt:.2f}s |",
+        "",
+        "Same layout story as salted_agg: at local[32] the hub fits one",
+        "core so wall times stay close; the salted form is the one whose",
+        "shuffle spreads the hub's incoming-mass sum over 32 reducers,",
+        "which is what prevents a straggler at cluster scale.  The salt",
+        "keys on the SOURCE node (deterministic), and only float sum",
+        "ORDER changes — ranks agree to ~1 ulp (unit-pinned).",
+    ]
     Path("SKEW.md").write_text("\n".join(lines) + "\n")
     print("\n".join(lines))
 
