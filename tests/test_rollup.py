@@ -90,3 +90,57 @@ def test_crashed_maintenance_heals_on_read(spark, tmp_path):
            for r in read_rollup(spark, str(out)).collect()}
     assert got == {"2024-03-01 05:00:00": (2, 9.0)}
     assert not manifest.exists() and not staging.exists()
+
+
+# ---------------------------------------------------------------------------
+# persisted SCD2 history store (sinks/scd2_store.py)
+# ---------------------------------------------------------------------------
+
+def _hist_rows(df):
+    return sorted((r["k"], r["seg"], r["valid_from_us"], r["valid_to_us"])
+                  for r in df.collect())
+
+
+def test_scd2_store_matches_in_memory_chain(spark, tmp_path):
+    """Two batches through the store == the pure-DataFrame scd2_apply
+    chain, row for row; the open slice holds exactly the current keys."""
+    from localsql_spark.operators.scd2 import scd2_apply, scd2_init
+    from localsql_spark.sinks.scd2_store import (apply_batch, init_store,
+                                                 read_history)
+
+    store = str(tmp_path / "scd2")
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k int, seg string")
+    u1 = spark.createDataFrame([(1, "a2"), (3, "c")], "k int, seg string")
+    u2 = spark.createDataFrame([(1, "a3"), (2, "b")], "k int, seg string")
+
+    init_store(dim, store, ["k"], ["seg"], 100)
+    apply_batch(spark, store, u1, ["k"], ["seg"], 200, batch_id=1)
+    apply_batch(spark, store, u2, ["k"], ["seg"], 300, batch_id=2)
+
+    expected = scd2_apply(
+        scd2_apply(scd2_init(dim, ["k"], ["seg"], 100),
+                   u1, ["k"], ["seg"], 200),
+        u2, ["k"], ["seg"], 300)
+    assert _hist_rows(read_history(spark, store)) == _hist_rows(expected)
+    open_now = spark.read.parquet(f"{store}/open/batch_2")
+    assert sorted(r["k"] for r in open_now.collect()) == [1, 2, 3]
+
+
+def test_scd2_store_replay_is_idempotent(spark, tmp_path):
+    """Re-applying the latest batch (checkpoint redelivery) leaves the
+    history unchanged; an out-of-order older batch id is rejected."""
+    import pytest
+
+    from localsql_spark.sinks.scd2_store import (apply_batch, init_store,
+                                                 read_history)
+
+    store = str(tmp_path / "scd2")
+    dim = spark.createDataFrame([(1, "a")], "k int, seg string")
+    u1 = spark.createDataFrame([(1, "a2")], "k int, seg string")
+    init_store(dim, store, ["k"], ["seg"], 100)
+    apply_batch(spark, store, u1, ["k"], ["seg"], 200, batch_id=1)
+    before = _hist_rows(read_history(spark, store))
+    apply_batch(spark, store, u1, ["k"], ["seg"], 200, batch_id=1)  # replay
+    assert _hist_rows(read_history(spark, store)) == before
+    with pytest.raises(ValueError, match="older"):
+        apply_batch(spark, store, u1, ["k"], ["seg"], 50, batch_id=0)
