@@ -160,6 +160,11 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # Full per-run detail goes to STDERR: round 5 embedded `runs` in the
+    # final stdout line and the line outgrew the driver's tail capture
+    # (BENCH_r05.json recorded parsed:null).  The LAST stdout line must stay
+    # compact — headline total + per-query mins only.
+    print(f"# runs: {json.dumps(all_runs)}", file=sys.stderr)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -168,7 +173,6 @@ def main() -> None:
         "sf": sf_val,
         "runs_per_query": 2,
         "timing": "min",
-        "runs": all_runs,
     }))
 
 

@@ -2,11 +2,15 @@
 
 Layout under ``store_dir``::
 
-    open/batch_<id>/     the CURRENT version of every key as of the last
-                         applied batch (each batch rewrites this slice —
-                         it is dimension-sized, not history-sized)
-    closed/batch_<id>/   versions closed BY batch <id> (append-only: a
-                         batch never touches another batch's closed dir)
+    open/batch_<id>/       the CURRENT version of every key as of the last
+                           applied batch (each batch rewrites this slice —
+                           it is dimension-sized, not history-sized)
+    closed/batch_<id>/     versions closed BY batch <id> (append-only: a
+                           batch never touches another batch's closed dir)
+    closed/compact_upto_<id>/  optional: all closed versions from batches
+                           ``<= id`` folded into one size-bounded dir by
+                           :func:`compact_scd2_store`
+    _staging/              in-flight writes; never read
 
 Why the split matters at 100 TB: the open slice a batch must join is
 bounded by the dimension's key count, while the closed history grows
@@ -15,13 +19,27 @@ history, and the closed majority is never read or rewritten.  As-of
 reads union both slices (operators.scd2.scd2_as_of works unchanged on
 ``read_history``).
 
-Idempotency/crash-safety (same contract as streaming.stream_dedup_ingest):
-both sinks write ``batch_<id>`` subdirectories with overwrite semantics,
-so a replayed batch rewrites the same directories byte-for-byte instead
-of double-appending; ``open/`` keeps only the HIGHEST batch id (earlier
-open snapshots are superseded, lower ids pruned on read and removed
-opportunistically on the next apply).  A crash mid-apply leaves either
-slice individually rewritable by the replay.
+Atomic commit protocol (fixes the round-5 advisory: the two slices used
+to be two independent Spark writes with no commit point):
+
+1. Both slices are written to ``_staging/batch_<id>/{closed,open}`` —
+   Spark jobs never touch the live tree.
+2. Commit = two directory renames, CLOSED FIRST, OPEN SECOND.  The open
+   rename is the visibility point: ``_latest_open`` keys on ``open/``,
+   and ``read_history`` ignores any ``closed/batch_<id>`` whose id is
+   GREATER than the latest open snapshot's id — so a closed dir whose
+   open sibling never landed is invisible, and once ``open/batch_<id>``
+   exists its closed sibling is guaranteed complete (it was renamed
+   first).
+3. On replay of the latest batch the live dirs are removed OPEN FIRST
+   (the store atomically falls back to the predecessor snapshot, the
+   orphaned closed dir is ignored by the id rule), then re-committed as
+   in (2).  Every crash point therefore exposes either the predecessor
+   state or the fully-committed new state, never a mix.
+
+``_latest_open`` additionally skips snapshots lacking Spark's
+``_SUCCESS`` marker — belt-and-braces against a tree produced by an
+older writer that crashed mid-job.
 """
 
 from __future__ import annotations
@@ -35,17 +53,40 @@ from pyspark.sql import functions as F
 from localsql_spark.operators.scd2 import scd2_apply, scd2_init
 
 
+def _batch_id(p: Path) -> int:
+    return int(p.name.rsplit("_", 1)[1])
+
+
+def _commit_dir(staged: Path, live: Path) -> None:
+    live.parent.mkdir(parents=True, exist_ok=True)
+    staged.rename(live)
+
+
 def init_store(dim: DataFrame, store_dir: str, key_cols: list[str],
                attr_cols: list[str], ts_us: int) -> None:
     """Open version for every dimension row, committed as batch 0."""
+    store = Path(store_dir)
+    staged = store / "_staging" / "batch_0" / "open"
     h = scd2_init(dim, key_cols, attr_cols, ts_us)
-    (h.write.mode("overwrite")
-     .parquet(str(Path(store_dir) / "open" / "batch_0")))
+    h.write.mode("overwrite").parquet(str(staged))
+    live = store / "open" / "batch_0"
+    if live.exists():  # replayed init: supersede atomically via tmp swap
+        shutil.rmtree(live)
+    _commit_dir(staged, live)
+    shutil.rmtree(store / "_staging", ignore_errors=True)
+
+
+def _open_snapshots(store: Path) -> list[Path]:
+    """Committed open snapshots, oldest->newest.  A snapshot missing its
+    ``_SUCCESS`` marker is an aborted write from a non-staging writer —
+    skipped so readers fall back to the last complete snapshot."""
+    return sorted((p for p in store.glob("open/batch_*")
+                   if (p / "_SUCCESS").exists()),
+                  key=_batch_id)
 
 
 def _latest_open(store: Path) -> Path:
-    batches = sorted(store.glob("open/batch_*"),
-                     key=lambda p: int(p.name.split("_")[1]))
+    batches = _open_snapshots(store)
     if not batches:
         raise FileNotFoundError(f"no open slice in {store} — init_store first")
     return batches[-1]
@@ -54,48 +95,129 @@ def _latest_open(store: Path) -> Path:
 def apply_batch(spark: SparkSession, store_dir: str, updates: DataFrame,
                 key_cols: list[str], attr_cols: list[str],
                 batch_ts_us: int, batch_id: int) -> None:
-    """Apply one update batch: reads ONLY the open slice, writes the new
-    open snapshot and the versions this batch closed.  Replaying the same
-    ``batch_id`` (same updates) rewrites identical directories."""
+    """Apply one update batch: reads ONLY the open slice, stages the new
+    open snapshot and the versions this batch closed, then commits both
+    via directory renames (closed first — see module docstring).
+    Replaying the same ``batch_id`` (same updates) recreates identical
+    directories."""
     store = Path(store_dir)
     prev = _latest_open(store)
-    if int(prev.name.split("_")[1]) > batch_id:
+    replay = False
+    if _batch_id(prev) > batch_id:
         raise ValueError(
             f"batch {batch_id} is older than applied {prev.name} — "
             "replays must use the original batch id")
-    if int(prev.name.split("_")[1]) == batch_id:
+    if _batch_id(prev) == batch_id:
         # replay of the latest batch: rebuild from the snapshot BEFORE it
-        opens = sorted(store.glob("open/batch_*"),
-                       key=lambda p: int(p.name.split("_")[1]))
+        opens = _open_snapshots(store)
         if len(opens) < 2:
             raise ValueError(f"cannot replay {batch_id}: prior snapshot "
                              "already pruned")
         prev = opens[-2]
+        replay = True
+
+    # 1. stage both slices — no live-tree writes
+    staging = store / "_staging" / f"batch_{batch_id}"
+    shutil.rmtree(staging, ignore_errors=True)
     current = spark.read.parquet(str(prev))
     new_hist = scd2_apply(current, updates, key_cols, attr_cols, batch_ts_us)
-    newly_closed = new_hist.filter(F.col("valid_to_us") == batch_ts_us)
-    new_open = new_hist.filter(F.col("valid_to_us").isNull())
-    (new_open.write.mode("overwrite")
-     .parquet(str(store / "open" / f"batch_{batch_id}")))
-    (newly_closed.write.mode("overwrite")
-     .parquet(str(store / "closed" / f"batch_{batch_id}")))
-    # prune superseded open snapshots, keeping one predecessor so the
+    new_hist = new_hist.localCheckpoint(eager=True)  # one compute, two writes
+    (new_hist.filter(F.col("valid_to_us") == batch_ts_us)
+     .write.mode("overwrite").parquet(str(staging / "closed")))
+    (new_hist.filter(F.col("valid_to_us").isNull())
+     .write.mode("overwrite").parquet(str(staging / "open")))
+
+    # 2. on replay, retract the previous attempt OPEN FIRST so every
+    # intermediate state reads as the predecessor snapshot
+    if replay:
+        shutil.rmtree(store / "open" / f"batch_{batch_id}",
+                      ignore_errors=True)
+        shutil.rmtree(store / "closed" / f"batch_{batch_id}",
+                      ignore_errors=True)
+
+    # 3. commit: closed first, open second (open rename = visibility point)
+    _commit_dir(staging / "closed", store / "closed" / f"batch_{batch_id}")
+    _commit_dir(staging / "open", store / "open" / f"batch_{batch_id}")
+    shutil.rmtree(store / "_staging", ignore_errors=True)
+
+    # 4. prune superseded open snapshots, keeping one predecessor so the
     # latest batch stays replayable
-    opens = sorted(store.glob("open/batch_*"),
-                   key=lambda p: int(p.name.split("_")[1]))
+    opens = _open_snapshots(store)
     for p in opens[:-2]:
         shutil.rmtree(p, ignore_errors=True)
 
 
+def _committed_closed_dirs(store: Path) -> list[Path]:
+    """Closed dirs that are part of the committed history: the newest
+    ``compact_upto_<M>`` (if any) plus every ``batch_<id>`` with
+    ``M < id <= latest_open`` — ids above the latest open snapshot are
+    in-flight or orphaned commits, ids at or below M are folded into the
+    compact dir (their directories are removed opportunistically)."""
+    latest = _batch_id(_latest_open(store))
+    compacts = sorted(store.glob("closed/compact_upto_*"), key=_batch_id)
+    lo = -1
+    out: list[Path] = []
+    if compacts:
+        out.append(compacts[-1])
+        lo = _batch_id(compacts[-1])
+    out.extend(p for p in sorted(store.glob("closed/batch_*"), key=_batch_id)
+               if lo < _batch_id(p) <= latest)
+    return out
+
+
 def read_history(spark: SparkSession, store_dir: str) -> DataFrame:
-    """The full version history: latest open snapshot + every closed dir.
-    Compatible with operators.scd2.scd2_as_of / scd2_enrich_asof."""
+    """The full version history: latest open snapshot + every committed
+    closed dir.  Compatible with operators.scd2.scd2_as_of/enrich_asof."""
     store = Path(store_dir)
     h = spark.read.parquet(str(_latest_open(store)))
-    closed_dirs = sorted(store.glob("closed/batch_*"))
+    closed_dirs = _committed_closed_dirs(store)
     if closed_dirs:
-        closed = (spark.read
-                  .option("recursiveFileLookup", "true")
-                  .parquet(str(store / "closed")))
+        closed = spark.read.parquet(*[str(p) for p in closed_dirs])
         h = h.unionByName(closed.select(h.columns))
     return h
+
+
+def compact_scd2_store(spark: SparkSession, store_dir: str,
+                       target_files: int = 4) -> int:
+    """Fold the committed ``closed/batch_*`` dirs (and any previous
+    compact dir) with id STRICTLY BELOW the latest open batch id N into
+    one ``closed/compact_upto_<N-1>`` with ``target_files`` parquet
+    files.  The latest batch's closed dir is deliberately left unfolded:
+    replaying batch N temporarily retracts ``open/batch_N`` (readers fall
+    back to N-1), and a compact dir carrying id N would then outrank the
+    visible snapshot — capping the compact id at N-1 keeps the
+    ``compact_id <= latest_open_id`` invariant through every replay
+    window.
+
+    At daily batch cadence the closed tree otherwise grows one directory
+    (with one-or-more small files) per batch forever — the classic
+    many-small-files problem.  Compaction is itself crash-safe: the new
+    dir is staged then renamed into place, and the rename alone changes
+    what :func:`_committed_closed_dirs` reads (everything with id <= N-1
+    is superseded by the name rule), so removing the folded dirs
+    afterwards is opportunistic cleanup, not part of the commit.
+
+    Returns the number of directories folded (0 = nothing to do).
+    """
+    store = Path(store_dir)
+    latest = _batch_id(_latest_open(store))
+    dirs = [p for p in _committed_closed_dirs(store)
+            if _batch_id(p) < latest]
+    if len(dirs) <= 1:
+        return 0
+    upto = latest - 1
+    staged = store / "_staging" / f"compact_{upto}"
+    shutil.rmtree(staged, ignore_errors=True)
+    (spark.read.parquet(*[str(p) for p in dirs])
+     .coalesce(target_files)
+     .write.mode("overwrite").parquet(str(staged)))
+    live = store / "closed" / f"compact_upto_{upto}"
+    if live.exists():
+        shutil.rmtree(live)
+    _commit_dir(staged, live)  # COMMIT POINT — one rename
+    # opportunistic cleanup of superseded dirs (crash here = duplicates on
+    # disk but NOT in read_history, which follows the name rule)
+    for p in dirs:
+        shutil.rmtree(p, ignore_errors=True)
+    shutil.rmtree(store / "_staging", ignore_errors=True)
+    return len(dirs)

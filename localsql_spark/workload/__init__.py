@@ -112,6 +112,29 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "fingerprint_drift", "semdedup_keep", "sample_per_lang_topk",
     "dedup_incremental_new_batch", "streaming_late_data",
     "hll_distinct_users_by_type", "streaming_upsert_latest_event",
+    # --- green in CORRECTNESS_r05.json (all 50 checked entries passed;
+    #     the 50 below were the round-5 additions) ---
+    "bpe_encode_fixed", "bpe_pair_stats", "chunk_documents_64_16",
+    "corpus_health_by_source", "decontaminate_minhash",
+    "dedup_containment_pairs", "dedup_exact_incremental",
+    "dedup_incremental_banded", "dedup_incremental_store",
+    "dedup_repeated_spans", "diff_orders_versions", "dsir_importance_weights",
+    "dsir_resample_top200", "export_training_shards", "gopher_quality_rules",
+    "histogram_equidepth_values", "hll_user_overlap", "knn_ivf_index_top5",
+    "knn_pq_rerank_top5", "knn_pq_top5", "mix_sources_temperature",
+    "orders_segment_asof", "pagerank_event_transitions",
+    "pipeline_incremental_ingest", "profile_orders_columns",
+    "q10_returned_items", "q11_important_parts", "q12_priority_by_returnflag",
+    "q13_customer_distribution", "q14_promo_revenue_pct", "q15_top_supplier",
+    "q16_supplier_cnt_by_part", "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue", "q20_dominant_part_suppliers",
+    "q22_global_sales_opportunity", "q2_min_price_supplier",
+    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "quarantine_orders_rows", "rollup_incremental_hourly",
+    "scd2_customer_history", "sketch_quantiles_by_type",
+    "streaming_dedup_ingest", "streaming_quarantine_events",
+    "text_unigram_logprob", "validate_orders_constraints",
+    "zorder_zvalue_orders",
 })
 
 
@@ -137,13 +160,14 @@ _HEAVY = frozenset({
 # refreshed from the next CORRECTNESS_r{N}.json.  (Every query registered
 # through round 3 now has a green row, so the set is empty — round-4
 # additions go straight into the pending block at the window head.)
-# Round 5 registered 51 never-checked queries against the 50-entry window;
-# defer the one whose semantics are most redundantly covered elsewhere
+# Round 5 registered 52 never-checked queries against the 50-entry window
+# and deferred two whose semantics were most redundantly covered elsewhere
 # (scd2_customer_asof shares its operator path with scd2_customer_history
-# and orders_segment_asof, both in-window) so export_training_shards gets
-# its driver row this round.
-_DEFERRED: frozenset[str] = frozenset({"scd2_customer_asof",
-                                       "bpe_pair_stats_round2"})
+# and orders_segment_asof; bpe_pair_stats_round2 with bpe_pair_stats and
+# bpe_encode_fixed — all in-window and green in r5).  With DRIVER_VERIFIED
+# refreshed from CORRECTNESS_r05 those two now head the round-6 window, so
+# nothing is deferred.
+_DEFERRED: frozenset[str] = frozenset()
 
 
 def _ordered() -> dict[str, QuerySpec]:

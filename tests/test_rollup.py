@@ -144,3 +144,72 @@ def test_scd2_store_replay_is_idempotent(spark, tmp_path):
     assert _hist_rows(read_history(spark, store)) == before
     with pytest.raises(ValueError, match="older"):
         apply_batch(spark, store, u1, ["k"], ["seg"], 50, batch_id=0)
+
+
+def test_scd2_store_compaction_preserves_history(spark, tmp_path):
+    """compact_scd2_store folds all-but-the-latest closed batch dirs into
+    one compact dir; read_history is bit-identical before/after, replay of
+    the latest batch still works, and a second compaction after more
+    batches supersedes the first compact dir."""
+    from localsql_spark.sinks.scd2_store import (apply_batch,
+                                                 compact_scd2_store,
+                                                 init_store, read_history)
+
+    store = str(tmp_path / "scd2")
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k int, seg string")
+    init_store(dim, store, ["k"], ["seg"], 100)
+    for i, seg in enumerate(["a2", "a3", "a4"], start=1):
+        u = spark.createDataFrame([(1, seg)], "k int, seg string")
+        apply_batch(spark, store, u, ["k"], ["seg"], 100 * (i + 1),
+                    batch_id=i)
+    before = _hist_rows(read_history(spark, store))
+
+    folded = compact_scd2_store(spark, store)
+    assert folded == 2  # batch_1 + batch_2 (batch_3 is latest, unfolded)
+    p = tmp_path / "scd2"
+    assert (p / "closed" / "compact_upto_2").exists()
+    assert not (p / "closed" / "batch_1").exists()
+    assert (p / "closed" / "batch_3").exists()
+    assert _hist_rows(read_history(spark, store)) == before
+
+    # replay of the latest batch after compaction: unchanged history
+    u3 = spark.createDataFrame([(1, "a4")], "k int, seg string")
+    apply_batch(spark, store, u3, ["k"], ["seg"], 400, batch_id=3)
+    assert _hist_rows(read_history(spark, store)) == before
+
+    # more batches, second compaction folds old compact + batch dirs
+    u4 = spark.createDataFrame([(2, "b2")], "k int, seg string")
+    apply_batch(spark, store, u4, ["k"], ["seg"], 500, batch_id=4)
+    before2 = _hist_rows(read_history(spark, store))
+    assert compact_scd2_store(spark, store) == 2  # compact_upto_2 + batch_3
+    assert (p / "closed" / "compact_upto_3").exists()
+    assert not (p / "closed" / "compact_upto_2").exists()
+    assert _hist_rows(read_history(spark, store)) == before2
+
+
+def test_scd2_store_ignores_uncommitted_closed_dir(spark, tmp_path):
+    """A closed/batch_<id> whose open sibling never landed (crash between
+    the closed rename and the open rename) is invisible to read_history,
+    and an open snapshot missing _SUCCESS is skipped by _latest_open."""
+    from localsql_spark.sinks.scd2_store import (apply_batch, init_store,
+                                                 read_history)
+
+    store = str(tmp_path / "scd2")
+    p = tmp_path / "scd2"
+    dim = spark.createDataFrame([(1, "a")], "k int, seg string")
+    u1 = spark.createDataFrame([(1, "a2")], "k int, seg string")
+    init_store(dim, store, ["k"], ["seg"], 100)
+    apply_batch(spark, store, u1, ["k"], ["seg"], 200, batch_id=1)
+    before = _hist_rows(read_history(spark, store))
+
+    # simulate a crash mid-commit of batch 2: closed landed, open did not
+    crashed = spark.createDataFrame([(1, "a2", 200, 300)],
+                                    "k int, seg string, valid_from_us long,"
+                                    " valid_to_us long")
+    crashed.write.parquet(str(p / "closed" / "batch_2"))
+    assert _hist_rows(read_history(spark, store)) == before
+
+    # simulate a partial open snapshot (no _SUCCESS): skipped by readers
+    (p / "open" / "batch_3").mkdir(parents=True)
+    (p / "open" / "batch_3" / "part-00000.parquet").write_bytes(b"junk")
+    assert _hist_rows(read_history(spark, store)) == before
