@@ -295,14 +295,23 @@ def bpe_pair_counts(symbols: DataFrame) -> DataFrame:
     ``symbols`` carries (word, cnt, syms: array<string>).  Row-local pair
     construction (zip with own tail — exact length, see
     operators.selection._features for the Int32 slice trap) + one
-    map-side-combined groupBy; output is pair-vocabulary-sized."""
+    map-side-combined groupBy; output is pair-vocabulary-sized.
+
+    The aggregation keys on the (a, b) STRUCT, never on a joined string:
+    symbols may themselves contain the display separator '|' (merged
+    symbols are arbitrary substrings), and string-keyed counts would
+    collide e.g. ('x|','y') with ('x','|y').  Output carries the exact
+    (a, b) columns plus a formatted ``pair`` = 'a|b' for display and
+    oracle comparison only."""
     tail_len = F.greatest(F.size("syms") - 1, F.lit(0))
     pairs = F.slice(
         F.zip_with(F.col("syms"), F.slice(F.col("syms"), 2, tail_len),
-                   lambda a, b: F.concat_ws("|", a, b)),
+                   lambda a, b: F.struct(a.alias("a"), b.alias("b"))),
         1, tail_len)
-    return (symbols.select("cnt", F.explode(pairs).alias("pair"))
-            .groupBy("pair").agg(F.sum("cnt").alias("n")))
+    return (symbols.select("cnt", F.explode(pairs).alias("pr"))
+            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+            .agg(F.sum("cnt").alias("n"))
+            .select("a", "b", F.concat_ws("|", "a", "b").alias("pair"), "n"))
 
 
 def _apply_merge(sym_col: Column, a: str, b: str) -> Column:
@@ -343,10 +352,11 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         top = (bpe_pair_counts(symbols)
-               .orderBy(F.col("n").desc(), F.col("pair")).limit(1).collect())
+               .orderBy(F.col("n").desc(), F.col("pair"), F.col("a"))
+               .limit(1).collect())
         if not top or top[0]["n"] < 2:
             break  # nothing left worth merging
-        a, b = top[0]["pair"].split("|", 1)
+        a, b = top[0]["a"], top[0]["b"]  # exact symbols — never re-split
         merges.append((a, b, int(top[0]["n"])))
         symbols = (symbols.select(
             "word", "cnt", _apply_merge(F.col("syms"), a, b).alias("syms"))

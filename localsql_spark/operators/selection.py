@@ -201,17 +201,20 @@ def gopher_quality_flags(docs: DataFrame, doc_id_col: str = "doc_id",
     toks = F.filter(F.split(T.normalize_text(F.col(text_col)), " "),
                     lambda w: w != "")
     n_words = F.size(toks)
-    mean_wl = F.round(
+    # try_divide: empty docs (n_words == 0) yield null ratios rather than
+    # an ANSI division-by-zero error; the rule booleans below then force
+    # FALSE (never null) for those docs.
+    mean_wl = F.round(F.try_divide(
         F.aggregate(toks, F.lit(0).cast("decimal(28,9)"),
                     lambda acc, w: (acc + F.length(w).cast("decimal(28,9)"))
-                    .cast("decimal(28,9)")).cast("double")
-        / n_words, 6)
+                    .cast("decimal(28,9)")).cast("double"),
+        n_words), 6)
     # OCCURRENCE count ('...' is one symbol, not three chars) — must agree
     # with the oracle's len(regexp_extract_all(...))
     n_symbols = F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\."))
-    symbol_ratio = F.round(n_symbols.cast("double") / n_words, 6)
+    symbol_ratio = F.round(F.try_divide(n_symbols.cast("double"), n_words), 6)
     n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
-    alpha_ratio = F.round(n_alpha.cast("double") / n_words, 6)
+    alpha_ratio = F.round(F.try_divide(n_alpha.cast("double"), n_words), 6)
     n_stop = F.size(F.array_distinct(
         F.filter(toks, lambda w: functools.reduce(
             operator.or_, [w == F.lit(s) for s in _GOPHER_STOPWORDS]))))
@@ -225,13 +228,19 @@ def gopher_quality_flags(docs: DataFrame, doc_id_col: str = "doc_id",
         .withColumn("rule_word_count",
                     (F.col("n_words") >= min_words)
                     & (F.col("n_words") <= max_words))
+        # Empty/whitespace-only docs have n_words == 0 -> null ratios; the
+        # ratio-based rules (and keep) must read FALSE, not null, or
+        # consumers testing `keep == false` / counting keeps leak them.
         .withColumn("rule_mean_word_len",
-                    (F.col("mean_word_len") >= min_mean_wl)
-                    & (F.col("mean_word_len") <= max_mean_wl))
+                    F.when((F.col("mean_word_len") >= min_mean_wl)
+                           & (F.col("mean_word_len") <= max_mean_wl), True)
+                    .otherwise(False))
         .withColumn("rule_symbol_ratio",
-                    F.col("symbol_ratio") <= max_symbol_ratio)
+                    F.when(F.col("symbol_ratio") <= max_symbol_ratio, True)
+                    .otherwise(False))
         .withColumn("rule_alpha_words",
-                    F.col("alpha_ratio") >= min_alpha_ratio)
+                    F.when(F.col("alpha_ratio") >= min_alpha_ratio, True)
+                    .otherwise(False))
         .withColumn("rule_stopwords", F.col("n_stopwords") >= min_stopwords))
     return out.withColumn(
         "keep",

@@ -741,9 +741,23 @@ def pq_train(corpus: DataFrame, m: int = 4, k_codes: int = 16,
     subtree into its plan — the static plan for encode+search carried 48
     exchanges before the cut, ~10 after.
     """
+    spark = corpus.sparkSession
+    # Seed from the k_codes SMALLEST ids by rank, not by literal id value:
+    # `id < k_codes` silently yields empty/partial codebooks when the id
+    # space doesn't start at 0 or is sparse.  TakeOrdered bounds the
+    # driver materialization at k_codes scalar ids.
+    seed_ids = [r[0] for r in
+                corpus.select(id_col).orderBy(id_col).limit(k_codes)
+                .collect()]
+    if len(seed_ids) < k_codes:
+        raise ValueError(
+            f"pq_train needs >= k_codes={k_codes} vectors to seed "
+            f"codebooks; corpus has {len(seed_ids)}")
+    code_map = F.broadcast(spark.createDataFrame(
+        [(i, c) for c, i in enumerate(seed_ids)], [id_col, "code"]))
     sub = _pq_sub(corpus, m, id_col, vec_col)
-    cents = (sub.filter(F.col(id_col) < k_codes)
-             .select("s", F.col(id_col).alias("code"),
+    cents = (sub.join(code_map, id_col)
+             .select("s", "code",
                      F.transform("v", lambda x: x.cast("double"))
                      .alias("cent")))
     for _ in range(n_iter):
@@ -758,7 +772,6 @@ def pq_train(corpus: DataFrame, m: int = 4, k_codes: int = 16,
                  .agg(F.transform(
                      F.sort_array(F.collect_list(F.struct("p", "mn"))),
                      lambda st: st["mn"]).alias("cent")))
-    spark = corpus.sparkSession
     return spark.createDataFrame(cents.collect(), schema=cents.schema)
 
 
@@ -777,8 +790,8 @@ def pq_encode(corpus: DataFrame, codebooks: DataFrame,
 
 def knn_pq_adc(corpus: DataFrame, queries: DataFrame, k: int = 5,
                m: int = 4, k_codes: int = 16, n_iter: int = 1,
-               id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               exclude_self: bool = False) -> DataFrame:
     """Approximate kNN by asymmetric distance computation (ADC): train
     codebooks, encode the corpus, build each query's lookup table of
     per-(subspace, code) squared distances, and score every corpus vector
@@ -790,6 +803,11 @@ def knn_pq_adc(corpus: DataFrame, queries: DataFrame, k: int = 5,
     window.  At 100 TB the codes table is ~1.5% the bytes of the float
     corpus, and no shuffle carries vectors — only code ids and partial
     decimal sums.  Returns (query_id, neighbor_id, adc_dist, rn).
+
+    ``exclude_self`` is OPT-IN: set it only when queries are drawn from
+    the corpus under the SAME id space (e.g. self-similarity over one
+    table).  The old always-on behavior silently dropped corpus rows
+    whose id happened to collide with an unrelated query table's id.
     """
     from pyspark.sql.window import Window
 
@@ -800,8 +818,10 @@ def knn_pq_adc(corpus: DataFrame, queries: DataFrame, k: int = 5,
     lut = (qsub.join(F.broadcast(codebooks), "s")
            .select("query_id", "s", "code",
                    l2_sq(F.col("v"), F.col("cent")).alias("d")))
-    scored = (codes.join(F.broadcast(lut), ["s", "code"])
-              .filter(F.col("query_id") != F.col(id_col))
+    scored = codes.join(F.broadcast(lut), ["s", "code"])
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col(id_col))
+    scored = (scored
               .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
               .agg(F.round(F.sum(F.round(F.col("d"), 12)
                                  .cast("decimal(28,12)")).cast("double"), 9)
@@ -814,7 +834,8 @@ def knn_pq_adc(corpus: DataFrame, queries: DataFrame, k: int = 5,
 def knn_pq_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
                   shortlist: int = 20, m: int = 4, k_codes: int = 16,
                   n_iter: int = 1, id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
+                  vec_col: str = "embedding",
+                  exclude_self: bool = False) -> DataFrame:
     """PQ-ADC shortlist -> exact cosine re-rank: the standard production
     ANN pattern (coarse quantized scores pick ``shortlist`` candidates
     per query; only those |queries| x shortlist float vectors are fetched
@@ -830,7 +851,8 @@ def knn_pq_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
     from pyspark.sql.window import Window
 
     cand = (knn_pq_adc(corpus, queries, k=shortlist, m=m, k_codes=k_codes,
-                       n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+                       n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+                       exclude_self=exclude_self)
             .select("query_id", "neighbor_id"))
     nv = (corpus.select(F.col(id_col).alias("neighbor_id"),
                         F.col(vec_col).alias("cv"))

@@ -379,7 +379,7 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir)["documents"]
     syms = (word_frequencies(docs)
             .select("word", "cnt", _chars(F.col("word")).alias("syms")))
-    return (bpe_pair_counts(syms)
+    return (bpe_pair_counts(syms).select("pair", "n")
             .orderBy(F.col("n").desc(), F.col("pair")).limit(40))
 
 
@@ -456,8 +456,8 @@ def bpe_pair_stats_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("word", "cnt", _chars(F.col("word")).alias("syms")))
     top = (bpe_pair_counts(syms)
            .orderBy(F.col("n").desc(), F.col("pair")).limit(1).collect())
-    a, b = top[0]["pair"].split("|", 1)
+    a, b = top[0]["a"], top[0]["b"]  # exact symbols (struct-keyed count)
     syms2 = syms.select(
         "word", "cnt", _apply_merge(F.col("syms"), a, b).alias("syms"))
-    return (bpe_pair_counts(syms2)
+    return (bpe_pair_counts(syms2).select("pair", "n")
             .orderBy(F.col("n").desc(), F.col("pair")).limit(40))

@@ -1367,7 +1367,7 @@ def knn_pq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate checks the full pipeline, not just the final ranks."""
     emb = load(spark, sf_dir)["embeddings"]
     return S.knn_pq_adc(emb, emb.filter(F.col("vec_id") < 10), k=5,
-                        m=4, k_codes=16, n_iter=1)
+                        m=4, k_codes=16, n_iter=1, exclude_self=True)
 
 
 _PQ_RERANK_ORACLE = _PQ_ORACLE[:_PQ_ORACLE.rindex(
@@ -1417,7 +1417,8 @@ def knn_pq_rerank_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADC shortlisting, AND the decimal-summed cosine rescore."""
     emb = load(spark, sf_dir)["embeddings"]
     return S.knn_pq_rerank(emb, emb.filter(F.col("vec_id") < 10), k=5,
-                           shortlist=20, m=4, k_codes=16, n_iter=1)
+                           shortlist=20, m=4, k_codes=16, n_iter=1,
+                           exclude_self=True)
 
 
 @query("basket_part_pairs", oracle="""

@@ -123,12 +123,15 @@ m AS (SELECT doc_id,
 SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio,
        n_stopwords,
        n_words BETWEEN 8 AND 100000 AS rule_word_count,
-       mean_word_len BETWEEN 3.0 AND 10.0 AS rule_mean_word_len,
-       symbol_ratio <= 0.1 AS rule_symbol_ratio,
-       alpha_ratio >= 0.8 AS rule_alpha_words,
+       coalesce(mean_word_len BETWEEN 3.0 AND 10.0, false)
+         AS rule_mean_word_len,
+       coalesce(symbol_ratio <= 0.1, false) AS rule_symbol_ratio,
+       coalesce(alpha_ratio >= 0.8, false) AS rule_alpha_words,
        n_stopwords >= 2 AS rule_stopwords,
-       (n_words BETWEEN 8 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
-         AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8 AND n_stopwords >= 2
+       (n_words BETWEEN 8 AND 100000)
+         AND coalesce(mean_word_len BETWEEN 3.0 AND 10.0, false)
+         AND coalesce(symbol_ratio <= 0.1, false)
+         AND coalesce(alpha_ratio >= 0.8, false) AND n_stopwords >= 2
          AS keep
 FROM m
 """)

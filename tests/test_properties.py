@@ -1093,7 +1093,8 @@ def test_pq_adc_recovers_planted_clusters(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
     queries = df.filter((df.vec_id % per) == 0)  # one per cluster
-    top = knn_pq_adc(df, queries, k=3, m=2, k_codes=4, n_iter=1)
+    top = knn_pq_adc(df, queries, k=3, m=2, k_codes=4, n_iter=1,
+                     exclude_self=True)
     for r in top.collect():
         assert r.neighbor_id // per == r.query_id // per, r
 
@@ -1121,6 +1122,27 @@ def test_bpe_train_reference_example(spark):
     assert merges[1] == ("es", "t", 9)
     assert merges[2] == ("l", "o", 7)
     assert bpe_train(df, n_merges=3) == merges
+
+
+def test_bpe_pair_counts_separator_in_token_no_collision(spark):
+    """Symbols containing the display separator '|' must not collide:
+    ('x|','y') and ('x','|y') are distinct pairs and each keeps its own
+    count (struct-keyed aggregation), and the argmax decode returns the
+    exact symbols, never a re-split of the display string."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators.corpus import bpe_pair_counts
+
+    syms = spark.createDataFrame(
+        [("w1", 3, ["x|", "y"]), ("w2", 2, ["x", "|y"])],
+        "word string, cnt long, syms array<string>")
+    rows = {(r["a"], r["b"]): r["n"]
+            for r in bpe_pair_counts(syms).collect()}
+    assert rows == {("x|", "y"): 3, ("x", "|y"): 2}
+    top = (bpe_pair_counts(syms)
+           .orderBy(F.col("n").desc(), F.col("pair"), F.col("a"))
+           .limit(1).collect())[0]
+    assert (top["a"], top["b"]) == ("x|", "y")
 
 
 def test_bpe_apply_merge_leftmost_nonoverlapping(spark):
@@ -1303,7 +1325,7 @@ def test_pq_rerank_with_full_shortlist_is_exact(spark):
              for r in knn_brute_force(df, q, k=5).collect()}
     rr = {(r.query_id, r.neighbor_id, r.cos_sim)
           for r in knn_pq_rerank(df, q, k=5, shortlist=40, m=4,
-                                 k_codes=8).collect()}
+                                 k_codes=8, exclude_self=True).collect()}
     assert rr == exact
 
 

@@ -109,6 +109,24 @@ def test_gopher_rules_flag_each_violation(spark):
     assert flags[7]["rule_symbol_ratio"] and flags[7]["keep"]
 
 
+def test_gopher_rules_empty_doc_is_false_not_null(spark):
+    """n_words == 0 leaves the ratio columns null (0/0), but every rule
+    boolean and keep must be FALSE — null keep leaks through consumers
+    that test keep == false or count keeps."""
+    from localsql_spark.operators.selection import gopher_quality_flags
+
+    rows = [(1, "", "en"), (2, "   \t  ", "en")]
+    flags = {r["doc_id"]: r for r in
+             gopher_quality_flags(_docs(spark, rows)).collect()}
+    for d in (1, 2):
+        assert flags[d]["n_words"] == 0
+        assert flags[d]["mean_word_len"] is None  # ratio stays null
+        for rule in ("rule_word_count", "rule_mean_word_len",
+                     "rule_symbol_ratio", "rule_alpha_words",
+                     "rule_stopwords", "keep"):
+            assert flags[d][rule] is False, (d, rule, flags[d][rule])
+
+
 # ---------------------------------------------------------------------------
 # training shards
 # ---------------------------------------------------------------------------

@@ -119,7 +119,7 @@ def main() -> None:
             t0 = time.perf_counter()
             got = {}
             for r in S.knn_pq_adc(emb, queries, k=K, m=m, k_codes=k_codes,
-                                  n_iter=1).collect():
+                                  n_iter=1, exclude_self=True).collect():
                 got.setdefault(r.query_id, set()).add(r.neighbor_id)
             best = min(best, time.perf_counter() - t0)
             cleanup()
@@ -137,7 +137,8 @@ def main() -> None:
             t0 = time.perf_counter()
             got = {}
             for r in S.knn_pq_rerank(emb, queries, k=K, shortlist=shortlist,
-                                     m=4, k_codes=16, n_iter=1).collect():
+                                     m=4, k_codes=16, n_iter=1,
+                                     exclude_self=True).collect():
                 got.setdefault(r.query_id, set()).add(r.neighbor_id)
             best = min(best, time.perf_counter() - t0)
             cleanup()
