@@ -66,6 +66,8 @@ EXTENSION_HEADLINE = [
     "dsir_resample_top200",
     "export_training_shards",
     "rollup_incremental_hourly",
+    # round 6: steady-state maintenance cost (one batch vs prebuilt store)
+    "rollup_steady_state_hourly",
     "knn_pq_top5",
     # round 5: maintenance/governance family
     "diff_orders_versions",
@@ -133,6 +135,12 @@ def main() -> None:
     from localsql_spark.operators import cleanup
 
     names = HEADLINE + [n for n in EXTENSION_HEADLINE if n in queries]
+    # profiling hook: SPARK_GRAFT_BENCH_ONLY="a,b,c" restricts the run to a
+    # subset (population-effect control experiments — see PLANS.md notes)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        names = [n for n in names if n in keep]
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     for name in names:

@@ -25,6 +25,66 @@ from pyspark.sql import functions as F
 from localsql_spark.operators import track_persist
 
 
+def _pagerank_step(nodes: DataFrame, norm: DataFrame, ranks: DataFrame,
+                   n: int, damping: float, dangling: float,
+                   n_salts: int) -> DataFrame:
+    """One PageRank iteration WITHOUT the lineage cut: the exact plan the
+    loop executes per round (contribution join + aggregate + left join
+    back onto the node set).  Exposed separately so tools/plan_audit.py
+    can pin the per-iteration physical plan — the localCheckpoint in
+    :func:`pagerank` erases lineage and would otherwise leave the audit
+    block empty."""
+    scored = (norm.join(ranks.withColumnRenamed("node", "e_src"),
+                        "e_src")
+              .select("e_src", F.col("e_dst").alias("node"),
+                      (F.col("rank") * F.col("p")).alias("rp")))
+    if n_salts > 0:
+        # hot-hub graphs (one dst receives edges from a large fraction
+        # of nodes — a popular domain) pile the whole contribution sum
+        # onto one reducer; two-phase salting spreads it over n_salts
+        # partials first (operators.skew.salted_agg discipline), with
+        # a deterministic salt keyed on the SOURCE node.  Sum order
+        # changes, so results can differ in the last float ulp — keep
+        # the default unsalted for bit-stable oracle checks.
+        salted = scored.withColumn(
+            "__salt", F.pmod(F.hash("e_src"), F.lit(n_salts)))
+        contrib = (salted.groupBy("node", "__salt")
+                   .agg(F.sum("rp").alias("ps"))
+                   .groupBy("node").agg(F.sum("ps").alias("s")))
+    else:
+        contrib = scored.groupBy("node").agg(F.sum("rp").alias("s"))
+    return (nodes.join(contrib, "node", "left")
+            .select("node",
+                    (F.lit((1.0 - damping) / n) + F.lit(damping)
+                     * (F.coalesce(F.col("s"), F.lit(0.0))
+                        + F.lit(dangling / n))).alias("rank")))
+
+
+def pagerank_iteration_plan(edges: DataFrame, src: str = "src",
+                            dst: str = "dst", weight: str = "w",
+                            damping: float = 0.85,
+                            n_salts: int = 0) -> DataFrame:
+    """The un-checkpointed single-iteration DataFrame (initial uniform
+    ranks), for ``.explain`` auditing only — see :func:`_pagerank_step`.
+    ``nodes``/``norm`` are persisted exactly as in :func:`pagerank`, so
+    the audited plan reads InMemoryTableScans for the loop-invariant
+    inputs — the per-round cost is only what remains above them."""
+    nodes = (edges.select(F.col(src).alias("node"))
+             .union(edges.select(F.col(dst).alias("node")))
+             .distinct())
+    nodes = track_persist(nodes)
+    n = nodes.count()
+    outw = edges.groupBy(F.col(src).alias("node")).agg(
+        F.sum(weight).alias("tw"))
+    norm = (edges.join(outw, F.col(src) == outw.node)
+            .select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"),
+                    (F.col(weight) / F.col("tw")).alias("p")))
+    norm = track_persist(norm)
+    norm.count()  # materialize so the audited plan shows the cached scan
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    return _pagerank_step(nodes, norm, ranks, n, damping, 0.0, n_salts)
+
+
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              weight: str = "w", damping: float = 0.85,
              n_iter: int = 6, n_salts: int = 0) -> DataFrame:
@@ -65,29 +125,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
             dangling = (ranks.join(dangling_nodes, "node", "left_semi")
                         .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
                         .collect()[0][0])
-        scored = (norm.join(ranks.withColumnRenamed("node", "e_src"),
-                            "e_src")
-                  .select("e_src", F.col("e_dst").alias("node"),
-                          (F.col("rank") * F.col("p")).alias("rp")))
-        if n_salts > 0:
-            # hot-hub graphs (one dst receives edges from a large fraction
-            # of nodes — a popular domain) pile the whole contribution sum
-            # onto one reducer; two-phase salting spreads it over n_salts
-            # partials first (operators.skew.salted_agg discipline), with
-            # a deterministic salt keyed on the SOURCE node.  Sum order
-            # changes, so results can differ in the last float ulp — keep
-            # the default unsalted for bit-stable oracle checks.
-            salted = scored.withColumn(
-                "__salt", F.pmod(F.hash("e_src"), F.lit(n_salts)))
-            contrib = (salted.groupBy("node", "__salt")
-                       .agg(F.sum("rp").alias("ps"))
-                       .groupBy("node").agg(F.sum("ps").alias("s")))
-        else:
-            contrib = scored.groupBy("node").agg(F.sum("rp").alias("s"))
-        ranks = (nodes.join(contrib, "node", "left")
-                 .select("node",
-                         (F.lit((1.0 - damping) / n) + F.lit(damping)
-                          * (F.coalesce(F.col("s"), F.lit(0.0))
-                             + F.lit(dangling / n))).alias("rank"))
+        ranks = (_pagerank_step(nodes, norm, ranks, n, damping, dangling,
+                                n_salts)
                  .localCheckpoint(eager=False))
     return ranks

@@ -144,7 +144,8 @@ def knn_lsh_bucketed(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
             id_col: str = "vec_id", vec_col: str = "embedding",
-            n_cells: int = 16, n_probe: int = 4) -> DataFrame:
+            n_cells: int = 16, n_probe: int = 4,
+            centroids: DataFrame | None = None) -> DataFrame:
     """IVF (inverted-file) approximate kNN: coarse-quantize the corpus into
     ``n_cells`` cells, probe the ``n_probe`` cells nearest each query.
 
@@ -157,9 +158,17 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """
     from pyspark.sql.window import Window
 
-    cents = (corpus.filter(F.col(id_col) < n_cells)
-             .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cent"))
-             .withColumn("centn", norm(F.col("cent"))))  # broadcast-materialized
+    if centroids is not None:
+        # trained path (kmeans_parallel_init + Lloyd rounds): same plan
+        # shape, better-balanced cells -> higher recall at equal n_probe
+        cents = (centroids
+                 .select(F.col("cell"), F.col("cent"))
+                 .withColumn("centn", norm(F.col("cent"))))
+    else:
+        cents = (corpus.filter(F.col(id_col) < n_cells)
+                 .select(F.col(id_col).alias("cell"),
+                         F.col(vec_col).alias("cent"))
+                 .withColumn("centn", norm(F.col("cent"))))  # broadcast-materialized
 
     def nearest_cells(df: DataFrame, side_id: str, vec: str, vnorm: str,
                       n: int) -> DataFrame:
@@ -397,6 +406,79 @@ def kmeans_update(corpus: DataFrame, assign: DataFrame,
             .agg(F.transform(F.sort_array(F.collect_list(F.struct("p", "m"))),
                              lambda s: s["m"]).alias("cent"))
             .select(F.col("cluster_id").alias("cell"), "cent"))
+
+
+def kmeans_parallel_init(corpus: DataFrame, n_clusters: int = 8,
+                         oversample: int = 8, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Deterministic kmeans||-style initialization (Bahmani et al.,
+    "Scalable K-Means++", VLDB 2012 — public algorithm): hash-sample an
+    ``oversample * k`` candidate set uniformly, weight each candidate by
+    how much of the corpus it captures (one broadcast nearest-candidate
+    pass), then reduce to ``k`` centers with the greedy weighted
+    k-means++ rule on the driver — pick the heaviest candidate first,
+    then repeatedly the candidate maximizing weight x d^2 to its nearest
+    chosen center.
+
+    Scale shape: both corpus passes are broadcast-joins against the
+    bounded candidate set (no shuffle carries vectors); only the
+    ~oversample*k candidate rows and their weights reach the driver.
+    Deterministic everywhere (hash sampling, max-with-id tie-breaks), so
+    downstream Lloyd rounds stay engine-reproducible.  Returns
+    (cell, cent: array<double>) — drop-in for kmeans_assign/knn_ivf.
+    """
+    from localsql_spark.operators import hash32
+
+    spark = corpus.sparkSession
+    n = corpus.count()
+    target = min(n, oversample * n_clusters)
+    if n < n_clusters:
+        raise ValueError(f"kmeans_parallel_init needs >= {n_clusters} "
+                         f"vectors; corpus has {n}")
+    # 1. uniform deterministic sample of ~target candidates (hash-mod);
+    # top-up by smallest hash rank so we never fall below k candidates
+    ranked = (spread(corpus)
+              .select(F.col(id_col).alias("cand_id"),
+                      F.transform(F.col(vec_col),
+                                  lambda x: x.cast("double")).alias("cv"),
+                      F.pmod(hash32(F.col(id_col)), F.lit(n)).alias("rk")))
+    cand = (ranked.orderBy("rk", "cand_id").limit(int(target))
+            .select("cand_id", "cv"))
+    # 2. weight candidates: nearest-candidate assignment over the corpus
+    # (broadcast candidates; map-side-combined count)
+    scored = (spread(corpus)
+              .select(F.col(id_col), F.col(vec_col).alias("v"))
+              .crossJoin(F.broadcast(cand))
+              .select(id_col, "cand_id", l2_sq(F.col("v"), F.col("cv"))
+                      .alias("d")))
+    nearest = (scored.groupBy(id_col)
+               .agg(F.min(F.struct(F.col("d"), F.col("cand_id"))).alias("b"))
+               .select(F.col("b.cand_id").alias("cand_id")))
+    weights = {r["cand_id"]: r["w"] for r in
+               nearest.groupBy("cand_id").agg(F.count(F.lit(1)).alias("w"))
+               .collect()}
+    cands = [(r["cand_id"], list(r["cv"])) for r in cand.collect()]
+    # 3. greedy weighted k-means++ reduce on the bounded candidate set
+    def d2(a: list, b: list) -> float:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+    # heaviest candidate first (ties: smallest id)
+    first = max(cands, key=lambda c: (weights.get(c[0], 0), -c[0]))
+    chosen = [first]
+    chosen_ids = {first[0]}
+    while len(chosen) < n_clusters:
+        best, best_score = None, None
+        for cid, cv in cands:
+            if cid in chosen_ids:
+                continue
+            score = (weights.get(cid, 0) * min(d2(cv, c[1])
+                                               for c in chosen), -cid)
+            if best_score is None or score > best_score:
+                best, best_score = (cid, cv), score
+        chosen.append(best)
+        chosen_ids.add(best[0])
+    return spark.createDataFrame(
+        [(i, c[1]) for i, c in enumerate(chosen)],
+        "cell long, cent array<double>")
 
 
 def kmeans_lloyd(corpus: DataFrame, n_clusters: int = 8, n_iter: int = 1,

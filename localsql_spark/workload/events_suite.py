@@ -706,6 +706,72 @@ def rollup_incremental_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("avg_value"))
 
 
+@query("rollup_steady_state_hourly", oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS bucket_ts,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE), 6)
+         AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       round(CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+             / count(*), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+""")
+def rollup_steady_state_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEADY-STATE incremental rollup maintenance: the number a capacity
+    planner needs.  ``rollup_incremental_hourly`` (above) rebuilds its
+    store from scratch every call for oracle checkability, so its bench
+    time measures TWO full maintenance cycles plus teardown; this variant
+    builds the bulk-loaded base store ONCE per sf_dir (cached on disk,
+    reused across runs), then each call clones the base via a filesystem
+    copy and folds in only the ingest batch (hash-mod == 0, ~1/13 of
+    events) — so the timed work is one batch-sized aggregation + the
+    touched event_date partition swap + the rollup read, exactly the
+    per-batch cost of a long-lived continuous aggregate.  Same full-table
+    oracle: steady-state maintenance == full recompute."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from localsql_spark.operators import hash32
+    from localsql_spark.sinks.rollup import maintain_rollup, read_rollup
+
+    ev = load(spark, sf_dir)["events"]
+    m = F.pmod(hash32(F.col("event_id")), F.lit(13))
+    base = (Path(__file__).resolve().parent.parent.parent / ".cache"
+            / "rollup_steady_base" / Path(sf_dir.rstrip("/")).name)
+    if not (base / "_BASE_READY").exists():
+        shutil.rmtree(base, ignore_errors=True)
+        base.parent.mkdir(parents=True, exist_ok=True)
+        tmp = Path(tempfile.mkdtemp(prefix=f".{base.name}.build_",
+                                    dir=base.parent))
+        build = tmp / "store"  # must NOT pre-exist: maintain_rollup
+        # treats an existing dir as an existing store and tries to read it
+        maintain_rollup(spark, str(build), ev.filter(m >= 1), grain="hour")
+        (build / "_BASE_READY").touch()
+        try:
+            build.rename(base)
+        except OSError:  # lost the build race — another run committed
+            pass
+        shutil.rmtree(tmp, ignore_errors=True)
+    work = tempfile.mkdtemp(prefix="rollup_steady_")
+    shutil.rmtree(work)
+    shutil.copytree(base, work)
+    (Path(work) / "_BASE_READY").unlink()
+    maintain_rollup(spark, work, ev.filter(m == 0), grain="hour")
+    r = read_rollup(spark, str(work))
+    out = r.select(
+        "bucket_ts", F.col("key").alias("event_type"), "n_events",
+        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+        "min_value", "max_value",
+        F.round(F.col("sum_value").cast("double") / F.col("n_events"), 6)
+        .alias("avg_value")).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 # NOTE: the transformWithStateInPandas twin of streaming_stateful_user_stats
 # (streaming.stream_agg.stateful_user_stats_tws) is NOT registered as a
 # driver query: the TWS state channel hard-requires google.protobuf, absent

@@ -421,6 +421,32 @@ def knn_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
                      n_cells=16, n_probe=4)
 
 
+@query("knn_ivf_trained_top5")  # rows-only: trained centroids are not
+# reasonably SQL-expressible (kmeans|| candidate reduce + 2 Lloyd rounds);
+# determinism is pinned by unit test, recall lift vs the seeded path is
+# measured in ANN.md
+def knn_ivf_trained_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF kNN over TRAINED centroids: deterministic kmeans|| init
+    (operators.similarity.kmeans_parallel_init, Bahmani et al. VLDB 2012)
+    + two Lloyd update rounds, then the same cell-probe search as
+    knn_ivf_top5 (16 cells, 4 probes).  Trained cells are better balanced
+    than raw seed vectors, so recall at equal n_probe rises — the
+    production IVF path; the seeded twin stays registered for the exact
+    cross-engine oracle."""
+    from localsql_spark.operators.similarity import (kmeans_assign,
+                                                     kmeans_parallel_init,
+                                                     kmeans_update)
+
+    emb = load(spark, sf_dir)["embeddings"]
+    cents = kmeans_parallel_init(emb, n_clusters=16)
+    for _ in range(2):
+        assign = kmeans_assign(emb, cents)
+        cents = kmeans_update(emb, assign)
+    cents = spark.createDataFrame(cents.collect(), schema=cents.schema)
+    return S.knn_ivf(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                     n_cells=16, n_probe=4, centroids=cents)
+
+
 @query("embedding_near_dup", oracle=f"""
 WITH b AS (SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS INT) AS bucket FROM embeddings),
 q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b),
@@ -2508,6 +2534,100 @@ def scd2_customer_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist1 = scd2_apply(hist0, updates, ["c_custkey"], ["c_mktsegment"],
                        2_000_000)
     return scd2_as_of(hist1, 2_000_000)
+
+
+@query("scd2_store_history", oracle="""
+WITH cur0 AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
+u1 AS (
+  SELECT c_custkey AS k, 'MIGRATED' AS seg FROM customer
+  WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEW' FROM customer WHERE c_custkey % 50 = 0),
+closed1 AS (
+  SELECT c.k, c.seg, CAST(1000000 AS BIGINT) AS f, CAST(2000000 AS BIGINT) AS t
+  FROM cur0 c JOIN u1 u ON c.k = u.k AND u.seg IS DISTINCT FROM c.seg),
+open1 AS (
+  SELECT c.k, c.seg, CAST(1000000 AS BIGINT) AS f
+  FROM cur0 c LEFT JOIN u1 u ON c.k = u.k
+  WHERE u.k IS NULL OR u.seg IS NOT DISTINCT FROM c.seg
+  UNION ALL
+  SELECT u.k, u.seg, CAST(2000000 AS BIGINT)
+  FROM u1 u LEFT JOIN cur0 c ON c.k = u.k
+  WHERE c.k IS NULL OR u.seg IS DISTINCT FROM c.seg),
+u2 AS (
+  SELECT c_custkey AS k, 'RESEG' AS seg FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEW2' FROM customer WHERE c_custkey % 100 = 0),
+closed2 AS (
+  SELECT o.k, o.seg, o.f, CAST(3000000 AS BIGINT) AS t
+  FROM open1 o JOIN u2 u ON o.k = u.k AND u.seg IS DISTINCT FROM o.seg),
+open2 AS (
+  SELECT o.k, o.seg, o.f
+  FROM open1 o LEFT JOIN u2 u ON o.k = u.k
+  WHERE u.k IS NULL OR u.seg IS NOT DISTINCT FROM o.seg
+  UNION ALL
+  SELECT u.k, u.seg, CAST(3000000 AS BIGINT)
+  FROM u2 u LEFT JOIN open1 o ON o.k = u.k
+  WHERE o.k IS NULL OR u.seg IS DISTINCT FROM o.seg)
+SELECT k AS c_custkey, seg AS c_mktsegment, f AS valid_from_us,
+       t AS valid_to_us, false AS is_current FROM closed1
+UNION ALL
+SELECT k, seg, f, t, false FROM closed2
+UNION ALL
+SELECT k, seg, f, NULL, true FROM open2
+""")
+def scd2_store_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-batch PERSISTED SCD2 store (sinks.scd2_store — the production
+    shape of operators.scd2): init from `customer` at t0, two update
+    batches through the open/closed store (batch 1 re-segments %7 and
+    births %50 'NEW' keys; batch 2 re-segments %3 and re-updates the %100
+    'NEW' keys to 'NEW2'), then the compaction pass folds the committed
+    closed dirs, and read_history returns the full version chain.  Each
+    apply reads ONLY the dimension-sized open slice; closed history is
+    append-only; both slices commit atomically via staged renames.  The
+    oracle derives the same two-batch history set-theoretically, so the
+    driver row proves store writes + compaction == the in-memory chain
+    bit-for-bit."""
+    import shutil
+    import tempfile
+
+    from localsql_spark.sinks.scd2_store import (apply_batch,
+                                                 compact_scd2_store,
+                                                 init_store, read_history)
+
+    t = load(spark, sf_dir)
+    cust = t["customer"]
+    key = F.col("c_custkey")
+    u1 = (cust.filter(key % 7 == 0)
+          .withColumn("c_mktsegment", F.lit("MIGRATED"))
+          .unionByName(cust.filter(key % 50 == 0)
+                       .withColumn("c_custkey", key + 1000000)
+                       .withColumn("c_mktsegment", F.lit("NEW")))
+          .select("c_custkey", "c_mktsegment"))
+    u2 = (cust.filter(key % 3 == 0)
+          .withColumn("c_mktsegment", F.lit("RESEG"))
+          .unionByName(cust.filter(key % 100 == 0)
+                       .withColumn("c_custkey", key + 1000000)
+                       .withColumn("c_mktsegment", F.lit("NEW2")))
+          .select("c_custkey", "c_mktsegment"))
+    store = tempfile.mkdtemp(prefix="scd2_store_")
+    try:
+        dim = cust.select("c_custkey", "c_mktsegment")
+        init_store(dim, store, ["c_custkey"], ["c_mktsegment"], 1_000_000)
+        apply_batch(spark, store, u1, ["c_custkey"], ["c_mktsegment"],
+                    2_000_000, batch_id=1)
+        apply_batch(spark, store, u2, ["c_custkey"], ["c_mktsegment"],
+                    3_000_000, batch_id=2)
+        compact_scd2_store(spark, store)
+        h = read_history(spark, store)
+        out = h.select(
+            "c_custkey", "c_mktsegment", "valid_from_us", "valid_to_us",
+            F.col("valid_to_us").isNull().alias("is_current"))
+        # materialize before the store dir is removed (localCheckpoint
+        # keeps the result independent of the temp files)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
 
 
 @query("histogram_equidepth_values", oracle="""

@@ -1363,3 +1363,49 @@ def test_pagerank_salted_matches_plain_to_float_noise(spark):
     assert plain.keys() == salted.keys()
     for k in plain:
         assert abs(plain[k] - salted[k]) < 1e-12
+
+
+def test_kmeans_parallel_init_deterministic_and_bounded(spark):
+    """kmeans|| init returns exactly k dense-numbered centroids, is
+    deterministic across invocations, and raises on a corpus smaller
+    than k."""
+    import pytest
+
+    from localsql_spark.operators.similarity import kmeans_parallel_init
+
+    rows = [(i + 1000, [float((i * 7 + d) % 13) for d in range(8)])
+            for i in range(40)]  # ids NOT starting at 0 — rank seeding
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    c1 = sorted((r["cell"], tuple(r["cent"])) for r in
+                kmeans_parallel_init(df, n_clusters=4).collect())
+    c2 = sorted((r["cell"], tuple(r["cent"])) for r in
+                kmeans_parallel_init(df, n_clusters=4).collect())
+    assert c1 == c2
+    assert [c for c, _ in c1] == [0, 1, 2, 3]
+    with pytest.raises(ValueError, match="needs >="):
+        kmeans_parallel_init(df.limit(2), n_clusters=4)
+
+
+def test_knn_ivf_trained_centroids_same_contract(spark):
+    """knn_ivf with trained centroids keeps the output contract (k rows
+    per query, ranked by cosine desc) and full-probe equals brute force."""
+    import random
+
+    from localsql_spark.operators.similarity import (kmeans_assign,
+                                                     kmeans_parallel_init,
+                                                     kmeans_update,
+                                                     knn_brute_force, knn_ivf)
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 3")
+    cents = kmeans_parallel_init(df, n_clusters=4)
+    assign = kmeans_assign(df, cents)
+    cents = kmeans_update(df, assign)
+    cents = spark.createDataFrame(cents.collect(), schema=cents.schema)
+    got = knn_ivf(df, q, k=5, n_cells=4, n_probe=4, centroids=cents)
+    exact = {(r.query_id, r.neighbor_id, r.cos_sim)
+             for r in knn_brute_force(df, q, k=5).collect()}
+    assert {(r.query_id, r.neighbor_id, r.cos_sim)
+            for r in got.collect()} == exact

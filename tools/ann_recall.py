@@ -70,6 +70,31 @@ def main() -> None:
         print(f"# knn n_probe={n_probe}: recall@{K}={recall:.3f} "
               f"{best:.2f}s", file=sys.stderr)
 
+    # -- 1a2. TRAINED centroids (kmeans|| init + 2 Lloyd rounds) vs seeded
+    t0 = time.perf_counter()
+    cents = S.kmeans_parallel_init(emb, n_clusters=N_CELLS)
+    for _ in range(2):
+        assign = S.kmeans_assign(emb, cents)
+        cents = S.kmeans_update(emb, assign)
+    cents = spark.createDataFrame(cents.collect(), schema=cents.schema)
+    train_sec = time.perf_counter() - t0
+    trained_rows = []
+    for n_probe in (1, 2, 4, 8):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            got = {}
+            for r in S.knn_ivf(emb, queries, k=K, n_cells=N_CELLS,
+                               n_probe=n_probe, centroids=cents).collect():
+                got.setdefault(r.query_id, set()).add(r.neighbor_id)
+            best = min(best, time.perf_counter() - t0)
+            cleanup()
+        recall = sum(len(got.get(q, set()) & t) / len(t)
+                     for q, t in truth.items()) / len(truth)
+        trained_rows.append((n_probe, recall, best))
+        print(f"# knn TRAINED n_probe={n_probe}: recall@{K}={recall:.3f} "
+              f"{best:.2f}s", file=sys.stderr)
+
     # -- 1b. persisted-index amortization: inline build+search vs probe ----
     import tempfile
 
@@ -203,6 +228,25 @@ def main() -> None:
         f"~linearly in n_probe; pick the knee for the workload.  At 100 TB "
         f"the same plan holds with trained centroids and a persisted "
         f"index — n_probe stays the per-query cost knob.",
+        "",
+        f"## Trained centroids (deterministic kmeans|| init + 2 Lloyd "
+        f"rounds; train {train_sec:.2f}s once) vs seeded, same plan",
+        "",
+        "| n_probe | seeded recall@5 | trained recall@5 | trained wall (s) |",
+        "|---|---|---|---|",
+    ] + [
+        f"| {np_} | {dict((a, b) for a, b, _ in knn_rows).get(np_, 0):.3f} "
+        f"| {recall:.3f} | {sec:.2f} |"
+        for np_, recall, sec in trained_rows
+    ] + [
+        "",
+        "Lloyd-trained cells are balanced where raw seed vectors are "
+        "arbitrary, so at equal n_probe the probe set covers more of each "
+        "query's true neighborhood.  Training is a one-time cost (two "
+        "broadcast-assign passes + bounded candidate reduce on the "
+        "driver); the search plan is bit-identical to the seeded path.  "
+        "Uniform-random embeddings (this testdata) are the WEAKEST case "
+        "for trained centroids — real clustered corpora gain far more.",
         "",
         f"## Persisted IVF index amortization (n_probe=4)",
         "",
