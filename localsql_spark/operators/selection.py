@@ -247,3 +247,52 @@ def gopher_quality_flags(docs: DataFrame, doc_id_col: str = "doc_id",
         F.col("rule_word_count") & F.col("rule_mean_word_len")
         & F.col("rule_symbol_ratio") & F.col("rule_alpha_words")
         & F.col("rule_stopwords"))
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing
+# ---------------------------------------------------------------------------
+
+def perplexity_buckets(docs: DataFrame, doc_id_col: str = "doc_id",
+                       text_col: str = "text",
+                       labels: tuple[str, ...] = ("head", "middle", "tail"),
+                       k: int = 1024) -> DataFrame:
+    """CCNet-style corpus partition by statistical-LM perplexity (Wenzek
+    et al., "CCNet", arXiv:1911.00359 — public method): score every
+    document with the corpus unigram LM (operators.corpus.unigram_logprob,
+    the cheap stand-in for CCNet's KenLM), convert to a perplexity proxy
+    (``ppl = -avg_logprob``, higher = less fluent), cut the distribution
+    into ``len(labels)`` equi-depth buckets, and label each document
+    head / middle / tail — the partition CCNet publishes its corpus in,
+    and the knob downstream mixing uses (head-heavy sampling for quality,
+    tail kept for diversity audits).
+
+    Scale shape: scoring is the two bounded word-key shuffles of
+    unigram_logprob; the bucket edges come from the portable bottom-k
+    hash-rank quantile sketch (operators.sketches) — a BOUNDED sample
+    folded to one broadcast array row — so assignment is row-local on the
+    scored stream and nothing materializes beyond the k-row sketch.
+    Values equal to an edge land in the lower bucket (strict ``v > e``),
+    deterministic on both engines.
+
+    Output: ``(doc_id, ppl, bucket, ccnet_bucket)``.
+    """
+    from localsql_spark.operators.corpus import unigram_logprob
+    from localsql_spark.operators.sketches import (quantile_estimates,
+                                                   quantile_sketch)
+
+    n_buckets = len(labels)
+    scored = (unigram_logprob(docs, doc_id_col, text_col)
+              .select(doc_id_col, (-F.col("avg_logprob")).alias("ppl")))
+    sketch = quantile_sketch(scored, "ppl", doc_id_col, k)
+    qs = tuple(i / n_buckets for i in range(1, n_buckets))
+    edges = (quantile_estimates(sketch, qs=qs)
+             .agg(F.sort_array(F.collect_list("estimate")).alias("edges")))
+    bucket = F.aggregate(
+        "edges", F.lit(0),
+        lambda acc, e: acc + F.when(F.col("ppl") > e, 1).otherwise(0))
+    label_arr = F.array(*[F.lit(x) for x in labels])
+    return (scored.crossJoin(F.broadcast(edges))
+            .select(doc_id_col, "ppl", bucket.alias("bucket"))
+            .withColumn("ccnet_bucket",
+                        F.element_at(label_arr, F.col("bucket") + 1)))

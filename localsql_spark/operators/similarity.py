@@ -950,3 +950,84 @@ def knn_pq_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
                                                "neighbor_id")
     return re.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space outlier flagging
+# ---------------------------------------------------------------------------
+
+def embedding_outliers(corpus: DataFrame, n_clusters: int = 8,
+                       n_iter: int = 1, z_threshold: float = 2.0,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Flag embedding-space outliers: vectors whose distance to their own
+    cluster centroid z-scores above ``z_threshold`` within the cluster —
+    the cheap embedding-quality gate (mis-embedded rows, corrupt inputs,
+    and off-manifold content sit far from every centroid; per-cluster
+    normalization keeps dense and sparse regions comparable).
+
+    Composition of verified primitives: kmeans_lloyd assignment (one
+    Lloyd round from deterministic seeds), then per-cluster mean/stddev
+    of the assignment distance via the decimal-sum discipline (mean and
+    second moment as exact DECIMAL sums, one double division each) so
+    aggregation order can't perturb the stats; z = (dist - mu) / sigma,
+    outlier = z > threshold (FALSE, not null, for singleton/zero-variance
+    clusters).
+
+    Scale shape: the assignment is the broadcast-centroid pass of
+    kmeans_lloyd; the stats table is n_clusters rows (broadcast back);
+    everything else is row-local.  Output: (vec_id, cluster_id, dist, z,
+    is_outlier).
+    """
+    asg = (kmeans_lloyd(corpus, n_clusters, n_iter, id_col, vec_col)
+           .localCheckpoint(eager=False))
+
+    def dec_mean(c: Column) -> Column:
+        return (F.sum(F.round(c, 12).cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)))
+
+    st = (asg.groupBy("cluster_id")
+          .agg(dec_mean(F.col("dist")).alias("mu"),
+               dec_mean(F.col("dist") * F.col("dist")).alias("m2")))
+    std = F.sqrt(F.greatest(F.col("m2") - F.col("mu") * F.col("mu"),
+                            F.lit(0.0)))
+    zraw = F.when(std > 0, (F.col("dist") - F.col("mu")) / std)
+    return (asg.join(F.broadcast(st), "cluster_id")
+            .select(id_col, "cluster_id", "dist",
+                    F.round(zraw, 6).alias("z"),
+                    F.coalesce(zraw > z_threshold, F.lit(False))
+                    .alias("is_outlier")))
+
+
+def near_dup_threshold_sweep(corpus: DataFrame, bits: int = 8,
+                             band_width: float = 0.05,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Near-dup threshold calibration curve: every LSH-blocked candidate
+    pair's cosine, banded into ``band_width``-wide bins, with the
+    cumulative pair count at-or-above each band — the table an operator
+    reads to PICK the dedup threshold (the cliff between the near-dup
+    mass and the background distribution) instead of guessing 0.9.
+
+    Scale shape: identical candidate generation to
+    embedding_near_dup_pairs (sign-bucket blocking — never all-pairs);
+    the banding is row-local, the per-band groupBy is bounded at
+    2/band_width rows, and the cumulative window runs on that bounded
+    table only.  Output: (band_lo, n_pairs, cum_pairs) sorted by band
+    descending.
+    """
+    from pyspark.sql.window import Window
+
+    pairs = embedding_near_dup_pairs(corpus, threshold=-1.0,
+                                     id_col=id_col, vec_col=vec_col,
+                                     bits=bits)
+    band = F.floor(F.col("cos_sim") / F.lit(band_width))
+    per = (pairs.groupBy(band.alias("band"))
+           .agg(F.count(F.lit(1)).alias("n_pairs")))
+    w = (Window.orderBy(F.col("band").desc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (per.select(
+        F.round(F.col("band") * band_width, 6).alias("band_lo"),
+        "n_pairs",
+        F.sum("n_pairs").over(w).alias("cum_pairs"))
+        .orderBy(F.col("band_lo").desc()))

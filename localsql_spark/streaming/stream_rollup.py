@@ -1,0 +1,103 @@
+"""Streaming continuous aggregate: micro-batches land in idempotent
+per-batch directories, then fold incrementally into the persisted rollup
+store (sinks.rollup) — the streaming front end of the continuous-aggregate
+family (rollup_incremental_hourly / rollup_steady_state_hourly).
+
+The reference has no streaming surface (reference: localsql/localsql.py:31);
+scale extension.
+
+Two-stage design, deliberately: the rollup store is a MERGE (re-applying a
+batch double-counts), so exactly-once cannot ride the per-batch-overwrite
+contract the append-style sinks use.  Instead:
+
+1. **Landing** (inside the stream): ``foreachBatch`` writes each
+   micro-batch to ``land_dir/batch_<id>`` with overwrite semantics — a
+   checkpoint redelivery rewrites the same directory byte-for-byte, so the
+   landed set is effectively-exactly-once, same contract as
+   stream_dedup_ingest.
+2. **Folding** (after the drain, or on any cadence): each landed batch not
+   yet marked applied folds into the rollup via ``maintain_rollup``
+   (manifest-committed touched-partition swap), then an ``applied_<id>``
+   marker commits via tmp+rename.  A crash between the partition swap and
+   the marker rename would re-fold that one batch on recovery — the same
+   single-rename-wide exposure documented for the merge sink itself
+   (sinks/merge.py:30); an operator who needs exactness after such a
+   crash rebuilds the store from the landed dirs (they are the durable
+   exactly-once record — delete the rollup dir + markers and re-fold).
+
+At 100 TB: landing is append-only sequential parquet writes; each fold
+aggregates ONE batch and rewrites only its touched event_date partitions,
+so maintenance cost tracks ingest rate, not accumulated history.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from localsql_spark.sinks.rollup import maintain_rollup
+
+
+def stream_land_batches(spark: SparkSession, *, source_dir: str, schema,
+                        land_dir: str, checkpoint_dir: str,
+                        max_files_per_trigger: int = 1) -> None:
+    """Drain a file stream into idempotent per-batch landing dirs
+    (availableNow trigger: process the backlog in order, then stop)."""
+    Path(land_dir).mkdir(parents=True, exist_ok=True)
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.write.mode("overwrite")
+         .parquet(str(Path(land_dir) / f"batch_{batch_id}")))
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", max_files_per_trigger)
+         .parquet(source_dir)
+         .writeStream.foreachBatch(land)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+def _applied_marker(rollup_dir: str, batch_id: int) -> Path:
+    return Path(rollup_dir).parent / f".{Path(rollup_dir).name}.applied_{batch_id}"
+
+
+def fold_landed(spark: SparkSession, land_dir: str, rollup_dir: str,
+                grain: str = "hour") -> int:
+    """Fold every landed batch not yet marked applied into the rollup, in
+    batch-id order.  Returns how many batches were folded this call.
+    Re-invocation after completion is a no-op (markers); re-invocation
+    after a crash resumes from the first unmarked batch."""
+    n = 0
+    for b in sorted(Path(land_dir).glob("batch_*"),
+                    key=lambda p: int(p.name.split("_")[1])):
+        bid = int(b.name.split("_")[1])
+        marker = _applied_marker(rollup_dir, bid)
+        if marker.exists():
+            continue
+        if not (b / "_SUCCESS").exists():
+            continue  # partial landing (stream will rewrite it)
+        maintain_rollup(spark, rollup_dir, spark.read.parquet(str(b)),
+                        grain=grain)
+        tmp = marker.with_suffix(".tmp")
+        tmp.write_text("applied")
+        os.rename(tmp, marker)  # commit point for this batch's fold
+        n += 1
+    return n
+
+
+def stream_rollup(spark: SparkSession, *, source_dir: str, schema,
+                  land_dir: str, rollup_dir: str, checkpoint_dir: str,
+                  grain: str = "hour",
+                  max_files_per_trigger: int = 1) -> int:
+    """Land + fold in one call: the periodic-maintenance entry point.
+    Returns the number of batches folded."""
+    stream_land_batches(spark, source_dir=source_dir, schema=schema,
+                        land_dir=land_dir, checkpoint_dir=checkpoint_dir,
+                        max_files_per_trigger=max_files_per_trigger)
+    return fold_landed(spark, land_dir, rollup_dir, grain=grain)

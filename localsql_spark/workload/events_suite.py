@@ -772,6 +772,82 @@ def rollup_steady_state_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query("streaming_rollup_hourly", oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS bucket_ts,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE), 6)
+         AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       round(CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+             / count(*), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+""")
+def streaming_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming continuous aggregate, driver-gated end-to-end
+    (streaming.stream_rollup): events arrive as three micro-batches
+    (hash-mod split, mtime-ordered, maxFilesPerTrigger=1); each lands in
+    an idempotent per-batch dir (exactly-once landing), then folds
+    incrementally into the persisted rollup store — one batch-sized
+    aggregation + touched event_date partition swap per fold, marker-
+    committed.  Algebraic aggregates are batching-independent, so the
+    whole-table batch SQL is an EXACT oracle for the streamed store:
+    streaming ingest == full recompute, the invariance a continuous
+    aggregate must prove."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from localsql_spark.catalog import _CACHE_DIR
+    from localsql_spark.operators import hash32
+    from localsql_spark.sinks.rollup import read_rollup
+    from localsql_spark.streaming.stream_rollup import stream_rollup
+
+    ev = load(spark, sf_dir)["events"]
+    src_dir = (_CACHE_DIR.parent / "stream_rollup_src"
+               / Path(sf_dir.rstrip("/")).name)
+    if not src_dir.exists():
+        src_dir.parent.mkdir(parents=True, exist_ok=True)
+        build = Path(tempfile.mkdtemp(prefix=f".{src_dir.name}.build_",
+                                      dir=src_dir.parent))
+        names = ("a_batch0.parquet", "b_batch1.parquet", "c_batch2.parquet")
+        for i, name in enumerate(names):
+            tmp = tempfile.mkdtemp(prefix="rsplit_")
+            (ev.filter(hash32(F.col("event_id")) % 3 == i).coalesce(1)
+             .write.mode("overwrite").parquet(tmp))
+            part = next(Path(tmp).glob("part-*.parquet"))
+            shutil.move(str(part), build / name)
+            shutil.rmtree(tmp, ignore_errors=True)
+        t0 = (build / names[0]).stat().st_mtime
+        for i, name in enumerate(names):
+            os.utime(build / name, (t0 + 100 * i, t0 + 100 * i))
+        try:
+            os.rename(build, src_dir)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+
+    schema = spark.read.parquet(str(src_dir / "a_batch0.parquet")).schema
+    scratch = Path(tempfile.mkdtemp(prefix="stream_rollup_"))
+    land = scratch / "land"
+    rollup = scratch / "rollup"
+    ck = scratch / "ck"
+    stream_rollup(spark, source_dir=str(src_dir), schema=schema,
+                  land_dir=str(land), rollup_dir=str(rollup),
+                  checkpoint_dir=str(ck), grain="hour")
+    r = read_rollup(spark, str(rollup))
+    out = r.select(
+        "bucket_ts", F.col("key").alias("event_type"), "n_events",
+        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+        "min_value", "max_value",
+        F.round(F.col("sum_value").cast("double") / F.col("n_events"), 6)
+        .alias("avg_value")).localCheckpoint(eager=True)
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out
+
+
 # NOTE: the transformWithStateInPandas twin of streaming_stateful_user_stats
 # (streaming.stream_agg.stateful_user_stats_tws) is NOT registered as a
 # driver query: the TWS state channel hard-requires google.protobuf, absent

@@ -476,6 +476,49 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_pairs(emb, threshold=0.9)
 
 
+@query("near_dup_threshold_sweep", oracle=f"""
+WITH b AS (SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS INT) AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b),
+c0 AS (SELECT b2.vec_id AS neighbor_id, b2.embedding AS cv, q.query_id AS qid
+       FROM b b2 JOIN q ON b2.bucket = q.bucket AND q.query_id < b2.vec_id),
+qe AS (SELECT query_id, generate_subscripts(qv, 1) AS p, unnest(qv) AS x FROM q),
+ce AS (SELECT qid, neighbor_id, generate_subscripts(cv, 1) AS p, unnest(cv) AS y FROM c0),
+dots AS (SELECT qid AS vec_a, neighbor_id AS vec_b,
+                CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 12)
+                              AS DECIMAL(38,12))) AS DOUBLE) AS dotp
+         FROM ce JOIN qe ON ce.p = qe.p AND qe.query_id = ce.qid
+         GROUP BY 1, 2),
+norms AS (SELECT vec_id,
+                 sqrt(CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 12)
+                               AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+          FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) ne
+          GROUP BY vec_id),
+cs AS (SELECT round(dotp / (na.nrm * nb.nrm), 9) AS cos_sim
+       FROM dots JOIN norms na ON na.vec_id = vec_a
+                 JOIN norms nb ON nb.vec_id = vec_b),
+per AS (SELECT floor(cos_sim / 0.05) AS band, count(*) AS n_pairs FROM cs
+        GROUP BY 1)
+SELECT round(band * 0.05, 6) AS band_lo, n_pairs,
+       CAST(sum(n_pairs) OVER (ORDER BY band DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum_pairs
+FROM per
+ORDER BY band_lo DESC
+""")
+def near_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold calibration (operators.similarity.
+    near_dup_threshold_sweep): the cosine distribution of every
+    LSH-blocked candidate pair, banded at 0.05 with cumulative
+    pairs-at-or-above — the curve an operator reads to PICK the near-dup
+    threshold (the cliff between duplicate mass and background) instead
+    of guessing.  Candidate generation is identical to
+    embedding_near_dup (blocked, never all-pairs); the banding groupBy
+    is bounded at 2/width rows, so the calibration costs one candidate
+    pass at any corpus size."""
+    emb = load(spark, sf_dir)["embeddings"]
+    return S.near_dup_threshold_sweep(emb, band_width=0.05)
+
+
 # Shared CTE chain for the corpus-cleaning pipeline: quality gate ->
 # exact-dedup keep list -> LSH near-dup drop list.  Used by BOTH the
 # clean-corpus result oracle and the per-document decision-audit oracle.
@@ -1313,6 +1356,39 @@ SELECT vec_id, cell AS cluster_id, round(dist, 9) AS dist FROM (
          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
   FROM d1) r WHERE rn = 1
 """
+
+
+_OUTLIER_ORACLE = f"""
+WITH asg AS ({_KMEANS_ORACLE}),
+st AS (SELECT cluster_id,
+              CAST(SUM(CAST(round(dist, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                / COUNT(*) AS mu,
+              CAST(SUM(CAST(round(dist * dist, 12) AS DECIMAL(38,12)))
+                   AS DOUBLE) / COUNT(*) AS m2
+       FROM asg GROUP BY 1)
+SELECT vec_id, cluster_id, dist,
+       round(CASE WHEN sqrt(greatest(m2 - mu * mu, 0.0)) > 0
+                  THEN (dist - mu) / sqrt(greatest(m2 - mu * mu, 0.0))
+             END, 6) AS z,
+       coalesce(CASE WHEN sqrt(greatest(m2 - mu * mu, 0.0)) > 0
+                     THEN (dist - mu) / sqrt(greatest(m2 - mu * mu, 0.0))
+                END > 2.0, false) AS is_outlier
+FROM asg JOIN st USING (cluster_id)
+"""
+
+
+@query("embedding_outliers_z2", oracle=_OUTLIER_ORACLE)
+def embedding_outliers_z2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier gate (operators.similarity.
+    embedding_outliers): per-cluster z-score of each vector's distance to
+    its own centroid (one Lloyd round from deterministic seeds), flagging
+    z > 2 — the cheap screen for mis-embedded/corrupt/off-manifold rows
+    before they pollute dedup or mixing decisions.  The stats layer uses
+    the decimal-sum discipline, so the oracle replays assignment, update,
+    re-assignment AND the moment computation bit-for-bit."""
+    emb = load(spark, sf_dir)["embeddings"]
+    return S.embedding_outliers(emb, n_clusters=8, n_iter=1,
+                                z_threshold=2.0)
 
 
 @query("embedding_kmeans_clusters", oracle=_KMEANS_ORACLE)

@@ -183,3 +183,55 @@ def export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(scratch, ignore_errors=True)
     write_training_shards(docs, scratch, n_shards=16, seed=0)
     return shard_manifest(read_training_shards(spark, str(scratch)))
+
+
+@query("ccnet_perplexity_buckets", oracle=r"""
+WITH norm AS (SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM documents),
+tok AS (SELECT doc_id,
+               list_filter(string_split(t, ' '), w -> w <> '') AS toks
+        FROM norm),
+w AS (SELECT doc_id, word FROM tok, UNNEST(toks) u(word) WHERE word <> ''),
+freq AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS total FROM freq),
+lp AS (SELECT word,
+              CAST(round(log10(CAST(cnt AS DOUBLE) / total), 9)
+                   AS DECIMAL(28,9)) AS lp
+       FROM freq, tot),
+scored AS (SELECT doc_id,
+                  -round(CAST(SUM(lp) AS DOUBLE) / count(*), 6) AS ppl
+           FROM w JOIN lp USING (word) GROUP BY doc_id),
+s AS (SELECT ppl AS v,
+             CAST('0x' || substr(md5('qsk:' || CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) AS rk
+      FROM scored WHERE ppl IS NOT NULL
+      ORDER BY rk, v LIMIT 1024),
+r AS (SELECT v, row_number() OVER (ORDER BY v, rk) AS rn,
+             count(*) OVER () AS n
+      FROM s),
+qs AS (SELECT i / 3.0 AS q FROM UNNEST(range(1, 3)) t(i)),
+ed AS (SELECT v AS e FROM r JOIN qs
+       ON rn = CAST(floor(q * (n - 1)) AS BIGINT) + 1),
+bk AS (SELECT doc_id, ppl,
+              (SELECT count(*) FROM ed WHERE scored.ppl > ed.e) AS bucket
+       FROM scored)
+SELECT doc_id, ppl, CAST(bucket AS INT) AS bucket,
+       CASE bucket WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                   ELSE 'tail' END AS ccnet_bucket
+FROM bk
+""")
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus partition (operators.selection.
+    perplexity_buckets, Wenzek et al. arXiv:1911.00359): every document
+    scored by corpus-unigram perplexity (the cheap stand-in for CCNet's
+    KenLM), tercile edges from the portable bottom-k quantile sketch, and
+    a row-local bucket assignment — the quality partition CCNet publishes
+    its corpus in and the knob downstream mixing turns.  The oracle
+    replays the LM, the sketch sample, the edge selection, and the
+    strict-greater bucket rule bit-for-bit."""
+    from localsql_spark.operators.selection import perplexity_buckets
+
+    docs = load(spark, sf_dir)["documents"]
+    return (perplexity_buckets(docs)
+            .withColumn("bucket", F.col("bucket").cast("int")))

@@ -213,3 +213,46 @@ def test_scd2_store_ignores_uncommitted_closed_dir(spark, tmp_path):
     (p / "open" / "batch_3").mkdir(parents=True)
     (p / "open" / "batch_3" / "part-00000.parquet").write_bytes(b"junk")
     assert _hist_rows(read_history(spark, store)) == before
+
+
+# ---------------------------------------------------------------------------
+# streaming rollup (streaming/stream_rollup.py)
+# ---------------------------------------------------------------------------
+
+def test_stream_rollup_fold_is_marker_idempotent(spark, tmp_path):
+    """fold_landed applies each landed batch exactly once (markers), a
+    re-invocation is a no-op, a partial landing (no _SUCCESS) is skipped
+    until the stream rewrites it, and the folded store equals the
+    all-at-once rollup."""
+    from localsql_spark.sinks.rollup import read_rollup, rollup_events
+    from localsql_spark.streaming.stream_rollup import fold_landed
+
+    rows = [(i, f"2024-03-0{1 + i % 2} 0{i % 3}:10:00", i % 5, "view",
+             float(i)) for i in range(60)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string,"
+              " value double").withColumn(
+        "ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    land = tmp_path / "land"
+    for bid, pred in ((0, "event_id % 3 = 0"), (1, "event_id % 3 = 1"),
+                      (2, "event_id % 3 = 2")):
+        ev.filter(pred).write.parquet(str(land / f"batch_{bid}"))
+    rollup = str(tmp_path / "rollup")
+
+    assert fold_landed(spark, str(land), rollup) == 3
+    assert fold_landed(spark, str(land), rollup) == 0  # markers: no-op
+
+    got = {(r["bucket_ts"], r["key"]): (r["n_events"], float(r["sum_value"]))
+           for r in read_rollup(spark, rollup).collect()}
+    want = {(r["bucket_ts"], r["key"]): (r["n_events"], float(r["sum_value"]))
+            for r in rollup_events(ev, grain="hour").collect()}
+    assert got == want
+
+    # partial landing: batch_3 without _SUCCESS is skipped, then folds
+    # after the marker file appears
+    b3 = land / "batch_3"
+    ev.filter("event_id % 7 = 0").write.parquet(str(b3))
+    (b3 / "_SUCCESS").unlink()
+    assert fold_landed(spark, str(land), rollup) == 0
+    (b3 / "_SUCCESS").touch()
+    assert fold_landed(spark, str(land), rollup) == 1
