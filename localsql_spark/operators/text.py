@@ -271,3 +271,68 @@ def dup_ngram_fraction(text: Column, n: int = 2) -> Column:
                    (total - F.size(F.array_distinct(grams))).cast("double")
                    / total)
             .otherwise(F.lit(0.0)))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003)
+# ---------------------------------------------------------------------------
+
+def winnowing_fingerprints(docs, k: int = 8, w: int = 4,
+                           doc_id_col: str = "doc_id",
+                           text_col: str = "text"):
+    """Winnowing fingerprint selection (Schleimer et al., "Winnowing:
+    Local Algorithms for Document Fingerprinting", SIGMOD 2003 — public
+    algorithm, the MOSS core): hash every character ``k``-gram of the
+    normalized text, slide a ``w``-gram window, keep each window's
+    minimum hash — any shared substring of length >= w + k - 1 between
+    two documents is GUARANTEED to share a selected fingerprint, at
+    ~2/(w+1) the density of keeping every gram.  Ties take the leftmost
+    minimum (deterministic; the paper's rightmost-rule density
+    optimization is an implementation choice, not part of the guarantee).
+
+    Relational formulation, deliberately NOT a nested array fold: grams
+    explode to (doc, i, h) rows — each k-gram hashed exactly once — and
+    the per-window minimum is one sliding-frame ``min(struct(h, i))``
+    window function (``ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING``
+    ordered by position), which runs in the JVM's codegen'd Window
+    operator.  The first cut used ``transform(windows, ws ->
+    array_min(slice(grams, ws, w)))``; Catalyst's interpreted
+    higher-order path re-evaluates the lambda-INVARIANT gram array per
+    window (no cross-iteration subexpression cache), turning O(ng*w)
+    into O(ng^2) md5 folds — measured 300+ core-seconds for 500 docs vs
+    ~2s relational.  One doc-key shuffle total (the window's partition;
+    the final per-doc aggregate reuses the same partitioning).
+
+    Output one row per doc with >= 1 gram: ``(doc_id, n_grams, n_fps,
+    fp_checksum)`` where fp_checksum is the order-insensitive DECIMAL
+    sum of the distinct selected (hash, position) pairs — the
+    content-verification form the shard manifest uses, so the oracle
+    checks the exact selected set, not just its size.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from localsql_spark.operators import hash32, spread
+
+    t = normalize_text(F.col(text_col))
+    ng = F.length(t) - k + 1
+    wmin = (Window.partitionBy(doc_id_col).orderBy("i")
+            .rowsBetween(Window.currentRow, w - 1))
+    gh = (spread(docs).filter(ng >= 1)
+          .select(doc_id_col, ng.alias("ng"),
+                  F.posexplode(
+                      F.transform(F.sequence(F.lit(1), ng),
+                                  lambda i: hash32(F.substring(t, i, k))))
+                  .alias("i", "h")))
+    sel = (gh.withColumn(
+        "fp", F.min(F.struct(F.col("h"), F.col("i"))).over(wmin))
+        .filter(F.col("i") <= F.greatest(F.col("ng") - w, F.lit(0)))
+        .select(doc_id_col, "ng", F.col("fp.h").alias("h"),
+                F.col("fp.i").alias("i"))
+        .distinct())
+    return (sel.groupBy(doc_id_col)
+            .agg(F.max("ng").cast("bigint").alias("n_grams"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_fps"),
+                 F.sum((F.col("h") * 100000 + F.col("i"))
+                       .cast("decimal(38,0)"))
+                 .cast("decimal(38,0)").cast("string").alias("fp_checksum")))

@@ -461,3 +461,46 @@ def bpe_pair_stats_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word", "cnt", _apply_merge(F.col("syms"), a, b).alias("syms"))
     return (bpe_pair_counts(syms2).select("pair", "n")
             .orderBy(F.col("n").desc(), F.col("pair")).limit(40))
+
+
+@query("winnowing_fingerprints", oracle=r"""
+WITH norm AS (SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM documents),
+nm AS (SELECT doc_id, t, length(t) - 8 + 1 AS ng
+       FROM norm WHERE length(t) - 8 + 1 >= 1),
+g AS (SELECT doc_id, i,
+             CAST('0x' || substr(md5(substr(t, CAST(i AS INT) + 1, 8)), 1, 8)
+                  AS BIGINT) AS h
+      FROM nm, UNNEST(range(ng)) u(i)),
+wins AS (SELECT doc_id, ws
+         FROM nm, UNNEST(range(greatest(ng - 4 + 1, 1))) u(ws)),
+sel AS (SELECT doc_id, h, i FROM (
+          SELECT w.doc_id, w.ws, g.h, g.i,
+                 ROW_NUMBER() OVER (PARTITION BY w.doc_id, w.ws
+                                    ORDER BY g.h, g.i) AS rn
+          FROM wins w JOIN g ON g.doc_id = w.doc_id
+                            AND g.i >= w.ws AND g.i <= w.ws + 3) s
+        WHERE rn = 1),
+fp AS (SELECT DISTINCT doc_id, h, i FROM sel)
+SELECT nm.doc_id, CAST(nm.ng AS BIGINT) AS n_grams,
+       count(*) AS n_fps,
+       CAST(sum(CAST(h * 100000 + i AS DECIMAL(38,0))) AS VARCHAR)
+         AS fp_checksum
+FROM fp JOIN nm USING (doc_id)
+GROUP BY nm.doc_id, nm.ng
+""")
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (operators.text.
+    winnowing_fingerprints, Schleimer et al. SIGMOD 2003 — the MOSS
+    core): k=8 character-gram hashes, w=4 window minima, leftmost
+    tie-break — any shared substring >= 11 chars between documents is
+    guaranteed to share a selected fingerprint at ~2/(w+1) gram density.
+    Row-local array folds, zero shuffles before the per-doc projection;
+    the checksum is the order-insensitive DECIMAL sum of the selected
+    (hash, position) set, so the oracle verifies the exact selection,
+    not just its count."""
+    from localsql_spark.operators.text import winnowing_fingerprints as wfp
+
+    docs = load(spark, sf_dir)["documents"]
+    return wfp(docs, k=8, w=4)

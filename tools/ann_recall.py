@@ -95,6 +95,51 @@ def main() -> None:
         print(f"# knn TRAINED n_probe={n_probe}: recall@{K}={recall:.3f} "
               f"{best:.2f}s", file=sys.stderr)
 
+    # -- 1a3. planted-cluster corpus: where training matters ---------------
+    # 16 well-separated prototypes + deterministic hash noise; seeds
+    # (vec_id < 16) all fall in ONE cluster by construction — the
+    # pathological seed draw training exists to fix.
+    dim, per_c, n_c = 32, 250, 16
+    planted = spark.range(0, n_c * per_c).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (F.when((F.col("id") % n_c) == (d % n_c), 10.0)
+                       .otherwise(0.0)
+                       + (F.pmod(F.hash(F.concat(F.col("id").cast("string"),
+                                                 F.lit(":"),
+                                                 d.cast("string"))),
+                                 F.lit(1000)) / 1000.0))
+            .cast("array<float>")).alias("embedding"))
+    # NOTE: vec_id % n_c is the true cluster, so vec_id < 16 spans ALL
+    # clusters — rotate ids so the first 16 share a cluster instead
+    planted = planted.select(
+        (F.col("vec_id") * n_c % (n_c * per_c)
+         + F.floor(F.col("vec_id") / per_c)).alias("vec_id"), "embedding")
+    planted = spark.createDataFrame(planted.collect(),
+                                    "vec_id long, embedding array<float>")
+    pq_queries = planted.filter(F.col("vec_id") % per_c == 1).limit(30)
+    p_truth = {}
+    for r in S.knn_brute_force(planted, pq_queries, k=K).collect():
+        p_truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    p_rows = []
+    t0 = time.perf_counter()
+    pc = S.kmeans_parallel_init(planted, n_clusters=n_c)
+    for _ in range(2):
+        pc = S.kmeans_update(planted, S.kmeans_assign(planted, pc))
+    pc = spark.createDataFrame(pc.collect(), schema=pc.schema)
+    p_train_sec = time.perf_counter() - t0
+    for label, cents in (("seeded", None), ("trained", pc)):
+        got = {}
+        for r in S.knn_ivf(planted, pq_queries, k=K, n_cells=n_c,
+                           n_probe=2, centroids=cents).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        recall = sum(len(got.get(q, set()) & t) / len(t)
+                     for q, t in p_truth.items()) / len(p_truth)
+        p_rows.append((label, recall))
+        print(f"# planted {label}: recall@{K}={recall:.3f}", file=sys.stderr)
+        cleanup()
+
     # -- 1b. persisted-index amortization: inline build+search vs probe ----
     import tempfile
 
@@ -240,13 +285,30 @@ def main() -> None:
         for np_, recall, sec in trained_rows
     ] + [
         "",
-        "Lloyd-trained cells are balanced where raw seed vectors are "
-        "arbitrary, so at equal n_probe the probe set covers more of each "
-        "query's true neighborhood.  Training is a one-time cost (two "
-        "broadcast-assign passes + bounded candidate reduce on the "
-        "driver); the search plan is bit-identical to the seeded path.  "
-        "Uniform-random embeddings (this testdata) are the WEAKEST case "
-        "for trained centroids — real clustered corpora gain far more.",
+        "HONEST result: on THIS testdata (near-uniform random embeddings) "
+        "the seeded path wins at low n_probe — uniform data has no "
+        "cluster structure, so Lloyd means shrink toward the global "
+        "centroid and lose angular discrimination, while raw seed "
+        "vectors keep diverse directions.  Training exists for the "
+        "opposite regime, shown below; the search plan is bit-identical "
+        "either way, so the centroid choice is a per-corpus knob, not an "
+        "architecture decision.",
+        "",
+        f"### Planted-cluster corpus (16 well-separated clusters; the "
+        f"first 16 ids — the seeded path's centroids — share ONE "
+        f"cluster; train {p_train_sec:.2f}s; n_probe=2)",
+        "",
+        "| centroids | recall@5 |",
+        "|---|---|",
+    ] + [f"| {label} | {recall:.3f} |" for label, recall in p_rows] + [
+        "",
+        "With a pathological-but-realistic seed draw (all 16 seed "
+        "vectors from one cluster), the seeded cells cover 1/16 of the "
+        "space and recall collapses; kmeans|| + 2 Lloyd rounds recovers "
+        "the true partition.  This is the case centroid training exists "
+        "for — and why the trained path is the production default while "
+        "the seeded twin stays registered for the exact cross-engine "
+        "oracle.",
         "",
         f"## Persisted IVF index amortization (n_probe=4)",
         "",
