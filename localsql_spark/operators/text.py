@@ -336,3 +336,56 @@ def winnowing_fingerprints(docs, k: int = 8, w: int = 4,
                  F.sum((F.col("h") * 100000 + F.col("i"))
                        .cast("decimal(38,0)"))
                  .cast("decimal(38,0)").cast("string").alias("fp_checksum")))
+
+
+def winnowing_shared_pairs(docs, k: int = 8, w: int = 4,
+                           min_shared: int = 2, posting_cap: int = 50,
+                           doc_id_col: str = "doc_id",
+                           text_col: str = "text"):
+    """Candidate copy pairs by shared winnowing fingerprints (the MOSS
+    match step): invert the selected fingerprints (hash value -> posting
+    list of documents), join postings pairwise, and keep pairs sharing
+    >= ``min_shared`` distinct fingerprint VALUES — local similarity
+    document-level MinHash misses (a lifted paragraph inside an
+    otherwise-unrelated document still shares its fingerprints).
+
+    Skew guard: a fingerprint appearing in more than ``posting_cap``
+    documents is boilerplate (license headers, templates) — its posting
+    list would contribute O(cap^2) pairs of near-zero signal, so it is
+    dropped BEFORE the pair join, the same frequent-bucket discipline as
+    the LSH bucket_cap.  With the cap, pair-join cost is bounded by
+    sum(posting^2 <= cap * posting) — linear in postings.
+
+    Output: (doc_a, doc_b, n_shared) with doc_a < doc_b.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from localsql_spark.operators import hash32, spread
+
+    t = normalize_text(F.col(text_col))
+    ng = F.length(t) - k + 1
+    wmin = (Window.partitionBy(doc_id_col).orderBy("i")
+            .rowsBetween(Window.currentRow, w - 1))
+    gh = (spread(docs).filter(ng >= 1)
+          .select(doc_id_col, ng.alias("ng"),
+                  F.posexplode(
+                      F.transform(F.sequence(F.lit(1), ng),
+                                  lambda i: hash32(F.substring(t, i, k))))
+                  .alias("i", "h")))
+    # distinct fingerprint VALUES per doc (positions irrelevant to sharing)
+    fp = (gh.withColumn(
+        "fp", F.min(F.struct(F.col("h"), F.col("i"))).over(wmin))
+        .filter(F.col("i") <= F.greatest(F.col("ng") - w, F.lit(0)))
+        .select(doc_id_col, F.col("fp.h").alias("h"))
+        .distinct())
+    posting_n = fp.groupBy("h").agg(F.count(F.lit(1)).alias("pn"))
+    kept = (fp.join(posting_n.filter(F.col("pn") <= posting_cap)
+                    .select("h"), "h"))
+    a = kept.select(F.col("h"), F.col(doc_id_col).alias("doc_a"))
+    b = kept.select(F.col("h"), F.col(doc_id_col).alias("doc_b"))
+    return (a.join(b, "h")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))

@@ -504,3 +504,45 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir)["documents"]
     return wfp(docs, k=8, w=4)
+
+
+@query("winnowing_shared_pairs", oracle=r"""
+WITH norm AS (SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM documents),
+nm AS (SELECT doc_id, t, length(t) - 8 + 1 AS ng
+       FROM norm WHERE length(t) - 8 + 1 >= 1),
+g AS (SELECT doc_id, i,
+             CAST('0x' || substr(md5(substr(t, CAST(i AS INT) + 1, 8)), 1, 8)
+                  AS BIGINT) AS h
+      FROM nm, UNNEST(range(ng)) u(i)),
+wins AS (SELECT doc_id, ws
+         FROM nm, UNNEST(range(greatest(ng - 4 + 1, 1))) u(ws)),
+sel AS (SELECT doc_id, h FROM (
+          SELECT w.doc_id, w.ws, g.h, g.i,
+                 ROW_NUMBER() OVER (PARTITION BY w.doc_id, w.ws
+                                    ORDER BY g.h, g.i) AS rn
+          FROM wins w JOIN g ON g.doc_id = w.doc_id
+                            AND g.i >= w.ws AND g.i <= w.ws + 3) s
+        WHERE rn = 1),
+fpv AS (SELECT DISTINCT doc_id, h FROM sel),
+pn AS (SELECT h, count(*) AS pn FROM fpv GROUP BY 1),
+kept AS (SELECT f.doc_id, f.h FROM fpv f JOIN pn USING (h) WHERE pn <= 50)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+""")
+def winnowing_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate copy pairs by shared winnowing fingerprints
+    (operators.text.winnowing_shared_pairs — the MOSS match step):
+    inverted fingerprint index, boilerplate fingerprints (posting > 50
+    docs) dropped before the pair join (the LSH bucket_cap discipline),
+    pairs sharing >= 2 distinct fingerprint values — LOCAL similarity
+    document-level MinHash misses, e.g. one lifted paragraph inside an
+    otherwise-unrelated document.  Pair-join cost is capped at
+    posting_cap x postings — linear in fingerprints at any corpus
+    size."""
+    from localsql_spark.operators.text import winnowing_shared_pairs as wsp
+
+    docs = load(spark, sf_dir)["documents"]
+    return wsp(docs, k=8, w=4, min_shared=2, posting_cap=50)

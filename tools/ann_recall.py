@@ -96,29 +96,24 @@ def main() -> None:
               f"{best:.2f}s", file=sys.stderr)
 
     # -- 1a3. planted-cluster corpus: where training matters ---------------
-    # 16 well-separated prototypes + deterministic hash noise; seeds
-    # (vec_id < 16) all fall in ONE cluster by construction — the
-    # pathological seed draw training exists to fix.
+    # 16 well-separated prototype clusters laid out in ID BLOCKS (cluster =
+    # vec_id // per_c), so the seeded path's centroids (vec_id < 16) all
+    # fall in cluster 0 — the pathological seed draw training exists to fix.
     dim, per_c, n_c = 32, 250, 16
     planted = spark.range(0, n_c * per_c).select(
         F.col("id").alias("vec_id"),
         F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda d: (F.when((F.col("id") % n_c) == (d % n_c), 10.0)
-                       .otherwise(0.0)
-                       + (F.pmod(F.hash(F.concat(F.col("id").cast("string"),
-                                                 F.lit(":"),
-                                                 d.cast("string"))),
-                                 F.lit(1000)) / 1000.0))
-            .cast("array<float>")).alias("embedding"))
-    # NOTE: vec_id % n_c is the true cluster, so vec_id < 16 spans ALL
-    # clusters — rotate ids so the first 16 share a cluster instead
-    planted = planted.select(
-        (F.col("vec_id") * n_c % (n_c * per_c)
-         + F.floor(F.col("vec_id") / per_c)).alias("vec_id"), "embedding")
+            lambda d: (F.when(
+                (d % n_c).cast("bigint")
+                == F.floor(F.col("id") / per_c), 10.0).otherwise(0.0)
+                + (F.pmod(F.hash(F.concat(F.col("id").cast("string"),
+                                          F.lit(":"), d.cast("string"))),
+                          F.lit(1000)) / 1000.0)).cast("float"))
+        .alias("embedding"))
     planted = spark.createDataFrame(planted.collect(),
                                     "vec_id long, embedding array<float>")
-    pq_queries = planted.filter(F.col("vec_id") % per_c == 1).limit(30)
+    pq_queries = planted.filter(F.col("vec_id") % per_c == 1)
     p_truth = {}
     for r in S.knn_brute_force(planted, pq_queries, k=K).collect():
         p_truth.setdefault(r.query_id, set()).add(r.neighbor_id)
@@ -295,20 +290,22 @@ def main() -> None:
         "architecture decision.",
         "",
         f"### Planted-cluster corpus (16 well-separated clusters; the "
-        f"first 16 ids — the seeded path's centroids — share ONE "
-        f"cluster; train {p_train_sec:.2f}s; n_probe=2)",
+        f"first 16 ids — the seeded path's centroids — all drawn from "
+        f"ONE cluster; train {p_train_sec:.2f}s; n_probe=2)",
         "",
         "| centroids | recall@5 |",
         "|---|---|",
     ] + [f"| {label} | {recall:.3f} |" for label, recall in p_rows] + [
         "",
-        "With a pathological-but-realistic seed draw (all 16 seed "
-        "vectors from one cluster), the seeded cells cover 1/16 of the "
-        "space and recall collapses; kmeans|| + 2 Lloyd rounds recovers "
-        "the true partition.  This is the case centroid training exists "
-        "for — and why the trained path is the production default while "
-        "the seeded twin stays registered for the exact cross-engine "
-        "oracle.",
+        "Even with every seed drawn from one cluster, the planted "
+        "geometry keeps per-cluster assignments coherent (the "
+        "between-prototype term dominates the argmin), so seeded recall "
+        "degrades rather than collapses — and kmeans|| + 2 Lloyd rounds "
+        "still recovers the exact partition (recall 1.000).  Trained "
+        "centroids buy the remaining recall and, more importantly, "
+        "BALANCED cells (seeded cell populations are as skewed as the "
+        "seed draw); the seeded twin stays registered for the exact "
+        "cross-engine oracle.",
         "",
         f"## Persisted IVF index amortization (n_probe=4)",
         "",

@@ -327,7 +327,31 @@ def main() -> None:
                 .select("word", "cnt", _chars(F.col("word")).alias("syms")))
         return bpe_pair_counts(syms).count()
 
+    def op_winnowing(f):
+        from localsql_spark.operators.text import winnowing_fingerprints
+        docs = spark.read.parquet(paths[f]["documents"])
+        return winnowing_fingerprints(docs, k=8, w=4).count()
+
+    def op_perplexity_buckets(f):
+        from localsql_spark.operators.selection import perplexity_buckets
+        docs = spark.read.parquet(paths[f]["documents"])
+        return perplexity_buckets(docs).count()
+
+    def op_embedding_outliers(f):
+        from localsql_spark.operators.similarity import embedding_outliers
+        emb = spark.read.parquet(paths[f]["embeddings"])
+        return embedding_outliers(emb, n_clusters=8, n_iter=1).count()
+
+    def op_threshold_sweep(f):
+        from localsql_spark.operators.similarity import near_dup_threshold_sweep
+        emb = spark.read.parquet(paths[f]["embeddings"])
+        return near_dup_threshold_sweep(emb).count()
+
     ops = {"exact_dedup": op_exact_dedup, "minhash_lsh_pairs": op_minhash,
+           "winnowing_fps": op_winnowing,
+           "perplexity_buckets": op_perplexity_buckets,
+           "embedding_outliers": op_embedding_outliers,
+           "near_dup_threshold_sweep": op_threshold_sweep,
            "clusters_bigstar": op_clusters_bigstar, "knn_ivf": op_knn_ivf,
            "asof_join": op_asof, "kmeans_lloyd": op_kmeans,
            "repetition_signals": op_repetition, "semdedup": op_semdedup,
