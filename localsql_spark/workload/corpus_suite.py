@@ -530,14 +530,17 @@ pn AS (SELECT h, count(*) AS pn FROM fpv GROUP BY 1),
 kept AS (SELECT f.doc_id, f.h FROM fpv f JOIN pn USING (h) WHERE pn <= 50)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
 FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
-GROUP BY 1, 2 HAVING count(*) >= 2
+GROUP BY 1, 2 HAVING count(*) >= 25
 """)
 def winnowing_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate copy pairs by shared winnowing fingerprints
     (operators.text.winnowing_shared_pairs — the MOSS match step):
     inverted fingerprint index, boilerplate fingerprints (posting > 50
     docs) dropped before the pair join (the LSH bucket_cap discipline),
-    pairs sharing >= 2 distinct fingerprint values — LOCAL similarity
+    pairs sharing >= 25 distinct fingerprint values (8-char grams of a
+    shared vocabulary make low thresholds pure noise: >= 2 flags 70% of
+    all pairs on this corpus, >= 25 flags 76 genuine-overlap pairs) —
+    LOCAL similarity
     document-level MinHash misses, e.g. one lifted paragraph inside an
     otherwise-unrelated document.  Pair-join cost is capped at
     posting_cap x postings — linear in fingerprints at any corpus
@@ -545,4 +548,4 @@ def winnowing_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from localsql_spark.operators.text import winnowing_shared_pairs as wsp
 
     docs = load(spark, sf_dir)["documents"]
-    return wsp(docs, k=8, w=4, min_shared=2, posting_cap=50)
+    return wsp(docs, k=8, w=4, min_shared=25, posting_cap=50)
