@@ -381,3 +381,42 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str, int]],
                     F.aggregate(per_word, F.lit(0),
                                 lambda acc, syms: acc + F.size(syms))
                     .alias("n_bpe_symbols")))
+
+
+def token_budget_plan(docs: DataFrame, budget_tokens: int,
+                      alpha: float = 0.5, source_col: str = "source",
+                      text_col: str = "text") -> DataFrame:
+    """Token-budget mix planning: given a training-token budget and a
+    mixture temperature, compute each source's token allocation and the
+    sampling rate that realizes it — the planning table a pipeline
+    operator reads BEFORE launching a 100 TB selection job.
+
+    Per source: available tokens ``c_s`` (whitespace count, exact),
+    temperature share ``p_s = c_s^alpha / sum(c^alpha)``, target
+    ``t_s = round(budget * p_s)``, rate ``min(1, t_s / c_s)``, and a
+    ``capped`` flag where the source cannot fill its allocation (the
+    operator decides whether to re-run with redistributed budget —
+    deliberately surfaced, not silently waterfilled).
+
+    One count aggregate (rows = |sources|) + window-sum normalization on
+    that bounded table; nothing corpus-sized moves.  Determinism: exact
+    integer token counts, shares rounded to 9, one double division.
+    """
+    from pyspark.sql import Window
+
+    toks = F.size(F.filter(F.split(T.normalize_text(F.col(text_col)), " "),
+                           lambda w: w != ""))
+    per = (spread(docs).groupBy(source_col)
+           .agg(F.sum(toks).cast("bigint").alias("c_tokens")))
+    whole = Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+                                             Window.unboundedFollowing)
+    pw = F.pow(F.col("c_tokens").cast("double"), alpha)
+    share = F.round(pw / F.sum(pw).over(whole), 9)
+    target = F.round(share * budget_tokens).cast("bigint")
+    rate = F.round(F.least(F.lit(1.0),
+                           target.cast("double") / F.col("c_tokens")), 9)
+    return (per.select(source_col, "c_tokens",
+                       share.alias("share"),
+                       target.alias("target_tokens"),
+                       rate.alias("rate"),
+                       (target > F.col("c_tokens")).alias("capped")))

@@ -293,9 +293,9 @@ def knn_ivf_from_index(spark: SparkSession, index_path: str,
     # touched-cell list: bounded by n_cells whatever the batch size
     probed = sorted({r[0] for r in
                      q_cells.select("cell").distinct().collect()})
-    idx = (spark.read.option("basePath", f"{index_path}/cells")
-           .parquet(f"{index_path}/cells")
-           .filter(F.col("cell").isin(probed)))
+    # base cells + any appended deltas (append_ivf_index); both prune on
+    # the cell partition column
+    idx = _ivf_slices(spark, index_path).filter(F.col("cell").isin(probed))
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (idx.join(F.broadcast(q_cells), "cell")
@@ -1031,3 +1031,82 @@ def near_dup_threshold_sweep(corpus: DataFrame, bits: int = 8,
         "n_pairs",
         F.sum("n_pairs").over(w).alias("cum_pairs"))
         .orderBy(F.col("band_lo").desc()))
+
+
+def append_ivf_index(spark: SparkSession, index_path: str,
+                     new_batch: DataFrame, batch_id: int,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> int:
+    """Fold a NEW embedding batch into a persisted IVF index
+    (:func:`write_ivf_index`) without touching the base layout: assign
+    the batch against the EXISTING centroid table (broadcast read) and
+    land it as ``delta/batch_<id>`` hive-partitioned by cell — identical
+    per-batch-overwrite idempotency to the dedup signature store, so a
+    replayed batch rewrites its own directory byte-for-byte.
+
+    The daily-ingest ANN maintenance shape: per-batch cost is one
+    broadcast assignment over the BATCH (never the accumulated corpus);
+    probes read base + deltas with the same cell partition pruning.
+    Compact with :func:`compact_ivf_index` when delta count grows.
+    Returns the number of vectors appended."""
+    cents = spark.read.parquet(f"{index_path}/_centroids")
+    c = (spread(new_batch).select(F.col(id_col).alias("neighbor_id"),
+                                  F.col(vec_col).alias("cv"))
+         .withColumn("cn", norm(F.col("cv"))))
+    scored = (c.crossJoin(F.broadcast(cents))
+              .withColumn("__csim", cosine_pre(F.col("cv"), F.col("cent"),
+                                               F.col("cn"), F.col("centn"))))
+    assigned = (scored.groupBy("neighbor_id")
+                .agg(F.max(F.struct(
+                    F.col("__csim").alias("s"),
+                    (-F.col("cell")).alias("nc"),
+                    F.col("cv").alias("v"),
+                    F.col("cn").alias("vn"))).alias("b"))
+                .select("neighbor_id",
+                        F.col("b.v").alias("cv"),
+                        F.col("b.vn").alias("cn"),
+                        (-F.col("b.nc")).cast("int").alias("cell")))
+    (assigned.write.mode("overwrite").partitionBy("cell")
+     .parquet(f"{index_path}/delta/batch_{batch_id}"))
+    return assigned.count()
+
+
+def _ivf_slices(spark: SparkSession, index_path: str) -> DataFrame:
+    """Base cells + every appended delta, one unioned cell-partitioned
+    scan (each side prunes on the cell partition column independently)."""
+    from pathlib import Path
+
+    idx = (spark.read.option("basePath", f"{index_path}/cells")
+           .parquet(f"{index_path}/cells"))
+    deltas = sorted(Path(index_path).glob("delta/batch_*"))
+    for d in deltas:
+        idx = idx.unionByName(
+            spark.read.option("basePath", str(d)).parquet(str(d)))
+    return idx
+
+
+def compact_ivf_index(spark: SparkSession, index_path: str) -> int:
+    """Fold accumulated ``delta/batch_*`` dirs into the base ``cells/``
+    layout (staged rewrite + directory swap).  Single-writer maintenance
+    step BETWEEN query batches, same contract as the signature store's
+    compaction — it moves ``cells/`` out from under a concurrent reader.
+    Returns the number of delta directories folded."""
+    import shutil
+    from pathlib import Path
+
+    deltas = sorted(Path(index_path).glob("delta/batch_*"))
+    if not deltas:
+        return 0
+    merged = _ivf_slices(spark, index_path)
+    staged = Path(index_path) / "_staging_cells"
+    shutil.rmtree(staged, ignore_errors=True)
+    (merged.write.mode("overwrite").partitionBy("cell")
+     .parquet(str(staged)))
+    old = Path(index_path) / "cells_old"
+    shutil.rmtree(old, ignore_errors=True)
+    Path(f"{index_path}/cells").rename(old)
+    staged.rename(Path(index_path) / "cells")
+    shutil.rmtree(old, ignore_errors=True)
+    for d in deltas:
+        shutil.rmtree(d, ignore_errors=True)
+    return len(deltas)

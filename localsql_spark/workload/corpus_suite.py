@@ -549,3 +549,37 @@ def winnowing_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir)["documents"]
     return wsp(docs, k=8, w=4, min_shared=25, posting_cap=50)
+
+
+@query("mix_token_budget_plan", oracle=r"""
+WITH norm AS (SELECT source,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM documents),
+c AS (SELECT source,
+             CAST(sum(len(list_filter(string_split(t, ' '), w -> w <> '')))
+                  AS BIGINT) AS c_tokens
+      FROM norm GROUP BY 1),
+s AS (SELECT source, c_tokens,
+             round(pow(CAST(c_tokens AS DOUBLE), 0.5)
+                   / sum(pow(CAST(c_tokens AS DOUBLE), 0.5)) OVER (), 9)
+               AS share
+      FROM c)
+SELECT source, c_tokens, share,
+       CAST(round(share * 1000000) AS BIGINT) AS target_tokens,
+       round(least(1.0, CAST(round(share * 1000000) AS DOUBLE) / c_tokens),
+             9) AS rate,
+       CAST(round(share * 1000000) AS BIGINT) > c_tokens AS capped
+FROM s
+""")
+def mix_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mix planning (operators.corpus.token_budget_plan): a
+    1M-token training budget split across sources by temperature share
+    (c^0.5), with the sampling rate realizing each allocation and a
+    capped flag where a source cannot fill its share — the planning
+    table read BEFORE launching a 100 TB selection job, surfaced rather
+    than silently waterfilled.  One |sources|-row aggregate + bounded
+    window normalization; nothing corpus-sized moves."""
+    from localsql_spark.operators.corpus import token_budget_plan
+
+    docs = load(spark, sf_dir)["documents"]
+    return token_budget_plan(docs, budget_tokens=1_000_000, alpha=0.5)

@@ -917,3 +917,34 @@ def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count(F.lit(1)).cast("double").alias("w")))
     pr = pagerank(edges, damping=0.85, n_iter=6)
     return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+@query("user_event_sequences", oracle="""
+SELECT user_id,
+       count(*) AS n_events,
+       md5(string_agg(event_type, '>' ORDER BY ts, event_id)) AS seq_hash,
+       substr(string_agg(event_type, '>' ORDER BY ts, event_id), 1, 40)
+         AS seq_head
+FROM events
+GROUP BY user_id
+""")
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized training-example construction: each user's full
+    time-ordered event-type sequence as one training row — the
+    behavioral-sequence corpus shape (next-event prediction, journey
+    embedding).  One groupBy(user) with sort_array over (ts, event_id,
+    type) structs (event_id uniqueness makes the order total, so the
+    sequence is engine-deterministic); the md5 compares the ENTIRE
+    sequence against the oracle's ordered string_agg while keeping the
+    result row narrow.  One user-key shuffle, collect_list bounded by
+    per-user event counts — the same per-key-bounded contract as the
+    session operators."""
+    ev = load(spark, sf_dir)["events"]
+    seq = F.concat_ws(">", F.transform(
+        F.sort_array(F.collect_list(
+            F.struct("ts", "event_id", "event_type"))),
+        lambda s: s["event_type"]))
+    return (ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.md5(seq).alias("seq_hash"),
+                 F.substring(seq, 1, 40).alias("seq_head")))

@@ -2124,6 +2124,40 @@ def knn_ivf_index_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 n_probe=4)
 
 
+@query("knn_ivf_index_append_top5", oracle=_IVF_ORACLE)
+def knn_ivf_index_append_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained IVF index (operators.similarity.
+    append_ivf_index / compact_ivf_index): the base index is built from
+    ~4/5 of the corpus (hash-mod, seed vectors forced into the base so
+    the centroid table is complete), the remaining batch appends as an
+    idempotent cell-partitioned delta assigned against the EXISTING
+    centroids — per-batch cost tracks the BATCH, never the accumulated
+    corpus — then compaction folds the delta into the base layout and
+    the probe runs.  Sharing knn_ivf_top5's oracle proves
+    base + append + compact == the index built from the full corpus in
+    one shot, the invariance daily ANN ingest must hold."""
+    import shutil
+    from pathlib import Path
+
+    from localsql_spark.operators import hash32
+    from localsql_spark.operators.similarity import (append_ivf_index,
+                                                     compact_ivf_index)
+
+    emb = load(spark, sf_dir)["embeddings"]
+    index = (Path(__file__).resolve().parent.parent.parent / ".cache"
+             / "ivf_index_incr" / Path(sf_dir.rstrip("/")).name)
+    shutil.rmtree(index, ignore_errors=True)
+    m = F.pmod(hash32(F.col("vec_id")), F.lit(5))
+    base = emb.filter((m >= 1) | (F.col("vec_id") < 16))
+    delta = emb.filter((m == 0) & (F.col("vec_id") >= 16))
+    S.write_ivf_index(base, str(index), n_cells=16)
+    append_ivf_index(spark, str(index), delta, batch_id=1)
+    compact_ivf_index(spark, str(index))
+    return S.knn_ivf_from_index(spark, str(index),
+                                emb.filter(F.col("vec_id") < 10), k=5,
+                                n_probe=4)
+
+
 # Full incremental-ingest decision audit: exact gate first (content-hash
 # store), minhash probe only on exact-survivors.  Signatures are global, so
 # the oracle reuses the global >= 0.5 pair set and restricts it per rule.

@@ -1409,3 +1409,41 @@ def test_knn_ivf_trained_centroids_same_contract(spark):
              for r in knn_brute_force(df, q, k=5).collect()}
     assert {(r.query_id, r.neighbor_id, r.cos_sim)
             for r in got.collect()} == exact
+
+
+def test_ivf_index_append_visible_and_replay_idempotent(spark, tmp_path):
+    """Appended deltas are visible to probes BEFORE compaction, a
+    replayed append changes nothing, and compaction folds the deltas
+    into the base layout with identical probe results."""
+    import random
+
+    from localsql_spark.operators.similarity import (append_ivf_index,
+                                                     compact_ivf_index,
+                                                     knn_ivf_from_index,
+                                                     write_ivf_index)
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = df.filter("vec_id < 60")
+    delta = df.filter("vec_id >= 60")
+    q = df.filter("vec_id < 3")
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(base, idx, n_cells=4)
+
+    def probe():
+        return sorted((r.query_id, r.neighbor_id, r.cos_sim, r.rn)
+                      for r in knn_ivf_from_index(
+                          spark, idx, q, k=5, n_probe=4).collect())
+
+    before = probe()
+    assert append_ivf_index(spark, idx, delta, batch_id=1) == 20
+    with_delta = probe()
+    assert with_delta != before  # new vectors reachable pre-compaction
+    assert {n for _, n, _, _ in with_delta} & set(range(60, 80))
+    append_ivf_index(spark, idx, delta, batch_id=1)  # replay: same dir
+    assert probe() == with_delta
+    assert compact_ivf_index(spark, idx) == 1
+    assert not list((tmp_path / "ivf" / "delta").glob("batch_*"))
+    assert probe() == with_delta
+    assert compact_ivf_index(spark, idx) == 0  # nothing left to fold
