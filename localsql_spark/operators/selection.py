@@ -277,13 +277,20 @@ def perplexity_buckets(docs: DataFrame, doc_id_col: str = "doc_id",
 
     Output: ``(doc_id, ppl, bucket, ccnet_bucket)``.
     """
+    from localsql_spark.operators import track_persist
     from localsql_spark.operators.corpus import unigram_logprob
     from localsql_spark.operators.sketches import (quantile_estimates,
                                                    quantile_sketch)
 
     n_buckets = len(labels)
-    scored = (unigram_logprob(docs, doc_id_col, text_col)
-              .select(doc_id_col, (-F.col("avg_logprob")).alias("ppl")))
+    # persist the narrow (doc_id, ppl) table: BOTH the sketch sample and
+    # the final assignment read it, and without the cut Catalyst expands
+    # the whole two-shuffle unigram-LM subtree into each consumer (plan
+    # audit measured 40 static exchanges -> 8 with the persist; at scale
+    # that is two full corpus scans vs one)
+    scored = track_persist(
+        unigram_logprob(docs, doc_id_col, text_col)
+        .select(doc_id_col, (-F.col("avg_logprob")).alias("ppl")))
     sketch = quantile_sketch(scored, "ppl", doc_id_col, k)
     qs = tuple(i / n_buckets for i in range(1, n_buckets))
     edges = (quantile_estimates(sketch, qs=qs)

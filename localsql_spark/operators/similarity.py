@@ -1001,6 +1001,7 @@ def embedding_outliers(corpus: DataFrame, n_clusters: int = 8,
 
 def near_dup_threshold_sweep(corpus: DataFrame, bits: int = 8,
                              band_width: float = 0.05,
+                             sample_mod: int = 1,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding") -> DataFrame:
     """Near-dup threshold calibration curve: every LSH-blocked candidate
@@ -1009,15 +1010,26 @@ def near_dup_threshold_sweep(corpus: DataFrame, bits: int = 8,
     reads to PICK the dedup threshold (the cliff between the near-dup
     mass and the background distribution) instead of guessing 0.9.
 
-    Scale shape: identical candidate generation to
-    embedding_near_dup_pairs (sign-bucket blocking — never all-pairs);
-    the banding is row-local, the per-band groupBy is bounded at
-    2/band_width rows, and the cumulative window runs on that bounded
-    table only.  Output: (band_lo, n_pairs, cum_pairs) sorted by band
-    descending.
+    Scale shape: candidate generation is the sign-bucket blocking of
+    embedding_near_dup_pairs, but with NO cosine threshold the in-bucket
+    pair count grows quadratically in bucket occupancy — measured 13.6x
+    on a 4x data step in SCALE.md when run exhaustively.  Calibration
+    needs the DISTRIBUTION, not exhaustiveness, so at scale set
+    ``sample_mod`` to hash-sample ~1/mod of the corpus first (mod
+    proportional to corpus size keeps the candidate set constant — the
+    fixed-size-sample recipe; deterministic, so the curve is
+    reproducible).  The banding is row-local, the per-band groupBy is
+    bounded at 2/band_width rows, and the cumulative window runs on that
+    bounded table only.  Output: (band_lo, n_pairs, cum_pairs) sorted by
+    band descending.
     """
     from pyspark.sql.window import Window
 
+    from localsql_spark.operators import hash32
+
+    if sample_mod > 1:
+        corpus = corpus.filter(
+            F.pmod(hash32(F.col(id_col)), F.lit(sample_mod)) == 0)
     pairs = embedding_near_dup_pairs(corpus, threshold=-1.0,
                                      id_col=id_col, vec_col=vec_col,
                                      bits=bits)

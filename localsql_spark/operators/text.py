@@ -373,9 +373,14 @@ def winnowing_shared_pairs(docs, k: int = 8, w: int = 4,
                       F.transform(F.sequence(F.lit(1), ng),
                                   lambda i: hash32(F.substring(t, i, k))))
                   .alias("i", "h")))
-    # distinct fingerprint VALUES per doc (positions irrelevant to sharing)
-    fp = (gh.withColumn(
-        "fp", F.min(F.struct(F.col("h"), F.col("i"))).over(wmin))
+    # distinct fingerprint VALUES per doc (positions irrelevant to
+    # sharing); persisted — the posting-count aggregate and BOTH pair-join
+    # sides read it, and without the cut Catalyst re-expands the whole
+    # gram-hash + window subtree into each of the three consumers
+    from localsql_spark.operators import track_persist
+    fp = track_persist(
+        gh.withColumn(
+            "fp", F.min(F.struct(F.col("h"), F.col("i"))).over(wmin))
         .filter(F.col("i") <= F.greatest(F.col("ng") - w, F.lit(0)))
         .select(doc_id_col, F.col("fp.h").alias("h"))
         .distinct())

@@ -343,9 +343,12 @@ def main() -> None:
         return embedding_outliers(emb, n_clusters=8, n_iter=1).count()
 
     def op_threshold_sweep(f):
+        # calibration runs on a FIXED-SIZE hash sample (sample_mod scales
+        # with the data) — exhaustive sweeps grow quadratically in bucket
+        # occupancy and are not the intended 100 TB shape (see docstring)
         from localsql_spark.operators.similarity import near_dup_threshold_sweep
         emb = spark.read.parquet(paths[f]["embeddings"])
-        return near_dup_threshold_sweep(emb).count()
+        return near_dup_threshold_sweep(emb, sample_mod=f).count()
 
     ops = {"exact_dedup": op_exact_dedup, "minhash_lsh_pairs": op_minhash,
            "winnowing_fps": op_winnowing,
