@@ -74,6 +74,9 @@ EXTENSION_HEADLINE = [
     "scd2_customer_history",
     "pagerank_event_transitions",
     "bpe_pair_stats",
+    # round 6: MOSS fingerprinting + CCNet bucketing
+    "winnowing_fingerprints",
+    "ccnet_perplexity_buckets",
 ]
 
 
