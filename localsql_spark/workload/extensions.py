@@ -2646,7 +2646,7 @@ def scd2_customer_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_as_of(hist1, 2_000_000)
 
 
-@query("scd2_store_history", oracle="""
+_SCD2_STORE_ORACLE = """
 WITH cur0 AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
 u1 AS (
   SELECT c_custkey AS k, 'MIGRATED' AS seg FROM customer
@@ -2685,7 +2685,10 @@ UNION ALL
 SELECT k, seg, f, t, false FROM closed2
 UNION ALL
 SELECT k, seg, f, NULL, true FROM open2
-""")
+"""
+
+
+@query("scd2_store_history", oracle=_SCD2_STORE_ORACLE)
 def scd2_store_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-batch PERSISTED SCD2 store (sinks.scd2_store — the production
     shape of operators.scd2): init from `customer` at t0, two update
@@ -2810,3 +2813,82 @@ def orders_segment_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("od_us"))
     return (scd2_enrich_asof(facts, hist1, ["c_custkey"], "od_us")
             .select("o_orderkey", "c_custkey", "c_mktsegment"))
+
+
+@query("streaming_scd2_ingest", oracle=_SCD2_STORE_ORACLE)
+def streaming_scd2_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC into the persisted SCD2 store, driver-gated
+    end-to-end (streaming.stream_scd2_ingest): the two update batches of
+    scd2_store_history arrive as an mtime-ordered file stream
+    (maxFilesPerTrigger=1); each micro-batch applies as one store batch —
+    Structured Streaming's stable batch ids compose with apply_batch's
+    replay-by-batch-id idempotency into effectively-exactly-once
+    dimension maintenance, version timestamps from a deterministic
+    ts_for_batch (replay == byte-identical history).  Sharing
+    scd2_store_history's exact oracle proves streamed ingest == batch
+    maintenance == the set-theoretic two-batch derivation."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from localsql_spark.catalog import _CACHE_DIR
+    from localsql_spark.sinks.scd2_store import init_store, read_history
+    from localsql_spark.streaming.stream_scd2_ingest import stream_scd2_ingest
+
+    t = load(spark, sf_dir)
+    cust = t["customer"]
+    key = F.col("c_custkey")
+    u1 = (cust.filter(key % 7 == 0)
+          .withColumn("c_mktsegment", F.lit("MIGRATED"))
+          .unionByName(cust.filter(key % 50 == 0)
+                       .withColumn("c_custkey", key + 1000000)
+                       .withColumn("c_mktsegment", F.lit("NEW")))
+          .select("c_custkey", "c_mktsegment"))
+    u2 = (cust.filter(key % 3 == 0)
+          .withColumn("c_mktsegment", F.lit("RESEG"))
+          .unionByName(cust.filter(key % 100 == 0)
+                       .withColumn("c_custkey", key + 1000000)
+                       .withColumn("c_mktsegment", F.lit("NEW2")))
+          .select("c_custkey", "c_mktsegment"))
+
+    src_dir = (_CACHE_DIR.parent / "stream_scd2_src"
+               / Path(sf_dir.rstrip("/")).name)
+    if not src_dir.exists():
+        src_dir.parent.mkdir(parents=True, exist_ok=True)
+        build = Path(tempfile.mkdtemp(prefix=f".{src_dir.name}.build_",
+                                      dir=src_dir.parent))
+        names = ("a_batch1.parquet", "b_batch2.parquet")
+        for name, batch in zip(names, (u1, u2)):
+            tmp = tempfile.mkdtemp(prefix="scd2split_")
+            batch.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(Path(tmp).glob("part-*.parquet"))
+            shutil.move(str(part), build / name)
+            shutil.rmtree(tmp, ignore_errors=True)
+        t0 = (build / names[0]).stat().st_mtime
+        for i, name in enumerate(names):
+            os.utime(build / name, (t0 + 100 * i, t0 + 100 * i))
+        try:
+            os.rename(build, src_dir)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+
+    schema = spark.read.parquet(str(src_dir / "a_batch1.parquet")).schema
+    store = tempfile.mkdtemp(prefix="scd2_stream_store_")
+    ck = tempfile.mkdtemp(prefix="scd2_stream_ck_")
+    try:
+        init_store(cust.select("c_custkey", "c_mktsegment"), store,
+                   ["c_custkey"], ["c_mktsegment"], 1_000_000)
+        stream_scd2_ingest(
+            spark, source_dir=str(src_dir), schema=schema, store_dir=store,
+            key_cols=["c_custkey"], attr_cols=["c_mktsegment"],
+            ts_for_batch=lambda b: 1_000_000 * (b + 2),
+            checkpoint_dir=ck)
+        h = read_history(spark, store)
+        return (h.select(
+            "c_custkey", "c_mktsegment", "valid_from_us", "valid_to_us",
+            F.col("valid_to_us").isNull().alias("is_current"))
+            .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
