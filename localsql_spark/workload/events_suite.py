@@ -948,3 +948,55 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.md5(seq).alias("seq_hash"),
                  F.substring(seq, 1, 40).alias("seq_head")))
+
+
+@query("events_anomaly_hours", oracle="""
+WITH h AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00')
+             AS bucket_ts, event_type, count(*) AS n_events
+           FROM events GROUP BY 1, 2),
+st AS (SELECT event_type,
+              CAST(SUM(CAST(n_events AS DECIMAL(38,12))) AS DOUBLE)
+                / COUNT(*) AS mu,
+              CAST(SUM(CAST(n_events * n_events AS DECIMAL(38,12)))
+                   AS DOUBLE) / COUNT(*) AS m2
+       FROM h GROUP BY 1)
+SELECT bucket_ts, h.event_type, n_events,
+       round(CASE WHEN sqrt(greatest(m2 - mu * mu, 0.0)) > 0
+                  THEN (n_events - mu) / sqrt(greatest(m2 - mu * mu, 0.0))
+             END, 6) AS z
+FROM h JOIN st ON st.event_type = h.event_type
+WHERE CASE WHEN sqrt(greatest(m2 - mu * mu, 0.0)) > 0
+           THEN abs(n_events - mu) / sqrt(greatest(m2 - mu * mu, 0.0))
+      END > 3.0
+""")
+def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume anomaly detection: hours whose per-type event count
+    z-scores beyond |3| against that type's own hourly distribution — the
+    monitoring alarm a continuous aggregate exists to feed (traffic
+    spikes, ingest stalls).  Decimal-sum moments (same discipline as the
+    embedding outlier gate) so the oracle replays the rollup AND the
+    stats bit-for-bit; the stats table is |event_types| rows, broadcast
+    back onto the hourly rollup — nothing beyond the one rollup shuffle
+    moves."""
+    ev = load(spark, sf_dir)["events"]
+    h = (ev.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts").cast("timestamp")),
+                      "yyyy-MM-dd HH:00:00").alias("bucket_ts"),
+        "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .localCheckpoint(eager=False))
+
+    def dec_mean(c):
+        return (F.sum(F.round(c, 12).cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)))
+
+    st = (h.groupBy("event_type")
+          .agg(dec_mean(F.col("n_events")).alias("mu"),
+               dec_mean(F.col("n_events") * F.col("n_events")).alias("m2")))
+    std = F.sqrt(F.greatest(F.col("m2") - F.col("mu") * F.col("mu"),
+                            F.lit(0.0)))
+    zraw = F.when(std > 0, (F.col("n_events") - F.col("mu")) / std)
+    return (h.join(F.broadcast(st), "event_type")
+            .filter(F.abs(zraw) > 3.0)
+            .select("bucket_ts", "event_type", "n_events",
+                    F.round(zraw, 6).alias("z")))

@@ -170,3 +170,22 @@ def test_shard_within_file_order_is_hash_order(spark, tmp_path):
     by_ord = [r["doc_id"] for r in one.orderBy("ord_key", "doc_id").collect()]
     assert got == by_ord
     assert got != sorted(got)  # hash order decorrelates the input sequence
+
+
+def test_token_budget_plan_capped_flag_and_shares(spark):
+    """A budget larger than a small source's tokens flags capped=true with
+    rate 1.0; shares sum to ~1; targets split by c^alpha."""
+    from localsql_spark.operators.corpus import token_budget_plan
+
+    rows = ([(i, "w " * 1000, "en", "big") for i in range(10)]
+            + [(100, "w w w", "en", "tiny")])
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    plan = {r["source"]: r for r in
+            token_budget_plan(docs, budget_tokens=5_000,
+                              alpha=0.5).collect()}
+    assert plan["tiny"]["c_tokens"] == 3
+    assert plan["tiny"]["capped"] and plan["tiny"]["rate"] == 1.0
+    assert not plan["big"]["capped"]
+    assert abs(plan["big"]["share"] + plan["tiny"]["share"] - 1.0) < 1e-6
+    assert plan["big"]["target_tokens"] > plan["tiny"]["target_tokens"]
