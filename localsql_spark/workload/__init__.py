@@ -150,6 +150,11 @@ _HEAVY = frozenset({
     "streaming_tumbling_hourly", "streaming_stateful_user_stats",
     "streaming_dedup_events", "streaming_session_30m",
     "streaming_join_attribution",
+    # round 6: stream drains + kmeans|| training are the slow pendings —
+    # sort them after the cheap row-local round-6 additions so a
+    # time-budgeted driver check reaches every cheap entry first
+    "streaming_rollup_hourly", "streaming_scd2_ingest",
+    "knn_ivf_trained_top5",
 })
 
 
