@@ -420,3 +420,59 @@ def token_budget_plan(docs: DataFrame, budget_tokens: int,
                        target.alias("target_tokens"),
                        rate.alias("rate"),
                        (target > F.col("c_tokens")).alias("capped")))
+
+
+def doc_novelty_scores(docs: DataFrame, span: int = 8,
+                       doc_id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Per-document novelty: the fraction of a document's ``span``-token
+    windows that appear in NO other document — the inverse of the
+    repeated-span signal (Lee et al. arXiv:2107.06499 measure exactly
+    this duplication fraction per document).  A low-novelty document is
+    mostly boilerplate/template even if no single other document is a
+    near-duplicate of it; selection pipelines downweight or drop it.
+
+    Scale shape: one span explode (row-local) feeding BOTH the global
+    span-frequency aggregate and the per-doc count — the span stream is
+    persisted so the corpus is scanned once; the frequency join is on the
+    span hash (map-side-combined groupBy, the repeated_spans shuffle).
+    Short documents (< span tokens) have no windows and report novelty
+    1.0 over 0 spans (nothing shared, trivially).
+
+    Output: ``(doc_id, n_spans, n_shared_spans, novelty)`` with novelty
+    rounded to 6.
+    """
+    from localsql_spark.operators import track_persist
+
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    idx = F.when(n >= span, F.sequence(F.lit(0), n - span)
+                 ).otherwise(F.array().cast("array<int>"))
+    spans = track_persist(
+        spread(docs).select(doc_id_col, toks.alias("toks"),
+                            F.explode(idx).alias("pos"))
+        .select(doc_id_col,
+                F.md5(F.concat_ws(
+                    " ", F.slice(F.col("toks"), F.col("pos") + 1, span)))
+                .alias("span_hash")))
+    shared = (spans.groupBy("span_hash")
+              .agg(F.countDistinct(doc_id_col).alias("nd"))
+              .filter(F.col("nd") >= 2).select("span_hash"))
+    per_doc = (spans.join(shared.withColumn("_sh", F.lit(1)),
+                          "span_hash", "left")
+               .groupBy(doc_id_col)
+               .agg(F.count(F.lit(1)).alias("n_spans"),
+                    F.sum(F.coalesce(F.col("_sh"), F.lit(0)))
+                    .cast("bigint").alias("n_shared_spans")))
+    novelty = F.round(
+        1.0 - F.try_divide(F.col("n_shared_spans").cast("double"),
+                           F.col("n_spans")), 6)
+    # docs with zero windows never enter the span stream: left-join the
+    # full doc list back so they report (0, 0, 1.0)
+    base = spread(docs).select(doc_id_col)
+    return (base.join(per_doc, doc_id_col, "left")
+            .select(doc_id_col,
+                    F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+                    F.coalesce(F.col("n_shared_spans"), F.lit(0))
+                    .alias("n_shared_spans"),
+                    F.coalesce(novelty, F.lit(1.0)).alias("novelty")))

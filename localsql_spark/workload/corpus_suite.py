@@ -583,3 +583,36 @@ def mix_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir)["documents"]
     return token_budget_plan(docs, budget_tokens=1_000_000, alpha=0.5)
+
+
+@query("doc_novelty_scores", oracle=f"""
+WITH {_TOK_CTE.strip()},
+sp AS (SELECT doc_id,
+              md5(array_to_string(list_slice(toks, i + 1, i + 8), ' '))
+                AS span_hash
+       FROM tok, UNNEST(range(CASE WHEN len(toks) >= 8
+                                   THEN len(toks) - 7 ELSE 0 END)) u(i)),
+sh AS (SELECT span_hash FROM sp GROUP BY 1
+       HAVING count(DISTINCT doc_id) >= 2),
+pd AS (SELECT sp.doc_id, count(*) AS n_spans,
+              CAST(count(sh.span_hash) AS BIGINT) AS n_shared_spans
+       FROM sp LEFT JOIN sh USING (span_hash) GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(pd.n_spans, 0) AS n_spans,
+       coalesce(pd.n_shared_spans, 0) AS n_shared_spans,
+       coalesce(round(1.0 - CAST(pd.n_shared_spans AS DOUBLE) / pd.n_spans,
+                      6), 1.0) AS novelty
+FROM documents d LEFT JOIN pd USING (doc_id)
+""")
+def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty (operators.corpus.doc_novelty_scores,
+    arXiv:2107.06499's duplication fraction inverted): the fraction of a
+    doc's 8-token windows appearing in no other document — low novelty
+    means mostly boilerplate/template even without any single
+    near-duplicate partner.  One persisted span stream feeds both the
+    global frequency aggregate and the per-doc count (corpus scanned
+    once); windowless short docs report novelty 1.0 over 0 spans."""
+    from localsql_spark.operators.corpus import doc_novelty_scores as dns
+
+    docs = load(spark, sf_dir)["documents"]
+    return dns(docs, span=8)

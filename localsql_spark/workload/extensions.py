@@ -2892,3 +2892,47 @@ def streaming_scd2_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(store, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
+
+
+@query("split_stratified_val_by_lang", oracle="""
+WITH r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY CAST('0x' || substr(md5('strat:' ||
+                          CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT),
+                    doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN rn <= CAST(ceil(0.1 * n) AS BIGINT)
+            THEN 'val' ELSE 'train' END AS split
+FROM r
+""")
+def split_stratified_val_by_lang(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """EXACT stratified validation split: precisely ceil(10%) of every
+    language's documents go to val — hash-mod splits (split_train_val_test
+    above) only hit proportions in expectation, and a small stratum can
+    land far off; evaluation sets need exact per-stratum allocation.
+    Deterministic salted hash rank within each stratum ('strat:' salt —
+    the sketches.QUANTILE_SALT independence discipline), per-stratum
+    count via a bounded window, row-local threshold.  The rank filter is
+    per-lang-partitioned (WindowGroupLimit territory, same shape as
+    sample_per_lang_topk); one lang-key shuffle total."""
+    from pyspark.sql.window import Window
+
+    from localsql_spark.operators import hash32
+
+    docs = load(spark, sf_dir)["documents"]
+    rk = hash32(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(rk.asc(), F.col("doc_id").asc())
+    wc = Window.partitionBy("lang")
+    return (docs.select(
+        "doc_id", "lang",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wc).alias("_n"))
+        .select("doc_id", "lang",
+                F.when(F.col("_rn") <= F.ceil(0.1 * F.col("_n"))
+                       .cast("bigint"), "val")
+                .otherwise("train").alias("split")))
