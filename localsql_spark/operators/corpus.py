@@ -476,3 +476,61 @@ def doc_novelty_scores(docs: DataFrame, span: int = 8,
                     F.coalesce(F.col("n_shared_spans"), F.lit(0))
                     .alias("n_shared_spans"),
                     F.coalesce(novelty, F.lit(1.0)).alias("novelty")))
+
+
+def remove_repeated_spans(docs: DataFrame, span: int = 8,
+                          doc_id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Excise cross-document duplicated substrings: every token covered by
+    an 8-token window that appears verbatim in >= 2 distinct documents is
+    removed from the rebuilt text — the ACTION following
+    :func:`repeated_spans` detection (Lee et al. arXiv:2107.06499 remove
+    the duplicated substring occurrences themselves, not whole
+    documents, because boilerplate lives inside otherwise-good pages).
+
+    Scale shape: the span stream is persisted (one corpus scan feeds the
+    shared-hash aggregate AND the per-doc coverage list); the coverage
+    join returns only the duplicated positions — bounded by the corpus's
+    duplication mass, typically a small fraction; the text rebuild is a
+    row-local fold over (token index x covered starts), O(T x |covered|)
+    per doc with |covered| small by the same argument.  Token-exact and
+    deterministic, so the rebuilt text is oracle-checkable bit-for-bit.
+
+    Output: ``(doc_id, n_tokens_before, n_tokens_after, cleaned_hash)``
+    with cleaned_hash = md5 of the space-joined surviving tokens.
+    """
+    from localsql_spark.operators import track_persist
+
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    idx = F.when(n >= span, F.sequence(F.lit(0), n - span)
+                 ).otherwise(F.array().cast("array<int>"))
+    spans = track_persist(
+        spread(docs).select(doc_id_col, F.explode(idx).alias("pos"),
+                            F.md5(F.concat_ws(
+                                " ", F.slice(_tokens(F.col(text_col)),
+                                             F.col("pos") + 1, span)))
+                            .alias("span_hash")))
+    shared = (spans.groupBy("span_hash")
+              .agg(F.countDistinct(doc_id_col).alias("nd"))
+              .filter(F.col("nd") >= 2).select("span_hash"))
+    covered = (spans.join(shared, "span_hash")
+               .groupBy(doc_id_col)
+               .agg(F.sort_array(F.collect_set("pos")).alias("cps")))
+    base = spread(docs).select(doc_id_col, toks.alias("toks"))
+    joined = (base.join(covered, doc_id_col, "left")
+              .select(doc_id_col, "toks",
+                      F.coalesce(F.col("cps"),
+                                 F.array().cast("array<int>")).alias("cps")))
+    # token j survives iff NO covered window start p has p <= j <= p+span-1
+    kept = F.filter(
+        F.sequence(F.lit(0), F.size("toks") - 1),
+        lambda j: F.size(F.filter(
+            F.col("cps"),
+            lambda p: (p <= j) & (j <= p + (span - 1)))) == 0)
+    kept_toks = F.transform(kept, lambda j: F.element_at("toks", j + 1))
+    return joined.select(
+        doc_id_col,
+        F.size("toks").cast("bigint").alias("n_tokens_before"),
+        F.size(kept_toks).cast("bigint").alias("n_tokens_after"),
+        F.md5(F.concat_ws(" ", kept_toks)).alias("cleaned_hash"))

@@ -616,3 +616,44 @@ def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir)["documents"]
     return dns(docs, span=8)
+
+
+@query("remove_repeated_spans", oracle=f"""
+WITH {_TOK_CTE.strip()},
+sp AS (SELECT doc_id, i AS pos,
+              md5(array_to_string(list_slice(toks, i + 1, i + 8), ' '))
+                AS span_hash
+       FROM tok, UNNEST(range(CASE WHEN len(toks) >= 8
+                                   THEN len(toks) - 7 ELSE 0 END)) u(i)),
+sh AS (SELECT span_hash FROM sp GROUP BY 1
+       HAVING count(DISTINCT doc_id) >= 2),
+cov AS (SELECT sp.doc_id, list(DISTINCT pos ORDER BY pos) AS cps
+        FROM sp JOIN sh USING (span_hash) GROUP BY 1),
+j AS (SELECT t.doc_id, t.toks, coalesce(cov.cps, []) AS cps
+      FROM tok t LEFT JOIN cov USING (doc_id)),
+k AS (SELECT doc_id, toks,
+             list_filter(range(len(toks)),
+                         jx -> len(list_filter(cps,
+                                  p -> p <= jx AND jx <= p + 7)) = 0)
+               AS kept
+      FROM j)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens_before,
+       CAST(len(kept) AS BIGINT) AS n_tokens_after,
+       md5(coalesce(array_to_string(list_transform(kept, jx -> toks[jx + 1]),
+                                    ' '), '')) AS cleaned_hash
+FROM k
+""")
+def remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-substring REMOVAL (operators.corpus.
+    remove_repeated_spans, arXiv:2107.06499's remediation): every token
+    covered by an 8-token window shared verbatim across >= 2 documents
+    is excised and the text rebuilt — the action the repeated-span
+    detector exists for (boilerplate lives inside otherwise-good pages,
+    so dropping whole documents is wrong).  The oracle rebuilds the
+    cleaned token stream independently and compares its md5, so the gate
+    checks token-exact surgery, not just counts."""
+    from localsql_spark.operators.corpus import remove_repeated_spans as rrs
+
+    docs = load(spark, sf_dir)["documents"]
+    return rrs(docs, span=8)

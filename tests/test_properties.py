@@ -1447,3 +1447,27 @@ def test_ivf_index_append_visible_and_replay_idempotent(spark, tmp_path):
     assert not list((tmp_path / "ivf" / "delta").glob("batch_*"))
     assert probe() == with_delta
     assert compact_ivf_index(spark, idx) == 0  # nothing left to fold
+
+
+def test_remove_repeated_spans_excises_only_shared_windows(spark):
+    """Tokens covered by a cross-document 8-token window are removed;
+    unique content survives untouched; a doc with no shared spans is
+    byte-identical."""
+    from localsql_spark.operators.corpus import remove_repeated_spans
+
+    boiler = ("copyright notice all rights reserved do not distribute "
+              "this text")  # 10 tokens
+    rows = [(1, boiler + " unique alpha beta gamma words here"),
+            (2, "other document content " + boiler),
+            (3, "totally unique document with no duplication at all here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           remove_repeated_spans(df, span=8).collect()}
+    assert (got[1]["n_tokens_before"], got[1]["n_tokens_after"]) == (16, 6)
+    assert (got[2]["n_tokens_before"], got[2]["n_tokens_after"]) == (13, 3)
+    assert got[3]["n_tokens_before"] == got[3]["n_tokens_after"] == 9
+    import hashlib
+    assert got[3]["cleaned_hash"] == hashlib.md5(
+        rows[2][1].encode()).hexdigest()
+    assert got[1]["cleaned_hash"] == hashlib.md5(
+        b"unique alpha beta gamma words here").hexdigest()
