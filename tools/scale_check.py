@@ -350,8 +350,26 @@ def main() -> None:
         emb = spark.read.parquet(paths[f]["embeddings"])
         return near_dup_threshold_sweep(emb, sample_mod=f).count()
 
+    def op_novelty(f):
+        # .count() would let Catalyst PRUNE the novelty join entirely
+        # (unique-keyed left join adding no counted columns) and report a
+        # flat fake — aggregate a real output column to force the work
+        from localsql_spark.operators.corpus import doc_novelty_scores
+        docs = spark.read.parquet(paths[f]["documents"])
+        return int(doc_novelty_scores(docs, span=8)
+                   .agg(F.sum("n_shared_spans")).collect()[0][0])
+
+    def op_remove_spans(f):
+        from localsql_spark.operators.corpus import remove_repeated_spans
+        docs = spark.read.parquet(paths[f]["documents"])
+        return int(remove_repeated_spans(docs, span=8)
+                   .agg(F.sum("n_tokens_after"),
+                        F.max("cleaned_hash")).collect()[0][0])
+
     ops = {"exact_dedup": op_exact_dedup, "minhash_lsh_pairs": op_minhash,
            "winnowing_fps": op_winnowing,
+           "doc_novelty": op_novelty,
+           "remove_repeated_spans": op_remove_spans,
            "perplexity_buckets": op_perplexity_buckets,
            "embedding_outliers": op_embedding_outliers,
            "near_dup_threshold_sweep": op_threshold_sweep,
