@@ -1083,14 +1083,36 @@ def append_ivf_index(spark: SparkSession, index_path: str,
     return assigned.count()
 
 
-def _ivf_slices(spark: SparkSession, index_path: str) -> DataFrame:
-    """Base cells + every appended delta, one unioned cell-partitioned
-    scan (each side prunes on the cell partition column independently)."""
+def _ivf_base(index_path: str) -> tuple[str, int]:
+    """Resolve the committed base slice and its compacted-through batch id.
+
+    Base resolution is BY NAME so every crash point reads consistently:
+    the newest ``cells_upto_<B>`` (written by :func:`compact_ivf_index`)
+    wins; the original ``cells/`` (from :func:`write_ivf_index`,
+    compacted-through -1) is the fallback.  Delta dirs with
+    ``batch_id <= B`` are superseded — their rows are already folded into
+    the base — so a crash after the compaction commit but before delta
+    cleanup can never double-count an appended vector."""
     from pathlib import Path
 
-    idx = (spark.read.option("basePath", f"{index_path}/cells")
-           .parquet(f"{index_path}/cells"))
-    deltas = sorted(Path(index_path).glob("delta/batch_*"))
+    gens = sorted(Path(index_path).glob("cells_upto_*"),
+                  key=lambda p: int(p.name.rsplit("_", 1)[1]))
+    if gens:
+        newest = gens[-1]
+        return str(newest), int(newest.name.rsplit("_", 1)[1])
+    return f"{index_path}/cells", -1
+
+
+def _ivf_slices(spark: SparkSession, index_path: str) -> DataFrame:
+    """Committed base + every NON-superseded delta, one unioned
+    cell-partitioned scan (each side prunes on the cell partition column
+    independently)."""
+    from pathlib import Path
+
+    base, upto = _ivf_base(index_path)
+    idx = spark.read.option("basePath", base).parquet(base)
+    deltas = sorted(p for p in Path(index_path).glob("delta/batch_*")
+                    if int(p.name.rsplit("_", 1)[1]) > upto)
     for d in deltas:
         idx = idx.unionByName(
             spark.read.option("basePath", str(d)).parquet(str(d)))
@@ -1098,27 +1120,51 @@ def _ivf_slices(spark: SparkSession, index_path: str) -> DataFrame:
 
 
 def compact_ivf_index(spark: SparkSession, index_path: str) -> int:
-    """Fold accumulated ``delta/batch_*`` dirs into the base ``cells/``
-    layout (staged rewrite + directory swap).  Single-writer maintenance
-    step BETWEEN query batches, same contract as the signature store's
-    compaction — it moves ``cells/`` out from under a concurrent reader.
+    """Fold the non-superseded ``delta/batch_*`` dirs into a NEW base
+    generation ``cells_upto_<B>`` (B = highest folded batch id).
+
+    Commit is one directory rename, and the previous base is untouched
+    until after it — there is no instant at which the index lacks a
+    readable base (the failure mode of a cells→cells_old→cells double
+    swap).  Readers resolve the newest ``cells_upto_*`` by name and
+    ignore deltas with id <= B, so a crash after the commit but before
+    cleanup leaves superseded dirs on disk but NOT in query results.
+    Cleanup of the old base / folded deltas / stale staging is
+    opportunistic and re-attempted by the next compaction.
+    Single-writer maintenance step between query batches.
     Returns the number of delta directories folded."""
     import shutil
     from pathlib import Path
 
-    deltas = sorted(Path(index_path).glob("delta/batch_*"))
+    root = Path(index_path)
+    old_base, upto = _ivf_base(index_path)
+    deltas = sorted((p for p in root.glob("delta/batch_*")
+                     if int(p.name.rsplit("_", 1)[1]) > upto),
+                    key=lambda p: int(p.name.rsplit("_", 1)[1]))
+    # opportunistic recovery of a predecessor run's leftovers
+    for stale in root.glob("_staging_cells*"):
+        shutil.rmtree(stale, ignore_errors=True)
+    for p in root.glob("delta/batch_*"):
+        if int(p.name.rsplit("_", 1)[1]) <= upto:
+            shutil.rmtree(p, ignore_errors=True)
+    for g in root.glob("cells_upto_*"):
+        if int(g.name.rsplit("_", 1)[1]) < upto:
+            shutil.rmtree(g, ignore_errors=True)
+    if upto >= 0:
+        shutil.rmtree(root / "cells", ignore_errors=True)
     if not deltas:
         return 0
+    new_upto = int(deltas[-1].name.rsplit("_", 1)[1])
     merged = _ivf_slices(spark, index_path)
-    staged = Path(index_path) / "_staging_cells"
-    shutil.rmtree(staged, ignore_errors=True)
+    staged = root / f"_staging_cells_{new_upto}"
     (merged.write.mode("overwrite").partitionBy("cell")
      .parquet(str(staged)))
-    old = Path(index_path) / "cells_old"
-    shutil.rmtree(old, ignore_errors=True)
-    Path(f"{index_path}/cells").rename(old)
-    staged.rename(Path(index_path) / "cells")
-    shutil.rmtree(old, ignore_errors=True)
+    staged.rename(root / f"cells_upto_{new_upto}")  # COMMIT — one rename
+    # opportunistic cleanup: superseded by name whether or not this runs
+    if upto < 0:
+        shutil.rmtree(root / "cells", ignore_errors=True)
+    else:
+        shutil.rmtree(Path(old_base), ignore_errors=True)
     for d in deltas:
         shutil.rmtree(d, ignore_errors=True)
     return len(deltas)

@@ -330,11 +330,16 @@ def winnowing_fingerprints(docs, k: int = 8, w: int = 4,
         .select(doc_id_col, "ng", F.col("fp.h").alias("h"),
                 F.col("fp.i").alias("i"))
         .distinct())
+    # 2^40 position stride keeps the (hash, position) encoding injective
+    # for any document under 2^40 grams (h*100000+i would alias (h, i)
+    # with (h+1, i-100000) once a doc exceeds 1e5 grams), well inside
+    # DECIMAL(38,0) for 32-bit hashes
+    enc = (F.col("h").cast("decimal(38,0)") * F.lit(1099511627776)
+           + F.col("i"))
     return (sel.groupBy(doc_id_col)
             .agg(F.max("ng").cast("bigint").alias("n_grams"),
                  F.count(F.lit(1)).cast("bigint").alias("n_fps"),
-                 F.sum((F.col("h") * 100000 + F.col("i"))
-                       .cast("decimal(38,0)"))
+                 F.sum(enc.cast("decimal(38,0)"))
                  .cast("decimal(38,0)").cast("string").alias("fp_checksum")))
 
 

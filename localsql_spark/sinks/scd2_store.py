@@ -31,11 +31,14 @@ to be two independent Spark writes with no commit point):
    open sibling never landed is invisible, and once ``open/batch_<id>``
    exists its closed sibling is guaranteed complete (it was renamed
    first).
-3. On replay of the latest batch the live dirs are removed OPEN FIRST
-   (the store atomically falls back to the predecessor snapshot, the
-   orphaned closed dir is ignored by the id rule), then re-committed as
-   in (2).  Every crash point therefore exposes either the predecessor
-   state or the fully-committed new state, never a mix.
+3. Before committing, any live dirs for THIS batch id are removed
+   unconditionally, OPEN FIRST (the store atomically falls back to the
+   predecessor snapshot; an orphaned closed dir — e.g. from a crash
+   between the two renames of a prior attempt — is ignored by the id
+   rule and cleared here so the rename targets are free), then the batch
+   is committed as in (2).  Every crash point therefore exposes either
+   the predecessor state or the fully-committed new state, never a mix,
+   and re-applying after ANY crash point succeeds.
 
 ``_latest_open`` additionally skips snapshots lacking Spark's
 ``_SUCCESS`` marker — belt-and-braces against a tree produced by an
@@ -102,7 +105,6 @@ def apply_batch(spark: SparkSession, store_dir: str, updates: DataFrame,
     directories."""
     store = Path(store_dir)
     prev = _latest_open(store)
-    replay = False
     if _batch_id(prev) > batch_id:
         raise ValueError(
             f"batch {batch_id} is older than applied {prev.name} — "
@@ -114,7 +116,6 @@ def apply_batch(spark: SparkSession, store_dir: str, updates: DataFrame,
             raise ValueError(f"cannot replay {batch_id}: prior snapshot "
                              "already pruned")
         prev = opens[-2]
-        replay = True
 
     # 1. stage both slices — no live-tree writes
     staging = store / "_staging" / f"batch_{batch_id}"
@@ -127,13 +128,14 @@ def apply_batch(spark: SparkSession, store_dir: str, updates: DataFrame,
     (new_hist.filter(F.col("valid_to_us").isNull())
      .write.mode("overwrite").parquet(str(staging / "open")))
 
-    # 2. on replay, retract the previous attempt OPEN FIRST so every
-    # intermediate state reads as the predecessor snapshot
-    if replay:
-        shutil.rmtree(store / "open" / f"batch_{batch_id}",
-                      ignore_errors=True)
-        shutil.rmtree(store / "closed" / f"batch_{batch_id}",
-                      ignore_errors=True)
+    # 2. retract any previous attempt at this batch UNCONDITIONALLY, OPEN
+    # FIRST so every intermediate state reads as the predecessor snapshot.
+    # Not gated on ``replay``: a crash between the closed and open renames
+    # of a prior attempt leaves an orphaned ``closed/batch_<id>`` with no
+    # open sibling (invisible to readers by the id rule, but a non-empty
+    # rename target that would make the step-3 commit raise ENOTEMPTY).
+    shutil.rmtree(store / "open" / f"batch_{batch_id}", ignore_errors=True)
+    shutil.rmtree(store / "closed" / f"batch_{batch_id}", ignore_errors=True)
 
     # 3. commit: closed first, open second (open rename = visibility point)
     _commit_dir(staging / "closed", store / "closed" / f"batch_{batch_id}")

@@ -84,7 +84,10 @@ def fold_landed(spark: SparkSession, land_dir: str, rollup_dir: str,
             continue  # partial landing (stream will rewrite it)
         maintain_rollup(spark, rollup_dir, spark.read.parquet(str(b)),
                         grain=grain)
-        tmp = marker.with_suffix(".tmp")
+        # append to the FULL marker name — with_suffix would strip the
+        # batch id and collapse every batch's tmp file onto one path,
+        # racing concurrent folders onto each other's commit files
+        tmp = Path(str(marker) + ".tmp")
         tmp.write_text("applied")
         os.rename(tmp, marker)  # commit point for this batch's fold
         n += 1

@@ -485,7 +485,7 @@ sel AS (SELECT doc_id, h, i FROM (
 fp AS (SELECT DISTINCT doc_id, h, i FROM sel)
 SELECT nm.doc_id, CAST(nm.ng AS BIGINT) AS n_grams,
        count(*) AS n_fps,
-       CAST(sum(CAST(h * 100000 + i AS DECIMAL(38,0))) AS VARCHAR)
+       CAST(sum(CAST(h AS HUGEINT) * 1099511627776 + i) AS VARCHAR)
          AS fp_checksum
 FROM fp JOIN nm USING (doc_id)
 GROUP BY nm.doc_id, nm.ng

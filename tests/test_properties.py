@@ -1449,6 +1449,65 @@ def test_ivf_index_append_visible_and_replay_idempotent(spark, tmp_path):
     assert compact_ivf_index(spark, idx) == 0  # nothing left to fold
 
 
+def test_ivf_compaction_crash_before_cleanup_never_double_counts(
+        spark, tmp_path):
+    """compact_ivf_index commits via one rename to cells_upto_<B>; a crash
+    after the commit but before cleanup leaves the old base AND already-
+    folded delta dirs on disk.  Readers must resolve the new base by name
+    and ignore deltas with id <= B — identical probe results, no duplicate
+    neighbors — and the next compaction run sweeps the leftovers."""
+    import random
+    import shutil
+
+    from localsql_spark.operators.similarity import (append_ivf_index,
+                                                     compact_ivf_index,
+                                                     knn_ivf_from_index,
+                                                     write_ivf_index)
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "ivf")
+    p = tmp_path / "ivf"
+    write_ivf_index(df.filter("vec_id < 60"), idx, n_cells=4)
+    append_ivf_index(spark, idx, df.filter("vec_id >= 60"), batch_id=1)
+    q = df.filter("vec_id < 3")
+
+    def probe():
+        return sorted((r.query_id, r.neighbor_id, r.cos_sim, r.rn)
+                      for r in knn_ivf_from_index(
+                          spark, idx, q, k=5, n_probe=4).collect())
+
+    expected = probe()
+    # snapshot the pre-compaction dirs that a crash would leave behind
+    shutil.copytree(p / "cells", tmp_path / "cells_bak")
+    shutil.copytree(p / "delta" / "batch_1", tmp_path / "delta_bak")
+    assert compact_ivf_index(spark, idx) == 1
+    assert (p / "cells_upto_1").exists()
+
+    # simulate crash-before-cleanup: old base and folded delta reappear
+    shutil.copytree(tmp_path / "cells_bak", p / "cells")
+    shutil.copytree(tmp_path / "delta_bak", p / "delta" / "batch_1")
+    got = probe()
+    assert got == expected  # no double-counted vectors, same neighbors
+    assert len(got) == len({(qid, n) for qid, n, _, _ in got})
+
+    # next maintenance run: nothing to fold, leftovers swept
+    assert compact_ivf_index(spark, idx) == 0
+    assert not (p / "cells").exists()
+    assert not (p / "delta" / "batch_1").exists()
+    assert probe() == expected
+
+    # a fresh append after compaction folds into the NEXT generation,
+    # which supersedes cells_upto_1 by name
+    extra = spark.createDataFrame(
+        [(100, [1.0] * 16)], "vec_id long, embedding array<float>")
+    append_ivf_index(spark, idx, extra, batch_id=2)
+    assert compact_ivf_index(spark, idx) == 1
+    assert (p / "cells_upto_2").exists()
+    assert not (p / "cells_upto_1").exists()
+
+
 def test_remove_repeated_spans_excises_only_shared_windows(spark):
     """Tokens covered by a cross-document 8-token window are removed;
     unique content survives untouched; a doc with no shared spans is

@@ -215,6 +215,42 @@ def test_scd2_store_ignores_uncommitted_closed_dir(spark, tmp_path):
     assert _hist_rows(read_history(spark, store)) == before
 
 
+def test_scd2_store_reapply_after_closed_only_crash(spark, tmp_path):
+    """Crash between the closed rename and the open rename (closed/batch_N
+    landed, open/batch_N missing): re-applying batch N must succeed — the
+    orphaned closed dir is cleared before the commit renames — and yield
+    the same history as a crash-free application."""
+    import shutil
+
+    from localsql_spark.sinks.scd2_store import (apply_batch, init_store,
+                                                 read_history)
+
+    store = str(tmp_path / "scd2")
+    p = tmp_path / "scd2"
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k int, seg string")
+    u1 = spark.createDataFrame([(1, "a2")], "k int, seg string")
+    init_store(dim, store, ["k"], ["seg"], 100)
+
+    # crash-free twin for the expected final state
+    twin = str(tmp_path / "twin")
+    init_store(dim, twin, ["k"], ["seg"], 100)
+    apply_batch(spark, twin, u1, ["k"], ["seg"], 200, batch_id=1)
+    expected = _hist_rows(read_history(spark, twin))
+
+    # produce the exact post-crash disk state: apply fully, then delete
+    # the open dir (the closed rename happened first, so this IS the state
+    # a crash between the two renames leaves behind)
+    apply_batch(spark, store, u1, ["k"], ["seg"], 200, batch_id=1)
+    shutil.rmtree(p / "open" / "batch_1")
+    before = _hist_rows(read_history(spark, store))
+    assert before != expected  # store reads as the predecessor snapshot
+
+    # re-apply: _latest_open sees batch_0, replay path not taken, yet the
+    # orphaned closed/batch_1 must not break the commit
+    apply_batch(spark, store, u1, ["k"], ["seg"], 200, batch_id=1)
+    assert _hist_rows(read_history(spark, store)) == expected
+
+
 # ---------------------------------------------------------------------------
 # streaming rollup (streaming/stream_rollup.py)
 # ---------------------------------------------------------------------------
