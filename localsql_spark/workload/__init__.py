@@ -175,21 +175,320 @@ _HEAVY = frozenset({
 _DEFERRED: frozenset[str] = frozenset()
 
 
+def _repo_root():
+    from pathlib import Path
+    return Path(__file__).resolve().parents[2]
+
+
+def _row_is_green(row: dict) -> bool:
+    """A full pass, or the documented rows-only pass for oracle-less
+    entries (the driver records err='no_oracle' with a row count)."""
+    if row.get("err") == "no_oracle":
+        return row.get("spark_rows") is not None
+    return bool(row.get("rows_match") and row.get("schema_match")
+                and row.get("hash_match"))
+
+
+_green_cache: dict[str, int] | None = None
+
+
+def _last_green_rounds() -> dict[str, int]:
+    """query name -> highest round with a green driver CORRECTNESS row,
+    parsed from the committed CORRECTNESS_r*.json files."""
+    import json
+    import re
+
+    global _green_cache
+    if _green_cache is not None:
+        return _green_cache
+    out: dict[str, int] = {}
+    for p in sorted(_repo_root().glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and _row_is_green(row):
+                out[name] = max(out.get(name, -1), rnd)
+    _green_cache = out
+    return out
+
+
+def _fn_span_src(tree, src: str, fn_name: str) -> str | None:
+    """Source text of top-level function ``fn_name`` INCLUDING its
+    decorators (the @query decorator carries the oracle SQL, so oracle
+    edits count as changes too).  None if not found."""
+    import ast
+
+    lines = src.splitlines()
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)) \
+                and node.name == fn_name:
+            start = min([node.lineno]
+                        + [d.lineno for d in node.decorator_list]) - 1
+            return "\n".join(lines[start:node.end_lineno])
+    return None
+
+
+def _module_analysis(path) -> dict:
+    """Parse one workload module: its AST + source + a map from local
+    alias name -> localsql_spark module name for every module-level
+    import (``from localsql_spark.operators import dedup as D`` maps
+    ``D`` -> ``localsql_spark.operators.dedup``; a plain function import
+    maps the function name to its defining module)."""
+    import ast
+
+    src = path.read_text()
+    tree = ast.parse(src)
+    aliases: dict[str, str] = {}
+    for node in tree.body:
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name.startswith("localsql_spark"):
+                    aliases[a.asname or a.name.split(".")[0]] = a.name
+        elif isinstance(node, ast.ImportFrom) and node.module \
+                and node.module.startswith("localsql_spark"):
+            for a in node.names:
+                sub = f"{node.module}.{a.name}"
+                aliases[a.asname or a.name] = sub
+    return {"src": src, "tree": tree, "aliases": aliases}
+
+
+def _module_closure(mod_name: str, seen: set) -> set:
+    """Transitive localsql_spark import closure of one module (files)."""
+    import ast
+    import importlib
+    from pathlib import Path
+
+    files: set = set()
+    stack = [mod_name]
+    while stack:
+        name = stack.pop()
+        if name in seen or not name.startswith("localsql_spark"):
+            continue
+        seen.add(name)
+        try:
+            f = getattr(importlib.import_module(name), "__file__", None)
+        except ImportError:
+            continue
+        if not f:
+            continue
+        files.add(Path(f))
+        try:
+            tree = ast.parse(Path(f).read_text())
+        except (OSError, SyntaxError):
+            continue
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Import):
+                stack.extend(a.name for a in node.names)
+            elif isinstance(node, ast.ImportFrom) and node.module:
+                stack.append(node.module)
+                stack.extend(f"{node.module}.{a.name}"
+                             for a in node.names)
+    return files
+
+
+def _fn_dep_files(fn, analysis: dict) -> frozenset:
+    """Operator-module files this specific query function depends on:
+    modules named by aliases the function body actually REFERENCES, plus
+    its own function-local imports, each expanded transitively.  The
+    registry module itself (pure check-ordering plumbing) is excluded;
+    catalog.py (every query's ``load`` path) is always included."""
+    import ast
+    import importlib
+    from pathlib import Path
+
+    mods: set[str] = set()
+    node = None
+    for n in analysis["tree"].body:
+        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef)) \
+                and n.name == fn.__name__:
+            node = n
+            break
+    if node is not None:
+        refs = {x.id for x in ast.walk(node) if isinstance(x, ast.Name)}
+        for name in refs & set(analysis["aliases"]):
+            target = analysis["aliases"][name]
+            try:
+                importlib.import_module(target)
+                mods.add(target)
+            except ImportError:  # a function import: dep on its module
+                mods.add(target.rsplit(".", 1)[0])
+        for x in ast.walk(node):
+            if isinstance(x, ast.Import):
+                mods.update(a.name for a in x.names
+                            if a.name.startswith("localsql_spark"))
+            elif isinstance(x, ast.ImportFrom) and x.module \
+                    and x.module.startswith("localsql_spark"):
+                mods.add(x.module)
+                for a in x.names:
+                    mods.add(f"{x.module}.{a.name}")
+    seen: set = {"localsql_spark.workload"}
+    files: set = set()
+    for m in mods:
+        files |= _module_closure(m, seen)
+    files.add(Path(__file__).resolve().parents[1] / "catalog.py")
+    registry_file = Path(__file__).resolve()
+    return frozenset(f for f in files if f != registry_file)
+
+
+def _compute_changed_since_verified() -> frozenset:
+    """Names of verified queries whose implementing source changed AFTER
+    the round of their last green driver row — the silent-regression
+    channel: without this they would never re-enter the driver's bounded
+    check window, so a semantics-changing edit to already-green code
+    would keep its stale green row forever.
+
+    'Changed' = the query FUNCTION's own source (decorators included, so
+    the oracle SQL counts) differs from its text at the commit that
+    recorded that round's CORRECTNESS file, OR any operator-module file
+    the function references has a newer commit / is dirty in the tree.
+    Function-level granularity on the workload modules keeps an edit to
+    one query from flooding the window with its 100 module-mates."""
+    import ast
+    import subprocess
+    from pathlib import Path
+
+    repo = _repo_root()
+
+    def git(*args) -> str:
+        return subprocess.run(("git", *args), cwd=repo, timeout=30,
+                              capture_output=True, text=True,
+                              check=True).stdout
+
+    last_green = _last_green_rounds()
+    if not last_green:
+        return frozenset()
+    dirty = {repo / line[3:].strip().strip('"')
+             for line in git("status", "--porcelain").splitlines() if line}
+
+    ts_cache: dict = {}
+
+    def last_commit_ts(path) -> int:
+        if path not in ts_cache:
+            out = git("log", "-1", "--format=%ct", "--", str(path)).strip()
+            ts_cache[path] = int(out) if out else 0
+        return ts_cache[path]
+
+    rounds = set(last_green.values())
+    round_ts = {r: last_commit_ts(repo / f"CORRECTNESS_r{r:02d}.json")
+                for r in rounds}
+    round_commit = {r: git("rev-list", "-1", "HEAD", "--",
+                           f"CORRECTNESS_r{r:02d}.json").strip()
+                    for r in rounds}
+
+    analysis_cache: dict = {}
+    old_analysis_cache: dict = {}
+    dep_cache: dict = {}
+    _DIRTY_TS = 1 << 62  # working-tree edits are the most recent of all
+    changed: dict[str, int] = {}
+    for name, spec in REGISTRY.items():
+        rnd = last_green.get(name)
+        if rnd is None or round_ts.get(rnd, 0) == 0 \
+                or not round_commit.get(rnd):
+            continue
+        mod_file = Path(spec.fn.__code__.co_filename)
+        if mod_file not in analysis_cache:
+            analysis_cache[mod_file] = _module_analysis(mod_file)
+        ana = analysis_cache[mod_file]
+        # 1. operator deps: module granularity vs the round's commit time
+        key = (mod_file, spec.fn.__name__)
+        if key not in dep_cache:
+            dep_cache[key] = _fn_dep_files(spec.fn, ana)
+        dep_ts = [_DIRTY_TS if f in dirty else last_commit_ts(f)
+                  for f in dep_cache[key]]
+        stale_ts = max((t for t in dep_ts if t > round_ts[rnd]), default=0)
+        if stale_ts:
+            changed[name] = stale_ts
+            continue
+        # 2. the function's own text: only if its module moved at all
+        if mod_file not in dirty and last_commit_ts(mod_file) <= round_ts[rnd]:
+            continue
+        rel = mod_file.relative_to(repo)
+        okey = (rnd, rel)
+        if okey not in old_analysis_cache:
+            try:
+                old_src = git("show", f"{round_commit[rnd]}:{rel}")
+                old_analysis_cache[okey] = (old_src, ast.parse(old_src))
+            except (subprocess.CalledProcessError, SyntaxError):
+                old_analysis_cache[okey] = None
+        old = old_analysis_cache[okey]
+        mod_ts = _DIRTY_TS if mod_file in dirty else last_commit_ts(mod_file)
+        if old is None:  # module didn't exist then — definitely changed
+            changed[name] = mod_ts
+            continue
+        now = _fn_span_src(ana["tree"], ana["src"], spec.fn.__name__)
+        then = _fn_span_src(old[1], old[0], spec.fn.__name__)
+        if now is None or then is None or now != then:
+            changed[name] = mod_ts
+    return changed
+
+
+_changed_cache: dict | None = None
+
+
+def _changed_since_verified() -> dict:
+    """name -> staleness timestamp (newest changed-dep commit; working-
+    tree edits rank newest of all)."""
+    global _changed_cache
+    if _changed_cache is None:
+        try:
+            _changed_cache = _compute_changed_since_verified()
+        except Exception:  # no git / no repo — fall back to static order
+            _changed_cache = {}
+    return _changed_cache
+
+
+# Verified queries whose SEMANTICS were deliberately edited after their
+# last green driver row — they must re-earn an independent CORRECTNESS
+# row before anything else in the stale block (the automatic
+# changed-since-verified scan is module-granular on operator deps, so on
+# a round that touches a widely-imported module it can flag more entries
+# than one 50-slot driver window holds; this set pins the ones that MUST
+# land this round).  Refresh each round: drop names once their new green
+# row appears in the latest CORRECTNESS file.
+_MUST_RECHECK: tuple[str, ...] = (
+    # round-6 ADVICE fixes (commit 6a7c8f8) — flagged by the round-6
+    # verdict as carrying stale pre-fix r5 rows
+    "knn_pq_top5", "knn_pq_rerank_top5", "gopher_quality_rules",
+    # round-7 semantic edits: winnowing checksum encoding (2^40 stride),
+    # IVF compaction generations, scd2 commit protocol, rollup marker
+    "winnowing_fingerprints", "winnowing_shared_pairs",
+    "knn_ivf_index_append_top5", "scd2_store_history",
+    "streaming_scd2_ingest", "streaming_rollup_hourly",
+)
+
+
 def _ordered() -> dict[str, QuerySpec]:
     """Registry in driver-check priority order: entries WITHOUT a green
     CORRECTNESS row from a prior round first (cheap before heavy, then
-    newly-added deferred, registration order within each class),
-    previously-verified ones after."""
+    newly-added deferred, registration order within each class), then
+    verified entries whose implementing code CHANGED after their green
+    round (stale greens — they must re-earn an independent driver row),
+    stably-verified ones last."""
     _ensure_loaded()
+    verified = DRIVER_VERIFIED | set(_last_green_rounds())
+    changed = _changed_since_verified()
     pending_cheap = {n: s for n, s in REGISTRY.items()
-                     if n not in DRIVER_VERIFIED and n not in _HEAVY
+                     if n not in verified and n not in _HEAVY
                      and n not in _DEFERRED}
     pending_heavy = {n: s for n, s in REGISTRY.items()
-                     if n not in DRIVER_VERIFIED and n in _HEAVY}
+                     if n not in verified and n in _HEAVY}
     deferred = {n: s for n, s in REGISTRY.items()
-                if n not in DRIVER_VERIFIED and n in _DEFERRED}
-    done = {n: s for n, s in REGISTRY.items() if n in DRIVER_VERIFIED}
-    return {**pending_cheap, **pending_heavy, **deferred, **done}
+                if n not in verified and n in _DEFERRED}
+    must = [n for n in _MUST_RECHECK if n in REGISTRY and n in verified]
+    stale_rest = sorted(
+        (n for n in REGISTRY
+         if n in verified and n in changed and n not in must),
+        key=lambda n: (n in _HEAVY, -changed[n]))  # cheap + newest first
+    stale = {n: REGISTRY[n] for n in (*must, *stale_rest)}
+    done = {n: s for n, s in REGISTRY.items()
+            if n in verified and n not in stale}
+    return {**pending_cheap, **pending_heavy, **deferred, **stale, **done}
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
