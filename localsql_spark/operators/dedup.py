@@ -454,10 +454,22 @@ def append_signature_store(df: DataFrame, path: str,
 
 def read_signature_store(spark: SparkSession, path: str) -> DataFrame:
     """The previous run's (doc_id, sig) table — a narrow columnar scan with
-    no text processing at all.  recursiveFileLookup covers both layouts:
-    flat part-files (batch ``write``/``append``) and per-batch
-    subdirectories (the streaming ingest sink's idempotent layout,
-    streaming/stream_dedup_ingest.py)."""
+    no text processing at all.  Covers all three layouts: flat part-files
+    (batch ``write``/``append``), per-batch subdirectories (the streaming
+    ingest sink's idempotent layout, streaming/stream_dedup_ingest.py),
+    and the compacted-generation layout (streaming/batch_dirs.py) — the
+    generation resolver is used whenever an ``upto_*`` dir exists, so a
+    compaction that committed but hasn't cleaned up never double-reads."""
+    from pathlib import Path as _P
+
+    if any(_P(path).glob("upto_*")):
+        from localsql_spark.streaming.batch_dirs import read_batches
+        sigs = read_batches(spark, path).select("doc_id", "sig")
+        flat = [str(p) for p in _P(path).glob("*.parquet")]
+        if flat:  # mixed layout: batch-writer flat files + generations
+            sigs = sigs.unionByName(
+                spark.read.parquet(*flat).select("doc_id", "sig"))
+        return sigs
     return (spark.read.option("recursiveFileLookup", "true").parquet(path)
             .select("doc_id", "sig"))
 

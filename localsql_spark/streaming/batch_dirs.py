@@ -1,0 +1,137 @@
+"""Retention for per-batch landing directories.
+
+Every append-style streaming sink in this package lands micro-batches as
+``<dir>/batch_<id>`` with overwrite semantics (idempotent redelivery),
+which is exactly-once but grows one directory per micro-batch forever —
+the classic many-small-files problem at continuous-ingest cadence.
+
+This module folds old batch dirs into a single size-bounded generation
+``<dir>/upto_<B>`` (B = highest folded batch id) with the same
+commit discipline as the IVF index / SCD2 compactions:
+
+- commit is ONE directory rename (staging -> ``upto_<B>``); the folded
+  batch dirs and any previous generation stay on disk until after it, so
+  no crash point loses rows;
+- readers resolve BY NAME: the newest ``upto_<B>`` plus batch dirs with
+  ``id > B`` — a crash after the commit but before cleanup leaves
+  superseded dirs on disk but never double-reads them;
+- a redelivered batch with ``id <= B`` (checkpoint replay across a
+  compaction) must be SKIPPED by the writer, not rewritten —
+  :func:`superseded` is that gate; its rows are already durable in the
+  generation dir.
+
+Single-writer maintenance step between stream drains, same contract as
+the other compactions.  At 100 TB: each compaction reads only the folded
+tail (bounded by compaction cadence x ingest rate), never the whole
+accumulated corpus, and the generation dir is rewritten at most once per
+maintenance run with ``target_files`` output files.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _gen_id(p: Path) -> int:
+    return int(p.name.rsplit("_", 1)[1])
+
+
+def compacted_through(dir_: str) -> int:
+    """Highest batch id folded into a committed generation (-1 if none)."""
+    gens = sorted(Path(dir_).glob("upto_*"), key=_gen_id)
+    return _gen_id(gens[-1]) if gens else -1
+
+
+def superseded(dir_: str, batch_id: int) -> bool:
+    """True when a redelivered batch's rows are already durable in a
+    generation dir — the writer must no-op instead of recreating the
+    batch dir (which readers would then double-count)."""
+    return batch_id <= compacted_through(dir_)
+
+
+def _live_parts(dir_: str) -> tuple[Path | None, list[Path]]:
+    root = Path(dir_)
+    gens = sorted(root.glob("upto_*"), key=_gen_id)
+    gen = gens[-1] if gens else None
+    upto = _gen_id(gen) if gen else -1
+    batches = sorted((p for p in root.glob("batch_*")
+                      if _gen_id(p) > upto), key=_gen_id)
+    return gen, batches
+
+
+def read_batches(spark: SparkSession, dir_: str) -> DataFrame:
+    """All committed rows: newest generation + non-superseded batch dirs."""
+    gen, batches = _live_parts(dir_)
+    paths = ([str(gen)] if gen else []) + [str(p) for p in batches]
+    if not paths:
+        # empty landing dir: preserve the old recursive-read error shape
+        return spark.read.option("recursiveFileLookup", "true").parquet(dir_)
+    return spark.read.option("recursiveFileLookup", "true").parquet(*paths)
+
+
+def fold_cutoff(dir_: str, keep_last: int = 1) -> int:
+    """The batch id :func:`compact_batches` would fold through (-1 if
+    nothing would fold) — lets a caller compacting PAIRED dirs (e.g. the
+    dedup sink's corpus + signature store) pick one shared cutoff so the
+    superseded gate stays consistent across both."""
+    _, batches = _live_parts(dir_)
+    candidates = batches[:-keep_last] if keep_last > 0 else batches
+    cutoff = -1
+    for p in candidates:
+        if not (p / "_SUCCESS").exists():
+            break
+        cutoff = _gen_id(p)
+    return cutoff
+
+
+def compact_batches(spark: SparkSession, dir_: str, *, keep_last: int = 1,
+                    target_files: int = 4,
+                    max_upto: int | None = None) -> int:
+    """Fold all but the newest ``keep_last`` batch dirs (plus the previous
+    generation) into ``upto_<B>``.  Returns the number of batch dirs
+    folded (0 = nothing to do).  Crash-safe per the module docstring;
+    leftovers from a crashed predecessor run are swept first.
+    ``max_upto`` caps the fold at a caller-chosen batch id (paired-dir
+    compaction; see :func:`fold_cutoff`)."""
+    root = Path(dir_)
+    gen, batches = _live_parts(dir_)
+    upto = _gen_id(gen) if gen else -1
+    # opportunistic recovery: stale staging, superseded batches/generations
+    for stale in root.glob("_staging_upto_*"):
+        shutil.rmtree(stale, ignore_errors=True)
+    for p in root.glob("batch_*"):
+        if _gen_id(p) <= upto:
+            shutil.rmtree(p, ignore_errors=True)
+    for g in root.glob("upto_*"):
+        if gen is not None and _gen_id(g) < _gen_id(gen):
+            shutil.rmtree(g, ignore_errors=True)
+    candidates = batches[:-keep_last] if keep_last > 0 else batches
+    # fold only the contiguous COMPLETE prefix: a partially-landed dir
+    # (no _SUCCESS — the stream will rewrite it) must not end up below
+    # the generation watermark, where its redelivery would be skipped as
+    # superseded before its rows ever became durable
+    fold: list[Path] = []
+    for p in candidates:
+        if not (p / "_SUCCESS").exists():
+            break
+        if max_upto is not None and _gen_id(p) > max_upto:
+            break
+        fold.append(p)
+    if not fold:
+        return 0
+    new_upto = _gen_id(fold[-1])
+    srcs = ([str(gen)] if gen else []) + [str(p) for p in fold]
+    staged = root / f"_staging_upto_{new_upto}"
+    (spark.read.option("recursiveFileLookup", "true").parquet(*srcs)
+     .coalesce(target_files)
+     .write.mode("overwrite").parquet(str(staged)))
+    staged.rename(root / f"upto_{new_upto}")  # COMMIT — one rename
+    # opportunistic cleanup; superseded by name whether or not this runs
+    if gen is not None:
+        shutil.rmtree(gen, ignore_errors=True)
+    for p in fold:
+        shutil.rmtree(p, ignore_errors=True)
+    return len(fold)

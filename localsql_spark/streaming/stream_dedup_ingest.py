@@ -45,6 +45,9 @@ from localsql_spark.operators.dedup import (N_BANDS, N_MINHASH,
                                             compute_signatures,
                                             pairs_touching_new,
                                             read_signature_store)
+from localsql_spark.streaming.batch_dirs import (compact_batches,
+                                                 fold_cutoff, read_batches,
+                                                 superseded)
 
 _SIG_SCHEMA = "doc_id long, sig array<bigint>"
 
@@ -59,6 +62,12 @@ def dedup_ingest_batch(batch: DataFrame, batch_id: int, *, store_dir: str,
     the id is the dedup identity)."""
     spark = batch.sparkSession
     store = Path(store_dir)
+    if superseded(out_dir, batch_id) or superseded(store_dir, batch_id):
+        # checkpoint replay across a compaction: this batch's keepers and
+        # signatures are already durable inside a generation dir —
+        # recreating batch_<id> would double-read them, and recomputing
+        # drops against the NOW-larger store would change the keeper set
+        return 0
     try:
         return _apply(spark, batch, batch_id, store, out_dir, text_col,
                       id_col, threshold, n, bands)
@@ -74,7 +83,8 @@ def _apply(spark: SparkSession, batch: DataFrame, batch_id: int, store: Path,
     # signatures computed ONCE per batch — shared by the probe and the
     # store append (text is never re-shingled)
     sig_new = track_persist(compute_signatures(batch, text_col, id_col, n))
-    if any(store.glob("batch_*")) or any(store.glob("*.parquet")):
+    if any(store.glob("batch_*")) or any(store.glob("*.parquet")) \
+            or any(store.glob("upto_*")):
         sig_corpus = read_signature_store(spark, str(store))
     else:
         sig_corpus = spark.createDataFrame([], _SIG_SCHEMA)
@@ -134,5 +144,28 @@ def stream_dedup_ingest(spark: SparkSession, *, source_dir: str, schema,
 
 
 def read_accepted(spark: SparkSession, out_dir: str) -> DataFrame:
-    """The accepted (deduplicated) corpus across all committed batches."""
-    return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+    """The accepted (deduplicated) corpus across all committed batches:
+    newest compacted generation + non-superseded batch dirs (crash-safe
+    against a compaction that committed but hasn't cleaned up yet)."""
+    return read_batches(spark, out_dir)
+
+
+def compact_ingest(spark: SparkSession, *, out_dir: str, store_dir: str,
+                   keep_last: int = 1, target_files: int = 4) -> int:
+    """Retention for the dedup-ingest sink: fold old ``batch_<id>`` dirs
+    of the accepted corpus AND the signature store into one generation
+    dir each, at one SHARED cutoff (min of what either dir could fold) so
+    the replay no-op gate in :func:`dedup_ingest_batch` stays consistent
+    across both sinks.  Single-writer maintenance step between drains —
+    run it only after a CLEAN drain (a crash mid-batch must be redelivered
+    and rewritten before its dirs are folded).  Returns batch dirs folded
+    across both."""
+    cutoff = min(fold_cutoff(out_dir, keep_last),
+                 fold_cutoff(store_dir, keep_last))
+    if cutoff < 0:
+        return 0
+    n = compact_batches(spark, out_dir, keep_last=0,
+                        target_files=target_files, max_upto=cutoff)
+    n += compact_batches(spark, store_dir, keep_last=0,
+                         target_files=target_files, max_upto=cutoff)
+    return n

@@ -34,7 +34,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -67,6 +66,20 @@ def _applied_marker(rollup_dir: str, batch_id: int) -> Path:
     return Path(rollup_dir).parent / f".{Path(rollup_dir).name}.applied_{batch_id}"
 
 
+def _watermark_file(rollup_dir: str) -> Path:
+    return Path(rollup_dir).parent / f".{Path(rollup_dir).name}.applied_through"
+
+
+def _applied_through(rollup_dir: str) -> int:
+    """Every batch id <= this watermark is applied (its per-batch marker
+    may have been pruned along with its landing dir).  -1 if never set."""
+    f = _watermark_file(rollup_dir)
+    try:
+        return int(f.read_text())
+    except (OSError, ValueError):
+        return -1
+
+
 def fold_landed(spark: SparkSession, land_dir: str, rollup_dir: str,
                 grain: str = "hour") -> int:
     """Fold every landed batch not yet marked applied into the rollup, in
@@ -74,9 +87,12 @@ def fold_landed(spark: SparkSession, land_dir: str, rollup_dir: str,
     Re-invocation after completion is a no-op (markers); re-invocation
     after a crash resumes from the first unmarked batch."""
     n = 0
+    wm = _applied_through(rollup_dir)
     for b in sorted(Path(land_dir).glob("batch_*"),
                     key=lambda p: int(p.name.split("_")[1])):
         bid = int(b.name.split("_")[1])
+        if bid <= wm:
+            continue  # applied before its marker was pruned (watermark)
         marker = _applied_marker(rollup_dir, bid)
         if marker.exists():
             continue
@@ -92,6 +108,54 @@ def fold_landed(spark: SparkSession, land_dir: str, rollup_dir: str,
         os.rename(tmp, marker)  # commit point for this batch's fold
         n += 1
     return n
+
+
+def prune_landed(land_dir: str, rollup_dir: str, keep_last: int = 1) -> int:
+    """Retention for the landing dirs: delete applied batch dirs strictly
+    below the newest applied batch (keeping the newest ``keep_last``
+    applied dirs for inspection/rebuild headroom), advancing the
+    applied-through watermark FIRST so replay safety survives the prune.
+
+    Commit order makes every crash point safe: (1) the watermark file
+    commits via tmp+rename covering every id about to be pruned — from
+    that instant :func:`fold_landed` skips those ids whether or not their
+    markers or dirs still exist; (2) per-batch markers at or below the
+    watermark are deleted; (3) the batch dirs are deleted.  A checkpoint
+    redelivery of a pruned batch re-lands its dir, and the fold skips it
+    by watermark — it is never double-applied.
+
+    Only batches forming a contiguous applied prefix are pruned: the
+    watermark asserts "everything at or below me is applied", so an
+    unapplied gap batch blocks pruning above it.
+
+    Trade documented in the module docstring: landed dirs are the durable
+    record for a from-scratch rollup rebuild; pruning bounds that rebuild
+    to the retained tail.  Returns the number of batch dirs deleted."""
+    import os as _os
+
+    wm = _applied_through(rollup_dir)
+    landed = sorted(Path(land_dir).glob("batch_*"),
+                    key=lambda p: int(p.name.split("_")[1]))
+    applied = []
+    for b in landed:
+        bid = int(b.name.split("_")[1])
+        if bid <= wm or _applied_marker(rollup_dir, bid).exists():
+            applied.append(b)
+        else:
+            break  # unapplied gap: nothing above it may prune
+    prune = applied[:-keep_last] if keep_last > 0 else applied
+    if not prune:
+        return 0
+    new_wm = max(wm, int(prune[-1].name.split("_")[1]))
+    wmf = _watermark_file(rollup_dir)
+    tmp = Path(str(wmf) + ".tmp")
+    tmp.write_text(str(new_wm))
+    _os.rename(tmp, wmf)  # commit point: ids <= new_wm are applied forever
+    for b in prune:
+        bid = int(b.name.split("_")[1])
+        _applied_marker(rollup_dir, bid).unlink(missing_ok=True)
+        shutil.rmtree(b, ignore_errors=True)
+    return len(prune)
 
 
 def stream_rollup(spark: SparkSession, *, source_dir: str, schema,

@@ -30,6 +30,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from localsql_spark.operators.quality import Rule, validate_and_split
+from localsql_spark.streaming.batch_dirs import (compact_batches,
+                                                 fold_cutoff, read_batches,
+                                                 superseded)
 
 _ROW_LOCAL = ("not_null", "between", "accepted", "matches")
 
@@ -43,6 +46,11 @@ def validate_ingest_batch(batch: DataFrame, batch_id: int, *,
         raise ValueError(
             f"streaming gate takes row-local rules only, got {bad}; "
             "cross-batch uniqueness belongs to the dedup-ingest store")
+    if superseded(out_dir, batch_id) or superseded(quarantine_dir, batch_id):
+        # checkpoint replay across a compaction: both routes of this
+        # batch are already durable inside a generation dir — recreating
+        # batch_<id> would double-read them
+        return 0, 0
     passed, quarantined = validate_and_split(batch, rules)
     (passed.write.mode("overwrite")
      .parquet(str(Path(out_dir) / f"batch_{batch_id}")))
@@ -77,5 +85,23 @@ def stream_validate_ingest(spark: SparkSession, *, source_dir: str, schema,
 
 
 def read_routed(spark: SparkSession, dir_: str) -> DataFrame:
-    """Rows committed across all batches of either sink."""
-    return spark.read.option("recursiveFileLookup", "true").parquet(dir_)
+    """Rows committed across all batches of either sink: newest compacted
+    generation + non-superseded batch dirs."""
+    return read_batches(spark, dir_)
+
+
+def compact_routed(spark: SparkSession, *, out_dir: str, quarantine_dir: str,
+                   keep_last: int = 1, target_files: int = 4) -> int:
+    """Retention for the validation gate's two routes, at one SHARED
+    cutoff so the replay no-op gate in :func:`validate_ingest_batch`
+    stays consistent.  Single-writer maintenance between clean drains.
+    Returns batch dirs folded across both."""
+    cutoff = min(fold_cutoff(out_dir, keep_last),
+                 fold_cutoff(quarantine_dir, keep_last))
+    if cutoff < 0:
+        return 0
+    n = compact_batches(spark, out_dir, keep_last=0,
+                        target_files=target_files, max_upto=cutoff)
+    n += compact_batches(spark, quarantine_dir, keep_last=0,
+                         target_files=target_files, max_upto=cutoff)
+    return n

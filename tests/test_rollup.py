@@ -292,3 +292,62 @@ def test_stream_rollup_fold_is_marker_idempotent(spark, tmp_path):
     assert fold_landed(spark, str(land), rollup) == 0
     (b3 / "_SUCCESS").touch()
     assert fold_landed(spark, str(land), rollup) == 1
+
+
+def test_prune_landed_retention_and_replay_safety(spark, tmp_path):
+    """prune_landed deletes applied batch dirs below the newest applied
+    batch after advancing the applied-through watermark; a checkpoint
+    redelivery that re-lands a pruned batch is skipped by the watermark
+    (never double-folded); an unapplied gap batch blocks pruning above
+    it."""
+    from localsql_spark.sinks.rollup import read_rollup
+    from localsql_spark.streaming.stream_rollup import (_applied_marker,
+                                                        _applied_through,
+                                                        fold_landed,
+                                                        prune_landed)
+
+    rows = [(i, f"2024-03-0{1 + i % 2} 0{i % 3}:10:00", i % 5, "view",
+             float(i)) for i in range(60)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string,"
+              " value double").withColumn(
+        "ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    land = tmp_path / "land"
+    for bid in range(4):
+        ev.filter(f"event_id % 4 = {bid}").write.parquet(
+            str(land / f"batch_{bid}"))
+    rollup = str(tmp_path / "rollup")
+    assert fold_landed(spark, str(land), rollup) == 4
+    before = {(r["bucket_ts"], r["key"]): (r["n_events"],
+                                           float(r["sum_value"]))
+              for r in read_rollup(spark, rollup).collect()}
+
+    assert prune_landed(str(land), rollup) == 3  # keep_last=1 keeps batch_3
+    assert sorted(p.name for p in land.glob("batch_*")) == ["batch_3"]
+    assert _applied_through(rollup) == 2
+    assert not _applied_marker(rollup, 0).exists()
+    assert _applied_marker(rollup, 3).exists()  # retained tail keeps marker
+
+    # redelivery of a pruned batch re-lands the dir; the fold skips it
+    ev.filter("event_id % 4 = 1").write.parquet(str(land / "batch_1"))
+    assert fold_landed(spark, str(land), rollup) == 0
+    after = {(r["bucket_ts"], r["key"]): (r["n_events"],
+                                          float(r["sum_value"]))
+             for r in read_rollup(spark, rollup).collect()}
+    assert after == before  # never double-applied
+    assert prune_landed(str(land), rollup) == 1  # re-landed dir re-pruned
+    assert fold_landed(spark, str(land), rollup) == 0
+
+    # new batches keep flowing after a prune
+    ev.filter("event_id % 7 = 0").write.parquet(str(land / "batch_4"))
+    assert fold_landed(spark, str(land), rollup) == 1
+
+    # an unapplied gap blocks pruning above it
+    ev.filter("event_id % 11 = 0").write.parquet(str(land / "batch_5"))
+    (land / "batch_5" / "_SUCCESS").unlink()  # landed but never applied
+    ev.filter("event_id % 13 = 0").write.parquet(str(land / "batch_6"))
+    assert fold_landed(spark, str(land), rollup) == 1  # batch_6 only
+    # applied prefix stops at batch_4 (5 is the gap): 6 must not prune
+    n = prune_landed(str(land), rollup, keep_last=0)
+    assert (land / "batch_6").exists()
+    assert _applied_through(rollup) <= 4

@@ -459,3 +459,103 @@ def test_stream_validate_ingest_routes_and_replays(spark, tmp_path):
     with pytest.raises(ValueError, match="row-local"):
         validate_ingest_batch(df, 0, rules=[Q.unique("k")], out_dir=out,
                               quarantine_dir=quar)
+
+
+def test_dedup_ingest_compaction_and_replay_noop(spark, tmp_path):
+    """compact_ingest folds old accepted/signature batch dirs into one
+    generation each at a shared cutoff; read_accepted and the signature
+    store read identically before/after (including the crash window where
+    folded dirs linger on disk); a redelivered superseded batch no-ops
+    instead of recreating its dirs."""
+    import shutil
+
+    from localsql_spark.operators.dedup import read_signature_store
+    from localsql_spark.streaming.stream_dedup_ingest import (
+        compact_ingest, dedup_ingest_batch, read_accepted)
+
+    store, out = tmp_path / "store", tmp_path / "out"
+    store.mkdir(), out.mkdir()
+    batches = [
+        _mk_docs(spark, [(1, "alpha unique text one two three four"),
+                         (2, "beta wholly different content five six")]),
+        _mk_docs(spark, [(10, "alpha unique text one two three four"),
+                         (11, "gamma fresh vocabulary seven eight nine")]),
+        _mk_docs(spark, [(20, "delta final batch words ten eleven twelve")]),
+    ]
+    for bid, b in enumerate(batches):
+        dedup_ingest_batch(b, bid, store_dir=str(store), out_dir=str(out))
+    accepted = sorted(r.doc_id
+                      for r in read_accepted(spark, str(out)).collect())
+    assert accepted == [1, 2, 11, 20]  # 10 dropped vs batch-0 keeper 1
+    sigs = sorted(r.doc_id for r in
+                  read_signature_store(spark, str(store)).collect())
+    assert sigs == accepted
+
+    # snapshot pre-compaction dirs for the crash-window simulation
+    shutil.copytree(out / "batch_0", tmp_path / "out0_bak")
+    folded = compact_ingest(spark, out_dir=str(out), store_dir=str(store))
+    assert folded == 4  # batches 0+1 in each of the two dirs
+    assert (out / "upto_1").exists() and (store / "upto_1").exists()
+    assert not (out / "batch_0").exists()
+    assert sorted(r.doc_id
+                  for r in read_accepted(spark, str(out)).collect()) \
+        == accepted
+    assert sorted(r.doc_id for r in
+                  read_signature_store(spark, str(store)).collect()) == sigs
+
+    # crash window: a folded dir lingers — readers must not double-count
+    shutil.copytree(tmp_path / "out0_bak", out / "batch_0")
+    got = [r.doc_id for r in read_accepted(spark, str(out)).collect()]
+    assert sorted(got) == accepted and len(got) == len(accepted)
+    shutil.rmtree(out / "batch_0")
+
+    # redelivery of a superseded batch id: full no-op, no dirs recreated
+    assert dedup_ingest_batch(batches[0], 0, store_dir=str(store),
+                              out_dir=str(out)) == 0
+    assert not (out / "batch_0").exists()
+    assert not (store / "batch_0").exists()
+
+    # the sink keeps working after compaction: new batch probes the
+    # generation store (11's text collides -> dropped)
+    b3 = _mk_docs(spark, [(30, "gamma fresh vocabulary seven eight nine"),
+                          (31, "epsilon novel closing words thirteen")])
+    assert dedup_ingest_batch(b3, 3, store_dir=str(store),
+                              out_dir=str(out)) == 1
+    assert sorted(r.doc_id
+                  for r in read_accepted(spark, str(out)).collect()) \
+        == accepted + [31]
+
+
+def test_validate_ingest_compaction_and_replay_noop(spark, tmp_path):
+    """compact_routed folds both routes at a shared cutoff; reads are
+    unchanged; a redelivered superseded batch no-ops."""
+    from localsql_spark.operators import quality as Q
+    from localsql_spark.streaming.stream_validate_ingest import (
+        compact_routed, read_routed, validate_ingest_batch)
+
+    out, quar = tmp_path / "out", tmp_path / "quar"
+    rules = [Q.between("v", 0.0, 10.0)]
+    for bid in range(3):
+        df = spark.createDataFrame(
+            [(bid * 10 + 1, 5.0), (bid * 10 + 2, -1.0)], "k long, v double")
+        validate_ingest_batch(df, bid, rules=rules, out_dir=str(out),
+                              quarantine_dir=str(quar))
+    ok = sorted(r.k for r in read_routed(spark, str(out)).collect())
+    bad = sorted(r.k for r in read_routed(spark, str(quar)).collect())
+    assert ok == [1, 11, 21] and bad == [2, 12, 22]
+
+    assert compact_routed(spark, out_dir=str(out),
+                          quarantine_dir=str(quar)) == 4
+    assert (out / "upto_1").exists() and not (out / "batch_0").exists()
+    assert sorted(r.k
+                  for r in read_routed(spark, str(out)).collect()) == ok
+    assert sorted(r.k
+                  for r in read_routed(spark, str(quar)).collect()) == bad
+
+    # superseded replay: no-op, nothing recreated
+    df0 = spark.createDataFrame([(1, 5.0), (2, -1.0)], "k long, v double")
+    assert validate_ingest_batch(df0, 0, rules=rules, out_dir=str(out),
+                                 quarantine_dir=str(quar)) == (0, 0)
+    assert not (out / "batch_0").exists()
+    assert sorted(r.k
+                  for r in read_routed(spark, str(out)).collect()) == ok
