@@ -35,6 +35,41 @@ def _tokens(text: Column) -> Column:
     return F.split(T.normalize_text(text), " ")
 
 
+def _token_table(docs: DataFrame, doc_id_col: str,
+                 text_col: str) -> DataFrame:
+    """``(doc_id, toks)`` with the corpus tokenized EXACTLY ONCE behind a
+    persist barrier.  The barrier is load-bearing, not a cache nicety: an
+    aliased projection alone gets CollapseProject-inlined into whatever
+    sits above the position Generate, re-splitting the full text for
+    every generated row — O(T^2) per document, measured as a 114s -> ~2s
+    cliff on a 6400-token/doc fixture.  spread() first: a small parquet
+    input otherwise packs into ONE scan split (maxPartitionBytes
+    coalescing) and the token explode serializes on a single core —
+    measured 9.3s vs 2.7s for MORE data in SCALE.md."""
+    from localsql_spark.operators import track_persist
+
+    return track_persist(
+        spread(docs).select(doc_id_col,
+                            _tokens(F.col(text_col)).alias("toks")))
+
+
+def _span_stream(base: DataFrame, span: int, doc_id_col: str,
+                 include_pos: bool = False) -> DataFrame:
+    """Rolling ``span``-token window hashes over a :func:`_token_table`:
+    ``(doc_id[, pos], span_hash)``, one row per window start — row-local
+    (explode over a bounded index sequence, no joins), O(T x span) per
+    document since the slice reads the materialized token array."""
+    n = F.size("toks")
+    idx = F.when(n >= span, F.sequence(F.lit(0), n - span)
+                 ).otherwise(F.array().cast("array<int>"))
+    cols = [doc_id_col, "pos"] if include_pos else [doc_id_col]
+    return (base.select(doc_id_col, "toks", F.explode(idx).alias("pos"))
+            .select(*cols,
+                    F.md5(F.concat_ws(
+                        " ", F.slice(F.col("toks"), F.col("pos") + 1, span)))
+                    .alias("span_hash")))
+
+
 # ---------------------------------------------------------------------------
 # Sequence chunking
 # ---------------------------------------------------------------------------
@@ -96,19 +131,8 @@ def repeated_spans(docs: DataFrame, span: int = 8, min_docs: int = 2,
     filtered to cross-document spans, so downstream consumers (masking,
     span-removal) join a small table back, not the full span stream.
     """
-    toks = _tokens(F.col(text_col))
-    n = F.size(toks)
-    idx = F.when(n >= span, F.sequence(F.lit(0), n - span)
-                 ).otherwise(F.array().cast("array<int>"))
-    # spread() first: a small parquet input packs into ONE scan split
-    # (maxPartitionBytes coalescing) and the token explode serializes on a
-    # single core — measured 9.3s vs 2.7s for MORE data in SCALE.md
-    spans = (spread(docs).select(doc_id_col, toks.alias("toks"),
-                         F.explode(idx).alias("pos"))
-             .select(doc_id_col,
-                     F.md5(F.concat_ws(
-                         " ", F.slice(F.col("toks"), F.col("pos") + 1, span)))
-                     .alias("span_hash")))
+    spans = _span_stream(_token_table(docs, doc_id_col, text_col),
+                         span, doc_id_col)
     return (spans.groupBy("span_hash")
             .agg(F.countDistinct(doc_id_col).alias("n_docs"),
                  F.count(F.lit(1)).alias("n_occurrences"),
@@ -444,17 +468,9 @@ def doc_novelty_scores(docs: DataFrame, span: int = 8,
     """
     from localsql_spark.operators import track_persist
 
-    toks = _tokens(F.col(text_col))
-    n = F.size(toks)
-    idx = F.when(n >= span, F.sequence(F.lit(0), n - span)
-                 ).otherwise(F.array().cast("array<int>"))
     spans = track_persist(
-        spread(docs).select(doc_id_col, toks.alias("toks"),
-                            F.explode(idx).alias("pos"))
-        .select(doc_id_col,
-                F.md5(F.concat_ws(
-                    " ", F.slice(F.col("toks"), F.col("pos") + 1, span)))
-                .alias("span_hash")))
+        _span_stream(_token_table(docs, doc_id_col, text_col),
+                     span, doc_id_col))
     shared = (spans.groupBy("span_hash")
               .agg(F.countDistinct(doc_id_col).alias("nd"))
               .filter(F.col("nd") >= 2).select("span_hash"))
@@ -491,43 +507,66 @@ def remove_repeated_spans(docs: DataFrame, span: int = 8,
     Scale shape: the span stream is persisted (one corpus scan feeds the
     shared-hash aggregate AND the per-doc coverage list); the coverage
     join returns only the duplicated positions — bounded by the corpus's
-    duplication mass, typically a small fraction; the text rebuild is a
-    row-local fold over (token index x covered starts), O(T x |covered|)
-    per doc with |covered| small by the same argument.  Token-exact and
-    deterministic, so the rebuilt text is oracle-checkable bit-for-bit.
+    duplication mass, typically a small fraction; the text rebuild first
+    folds the sorted covered starts into disjoint merged intervals (one
+    ``aggregate()``, O(C)), then emits the surviving indices as the gap
+    complement (O(T) output construction) — O(T + C) per doc, so a
+    boilerplate-heavy document (|covered| ~ T) no longer degenerates to
+    the O(T^2) interpreted-HOF trap the winnowing docstring measures.
+    Token-exact and deterministic, so the rebuilt text is
+    oracle-checkable bit-for-bit.
 
     Output: ``(doc_id, n_tokens_before, n_tokens_after, cleaned_hash)``
     with cleaned_hash = md5 of the space-joined surviving tokens.
     """
     from localsql_spark.operators import track_persist
 
-    toks = _tokens(F.col(text_col))
-    n = F.size(toks)
-    idx = F.when(n >= span, F.sequence(F.lit(0), n - span)
-                 ).otherwise(F.array().cast("array<int>"))
+    # the cached token table serves the span stream AND the final rebuild
+    # join, so the corpus is tokenized exactly once end to end (see
+    # _token_table for why the persist barrier is load-bearing)
+    base = _token_table(docs, doc_id_col, text_col)
     spans = track_persist(
-        spread(docs).select(doc_id_col, F.explode(idx).alias("pos"),
-                            F.md5(F.concat_ws(
-                                " ", F.slice(_tokens(F.col(text_col)),
-                                             F.col("pos") + 1, span)))
-                            .alias("span_hash")))
+        _span_stream(base, span, doc_id_col, include_pos=True))
     shared = (spans.groupBy("span_hash")
               .agg(F.countDistinct(doc_id_col).alias("nd"))
               .filter(F.col("nd") >= 2).select("span_hash"))
     covered = (spans.join(shared, "span_hash")
                .groupBy(doc_id_col)
                .agg(F.sort_array(F.collect_set("pos")).alias("cps")))
-    base = spread(docs).select(doc_id_col, toks.alias("toks"))
     joined = (base.join(covered, doc_id_col, "left")
               .select(doc_id_col, "toks",
                       F.coalesce(F.col("cps"),
                                  F.array().cast("array<int>")).alias("cps")))
-    # token j survives iff NO covered window start p has p <= j <= p+span-1
-    kept = F.filter(
-        F.sequence(F.lit(0), F.size("toks") - 1),
-        lambda j: F.size(F.filter(
-            F.col("cps"),
-            lambda p: (p <= j) & (j <= p + (span - 1)))) == 0)
+    # token j survives iff NO covered window start p has p <= j <= p+span-1.
+    # Coverage gaps come straight from consecutive SORTED starts: a gap
+    # [p_i+span, p_{i+1}-1] exists iff p_{i+1} > p_i + span, plus the head
+    # gap before the first start and the tail gap after the last window.
+    # zip-with-successor emits each gap once with no per-element
+    # accumulator copying — O(T + C) total (an aggregate() that rebuilds
+    # its interval array per element is O(C^2) in Spark's interpreted
+    # HOF evaluator and bent the curve at |covered| ~ T; measured).
+    n_toks = F.size("toks")
+    empty_int = F.array().cast("array<int>")
+    size_c = F.size("cps")
+    first = F.element_at("cps", 1)
+    last = F.element_at("cps", -1)
+    succ = F.slice("cps", 2, F.greatest(size_c - 1, F.lit(0)))
+    mid_gaps = F.zip_with(
+        "cps", succ,
+        lambda a, b: F.when(b.isNotNull() & (b > a + span),
+                            F.sequence(a + span, b - 1))
+                      .otherwise(empty_int))
+    head_gap = F.when(first > 0,
+                      F.sequence(F.lit(0), first - 1)).otherwise(empty_int)
+    tail_gap = F.when(last + span <= n_toks - 1,
+                      F.sequence(last + span, n_toks - 1)
+                      ).otherwise(empty_int)
+    kept = F.when(
+        size_c == 0,
+        F.when(n_toks > 0, F.sequence(F.lit(0), n_toks - 1))
+        .otherwise(empty_int)
+    ).otherwise(F.flatten(F.concat(F.array(head_gap), mid_gaps,
+                                   F.array(tail_gap))))
     kept_toks = F.transform(kept, lambda j: F.element_at("toks", j + 1))
     return joined.select(
         doc_id_col,

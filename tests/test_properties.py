@@ -1530,3 +1530,48 @@ def test_remove_repeated_spans_excises_only_shared_windows(spark):
         rows[2][1].encode()).hexdigest()
     assert got[1]["cleaned_hash"] == hashlib.md5(
         b"unique alpha beta gamma words here").hexdigest()
+
+
+def test_remove_repeated_spans_boilerplate_heavy_doc(spark):
+    """The pathological |covered| ~ T case the interval-merge rebuild
+    exists for: a document that is ~all duplicated substring (a repeated
+    shared phrase) plus a unique tail.  The merged-interval gap
+    complement must excise exactly the covered prefix and keep the tail —
+    and a Python reference implementation of the window-coverage rule
+    agrees token for token."""
+    import hashlib
+
+    from localsql_spark.operators.corpus import remove_repeated_spans
+
+    phrase = "the shared boilerplate phrase repeats here again now"  # 8 toks
+    body = " ".join([phrase] * 200)  # 1600 tokens, fully covered
+    tail = "entirely unique closing sentence zeta eta theta iota"
+    rows = [(1, body + " " + tail), (2, phrase + " different suffix words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           remove_repeated_spans(df, span=8).collect()}
+
+    # python reference: covered = union of [p, p+7] over shared 8-gram
+    # window starts; doc 1 shares every window inside the repeated body
+    def ref_clean(text, shared_windows):
+        toks = text.split()
+        covered = set()
+        for p in range(max(0, len(toks) - 7)):
+            if " ".join(toks[p:p + 8]) in shared_windows:
+                covered.update(range(p, p + 8))
+        kept = [t for j, t in enumerate(toks) if j not in covered]
+        return len(toks), len(kept), hashlib.md5(
+            " ".join(kept).encode()).hexdigest()
+
+    all_windows = []
+    for _, text in rows:
+        toks = text.split()
+        all_windows.append({" ".join(toks[p:p + 8])
+                            for p in range(max(0, len(toks) - 7))})
+    shared = all_windows[0] & all_windows[1]
+    for doc_id, text in rows:
+        nb, na, h = ref_clean(text, shared)
+        assert got[doc_id]["n_tokens_before"] == nb
+        assert got[doc_id]["n_tokens_after"] == na
+        assert got[doc_id]["cleaned_hash"] == h
+    assert got[1]["n_tokens_after"] == 8  # only the unique tail survives
