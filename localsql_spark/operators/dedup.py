@@ -621,21 +621,112 @@ def minhash_lsh_pairs_incremental(corpus: DataFrame, new: DataFrame,
         threshold=threshold, n=n, bands=bands, bucket_cap=bucket_cap)
 
 
+def _store_file_listing(store_path: str) -> list[list]:
+    """Pure-filesystem fingerprint of a signature store: sorted
+    (relative path, size) of every parquet part-file.  Detecting index
+    staleness from metadata alone keeps the freshness check O(files),
+    never a data scan — the scan is exactly what the index exists to
+    avoid."""
+    from pathlib import Path
+
+    root = Path(store_path)
+    return sorted([str(p.relative_to(root)), p.stat().st_size]
+                  for p in root.rglob("*.parquet"))
+
+
+def ensure_banded_index(spark: SparkSession, store_path: str,
+                        index_path: str, n: int = N_MINHASH,
+                        bands: int = N_BANDS,
+                        bucket_cap: int | None = None) -> str:
+    """Keep a band-partitioned sidecar index in sync with a signature
+    store; returns 'fresh' | 'appended' | 'rebuilt'.
+
+    Sync is incremental along the store's own growth pattern: the meta
+    file records the store's part-file listing at last sync, so a daily
+    ``append_signature_store`` shows up as ADDED files only — just those
+    files are read, banded and appended, O(new) per day.  Any removed or
+    rewritten file (a store compaction) forces one full rebuild (staged
+    + atomic rename).  The meta commit (tmp+rename) happens AFTER the
+    index append; a crash between the two re-appends the same batch next
+    run — duplicate index rows are harmless because candidate pairs are
+    ``distinct()``-ed, and the next compaction-triggered rebuild clears
+    them."""
+    import json
+    import os
+    import shutil
+    from pathlib import Path
+
+    meta = Path(index_path) / "_meta.json"
+    cur = _store_file_listing(store_path)
+    prev: list[list] | None = None
+    if meta.exists():
+        try:
+            prev = json.loads(meta.read_text())
+        except ValueError:
+            prev = None
+    if prev == cur:
+        return "fresh"
+
+    root = Path(store_path)
+    state = "rebuilt"
+    if prev is not None:
+        prev_set = {tuple(f) for f in prev}
+        cur_set = {tuple(f) for f in cur}
+        if prev_set <= cur_set:  # pure growth: band only the added files
+            added = [str(root / rel) for rel, _ in
+                     sorted(cur_set - prev_set)]
+            sigs = (spark.read.parquet(*added)
+                    .select("doc_id", "sig"))
+            write_banded_index(sigs, index_path, n, bands, mode="append",
+                              bucket_cap=None)
+            state = "appended"
+    if state == "rebuilt":
+        staged = str(Path(index_path).parent
+                     / f".{Path(index_path).name}.staged")
+        shutil.rmtree(staged, ignore_errors=True)
+        write_banded_index(read_signature_store(spark, store_path),
+                           staged, n, bands, bucket_cap=bucket_cap)
+        shutil.rmtree(index_path, ignore_errors=True)
+        os.rename(staged, index_path)
+    tmp = Path(str(meta) + ".tmp")
+    tmp.write_text(json.dumps(cur))
+    os.rename(tmp, meta)
+    return state
+
+
 def minhash_lsh_pairs_from_store(spark: SparkSession, store_path: str,
                                  new: DataFrame, text_col: str = "text",
                                  id_col: str = "doc_id",
                                  threshold: float = 0.5,
                                  n: int = N_MINHASH,
                                  bands: int = N_BANDS,
-                                 bucket_cap: int | None = None) -> DataFrame:
+                                 bucket_cap: int | None = None,
+                                 index_path: str | None = None,
+                                 auto_index: bool = True) -> DataFrame:
     """Production incremental near-dup: probe the PERSISTED signature store
-    with a new batch.  The corpus side is a narrow (doc_id, sig) parquet
-    scan — no shingling, no md5 over text, no dependency on corpus text
-    even being reachable — so the whole job costs O(new×bands) probes plus
-    one columnar read of the store.  Same result as
-    :func:`minhash_lsh_pairs_incremental` given the store was written by
-    :func:`write_signature_store` over the same corpus (property-tested in
-    tests/test_properties.py)."""
+    with a new batch.  The corpus side never re-shingles text — and with
+    ``auto_index`` (the default) it is not even a linear store scan: a
+    band-partitioned sidecar index (``<store>_banded``, maintained
+    incrementally by :func:`ensure_banded_index`) turns candidate
+    generation into a partition-pruned read of only the ``bk_prefix=``
+    directories the batch's band keys hit.  The flat-scan path remains
+    behind ``auto_index=False`` (or a store the index can't mirror) and
+    is property-tested equal.  Daily cost: O(new x bands) probes + a
+    pruned columnar read + O(new) index maintenance — the store scan
+    SCALE.md documents as the flat path's linear term is gone.  Same
+    result as :func:`minhash_lsh_pairs_incremental` given the store was
+    written by :func:`write_signature_store` over the same corpus
+    (property-tested in tests/test_properties.py)."""
+    if auto_index:
+        # bucket_cap semantics differ between paths (probe-time cap vs
+        # write-time cap), so the index fast-path only serves the
+        # cap-free probe — the capped call keeps the flat path
+        if bucket_cap is None:
+            idx = index_path or f"{store_path.rstrip('/')}_banded"
+            ensure_banded_index(spark, store_path, idx, n, bands)
+            return minhash_lsh_pairs_from_banded_index(
+                spark, idx, store_path, new, text_col, id_col,
+                threshold, n, bands)
     return pairs_touching_new(
         read_signature_store(spark, store_path),
         compute_signatures(new, text_col, id_col, n),

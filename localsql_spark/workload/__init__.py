@@ -460,6 +460,12 @@ _MUST_RECHECK: tuple[str, ...] = (
     "winnowing_fingerprints", "winnowing_shared_pairs",
     "knn_ivf_index_append_top5", "scd2_store_history",
     "streaming_scd2_ingest", "streaming_rollup_hourly",
+    # round-7 execution-path changes (same oracle, new plan): auto banded
+    # index on the store probe; interval-merge span rebuild + shared
+    # persisted token table
+    "dedup_incremental_store", "pipeline_incremental_ingest",
+    "remove_repeated_spans", "doc_novelty_scores", "dedup_repeated_spans",
+    "streaming_dedup_ingest",
 )
 
 

@@ -341,3 +341,15 @@ def test_runtime_bloom_filter_prunes_selective_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_incremental_store_probe_is_partition_pruned(spark, queries):
+    """The headline incremental-dedup query's candidate read must prune on
+    the band-partitioned sidecar index (PartitionFilters on bk_prefix),
+    not linearly scan the flat signature store — the auto_index default
+    of minhash_lsh_pairs_from_store."""
+    plan = _plan(queries["dedup_incremental_store"](spark, SF_SMALL))
+    pf = [ln for ln in plan.splitlines()
+          if "PartitionFilters" in ln and "bk_prefix" in ln]
+    assert pf, "index scan lost its bk_prefix partition prune"
+    assert "CartesianProduct" not in plan

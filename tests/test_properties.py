@@ -818,7 +818,8 @@ def test_banded_index_probe_matches_flat_store_and_prunes(spark, tmp_path):
 
     flat = sorted((r.doc_a, r.doc_b, round(r.est_jaccard, 9)) for r in
                   D.minhash_lsh_pairs_from_store(
-                      spark, store, new, threshold=0.3).collect())
+                      spark, store, new, threshold=0.3,
+                      auto_index=False).collect())
     via_index = D.minhash_lsh_pairs_from_banded_index(
         spark, index, store, new, threshold=0.3)
     got = sorted((r.doc_a, r.doc_b, round(r.est_jaccard, 9))
@@ -1575,3 +1576,50 @@ def test_remove_repeated_spans_boilerplate_heavy_doc(spark):
         assert got[doc_id]["n_tokens_after"] == na
         assert got[doc_id]["cleaned_hash"] == h
     assert got[1]["n_tokens_after"] == 8  # only the unique tail survives
+
+
+def test_from_store_auto_index_builds_appends_and_prunes(spark, tmp_path):
+    """minhash_lsh_pairs_from_store's default path maintains the band-
+    partitioned sidecar index automatically: first probe builds it, a
+    store append syncs incrementally ('appended' — only the new files are
+    banded), a store compaction forces one rebuild, and every probe's
+    results equal the flat scan (auto_index=False)."""
+    from localsql_spark.operators import dedup as D
+
+    rows = [(i, f"sentence variant {i % 7} of a corpus with overlapping "
+                f"phrases for banding") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = docs.filter("doc_id % 5 != 0 and doc_id < 40")
+    day2 = docs.filter("doc_id % 5 != 0 and doc_id >= 40")
+    new = docs.filter("doc_id % 5 = 0")
+    store = str(tmp_path / "sig_store")
+    D.write_signature_store(corpus, store)
+
+    def flat():
+        return sorted((r.doc_a, r.doc_b, round(r.est_jaccard, 9)) for r in
+                      D.minhash_lsh_pairs_from_store(
+                          spark, store, new, threshold=0.3,
+                          auto_index=False).collect())
+
+    def auto():
+        return sorted((r.doc_a, r.doc_b, round(r.est_jaccard, 9)) for r in
+                      D.minhash_lsh_pairs_from_store(
+                          spark, store, new, threshold=0.3).collect())
+
+    got = auto()
+    assert got and got == flat()
+    sidecar = tmp_path / "sig_store_banded"
+    assert sidecar.exists() and (sidecar / "_meta.json").exists()
+    assert any(sidecar.glob("bk_prefix=*"))
+    # second probe finds the index fresh — no rewrite
+    assert D.ensure_banded_index(spark, store, str(sidecar)) == "fresh"
+
+    # daily append: only the added files are banded
+    D.append_signature_store(day2, store)
+    assert D.ensure_banded_index(spark, store, str(sidecar)) == "appended"
+    assert auto() == flat()
+
+    # store compaction rewrites files -> one full index rebuild
+    D.compact_signature_store(spark, store)
+    assert D.ensure_banded_index(spark, store, str(sidecar)) == "rebuilt"
+    assert auto() == flat()
