@@ -447,6 +447,77 @@ def knn_ivf_trained_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
                      n_cells=16, n_probe=4, centroids=cents)
 
 
+# Exact oracle for the TRAINED path via planted clusters: on a corpus of 16
+# well-separated clusters (cluster c = vec_id % 16; vector = 10*onehot(c) +
+# 0.05*original embedding as deterministic within-cluster jitter), kmeans||
+# + 2 Lloyd rounds provably recovers the partition (ANN.md planted-cluster
+# regime, recall 1.000) and every query's nearest centroid is its own
+# cluster — so the trained IVF's top-5 EQUALS the global brute-force top-5,
+# which DuckDB computes exactly.  The oracle never reproduces the training
+# (not SQL-expressible); it checks the closed-form ANSWER the training must
+# reach, so any semantic drift in kmeans||/Lloyd/probe shows up as a hash
+# mismatch.  The uniform-data twin (knn_ivf_trained_top5) stays rows-only.
+_PLANTED_IVF_ORACLE = """
+WITH pe0 AS (SELECT vec_id, generate_subscripts(embedding, 1) AS p,
+                    CAST(unnest(embedding) AS DOUBLE) AS x0
+             FROM embeddings),
+pe AS (SELECT vec_id, p,
+              CASE WHEN p = (vec_id % 16) + 1 THEN 10.0 ELSE 0.0 END
+              + x0 * 0.05 AS x
+       FROM pe0),
+norms AS (SELECT vec_id,
+                 sqrt(CAST(SUM(CAST(round(x * x, 12) AS DECIMAL(38,12)))
+                      AS DOUBLE)) AS nrm
+          FROM pe GROUP BY vec_id),
+dots AS (SELECT qe.vec_id AS query_id, ce.vec_id AS neighbor_id,
+                CAST(SUM(CAST(round(qe.x * ce.x, 12) AS DECIMAL(38,12)))
+                     AS DOUBLE) AS dotp
+         FROM pe qe JOIN pe ce ON qe.p = ce.p
+         WHERE qe.vec_id < 10 AND qe.vec_id <> ce.vec_id
+         GROUP BY 1, 2),
+scored AS (SELECT query_id, neighbor_id,
+                  round(dotp / (nq.nrm * nc.nrm), 9) AS cos_sim
+           FROM dots JOIN norms nq ON nq.vec_id = query_id
+                     JOIN norms nc ON nc.vec_id = neighbor_id)
+SELECT query_id, neighbor_id, cos_sim, rn FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored) ranked
+WHERE rn <= 5
+"""
+
+
+@query("knn_ivf_trained_planted_top5", oracle=_PLANTED_IVF_ORACLE)
+def knn_ivf_trained_planted_top5(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """TRAINED IVF with an EXACT cross-engine oracle: the corpus is the
+    planted-cluster transform of the embeddings table (see the oracle
+    comment above), the centroids come from the full deterministic
+    kmeans|| + Lloyd training pipeline, and the search is the same
+    16-cell / 4-probe knn_ivf as the production path.  Because trained
+    centroids recover the planted partition exactly, the IVF answer is
+    the global brute-force top-5 — closed-form for DuckDB."""
+    from localsql_spark.operators.similarity import (kmeans_assign,
+                                                     kmeans_parallel_init,
+                                                     kmeans_update)
+
+    emb = load(spark, sf_dir)["embeddings"]
+    c = (F.col("vec_id") % 16).cast("int")
+    planted = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == c, F.lit(10.0)).otherwise(F.lit(0.0))
+            + x.cast("double") * F.lit(0.05)).alias("embedding"))
+    cents = kmeans_parallel_init(planted, n_clusters=16)
+    for _ in range(2):
+        assign = kmeans_assign(planted, cents)
+        cents = kmeans_update(planted, assign)
+    cents = spark.createDataFrame(cents.collect(), schema=cents.schema)
+    return S.knn_ivf(planted, planted.filter(F.col("vec_id") < 10), k=5,
+                     n_cells=16, n_probe=4, centroids=cents)
+
+
 @query("embedding_near_dup", oracle=f"""
 WITH b AS (SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS INT) AS bucket FROM embeddings),
 q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b),
