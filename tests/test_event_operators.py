@@ -461,3 +461,56 @@ def test_decode_image_codec_paths(spark):
         assert len(px) == 6  # 3x2 grayscale bytes
         assert decode_image(buf.getvalue(), "png",
                             codec="auto") == px
+
+
+# ---------------------------------------------------------------------------
+# multimodal perceptual hash (operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+def test_phash_basis_matches_python(spark):
+    """The rounded DCT basis must be identical across engines — this is
+    the determinism foundation of the multimodal_phash oracle (both sides
+    derive the basis independently from round(cos(...), 12))."""
+    import math
+
+    from localsql_spark.operators.multimodal import dct_basis
+
+    got = {(r.u, r.b): r.w for r in dct_basis(spark).collect()}
+    assert len(got) == 32 * 64
+    for u in range(1, 33):
+        for b in range(64):
+            assert got[(u, b)] == round(
+                math.cos(math.pi * (2 * b + 1) * u / 128.0), 12)
+
+
+def test_phash_pairs_near_dup_semantics(spark):
+    """Near-identical payloads land within the hamming threshold, a
+    disjoint payload does not, and the banded candidate generation loses
+    nothing vs the all-pairs compare for hamming <= bands-1."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators.multimodal import (phash_features,
+                                                     phash_pairs)
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "banded perceptual hash keeps its low frequency signs stable")
+    rows = [(1, base), (2, base.replace("dog", "cat")),
+            (3, "completely unrelated text about shuffle partitions and "
+                "broadcast joins in a distributed query engine")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted((r.doc_a, r.doc_b) for r in
+                 phash_pairs(docs, max_hamming=3).collect())
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+    # banding recall check: banded pairs == brute-force pairs at <= 3
+    h = {r.doc_id: r.phash for r in phash_features(docs).collect()}
+    brute = sorted(
+        (a, b) for a in h for b in h if a < b
+        and bin(h[a] ^ h[b]).count("1") <= 3)
+    assert got == brute
+
+    # doc shorter than 64 chars still hashes (pool buckets repeat)
+    tiny = spark.createDataFrame([(9, "short text")],
+                                 "doc_id long, text string")
+    assert phash_features(tiny).count() == 1
