@@ -77,6 +77,11 @@ EXTENSION_HEADLINE = [
     # round 6: MOSS fingerprinting + CCNet bucketing
     "winnowing_fingerprints",
     "ccnet_perplexity_buckets",
+    # round 7: multimodal pHash near-dup, exact-oracled trained IVF,
+    # span removal after the interval-merge/token-table rebuild
+    "multimodal_phash_pairs",
+    "knn_ivf_trained_planted_top5",
+    "remove_repeated_spans",
 ]
 
 

@@ -543,7 +543,12 @@ def write_banded_index(sigs: DataFrame, path: str, n: int = N_MINHASH,
     banded = band_keys(sigs, n, bands)
     if bucket_cap is not None:
         banded = _drop_hot_buckets(banded, bucket_cap)
+    # repartition ON the partition column before the hive write: without
+    # it every task writes into every bk_prefix dir — up to tasks x 256
+    # small files per build (measured 17x wall on the store-probe bench);
+    # with it, one file per touched prefix dir
     (banded.withColumn("bk_prefix", F.substring("band_key", 1, 2))
+     .repartition(F.col("bk_prefix"))
      .write.mode(mode).partitionBy("bk_prefix").parquet(path))
 
 
