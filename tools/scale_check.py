@@ -366,7 +366,16 @@ def main() -> None:
                    .agg(F.sum("n_tokens_after"),
                         F.max("cleaned_hash")).collect()[0][0])
 
+    def op_phash_pairs(f):
+        # aggregate real outputs (hamming sum) so Catalyst can't prune
+        from localsql_spark.operators.multimodal import phash_pairs
+        docs = spark.read.parquet(paths[f]["documents"])
+        row = (phash_pairs(docs, max_hamming=3)
+               .agg(F.count(F.lit(1)), F.sum("hamming")).collect()[0])
+        return int(row[0])
+
     ops = {"exact_dedup": op_exact_dedup, "minhash_lsh_pairs": op_minhash,
+           "phash_pairs": op_phash_pairs,
            "winnowing_fps": op_winnowing,
            "doc_novelty": op_novelty,
            "remove_repeated_spans": op_remove_spans,
@@ -392,6 +401,11 @@ def main() -> None:
            "table_diff": op_table_diff, "scd2_apply": op_scd2_apply,
            "quarantine_split": op_quarantine, "pagerank": op_pagerank,
            "bpe_pair_counts": op_bpe_pairs}
+
+    only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        ops = {k: v for k, v in ops.items() if k in keep}
 
     results: dict[str, dict[int, float]] = {}
     for name, fn in ops.items():
@@ -426,6 +440,34 @@ def main() -> None:
                       f"{[round(t, 2) for t in times]} ({rows} rows)",
                       file=sys.stderr)
 
+    def fmt_row(name: str, r: dict[int, float]) -> str:
+        g1 = r[4] / r[1] if r[1] else float("nan")
+        g2 = r[16] / r[4] if r[4] else float("nan")
+        return (f"| {name} | {r[1]:.2f}s | {r[4]:.2f}s | {r[16]:.2f}s "
+                f"| {g1:.1f}x | {g2:.1f}x |")
+
+    scale_md = Path("SCALE.md")
+    if scale_md.exists():
+        # surgical update: replace/append only the measured rows so a
+        # filtered run (SPARK_GRAFT_SCALE_ONLY) or re-measure preserves
+        # every other row and all hand-written analysis below the table
+        out_lines = scale_md.read_text().splitlines()
+        done = set()
+        for i, ln in enumerate(out_lines):
+            parts = [p.strip() for p in ln.split("|")]
+            if len(parts) > 2 and parts[1] in results:
+                out_lines[i] = fmt_row(parts[1], results[parts[1]])
+                done.add(parts[1])
+        missing = [n for n in results if n not in done]
+        if missing:
+            last_row = max(i for i, ln in enumerate(out_lines)
+                           if ln.startswith("|"))
+            out_lines[last_row + 1:last_row + 1] = [
+                fmt_row(n, results[n]) for n in missing]
+        scale_md.write_text("\n".join(out_lines) + "\n")
+        print("\n".join(fmt_row(n, r) for n, r in results.items()))
+        return
+
     lines = [
         "# SCALE — empirical scaling of the heavy operators",
         "",
@@ -438,10 +480,7 @@ def main() -> None:
         "|---|---|---|---|---|---|",
     ]
     for name, r in results.items():
-        g1 = r[4] / r[1] if r[1] else float("nan")
-        g2 = r[16] / r[4] if r[4] else float("nan")
-        lines.append(f"| {name} | {r[1]:.2f}s | {r[4]:.2f}s | {r[16]:.2f}s "
-                     f"| {g1:.1f}x | {g2:.1f}x |")
+        lines.append(fmt_row(name, r))
     lines += [
         "",
         "Growth below 4.0x per step reflects fixed per-query overhead still",
