@@ -155,6 +155,8 @@ _HEAVY = frozenset({
     # time-budgeted driver check reaches every cheap entry first
     "streaming_rollup_hourly", "streaming_scd2_ingest",
     "knn_ivf_trained_top5",
+    # round 7: streaming IVF drain
+    "streaming_ivf_ingest_top5",
 })
 
 

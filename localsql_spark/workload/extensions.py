@@ -2241,6 +2241,71 @@ def knn_ivf_index_append_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 n_probe=4)
 
 
+@query("streaming_ivf_ingest_top5", oracle=_IVF_ORACLE)
+def streaming_ivf_ingest_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming embedding ingest into the persisted IVF index, driven
+    end-to-end (streaming.stream_ivf_ingest): the base index is built
+    from ~3/5 of the corpus (seed vectors forced into the base so the
+    centroid table is complete), the remaining vectors arrive as an
+    mtime-ordered file stream (maxFilesPerTrigger=1) and fold in as
+    idempotent cell-partitioned deltas assigned against the EXISTING
+    centroids, then compaction folds the generations and the probe runs.
+    Sharing knn_ivf_top5's oracle proves base + streamed appends +
+    compact == the index built from the full corpus in one shot — the
+    invariance continuous ANN ingest must hold."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from localsql_spark.catalog import _CACHE_DIR
+    from localsql_spark.operators import hash32
+    from localsql_spark.operators.similarity import compact_ivf_index
+    from localsql_spark.streaming.stream_ivf_ingest import stream_ivf_ingest
+
+    emb = load(spark, sf_dir)["embeddings"]
+    m = F.pmod(hash32(F.col("vec_id")), F.lit(5))
+    base = emb.filter((m >= 2) | (F.col("vec_id") < 16))
+    rest = m.isin(0, 1) & (F.col("vec_id") >= 16)
+    batches = (emb.filter(rest & (m == 0)), emb.filter(rest & (m == 1)))
+
+    src_dir = (_CACHE_DIR.parent / "stream_ivf_src"
+               / Path(sf_dir.rstrip("/")).name)
+    if not src_dir.exists():
+        src_dir.parent.mkdir(parents=True, exist_ok=True)
+        build = Path(tempfile.mkdtemp(prefix=f".{src_dir.name}.build_",
+                                      dir=src_dir.parent))
+        names = ("a_batch1.parquet", "b_batch2.parquet")
+        for name, batch in zip(names, batches):
+            tmp = tempfile.mkdtemp(prefix="ivfsplit_")
+            batch.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(Path(tmp).glob("part-*.parquet"))
+            shutil.move(str(part), build / name)
+            shutil.rmtree(tmp, ignore_errors=True)
+        t0 = (build / names[0]).stat().st_mtime
+        for i, name in enumerate(names):
+            os.utime(build / name, (t0 + 100 * i, t0 + 100 * i))
+        try:
+            os.rename(build, src_dir)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+
+    schema = spark.read.parquet(str(src_dir / "a_batch1.parquet")).schema
+    index = tempfile.mkdtemp(prefix="ivf_stream_idx_")
+    ck = tempfile.mkdtemp(prefix="ivf_stream_ck_")
+    try:
+        S.write_ivf_index(base, index, n_cells=16)
+        stream_ivf_ingest(spark, source_dir=str(src_dir), schema=schema,
+                          index_path=index, checkpoint_dir=ck)
+        compact_ivf_index(spark, index)
+        return S.knn_ivf_from_index(spark, index,
+                                    emb.filter(F.col("vec_id") < 10), k=5,
+                                    n_probe=4).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+        shutil.rmtree(index, ignore_errors=True)
+
+
 # Full incremental-ingest decision audit: exact gate first (content-hash
 # store), minhash probe only on exact-survivors.  Signatures are global, so
 # the oracle reuses the global >= 0.5 pair set and restricts it per rule.

@@ -559,3 +559,66 @@ def test_validate_ingest_compaction_and_replay_noop(spark, tmp_path):
     assert not (out / "batch_0").exists()
     assert sorted(r.k
                   for r in read_routed(spark, str(out)).collect()) == ok
+
+
+def test_stream_ivf_ingest_restart_and_compacted_replay(spark, tmp_path):
+    """Streamed embedding batches fold into the persisted IVF index as
+    idempotent deltas: a checkpoint-wiped re-drain (full redelivery)
+    leaves probe results identical (no double-count — duplicated
+    neighbor rows would crowd the row_number top-k), and a redelivery of
+    a batch already folded into a compacted generation is skipped
+    outright instead of resurrecting a superseded delta dir."""
+    import random
+    import shutil
+
+    from localsql_spark.operators.similarity import (compact_ivf_index,
+                                                     knn_ivf_from_index,
+                                                     write_ivf_index)
+    from localsql_spark.streaming.stream_ivf_ingest import (
+        ivf_ingest_batch, stream_ivf_ingest)
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(90)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(df.filter("vec_id < 60"), idx, n_cells=4)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for lo, hi, name in ((60, 75, "a_b1.parquet"), (75, 90, "b_b2.parquet")):
+        tmp = tmp_path / f"split_{lo}"
+        df.filter(f"vec_id >= {lo} and vec_id < {hi}") \
+          .coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        next(tmp.glob("part-*.parquet")).rename(src / name)
+    schema = "vec_id long, embedding array<float>"
+
+    def probe():
+        return sorted(
+            (r.query_id, r.neighbor_id, round(r.cos_sim, 9), r.rn)
+            for r in knn_ivf_from_index(spark, idx,
+                                        df.filter("vec_id < 3"),
+                                        k=5, n_probe=4).collect())
+
+    stream_ivf_ingest(spark, source_dir=str(src), schema=schema,
+                      index_path=idx, checkpoint_dir=str(tmp_path / "ck1"))
+    after = probe()
+    deltas = sorted(p.name for p in (tmp_path / "ivf" / "delta").iterdir())
+    assert deltas == ["batch_1", "batch_2"]
+    # streamed vectors are reachable pre-compaction
+    assert {n for _, n, _, _ in after} & set(range(60, 90))
+
+    # restart with a wiped checkpoint: every batch redelivers; the
+    # per-batch dirs rewrite byte-identically, probes unchanged
+    stream_ivf_ingest(spark, source_dir=str(src), schema=schema,
+                      index_path=idx, checkpoint_dir=str(tmp_path / "ck2"))
+    assert probe() == after
+
+    assert compact_ivf_index(spark, idx) == 2
+    assert probe() == after
+
+    # redelivery AFTER compaction: batch id <= compacted-through — skip,
+    # do not resurrect a superseded delta dir
+    replay = spark.read.parquet(str(src / "a_b1.parquet"))
+    assert ivf_ingest_batch(replay, 1, index_path=idx) == 0
+    assert not (tmp_path / "ivf" / "delta" / "batch_1").exists()
+    assert probe() == after
