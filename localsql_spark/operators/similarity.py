@@ -427,30 +427,41 @@ def kmeans_parallel_init(corpus: DataFrame, n_clusters: int = 8,
     downstream Lloyd rounds stay engine-reproducible.  Returns
     (cell, cent: array<double>) — drop-in for kmeans_assign/knn_ivf.
     """
-    from localsql_spark.operators import hash32
+    from localsql_spark.operators import hash32, track_persist
 
     spark = corpus.sparkSession
-    n = corpus.count()
+    base = track_persist(spread(corpus)
+                         .select(F.col(id_col), F.col(vec_col).alias("v")))
+    n = base.count()
     target = min(n, oversample * n_clusters)
     if n < n_clusters:
         raise ValueError(f"kmeans_parallel_init needs >= {n_clusters} "
                          f"vectors; corpus has {n}")
     # 1. uniform deterministic sample of ~target candidates (hash-mod);
     # top-up by smallest hash rank so we never fall below k candidates
-    ranked = (spread(corpus)
+    ranked = (base
               .select(F.col(id_col).alias("cand_id"),
-                      F.transform(F.col(vec_col),
+                      F.transform(F.col("v"),
                                   lambda x: x.cast("double")).alias("cv"),
                       F.pmod(hash32(F.col(id_col)), F.lit(n)).alias("rk")))
     cand = (ranked.orderBy("rk", "cand_id").limit(int(target))
             .select("cand_id", "cv"))
     # 2. weight candidates: nearest-candidate assignment over the corpus
-    # (broadcast candidates; map-side-combined count)
-    scored = (spread(corpus)
-              .select(F.col(id_col), F.col(vec_col).alias("v"))
+    # (broadcast candidates; map-side-combined count).  Plain float64 fold,
+    # NOT the decimal-summed l2_sq: no oracle ever replays init (the
+    # trained path's driver check is rows-only; the planted oracle is
+    # closed-form), aggregate() is a sequential left fold so the sum is
+    # bit-deterministic in-engine, and argmin ties still break on cand_id
+    # — while the decimal fold made this O(corpus x candidates) pass the
+    # dominant training cost (measured ~6s of a 7.2s sf0.1 run).
+    d_f64 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"),
+                   lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = (base
               .crossJoin(F.broadcast(cand))
-              .select(id_col, "cand_id", l2_sq(F.col("v"), F.col("cv"))
-                      .alias("d")))
+              .select(id_col, "cand_id", d_f64.alias("d")))
     nearest = (scored.groupBy(id_col)
                .agg(F.min(F.struct(F.col("d"), F.col("cand_id"))).alias("b"))
                .select(F.col("b.cand_id").alias("cand_id")))
