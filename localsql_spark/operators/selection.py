@@ -303,3 +303,72 @@ def perplexity_buckets(docs: DataFrame, doc_id_col: str = "doc_id",
             .select(doc_id_col, "ppl", bucket.alias("bucket"))
             .withColumn("ccnet_bucket",
                         F.element_at(label_arr, F.col("bucket") + 1)))
+
+
+def decontaminate_exact(docs: DataFrame, eval_mod: int = 50,
+                        k: int = 3) -> DataFrame:
+    """Benchmark decontamination, exact inverted-index form: flag every
+    training document (``doc_id % eval_mod != 0``) sharing ANY k-word
+    shingle with the held-out eval set.  ONE scan + two shuffles: the
+    eval/train split of the shingle table is a per-shingle window flag,
+    so Catalyst computes the normalize+shingle explode once.  Returns
+    (doc_id, n_shared, contaminated).  The standard n-gram overlap check
+    run before training (GPT-3 appendix C discipline, public method)."""
+    from pyspark.sql import Window
+
+    from localsql_spark.operators import spread
+
+    sh = (spread(docs)
+          .select("doc_id",
+                  F.explode(T.word_shingles(F.col("text"), k)).alias("s"),
+                  (F.col("doc_id") % eval_mod == 0).alias("is_eval")))
+    in_eval = F.max(F.col("is_eval").cast("int")).over(
+        Window.partitionBy("s"))
+    return (sh.withColumn("in_eval", in_eval)
+            .filter(~F.col("is_eval"))
+            .groupBy("doc_id")
+            .agg(F.sum("in_eval").alias("n_shared"))
+            .select("doc_id", "n_shared",
+                    (F.col("n_shared") > 0).alias("contaminated")))
+
+
+def decontaminate_bloom(docs: DataFrame, eval_mod: int = 50, k: int = 3,
+                        m: int = 1 << 22) -> DataFrame:
+    """Bloom-prefiltered decontamination — the shape the exact check
+    takes at 100 TB.  :func:`decontaminate_exact` shuffles EVERY training
+    shingle on the shingle key; here the eval set's shingles compress
+    into a portable Bloom bit table (sketches.bloom_build — <= min(K*n,
+    m) rows, broadcastable at any corpus scale), train shingles prefilter
+    against it as K successive broadcast-hash joins — one per hash
+    function, so the streaming train side is NEVER shuffled and ~97% of
+    its mass drops at the first map-side join — and only the tiny
+    surviving candidate set pays the exact verification join that
+    removes the filter's false positives.  Identical output to
+    :func:`decontaminate_exact`: false positives verified away, no false
+    negatives by construction."""
+    from localsql_spark.operators import spread, track_persist
+    from localsql_spark.operators.sketches import (BLOOM_K,
+                                                   _bloom_positions,
+                                                   bloom_build)
+
+    sh = track_persist(
+        spread(docs)
+        .select("doc_id",
+                F.explode(T.word_shingles(F.col("text"), k)).alias("s"),
+                (F.col("doc_id") % eval_mod == 0).alias("is_eval")))
+    eval_sh = sh.filter("is_eval").select("s").distinct()
+    train_sh = sh.filter(~F.col("is_eval")).select("doc_id", "s")
+    bits = track_persist(bloom_build(eval_sh, "s", m=m))
+    cand = train_sh.select("doc_id", "s", *_bloom_positions(F.col("s"), m))
+    for j in range(BLOOM_K):
+        cand = cand.join(
+            F.broadcast(bits.withColumnRenamed("bit", f"bit{j}")), f"bit{j}")
+    verified = (cand.select("doc_id", "s")
+                .join(eval_sh, "s", "left_semi")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_shared")))
+    train_docs = train_sh.select("doc_id").distinct()
+    return (train_docs.join(verified, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+                    F.col("n_shared").isNotNull().alias("contaminated")))

@@ -96,36 +96,40 @@ BLOOM_K = 4          # hash functions = disjoint 8-hex-digit md5 slices
 # (ship the bit table, not a JVM object).
 
 
-def _bloom_positions(col: Column) -> list[Column]:
+def _bloom_positions(col: Column, m: int = BLOOM_M) -> list[Column]:
     """K bit positions for a key: md5 hex chars [1-8],[9-16],[17-24],[25-32],
-    each taken base-16 mod M.  Identical expression in the DuckDB oracles."""
+    each taken base-16 mod ``m``.  Identical expression in the DuckDB
+    oracles.  ``m`` must match between build and probe; size it to the
+    expected key count (FP rate ~ (1 - e^(-K*n/m))^K)."""
     md = F.md5(col.cast("string"))
     return [(F.conv(F.substring(md, 1 + 8 * j, 8), 16, 10).cast("long")
-             % BLOOM_M).alias(f"bit{j}") for j in range(BLOOM_K)]
+             % m).alias(f"bit{j}") for j in range(BLOOM_K)]
 
 
-def bloom_build(df: DataFrame, col: str) -> DataFrame:
-    """The filter as a DataFrame of DISTINCT set bit positions (<= M rows —
-    bounded regardless of input size, so it broadcasts at any scale).
-    Distributed build: row-local position expressions, one distinct
-    shuffle whose output is capped at M rows.  Merging two filters is
+def bloom_build(df: DataFrame, col: str, m: int = BLOOM_M) -> DataFrame:
+    """The filter as a DataFrame of DISTINCT set bit positions (<= min(K*n,
+    m) rows — bounded regardless of input size, so it broadcasts at any
+    scale).  Distributed build: row-local position expressions, one distinct
+    shuffle whose output is capped at m rows.  Merging two filters is
     UNION DISTINCT of their bit tables."""
     keys = df.filter(F.col(col).isNotNull())
-    pos = keys.select(F.explode(F.array(*_bloom_positions(F.col(col))))
+    pos = keys.select(F.explode(F.array(*_bloom_positions(F.col(col), m)))
                       .alias("bit"))
     return pos.distinct()
 
 
-def bloom_probe(bits: DataFrame, probes: DataFrame, col: str) -> DataFrame:
+def bloom_probe(bits: DataFrame, probes: DataFrame, col: str,
+                m: int = BLOOM_M) -> DataFrame:
     """Rows of ``probes`` (all columns, duplicates preserved) whose key MAY
     be in the filter (all K bits set); NULL keys never match (a Bloom filter
     holds no NULL, mirroring ``IN`` semantics).  The bit table is broadcast
-    (<= M rows); probe side stays distributed — distinct keys explode to
-    (key, bit), broadcast-join, keys with K matched positions semi-join the
-    input back.  No false negatives, bounded false positives."""
+    (<= min(K*n, m) rows); probe side stays distributed — distinct keys
+    explode to (key, bit), broadcast-join, keys with K matched positions
+    semi-join the input back.  No false negatives, bounded false
+    positives."""
     keys = probes.select(col).distinct()
     pos = keys.select(
-        F.col(col), F.explode(F.array(*_bloom_positions(F.col(col))))
+        F.col(col), F.explode(F.array(*_bloom_positions(F.col(col), m)))
         .alias("bit"))
     hits = pos.join(F.broadcast(bits), "bit")
     matched = (hits.groupBy(col)

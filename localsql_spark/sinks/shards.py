@@ -89,3 +89,71 @@ def read_training_shards(spark: SparkSession, path: str | Path) -> DataFrame:
     directory layout and filters on it prune whole shards at planning
     time (one shard = one partition directory)."""
     return spark.read.parquet(str(path))
+
+
+def curriculum_shard_assignment(df: DataFrame, n_shards: int, *,
+                                score_col: str = "score",
+                                id_col: str = "doc_id") -> DataFrame:
+    """Curriculum sharding: exact rank-based buckets over a difficulty /
+    quality score — shard 0 holds the lowest-scored ~N/n docs, shard n-1
+    the highest, sizes exact to +-1 (a true ntile, not a sampled
+    repartitionByRange whose boundaries change run to run).
+
+    Scale shape — exact global rank WITHOUT a corpus-sized window: the
+    sort key is (score, tie, id) with tie = hash32(id || '#c') so equal
+    scores spread uniformly; ranks come from a two-level scheme:
+
+    1. count rows per (score, coarse 2^16 tie bucket) — a bounded
+       aggregate (<= distinct_scores x 65536 rows, corpus-INDEPENDENT);
+    2. one window cumsum over that bounded table -> each group's rank
+       offset (driver never sees it; it broadcasts back);
+    3. row_number within each (score, bucket) group ordered by (tie, id)
+       — groups are ~N/(scores x 65536), balanced by hash uniformity, so
+       no skewed window partition at any corpus size.
+
+    global_rank = offset + within_rank; shard = floor((rank-1)*n/N).
+    Deterministic end-to-end; the DuckDB oracle replays it as a plain
+    row_number() ntile, proving the bounded two-level rank == the global
+    sort rank.  Returns (id, score, shard_id)."""
+    from pyspark.sql import Window
+
+    tie = hash32(F.concat(F.col(id_col).cast("string"), F.lit("#c")))
+    keyed = df.select(F.col(id_col), F.col(score_col).alias("score"),
+                      tie.alias("tie"),
+                      F.shiftright(tie, 16).cast("int").alias("tb"))
+    counts = keyed.groupBy("score", "tb").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    w_cum = (Window.orderBy("score", "tb")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.select(
+        "score", "tb",
+        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("offset"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n_total"))
+    w_in = Window.partitionBy("score", "tb").orderBy("tie", id_col)
+    ranked = (keyed.join(F.broadcast(offsets), ["score", "tb"])
+              .withColumn("rnk",
+                          F.col("offset") + F.row_number().over(w_in)))
+    # integer division, not floor(double): exact at any N
+    shard = F.expr(f"CAST(((rnk - 1) * {n_shards}) DIV n_total AS INT)")
+    return ranked.select(id_col, "score", shard.alias("shard_id"))
+
+
+def write_curriculum_shards(df: DataFrame, path: str | Path,
+                            n_shards: int, *, score_col: str = "score",
+                            id_col: str = "doc_id") -> None:
+    """Materialize the curriculum layout: ``shard_id=K/`` directories in
+    ascending difficulty, rows inside each shard in (score, tie, id)
+    order — a training loop reading shards 0..n-1 sequentially gets the
+    easy-to-hard curriculum; one hash-key shuffle + in-partition sort,
+    same write cost as write_training_shards."""
+    assigned = curriculum_shard_assignment(df, n_shards,
+                                           score_col=score_col,
+                                           id_col=id_col)
+    out = df.join(assigned.select(id_col, "shard_id"), id_col)
+    tie = hash32(F.concat(F.col(id_col).cast("string"), F.lit("#c")))
+    (out.withColumn("_tie", tie)
+     .repartition(n_shards, F.col("shard_id"))
+     .sortWithinPartitions("shard_id", score_col, "_tie", id_col)
+     .drop("_tie")
+     .write.mode("overwrite").partitionBy("shard_id")
+     .parquet(str(path)))

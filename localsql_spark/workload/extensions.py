@@ -904,7 +904,7 @@ def pack_documents_2048(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("pack_id")))
 
 
-@query("decontaminate_training_set", oracle=f"""
+_DECON_EXACT_ORACLE = f"""
 WITH {_shingles_cte()},
 eval_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
 train AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0),
@@ -916,33 +916,45 @@ SELECT d.doc_id, COALESCE(hits.n_shared, 0) AS n_shared,
        (hits.doc_id IS NOT NULL) AS contaminated
 FROM (SELECT DISTINCT doc_id FROM train) d
 LEFT JOIN hits ON d.doc_id = hits.doc_id
-""")
+"""
+
+
+@query("decontaminate_training_set", oracle=_DECON_EXACT_ORACLE)
 def decontaminate_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing ANY 3-word
     shingle with a held-out eval set (doc_id % 50 == 0 here). Inverted-index
-    semi-join on the shingle — the standard n-gram overlap check run before
-    training; the eval shingle set stays distributed (no broadcast: eval
-    sets can be large)."""
-    from pyspark.sql import Window
+    semi-join on the shingle (operators.selection.decontaminate_exact) —
+    the standard n-gram overlap check run before training; the eval
+    shingle set stays distributed (no broadcast: eval sets can be
+    large)."""
+    from localsql_spark.operators.selection import decontaminate_exact
 
     docs = load(spark, sf_dir)["documents"]
-    # ONE scan + two shuffles: the eval-side/train-side split of the shingle
-    # table is a per-shingle window flag ("does any eval doc carry this
-    # shingle"), not separate subtrees — a semi-join formulation makes
-    # Catalyst compute the normalize+shingle explode once per reference
-    # (3 scans).  (doc_id, s) is unique (word_shingles array_distincts), so
-    # sum(in_eval) counts a train doc's distinct shared shingles.
-    sh = (spread(docs)
-          .select("doc_id",
-                  F.explode(T.word_shingles(F.col("text"), 3)).alias("s"),
-                  (F.col("doc_id") % 50 == 0).alias("is_eval")))
-    in_eval = F.max(F.col("is_eval").cast("int")).over(Window.partitionBy("s"))
-    return (sh.withColumn("in_eval", in_eval)
-            .filter(~F.col("is_eval"))
-            .groupBy("doc_id")
-            .agg(F.sum("in_eval").alias("n_shared"))
-            .select("doc_id", "n_shared",
-                    (F.col("n_shared") > 0).alias("contaminated")))
+    return decontaminate_exact(docs)
+
+
+@query("decontaminate_bloom", oracle=_DECON_EXACT_ORACLE)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination — the shape the exact
+    check takes at 100 TB.  decontaminate_training_set's semi-join
+    shuffles EVERY training shingle on the shingle key; here the eval
+    set's shingles compress into a portable Bloom bit table
+    (operators.sketches.bloom_build — <= min(K*n, m) rows, broadcastable
+    at any corpus scale), train shingles prefilter against it as K
+    successive broadcast-hash joins — one per hash function, so the
+    streaming train side is NEVER shuffled and ~97% of its mass drops at
+    the first map-side join — and only the tiny surviving candidate set
+    pays the exact verification join that removes the filter's false
+    positives.  m = 2^22 keeps the FP rate ~1e-6 at this eval size, so
+    the verify join is output-sized.  Sharing the exact oracle proves
+    bloom-prefilter + exact-verify == the plain inverted-index join —
+    false positives verified away, no false negatives by construction
+    (operators.selection.decontaminate_bloom)."""
+    from localsql_spark.operators.selection import \
+        decontaminate_bloom as _decon_bloom
+
+    docs = load(spark, sf_dir)["documents"]
+    return _decon_bloom(docs)
 
 
 @query("text_bpe_token_count", oracle=r"""

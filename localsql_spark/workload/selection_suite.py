@@ -185,6 +185,57 @@ def export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_manifest(read_training_shards(spark, str(scratch)))
 
 
+_TIE_H = _H32.format(x="CAST(doc_id AS VARCHAR) || '#c'")
+_QUALITY_SQL = r"""
+CAST((length(text) BETWEEN 50 AND 20000) AS INT)
+  + CAST((CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE) / NULLIF(length(text), 0) < 0.10) AS INT)
+  + CAST((CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / NULLIF(length(text), 0) < 0.20) AS INT)
+  + CAST((CAST(length(regexp_replace(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s', '', 'g')) AS DOUBLE)
+          / len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) BETWEEN 2.0 AND 12.0) AS INT)
+""".strip()
+
+
+@query("export_curriculum_shards", oracle=rf"""
+WITH s AS (SELECT doc_id, CAST(({_QUALITY_SQL}) AS BIGINT) AS score
+           FROM documents),
+k AS (SELECT doc_id, score, {_TIE_H} AS tie FROM s),
+r AS (SELECT doc_id, score,
+             row_number() OVER (ORDER BY score, tie, doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM k)
+SELECT doc_id, score, CAST(((rn - 1) * 8) // n AS INT) AS shard_id
+FROM r
+""")
+def export_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered shard export (sinks.shards.
+    curriculum_shard_assignment / write_curriculum_shards): documents
+    ranked by the composite quality score and dealt into 8 EXACT
+    rank-buckets (a true ntile — sizes exact to +-1, easy shards first),
+    written shard_id=K/ and read back per-doc.  The engine computes the
+    global rank with a bounded two-level scheme (corpus-independent
+    (score, tie-bucket) cumsum + balanced within-bucket windows — no
+    corpus-sized window partition anywhere); the oracle replays it as a
+    plain row_number() ntile, proving bounded two-level rank == global
+    sort rank.  The curriculum-learning layout step of a training
+    pipeline (easy-to-hard data ordering, public method)."""
+    import shutil
+    from pathlib import Path
+
+    from localsql_spark.operators import text as T
+    from localsql_spark.sinks.shards import write_curriculum_shards
+
+    docs = load(spark, sf_dir)["documents"]
+    scored = docs.select("doc_id", "text",
+                         T.quality_score(F.col("text")).alias("score"))
+    scratch = (Path(__file__).resolve().parent.parent.parent / ".cache"
+               / "curriculum_shards" / Path(sf_dir.rstrip("/")).name)
+    shutil.rmtree(scratch, ignore_errors=True)
+    write_curriculum_shards(scored, scratch, n_shards=8)
+    back = spark.read.parquet(str(scratch))
+    return back.select("doc_id", "score",
+                       F.col("shard_id").cast("int").alias("shard_id"))
+
+
 @query("ccnet_perplexity_buckets", oracle=r"""
 WITH norm AS (SELECT doc_id,
                      trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t

@@ -189,3 +189,49 @@ def test_token_budget_plan_capped_flag_and_shares(spark):
     assert not plan["big"]["capped"]
     assert abs(plan["big"]["share"] + plan["tiny"]["share"] - 1.0) < 1e-6
     assert plan["big"]["target_tokens"] > plan["tiny"]["target_tokens"]
+
+
+# ---------------------------------------------------------------------------
+# curriculum shards
+# ---------------------------------------------------------------------------
+
+
+def test_curriculum_shards_exact_ntile_and_order(spark, tmp_path):
+    """The curriculum assignment is a true ntile (sizes exact to +-1,
+    bucket = global (score, tie, id) rank), shard score ranges are
+    monotone non-decreasing, and the written layout preserves the
+    within-shard (score, tie, id) order — easy shards first."""
+    from localsql_spark.operators import hash32
+    from localsql_spark.sinks.shards import (curriculum_shard_assignment,
+                                             write_curriculum_shards)
+
+    n, shards = 103, 4
+    docs = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(n)], "doc_id long, score double")
+    got = curriculum_shard_assignment(docs, shards).collect()
+    assert len(got) == n
+    sizes = {}
+    for r in got:
+        sizes[r.shard_id] = sizes.get(r.shard_id, 0) + 1
+    assert sorted(sizes) == list(range(shards))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # replay the rank single-node: bucket must equal the global sort rank
+    ties = {r.doc_id: r.tie for r in docs.select(
+        "doc_id", hash32(F.concat(F.col("doc_id").cast("string"),
+                                  F.lit("#c"))).alias("tie")).collect()}
+    order = sorted(((float(i % 7), ties[i], i) for i in range(n)))
+    expect = {key[2]: (rank * shards) // n
+              for rank, key in enumerate(order)}
+    assert {r.doc_id: r.shard_id for r in got} == expect
+    # written layout: shard dirs ascend in difficulty, in-shard order kept
+    out = tmp_path / "curr"
+    write_curriculum_shards(docs, out, shards)
+    back = spark.read.parquet(str(out))
+    prev_max = None
+    for s in range(shards):
+        rows = [(r.score, ties[r.doc_id], r.doc_id) for r in
+                back.filter(F.col("shard_id") == s).collect()]
+        assert rows, f"shard {s} empty"
+        if prev_max is not None:
+            assert min(rows) >= prev_max
+        prev_max = max(rows)

@@ -366,6 +366,20 @@ def main() -> None:
                    .agg(F.sum("n_tokens_after"),
                         F.max("cleaned_hash")).collect()[0][0])
 
+    def op_decon_exact(f):
+        from localsql_spark.operators.selection import decontaminate_exact
+        docs = spark.read.parquet(paths[f]["documents"])
+        row = (decontaminate_exact(docs)
+               .agg(F.count(F.lit(1)), F.sum("n_shared")).collect()[0])
+        return int(row[0])
+
+    def op_decon_bloom(f):
+        from localsql_spark.operators.selection import decontaminate_bloom
+        docs = spark.read.parquet(paths[f]["documents"])
+        row = (decontaminate_bloom(docs)
+               .agg(F.count(F.lit(1)), F.sum("n_shared")).collect()[0])
+        return int(row[0])
+
     def op_phash_pairs(f):
         # aggregate real outputs (hamming sum) so Catalyst can't prune
         from localsql_spark.operators.multimodal import phash_pairs
@@ -376,6 +390,7 @@ def main() -> None:
 
     ops = {"exact_dedup": op_exact_dedup, "minhash_lsh_pairs": op_minhash,
            "phash_pairs": op_phash_pairs,
+           "decon_exact": op_decon_exact, "decon_bloom": op_decon_bloom,
            "winnowing_fps": op_winnowing,
            "doc_novelty": op_novelty,
            "remove_repeated_spans": op_remove_spans,
