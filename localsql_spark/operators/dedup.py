@@ -628,15 +628,71 @@ def minhash_lsh_pairs_incremental(corpus: DataFrame, new: DataFrame,
 
 def _store_file_listing(store_path: str) -> list[list]:
     """Pure-filesystem fingerprint of a signature store: sorted
-    (relative path, size) of every parquet part-file.  Detecting index
-    staleness from metadata alone keeps the freshness check O(files),
-    never a data scan — the scan is exactly what the index exists to
-    avoid."""
+    (relative path, size, mtime_ns) of every parquet part-file.
+    Detecting index staleness from metadata alone keeps the freshness
+    check O(files), never a data scan — the scan is exactly what the
+    index exists to avoid.  mtime_ns is in the tuple so a part-file
+    rewritten in place with the same name and size (non-Spark writer,
+    manual edit, copy-restore) still reads as a change and forces a
+    rebuild."""
     from pathlib import Path
 
     root = Path(store_path)
-    return sorted([str(p.relative_to(root)), p.stat().st_size]
-                  for p in root.rglob("*.parquet"))
+    return sorted([str(p.relative_to(root)), st.st_size, st.st_mtime_ns]
+                  for p in root.rglob("*.parquet")
+                  for st in [p.stat()])
+
+
+class IndexMaintenanceBusy(OSError):
+    """Another process holds the index maintenance lock; the caller
+    should fall back to the flat store scan for this probe."""
+
+
+_INDEX_LOCK_STALE_S = 3600.0
+
+
+def _index_lock(index_path: str):
+    """Advisory single-writer lock for index maintenance, as a context
+    manager.  Acquisition is an O_CREAT|O_EXCL create of ``<index>.lock``
+    — atomic on POSIX local filesystems.  A lock file older than
+    ``_INDEX_LOCK_STALE_S`` is presumed abandoned by a crashed writer and
+    broken (unlinked) before one retry; live contention raises
+    :class:`IndexMaintenanceBusy` instead of blocking, because the caller
+    has a correct (just slower) flat-scan fallback."""
+    import contextlib
+    import os
+    import time
+    from pathlib import Path
+
+    @contextlib.contextmanager
+    def _cm():
+        lock = Path(str(index_path).rstrip("/") + ".lock")
+        lock.parent.mkdir(parents=True, exist_ok=True)
+        for attempt in range(2):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    age = time.time() - lock.stat().st_mtime
+                except OSError:
+                    continue  # holder just released; retry the create
+                if attempt == 0 and age > _INDEX_LOCK_STALE_S:
+                    lock.unlink(missing_ok=True)  # break abandoned lock
+                    continue
+                raise IndexMaintenanceBusy(
+                    f"index maintenance lock held: {lock}")
+        else:
+            raise IndexMaintenanceBusy(
+                f"index maintenance lock held: {lock}")
+        try:
+            os.write(fd, f"pid={os.getpid()}\n".encode())
+            os.close(fd)
+            yield
+        finally:
+            lock.unlink(missing_ok=True)
+
+    return _cm()
 
 
 def ensure_banded_index(spark: SparkSession, store_path: str,
@@ -647,56 +703,98 @@ def ensure_banded_index(spark: SparkSession, store_path: str,
     store; returns 'fresh' | 'appended' | 'rebuilt'.
 
     Sync is incremental along the store's own growth pattern: the meta
-    file records the store's part-file listing at last sync, so a daily
+    file records the store's part-file listing (path, size, mtime_ns)
+    and the ``bucket_cap`` at last sync, so a daily
     ``append_signature_store`` shows up as ADDED files only — just those
-    files are read, banded and appended, O(new) per day.  Any removed or
-    rewritten file (a store compaction) forces one full rebuild (staged
-    + atomic rename).  The meta commit (tmp+rename) happens AFTER the
-    index append; a crash between the two re-appends the same batch next
-    run — duplicate index rows are harmless because candidate pairs are
-    ``distinct()``-ed, and the next compaction-triggered rebuild clears
-    them."""
+    files are read, banded and appended (with the same cap), O(new) per
+    day.  Any removed or rewritten file (a store compaction), or a cap
+    change, forces one full rebuild (written to a mkdtemp-unique staged
+    dir, then committed).  The meta commit (tmp+rename) happens AFTER
+    the index append; a crash between the two re-appends the same batch
+    next run — duplicate index rows are harmless because candidate pairs
+    are ``distinct()``-ed, and the next compaction-triggered rebuild
+    clears them.
+
+    Concurrency: maintenance is SINGLE-WRITER, enforced by an advisory
+    ``<index>.lock`` taken only when the freshness probe says work is
+    needed (the steady-state 'fresh' path stays lock-free).  A second
+    concurrent maintainer raises :class:`IndexMaintenanceBusy`;
+    :func:`minhash_lsh_pairs_from_store` catches it and serves that
+    probe from the flat store scan.  The rebuild commit (rmtree + rename
+    of the staged dir onto ``index_path``) is safe exactly because the
+    lock serializes writers; direct readers of the index that do not go
+    through the probing entry point must not run concurrently with a
+    compaction-triggered rebuild.
+
+    Note on append + bucket_cap: appends apply the cap per appended
+    batch (a global recount would be a full-index scan, defeating the
+    O(new) append); a corpus bucket that crosses the cap only across
+    batches is re-capped globally at the next compaction-triggered
+    rebuild."""
     import json
     import os
     import shutil
+    import tempfile
     from pathlib import Path
 
     meta = Path(index_path) / "_meta.json"
-    cur = _store_file_listing(store_path)
-    prev: list[list] | None = None
-    if meta.exists():
+
+    def _read_meta() -> dict | None:
+        if not meta.exists():
+            return None
         try:
-            prev = json.loads(meta.read_text())
+            m = json.loads(meta.read_text())
         except ValueError:
-            prev = None
-    if prev == cur:
+            return None
+        # legacy format (bare listing, pre-mtime): always stale now
+        return m if isinstance(m, dict) else None
+
+    cur = _store_file_listing(store_path)
+    prev = _read_meta()
+    if prev is not None and prev.get("files") == cur \
+            and prev.get("bucket_cap") == bucket_cap:
         return "fresh"
 
-    root = Path(store_path)
-    state = "rebuilt"
-    if prev is not None:
-        prev_set = {tuple(f) for f in prev}
-        cur_set = {tuple(f) for f in cur}
-        if prev_set <= cur_set:  # pure growth: band only the added files
-            added = [str(root / rel) for rel, _ in
-                     sorted(cur_set - prev_set)]
-            sigs = (spark.read.parquet(*added)
-                    .select("doc_id", "sig"))
-            write_banded_index(sigs, index_path, n, bands, mode="append",
-                              bucket_cap=None)
-            state = "appended"
-    if state == "rebuilt":
-        staged = str(Path(index_path).parent
-                     / f".{Path(index_path).name}.staged")
-        shutil.rmtree(staged, ignore_errors=True)
-        write_banded_index(read_signature_store(spark, store_path),
-                           staged, n, bands, bucket_cap=bucket_cap)
-        shutil.rmtree(index_path, ignore_errors=True)
-        os.rename(staged, index_path)
-    tmp = Path(str(meta) + ".tmp")
-    tmp.write_text(json.dumps(cur))
-    os.rename(tmp, meta)
-    return state
+    with _index_lock(index_path):
+        # double-check under the lock: another maintainer may have
+        # synced while we waited for the freshness probe
+        cur = _store_file_listing(store_path)
+        prev = _read_meta()
+        if prev is not None and prev.get("files") == cur \
+                and prev.get("bucket_cap") == bucket_cap:
+            return "fresh"
+
+        root = Path(store_path)
+        state = "rebuilt"
+        if prev is not None and prev.get("bucket_cap") == bucket_cap:
+            prev_set = {tuple(f) for f in prev.get("files", [])}
+            cur_set = {tuple(f) for f in cur}
+            if prev_set <= cur_set:  # pure growth: band the added files
+                added = [str(root / rel) for rel, _size, _mt in
+                         sorted(cur_set - prev_set)]
+                sigs = (spark.read.parquet(*added)
+                        .select("doc_id", "sig"))
+                write_banded_index(sigs, index_path, n, bands,
+                                   mode="append", bucket_cap=bucket_cap)
+                state = "appended"
+        if state == "rebuilt":
+            parent = Path(index_path).parent
+            parent.mkdir(parents=True, exist_ok=True)
+            staged = tempfile.mkdtemp(
+                prefix=f".{Path(index_path).name}.staged-", dir=parent)
+            try:
+                write_banded_index(
+                    read_signature_store(spark, store_path),
+                    staged, n, bands, bucket_cap=bucket_cap)
+                shutil.rmtree(index_path, ignore_errors=True)
+                os.rename(staged, index_path)
+            except BaseException:
+                shutil.rmtree(staged, ignore_errors=True)
+                raise
+        tmp = Path(str(meta) + f".tmp.{os.getpid()}")
+        tmp.write_text(json.dumps({"files": cur, "bucket_cap": bucket_cap}))
+        os.rename(tmp, meta)
+        return state
 
 
 def minhash_lsh_pairs_from_store(spark: SparkSession, store_path: str,
@@ -718,7 +816,11 @@ def minhash_lsh_pairs_from_store(spark: SparkSession, store_path: str,
     behind ``auto_index=False`` (or a store the index can't mirror) and
     is property-tested equal.  Daily cost: O(new x bands) probes + a
     pruned columnar read + O(new) index maintenance — the store scan
-    SCALE.md documents as the flat path's linear term is gone.  Same
+    SCALE.md documents as the flat path's linear term is gone.
+    Concurrent probes of the same store are safe: index maintenance is
+    serialized by an advisory lock, and a probe that loses the lock race
+    serves its batch from the flat scan instead of waiting (same rows,
+    property-tested).  Same
     result as :func:`minhash_lsh_pairs_incremental` given the store was
     written by :func:`write_signature_store` over the same corpus
     (property-tested in tests/test_properties.py)."""
@@ -728,10 +830,14 @@ def minhash_lsh_pairs_from_store(spark: SparkSession, store_path: str,
         # cap-free probe — the capped call keeps the flat path
         if bucket_cap is None:
             idx = index_path or f"{store_path.rstrip('/')}_banded"
-            ensure_banded_index(spark, store_path, idx, n, bands)
-            return minhash_lsh_pairs_from_banded_index(
-                spark, idx, store_path, new, text_col, id_col,
-                threshold, n, bands)
+            try:
+                ensure_banded_index(spark, store_path, idx, n, bands)
+            except IndexMaintenanceBusy:
+                pass  # another probe is maintaining; flat scan this one
+            else:
+                return minhash_lsh_pairs_from_banded_index(
+                    spark, idx, store_path, new, text_col, id_col,
+                    threshold, n, bands)
     return pairs_touching_new(
         read_signature_store(spark, store_path),
         compute_signatures(new, text_col, id_col, n),

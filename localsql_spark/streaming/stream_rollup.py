@@ -126,7 +126,13 @@ def prune_landed(land_dir: str, rollup_dir: str, keep_last: int = 1) -> int:
 
     Only batches forming a contiguous applied prefix are pruned: the
     watermark asserts "everything at or below me is applied", so an
-    unapplied gap batch blocks pruning above it.
+    unapplied gap batch blocks pruning above it.  Contiguity is checked
+    on batch IDS, not just on the dirs that happen to exist: a wholly
+    missing intermediate id (dir lost externally, or a sink that skips
+    a batch) counts as applied only if it is <= the watermark or has an
+    applied marker — otherwise it blocks the walk, so a later redelivery
+    of that id is still folded rather than skipped by an over-advanced
+    watermark.
 
     Trade documented in the module docstring: landed dirs are the durable
     record for a from-scratch rollup rebuild; pruning bounds that rebuild
@@ -136,13 +142,23 @@ def prune_landed(land_dir: str, rollup_dir: str, keep_last: int = 1) -> int:
     wm = _applied_through(rollup_dir)
     landed = sorted(Path(land_dir).glob("batch_*"),
                     key=lambda p: int(p.name.split("_")[1]))
+    def _is_applied(i: int) -> bool:
+        return i <= wm or _applied_marker(rollup_dir, i).exists()
+
     applied = []
+    prev = wm  # ids <= wm are applied by definition
     for b in landed:
         bid = int(b.name.split("_")[1])
-        if bid <= wm or _applied_marker(rollup_dir, bid).exists():
+        if bid <= wm:
             applied.append(b)
-        else:
+            continue
+        # gap ids with no landing dir must each prove applied-ness
+        if any(not _is_applied(g) for g in range(max(prev, wm) + 1, bid)):
+            break  # unapplied gap id: nothing above it may prune
+        if not _is_applied(bid):
             break  # unapplied gap: nothing above it may prune
+        applied.append(b)
+        prev = bid
     prune = applied[:-keep_last] if keep_last > 0 else applied
     if not prune:
         return 0

@@ -1623,3 +1623,124 @@ def test_from_store_auto_index_builds_appends_and_prunes(spark, tmp_path):
     D.compact_signature_store(spark, store)
     assert D.ensure_banded_index(spark, store, str(sidecar)) == "rebuilt"
     assert auto() == flat()
+
+
+def test_index_maintenance_lock_contention_and_staleness(spark, tmp_path):
+    """Index maintenance is single-writer behind an advisory lock: a held
+    lock makes the auto-index probe fall back to the flat scan for that
+    call (correct rows, no index write), an abandoned (stale) lock is
+    broken, and the lock never survives a completed maintenance run."""
+    import os
+    import time
+
+    from localsql_spark.operators import dedup as D
+
+    rows = [(i, f"sentence variant {i % 7} of a corpus with overlapping "
+                f"phrases for banding") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = docs.filter("doc_id % 5 != 0")
+    new = docs.filter("doc_id % 5 = 0")
+    store = str(tmp_path / "sig_store")
+    D.write_signature_store(corpus, store)
+    sidecar = tmp_path / "sig_store_banded"
+    lock = tmp_path / "sig_store_banded.lock"
+
+    def flat():
+        return sorted((r.doc_a, r.doc_b, round(r.est_jaccard, 9)) for r in
+                      D.minhash_lsh_pairs_from_store(
+                          spark, store, new, threshold=0.3,
+                          auto_index=False).collect())
+
+    # a concurrent maintainer holds the lock: probe still answers (flat
+    # path), does NOT build the index, and leaves the lock alone
+    lock.write_text("pid=held\n")
+    got = sorted((r.doc_a, r.doc_b, round(r.est_jaccard, 9)) for r in
+                 D.minhash_lsh_pairs_from_store(
+                     spark, store, new, threshold=0.3).collect())
+    assert got and got == flat()
+    assert not (sidecar / "_meta.json").exists()
+    assert lock.exists()
+    import pytest
+
+    with pytest.raises(D.IndexMaintenanceBusy):
+        D.ensure_banded_index(spark, store, str(sidecar))
+
+    # an abandoned lock (older than the staleness horizon) is broken
+    old = time.time() - D._INDEX_LOCK_STALE_S - 60
+    os.utime(lock, (old, old))
+    assert D.ensure_banded_index(spark, store, str(sidecar)) == "rebuilt"
+    assert not lock.exists()  # released after the completed run
+    assert (sidecar / "_meta.json").exists()
+    assert D.ensure_banded_index(spark, store, str(sidecar)) == "fresh"
+
+
+def test_index_meta_records_bucket_cap_and_append_honors_it(spark,
+                                                            tmp_path):
+    """The sidecar meta records the bucket_cap the index was built with:
+    the append path passes the SAME cap through (no silent cap loss), and
+    a cap change forces a rebuild instead of serving a mismatched index."""
+    import json
+
+    from localsql_spark.operators import dedup as D
+
+    rows = [(i, "identical hot bucket text shared by every document")
+            for i in range(30)] + [
+        (100 + i, f"cold unique text number {i} with its own phrasing")
+        for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    store = str(tmp_path / "sig_store")
+    D.write_signature_store(docs, store)
+    idx = tmp_path / "idx"
+
+    assert D.ensure_banded_index(spark, store, str(idx),
+                                 bucket_cap=5) == "rebuilt"
+    meta = json.loads((idx / "_meta.json").read_text())
+    assert meta["bucket_cap"] == 5
+    # every hot bucket (30 identical docs) is dropped at cap 5
+    banded = spark.read.parquet(str(idx))
+    hot = (banded.groupBy("band_id", "band_key").count()
+           .filter("count > 5").count())
+    assert hot == 0
+
+    # append under the SAME cap: incremental, and the appended batch is
+    # capped too (29 more identical docs would otherwise land a >5 bucket)
+    more = spark.createDataFrame(
+        [(200 + i, "another identical appended hot bucket text")
+         for i in range(29)], "doc_id long, text string")
+    D.append_signature_store(more, store)
+    assert D.ensure_banded_index(spark, store, str(idx),
+                                 bucket_cap=5) == "appended"
+    banded = spark.read.parquet(str(idx))
+    assert (banded.groupBy("band_id", "band_key").count()
+            .filter("count > 5").count()) == 0
+    # a different cap cannot serve from this index: full rebuild
+    assert D.ensure_banded_index(spark, store, str(idx),
+                                 bucket_cap=None) == "rebuilt"
+    meta = json.loads((idx / "_meta.json").read_text())
+    assert meta["bucket_cap"] is None
+
+
+def test_index_detects_same_size_in_place_rewrite(spark, tmp_path):
+    """A store part-file rewritten in place with the same name AND size
+    (non-Spark writer, copy-restore) still invalidates the index: the
+    listing fingerprint includes mtime_ns, so the freshness probe sees a
+    change and rebuilds instead of serving stale pruned candidates."""
+    import os
+
+    from localsql_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, f"document body {i % 4} shared phrasing") for i in range(20)],
+        "doc_id long, text string")
+    store = str(tmp_path / "sig_store")
+    D.write_signature_store(docs, store)
+    idx = tmp_path / "idx"
+    assert D.ensure_banded_index(spark, store, str(idx)) == "rebuilt"
+    assert D.ensure_banded_index(spark, store, str(idx)) == "fresh"
+
+    part = next(p for p in __import__("pathlib").Path(store).rglob(
+        "*.parquet"))
+    payload = part.read_bytes()
+    part.write_bytes(payload)  # same name, same size, new mtime
+    os.utime(part)  # ensure mtime moves even on coarse-clock filesystems
+    assert D.ensure_banded_index(spark, store, str(idx)) == "rebuilt"

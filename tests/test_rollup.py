@@ -351,3 +351,43 @@ def test_prune_landed_retention_and_replay_safety(spark, tmp_path):
     n = prune_landed(str(land), rollup, keep_last=0)
     assert (land / "batch_6").exists()
     assert _applied_through(rollup) <= 4
+
+
+def test_prune_landed_blocks_on_wholly_missing_gap_id(spark, tmp_path):
+    """A batch id with NO landing dir at all (dir lost externally, or a
+    sink that skipped the id) below an applied dir must block the
+    watermark advance: otherwise a later redelivery of the missing id
+    would be skipped as already-applied without ever being folded."""
+    from localsql_spark.sinks.rollup import read_rollup
+    from localsql_spark.streaming.stream_rollup import (_applied_through,
+                                                        fold_landed,
+                                                        prune_landed)
+
+    rows = [(i, f"2024-03-01 0{i % 3}:10:00", i % 5, "view", float(i))
+            for i in range(30)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string,"
+              " value double").withColumn(
+        "ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    land = tmp_path / "land"
+    # batches 0 and 2 land; batch_1's dir is wholly missing
+    ev.filter("event_id % 3 = 0").write.parquet(str(land / "batch_0"))
+    ev.filter("event_id % 3 = 2").write.parquet(str(land / "batch_2"))
+    rollup = str(tmp_path / "rollup")
+    assert fold_landed(spark, str(land), rollup) == 2
+
+    # prune must stop below the missing id: watermark may cover 0, not 1
+    prune_landed(str(land), rollup, keep_last=0)
+    assert _applied_through(rollup) <= 0
+    assert (land / "batch_2").exists()  # above the gap: retained
+
+    # late redelivery of the missing id is still folded, not skipped
+    ev.filter("event_id % 3 = 1").write.parquet(str(land / "batch_1"))
+    assert fold_landed(spark, str(land), rollup) == 1
+    got = {(r["bucket_ts"], r["key"]): r["n_events"]
+           for r in read_rollup(spark, rollup).collect()}
+    # after batch_1 folds, every event is in the rollup exactly once
+    assert sum(got.values()) == 30
+    # and with the gap filled, pruning may now advance past it
+    prune_landed(str(land), rollup, keep_last=0)
+    assert _applied_through(rollup) == 2

@@ -462,10 +462,13 @@ def main() -> None:
                 f"| {g1:.1f}x | {g2:.1f}x |")
 
     scale_md = Path("SCALE.md")
-    if scale_md.exists():
-        # surgical update: replace/append only the measured rows so a
-        # filtered run (SPARK_GRAFT_SCALE_ONLY) or re-measure preserves
-        # every other row and all hand-written analysis below the table
+    # surgical update: replace/append only the measured rows so a
+    # filtered run (SPARK_GRAFT_SCALE_ONLY) or re-measure preserves
+    # every other row and all hand-written analysis below the table.
+    # A SCALE.md with no table rows at all (hand-truncated) falls
+    # through to the full rewrite instead of crashing on max().
+    if scale_md.exists() and any(
+            ln.startswith("|") for ln in scale_md.read_text().splitlines()):
         out_lines = scale_md.read_text().splitlines()
         done = set()
         for i, ln in enumerate(out_lines):
