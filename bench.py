@@ -82,6 +82,10 @@ EXTENSION_HEADLINE = [
     "multimodal_phash_pairs",
     "knn_ivf_trained_planted_top5",
     "remove_repeated_spans",
+    # round 8: IVFADC composed ANN, join-aggregate IVM, entity resolution
+    "knn_ivfpq_top5",
+    "ivm_nation_revenue",
+    "er_customer_entities",
 ]
 
 

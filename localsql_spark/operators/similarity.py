@@ -1179,3 +1179,126 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> int:
     for d in deltas:
         shutil.rmtree(d, ignore_errors=True)
     return len(deltas)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (IVFADC): coarse cells + product-quantized residuals
+# ---------------------------------------------------------------------------
+
+def _coarse_cells(corpus: DataFrame, n_cells: int, id_col: str,
+                  vec_col: str) -> DataFrame:
+    """Deterministic coarse quantizer: the ``n_cells`` smallest-id vectors
+    as L2 centroids, MATERIALIZED to a literal frame (n_cells rows) so no
+    downstream reference re-expands the corpus scan into its plan — the
+    same plan-cut discipline as pq_train."""
+    spark = corpus.sparkSession
+    cents = (corpus.filter(F.col(id_col) < n_cells)
+             .select(F.col(id_col).cast("int").alias("cell"),
+                     F.transform(F.col(vec_col),
+                                 lambda x: x.cast("double")).alias("cent")))
+    return spark.createDataFrame(cents.collect(), schema=cents.schema)
+
+
+def _coarse_assign(df: DataFrame, cents: DataFrame, key_col: str,
+                   vec_col: str) -> DataFrame:
+    """Nearest coarse cell per vector, with the residual against that
+    cell's centroid: (key, cell, resid).  One broadcast crossJoin + a
+    map-side argmin fold (max over a (-dist, -cell) struct — ties break to
+    the smallest cell, matching the window/oracle ordering), so the
+    exchange carries ONE row per vector, never n_cells candidates."""
+    scored = (df.crossJoin(F.broadcast(cents))
+              .withColumn("_d", l2_sq(F.col(vec_col), F.col("cent"))))
+    return (scored.groupBy(key_col)
+            .agg(F.max(F.struct(
+                (-F.col("_d")).alias("nd"),
+                (-F.col("cell")).alias("nc"),
+                F.col(vec_col).alias("v"),
+                F.col("cent").alias("ct"))).alias("b"))
+            .select(key_col,
+                    (-F.col("b.nc")).cast("int").alias("cell"),
+                    F.zip_with(F.col("b.v"), F.col("b.ct"),
+                               lambda x, y: x.cast("double") - y)
+                    .alias("resid")))
+
+
+def knn_ivfpq_adc(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                  n_cells: int = 8, n_probe: int = 4, m: int = 4,
+                  k_codes: int = 16, n_iter: int = 1,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  exclude_self: bool = False) -> DataFrame:
+    """IVFADC approximate kNN (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011, §V — public algorithm): coarse-
+    quantize vectors into ``n_cells`` inverted lists, product-quantize
+    the RESIDUAL vector - centroid (residuals concentrate around zero, so
+    the same code budget quantizes them far more finely than raw
+    vectors), and answer queries by scanning only the ``n_probe`` nearest
+    lists with a per-(query, cell) asymmetric-distance lookup table.
+    This is the composition behind essentially every billion-scale ANN
+    deployment: IVF bounds WHAT is scanned, PQ bounds the BYTES per
+    scanned row.
+
+    Scale shape: the coarse quantizer is n_cells literal rows (broadcast
+    everywhere); corpus assignment is one broadcast crossJoin + map-side
+    argmin fold (the exchange carries one row per vector); the stored
+    index is the narrow (id, cell, s, code) codes table — ~m bytes per
+    vector; the LUT is |queries| x n_probe x m x k_codes rows
+    (broadcast); candidate scoring partial-aggregates map-side, and no
+    shuffle anywhere carries float vectors.  Restricting the LUT join to
+    the probed (query, cell) pairs prunes the ~(1 - n_probe/n_cells)
+    fraction of the corpus without ever reading it — the inverted-list
+    prune, expressed relationally.
+
+    Deterministic + oracle-expressible by the same discipline as the
+    seeded IVF and PQ operators: coarse centroids are the n_cells
+    smallest ids, PQ codebooks seed from the k_codes smallest ids'
+    residual subvectors, distances use the decimal-sum fold.  Returns
+    (query_id, neighbor_id, adc_dist, rn).
+    """
+    from pyspark.sql.window import Window
+
+    cents = _coarse_cells(corpus, n_cells, id_col, vec_col)
+
+    # ---- index build: cell + residual per corpus vector, PQ on residuals
+    c = _coarse_assign(spread(corpus).select(id_col, vec_col), cents,
+                       id_col, vec_col)
+    c = c.localCheckpoint(eager=False)  # assignment feeds train AND encode
+    res = c.select(id_col, F.col("resid").alias(vec_col))
+    codebooks = pq_train(res, m, k_codes, n_iter, id_col, vec_col)
+    codes = (pq_encode(res, codebooks, m, id_col, vec_col)
+             .join(c.select(id_col, "cell"), id_col)
+             .select(F.col(id_col).alias("neighbor_id"),
+                     "cell", "s", "code"))
+
+    # ---- query side: n_probe nearest cells, residual + LUT per cell
+    q = queries.select(F.col(id_col).alias("query_id"), vec_col)
+    qscored = (q.crossJoin(F.broadcast(cents))
+               .withColumn("_d", l2_sq(F.col(vec_col), F.col("cent"))))
+    wq = Window.partitionBy("query_id").orderBy("_d", "cell")
+    qprobe = (qscored.withColumn("_rn", F.row_number().over(wq))
+              .filter(F.col("_rn") <= n_probe)
+              .select("query_id", "cell",
+                      F.zip_with(F.col(vec_col), F.col("cent"),
+                                 lambda x, y: x.cast("double") - y)
+                      .alias("resid")))
+    dsub = (F.size("_v") / F.lit(m)).cast("int")
+    qsub = (qprobe
+            .select("query_id", "cell", F.col("resid").alias("_v"),
+                    F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"))
+            .select("query_id", "cell", "s",
+                    F.slice(F.col("_v"), F.col("s") * dsub + 1, dsub)
+                    .alias("v")))
+    lut = (qsub.join(F.broadcast(codebooks), "s")
+           .select("query_id", "cell", "s", "code",
+                   l2_sq(F.col("v"), F.col("cent")).alias("d")))
+
+    # ---- ADC scan of the probed lists only
+    scored = codes.join(F.broadcast(lut), ["cell", "s", "code"])
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = (scored.groupBy("query_id", "neighbor_id")
+              .agg(F.round(F.sum(F.round(F.col("d"), 12)
+                                 .cast("decimal(28,12)")).cast("double"), 9)
+                   .alias("adc_dist")))
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k))

@@ -1,0 +1,130 @@
+"""Incremental view maintenance (IVM) for a JOIN-aggregate: a persisted
+``SELECT g, count(*), sum(v) FROM fact JOIN dim GROUP BY g`` view kept in
+sync as fact batches arrive, without ever re-scanning the fact history.
+
+Why this matters at 100 TB: ``sinks.rollup`` maintains single-table
+aggregates, but the views analysts actually read aggregate a FACT table
+through a JOIN to a dimension (revenue by nation = orders ⋈ customer ⋈
+nation).  Recomputing that join-aggregate re-shuffles the whole fact
+table per refresh; maintaining it folds only Δfact ⋈ dim — the classic
+delta rule for joins (ΔQ = Δfact ⋈ dim when only the fact side changes),
+see e.g. Gupta & Mumick, "Maintenance of Materialized Views: Problems,
+Techniques, and Applications", IEEE Data Eng. Bull. 1995 (public).  Job
+cost tracks ingest-batch size; the dim-side join cost is the batch's —
+co-locate it with ``sinks.bucketing`` at scale.
+
+Scope: APPEND-ONLY fact, slowly-changing dim handled by re-basing (a dim
+change invalidates affected groups; re-derive them from the fact store —
+the standard trade, documented rather than hidden).  Aggregates must be
+algebraic (count/sum/min/max) so merging is itself a groupBy, exactly as
+in ``sinks.rollup``.
+
+State layout: the view is hive-partitioned by ``grp_bucket =
+pmod(hash32(group), n_buckets)`` so a delta touching few groups rewrites
+few partitions (partition-pruned read + staged swap of only the touched
+buckets, manifest-committed via the shared ``sinks.merge`` machinery).
+With high-cardinality groups the bucket count bounds both the touched-
+partition read and the swap, independent of view size.
+
+Determinism: sums go through DECIMAL(28,6) (order-insensitive); the
+registered query's oracle recomputes the view from the full fact table,
+proving incremental maintenance == full recompute.
+
+The reference has no persistence at all (table lifetime = process,
+reference: localsql/localsql.py:31); this is a pure scale extension.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from localsql_spark.operators import hash32
+from localsql_spark.sinks.merge import (_apply_manifest, _manifest_path,
+                                        read_base_partitions,
+                                        recover_pending_merge)
+
+
+def join_rollup(fact: DataFrame, dim: DataFrame, fact_key: str,
+                dim_key: str, group_col: str, value_col: str,
+                n_buckets: int = 8) -> DataFrame:
+    """Aggregate one fact batch through the dim join: one row per group
+    carrying (n_rows, sum_value) plus the ``grp_bucket`` partition
+    column.  The join's left side is batch-sized; the aggregate is one
+    group-key shuffle with map-side combine, output cardinality = groups
+    touched by the batch."""
+    joined = fact.join(dim.select(dim_key, group_col),
+                       fact[fact_key] == dim[dim_key])
+    return (joined
+            .groupBy(F.col(group_col).alias("grp"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.round(F.col(value_col), 6).cast("decimal(28,6)"))
+                 .alias("sum_value"))
+            .withColumn("grp_bucket",
+                        F.pmod(hash32(F.col("grp").cast("string")),
+                               F.lit(n_buckets))))
+
+
+def merge_join_rollup(stored: DataFrame | None,
+                      delta: DataFrame) -> DataFrame:
+    """Fold a batch delta into stored view rows: groupBy the group key
+    re-applying the algebraic merges — the same partial-aggregate combine
+    Spark runs map-side, which is why incremental == full recompute."""
+    both = delta if stored is None else stored.unionByName(delta)
+    return (both.groupBy("grp", "grp_bucket")
+            .agg(F.sum("n_rows").alias("n_rows"),
+                 F.sum("sum_value").cast("decimal(28,6)")
+                 .alias("sum_value")))
+
+
+def maintain_join_view(spark: SparkSession, view_dir: str,
+                       fact_batch: DataFrame, dim: DataFrame,
+                       fact_key: str, dim_key: str, group_col: str,
+                       value_col: str, n_buckets: int = 8) -> list:
+    """Fold a new fact batch into the persisted join view at ``view_dir``
+    (created on first call).  Returns the rewritten ``grp_bucket``
+    partition values.
+
+    Plan shape: Δfact ⋈ dim + one batch-sized aggregate, collect only the
+    touched buckets (bounded by n_buckets), partition-prune the stored
+    view read to those buckets, merge, and stage-swap just those
+    partitions via the manifest commit (crash-safe: a torn run heals on
+    the next call's ``recover_pending_merge``)."""
+    recover_pending_merge(view_dir)
+    delta = join_rollup(fact_batch, dim, fact_key, dim_key, group_col,
+                        value_col, n_buckets)
+    delta = delta.localCheckpoint(eager=True)  # bucket collect + merge
+    buckets = [r[0] for r in
+               delta.select("grp_bucket").distinct().collect()]
+    if not buckets:
+        return []
+    stored = read_base_partitions(spark, view_dir, "grp_bucket", buckets)
+    merged = merge_join_rollup(stored, delta)
+
+    base = Path(view_dir)
+    staging = base.parent / f".{base.name}.staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    (merged.repartition(F.col("grp_bucket"))
+     .write.mode("overwrite").partitionBy("grp_bucket")
+     .parquet(str(staging)))
+    base.mkdir(parents=True, exist_ok=True)
+    pnames = sorted(p.name for p in staging.glob("grp_bucket=*"))
+    manifest = _manifest_path(base)
+    tmp = manifest.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps({"staging": staging.name,
+                               "partitions": pnames}))
+    os.rename(tmp, manifest)  # COMMIT POINT — one rename
+    _apply_manifest(base, manifest)
+    return sorted(buckets)
+
+
+def read_join_view(spark: SparkSession, view_dir: str) -> DataFrame:
+    """Read the maintained join view; filters on ``grp_bucket`` prune
+    whole partitions, and averages derive as sum/count at read time."""
+    recover_pending_merge(view_dir)
+    return spark.read.option("basePath", view_dir).parquet(view_dir)

@@ -454,20 +454,18 @@ def _changed_since_verified() -> dict:
 # land this round).  Refresh each round: drop names once their new green
 # row appears in the latest CORRECTNESS file.
 _MUST_RECHECK: tuple[str, ...] = (
-    # round-6 ADVICE fixes (commit 6a7c8f8) — flagged by the round-6
-    # verdict as carrying stale pre-fix r5 rows
-    "knn_pq_top5", "knn_pq_rerank_top5", "gopher_quality_rules",
-    # round-7 semantic edits: winnowing checksum encoding (2^40 stride),
-    # IVF compaction generations, scd2 commit protocol, rollup marker
-    "winnowing_fingerprints", "winnowing_shared_pairs",
-    "knn_ivf_index_append_top5", "scd2_store_history",
-    "streaming_scd2_ingest", "streaming_rollup_hourly",
-    # round-7 execution-path changes (same oracle, new plan): auto banded
-    # index on the store probe; interval-merge span rebuild + shared
-    # persisted token table
-    "dedup_incremental_store", "pipeline_incremental_ingest",
-    "remove_repeated_spans", "doc_novelty_scores", "dedup_repeated_spans",
-    "streaming_dedup_ingest",
+    # all round-6/7 entries re-earned green CORRECTNESS_r07 rows and
+    # were dropped.  Round 8:
+    # oracle fix — the cluster oracles' recursive CTE expanded only
+    # 1-hop neighbors (edges.s = reach.n), correct for near-clique
+    # minhash components but not a true transitive closure; both must
+    # re-earn a row under the corrected closure (edges.s = reach.r)
+    "dedup_clusters", "dedup_clusters_bigstar",
+    # round-8 execution-path changes (same oracle, new code): advisory
+    # lock + cap-aware meta on the auto banded index; id-contiguity walk
+    # in landing-dir retention
+    "dedup_incremental_store", "dedup_incremental_banded",
+    "streaming_rollup_hourly", "streaming_dedup_ingest",
 )
 
 

@@ -816,7 +816,7 @@ nodes AS (SELECT DISTINCT s AS n FROM edges),
 reach(n, r) AS (
   SELECT n, n FROM nodes
   UNION
-  SELECT reach.n, edges.t FROM reach JOIN edges ON edges.s = reach.n
+  SELECT reach.n, edges.t FROM reach JOIN edges ON edges.s = reach.r
 )
 SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n
 """)
@@ -1206,7 +1206,7 @@ nodes AS (SELECT DISTINCT s AS n FROM edges),
 reach(n, r) AS (
   SELECT n, n FROM nodes
   UNION
-  SELECT reach.n, edges.t FROM reach JOIN edges ON edges.s = reach.n
+  SELECT reach.n, edges.t FROM reach JOIN edges ON edges.s = reach.r
 )
 SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n
 """)
@@ -3096,3 +3096,210 @@ def split_stratified_val_by_lang(spark: SparkSession, sf_dir: str
                 F.when(F.col("_rn") <= F.ceil(0.1 * F.col("_n"))
                        .cast("bigint"), "val")
                 .otherwise("train").alias("split")))
+
+
+_IVFPQ_DIST = ("CAST(SUM(CAST(round((sv.x - cb.y) * (sv.x - cb.y), 12)"
+               " AS DECIMAL(28,12))) AS DOUBLE)")
+
+_IVFPQ_ORACLE = f"""
+WITH ev AS (SELECT vec_id, generate_subscripts(embedding, 1) AS p,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings),
+cc AS (SELECT vec_id AS cell, p, x AS y FROM ev WHERE vec_id < 8),
+cd AS (SELECT sv.vec_id, cb.cell, {_IVFPQ_DIST} AS dist
+       FROM ev sv JOIN cc cb ON sv.p = cb.p
+       GROUP BY 1, 2),
+casg AS (SELECT vec_id, cell FROM (
+           SELECT vec_id, cell,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cell) AS rn
+           FROM cd) r WHERE rn = 1),
+rv AS (SELECT ev.vec_id, a.cell, ev.p, ev.x - cc.y AS x
+       FROM ev JOIN casg a ON ev.vec_id = a.vec_id
+               JOIN cc ON cc.cell = a.cell AND cc.p = ev.p),
+sv AS (SELECT vec_id, CAST(floor((p - 1) / 16) AS INT) AS s,
+              ((p - 1) % 16) + 1 AS sp, x
+       FROM rv),
+seeds AS (SELECT s, vec_id AS code, sp, x AS y FROM sv WHERE vec_id < 16),
+d0 AS (SELECT sv.vec_id, sv.s, cb.code,
+              CAST(SUM(CAST(round((sv.x - cb.y) * (sv.x - cb.y), 12)
+                            AS DECIMAL(28,12))) AS DOUBLE) AS dist
+       FROM sv JOIN seeds cb ON sv.s = cb.s AND sv.sp = cb.sp
+       GROUP BY 1, 2, 3),
+a0 AS (SELECT vec_id, s, code FROM (
+         SELECT vec_id, s, code,
+                ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                   ORDER BY dist, code) AS rn
+         FROM d0) r WHERE rn = 1),
+c1 AS (SELECT a0.s, a0.code, sv.sp,
+              CAST(SUM(CAST(round(sv.x, 12) AS DECIMAL(38,12)))
+                   AS DOUBLE) / COUNT(*) AS y
+       FROM sv JOIN a0 ON sv.vec_id = a0.vec_id AND sv.s = a0.s
+       GROUP BY 1, 2, 3),
+d1 AS (SELECT sv.vec_id, sv.s, cb.code,
+              CAST(SUM(CAST(round((sv.x - cb.y) * (sv.x - cb.y), 12)
+                            AS DECIMAL(28,12))) AS DOUBLE) AS dist
+       FROM sv JOIN c1 cb ON sv.s = cb.s AND sv.sp = cb.sp
+       GROUP BY 1, 2, 3),
+codes AS (SELECT vec_id, s, code FROM (
+            SELECT vec_id, s, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                      ORDER BY dist, code) AS rn
+            FROM d1) r WHERE rn = 1),
+qprobe AS (SELECT vec_id AS query_id, cell FROM (
+             SELECT vec_id, cell,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cell) AS rn
+             FROM cd WHERE vec_id < 10) r WHERE rn <= 4),
+qrv AS (SELECT q.query_id, q.cell, ev.p, ev.x - cc.y AS x
+        FROM qprobe q JOIN ev ON ev.vec_id = q.query_id
+             JOIN cc ON cc.cell = q.cell AND cc.p = ev.p),
+qsv AS (SELECT query_id, cell, CAST(floor((p - 1) / 16) AS INT) AS s,
+               ((p - 1) % 16) + 1 AS sp, x
+        FROM qrv),
+lut AS (SELECT sv.query_id, sv.cell, sv.s, cb.code,
+               CAST(SUM(CAST(round((sv.x - cb.y) * (sv.x - cb.y), 12)
+                             AS DECIMAL(28,12))) AS DOUBLE) AS d
+        FROM qsv sv JOIN c1 cb ON sv.s = cb.s AND sv.sp = cb.sp
+        GROUP BY 1, 2, 3, 4),
+scored AS (SELECT l.query_id, c.vec_id AS neighbor_id,
+                  round(CAST(SUM(CAST(round(l.d, 12) AS DECIMAL(28,12)))
+                             AS DOUBLE), 9) AS adc_dist
+           FROM codes c JOIN casg a ON a.vec_id = c.vec_id
+                JOIN lut l ON l.cell = a.cell AND l.s = c.s
+                          AND l.code = c.code
+           WHERE l.query_id <> c.vec_id
+           GROUP BY 1, 2)
+SELECT query_id, neighbor_id, adc_dist, rn FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id) AS rn
+  FROM scored) r WHERE rn <= 5
+"""
+
+
+@query("knn_ivfpq_top5", oracle=_IVFPQ_ORACLE)
+def knn_ivfpq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (operators.similarity.knn_ivfpq_adc, Jégou et al. TPAMI
+    2011 §V): coarse-quantize into 8 inverted lists, product-quantize the
+    residual vector-centroid (m=4, 16 codes, one Lloyd round), probe the
+    4 nearest lists per query with a per-(query, cell) ADC lookup table —
+    the composition behind billion-scale ANN (IVF bounds what is scanned,
+    PQ bounds bytes per scanned row; no shuffle carries float vectors).
+    The oracle replays coarse assignment, residual computation, codebook
+    training, encoding, probing, and LUT scoring in SQL, so the gate
+    checks the full index pipeline, not just final ranks."""
+    emb = load(spark, sf_dir)["embeddings"]
+    return S.knn_ivfpq_adc(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                           n_cells=8, n_probe=4, m=4, k_codes=16,
+                           n_iter=1, exclude_self=True)
+
+
+@query("ivm_nation_revenue", oracle="""
+SELECT c.c_nationkey AS grp,
+       count(*) AS n_rows,
+       round(CAST(sum(CAST(round(o.o_totalprice, 6) AS DECIMAL(28,6)))
+                  AS DOUBLE), 6) AS sum_value,
+       round(CAST(sum(CAST(round(o.o_totalprice, 6) AS DECIMAL(28,6)))
+                  AS DOUBLE) / count(*), 6) AS avg_value
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""")
+def ivm_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained JOIN-aggregate view (sinks.ivm): revenue
+    by customer nation over orders ⋈ customer, built by folding three
+    fact batches (hash-mod on o_orderkey) into a persisted view — each
+    fold joins and aggregates ONLY the batch (the Δfact ⋈ dim delta
+    rule; Gupta & Mumick 1995) and rewrites only the touched grp_bucket
+    partitions via the manifest-committed swap.  The oracle recomputes
+    the view from the full fact table, proving incremental maintenance
+    == full recompute; avg derives at read time as sum/count.  Job cost
+    tracks ingest-batch size, never fact-history size — the materialized-
+    view shape a 100 TB fact store needs."""
+    import shutil
+    from pathlib import Path
+
+    from localsql_spark.operators import hash32
+    from localsql_spark.sinks.ivm import maintain_join_view, read_join_view
+
+    t = load(spark, sf_dir)
+    orders, customer = t["orders"], t["customer"]
+    scratch = (Path(__file__).resolve().parent.parent.parent / ".cache"
+               / "ivm_nation_rev" / Path(sf_dir.rstrip("/")).name)
+    shutil.rmtree(scratch, ignore_errors=True)
+    shutil.rmtree(scratch.parent / f".{scratch.name}.staging",
+                  ignore_errors=True)
+    m = F.pmod(hash32(F.col("o_orderkey").cast("string")), F.lit(3))
+    for batch in (orders.filter(m == 0), orders.filter(m == 1),
+                  orders.filter(m == 2)):
+        maintain_join_view(spark, str(scratch), batch, customer,
+                           fact_key="o_custkey", dim_key="c_custkey",
+                           group_col="c_nationkey",
+                           value_col="o_totalprice")
+    v = read_join_view(spark, str(scratch))
+    return v.select(
+        "grp", "n_rows",
+        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+        F.round(F.col("sum_value").cast("double") / F.col("n_rows"), 6)
+        .alias("avg_value"))
+
+
+_ER_MATCH_SQL = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       levenshtein(a.c_name, b.c_name) AS dist,
+       round(1 - levenshtein(a.c_name, b.c_name)
+                 / CAST(greatest(length(a.c_name), length(b.c_name))
+                        AS DOUBLE), 9) AS sim
+FROM customer a
+JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+@query("er_customer_matches", oracle=_ER_MATCH_SQL)
+def er_customer_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution stage 1 (operators.er.blocked_edit_matches,
+    Fellegi-Sunter blocking + edit-distance matching): customers block on
+    (nation, market segment), pairs within a block match when their names
+    are within edit distance 1.  One equi-join on the block key — never a
+    cross join — with JVM-side codegen levenshtein; cost is bounded by
+    the largest block (cap-able via block_cap), the property that makes
+    record linkage feasible at 100 TB."""
+    cust = load(spark, sf_dir)["customer"]
+    from localsql_spark.operators import er as ER
+
+    return ER.blocked_edit_matches(
+        cust, id_col="c_custkey", attr_col="c_name",
+        block_cols=["c_nationkey", "c_mktsegment"], max_dist=1)
+
+
+@query("er_customer_entities", oracle=f"""
+WITH RECURSIVE m AS ({_ER_MATCH_SQL}),
+edges AS (SELECT id_a AS s, id_b AS t FROM m
+          UNION SELECT id_b, id_a FROM m),
+nodes AS (SELECT DISTINCT s AS n FROM edges),
+reach(n, r) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT reach.n, edges.t FROM reach JOIN edges ON edges.s = reach.r
+),
+cc AS (SELECT n, min(r) AS eid FROM reach GROUP BY n)
+SELECT c.c_custkey AS id, COALESCE(cc.eid, c.c_custkey) AS entity_id
+FROM customer c LEFT JOIN cc ON cc.n = c.c_custkey
+""")
+def er_customer_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution stage 2 (operators.er.resolve_entities): the
+    edit-distance matches canonicalize through min-label-propagation
+    connected components (entity id = smallest record id per cluster,
+    diameter-bounded joins over match EDGES only), singletons resolving
+    to themselves — every record gets exactly one entity id.  The oracle
+    replays blocking, matching, AND the transitive closure in SQL."""
+    cust = load(spark, sf_dir)["customer"]
+    from localsql_spark.operators import er as ER
+
+    matches = ER.blocked_edit_matches(
+        cust, id_col="c_custkey", attr_col="c_name",
+        block_cols=["c_nationkey", "c_mktsegment"], max_dist=1)
+    return ER.resolve_entities(cust, matches, id_col="c_custkey")

@@ -353,3 +353,44 @@ def test_incremental_store_probe_is_partition_pruned(spark, queries):
           if "PartitionFilters" in ln and "bk_prefix" in ln]
     assert pf, "index scan lost its bk_prefix partition prune"
     assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_codes_join_never_shuffles_vectors(spark, queries):
+    """IVFADC scale contract: the candidate-scoring join is an equi-join
+    of the narrow codes table against a BROADCAST lookup table — no
+    cartesian/NLJ anywhere, and no exchange carries an embedding array
+    above the residual-encoding subtree."""
+    plan = _plan(queries["knn_ivfpq_top5"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    # the candidate scan must be a broadcast HASH join keyed on the
+    # inverted-list triple — the relational form of the IVF list prune
+    # (the only NLJs allowed are the n_cells-row centroid crossJoins)
+    assert any("BroadcastHashJoin [cell" in ln for ln in plan.splitlines())
+    nljs = [ln for ln in plan.splitlines()
+            if "BroadcastNestedLoopJoin" in ln]
+    assert all("Cross" in ln for ln in nljs)
+    # the final aggregation's exchange carries (query, neighbor, partial
+    # decimal sum) — never the embedding column
+    final_exchanges = [ln for ln in plan.splitlines()
+                       if "Exchange hashpartitioning(query_id" in ln]
+    assert final_exchanges and all("embedding" not in ln
+                                   for ln in final_exchanges)
+
+
+def test_ivm_join_view_read_prunes_buckets(spark, tmp_path):
+    """A grp_bucket filter on the maintained join view must prune whole
+    partitions at scan time (PartitionFilters), not post-filter rows."""
+    from localsql_spark.sinks.ivm import maintain_join_view, read_join_view
+
+    fact = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(50)],
+        "fk long, cust long, amount double")
+    dim = spark.createDataFrame([(c, f"g{c}") for c in range(5)],
+                                "cust_id long, grp_name string")
+    view = str(tmp_path / "view")
+    maintain_join_view(spark, view, fact, dim, "cust", "cust_id",
+                       "grp_name", "amount", n_buckets=4)
+    df = read_join_view(spark, view).filter("grp_bucket = 1")
+    plan = _plan(df)
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan and "grp_bucket" in scan[0]

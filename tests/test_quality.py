@@ -106,3 +106,34 @@ def test_schema_drift_statuses(spark):
     assert rep["s"] == ("bigint", "string", "type_changed")
     assert rep["missing_col"] == ("double", None, "missing")
     assert rep["v"] == (None, "double", "added")
+
+
+def test_er_blocked_matches_and_transitive_entities(spark):
+    """Entity resolution: matching happens only WITHIN blocks, edit
+    distance gates pairs, and canonicalization is TRANSITIVE — a chain
+    a~b, b~c resolves all three to one entity even when a and c are not
+    themselves within max_dist."""
+    from localsql_spark.operators import er as ER
+
+    rows = [
+        (1, "smith ltd", "uk"), (2, "smith ltd.", "uk"),   # dist 1
+        (3, "smith ltdx.", "uk"),                           # dist 1 to 2, 2 to 1
+        (4, "smith ltd", "fr"),   # identical attr, different block: no match
+        (5, "jones plc", "uk"),   # no match at dist 1
+    ]
+    df = spark.createDataFrame(rows, "rid long, name string, country string")
+    m = ER.blocked_edit_matches(df, "rid", "name", ["country"], max_dist=1)
+    pairs = sorted((r.id_a, r.id_b, r.dist) for r in m.collect())
+    assert pairs == [(1, 2, 1), (2, 3, 1)]  # chain, never (1,3), never 4
+    ents = {r.id: r.entity_id
+            for r in ER.resolve_entities(df, m, "rid").collect()}
+    assert ents == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+
+    # block_cap drops a degenerate hot block before the self-join
+    hot = spark.createDataFrame(
+        [(i, "same", "x") for i in range(10)] + [(90, "pair a", "y"),
+                                                 (91, "pair b", "y")],
+        "rid long, name string, country string")
+    capped = ER.blocked_edit_matches(hot, "rid", "name", ["country"],
+                                     max_dist=1, block_cap=5)
+    assert sorted((r.id_a, r.id_b) for r in capped.collect()) == [(90, 91)]

