@@ -284,8 +284,9 @@ def connected_components(edges: DataFrame, a_col: str = "doc_a",
     Min-label propagation: each round every node takes the min of its own
     label and its neighbors' labels — converges in O(component diameter)
     rounds (near-dup clusters are shallow), each round one join + one
-    groupBy, all distributed; the driver only checks the scalar
-    changed-count. This is the standard large-scale CC formulation.
+    groupBy, all distributed; the driver only checks a convergence scalar
+    (exact label-sum fingerprint for numeric ids, changed-count join for
+    anything else). This is the standard large-scale CC formulation.
     Returns (node, cluster_id).
 
     Each round ends in ``localCheckpoint()``: iterative plans reference the
@@ -302,22 +303,42 @@ def connected_components(edges: DataFrame, a_col: str = "doc_a",
     sym = track_persist(sym.distinct())
     labels = (sym.select(F.col("s").alias("node")).distinct()
               .withColumn("label", F.col("node")).localCheckpoint())
+    # numeric ids admit an exact-sum convergence fingerprint (below); for
+    # any other id type fall back to the changed-count join
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(labels.schema["label"].dataType, NumericType)
+    prev_sum = None
     for _ in range(max_iter):
         neighbor_min = (sym.join(labels, sym.t == labels.node)
                         .groupBy("s").agg(F.min("label").alias("nmin")))
-        # LAZY checkpoint: the changed-count below materializes it, so each
-        # round runs ONE job instead of an eager-checkpoint job plus a count
+        # LAZY checkpoint: the convergence scalar below materializes it, so
+        # each round runs ONE job instead of an eager-checkpoint job plus
+        # the test
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.s, "left")
             .select("node",
                     F.least("label", F.coalesce("nmin", "label"))
                     .alias("label"))
             .localCheckpoint(eager=False))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.label") != F.col("o.label")).count())
+        if numeric_ids:
+            # convergence via the label-sum fingerprint: labels move only
+            # DOWNWARD (least of own and neighbor min), so the exact
+            # decimal sum is unchanged iff every label is unchanged — one
+            # scan of the materializing checkpoint instead of a shuffle
+            # join against the previous round's labels (same round count,
+            # one less exchange per round)
+            label_sum = new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+            converged = label_sum == prev_sum
+            prev_sum = label_sum
+        else:
+            converged = (new_labels.alias("n")
+                         .join(labels.alias("o"), "node")
+                         .filter(F.col("n.label") != F.col("o.label"))
+                         .count() == 0)
         labels = new_labels
-        if changed == 0:
+        if converged:
             break
     else:
         # exhausting max_iter means some component (diameter > max_iter, e.g.
