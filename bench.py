@@ -86,6 +86,7 @@ EXTENSION_HEADLINE = [
     "knn_ivfpq_top5",
     "ivm_nation_revenue",
     "er_customer_entities",
+    "pack_sequences_cap128",
 ]
 
 

@@ -109,6 +109,75 @@ def chunk_documents(docs: DataFrame, chunk: int = 64, overlap: int = 16,
         F.md5(F.concat_ws(" ", sl)).alias("chunk_hash"))
 
 
+def pack_sequences(docs: DataFrame, capacity: int = 128,
+                   n_shards: int = 8, doc_id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Greedy next-fit sequence packing: assign whole documents to fixed
+    token-budget training sequences (bins of ``capacity`` tokens) — the
+    batch-construction step after chunking/tokenization that decides what
+    shares a context window (packing raises accelerator utilization by
+    filling windows instead of padding; the streaming-friendly next-fit
+    variant is the one production pipelines use because it is one ordered
+    pass, not a bin search).
+
+    Determinism: documents are sharded by the portable 32-bit hash of
+    their id and walked within each shard in (salted-hash, id) order — a
+    reproducible shuffle independent of input partitioning.  The fold
+    places each document into the current bin if it fits, else opens a
+    new bin; a document longer than ``capacity`` gets a bin of its own
+    (``oversize`` true) rather than being dropped — chunk first
+    (:func:`chunk_documents`) if truncation is the intended policy.
+
+    Returns one row per document: ``doc_id, shard, seq, pos, n_tok,
+    oversize`` where (shard, seq) identifies the packed sequence and
+    ``pos`` the document's position inside it.
+
+    Scale shape: token counting and shard/order hashing are row-local;
+    the fold is ONE shuffle on the shard key into an Arrow-batched
+    per-shard pandas pass (the fold is order-dependent by construction,
+    so it cannot be an algebraic aggregate — applyInPandas is the honest
+    expression).  Shards are independent deterministic streams: size
+    ``n_shards`` so one shard's (id, n_tok) pairs fit an executor —
+    ~24 bytes/doc means millions of docs per shard are comfortable, and
+    the output is identical at any shard-internal parallelism.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from localsql_spark.operators import hash32
+
+    base = (spread(docs).select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.size(_tokens(F.col(text_col))).cast("long").alias("n_tok"),
+        F.pmod(hash32(F.col(doc_id_col).cast("string")),
+               F.lit(n_shards)).cast("int").alias("shard"),
+        hash32(F.concat(F.lit("pack:"),
+                        F.col(doc_id_col).cast("string"))).alias("oh")))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["oh", "doc_id"]).reset_index(drop=True)
+        n = len(pdf)
+        seqs = np.empty(n, dtype="int64")
+        poss = np.empty(n, dtype="int64")
+        fill, seq, pos = capacity + 1, -1, 0  # sentinel forces a first bin
+        for i, nt in enumerate(pdf["n_tok"].to_numpy()):
+            if fill + nt > capacity:
+                seq, fill, pos = seq + 1, 0, 0
+            seqs[i], poss[i] = seq, pos
+            fill += nt
+            pos += 1
+        pdf["seq"] = seqs
+        pdf["pos"] = poss
+        return pdf[["doc_id", "shard", "seq", "pos", "n_tok"]]
+
+    out = base.groupBy("shard").applyInPandas(
+        fold, "doc_id long, shard int, seq long, pos long, n_tok long")
+    return out.select("doc_id", "shard",
+                      F.col("seq").cast("int").alias("seq"),
+                      F.col("pos").cast("int").alias("pos"), "n_tok",
+                      (F.col("n_tok") > capacity).alias("oversize"))
+
+
 # ---------------------------------------------------------------------------
 # Repeated-span (substring-level) duplication
 # ---------------------------------------------------------------------------

@@ -657,3 +657,75 @@ def remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir)["documents"]
     return rrs(docs, span=8)
+
+
+_PACK_CTE = f"""
+{_TOK_CTE.strip()},
+d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 8 AS INT) AS shard,
+             CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),
+                                 1, 8) AS BIGINT) AS oh
+      FROM tok),
+o AS (SELECT *, row_number() OVER (PARTITION BY shard
+                                   ORDER BY oh, doc_id) AS rn
+      FROM d),
+p AS (
+  SELECT shard, rn, doc_id, n_tok, oh, 0 AS seq, n_tok AS fill
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tok, o.oh,
+         CASE WHEN p.fill + o.n_tok <= 128 THEN p.seq ELSE p.seq + 1 END,
+         CASE WHEN p.fill + o.n_tok <= 128 THEN p.fill + o.n_tok
+              ELSE o.n_tok END
+  FROM p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+"""
+
+
+@query("pack_sequences_cap128", oracle=f"""
+WITH RECURSIVE {_PACK_CTE.strip()}
+SELECT doc_id, shard, CAST(seq AS INT) AS seq,
+       CAST(row_number() OVER (PARTITION BY shard, seq
+                               ORDER BY oh, doc_id) - 1 AS INT) AS pos,
+       n_tok, n_tok > 128 AS oversize
+FROM p
+""")
+def pack_sequences_cap128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy next-fit sequence packing (operators.corpus.pack_sequences):
+    whole documents assigned to 128-token training sequences in a
+    deterministic salted-hash order within hash shards — the batch-
+    construction step that fills context windows instead of padding them.
+    The fold is order-dependent by construction, so it runs as ONE
+    Arrow-batched per-shard pandas pass after row-local token counting and
+    shard hashing; shards are independent streams, so the result is
+    identical at any parallelism.  The oracle replays the fold as a
+    per-shard recursive CTE — bin state (fill, seq) threaded row by row —
+    proving the distributed pass equals the sequential definition."""
+    from localsql_spark.operators.corpus import pack_sequences
+
+    docs = load(spark, sf_dir)["documents"]
+    return pack_sequences(docs, capacity=128, n_shards=8)
+
+
+@query("pack_fill_stats", oracle=f"""
+WITH RECURSIVE {_PACK_CTE.strip()}
+SELECT shard, CAST(seq AS INT) AS seq,
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS fill_tok,
+       round(sum(n_tok) / 128.0, 9) AS fill_frac
+FROM p GROUP BY 1, 2
+""")
+def pack_fill_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing efficiency audit over pack_sequences' bins: documents and
+    token fill per (shard, seq) plus the fill fraction against the
+    128-token budget — the utilization number (vs padding waste) that
+    justifies packing; one bounded groupBy over the packed assignment."""
+    from localsql_spark.operators.corpus import pack_sequences
+
+    docs = load(spark, sf_dir)["documents"]
+    packed = pack_sequences(docs, capacity=128, n_shards=8)
+    return (packed.groupBy("shard", "seq")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").alias("fill_tok"),
+                 F.round(F.sum("n_tok") / F.lit(128.0), 9)
+                 .alias("fill_frac")))

@@ -1744,3 +1744,38 @@ def test_index_detects_same_size_in_place_rewrite(spark, tmp_path):
     part.write_bytes(payload)  # same name, same size, new mtime
     os.utime(part)  # ensure mtime moves even on coarse-clock filesystems
     assert D.ensure_banded_index(spark, store, str(idx)) == "rebuilt"
+
+
+def test_pack_sequences_next_fit_invariants(spark):
+    """Packing respects the capacity for non-oversize bins, isolates
+    oversize documents in their own bin, keeps every document exactly
+    once, and is invariant to input partitioning (the order comes from
+    the salted hash, not the incoming row order)."""
+    from localsql_spark.operators.corpus import pack_sequences
+
+    rows = [(i, " ".join(["tok"] * n))
+            for i, n in enumerate([5, 9, 3, 14, 2, 8, 30, 1, 7, 6])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = pack_sequences(df, capacity=10, n_shards=2)
+    out = {r.doc_id: r for r in got.collect()}
+    assert sorted(out) == list(range(10))  # every doc exactly once
+
+    # bin-level: non-oversize bins fit the capacity; oversize docs alone
+    bins = {}
+    for r in out.values():
+        bins.setdefault((r.shard, r.seq), []).append(r)
+    for members in bins.values():
+        total = sum(r.n_tok for r in members)
+        if any(r.oversize for r in members):
+            assert len(members) == 1
+        else:
+            assert total <= 10
+    # positions are 0..len-1 in each bin
+    for members in bins.values():
+        assert sorted(r.pos for r in members) == list(range(len(members)))
+
+    # partitioning invariance: same assignment from a repartitioned input
+    got2 = {r.doc_id: (r.shard, r.seq, r.pos)
+            for r in pack_sequences(df.repartition(7), capacity=10,
+                                    n_shards=2).collect()}
+    assert got2 == {d: (r.shard, r.seq, r.pos) for d, r in out.items()}
