@@ -87,6 +87,7 @@ EXTENSION_HEADLINE = [
     "ivm_nation_revenue",
     "er_customer_entities",
     "pack_sequences_cap128",
+    "streaming_interval_join_5m",
 ]
 
 

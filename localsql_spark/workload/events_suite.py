@@ -1000,3 +1000,28 @@ def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.abs(zraw) > 3.0)
             .select("bucket_ts", "event_type", "n_events",
                     F.round(zraw, 6).alias("z")))
+
+
+@query("streaming_interval_join_5m", oracle="""
+WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS pts FROM events
+           WHERE event_type = 'purchase'),
+e AS (SELECT user_id, event_id AS error_id, ts AS ets FROM events
+      WHERE event_type = 'error')
+SELECT p.user_id, purchase_id, error_id,
+       epoch_us(pts) AS purchase_us, epoch_us(ets) AS error_us
+FROM p JOIN e ON p.user_id = e.user_id
+WHERE epoch_us(ets) - epoch_us(pts) BETWEEN 0 AND 300000000
+""")
+def streaming_interval_join_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The range join as a REAL stream-stream join
+    (streaming.stream_join.interval_join_stream): purchases and errors as
+    two watermarked live streams, inner-joined on user plus a bounded
+    event-time distance — Spark's StreamingSymmetricHashJoin buffers each
+    side only until the opposite watermark clears its match window, so
+    state is (join-window x rate)-bounded, never history-sized.  Draining
+    with availableNow makes the result equal the batch range join, so it
+    shares that exact oracle."""
+    from localsql_spark.streaming.stream_join import interval_join_stream
+
+    load(spark, sf_dir)
+    return interval_join_stream(spark, sf_dir)
