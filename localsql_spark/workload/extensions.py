@@ -3303,3 +3303,34 @@ def er_customer_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust, id_col="c_custkey", attr_col="c_name",
         block_cols=["c_nationkey", "c_mktsegment"], max_dist=1)
     return ER.resolve_entities(cust, matches, id_col="c_custkey")
+
+
+@query("er_sorted_neighborhood", oracle="""
+WITH r AS (SELECT c_custkey AS id, c_name AS attr, c_nationkey AS blk,
+                  row_number() OVER (PARTITION BY c_nationkey
+                                     ORDER BY c_name, c_custkey) AS rnk
+           FROM customer),
+pairs AS (SELECT a.id AS ida, b.id AS idb, a.attr AS aa, b.attr AS ab
+          FROM r a JOIN r b
+            ON a.blk = b.blk AND b.rnk - a.rnk BETWEEN 1 AND 3)
+SELECT least(ida, idb) AS id_a, greatest(ida, idb) AS id_b,
+       levenshtein(aa, ab) AS dist,
+       round(1 - levenshtein(aa, ab)
+                 / CAST(greatest(length(aa), length(ab)) AS DOUBLE), 9)
+         AS sim
+FROM pairs WHERE levenshtein(aa, ab) <= 2
+""")
+def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER candidates (operators.er.
+    sorted_neighborhood_matches, Hernández-Stolfo SIGMOD 1995): customers
+    sort by name within their nation block and only pairs within 4
+    positions compare — the hot-block answer that KEEPS oversized blocks
+    at O(|block| x window) comparisons where block_cap would drop them.
+    The partner rank is an equi-join key, so the join emits exactly
+    |records| x (window-1) candidates before the edit-distance gate."""
+    cust = load(spark, sf_dir)["customer"]
+    from localsql_spark.operators import er as ER
+
+    return ER.sorted_neighborhood_matches(
+        cust, id_col="c_custkey", attr_col="c_name",
+        block_cols=["c_nationkey"], window=4, max_dist=2)

@@ -394,3 +394,14 @@ def test_ivm_join_view_read_prunes_buckets(spark, tmp_path):
     plan = _plan(df)
     scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert scan and "grp_bucket" in scan[0]
+
+
+def test_sorted_neighborhood_join_is_rank_keyed(spark, queries):
+    """The neighbor join must key on (block, partner-rank) — the hash
+    join emits |records| x (window-1) candidates, never a block-wide
+    fan-out followed by a rank filter (and never a cartesian)."""
+    plan = _plan(queries["er_sorted_neighborhood"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    joins = [ln for ln in plan.splitlines()
+             if "Join" in ln and "_rb" in ln]
+    assert joins, "rank key _rb not part of any join condition"

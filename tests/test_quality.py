@@ -137,3 +137,28 @@ def test_er_blocked_matches_and_transitive_entities(spark):
     capped = ER.blocked_edit_matches(hot, "rid", "name", ["country"],
                                      max_dist=1, block_cap=5)
     assert sorted((r.id_a, r.id_b) for r in capped.collect()) == [(90, 91)]
+
+
+def test_sorted_neighborhood_window_and_composability(spark):
+    """Sorted-neighborhood only compares pairs within the window in sort
+    order (a hot block is NOT exhaustively compared), ids normalize
+    id_a < id_b, and the output composes with resolve_entities."""
+    from localsql_spark.operators import er as ER
+
+    rows = [
+        (1, "aaa", "x"), (2, "aab", "x"), (3, "aac", "x"),
+        (4, "zzz", "x"),           # far in sort order from the aa* run
+        (5, "zzy", "x"),
+        (6, "aaa", "y"),           # other block: never pairs with 1
+    ]
+    df = spark.createDataFrame(rows, "rid long, name string, country string")
+    m = ER.sorted_neighborhood_matches(df, "rid", "name", ["country"],
+                                       window=2, max_dist=1)
+    pairs = sorted((r.id_a, r.id_b) for r in m.collect())
+    # window=2: only adjacent-in-sort pairs compare; sort order in block x
+    # is aaa,aab,aac,zzy,zzz -> adjacent pairs (1,2),(2,3),(3,5*),(5,4);
+    # (3,5) fails the distance gate, (4,5) normalizes from (5,4)
+    assert pairs == [(1, 2), (2, 3), (4, 5)]
+    ents = {r.id: r.entity_id
+            for r in ER.resolve_entities(df, m, "rid").collect()}
+    assert ents == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
