@@ -88,6 +88,7 @@ EXTENSION_HEADLINE = [
     "er_customer_entities",
     "pack_sequences_cap128",
     "streaming_interval_join_5m",
+    "ivm_dim_rebase",
 ]
 
 

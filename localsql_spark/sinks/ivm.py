@@ -98,13 +98,22 @@ def maintain_join_view(spark: SparkSession, view_dir: str,
     recover_pending_merge(view_dir)
     delta = join_rollup(fact_batch, dim, fact_key, dim_key, group_col,
                         value_col, n_buckets)
+    return _fold_delta(spark, view_dir, delta)
+
+
+def _fold_delta(spark: SparkSession, view_dir: str,
+                delta: DataFrame) -> list:
+    """Shared fold tail: collect the delta's touched buckets (bounded by
+    n_buckets), partition-prune the stored read to them, merge, drop
+    groups whose row count reached zero (a retraction emptied them), and
+    stage-swap just those partitions via the manifest commit."""
     delta = delta.localCheckpoint(eager=True)  # bucket collect + merge
     buckets = [r[0] for r in
                delta.select("grp_bucket").distinct().collect()]
     if not buckets:
         return []
     stored = read_base_partitions(spark, view_dir, "grp_bucket", buckets)
-    merged = merge_join_rollup(stored, delta)
+    merged = merge_join_rollup(stored, delta).filter(F.col("n_rows") != 0)
 
     base = Path(view_dir)
     staging = base.parent / f".{base.name}.staging"
@@ -114,13 +123,56 @@ def maintain_join_view(spark: SparkSession, view_dir: str,
      .parquet(str(staging)))
     base.mkdir(parents=True, exist_ok=True)
     pnames = sorted(p.name for p in staging.glob("grp_bucket=*"))
+    # a touched bucket with no staged dir was emptied by the merge (every
+    # group retracted to zero) — commit it as an explicit removal, or the
+    # old partition would survive the swap
+    removed = sorted({f"grp_bucket={b}" for b in buckets} - set(pnames))
     manifest = _manifest_path(base)
     tmp = manifest.with_suffix(".json.tmp")
     tmp.write_text(json.dumps({"staging": staging.name,
-                               "partitions": pnames}))
+                               "partitions": pnames,
+                               "removed": removed}))
     os.rename(tmp, manifest)  # COMMIT POINT — one rename
     _apply_manifest(base, manifest)
     return sorted(buckets)
+
+
+def apply_dim_change(spark: SparkSession, view_dir: str, fact: DataFrame,
+                     old_dim_rows: DataFrame, new_dim_rows: DataFrame,
+                     fact_key: str, dim_key: str, group_col: str,
+                     value_col: str, n_buckets: int = 8) -> list:
+    """Maintain the view through a DIMENSION change — the counting-
+    algorithm dim-side delta rule (Gupta & Mumick 1995): for the changed
+    dim keys only, RETRACT their facts' contribution from the old groups
+    and RE-ADD it to the new groups:
+
+        ΔQ = -(fact_changed ⋈ old_dim_rows) + (fact_changed ⋈ new_dim_rows)
+
+    ``old_dim_rows`` / ``new_dim_rows`` are the changed subset (before /
+    after images — :func:`operators.diff.table_diff` produces exactly
+    this); keys present only in one side handle dim inserts/deletes.
+    Cost tracks the CHANGED KEYS' fact rows, not view or fact-history
+    size: the fact scan is semi-joined down to changed keys first (a
+    broadcast when the change set is dimension-sized, which it is by
+    construction — a full-dim rebase should rebuild instead), and the
+    fold rewrites only touched grp_bucket partitions.  A group whose
+    count retracts to zero leaves the view.  Sums are algebraic
+    (DECIMAL), so retraction is exact, and incremental == full recompute
+    against the new dim — which is what the registered oracle checks.
+    """
+    recover_pending_merge(view_dir)
+    keys = (old_dim_rows.select(dim_key)
+            .unionByName(new_dim_rows.select(dim_key)).distinct())
+    changed_fact = fact.join(F.broadcast(keys),
+                             fact[fact_key] == keys[dim_key], "left_semi")
+    minus = (join_rollup(changed_fact, old_dim_rows, fact_key, dim_key,
+                         group_col, value_col, n_buckets)
+             .select("grp", (-F.col("n_rows")).alias("n_rows"),
+                     (-F.col("sum_value")).cast("decimal(28,6)")
+                     .alias("sum_value"), "grp_bucket"))
+    plus = join_rollup(changed_fact, new_dim_rows, fact_key, dim_key,
+                       group_col, value_col, n_buckets)
+    return _fold_delta(spark, view_dir, minus.unionByName(plus))
 
 
 def read_join_view(spark: SparkSession, view_dir: str) -> DataFrame:

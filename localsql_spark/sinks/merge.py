@@ -159,6 +159,11 @@ def _apply_manifest(base: Path, manifest: Path) -> None:
         elif not target.exists() and old.exists():
             old.rename(target)
         shutil.rmtree(old, ignore_errors=True)
+    # partitions the writer emptied entirely (e.g. an IVM retraction that
+    # zeroed every group in a bucket) have no staged replacement — they are
+    # committed as explicit removals; rmtree is replay-idempotent
+    for pname in spec.get("removed", []):
+        shutil.rmtree(base / pname, ignore_errors=True)
     manifest.unlink()
     shutil.rmtree(staging, ignore_errors=True)
 

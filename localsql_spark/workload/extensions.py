@@ -3334,3 +3334,55 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ER.sorted_neighborhood_matches(
         cust, id_col="c_custkey", attr_col="c_name",
         block_cols=["c_nationkey"], window=4, max_dist=2)
+
+
+@query("ivm_dim_rebase", oracle="""
+SELECT CASE WHEN c.c_custkey % 50 = 0 THEN (c.c_nationkey + 1) % 25
+            ELSE c.c_nationkey END AS grp,
+       count(*) AS n_rows,
+       round(CAST(sum(CAST(round(o.o_totalprice, 6) AS DECIMAL(28,6)))
+                  AS DOUBLE), 6) AS sum_value
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""")
+def ivm_dim_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-change maintenance of the incrementally-maintained join
+    view (sinks.ivm.apply_dim_change, the Gupta-Mumick counting
+    algorithm's dim-side delta): after folding the full fact table, every
+    50th customer MOVES to the next nation; the view is maintained by
+    retracting those customers' facts from their old groups and re-adding
+    them to the new ones — cost tracks the changed keys' fact rows, never
+    view or history size.  The oracle recomputes the view from scratch
+    against the post-change dimension, proving retract+re-add == full
+    recompute (groups emptied by the retraction leave the view)."""
+    import shutil
+    from pathlib import Path
+
+    from localsql_spark.sinks.ivm import (apply_dim_change,
+                                          maintain_join_view,
+                                          read_join_view)
+
+    t = load(spark, sf_dir)
+    orders, customer = t["orders"], t["customer"]
+    scratch = (Path(__file__).resolve().parent.parent.parent / ".cache"
+               / "ivm_dim_rebase" / Path(sf_dir.rstrip("/")).name)
+    shutil.rmtree(scratch, ignore_errors=True)
+    shutil.rmtree(scratch.parent / f".{scratch.name}.staging",
+                  ignore_errors=True)
+    maintain_join_view(spark, str(scratch), orders, customer,
+                       fact_key="o_custkey", dim_key="c_custkey",
+                       group_col="c_nationkey", value_col="o_totalprice")
+    changed = customer.filter(F.pmod(F.col("c_custkey"), F.lit(50)) == 0)
+    apply_dim_change(
+        spark, str(scratch), orders,
+        old_dim_rows=changed.select("c_custkey", "c_nationkey"),
+        new_dim_rows=changed.select(
+            "c_custkey",
+            F.pmod(F.col("c_nationkey") + 1, F.lit(25))
+            .alias("c_nationkey")),
+        fact_key="o_custkey", dim_key="c_custkey",
+        group_col="c_nationkey", value_col="o_totalprice")
+    v = read_join_view(spark, str(scratch))
+    return v.select("grp", "n_rows",
+                    F.round(F.col("sum_value").cast("double"), 6)
+                    .alias("sum_value"))

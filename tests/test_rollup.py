@@ -436,3 +436,39 @@ def test_ivm_join_view_incremental_equals_full_and_prunes(spark, tmp_path):
             for r in read_join_view(spark, view).collect()}
     assert got2["g2"] == (full["g2"][0] + 1, full["g2"][1] + 5.0)
     assert all(got2[g] == full[g] for g in got2 if g != "g2")
+
+
+def test_ivm_dim_change_retracts_and_readds(spark, tmp_path):
+    """apply_dim_change moves exactly the changed keys' contribution:
+    groups gaining members grow, groups losing ALL members leave the
+    view, untouched groups' partitions are not rewritten."""
+    from localsql_spark.sinks.ivm import (apply_dim_change, join_rollup,
+                                          maintain_join_view,
+                                          read_join_view)
+
+    fact = spark.createDataFrame(
+        [(i, i % 6, float(i)) for i in range(120)],
+        "fk long, cust long, amount double")
+    dim = spark.createDataFrame(
+        [(c, f"g{c % 3}") for c in range(6)], "cust_id long, grp_name string")
+    view = str(tmp_path / "view")
+    maintain_join_view(spark, view, fact, dim, "cust", "cust_id",
+                       "grp_name", "amount", n_buckets=4)
+
+    # move BOTH members of g2 (custs 2 and 5) into g0: g2 must vanish
+    old_rows = dim.filter("cust_id IN (2, 5)")
+    new_rows = old_rows.select("cust_id", F.lit("g0").alias("grp_name"))
+    touched = apply_dim_change(spark, view, fact, old_rows, new_rows,
+                               "cust", "cust_id", "grp_name", "amount",
+                               n_buckets=4)
+    assert touched  # g0's and g2's buckets
+    got = {r["grp"]: (r["n_rows"], float(r["sum_value"]))
+           for r in read_join_view(spark, view).collect()}
+    new_dim = spark.createDataFrame(
+        [(0, "g0"), (1, "g1"), (2, "g0"), (3, "g0"), (4, "g1"), (5, "g0")],
+        "cust_id long, grp_name string")
+    want = {r["grp"]: (r["n_rows"], float(r["sum_value"]))
+            for r in join_rollup(fact, new_dim, "cust", "cust_id",
+                                 "grp_name", "amount", 4).collect()}
+    assert got == want
+    assert "g2" not in got
