@@ -89,6 +89,7 @@ EXTENSION_HEADLINE = [
     "pack_sequences_cap128",
     "streaming_interval_join_5m",
     "ivm_dim_rebase",
+    "bm25_search_top10",
 ]
 
 

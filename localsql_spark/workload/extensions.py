@@ -3386,3 +3386,44 @@ def ivm_dim_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select("grp", "n_rows",
                     F.round(F.col("sum_value").cast("double"), 6)
                     .alias("sum_value"))
+
+
+@query("bm25_search_top10", oracle=r"""
+WITH norm AS (SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM documents),
+base AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
+dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+       WHERE term IN ('table', 'join', 'window', 'hash')
+       GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (SELECT doc_id,
+                  round(CAST(SUM(CAST(round(
+                      ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2
+                      / (tf + 1.2 * (1 - 0.75
+                                     + 0.75 * CAST(dl AS DOUBLE) / avgdl)),
+                      12) AS DECIMAL(38,12))) AS DOUBLE), 9) AS score
+           FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+                CROSS JOIN stats
+           GROUP BY doc_id)
+SELECT doc_id, score, CAST(rk AS INT) AS rk FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+  FROM scored) r WHERE rk <= 10
+""")
+def bm25_search_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (operators.text.bm25_topk, Okapi weighting in
+    the Lucene idf form): top-10 documents for a 4-term query — the
+    targeted corpus-mining / hard-negative primitive next to the
+    embedding kNN family.  The token stream filters to the query terms
+    BEFORE any aggregation (the exchange carries matching postings only),
+    df and corpus stats are tiny broadcasts, the per-doc reduce is the
+    decimal-sum fold so term order can't perturb the double sum, and the
+    top-k is TakeOrderedAndProject."""
+    from localsql_spark.operators.text import bm25_topk
+
+    docs = load(spark, sf_dir)["documents"]
+    return bm25_topk(docs, ["table", "join", "window", "hash"], k=10)

@@ -405,3 +405,15 @@ def test_sorted_neighborhood_join_is_rank_keyed(spark, queries):
     joins = [ln for ln in plan.splitlines()
              if "Join" in ln and "_rb" in ln]
     assert joins, "rank key _rb not part of any join condition"
+
+
+def test_bm25_filters_terms_before_aggregation_and_takes_ordered(spark,
+                                                                 queries):
+    """BM25's corpus-sized work must stop at the term filter: the
+    (doc, term) aggregate sits above a Filter on the query terms (no
+    all-term tf materialization), and the top-k is TakeOrderedAndProject,
+    not a global Sort."""
+    plan = _plan(queries["bm25_search_top10"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+    assert "term IN" in plan or "term#" in plan  # the isin filter survives
+    assert "CartesianProduct" not in plan
