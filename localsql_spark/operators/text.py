@@ -404,55 +404,20 @@ def winnowing_shared_pairs(docs, k: int = 8, w: int = 4,
 def bm25_topk(docs, terms: list[str], k: int = 10, k1: float = 1.2,
               b: float = 0.75, doc_id_col: str = "doc_id",
               text_col: str = "text"):
-    """BM25 ranked retrieval (Robertson & Walker's Okapi weighting in the
-    Lucene idf form — public literature): the top-``k`` documents for a
-    bag-of-terms query, scored
-
-        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
-        idf(t)   = ln(1 + (N − df + 0.5) / (df + 0.5))
-
-    This is the retrieval primitive a training-data pipeline uses for
-    targeted corpus mining (find documents about X) and hard-negative
-    construction next to the embedding kNN family.
-
-    Scale shape: the token stream filters to the QUERY terms before any
-    aggregation, so the (doc, term) exchange carries only matching
-    postings — corpus-sized work is one row-local tokenize + length
-    count.  Document-frequency and corpus stats (N, avgdl) are |terms|-
-    and 1-row broadcasts; the final per-doc reduce uses the decimal-sum
-    fold so term order cannot perturb the double sum, and the top-k is an
-    ORDER BY + LIMIT (TakeOrderedAndProject — no global sort
-    materialization).  Returns (doc_id, score, rk).
-    """
-    from pyspark.sql import DataFrame  # noqa: F401 (signature clarity)
+    """BM25 ranked RETRIEVAL: the top-``k`` documents for a bag-of-terms
+    query — :func:`bm25_scores` (which carries the scoring + determinism
+    discipline) followed by an ORDER BY + LIMIT top-k, which Spark
+    executes as TakeOrderedAndProject: each partition keeps its local
+    top-k and only k rows per partition reach the driver-side merge,
+    never a global sort materialization.  The retrieval primitive for
+    targeted corpus mining and hard-negative construction next to the
+    embedding kNN family.  Returns (doc_id, score, rk); ties break on
+    doc_id."""
     from pyspark.sql.window import Window
 
-    from localsql_spark.operators import spread
-
-    base = spread(docs).select(
-        F.col(doc_id_col).alias("doc_id"),
-        F.split(normalize_text(F.col(text_col)), " ").alias("toks"))
-    dl = base.select("doc_id", F.size("toks").alias("dl"))
-    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
-                   F.avg("dl").alias("avgdl"))
-    tf = (base.select("doc_id", F.explode("toks").alias("term"))
-          .filter(F.col("term").isin([str(t) for t in terms]))
-          .groupBy("doc_id", "term")
-          .agg(F.count(F.lit(1)).alias("tf")))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
-                / (F.col("df") + 0.5))
-    contrib = (idf * F.col("tf") * (k1 + 1)
-               / (F.col("tf") + k1 * (1 - b + b * F.col("dl")
-                                      / F.col("avgdl"))))
-    scored = (tf.join(F.broadcast(dfreq), "term")
-              .join(dl, "doc_id")
-              .crossJoin(F.broadcast(stats))
-              .groupBy("doc_id")
-              .agg(F.round(F.sum(F.round(contrib, 12)
-                                 .cast("decimal(38,12)")).cast("double"), 9)
-                   .alias("score")))
-    top = (scored.orderBy(F.col("score").desc(), F.col("doc_id"))
-           .limit(k))
+    scored = bm25_scores(docs, terms, k1=k1, b=b, text_col=text_col,
+                         id_col=doc_id_col)
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+    # the rank window runs on the already-limited k rows only
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     return top.withColumn("rk", F.row_number().over(w))

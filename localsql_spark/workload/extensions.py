@@ -3392,23 +3392,23 @@ def ivm_dim_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH norm AS (SELECT doc_id,
                      trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
               FROM documents),
-base AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
-dl AS (SELECT doc_id, len(toks) AS dl FROM base),
-stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-tf AS (SELECT doc_id, term, count(*) AS tf
-       FROM (SELECT doc_id, unnest(toks) AS term FROM base)
-       WHERE term IN ('table', 'join', 'window', 'hash')
-       GROUP BY 1, 2),
+toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM norm),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          FROM doclen),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('table', 'join', 'window', 'hash') GROUP BY 1, 2),
 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-scored AS (SELECT doc_id,
-                  round(CAST(SUM(CAST(round(
-                      ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2
-                      / (tf + 1.2 * (1 - 0.75
-                                     + 0.75 * CAST(dl AS DOUBLE) / avgdl)),
-                      12) AS DECIMAL(38,12))) AS DOUBLE), 9) AS score
-           FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+scored AS (SELECT tf.doc_id,
+                  CAST(round(SUM(CAST(round(
+                      ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)
+                         + 1.0) * tf * 2.2
+                      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)),
+                      12) AS DECIMAL(28,12))), 9) AS DOUBLE) AS score
+           FROM tf JOIN dfreq USING (term) JOIN doclen USING (doc_id)
                 CROSS JOIN stats
-           GROUP BY doc_id)
+           GROUP BY tf.doc_id)
 SELECT doc_id, score, CAST(rk AS INT) AS rk FROM (
   SELECT doc_id, score,
          row_number() OVER (ORDER BY score DESC, doc_id) AS rk
