@@ -90,6 +90,7 @@ EXTENSION_HEADLINE = [
     "streaming_interval_join_5m",
     "ivm_dim_rebase",
     "bm25_search_top10",
+    "neardup_triangle_counts",
 ]
 
 

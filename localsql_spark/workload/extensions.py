@@ -3427,3 +3427,34 @@ def bm25_search_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir)["documents"]
     return bm25_topk(docs, ["table", "join", "window", "hash"], k=10)
+
+
+@query("neardup_triangle_counts", oracle=f"""
+WITH pairs AS ({_minhash_pairs_sql()}),
+e AS (SELECT DISTINCT least(doc_a, doc_b) AS u, greatest(doc_a, doc_b) AS v
+      FROM pairs WHERE doc_a <> doc_b),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1 JOIN e e2 ON e2.u = e1.v
+             JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+nodes AS (SELECT u AS n FROM e UNION SELECT v FROM e),
+cnt AS (SELECT n, count(*) AS n_tri
+        FROM (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri) t GROUP BY 1)
+SELECT nodes.n AS node, coalesce(cnt.n_tri, 0) AS n_tri
+FROM nodes LEFT JOIN cnt ON cnt.n = nodes.n
+""")
+def neardup_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the MinHash-LSH near-dup graph
+    (operators.graph.triangle_counts): the transitivity audit behind the
+    duplicate clusters — triangle-rich neighborhoods are cliquish (single-
+    linkage merging is safe), triangle-free chains are the risky
+    transitive merges.  Degree-ordered orientation bounds wedge
+    generation at m^1.5 whatever the hub degree; the oracle counts the
+    same triangles via the canonical id-ordered 3-way self-join (the two
+    orientations enumerate the identical triangle set, each exactly
+    once)."""
+    docs = load(spark, sf_dir)["documents"]
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
+    from localsql_spark.operators.graph import triangle_counts
+
+    return triangle_counts(pairs)

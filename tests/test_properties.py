@@ -1779,3 +1779,21 @@ def test_pack_sequences_next_fit_invariants(spark):
             for r in pack_sequences(df.repartition(7), capacity=10,
                                     n_shards=2).collect()}
     assert got2 == {d: (r.shard, r.seq, r.pos) for d, r in out.items()}
+
+
+def test_triangle_counts_degree_ordered_exact(spark):
+    """triangle_counts enumerates each triangle exactly once whatever the
+    degree structure: K4 gives every vertex C(3,2)=3 triangles, a chain
+    gives zero, a hub star gives zero (the hub's wedges never close), and
+    duplicate/reversed input edges don't inflate counts."""
+    from localsql_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(10, 11), (11, 12), (12, 13)]
+    star = [(20, 21), (20, 22), (20, 23), (20, 24)]
+    edges = k4 + chain + star + [(b, a) for a, b in k4]  # reversed dups
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.node: r.n_tri for r in triangle_counts(df).collect()}
+    assert {n: got[n] for n in range(4)} == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert all(got[n] == 0 for n in (10, 11, 12, 13))
+    assert all(got[n] == 0 for n in (20, 21, 22, 23, 24))
