@@ -158,8 +158,9 @@ def triangle_counts(edges: DataFrame, a_col: str = "doc_a",
                       F.greatest(F.col(a_col), F.col(b_col)).alias("v"))
          .filter(F.col("u") != F.col("v")).distinct())
     e = track_persist(e)  # degree agg + orientation + closing join reuse it
-    deg = (e.select(F.col("u").alias("node"))
-           .unionByName(e.select(F.col("v").alias("node")))
+    # endpoint streams via ONE explode, not a 2-way union: the union form
+    # references (and statically re-expands) the whole edge subtree per arm
+    deg = (e.select(F.explode(F.array("u", "v")).alias("node"))
            .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
     ed = (e.join(deg.select(F.col("node").alias("u"),
                             F.col("deg").alias("du")), "u")
@@ -182,9 +183,8 @@ def triangle_counts(edges: DataFrame, a_col: str = "doc_a",
     tris = wedges.join(oriented.select(F.col("src").alias("b"),
                                        F.col("dst").alias("c")),
                        ["b", "c"])
-    per_node = (tris.select(F.col("src").alias("node"))
-                .unionByName(tris.select(F.col("b").alias("node")))
-                .unionByName(tris.select(F.col("c").alias("node")))
+    per_node = (tris.select(F.explode(F.array("src", "b", "c"))
+                            .alias("node"))
                 .groupBy("node").agg(F.count(F.lit(1)).alias("n_tri")))
     return (deg.select("node")
             .join(per_node, "node", "left")
