@@ -372,3 +372,37 @@ def decontaminate_bloom(docs: DataFrame, eval_mod: int = 50, k: int = 3,
             .select("doc_id",
                     F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
                     F.col("n_shared").isNotNull().alias("contaminated")))
+
+
+def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
+                       doc_id_col: str = "doc_id", train_pct: int = 80,
+                       val_pct: int = 10) -> DataFrame:
+    """Train/val/test split that cannot leak near-duplicates across the
+    boundary: documents first group into near-dup clusters (connected
+    components over the pair list; singletons group as themselves), then
+    the WHOLE GROUP hashes into one split — a val document can never have
+    a near-copy in train, the leakage mode a plain per-doc hash split
+    (``split_train_val_test``) does not prevent and a real eval pipeline
+    must (arXiv:2107.06499 §6 measures exactly this train/test overlap).
+
+    Membership is a pure function of the group id (portable salted hash,
+    the independent-family discipline of hash32's salting note), so the
+    split is stable across runs, engines and cluster sizes.  Returns one
+    row per document: (doc_id, group_id, split).
+
+    Scale shape: the components loop runs over match EDGES only; the
+    group assignment is one left join; the split is row-local arithmetic
+    on the group id.
+    """
+    from localsql_spark.operators.dedup import connected_components
+
+    cc = connected_components(pairs)
+    base = (docs.select(F.col(doc_id_col).alias("doc_id"))
+            .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left"))
+    gid = F.coalesce("cluster_id", F.col("doc_id"))
+    bucket = F.pmod(
+        hash32(F.concat(F.lit("split:"), gid.cast("string"))), F.lit(100))
+    split = (F.when(bucket < train_pct, "train")
+             .when(bucket < train_pct + val_pct, "val").otherwise("test"))
+    return base.select("doc_id", gid.alias("group_id"),
+                       split.alias("split"))

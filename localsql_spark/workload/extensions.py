@@ -3458,3 +3458,39 @@ def neardup_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from localsql_spark.operators.graph import triangle_counts
 
     return triangle_counts(pairs)
+
+
+@query("split_leakage_safe", oracle=f"""
+WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}),
+edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT s AS n FROM edges),
+reach(n, r) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT reach.n, edges.t FROM reach JOIN edges ON edges.s = reach.r
+),
+cc AS (SELECT n, min(r) AS cluster_id FROM reach GROUP BY n),
+g AS (SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS group_id
+      FROM documents d LEFT JOIN cc ON cc.n = d.doc_id),
+b AS (SELECT doc_id, group_id,
+             CAST('0x' || substr(md5('split:'
+                                     || CAST(group_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 100 AS bucket
+      FROM g)
+SELECT doc_id, group_id,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+FROM b
+""")
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/10/10 split (operators.selection.leakage_safe_split):
+    near-dup CLUSTERS hash into splits as a unit, so a val document can
+    never have a near-copy in train — the eval-integrity guarantee the
+    per-doc hash split can't give.  The oracle replays the LSH pairs,
+    the transitive closure AND the salted group hash."""
+    from localsql_spark.operators.selection import leakage_safe_split
+
+    docs = load(spark, sf_dir)["documents"]
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
+    return leakage_safe_split(docs, pairs)

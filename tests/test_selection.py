@@ -235,3 +235,22 @@ def test_curriculum_shards_exact_ntile_and_order(spark, tmp_path):
         if prev_max is not None:
             assert min(rows) >= prev_max
         prev_max = max(rows)
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every near-dup cluster lands in exactly one split; singletons use
+    their own id as group; all three splits appear given enough groups."""
+    from localsql_spark.operators.selection import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(200)],
+                                 "doc_id long")
+    # chain 0-1-2 and pair 10-11 are clusters; everything else singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "doc_a long, doc_b long")
+    out = {r.doc_id: (r.group_id, r.split)
+           for r in leakage_safe_split(docs, pairs).collect()}
+    assert len(out) == 200
+    assert out[0] == out[1] == out[2] == (0, out[0][1])
+    assert out[10] == out[11] == (10, out[10][1])
+    assert out[42][0] == 42
+    assert {s for _, s in out.values()} == {"train", "val", "test"}
