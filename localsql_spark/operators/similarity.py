@@ -1302,3 +1302,42 @@ def knn_ivfpq_adc(corpus: DataFrame, queries: DataFrame, k: int = 5,
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k))
+
+
+def knn_ivfpq_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     shortlist: int = 20, n_cells: int = 8,
+                     n_probe: int = 4, m: int = 4, k_codes: int = 16,
+                     n_iter: int = 1, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     exclude_self: bool = False) -> DataFrame:
+    """IVFADC shortlist -> exact cosine re-rank: the full production ANN
+    stack (IVF bounds what is scanned, PQ bounds bytes per scanned row,
+    the re-rank restores exact top-k quality on the shortlist).  Same
+    contract as :func:`knn_pq_rerank` with the inverted-list prune in
+    front: only the probed lists are ADC-scored, and only the
+    |queries| x shortlist candidate vectors ever stream through the
+    broadcast re-rank join.  Returns (query_id, neighbor_id, cos_sim,
+    rn); recall loss is confined to candidates outside the probed cells
+    or ranked below ``shortlist`` by ADC."""
+    from pyspark.sql.window import Window
+
+    cand = (knn_ivfpq_adc(corpus, queries, k=shortlist, n_cells=n_cells,
+                          n_probe=n_probe, m=m, k_codes=k_codes,
+                          n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+                          exclude_self=exclude_self)
+            .select("query_id", "neighbor_id"))
+    nv = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).alias("cv"))
+          .withColumn("cn", norm(F.col("cv"))))
+    qv = (queries.select(F.col(id_col).alias("query_id"),
+                         F.col(vec_col).alias("qv"))
+          .withColumn("qn", norm(F.col("qv"))))
+    re = (nv.join(F.broadcast(cand), "neighbor_id")
+          .join(F.broadcast(qv), "query_id")
+          .select("query_id", "neighbor_id",
+                  cosine_pre(F.col("qv"), F.col("cv"),
+                             F.col("qn"), F.col("cn")).alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                               "neighbor_id")
+    return (re.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k))

@@ -3494,3 +3494,28 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir)["documents"]
     pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
     return leakage_safe_split(docs, pairs)
+
+
+# the exact-rescore tail is the SAME surgery for every ADC-shortlist
+# oracle: cut the final top-k SELECT off the ADC oracle and append the
+# shortlist + decimal-summed cosine rescore (built once for PQ above)
+_RERANK_TAIL = _PQ_RERANK_ORACLE[_PQ_RERANK_ORACLE.index(",\nshort AS ("):]
+
+_IVFPQ_RERANK_ORACLE = _IVFPQ_ORACLE[:_IVFPQ_ORACLE.rindex(
+    "SELECT query_id, neighbor_id, adc_dist, rn")] + _RERANK_TAIL
+
+
+@query("knn_ivfpq_rerank_top5", oracle=_IVFPQ_RERANK_ORACLE)
+def knn_ivfpq_rerank_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC shortlist (20) + exact cosine re-rank to top-5
+    (operators.similarity.knn_ivfpq_rerank) — the full production ANN
+    stack: the inverted-list prune bounds what is ADC-scored, the codes
+    bound bytes per scanned row, and exactly |queries| x 20 candidate
+    vectors stream through the broadcast re-rank join for the true
+    metric.  The oracle replays coarse assignment, residual PQ training,
+    encoding, probing, ADC shortlisting AND the decimal-summed cosine
+    rescore."""
+    emb = load(spark, sf_dir)["embeddings"]
+    return S.knn_ivfpq_rerank(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                              shortlist=20, n_cells=8, n_probe=4, m=4,
+                              k_codes=16, n_iter=1, exclude_self=True)
