@@ -152,7 +152,9 @@ def triangle_counts(edges: DataFrame, a_col: str = "doc_a",
     Every triangle is produced exactly once (its rank-minimal vertex is
     the unique wedge center), so counts need no dedup; the result left-
     joins back to all edge endpoints, so isolated-from-triangles nodes
-    report 0.  Returns (node, n_tri).
+    report 0.  Returns (node, deg, n_tri) — degree rides along for free
+    (the orientation needed it anyway) so the clustering coefficient
+    derives row-locally downstream.
     """
     e = (edges.select(F.least(F.col(a_col), F.col(b_col)).alias("u"),
                       F.greatest(F.col(a_col), F.col(b_col)).alias("v"))
@@ -186,6 +188,24 @@ def triangle_counts(edges: DataFrame, a_col: str = "doc_a",
     per_node = (tris.select(F.explode(F.array("src", "b", "c"))
                             .alias("node"))
                 .groupBy("node").agg(F.count(F.lit(1)).alias("n_tri")))
-    return (deg.select("node")
-            .join(per_node, "node", "left")
-            .select("node", F.coalesce("n_tri", F.lit(0)).alias("n_tri")))
+    return (deg.join(per_node, "node", "left")
+            .select("node", "deg",
+                    F.coalesce("n_tri", F.lit(0)).alias("n_tri")))
+
+
+def clustering_coefficients(edges: DataFrame, a_col: str = "doc_a",
+                            b_col: str = "doc_b") -> DataFrame:
+    """Local clustering coefficient per node, c(v) = 2·tri(v) /
+    (deg(v)·(deg(v)−1)) — the per-node transitivity score (Watts &
+    Strogatz 1998, public): c≈1 marks cliquish near-dup neighborhoods
+    (single-linkage merge is safe), c≈0 marks chain/star joints where
+    transitive merging is the risky guess.  Degree-1 nodes define c = 0.
+    One row-local expression over :func:`triangle_counts`' output —
+    no additional shuffle.  Returns (node, deg, n_tri, coeff)."""
+    t = triangle_counts(edges, a_col=a_col, b_col=b_col)
+    coeff = F.when(
+        F.col("deg") >= 2,
+        F.round(2.0 * F.col("n_tri")
+                / (F.col("deg") * (F.col("deg") - 1)), 9)
+    ).otherwise(F.lit(0.0))
+    return t.select("node", "deg", "n_tri", coeff.alias("coeff"))

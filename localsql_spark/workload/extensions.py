@@ -3436,12 +3436,14 @@ e AS (SELECT DISTINCT least(doc_a, doc_b) AS u, greatest(doc_a, doc_b) AS v
 tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
         FROM e e1 JOIN e e2 ON e2.u = e1.v
              JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
-nodes AS (SELECT u AS n FROM e UNION SELECT v FROM e),
+degs AS (SELECT n, count(*) AS deg
+         FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) d
+         GROUP BY 1),
 cnt AS (SELECT n, count(*) AS n_tri
         FROM (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
               UNION ALL SELECT c FROM tri) t GROUP BY 1)
-SELECT nodes.n AS node, coalesce(cnt.n_tri, 0) AS n_tri
-FROM nodes LEFT JOIN cnt ON cnt.n = nodes.n
+SELECT degs.n AS node, degs.deg, coalesce(cnt.n_tri, 0) AS n_tri
+FROM degs LEFT JOIN cnt ON cnt.n = degs.n
 """)
 def neardup_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over the MinHash-LSH near-dup graph
@@ -3519,3 +3521,37 @@ def knn_ivfpq_rerank_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_ivfpq_rerank(emb, emb.filter(F.col("vec_id") < 10), k=5,
                               shortlist=20, n_cells=8, n_probe=4, m=4,
                               k_codes=16, n_iter=1, exclude_self=True)
+
+
+@query("neardup_clustering_coeff", oracle=f"""
+WITH pairs AS ({_minhash_pairs_sql()}),
+e AS (SELECT DISTINCT least(doc_a, doc_b) AS u, greatest(doc_a, doc_b) AS v
+      FROM pairs WHERE doc_a <> doc_b),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1 JOIN e e2 ON e2.u = e1.v
+             JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+degs AS (SELECT n, count(*) AS deg
+         FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) d
+         GROUP BY 1),
+cnt AS (SELECT n, count(*) AS n_tri
+        FROM (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri) t GROUP BY 1)
+SELECT degs.n AS node, degs.deg, coalesce(cnt.n_tri, 0) AS n_tri,
+       CASE WHEN degs.deg >= 2
+            THEN round(2.0 * coalesce(cnt.n_tri, 0)
+                       / (degs.deg * (degs.deg - 1)), 9)
+            ELSE 0.0 END AS coeff
+FROM degs LEFT JOIN cnt ON cnt.n = degs.n
+""")
+def neardup_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient over the near-dup graph
+    (operators.graph.clustering_coefficients, Watts-Strogatz): c~1 nodes
+    sit in cliquish duplicate neighborhoods where single-linkage merging
+    is safe, c~0 nodes are the chain/star joints where transitive merges
+    are guesses — the per-node form of the transitivity audit, one
+    row-local expression over the triangle counts."""
+    docs = load(spark, sf_dir)["documents"]
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
+    from localsql_spark.operators.graph import clustering_coefficients
+
+    return clustering_coefficients(pairs)

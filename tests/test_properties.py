@@ -1793,7 +1793,16 @@ def test_triangle_counts_degree_ordered_exact(spark):
     star = [(20, 21), (20, 22), (20, 23), (20, 24)]
     edges = k4 + chain + star + [(b, a) for a, b in k4]  # reversed dups
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
-    got = {r.node: r.n_tri for r in triangle_counts(df).collect()}
-    assert {n: got[n] for n in range(4)} == {0: 3, 1: 3, 2: 3, 3: 3}
-    assert all(got[n] == 0 for n in (10, 11, 12, 13))
-    assert all(got[n] == 0 for n in (20, 21, 22, 23, 24))
+    got = {r.node: (r.deg, r.n_tri) for r in triangle_counts(df).collect()}
+    assert {n: got[n] for n in range(4)} == {n: (3, 3) for n in range(4)}
+    assert all(got[n][1] == 0 for n in (10, 11, 12, 13))
+    assert all(got[n][1] == 0 for n in (20, 21, 22, 23, 24))
+    assert got[20] == (4, 0) and got[21] == (1, 0)  # degree rides along
+
+    # clustering coefficient: K4 nodes are fully transitive, the star hub
+    # has 4 neighbors and no closures, leaves (deg 1) define 0
+    from localsql_spark.operators.graph import clustering_coefficients
+    cc = {r.node: r.coeff for r in clustering_coefficients(df).collect()}
+    assert all(cc[n] == 1.0 for n in range(4))
+    assert cc[20] == 0.0 and cc[21] == 0.0
+    assert cc[11] == 0.0  # chain middle: deg 2, no triangle
