@@ -1263,7 +1263,13 @@ def knn_ivfpq_adc(corpus: DataFrame, queries: DataFrame, k: int = 5,
                        id_col, vec_col)
     c = c.localCheckpoint(eager=False)  # assignment feeds train AND encode
     res = c.select(id_col, F.col("resid").alias(vec_col))
-    codebooks = pq_train(res, m, k_codes, n_iter, id_col, vec_col)
+    # train the codebooks on residuals ABOVE the coarse seeds: ids
+    # < n_cells ARE the coarse centroids, so their residuals are
+    # identically zero — seeding pq_train there collapses every codebook
+    # entry onto the zero vector and the ADC sum degenerates to a
+    # constant (measured: every in-cell neighbor tied at one distance)
+    codebooks = pq_train(res.filter(F.col(id_col) >= n_cells), m, k_codes,
+                         n_iter, id_col, vec_col)
     codes = (pq_encode(res, codebooks, m, id_col, vec_col)
              .join(c.select(id_col, "cell"), id_col)
              .select(F.col(id_col).alias("neighbor_id"),

@@ -3120,11 +3120,13 @@ rv AS (SELECT ev.vec_id, a.cell, ev.p, ev.x - cc.y AS x
 sv AS (SELECT vec_id, CAST(floor((p - 1) / 16) AS INT) AS s,
               ((p - 1) % 16) + 1 AS sp, x
        FROM rv),
-seeds AS (SELECT s, vec_id AS code, sp, x AS y FROM sv WHERE vec_id < 16),
+seeds AS (SELECT s, vec_id - 8 AS code, sp, x AS y FROM sv
+          WHERE vec_id >= 8 AND vec_id < 24),
 d0 AS (SELECT sv.vec_id, sv.s, cb.code,
               CAST(SUM(CAST(round((sv.x - cb.y) * (sv.x - cb.y), 12)
                             AS DECIMAL(28,12))) AS DOUBLE) AS dist
        FROM sv JOIN seeds cb ON sv.s = cb.s AND sv.sp = cb.sp
+       WHERE sv.vec_id >= 8
        GROUP BY 1, 2, 3),
 a0 AS (SELECT vec_id, s, code FROM (
          SELECT vec_id, s, code,
