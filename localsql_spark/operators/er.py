@@ -150,3 +150,54 @@ def sorted_neighborhood_matches(df: DataFrame, id_col: str, attr_col: str,
                             / F.greatest(F.length("_attra"),
                                          F.length("_attrb"))
                             .cast("double"), 9).alias("sim")))
+
+
+def fs_match_scores(df: DataFrame, candidates: DataFrame, id_col: str,
+                    fields: list[str], m: float = 0.9) -> DataFrame:
+    """Fellegi-Sunter probabilistic match scoring (Fellegi & Sunter,
+    JASA 1969 — public): each candidate pair scores the sum of per-field
+    agreement weights
+
+        agree:    ln(m / u_j)          disagree: ln((1-m) / (1-u_j))
+
+    where ``u_j`` — the chance a NON-match agrees on field j by
+    accident — is estimated from the data as the field's value-collision
+    probability Σ_v (n_v/N)², and ``m`` (the chance a true match agrees)
+    is the supplied clerical parameter.  A rare-value agreement (phone
+    prefix) therefore counts far more than a common-value one (market
+    segment), which is the entire point over naive attribute counting.
+
+    Scale shape: u_j is one tiny aggregate per field broadcast as a
+    1-row frame; the pair scoring is row-local arithmetic over the
+    candidate list (already bounded by blocking), with a fixed-order
+    double expression rounded to 9 so the oracle replays it exactly.
+    Returns (id_a, id_b, n_agree, score) — rank/threshold downstream.
+    """
+    import math
+
+    out = candidates.select("id_a", "id_b")
+    recs = df.select(F.col(id_col).alias("_id"),
+                     *[F.col(f) for f in fields])
+    a = recs.select(F.col("_id").alias("id_a"),
+                    *[F.col(f).alias(f"_a_{f}") for f in fields])
+    b = recs.select(F.col("_id").alias("id_b"),
+                    *[F.col(f).alias(f"_b_{f}") for f in fields])
+    out = out.join(a, "id_a").join(b, "id_b")
+    n = df.count()
+    score = None
+    n_agree = None
+    for f_ in fields:
+        u_frame = (df.groupBy(f_).agg(F.count(F.lit(1)).alias("_n"))
+                   .agg((F.sum(F.col("_n") * F.col("_n")).cast("double")
+                         / F.lit(float(n * n))).alias(f"_u_{f_}")))
+        out = out.crossJoin(F.broadcast(u_frame))
+        agree = F.col(f"_a_{f_}").eqNullSafe(F.col(f"_b_{f_}"))
+        w = F.when(agree,
+                   F.log(F.lit(m) / F.col(f"_u_{f_}"))
+                   ).otherwise(F.log(F.lit(1.0 - m)
+                                     / (F.lit(1.0) - F.col(f"_u_{f_}"))))
+        score = w if score is None else score + w
+        ag = agree.cast("int")
+        n_agree = ag if n_agree is None else n_agree + ag
+    return out.select("id_a", "id_b", n_agree.alias("n_agree"),
+                      F.round(score, 9).alias("score"))

