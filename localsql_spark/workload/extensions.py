@@ -3617,3 +3617,49 @@ def er_fs_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.floor(F.col("c_acctbal") / 100).cast("int"))
     return ER.fs_match_scores(c2, cand, id_col="c_custkey",
                               fields=["c_mktsegment", "bal_band"], m=0.9)
+
+
+@query("er_entities_multipass", oracle=f"""
+WITH RECURSIVE m1 AS ({_ER_MATCH_SQL}),
+r AS (SELECT c_custkey AS id, c_name AS attr, c_nationkey AS blk,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_name, c_custkey) AS rnk
+      FROM customer),
+m2 AS (SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+       FROM r a JOIN r b
+         ON a.blk = b.blk AND b.rnk - a.rnk BETWEEN 1 AND 3
+       WHERE levenshtein(a.attr, b.attr) <= 1),
+m AS (SELECT id_a, id_b FROM m1 UNION SELECT id_a, id_b FROM m2),
+edges AS (SELECT id_a AS s, id_b AS t FROM m
+          UNION SELECT id_b, id_a FROM m),
+nodes AS (SELECT DISTINCT s AS n FROM edges),
+reach(n, r2) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT reach.n, edges.t FROM reach JOIN edges ON edges.s = reach.r2
+),
+cc AS (SELECT n, min(r2) AS eid FROM reach GROUP BY n)
+SELECT c.c_custkey AS id, COALESCE(cc.eid, c.c_custkey) AS entity_id
+FROM customer c LEFT JOIN cc ON cc.n = c.c_custkey
+""")
+def er_entities_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass entity resolution (the Hernández-Stolfo recall
+    recovery): the UNION of two candidate passes — exhaustive matching
+    within (nation, segment) blocks AND sorted-neighborhood within the
+    coarser nation blocks — feeds one transitive canonicalization, so
+    pairs either pass alone would miss still merge.  Both passes share
+    the (id_a, id_b) pair shape, making the union a distinct over two
+    bounded candidate streams; the closure cost still tracks total match
+    count, not record count."""
+    cust = load(spark, sf_dir)["customer"]
+    from localsql_spark.operators import er as ER
+
+    m1 = ER.blocked_edit_matches(
+        cust, id_col="c_custkey", attr_col="c_name",
+        block_cols=["c_nationkey", "c_mktsegment"], max_dist=1)
+    m2 = ER.sorted_neighborhood_matches(
+        cust, id_col="c_custkey", attr_col="c_name",
+        block_cols=["c_nationkey"], window=4, max_dist=1)
+    matches = (m1.select("id_a", "id_b")
+               .unionByName(m2.select("id_a", "id_b")).distinct())
+    return ER.resolve_entities(cust, matches, id_col="c_custkey")
