@@ -80,26 +80,29 @@ def _applied_through(rollup_dir: str) -> int:
         return -1
 
 
-def fold_landed(spark: SparkSession, land_dir: str, rollup_dir: str,
-                grain: str = "hour") -> int:
-    """Fold every landed batch not yet marked applied into the rollup, in
-    batch-id order.  Returns how many batches were folded this call.
-    Re-invocation after completion is a no-op (markers); re-invocation
-    after a crash resumes from the first unmarked batch."""
+def fold_landed_with(spark: SparkSession, land_dir: str, store_dir: str,
+                     apply_fn) -> int:
+    """Generic land-then-fold loop: fold every landed batch not yet
+    marked applied into the store at ``store_dir`` (whose maintenance
+    function is ``apply_fn(batch_df)``), in batch-id order.  Returns how
+    many batches were folded this call.  Re-invocation after completion
+    is a no-op (markers); re-invocation after a crash resumes from the
+    first unmarked batch.  Shared by every MERGE-style persisted store
+    whose per-batch apply is NOT naturally idempotent (rollup, IVM join
+    view) — the marker, not the store write, carries exactly-once."""
     n = 0
-    wm = _applied_through(rollup_dir)
+    wm = _applied_through(store_dir)
     for b in sorted(Path(land_dir).glob("batch_*"),
                     key=lambda p: int(p.name.split("_")[1])):
         bid = int(b.name.split("_")[1])
         if bid <= wm:
             continue  # applied before its marker was pruned (watermark)
-        marker = _applied_marker(rollup_dir, bid)
+        marker = _applied_marker(store_dir, bid)
         if marker.exists():
             continue
         if not (b / "_SUCCESS").exists():
             continue  # partial landing (stream will rewrite it)
-        maintain_rollup(spark, rollup_dir, spark.read.parquet(str(b)),
-                        grain=grain)
+        apply_fn(spark.read.parquet(str(b)))
         # append to the FULL marker name — with_suffix would strip the
         # batch id and collapse every batch's tmp file onto one path,
         # racing concurrent folders onto each other's commit files
@@ -108,6 +111,15 @@ def fold_landed(spark: SparkSession, land_dir: str, rollup_dir: str,
         os.rename(tmp, marker)  # commit point for this batch's fold
         n += 1
     return n
+
+
+def fold_landed(spark: SparkSession, land_dir: str, rollup_dir: str,
+                grain: str = "hour") -> int:
+    """Fold every landed batch not yet marked applied into the rollup —
+    :func:`fold_landed_with` specialized to ``sinks.rollup``."""
+    return fold_landed_with(
+        spark, land_dir, rollup_dir,
+        lambda df: maintain_rollup(spark, rollup_dir, df, grain=grain))
 
 
 def prune_landed(land_dir: str, rollup_dir: str, keep_last: int = 1) -> int:

@@ -466,6 +466,11 @@ _MUST_RECHECK: tuple[str, ...] = (
     # in landing-dir retention
     "dedup_incremental_store", "dedup_incremental_banded",
     "streaming_rollup_hourly", "streaming_dedup_ingest",
+    # round-8 CC convergence fingerprint (label-sum instead of the
+    # changed-count join) sits under every components consumer, and the
+    # shared manifest commit gained the optional 'removed' list — pin
+    # one heavy consumer of each
+    "er_customer_entities", "merge_upsert_documents",
 )
 
 

@@ -3663,3 +3663,73 @@ def er_entities_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches = (m1.select("id_a", "id_b")
                .unionByName(m2.select("id_a", "id_b")).distinct())
     return ER.resolve_entities(cust, matches, id_col="c_custkey")
+
+
+@query("streaming_ivm_ingest", oracle="""
+SELECT c.c_nationkey AS grp,
+       count(*) AS n_rows,
+       round(CAST(sum(CAST(round(o.o_totalprice, 6) AS DECIMAL(28,6)))
+                  AS DOUBLE), 6) AS sum_value
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""")
+def streaming_ivm_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the JOIN-aggregate view, driver-gated
+    end-to-end (streaming.stream_ivm_ingest): orders arrive as three
+    micro-batches (hash-mod split, mtime-ordered, maxFilesPerTrigger=1);
+    each lands in an idempotent per-batch dir, then folds through the
+    customer join into the persisted view under an applied marker —
+    batch-sized Δfact ⋈ dim cost per fold, touched-bucket swap.
+    Algebraic aggregates are batching-independent, so the whole-table
+    batch SQL is an EXACT oracle: streamed maintenance == full
+    recompute, the invariance a materialized view under a stream must
+    prove."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from localsql_spark.catalog import _CACHE_DIR
+    from localsql_spark.operators import hash32
+    from localsql_spark.sinks.ivm import read_join_view
+    from localsql_spark.streaming.stream_ivm_ingest import stream_ivm_ingest
+
+    t = load(spark, sf_dir)
+    orders, customer = t["orders"], t["customer"]
+    src_dir = (_CACHE_DIR.parent / "stream_ivm_src"
+               / Path(sf_dir.rstrip("/")).name)
+    if not src_dir.exists():
+        src_dir.parent.mkdir(parents=True, exist_ok=True)
+        build = Path(tempfile.mkdtemp(prefix=f".{src_dir.name}.build_",
+                                      dir=src_dir.parent))
+        names = ("a_batch0.parquet", "b_batch1.parquet", "c_batch2.parquet")
+        for i, name in enumerate(names):
+            tmp = tempfile.mkdtemp(prefix="isplit_")
+            (orders.filter(hash32(F.col("o_orderkey")) % 3 == i).coalesce(1)
+             .write.mode("overwrite").parquet(tmp))
+            part = next(Path(tmp).glob("part-*.parquet"))
+            shutil.move(str(part), build / name)
+            shutil.rmtree(tmp, ignore_errors=True)
+        t0 = (build / names[0]).stat().st_mtime
+        for i, name in enumerate(names):
+            os.utime(build / name, (t0 + 100 * i, t0 + 100 * i))
+        try:
+            os.rename(build, src_dir)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+
+    schema = spark.read.parquet(str(src_dir / "a_batch0.parquet")).schema
+    scratch = Path(tempfile.mkdtemp(prefix="stream_ivm_"))
+    stream_ivm_ingest(
+        spark, source_dir=str(src_dir), schema=schema,
+        land_dir=str(scratch / "land"), view_dir=str(scratch / "view"),
+        checkpoint_dir=str(scratch / "ck"), dim=customer,
+        fact_key="o_custkey", dim_key="c_custkey",
+        group_col="c_nationkey", value_col="o_totalprice")
+    v = read_join_view(spark, str(scratch / "view"))
+    out = (v.select("grp", "n_rows",
+                    F.round(F.col("sum_value").cast("double"), 6)
+                    .alias("sum_value"))
+           .localCheckpoint(eager=True))
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out

@@ -472,3 +472,54 @@ def test_ivm_dim_change_retracts_and_readds(spark, tmp_path):
                                  "grp_name", "amount", 4).collect()}
     assert got == want
     assert "g2" not in got
+
+
+def test_stream_ivm_ingest_exactly_once_and_replay(spark, tmp_path):
+    """The streamed IVM view equals the batch join-aggregate, re-running
+    the whole land+fold is a no-op (markers), and a deleted checkpoint's
+    full redelivery still folds nothing twice (idempotent landing +
+    markers)."""
+    import os
+
+    from localsql_spark.sinks.ivm import join_rollup, read_join_view
+    from localsql_spark.streaming.stream_ivm_ingest import stream_ivm_ingest
+
+    fact = spark.createDataFrame(
+        [(i, i % 5, float(10 * i)) for i in range(90)],
+        "fk long, cust long, amount double")
+    dim = spark.createDataFrame([(c, f"g{c % 2}") for c in range(5)],
+                                "cust_id long, grp_name string")
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        d = tmp_path / f"b{i}"
+        fact.filter(f"fk % 3 = {i}").coalesce(1).write.parquet(str(d))
+        part = next(d.glob("part-*.parquet"))
+        part.rename(src / f"f{i}.parquet")
+        os.utime(src / f"f{i}.parquet", (1000 + i, 1000 + i))
+
+    kw = dict(source_dir=str(src), schema=fact.schema,
+              land_dir=str(tmp_path / "land"),
+              view_dir=str(tmp_path / "view"),
+              checkpoint_dir=str(tmp_path / "ck"), dim=dim,
+              fact_key="cust", dim_key="cust_id", group_col="grp_name",
+              value_col="amount", n_buckets=4)
+    assert stream_ivm_ingest(spark, **kw) == 3
+
+    def view():
+        return {r["grp"]: (r["n_rows"], float(r["sum_value"]))
+                for r in read_join_view(spark,
+                                        str(tmp_path / "view")).collect()}
+    want = {r["grp"]: (r["n_rows"], float(r["sum_value"]))
+            for r in join_rollup(fact, dim, "cust", "cust_id", "grp_name",
+                                 "amount", 4).collect()}
+    assert view() == want
+    # replay: nothing new to fold
+    assert stream_ivm_ingest(spark, **kw) == 0
+    assert view() == want
+    # full redelivery (fresh checkpoint): landing dirs overwrite
+    # byte-identically, markers skip every fold
+    import shutil
+    shutil.rmtree(tmp_path / "ck")
+    assert stream_ivm_ingest(spark, **{**kw}) == 0
+    assert view() == want
