@@ -1275,7 +1275,20 @@ def knn_ivfpq_adc(corpus: DataFrame, queries: DataFrame, k: int = 5,
              .select(F.col(id_col).alias("neighbor_id"),
                      "cell", "s", "code"))
 
-    # ---- query side: n_probe nearest cells, residual + LUT per cell
+    # ---- query side + ADC scan (shared with the persisted-index probe)
+    lut = _ivfpq_lut(queries, cents, codebooks, m, n_probe, id_col, vec_col)
+    return _ivfpq_adc_scan(codes, lut, k, exclude_self)
+
+
+def _ivfpq_lut(queries: DataFrame, cents: DataFrame, codebooks: DataFrame,
+               m: int, n_probe: int, id_col: str,
+               vec_col: str) -> DataFrame:
+    """Query-side IVFADC preparation: route each query to its ``n_probe``
+    nearest coarse cells, compute the per-cell residual, and build the
+    per-(query, cell) asymmetric-distance lookup table — |queries| x
+    n_probe x m x k_codes rows, broadcastable at any corpus size."""
+    from pyspark.sql.window import Window
+
     q = queries.select(F.col(id_col).alias("query_id"), vec_col)
     qscored = (q.crossJoin(F.broadcast(cents))
                .withColumn("_d", l2_sq(F.col(vec_col), F.col("cent"))))
@@ -1293,11 +1306,18 @@ def knn_ivfpq_adc(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "cell", "s",
                     F.slice(F.col("_v"), F.col("s") * dsub + 1, dsub)
                     .alias("v")))
-    lut = (qsub.join(F.broadcast(codebooks), "s")
-           .select("query_id", "cell", "s", "code",
-                   l2_sq(F.col("v"), F.col("cent")).alias("d")))
+    return (qsub.join(F.broadcast(codebooks), "s")
+            .select("query_id", "cell", "s", "code",
+                    l2_sq(F.col("v"), F.col("cent")).alias("d")))
 
-    # ---- ADC scan of the probed lists only
+
+def _ivfpq_adc_scan(codes: DataFrame, lut: DataFrame, k: int,
+                    exclude_self: bool) -> DataFrame:
+    """ADC scan of the probed lists: codes equi-join the broadcast LUT on
+    the inverted-list triple, partial-aggregate the decimal distance sum
+    map-side, window top-k per query."""
+    from pyspark.sql.window import Window
+
     scored = codes.join(F.broadcast(lut), ["cell", "s", "code"])
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1308,6 +1328,66 @@ def knn_ivfpq_adc(corpus: DataFrame, queries: DataFrame, k: int = 5,
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k))
+
+
+def write_ivfpq_index(corpus: DataFrame, path: str, n_cells: int = 8,
+                      m: int = 4, k_codes: int = 16, n_iter: int = 1,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> None:
+    """Persist the IVFADC index :func:`knn_ivfpq_adc` builds per call:
+    the m-rows-per-vector codes table (neighbor_id, s, code)
+    hive-partitioned BY CELL under ``codes/``, the n_cells-row coarse
+    centroid table under ``_centroids/`` and the m x k_codes codebook
+    table under ``_codebooks/``.  This is the representation behind
+    billion-scale ANN serving: ~m BYTES per vector on disk (vs 8*dim for
+    the float row — the persisted IVF index stores full vectors), probes
+    read only the probed cells' partitions, and the float corpus is
+    never touched at query time.  Same deterministic seeding as the
+    in-memory operator, so the persisted probe shares its exact oracle."""
+    cents = _coarse_cells(corpus, n_cells, id_col, vec_col)
+    cents.write.mode("overwrite").parquet(f"{path}/_centroids")
+    c = _coarse_assign(spread(corpus).select(id_col, vec_col), cents,
+                       id_col, vec_col)
+    c = c.localCheckpoint(eager=False)  # assignment feeds train AND encode
+    res = c.select(id_col, F.col("resid").alias(vec_col))
+    codebooks = pq_train(res.filter(F.col(id_col) >= n_cells), m, k_codes,
+                         n_iter, id_col, vec_col)
+    codebooks.write.mode("overwrite").parquet(f"{path}/_codebooks")
+    (pq_encode(res, codebooks, m, id_col, vec_col)
+     .join(c.select(id_col, "cell"), id_col)
+     .select(F.col(id_col).alias("neighbor_id"), "s", "code", "cell")
+     .repartition(F.col("cell"))
+     .write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes"))
+
+
+def knn_ivfpq_from_index(spark: SparkSession, index_path: str,
+                         queries: DataFrame, k: int = 5, n_probe: int = 4,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         exclude_self: bool = False) -> DataFrame:
+    """IVFADC kNN against the PERSISTED index: identical results to
+    :func:`knn_ivfpq_adc` over the same corpus/seeds (shares its exact
+    oracle), but the per-batch cost is two tiny model reads (centroids,
+    codebooks — broadcast) plus a PARTITION-PRUNED scan of the probed
+    cells' codes partitions (plan-asserted) — the index is never
+    rebuilt, no float vector is read.  Returns (query_id, neighbor_id,
+    adc_dist, rn)."""
+    cents_read = spark.read.parquet(f"{index_path}/_centroids")
+    cents = spark.createDataFrame(cents_read.collect(),
+                                  schema=cents_read.schema)
+    codebooks_read = spark.read.parquet(f"{index_path}/_codebooks")
+    codebooks = spark.createDataFrame(codebooks_read.collect(),
+                                      schema=codebooks_read.schema)
+    m = codebooks_read.agg(F.max("s")).first()[0] + 1
+    lut = _ivfpq_lut(queries, cents, codebooks, m, n_probe, id_col,
+                     vec_col)
+    # touched-cell list: bounded by n_cells whatever the batch size
+    probed = sorted({r[0] for r in
+                     lut.select("cell").distinct().collect()})
+    codes = (spark.read.option("basePath", f"{index_path}/codes")
+             .parquet(f"{index_path}/codes")
+             .filter(F.col("cell").isin(probed)))
+    return _ivfpq_adc_scan(codes, lut, k, exclude_self)
 
 
 def knn_ivfpq_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,

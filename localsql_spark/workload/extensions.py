@@ -3733,3 +3733,28 @@ def streaming_ivm_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
            .localCheckpoint(eager=True))
     shutil.rmtree(scratch, ignore_errors=True)
     return out
+
+
+@query("knn_ivfpq_index_top5", oracle=_IVFPQ_ORACLE)
+def knn_ivfpq_index_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC against the PERSISTED codes index
+    (operators.similarity.write_ivfpq_index / knn_ivfpq_from_index): the
+    billion-scale serving shape — coarse assignment, residual PQ
+    training and encoding paid once at write time, the stored index is
+    the m-rows-per-vector (neighbor_id, s, code) table partitioned by
+    cell, and each query batch reads two tiny model tables plus ONLY its
+    probed cells' codes partitions (PartitionFilters plan-asserted); no
+    float vector is read at query time.  Identical results to
+    knn_ivfpq_top5 (shared oracle)."""
+    import shutil
+    from pathlib import Path
+
+    emb = load(spark, sf_dir)["embeddings"]
+    index = (Path(__file__).resolve().parent.parent.parent / ".cache"
+             / "ivfpq_index" / Path(sf_dir.rstrip("/")).name)
+    shutil.rmtree(index, ignore_errors=True)
+    S.write_ivfpq_index(emb, str(index), n_cells=8, m=4, k_codes=16,
+                        n_iter=1)
+    return S.knn_ivfpq_from_index(spark, str(index),
+                                  emb.filter(F.col("vec_id") < 10), k=5,
+                                  n_probe=4, exclude_self=True)

@@ -417,3 +417,18 @@ def test_bm25_filters_terms_before_aggregation_and_takes_ordered(spark,
     assert "TakeOrderedAndProject" in plan
     assert "term IN" in plan or "term#" in plan  # the isin filter survives
     assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_index_probe_prunes_cells_and_reads_no_vectors(spark,
+                                                             queries):
+    """The persisted-IVFPQ probe must partition-prune the codes scan to
+    the probed cells and never read an embedding column from disk."""
+    plan = _plan(queries["knn_ivfpq_index_top5"](spark, SF_SMALL))
+    scans = [ln for ln in plan.splitlines()
+             if "PartitionFilters" in ln and "cell" in ln]
+    assert scans, "codes scan lost its cell partition prune"
+    codes_reads = [ln for ln in plan.splitlines()
+                   if "ReadSchema" in ln and "neighbor_id" in ln]
+    assert codes_reads and all("embedding" not in ln
+                               for ln in codes_reads)
+    assert "CartesianProduct" not in plan
