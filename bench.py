@@ -93,6 +93,7 @@ EXTENSION_HEADLINE = [
     "ivm_dim_rebase",
     "bm25_search_top10",
     "neardup_triangle_counts",
+    "knn_ivfpq_index_top5",
 ]
 
 
