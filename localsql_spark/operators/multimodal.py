@@ -274,13 +274,21 @@ def phash_features(docs: DataFrame, *, n_coef: int = 32, n_px: int = 64,
             .groupBy(doc_id_col, "b")
             .agg(F.round(F.sum("code").cast("double")
                          / F.count(F.lit(1)), 6).alias("px")))
+    # exact fixed-point sum on the PRIMITIVE long path: each rounded
+    # product round(px*w, 12) is an exact multiple k * 1e-12 with
+    # |k| <= 2.6e14, and k recovers exactly from the double (the
+    # round-trip error k*1e-16*1e12 + one mult ulp is < 0.05 << 0.5), so
+    # SUM(k) over longs == the decimal(38,12) sum to the last digit —
+    # same signs, same hash — but runs in whole-stage codegen instead of
+    # the ObjectHashAggregate decimal path (measured 5.3s -> ~2s warm on
+    # the 10M-row coefficient aggregate at sf0.1)
     co = (pool.join(F.broadcast(dct_basis(spark, n_coef, n_px)), "b")
           .groupBy(doc_id_col, "u")
-          .agg(F.sum(F.round(F.col("px") * F.col("w"), 12)
-                     .cast("decimal(38,12)"))
-               .cast("double").alias("coef")))
+          .agg(F.sum(F.round(F.round(F.col("px") * F.col("w"), 12)
+                             * F.lit(1e12)).cast("bigint"))
+               .alias("coef_fp")))
     return (co.groupBy(doc_id_col)
-            .agg(F.sum(F.when(F.col("coef") > 0,
+            .agg(F.sum(F.when(F.col("coef_fp") > 0,
                               F.expr("shiftleft(cast(1 as bigint), u - 1)"))
                        .otherwise(F.lit(0).cast("bigint")))
                  .alias("phash")))
