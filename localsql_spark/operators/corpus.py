@@ -111,7 +111,8 @@ def chunk_documents(docs: DataFrame, chunk: int = 64, overlap: int = 16,
 
 def pack_sequences(docs: DataFrame, capacity: int = 128,
                    n_shards: int = 8, doc_id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   n_tok_col: str | None = None) -> DataFrame:
     """Greedy next-fit sequence packing: assign whole documents to fixed
     token-budget training sequences (bins of ``capacity`` tokens) — the
     batch-construction step after chunking/tokenization that decides what
@@ -146,9 +147,14 @@ def pack_sequences(docs: DataFrame, capacity: int = 128,
 
     from localsql_spark.operators import hash32
 
+    # n_tok_col: pack pre-tokenized items (e.g. chunk_documents output,
+    # the realistic chunk -> pack pipeline order) without re-tokenizing;
+    # the id column must still uniquely key the items
+    n_tok = (F.col(n_tok_col) if n_tok_col is not None
+             else F.size(_tokens(F.col(text_col))))
     base = (spread(docs).select(
         F.col(doc_id_col).alias("doc_id"),
-        F.size(_tokens(F.col(text_col))).cast("long").alias("n_tok"),
+        n_tok.cast("long").alias("n_tok"),
         F.pmod(hash32(F.col(doc_id_col).cast("string")),
                F.lit(n_shards)).cast("int").alias("shard"),
         hash32(F.concat(F.lit("pack:"),

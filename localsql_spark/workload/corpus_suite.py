@@ -729,3 +729,59 @@ def pack_fill_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_tok").alias("fill_tok"),
                  F.round(F.sum("n_tok") / F.lit(128.0), 9)
                  .alias("fill_frac")))
+
+
+@query("pack_chunks_cap128", oracle=f"""
+WITH RECURSIVE {_TOK_CTE.strip()},
+nc AS (SELECT doc_id, toks,
+              greatest(CAST(ceil((CAST(len(toks) AS DOUBLE) - 16) / 48)
+                            AS INT), 1) AS n_chunks
+       FROM tok),
+ch AS (SELECT doc_id * 100 + i AS item,
+              CAST(len(list_slice(toks, i*48 + 1, i*48 + 64)) AS BIGINT)
+                AS n_tok
+       FROM nc, UNNEST(range(n_chunks)) u(i)),
+d AS (SELECT item, n_tok,
+             CAST(CAST('0x' || substr(md5(CAST(item AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 8 AS INT) AS shard,
+             CAST('0x' || substr(md5('pack:' || CAST(item AS VARCHAR)),
+                                 1, 8) AS BIGINT) AS oh
+      FROM ch),
+o AS (SELECT *, row_number() OVER (PARTITION BY shard
+                                   ORDER BY oh, item) AS rn
+      FROM d),
+p AS (
+  SELECT shard, rn, item, n_tok, oh, 0 AS seq, n_tok AS fill
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.item, o.n_tok, o.oh,
+         CASE WHEN p.fill + o.n_tok <= 128 THEN p.seq ELSE p.seq + 1 END,
+         CASE WHEN p.fill + o.n_tok <= 128 THEN p.fill + o.n_tok
+              ELSE o.n_tok END
+  FROM p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT item AS doc_id, shard, CAST(seq AS INT) AS seq,
+       CAST(row_number() OVER (PARTITION BY shard, seq
+                               ORDER BY oh, item) - 1 AS INT) AS pos,
+       n_tok, n_tok > 128 AS oversize
+FROM p
+""")
+def pack_chunks_cap128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The realistic pipeline ORDER — chunk, then pack: documents stride-
+    chunk into 64-token windows (chunk_documents) and the CHUNKS pack
+    into 128-token training sequences (pack_sequences with the
+    precomputed n_tok — no re-tokenization), keyed by the synthetic item
+    id doc_id*100 + chunk_id.  Chunking bounds every item at 64 tokens,
+    so no bin is ever oversize and fill efficiency is structurally
+    higher than packing raw variable-length documents — exactly why
+    pipelines chunk before packing.  Oracle replays chunking AND the
+    per-shard next-fit recursion end-to-end."""
+    from localsql_spark.operators.corpus import (chunk_documents,
+                                                 pack_sequences)
+
+    docs = load(spark, sf_dir)["documents"]
+    chunks = (chunk_documents(docs, chunk=64, overlap=16)
+              .select((F.col("doc_id") * 100 + F.col("chunk_id"))
+                      .alias("item"), "n_tok"))
+    return pack_sequences(chunks, capacity=128, n_shards=8,
+                          doc_id_col="item", n_tok_col="n_tok")
