@@ -47,6 +47,9 @@ def _stream_source(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return stream
 
 
+last_progress: dict | None = None  # set by _drain_to_memory (see below)
+
+
 def _drain_to_memory(stream_df: DataFrame, name: str,
                      output_mode: str) -> DataFrame:
     """Run the streaming query to completion (availableNow) into an in-memory
@@ -62,6 +65,12 @@ def _drain_to_memory(stream_df: DataFrame, name: str,
              .trigger(availableNow=True)
              .start())
     query.awaitTermination()
+    # expose the drained query's final progress so tests can assert WHICH
+    # stateful operator ran (e.g. symmetricHashJoin for the stream-stream
+    # join) — the result alone can't distinguish a real stateful plan
+    # from a degenerate one
+    global last_progress
+    last_progress = query.lastProgress
     return spark.table(name)
 
 

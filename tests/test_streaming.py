@@ -652,3 +652,8 @@ def test_stream_interval_join_equals_batch_range_join(spark):
                   for r in j.select("user_id", "purchase_id",
                                     "error_id").collect())
     assert got == want and len(got) > 0
+
+    # the drain must have run a REAL stream-stream join state operator
+    from localsql_spark.streaming import stream_agg
+    ops = (stream_agg.last_progress or {}).get("stateOperators", [])
+    assert any(o.get("operatorName") == "symmetricHashJoin" for o in ops)
