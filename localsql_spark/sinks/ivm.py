@@ -82,6 +82,31 @@ def merge_join_rollup(stored: DataFrame | None,
                  .alias("sum_value")))
 
 
+def _check_bucket_meta(view_dir: str, n_buckets: int) -> None:
+    """Pin the view's bucket count on first write and reject maintenance
+    with a different one: grp_bucket is a pure function of (grp,
+    n_buckets), so a mismatched fold would land a group's delta in a
+    DIFFERENT partition than its stored rows and the merge would keep
+    both — silent double rows.  Same meta discipline as the banded dedup
+    index's bucket_cap."""
+    base = Path(view_dir)
+    meta = base.parent / f".{base.name}.meta.json"
+    if meta.exists():
+        stored = json.loads(meta.read_text()).get("n_buckets")
+        if stored != n_buckets:
+            raise ValueError(
+                f"view at {view_dir} was built with n_buckets={stored}; "
+                f"refusing to fold with n_buckets={n_buckets} (grp_bucket "
+                "assignments would diverge and duplicate groups)")
+        return
+    # the meta lives BESIDE the view dir — do not create the (empty) view
+    # dir itself here, or the first fold's base read would try to scan it
+    meta.parent.mkdir(parents=True, exist_ok=True)
+    tmp = meta.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps({"n_buckets": n_buckets}))
+    os.rename(tmp, meta)
+
+
 def maintain_join_view(spark: SparkSession, view_dir: str,
                        fact_batch: DataFrame, dim: DataFrame,
                        fact_key: str, dim_key: str, group_col: str,
@@ -96,6 +121,7 @@ def maintain_join_view(spark: SparkSession, view_dir: str,
     partitions via the manifest commit (crash-safe: a torn run heals on
     the next call's ``recover_pending_merge``)."""
     recover_pending_merge(view_dir)
+    _check_bucket_meta(view_dir, n_buckets)
     delta = join_rollup(fact_batch, dim, fact_key, dim_key, group_col,
                         value_col, n_buckets)
     return _fold_delta(spark, view_dir, delta)
@@ -161,6 +187,7 @@ def apply_dim_change(spark: SparkSession, view_dir: str, fact: DataFrame,
     against the new dim — which is what the registered oracle checks.
     """
     recover_pending_merge(view_dir)
+    _check_bucket_meta(view_dir, n_buckets)
     keys = (old_dim_rows.select(dim_key)
             .unionByName(new_dim_rows.select(dim_key)).distinct())
     changed_fact = fact.join(F.broadcast(keys),

@@ -523,3 +523,22 @@ def test_stream_ivm_ingest_exactly_once_and_replay(spark, tmp_path):
     shutil.rmtree(tmp_path / "ck")
     assert stream_ivm_ingest(spark, **{**kw}) == 0
     assert view() == want
+
+
+def test_ivm_view_rejects_mismatched_bucket_count(spark, tmp_path):
+    """A fold with a different n_buckets than the view was built with
+    must be refused — grp_bucket assignments would diverge and the merge
+    would keep duplicate group rows."""
+    import pytest
+
+    from localsql_spark.sinks.ivm import maintain_join_view
+
+    fact = spark.createDataFrame([(1, 1, 1.0)],
+                                 "fk long, cust long, amount double")
+    dim = spark.createDataFrame([(1, "g")], "cust_id long, grp_name string")
+    view = str(tmp_path / "view")
+    maintain_join_view(spark, view, fact, dim, "cust", "cust_id",
+                       "grp_name", "amount", n_buckets=4)
+    with pytest.raises(ValueError, match="n_buckets=4"):
+        maintain_join_view(spark, view, fact, dim, "cust", "cust_id",
+                           "grp_name", "amount", n_buckets=8)
