@@ -406,3 +406,84 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
              .when(bucket < train_pct + val_pct, "val").otherwise("test"))
     return base.select("doc_id", gid.alias("group_id"),
                        split.alias("split"))
+
+
+def nb_seed_scores(docs: DataFrame, positive: Column,
+                   doc_id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Multinomial Naive-Bayes seed classifier, trained and applied
+    in-engine — the classic corpus quality filter (GPT-3 trained a
+    classifier on WebText-vs-CommonCrawl seeds, arXiv:2005.14165 App. A;
+    CCNet's LM filter plays the same role, arXiv:1911.00359): label a
+    seed split with ``positive`` (e.g. curated sources), fit per-class
+    unigram token distributions with Laplace smoothing, then score EVERY
+    document by its summed log-likelihood ratio plus the class prior.
+
+    Output: one row per input document —
+    ``doc_id, is_pos (seed label), n_tokens, nb_score, pred_pos``.
+    ``nb_score`` = sum over token occurrences of
+    log10((c_pos(w)+1)/(T_pos+V)) - log10((c_neg(w)+1)/(T_neg+V))
+    plus log10(N_pos/N_neg); ``pred_pos`` is the sign test on the EXACT
+    decimal sum (compared before any double rounding).
+
+    Scale shape: training is ONE groupBy(word) with map-side combine
+    (vocabulary-bounded output, Heaps-law sublinear); the two class
+    totals and the vocabulary size are a single 1-row aggregate; scoring
+    re-attaches the log-ratio table to the token stream by a word-key
+    join (broadcast while the vocabulary fits, repartition join beyond)
+    and aggregates per document.  No Python in the hot path, no driver
+    loops — the "train a quality model over the whole corpus" step costs
+    two shuffles regardless of corpus size.
+
+    Determinism (registry contract): per-word log-ratios and the prior
+    are fixed-point e9 LONGS (round(x * 1e9) — exact integer addition,
+    so neither partial-aggregation order nor double->decimal rounding
+    ties at any output precision can perturb a score; a plain
+    round(sum, 6) hit real half-way ties at sf0.01).  ``nb_score`` is
+    the e9 sum divided back to a double and rounded to 9 — a multiple of
+    1e-9 is never itself a rounding tie.  Token-less documents are
+    preserved by a left join and score exactly the prior.
+    """
+    from localsql_spark.operators import spread
+
+    lab = docs.select(F.col(doc_id_col).alias("doc_id"),
+                      positive.cast("boolean").alias("is_pos"),
+                      F.col(text_col).alias("_text"))
+    words = (spread(lab).select(
+        "doc_id", "is_pos",
+        F.explode(F.array_remove(F.split(T.normalize_text(F.col("_text")),
+                                         " "), "")).alias("word")))
+    cnt = words.groupBy("word").agg(
+        F.sum(F.col("is_pos").cast("long")).alias("cp"),
+        F.sum((~F.col("is_pos")).cast("long")).alias("cn"))
+    tot = cnt.agg(F.sum("cp").alias("tp"), F.sum("cn").alias("tn"),
+                  F.count(F.lit(1)).alias("v"))
+    lr = (cnt.crossJoin(F.broadcast(tot))
+          .select("word",
+                  F.round(
+                      (F.log10((F.col("cp") + F.lit(1.0))
+                               / (F.col("tp") + F.col("v")))
+                       - F.log10((F.col("cn") + F.lit(1.0))
+                                 / (F.col("tn") + F.col("v"))))
+                      * F.lit(1e9), 0)
+                  .cast("long").alias("lr_e9")))
+    pri = lab.agg(
+        F.round(F.log10(F.sum(F.col("is_pos").cast("long"))
+                        .cast("double")
+                        / F.sum((~F.col("is_pos")).cast("long")))
+                * F.lit(1e9), 0)
+        .cast("long").alias("prior_e9"))
+    per_doc = (words.join(lr, "word")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.sum("lr_e9").alias("_s")))
+    total = F.coalesce(F.col("_s"), F.lit(0)) + F.col("prior_e9")
+    return (lab.select("doc_id", "is_pos")
+            .join(per_doc, "doc_id", "left")
+            .crossJoin(F.broadcast(pri))
+            .select("doc_id", "is_pos",
+                    F.coalesce("n_tokens", F.lit(0)).cast("long")
+                    .alias("n_tokens"),
+                    F.round(total.cast("double") / F.lit(1e9), 9)
+                    .alias("nb_score"),
+                    (total > 0).alias("pred_pos")))

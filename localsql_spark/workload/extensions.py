@@ -3763,3 +3763,52 @@ def knn_ivfpq_index_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_ivfpq_from_index(spark, str(index),
                                   emb.filter(F.col("vec_id") < 10), k=5,
                                   n_probe=4, exclude_self=True)
+
+
+@query("quality_nb_seed_scores", oracle=r"""
+WITH lab AS (SELECT doc_id,
+        CAST(substr(source, 4) AS INT) < 5 AS is_pos,
+        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents),
+w AS (SELECT doc_id, is_pos, word
+      FROM lab, UNNEST(string_split(t, ' ')) u(word)
+      WHERE word <> ''),
+cnt AS (SELECT word,
+          count(*) FILTER (WHERE is_pos) AS cp,
+          count(*) FILTER (WHERE NOT is_pos) AS cn
+        FROM w GROUP BY 1),
+tot AS (SELECT SUM(cp) AS tp, SUM(cn) AS tn, count(*) AS v FROM cnt),
+lr AS (SELECT word,
+          CAST(round((log10((cp + 1.0) / (tp + v))
+                      - log10((cn + 1.0) / (tn + v))) * 1e9)
+               AS BIGINT) AS lr_e9
+       FROM cnt, tot),
+pri AS (SELECT CAST(round(log10(
+            CAST(count(*) FILTER (WHERE is_pos) AS DOUBLE)
+            / count(*) FILTER (WHERE NOT is_pos)) * 1e9)
+          AS BIGINT) AS prior_e9 FROM lab),
+s AS (SELECT doc_id, count(*) AS n_tokens, SUM(lr_e9) AS lrsum
+      FROM w JOIN lr USING (word) GROUP BY 1)
+SELECT l.doc_id, l.is_pos,
+       COALESCE(s.n_tokens, 0) AS n_tokens,
+       round(CAST(COALESCE(s.lrsum, 0) + p.prior_e9 AS DOUBLE) / 1e9, 9)
+         AS nb_score,
+       (COALESCE(s.lrsum, 0) + p.prior_e9) > 0 AS pred_pos
+FROM lab l LEFT JOIN s USING (doc_id) CROSS JOIN pri p
+""")
+def quality_nb_seed_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine quality classifier (operators.selection.nb_seed_scores):
+    multinomial Naive Bayes trained on a seed labeling (curated sources
+    src0-src4 positive vs the rest — the same source tiers
+    mix_sources_weighted up-weights) and applied to every document.  The
+    GPT-3-style "train a filter on seed corpora, score the crawl" step
+    (arXiv:2005.14165 App. A) as two shuffles: one vocabulary-bounded
+    groupBy(word) to fit both class distributions, one word-key join +
+    per-doc aggregate to score.  Laplace smoothing; per-word log-ratios
+    are fixed-point e9 longs summed exactly; the sign test (pred_pos)
+    compares the exact integer sum."""
+    from localsql_spark.operators.selection import nb_seed_scores
+
+    docs = load(spark, sf_dir)["documents"]
+    is_pos = F.substring("source", 4, 10).cast("int") < 5
+    return nb_seed_scores(docs, is_pos)

@@ -254,3 +254,50 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     assert out[10] == out[11] == (10, out[10][1])
     assert out[42][0] == 42
     assert {s for _, s in out.values()} == {"train", "val", "test"}
+
+
+# ---------------------------------------------------------------------------
+# Naive-Bayes seed classifier
+# ---------------------------------------------------------------------------
+
+def test_nb_seed_scores_separates_seed_vocabularies(spark):
+    """Disjoint class vocabularies must score held-out docs toward the
+    class whose words they use; every input doc appears exactly once."""
+    from localsql_spark.operators.selection import nb_seed_scores
+
+    rows = [
+        (1, "alpha beta alpha gamma", "en"),
+        (2, "alpha beta beta", "en"),
+        (3, "zump qorx zump", "en"),
+        (4, "qorx zump qorx qorx", "en"),
+        (5, "alpha alpha beta gamma alpha", "en"),   # pos-voc, neg label
+        (6, "zump zump qorx", "en"),                  # neg-voc, pos label
+    ]
+    docs = _docs(spark, rows)
+    out = nb_seed_scores(docs, F.col("doc_id") <= 2).orderBy("doc_id")
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    # seed docs classify to their own side; held-out docs follow vocabulary
+    assert got[1].pred_pos and got[2].pred_pos
+    assert not got[3].pred_pos and not got[4].pred_pos
+    assert got[5].pred_pos          # pure positive vocabulary
+    assert not got[6].pred_pos      # pure negative vocabulary
+    assert got[5].nb_score > 0 > got[6].nb_score
+    assert got[1].n_tokens == 4
+
+
+def test_nb_seed_scores_tokenless_doc_scores_prior(spark):
+    """A whitespace-only document survives the left join with n_tokens=0
+    and scores exactly the class prior."""
+    import math
+
+    from localsql_spark.operators.selection import nb_seed_scores
+
+    rows = [(1, "good words here", "en"), (2, "bad stuff", "en"),
+            (3, "bad junk", "en"), (4, "   ", "en")]
+    docs = _docs(spark, rows)
+    out = {r.doc_id: r for r in
+           nb_seed_scores(docs, F.col("doc_id") == 1).collect()}
+    assert out[4].n_tokens == 0
+    prior = round(round(math.log10(1 / 3) * 1e9) / 1e9, 9)
+    assert abs(out[4].nb_score - prior) < 1e-12
