@@ -94,6 +94,8 @@ EXTENSION_HEADLINE = [
     "bm25_search_top10",
     "neardup_triangle_counts",
     "knn_ivfpq_index_top5",
+    # round 8 (late): in-engine NB quality classifier (train + score)
+    "quality_nb_seed_scores",
 ]
 
 

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from functools import reduce as functools_reduce
+
 from localsql_spark.operators import spread
 from localsql_spark.operators import text as T
 
@@ -648,3 +650,52 @@ def remove_repeated_spans(docs: DataFrame, span: int = 8,
         F.size("toks").cast("bigint").alias("n_tokens_before"),
         F.size(kept_toks).cast("bigint").alias("n_tokens_after"),
         F.md5(F.concat_ws(" ", kept_toks)).alias("cleaned_hash"))
+
+
+def ngram_diversity(docs: DataFrame, n: int = 2, group_col: str = "source",
+                    doc_id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Corpus-level n-gram diversity per group — the cross-document
+    type/token ratio (distinct n-grams / total n-gram occurrences) of each
+    source/domain/snapshot.  The per-document repetition signals
+    (text.dup_ngram_fraction) cannot see COLLAPSE ACROSS documents: a
+    source whose documents are individually diverse but globally
+    templated (mirrors, boilerplate farms, machine generation) shows a
+    normal per-doc profile and a tiny corpus TTR — the data-mixing audit
+    run before weighting sources (Gopher's per-source analyses,
+    arXiv:2112.11446 §A3).
+
+    Output: ``{group_col}, n_docs, total_ngrams, distinct_ngrams, ttr``
+    (one row per group, ttr = 0.0 for groups with no n-grams).
+
+    Scale shape: the n-gram stream is a row-local array expression
+    exploded once; the only wide ops are the per-group count-distinct
+    (one partial-agg shuffle, distinct set bounded by vocabulary^n but in
+    practice Heaps-sublinear) and a tiny per-group doc count joined back.
+    No Python, no driver collection; groups parallelize independently.
+    """
+    toks = F.array_remove(_tokens(F.col(text_col)), "")
+    rest = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    shifted = [F.slice(toks, 1 + j,
+                       F.greatest(F.size(toks) - j, F.lit(0)))
+               for j in range(n)]
+    grams = F.slice(
+        functools_reduce(
+            lambda acc, nxt: F.zip_with(acc, nxt,
+                                        lambda a, b: F.concat_ws(" ", a, b)),
+            shifted), 1, rest)
+    exploded = (spread(docs).select(F.col(group_col),
+                                    F.explode(grams).alias("g")))
+    agg = exploded.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("total_ngrams"),
+        F.countDistinct("g").alias("distinct_ngrams"))
+    d = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = F.coalesce("total_ngrams", F.lit(0))
+    dist = F.coalesce("distinct_ngrams", F.lit(0))
+    return (d.join(agg, group_col, "left")
+            .select(group_col, "n_docs",
+                    total.alias("total_ngrams"),
+                    dist.alias("distinct_ngrams"),
+                    F.round(F.when(total > 0,
+                                   dist.cast("double") / total)
+                            .otherwise(F.lit(0.0)), 6).alias("ttr")))

@@ -785,3 +785,40 @@ def pack_chunks_cap128(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("item"), "n_tok"))
     return pack_sequences(chunks, capacity=128, n_shards=8,
                           doc_id_col="item", n_tok_col="n_tok")
+
+
+@query("corpus_bigram_diversity", oracle=r"""
+WITH norm AS (
+  SELECT source,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+           AS toks
+  FROM documents),
+bg AS (
+  SELECT source, g
+  FROM norm, UNNEST(CASE WHEN len(toks) >= 2
+                         THEN list_transform(range(len(toks) - 1),
+                                i -> concat_ws(' ', toks[i+1], toks[i+2]))
+                         ELSE [] END) u(g)),
+agg AS (SELECT source, count(*) AS total_ngrams,
+               count(DISTINCT g) AS distinct_ngrams
+        FROM bg GROUP BY 1),
+d AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+SELECT d.source, d.n_docs,
+       COALESCE(agg.total_ngrams, 0) AS total_ngrams,
+       COALESCE(agg.distinct_ngrams, 0) AS distinct_ngrams,
+       round(CASE WHEN COALESCE(agg.total_ngrams, 0) > 0
+                  THEN CAST(agg.distinct_ngrams AS DOUBLE) / agg.total_ngrams
+                  ELSE 0.0 END, 6) AS ttr
+FROM d LEFT JOIN agg USING (source)
+""")
+def corpus_bigram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document bigram diversity per source (operators.corpus.
+    ngram_diversity): corpus-level type/token ratio — the mixing audit
+    that catches globally-templated sources (mirrors, boilerplate farms,
+    machine generation) whose per-document repetition profile looks
+    normal.  One explode + one per-group count-distinct shuffle; groups
+    parallelize independently."""
+    from localsql_spark.operators.corpus import ngram_diversity
+
+    docs = load(spark, sf_dir)["documents"]
+    return ngram_diversity(docs, n=2, group_col="source")

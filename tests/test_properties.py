@@ -1806,3 +1806,40 @@ def test_triangle_counts_degree_ordered_exact(spark):
     assert all(cc[n] == 1.0 for n in range(4))
     assert cc[20] == 0.0 and cc[21] == 0.0
     assert cc[11] == 0.0  # chain middle: deg 2, no triangle
+
+
+def test_ngram_diversity_detects_cross_document_collapse(spark):
+    """Per-doc-diverse but globally-templated sources show a low corpus
+    TTR; genuinely diverse sources show TTR ~1.  Short/empty docs
+    contribute no n-grams but still count as docs."""
+    from localsql_spark.operators.corpus import ngram_diversity
+
+    rows = (
+        # templated: every doc is the SAME diverse sentence
+        [(i, "alpha beta gamma delta epsilon", "tpl") for i in range(10)]
+        # diverse: disjoint vocabulary per doc
+        + [(100 + i, f"w{i}a w{i}b w{i}c", "div") for i in range(10)]
+        # edge docs: single-token and empty
+        + [(200, "solo", "edge"), (201, "   ", "edge")])
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in
+           ngram_diversity(docs, n=2, group_col="source").collect()}
+    assert out["tpl"].n_docs == 10
+    assert out["tpl"].total_ngrams == 40          # 4 bigrams x 10 docs
+    assert out["tpl"].distinct_ngrams == 4
+    assert abs(out["tpl"].ttr - 0.1) < 1e-9
+    assert out["div"].total_ngrams == 20 and out["div"].distinct_ngrams == 20
+    assert out["div"].ttr == 1.0
+    assert out["edge"].n_docs == 2
+    assert out["edge"].total_ngrams == 0 and out["edge"].ttr == 0.0
+
+
+def test_ngram_diversity_trigrams(spark):
+    """n=3 grams are true trigrams (the zip/slice composition does not
+    leak shorter tail grams)."""
+    from localsql_spark.operators.corpus import ngram_diversity
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "s")], "doc_id long, text string, source string")
+    r = ngram_diversity(docs, n=3, group_col="source").collect()[0]
+    assert r.total_ngrams == 2 and r.distinct_ngrams == 2  # 'a b c','b c d'
