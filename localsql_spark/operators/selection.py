@@ -408,6 +408,77 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
                        split.alias("split"))
 
 
+_NB_DOCROW = "<DOCS>"  # normalize_text lowercases every token, so an
+#                         uppercase sentinel can never collide with a word
+
+
+def _nb_words(docs: DataFrame, positive: Column, doc_id_col: str,
+              text_col: str) -> tuple[DataFrame, DataFrame]:
+    """Labeled doc frame + its exploded token stream (shared tokenizer:
+    text.normalize_text, empty tokens removed)."""
+    from localsql_spark.operators import spread
+
+    lab = docs.select(F.col(doc_id_col).alias("doc_id"),
+                      positive.cast("boolean").alias("is_pos"),
+                      F.col(text_col).alias("_text"))
+    words = (spread(lab).select(
+        "doc_id", "is_pos",
+        F.explode(F.array_remove(F.split(T.normalize_text(F.col("_text")),
+                                         " "), "")).alias("word")))
+    return lab, words
+
+
+def _nb_counts(words: DataFrame) -> DataFrame:
+    """Per-word class occurrence counts ``(word, cp, cn)`` — the entire
+    trained state of a multinomial NB, and ADDITIVE across batches (which
+    is what makes the persisted model incrementally maintainable)."""
+    return words.groupBy("word").agg(
+        F.sum(F.col("is_pos").cast("long")).alias("cp"),
+        F.sum((~F.col("is_pos")).cast("long")).alias("cn"))
+
+
+def _nb_doc_counts(lab: DataFrame) -> DataFrame:
+    """One row ``(np_docs, nn_docs)`` — the class-prior inputs."""
+    return lab.agg(F.sum(F.col("is_pos").cast("long")).alias("np_docs"),
+                   F.sum((~F.col("is_pos")).cast("long")).alias("nn_docs"))
+
+
+def _nb_score(lab: DataFrame, words: DataFrame, model: DataFrame,
+              doc_counts: DataFrame) -> DataFrame:
+    """Score every doc in ``lab`` against a count model (word, cp, cn)
+    and prior inputs (np_docs, nn_docs).  Fixed-point e9 longs throughout
+    — see nb_seed_scores' determinism note."""
+    tot = model.agg(F.sum("cp").alias("tp"), F.sum("cn").alias("tn"),
+                    F.count(F.lit(1)).alias("v"))
+    lr = (model.crossJoin(F.broadcast(tot))
+          .select("word",
+                  F.round(
+                      (F.log10((F.col("cp") + F.lit(1.0))
+                               / (F.col("tp") + F.col("v")))
+                       - F.log10((F.col("cn") + F.lit(1.0))
+                                 / (F.col("tn") + F.col("v"))))
+                      * F.lit(1e9), 0)
+                  .cast("long").alias("lr_e9")))
+    pri = doc_counts.select(
+        F.round(F.log10(F.col("np_docs").cast("double")
+                        / F.col("nn_docs")) * F.lit(1e9), 0)
+        .cast("long").alias("prior_e9"))
+    per_doc = (words.join(lr, "word")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.sum("lr_e9").alias("_s")))
+    total = F.coalesce(F.col("_s"), F.lit(0)) + F.col("prior_e9")
+    return (lab.select("doc_id", "is_pos")
+            .join(per_doc, "doc_id", "left")
+            .crossJoin(F.broadcast(pri))
+            .select("doc_id", "is_pos",
+                    F.coalesce("n_tokens", F.lit(0)).cast("long")
+                    .alias("n_tokens"),
+                    F.round(total.cast("double") / F.lit(1e9), 9)
+                    .alias("nb_score"),
+                    (total > 0).alias("pred_pos")))
+
+
 def nb_seed_scores(docs: DataFrame, positive: Column,
                    doc_id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
@@ -444,46 +515,109 @@ def nb_seed_scores(docs: DataFrame, positive: Column,
     1e-9 is never itself a rounding tie.  Token-less documents are
     preserved by a left join and score exactly the prior.
     """
-    from localsql_spark.operators import spread
+    lab, words = _nb_words(docs, positive, doc_id_col, text_col)
+    return _nb_score(lab, words, _nb_counts(words), _nb_doc_counts(lab))
 
-    lab = docs.select(F.col(doc_id_col).alias("doc_id"),
-                      positive.cast("boolean").alias("is_pos"),
-                      F.col(text_col).alias("_text"))
-    words = (spread(lab).select(
-        "doc_id", "is_pos",
-        F.explode(F.array_remove(F.split(T.normalize_text(F.col("_text")),
-                                         " "), "")).alias("word")))
-    cnt = words.groupBy("word").agg(
-        F.sum(F.col("is_pos").cast("long")).alias("cp"),
-        F.sum((~F.col("is_pos")).cast("long")).alias("cn"))
-    tot = cnt.agg(F.sum("cp").alias("tp"), F.sum("cn").alias("tn"),
-                  F.count(F.lit(1)).alias("v"))
-    lr = (cnt.crossJoin(F.broadcast(tot))
-          .select("word",
-                  F.round(
-                      (F.log10((F.col("cp") + F.lit(1.0))
-                               / (F.col("tp") + F.col("v")))
-                       - F.log10((F.col("cn") + F.lit(1.0))
-                                 / (F.col("tn") + F.col("v"))))
-                      * F.lit(1e9), 0)
-                  .cast("long").alias("lr_e9")))
-    pri = lab.agg(
-        F.round(F.log10(F.sum(F.col("is_pos").cast("long"))
-                        .cast("double")
-                        / F.sum((~F.col("is_pos")).cast("long")))
-                * F.lit(1e9), 0)
-        .cast("long").alias("prior_e9"))
-    per_doc = (words.join(lr, "word")
-               .groupBy("doc_id")
-               .agg(F.count(F.lit(1)).alias("n_tokens"),
-                    F.sum("lr_e9").alias("_s")))
-    total = F.coalesce(F.col("_s"), F.lit(0)) + F.col("prior_e9")
-    return (lab.select("doc_id", "is_pos")
-            .join(per_doc, "doc_id", "left")
-            .crossJoin(F.broadcast(pri))
-            .select("doc_id", "is_pos",
-                    F.coalesce("n_tokens", F.lit(0)).cast("long")
-                    .alias("n_tokens"),
-                    F.round(total.cast("double") / F.lit(1e9), 9)
-                    .alias("nb_score"),
-                    (total > 0).alias("pred_pos")))
+
+def nb_model_update(spark, model_dir: str, new_docs: DataFrame,
+                    positive: Column, n_buckets: int = 16,
+                    doc_id_col: str = "doc_id",
+                    text_col: str = "text") -> list:
+    """Fold a labeled document batch into a PERSISTED NB count model —
+    incremental classifier training: because the trained state is pure
+    additive counts, fold(base) then fold(batch) is EXACTLY equal to one
+    training pass over base ∪ batch (no approximation, no decay), so the
+    daily crawl delta updates the quality filter without ever re-reading
+    the historical corpus.  Fold cost = batch tokenization + one
+    vocabulary-sized merge; history contributes only its (bounded,
+    Heaps-sublinear) count table.
+
+    Store layout: hive-partitioned parquet ``wb=<hash32(word) % n>``
+    rows ``(word, cp, cn)``, plus the class doc-count row under the
+    reserved partition ``wb=n_buckets`` with ``word='<DOCS>'`` (tokens
+    are lowercased, so the sentinel cannot collide) — doc counts commit
+    ATOMICALLY with the word counts they accompany.  Commit protocol is
+    the shared staged-write + manifest-rename (sinks.merge): one rename
+    is the commit point, and a crashed fold heals on the next call.
+
+    Exactly-once is the CALLER's contract (same as maintain_rollup): the
+    fold is additive, so redelivering a batch double-counts it — drive
+    this from a marker-committed landing loop (streaming/stream_rollup's
+    fold_landed_with) when the source can redeliver.
+
+    Returns the list of rewritten ``wb`` partition values.  Natural-
+    language batches touch nearly every bucket (common words hash
+    everywhere) — the partitioning bounds the REWRITE unit and lets the
+    scoring read prune, it does not promise sparse folds.
+    """
+    import json
+    import os
+    import shutil
+    from pathlib import Path
+
+    from localsql_spark.sinks.merge import (_apply_manifest,
+                                            _manifest_path,
+                                            read_base_partitions,
+                                            recover_pending_merge)
+
+    recover_pending_merge(model_dir)
+    lab, words = _nb_words(new_docs, positive, doc_id_col, text_col)
+    wb = F.pmod(hash32(F.col("word")), F.lit(n_buckets)).cast("int")
+    delta_words = _nb_counts(words).select("word", "cp", "cn",
+                                           wb.alias("wb"))
+    delta_docs = _nb_doc_counts(lab).select(
+        F.lit(_NB_DOCROW).alias("word"),
+        F.coalesce("np_docs", F.lit(0)).alias("cp"),
+        F.coalesce("nn_docs", F.lit(0)).alias("cn"),
+        F.lit(int(n_buckets)).cast("int").alias("wb"))
+    delta = delta_words.unionByName(delta_docs)
+    parts = [r[0] for r in delta.select("wb").distinct().collect()]
+    stored = read_base_partitions(spark, model_dir, "wb", parts)
+    both = delta if stored is None else stored.unionByName(delta)
+    merged = both.groupBy("word", "wb").agg(F.sum("cp").alias("cp"),
+                                            F.sum("cn").alias("cn"))
+
+    base = Path(model_dir)
+    staging = base.parent / f".{base.name}.staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    (merged.write.mode("overwrite").partitionBy("wb")
+     .parquet(str(staging)))
+    base.mkdir(parents=True, exist_ok=True)
+    pnames = sorted(p.name for p in staging.glob("wb=*"))
+    manifest = _manifest_path(base)
+    tmp = manifest.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps({"staging": staging.name,
+                               "partitions": pnames}))
+    os.rename(tmp, manifest)  # COMMIT POINT — one rename
+    _apply_manifest(base, manifest)
+    return parts
+
+
+def nb_model_read(spark, model_dir: str,
+                  n_buckets: int = 16) -> tuple[DataFrame, DataFrame]:
+    """Read back a persisted NB model: ``(model, doc_counts)`` where
+    ``model`` is the word-count table and ``doc_counts`` the one-row
+    prior input — exactly the inputs ``nb_score_with_model`` needs.
+    Heals any crashed fold first (manifest replay)."""
+    from localsql_spark.sinks.merge import recover_pending_merge
+
+    recover_pending_merge(model_dir)
+    df = spark.read.option("basePath", model_dir).parquet(model_dir)
+    model = (df.filter(F.col("wb") != n_buckets)
+             .select("word", "cp", "cn"))
+    doc_counts = (df.filter(F.col("wb") == n_buckets)
+                  .agg(F.sum("cp").alias("np_docs"),
+                       F.sum("cn").alias("nn_docs")))
+    return model, doc_counts
+
+
+def nb_score_with_model(docs: DataFrame, model: DataFrame,
+                        doc_counts: DataFrame, positive: Column,
+                        doc_id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Score documents against an externally-trained count model (e.g.
+    one maintained by ``nb_model_update``) — same arithmetic, columns
+    and determinism contract as ``nb_seed_scores``, so a model folded
+    incrementally scores bit-identically to a single-pass train."""
+    lab, words = _nb_words(docs, positive, doc_id_col, text_col)
+    return _nb_score(lab, words, model, doc_counts)

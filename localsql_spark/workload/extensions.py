@@ -3765,7 +3765,7 @@ def knn_ivfpq_index_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   n_probe=4, exclude_self=True)
 
 
-@query("quality_nb_seed_scores", oracle=r"""
+_NB_ORACLE = r"""
 WITH lab AS (SELECT doc_id,
         CAST(substr(source, 4) AS INT) < 5 AS is_pos,
         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
@@ -3795,7 +3795,10 @@ SELECT l.doc_id, l.is_pos,
          AS nb_score,
        (COALESCE(s.lrsum, 0) + p.prior_e9) > 0 AS pred_pos
 FROM lab l LEFT JOIN s USING (doc_id) CROSS JOIN pri p
-""")
+"""
+
+
+@query("quality_nb_seed_scores", oracle=_NB_ORACLE)
 def quality_nb_seed_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-engine quality classifier (operators.selection.nb_seed_scores):
     multinomial Naive Bayes trained on a seed labeling (curated sources
@@ -3812,3 +3815,37 @@ def quality_nb_seed_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir)["documents"]
     is_pos = F.substring("source", 4, 10).cast("int") < 5
     return nb_seed_scores(docs, is_pos)
+
+
+@query("quality_nb_incremental", oracle=_NB_ORACLE)
+def quality_nb_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-trained NB quality model (operators.selection.
+    nb_model_update): the historical corpus (doc_id % 10 != 0) folds
+    into a persisted count store first, the daily delta (doc_id % 10 ==
+    0) folds second — cost = batch tokenization + a vocabulary-sized
+    merge, never a historical re-read — then every document scores
+    against the read-back model.  Counts are additive, so two folds ==
+    one full-train pass EXACTLY, proven by sharing
+    quality_nb_seed_scores' full-corpus oracle bit-for-bit.  Store
+    commits are the shared staged-write + manifest-rename protocol."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from localsql_spark.operators.selection import (nb_model_read,
+                                                    nb_model_update,
+                                                    nb_score_with_model)
+
+    docs = load(spark, sf_dir)["documents"]
+    is_pos = F.substring("source", 4, 10).cast("int") < 5
+    scratch = Path(tempfile.mkdtemp(prefix="nb_model_"))
+    model_dir = str(scratch / "model")
+    nb_model_update(spark, model_dir, docs.filter(F.col("doc_id") % 10 != 0),
+                    is_pos)
+    nb_model_update(spark, model_dir, docs.filter(F.col("doc_id") % 10 == 0),
+                    is_pos)
+    model, doc_counts = nb_model_read(spark, model_dir)
+    out = (nb_score_with_model(docs, model, doc_counts, is_pos)
+           .localCheckpoint(eager=True))
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out

@@ -301,3 +301,63 @@ def test_nb_seed_scores_tokenless_doc_scores_prior(spark):
     assert out[4].n_tokens == 0
     prior = round(round(math.log10(1 / 3) * 1e9) / 1e9, 9)
     assert abs(out[4].nb_score - prior) < 1e-12
+
+
+def test_nb_model_incremental_fold_equals_full_train(spark, tmp_path):
+    """Additive count folds: fold(base) + fold(delta) then score ==
+    nb_seed_scores over the union, bit-for-bit; the <DOCS> sentinel row
+    never leaks into the word table."""
+    from localsql_spark.operators.selection import (
+        _NB_DOCROW, nb_model_read, nb_model_update, nb_score_with_model,
+        nb_seed_scores)
+
+    rows = [(i, f"tok{i % 7} alpha beta" if i % 2 else "gamma delta qorx",
+             "en") for i in range(20)]
+    docs = _docs(spark, rows)
+    is_pos = F.col("doc_id") < 8
+    d = str(tmp_path / "model")
+    nb_model_update(spark, d, docs.filter(F.col("doc_id") % 3 != 0), is_pos,
+                    n_buckets=4)
+    nb_model_update(spark, d, docs.filter(F.col("doc_id") % 3 == 0), is_pos,
+                    n_buckets=4)
+    model, dc = nb_model_read(spark, d, n_buckets=4)
+    assert model.filter(F.col("word") == _NB_DOCROW).count() == 0
+    np_docs, nn_docs = dc.collect()[0]
+    assert (np_docs, nn_docs) == (8, 12)
+    inc = {tuple(r) for r in
+           nb_score_with_model(docs, model, dc, is_pos).collect()}
+    full = {tuple(r) for r in nb_seed_scores(docs, is_pos).collect()}
+    assert inc == full
+
+
+def test_nb_model_crashed_fold_heals_on_read(spark, tmp_path):
+    """A fold that crashed between manifest commit and partition swap is
+    replayed by nb_model_read (manifest IS the durable state)."""
+    import json
+
+    from localsql_spark.operators.selection import (nb_model_read,
+                                                    nb_model_update)
+    from localsql_spark.sinks.merge import _manifest_path
+
+    docs = _docs(spark, [(1, "a b c", "en"), (2, "c d", "en")])
+    d = tmp_path / "model"
+    nb_model_update(spark, str(d), docs, F.col("doc_id") == 1, n_buckets=2)
+    model, dc = nb_model_read(spark, str(d), n_buckets=2)
+    before = {tuple(r) for r in model.collect()}
+
+    # simulate the crash window: re-stage the same partitions under the
+    # staging dir and commit the manifest WITHOUT applying it
+    staging = d.parent / f".{d.name}.staging"
+    staging.mkdir()
+    for p in sorted(d.glob("wb=*")):
+        (staging / p.name).mkdir()
+        for f in p.glob("*.parquet"):
+            (staging / p.name / f.name).write_bytes(f.read_bytes())
+    manifest = _manifest_path(d)
+    manifest.write_text(json.dumps(
+        {"staging": staging.name,
+         "partitions": sorted(p.name for p in staging.glob("wb=*"))}))
+
+    model2, _ = nb_model_read(spark, str(d), n_buckets=2)
+    assert {tuple(r) for r in model2.collect()} == before
+    assert not manifest.exists()

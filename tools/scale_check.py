@@ -229,6 +229,17 @@ def main() -> None:
         docs = spark.read.parquet(paths[f]["documents"])
         return unigram_logprob(docs).count()
 
+    def op_nb_seed(f):
+        from localsql_spark.operators.selection import nb_seed_scores
+        docs = spark.read.parquet(paths[f]["documents"])
+        return nb_seed_scores(
+            docs, F.substring("source", 4, 10).cast("int") < 5).count()
+
+    def op_ngram_diversity(f):
+        from localsql_spark.operators.corpus import ngram_diversity
+        docs = spark.read.parquet(paths[f]["documents"])
+        return ngram_diversity(docs, n=2, group_col="source").count()
+
     def op_profile(f):
         from localsql_spark.operators.corpus import profile_columns
         ev = spark.read.parquet(paths[f]["events"])
@@ -481,7 +492,9 @@ def main() -> None:
            "rollup_maintain": op_rollup_maintain,
            "table_diff": op_table_diff, "scd2_apply": op_scd2_apply,
            "quarantine_split": op_quarantine, "pagerank": op_pagerank,
-           "bpe_pair_counts": op_bpe_pairs}
+           "bpe_pair_counts": op_bpe_pairs,
+           "nb_seed_scores": op_nb_seed,
+           "ngram_diversity": op_ngram_diversity}
 
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:
