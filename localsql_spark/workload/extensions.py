@@ -3849,3 +3849,63 @@ def quality_nb_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
            .localCheckpoint(eager=True))
     shutil.rmtree(scratch, ignore_errors=True)
     return out
+
+
+@query("streaming_nb_ingest", oracle=_NB_ORACLE)
+def streaming_nb_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the persisted NB quality model, driver-
+    gated end-to-end (streaming.stream_nb_ingest): documents arrive as
+    three micro-batches (hash-mod split, mtime-ordered,
+    maxFilesPerTrigger=1); each lands in an idempotent per-batch dir,
+    then folds its ADDITIVE token counts into the model store under an
+    applied marker — the marker, not the store write, carries
+    exactly-once because re-applying an additive fold double-counts.
+    Because the folds are exact, the streamed model scores the corpus
+    bit-identically to a single full-train pass — this query shares
+    quality_nb_seed_scores' whole-corpus oracle."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from localsql_spark.catalog import _CACHE_DIR
+    from localsql_spark.operators import hash32
+    from localsql_spark.operators.selection import (nb_model_read,
+                                                    nb_score_with_model)
+    from localsql_spark.streaming.stream_nb_ingest import stream_nb_ingest
+
+    docs = load(spark, sf_dir)["documents"]
+    is_pos = F.substring("source", 4, 10).cast("int") < 5
+    src_dir = (_CACHE_DIR.parent / "stream_nb_src"
+               / Path(sf_dir.rstrip("/")).name)
+    if not src_dir.exists():
+        src_dir.parent.mkdir(parents=True, exist_ok=True)
+        build = Path(tempfile.mkdtemp(prefix=f".{src_dir.name}.build_",
+                                      dir=src_dir.parent))
+        names = ("a_batch0.parquet", "b_batch1.parquet", "c_batch2.parquet")
+        for i, name in enumerate(names):
+            tmp = tempfile.mkdtemp(prefix="nbsplit_")
+            (docs.filter(hash32(F.col("doc_id")) % 3 == i).coalesce(1)
+             .write.mode("overwrite").parquet(tmp))
+            part = next(Path(tmp).glob("part-*.parquet"))
+            shutil.move(str(part), build / name)
+            shutil.rmtree(tmp, ignore_errors=True)
+        t0 = (build / names[0]).stat().st_mtime
+        for i, name in enumerate(names):
+            os.utime(build / name, (t0 + 100 * i, t0 + 100 * i))
+        try:
+            os.rename(build, src_dir)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+
+    schema = spark.read.parquet(str(src_dir / "a_batch0.parquet")).schema
+    scratch = Path(tempfile.mkdtemp(prefix="stream_nb_"))
+    stream_nb_ingest(
+        spark, source_dir=str(src_dir), schema=schema,
+        land_dir=str(scratch / "land"), model_dir=str(scratch / "model"),
+        checkpoint_dir=str(scratch / "ck"), positive=is_pos)
+    model, doc_counts = nb_model_read(spark, str(scratch / "model"))
+    out = (nb_score_with_model(docs, model, doc_counts, is_pos)
+           .localCheckpoint(eager=True))
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out

@@ -657,3 +657,58 @@ def test_stream_interval_join_equals_batch_range_join(spark):
     from localsql_spark.streaming import stream_agg
     ops = (stream_agg.last_progress or {}).get("stateOperators", [])
     assert any(o.get("operatorName") == "symmetricHashJoin" for o in ops)
+
+
+def test_stream_nb_ingest_exactly_once_and_replay(spark, tmp_path):
+    """The streamed NB model scores bit-identically to a single
+    full-train pass, re-running the whole land+fold is a no-op
+    (markers), and a deleted checkpoint's full redelivery never
+    double-counts a token (idempotent landing + markers — the additive
+    fold makes double-apply observable as doubled counts)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators.selection import (nb_model_read,
+                                                    nb_score_with_model,
+                                                    nb_seed_scores)
+    from localsql_spark.streaming.stream_nb_ingest import stream_nb_ingest
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} alpha beta" if i % 2 else "gamma delta qorx",
+          "en") for i in range(30)],
+        "doc_id long, text string, lang string")
+    is_pos = F.col("doc_id") < 12
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        d = tmp_path / f"b{i}"
+        docs.filter(f"doc_id % 3 = {i}").coalesce(1).write.parquet(str(d))
+        part = next(d.glob("part-*.parquet"))
+        part.rename(src / f"f{i}.parquet")
+        os.utime(src / f"f{i}.parquet", (1000 + i, 1000 + i))
+
+    kw = dict(source_dir=str(src), schema=docs.schema,
+              land_dir=str(tmp_path / "land"),
+              model_dir=str(tmp_path / "model"),
+              checkpoint_dir=str(tmp_path / "ck"),
+              positive=is_pos, n_buckets=4)
+    assert stream_nb_ingest(spark, **kw) == 3
+
+    def scores():
+        model, dc = nb_model_read(spark, str(tmp_path / "model"),
+                                  n_buckets=4)
+        return {tuple(r) for r in
+                nb_score_with_model(docs, model, dc, is_pos).collect()}
+
+    want = {tuple(r) for r in nb_seed_scores(docs, is_pos).collect()}
+    assert scores() == want
+    # replay: nothing new to fold
+    assert stream_nb_ingest(spark, **kw) == 0
+    assert scores() == want
+    # full redelivery (fresh checkpoint): landing overwrites
+    # byte-identically, markers skip every fold
+    shutil.rmtree(tmp_path / "ck")
+    assert stream_nb_ingest(spark, **kw) == 0
+    assert scores() == want
