@@ -3909,3 +3909,45 @@ def streaming_nb_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
            .localCheckpoint(eager=True))
     shutil.rmtree(scratch, ignore_errors=True)
     return out
+
+
+@query("compact_documents_roundtrip", oracle="""
+SELECT source, count(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       count(DISTINCT md5(text)) AS n_distinct_texts
+FROM documents
+GROUP BY source
+""")
+def compact_documents_roundtrip(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """Small-file compaction, driver-gated for content preservation
+    (sinks.layout.compact_parquet): the documents table is scattered
+    into 64 tiny files (the streaming-ingest debris shape that kills
+    scan planning at 100 TB — every file costs a footer read, a task
+    and a scheduler slot), compacted into target-size files via the
+    staged-rewrite + two-rename swap (crash states heal on the next
+    run, test_compact_parquet_recovers_from_crash_states), then read
+    back and aggregated — the oracle aggregates the ORIGINAL table, so
+    the query proves the rewrite preserved every row and byte of text.
+    The compaction rewrite itself is shuffle-free (coalesce)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from localsql_spark.sinks.layout import compact_parquet
+
+    docs = load(spark, sf_dir)["documents"]
+    scratch = Path(tempfile.mkdtemp(prefix="compact_rt_"))
+    t = scratch / "docs"
+    docs.repartition(64).write.mode("overwrite").parquet(str(t))
+    n_before = len(list(t.glob("*.parquet")))
+    n_after = compact_parquet(spark, t, target_mb=128)
+    assert n_after < n_before, (n_before, n_after)
+    back = spark.read.parquet(str(t))
+    out = (back.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+                F.countDistinct(F.md5("text")).alias("n_distinct_texts"))
+           .localCheckpoint(eager=True))
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out
