@@ -3951,3 +3951,44 @@ def compact_documents_roundtrip(spark: SparkSession, sf_dir: str) \
            .localCheckpoint(eager=True))
     shutil.rmtree(scratch, ignore_errors=True)
     return out
+
+
+@query("bloom_filtered_orders_join", oracle="""
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
+GROUP BY o_orderpriority
+""")
+def bloom_filtered_orders_join(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """The RUNTIME-FILTER join pattern made explicit and portable
+    (operators.sketches.bloom_build/bloom_probe — same discipline as
+    decontaminate_bloom, applied to the relational star join): the
+    selective customer predicate compresses into a Bloom bit table
+    (<= min(K*n, m) rows, broadcastable at any scale), the orders FACT
+    side prefilters against it map-side — K broadcast joins over its
+    distinct keys, the full fact mass is never shuffled — and the tiny
+    surviving candidate set pays the exact dim join that removes the
+    filter's false positives.  Sharing the plain-join oracle proves
+    prefilter + exact-verify == the unfiltered join.  Spark's own AQE
+    runtime bloom (spark.sql.optimizer.runtime.bloomFilter) fires on
+    cost heuristics and its bit layout is JVM-internal; this one is
+    deterministic, engine-portable, and always on.  Sums go through
+    DECIMAL so partial-aggregation order cannot perturb low bits."""
+    from localsql_spark.operators.sketches import bloom_build, bloom_probe
+
+    t = load(spark, sf_dir)
+    dim = (t["customer"]
+           .filter((F.col("c_mktsegment") == "BUILDING")
+                   & (F.col("c_acctbal") > 9000))
+           .select("c_custkey"))
+    m = 1 << 20
+    bits = bloom_build(dim, "c_custkey", m=m)
+    cand = bloom_probe(bits, t["orders"], "o_custkey", m=m)
+    return (cand.join(dim, cand["o_custkey"] == dim["c_custkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_price")))

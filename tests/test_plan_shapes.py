@@ -432,3 +432,23 @@ def test_ivfpq_index_probe_prunes_cells_and_reads_no_vectors(spark,
     assert codes_reads and all("embedding" not in ln
                                for ln in codes_reads)
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_filtered_join_never_shuffles_full_fact_rows(spark, queries):
+    """The runtime-filter pattern's whole point: every Exchange in the
+    plan carries either bloom bits, distinct probe KEYS, or the
+    post-filter aggregate — never the full orders rows.  The fact scan
+    reads only the three columns the query needs."""
+    plan = _plan(queries["bloom_filtered_orders_join"](spark, SF_SMALL))
+    fact_reads = [ln for ln in plan.splitlines()
+                  if "ReadSchema" in ln and "o_orderpriority" in ln]
+    assert fact_reads and all("o_comment" not in ln and "o_clerk" not in ln
+                              for ln in fact_reads)
+    # full fact rows reach the agg through broadcast semi/inner joins
+    # only: no Exchange may carry o_totalprice (aggregate exchanges carry
+    # the decimal sum, which Spark names sum#N, not the raw column)
+    for ln in plan.splitlines():
+        if ln.lstrip().startswith("+- Exchange") or \
+                ln.lstrip().startswith("Exchange"):
+            assert "o_totalprice" not in ln, ln
+    assert "CartesianProduct" not in plan
