@@ -3992,3 +3992,50 @@ def bloom_filtered_orders_join(spark: SparkSession, sf_dir: str) \
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                  .cast("double").alias("sum_price")))
+
+
+@query("cobucket_join_segment_revenue", oracle="""
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""")
+def cobucket_join_segment_revenue(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """Shuffle-free co-located join, driver-gated (sinks.bucketing): both
+    join sides persist bucketed on the customer key — the star-schema
+    shuffle paid ONCE at write time — and the join itself plans with no
+    Exchange on either side (plan pinned by
+    test_cobucketed_join_has_no_exchange; the only shuffle left is the
+    tiny per-segment aggregate).  The plain-join oracle proves bucketed
+    == unbucketed results.  Table names are sf-scoped so scale factors
+    never collide in the warehouse."""
+    import shutil
+    from pathlib import Path
+    from urllib.parse import urlparse
+
+    from localsql_spark.sinks.bucketing import write_bucketed
+
+    t = load(spark, sf_dir)
+    sfn = Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    lname, rname = f"orders_bkt_{sfn}", f"customer_bkt_{sfn}"
+    # a fresh session's in-memory catalog does not know a previous
+    # session's managed-table location — drop BOTH the entry and the
+    # orphaned dir so the write is idempotent across driver sessions
+    wh = Path(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
+    for name in (lname, rname):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(wh / name, ignore_errors=True)
+    write_bucketed(t["orders"].select("o_custkey", "o_totalprice"),
+                   lname, ["o_custkey"], n_buckets=16)
+    write_bucketed(t["customer"].select("c_custkey", "c_mktsegment"),
+                   rname, ["c_custkey"], n_buckets=16)
+    # cobucket_join takes same-name key lists; the TPC-H sides keep their
+    # o_/c_ prefixes, so join by the explicit equality (same plan shape)
+    j = spark.table(lname).join(spark.table(rname),
+                                F.col("o_custkey") == F.col("c_custkey"))
+    return (j.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_price")))

@@ -452,3 +452,23 @@ def test_bloom_filtered_join_never_shuffles_full_fact_rows(spark, queries):
                 ln.lstrip().startswith("Exchange"):
             assert "o_totalprice" not in ln, ln
     assert "CartesianProduct" not in plan
+
+
+def test_cobucket_query_join_itself_is_exchange_free(spark, queries):
+    """The registered cobucketed query: the only Exchange in the plan is
+    the per-segment aggregate ABOVE the join — neither join input is
+    re-shuffled (bucketed reads carry the hash partitioning).  Broadcast
+    is disabled so the tiny sf0.001 side can't sidestep the claim: at
+    scale BOTH sides outgrow broadcast and bucketing is what saves the
+    shuffle."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(
+            queries["cobucket_join_segment_revenue"](spark, SF_SMALL))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    join_at = plan.find("SortMergeJoin")
+    assert join_at != -1, plan[:400]
+    below = plan[join_at:]
+    assert "Exchange hashpartitioning" not in below, below[:800]
