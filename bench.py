@@ -94,8 +94,10 @@ EXTENSION_HEADLINE = [
     "bm25_search_top10",
     "neardup_triangle_counts",
     "knn_ivfpq_index_top5",
-    # round 8 (late): in-engine NB quality classifier (train + score)
+    # round 8 (late): in-engine NB quality classifier (train + score),
+    # two-stage hybrid retrieval (BM25 shortlist -> cosine re-rank)
     "quality_nb_seed_scores",
+    "hybrid_search_top10",
 ]
 
 

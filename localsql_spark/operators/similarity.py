@@ -1427,3 +1427,54 @@ def knn_ivfpq_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
                                                "neighbor_id")
     return (re.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k))
+
+
+def hybrid_bm25_cosine_topk(docs: DataFrame, emb: DataFrame,
+                            terms: list[str], query_vec_id: int = 0,
+                            shortlist: int = 50, k: int = 10,
+                            doc_id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Two-stage hybrid retrieval — the production RAG shape: a cheap
+    LEXICAL stage (BM25 over an inverted index) shortlists candidates,
+    then a SEMANTIC stage re-ranks only the shortlist by embedding
+    cosine against a query vector.  The division of labor is the scale
+    argument: BM25's inverted index prunes the corpus with term-key
+    aggregates (never touching a vector), and the expensive
+    vector math runs on exactly ``shortlist`` rows however large the
+    corpus — the same shortlist-then-rerank discipline as
+    :func:`knn_ivfpq_rerank`, with a lexical first stage instead of a
+    coarse quantizer.
+
+    Output: ``(doc_id, bm25_score, cos_sim, rk)`` — top ``k`` by
+    semantic rank (ties on doc_id).  Both stages inherit their
+    components' determinism contracts (bm25_scores' decimal folds,
+    cosine's decimal dot), so the result is engine-exact.
+
+    Plan shape: stage 1 is bm25_topk's TakeOrderedAndProject (k rows per
+    partition, no global sort); stage 2 broadcasts the shortlist AND the
+    single query vector, so the embeddings table is probed with one
+    broadcast-hash join and zero vector shuffles.
+    """
+    from pyspark.sql.window import Window
+
+    from localsql_spark.operators.text import bm25_topk
+
+    short = (bm25_topk(docs, terms, k=shortlist, doc_id_col=doc_id_col,
+                       text_col=text_col)
+             .select(F.col(doc_id_col).alias("doc_id"),
+                     F.col("score").alias("bm25_score")))
+    qv = (emb.filter(F.col("vec_id") == query_vec_id)
+          .select(F.col("embedding").alias("qv"))
+          .withColumn("qn", norm(F.col("qv"))))
+    cand = (emb.select(F.col("vec_id").alias("doc_id"),
+                       F.col("embedding").alias("cv"))
+            .join(F.broadcast(short), "doc_id")
+            .withColumn("cn", norm(F.col("cv"))))
+    scored = (cand.crossJoin(F.broadcast(qv))
+              .select("doc_id", "bm25_score",
+                      cosine_pre(F.col("qv"), F.col("cv"),
+                                 F.col("qn"), F.col("cn"))
+                      .alias("cos_sim")))
+    w = Window.orderBy(F.col("cos_sim").desc(), "doc_id")
+    return (scored.orderBy(F.col("cos_sim").desc(), "doc_id").limit(k)
+            .withColumn("rk", F.row_number().over(w)))

@@ -1843,3 +1843,32 @@ def test_ngram_diversity_trigrams(spark):
         [(1, "a b c d", "s")], "doc_id long, text string, source string")
     r = ngram_diversity(docs, n=3, group_col="source").collect()[0]
     assert r.total_ngrams == 2 and r.distinct_ngrams == 2  # 'a b c','b c d'
+
+
+def test_hybrid_retrieval_reranks_only_the_lexical_shortlist(spark):
+    """Stage structure: a document with perfect semantic similarity but
+    none of the query terms can never surface (it is not in the BM25
+    shortlist); within the shortlist, ranking follows cosine, and rk is
+    contiguous from 1."""
+    from localsql_spark.operators.similarity import hybrid_bm25_cosine_topk
+
+    docs = spark.createDataFrame(
+        [(0, "query anchor text"),              # query doc (vec_id 0)
+         (1, "query terms here match well"),
+         (2, "query match"),
+         (3, "completely unrelated words")],    # semantically identical
+        "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.6, 0.8]), (2, [0.9, 0.1]),
+         (3, [1.0, 0.0])],                       # doc 3 == query vector
+        "vec_id long, embedding array<float>")
+    out = hybrid_bm25_cosine_topk(docs, emb, ["query", "match"],
+                                  query_vec_id=0, shortlist=3, k=3).collect()
+    got = [r.doc_id for r in out]
+    assert 3 not in got          # no lexical hit -> never reranked
+    assert [r.rk for r in out] == list(range(1, len(out) + 1))
+    # cosine to [1,0]: doc2 (0.9935..) > doc0 (1.0)? doc0 IS the query doc
+    # and keeps its term hit; cos(doc0)=1.0 ranks first, then doc2, doc1
+    assert got == [0, 2, 1]
+    cs = [r.cos_sim for r in out]
+    assert cs == sorted(cs, reverse=True)
