@@ -1478,3 +1478,51 @@ def hybrid_bm25_cosine_topk(docs: DataFrame, emb: DataFrame,
     w = Window.orderBy(F.col("cos_sim").desc(), "doc_id")
     return (scored.orderBy(F.col("cos_sim").desc(), "doc_id").limit(k)
             .withColumn("rk", F.row_number().over(w)))
+
+
+def bm25_hard_negatives(docs: DataFrame, emb: DataFrame,
+                        terms: list[str], query_vec_id: int = 0,
+                        shortlist: int = 50, k: int = 10,
+                        max_cos: float = 0.5,
+                        doc_id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Hard-negative mining for contrastive retriever training — the DPR
+    recipe (Karpukhin et al., arXiv:2004.04906 §3.2: the best negatives
+    are BM25-retrieved passages that do NOT contain the answer):
+    candidates that are LEXICALLY relevant (inside the BM25 shortlist)
+    but SEMANTICALLY far from the query vector (cosine <= ``max_cos``),
+    ranked by descending lexical score — the confusable examples a dense
+    retriever must learn to push away, where random negatives teach it
+    nothing.
+
+    Output: ``(doc_id, bm25_score, cos_sim, rk)``, top ``k`` by
+    (bm25_score desc, doc_id).  Same two-stage cost shape as
+    :func:`hybrid_bm25_cosine_topk` — the vector math touches exactly
+    ``shortlist`` rows however large the corpus — and the same
+    engine-exact determinism (decimal BM25 folds, decimal cosine,
+    threshold compared on the 9-rounded cosine).
+    """
+    from pyspark.sql.window import Window
+
+    from localsql_spark.operators.text import bm25_topk
+
+    short = (bm25_topk(docs, terms, k=shortlist, doc_id_col=doc_id_col,
+                       text_col=text_col)
+             .select(F.col(doc_id_col).alias("doc_id"),
+                     F.col("score").alias("bm25_score")))
+    qv = (emb.filter(F.col("vec_id") == query_vec_id)
+          .select(F.col("embedding").alias("qv"))
+          .withColumn("qn", norm(F.col("qv"))))
+    cand = (emb.select(F.col("vec_id").alias("doc_id"),
+                       F.col("embedding").alias("cv"))
+            .join(F.broadcast(short), "doc_id")
+            .withColumn("cn", norm(F.col("cv"))))
+    scored = (cand.crossJoin(F.broadcast(qv))
+              .select("doc_id", "bm25_score",
+                      cosine_pre(F.col("qv"), F.col("cv"),
+                                 F.col("qn"), F.col("cn"))
+                      .alias("cos_sim"))
+              .filter(F.col("cos_sim") <= max_cos))
+    w = Window.orderBy(F.col("bm25_score").desc(), "doc_id")
+    return (scored.orderBy(F.col("bm25_score").desc(), "doc_id").limit(k)
+            .withColumn("rk", F.row_number().over(w)))

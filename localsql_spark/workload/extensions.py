@@ -4104,3 +4104,72 @@ def hybrid_search_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_bm25_cosine_topk(t["documents"], t["embeddings"],
                                    ["join", "hash", "vector"],
                                    query_vec_id=0, shortlist=50, k=10)
+
+
+@query("hard_negatives_top10", oracle=r"""
+WITH norm AS (SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM documents),
+toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM norm),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          FROM doclen),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('join', 'hash', 'vector') GROUP BY 1, 2),
+idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+bm AS (SELECT tf.doc_id,
+       CAST(round(SUM(CAST(round(
+         ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+         * tf * 2.2
+         / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 12)
+         AS DECIMAL(28,12))), 9) AS DOUBLE) AS bm25_score
+       FROM tf JOIN idf USING (term) JOIN doclen USING (doc_id)
+       CROSS JOIN stats GROUP BY tf.doc_id),
+short AS (SELECT doc_id, bm25_score FROM bm
+          ORDER BY bm25_score DESC, doc_id LIMIT 50),
+qe AS (SELECT generate_subscripts(embedding, 1) AS p,
+              unnest(embedding) AS x
+       FROM embeddings WHERE vec_id = 0),
+qn AS (SELECT sqrt(CAST(SUM(CAST(round(CAST(x AS DOUBLE)
+                 * CAST(x AS DOUBLE), 12) AS DECIMAL(38,12)))
+                 AS DOUBLE)) AS nq FROM qe),
+ce AS (SELECT s.doc_id, s.bm25_score,
+              generate_subscripts(e.embedding, 1) AS p,
+              unnest(e.embedding) AS y
+       FROM short s JOIN embeddings e ON e.vec_id = s.doc_id),
+dots AS (SELECT doc_id, any_value(bm25_score) AS bm25_score,
+                CAST(SUM(CAST(round(CAST(x AS DOUBLE)
+                  * CAST(y AS DOUBLE), 12) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS dotp,
+                sqrt(CAST(SUM(CAST(round(CAST(y AS DOUBLE)
+                  * CAST(y AS DOUBLE), 12) AS DECIMAL(38,12)))
+                  AS DOUBLE)) AS nc
+         FROM ce JOIN qe USING (p) GROUP BY doc_id),
+scored AS (SELECT doc_id, bm25_score,
+                  round(dotp / (nq * nc), 9) AS cos_sim
+           FROM dots CROSS JOIN qn
+           WHERE round(dotp / (nq * nc), 9) <= 0.25)
+SELECT doc_id, bm25_score, cos_sim,
+       CAST(ROW_NUMBER() OVER (ORDER BY bm25_score DESC, doc_id) AS INT)
+         AS rk
+FROM scored
+ORDER BY bm25_score DESC, doc_id LIMIT 10
+""")
+def hard_negatives_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retriever training
+    (operators.similarity.bm25_hard_negatives, the DPR recipe
+    arXiv:2004.04906 §3.2): BM25-shortlisted candidates — lexically
+    confusable with the query — whose cosine to the query vector is
+    <= 0.25, ranked by lexical score.  Random negatives teach a dense
+    retriever nothing; these are the examples it must learn to push
+    away.  Same shortlist-bounded vector cost and engine-exact
+    determinism as hybrid_search_top10; the oracle replays shortlist,
+    cosine, threshold and rank."""
+    from localsql_spark.operators.similarity import bm25_hard_negatives
+
+    t = load(spark, sf_dir)
+    return bm25_hard_negatives(t["documents"], t["embeddings"],
+                               ["join", "hash", "vector"],
+                               query_vec_id=0, shortlist=50, k=10,
+                               max_cos=0.25)

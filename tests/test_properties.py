@@ -1872,3 +1872,32 @@ def test_hybrid_retrieval_reranks_only_the_lexical_shortlist(spark):
     assert got == [0, 2, 1]
     cs = [r.cos_sim for r in out]
     assert cs == sorted(cs, reverse=True)
+
+
+def test_hard_negatives_are_lexical_hits_below_the_cosine_bar(spark):
+    """Every mined negative is in the BM25 shortlist AND at or below the
+    cosine threshold; semantically-close lexical hits are excluded, and
+    ranking is lexical (not semantic)."""
+    from localsql_spark.operators.similarity import bm25_hard_negatives
+
+    docs = spark.createDataFrame(
+        [(0, "query anchor"),
+         (1, "query match query match"),      # strong lexical, close vec
+         (2, "query match"),                  # lexical, far vec
+         (3, "query words match here"),       # lexical, far vec
+         (4, "nothing relevant at all")],     # no lexical hit, far vec
+        "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.99, 0.14]), (2, [0.0, 1.0]),
+         (3, [0.1, 0.99]), (4, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    out = bm25_hard_negatives(docs, emb, ["query", "match"],
+                              query_vec_id=0, shortlist=4, k=4,
+                              max_cos=0.5).collect()
+    got = [r.doc_id for r in out]
+    assert 4 not in got            # never a lexical hit
+    assert 1 not in got            # lexical hit but semantically close
+    assert set(got) <= {0, 2, 3}
+    bm = [r.bm25_score for r in out]
+    assert bm == sorted(bm, reverse=True)   # lexical ranking
+    assert all(r.cos_sim <= 0.5 for r in out)
