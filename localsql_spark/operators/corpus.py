@@ -652,6 +652,27 @@ def remove_repeated_spans(docs: DataFrame, span: int = 8,
         F.md5(F.concat_ws(" ", kept_toks)).alias("cleaned_hash"))
 
 
+def ngram_stream(docs: DataFrame, n: int = 2,
+                 group_col: str = "source",
+                 text_col: str = "text") -> DataFrame:
+    """The exploded ``(group_col, g)`` n-gram occurrence stream — shared
+    by the exact diversity audit and the sketch-valued incremental view.
+    Row-local array expression (slice-AFTER-zip so no short tail grams
+    leak — the _features trap), exploded once; no shuffle."""
+    toks = F.array_remove(_tokens(F.col(text_col)), "")
+    rest = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    shifted = [F.slice(toks, 1 + j,
+                       F.greatest(F.size(toks) - j, F.lit(0)))
+               for j in range(n)]
+    grams = F.slice(
+        functools_reduce(
+            lambda acc, nxt: F.zip_with(acc, nxt,
+                                        lambda a, b: F.concat_ws(" ", a, b)),
+            shifted), 1, rest)
+    return (spread(docs).select(F.col(group_col),
+                                F.explode(grams).alias("g")))
+
+
 def ngram_diversity(docs: DataFrame, n: int = 2, group_col: str = "source",
                     doc_id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
@@ -674,18 +695,8 @@ def ngram_diversity(docs: DataFrame, n: int = 2, group_col: str = "source",
     practice Heaps-sublinear) and a tiny per-group doc count joined back.
     No Python, no driver collection; groups parallelize independently.
     """
-    toks = F.array_remove(_tokens(F.col(text_col)), "")
-    rest = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    shifted = [F.slice(toks, 1 + j,
-                       F.greatest(F.size(toks) - j, F.lit(0)))
-               for j in range(n)]
-    grams = F.slice(
-        functools_reduce(
-            lambda acc, nxt: F.zip_with(acc, nxt,
-                                        lambda a, b: F.concat_ws(" ", a, b)),
-            shifted), 1, rest)
-    exploded = (spread(docs).select(F.col(group_col),
-                                    F.explode(grams).alias("g")))
+    exploded = ngram_stream(docs, n=n, group_col=group_col,
+                            text_col=text_col)
     agg = exploded.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("total_ngrams"),
         F.countDistinct("g").alias("distinct_ngrams"))

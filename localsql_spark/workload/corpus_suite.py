@@ -822,3 +822,79 @@ def corpus_bigram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir)["documents"]
     return ngram_diversity(docs, n=2, group_col="source")
+
+
+def _hll_diversity_oracle() -> str:
+    from localsql_spark.operators.sketches import HLL_ALPHA, HLL_B, HLL_M
+
+    m, w = HLL_M, 32 - HLL_B
+    return rf"""
+WITH norm AS (SELECT source,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+          AS toks
+      FROM documents),
+g AS (SELECT source, g
+      FROM norm, UNNEST(CASE WHEN len(toks) >= 2
+                             THEN list_transform(range(len(toks) - 1),
+                                    i -> concat_ws(' ', toks[i+1], toks[i+2]))
+                             ELSE [] END) u(g)),
+h AS (SELECT source, CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) AS h
+      FROM g),
+r AS (SELECT source, h % {m} AS bucket,
+             CASE WHEN (h >> {HLL_B}) = 0 THEN {w + 1}
+                  ELSE {w} - CAST(floor(log2(CAST(h >> {HLL_B} AS DOUBLE)))
+                                  AS INT) END AS rank
+      FROM h),
+regs AS (SELECT source, bucket, max(rank) AS m_rank FROM r GROUP BY 1, 2),
+agg AS (SELECT source, count(*) AS seen,
+               SUM(pow(2.0, -m_rank)) AS present_sum
+        FROM regs GROUP BY 1),
+cnt AS (SELECT source, count(*) AS total_ngrams FROM g GROUP BY 1),
+d AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+est AS (SELECT source, seen,
+               round(CASE WHEN ({HLL_ALPHA * m * m!r}
+                               / (present_sum + ({m} - seen))) <= {2.5 * m}
+                           AND ({m} - seen) > 0
+                          THEN {m} * ln({float(m)!r} / ({m} - seen))
+                          ELSE {HLL_ALPHA * m * m!r}
+                               / (present_sum + ({m} - seen))
+                     END, 6) AS approx_distinct
+        FROM agg)
+SELECT d.source, d.n_docs,
+       CAST(COALESCE(cnt.total_ngrams, 0) AS BIGINT) AS total_ngrams,
+       CAST(COALESCE(est.seen, 0) AS BIGINT) AS n_buckets_seen,
+       COALESCE(est.approx_distinct, 0.0) AS approx_distinct,
+       round(CASE WHEN COALESCE(cnt.total_ngrams, 0) > 0
+                  THEN COALESCE(est.approx_distinct, 0.0) / cnt.total_ngrams
+                  ELSE 0.0 END, 9) AS ttr_approx
+FROM d LEFT JOIN cnt USING (source) LEFT JOIN est USING (source)
+"""
+
+
+@query("corpus_diversity_hll_incremental", oracle=_hll_diversity_oracle())
+def corpus_diversity_hll_incremental(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Sketch-valued INCREMENTAL diversity view (sinks.sketch_view): the
+    exact audit's distinct-n-gram count is not mergeable, so the
+    incremental form stores per-group portable-HLL registers instead —
+    per-bucket max merges, state <= HLL_M rows per group, fold cost
+    tracks the batch.  Two halves of the corpus fold in sequence; the
+    folded registers are BIT-IDENTICAL to one full-corpus sketch
+    (deterministic portable HLL), so this shares an exact full-corpus
+    oracle despite the view being approximate — an exact gate on an
+    approximate structure (the Druid-style sketch rollup pattern)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from localsql_spark.sinks.sketch_view import (sketch_view_read,
+                                                  sketch_view_update)
+
+    docs = load(spark, sf_dir)["documents"]
+    scratch = Path(tempfile.mkdtemp(prefix="sketch_view_"))
+    view = str(scratch / "view")
+    sketch_view_update(spark, view, docs.filter(F.col("doc_id") % 2 == 0))
+    sketch_view_update(spark, view, docs.filter(F.col("doc_id") % 2 == 1))
+    out = sketch_view_read(spark, view).localCheckpoint(eager=True)
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out

@@ -542,3 +542,50 @@ def test_ivm_view_rejects_mismatched_bucket_count(spark, tmp_path):
     with pytest.raises(ValueError, match="n_buckets=4"):
         maintain_join_view(spark, view, fact, dim, "cust", "cust_id",
                            "grp_name", "amount", n_buckets=8)
+
+
+def test_sketch_view_fold_equals_full_and_register_merge_is_max(spark,
+                                                                tmp_path):
+    """Two sequential folds produce registers bit-identical to one
+    full-corpus fold (per-bucket max is order-free), totals add, and the
+    estimate sits within the HLL error band of the exact distinct
+    count."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators.corpus import ngram_stream
+    from localsql_spark.operators.sketches import HLL_M, hll_error_bound
+    from localsql_spark.sinks.sketch_view import (sketch_view_read,
+                                                  sketch_view_update)
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 17 + j) % 97}" for j in range(30)), "s0")
+         for i in range(40)]
+        + [(100 + i, "same words every time here", "s1") for i in range(50)],
+        "doc_id long, text string, source string")
+
+    inc = tmp_path / "inc"
+    sketch_view_update(spark, str(inc), docs.filter("doc_id % 2 = 0"))
+    sketch_view_update(spark, str(inc), docs.filter("doc_id % 2 = 1"))
+    full = tmp_path / "full"
+    sketch_view_update(spark, str(full), docs)
+
+    def regs(d):
+        df = spark.read.option("basePath", str(d)).parquet(str(d))
+        return {tuple(r) for r in
+                df.filter(F.col("bucket") >= 0)
+                .select("grp", "bucket", "m_rank").collect()}
+    assert regs(inc) == regs(full)
+
+    out = {r.source: r for r in
+           sketch_view_read(spark, str(inc)).collect()}
+    exact = {r["source"]: r["d"] for r in
+             (ngram_stream(docs).groupBy("source")
+              .agg(F.countDistinct("g").alias("d")).collect())}
+    for s, row in out.items():
+        err = hll_error_bound() * exact[s] + 3   # 3-sigma + tiny-count slack
+        assert abs(row.approx_distinct - exact[s]) <= err, (s, row, exact[s])
+    # templated source: tiny distinct count despite many occurrences
+    assert out["s1"].total_ngrams == 200 and out["s1"].approx_distinct < 10
+    assert out["s0"].ttr_approx > 3 * out["s1"].ttr_approx
