@@ -898,3 +898,59 @@ def corpus_diversity_hll_incremental(spark: SparkSession,
     out = sketch_view_read(spark, view).localCheckpoint(eager=True)
     shutil.rmtree(scratch, ignore_errors=True)
     return out
+
+
+@query("streaming_sketch_ingest", oracle=_hll_diversity_oracle())
+def streaming_sketch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the sketch-valued diversity view, driver-
+    gated end-to-end (streaming.stream_sketch_ingest): documents arrive
+    as three micro-batches (hash-mod split, mtime-ordered,
+    maxFilesPerTrigger=1); each lands in an idempotent per-batch dir,
+    then folds its HLL registers (idempotent max) and totals (additive —
+    the applied marker carries exactly-once) into the persisted view.
+    The streamed registers are bit-identical to one full-corpus sketch,
+    so this shares the batch view's exact full-corpus oracle."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from localsql_spark.catalog import _CACHE_DIR
+    from localsql_spark.operators import hash32
+    from localsql_spark.sinks.sketch_view import sketch_view_read
+    from localsql_spark.streaming.stream_sketch_ingest import \
+        stream_sketch_ingest
+
+    docs = load(spark, sf_dir)["documents"]
+    src_dir = (_CACHE_DIR.parent / "stream_sketch_src"
+               / Path(sf_dir.rstrip("/")).name)
+    if not src_dir.exists():
+        src_dir.parent.mkdir(parents=True, exist_ok=True)
+        build = Path(tempfile.mkdtemp(prefix=f".{src_dir.name}.build_",
+                                      dir=src_dir.parent))
+        names = ("a_batch0.parquet", "b_batch1.parquet", "c_batch2.parquet")
+        for i, name in enumerate(names):
+            tmp = tempfile.mkdtemp(prefix="sksplit_")
+            (docs.filter(hash32(F.col("doc_id")) % 3 == i).coalesce(1)
+             .write.mode("overwrite").parquet(tmp))
+            part = next(Path(tmp).glob("part-*.parquet"))
+            shutil.move(str(part), build / name)
+            shutil.rmtree(tmp, ignore_errors=True)
+        t0 = (build / names[0]).stat().st_mtime
+        for i, name in enumerate(names):
+            os.utime(build / name, (t0 + 100 * i, t0 + 100 * i))
+        try:
+            os.rename(build, src_dir)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+
+    schema = spark.read.parquet(str(src_dir / "a_batch0.parquet")).schema
+    scratch = Path(tempfile.mkdtemp(prefix="stream_sketch_"))
+    stream_sketch_ingest(
+        spark, source_dir=str(src_dir), schema=schema,
+        land_dir=str(scratch / "land"), view_dir=str(scratch / "view"),
+        checkpoint_dir=str(scratch / "ck"))
+    out = sketch_view_read(spark, str(scratch / "view")) \
+        .localCheckpoint(eager=True)
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out

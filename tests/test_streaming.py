@@ -712,3 +712,52 @@ def test_stream_nb_ingest_exactly_once_and_replay(spark, tmp_path):
     shutil.rmtree(tmp_path / "ck")
     assert stream_nb_ingest(spark, **kw) == 0
     assert scores() == want
+
+
+def test_stream_sketch_ingest_exactly_once_and_replay(spark, tmp_path):
+    """The streamed sketch view equals a single batch fold over
+    everything, re-running the whole land+fold is a no-op (markers), and
+    a deleted checkpoint's full redelivery never double-counts totals
+    (idempotent landing + markers — registers would survive a
+    double-apply, the additive totals row would not)."""
+    import os
+    import shutil
+
+    from localsql_spark.sinks.sketch_view import (sketch_view_read,
+                                                  sketch_view_update)
+    from localsql_spark.streaming.stream_sketch_ingest import \
+        stream_sketch_ingest
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 13 + j) % 31}" for j in range(10)),
+          f"s{i % 2}") for i in range(24)],
+        "doc_id long, text string, source string")
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        d = tmp_path / f"b{i}"
+        docs.filter(f"doc_id % 3 = {i}").coalesce(1).write.parquet(str(d))
+        part = next(d.glob("part-*.parquet"))
+        part.rename(src / f"f{i}.parquet")
+        os.utime(src / f"f{i}.parquet", (1000 + i, 1000 + i))
+
+    kw = dict(source_dir=str(src), schema=docs.schema,
+              land_dir=str(tmp_path / "land"),
+              view_dir=str(tmp_path / "view"),
+              checkpoint_dir=str(tmp_path / "ck"))
+    assert stream_sketch_ingest(spark, **kw) == 3
+
+    full = tmp_path / "full"
+    sketch_view_update(spark, str(full), docs)
+
+    def view(d):
+        return {tuple(r) for r in sketch_view_read(spark, str(d)).collect()}
+    want = view(full)
+    assert view(tmp_path / "view") == want
+    # replay: nothing new to fold
+    assert stream_sketch_ingest(spark, **kw) == 0
+    assert view(tmp_path / "view") == want
+    # full redelivery (fresh checkpoint)
+    shutil.rmtree(tmp_path / "ck")
+    assert stream_sketch_ingest(spark, **kw) == 0
+    assert view(tmp_path / "view") == want
