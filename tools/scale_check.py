@@ -240,6 +240,34 @@ def main() -> None:
         docs = spark.read.parquet(paths[f]["documents"])
         return ngram_diversity(docs, n=2, group_col="source").count()
 
+    def op_hybrid_retrieval(f):
+        from localsql_spark.operators.similarity import \
+            hybrid_bm25_cosine_topk
+        docs = spark.read.parquet(paths[f]["documents"])
+        emb = spark.read.parquet(paths[f]["embeddings"])
+        return hybrid_bm25_cosine_topk(
+            docs, emb, ["join", "hash", "vector"], query_vec_id=0,
+            shortlist=50, k=10).count()
+
+    def op_sketch_view_fold(f):
+        # steady-state fold: view prebuilt from 12/13 of the corpus, the
+        # timed section folds ONE batch-sized delta — the daily-loop cost
+        import shutil
+        import tempfile
+
+        from localsql_spark.sinks.sketch_view import sketch_view_update
+        docs = spark.read.parquet(paths[f]["documents"])
+        scratch = Path(tempfile.mkdtemp(prefix="scale_sketch_"))
+        view = str(scratch / "view")
+        bucket = F.pmod(F.col("doc_id"), F.lit(13))
+        sketch_view_update(spark, view, docs.filter(bucket != 0))
+        t0 = time.perf_counter()
+        sketch_view_update(spark, view, docs.filter(bucket == 0))
+        dt = time.perf_counter() - t0
+        n = spark.read.option("basePath", view).parquet(view).count()
+        shutil.rmtree(scratch, ignore_errors=True)
+        return n, dt
+
     def op_profile(f):
         from localsql_spark.operators.corpus import profile_columns
         ev = spark.read.parquet(paths[f]["events"])
@@ -494,7 +522,9 @@ def main() -> None:
            "quarantine_split": op_quarantine, "pagerank": op_pagerank,
            "bpe_pair_counts": op_bpe_pairs,
            "nb_seed_scores": op_nb_seed,
-           "ngram_diversity": op_ngram_diversity}
+           "ngram_diversity": op_ngram_diversity,
+           "hybrid_retrieval": op_hybrid_retrieval,
+           "sketch_view_fold": op_sketch_view_fold}
 
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:
