@@ -4173,3 +4173,46 @@ def hard_negatives_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
                                ["join", "hash", "vector"],
                                query_vec_id=0, shortlist=50, k=10,
                                max_cos=0.25)
+
+
+@query("erase_users_events", oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+         AS sum_value
+FROM events
+WHERE user_id NOT IN (1, 2, 3)
+GROUP BY event_type
+""")
+def erase_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten erasure, driver-gated (sinks.erase): events
+    persist into a user-hash-bucketed store, a 3-user deletion request
+    erases — touched buckets computed FROM THE KEYS alone (never a store
+    scan), partition-pruned read, broadcast anti join, manifest-committed
+    rewrite — and the read-back aggregate must equal the oracle's
+    NOT IN over the original table: the erased users' bytes are gone,
+    everyone else's are intact.  Erasure cost tracks the deletion
+    request (<= min(K, n_buckets) bucket rewrites), not the store."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from localsql_spark.sinks.erase import (erase_keys, read_bucketed_store,
+                                            write_bucketed_store)
+
+    ev = load(spark, sf_dir)["events"]
+    scratch = Path(tempfile.mkdtemp(prefix="erase_rt_"))
+    store = str(scratch / "events_by_user")
+    write_bucketed_store(ev, store, "user_id", n_buckets=32)
+    keys = spark.createDataFrame([(1,), (2,), (3,)], "user_id long")
+    erase_keys(spark, store, keys, "user_id", n_buckets=32)
+    back = read_bucketed_store(spark, store)
+    out = (back.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.sum(F.round("value", 6).cast("decimal(28,6)"))
+                .cast("double").alias("sum_value"))
+           .localCheckpoint(eager=True))
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out

@@ -201,3 +201,79 @@ def test_table_diff_over_bucketed_versions_has_no_exchange(spark):
     assert out == {"added": 0, "removed": 295, "changed": 428}
     spark.sql("DROP TABLE IF EXISTS diff_old_b")
     spark.sql("DROP TABLE IF EXISTS diff_new_b")
+
+
+def test_erase_keys_touches_only_key_buckets_and_is_idempotent(spark,
+                                                               tmp_path):
+    """Erasure rewrites exactly the buckets the keys hash to (untouched
+    bucket files keep their inodes), removes every row of the erased
+    keys, preserves everyone else byte-for-byte, and re-running the same
+    request is a no-op on contents."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.sinks.erase import (bucket_of, erase_keys,
+                                            read_bucketed_store,
+                                            write_bucketed_store)
+
+    df = spark.createDataFrame(
+        [(u, i, float(u * 100 + i)) for u in range(20) for i in range(5)],
+        "user_id long, seq long, v double")
+    store = str(tmp_path / "s")
+    write_bucketed_store(df, store, "user_id", n_buckets=8)
+
+    victims = [3, 7]
+    kb = {r[0] for r in
+          spark.createDataFrame([(u,) for u in victims], "user_id long")
+          .select(bucket_of(F.col("user_id"), 8)).distinct().collect()}
+    before = {p: sorted(f.name for f in
+                        (tmp_path / "s" / p).glob("*.parquet"))
+              for p in (d.name for d in (tmp_path / "s").glob("kb=*"))}
+
+    keys = spark.createDataFrame([(u,) for u in victims], "user_id long")
+    touched = erase_keys(spark, store, keys, "user_id", n_buckets=8)
+    assert set(touched) == kb
+
+    after = {p: sorted(f.name for f in
+                       (tmp_path / "s" / p).glob("*.parquet"))
+             for p in (d.name for d in (tmp_path / "s").glob("kb=*"))}
+    for p, files in before.items():
+        if int(p.split("=")[1]) not in kb:
+            assert after[p] == files, f"untouched bucket {p} was rewritten"
+
+    back = read_bucketed_store(spark, store)
+    assert back.filter(F.col("user_id").isin(victims)).count() == 0
+    survivors = {tuple(r) for r in
+                 back.select("user_id", "seq", "v").collect()}
+    want = {tuple(r) for r in
+            df.filter(~F.col("user_id").isin(victims)).collect()}
+    assert survivors == want
+    # idempotent: re-running the request changes nothing
+    erase_keys(spark, store, keys, "user_id", n_buckets=8)
+    again = {tuple(r) for r in read_bucketed_store(spark, store)
+             .select("user_id", "seq", "v").collect()}
+    assert again == want
+
+
+def test_erase_keys_empties_a_whole_bucket(spark, tmp_path):
+    """When a deletion request wipes out every row of a bucket, the old
+    bucket contents are actually REMOVED at swap (the staged empty dir
+    replaces them), and reads see zero rows — not stale bytes."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.sinks.erase import (bucket_of, erase_keys,
+                                            read_bucketed_store,
+                                            write_bucketed_store)
+
+    df = spark.createDataFrame([(u, float(u)) for u in range(30)],
+                               "user_id long, v double")
+    store = str(tmp_path / "s")
+    write_bucketed_store(df, store, "user_id", n_buckets=4)
+    # erase EVERY user in bucket 2
+    b2 = [r[0] for r in df.select("user_id")
+          .filter(bucket_of(F.col("user_id"), 4) == 2).collect()]
+    keys = spark.createDataFrame([(u,) for u in b2], "user_id long")
+    erase_keys(spark, store, keys, "user_id", n_buckets=4)
+    assert not list((tmp_path / "s" / "kb=2").glob("*.parquet"))
+    back = read_bucketed_store(spark, store)
+    assert back.count() == 30 - len(b2)
+    assert back.filter(F.col("user_id").isin(b2)).count() == 0
