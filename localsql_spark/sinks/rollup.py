@@ -125,3 +125,51 @@ def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
     partitions, and ``avg`` derives as sum/count at read time."""
     recover_pending_merge(rollup_dir)
     return spark.read.option("basePath", rollup_dir).parquet(rollup_dir)
+
+
+def backfill_rollup(spark: SparkSession, rollup_dir: str,
+                    events: DataFrame, dates: list[str],
+                    grain: str = "hour", ts_col: str = "ts",
+                    key_col: str = "event_type",
+                    value_col: str = "value") -> list:
+    """Heal BACKWARD: force-recompute the named ``event_date`` partitions
+    from the source table and swap them in — the repair operation for
+    data that arrived after its batch was folded (beyond any watermark),
+    a miscounted fold, or an upstream correction.  ``maintain_rollup``
+    folds forward (merge batch INTO stored state, additive); backfill
+    REPLACES the named dates wholesale, so it is idempotent and safe to
+    re-run — the two together are the complete continuous-aggregate
+    maintenance story.
+
+    Scale shape: the source read is filtered to the backfill dates
+    (pushed to the scan — at 100 TB the events table is itself
+    date-partitioned and this prunes), one batch-sized aggregation, and
+    the manifest-committed swap of exactly ``len(dates)`` partitions.
+    Untouched dates keep their files byte-for-byte.
+    """
+    if not dates:
+        return []
+    recover_pending_merge(rollup_dir)
+    bucket = F.date_trunc(grain, F.col(ts_col))
+    scoped = events.filter(
+        F.date_format(bucket, "yyyy-MM-dd").isin(list(dates)))
+    fresh = rollup_events(scoped, grain, ts_col, key_col, value_col)
+
+    base = Path(rollup_dir)
+    staging = base.parent / f".{base.name}.staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    (fresh.write.mode("overwrite").partitionBy("event_date")
+     .parquet(str(staging)))
+    # a backfill date with NO source rows must still swap (to empty) —
+    # its stale stored rows are exactly what the repair removes
+    for d in dates:
+        (staging / f"event_date={d}").mkdir(parents=True, exist_ok=True)
+    base.mkdir(parents=True, exist_ok=True)
+    pnames = sorted(p.name for p in staging.glob("event_date=*"))
+    manifest = _manifest_path(base)
+    tmp = manifest.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps({"staging": staging.name,
+                               "partitions": pnames}))
+    os.rename(tmp, manifest)  # COMMIT POINT — one rename
+    _apply_manifest(base, manifest)
+    return sorted(dates)

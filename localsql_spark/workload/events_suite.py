@@ -1025,3 +1025,52 @@ def streaming_interval_join_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load(spark, sf_dir)
     return interval_join_stream(spark, sf_dir)
+
+
+@query("rollup_backfill_hourly", oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS bucket_ts,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE), 6)
+         AS sum_value
+FROM events
+GROUP BY 1, 2
+""")
+def rollup_backfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill as repair, driver-gated (sinks.rollup.backfill_rollup):
+    the rollup is first built WRONG on purpose — the bulk fold drops a
+    slice of rows from the two earliest days (late data that missed its
+    batch) — then those dates are backfilled from the source table:
+    force-recomputed and swapped wholesale (idempotent, untouched dates
+    keep their files).  The read-back must equal the full-table oracle,
+    proving the heal is exact — the forward fold (maintain_rollup) plus
+    the backward heal (backfill_rollup) are the complete
+    continuous-aggregate maintenance story."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from localsql_spark.operators import hash32
+    from localsql_spark.sinks.rollup import (backfill_rollup,
+                                             maintain_rollup, read_rollup)
+
+    ev = load(spark, sf_dir)["events"]
+    day = F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd")
+    bad_days = [r[0] for r in
+                ev.select(day.alias("d")).distinct().orderBy("d").limit(2)
+                .collect()]
+    # simulate late data: the initial load misses 1/5 of those days' rows
+    late = (day.isin(bad_days)
+            & (F.pmod(hash32(F.col("event_id")), F.lit(5)) == 0))
+    scratch = Path(tempfile.mkdtemp(prefix="rollup_bf_"))
+    store = str(scratch / "rollup")
+    maintain_rollup(spark, store, ev.filter(~late), grain="hour")
+    backfill_rollup(spark, store, ev, bad_days, grain="hour")
+    r = read_rollup(spark, store)
+    out = (r.select("bucket_ts", F.col("key").alias("event_type"),
+                    "n_events",
+                    F.round(F.col("sum_value").cast("double"), 6)
+                    .alias("sum_value"))
+           .localCheckpoint(eager=True))
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out

@@ -589,3 +589,58 @@ def test_sketch_view_fold_equals_full_and_register_merge_is_max(spark,
     # templated source: tiny distinct count despite many occurrences
     assert out["s1"].total_ngrams == 200 and out["s1"].approx_distinct < 10
     assert out["s0"].ttr_approx > 3 * out["s1"].ttr_approx
+
+
+def test_backfill_replaces_only_named_dates_and_handles_empty(spark,
+                                                              tmp_path):
+    """Backfill swaps exactly the named dates (others keep their files),
+    is idempotent, and a backfilled date with NO source rows loses its
+    stale stored rows entirely."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.sinks.rollup import (backfill_rollup,
+                                             maintain_rollup, read_rollup)
+
+    base_ts = 1_700_000_000
+    ev = spark.createDataFrame(
+        [(i, base_ts + (i % 3) * 86_400 + i, f"t{i % 2}", float(i))
+         for i in range(60)],
+        "event_id long, ts long, event_type string, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    store = str(tmp_path / "r")
+    # initial fold misses half the rows of day 0
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    days = sorted(r[0] for r in ev.select(day.alias("d")).distinct()
+                  .collect())
+    broken = ev.filter(~((day == days[0]) & (F.col("event_id") % 2 == 0)))
+    maintain_rollup(spark, store, broken, grain="hour")
+
+    files_before = {p.name: sorted(f.name for f in p.glob("*.parquet"))
+                    for p in (tmp_path / "r").glob("event_date=*")}
+    backfill_rollup(spark, store, ev, [days[0]], grain="hour")
+    files_after = {p.name: sorted(f.name for f in p.glob("*.parquet"))
+                   for p in (tmp_path / "r").glob("event_date=*")}
+    for name, fs in files_before.items():
+        if name != f"event_date={days[0]}":
+            assert files_after[name] == fs
+
+    want = {tuple(r) for r in
+            (ev.groupBy(F.date_format(F.date_trunc("hour", "ts"),
+                                      "yyyy-MM-dd HH:00:00")
+                        .alias("b"), "event_type")
+             .agg(F.count(F.lit(1)).alias("n")).collect())}
+    got = {tuple(r) for r in
+           read_rollup(spark, store)
+           .select("bucket_ts", "key", "n_events").collect()}
+    assert got == want
+    # idempotent
+    backfill_rollup(spark, store, ev, [days[0]], grain="hour")
+    got2 = {tuple(r) for r in read_rollup(spark, store)
+            .select("bucket_ts", "key", "n_events").collect()}
+    assert got2 == want
+    # repair-to-empty: backfilling a date against a source with no rows
+    # for it removes the stale partition's rows
+    backfill_rollup(spark, store, ev.filter(day != days[1]), [days[1]],
+                    grain="hour")
+    assert read_rollup(spark, store) \
+        .filter(F.col("event_date") == days[1]).count() == 0
