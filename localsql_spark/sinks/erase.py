@@ -109,3 +109,36 @@ def read_bucketed_store(spark: SparkSession, base_dir: str) -> DataFrame:
 
     recover_pending_merge(base_dir)
     return spark.read.option("basePath", base_dir).parquet(base_dir)
+
+
+# ---------------------------------------------------------------------------
+# Pseudonymization vault
+# ---------------------------------------------------------------------------
+
+def pseudonymize(df: DataFrame, key_col: str, salt: str,
+                 token_col: str = "token") -> tuple[DataFrame, DataFrame]:
+    """Split a table into an analytics copy carrying only a salted token
+    in place of the identifier, plus a VAULT mapping ``(token, key)`` for
+    authorized re-identification — pseudonymization, the standard
+    pattern for sharing event data with analysts while keeping the raw
+    identifier in a separately-governed (and separately-erasable) table.
+
+    Token = md5(salt || key): deterministic (the same key tokenizes
+    identically across tables and runs, so joins on the token still
+    work), portable (the oracle replays it), and one-way WITHOUT the
+    vault only to the extent the key space is large — the salt's real
+    job is to break cross-dataset linkage by anyone holding a different
+    salt, and rotation = re-pseudonymize with a new salt.  Erasing a
+    subject afterwards = delete their vault row AND
+    :func:`erase_keys` on the token-keyed analytics store — at which
+    point the token is an unlinkable random string.
+
+    Both outputs are row-local projections (zero shuffles beyond the
+    vault's distinct); the vault is |distinct keys| rows.
+    """
+    token = F.md5(F.concat(F.lit(salt),
+                           F.col(key_col).cast("string"))).alias(token_col)
+    anon = df.select(token, *[c for c in df.columns if c != key_col])
+    vault = (df.select(token, F.col(key_col))
+             .filter(F.col(key_col).isNotNull()).distinct())
+    return anon, vault

@@ -4216,3 +4216,38 @@ def erase_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            .localCheckpoint(eager=True))
     shutil.rmtree(scratch, ignore_errors=True)
     return out
+
+
+@query("pseudonymize_events", oracle="""
+WITH anon AS (SELECT md5('s4lt' || CAST(user_id AS VARCHAR)) AS token,
+                     event_type, value
+              FROM events)
+SELECT token, event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+         AS sum_value
+FROM anon
+GROUP BY token, event_type
+ORDER BY n_events DESC, token, event_type LIMIT 100
+""")
+def pseudonymize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymization for analytics sharing (sinks.erase.pseudonymize):
+    events split into an analytics copy keyed by a salted md5 token
+    (deterministic, so token-joins still work; portable, so the oracle
+    replays it) plus a separately-governed vault for authorized
+    re-identification.  Paired with erase_keys, subject erasure =
+    vault-row delete + token-store erase, after which the token is
+    unlinkable.  The gate aggregates the ANONYMIZED stream — proving
+    per-subject analytics survive with no raw identifier in the output;
+    top-100 by activity, ties broken on token."""
+    from localsql_spark.sinks.erase import pseudonymize
+
+    ev = load(spark, sf_dir)["events"]
+    anon, vault = pseudonymize(ev.select("user_id", "event_type", "value"),
+                               "user_id", salt="s4lt")
+    return (anon.groupBy("token", "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.round("value", 6).cast("decimal(28,6)"))
+                 .cast("double").alias("sum_value"))
+            .orderBy(F.col("n_events").desc(), "token", "event_type")
+            .limit(100))

@@ -277,3 +277,40 @@ def test_erase_keys_empties_a_whole_bucket(spark, tmp_path):
     back = read_bucketed_store(spark, store)
     assert back.count() == 30 - len(b2)
     assert back.filter(F.col("user_id").isin(b2)).count() == 0
+
+
+def test_pseudonymize_roundtrip_and_erasure_unlinks(spark, tmp_path):
+    """The vault re-identifies exactly; the analytics copy carries no
+    raw key; deleting a subject's vault row + erasing their token from
+    the token-keyed store leaves no path back to the identifier."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.sinks.erase import (erase_keys, pseudonymize,
+                                            read_bucketed_store,
+                                            write_bucketed_store)
+
+    df = spark.createDataFrame(
+        [(u, f"e{i}", float(i)) for u in (10, 20, 30) for i in range(4)],
+        "user_id long, event_type string, value double")
+    anon, vault = pseudonymize(df, "user_id", salt="k")
+    assert "user_id" not in anon.columns
+    assert vault.count() == 3
+    # deterministic: the same key re-tokenizes identically
+    anon2, _ = pseudonymize(df, "user_id", salt="k")
+    assert {r.token for r in anon.collect()} == \
+        {r.token for r in anon2.collect()}
+    # round trip through the vault restores every row
+    back = anon.join(vault, "token").select("user_id", "event_type", "value")
+    assert {tuple(r) for r in back.collect()} == \
+        {tuple(r) for r in df.collect()}
+
+    # subject erasure: vault row out, token rows erased from the store
+    store = str(tmp_path / "anon")
+    write_bucketed_store(anon, store, "token", n_buckets=4)
+    victim_tok = vault.filter(F.col("user_id") == 20) \
+        .collect()[0]["token"]
+    keys = spark.createDataFrame([(victim_tok,)], "token string")
+    erase_keys(spark, store, keys, "token", n_buckets=4)
+    left = read_bucketed_store(spark, store)
+    assert left.filter(F.col("token") == victim_tok).count() == 0
+    assert left.count() == 8
