@@ -142,3 +142,23 @@ def pseudonymize(df: DataFrame, key_col: str, salt: str,
     vault = (df.select(token, F.col(key_col))
              .filter(F.col(key_col).isNotNull()).distinct())
     return anon, vault
+
+
+def k_anonymity_audit(df: DataFrame, qi_cols: list[str],
+                      k: int = 5) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination (Sweeney,
+    IJUFKS 2002 — public notion): every row whose QI equivalence class
+    has fewer than ``k`` members is re-identifiable by linkage on those
+    columns; a release is k-anonymous iff no such class exists.  Run
+    BEFORE sharing an "anonymized" extract — pseudonymization alone does
+    not help when the quasi-identifiers themselves single a subject out.
+
+    Output: one row per equivalence class —
+    ``*qi_cols, class_size, at_risk`` (at_risk = size < k) — small
+    classes first.  One groupBy over the QI key with map-side combine;
+    output is bounded by the class count, so the audit of a 100 TB
+    release is one shuffle and a class-sized result.
+    """
+    return (df.groupBy(*qi_cols)
+            .agg(F.count(F.lit(1)).alias("class_size"))
+            .withColumn("at_risk", F.col("class_size") < k))

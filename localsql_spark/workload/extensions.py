@@ -4251,3 +4251,27 @@ def pseudonymize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("sum_value"))
             .orderBy(F.col("n_events").desc(), "token", "event_type")
             .limit(100))
+
+
+@query("k_anonymity_events", oracle="""
+SELECT event_type,
+       CAST(hour(ts) AS BIGINT) AS hour_of_day,
+       count(*) AS class_size,
+       count(*) < 5 AS at_risk
+FROM events
+GROUP BY 1, 2
+""")
+def k_anonymity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (sinks.erase.k_anonymity_audit, Sweeney's
+    notion): equivalence-class sizes over a quasi-identifier pair
+    (event_type x a coarse time bucket), flagging classes below k=5 —
+    the pre-release check pseudonymization alone cannot replace, since
+    quasi-identifiers can single a subject out with no identifier
+    present.  One QI-key groupBy with map-side combine; result bounded
+    by class count at any scale."""
+    from localsql_spark.sinks.erase import k_anonymity_audit
+
+    ev = load(spark, sf_dir)["events"]
+    qi = ev.select("event_type",
+                   F.hour("ts").cast("long").alias("hour_of_day"))
+    return k_anonymity_audit(qi, ["event_type", "hour_of_day"], k=5)
