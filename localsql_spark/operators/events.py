@@ -201,3 +201,62 @@ def _agg_out_names(agged: DataFrame, group_cols: list[str]) -> list[Column]:
     casts — no expression-string parsing)."""
     skip = {"w", *group_cols}
     return [F.col(f"`{c}`") for c in agged.columns if c not in skip]
+
+
+def multi_touch_attribution(events: DataFrame, *,
+                            conversion_type: str = "purchase",
+                            touch_types: tuple = ("click", "view"),
+                            window_s: float = 7 * 86400.0,
+                            halflife_s: float = 86400.0,
+                            ts_col: str = "ts",
+                            user_col: str = "user_id",
+                            id_col: str = "event_id",
+                            type_col: str = "event_type") -> DataFrame:
+    """Multi-touch attribution: split each conversion's credit across the
+    user's preceding touch events inside the lookback window, under both
+    the LINEAR model (1/n to each touch) and the TIME-DECAY model
+    (weight 2^(-age/halflife), normalized per conversion) — the standard
+    marketing-analytics pair, aggregated to per-channel credit.
+
+    Output: ``channel, n_conversions, linear_credit, decay_credit`` —
+    n_conversions counts conversions the channel touched; the credit
+    columns each sum to the number of attributed conversions across
+    channels.
+
+    Scale shape: the conversion-touch pairing is :func:`range_join`'s
+    bucketed candidate generation (equi-join on (user, time-bucket) +
+    exact filter — never a per-user cross product); per-conversion
+    normalizers are window aggregates over the pair set (one shuffle on
+    the conversion id); the final per-channel aggregate is
+    channel-bounded.  Determinism: weights and credit fractions round to
+    9 decimals and sum as DECIMAL(28,9); the normalizer division runs on
+    the exact decimal values' doubles, so no engine's aggregation order
+    can perturb a credit."""
+    from pyspark.sql.window import Window
+
+    dec = "decimal(28,9)"
+    conv = (events.filter(F.col(type_col) == conversion_type)
+            .select(F.col(id_col).alias("conv_id"), user_col,
+                    F.col(ts_col).alias("cts")))
+    touch = (events.filter(F.col(type_col).isin(*touch_types))
+             .select(F.col(id_col).alias("touch_id"),
+                     F.col(type_col).alias("channel"), user_col,
+                     F.col(ts_col).alias("tts")))
+    pairs = range_join(touch, conv, on=[user_col], left_ts="tts",
+                       right_ts="cts", lower_s=0.0, upper_s=window_s)
+    delta = ((F.unix_micros(F.col("cts").cast("timestamp"))
+              - F.unix_micros(F.col("tts").cast("timestamp"))) / 1e6)
+    w9 = F.round(F.pow(F.lit(2.0), -delta / halflife_s), 9).cast(dec)
+    wc = Window.partitionBy("conv_id")
+    scored = (pairs.select("conv_id", "channel", w9.alias("w9"))
+              .withColumn("n", F.count(F.lit(1)).over(wc))
+              .withColumn("sumw", F.sum("w9").over(wc)))
+    linear9 = F.round(F.lit(1.0) / F.col("n"), 9).cast(dec)
+    decay9 = F.round(F.col("w9").cast("double")
+                     / F.col("sumw").cast("double"), 9).cast(dec)
+    return (scored.groupBy("channel")
+            .agg(F.countDistinct("conv_id").alias("n_conversions"),
+                 F.round(F.sum(linear9).cast("double"), 6)
+                 .alias("linear_credit"),
+                 F.round(F.sum(decay9).cast("double"), 6)
+                 .alias("decay_credit")))

@@ -1074,3 +1074,48 @@ def rollup_backfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
            .localCheckpoint(eager=True))
     shutil.rmtree(scratch, ignore_errors=True)
     return out
+
+
+@query("events_multi_touch_attribution", oracle="""
+WITH conv AS (SELECT event_id AS conv_id, user_id, ts AS cts
+              FROM events WHERE event_type = 'purchase'),
+touch AS (SELECT event_id AS touch_id, event_type AS channel, user_id,
+                 ts AS tts
+          FROM events WHERE event_type IN ('click', 'view')),
+pairs AS (
+  SELECT c.conv_id, t.channel,
+         CAST(epoch_us(c.cts) - epoch_us(t.tts) AS DOUBLE) / 1e6 AS delta
+  FROM touch t JOIN conv c ON t.user_id = c.user_id
+  WHERE epoch_us(c.cts) >= epoch_us(t.tts)
+    AND CAST(epoch_us(c.cts) - epoch_us(t.tts) AS DOUBLE) / 1e6
+        <= 604800.0),
+scored AS (
+  SELECT conv_id, channel,
+         CAST(round(pow(2.0, -delta / 86400.0), 9) AS DECIMAL(28,9)) AS w9,
+         count(*) OVER (PARTITION BY conv_id) AS n,
+         SUM(CAST(round(pow(2.0, -delta / 86400.0), 9) AS DECIMAL(28,9)))
+           OVER (PARTITION BY conv_id) AS sumw
+  FROM pairs)
+SELECT channel,
+       count(DISTINCT conv_id) AS n_conversions,
+       round(CAST(SUM(CAST(round(1.0 / n, 9) AS DECIMAL(28,9)))
+                  AS DOUBLE), 6) AS linear_credit,
+       round(CAST(SUM(CAST(round(CAST(w9 AS DOUBLE) / CAST(sumw AS DOUBLE),
+                                 9) AS DECIMAL(28,9))) AS DOUBLE), 6)
+         AS decay_credit
+FROM scored
+GROUP BY channel
+""")
+def events_multi_touch_attribution(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Multi-touch attribution (operators.events.multi_touch_attribution):
+    each purchase's credit splits across the user's click/view touches in
+    a 7-day lookback, under the linear and time-decay (1-day halflife)
+    models — per-channel credit totals.  Pairing is the bucketed range
+    join (never a per-user cross product); per-conversion normalizers are
+    window aggregates; weights and credits are 9-rounded decimal sums so
+    no aggregation order can perturb them."""
+    from localsql_spark.operators.events import multi_touch_attribution
+
+    ev = load(spark, sf_dir)["events"]
+    return multi_touch_attribution(ev)

@@ -514,3 +514,41 @@ def test_phash_pairs_near_dup_semantics(spark):
     tiny = spark.createDataFrame([(9, "short text")],
                                  "doc_id long, text string")
     assert phash_features(tiny).count() == 1
+
+
+def test_multi_touch_attribution_models(spark):
+    """Linear splits evenly; time-decay favors the touch nearest the
+    conversion; credits per conversion sum to 1 across channels; touches
+    outside the window earn nothing."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators.events import multi_touch_attribution
+
+    H = 3600
+    rows = [
+        # user 1: purchase at t=10h, click at 9h (fresh), view at 1h (stale)
+        (1, 1, 1 * H, "view", 0.0, "{}"),
+        (2, 1, 9 * H, "click", 0.0, "{}"),
+        (3, 1, 10 * H, "purchase", 1.0, "{}"),
+        # user 2: click far outside the window -> unattributed conversion
+        (4, 2, 0, "click", 0.0, "{}"),
+        (5, 2, 9_000_000, "purchase", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string, "
+              "value double, props string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.channel: r for r in
+           multi_touch_attribution(ev, window_s=86400.0, halflife_s=3600.0)
+           .collect()}
+    assert set(out) == {"click", "view"}
+    # linear: one conversion, two touches -> 0.5 each
+    assert abs(out["click"].linear_credit - 0.5) < 1e-9
+    assert abs(out["view"].linear_credit - 0.5) < 1e-9
+    # decay: click is 1h old (w=1/2), view 9h old (w=2^-9) -> click >> view
+    assert out["click"].decay_credit > 0.99
+    assert out["view"].decay_credit < 0.01
+    assert abs(out["click"].decay_credit + out["view"].decay_credit
+               - 1.0) < 1e-6
+    # the windowless user-2 conversion appears in NO channel row
+    assert out["click"].n_conversions == 1
