@@ -260,3 +260,76 @@ def multi_touch_attribution(events: DataFrame, *,
                  .alias("linear_credit"),
                  F.round(F.sum(decay9).cast("double"), 6)
                  .alias("decay_credit")))
+
+
+def km_survival(events: DataFrame, *, churn_gap_s: float = 14 * 86400.0,
+                ts_col: str = "ts", user_col: str = "user_id") -> DataFrame:
+    """Kaplan-Meier survival estimate of user lifetime (Kaplan & Meier,
+    JASA 1958 — the standard censoring-aware churn curve): each user's
+    lifetime runs from first to last activity; a user whose last
+    activity is more than ``churn_gap_s`` before the observation cutoff
+    (the global max timestamp) is CHURNED at that lifetime, anyone still
+    active near the cutoff is CENSORED — their lifetime is a lower
+    bound, and discarding or death-counting them (what a naive churn
+    query does) biases the curve, which is the whole reason KM exists.
+
+    S(d) = prod over days d' <= d of (1 - deaths(d') / at_risk(d')),
+    with censored users leaving the risk set silently at their bound.
+
+    Output: one row per observed lifetime day —
+    ``day, n_at_risk, n_churned, n_censored, survival`` (day ascending).
+
+    Scale shape: one user-key aggregate (first/last activity), row-local
+    duration/censor arithmetic, a day-key aggregate (bounded by the
+    observation span), and two window passes over that bounded day table
+    — corpus-sized work is exactly two shuffles.  Determinism: the KM
+    product runs as a cumulative DECIMAL sum of 9-rounded log10 factors
+    (partial-aggregation order cannot perturb it), exponentiated once
+    per row and rounded to 6.
+    """
+    from pyspark.sql.window import Window
+
+    dec = "decimal(28,9)"
+    ts = F.col(ts_col).cast("timestamp")
+    per_user = (events.groupBy(user_col)
+                .agg(F.min(F.unix_micros(ts)).alias("first_us"),
+                     F.max(F.unix_micros(ts)).alias("last_us")))
+    cutoff = per_user.agg(F.max("last_us").alias("cutoff_us"))
+    gap_us = int(churn_gap_s * 1e6)
+    u = (per_user.crossJoin(F.broadcast(cutoff))
+         .withColumn("churned",
+                     F.col("last_us") < F.col("cutoff_us") - gap_us)
+         .withColumn("day",
+                     F.floor((F.when(F.col("churned"),
+                                     F.col("last_us"))
+                              .otherwise(F.col("cutoff_us"))
+                              - F.col("first_us")) / (86400 * 1_000_000))
+                     .cast("long")))
+    days = (u.groupBy("day")
+            .agg(F.sum(F.col("churned").cast("long")).alias("n_churned"),
+                 F.sum((~F.col("churned")).cast("long")).alias("n_censored")))
+    w_all = (Window.orderBy("day")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_prev = (Window.orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    total = u.count()
+    left_before = F.coalesce(
+        F.sum(F.col("n_churned") + F.col("n_censored")).over(w_prev),
+        F.lit(0))
+    at_risk = F.lit(total) - left_before
+    # a day where every at-risk user churns drives the factor to 0 and
+    # log10 to -inf; clamp at 1e-12 (rounds to 0.000000 survival, and the
+    # cumulative sum keeps the curve at zero thereafter) — same clamp in
+    # the oracle, so both engines agree exactly
+    log_factor = F.round(
+        F.log10(F.greatest(F.lit(1.0)
+                           - F.col("n_churned").cast("double")
+                           / F.col("n_at_risk"), F.lit(1e-12))), 9).cast(dec)
+    scored = (days.withColumn("n_at_risk", at_risk)
+              .withColumn("_lf", log_factor)
+              .withColumn("_cum", F.sum("_lf").over(w_all)))
+    return (scored.select(
+        "day", "n_at_risk", "n_churned", "n_censored",
+        F.round(F.pow(F.lit(10.0), F.col("_cum").cast("double")), 6)
+        .alias("survival"))
+        .orderBy("day"))

@@ -1119,3 +1119,106 @@ def events_multi_touch_attribution(spark: SparkSession,
 
     ev = load(spark, sf_dir)["events"]
     return multi_touch_attribution(ev)
+
+
+@query("events_rfm_segments", oracle="""
+WITH rfm AS (
+  SELECT user_id,
+         max(ts) AS last_ts,
+         count(*) AS frequency,
+         CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+           AS monetary
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id),
+q AS (
+  SELECT user_id,
+         NTILE(5) OVER (ORDER BY last_ts DESC, user_id) AS r_q,
+         NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS f_q,
+         NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS m_q
+  FROM rfm)
+SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
+       CAST(m_q AS INT) AS m_q, count(*) AS n_users
+FROM q
+GROUP BY 1, 2, 3
+""")
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per purchasing user, recency (last purchase),
+    frequency (purchase count) and monetary (decimal-summed spend)
+    quintiles — the classic customer-value grid, here as segment
+    occupancy counts.  Each NTILE orders with a user_id tiebreak so the
+    quintile boundaries are engine-exact; monetary goes through DECIMAL
+    so partial-aggregation order cannot move a user across a boundary.
+    One user-key aggregate + three windows over the (bounded) user set +
+    a 125-row-max segment count."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir)["events"]
+    rfm = (ev.filter(F.col("event_type") == "purchase")
+           .groupBy("user_id")
+           .agg(F.max("ts").alias("last_ts"),
+                F.count(F.lit(1)).alias("frequency"),
+                F.sum(F.round("value", 6).cast("decimal(28,6)"))
+                .cast("double").alias("monetary")))
+    q = rfm.select(
+        "user_id",
+        F.ntile(5).over(Window.orderBy(F.col("last_ts").desc(), "user_id"))
+        .alias("r_q"),
+        F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "user_id"))
+        .alias("f_q"),
+        F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), "user_id"))
+        .alias("m_q"))
+    return (q.groupBy("r_q", "f_q", "m_q")
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+@query("events_km_survival", oracle="""
+WITH per_user AS (
+  SELECT user_id, epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us
+  FROM events GROUP BY user_id),
+co AS (SELECT max(last_us) AS cutoff_us FROM per_user),
+u AS (
+  SELECT user_id,
+         last_us < cutoff_us - 1209600000000 AS churned,
+         CAST(floor((CASE WHEN last_us < cutoff_us - 1209600000000
+                          THEN last_us ELSE cutoff_us END - first_us)
+                    / 86400000000.0) AS BIGINT) AS day
+  FROM per_user CROSS JOIN co),
+days AS (
+  SELECT day,
+         SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS n_churned,
+         SUM(CASE WHEN churned THEN 0 ELSE 1 END) AS n_censored
+  FROM u GROUP BY day),
+tot AS (SELECT count(*) AS total FROM u),
+risk AS (
+  SELECT day, n_churned, n_censored,
+         total - COALESCE(SUM(n_churned + n_censored)
+                          OVER (ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS n_at_risk
+  FROM days CROSS JOIN tot),
+scored AS (
+  SELECT day, n_at_risk, n_churned, n_censored,
+         SUM(CAST(round(log10(greatest(
+               1.0 - CAST(n_churned AS DOUBLE) / n_at_risk, 1e-12)), 9)
+             AS DECIMAL(28,9)))
+           OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS cum
+  FROM risk)
+SELECT day, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(n_churned AS BIGINT) AS n_churned,
+       CAST(n_censored AS BIGINT) AS n_censored,
+       round(pow(10.0, CAST(cum AS DOUBLE)), 6) AS survival
+FROM scored
+""")
+def events_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier churn curve (operators.events.km_survival, Kaplan &
+    Meier JASA 1958): user lifetimes from first to last activity, a
+    14-day silence before the observation cutoff marking churn, everyone
+    else CENSORED — the bias-correct survival estimate a naive churn
+    query cannot produce.  Two corpus shuffles (per-user agg, day agg);
+    the KM product is a cumulative decimal sum of 9-rounded log factors,
+    engine-exact."""
+    from localsql_spark.operators.events import km_survival
+
+    ev = load(spark, sf_dir)["events"]
+    return km_survival(ev, churn_gap_s=14 * 86400.0)

@@ -552,3 +552,43 @@ def test_multi_touch_attribution_models(spark):
                - 1.0) < 1e-6
     # the windowless user-2 conversion appears in NO channel row
     assert out["click"].n_conversions == 1
+
+
+def test_km_survival_censoring_is_not_death(spark):
+    """Censored users leave the risk set without dropping the curve; a
+    textbook hand-checked case: 4 users — churn at day 1, censor at day
+    2, churn at day 3, censor at day 4 (the cutoff user).
+    S(1) = 3/4; S(3) = 3/4 * 1/2 = 0.375 (the day-2 censor shrinks the
+    risk set but kills nobody — a naive churn rate would read 2/4)."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators.events import km_survival
+
+    D = 86400
+    rows = [
+        # (event_id, user, ts)
+        (1, 1, 0), (2, 1, 1 * D),            # churn, lifetime 1d
+        (3, 2, 0), (4, 2, 2 * D),            # last seen 2d -> censored? no:
+        (5, 3, 0), (6, 3, 3 * D),            # churn, lifetime 3d
+        (7, 4, 0), (8, 4, 30 * D),           # cutoff user (censored)
+    ]
+    ev = spark.createDataFrame(
+        [(e, u, t, "x", 0.0, "{}") for e, u, t in rows],
+        "event_id long, user_id long, ts long, event_type string, "
+        "value double, props string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    # gap = 27d: user 2's last activity (2d) is 28d before cutoff (30d)
+    # -> churned; make the gap 26d so user 2 churns, user 3 (3d, 27d
+    # before cutoff) churns too; user 4 censors at the cutoff
+    out = {r.day: r for r in
+           km_survival(ev, churn_gap_s=26 * 86400.0).collect()}
+    # user1 churn d1, user2 churn d2, user3 churn d3, user4 censored d30
+    assert out[1].n_at_risk == 4 and out[1].n_churned == 1
+    assert abs(out[1].survival - 0.75) < 1e-9
+    assert out[2].n_at_risk == 3 and out[2].n_churned == 1
+    assert abs(out[2].survival - 0.5) < 1e-9
+    assert out[3].n_at_risk == 2 and out[3].n_churned == 1
+    assert abs(out[3].survival - 0.25) < 1e-9
+    # the censored cutoff user leaves silently: survival stays 0.25
+    assert out[30].n_censored == 1 and out[30].n_churned == 0
+    assert abs(out[30].survival - 0.25) < 1e-9
