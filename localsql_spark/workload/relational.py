@@ -1756,3 +1756,51 @@ def q16_supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan."""
     load(spark, sf_dir)
     return spark.sql(_Q16_SQL)
+
+
+@query("window_groups_frame_emulated", oracle="""
+WITH ranked AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+         DENSE_RANK() OVER (PARTITION BY o_custkey
+                            ORDER BY CAST(o_orderdate AS DATE)) AS dr
+  FROM orders)
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(p) OVER (PARTITION BY o_custkey ORDER BY dr
+                         RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+            AS DOUBLE) AS s_groups,
+       CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY dr
+                           RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+            AS BIGINT) AS n_groups
+FROM ranked
+""")
+def window_groups_frame_emulated(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """SQL:2011 GROUPS frame mode, which Spark lacks, emulated exactly:
+    GROUPS counts PEER GROUPS (distinct ORDER BY values), not rows — so
+    ``GROUPS 1 PRECEDING AND 1 FOLLOWING`` over the order DATE is a
+    RANGE frame of width 1 over the key's DENSE_RANK (each distinct
+    date maps to one consecutive rank, so rank distance == group
+    distance; the peer group's rows all share the rank and enter the
+    frame together).  Two window passes — dense_rank, then the
+    rank-keyed RANGE aggregate — both on the same partition key, ONE
+    shuffle (Catalyst collapses same-key windows).  DuckDB has not
+    implemented GROUPS mode either, so the oracle replays the
+    rank-range construction independently — a cross-engine check of
+    the emulation's arithmetic (the peer-group semantics themselves
+    are pinned by the unit test's hand-checked tie groups)."""
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir)["orders"]
+    w_rank = (Window.partitionBy("o_custkey")
+              .orderBy(F.col("o_orderdate").cast("date")))
+    ranked = orders.select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        F.dense_rank().over(w_rank).alias("_dr"))
+    w_grp = (Window.partitionBy("o_custkey").orderBy("_dr")
+             .rangeBetween(-1, 1))
+    return ranked.select(
+        "o_orderkey", "o_custkey",
+        F.sum("p").over(w_grp).cast("double").alias("s_groups"),
+        F.count(F.lit(1)).over(w_grp).cast("long").alias("n_groups"))

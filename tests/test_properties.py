@@ -1901,3 +1901,29 @@ def test_hard_negatives_are_lexical_hits_below_the_cosine_bar(spark):
     bm = [r.bm25_score for r in out]
     assert bm == sorted(bm, reverse=True)   # lexical ranking
     assert all(r.cos_sim <= 0.5 for r in out)
+
+
+def test_groups_frame_emulation_counts_peer_groups_not_rows(spark):
+    """Hand-checked GROUPS semantics on tie groups: dates [d1, d1, d2,
+    d3, d3, d3] form peer groups {2,1,3}; GROUPS 1 PRECEDING-1 FOLLOWING
+    at a d2 row spans ALL SIX rows (whole adjacent groups enter), where
+    ROWS 1-1 would span three — the distinction the emulation exists
+    for."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rows = [(1, "2024-01-01", 10.0), (2, "2024-01-01", 20.0),
+            (3, "2024-01-02", 30.0),
+            (4, "2024-01-03", 40.0), (5, "2024-01-03", 50.0),
+            (6, "2024-01-03", 60.0)]
+    df = spark.createDataFrame(rows, "id long, d string, v double") \
+        .select("id", F.col("d").cast("date").alias("d"), "v")
+    ranked = df.withColumn(
+        "_dr", F.dense_rank().over(Window.orderBy("d")))
+    w = Window.orderBy("_dr").rangeBetween(-1, 1)
+    out = {r.id: (r.n, r.s) for r in
+           ranked.select("id", F.count(F.lit(1)).over(w).alias("n"),
+                         F.sum("v").over(w).alias("s")).collect()}
+    assert out[3] == (6, 210.0)          # d2 sees every row
+    assert out[1] == (3, 60.0)           # d1 group sees d1+d2 rows
+    assert out[4] == (4, 180.0)          # d3 group sees d2+d3 rows
