@@ -181,3 +181,60 @@ def recover_pending_merge(base_dir: str) -> bool:
         return False
     _apply_manifest(base, manifest)
     return True
+
+
+def change_feed(existing: DataFrame | None, batch: DataFrame, *,
+                key: str, version: str) -> DataFrame:
+    """The CHANGE DATA FEED a latest-version-per-key merge would emit —
+    the producing direction of CDC (the SCD2 store consumes one;
+    downstream caches, search indexes and IVM views subscribe to one;
+    Delta's Change Data Feed is the table-format incarnation).  For a
+    given (existing, batch) pair this returns exactly the APPLIED
+    changes, one row per affected key:
+
+      op = 'insert'  — key absent from existing (new-key winner's row)
+      op = 'update'  — an incoming row strictly beats the existing
+                       version (the stored row changes — at minimum its
+                       version column, usually its values too)
+
+    Stale and same-version incoming rows (they lose merge_upsert's
+    resolution, so the stored row is untouched) emit NOTHING —
+    checkpoint redelivery of an already-applied batch re-sends the same
+    versions and produces an EMPTY feed, which is what makes consuming
+    it idempotent.
+
+    Output: ``key, op, <value cols prefixed new_>, <value cols prefixed
+    old_ (NULL for inserts)>``.
+
+    Scale shape: the batch resolves its own per-key winner first (a
+    window over BATCH-sized data), then one key-equi join against
+    existing — at 100 TB the existing side is the partition-pruned read
+    the merge itself already does, so the feed is a byproduct-priced
+    join, not a second table scan.
+    """
+    from pyspark.sql.window import Window
+
+    cols = [c for c in batch.columns if c != key]
+    w = (Window.partitionBy(key)
+         .orderBy(F.col(version).desc(),
+                  F.xxhash64(*[F.col(c) for c in batch.columns])))
+    winner = (batch.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1).drop("__rn"))
+    new_side = winner.select(
+        F.col(key), *[F.col(c).alias(f"new_{c}") for c in cols])
+    if existing is None:
+        return new_side.select(
+            key, F.lit("insert").alias("op"),
+            *[F.col(f"new_{c}") for c in cols],
+            *[F.lit(None).cast(batch.schema[c].dataType).alias(f"old_{c}")
+              for c in cols])
+    old_side = existing.select(
+        F.col(key), *[F.col(c).alias(f"old_{c}") for c in cols])
+    j = new_side.join(old_side, key, "left")
+    is_insert = F.col(f"old_{version}").isNull()
+    wins = F.col(f"new_{version}") > F.col(f"old_{version}")
+    return (j.withColumn("op", F.when(is_insert, "insert")
+                         .when(wins, "update"))
+            .filter(F.col("op").isNotNull())
+            .select(key, "op", *[f"new_{c}" for c in cols],
+                    *[f"old_{c}" for c in cols]))

@@ -4275,3 +4275,69 @@ def k_anonymity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     qi = ev.select("event_type",
                    F.hour("ts").cast("long").alias("hour_of_day"))
     return k_anonymity_audit(qi, ["event_type", "hour_of_day"], k=5)
+
+
+@query("change_feed_documents", oracle="""
+WITH base AS (SELECT doc_id, lang, text, 1 AS version FROM documents),
+upd AS (
+  SELECT doc_id, lang, concat('v2 ', text) AS text, 2 AS version
+  FROM documents
+  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        % 7 = 0
+  UNION ALL
+  SELECT doc_id, lang, text, 0 AS version  -- stale: must emit nothing
+  FROM documents
+  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        % 5 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, lang, concat('new ', text), 1
+  FROM documents
+  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        % 11 = 0),
+winner AS (
+  SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY version DESC) AS rn FROM upd) z WHERE rn = 1)
+SELECT w.doc_id,
+       CASE WHEN b.doc_id IS NULL THEN 'insert' ELSE 'update' END AS op,
+       w.lang AS new_lang, md5(w.text) AS new_text_md5,
+       CAST(w.version AS INT) AS new_version,
+       b.lang AS old_lang, md5(b.text) AS old_text_md5,
+       CAST(b.version AS INT) AS old_version
+FROM winner w LEFT JOIN base b USING (doc_id)
+WHERE b.doc_id IS NULL OR w.version > b.version
+""")
+def change_feed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed from the merge sink (sinks.merge.change_feed —
+    the PRODUCING direction of CDC; the SCD2 store consumes one): for a
+    correction batch against the documents base (1/7 re-texted at v2,
+    1/11 new keys, 1/5 redelivered STALE at v0), emit exactly the
+    APPLIED changes — inserts with NULL old-side, updates with old+new —
+    while stale and same-version rows emit NOTHING (redelivering an
+    applied batch produces an empty feed), which is what makes
+    consuming the feed idempotent.  Batch-windowed winner +
+    one key join; text surfaces as md5 for compact hashing."""
+    from localsql_spark.operators import hash32
+    from localsql_spark.sinks.merge import change_feed
+
+    docs = load(spark, sf_dir)["documents"]
+    base = docs.select("doc_id", "lang", "text",
+                       F.lit(1).cast("int").alias("version"))
+    upd = (docs.filter(hash32(F.col("doc_id")) % 7 == 0)
+           .select("doc_id", "lang",
+                   F.concat(F.lit("v2 "), F.col("text")).alias("text"),
+                   F.lit(2).cast("int").alias("version"))
+           .unionByName(
+               docs.filter(hash32(F.col("doc_id")) % 5 == 0)
+               .select("doc_id", "lang", "text",
+                       F.lit(0).cast("int").alias("version")))
+           .unionByName(
+               docs.filter(hash32(F.col("doc_id")) % 11 == 0)
+               .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                       "lang",
+                       F.concat(F.lit("new "), F.col("text")).alias("text"),
+                       F.lit(1).cast("int").alias("version"))))
+    feed = change_feed(base, upd, key="doc_id", version="version")
+    return feed.select(
+        "doc_id", "op", "new_lang",
+        F.md5("new_text").alias("new_text_md5"), "new_version",
+        "old_lang", F.md5("old_text").alias("old_text_md5"), "old_version")

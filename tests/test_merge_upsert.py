@@ -252,3 +252,36 @@ def test_merge_next_write_replays_crashed_predecessor(spark, tmp_path):
     got = {(r.k, r.txt, r.version)
            for r in spark.read.parquet(base_dir).collect()}
     assert got == (expected - {(4, "four", 1)}) | {(4, "four-v2", 2)}
+
+
+def test_change_feed_emits_only_applied_changes(spark):
+    """Inserts carry NULL old-side; updates carry both sides; stale
+    versions, identical redeliveries, and within-batch losers emit
+    nothing; an empty existing side makes everything an insert."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.sinks.merge import change_feed
+
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 2), (3, "c", 1)],
+        "k long, v string, version int")
+    batch = spark.createDataFrame(
+        [(1, "a2", 2),     # real update
+         (2, "stale", 1),  # stale version -> nothing
+         (3, "c", 2),      # higher version: stored row changes -> update
+         (4, "d", 1),      # insert
+         (4, "d-old", 0)], # within-batch loser -> nothing
+        "k long, v string, version int")
+    out = {r.k: r for r in
+           change_feed(base, batch, key="k", version="version").collect()}
+    assert set(out) == {1, 3, 4}
+    assert out[3].op == "update" and out[3].new_version == 2 \
+        and out[3].old_version == 1
+    assert out[1].op == "update" and out[1].new_v == "a2" \
+        and out[1].old_v == "a"
+    assert out[4].op == "insert" and out[4].new_v == "d" \
+        and out[4].old_v is None
+    # no existing table: everything resolves to an insert
+    fresh = {r.k: r.op for r in
+             change_feed(None, batch, key="k", version="version").collect()}
+    assert fresh == {1: "insert", 2: "insert", 3: "insert", 4: "insert"}
