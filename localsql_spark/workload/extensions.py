@@ -4341,3 +4341,63 @@ def change_feed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "op", "new_lang",
         F.md5("new_text").alias("new_text_md5"), "new_version",
         "old_lang", F.md5("old_text").alias("old_text_md5"), "old_version")
+
+
+@query("bm25_index_top10", oracle=r"""
+WITH norm AS (SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM documents),
+toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM norm),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          FROM doclen),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('table', 'join', 'window', 'hash') GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (SELECT tf.doc_id,
+                  CAST(round(SUM(CAST(round(
+                      ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)
+                         + 1.0) * tf * 2.2
+                      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)),
+                      12) AS DECIMAL(28,12))), 9) AS DOUBLE) AS score
+           FROM tf JOIN dfreq USING (term) JOIN doclen USING (doc_id)
+                CROSS JOIN stats
+           GROUP BY tf.doc_id)
+SELECT doc_id, score, CAST(rk AS INT) AS rk FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+  FROM scored) r WHERE rk <= 10
+""")
+def bm25_index_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the PERSISTED inverted index
+    (sinks.inverted_index): the corpus folds in as two incremental
+    batches — batch tokenization + touched-bucket merges, never a
+    corpus re-read — and the query reads the STATS partition plus ONLY
+    the four query terms' posting-list buckets (PartitionFilters,
+    plan-asserted in tests), reproducing bm25_scores' arithmetic
+    bit-for-bit.  Sharing bm25_search_top10's from-scratch oracle proves
+    index-built + index-served == recomputed — the search-tier serving
+    shape next to the analytical one."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql.window import Window
+
+    from localsql_spark.sinks.inverted_index import (bm25_from_index,
+                                                     index_add_documents)
+
+    docs = load(spark, sf_dir)["documents"]
+    scratch = Path(tempfile.mkdtemp(prefix="invidx_"))
+    idx = str(scratch / "index")
+    index_add_documents(spark, idx, docs.filter(F.col("doc_id") % 2 == 0))
+    index_add_documents(spark, idx, docs.filter(F.col("doc_id") % 2 == 1))
+    scores = bm25_from_index(spark, idx,
+                             ["table", "join", "window", "hash"])
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    out = (scores.orderBy(F.col("score").desc(), "doc_id").limit(10)
+           .withColumn("rk", F.row_number().over(w))
+           .localCheckpoint(eager=True))
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out

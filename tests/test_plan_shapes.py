@@ -472,3 +472,23 @@ def test_cobucket_query_join_itself_is_exchange_free(spark, queries):
     assert join_at != -1, plan[:400]
     below = plan[join_at:]
     assert "Exchange hashpartitioning" not in below, below[:800]
+
+
+def test_bm25_index_probe_prunes_term_buckets(spark, tmp_path):
+    """The index-served BM25 scan must carry a PartitionFilter on the
+    term buckets — posting lists of unprobed terms are never read."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.sinks.inverted_index import (bm25_from_index,
+                                                     index_add_documents)
+    from localsql_spark.workload import load
+
+    docs = load(spark, SF_SMALL)["documents"]
+    idx = str(tmp_path / "idx")
+    index_add_documents(spark, idx, docs)
+    scores = bm25_from_index(spark, idx, ["join", "hash"])
+    plan = _plan(scores)
+    pruned = [ln for ln in plan.splitlines()
+              if "PartitionFilters" in ln and "tb" in ln]
+    assert pruned, "postings scan lost its term-bucket partition prune"
+    assert scores.count() > 0

@@ -1927,3 +1927,33 @@ def test_groups_frame_emulation_counts_peer_groups_not_rows(spark):
     assert out[3] == (6, 210.0)          # d2 sees every row
     assert out[1] == (3, 60.0)           # d1 group sees d1+d2 rows
     assert out[4] == (4, 180.0)          # d3 group sees d2+d3 rows
+
+
+def test_inverted_index_incremental_equals_single_build(spark, tmp_path):
+    """Two incremental folds produce an index whose served scores are
+    bit-identical to a one-shot build AND to the from-scratch scorer;
+    the stats counter survives multi-fold merging (the max-vs-sum dl
+    regression)."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators.text import bm25_scores
+    from localsql_spark.sinks.inverted_index import (bm25_from_index,
+                                                     index_add_documents)
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 5} gamma" if i % 2 else f"beta w{i % 3}")
+         for i in range(30)], "doc_id long, text string")
+    inc, one = str(tmp_path / "inc"), str(tmp_path / "one")
+    index_add_documents(spark, inc, docs.filter("doc_id % 3 != 0"),
+                        n_buckets=4)
+    index_add_documents(spark, inc, docs.filter("doc_id % 3 = 0"),
+                        n_buckets=4)
+    index_add_documents(spark, one, docs, n_buckets=4)
+
+    terms = ["alpha", "beta"]
+    srv_inc = {tuple(r) for r in
+               bm25_from_index(spark, inc, terms, n_buckets=4).collect()}
+    srv_one = {tuple(r) for r in
+               bm25_from_index(spark, one, terms, n_buckets=4).collect()}
+    scratch = {tuple(r) for r in bm25_scores(docs, terms).collect()}
+    assert srv_inc == srv_one == scratch
