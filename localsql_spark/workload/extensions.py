@@ -4401,3 +4401,89 @@ def bm25_index_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
            .localCheckpoint(eager=True))
     shutil.rmtree(scratch, ignore_errors=True)
     return out
+
+
+@query("streaming_index_ingest", oracle=r"""
+WITH norm AS (SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM documents),
+toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM norm),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          FROM doclen),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('table', 'join', 'window', 'hash') GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (SELECT tf.doc_id,
+                  CAST(round(SUM(CAST(round(
+                      ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)
+                         + 1.0) * tf * 2.2
+                      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)),
+                      12) AS DECIMAL(28,12))), 9) AS DOUBLE) AS score
+           FROM tf JOIN dfreq USING (term) JOIN doclen USING (doc_id)
+                CROSS JOIN stats
+           GROUP BY tf.doc_id)
+SELECT doc_id, score, CAST(rk AS INT) AS rk FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+  FROM scored) r WHERE rk <= 10
+""")
+def streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the inverted index, driver-gated
+    end-to-end (streaming.stream_index_ingest): documents arrive as
+    three micro-batches, land idempotently, and fold their postings +
+    stats under applied markers (additive folds — the marker carries
+    exactly-once); the streamed index then serves the same top-10 as
+    the from-scratch scorer (shared oracle) — a search tier indexing the
+    crawl as it lands."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql.window import Window
+
+    from localsql_spark.catalog import _CACHE_DIR
+    from localsql_spark.operators import hash32
+    from localsql_spark.sinks.inverted_index import bm25_from_index
+    from localsql_spark.streaming.stream_index_ingest import \
+        stream_index_ingest
+
+    docs = load(spark, sf_dir)["documents"]
+    src_dir = (_CACHE_DIR.parent / "stream_index_src"
+               / Path(sf_dir.rstrip("/")).name)
+    if not src_dir.exists():
+        src_dir.parent.mkdir(parents=True, exist_ok=True)
+        build = Path(tempfile.mkdtemp(prefix=f".{src_dir.name}.build_",
+                                      dir=src_dir.parent))
+        names = ("a_batch0.parquet", "b_batch1.parquet", "c_batch2.parquet")
+        for i, name in enumerate(names):
+            tmp = tempfile.mkdtemp(prefix="ixsplit_")
+            (docs.filter(hash32(F.col("doc_id")) % 3 == i).coalesce(1)
+             .write.mode("overwrite").parquet(tmp))
+            part = next(Path(tmp).glob("part-*.parquet"))
+            shutil.move(str(part), build / name)
+            shutil.rmtree(tmp, ignore_errors=True)
+        t0 = (build / names[0]).stat().st_mtime
+        for i, name in enumerate(names):
+            os.utime(build / name, (t0 + 100 * i, t0 + 100 * i))
+        try:
+            os.rename(build, src_dir)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+
+    schema = spark.read.parquet(str(src_dir / "a_batch0.parquet")).schema
+    scratch = Path(tempfile.mkdtemp(prefix="stream_ix_"))
+    stream_index_ingest(
+        spark, source_dir=str(src_dir), schema=schema,
+        land_dir=str(scratch / "land"), index_dir=str(scratch / "index"),
+        checkpoint_dir=str(scratch / "ck"))
+    scores = bm25_from_index(spark, str(scratch / "index"),
+                             ["table", "join", "window", "hash"])
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    out = (scores.orderBy(F.col("score").desc(), "doc_id").limit(10)
+           .withColumn("rk", F.row_number().over(w))
+           .localCheckpoint(eager=True))
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out

@@ -761,3 +761,49 @@ def test_stream_sketch_ingest_exactly_once_and_replay(spark, tmp_path):
     shutil.rmtree(tmp_path / "ck")
     assert stream_sketch_ingest(spark, **kw) == 0
     assert view(tmp_path / "view") == want
+
+
+def test_stream_index_ingest_exactly_once_and_replay(spark, tmp_path):
+    """The streamed inverted index serves scores bit-identical to a
+    one-shot build; re-running the land+fold is a no-op, and a fresh
+    checkpoint's full redelivery never double-counts a posting."""
+    import os
+    import shutil
+
+    from localsql_spark.sinks.inverted_index import (bm25_from_index,
+                                                     index_add_documents)
+    from localsql_spark.streaming.stream_index_ingest import \
+        stream_index_ingest
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 5}" if i % 2 else f"beta w{i % 3} gamma")
+         for i in range(24)], "doc_id long, text string")
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        d = tmp_path / f"b{i}"
+        docs.filter(f"doc_id % 3 = {i}").coalesce(1).write.parquet(str(d))
+        part = next(d.glob("part-*.parquet"))
+        part.rename(src / f"f{i}.parquet")
+        os.utime(src / f"f{i}.parquet", (1000 + i, 1000 + i))
+
+    kw = dict(source_dir=str(src), schema=docs.schema,
+              land_dir=str(tmp_path / "land"),
+              index_dir=str(tmp_path / "index"),
+              checkpoint_dir=str(tmp_path / "ck"), n_buckets=4)
+    assert stream_index_ingest(spark, **kw) == 3
+
+    one = str(tmp_path / "one")
+    index_add_documents(spark, one, docs, n_buckets=4)
+
+    def served(d):
+        return {tuple(r) for r in
+                bm25_from_index(spark, d, ["alpha", "beta"],
+                                n_buckets=4).collect()}
+    want = served(one)
+    assert served(str(tmp_path / "index")) == want
+    assert stream_index_ingest(spark, **kw) == 0
+    assert served(str(tmp_path / "index")) == want
+    shutil.rmtree(tmp_path / "ck")
+    assert stream_index_ingest(spark, **kw) == 0
+    assert served(str(tmp_path / "index")) == want
