@@ -98,6 +98,9 @@ EXTENSION_HEADLINE = [
     # two-stage hybrid retrieval (BM25 shortlist -> cosine re-rank)
     "quality_nb_seed_scores",
     "hybrid_search_top10",
+    # round 8 (late): index-served BM25 steady-state probe (fixture-cached
+    # index, same framing as knn_ivfpq_index_top5)
+    "bm25_index_top10",
 ]
 
 
