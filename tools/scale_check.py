@@ -268,6 +268,43 @@ def main() -> None:
         shutil.rmtree(scratch, ignore_errors=True)
         return n, dt
 
+    def op_index_fold(f):
+        # steady-state fold: index prebuilt from 12/13 of the corpus, the
+        # timed section folds ONE batch-sized delta
+        import shutil
+        import tempfile
+
+        from localsql_spark.sinks.inverted_index import index_add_documents
+        docs = spark.read.parquet(paths[f]["documents"])
+        scratch = Path(tempfile.mkdtemp(prefix="scale_invidx_"))
+        idx = str(scratch / "index")
+        bucket = F.pmod(F.col("doc_id"), F.lit(13))
+        index_add_documents(spark, idx, docs.filter(bucket != 0))
+        t0 = time.perf_counter()
+        index_add_documents(spark, idx, docs.filter(bucket == 0))
+        dt = time.perf_counter() - t0
+        n = spark.read.option("basePath", idx).parquet(idx).count()
+        shutil.rmtree(scratch, ignore_errors=True)
+        return n, dt
+
+    def op_index_probe(f):
+        # serving steady state: build once outside the timer, probe inside
+        import shutil
+        import tempfile
+
+        from localsql_spark.sinks.inverted_index import (bm25_from_index,
+                                                         index_add_documents)
+        docs = spark.read.parquet(paths[f]["documents"])
+        scratch = Path(tempfile.mkdtemp(prefix="scale_invprobe_"))
+        idx = str(scratch / "index")
+        index_add_documents(spark, idx, docs)
+        t0 = time.perf_counter()
+        n = bm25_from_index(spark, idx,
+                            ["table", "join", "window", "hash"]).count()
+        dt = time.perf_counter() - t0
+        shutil.rmtree(scratch, ignore_errors=True)
+        return n, dt
+
     def op_profile(f):
         from localsql_spark.operators.corpus import profile_columns
         ev = spark.read.parquet(paths[f]["events"])
@@ -524,7 +561,9 @@ def main() -> None:
            "nb_seed_scores": op_nb_seed,
            "ngram_diversity": op_ngram_diversity,
            "hybrid_retrieval": op_hybrid_retrieval,
-           "sketch_view_fold": op_sketch_view_fold}
+           "sketch_view_fold": op_sketch_view_fold,
+           "invidx_fold": op_index_fold,
+           "invidx_probe": op_index_probe}
 
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:
