@@ -68,7 +68,8 @@ def read_base_partitions(spark: SparkSession, base_dir: str,
 
 def merge_into_partitioned(spark: SparkSession, base_dir: str,
                            updates: DataFrame, *, key: str, version: str,
-                           partition_col: str) -> list:
+                           partition_col: str,
+                           op_col: str | None = None) -> list:
     """MERGE ``updates`` into the partitioned parquet table at ``base_dir``
     (latest ``version`` per ``key`` wins; new keys insert).  Returns the
     list of partition values that were rewritten.
@@ -111,8 +112,11 @@ def merge_into_partitioned(spark: SparkSession, base_dir: str,
     # 2. prune the base read to touched partitions
     existing = read_base_partitions(spark, base_dir, partition_col, parts)
 
-    # 3. latest-version-per-key resolution (shared with the streaming sink)
-    merged = merge_upsert(existing, updates, key=key, version=version)
+    # 3. latest-version-per-key resolution (shared with the streaming
+    #    sink); op_col enables tombstones — a winning 'delete' removes
+    #    its key from the touched partition
+    merged = merge_upsert(existing, updates, key=key, version=version,
+                          op_col=op_col)
 
     # 4. stage the merged partitions, commit the manifest (the atomic
     #    point), then apply the idempotent partition swaps
@@ -121,6 +125,12 @@ def merge_into_partitioned(spark: SparkSession, base_dir: str,
     shutil.rmtree(staging, ignore_errors=True)
     (merged.write.mode("overwrite").partitionBy(partition_col)
      .parquet(str(staging)))
+    # a touched partition whose every row was tombstoned writes no staged
+    # dir; stage an explicit empty one so the swap REMOVES the old rows
+    # (upsert-only merges never hit this — deletes can)
+    for p in parts:
+        (staging / f"{partition_col}={p}").mkdir(parents=True,
+                                                 exist_ok=True)
     base.mkdir(parents=True, exist_ok=True)
     pnames = sorted(p.name for p in staging.glob(f"{partition_col}=*"))
     manifest = _manifest_path(base)

@@ -26,19 +26,32 @@ from pyspark.sql import functions as F
 
 
 def merge_upsert(existing: DataFrame | None, batch: DataFrame, *,
-                 key: str, version: str) -> DataFrame:
+                 key: str, version: str,
+                 op_col: str | None = None) -> DataFrame:
     """Latest-version-per-key merge of a batch into the existing table.
 
     Ties on (key, version) — e.g. checkpoint re-delivery of the same row —
     break on a deterministic hash of the full row, so the survivor is stable
     across runs (idempotency the docstring promises).
+
+    ``op_col`` (optional) enables TOMBSTONES — the MERGE ... WHEN MATCHED
+    DELETE half of CDC: batch rows whose ``op_col`` is ``'delete'`` compete
+    in the same latest-version resolution, and a winning tombstone REMOVES
+    the key (a later-versioned upsert re-inserts it; a stale tombstone
+    loses and changes nothing).  Existing rows count as upserts; the op
+    column never reaches the stored table.
     """
+    if op_col is not None and existing is not None:
+        existing = existing.withColumn(op_col, F.lit("upsert"))
     merged = batch if existing is None else existing.unionByName(batch)
     w = (Window.partitionBy(key)
          .orderBy(F.col(version).desc(),
                   F.xxhash64(*[F.col(c) for c in merged.columns])))
-    return (merged.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1).drop("__rn"))
+    out = (merged.withColumn("__rn", F.row_number().over(w))
+           .filter(F.col("__rn") == 1).drop("__rn"))
+    if op_col is not None:
+        out = out.filter(F.col(op_col) != "delete").drop(op_col)
+    return out
 
 
 def _current_generation(out_dir: str) -> Path | None:

@@ -4494,3 +4494,63 @@ def streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
            .localCheckpoint(eager=True))
     shutil.rmtree(scratch, ignore_errors=True)
     return out
+
+
+@query("tpch_refresh_orders", oracle="""
+WITH kept AS (
+  SELECT o_orderpriority, o_totalprice FROM orders
+  WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+             AS BIGINT) % 13 <> 0
+  UNION ALL
+  SELECT o_orderpriority, o_totalprice FROM orders
+  WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+             AS BIGINT) % 17 = 0)
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM kept
+GROUP BY o_orderpriority
+""")
+def tpch_refresh_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H refresh-stream shape (RF1 inserts + RF2 deletes) against
+    the partitioned merge store, now tombstone-aware
+    (sinks.merge.merge_into_partitioned with op_col — the MERGE ... WHEN
+    MATCHED DELETE half of CDC): orders load as the base, one batch
+    inserts a new-key slice (RF1) AND tombstones 1/13 of existing keys
+    at a higher version (RF2); a touched partition whose rows are all
+    tombstoned actually loses its bytes (staged empty dir).  The
+    read-back aggregate must equal base - deletes + inserts — the oracle
+    computes exactly that set."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from localsql_spark.operators import hash32
+    from localsql_spark.sinks.merge import merge_into_partitioned
+
+    orders = load(spark, sf_dir)["orders"]
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    base = orders.select(*cols, F.lit(1).cast("int").alias("version"))
+    h = hash32(F.col("o_orderkey"))
+    rf1 = (orders.filter(h % 17 == 0)
+           .select((F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                   "o_orderpriority", "o_totalprice",
+                   F.lit(1).cast("int").alias("version"),
+                   F.lit("upsert").alias("op")))
+    rf2 = (orders.filter(h % 13 == 0)
+           .select(*cols, F.lit(2).cast("int").alias("version"),
+                   F.lit("delete").alias("op")))
+    scratch = Path(tempfile.mkdtemp(prefix="tpch_rf_"))
+    store = str(scratch / "orders")
+    base.write.partitionBy("o_orderpriority").parquet(store)
+    merge_into_partitioned(spark, store, rf1.unionByName(rf2),
+                           key="o_orderkey", version="version",
+                           partition_col="o_orderpriority", op_col="op")
+    back = spark.read.parquet(store)
+    out = (back.groupBy("o_orderpriority")
+           .agg(F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double").alias("sum_price"))
+           .localCheckpoint(eager=True))
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out

@@ -285,3 +285,47 @@ def test_change_feed_emits_only_applied_changes(spark):
     fresh = {r.k: r.op for r in
              change_feed(None, batch, key="k", version="version").collect()}
     assert fresh == {1: "insert", 2: "insert", 3: "insert", 4: "insert"}
+
+
+def test_merge_tombstones_delete_reinsert_and_stale(spark, tmp_path):
+    """A winning tombstone removes its key; a stale tombstone loses and
+    changes nothing; a later-versioned upsert re-inserts a deleted key;
+    a partition whose rows are all tombstoned loses its bytes."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.sinks.merge import merge_into_partitioned
+    from localsql_spark.streaming.foreach_upsert import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "p1", 10.0, 1), (2, "p1", 20.0, 1), (3, "p2", 30.0, 1)],
+        "k long, part string, v double, version int")
+    batch = spark.createDataFrame(
+        [(1, "p1", 0.0, 2, "delete"),       # wins -> key 1 gone
+         (2, "p1", 0.0, 0, "delete"),       # stale -> key 2 stays
+         (3, "p2", 0.0, 2, "delete"),       # empties partition p2
+         (4, "p1", 40.0, 1, "upsert")],     # insert
+        "k long, part string, v double, version int, op string")
+    got = {r.k: r.v for r in
+           merge_upsert(base, batch, key="k", version="version",
+                        op_col="op").collect()}
+    assert got == {2: 20.0, 4: 40.0}
+
+    # delete-then-reinsert across versions within one batch: the v3
+    # upsert beats the v2 tombstone
+    batch2 = spark.createDataFrame(
+        [(1, "p1", 0.0, 2, "delete"), (1, "p1", 99.0, 3, "upsert")],
+        "k long, part string, v double, version int, op string")
+    got2 = {r.k: r.v for r in
+            merge_upsert(base, batch2, key="k", version="version",
+                         op_col="op").collect()}
+    assert got2[1] == 99.0
+
+    # partitioned store: p2's only row tombstoned -> bytes actually gone
+    store = str(tmp_path / "t")
+    base.write.partitionBy("part").parquet(store)
+    merge_into_partitioned(spark, store, batch, key="k",
+                           version="version", partition_col="part",
+                           op_col="op")
+    assert not list((tmp_path / "t" / "part=p2").glob("*.parquet"))
+    back = {r.k: r.v for r in spark.read.parquet(store).collect()}
+    assert back == {2: 20.0, 4: 40.0}
