@@ -194,7 +194,8 @@ def recover_pending_merge(base_dir: str) -> bool:
 
 
 def change_feed(existing: DataFrame | None, batch: DataFrame, *,
-                key: str, version: str) -> DataFrame:
+                key: str, version: str,
+                op_col: str | None = None) -> DataFrame:
     """The CHANGE DATA FEED a latest-version-per-key merge would emit —
     the producing direction of CDC (the SCD2 store consumes one;
     downstream caches, search indexes and IVM views subscribe to one;
@@ -206,6 +207,11 @@ def change_feed(existing: DataFrame | None, batch: DataFrame, *,
       op = 'update'  — an incoming row strictly beats the existing
                        version (the stored row changes — at minimum its
                        version column, usually its values too)
+      op = 'delete'  — with ``op_col`` set (the tombstone-aware merge),
+                       a winning tombstone against an EXISTING key; its
+                       new-side value columns are NULL, the old side
+                       carries the removed row.  A tombstone for an
+                       absent key emits nothing (the merge was a no-op).
 
     Stale and same-version incoming rows (they lose merge_upsert's
     resolution, so the stored row is untouched) emit NOTHING —
@@ -224,27 +230,38 @@ def change_feed(existing: DataFrame | None, batch: DataFrame, *,
     """
     from pyspark.sql.window import Window
 
-    cols = [c for c in batch.columns if c != key]
+    cols = [c for c in batch.columns if c not in (key, op_col)]
     w = (Window.partitionBy(key)
          .orderBy(F.col(version).desc(),
                   F.xxhash64(*[F.col(c) for c in batch.columns])))
     winner = (batch.withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn") == 1).drop("__rn"))
-    new_side = winner.select(
-        F.col(key), *[F.col(c).alias(f"new_{c}") for c in cols])
+    is_tomb = (F.col(op_col) == "delete") if op_col is not None \
+        else F.lit(False)
+    # a tombstone's new side is NULL except the version — the version
+    # stays because the SAME strictly-greater test that applies the
+    # merge decides whether the delete applied (stale tombstones lose)
+    new_vals = [F.col(c).alias(f"new_{c}") if c == version
+                else F.when(~is_tomb, F.col(c)).alias(f"new_{c}")
+                for c in cols]
+    new_side = winner.select(F.col(key), is_tomb.alias("_tomb"),
+                             *new_vals)
     if existing is None:
-        return new_side.select(
-            key, F.lit("insert").alias("op"),
-            *[F.col(f"new_{c}") for c in cols],
-            *[F.lit(None).cast(batch.schema[c].dataType).alias(f"old_{c}")
-              for c in cols])
+        return (new_side.filter(~F.col("_tomb"))
+                .select(key, F.lit("insert").alias("op"),
+                        *[F.col(f"new_{c}") for c in cols],
+                        *[F.lit(None).cast(batch.schema[c].dataType)
+                          .alias(f"old_{c}") for c in cols]))
     old_side = existing.select(
         F.col(key), *[F.col(c).alias(f"old_{c}") for c in cols])
     j = new_side.join(old_side, key, "left")
-    is_insert = F.col(f"old_{version}").isNull()
+    exists = F.col(f"old_{version}").isNotNull()
     wins = F.col(f"new_{version}") > F.col(f"old_{version}")
-    return (j.withColumn("op", F.when(is_insert, "insert")
-                         .when(wins, "update"))
+    return (j.withColumn(
+        "op",
+        F.when(~exists & ~F.col("_tomb"), "insert")
+        .when(exists & F.col("_tomb") & wins, "delete")
+        .when(exists & ~F.col("_tomb") & wins, "update"))
             .filter(F.col("op").isNotNull())
             .select(key, "op", *[f"new_{c}" for c in cols],
                     *[f"old_{c}" for c in cols]))

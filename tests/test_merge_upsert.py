@@ -329,3 +329,29 @@ def test_merge_tombstones_delete_reinsert_and_stale(spark, tmp_path):
     assert not list((tmp_path / "t" / "part=p2").glob("*.parquet"))
     back = {r.k: r.v for r in spark.read.parquet(store).collect()}
     assert back == {2: 20.0, 4: 40.0}
+
+
+def test_change_feed_emits_deletes_with_tombstones(spark):
+    """With op_col: a winning tombstone against an existing key emits a
+    delete (NULL new values, old side populated, new_version kept for
+    the win test); a stale tombstone and a tombstone for an absent key
+    emit nothing; upsert semantics are unchanged."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.sinks.merge import change_feed
+
+    base = spark.createDataFrame(
+        [(1, "a", 2), (2, "b", 1)], "k long, v string, version int")
+    batch = spark.createDataFrame(
+        [(1, "x", 1, "delete"),    # stale tombstone -> nothing
+         (2, "x", 2, "delete"),    # winning tombstone -> delete
+         (9, "x", 5, "delete"),    # absent key -> nothing
+         (3, "c", 1, "upsert")],   # insert
+        "k long, v string, version int, op string")
+    out = {r.k: r for r in
+           change_feed(base, batch, key="k", version="version",
+                       op_col="op").collect()}
+    assert set(out) == {2, 3}
+    assert out[2].op == "delete" and out[2].new_v is None \
+        and out[2].old_v == "b" and out[2].new_version == 2
+    assert out[3].op == "insert" and out[3].new_v == "c"
