@@ -119,3 +119,76 @@ def stream_upsert_parquet(spark: SparkSession, *, source_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def apply_batch_with_feed(batch_df: DataFrame, batch_id: int, *, key: str,
+                          version: str, out_dir: str,
+                          feed_dir: str) -> bool:
+    """:func:`apply_batch` that also PERSISTS the change data feed — the
+    durable CDC producer: before merging, the batch's applied changes
+    (sinks.merge.change_feed against the current generation) write to
+    ``feed_dir/batch_<id>``; subscribers tail those directories.
+
+    Crash-safety: a feed batch dir is WRITE-ONCE (a completed
+    ``batch_<id>`` is never recomputed — foreachBatch's stable-batch-id
+    contract keys it).  The feed writes FIRST, against the same
+    generation the merge will read: if the process dies before the feed
+    dir completes, redelivery recomputes against the UNCHANGED
+    generation (the pointer has not flipped) and lands the same bytes;
+    once the dir is complete it stands, so a FRESH-CHECKPOINT full
+    replay — whose redelivered batches would otherwise recompute
+    against the FINAL generation and emit garbage — leaves every feed
+    batch byte-stable.
+    """
+    from localsql_spark.sinks.merge import change_feed
+
+    spark = batch_df.sparkSession
+    old = _current_generation(out_dir)
+    if old is not None and old.name == f"gen_{batch_id}":
+        return False  # already applied; its feed dir already stands
+    fdir = Path(feed_dir) / f"batch_{batch_id}"
+    if not (fdir / "_SUCCESS").exists():  # write-once: first write wins
+        existing = read_table(spark, out_dir)
+        feed = change_feed(existing, batch_df, key=key, version=version)
+        feed.write.mode("overwrite").parquet(str(fdir))
+    return apply_batch(batch_df, batch_id, key=key, version=version,
+                       out_dir=out_dir)
+
+
+def stream_upsert_with_feed(spark: SparkSession, *, source_dir: str,
+                            schema, key: str, version: str, out_dir: str,
+                            feed_dir: str, checkpoint_dir: str,
+                            max_files_per_trigger: int = 1) -> None:
+    """Drain a file stream into the keyed upsert table while emitting the
+    durable per-batch change feed (availableNow trigger)."""
+    Path(out_dir).mkdir(parents=True, exist_ok=True)
+    Path(feed_dir).mkdir(parents=True, exist_ok=True)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        apply_batch_with_feed(batch_df, batch_id, key=key, version=version,
+                              out_dir=out_dir, feed_dir=feed_dir)
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", max_files_per_trigger)
+         .parquet(source_dir)
+         .writeStream.foreachBatch(upsert)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+def read_feed(spark: SparkSession, feed_dir: str) -> DataFrame | None:
+    """Read the accumulated change feed (all batch dirs), with the batch
+    id recovered from the directory name."""
+    dirs = sorted(Path(feed_dir).glob("batch_*"),
+                  key=lambda p: int(p.name.split("_")[1]))
+    if not dirs:
+        return None
+    out = None
+    for d in dirs:
+        part = (spark.read.parquet(str(d))
+                .withColumn("batch_id",
+                            F.lit(int(d.name.split("_")[1]))))
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -4554,3 +4554,93 @@ def tpch_refresh_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            .localCheckpoint(eager=True))
     shutil.rmtree(scratch, ignore_errors=True)
     return out
+
+
+@query("streaming_change_feed", oracle="""
+WITH d AS (SELECT doc_id, lang, text,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 3 AS h3
+           FROM documents)
+SELECT doc_id,
+       CASE WHEN h3 = 0 THEN 'insert' ELSE NULL END AS op,
+       1 AS new_version, CAST(NULL AS INT) AS old_version,
+       md5(concat('v1 ', text)) AS new_text_md5
+FROM d WHERE h3 <= 0
+UNION ALL
+SELECT doc_id,
+       CASE WHEN h3 = 1 THEN 'insert' ELSE 'update' END,
+       2, CASE WHEN h3 = 1 THEN NULL ELSE 1 END,
+       md5(concat('v2 ', text))
+FROM d WHERE h3 <= 1
+UNION ALL
+SELECT doc_id,
+       CASE WHEN h3 = 2 THEN 'insert' ELSE 'update' END,
+       3, CASE WHEN h3 = 2 THEN NULL ELSE 2 END,
+       md5(concat('v3 ', text))
+FROM d WHERE h3 <= 2
+""")
+def streaming_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable streaming CDC producer, driver-gated end-to-end
+    (streaming.foreach_upsert.stream_upsert_with_feed): three
+    overlapping document batches stream into the keyed upsert table
+    while each batch's APPLIED changes persist to an idempotent
+    per-batch feed directory — written against exactly the table
+    generation the merge then advances, so crash/redelivery at any
+    point leaves every feed batch byte-stable.  The batch overlap is
+    closed-form (hash-mod tiers at rising versions), so the oracle
+    states the ENTIRE expected feed: each doc inserts in its first
+    batch and updates in every later one, with the right old/new
+    versions."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from localsql_spark.catalog import _CACHE_DIR
+    from localsql_spark.operators import hash32
+    from localsql_spark.streaming.foreach_upsert import (
+        read_feed, stream_upsert_with_feed)
+
+    docs = load(spark, sf_dir)["documents"]
+    h3 = hash32(F.col("doc_id")) % 3
+    src_dir = (_CACHE_DIR.parent / "stream_feed_src"
+               / Path(sf_dir.rstrip("/")).name)
+    if not src_dir.exists():
+        src_dir.parent.mkdir(parents=True, exist_ok=True)
+        build = Path(tempfile.mkdtemp(prefix=f".{src_dir.name}.build_",
+                                      dir=src_dir.parent))
+        names = ("a_batch0.parquet", "b_batch1.parquet", "c_batch2.parquet")
+        for i, name in enumerate(names):
+            b = (docs.filter(h3 <= i)
+                 .select("doc_id", "lang",
+                         F.concat(F.lit(f"v{i + 1} "), F.col("text"))
+                         .alias("text"),
+                         F.lit(i + 1).cast("int").alias("version")))
+            tmp = tempfile.mkdtemp(prefix="cfsplit_")
+            b.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(Path(tmp).glob("part-*.parquet"))
+            shutil.move(str(part), build / name)
+            shutil.rmtree(tmp, ignore_errors=True)
+        t0 = (build / names[0]).stat().st_mtime
+        for i, name in enumerate(names):
+            os.utime(build / name, (t0 + 100 * i, t0 + 100 * i))
+        try:
+            os.rename(build, src_dir)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+
+    schema = spark.read.parquet(str(src_dir / "a_batch0.parquet")).schema
+    scratch = Path(tempfile.mkdtemp(prefix="stream_feed_"))
+    stream_upsert_with_feed(
+        spark, source_dir=str(src_dir), schema=schema,
+        key="doc_id", version="version",
+        out_dir=str(scratch / "table"), feed_dir=str(scratch / "feed"),
+        checkpoint_dir=str(scratch / "ck"))
+    feed = read_feed(spark, str(scratch / "feed"))
+    out = (feed.select("doc_id", "op",
+                       F.col("new_version").cast("int").alias("new_version"),
+                       F.col("old_version").cast("int").alias("old_version"),
+                       F.md5("new_text").alias("new_text_md5"))
+           .localCheckpoint(eager=True))
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out

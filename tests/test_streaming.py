@@ -807,3 +807,57 @@ def test_stream_index_ingest_exactly_once_and_replay(spark, tmp_path):
     shutil.rmtree(tmp_path / "ck")
     assert stream_index_ingest(spark, **kw) == 0
     assert served(str(tmp_path / "index")) == want
+
+
+def test_stream_upsert_feed_is_replay_stable(spark, tmp_path):
+    """The durable feed: redelivery with a fresh checkpoint leaves every
+    feed batch byte-stable (same rows) and the table unchanged; feed
+    contents equal what change_feed computes per generation."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from localsql_spark.streaming.foreach_upsert import (
+        read_feed, read_table, stream_upsert_with_feed)
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", 1) for i in range(9)] +
+        [(i, f"u{i}", 2) for i in range(6)],   # updates for 0-5 in batch 2
+        "k long, v string, version int")
+    src = tmp_path / "src"
+    src.mkdir()
+    b0 = docs.filter("version = 1")
+    b1 = docs.filter("version = 2")
+    for i, b in enumerate((b0, b1)):
+        d = tmp_path / f"b{i}"
+        b.coalesce(1).write.parquet(str(d))
+        part = next(d.glob("part-*.parquet"))
+        part.rename(src / f"f{i}.parquet")
+        os.utime(src / f"f{i}.parquet", (1000 + i, 1000 + i))
+
+    kw = dict(source_dir=str(src), schema=docs.schema, key="k",
+              version="version", out_dir=str(tmp_path / "t"),
+              feed_dir=str(tmp_path / "feed"),
+              checkpoint_dir=str(tmp_path / "ck"))
+    stream_upsert_with_feed(spark, **kw)
+
+    feed = read_feed(spark, str(tmp_path / "feed"))
+    rows = {(r.k, r.batch_id): r.op for r in feed.collect()}
+    assert all(op == "insert" for (k, b), op in rows.items() if b == 0)
+    assert {op for (k, b), op in rows.items() if b == 1} == {"update"}
+    assert sum(1 for (k, b) in rows if b == 1) == 6
+    table = {r.k: r.v for r in read_table(spark, str(tmp_path / "t"))
+             .collect()}
+    assert table == {**{i: f"t{i}" for i in range(6, 9)},
+                     **{i: f"u{i}" for i in range(6)}}
+
+    # fresh-checkpoint redelivery: feed and table byte-stable
+    before = {tuple(r) for r in feed.collect()}
+    shutil.rmtree(tmp_path / "ck")
+    stream_upsert_with_feed(spark, **kw)
+    after = {tuple(r) for r in
+             read_feed(spark, str(tmp_path / "feed")).collect()}
+    assert after == before
+    assert {r.k: r.v for r in read_table(spark, str(tmp_path / "t"))
+            .collect()} == table
