@@ -178,8 +178,18 @@ def pack_sequences(docs: DataFrame, capacity: int = 128,
         pdf["pos"] = poss
         return pdf[["doc_id", "shard", "seq", "pos", "n_tok"]]
 
-    out = base.groupBy("shard").applyInPandas(
-        fold, "doc_id long, shard int, seq long, pos long, n_tok long")
+    # the output schema carries doc_id at its INPUT dtype — packing string
+    # chunk ids (chunk_documents output, the documented chunk -> pack
+    # pipeline) must not fail on a hardcoded 'doc_id long'
+    from pyspark.sql.types import (IntegerType, LongType, StructField,
+                                   StructType)
+    out_schema = StructType([
+        StructField("doc_id", base.schema["doc_id"].dataType),
+        StructField("shard", IntegerType()),
+        StructField("seq", LongType()),
+        StructField("pos", LongType()),
+        StructField("n_tok", LongType())])
+    out = base.groupBy("shard").applyInPandas(fold, out_schema)
     return out.select("doc_id", "shard",
                       F.col("seq").cast("int").alias("seq"),
                       F.col("pos").cast("int").alias("pos"), "n_tok",

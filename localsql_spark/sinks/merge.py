@@ -60,7 +60,13 @@ def read_base_partitions(spark: SparkSession, base_dir: str,
     """Read only the named partitions of a hive-partitioned parquet table
     (None if the table doesn't exist yet).  The isin filter reaches the
     scan as a partition filter — touched-partition I/O only."""
-    if not Path(base_dir).exists():
+    base = Path(base_dir)
+    # "table doesn't exist" includes an EMPTIED table: a store whose every
+    # partition was tombstoned/erased/retracted leaves base_dir present but
+    # holding no parquet part files, and spark.read.parquet on it raises
+    # 'Unable to infer schema' — treat it as empty, same as absent
+    # (any() short-circuits at the first part file, no full listing)
+    if not base.exists() or not any(base.rglob("*.parquet")):
         return None
     df = spark.read.option("basePath", base_dir).parquet(base_dir)
     return df.filter(F.col(partition_col).isin(values))
@@ -125,21 +131,58 @@ def merge_into_partitioned(spark: SparkSession, base_dir: str,
     shutil.rmtree(staging, ignore_errors=True)
     (merged.write.mode("overwrite").partitionBy(partition_col)
      .parquet(str(staging)))
-    # a touched partition whose every row was tombstoned writes no staged
-    # dir; stage an explicit empty one so the swap REMOVES the old rows
-    # (upsert-only merges never hit this — deletes can)
-    for p in parts:
-        (staging / f"{partition_col}={p}").mkdir(parents=True,
-                                                 exist_ok=True)
     base.mkdir(parents=True, exist_ok=True)
     pnames = sorted(p.name for p in staging.glob(f"{partition_col}=*"))
+    # a touched partition whose every row was tombstoned writes no staged
+    # dir (Spark emits nothing for an empty partition); it is committed as
+    # an explicit REMOVAL in the manifest, named by Spark's OWN hive
+    # partition-path encoding (escaped ':'/'='/etc., 'true' not 'True') —
+    # a Python-formatted f"{col}={value}" dir name would miss the on-disk
+    # dir for any value Spark escapes, silently keeping tombstoned rows
+    removed = []
+    if len(pnames) < len(parts):
+        touched = _spark_partition_dir_names(spark, updates, partition_col,
+                                             parts)
+        removed = sorted(set(touched) - set(pnames))
     manifest = _manifest_path(base)
     tmp = manifest.with_suffix(".json.tmp")
     tmp.write_text(json.dumps({"staging": staging.name,
-                               "partitions": pnames}))
+                               "partitions": pnames,
+                               "removed": removed}))
     os.rename(tmp, manifest)  # COMMIT POINT — one rename
     _apply_manifest(base, manifest)
     return parts
+
+
+def _spark_partition_dir_names(spark: SparkSession, updates: DataFrame,
+                               partition_col: str,
+                               values: list) -> list[str]:
+    """Spark's own hive partition-path encoding for the given values,
+    obtained by letting Spark WRITE them (one dummy-payload row per value
+    into a scratch dir, read the dir names back) rather than
+    re-implementing escapePathName in Python.  Faithful by construction —
+    escaping rules ('%3A' for ':', 'true' not 'True', timestamp
+    formatting) can never drift from what the real staged write produces.
+    Cost: one tiny driver-triggered job bounded by the touched-partition
+    fan-out, and it only runs on the rare fully-tombstoned-partition
+    path."""
+    import tempfile
+
+    from pyspark.sql.types import StructField, StructType
+
+    dtype = updates.schema[partition_col].dataType
+    schema = StructType([StructField(partition_col, dtype)])
+    scratch = Path(tempfile.mkdtemp(prefix=".partnames-"))
+    try:
+        enc = scratch / "enc"
+        (spark.createDataFrame([(v,) for v in values], schema)
+         .withColumn("__x", F.lit(0))
+         .coalesce(1)
+         .write.mode("overwrite").partitionBy(partition_col)
+         .parquet(str(enc)))
+        return [p.name for p in enc.glob(f"{partition_col}=*")]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 def _manifest_path(base: Path) -> Path:

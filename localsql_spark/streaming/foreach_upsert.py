@@ -30,9 +30,15 @@ def merge_upsert(existing: DataFrame | None, batch: DataFrame, *,
                  op_col: str | None = None) -> DataFrame:
     """Latest-version-per-key merge of a batch into the existing table.
 
-    Ties on (key, version) — e.g. checkpoint re-delivery of the same row —
-    break on a deterministic hash of the full row, so the survivor is stable
-    across runs (idempotency the docstring promises).
+    Ties on (key, version) resolve in two layers: an incoming row that
+    only TIES the stored version LOSES — the stored row is untouched, which
+    is exactly what :func:`localsql_spark.sinks.merge.change_feed` asserts
+    when it emits nothing for same-version rows (a hash tie-break here
+    could silently replace the stored row's payload while the feed stayed
+    empty, diverging CDC subscribers from the store).  WITHIN a batch,
+    same-(key, version) rows break on a deterministic hash of the full
+    row, so the survivor is stable across runs (idempotency the module
+    docstring promises).
 
     ``op_col`` (optional) enables TOMBSTONES — the MERGE ... WHEN MATCHED
     DELETE half of CDC: batch rows whose ``op_col`` is ``'delete'`` compete
@@ -43,12 +49,17 @@ def merge_upsert(existing: DataFrame | None, batch: DataFrame, *,
     """
     if op_col is not None and existing is not None:
         existing = existing.withColumn(op_col, F.lit("upsert"))
-    merged = batch if existing is None else existing.unionByName(batch)
+    if existing is None:
+        merged = batch.withColumn("__stored", F.lit(0))
+    else:
+        merged = (existing.withColumn("__stored", F.lit(1))
+                  .unionByName(batch.withColumn("__stored", F.lit(0))))
+    data_cols = [c for c in merged.columns if c != "__stored"]
     w = (Window.partitionBy(key)
-         .orderBy(F.col(version).desc(),
-                  F.xxhash64(*[F.col(c) for c in merged.columns])))
+         .orderBy(F.col(version).desc(), F.col("__stored").desc(),
+                  F.xxhash64(*[F.col(c) for c in data_cols])))
     out = (merged.withColumn("__rn", F.row_number().over(w))
-           .filter(F.col("__rn") == 1).drop("__rn"))
+           .filter(F.col("__rn") == 1).drop("__rn", "__stored"))
     if op_col is not None:
         out = out.filter(F.col(op_col) != "delete").drop(op_col)
     return out
@@ -179,9 +190,15 @@ def stream_upsert_with_feed(spark: SparkSession, *, source_dir: str,
 
 
 def read_feed(spark: SparkSession, feed_dir: str) -> DataFrame | None:
-    """Read the accumulated change feed (all batch dirs), with the batch
-    id recovered from the directory name."""
-    dirs = sorted(Path(feed_dir).glob("batch_*"),
+    """Read the accumulated change feed (all COMMITTED batch dirs), with
+    the batch id recovered from the directory name.  A dir without
+    _SUCCESS is a crashed mid-write landing — not yet committed (the
+    producer gates on _SUCCESS at :func:`apply_batch_with_feed` and will
+    rewrite it on restart), so subscribers must not read its partial rows
+    as applied changes; skipping mirrors fold_landed_with's
+    partial-landing check."""
+    dirs = sorted((p for p in Path(feed_dir).glob("batch_*")
+                   if (p / "_SUCCESS").exists()),
                   key=lambda p: int(p.name.split("_")[1]))
     if not dirs:
         return None

@@ -355,3 +355,111 @@ def test_change_feed_emits_deletes_with_tombstones(spark):
     assert out[2].op == "delete" and out[2].new_v is None \
         and out[2].old_v == "b" and out[2].new_version == 2
     assert out[3].op == "insert" and out[3].new_v == "c"
+
+
+def test_tombstoned_partition_removed_with_spark_escaped_value(
+        spark, tmp_path):
+    """A fully-tombstoned partition whose value Spark hive-escapes in the
+    path (':' -> '%3A') is actually removed: the removal is committed by
+    Spark's OWN dir name via the manifest 'removed' key, not a Python
+    f-string that would miss the escaped dir (code-review r9).  Boolean
+    partitions ('true' vs Python 'True') exercise the same rule."""
+    base_dir = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0, 1),
+         (2, "2024-01-02 00:00:00", 2.0, 1)],
+        "k long, ts string, v double, version int")
+    base.write.partitionBy("ts").parquet(base_dir)
+    escaped = sorted(p.name for p in (tmp_path / "tbl").glob("ts=*"))
+    assert all("%3A" in n for n in escaped)  # the hazard is real
+
+    batch = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 0.0, 2, "delete")],
+        "k long, ts string, v double, version int, op string")
+    merge_into_partitioned(spark, base_dir, batch, key="k",
+                           version="version", partition_col="ts",
+                           op_col="op")
+    left = sorted(p.name for p in (tmp_path / "tbl").glob("ts=*"))
+    assert left == [n for n in escaped if "01-02" in n]
+    got = {(r.k, r.v) for r in spark.read.parquet(base_dir).collect()}
+    assert got == {(2, 2.0)}
+
+    # boolean partition column: Spark writes p=true, Python str gives True
+    bdir = str(tmp_path / "btbl")
+    spark.createDataFrame([(1, True, 1), (2, False, 1)],
+                          "k long, p boolean, version int") \
+        .write.partitionBy("p").parquet(bdir)
+    db = spark.createDataFrame([(1, True, 2, "delete")],
+                               "k long, p boolean, version int, op string")
+    merge_into_partitioned(spark, bdir, db, key="k", version="version",
+                           partition_col="p", op_col="op")
+    names = sorted(p.name for p in (tmp_path / "btbl").glob("p=*"))
+    assert names == ["p=false"]
+
+
+def test_upsert_merge_stages_no_junk_dirs(spark, tmp_path):
+    """An ordinary upsert merge leaves NO synthesized empty partition dirs
+    behind — only the dirs Spark itself wrote exist after the swap."""
+    base_dir = str(tmp_path / "tbl")
+    _write_base(spark, base_dir)
+    updates = spark.createDataFrame(
+        [(1, "a", "one-v2", 2)], "k long, p string, txt string, version int")
+    merge_into_partitioned(spark, base_dir, updates, key="k",
+                           version="version", partition_col="p")
+    for d in Path(base_dir).glob("p=*"):
+        assert any(d.glob("*.parquet")), f"empty junk dir {d.name}"
+
+
+def test_fully_emptied_table_reads_as_empty_and_accepts_next_merge(
+        spark, tmp_path):
+    """Tombstoning EVERY partition leaves base_dir with no parquet files;
+    read_base_partitions must report the table as empty (None) instead of
+    crashing on schema inference, and the next merge must re-create it."""
+    from localsql_spark.sinks.merge import read_base_partitions
+
+    base_dir = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a", 1.0, 1)],
+                          "k long, p string, v double, version int") \
+        .write.partitionBy("p").parquet(base_dir)
+    kill = spark.createDataFrame([(1, "a", 0.0, 2, "delete")],
+                                 "k long, p string, v double, version int, "
+                                 "op string")
+    merge_into_partitioned(spark, base_dir, kill, key="k",
+                           version="version", partition_col="p",
+                           op_col="op")
+    assert not any(Path(base_dir).rglob("*.parquet"))
+    assert read_base_partitions(spark, base_dir, "p", ["a"]) is None
+    # the table heals on the next merge instead of raising
+    re_ins = spark.createDataFrame([(5, "a", 9.0, 3)],
+                                   "k long, p string, v double, version int")
+    merge_into_partitioned(spark, base_dir, re_ins, key="k",
+                           version="version", partition_col="p")
+    got = {(r.k, r.v) for r in spark.read.parquet(base_dir).collect()}
+    assert got == {(5, 9.0)}
+
+
+def test_same_version_tie_keeps_stored_row_matching_empty_feed(spark):
+    """An incoming row that only TIES the stored version loses: the stored
+    row is untouched, so the store stays consistent with change_feed's
+    empty output for same-version rows (code-review r9 — a hash tie-break
+    could swap the payload while the feed said nothing)."""
+    from localsql_spark.sinks.merge import change_feed
+    from localsql_spark.streaming.foreach_upsert import merge_upsert
+
+    existing = spark.createDataFrame([(1, "stored", 5)],
+                                     "k long, txt string, version int")
+    # payload engineered to differ; any hash order would be wrong for one
+    for payload in ("aaaa", "zzzz"):
+        batch = spark.createDataFrame([(1, payload, 5)],
+                                      "k long, txt string, version int")
+        out = merge_upsert(existing, batch, key="k",
+                           version="version").collect()
+        assert [(r.k, r.txt, r.version) for r in out] == [(1, "stored", 5)]
+        assert change_feed(existing, batch, key="k",
+                           version="version").isEmpty()
+    # within-batch ties (no stored side) still resolve deterministically
+    dup = spark.createDataFrame([(1, "x", 5), (1, "y", 5)],
+                                "k long, txt string, version int")
+    a = merge_upsert(None, dup, key="k", version="version").collect()
+    b = merge_upsert(None, dup, key="k", version="version").collect()
+    assert len(a) == 1 and a == b

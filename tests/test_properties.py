@@ -1957,3 +1957,22 @@ def test_inverted_index_incremental_equals_single_build(spark, tmp_path):
                bm25_from_index(spark, one, terms, n_buckets=4).collect()}
     scratch = {tuple(r) for r in bm25_scores(docs, terms).collect()}
     assert srv_inc == srv_one == scratch
+
+
+def test_pack_sequences_accepts_string_chunk_ids(spark):
+    """pack_sequences over chunk_documents output (string chunk ids, the
+    documented chunk -> pack pipeline) must carry the id dtype through the
+    applyInPandas schema instead of failing on a hardcoded 'doc_id long'
+    (code-review r9)."""
+    from localsql_spark.operators.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        [(f"doc{i}#c{j}", 3 + (i * 7 + j) % 5)
+         for i in range(6) for j in range(3)],
+        "chunk_id string, n_tok long")
+    got = pack_sequences(df, capacity=10, n_shards=2,
+                         doc_id_col="chunk_id", n_tok_col="n_tok")
+    rows = got.collect()
+    assert len(rows) == 18
+    assert {type(r.doc_id) for r in rows} == {str}
+    assert got.schema["doc_id"].dataType.simpleString() == "string"

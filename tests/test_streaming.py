@@ -861,3 +861,22 @@ def test_stream_upsert_feed_is_replay_stable(spark, tmp_path):
     assert after == before
     assert {r.k: r.v for r in read_table(spark, str(tmp_path / "t"))
             .collect()} == table
+
+
+def test_read_feed_skips_uncommitted_batch_dirs(spark, tmp_path):
+    """A feed batch dir without _SUCCESS is a crashed mid-write landing —
+    subscribers must not read its partial rows as committed changes
+    (code-review r9); the producer rewrites it on restart."""
+    from localsql_spark.streaming.foreach_upsert import read_feed
+
+    feed_dir = tmp_path / "feed"
+    ok = spark.createDataFrame([(1, "insert")], "k long, op string")
+    ok.write.parquet(str(feed_dir / "batch_0"))
+    partial = feed_dir / "batch_1"
+    ok.write.parquet(str(partial))
+    (partial / "_SUCCESS").unlink()  # simulate the crash window
+    got = read_feed(spark, str(feed_dir))
+    assert [r.batch_id for r in got.collect()] == [0]
+    # nothing committed at all -> None, not a partial read
+    (feed_dir / "batch_0" / "_SUCCESS").unlink()
+    assert read_feed(spark, str(feed_dir)) is None
