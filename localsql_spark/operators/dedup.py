@@ -944,3 +944,122 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
                     (F.col("i").cast("double")
                      / F.least("na", "nb")).alias("containment"))
             .filter(F.col("containment") >= threshold))
+
+
+def erase_from_signature_store(spark: SparkSession, store_path: str,
+                               keys: DataFrame, index_path: str | None = None,
+                               n: int = N_MINHASH,
+                               bands: int = N_BANDS) -> dict:
+    """Right-to-be-forgotten PROPAGATION into the persisted near-dup
+    state: remove the erased documents' minhash signatures from the flat
+    store AND their band rows from the banded sidecar index, so a
+    post-erasure :func:`minhash_lsh_pairs_from_store` probe equals one
+    against a store rebuilt from the erased corpus (a signature is a
+    content fingerprint — leaving it behind keeps the subject linkable).
+
+    Shapes: the store rewrite is one narrow columnar pass (the store is
+    ~1% of corpus bytes and carries no partition key that could bound a
+    deletion — a compaction-grade pass, amortized by batching deletion
+    requests).  The SIDECAR update is pruned: the erased docs' band keys
+    (computed from their stored signatures BEFORE the rewrite) name the
+    touched ``bk_prefix`` partitions, only those rewrite through the
+    manifest protocol, and ``_meta.json`` re-fingerprints the new store
+    under the same ``bucket_cap`` so the next probe serves from the
+    updated index without a rebuild.  The whole operation holds the
+    index maintenance lock (single-writer, same discipline as
+    :func:`ensure_banded_index`); :class:`IndexMaintenanceBusy`
+    propagates — an erasure must not be silently skipped.
+
+    Crash windows: store swapped but index/meta not yet updated → the
+    stale meta forces a full index rebuild on the next probe (correct,
+    slower).  Returns ``{"erased": n_removed, "store_rows": n_after,
+    "index_prefixes": [...]}``."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    from pathlib import Path as _P
+
+    k = (keys.select(F.col(keys.columns[0]).alias("_erase_key"))
+         .filter(F.col("_erase_key").isNotNull()).distinct())
+    idx = index_path or f"{store_path.rstrip('/')}_banded"
+    has_index = (_P(idx) / "_meta.json").exists()
+
+    def _erase() -> dict:
+        # plain persist, unpersisted before returning: a cached
+        # read_signature_store PLAN would otherwise keep serving the
+        # PRE-erase rows to any identical post-erase read of the store
+        # (Spark's cache manager matches by canonicalized plan, and the
+        # path does not change across the swap)
+        sigs = read_signature_store(spark, store_path).persist()
+        erased_sigs = sigs.join(
+            F.broadcast(k), F.col("doc_id") == F.col("_erase_key"), "semi")
+        prefixes = sorted({r[0] for r in (
+            band_keys(erased_sigs, n, bands)
+            .select(F.substring("band_key", 1, 2).alias("bk_prefix"))
+            .distinct().collect())})
+        n_erased = erased_sigs.count()
+        kept = sigs.join(F.broadcast(k),
+                         F.col("doc_id") == F.col("_erase_key"),
+                         "left_anti")
+        # store rewrite: whole-dir swap, same discipline as
+        # compact_signature_store (erase doubles as a compaction)
+        store = _P(store_path)
+        tmp = store.parent / f".{store.name}.erasing"
+        _shutil.rmtree(tmp, ignore_errors=True)
+        kept.write.mode("overwrite").parquet(str(tmp))
+        n_after = spark.read.parquet(str(tmp)).count()
+        old = store.parent / f".{store.name}.old"
+        _shutil.rmtree(old, ignore_errors=True)
+        store.rename(old)
+        tmp.rename(store)
+        _shutil.rmtree(old, ignore_errors=True)
+
+        if has_index and prefixes:
+            from localsql_spark.sinks.merge import (_apply_manifest,
+                                                    _manifest_path,
+                                                    recover_pending_merge)
+            recover_pending_merge(idx)
+            live = (spark.read.option("basePath", idx).parquet(idx)
+                    .filter(F.col("bk_prefix").isin(prefixes)))
+            kept_idx = live.join(F.broadcast(k),
+                                 F.col("doc_id") == F.col("_erase_key"),
+                                 "left_anti")
+            base = _P(idx)
+            staging = base.parent / f".{base.name}.staging"
+            _shutil.rmtree(staging, ignore_errors=True)
+            (kept_idx.write.mode("overwrite").partitionBy("bk_prefix")
+             .parquet(str(staging)))
+            pnames = sorted(p.name for p in staging.glob("bk_prefix=*"))
+            # bk_prefix values are two hex chars — path-safe by
+            # construction, so emptied prefixes commit as removals by name
+            removed = sorted({f"bk_prefix={p}" for p in prefixes}
+                             - set(pnames))
+            manifest = _manifest_path(base)
+            mtmp = manifest.with_suffix(".json.tmp")
+            mtmp.write_text(_json.dumps({"staging": staging.name,
+                                         "partitions": pnames,
+                                         "removed": removed}))
+            _os.rename(mtmp, manifest)  # COMMIT POINT
+            _apply_manifest(base, manifest)
+        if has_index:
+            # re-fingerprint the rewritten store so the next probe serves
+            # from the just-updated index instead of forcing a rebuild
+            meta = _P(idx) / "_meta.json"
+            try:
+                cap = _json.loads(meta.read_text()).get("bucket_cap")
+            except (OSError, ValueError):
+                cap = None
+            mtmp = _P(str(meta) + f".tmp.{_os.getpid()}")
+            mtmp.write_text(_json.dumps(
+                {"files": _store_file_listing(store_path),
+                 "bucket_cap": cap}))
+            _os.rename(mtmp, meta)
+        sigs.unpersist()
+        return {"erased": n_erased, "store_rows": n_after,
+                "index_prefixes": prefixes if has_index else []}
+
+    if has_index:
+        with _index_lock(idx):
+            return _erase()
+    return _erase()

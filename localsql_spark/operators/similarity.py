@@ -1526,3 +1526,65 @@ def bm25_hard_negatives(docs: DataFrame, emb: DataFrame,
     w = Window.orderBy(F.col("bm25_score").desc(), "doc_id")
     return (scored.orderBy(F.col("bm25_score").desc(), "doc_id").limit(k)
             .withColumn("rk", F.row_number().over(w)))
+
+
+def ivfpq_erase_vectors(spark: SparkSession, index_path: str,
+                        keys: DataFrame) -> list:
+    """Right-to-be-forgotten PROPAGATION into the persisted IVFPQ index:
+    remove the erased vectors' code rows, so a post-erasure
+    :func:`knn_ivfpq_from_index` probe can never return (or be biased
+    toward) an erased subject — PQ codes reconstruct the vector to within
+    quantization error, so leaving them behind retains the embedding.
+
+    Touched cells come from the codes table itself: one pass over its
+    (neighbor_id, cell) columns — the index is the m-bytes-per-vector
+    compact representation, so this pass is index-sized, not corpus-sized
+    — then only those ``cell=`` partitions rewrite through the manifest
+    protocol (emptied cells commit as removals).
+
+    The MODEL tables (``_centroids``, ``_codebooks``) are trained
+    aggregates, not per-subject state: the erased vectors' residual
+    influence on the trained codebooks is not retractable row-by-row
+    (same class as NB additive counts and HLL registers — documented
+    rebuild policy: periodic retrain via :func:`write_ivfpq_index`
+    refreshes the models; until then probes serve the erased corpus
+    through slightly stale quantizers, which affects recall only, never
+    returns erased ids).  Returns the rewritten cell values."""
+    import json
+    import os
+    import shutil
+    from pathlib import Path
+
+    from localsql_spark.sinks.merge import (_apply_manifest, _manifest_path,
+                                            recover_pending_merge)
+
+    codes_dir = f"{index_path}/codes"
+    recover_pending_merge(codes_dir)
+    k = (keys.select(F.col(keys.columns[0]).alias("_erase_key"))
+         .filter(F.col("_erase_key").isNotNull()).distinct())
+    codes = spark.read.option("basePath", codes_dir).parquet(codes_dir)
+    touched = sorted({r[0] for r in (
+        codes.join(F.broadcast(k),
+                   F.col("neighbor_id") == F.col("_erase_key"), "semi")
+        .select("cell").distinct().collect())})
+    if not touched:
+        return []
+    kept = (codes.filter(F.col("cell").isin(touched))
+            .join(F.broadcast(k),
+                  F.col("neighbor_id") == F.col("_erase_key"), "left_anti"))
+    base = Path(codes_dir)
+    staging = base.parent / f".{base.name}.staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    (kept.write.mode("overwrite").partitionBy("cell")
+     .parquet(str(staging)))
+    pnames = sorted(p.name for p in staging.glob("cell=*"))
+    # cell is an int partition value — path-safe, removals commit by name
+    removed = sorted({f"cell={c}" for c in touched} - set(pnames))
+    manifest = _manifest_path(base)
+    tmp = manifest.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps({"staging": staging.name,
+                               "partitions": pnames,
+                               "removed": removed}))
+    os.rename(tmp, manifest)  # COMMIT POINT — one rename
+    _apply_manifest(base, manifest)
+    return touched

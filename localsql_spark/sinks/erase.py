@@ -162,3 +162,97 @@ def k_anonymity_audit(df: DataFrame, qi_cols: list[str],
     return (df.groupBy(*qi_cols)
             .agg(F.count(F.lit(1)).alias("class_size"))
             .withColumn("at_risk", F.col("class_size") < k))
+
+
+def erase_everywhere(spark: SparkSession, keys: DataFrame, *,
+                     primary: dict | None = None,
+                     inverted_index: dict | None = None,
+                     signature_store: dict | None = None,
+                     ivfpq_index: dict | None = None,
+                     scd2: dict | None = None) -> DataFrame:
+    """Right-to-be-forgotten across the WHOLE persistence surface: erase
+    the subjects from the primary store and PROPAGATE through every
+    derived store that retains their content — inverted-index postings
+    (text reconstructible per term), minhash signatures + banded sidecar
+    (content fingerprints keep the subject linkable), IVFPQ codes
+    (quantized embeddings), SCD2 history (old versions survive by
+    design).  Erasing only the primary leaves all four fully populated.
+
+    Store configs (pass only what exists; each is that store's kwargs):
+    ``primary={'base_dir', 'key_col', 'n_buckets'}``,
+    ``inverted_index={'index_dir', 'n_buckets', 'doc_id_col',
+    'text_col'}``, ``signature_store={'store_path', 'index_path'}``,
+    ``ivfpq_index={'index_path'}``, ``scd2={'store_dir', 'key_col'}``.
+
+    Ordering: the inverted-index pass runs FIRST, fed the erased
+    documents' text read from the still-intact primary store, so its
+    touched-bucket set is pruned to the documents' own terms; the
+    primary erase follows; fingerprint/code/history stores are
+    key-addressable and run in any order.  Non-retractable aggregates
+    (NB counts, HLL registers, trained IVFPQ model tables) follow the
+    documented rebuild policy instead — see
+    :func:`localsql_spark.operators.similarity.ivfpq_erase_vectors`.
+
+    Returns a per-store AUDIT: ``(store, rows_after, erased_refs)``
+    where ``erased_refs`` recounts rows still referencing an erased key
+    in the actual post-erase bytes — the verifiable claim is that every
+    entry is 0.  Each erase is idempotent; re-running a request is safe
+    at every store."""
+    k = (keys.select(F.col(keys.columns[0]).alias("_erase_key"))
+         .filter(F.col("_erase_key").isNotNull()).distinct()
+         .localCheckpoint(eager=True))
+
+    def _audit(name: str, df: DataFrame, ref_col: str, rows: list) -> None:
+        refs = df.join(F.broadcast(k),
+                       F.col(ref_col) == F.col("_erase_key"), "semi")
+        rows.append((name, df.count(), refs.count()))
+
+    rows: list = []
+    if inverted_index is not None:
+        from localsql_spark.sinks.inverted_index import index_erase_documents
+        cfg = dict(inverted_index)
+        nb = cfg.pop("n_buckets", 16)
+        idx_dir = cfg.pop("index_dir")
+        docs = None
+        if primary is not None:  # text for bucket pruning, pre-erase
+            store = read_bucketed_store(spark, primary["base_dir"])
+            docs = store.join(
+                F.broadcast(k),
+                F.col(primary["key_col"]) == F.col("_erase_key"), "semi")
+        index_erase_documents(spark, idx_dir, k, n_buckets=nb, docs=docs,
+                              **cfg)
+        post = (spark.read.option("basePath", idx_dir).parquet(idx_dir)
+                .filter(F.col("tb") != nb))
+        _audit("inverted_index", post, "doc_id", rows)
+    if primary is not None:
+        erase_keys(spark, primary["base_dir"], k, primary["key_col"],
+                   n_buckets=primary.get("n_buckets", 32))
+        _audit("primary", read_bucketed_store(spark, primary["base_dir"]),
+               primary["key_col"], rows)
+    if signature_store is not None:
+        from localsql_spark.operators.dedup import (
+            erase_from_signature_store, read_signature_store)
+        erase_from_signature_store(spark, signature_store["store_path"], k,
+                                   index_path=signature_store.get(
+                                       "index_path"))
+        _audit("signature_store",
+               read_signature_store(spark, signature_store["store_path"]),
+               "doc_id", rows)
+        idx = (signature_store.get("index_path")
+               or f"{signature_store['store_path'].rstrip('/')}_banded")
+        if Path(idx).exists():
+            _audit("banded_index", spark.read.parquet(idx), "doc_id", rows)
+    if ivfpq_index is not None:
+        from localsql_spark.operators.similarity import ivfpq_erase_vectors
+        ivfpq_erase_vectors(spark, ivfpq_index["index_path"], k)
+        _audit("ivfpq_codes",
+               spark.read.parquet(f"{ivfpq_index['index_path']}/codes"),
+               "neighbor_id", rows)
+    if scd2 is not None:
+        from localsql_spark.sinks.scd2_store import (read_history,
+                                                     scd2_erase_keys)
+        scd2_erase_keys(spark, scd2["store_dir"], k, scd2["key_col"])
+        _audit("scd2_history", read_history(spark, scd2["store_dir"]),
+               scd2["key_col"], rows)
+    return spark.createDataFrame(
+        rows, "store string, rows_after long, erased_refs long")

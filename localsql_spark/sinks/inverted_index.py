@@ -156,3 +156,93 @@ def bm25_from_index(spark: SparkSession, index_dir: str, terms: list[str],
             .groupBy("doc_id")
             .agg(F.round(F.sum(F.round(contrib, 12).cast("decimal(28,12)")),
                          9).cast("double").alias("score")))
+
+
+def index_erase_documents(spark: SparkSession, index_dir: str,
+                          keys: DataFrame, n_buckets: int = 16,
+                          docs: DataFrame | None = None,
+                          doc_id_col: str = "doc_id",
+                          text_col: str = "text") -> list:
+    """Right-to-be-forgotten PROPAGATION into the inverted index: remove
+    every posting of the erased documents and decrement the corpus
+    counters, so a post-erasure :func:`bm25_from_index` probe is
+    bit-identical to an index built from scratch on the erased corpus
+    (erasing the primary store alone would leave the subjects' content
+    fully reconstructible from their posting lists).
+
+    ``keys`` is a one-column DataFrame of erased doc ids.  ``docs``
+    (optional) carries the erased documents' TEXT — when the erasure
+    request still has it (the normal flow: propagate BEFORE erasing the
+    primary store), the touched term buckets are computed from the
+    documents' own tokens and the read is partition-pruned to them; a
+    text-less request (store already erased) must pass over all buckets,
+    still one pruned-width columnar pass of postings, never a corpus
+    re-tokenize.
+
+    Counter handling: the STATS partition rewrites with n_docs and
+    total-length decremented by the erased documents actually PRESENT in
+    the index (absent keys contribute nothing — idempotent re-runs are
+    no-ops).  Commit is the shared staged-write + manifest protocol; a
+    bucket whose every posting was erased is committed as an explicit
+    removal.  Returns the rewritten ``tb`` values (stats bucket
+    included)."""
+    from localsql_spark.sinks.merge import (_apply_manifest, _manifest_path,
+                                            read_base_partitions,
+                                            recover_pending_merge)
+
+    recover_pending_merge(index_dir)
+    k = (keys.select(F.col(keys.columns[0]).alias("_erase_key"))
+         .filter(F.col("_erase_key").isNotNull()).distinct())
+    if docs is not None:
+        touched = sorted({r[0] for r in (
+            docs.join(F.broadcast(k),
+                      F.col(doc_id_col) == F.col("_erase_key"), "semi")
+            .select(F.explode(F.split(normalize_text(F.col(text_col)),
+                                      " ")).alias("term"))
+            .select(F.pmod(hash32(F.col("term")), F.lit(n_buckets))
+                    .cast("int").alias("tb")).distinct().collect())})
+    else:
+        touched = list(range(n_buckets))
+    touched = touched + [n_buckets]  # counters always rewrite with postings
+    stored = read_base_partitions(spark, index_dir, "tb", touched)
+    if stored is None:
+        return []
+    stats = stored.filter(F.col("tb") == n_buckets)
+    posts = stored.filter(F.col("tb") != n_buckets)
+    # per-doc length of the erased docs that are ACTUALLY in the index
+    # (dl is a per-doc property denormalized onto each posting -> max);
+    # two scalars, collected once
+    gone = (posts.join(F.broadcast(k),
+                       F.col("doc_id") == F.col("_erase_key"), "semi")
+            .groupBy("doc_id").agg(F.max("dl").alias("dl"))
+            .agg(F.count(F.lit(1)).alias("nd"),
+                 F.coalesce(F.sum("dl"), F.lit(0)).alias("dlsum"))
+            .first())
+    kept_posts = posts.join(F.broadcast(k),
+                            F.col("doc_id") == F.col("_erase_key"),
+                            "left_anti")
+    new_stats = stats.agg(
+        F.lit(_STATS).alias("term"),
+        F.lit(-1).cast("long").alias("doc_id"),
+        (F.sum("tf") - F.lit(int(gone["nd"]))).alias("tf"),
+        (F.sum("dl") - F.lit(int(gone["dlsum"]))).alias("dl"),
+        F.lit(int(n_buckets)).cast("int").alias("tb"))
+    merged = kept_posts.unionByName(new_stats)
+
+    base = Path(index_dir)
+    staging = base.parent / f".{base.name}.staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    (merged.write.mode("overwrite").partitionBy("tb")
+     .parquet(str(staging)))
+    pnames = sorted(p.name for p in staging.glob("tb=*"))
+    # tb is an int partition value — Python and Spark path-encode it
+    # identically, so emptied buckets are committed as removals by name
+    removed = sorted({f"tb={t}" for t in touched} - set(pnames))
+    manifest = _manifest_path(base)
+    tmp = manifest.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps({"staging": staging.name,
+                               "partitions": pnames,
+                               "removed": removed}))
+    os.rename(tmp, manifest)  # COMMIT POINT — one rename
+    _apply_manifest(base, manifest)
+    return sorted(touched)

@@ -223,3 +223,46 @@ def compact_scd2_store(spark: SparkSession, store_dir: str,
         shutil.rmtree(p, ignore_errors=True)
     shutil.rmtree(store / "_staging", ignore_errors=True)
     return len(dirs)
+
+
+def scd2_erase_keys(spark: SparkSession, store_dir: str, keys: DataFrame,
+                    key_col: str) -> int:
+    """Right-to-be-forgotten PROPAGATION into the SCD2 history store:
+    remove the erased subjects' ENTIRE version chain — open version and
+    every closed version — from every committed slice.  History is the
+    canonical place erased content survives "deletion" (the whole point
+    of SCD2 is to keep what changed), so an erasure obligation must reach
+    it explicitly.
+
+    Each committed dir (open snapshots kept for replay, closed batch and
+    compact dirs) rewrites independently: filter out the keys, stage,
+    atomic dir swap.  A crash mid-way leaves some dirs erased and some
+    not — re-running the same request completes the rest (idempotent:
+    erasing absent keys is a no-op), and every intermediate state is a
+    valid store (each dir is internally consistent; the commit protocol's
+    id rules are untouched because no dir ids change).  Returns the
+    number of history rows removed."""
+    store = Path(store_dir)
+    k = (keys.select(F.col(keys.columns[0]).alias("_erase_key"))
+         .filter(F.col("_erase_key").isNotNull()).distinct())
+    targets = list(_open_snapshots(store)) + _committed_closed_dirs(store)
+    removed = 0
+    for d in targets:
+        df = spark.read.parquet(str(d))
+        hit = df.join(F.broadcast(k),
+                      F.col(key_col) == F.col("_erase_key"), "semi").count()
+        if hit == 0:
+            continue
+        removed += hit
+        kept = df.join(F.broadcast(k),
+                       F.col(key_col) == F.col("_erase_key"), "left_anti")
+        staged = store / "_staging" / f"erase_{d.name}"
+        shutil.rmtree(staged, ignore_errors=True)
+        kept.write.mode("overwrite").parquet(str(staged))
+        old = d.parent / f".{d.name}.old"
+        shutil.rmtree(old, ignore_errors=True)
+        d.rename(old)
+        staged.rename(d)
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(store / "_staging", ignore_errors=True)
+    return removed

@@ -1,0 +1,197 @@
+"""Right-to-be-forgotten propagation through the DERIVED stores: erased
+subjects must vanish from inverted-index postings (+stats), minhash
+signature store + banded sidecar, IVFPQ codes, and SCD2 history — and a
+post-erasure probe must equal one against a store built from scratch on
+the erased corpus (reference has no persistence at all; this is the
+engine's own extension surface, sinks/erase.py)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, n=40):
+    rows = [(i, f"doc {i} body " + " ".join(
+        f"w{(i * 7 + j) % 23}" for j in range(12)) +
+        (" table join" if i % 3 == 0 else " window hash"))
+        for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_inverted_index_erase_equals_fresh_build(spark, tmp_path):
+    """Post-erasure BM25 probe == probe of an index built from scratch on
+    the erased corpus (postings gone AND stats decremented)."""
+    from localsql_spark.sinks.inverted_index import (bm25_from_index,
+                                                     index_add_documents,
+                                                     index_erase_documents)
+
+    docs = _docs(spark)
+    erased = docs.filter(F.col("doc_id") % 5 == 0)
+    keys = erased.select("doc_id")
+    terms = ["table", "join", "window", "hash"]
+
+    full = str(tmp_path / "idx_full")
+    index_add_documents(spark, full, docs)
+    # pruned path: the erased docs' text names the touched buckets
+    index_erase_documents(spark, full, keys, docs=erased)
+
+    fresh = str(tmp_path / "idx_fresh")
+    index_add_documents(spark, fresh, docs.filter(F.col("doc_id") % 5 != 0))
+
+    got = sorted((r.doc_id, r.score) for r in
+                 bm25_from_index(spark, full, terms).collect())
+    want = sorted((r.doc_id, r.score) for r in
+                  bm25_from_index(spark, fresh, terms).collect())
+    assert got == want and len(got) > 0
+
+    # idempotent: erasing the same (now absent) keys changes nothing
+    index_erase_documents(spark, full, keys)  # text-less path this time
+    got2 = sorted((r.doc_id, r.score) for r in
+                  bm25_from_index(spark, full, terms).collect())
+    assert got2 == got
+
+
+def test_signature_store_erase_probe_equals_fresh_store(spark, tmp_path):
+    """Post-erasure LSH probe (store + banded sidecar) == probe of a store
+    written from the erased corpus; the sidecar stays FRESH (no rebuild)."""
+    from localsql_spark.operators import dedup as D
+
+    docs = _docs(spark, 30).withColumn(
+        "text", F.when(F.col("doc_id") % 10 < 2,
+                       F.lit("exact same duplicated body of text here"))
+        .otherwise(F.col("text")))
+    corpus = docs.filter(F.col("doc_id") % 9 != 0)
+    batch = docs.filter(F.col("doc_id") % 9 == 0)
+    erased = corpus.filter(F.col("doc_id") % 4 == 0).select("doc_id")
+
+    store = str(tmp_path / "sigs")
+    D.write_signature_store(corpus, store)
+    D.ensure_banded_index(spark, store, f"{store}_banded")
+    res = D.erase_from_signature_store(spark, store, erased)
+    assert res["erased"] > 0
+
+    # the updated index serves WITHOUT a rebuild
+    assert D.ensure_banded_index(spark, store, f"{store}_banded") == "fresh"
+    got = sorted((r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs_from_store(
+        spark, store, batch, threshold=0.5).collect())
+
+    fresh = str(tmp_path / "sigs_fresh")
+    D.write_signature_store(
+        corpus.join(erased.withColumnRenamed("doc_id", "e"),
+                    F.col("doc_id") == F.col("e"), "left_anti"), fresh)
+    want = sorted((r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs_from_store(
+        spark, fresh, batch, threshold=0.5).collect())
+    assert got == want
+    # no erased id survives in store or sidecar
+    ids = {r[0] for r in spark.read.parquet(store).select("doc_id")
+           .distinct().collect()}
+    idx_ids = {r[0] for r in spark.read.parquet(f"{store}_banded")
+               .select("doc_id").distinct().collect()}
+    gone = {r[0] for r in erased.collect()}
+    assert not (ids & gone) and not (idx_ids & gone)
+
+
+def test_ivfpq_erase_removes_codes_and_prunes_cells(spark, tmp_path):
+    from localsql_spark.operators.similarity import (ivfpq_erase_vectors,
+                                                     knn_ivfpq_from_index,
+                                                     write_ivfpq_index)
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 13 + j * 7) % 11) for j in range(16)])
+         for i in range(40)], "vec_id long, embedding array<double>")
+    index = str(tmp_path / "ivfpq")
+    write_ivfpq_index(emb, index, n_cells=4, m=2, k_codes=8)
+    before = spark.read.parquet(f"{index}/codes").count()
+
+    gone = spark.createDataFrame([(i,) for i in range(10, 40, 3)],
+                                 "vec_id long")
+    touched = ivfpq_erase_vectors(spark, index, gone)
+    assert touched  # erased vectors lived somewhere
+    codes = spark.read.parquet(f"{index}/codes")
+    n_gone = gone.count()
+    assert codes.count() == before - 2 * n_gone  # m rows per vector
+    assert codes.join(gone.withColumnRenamed("vec_id", "neighbor_id"),
+                      "neighbor_id", "semi").count() == 0
+    # probes never return an erased id
+    out = knn_ivfpq_from_index(spark, index,
+                               emb.filter(F.col("vec_id") < 3), k=5)
+    bad = {r[0] for r in gone.collect()}
+    assert not any(r.neighbor_id in bad for r in out.collect())
+    # idempotent
+    assert ivfpq_erase_vectors(spark, index, gone) == []
+
+
+def test_scd2_erase_removes_full_version_chain(spark, tmp_path):
+    from localsql_spark.sinks.scd2_store import (apply_batch, init_store,
+                                                 read_history,
+                                                 scd2_erase_keys)
+
+    dim = spark.createDataFrame([(i, f"seg{i % 3}") for i in range(12)],
+                                "k long, seg string")
+    store = str(tmp_path / "scd2")
+    init_store(dim, store, ["k"], ["seg"], 1_000_000)
+    upd = spark.createDataFrame([(i, "MOVED") for i in range(0, 12, 2)],
+                                "k long, seg string")
+    apply_batch(spark, store, upd, ["k"], ["seg"], 2_000_000, batch_id=1)
+
+    keys = spark.createDataFrame([(2,), (3,), (4,)], "k long")
+    removed = scd2_erase_keys(spark, store, keys, "k")
+    # latest open: k=2,4 MOVED + k=3 original (3); closed batch_1: k=2,4
+    # pre-update versions (2); PLUS the replay-kept predecessor snapshot
+    # batch_0 also holds k=2,3,4 (3) — erasure must reach it too, or a
+    # batch-1 replay would resurrect the subjects
+    assert removed == 3 + 2 + 3
+    hist = read_history(spark, store)
+    assert hist.filter(F.col("k").isin([2, 3, 4])).count() == 0
+    # untouched keys keep their full chain
+    assert hist.filter(F.col("k") == 0).count() == 2
+    # idempotent
+    assert scd2_erase_keys(spark, store, keys, "k") == 0
+
+
+def test_erase_everywhere_audit_has_zero_erased_refs(spark, tmp_path):
+    from localsql_spark.operators import dedup as D
+    from localsql_spark.operators.similarity import write_ivfpq_index
+    from localsql_spark.sinks.erase import (erase_everywhere,
+                                            write_bucketed_store)
+    from localsql_spark.sinks.inverted_index import index_add_documents
+    from localsql_spark.sinks.scd2_store import init_store
+
+    docs = _docs(spark, 30)
+    primary = str(tmp_path / "primary")
+    write_bucketed_store(docs, primary, "doc_id", n_buckets=8)
+    idx = str(tmp_path / "inv")
+    index_add_documents(spark, idx, docs, n_buckets=8)
+    sigs = str(tmp_path / "sigs")
+    D.write_signature_store(docs, sigs)
+    D.ensure_banded_index(spark, sigs, f"{sigs}_banded")
+    emb = spark.createDataFrame(
+        [(i, [float((i * 13 + j * 7) % 11) for j in range(16)])
+         for i in range(30)], "doc_id long, embedding array<double>")
+    pq = str(tmp_path / "pq")
+    write_ivfpq_index(emb, pq, n_cells=4, m=2, k_codes=8, id_col="doc_id")
+    scd2 = str(tmp_path / "scd2")
+    init_store(docs.select("doc_id", F.substring("text", 1, 6).alias("s")),
+               scd2, ["doc_id"], ["s"], 1_000_000)
+
+    keys = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    audit = erase_everywhere(
+        spark, keys,
+        primary={"base_dir": primary, "key_col": "doc_id", "n_buckets": 8},
+        inverted_index={"index_dir": idx, "n_buckets": 8},
+        signature_store={"store_path": sigs},
+        ivfpq_index={"index_path": pq},
+        scd2={"store_dir": scd2, "key_col": "doc_id"})
+    rows = {r.store: (r.rows_after, r.erased_refs)
+            for r in audit.collect()}
+    assert set(rows) == {"inverted_index", "primary", "signature_store",
+                         "banded_index", "ivfpq_codes", "scd2_history"}
+    assert all(refs == 0 for _, refs in rows.values())
+    assert rows["primary"][0] == 24
+    assert rows["signature_store"][0] == 24
+    assert rows["banded_index"][0] == 24 * D.N_BANDS
+    assert rows["ivfpq_codes"][0] == 24 * 2
+    assert rows["scd2_history"][0] == 24
