@@ -101,6 +101,9 @@ EXTENSION_HEADLINE = [
     # round 8 (late): index-served BM25 steady-state probe (fixture-cached
     # index, same framing as knn_ivfpq_index_top5)
     "bm25_index_top10",
+    # round 9: composed right-to-be-forgotten across the persistence
+    # surface (primary + inverted index + signature store/sidecar + SCD2)
+    "erase_users_everywhere",
 ]
 
 

@@ -4644,3 +4644,236 @@ def streaming_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
            .localCheckpoint(eager=True))
     shutil.rmtree(scratch, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten propagation (sinks/erase.py + per-store retraction)
+# ---------------------------------------------------------------------------
+
+_H13 = ("CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
+        "AS BIGINT) % 13")
+
+
+@query("erase_bm25_probe", oracle=rf"""
+WITH norm AS (SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM documents WHERE {_H13} <> 0),
+toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM norm),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          FROM doclen),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('table', 'join', 'window', 'hash') GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (SELECT tf.doc_id,
+                  CAST(round(SUM(CAST(round(
+                      ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)
+                         + 1.0) * tf * 2.2
+                      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)),
+                      12) AS DECIMAL(28,12))), 9) AS DOUBLE) AS score
+           FROM tf JOIN dfreq USING (term) JOIN doclen USING (doc_id)
+                CROSS JOIN stats
+           GROUP BY tf.doc_id)
+SELECT doc_id, score, CAST(rk AS INT) AS rk FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+  FROM scored) r WHERE rk <= 10
+""")
+def erase_bm25_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten through the INVERTED INDEX
+    (sinks.inverted_index.index_erase_documents): build the index over the
+    full corpus, erase a deterministic 1/13 of documents (postings removed
+    AND corpus counters decremented, touched term buckets pruned from the
+    erased docs' own text), then probe BM25 from the erased index.  The
+    oracle computes BM25 from scratch on the erased corpus — hash-equality
+    proves the post-erasure index is bit-identical to never having
+    ingested the subjects (erasing the primary store alone would leave
+    their text reconstructible per term from the posting lists)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql.window import Window
+
+    from localsql_spark.operators import hash32
+    from localsql_spark.sinks.inverted_index import (bm25_from_index,
+                                                     index_add_documents,
+                                                     index_erase_documents)
+
+    docs = load(spark, sf_dir)["documents"]
+    erased = docs.filter(hash32(F.col("doc_id")) % 13 == 0)
+    index = tempfile.mkdtemp(prefix="erase_bm25_")
+    try:
+        index_add_documents(spark, index, docs)
+        index_erase_documents(spark, index, erased.select("doc_id"),
+                              docs=erased)
+        scores = bm25_from_index(spark, index,
+                                 ["table", "join", "window", "hash"])
+        w = Window.orderBy(F.col("score").desc(), "doc_id")
+        return (scores.orderBy(F.col("score").desc(), "doc_id").limit(10)
+                .withColumn("rk", F.row_number().over(w))
+                .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(index, ignore_errors=True)
+
+
+_ERASE_LSH_ORACLE = _INCR_DEDUP_ORACLE.replace(
+    "WITH alls AS (SELECT doc_id, lang, text FROM documents),",
+    f"WITH alls AS (SELECT doc_id, lang, text FROM documents\n"
+    f"              WHERE {_INCR_HASH} = 0 OR {_H13} <> 0),")
+
+
+@query("erase_lsh_store_probe", oracle=_ERASE_LSH_ORACLE)
+def erase_lsh_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten through the NEAR-DUP state
+    (operators.dedup.erase_from_signature_store): persist the corpus
+    signature store + banded sidecar, erase a deterministic 1/13 of corpus
+    documents (store rewritten, sidecar pruned along the erased docs' own
+    band-key prefixes, meta re-fingerprinted under the maintenance lock),
+    then run the production store probe with the usual 1/9 new batch.
+    The oracle computes the pairs from scratch with the erased documents
+    never present — equality proves the post-erasure probe serves the
+    erased corpus exactly, with no rebuild (the sidecar stays 'fresh')."""
+    import shutil
+    import tempfile
+
+    from localsql_spark.operators import hash32
+
+    docs = load(spark, sf_dir)["documents"]
+    is_new = hash32(F.col("doc_id")) % 9 == 0
+    erased = (docs.filter(~is_new)
+              .filter(hash32(F.col("doc_id")) % 13 == 0).select("doc_id"))
+    store = tempfile.mkdtemp(prefix="erase_lsh_")
+    shutil.rmtree(store)  # write_signature_store creates it
+    try:
+        D.write_signature_store(docs.filter(~is_new), store)
+        D.ensure_banded_index(spark, store, f"{store}_banded")
+        D.erase_from_signature_store(spark, store, erased)
+        return D.minhash_lsh_pairs_from_store(
+            spark, store, docs.filter(is_new),
+            threshold=0.5).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(f"{store}_banded", ignore_errors=True)
+        import os as _os
+        try:
+            _os.unlink(f"{store}_banded.lock")
+        except OSError:
+            pass
+
+
+_ERASE_IVFPQ_ORACLE = _IVFPQ_ORACLE.replace(
+    "WHERE l.query_id <> c.vec_id",
+    "WHERE l.query_id <> c.vec_id\n"
+    "             AND NOT (CAST('0x' || substr(md5(CAST(c.vec_id AS "
+    "VARCHAR)), 1, 8) AS BIGINT) % 13 = 0 AND c.vec_id >= 10)")
+
+
+@query("erase_ivfpq_probe", oracle=_ERASE_IVFPQ_ORACLE)
+def erase_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten through the ANN index
+    (operators.similarity.ivfpq_erase_vectors): persist the IVFPQ index,
+    erase a deterministic 1/13 of non-query vectors (code rows removed
+    cell-pruned; PQ codes reconstruct the embedding to within quantization
+    error, so they are personal data), probe the erased index.  The model
+    tables keep their full-corpus training by the documented
+    non-retractable-aggregate policy, and the oracle replays exactly that:
+    training CTEs over the full corpus, the ADC scan with the erased
+    vectors absent."""
+    import shutil
+    import tempfile
+
+    from localsql_spark.operators import hash32
+
+    emb = load(spark, sf_dir)["embeddings"]
+    erased = (emb.filter((hash32(F.col("vec_id")) % 13 == 0)
+                         & (F.col("vec_id") >= 10)).select("vec_id"))
+    index = tempfile.mkdtemp(prefix="erase_ivfpq_")
+    try:
+        S.write_ivfpq_index(emb, index, n_cells=8, m=4, k_codes=16,
+                            n_iter=1)
+        S.ivfpq_erase_vectors(spark, index, erased)
+        return S.knn_ivfpq_from_index(
+            spark, index, emb.filter(F.col("vec_id") < 10), k=5,
+            n_probe=4, exclude_self=True).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(index, ignore_errors=True)
+
+
+@query("erase_users_everywhere", oracle=rf"""
+WITH kept AS (SELECT doc_id, lang, text FROM documents WHERE {_H13} <> 0),
+norm AS (SELECT doc_id,
+                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+         FROM kept),
+toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM norm),
+posts AS (SELECT DISTINCT doc_id, term FROM toks)
+SELECT store, rows_after, erased_refs FROM (
+  SELECT 'banded_index' AS store,
+         (SELECT count(*) FROM kept) * {D.N_BANDS} AS rows_after,
+         CAST(0 AS BIGINT) AS erased_refs
+  UNION ALL
+  SELECT 'inverted_index', (SELECT count(*) FROM posts), 0
+  UNION ALL
+  SELECT 'primary', (SELECT count(*) FROM kept), 0
+  UNION ALL
+  SELECT 'scd2_history',
+         (SELECT count(*) + count(*) FILTER (WHERE doc_id % 3 = 0)
+          FROM kept), 0
+  UNION ALL
+  SELECT 'signature_store', (SELECT count(*) FROM kept), 0) u
+ORDER BY store
+""")
+def erase_users_everywhere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED right-to-be-forgotten flow (sinks.erase.
+    erase_everywhere): stand up the full persistence surface — primary
+    hash-bucketed store, inverted index, signature store + banded
+    sidecar, SCD2 history (init + one re-segmentation batch) — erase a
+    deterministic 1/13 of subjects everywhere, and return the per-store
+    audit.  ``erased_refs`` is recounted from the post-erase bytes of
+    each store (a row still referencing an erased key would make it
+    non-zero), and ``rows_after`` is checked against the oracle's
+    from-scratch expectation on the erased corpus — store-by-store proof
+    that no derived state retains the subjects.  The IVFPQ path is
+    exercised by erase_ivfpq_probe (its training composition priced
+    separately)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from localsql_spark.operators import hash32
+    from localsql_spark.sinks.erase import (erase_everywhere,
+                                            write_bucketed_store)
+    from localsql_spark.sinks.inverted_index import index_add_documents
+    from localsql_spark.sinks.scd2_store import apply_batch, init_store
+
+    docs = load(spark, sf_dir)["documents"]
+    keys = docs.filter(hash32(F.col("doc_id")) % 13 == 0).select("doc_id")
+    scratch = Path(tempfile.mkdtemp(prefix="erase_all_"))
+    try:
+        primary = str(scratch / "primary")
+        write_bucketed_store(docs.select("doc_id", "lang", "text"),
+                             primary, "doc_id", n_buckets=16)
+        inv = str(scratch / "inv")
+        index_add_documents(spark, inv, docs, n_buckets=16)
+        sigs = str(scratch / "sigs")
+        D.write_signature_store(docs, sigs)
+        D.ensure_banded_index(spark, sigs, f"{sigs}_banded")
+        scd2 = str(scratch / "scd2")
+        init_store(docs.select("doc_id", "lang"), scd2, ["doc_id"],
+                   ["lang"], 1_000_000)
+        apply_batch(spark, scd2,
+                    docs.filter(F.col("doc_id") % 3 == 0)
+                    .select("doc_id", F.lit("MIGRATED").alias("lang")),
+                    ["doc_id"], ["lang"], 2_000_000, batch_id=1)
+        audit = erase_everywhere(
+            spark, keys,
+            primary={"base_dir": primary, "key_col": "doc_id",
+                     "n_buckets": 16},
+            inverted_index={"index_dir": inv, "n_buckets": 16},
+            signature_store={"store_path": sigs},
+            scd2={"store_dir": scd2, "key_col": "doc_id"})
+        return (audit.orderBy("store")
+                .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
