@@ -1,0 +1,153 @@
+"""Streaming DIM-SIDE maintenance of the join-aggregate view (sinks.ivm):
+dimension-change micro-batches (SCD-feed shaped: one row per changed key
+carrying its NEW attribute value) land in idempotent per-batch dirs, then
+fold through the Gupta-Mumick retract+re-add delta
+(:func:`sinks.ivm.apply_dim_change`) into the persisted view — completing
+the maintenance pair: ``stream_ivm_ingest`` handles fact appends, this
+module handles dimension changes, so a view under BOTH a fact stream and
+a slowly-changing dimension stays correct without rebuilds.
+
+The dim-side delta needs each changed key's OLD attribute value, so the
+module maintains a CURRENT-DIM SNAPSHOT next to the view (generation dir +
+pointer file, the ``foreach_upsert`` poor-man's-transaction shape, seeded
+once from the initial dimension).  Per landed batch, in order:
+
+1. old rows = snapshot ⋈ batch keys (broadcast — the change set is
+   dimension-change-sized by construction);
+2. ``apply_dim_change`` retracts the changed keys' facts from their old
+   groups and re-adds them to the new ones (manifest-committed
+   touched-bucket swap, cost tracks the changed keys' fact rows);
+3. the snapshot advances to a new generation (write-then-pointer-flip).
+
+Crash windows: the view commit precedes the snapshot flip, so a replay
+after the flip recomputes old == new and folds a NET-ZERO delta (no-op);
+the remaining exposure is the same single window every MERGE twin
+documents (crash between the view's manifest commit and the snapshot
+flip / applied marker re-folds one batch — rebuild from the landed dirs,
+which stay the durable exactly-once record).
+
+The reference has no streaming surface (reference: localsql/localsql.py:31);
+scale extension.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from localsql_spark.sinks.ivm import apply_dim_change
+from localsql_spark.streaming.stream_rollup import stream_land_batches
+
+
+def init_dim_snapshot(dim: DataFrame, dim_dir: str) -> None:
+    """Seed the current-dim snapshot (idempotent: an existing pointer is
+    left alone, so a replayed setup never regresses an advanced dim)."""
+    pointer = Path(dim_dir) / "_CURRENT"
+    if pointer.exists():
+        return
+    gen = Path(dim_dir) / "gen_init"
+    dim.write.mode("overwrite").parquet(str(gen))
+    tmp = Path(dim_dir) / "_CURRENT.tmp"
+    tmp.write_text("gen_init")
+    os.replace(tmp, pointer)
+
+
+def read_dim_snapshot(spark: SparkSession, dim_dir: str) -> DataFrame:
+    """The dimension as of the last applied change batch."""
+    pointer = Path(dim_dir) / "_CURRENT"
+    gen = Path(dim_dir) / pointer.read_text().strip()
+    return spark.read.parquet(str(gen))
+
+
+def _advance_snapshot(snapshot: DataFrame, dim_dir: str,
+                      batch_id: int) -> None:
+    """Write-then-flip, keeping only the new generation.  Re-advancing to
+    an already-current generation is a no-op (replay guard)."""
+    pointer = Path(dim_dir) / "_CURRENT"
+    new_gen = f"gen_{batch_id}"
+    old = pointer.read_text().strip()
+    if old == new_gen:
+        return
+    snapshot.write.mode("overwrite").parquet(str(Path(dim_dir) / new_gen))
+    tmp = Path(dim_dir) / "_CURRENT.tmp"
+    tmp.write_text(new_gen)
+    os.replace(tmp, pointer)
+    shutil.rmtree(Path(dim_dir) / old, ignore_errors=True)
+
+
+def apply_dim_batch(spark: SparkSession, view_dir: str, dim_dir: str,
+                    fact: DataFrame, batch: DataFrame, batch_id: int, *,
+                    dim_key: str, group_col: str, fact_key: str,
+                    value_col: str, n_buckets: int = 8) -> list:
+    """Fold ONE dim-change batch: view delta first (manifest-committed),
+    snapshot advance second.  A replayed batch whose snapshot already
+    advanced computes old == new and the delta nets to zero — the fold
+    is a no-op, which is what makes the marker window safe."""
+    # one row per changed key, deterministically (latest-wins needs a
+    # version column the SCD feed shape doesn't carry; full-row hash is
+    # stable across replays, same rule as merge_upsert's in-batch ties)
+    w = Window.partitionBy(dim_key).orderBy(
+        F.xxhash64(*[F.col(c) for c in batch.columns]))
+    new_rows = (batch.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1).drop("__rn")
+                .select(dim_key, group_col)
+                .localCheckpoint(eager=True))
+    cur = read_dim_snapshot(spark, dim_dir).select(dim_key, group_col)
+    old_rows = cur.join(F.broadcast(new_rows.select(dim_key)), dim_key,
+                        "semi")
+    touched = apply_dim_change(
+        spark, view_dir, fact, old_dim_rows=old_rows,
+        new_dim_rows=new_rows, fact_key=fact_key, dim_key=dim_key,
+        group_col=group_col, value_col=value_col, n_buckets=n_buckets)
+    advanced = (cur.join(F.broadcast(new_rows.select(dim_key)), dim_key,
+                         "left_anti").unionByName(new_rows))
+    _advance_snapshot(advanced, dim_dir, batch_id)
+    return touched
+
+
+def stream_ivm_dim_ingest(spark: SparkSession, *, source_dir: str, schema,
+                          land_dir: str, view_dir: str, dim_dir: str,
+                          checkpoint_dir: str, fact: DataFrame,
+                          dim_key: str, group_col: str, fact_key: str,
+                          value_col: str, n_buckets: int = 8,
+                          max_files_per_trigger: int = 1) -> int:
+    """Land + fold in one call: drain the dim-change file stream into
+    per-batch landing dirs, then fold every unapplied batch through the
+    retract+re-add delta into the persisted view (and advance the dim
+    snapshot).  ``init_dim_snapshot`` must have seeded ``dim_dir``.
+    Returns the number of batches folded."""
+    stream_land_batches(spark, source_dir=source_dir, schema=schema,
+                        land_dir=land_dir, checkpoint_dir=checkpoint_dir,
+                        max_files_per_trigger=max_files_per_trigger)
+
+    # fold_landed_with's apply_fn receives only the batch DataFrame, but
+    # the snapshot generation is keyed by batch id — so this runs the
+    # same marker-committed walk with the id read from the dir name
+    from localsql_spark.streaming.stream_rollup import (_applied_marker,
+                                                        _applied_through)
+    n = 0
+    wm = _applied_through(view_dir)
+    for b in sorted(Path(land_dir).glob("batch_*"),
+                    key=lambda p: int(p.name.split("_")[1])):
+        bid = int(b.name.split("_")[1])
+        if bid <= wm:
+            continue
+        marker = _applied_marker(view_dir, bid)
+        if marker.exists():
+            continue
+        if not (b / "_SUCCESS").exists():
+            continue  # partial landing (stream will rewrite it)
+        apply_dim_batch(spark, view_dir, dim_dir, fact,
+                        spark.read.parquet(str(b)), bid,
+                        dim_key=dim_key, group_col=group_col,
+                        fact_key=fact_key, value_col=value_col,
+                        n_buckets=n_buckets)
+        tmp = Path(str(marker) + ".tmp")
+        tmp.write_text("applied")
+        os.rename(tmp, marker)  # commit point for this batch's fold
+        n += 1
+    return n

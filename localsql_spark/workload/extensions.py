@@ -4877,3 +4877,90 @@ def erase_users_everywhere(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint(eager=True))
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+_IVM_DIM_ORACLE = """
+SELECT CASE WHEN c.c_custkey % 50 = 0 THEN (c.c_nationkey + 1) % 25
+            ELSE c.c_nationkey END AS grp,
+       count(*) AS n_rows,
+       round(CAST(sum(CAST(round(o.o_totalprice, 6) AS DECIMAL(28,6)))
+                  AS DOUBLE), 6) AS sum_value
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+@query("streaming_ivm_dim", oracle=_IVM_DIM_ORACLE)
+def streaming_ivm_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIM-SIDE streaming maintenance of the join-aggregate view
+    (streaming.stream_ivm_dim): after folding the full fact table, the
+    %50 customers' nation moves arrive as an SCD-shaped dim-change
+    STREAM in three micro-batches; each lands idempotently, then folds
+    the Gupta-Mumick retract+re-add delta through the view (old rows
+    from the maintained current-dim snapshot, cost tracking the changed
+    keys' fact rows), completing the maintenance pair with
+    streaming_ivm_ingest's fact side.  Shares ivm_dim_rebase's
+    from-scratch oracle: streamed dim maintenance == full recompute
+    against the post-change dimension."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from localsql_spark.catalog import _CACHE_DIR
+    from localsql_spark.operators import hash32
+    from localsql_spark.sinks.ivm import maintain_join_view, read_join_view
+    from localsql_spark.streaming.stream_ivm_dim import (init_dim_snapshot,
+                                                         stream_ivm_dim_ingest)
+
+    t = load(spark, sf_dir)
+    orders, customer = t["orders"], t["customer"]
+    changed = (customer.filter(F.pmod(F.col("c_custkey"), F.lit(50)) == 0)
+               .select("c_custkey",
+                       F.pmod(F.col("c_nationkey") + 1, F.lit(25))
+                       .alias("c_nationkey")))
+    src_dir = (_CACHE_DIR.parent / "stream_ivm_dim_src"
+               / Path(sf_dir.rstrip("/")).name)
+    if not src_dir.exists():
+        src_dir.parent.mkdir(parents=True, exist_ok=True)
+        build = Path(tempfile.mkdtemp(prefix=f".{src_dir.name}.build_",
+                                      dir=src_dir.parent))
+        names = ("a_batch0.parquet", "b_batch1.parquet", "c_batch2.parquet")
+        for i, name in enumerate(names):
+            tmp = tempfile.mkdtemp(prefix="dsplit_")
+            (changed.filter(hash32(F.col("c_custkey")) % 3 == i).coalesce(1)
+             .write.mode("overwrite").parquet(tmp))
+            part = next(Path(tmp).glob("part-*.parquet"))
+            shutil.move(str(part), build / name)
+            shutil.rmtree(tmp, ignore_errors=True)
+        t0 = (build / names[0]).stat().st_mtime
+        for i, name in enumerate(names):
+            os.utime(build / name, (t0 + 100 * i, t0 + 100 * i))
+        try:
+            os.rename(build, src_dir)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+
+    schema = spark.read.parquet(str(src_dir / "a_batch0.parquet")).schema
+    scratch = Path(tempfile.mkdtemp(prefix="stream_ivm_dim_"))
+    try:
+        maintain_join_view(spark, str(scratch / "view"), orders, customer,
+                           fact_key="o_custkey", dim_key="c_custkey",
+                           group_col="c_nationkey",
+                           value_col="o_totalprice")
+        init_dim_snapshot(customer.select("c_custkey", "c_nationkey"),
+                          str(scratch / "dim"))
+        stream_ivm_dim_ingest(
+            spark, source_dir=str(src_dir), schema=schema,
+            land_dir=str(scratch / "land"), view_dir=str(scratch / "view"),
+            dim_dir=str(scratch / "dim"),
+            checkpoint_dir=str(scratch / "ck"), fact=orders,
+            dim_key="c_custkey", group_col="c_nationkey",
+            fact_key="o_custkey", value_col="o_totalprice")
+        v = read_join_view(spark, str(scratch / "view"))
+        return (v.select("grp", "n_rows",
+                         F.round(F.col("sum_value").cast("double"), 6)
+                         .alias("sum_value"))
+                .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -880,3 +880,86 @@ def test_read_feed_skips_uncommitted_batch_dirs(spark, tmp_path):
     # nothing committed at all -> None, not a partial read
     (feed_dir / "batch_0" / "_SUCCESS").unlink()
     assert read_feed(spark, str(feed_dir)) is None
+
+
+def test_stream_ivm_dim_replay_and_snapshot_advance(spark, tmp_path):
+    """The dim-side IVM twin: dim-change batches fold retract+re-add into
+    the view via the marker-committed loop; a full re-run (fresh
+    checkpoint, same source) is a no-op, and a replayed batch AFTER its
+    snapshot advanced nets a zero delta (the crash-window guarantee)."""
+    import os
+    from pathlib import Path
+
+    from localsql_spark.sinks.ivm import maintain_join_view, read_join_view
+    from localsql_spark.streaming.stream_ivm_dim import (
+        apply_dim_batch, init_dim_snapshot, read_dim_snapshot,
+        stream_ivm_dim_ingest)
+
+    fact = spark.createDataFrame(
+        [(i, i % 6, float(10 + i)) for i in range(60)],
+        "o_id long, custkey long, price double")
+    dim = spark.createDataFrame([(k, k % 3) for k in range(6)],
+                                "custkey long, nation long")
+    scratch = tmp_path
+    view = str(scratch / "view")
+    maintain_join_view(spark, view, fact, dim, fact_key="custkey",
+                       dim_key="custkey", group_col="nation",
+                       value_col="price", n_buckets=4)
+    init_dim_snapshot(dim, str(scratch / "dim"))
+
+    # three dim-change files: keys 0,1 move to nation 9; key 2 to 7
+    src = scratch / "src"
+    src.mkdir()
+    batches = [[(0, 9)], [(1, 9)], [(2, 7)]]
+    for i, rows in enumerate(batches):
+        d = str(scratch / f"b{i}")
+        spark.createDataFrame(rows, "custkey long, nation long") \
+            .coalesce(1).write.mode("overwrite").parquet(d)
+        part = next(Path(d).glob("part-*.parquet"))
+        part.rename(src / f"{chr(97 + i)}_batch{i}.parquet")
+        os.utime(src / f"{chr(97 + i)}_batch{i}.parquet",
+                 (1000000 + i * 100, 1000000 + i * 100))
+    schema = "custkey long, nation long"
+
+    n = stream_ivm_dim_ingest(
+        spark, source_dir=str(src), schema=schema,
+        land_dir=str(scratch / "land"), view_dir=view,
+        dim_dir=str(scratch / "dim"), checkpoint_dir=str(scratch / "ck"),
+        fact=fact, dim_key="custkey", group_col="nation",
+        fact_key="custkey", value_col="price", n_buckets=4)
+    assert n == 3
+    moved = {k: v for k, v in [(0, 9), (1, 9), (2, 7)]}
+    expect = {}
+    for i in range(60):
+        g = moved.get(i % 6, (i % 6) % 3)
+        c, s = expect.get(g, (0, 0.0))
+        expect[g] = (c + 1, s + 10 + i)
+    got = {r.grp: (r.n_rows, float(r.sum_value))
+           for r in read_join_view(spark, view).collect()}
+    assert got == expect
+    # the snapshot advanced to the post-change dimension
+    snap = {r.custkey: r.nation
+            for r in read_dim_snapshot(spark, str(scratch / "dim"))
+            .collect()}
+    assert snap[0] == 9 and snap[2] == 7 and snap[3] == 0
+
+    # fresh-checkpoint re-run: markers make every batch a no-op
+    n2 = stream_ivm_dim_ingest(
+        spark, source_dir=str(src), schema=schema,
+        land_dir=str(scratch / "land"), view_dir=view,
+        dim_dir=str(scratch / "dim"), checkpoint_dir=str(scratch / "ck2"),
+        fact=fact, dim_key="custkey", group_col="nation",
+        fact_key="custkey", value_col="price", n_buckets=4)
+    assert n2 == 0
+    assert {r.grp: (r.n_rows, float(r.sum_value))
+            for r in read_join_view(spark, view).collect()} == expect
+
+    # crash-window replay: re-applying batch 2 directly after its
+    # snapshot advance folds a net-zero delta (view unchanged)
+    apply_dim_batch(spark, view, str(scratch / "dim"), fact,
+                    spark.createDataFrame([(2, 7)],
+                                          "custkey long, nation long"),
+                    2, dim_key="custkey", group_col="nation",
+                    fact_key="custkey", value_col="price", n_buckets=4)
+    assert {r.grp: (r.n_rows, float(r.sum_value))
+            for r in read_join_view(spark, view).collect()} == expect
