@@ -86,17 +86,16 @@ def erase_keys(spark: SparkSession, base_dir: str, keys: DataFrame,
     staging = base.parent / f".{base.name}.staging"
     shutil.rmtree(staging, ignore_errors=True)
     (kept.write.mode("overwrite").partitionBy("kb").parquet(str(staging)))
-    # a bucket whose every row was erased writes no partition dir; stage
-    # an explicit empty dir so the swap REMOVES the old bucket contents
-    # instead of silently leaving them in place
-    for kb in touched:
-        d = staging / f"kb={kb}"
-        d.mkdir(parents=True, exist_ok=True)
     pnames = sorted(p.name for p in staging.glob("kb=*"))
+    # a bucket whose every row was erased writes no partition dir — it is
+    # committed as an explicit manifest removal (kb is an int partition
+    # value, so Python and Spark path-encode it identically)
+    removed = sorted({f"kb={kb}" for kb in touched} - set(pnames))
     manifest = _manifest_path(base)
     tmp = manifest.with_suffix(".json.tmp")
     tmp.write_text(json.dumps({"staging": staging.name,
-                               "partitions": pnames}))
+                               "partitions": pnames,
+                               "removed": removed}))
     os.rename(tmp, manifest)  # COMMIT POINT — one rename
     _apply_manifest(base, manifest)
     return sorted(touched)

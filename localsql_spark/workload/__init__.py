@@ -454,23 +454,18 @@ def _changed_since_verified() -> dict:
 # land this round).  Refresh each round: drop names once their new green
 # row appears in the latest CORRECTNESS file.
 _MUST_RECHECK: tuple[str, ...] = (
-    # all round-6/7 entries re-earned green CORRECTNESS_r07 rows and
-    # were dropped.  Round 8:
-    # oracle fix — the cluster oracles' recursive CTE expanded only
-    # 1-hop neighbors (edges.s = reach.n), correct for near-clique
-    # minhash components but not a true transitive closure; both must
-    # re-earn a row under the corrected closure (edges.s = reach.r)
-    "dedup_clusters", "dedup_clusters_bigstar",
-    # round-8 execution-path changes (same oracle, new code): advisory
-    # lock + cap-aware meta on the auto banded index; id-contiguity walk
-    # in landing-dir retention
-    "dedup_incremental_store", "dedup_incremental_banded",
-    "streaming_rollup_hourly", "streaming_dedup_ingest",
-    # round-8 CC convergence fingerprint (label-sum instead of the
-    # changed-count join) sits under every components consumer, and the
-    # shared manifest commit gained the optional 'removed' list — pin
-    # one heavy consumer of each
-    "er_customer_entities", "merge_upsert_documents",
+    # all round-8 entries re-earned green CORRECTNESS_r08 rows and were
+    # dropped.  Round 9 semantics edits:
+    # merge_upsert's tie rule changed (an incoming row that only TIES the
+    # stored version now loses, matching change_feed's empty output) and
+    # merge_into_partitioned's tombstoned-partition commit moved to
+    # Spark-encoded manifest removals — the merge/CDC consumers must
+    # re-earn rows under the new semantics
+    "merge_upsert_documents", "change_feed_documents",
+    "streaming_change_feed", "streaming_upsert_latest_event",
+    # pack_sequences' applyInPandas schema now derives doc_id's dtype
+    # from the input (string chunk ids pack)
+    "pack_sequences_cap128",
 )
 
 

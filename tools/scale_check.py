@@ -13,6 +13,7 @@ blowups show up as ~16x steps.  Results go to SCALE.md.
 
 from __future__ import annotations
 
+import os
 import sys
 import tempfile
 import time
@@ -20,7 +21,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-FACTORS = (1, 4, 16)
+# SPARK_GRAFT_SCALE_FACTORS overrides for targeted deep-scale probes
+# (e.g. "1,4,16,64" to add a 64x point for a suspect curve); SCALE.md's
+# table only auto-updates at the default factors — non-default runs print
+# their rows for manual integration into the narrative.
+_DEFAULT_FACTORS = (1, 4, 16)
+FACTORS = tuple(int(x) for x in os.environ.get(
+    "SPARK_GRAFT_SCALE_FACTORS", "1,4,16").split(","))
 
 
 def replicate(spark, sf_dir: str, out_root: Path) -> dict[int, dict[str, str]]:
@@ -71,6 +78,42 @@ def replicate(spark, sf_dir: str, out_root: Path) -> dict[int, dict[str, str]]:
         paths["events"] = str(p)
         out[f] = paths
     return out
+
+
+def _fmt_row(name: str, r: dict[int, float]) -> str:
+    g1 = r[4] / r[1] if r[1] else float("nan")
+    g2 = r[16] / r[4] if r[4] else float("nan")
+    return (f"| {name} | {r[1]:.2f}s | {r[4]:.2f}s | {r[16]:.2f}s "
+            f"| {g1:.1f}x | {g2:.1f}x |")
+
+
+def update_scale_md(results: dict[str, dict[int, float]], sf_dir: str,
+                    scale_md: Path = Path("SCALE.md")) -> bool:
+    """Surgical SCALE.md update: replace/append only the measured rows so
+    a filtered run (SPARK_GRAFT_SCALE_ONLY) or re-measure preserves every
+    other row and all hand-written analysis below the table.  Returns
+    True if the surgical path applied; False means the caller should
+    write the full document (file absent, or hand-truncated to no table
+    rows at all — that case must fall through instead of crashing on a
+    row-less max())."""
+    if not (scale_md.exists() and any(
+            ln.startswith("|") for ln in scale_md.read_text().splitlines())):
+        return False
+    out_lines = scale_md.read_text().splitlines()
+    done = set()
+    for i, ln in enumerate(out_lines):
+        parts = [p.strip() for p in ln.split("|")]
+        if len(parts) > 2 and parts[1] in results:
+            out_lines[i] = _fmt_row(parts[1], results[parts[1]])
+            done.add(parts[1])
+    missing = [n for n in results if n not in done]
+    if missing:
+        last_row = max((i for i, ln in enumerate(out_lines)
+                        if ln.startswith("|")), default=-1)
+        out_lines[last_row + 1:last_row + 1] = [
+            _fmt_row(n, results[n]) for n in missing]
+    scale_md.write_text("\n".join(out_lines) + "\n")
+    return True
 
 
 def main() -> None:
@@ -603,35 +646,15 @@ def main() -> None:
                       f"{[round(t, 2) for t in times]} ({rows} rows)",
                       file=sys.stderr)
 
-    def fmt_row(name: str, r: dict[int, float]) -> str:
-        g1 = r[4] / r[1] if r[1] else float("nan")
-        g2 = r[16] / r[4] if r[4] else float("nan")
-        return (f"| {name} | {r[1]:.2f}s | {r[4]:.2f}s | {r[16]:.2f}s "
-                f"| {g1:.1f}x | {g2:.1f}x |")
-
-    scale_md = Path("SCALE.md")
-    # surgical update: replace/append only the measured rows so a
-    # filtered run (SPARK_GRAFT_SCALE_ONLY) or re-measure preserves
-    # every other row and all hand-written analysis below the table.
-    # A SCALE.md with no table rows at all (hand-truncated) falls
-    # through to the full rewrite instead of crashing on max().
-    if scale_md.exists() and any(
-            ln.startswith("|") for ln in scale_md.read_text().splitlines()):
-        out_lines = scale_md.read_text().splitlines()
-        done = set()
-        for i, ln in enumerate(out_lines):
-            parts = [p.strip() for p in ln.split("|")]
-            if len(parts) > 2 and parts[1] in results:
-                out_lines[i] = fmt_row(parts[1], results[parts[1]])
-                done.add(parts[1])
-        missing = [n for n in results if n not in done]
-        if missing:
-            last_row = max(i for i, ln in enumerate(out_lines)
-                           if ln.startswith("|"))
-            out_lines[last_row + 1:last_row + 1] = [
-                fmt_row(n, results[n]) for n in missing]
-        scale_md.write_text("\n".join(out_lines) + "\n")
-        print("\n".join(fmt_row(n, r) for n, r in results.items()))
+    if FACTORS != _DEFAULT_FACTORS:
+        # deep-scale probe: the table's columns are the default factors,
+        # so print the measured points for manual narrative integration
+        for name, r in results.items():
+            print(f"# {name}: " + "  ".join(
+                f"{f}x={r.get(f, float('nan')):.2f}s" for f in FACTORS))
+        return
+    if update_scale_md(results, sf_dir):
+        print("\n".join(_fmt_row(n, r) for n, r in results.items()))
         return
 
     lines = [
@@ -646,7 +669,7 @@ def main() -> None:
         "|---|---|---|---|---|---|",
     ]
     for name, r in results.items():
-        lines.append(fmt_row(name, r))
+        lines.append(_fmt_row(name, r))
     lines += [
         "",
         "Growth below 4.0x per step reflects fixed per-query overhead still",
