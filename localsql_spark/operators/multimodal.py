@@ -296,6 +296,7 @@ def phash_features(docs: DataFrame, *, n_coef: int = 32, n_px: int = 64,
 
 def phash_pairs(docs: DataFrame, *, max_hamming: int = 3, bands: int = 4,
                 n_coef: int = 32, n_px: int = 64,
+                group_cap: int | None = None,
                 doc_id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Multimodal near-dup candidate pairs by banded hamming on the
@@ -320,6 +321,19 @@ def phash_pairs(docs: DataFrame, *, max_hamming: int = 3, bands: int = 4,
     pigeonhole guarantee makes banding a pure candidate filter, so the
     result is exactly every pair at hamming <= max_hamming either way.
 
+    ``group_cap`` bounds the OUTPUT the way minhash's bucket_cap bounds
+    its candidates: pair cardinality is quadratic in hash-group size by
+    definition (the 64x scale probe emitted 4.5e9 REAL pairs at flat
+    wall-per-pair — the curve is the answer's size, not the algorithm),
+    so a mass-duplicate corpus makes the pair LIST itself the cost.
+    Hash groups larger than the cap are excluded from pair expansion on
+    BOTH the cross-group and same-hash paths — at pHash granularity an
+    over-cap group is an exact/near-exact duplicate CLUSTER, which the
+    group listing (groupBy phash) already names in |group| rows; feed
+    those to exact_dedup-style keep-one instead of enumerating
+    |group|² pairs.  Default None preserves the exact full-pair
+    semantics the oracle checks.
+
     Output: ``(doc_a, doc_b, hamming)`` with doc_a < doc_b.
     """
     from localsql_spark.operators import track_persist
@@ -332,6 +346,10 @@ def phash_pairs(docs: DataFrame, *, max_hamming: int = 3, bands: int = 4,
                                      text_col=text_col))
     hv = track_persist(h.groupBy("phash")
                        .agg(F.count(F.lit(1)).alias("grp_n")))
+    if group_cap is not None:
+        capped = hv.filter(F.col("grp_n") <= group_cap)
+        h = h.join(capped.select("phash"), "phash", "semi")
+        hv = capped
     bandvals = hv.select(
         "phash",
         F.explode(F.array(*[

@@ -1976,3 +1976,26 @@ def test_pack_sequences_accepts_string_chunk_ids(spark):
     assert len(rows) == 18
     assert {type(r.doc_id) for r in rows} == {str}
     assert got.schema["doc_id"].dataType.simpleString() == "string"
+
+
+def test_phash_pairs_group_cap_bounds_output(spark):
+    """group_cap excludes over-cap hash groups from BOTH expansion paths
+    (same-hash and cross-group), bounding pair output on mass-duplicate
+    corpora the way minhash's bucket_cap bounds candidates; capless
+    semantics are unchanged."""
+    from localsql_spark.operators.multimodal import phash_pairs
+
+    # 6 copies of one text (one hash group of 6) + 2 copies of another
+    rows = [(i, "the same repeated body of text here") for i in range(6)]
+    rows += [(10 + i, "a different body entirely of words") for i in range(2)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = phash_pairs(docs, max_hamming=3).collect()
+    # group-local pairs: C(6,2) + C(2,2) at hamming 0, plus any
+    # cross-group pairs the band join surfaces
+    assert sum(1 for r in full if r.hamming == 0) == 15 + 1
+
+    capped = phash_pairs(docs, max_hamming=3, group_cap=5).collect()
+    ids = {r.doc_a for r in capped} | {r.doc_b for r in capped}
+    assert not (ids & set(range(6)))  # the big group is fully excluded
+    assert sum(1 for r in capped if r.hamming == 0) == 1  # small group kept
