@@ -209,3 +209,83 @@ def read_feed(spark: SparkSession, feed_dir: str) -> DataFrame | None:
                             F.lit(int(d.name.split("_")[1]))))
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def feed_watermark(feed_dir: str, consumer: str) -> int:
+    """The named consumer's committed offset: every feed batch id <= this
+    has been durably consumed (-1 if never set).  One file per consumer
+    under ``<feed>/_consumers/`` — the Kafka-style group-offset shape,
+    minus the broker."""
+    f = Path(feed_dir) / "_consumers" / consumer
+    try:
+        return int(f.read_text())
+    except (OSError, ValueError):
+        return -1
+
+
+def commit_feed_offset(feed_dir: str, consumer: str, batch_id: int) -> None:
+    """Commit the consumer's offset via tmp+rename (never moves backward:
+    an at-least-once consumer re-committing an older offset after a
+    restart must not resurrect retention eligibility it already ceded)."""
+    d = Path(feed_dir) / "_consumers"
+    d.mkdir(parents=True, exist_ok=True)
+    cur = feed_watermark(feed_dir, consumer)
+    if batch_id <= cur:
+        return
+    tmp = d / f"{consumer}.tmp.{os.getpid()}"
+    tmp.write_text(str(batch_id))
+    os.replace(tmp, d / consumer)
+
+
+def prune_feed(feed_dir: str, keep_last: int = 1) -> int:
+    """Retention for the durable change feed: delete batch dirs every
+    registered consumer has consumed (id <= min over consumer offsets),
+    keeping the newest ``keep_last`` eligible dirs for inspection.  With
+    NO registered consumers nothing is eligible — an unconsumed feed is
+    the durable CDC record and must not silently rot.
+
+    Crash-safe by construction: feed dirs are write-once (the producer
+    never recomputes a committed dir), each consumer's offset file is its
+    own commit, and deletion is idempotent.  The producer's redelivery
+    guard is the _SUCCESS-gated dir itself, not the pruned set, so a
+    checkpoint redelivery of a pruned batch re-lands it byte-stable and
+    consumers skip it by offset.  Returns the number of dirs deleted."""
+    cons_dir = Path(feed_dir) / "_consumers"
+    offsets = [feed_watermark(feed_dir, f.name)
+               for f in cons_dir.glob("*")
+               if f.is_file() and not f.name.endswith(".tmp")
+               and ".tmp." not in f.name]
+    if not offsets:
+        return 0
+    upto = min(offsets)
+    eligible = sorted((p for p in Path(feed_dir).glob("batch_*")
+                       if int(p.name.split("_")[1]) <= upto),
+                      key=lambda p: int(p.name.split("_")[1]))
+    prune = eligible[:-keep_last] if keep_last > 0 else eligible
+    for p in prune:
+        shutil.rmtree(p, ignore_errors=True)
+    return len(prune)
+
+
+def read_feed_since(spark: SparkSession, feed_dir: str,
+                    consumer: str) -> DataFrame | None:
+    """The named consumer's UNCONSUMED feed tail: committed batch dirs
+    with id strictly above the consumer's offset (None if fully caught
+    up).  The consuming loop is read -> apply downstream -> commit the
+    max batch_id via :func:`commit_feed_offset`; a crash before the
+    offset commit re-reads the same tail, so the downstream apply must
+    be idempotent (same contract as every feed subscriber)."""
+    wm = feed_watermark(feed_dir, consumer)
+    dirs = sorted((p for p in Path(feed_dir).glob("batch_*")
+                   if (p / "_SUCCESS").exists()
+                   and int(p.name.split("_")[1]) > wm),
+                  key=lambda p: int(p.name.split("_")[1]))
+    if not dirs:
+        return None
+    out = None
+    for d in dirs:
+        part = (spark.read.parquet(str(d))
+                .withColumn("batch_id",
+                            F.lit(int(d.name.split("_")[1]))))
+        out = part if out is None else out.unionByName(part)
+    return out

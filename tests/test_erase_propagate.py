@@ -195,3 +195,54 @@ def test_erase_everywhere_audit_has_zero_erased_refs(spark, tmp_path):
     assert rows["banded_index"][0] == 24 * D.N_BANDS
     assert rows["ivfpq_codes"][0] == 24 * 2
     assert rows["scd2_history"][0] == 24
+
+
+def _files_snapshot(root, sub=""):
+    base = Path(root) / sub if sub else Path(root)
+    return {(str(f.relative_to(base)), f.stat().st_mtime_ns)
+            for f in base.rglob("*.parquet")}
+
+
+def test_signature_erase_rewrites_only_touched_prefixes(spark, tmp_path):
+    """The banded-sidecar update is PRUNED: partitions outside the erased
+    docs' band-key prefixes keep byte-identical files (the filesystem is
+    the proof the plan's PartitionFilters actually held)."""
+    from localsql_spark.operators import dedup as D
+
+    docs = _docs(spark, 40)
+    store = str(tmp_path / "sigs")
+    D.write_signature_store(docs, store)
+    D.ensure_banded_index(spark, store, f"{store}_banded")
+    erased = spark.createDataFrame([(4,), (8,)], "doc_id long")
+
+    before = {p.name: _files_snapshot(p)
+              for p in Path(f"{store}_banded").glob("bk_prefix=*")}
+    res = D.erase_from_signature_store(spark, store, erased)
+    touched = {f"bk_prefix={x}" for x in res["index_prefixes"]}
+    assert touched  # the erased docs had band keys
+    after_names = {p.name for p in Path(f"{store}_banded").glob("bk_prefix=*")}
+    for name in after_names - touched:
+        assert _files_snapshot(Path(f"{store}_banded") / name) == \
+            before[name], f"untouched partition {name} was rewritten"
+
+
+def test_ivfpq_erase_rewrites_only_touched_cells(spark, tmp_path):
+    from localsql_spark.operators.similarity import (ivfpq_erase_vectors,
+                                                     write_ivfpq_index)
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 13 + j * 7) % 11) for j in range(16)])
+         for i in range(40)], "vec_id long, embedding array<double>")
+    index = str(tmp_path / "ivfpq")
+    write_ivfpq_index(emb, index, n_cells=4, m=2, k_codes=8)
+    codes = Path(index) / "codes"
+    before = {p.name: _files_snapshot(p) for p in codes.glob("cell=*")}
+    gone = spark.createDataFrame([(11,), (12,)], "vec_id long")
+    touched = {f"cell={c}" for c in ivfpq_erase_vectors(spark, index, gone)}
+    assert touched
+    for p in codes.glob("cell=*"):
+        if p.name not in touched:
+            assert _files_snapshot(p) == before[p.name], \
+                f"untouched cell {p.name} was rewritten"
+    # model tables untouched by design (documented rebuild policy)
+    assert _files_snapshot(index, "_centroids")

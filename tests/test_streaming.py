@@ -963,3 +963,46 @@ def test_stream_ivm_dim_replay_and_snapshot_advance(spark, tmp_path):
                     fact_key="custkey", value_col="price", n_buckets=4)
     assert {r.grp: (r.n_rows, float(r.sum_value))
             for r in read_join_view(spark, view).collect()} == expect
+
+
+def test_feed_offsets_and_retention(spark, tmp_path):
+    """CDC feed retention: a consumer tails the feed with committed
+    offsets (monotone, crash = re-read the same tail), and prune_feed
+    deletes only batches EVERY registered consumer has consumed —
+    an unconsumed feed never rots."""
+    from localsql_spark.streaming.foreach_upsert import (
+        commit_feed_offset, feed_watermark, prune_feed, read_feed,
+        read_feed_since)
+
+    feed = tmp_path / "feed"
+    for i in range(4):
+        spark.createDataFrame([(i, "insert")], "k long, op string") \
+            .write.parquet(str(feed / f"batch_{i}"))
+
+    # no consumers registered: nothing is eligible
+    assert prune_feed(str(feed)) == 0
+    assert read_feed(spark, str(feed)).count() == 4
+
+    # consumer A reads the tail, applies, commits through batch 2
+    tail = read_feed_since(spark, str(feed), "a")
+    assert sorted(r.batch_id for r in tail.collect()) == [0, 1, 2, 3]
+    commit_feed_offset(str(feed), "a", 2)
+    assert feed_watermark(str(feed), "a") == 2
+    # offsets never move backward
+    commit_feed_offset(str(feed), "a", 1)
+    assert feed_watermark(str(feed), "a") == 2
+    assert [r.batch_id for r in
+            read_feed_since(spark, str(feed), "a").collect()] == [3]
+
+    # consumer B lags at 0: min offset rules retention
+    commit_feed_offset(str(feed), "b", 0)
+    assert prune_feed(str(feed), keep_last=0) == 1  # only batch_0 goes
+    assert sorted(int(p.name.split("_")[1])
+                  for p in feed.glob("batch_*")) == [1, 2, 3]
+    # B catches up; keep_last retains the newest eligible dir
+    commit_feed_offset(str(feed), "b", 3)
+    commit_feed_offset(str(feed), "a", 3)
+    assert prune_feed(str(feed), keep_last=1) == 2
+    assert [p.name for p in feed.glob("batch_*")] == ["batch_3"]
+    # fully caught up -> None
+    assert read_feed_since(spark, str(feed), "a") is None
