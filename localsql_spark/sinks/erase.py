@@ -202,9 +202,14 @@ def erase_everywhere(spark: SparkSession, keys: DataFrame, *,
          .localCheckpoint(eager=True))
 
     def _audit(name: str, df: DataFrame, ref_col: str, rows: list) -> None:
-        refs = df.join(F.broadcast(k),
-                       F.col(ref_col) == F.col("_erase_key"), "semi")
-        rows.append((name, df.count(), refs.count()))
+        # one job per store: the left join against the distinct key set
+        # preserves row count (<=1 match per row), so rows_after and
+        # erased_refs come out of a single aggregate
+        row = (df.join(F.broadcast(k),
+                       F.col(ref_col) == F.col("_erase_key"), "left")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.count("_erase_key").alias("refs")).first())
+        rows.append((name, row["n"], row["refs"]))
 
     rows: list = []
     if inverted_index is not None:
