@@ -101,6 +101,32 @@ def main() -> None:
         "",
     ]
 
+    # -- 1b2: same mass-duplicate corpus through phash_pairs group_cap ------
+    # the 2,000 verbatim clones share ONE perceptual hash, so the pair
+    # output alone is C(2000,2) ~ 2.0M rows; group_cap excludes the
+    # over-cap hash group from expansion (an exact-duplicate cluster the
+    # groupBy already names), same discipline as minhash's bucket_cap
+    from localsql_spark.operators.multimodal import phash_pairs
+
+    t0 = time.perf_counter()
+    n_ph_uncap = phash_pairs(skewed_docs, max_hamming=3).count()
+    t_ph_uncap = time.perf_counter() - t0
+    cleanup()
+    t0 = time.perf_counter()
+    n_ph_cap = phash_pairs(skewed_docs, max_hamming=3,
+                           group_cap=64).count()
+    t_ph_cap = time.perf_counter() - t0
+    cleanup()
+    lines += [
+        "## pHash near-dup pairs over the same mass-duplicate corpus",
+        "",
+        "| variant | pairs emitted | wall |",
+        "|---|---|---|",
+        f"| no cap (one hash group of 2,000 -> ~2.0M group-local pairs) | {n_ph_uncap:,} | {t_ph_uncap:.2f}s |",
+        f"| group_cap=64 (over-cap hash groups excluded from expansion) | {n_ph_cap:,} | {t_ph_cap:.2f}s |",
+        "",
+    ]
+
     # -- 1c: planted mega-cluster vs SemDeDup cluster_cap -------------------
     # 2,000 near-identical vectors (one real embedding + per-id jitter in one
     # dimension) collapse into a single k-means cell — the learned-blocking
