@@ -954,3 +954,69 @@ def streaming_sketch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     shutil.rmtree(scratch, ignore_errors=True)
     return out
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    """Generate the EXACT unrolled DuckDB oracle for ``n_merges`` rounds
+    of BPE training — the bpe_pair_stats_round2 sentinel technique
+    generalized: each round works on sentinel-ENCODED words (every merged
+    token is one control char, so adjacent symbols stay 2-char
+    substrings and merge application is leftmost-non-overlapping
+    replace()), while the argmax ORDERS on the DECODED pair string,
+    mirroring bpe_train's (n DESC, pair, a) key exactly."""
+
+    def dec(col: str, k: int) -> str:
+        if k == 1:
+            return col
+        arms = " ".join(
+            f"WHEN chr({j}) THEN (SELECT da || db FROM m{j})"
+            for j in range(1, k))
+        return f"CASE {col} {arms} ELSE {col} END"
+
+    parts = [_TOK_CTE.strip(), """
+w0 AS MATERIALIZED (SELECT word AS e, CAST(count(*) AS BIGINT) AS cnt
+       FROM tok, UNNEST(toks) u(word) WHERE word <> '' GROUP BY 1)"""]
+    for k in range(1, n_merges + 1):
+        da, db = dec("sa", k), dec("sb", k)
+        parts.append(f"""
+p{k} AS MATERIALIZED (SELECT substring(e, i + 1, 1) AS sa,
+               substring(e, i + 2, 1) AS sb, cnt
+        FROM w{k - 1}, UNNEST(range(length(e) - 1)) u(i)),
+c{k} AS MATERIALIZED (SELECT sa, sb, SUM(cnt) AS n
+        FROM p{k} GROUP BY 1, 2),
+m{k} AS MATERIALIZED (SELECT sa, sb, {da} AS da, {db} AS db, n
+        FROM c{k}
+        ORDER BY n DESC, {da} || '|' || {db}, {da} LIMIT 1),
+w{k} AS MATERIALIZED (SELECT replace(w.e, m.sa || m.sb, chr({k})) AS e,
+               w.cnt
+        FROM w{k - 1} w, m{k} m)""")
+    union = "\nUNION ALL ".join(
+        f"SELECT {k} AS merge_idx, da, db, n FROM m{k}"
+        for k in range(1, n_merges + 1))
+    return ("WITH " + ",".join(parts) + f"""
+SELECT CAST(merge_idx AS INT) AS merge_idx, da AS a, db AS b,
+       CAST(n AS BIGINT) AS n
+FROM ({union})
+ORDER BY merge_idx
+""")
+
+
+@query("bpe_train_merges", oracle=_bpe_train_oracle(6))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL BPE tokenizer training (operators.corpus.bpe_train, Sennrich
+    et al. arXiv:1508.07909), six merge rounds end-to-end — the step a
+    training-data pipeline runs to fit the tokenizer to the corpus.  The
+    loop aggregates the DISTINCT-WORD table (Zipf-bounded, vocabulary-
+    not corpus-sized), each round is one bounded pair aggregation + a
+    row-local symbol-array rewrite, and only the argmax row reaches the
+    driver per round.  The oracle unrolls all six rounds in SQL
+    (sentinel-encoded words, decoded-pair argmax ordering), upgrading the
+    trainer from unit-pinned to exact-oracled: pick order, merge
+    application, and counts all match DuckDB bit-for-bit."""
+    from localsql_spark.operators.corpus import bpe_train
+
+    docs = load(spark, sf_dir)["documents"]
+    merges = bpe_train(docs, n_merges=6)
+    return spark.createDataFrame(
+        [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "merge_idx int, a string, b string, n long")
