@@ -495,6 +495,33 @@ def read_signature_store(spark: SparkSession, path: str) -> DataFrame:
             .select("doc_id", "sig"))
 
 
+def _heal_store_swap(path: str) -> None:
+    """Recover a signature store whose whole-dir swap (erase or
+    compaction) crashed between its two renames: the store then lives
+    only at the hidden ``.NAME.old`` backup (and possibly a completed
+    ``.NAME.erasing``/``.NAME.compact`` replacement).  A complete
+    replacement (Spark's _SUCCESS present) is committed forward;
+    otherwise the backup restores the pre-swap state (re-running the
+    erase/compaction redoes the work).  Called by the swap writers on
+    entry — readers stay read-only."""
+    import shutil
+    from pathlib import Path
+
+    store = Path(path)
+    if store.exists():
+        return
+    for suffix in (".erasing", ".compact"):
+        tmp = store.parent / f".{store.name}{suffix}"
+        if tmp.exists() and (tmp / "_SUCCESS").exists():
+            tmp.rename(store)  # roll FORWARD: replacement was complete
+            shutil.rmtree(store.parent / f".{store.name}.old",
+                          ignore_errors=True)
+            return
+    old = store.parent / f".{store.name}.old"
+    if old.exists():
+        old.rename(store)  # roll BACK to the pre-swap state
+
+
 def compact_signature_store(spark: SparkSession, path: str) -> int:
     """Rewrite a signature store's accumulated per-batch subdirectories
     (the streaming ingest sink grows one per micro-batch) into flat
@@ -508,6 +535,7 @@ def compact_signature_store(spark: SparkSession, path: str) -> int:
     from pathlib import Path
 
     store = Path(path)
+    _heal_store_swap(path)
     df = read_signature_store(spark, str(store))
     tmp = store.parent / f".{store.name}.compact"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -807,6 +835,16 @@ def ensure_banded_index(spark: SparkSession, store_path: str,
                 write_banded_index(
                     read_signature_store(spark, store_path),
                     staged, n, bands, bucket_cap=bucket_cap)
+                # a pending partial-erase manifest from a crashed
+                # erase_from_signature_store is superseded by this
+                # rebuild (built from the post-erase store) — clear it,
+                # or the next recover_pending_merge would replay stale
+                # pre-rebuild partitions over the fresh index
+                from localsql_spark.sinks.merge import _manifest_path
+                base = Path(index_path)
+                _manifest_path(base).unlink(missing_ok=True)
+                shutil.rmtree(base.parent / f".{base.name}.staging",
+                              ignore_errors=True)
                 shutil.rmtree(index_path, ignore_errors=True)
                 os.rename(staged, index_path)
             except BaseException:
@@ -972,7 +1010,11 @@ def erase_from_signature_store(spark: SparkSession, store_path: str,
 
     Crash windows: store swapped but index/meta not yet updated → the
     stale meta forces a full index rebuild on the next probe (correct,
-    slower).  Returns ``{"erased": n_removed, "store_rows": n_after,
+    slower; the rebuild path clears any pending partial-erase manifest
+    it supersedes).  Mid-swap (between the store's two renames) → the
+    next erase or compaction heals it first (:func:`_heal_store_swap`:
+    a complete replacement rolls forward, otherwise the backup rolls
+    back).  Returns ``{"erased": n_removed, "store_rows": n_after,
     "index_prefixes": [...]}``."""
     import json as _json
     import os as _os
@@ -980,18 +1022,26 @@ def erase_from_signature_store(spark: SparkSession, store_path: str,
     import tempfile as _tempfile
     from pathlib import Path as _P
 
-    k = (keys.select(F.col(keys.columns[0]).alias("_erase_key"))
-         .filter(F.col("_erase_key").isNotNull()).distinct())
+    from localsql_spark.sinks.erase import normalize_erase_keys
+    k = normalize_erase_keys(keys)
     idx = index_path or f"{store_path.rstrip('/')}_banded"
     has_index = (_P(idx) / "_meta.json").exists()
 
     def _erase() -> dict:
-        # plain persist, unpersisted before returning: a cached
+        _heal_store_swap(store_path)
+        # plain persist, unpersisted in the finally: a cached
         # read_signature_store PLAN would otherwise keep serving the
         # PRE-erase rows to any identical post-erase read of the store
         # (Spark's cache manager matches by canonicalized plan, and the
-        # path does not change across the swap)
+        # path does not change across the swap) — and a failure AFTER the
+        # swap but before cleanup must not leak that stale cache either
         sigs = read_signature_store(spark, store_path).persist()
+        try:
+            return _erase_inner(sigs)
+        finally:
+            sigs.unpersist()
+
+    def _erase_inner(sigs) -> dict:
         erased_sigs = sigs.join(
             F.broadcast(k), F.col("doc_id") == F.col("_erase_key"), "semi")
         prefixes = sorted({r[0] for r in (
@@ -1055,7 +1105,6 @@ def erase_from_signature_store(spark: SparkSession, store_path: str,
                 {"files": _store_file_listing(store_path),
                  "bucket_cap": cap}))
             _os.rename(mtmp, meta)
-        sigs.unpersist()
         return {"erased": n_erased, "store_rows": n_after,
                 "index_prefixes": prefixes if has_index else []}
 

@@ -1344,6 +1344,19 @@ def write_ivfpq_index(corpus: DataFrame, path: str, n_cells: int = 8,
     read only the probed cells' partitions, and the float corpus is
     never touched at query time.  Same deterministic seeding as the
     in-memory operator, so the persisted probe shares its exact oracle."""
+    # a retrain supersedes any pending partial-erase manifest on the codes
+    # table (a crashed ivfpq_erase_vectors run) — clear it, or the next
+    # recover_pending_merge would replay pre-retrain codes (encoded with
+    # the OLD codebooks) over the fresh index
+    import shutil as _shutil
+    from pathlib import Path as _P
+
+    from localsql_spark.sinks.merge import _manifest_path
+    codes_base = _P(f"{path}/codes")
+    codes_base.parent.mkdir(parents=True, exist_ok=True)
+    _manifest_path(codes_base).unlink(missing_ok=True)
+    _shutil.rmtree(codes_base.parent / f".{codes_base.name}.staging",
+                   ignore_errors=True)
     cents = _coarse_cells(corpus, n_cells, id_col, vec_col)
     cents.write.mode("overwrite").parquet(f"{path}/_centroids")
     c = _coarse_assign(spread(corpus).select(id_col, vec_col), cents,
@@ -1560,8 +1573,8 @@ def ivfpq_erase_vectors(spark: SparkSession, index_path: str,
 
     codes_dir = f"{index_path}/codes"
     recover_pending_merge(codes_dir)
-    k = (keys.select(F.col(keys.columns[0]).alias("_erase_key"))
-         .filter(F.col("_erase_key").isNotNull()).distinct())
+    from localsql_spark.sinks.erase import normalize_erase_keys
+    k = normalize_erase_keys(keys)
     codes = spark.read.option("basePath", codes_dir).parquet(codes_dir)
     touched = sorted({r[0] for r in (
         codes.join(F.broadcast(k),

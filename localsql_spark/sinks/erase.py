@@ -39,6 +39,16 @@ from pyspark.sql import functions as F
 from localsql_spark.operators import hash32
 
 
+def normalize_erase_keys(keys: DataFrame) -> DataFrame:
+    """Canonical deletion-request frame shared by every erase path: the
+    FIRST column of ``keys``, null-dropped and distinct, as
+    ``_erase_key``.  Idempotent (normalizing an already-normalized frame
+    is a no-op plan), so composed flows can normalize once and pass the
+    result through."""
+    return (keys.select(F.col(keys.columns[0]).alias("_erase_key"))
+            .filter(F.col("_erase_key").isNotNull()).distinct())
+
+
 def bucket_of(key_col, n_buckets: int):
     """The store's bucket expression — shared by writer and eraser so the
     two can never disagree about where a key lives."""
@@ -68,8 +78,7 @@ def erase_keys(spark: SparkSession, base_dir: str, keys: DataFrame,
                                             recover_pending_merge)
 
     recover_pending_merge(base_dir)
-    k = (keys.select(F.col(keys.columns[0]).alias("_erase_key"))
-         .filter(F.col("_erase_key").isNotNull()).distinct())
+    k = normalize_erase_keys(keys)
     touched = [r[0] for r in
                k.select(bucket_of(F.col("_erase_key"), n_buckets)
                         .alias("kb")).distinct().collect()]
@@ -197,9 +206,7 @@ def erase_everywhere(spark: SparkSession, keys: DataFrame, *,
     in the actual post-erase bytes — the verifiable claim is that every
     entry is 0.  Each erase is idempotent; re-running a request is safe
     at every store."""
-    k = (keys.select(F.col(keys.columns[0]).alias("_erase_key"))
-         .filter(F.col("_erase_key").isNotNull()).distinct()
-         .localCheckpoint(eager=True))
+    k = normalize_erase_keys(keys).localCheckpoint(eager=True)
 
     def _audit(name: str, df: DataFrame, ref_col: str, rows: list) -> None:
         # one job per store: the left join against the distinct key set

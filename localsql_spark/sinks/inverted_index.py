@@ -191,8 +191,8 @@ def index_erase_documents(spark: SparkSession, index_dir: str,
                                             recover_pending_merge)
 
     recover_pending_merge(index_dir)
-    k = (keys.select(F.col(keys.columns[0]).alias("_erase_key"))
-         .filter(F.col("_erase_key").isNotNull()).distinct())
+    from localsql_spark.sinks.erase import normalize_erase_keys
+    k = normalize_erase_keys(keys)
     if docs is not None:
         touched = sorted({r[0] for r in (
             docs.join(F.broadcast(k),

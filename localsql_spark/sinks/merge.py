@@ -274,9 +274,11 @@ def change_feed(existing: DataFrame | None, batch: DataFrame, *,
     from pyspark.sql.window import Window
 
     cols = [c for c in batch.columns if c not in (key, op_col)]
+    # same tie-break hash basis as merge_upsert (sorted column names):
+    # the feed's in-batch winner must be the row the merge actually keeps
     w = (Window.partitionBy(key)
          .orderBy(F.col(version).desc(),
-                  F.xxhash64(*[F.col(c) for c in batch.columns])))
+                  F.xxhash64(*[F.col(c) for c in sorted(batch.columns)])))
     winner = (batch.withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn") == 1).drop("__rn"))
     is_tomb = (F.col(op_col) == "delete") if op_col is not None \

@@ -225,6 +225,20 @@ def compact_scd2_store(spark: SparkSession, store_dir: str,
     return len(dirs)
 
 
+def _recover_orphaned_swaps(store: Path) -> None:
+    """Heal a crash between an erase swap's two renames: a ``.NAME.old``
+    backup whose target dir is missing is renamed back (pre-erase state —
+    re-running the erase redoes it); one whose target exists is a
+    completed swap's leftover and is cleared.  Same replay rule as the
+    merge sink's ``_apply_manifest``."""
+    for old in list(store.glob("*/.*.old")):
+        target = old.parent / old.name[1:-len(".old")]
+        if target.exists():
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            old.rename(target)
+
+
 def scd2_erase_keys(spark: SparkSession, store_dir: str, keys: DataFrame,
                     key_col: str) -> int:
     """Right-to-be-forgotten PROPAGATION into the SCD2 history store:
@@ -236,15 +250,19 @@ def scd2_erase_keys(spark: SparkSession, store_dir: str, keys: DataFrame,
 
     Each committed dir (open snapshots kept for replay, closed batch and
     compact dirs) rewrites independently: filter out the keys, stage,
-    atomic dir swap.  A crash mid-way leaves some dirs erased and some
-    not — re-running the same request completes the rest (idempotent:
-    erasing absent keys is a no-op), and every intermediate state is a
-    valid store (each dir is internally consistent; the commit protocol's
-    id rules are untouched because no dir ids change).  Returns the
-    number of history rows removed."""
+    dir swap with a ``.old`` backup.  The swap is two renames, so a crash
+    between them leaves the dir only at its hidden backup path —
+    :func:`_recover_orphaned_swaps` runs FIRST on every call and restores
+    any backup whose target is missing (or clears it when the target
+    landed), so re-running the same request genuinely completes the rest
+    (idempotent: erasing absent keys is a no-op) and every recovered
+    state is a valid store (the commit protocol's id rules are untouched
+    because no dir ids change).  Returns the number of history rows
+    removed."""
     store = Path(store_dir)
-    k = (keys.select(F.col(keys.columns[0]).alias("_erase_key"))
-         .filter(F.col("_erase_key").isNotNull()).distinct())
+    _recover_orphaned_swaps(store)
+    from localsql_spark.sinks.erase import normalize_erase_keys
+    k = normalize_erase_keys(keys)
     targets = list(_open_snapshots(store)) + _committed_closed_dirs(store)
     removed = 0
     for d in targets:

@@ -54,7 +54,12 @@ def merge_upsert(existing: DataFrame | None, batch: DataFrame, *,
     else:
         merged = (existing.withColumn("__stored", F.lit(1))
                   .unionByName(batch.withColumn("__stored", F.lit(0))))
-    data_cols = [c for c in merged.columns if c != "__stored"]
+    # hash over SORTED column names: xxhash64 is argument-order-sensitive,
+    # and change_feed breaks the same in-batch ties — hashing each side's
+    # natural column order would let the stored winner and the feed's
+    # reported winner diverge whenever the two frames order columns
+    # differently (e.g. op_col appended last here)
+    data_cols = sorted(c for c in merged.columns if c != "__stored")
     w = (Window.partitionBy(key)
          .orderBy(F.col(version).desc(), F.col("__stored").desc(),
                   F.xxhash64(*[F.col(c) for c in data_cols])))
@@ -158,7 +163,11 @@ def apply_batch_with_feed(batch_df: DataFrame, batch_id: int, *, key: str,
     if old is not None and old.name == f"gen_{batch_id}":
         return False  # already applied; its feed dir already stands
     fdir = Path(feed_dir) / f"batch_{batch_id}"
-    if not (fdir / "_SUCCESS").exists():  # write-once: first write wins
+    # write-once, and NEVER below the retention watermark: a pruned id
+    # redelivered by a fresh checkpoint would recompute against the final
+    # generation and fabricate history (the merge below still applies)
+    if batch_id > _pruned_through(feed_dir) \
+            and not (fdir / "_SUCCESS").exists():
         existing = read_table(spark, out_dir)
         feed = change_feed(existing, batch_df, key=key, version=version)
         feed.write.mode("overwrite").parquet(str(fdir))
@@ -237,6 +246,18 @@ def commit_feed_offset(feed_dir: str, consumer: str, batch_id: int) -> None:
     os.replace(tmp, d / consumer)
 
 
+def _pruned_through(feed_dir: str) -> int:
+    """Highest batch id removed by retention (-1 if none): a pruned id
+    must never be REWRITTEN — a fresh-checkpoint full replay would
+    recompute its change_feed against the FINAL table generation and
+    land fabricated rows in the durable record."""
+    f = Path(feed_dir) / "_pruned_through"
+    try:
+        return int(f.read_text())
+    except (OSError, ValueError):
+        return -1
+
+
 def prune_feed(feed_dir: str, keep_last: int = 1) -> int:
     """Retention for the durable change feed: delete batch dirs every
     registered consumer has consumed (id <= min over consumer offsets),
@@ -246,10 +267,14 @@ def prune_feed(feed_dir: str, keep_last: int = 1) -> int:
 
     Crash-safe by construction: feed dirs are write-once (the producer
     never recomputes a committed dir), each consumer's offset file is its
-    own commit, and deletion is idempotent.  The producer's redelivery
-    guard is the _SUCCESS-gated dir itself, not the pruned set, so a
-    checkpoint redelivery of a pruned batch re-lands it byte-stable and
-    consumers skip it by offset.  Returns the number of dirs deleted."""
+    own commit, and deletion is idempotent.  Before any dir is deleted, a
+    ``_pruned_through`` watermark commits (tmp+rename) covering the
+    pruned ids: :func:`apply_batch_with_feed` refuses to (re)write a feed
+    dir at or below it, so a FRESH-CHECKPOINT full replay — whose
+    redelivered batches would recompute against the final table
+    generation and emit garbage — cannot resurrect a pruned id with
+    fabricated content; the merge itself still applies (idempotent).
+    Returns the number of dirs deleted."""
     cons_dir = Path(feed_dir) / "_consumers"
     offsets = [feed_watermark(feed_dir, f.name)
                for f in cons_dir.glob("*")
@@ -262,6 +287,13 @@ def prune_feed(feed_dir: str, keep_last: int = 1) -> int:
                        if int(p.name.split("_")[1]) <= upto),
                       key=lambda p: int(p.name.split("_")[1]))
     prune = eligible[:-keep_last] if keep_last > 0 else eligible
+    if not prune:
+        return 0
+    new_wm = max(_pruned_through(feed_dir),
+                 int(prune[-1].name.split("_")[1]))
+    tmp = Path(feed_dir) / "_pruned_through.tmp"
+    tmp.write_text(str(new_wm))
+    os.replace(tmp, Path(feed_dir) / "_pruned_through")  # commit FIRST
     for p in prune:
         shutil.rmtree(p, ignore_errors=True)
     return len(prune)

@@ -123,31 +123,11 @@ def stream_ivm_dim_ingest(spark: SparkSession, *, source_dir: str, schema,
     stream_land_batches(spark, source_dir=source_dir, schema=schema,
                         land_dir=land_dir, checkpoint_dir=checkpoint_dir,
                         max_files_per_trigger=max_files_per_trigger)
-
-    # fold_landed_with's apply_fn receives only the batch DataFrame, but
-    # the snapshot generation is keyed by batch id — so this runs the
-    # same marker-committed walk with the id read from the dir name
-    from localsql_spark.streaming.stream_rollup import (_applied_marker,
-                                                        _applied_through)
-    n = 0
-    wm = _applied_through(view_dir)
-    for b in sorted(Path(land_dir).glob("batch_*"),
-                    key=lambda p: int(p.name.split("_")[1])):
-        bid = int(b.name.split("_")[1])
-        if bid <= wm:
-            continue
-        marker = _applied_marker(view_dir, bid)
-        if marker.exists():
-            continue
-        if not (b / "_SUCCESS").exists():
-            continue  # partial landing (stream will rewrite it)
-        apply_dim_batch(spark, view_dir, dim_dir, fact,
-                        spark.read.parquet(str(b)), bid,
-                        dim_key=dim_key, group_col=group_col,
-                        fact_key=fact_key, value_col=value_col,
-                        n_buckets=n_buckets)
-        tmp = Path(str(marker) + ".tmp")
-        tmp.write_text("applied")
-        os.rename(tmp, marker)  # commit point for this batch's fold
-        n += 1
-    return n
+    from localsql_spark.streaming.stream_rollup import fold_landed_with
+    return fold_landed_with(
+        spark, land_dir, view_dir,
+        lambda df, bid: apply_dim_batch(
+            spark, view_dir, dim_dir, fact, df, bid, dim_key=dim_key,
+            group_col=group_col, fact_key=fact_key, value_col=value_col,
+            n_buckets=n_buckets),
+        pass_batch_id=True)

@@ -81,15 +81,17 @@ def _applied_through(rollup_dir: str) -> int:
 
 
 def fold_landed_with(spark: SparkSession, land_dir: str, store_dir: str,
-                     apply_fn) -> int:
+                     apply_fn, pass_batch_id: bool = False) -> int:
     """Generic land-then-fold loop: fold every landed batch not yet
     marked applied into the store at ``store_dir`` (whose maintenance
-    function is ``apply_fn(batch_df)``), in batch-id order.  Returns how
-    many batches were folded this call.  Re-invocation after completion
-    is a no-op (markers); re-invocation after a crash resumes from the
-    first unmarked batch.  Shared by every MERGE-style persisted store
-    whose per-batch apply is NOT naturally idempotent (rollup, IVM join
-    view) — the marker, not the store write, carries exactly-once."""
+    function is ``apply_fn(batch_df)`` — or ``apply_fn(batch_df,
+    batch_id)`` with ``pass_batch_id``, for stores whose per-batch state
+    is id-keyed like the IVM dim snapshot), in batch-id order.  Returns
+    how many batches were folded this call.  Re-invocation after
+    completion is a no-op (markers); re-invocation after a crash resumes
+    from the first unmarked batch.  Shared by every MERGE-style persisted
+    store whose per-batch apply is NOT naturally idempotent (rollup, IVM
+    join view) — the marker, not the store write, carries exactly-once."""
     n = 0
     wm = _applied_through(store_dir)
     for b in sorted(Path(land_dir).glob("batch_*"),
@@ -102,7 +104,10 @@ def fold_landed_with(spark: SparkSession, land_dir: str, store_dir: str,
             continue
         if not (b / "_SUCCESS").exists():
             continue  # partial landing (stream will rewrite it)
-        apply_fn(spark.read.parquet(str(b)))
+        if pass_batch_id:
+            apply_fn(spark.read.parquet(str(b)), bid)
+        else:
+            apply_fn(spark.read.parquet(str(b)))
         # append to the FULL marker name — with_suffix would strip the
         # batch id and collapse every batch's tmp file onto one path,
         # racing concurrent folders onto each other's commit files

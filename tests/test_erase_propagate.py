@@ -246,3 +246,92 @@ def test_ivfpq_erase_rewrites_only_touched_cells(spark, tmp_path):
                 f"untouched cell {p.name} was rewritten"
     # model tables untouched by design (documented rebuild policy)
     assert _files_snapshot(index, "_centroids")
+
+
+def test_scd2_erase_mid_swap_crash_heals_on_rerun(spark, tmp_path):
+    """Crash between an erase swap's two renames leaves the dir only at
+    its hidden .old backup; re-running the request must restore it first
+    and then complete (code-review r9 — the backup used to be orphaned
+    forever)."""
+    import shutil
+
+    from localsql_spark.sinks.scd2_store import (init_store, read_history,
+                                                 scd2_erase_keys)
+
+    dim = spark.createDataFrame([(i, f"s{i % 2}") for i in range(8)],
+                                "k long, seg string")
+    store = tmp_path / "scd2"
+    init_store(dim, str(store), ["k"], ["seg"], 1_000_000)
+    # simulate the crash window: open/batch_0 renamed away, swap not done
+    d = store / "open" / "batch_0"
+    d.rename(store / "open" / ".batch_0.old")
+    keys = spark.createDataFrame([(1,)], "k long")
+    removed = scd2_erase_keys(spark, str(store), keys, "k")
+    assert removed == 1
+    hist = read_history(spark, str(store))
+    assert hist.count() == 7 and hist.filter(F.col("k") == 1).count() == 0
+    # a completed swap's leftover backup is cleared, not restored
+    (store / "open" / ".batch_0.old").mkdir()
+    scd2_erase_keys(spark, str(store), keys, "k")
+    assert not (store / "open" / ".batch_0.old").exists()
+
+
+def test_index_rebuild_clears_pending_erase_manifest(spark, tmp_path):
+    """A pending partial-erase manifest must not survive a full index
+    rebuild — recover_pending_merge would replay stale pre-rebuild
+    partitions over the fresh index (code-review r9)."""
+    import json
+
+    from localsql_spark.operators import dedup as D
+
+    docs = _docs(spark, 20)
+    store = str(tmp_path / "sigs")
+    idx = tmp_path / "sigs_banded"
+    D.write_signature_store(docs, store)
+    D.ensure_banded_index(spark, store, str(idx))
+    # plant a fake pending manifest + stale staged partition
+    staging = tmp_path / ".sigs_banded.staging"
+    bogus = staging / "bk_prefix=zz"
+    bogus.mkdir(parents=True)
+    spark.createDataFrame([(999999, 0, "zz")],
+                          "doc_id long, band_id int, band_key string") \
+        .write.mode("overwrite").parquet(str(bogus))
+    manifest = tmp_path / ".sigs_banded.commit.json"
+    manifest.write_text(json.dumps({"staging": staging.name,
+                                    "partitions": ["bk_prefix=zz"],
+                                    "removed": []}))
+    # force a rebuild (store compaction changes the file listing)
+    D.compact_signature_store(spark, store)
+    assert D.ensure_banded_index(spark, store, str(idx)) == "rebuilt"
+    assert not manifest.exists()
+    assert not (idx / "bk_prefix=zz").exists()
+    # and a subsequent erase (which calls recover_pending_merge) is safe
+    D.erase_from_signature_store(
+        spark, store, spark.createDataFrame([(1,)], "doc_id long"))
+    assert not (idx / "bk_prefix=zz").exists()
+
+
+def test_store_swap_crash_heals_forward_and_back(spark, tmp_path):
+    """_heal_store_swap: a complete .erasing replacement rolls FORWARD, a
+    backup without a complete replacement rolls BACK — either way the
+    next erase/compaction finds a readable store (code-review r9)."""
+    from localsql_spark.operators import dedup as D
+
+    docs = _docs(spark, 12)
+    store = tmp_path / "sigs"
+    D.write_signature_store(docs, str(store))
+
+    # roll-forward: store renamed away, complete replacement present
+    replacement = tmp_path / ".sigs.erasing"
+    store.rename(tmp_path / ".sigs.old")
+    D.write_signature_store(docs.filter(F.col("doc_id") >= 6),
+                            str(replacement))
+    D._heal_store_swap(str(store))
+    assert store.exists() and not (tmp_path / ".sigs.old").exists()
+    assert spark.read.parquet(str(store)).count() == 6
+
+    # roll-back: no replacement, only the backup
+    store.rename(tmp_path / ".sigs.old")
+    D._heal_store_swap(str(store))
+    assert store.exists()
+    assert spark.read.parquet(str(store)).count() == 6

@@ -463,3 +463,28 @@ def test_same_version_tie_keeps_stored_row_matching_empty_feed(spark):
     a = merge_upsert(None, dup, key="k", version="version").collect()
     b = merge_upsert(None, dup, key="k", version="version").collect()
     assert len(a) == 1 and a == b
+
+
+def test_in_batch_tie_winner_matches_feed_regardless_of_column_order(spark):
+    """merge_upsert and change_feed break in-batch (key,version) ties with
+    the SAME hash basis (sorted column names): whatever column order the
+    batch arrives in, the row the merge keeps is the row the feed
+    reports (code-review r9 — order-sensitive xxhash64 bases diverged)."""
+    from localsql_spark.sinks.merge import change_feed
+    from localsql_spark.streaming.foreach_upsert import merge_upsert
+
+    existing = spark.createDataFrame([(1, "old", 1)],
+                                     "k long, txt string, version int")
+    for cols in ("k long, txt string, version int",
+                 "txt string, k long, version int"):
+        vals = [("x", 5), ("y", 5)]
+        rows = [(k, t, v) if cols.startswith("k") else (t, k, v)
+                for t, v in vals for k in [1]]
+        batch = spark.createDataFrame(rows, cols)
+        kept = merge_upsert(existing, batch, key="k",
+                            version="version").collect()[0]
+        feed = change_feed(existing, batch, key="k",
+                           version="version").collect()
+        assert len(feed) == 1 and feed[0].op == "update"
+        assert feed[0].new_txt == kept.txt, \
+            "feed must report the row the merge actually kept"

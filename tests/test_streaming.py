@@ -1006,3 +1006,38 @@ def test_feed_offsets_and_retention(spark, tmp_path):
     assert [p.name for p in feed.glob("batch_*")] == ["batch_3"]
     # fully caught up -> None
     assert read_feed_since(spark, str(feed), "a") is None
+
+
+def test_pruned_feed_batch_is_never_rewritten_by_fresh_replay(
+        spark, tmp_path):
+    """A fresh-checkpoint full replay redelivers PRUNED batch ids; the
+    producer must not recreate their feed dirs (it would recompute
+    change_feed against the FINAL generation and fabricate history) —
+    the retention watermark blocks the write while the merge still
+    applies (code-review r9)."""
+    from localsql_spark.streaming.foreach_upsert import (
+        apply_batch_with_feed, commit_feed_offset, prune_feed, read_feed,
+        read_table)
+
+    out, feed = str(tmp_path / "table"), str(tmp_path / "feed")
+    b0 = spark.createDataFrame([(1, "a", 1)],
+                               "k long, txt string, version int")
+    b1 = spark.createDataFrame([(1, "b", 2), (2, "c", 1)],
+                               "k long, txt string, version int")
+    apply_batch_with_feed(b0, 0, key="k", version="version",
+                          out_dir=out, feed_dir=feed)
+    apply_batch_with_feed(b1, 1, key="k", version="version",
+                          out_dir=out, feed_dir=feed)
+    commit_feed_offset(feed, "a", 1)
+    assert prune_feed(feed, keep_last=1) == 1  # batch_0 pruned
+
+    # fresh checkpoint: batch 0 redelivered against the FINAL table
+    import shutil
+    shutil.rmtree(tmp_path / "table")  # also reset the table like a
+    (tmp_path / "table").mkdir()       # full from-scratch replay would
+    apply_batch_with_feed(b0, 0, key="k", version="version",
+                          out_dir=out, feed_dir=feed)
+    assert not (tmp_path / "feed" / "batch_0").exists(), \
+        "pruned feed batch must not be fabricated by a replay"
+    assert read_table(spark, out).count() == 1  # the merge still applied
+    assert {r.batch_id for r in read_feed(spark, feed).collect()} == {1}

@@ -21,7 +21,7 @@ def test_update_replaces_existing_row_and_keeps_narrative(tmp_path):
                   "| some_op | 9.00s | 9.00s | 9.00s | 1.0x | 1.0x |\n"
                   "| other_op | 1.00s | 2.00s | 4.00s | 2.0x | 2.0x |\n"
                   "\nhand-written analysis stays.\n")
-    assert update_scale_md(_RESULTS, "sf", md) is True
+    assert update_scale_md(_RESULTS, md) is True
     text = md.read_text()
     assert "| some_op | 1.00s | 2.00s | 8.00s | 2.0x | 4.0x |" in text
     assert "| other_op | 1.00s | 2.00s | 4.00s" in text  # untouched
@@ -34,7 +34,7 @@ def test_update_appends_missing_row_after_last_table_row(tmp_path):
                   "|---|---|---|---|---|---|\n"
                   "| other_op | 1.00s | 2.00s | 4.00s | 2.0x | 2.0x |\n"
                   "\ntail text\n")
-    assert update_scale_md(_RESULTS, "sf", md) is True
+    assert update_scale_md(_RESULTS, md) is True
     lines = md.read_text().splitlines()
     i = lines.index("| other_op | 1.00s | 2.00s | 4.00s | 2.0x | 2.0x |")
     assert lines[i + 1].startswith("| some_op |")
@@ -46,7 +46,7 @@ def test_update_falls_through_on_truncated_or_missing_file(tmp_path):
     must return False (full-rewrite path) instead of raising at the
     row-less max() — the measurements are hours of work by then."""
     md = tmp_path / "SCALE.md"
-    assert update_scale_md(_RESULTS, "sf", md) is False  # absent
+    assert update_scale_md(_RESULTS, md) is False  # absent
     md.write_text("# SCALE\n\nno table rows here\n")
-    assert update_scale_md(_RESULTS, "sf", md) is False  # truncated
+    assert update_scale_md(_RESULTS, md) is False  # truncated
     assert "no table rows here" in md.read_text()  # untouched

@@ -87,7 +87,7 @@ def _fmt_row(name: str, r: dict[int, float]) -> str:
             f"| {g1:.1f}x | {g2:.1f}x |")
 
 
-def update_scale_md(results: dict[str, dict[int, float]], sf_dir: str,
+def update_scale_md(results: dict[str, dict[int, float]],
                     scale_md: Path = Path("SCALE.md")) -> bool:
     """Surgical SCALE.md update: replace/append only the measured rows so
     a filtered run (SPARK_GRAFT_SCALE_ONLY) or re-measure preserves every
@@ -653,7 +653,7 @@ def main() -> None:
             print(f"# {name}: " + "  ".join(
                 f"{f}x={r.get(f, float('nan')):.2f}s" for f in FACTORS))
         return
-    if update_scale_md(results, sf_dir):
+    if update_scale_md(results):
         print("\n".join(_fmt_row(n, r) for n, r in results.items()))
         return
 
