@@ -157,3 +157,44 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied to media (operators.multimodal.phash_pairs)."""
     docs = load(spark, sf_dir)["documents"]
     return M.phash_pairs(docs, max_hamming=3)
+
+
+@query("multimodal_phash_pairs_capped", oracle=f"""
+WITH rep AS (SELECT CAST(1000000 + i AS BIGINT) AS doc_id,
+                    (SELECT text FROM documents WHERE doc_id = 0) AS text
+             FROM range(12) t(i)),
+docs2 AS (SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id, text FROM rep),
+{_PHASH_CTE.lstrip().replace("FROM documents", "FROM docs2")},
+keep AS (SELECT phash FROM h GROUP BY phash HAVING count(*) <= 10),
+h2 AS (SELECT h.doc_id, h.phash FROM h JOIN keep USING (phash)),
+bv AS (SELECT doc_id, phash, k,
+              (phash >> (k * 8)) & 255 AS band_val
+       FROM h2 CROSS JOIN generate_series(0, 3) g(k)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.phash AS ha, b.phash AS hb
+         FROM bv a JOIN bv b ON a.k = b.k AND a.band_val = b.band_val
+                            AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= 3
+""")
+def multimodal_phash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phash_pairs under ``group_cap`` — the media-dedup skew guard,
+    oracle-gated: 12 planted replicas of document 0 form a 13-member
+    pHash group (a mass-duplicate cluster whose pair list alone is
+    C(13,2)=78 rows here and quadratic at scale); group_cap=10 excludes
+    the over-cap group from BOTH expansion paths (the group listing
+    still names it — exact_dedup's job), and the oracle replays the
+    exclusion exactly, so the capped output is proven to be precisely
+    'all pairs among under-cap groups', not an approximation.  Same
+    discipline as minhash's bucket_cap (SKEW.md measures both)."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir)["documents"]
+    seed = docs.filter(F.col("doc_id") == 0).select("text")
+    rep = (spark.range(12)
+           .select((F.col("id") + 1_000_000).alias("doc_id"))
+           .crossJoin(F.broadcast(seed)))
+    docs2 = docs.select("doc_id", "text").unionByName(rep)
+    return M.phash_pairs(docs2, max_hamming=3, group_cap=10)
