@@ -4992,3 +4992,83 @@ def streaming_ivm_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint(eager=True))
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query("streaming_erase_requests", oracle="""
+SELECT lang, count(*) AS n_docs, CAST(0 AS BIGINT) AS erased_left
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      % 31 <> 0
+GROUP BY lang
+ORDER BY lang
+""")
+def streaming_erase_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming right-to-be-forgotten QUEUE
+    (streaming.stream_erase_ingest — the tenth streaming twin): a
+    deterministic 1/31 of subjects arrives as deletion requests in three
+    micro-batches; each lands idempotently, then folds through
+    erase_keys into the key-bucketed primary store under the shared
+    marker-committed loop (per-batch cost = the request's touched
+    buckets; erasure is idempotent, so even the loop's one crash window
+    is a harmless re-erase).  Returns the post-erase store per lang plus
+    ``erased_left`` recounted from the store's actual bytes — the oracle
+    states the erased corpus from scratch and literal zero, so streamed
+    queue == one-shot erase == never-ingested."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from localsql_spark.catalog import _CACHE_DIR
+    from localsql_spark.operators import hash32
+    from localsql_spark.sinks.erase import (read_bucketed_store,
+                                            write_bucketed_store)
+    from localsql_spark.streaming.stream_erase_ingest import \
+        stream_erase_ingest
+
+    docs = load(spark, sf_dir)["documents"]
+    erased = hash32(F.col("doc_id")) % 31 == 0
+
+    src_dir = (_CACHE_DIR.parent / "stream_erase_src"
+               / Path(sf_dir.rstrip("/")).name)
+    if not src_dir.exists():
+        src_dir.parent.mkdir(parents=True, exist_ok=True)
+        build = Path(tempfile.mkdtemp(prefix=f".{src_dir.name}.build_",
+                                      dir=src_dir.parent))
+        names = ("a_batch0.parquet", "b_batch1.parquet", "c_batch2.parquet")
+        for i, name in enumerate(names):
+            tmp = tempfile.mkdtemp(prefix="esplit_")
+            (docs.filter(erased).select("doc_id")
+             .filter(hash32(F.concat(F.lit("eb:"),
+                                     F.col("doc_id").cast("string")))
+                     % 3 == i)
+             .coalesce(1).write.mode("overwrite").parquet(tmp))
+            part = next(Path(tmp).glob("part-*.parquet"))
+            shutil.move(str(part), build / name)
+            shutil.rmtree(tmp, ignore_errors=True)
+        t0 = (build / names[0]).stat().st_mtime
+        for i, name in enumerate(names):
+            os.utime(build / name, (t0 + 100 * i, t0 + 100 * i))
+        try:
+            os.rename(build, src_dir)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+
+    scratch = Path(tempfile.mkdtemp(prefix="stream_erase_"))
+    try:
+        store = str(scratch / "store")
+        write_bucketed_store(docs.select("doc_id", "lang", "text"), store,
+                             "doc_id", n_buckets=16)
+        stream_erase_ingest(
+            spark, source_dir=str(src_dir), schema="doc_id long",
+            land_dir=str(scratch / "land"), store_dir=store,
+            checkpoint_dir=str(scratch / "ck"), key_col="doc_id",
+            n_buckets=16)
+        post = read_bucketed_store(spark, store)
+        out = (post.groupBy("lang")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.count(F.when(erased, 1)).alias("erased_left"))
+               .orderBy("lang"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -1041,3 +1041,62 @@ def test_pruned_feed_batch_is_never_rewritten_by_fresh_replay(
         "pruned feed batch must not be fabricated by a replay"
     assert read_table(spark, out).count() == 1  # the merge still applied
     assert {r.batch_id for r in read_feed(spark, feed).collect()} == {1}
+
+
+def test_stream_erase_ingest_exactly_once_and_replay(spark, tmp_path):
+    """The streaming erase queue: request batches fold once under the
+    marker loop, a fresh-checkpoint re-run is a no-op, and re-erasing an
+    already-folded batch (the loop's crash window) changes nothing —
+    erasure is idempotent, the strictly-safest twin."""
+    import os
+    from pathlib import Path
+
+    from localsql_spark.sinks.erase import (read_bucketed_store,
+                                            write_bucketed_store)
+    from localsql_spark.streaming.stream_erase_ingest import \
+        stream_erase_ingest
+
+    docs = spark.createDataFrame(
+        [(i, f"body {i}") for i in range(40)], "doc_id long, text string")
+    store = str(tmp_path / "store")
+    write_bucketed_store(docs, store, "doc_id", n_buckets=4)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [[1, 2], [3], [2, 5]]  # overlapping requests are fine
+    for i, ids in enumerate(batches):
+        d = str(tmp_path / f"b{i}")
+        spark.createDataFrame([(x,) for x in ids], "doc_id long") \
+            .coalesce(1).write.mode("overwrite").parquet(d)
+        part = next(Path(d).glob("part-*.parquet"))
+        part.rename(src / f"{chr(97 + i)}_batch{i}.parquet")
+        os.utime(src / f"{chr(97 + i)}_batch{i}.parquet",
+                 (1000000 + i * 100, 1000000 + i * 100))
+
+    n = stream_erase_ingest(
+        spark, source_dir=str(src), schema="doc_id long",
+        land_dir=str(tmp_path / "land"), store_dir=store,
+        checkpoint_dir=str(tmp_path / "ck"), key_col="doc_id",
+        n_buckets=4)
+    assert n == 3
+    left = {r.doc_id for r in read_bucketed_store(spark, store)
+            .select("doc_id").collect()}
+    assert left == set(range(40)) - {1, 2, 3, 5}
+
+    # fresh checkpoint: markers make every batch a no-op
+    n2 = stream_erase_ingest(
+        spark, source_dir=str(src), schema="doc_id long",
+        land_dir=str(tmp_path / "land"), store_dir=store,
+        checkpoint_dir=str(tmp_path / "ck2"), key_col="doc_id",
+        n_buckets=4)
+    assert n2 == 0
+    assert {r.doc_id for r in read_bucketed_store(spark, store)
+            .select("doc_id").collect()} == left
+
+    # crash-window re-fold of one batch directly: idempotent
+    from localsql_spark.sinks.erase import erase_keys
+    erase_keys(spark, store,
+               spark.createDataFrame([(2,), (5,)], "doc_id long"),
+               "doc_id", n_buckets=4)
+    assert {r.doc_id for r in read_bucketed_store(spark, store)
+            .select("doc_id").collect()} == left
