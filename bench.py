@@ -102,8 +102,10 @@ EXTENSION_HEADLINE = [
     # index, same framing as knn_ivfpq_index_top5)
     "bm25_index_top10",
     # round 9: composed right-to-be-forgotten across the persistence
-    # surface (primary + inverted index + signature store/sidecar + SCD2)
+    # surface (primary + inverted index + signature store/sidecar + SCD2),
+    # and the exact-oracled six-round BPE tokenizer trainer
     "erase_users_everywhere",
+    "bpe_train_merges",
 ]
 
 
