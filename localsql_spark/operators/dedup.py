@@ -1080,18 +1080,11 @@ def erase_from_signature_store(spark: SparkSession, store_path: str,
             _shutil.rmtree(staging, ignore_errors=True)
             (kept_idx.write.mode("overwrite").partitionBy("bk_prefix")
              .parquet(str(staging)))
-            pnames = sorted(p.name for p in staging.glob("bk_prefix=*"))
             # bk_prefix values are two hex chars — path-safe by
             # construction, so emptied prefixes commit as removals by name
-            removed = sorted({f"bk_prefix={p}" for p in prefixes}
-                             - set(pnames))
-            manifest = _manifest_path(base)
-            mtmp = manifest.with_suffix(".json.tmp")
-            mtmp.write_text(_json.dumps({"staging": staging.name,
-                                         "partitions": pnames,
-                                         "removed": removed}))
-            _os.rename(mtmp, manifest)  # COMMIT POINT
-            _apply_manifest(base, manifest)
+            from localsql_spark.sinks.merge import commit_staged_partitions
+            commit_staged_partitions(idx, "bk_prefix",
+                                     [f"bk_prefix={p}" for p in prefixes])
         if has_index:
             # re-fingerprint the rewritten store so the next probe serves
             # from the just-updated index instead of forcing a rebuild

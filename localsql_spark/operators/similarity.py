@@ -1590,14 +1590,8 @@ def ivfpq_erase_vectors(spark: SparkSession, index_path: str,
     shutil.rmtree(staging, ignore_errors=True)
     (kept.write.mode("overwrite").partitionBy("cell")
      .parquet(str(staging)))
-    pnames = sorted(p.name for p in staging.glob("cell=*"))
     # cell is an int partition value — path-safe, removals commit by name
-    removed = sorted({f"cell={c}" for c in touched} - set(pnames))
-    manifest = _manifest_path(base)
-    tmp = manifest.with_suffix(".json.tmp")
-    tmp.write_text(json.dumps({"staging": staging.name,
-                               "partitions": pnames,
-                               "removed": removed}))
-    os.rename(tmp, manifest)  # COMMIT POINT — one rename
-    _apply_manifest(base, manifest)
+    from localsql_spark.sinks.merge import commit_staged_partitions
+    commit_staged_partitions(codes_dir, "cell",
+                             [f"cell={c}" for c in touched])
     return touched

@@ -95,18 +95,12 @@ def erase_keys(spark: SparkSession, base_dir: str, keys: DataFrame,
     staging = base.parent / f".{base.name}.staging"
     shutil.rmtree(staging, ignore_errors=True)
     (kept.write.mode("overwrite").partitionBy("kb").parquet(str(staging)))
-    pnames = sorted(p.name for p in staging.glob("kb=*"))
     # a bucket whose every row was erased writes no partition dir — it is
     # committed as an explicit manifest removal (kb is an int partition
     # value, so Python and Spark path-encode it identically)
-    removed = sorted({f"kb={kb}" for kb in touched} - set(pnames))
-    manifest = _manifest_path(base)
-    tmp = manifest.with_suffix(".json.tmp")
-    tmp.write_text(json.dumps({"staging": staging.name,
-                               "partitions": pnames,
-                               "removed": removed}))
-    os.rename(tmp, manifest)  # COMMIT POINT — one rename
-    _apply_manifest(base, manifest)
+    from localsql_spark.sinks.merge import commit_staged_partitions
+    commit_staged_partitions(base_dir, "kb",
+                             [f"kb={kb}" for kb in touched])
     return sorted(touched)
 
 

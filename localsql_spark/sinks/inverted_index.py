@@ -83,7 +83,7 @@ def index_add_documents(spark: SparkSession, index_dir: str,
     """Fold a NEW document batch into the persisted index.  Returns the
     rewritten ``tb`` partition values.  Cost = batch tokenization + a
     merge bounded by the touched buckets' posting lists."""
-    from localsql_spark.sinks.merge import (_apply_manifest, _manifest_path,
+    from localsql_spark.sinks.merge import (commit_staged_partitions,
                                             read_base_partitions,
                                             recover_pending_merge)
 
@@ -111,14 +111,7 @@ def index_add_documents(spark: SparkSession, index_dir: str,
     shutil.rmtree(staging, ignore_errors=True)
     (merged.write.mode("overwrite").partitionBy("tb")
      .parquet(str(staging)))
-    base.mkdir(parents=True, exist_ok=True)
-    pnames = sorted(p.name for p in staging.glob("tb=*"))
-    manifest = _manifest_path(base)
-    tmp = manifest.with_suffix(".json.tmp")
-    tmp.write_text(json.dumps({"staging": staging.name,
-                               "partitions": pnames}))
-    os.rename(tmp, manifest)  # COMMIT POINT — one rename
-    _apply_manifest(base, manifest)
+    commit_staged_partitions(index_dir, "tb")
     return sorted(parts)
 
 
@@ -186,7 +179,7 @@ def index_erase_documents(spark: SparkSession, index_dir: str,
     bucket whose every posting was erased is committed as an explicit
     removal.  Returns the rewritten ``tb`` values (stats bucket
     included)."""
-    from localsql_spark.sinks.merge import (_apply_manifest, _manifest_path,
+    from localsql_spark.sinks.merge import (commit_staged_partitions,
                                             read_base_partitions,
                                             recover_pending_merge)
 
@@ -234,15 +227,8 @@ def index_erase_documents(spark: SparkSession, index_dir: str,
     shutil.rmtree(staging, ignore_errors=True)
     (merged.write.mode("overwrite").partitionBy("tb")
      .parquet(str(staging)))
-    pnames = sorted(p.name for p in staging.glob("tb=*"))
     # tb is an int partition value — Python and Spark path-encode it
-    # identically, so emptied buckets are committed as removals by name
-    removed = sorted({f"tb={t}" for t in touched} - set(pnames))
-    manifest = _manifest_path(base)
-    tmp = manifest.with_suffix(".json.tmp")
-    tmp.write_text(json.dumps({"staging": staging.name,
-                               "partitions": pnames,
-                               "removed": removed}))
-    os.rename(tmp, manifest)  # COMMIT POINT — one rename
-    _apply_manifest(base, manifest)
+    # identically, so emptied buckets commit as removals by name
+    commit_staged_partitions(index_dir, "tb",
+                             [f"tb={t}" for t in touched])
     return sorted(touched)

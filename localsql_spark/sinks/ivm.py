@@ -66,8 +66,16 @@ def join_rollup(fact: DataFrame, dim: DataFrame, fact_key: str,
                  F.sum(F.round(F.col(value_col), 6).cast("decimal(28,6)"))
                  .alias("sum_value"))
             .withColumn("grp_bucket",
-                        F.pmod(hash32(F.col("grp").cast("string")),
-                               F.lit(n_buckets))))
+                        # a NULL group hashes to NULL, which isin()-based
+                        # partition pruning can never read back — the
+                        # staged __HIVE_DEFAULT_PARTITION__ dir would then
+                        # REPLACE the stored one instead of merging
+                        # (silent count/sum loss); NULL groups get the
+                        # reserved bucket n_buckets instead
+                        F.coalesce(
+                            F.pmod(hash32(F.col("grp").cast("string")),
+                                   F.lit(n_buckets)),
+                            F.lit(n_buckets))))
 
 
 def merge_join_rollup(stored: DataFrame | None,
@@ -133,6 +141,8 @@ def _fold_delta(spark: SparkSession, view_dir: str,
     n_buckets), partition-prune the stored read to them, merge, drop
     groups whose row count reached zero (a retraction emptied them), and
     stage-swap just those partitions via the manifest commit."""
+    from localsql_spark.sinks.merge import commit_staged_partitions
+
     delta = delta.localCheckpoint(eager=True)  # bucket collect + merge
     buckets = [r[0] for r in
                delta.select("grp_bucket").distinct().collect()]
@@ -147,19 +157,20 @@ def _fold_delta(spark: SparkSession, view_dir: str,
     (merged.repartition(F.col("grp_bucket"))
      .write.mode("overwrite").partitionBy("grp_bucket")
      .parquet(str(staging)))
-    base.mkdir(parents=True, exist_ok=True)
-    pnames = sorted(p.name for p in staging.glob("grp_bucket=*"))
+    # schema sidecar (once): lets read_join_view return an EMPTY frame
+    # after every group has been retracted (the removal commit can leave
+    # the dir with no parquet files, which schema inference cannot read)
+    schema_file = base.parent / f".{base.name}.schema.json"
+    if not schema_file.exists():
+        tmp = Path(str(schema_file) + ".tmp")
+        tmp.write_text(merged.schema.json())
+        os.rename(tmp, schema_file)
     # a touched bucket with no staged dir was emptied by the merge (every
-    # group retracted to zero) — commit it as an explicit removal, or the
-    # old partition would survive the swap
-    removed = sorted({f"grp_bucket={b}" for b in buckets} - set(pnames))
-    manifest = _manifest_path(base)
-    tmp = manifest.with_suffix(".json.tmp")
-    tmp.write_text(json.dumps({"staging": staging.name,
-                               "partitions": pnames,
-                               "removed": removed}))
-    os.rename(tmp, manifest)  # COMMIT POINT — one rename
-    _apply_manifest(base, manifest)
+    # group retracted to zero) — committed as an explicit removal, or the
+    # old partition would survive the swap (grp_bucket is an int value,
+    # so Python and Spark path-encode the name identically)
+    commit_staged_partitions(view_dir, "grp_bucket",
+                             [f"grp_bucket={b}" for b in buckets])
     return sorted(buckets)
 
 
@@ -204,6 +215,16 @@ def apply_dim_change(spark: SparkSession, view_dir: str, fact: DataFrame,
 
 def read_join_view(spark: SparkSession, view_dir: str) -> DataFrame:
     """Read the maintained join view; filters on ``grp_bucket`` prune
-    whole partitions, and averages derive as sum/count at read time."""
+    whole partitions, and averages derive as sum/count at read time.
+    A view whose every group has been retracted (no parquet files left
+    after the removal commits) reads as an EMPTY frame with the schema
+    the folds recorded, not a schema-inference crash."""
     recover_pending_merge(view_dir)
+    base = Path(view_dir)
+    if not any(base.rglob("*.parquet")):
+        schema_file = base.parent / f".{base.name}.schema.json"
+        if schema_file.exists():
+            from pyspark.sql.types import StructType
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema_file.read_text())))
     return spark.read.option("basePath", view_dir).parquet(view_dir)

@@ -131,26 +131,19 @@ def merge_into_partitioned(spark: SparkSession, base_dir: str,
     shutil.rmtree(staging, ignore_errors=True)
     (merged.write.mode("overwrite").partitionBy(partition_col)
      .parquet(str(staging)))
-    base.mkdir(parents=True, exist_ok=True)
-    pnames = sorted(p.name for p in staging.glob(f"{partition_col}=*"))
     # a touched partition whose every row was tombstoned writes no staged
     # dir (Spark emits nothing for an empty partition); it is committed as
     # an explicit REMOVAL in the manifest, named by Spark's OWN hive
     # partition-path encoding (escaped ':'/'='/etc., 'true' not 'True') —
     # a Python-formatted f"{col}={value}" dir name would miss the on-disk
-    # dir for any value Spark escapes, silently keeping tombstoned rows
-    removed = []
+    # dir for any value Spark escapes, silently keeping tombstoned rows.
+    # The encoding job only runs on the rare fully-tombstoned path.
+    pnames = sorted(p.name for p in staging.glob(f"{partition_col}=*"))
+    touched = None
     if len(pnames) < len(parts):
         touched = _spark_partition_dir_names(spark, updates, partition_col,
                                              parts)
-        removed = sorted(set(touched) - set(pnames))
-    manifest = _manifest_path(base)
-    tmp = manifest.with_suffix(".json.tmp")
-    tmp.write_text(json.dumps({"staging": staging.name,
-                               "partitions": pnames,
-                               "removed": removed}))
-    os.rename(tmp, manifest)  # COMMIT POINT — one rename
-    _apply_manifest(base, manifest)
+    commit_staged_partitions(base_dir, partition_col, touched)
     return parts
 
 
@@ -187,6 +180,35 @@ def _spark_partition_dir_names(spark: SparkSession, updates: DataFrame,
 
 def _manifest_path(base: Path) -> Path:
     return base.parent / f".{base.name}.commit.json"
+
+
+def commit_staged_partitions(base_dir: str, partition_col: str,
+                             touched_names: list[str] | None = None
+                             ) -> list[str]:
+    """Shared manifest-commit tail for every partition-swap fold (merge,
+    rollup, IVM, sketch view, inverted index, erase): the caller has
+    already written the merged partitions into the conventional staging
+    dir (``.<base>.staging`` next to ``base_dir``); this globs the staged
+    ``<partition_col>=`` dirs, records ``touched_names`` that got no
+    staged dir as explicit removals (the caller passes names in the REAL
+    on-disk encoding — int/hex-safe values only; pass None to skip
+    removal tracking), writes the manifest (COMMIT POINT — one rename)
+    and applies it.  Centralizing the tail is what keeps the commit
+    details (removal semantics, crash replay) from drifting per store.
+    Returns the staged partition names."""
+    base = Path(base_dir)
+    staging = base.parent / f".{base.name}.staging"
+    base.mkdir(parents=True, exist_ok=True)
+    pnames = sorted(p.name for p in staging.glob(f"{partition_col}=*"))
+    removed = sorted(set(touched_names or []) - set(pnames))
+    manifest = _manifest_path(base)
+    tmp = manifest.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps({"staging": staging.name,
+                               "partitions": pnames,
+                               "removed": removed}))
+    os.rename(tmp, manifest)  # COMMIT POINT — one rename
+    _apply_manifest(base, manifest)
+    return pnames
 
 
 def _apply_manifest(base: Path, manifest: Path) -> None:

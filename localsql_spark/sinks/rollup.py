@@ -96,11 +96,29 @@ def maintain_rollup(spark: SparkSession, rollup_dir: str,
     table except the touched-partition read — whose size is bounded by
     buckets x keys per date, not by event count.
     """
+    from localsql_spark.sinks.merge import commit_staged_partitions
+
     recover_pending_merge(rollup_dir)
-    delta = rollup_events(new_events, grain, ts_col, key_col, value_col)
+    # localCheckpoint: the delta is consumed twice (date collect + merge
+    # write); a source that re-evaluates differently between the two
+    # could otherwise stage a date absent from the collected list, whose
+    # stored rows would then be replaced unmerged (and the batch
+    # aggregation runs once instead of twice)
+    delta = (rollup_events(new_events, grain, ts_col, key_col, value_col)
+             .localCheckpoint(eager=True))
     dates = [r[0] for r in delta.select("event_date").distinct().collect()]
     if not dates:
         return []
+    # NULL timestamps roll up to a NULL event_date, which isin()-based
+    # pruning can never read back — the staged __HIVE_DEFAULT_PARTITION__
+    # dir would REPLACE the stored one instead of merging (silent count
+    # loss).  Same up-front rejection as the merge sink's NULL-partition
+    # guard: filter or backfill the timestamp first.
+    if any(d is None for d in dates):
+        raise ValueError(
+            f"events carry NULL {ts_col!r} values — a NULL event_date "
+            "cannot be maintained safely (isin-based partition pruning "
+            "skips it); filter or backfill the timestamp column first")
     stored = read_base_partitions(spark, rollup_dir, "event_date", dates)
     merged = merge_rollup(stored, delta)
 
@@ -109,14 +127,7 @@ def maintain_rollup(spark: SparkSession, rollup_dir: str,
     shutil.rmtree(staging, ignore_errors=True)
     (merged.write.mode("overwrite").partitionBy("event_date")
      .parquet(str(staging)))
-    base.mkdir(parents=True, exist_ok=True)
-    pnames = sorted(p.name for p in staging.glob("event_date=*"))
-    manifest = _manifest_path(base)
-    tmp = manifest.with_suffix(".json.tmp")
-    tmp.write_text(json.dumps({"staging": staging.name,
-                               "partitions": pnames}))
-    os.rename(tmp, manifest)  # COMMIT POINT — one rename
-    _apply_manifest(base, manifest)
+    commit_staged_partitions(rollup_dir, "event_date")
     return dates
 
 

@@ -15,21 +15,30 @@ sketch — and therefore the estimate — is BIT-IDENTICAL to a single
 full-corpus sketch, which is exactly what the registered query's
 full-corpus oracle checks: an *exact* gate on an *approximate* view.
 
-State layout: hive-partitioned parquet ``grp=<group>`` with rows
-``(bucket, m_rank, total_ngrams, n_docs)`` — register rows carry
-``bucket >= 0`` and ``m_rank`` (merge = max, idempotent); the single
-counter row per group carries ``bucket = -1`` with the additive totals
-(merge = sum, NOT idempotent — exactly-once is the caller's contract,
-same as every additive fold here; drive from a marker-committed landing
-loop when the source can redeliver).  Commits are the shared
-staged-write + manifest-rename protocol (sinks.merge) so a crashed fold
-heals on the next call.
+State layout: hive-partitioned parquet ``gb=<hash bucket>`` (the
+group's 16-way portable hash; NULL groups take the reserved bucket 16)
+with rows ``(grp, bucket, m_rank, total_ngrams, n_docs)`` — register
+rows carry ``bucket >= 0`` and ``m_rank`` (merge = max, idempotent);
+the single counter row per group carries ``bucket = -1`` with the
+additive totals (merge = sum, NOT idempotent — exactly-once is the
+caller's contract, same as every additive fold here; drive from a
+marker-committed landing loop when the source can redeliver).  Commits
+are the shared staged-write + manifest-rename protocol (sinks.merge)
+so a crashed fold heals on the next call.
+
+Partitioning on the HASH of the group rather than the group value
+itself (round-9 review fix) closes two hive-partition-value hazards at
+once: a NULL group's partition could never be read back by the isin()
+prune (the staged dir then REPLACED the stored one — registers and
+counters silently reset every batch), and numeric-looking group names
+('1.50', '001') round-trip through hive partition-type inference as
+numbers, forking one group across two partitions.  An int bucket
+column has neither problem, and ``grp`` survives as an ordinary typed
+data column.
 """
 
 from __future__ import annotations
 
-import json
-import os
 import shutil
 from pathlib import Path
 
@@ -61,12 +70,11 @@ def sketch_view_update(spark: SparkSession, view_dir: str,
                        group_col: str = "source",
                        text_col: str = "text") -> list:
     """Fold a document batch into the persisted diversity view.  Returns
-    the rewritten ``grp`` partition values.  Fold cost = batch n-gram
-    stream + a (groups x <= HLL_M)-row merge; history contributes only
-    its bounded register table."""
+    the rewritten ``gb`` (group hash-bucket) partition values.  Fold cost
+    = batch n-gram stream + a (groups x <= HLL_M)-row merge; history
+    contributes only its bounded register table."""
     from localsql_spark.operators.corpus import ngram_stream
-    from localsql_spark.sinks.merge import (_apply_manifest, _manifest_path,
-                                            read_base_partitions,
+    from localsql_spark.sinks.merge import (read_base_partitions,
                                             recover_pending_merge)
 
     recover_pending_merge(view_dir)
@@ -76,20 +84,32 @@ def sketch_view_update(spark: SparkSession, view_dir: str,
             .select("grp", "bucket", "m_rank",
                     F.lit(None).cast("long").alias("total_ngrams"),
                     F.lit(None).cast("long").alias("n_docs")))
-    counters = (new_docs.groupBy(F.col(group_col).alias("grp"))
-                .agg(F.count(F.lit(1)).alias("n_docs"))
-                .join(grams.groupBy(F.col(group_col).alias("grp"))
-                      .agg(F.count(F.lit(1)).alias("total_ngrams")),
-                      "grp", "left")
+    nd = (new_docs.groupBy(F.col(group_col).alias("grp"))
+          .agg(F.count(F.lit(1)).alias("n_docs")))
+    tg = (grams.groupBy(F.col(group_col).alias("_g2"))
+          .agg(F.count(F.lit(1)).alias("total_ngrams")))
+    # eqNullSafe: a NULL group is a legitimate aggregation key, and a
+    # plain equi-join would silently zero its n-gram totals every fold
+    counters = (nd.join(tg, nd["grp"].eqNullSafe(tg["_g2"]), "left")
                 .select("grp", F.lit(-1).cast("int").alias("bucket"),
                         F.lit(None).cast("int").alias("m_rank"),
                         F.coalesce("total_ngrams", F.lit(0))
                         .alias("total_ngrams"), "n_docs"))
-    delta = regs.unionByName(counters)
-    parts = [r[0] for r in delta.select("grp").distinct().collect()]
-    stored = read_base_partitions(spark, view_dir, "grp", parts)
+    from localsql_spark.operators import hash32
+    from localsql_spark.sinks.merge import commit_staged_partitions
+
+    gb = F.coalesce(F.pmod(hash32(F.col("grp").cast("string")), F.lit(16)),
+                    F.lit(16)).cast("int")
+    # localCheckpoint: the delta is consumed twice (bucket collect +
+    # merge write) — a re-evaluating source could otherwise stage a
+    # bucket absent from the collected list, replacing its stored rows
+    # unmerged; and the n-gram explode+aggregate runs once, not twice
+    delta = (regs.unionByName(counters).withColumn("gb", gb)
+             .localCheckpoint(eager=True))
+    parts = [r[0] for r in delta.select("gb").distinct().collect()]
+    stored = read_base_partitions(spark, view_dir, "gb", parts)
     both = delta if stored is None else stored.unionByName(delta)
-    merged = (both.groupBy("grp", "bucket")
+    merged = (both.groupBy("grp", "gb", "bucket")
               .agg(F.max("m_rank").alias("m_rank"),
                    F.sum("total_ngrams").alias("total_ngrams"),
                    F.sum("n_docs").alias("n_docs")))
@@ -97,16 +117,9 @@ def sketch_view_update(spark: SparkSession, view_dir: str,
     base = Path(view_dir)
     staging = base.parent / f".{base.name}.staging"
     shutil.rmtree(staging, ignore_errors=True)
-    (merged.write.mode("overwrite").partitionBy("grp")
+    (merged.write.mode("overwrite").partitionBy("gb")
      .parquet(str(staging)))
-    base.mkdir(parents=True, exist_ok=True)
-    pnames = sorted(p.name for p in staging.glob("grp=*"))
-    manifest = _manifest_path(base)
-    tmp = manifest.with_suffix(".json.tmp")
-    tmp.write_text(json.dumps({"staging": staging.name,
-                               "partitions": pnames}))
-    os.rename(tmp, manifest)  # COMMIT POINT — one rename
-    _apply_manifest(base, manifest)
+    commit_staged_partitions(view_dir, "gb")
     return parts
 
 
@@ -135,7 +148,10 @@ def sketch_view_read(spark: SparkSession, view_dir: str,
     est = F.when((raw <= 2.5 * m) & (zeros > 0),
                  F.lit(m) * F.log(F.lit(m) / zeros)).otherwise(raw)
     est6 = F.coalesce(F.round(est, 6), F.lit(0.0))
-    out = (counters.join(agg, "grp", "left")
+    agg = agg.withColumnRenamed("grp", "_g2")
+    # eqNullSafe: the NULL group's registers must join its counter row
+    out = (counters.join(agg, counters["grp"].eqNullSafe(agg["_g2"]),
+                         "left")
            .select(F.col("grp").alias(group_col),
                    "n_docs", "total_ngrams",
                    F.coalesce(F.col("seen"), F.lit(0)).cast("long")

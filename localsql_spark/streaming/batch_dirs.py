@@ -63,9 +63,14 @@ def _live_parts(dir_: str) -> tuple[Path | None, list[Path]]:
 
 
 def read_batches(spark: SparkSession, dir_: str) -> DataFrame:
-    """All committed rows: newest generation + non-superseded batch dirs."""
+    """All COMMITTED rows: newest generation + non-superseded batch dirs.
+    A batch dir without ``_SUCCESS`` is a partial landing or mid-rewrite
+    (the stream will rewrite it) — excluded here exactly as the
+    compaction and fold loops exclude it, so a reader can never see a
+    torn subset of a batch or files from two write attempts."""
     gen, batches = _live_parts(dir_)
-    paths = ([str(gen)] if gen else []) + [str(p) for p in batches]
+    paths = ([str(gen)] if gen else []) + \
+        [str(p) for p in batches if (p / "_SUCCESS").exists()]
     if not paths:
         # empty landing dir: preserve the old recursive-read error shape
         return spark.read.option("recursiveFileLookup", "true").parquet(dir_)
@@ -77,13 +82,16 @@ def fold_cutoff(dir_: str, keep_last: int = 1) -> int:
     nothing would fold) — lets a caller compacting PAIRED dirs (e.g. the
     dedup sink's corpus + signature store) pick one shared cutoff so the
     superseded gate stays consistent across both."""
-    _, batches = _live_parts(dir_)
+    gen, batches = _live_parts(dir_)
     candidates = batches[:-keep_last] if keep_last > 0 else batches
     cutoff = -1
+    prev = _gen_id(gen) if gen else -1
     for p in candidates:
-        if not (p / "_SUCCESS").exists():
-            break
-        cutoff = _gen_id(p)
+        gid = _gen_id(p)
+        if gid != prev + 1 or not (p / "_SUCCESS").exists():
+            break  # id gap or partial landing: nothing above may fold
+        cutoff = gid
+        prev = gid
     return cutoff
 
 
@@ -109,17 +117,23 @@ def compact_batches(spark: SparkSession, dir_: str, *, keep_last: int = 1,
         if gen is not None and _gen_id(g) < _gen_id(gen):
             shutil.rmtree(g, ignore_errors=True)
     candidates = batches[:-keep_last] if keep_last > 0 else batches
-    # fold only the contiguous COMPLETE prefix: a partially-landed dir
-    # (no _SUCCESS — the stream will rewrite it) must not end up below
-    # the generation watermark, where its redelivery would be skipped as
-    # superseded before its rows ever became durable
+    # fold only the contiguous COMPLETE prefix OF IDS: a partially-landed
+    # dir (no _SUCCESS — the stream will rewrite it) AND a wholly missing
+    # intermediate id (dir lost externally, or a sink that skipped the
+    # batch) must not end up below the generation watermark, where the
+    # batch's redelivery would be skipped as superseded before its rows
+    # ever became durable — same contiguity rule as
+    # stream_rollup.prune_landed
     fold: list[Path] = []
+    prev = upto
     for p in candidates:
-        if not (p / "_SUCCESS").exists():
+        gid = _gen_id(p)
+        if gid != prev + 1 or not (p / "_SUCCESS").exists():
             break
-        if max_upto is not None and _gen_id(p) > max_upto:
+        if max_upto is not None and gid > max_upto:
             break
         fold.append(p)
+        prev = gid
     if not fold:
         return 0
     new_upto = _gen_id(fold[-1])

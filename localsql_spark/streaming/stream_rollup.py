@@ -103,7 +103,12 @@ def fold_landed_with(spark: SparkSession, land_dir: str, store_dir: str,
         if marker.exists():
             continue
         if not (b / "_SUCCESS").exists():
-            continue  # partial landing (stream will rewrite it)
+            # partial landing (the stream will rewrite it): STOP, don't
+            # skip — folding a later batch first would apply batches out
+            # of id order, which corrupts order-sensitive appliers (the
+            # IVM dim fold computes old rows from a snapshot that must
+            # reflect every PRIOR batch) and silently reorders the rest
+            break
         if pass_batch_id:
             apply_fn(spark.read.parquet(str(b)), bid)
         else:

@@ -342,15 +342,21 @@ def test_prune_landed_retention_and_replay_safety(spark, tmp_path):
     ev.filter("event_id % 7 = 0").write.parquet(str(land / "batch_4"))
     assert fold_landed(spark, str(land), rollup) == 1
 
-    # an unapplied gap blocks pruning above it
+    # a PARTIAL landing stops the fold (order preserved — folding batch_6
+    # past torn batch_5 would apply batches out of id order, which
+    # corrupts order-sensitive appliers like the IVM dim fold), and the
+    # unapplied gap blocks pruning above it
     ev.filter("event_id % 11 = 0").write.parquet(str(land / "batch_5"))
     (land / "batch_5" / "_SUCCESS").unlink()  # landed but never applied
     ev.filter("event_id % 13 = 0").write.parquet(str(land / "batch_6"))
-    assert fold_landed(spark, str(land), rollup) == 1  # batch_6 only
-    # applied prefix stops at batch_4 (5 is the gap): 6 must not prune
+    assert fold_landed(spark, str(land), rollup) == 0  # stops at the tear
     n = prune_landed(str(land), rollup, keep_last=0)
     assert (land / "batch_6").exists()
     assert _applied_through(rollup) <= 4
+    # the stream rewrites the torn dir; the fold resumes IN ORDER
+    ev.filter("event_id % 11 = 0").write.mode("overwrite").parquet(
+        str(land / "batch_5"))
+    assert fold_landed(spark, str(land), rollup) == 2  # 5 then 6
 
 
 def test_prune_landed_blocks_on_wholly_missing_gap_id(spark, tmp_path):
@@ -644,3 +650,139 @@ def test_backfill_replaces_only_named_dates_and_handles_empty(spark,
                     grain="hour")
     assert read_rollup(spark, store) \
         .filter(F.col("event_date") == days[1]).count() == 0
+
+
+def test_ivm_null_group_folds_into_reserved_bucket(spark, tmp_path):
+    """A NULL dim group must MERGE across folds (reserved bucket), not
+    silently reset — NULL grp_bucket was invisible to isin() pruning and
+    the staged partition replaced the stored one (code-review r9)."""
+    from localsql_spark.sinks.ivm import maintain_join_view, read_join_view
+
+    dim = spark.createDataFrame([(1, "a"), (2, None)],
+                                "k long, grp string")
+    view = str(tmp_path / "view")
+    f1 = spark.createDataFrame([(1, 10.0), (2, 5.0), (2, 5.0)],
+                               "k long, v double")
+    f2 = spark.createDataFrame([(2, 3.0)], "k long, v double")
+    maintain_join_view(spark, view, f1, dim, fact_key="k", dim_key="k",
+                       group_col="grp", value_col="v", n_buckets=4)
+    maintain_join_view(spark, view, f2, dim, fact_key="k", dim_key="k",
+                       group_col="grp", value_col="v", n_buckets=4)
+    got = {r.grp: (r.n_rows, float(r.sum_value))
+           for r in read_join_view(spark, view).collect()}
+    assert got == {"a": (1, 10.0), None: (3, 13.0)}, \
+        "NULL group's second fold must merge, not replace"
+
+
+def test_ivm_full_retraction_reads_as_empty_frame(spark, tmp_path):
+    """Retracting every group leaves the view dir with no parquet files;
+    read_join_view must return an empty frame from the recorded schema,
+    not crash schema inference (code-review r9)."""
+    from localsql_spark.sinks.ivm import (apply_dim_change,
+                                          maintain_join_view,
+                                          read_join_view)
+
+    dim = spark.createDataFrame([(1, "a")], "k long, grp string")
+    fact = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    view = str(tmp_path / "view")
+    maintain_join_view(spark, view, fact, dim, fact_key="k", dim_key="k",
+                       group_col="grp", value_col="v", n_buckets=4)
+    # dim delete: retract the only group's contribution entirely
+    apply_dim_change(spark, view, fact,
+                     old_dim_rows=dim,
+                     new_dim_rows=dim.filter("k < 0"),
+                     fact_key="k", dim_key="k", group_col="grp",
+                     value_col="v", n_buckets=4)
+    out = read_join_view(spark, view)
+    assert out.count() == 0
+    assert set(out.columns) >= {"grp", "n_rows", "sum_value"}
+
+
+def test_rollup_rejects_null_timestamps(spark, tmp_path):
+    """A NULL ts rolls up to a NULL event_date, which partition pruning
+    can never merge with — rejected up front like the merge sink's NULL
+    partition guard (code-review r9)."""
+    import pytest as _pytest
+
+    from localsql_spark.sinks.rollup import maintain_rollup
+
+    ev = spark.createDataFrame(
+        [(1, None, 1, "view", 1.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double")
+    with _pytest.raises(ValueError, match="NULL"):
+        maintain_rollup(spark, str(tmp_path / "r"), ev)
+
+
+def test_sketch_view_null_and_numeric_groups_merge_across_folds(
+        spark, tmp_path):
+    """The sketch view partitions on the group's HASH bucket, so a NULL
+    group and numeric-looking group names ('1.50' vs '1.5') both merge
+    correctly across folds — raw-value hive partitioning reset NULL
+    groups every batch and forked numeric-looking names through
+    partition-type inference (code-review r9)."""
+    from localsql_spark.sinks.sketch_view import (sketch_view_read,
+                                                  sketch_view_update)
+
+    view = str(tmp_path / "view")
+    b1 = spark.createDataFrame(
+        [(1, None, "alpha beta gamma"), (2, "1.50", "delta epsilon zeta"),
+         (3, "1.5", "eta theta iota")],
+        "doc_id long, source string, text string")
+    b2 = spark.createDataFrame(
+        [(4, None, "kappa lambda mu"), (5, "1.50", "nu xi omicron")],
+        "doc_id long, source string, text string")
+    sketch_view_update(spark, view, b1)
+    sketch_view_update(spark, view, b2)
+    rows = sketch_view_read(spark, view).collect()
+    got = {r.source: (r.n_docs, r.total_ngrams) for r in rows}
+    # bigrams per 3-word doc = 2
+    assert got == {None: (2, 4), "1.50": (2, 4), "1.5": (1, 2)}, \
+        "groups must accumulate across folds and never fork/reset"
+    # the NULL group's registers join its counter row (null-safe join):
+    # its estimate reflects its 4 distinct bigrams, not a zeroed sketch
+    null_row = next(r for r in rows if r.source is None)
+    assert null_row.n_buckets_seen > 0 and null_row.approx_distinct > 0
+
+
+def test_compact_batches_blocks_on_missing_intermediate_id(spark, tmp_path):
+    """A wholly MISSING intermediate batch id must block compaction above
+    it: folding past the gap would advance the generation watermark over
+    the id, and its later redelivery would be discarded as superseded
+    before its rows ever became durable (code-review r9)."""
+    from localsql_spark.streaming.batch_dirs import (compact_batches,
+                                                     compacted_through,
+                                                     fold_cutoff,
+                                                     read_batches,
+                                                     superseded)
+
+    land = tmp_path / "land"
+    for bid in (0, 1, 3, 4):  # batch_2 is missing
+        spark.createDataFrame([(bid,)], "v long").write.parquet(
+            str(land / f"batch_{bid}"))
+    assert fold_cutoff(str(land), keep_last=0) == 1
+    assert compact_batches(spark, str(land), keep_last=0) == 2  # 0 and 1
+    assert compacted_through(str(land)) == 1
+    assert not superseded(str(land), 2)  # redelivery of 2 still folds
+    # batch 2 re-lands; the fold can now pass the gap
+    spark.createDataFrame([(2,)], "v long").write.parquet(
+        str(land / "batch_2"))
+    assert compact_batches(spark, str(land), keep_last=0) == 3
+    assert compacted_through(str(land)) == 4
+    assert sorted(r.v for r in read_batches(spark, str(land)).collect()) \
+        == [0, 1, 2, 3, 4]
+
+
+def test_read_batches_skips_torn_dirs(spark, tmp_path):
+    """read_batches must exclude a batch dir without _SUCCESS (a partial
+    landing the stream will rewrite) exactly as the fold and compaction
+    loops do (code-review r9)."""
+    from localsql_spark.streaming.batch_dirs import read_batches
+
+    land = tmp_path / "land"
+    spark.createDataFrame([(0,)], "v long").write.parquet(
+        str(land / "batch_0"))
+    spark.createDataFrame([(1,)], "v long").write.parquet(
+        str(land / "batch_1"))
+    (land / "batch_1" / "_SUCCESS").unlink()
+    assert [r.v for r in read_batches(spark, str(land)).collect()] == [0]
