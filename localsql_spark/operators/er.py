@@ -71,10 +71,17 @@ def blocked_edit_matches(df: DataFrame, id_col: str, attr_col: str,
             .withColumn("dist", dist)
             .filter(F.col("dist") <= max_dist)
             .select("id_a", "id_b", "dist",
-                    F.round(F.lit(1.0) - F.col("dist")
-                            / F.greatest(F.length("_attr_a"),
-                                         F.length("_attr_b"))
-                            .cast("double"), 9).alias("sim")))
+                    # two EMPTY attrs pass the dist gate with maxlen 0;
+                    # they are identical, so sim is 1.0 — a bare division
+                    # raises DIVIDE_BY_ZERO under ANSI mode and kills the
+                    # whole ER job on one degenerate pair
+                    F.round(F.when(
+                        F.greatest(F.length("_attr_a"),
+                                   F.length("_attr_b")) == 0, F.lit(1.0))
+                        .otherwise(F.lit(1.0) - F.col("dist")
+                                   / F.greatest(F.length("_attr_a"),
+                                                F.length("_attr_b"))
+                                   .cast("double")), 9).alias("sim")))
 
 
 def resolve_entities(df: DataFrame, matches: DataFrame,
@@ -130,7 +137,11 @@ def sorted_neighborhood_matches(df: DataFrame, id_col: str, attr_col: str,
     a = (recs.select(*block_cols, F.col("_rank").alias("_ra"),
                      F.col("_id").alias("_ida"),
                      F.col("_attr").alias("_attra"),
-                     F.explode(F.sequence(F.lit(1), F.lit(window - 1)))
+                     # python-side range: F.sequence(1, 0) would emit a
+                     # DESCENDING [1, 0] for window<=1 — self-pairs at
+                     # offset 0 — instead of no offsets at all
+                     F.explode(F.array(*[F.lit(i)
+                                         for i in range(1, window)]))
                      .alias("_off"))
          # the partner's rank joins as an EQUI key (block, rank): the hash
          # join emits exactly the |records| x (window-1) candidates — rank
@@ -146,10 +157,13 @@ def sorted_neighborhood_matches(df: DataFrame, id_col: str, attr_col: str,
             .select(F.least("_ida", "_idb").alias("id_a"),
                     F.greatest("_ida", "_idb").alias("id_b"),
                     "dist",
-                    F.round(F.lit(1.0) - F.col("dist")
-                            / F.greatest(F.length("_attra"),
-                                         F.length("_attrb"))
-                            .cast("double"), 9).alias("sim")))
+                    F.round(F.when(
+                        F.greatest(F.length("_attra"),
+                                   F.length("_attrb")) == 0, F.lit(1.0))
+                        .otherwise(F.lit(1.0) - F.col("dist")
+                                   / F.greatest(F.length("_attra"),
+                                                F.length("_attrb"))
+                                   .cast("double")), 9).alias("sim")))
 
 
 def fs_match_scores(df: DataFrame, candidates: DataFrame, id_col: str,

@@ -143,7 +143,14 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: list[str],
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     matched = (r.unionByName(l)
                .withColumn("__m", F.last("__payload", ignorenulls=True).over(w))
-               .filter(F.col("__side") == 1))
+               .filter(F.col("__side") == 1)
+               # a LEFT row with a NULL timestamp can never satisfy the
+               # as-of predicate either; in forward mode the desc sort
+               # puts it after every right row and the running carry
+               # would hand it the earliest right payload — keep the
+               # left-outer NULL instead (backward already behaves so)
+               .withColumn("__m", F.when(F.col("__ts").isNotNull(),
+                                         F.col("__m"))))
     if tolerance_s is not None:
         # drop matches further than tolerance from the left timestamp
         gap = F.abs(F.unix_micros(F.col("__ts").cast("timestamp"))
@@ -252,8 +259,15 @@ def multi_touch_attribution(events: DataFrame, *,
               .withColumn("n", F.count(F.lit(1)).over(wc))
               .withColumn("sumw", F.sum("w9").over(wc)))
     linear9 = F.round(F.lit(1.0) / F.col("n"), 9).cast(dec)
-    decay9 = F.round(F.col("w9").cast("double")
-                     / F.col("sumw").cast("double"), 9).cast(dec)
+    # a conversion whose every touch weight rounds to 0 (delta/halflife
+    # beyond ~31, e.g. hour-halflife against the 7-day window) has
+    # sumw = 0: a bare division raises DIVIDE_BY_ZERO under ANSI mode —
+    # fall back to the equal split so the conversion's credit still
+    # sums to 1 (the limit of the decay model as all weights vanish
+    # together)
+    decay9 = F.when(F.col("sumw") == 0, linear9).otherwise(
+        F.round(F.col("w9").cast("double")
+                / F.col("sumw").cast("double"), 9).cast(dec))
     return (scored.groupBy("channel")
             .agg(F.countDistinct("conv_id").alias("n_conversions"),
                  F.round(F.sum(linear9).cast("double"), 6)
@@ -296,15 +310,18 @@ def km_survival(events: DataFrame, *, churn_gap_s: float = 14 * 86400.0,
                      F.max(F.unix_micros(ts)).alias("last_us")))
     cutoff = per_user.agg(F.max("last_us").alias("cutoff_us"))
     gap_us = int(churn_gap_s * 1e6)
+    # BOTH outcomes end observation at the user's LAST ACTIVITY: a
+    # churned user died there, a censored user was last OBSERVED alive
+    # there.  (Censoring at the cutoff — the round-8 behavior — kept
+    # censored users in the risk set for up to churn_gap_s days nobody
+    # observed them, deflating the hazard and biasing survival upward;
+    # standard KM right-censors at the last observation time.)
     u = (per_user.crossJoin(F.broadcast(cutoff))
          .withColumn("churned",
                      F.col("last_us") < F.col("cutoff_us") - gap_us)
          .withColumn("day",
-                     F.floor((F.when(F.col("churned"),
-                                     F.col("last_us"))
-                              .otherwise(F.col("cutoff_us"))
-                              - F.col("first_us")) / (86400 * 1_000_000))
-                     .cast("long")))
+                     F.floor((F.col("last_us") - F.col("first_us"))
+                             / (86400 * 1_000_000)).cast("long")))
     days = (u.groupBy("day")
             .agg(F.sum(F.col("churned").cast("long")).alias("n_churned"),
                  F.sum((~F.col("churned")).cast("long")).alias("n_censored")))
@@ -312,11 +329,17 @@ def km_survival(events: DataFrame, *, churn_gap_s: float = 14 * 86400.0,
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     w_prev = (Window.orderBy("day")
               .rowsBetween(Window.unboundedPreceding, -1))
-    total = u.count()
+    # the user total derives from the day table itself (every user exits
+    # on exactly one day) — an eager u.count() here used to recompute
+    # the whole per-user aggregation as a second corpus job
+    w_full = (Window.orderBy("day")
+              .rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+    total = F.sum(F.col("n_churned") + F.col("n_censored")).over(w_full)
     left_before = F.coalesce(
         F.sum(F.col("n_churned") + F.col("n_censored")).over(w_prev),
         F.lit(0))
-    at_risk = F.lit(total) - left_before
+    at_risk = total - left_before
     # a day where every at-risk user churns drives the factor to 0 and
     # log10 to -inf; clamp at 1e-12 (rounds to 0.000000 survival, and the
     # cumulative sum keeps the curve at zero thereafter) — same clamp in

@@ -40,11 +40,21 @@ def table_fingerprint(df: DataFrame, key_col: str, payload: Column,
     exceeds both engines' 64-bit integer output paths.
     """
     key = F.col(key_col)
+    # NULL-safety (non-NULL rows hash identically to before, so the
+    # oracles stay exact): a NULL key used to land in bucket NULL —
+    # invisible to fingerprint_diff's equi-join, so IDENTICAL tables
+    # containing one reported spurious diffs — and a NULL payload nulled
+    # the whole row_hash, hiding key differences among such rows.  NULL
+    # keys take the reserved bucket ``buckets``; NULL components hash as
+    # sentinel strings (distinct from any real value's md5 path).
     row_hash = F.conv(
-        F.substring(F.md5(F.concat(key.cast("string"), F.lit(":"),
-                                   F.md5(payload))), 1, 8),
+        F.substring(F.md5(F.concat(
+            F.coalesce(key.cast("string"), F.lit("\x00null-key")),
+            F.lit(":"),
+            F.coalesce(F.md5(payload), F.lit("\x00null-payload")))), 1, 8),
         16, 10).cast("long")
-    return (df.groupBy((hash32(key) % buckets).alias("bucket"))
+    return (df.groupBy(F.coalesce(hash32(key) % buckets,
+                                  F.lit(buckets)).alias("bucket"))
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.sum(row_hash.cast("decimal(38,0)")).cast("string")
                  .alias("hash_sum")))

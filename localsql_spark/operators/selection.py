@@ -226,8 +226,13 @@ def gopher_quality_flags(docs: DataFrame, doc_id_col: str = "doc_id",
         alpha_ratio.alias("alpha_ratio"),
         n_stop.cast("bigint").alias("n_stopwords"))
         .withColumn("rule_word_count",
-                    (F.col("n_words") >= min_words)
-                    & (F.col("n_words") <= max_words))
+                    # NULL text makes n_words/n_stopwords NULL — these
+                    # two rules need the same FALSE-not-null guard the
+                    # ratio rules below already carry, or a consumer
+                    # testing rule == false misses every NULL-text doc
+                    F.when((F.col("n_words") >= min_words)
+                           & (F.col("n_words") <= max_words), True)
+                    .otherwise(False))
         # Empty/whitespace-only docs have n_words == 0 -> null ratios; the
         # ratio-based rules (and keep) must read FALSE, not null, or
         # consumers testing `keep == false` / counting keeps leak them.
@@ -241,7 +246,9 @@ def gopher_quality_flags(docs: DataFrame, doc_id_col: str = "doc_id",
         .withColumn("rule_alpha_words",
                     F.when(F.col("alpha_ratio") >= min_alpha_ratio, True)
                     .otherwise(False))
-        .withColumn("rule_stopwords", F.col("n_stopwords") >= min_stopwords))
+        .withColumn("rule_stopwords",
+                    F.when(F.col("n_stopwords") >= min_stopwords, True)
+                    .otherwise(False)))
     return out.withColumn(
         "keep",
         F.col("rule_word_count") & F.col("rule_mean_word_len")
@@ -463,10 +470,20 @@ def _nb_score(lab: DataFrame, words: DataFrame, model: DataFrame,
         F.round(F.log10(F.col("np_docs").cast("double")
                         / F.col("nn_docs")) * F.lit(1e9), 0)
         .cast("long").alias("prior_e9"))
-    per_doc = (words.join(lr, "word")
+    # out-of-vocabulary tokens (scoring NEW docs against a persisted
+    # model) contribute the Laplace-smoothed UNSEEN ratio
+    # log10(1/(tp+v)) - log10(1/(tn+v)) — an inner join silently dropped
+    # them (zero contribution AND an under-reported n_tokens), biasing
+    # nb_score toward the prior for OOV-heavy documents
+    unseen = tot.select(
+        F.round((F.log10(F.lit(1.0) / (F.col("tp") + F.col("v")))
+                 - F.log10(F.lit(1.0) / (F.col("tn") + F.col("v"))))
+                * F.lit(1e9), 0).cast("long").alias("unseen_e9"))
+    per_doc = (words.join(lr, "word", "left")
+               .crossJoin(F.broadcast(unseen))
                .groupBy("doc_id")
                .agg(F.count(F.lit(1)).alias("n_tokens"),
-                    F.sum("lr_e9").alias("_s")))
+                    F.sum(F.coalesce("lr_e9", "unseen_e9")).alias("_s")))
     total = F.coalesce(F.col("_s"), F.lit(0)) + F.col("prior_e9")
     return (lab.select("doc_id", "is_pos")
             .join(per_doc, "doc_id", "left")

@@ -95,8 +95,15 @@ def salted_agg(df: DataFrame, keys: list[str], aggs: dict[str, Column],
         # EXACT function-name match, DISTINCT rejected: count(DISTINCT x)
         # split across salts double-counts values, min_by/max_by under a
         # plain min/max combiner return the wrong column's extremum
+        # DISTINCT only as the flag position "fn(distinct ..." — a bare
+        # substring test rejected valid aggregates over any COLUMN whose
+        # name contains 'distinct' (e.g. sum(distinct_users)); the real
+        # DISTINCT flag is independently caught by the analyzed-plan
+        # check above, this string form is belt-and-braces only
         m = _re.match(r"^(sum|count|min|max)\(", fn)
-        if not m or "distinct" in fn:
+        has_distinct_flag = bool(
+            _re.match(r"^(sum|count|min|max)\(distinct\s", fn))
+        if not m or has_distinct_flag:
             # avg/stddev/collect_*/…_by/DISTINCT would silently mis-combine
             # (a sum of per-salt averages is not the average) — refuse
             # loudly; decompose avg as sum+count at the call site instead
@@ -104,7 +111,7 @@ def salted_agg(df: DataFrame, keys: list[str], aggs: dict[str, Column],
                 f"salted_agg only re-combines plain sum/count/min/max "
                 f"partials; got {fn.split('(')[0]!r} for {name!r}"
                 + (" (DISTINCT is not salt-decomposable)"
-                   if "distinct" in fn else ""))
+                   if has_distinct_flag else ""))
         kind = m.group(1)
         if kind == "min":
             combiners.append(F.min(name).alias(name))

@@ -1179,9 +1179,7 @@ co AS (SELECT max(last_us) AS cutoff_us FROM per_user),
 u AS (
   SELECT user_id,
          last_us < cutoff_us - 1209600000000 AS churned,
-         CAST(floor((CASE WHEN last_us < cutoff_us - 1209600000000
-                          THEN last_us ELSE cutoff_us END - first_us)
-                    / 86400000000.0) AS BIGINT) AS day
+         CAST(floor((last_us - first_us) / 86400000000.0) AS BIGINT) AS day
   FROM per_user CROSS JOIN co),
 days AS (
   SELECT day,
@@ -1214,9 +1212,12 @@ def events_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier churn curve (operators.events.km_survival, Kaplan &
     Meier JASA 1958): user lifetimes from first to last activity, a
     14-day silence before the observation cutoff marking churn, everyone
-    else CENSORED — the bias-correct survival estimate a naive churn
-    query cannot produce.  Two corpus shuffles (per-user agg, day agg);
-    the KM product is a cumulative decimal sum of 9-rounded log factors,
+    else CENSORED at their LAST OBSERVED activity (standard KM
+    right-censoring — round-9 review fix: censoring at the cutoff kept
+    users in the risk set through days nobody observed them, biasing
+    survival upward) — the bias-correct estimate a naive churn query
+    cannot produce.  Two corpus shuffles (per-user agg, day agg); the KM
+    product is a cumulative decimal sum of 9-rounded log factors,
     engine-exact."""
     from localsql_spark.operators.events import km_survival
 

@@ -3787,8 +3787,12 @@ pri AS (SELECT CAST(round(log10(
             CAST(count(*) FILTER (WHERE is_pos) AS DOUBLE)
             / count(*) FILTER (WHERE NOT is_pos)) * 1e9)
           AS BIGINT) AS prior_e9 FROM lab),
-s AS (SELECT doc_id, count(*) AS n_tokens, SUM(lr_e9) AS lrsum
-      FROM w JOIN lr USING (word) GROUP BY 1)
+unseen AS (SELECT CAST(round((log10(1.0 / (tp + v))
+                              - log10(1.0 / (tn + v))) * 1e9)
+             AS BIGINT) AS unseen_e9 FROM tot),
+s AS (SELECT doc_id, count(*) AS n_tokens,
+             SUM(COALESCE(lr_e9, unseen_e9)) AS lrsum
+      FROM w LEFT JOIN lr USING (word) CROSS JOIN unseen GROUP BY 1)
 SELECT l.doc_id, l.is_pos,
        COALESCE(s.n_tokens, 0) AS n_tokens,
        round(CAST(COALESCE(s.lrsum, 0) + p.prior_e9 AS DOUBLE) / 1e9, 9)

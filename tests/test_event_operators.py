@@ -592,3 +592,126 @@ def test_km_survival_censoring_is_not_death(spark):
     # the censored cutoff user leaves silently: survival stays 0.25
     assert out[30].n_censored == 1 and out[30].n_churned == 0
     assert abs(out[30].survival - 0.25) < 1e-9
+
+
+def test_er_empty_attrs_score_one_not_crash(spark):
+    """Two empty attrs in one block are identical (sim 1.0) — the bare
+    division raised DIVIDE_BY_ZERO under ANSI mode and killed the job
+    (code-review r9); same guard on the sorted-neighborhood path."""
+    from localsql_spark.operators import er as ER
+
+    df = spark.createDataFrame([(1, "", "b1"), (2, "", "b1")],
+                               "id long, a string, blk string")
+    m = ER.blocked_edit_matches(df, id_col="id", attr_col="a",
+                                block_cols=["blk"], max_dist=1).collect()
+    assert [(r.id_a, r.id_b, r.dist, r.sim) for r in m] == [(1, 2, 0, 1.0)]
+    sn = ER.sorted_neighborhood_matches(df, id_col="id", attr_col="a",
+                                        block_cols=["blk"], window=2,
+                                        max_dist=1).collect()
+    assert [(r.id_a, r.id_b, r.sim) for r in sn] == [(1, 2, 1.0)]
+
+
+def test_sorted_neighborhood_window_one_compares_nothing(spark):
+    """window=1 means no neighbors: F.sequence(1, 0) used to emit a
+    DESCENDING [1, 0], pairing every record with ITSELF at offset 0
+    (code-review r9, reproduced)."""
+    from localsql_spark.operators import er as ER
+
+    df = spark.createDataFrame([(1, "abc", "b"), (2, "abd", "b")],
+                               "id long, a string, blk string")
+    out = ER.sorted_neighborhood_matches(df, id_col="id", attr_col="a",
+                                         block_cols=["blk"], window=1,
+                                         max_dist=4)
+    assert out.count() == 0
+
+
+def test_fingerprint_null_keys_and_payloads(spark):
+    """Identical tables containing NULL keys must fingerprint EQUAL
+    (NULL bucket was invisible to the diff's equi-join — spurious
+    drift alarms), and rows whose payload is NULL must still contribute
+    their keys to the hash (code-review r9, both reproduced)."""
+    from localsql_spark.operators.fingerprint import (fingerprint_diff,
+                                                      table_fingerprint)
+
+    t = spark.createDataFrame([(None, "x"), (1, None), (2, "y")],
+                              "k long, v string")
+    fa = table_fingerprint(t, "k", F.col("v"))
+    fb = table_fingerprint(t, "k", F.col("v"))
+    assert fingerprint_diff(fa, fb).count() == 0
+    # two tables differing only in the KEY of a NULL-payload row differ
+    t2 = spark.createDataFrame([(None, "x"), (7, None), (2, "y")],
+                               "k long, v string")
+    assert fingerprint_diff(
+        fa, table_fingerprint(t2, "k", F.col("v"))).count() > 0
+
+
+def test_asof_forward_null_left_ts_gets_null_match(spark):
+    """A left row with a NULL timestamp keeps the left-outer NULL in
+    BOTH directions — forward mode used to hand it the earliest right
+    payload (code-review r9, reproduced)."""
+    import datetime as dt
+
+    from localsql_spark.operators.events import asof_join
+
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 5)), (1, None)],
+        "k long, lts timestamp")
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 10), "r")],
+        "k long, rts timestamp, pay string")
+    for direction in ("backward", "forward"):
+        out = {(r.lts, r.pay_asof) for r in asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            right_cols=["pay"], direction=direction).collect()}
+        null_row = next(p for ts, p in out if ts is None)
+        assert null_row is None, f"{direction}: NULL-ts row got a match"
+
+
+def test_multi_touch_all_zero_decay_weights_fall_back_to_linear(spark):
+    """A conversion whose every decay weight rounds to 0 used to divide
+    0/0 and abort under ANSI mode; it now falls back to the equal split
+    so its credit still sums to 1 (code-review r9)."""
+    import datetime as dt
+
+    from localsql_spark.operators.events import multi_touch_attribution
+
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, 7, "click", base, 0.0),
+         (2, 7, "view", base + dt.timedelta(days=2), 0.0),
+         (3, 7, "purchase", base + dt.timedelta(days=6), 1.0)],
+        "event_id long, user_id long, event_type string, ts timestamp, "
+        "value double")
+    out = multi_touch_attribution(ev, conversion_type="purchase",
+                                  touch_types=["click", "view"],
+                                  halflife_s=600.0)  # 10-min halflife
+    rows = {r.channel: (float(r.linear_credit), float(r.decay_credit))
+            for r in out.collect()}
+    assert rows == {"click": (0.5, 0.5), "view": (0.5, 0.5)}
+
+
+def test_km_censors_at_last_observed_activity(spark):
+    """Censored users leave the risk set at their LAST observed
+    activity, not the cutoff — standard KM right-censoring
+    (code-review r9; the old behavior inflated the risk set)."""
+    import datetime as dt
+
+    from localsql_spark.operators.events import km_survival
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: active day 0 only, cutoff day 30, gap 14d -> CHURNED day 0
+    rows += [(1, base)]
+    # user 2: last active day 20, 10d before the cutoff -> CENSORED at
+    # their last observation day 20 (the old behavior censored at 30)
+    rows += [(2, base), (2, base + dt.timedelta(days=20))]
+    # user 3: defines the cutoff at day 30
+    rows += [(3, base), (3, base + dt.timedelta(days=30))]
+    ev = spark.createDataFrame([(i, u, t) for i, (u, t) in enumerate(rows)],
+                               "event_id long, user_id long, ts timestamp")
+    out = {r.day: (r.n_at_risk, r.n_churned, r.n_censored)
+           for r in km_survival(ev, churn_gap_s=14 * 86400.0).collect()}
+    assert out[0] == (3, 1, 0)
+    assert out[20] == (2, 0, 1), "user 2 censored at last activity day 20"
+    assert out[30] == (1, 0, 1)
+    assert 3 not in out and 10 not in out

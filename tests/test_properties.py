@@ -1999,3 +1999,21 @@ def test_phash_pairs_group_cap_bounds_output(spark):
     ids = {r.doc_a for r in capped} | {r.doc_b for r in capped}
     assert not (ids & set(range(6)))  # the big group is fully excluded
     assert sum(1 for r in capped if r.hamming == 0) == 1  # small group kept
+
+
+def test_salted_agg_allows_columns_named_distinct(spark):
+    """A column NAME containing 'distinct' is not a DISTINCT aggregate —
+    the substring check spuriously rejected sum(distinct_users)
+    (code-review r9); real DISTINCT still raises."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame([(1, 10), (1, 20), (2, 5)],
+                               "g long, distinct_users long")
+    got = {r.g: r.s for r in salted_agg(
+        df, ["g"], {"s": F.sum("distinct_users")}).collect()}
+    assert got == {1: 30, 2: 5}
+    with _pytest.raises(ValueError, match="DISTINCT"):
+        salted_agg(df, ["g"], {"s": F.count_distinct("distinct_users")})

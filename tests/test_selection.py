@@ -361,3 +361,52 @@ def test_nb_model_crashed_fold_heals_on_read(spark, tmp_path):
     model2, _ = nb_model_read(spark, str(d), n_buckets=2)
     assert {tuple(r) for r in model2.collect()} == before
     assert not manifest.exists()
+
+
+def test_nb_scoring_handles_out_of_vocabulary_tokens(spark):
+    """Scoring NEW docs against a persisted model: OOV tokens contribute
+    the Laplace-smoothed unseen ratio (an inner join silently dropped
+    them, biasing scores toward the prior and under-counting n_tokens —
+    code-review r9)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators.selection import (nb_model_read,
+                                                    nb_model_update,
+                                                    nb_score_with_model)
+
+    train = spark.createDataFrame(
+        [(1, "good words here", "s1"), (2, "bad words there", "s9")],
+        "doc_id long, text string, source string")
+    is_pos = F.col("source") == "s1"
+    import tempfile
+    model_dir = tempfile.mkdtemp(prefix="nb_oov_")
+    nb_model_update(spark, model_dir, train, is_pos)
+    model, doc_counts = nb_model_read(spark, model_dir)
+    # a doc of PURELY unseen words still counts its tokens and scores
+    # the unseen ratio, not a bare prior
+    new = spark.createDataFrame([(9, "zzz qqq", "s1")],
+                                "doc_id long, text string, source string")
+    row = nb_score_with_model(new, model, doc_counts, is_pos).collect()[0]
+    assert row.n_tokens == 2
+    # tp = tn = 3 tokens, v = 5 vocab -> unseen ratio log10(8/8) = 0;
+    # prior = log10(1/1) = 0 -> score exactly 0 here, but the TOKENS were
+    # counted (the old inner join reported n_tokens=0)
+    assert math.isclose(row.nb_score, 0.0, abs_tol=1e-9)
+
+
+def test_gopher_null_text_rules_read_false(spark):
+    """NULL-text docs: every rule column reads FALSE, never NULL —
+    consumers filtering rule == False must see them (code-review r9)."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators.selection import gopher_quality_flags
+
+    docs = spark.createDataFrame([(1, None), (2, "")],
+                                 "doc_id long, text string")
+    rows = gopher_quality_flags(docs).collect()
+    for r in rows:
+        assert r.rule_word_count is False
+        assert r.rule_stopwords is False
+        assert r.keep is False
