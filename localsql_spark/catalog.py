@@ -68,19 +68,25 @@ def discover_files(directory: str | Path, recursive: bool = False) -> list[Path]
 
 def register_directory(spark: SparkSession, directory: str | Path, *,
                        recursive: bool = False, json_normalize: bool = False,
-                       verbose: bool = True) -> dict[str, DataFrame]:
+                       verbose: bool = True,
+                       existing: set[str] | None = None
+                       ) -> dict[str, DataFrame]:
     """Register every readable file in a directory; per-file errors are
-    isolated and non-fatal (reference: localsql/localsql.py:302-313)."""
+    isolated and non-fatal (reference: localsql/localsql.py:302-313).
+    ``existing`` carries table names already registered by EARLIER loads
+    (the engine passes its catalog) so a colliding name uniquifies
+    against those too instead of silently replacing their views."""
     tables: dict[str, DataFrame] = {}
+    taken = set(existing or ())
     for f in discover_files(directory, recursive=recursive):
         try:
             # distinct files can normalize to the same identifier
             # ('report#1.csv' and 'report$1.csv' -> report_1_csv); uniquify
             # with a numeric suffix instead of silently overwriting the view
             name = tablename_from_file(f)
-            if name in tables:
+            if name in tables or name in taken:
                 i = 2
-                while f"{name}_{i}" in tables:
+                while f"{name}_{i}" in tables or f"{name}_{i}" in taken:
                     i += 1
                 uniq = f"{name}_{i}"
                 if verbose:
@@ -115,8 +121,13 @@ def _normalize_nanos(path: Path) -> Path:
     schema = pq.read_schema(path)
     if not any(str(f.type).startswith("timestamp[ns") for f in schema):
         return path
-    rel = Path(*path.parts[-2:])  # e.g. sf0.01/orders.parquet
-    out = _CACHE_DIR / rel
+    # the cache key carries a hash of the FULL absolute path: keying on
+    # the last two components alone let /runA/sf0.01/orders.parquet and
+    # /runB/sf0.01/orders.parquet collide — the mtime check could then
+    # serve runA's bytes for runB's table
+    import hashlib
+    tag = hashlib.md5(str(path.resolve()).encode()).hexdigest()[:8]
+    out = _CACHE_DIR / f"{path.parts[-2]}_{tag}" / path.name
     if out.exists() and out.stat().st_mtime >= path.stat().st_mtime:
         return out
     out.parent.mkdir(parents=True, exist_ok=True)

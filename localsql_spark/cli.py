@@ -130,7 +130,13 @@ def repl(eng: LocalSparkSQL) -> None:
             continue
         except EOFError:
             return
-        run_line(eng, line)
+        try:
+            run_line(eng, line)
+        except KeyboardInterrupt:
+            # Ctrl-C DURING execution cancels the query, not the session
+            # (run_line's own handler catches Exception, not
+            # BaseException, so the interrupt reaches here)
+            print("interrupted", file=sys.stderr)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -168,13 +174,17 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         if args.query is not None:  # one-shot mode
+            # print_result sits INSIDE the handler: Spark is lazy, so most
+            # failures (bad casts, malformed rows) surface at show()/
+            # collect() time — outside the handler they escaped as raw
+            # Py4J tracebacks instead of the shaped one-liner + exit 1
             try:
                 result = eng.run_sql(args.query)
+                if result is not None:
+                    eng.print_result(result)
             except Exception as e:  # noqa: BLE001 — shaped message, no traceback
                 print(e, file=sys.stderr)
                 return 1
-            if result is not None:
-                eng.print_result(result)
             return 0
 
         repl(eng)

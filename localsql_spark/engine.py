@@ -79,7 +79,11 @@ class LocalSparkSQL:
         return name
 
     def load_directory(self, directory: str | Path, **kw) -> dict[str, DataFrame]:
-        found = register_directory(self.spark, directory, **kw)
+        # names uniquify against the LIVE catalog too: a directory load
+        # after load_file (or a second load_directory) must not silently
+        # replace earlier tables' views
+        found = register_directory(self.spark, directory,
+                                   existing=set(self.tables), **kw)
         self.tables.update(found)
         return found
 

@@ -17,6 +17,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
+def _qcol(name: str):
+    """Backtick-quoted column reference with backticks in the NAME escaped
+    (same rule as engine.table_info) — a JSON key containing a backtick
+    would otherwise produce an invalid quoted identifier and crash the
+    load."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def _flatten_cols(schema: StructType, parent: Column, prefix: str) -> list[Column]:
     cols: list[Column] = []
     for field in schema.fields:
@@ -37,7 +45,7 @@ def flatten_structs(df: DataFrame) -> DataFrame:
     """
     cols = []
     for field in df.schema.fields:
-        base = F.col(f"`{field.name}`")
+        base = _qcol(field.name)
         if isinstance(field.dataType, StructType):
             cols.extend(_flatten_cols(field.dataType, base, f"{field.name}."))
         else:
@@ -54,7 +62,7 @@ def stringify_arrays(df: DataFrame) -> DataFrame:
     cols = []
     for field in df.schema.fields:
         if isinstance(field.dataType, (ArrayType, StructType, MapType)):
-            cols.append(F.to_json(F.col(f"`{field.name}`")).alias(field.name))
+            cols.append(F.to_json(_qcol(field.name)).alias(field.name))
         else:
-            cols.append(F.col(f"`{field.name}`"))
+            cols.append(_qcol(field.name))
     return df.select(*cols)

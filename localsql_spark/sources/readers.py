@@ -110,12 +110,35 @@ def read_csv(spark: SparkSession, path: str | Path, sep: str = ",") -> DataFrame
 
 def read_json(spark: SparkSession, path: str | Path) -> DataFrame:
     """JSONL first, fall back to a whole-file JSON array/object
-    (reference: localsql/localsql.py:108-111)."""
+    (reference: localsql/localsql.py:108-111).
+
+    The fallback fires only when NOTHING parsed line-wise (the file is a
+    pretty-printed array/object — _corrupt_record is the ONLY inferred
+    column).  A PARTIALLY corrupt JSONL file (some lines parsed, some
+    not) must not take the multiLine path: Spark's multiLine mode parses
+    ONE record per file, so a million-line file with one bad line would
+    silently collapse to a single row; it raises instead, matching the
+    reference's per-file failure (pandas read_json raises on it too) so
+    the catalog's per-file error isolation reports it."""
     df = spark.read.json(str(path))
     if "_corrupt_record" in df.columns:
-        # any unparsable line means this is a JSON array/object document,
-        # not JSONL — retry whole-file (reference fallback: localsql.py:111)
-        df = spark.read.option("multiLine", True).json(str(path))
+        # whole-file documents take the multiLine fallback: an ARRAY file
+        # starts with '[' (some of its element lines can incidentally
+        # parse line-wise, so a parsed-count test alone misclassifies
+        # it), and a pretty-printed OBJECT parses no line at all.  A
+        # '{'-leading file where SOME lines parsed is JSONL with corrupt
+        # lines and must RAISE: Spark's multiLine mode parses one record
+        # per file, so the old unconditional fallback silently collapsed
+        # a million-line file with one bad line to a single row.
+        head = spark.read.text(str(path)).limit(1).collect()
+        first_char = head[0][0].lstrip()[:1] if head and head[0][0] else ""
+        if first_char != "{" or df.columns == ["_corrupt_record"]:
+            # whole-file JSON array/object (reference fallback:
+            # localsql.py:111)
+            return spark.read.option("multiLine", True).json(str(path))
+        raise ValueError(
+            f"{path}: malformed JSONL — some lines parsed and some did "
+            f"not; refusing to guess (fix or remove the corrupt lines)")
     return df
 
 
@@ -201,11 +224,22 @@ def _read_xlsx_stdlib(path: str | Path):
                     val = shared[int(v.text)]
                 elif c.get("t") == "b":
                     val = v.text == "1"
-                elif c.get("t") in ("str", "inlineStr"):
+                elif c.get("t") in ("str", "inlineStr", "d"):
+                    # "d" = ISO-8601 date cells: keep the literal string
                     val = v.text
+                elif c.get("t") == "e":
+                    # error cells (#DIV/0!, #N/A, ...) read as missing —
+                    # float(v.text) used to abort the whole file (and,
+                    # executor-side, the whole Spark job) on one bad cell
+                    val = None
+                elif v.text is None:
+                    val = None  # empty <v/>
                 else:
-                    num = float(v.text)
-                    val = int(num) if num.is_integer() else num
+                    try:
+                        num = float(v.text)
+                        val = int(num) if num.is_integer() else num
+                    except ValueError:
+                        val = v.text  # unknown cell type: keep raw text
                 cells[col_idx - 1] = val
             rows.append(cells)
     if not rows:

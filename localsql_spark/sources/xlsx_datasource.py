@@ -23,6 +23,11 @@ def _expand(path: str) -> list[str]:
     p = Path(path)
     if p.is_dir():
         return sorted(str(f) for f in p.glob("*.xlsx"))
+    if p.exists():
+        # an existing file wins over glob interpretation: a file literally
+        # named data[1].xlsx would otherwise be read as a character class
+        # and reported missing
+        return [path]
     if any(ch in path for ch in "*?["):
         # stdlib glob handles wildcards in ANY segment ('/data/*/book.xlsx'),
         # not just the filename component
@@ -61,7 +66,10 @@ class XlsxDataSource(DataSource):
     def schema(self) -> StructType:
         files = _expand(self.options["path"])
         if not files:
-            raise FileNotFoundError(self.options["path"])
+            raise FileNotFoundError(
+                f"{self.options['path']}: no .xlsx files to infer a schema "
+                f"from — for a stream over a not-yet-populated landing "
+                f"directory, pass an explicit .schema(...)")
         return _infer_schema(files[0])
 
     def reader(self, schema: StructType) -> "XlsxReader":
@@ -90,19 +98,30 @@ class XlsxReader(DataSourceReader):
             if field.name not in map(str, pdf.columns):
                 pdf[field.name] = None
         pdf = pdf[names]
-        want_str = [isinstance(f.dataType, StringType)
-                    for f in self.schema.fields]
+        kinds = ["str" if isinstance(f.dataType, StringType)
+                 else "int" if isinstance(f.dataType, LongType)
+                 else "float" if isinstance(f.dataType, DoubleType)
+                 else "" for f in self.schema.fields]
 
-        def conv(v, to_str):
+        def conv(v, kind):
             if v is None or (isinstance(v, float) and v != v):  # None / NaN
                 return None
             v = v.item() if hasattr(v, "item") else v  # numpy -> python
-            # mixed-type (object-dtype) columns infer as string; coerce so a
-            # raw int/bool in them can't crash the Arrow conversion
-            return str(v) if to_str and not isinstance(v, str) else v
+            # the schema was inferred from the FIRST workbook; later files
+            # can carry skewed types (float where int was inferred, raw
+            # int/bool in a string column) that would crash the worker's
+            # Arrow conversion — coerce per target type, None when lossless
+            # coercion is impossible (1.5 into a Long)
+            if kind == "str" and not isinstance(v, str):
+                return str(v)
+            if kind == "int" and isinstance(v, float):
+                return int(v) if v.is_integer() else None
+            if kind == "float" and isinstance(v, (int, bool)):
+                return float(v)
+            return v
 
         for tup in pdf.itertuples(index=False, name=None):
-            yield tuple(conv(v, ws) for v, ws in zip(tup, want_str))
+            yield tuple(conv(v, k) for v, k in zip(tup, kinds))
 
 
 class XlsxStreamReader(DataSourceStreamReader):

@@ -419,3 +419,86 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     rows = {r["id"]: r for r in df.collect()}
     assert set(df.columns) == {"id", "name", "score"}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_partially_corrupt_jsonl_raises_instead_of_one_row(spark, tmp_path):
+    """A JSONL file with SOME bad lines must not take the multiLine
+    fallback — Spark's multiLine mode parses ONE record per file, so a
+    million-line file with one bad line silently collapsed to a single
+    row (code-review r9).  Pure array/object docs still fall back."""
+    from localsql_spark.sources.readers import read_json
+
+    f = tmp_path / "mixed.json"
+    f.write_text('{"a": 1}\nnot json at all\n{"a": 3}\n')
+    with pytest.raises(Exception, match="malformed JSONL"):
+        read_json(spark, f).collect()
+    # the fallback still serves pretty-printed array documents
+    g = tmp_path / "arr.json"
+    g.write_text('[\n  {"a": 1},\n  {"a": 2}\n]\n')
+    assert read_json(spark, g).count() == 2
+
+
+def test_xlsx_error_date_and_empty_cells_do_not_abort(tmp_path):
+    """Error cells (#DIV/0!), ISO-date cells, and empty <v/> must read as
+    missing / literal strings, not crash float() on the whole file
+    (code-review r9)."""
+    import zipfile
+
+    from localsql_spark.sources.readers import _read_xlsx_stdlib
+
+    # hand-build a sheet with the hazardous cell types in the data row
+    src = tmp_path / "plain.xlsx"
+    _write_xlsx(src, ["a", "b", "c", "d"], [[1, 2, 3, 4]])
+    hazard = (
+        '<row r="3">'
+        '<c r="A3" t="e"><v>#DIV/0!</v></c>'
+        '<c r="B3" t="d"><v>2024-01-02T00:00:00</v></c>'
+        '<c r="C3"><v/></c>'
+        '<c r="D3"><v>7</v></c>'
+        '</row>')
+    out = tmp_path / "hazard.xlsx"
+    with zipfile.ZipFile(src) as zin, \
+            zipfile.ZipFile(out, "w") as zout:
+        for item in zin.namelist():
+            data = zin.read(item)
+            if item == "xl/worksheets/sheet1.xml":
+                data = data.replace(b"</sheetData>",
+                                    hazard.encode() + b"</sheetData>")
+            zout.writestr(item, data)
+    pdf = _read_xlsx_stdlib(out)
+    assert len(pdf) == 2
+    row = pdf.iloc[1]
+    assert row["a"] is None or row["a"] != row["a"]  # error cell -> missing
+    assert row["b"] == "2024-01-02T00:00:00"
+    assert row["c"] is None or row["c"] != row["c"]
+    assert row["d"] == 7
+
+
+def test_directory_load_does_not_shadow_earlier_tables(spark, tmp_path):
+    """A directory load after load_file (or a second directory) must
+    uniquify against the LIVE catalog instead of silently replacing the
+    earlier table's view (code-review r9)."""
+    from localsql_spark.engine import LocalSparkSQL
+
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    (tmp_path / "a" / "report.csv").write_text("x\n1\n")
+    (tmp_path / "b" / "report.csv").write_text("x\n2\n")
+    eng = LocalSparkSQL(spark)
+    eng.load_file(tmp_path / "a" / "report.csv")
+    eng.load_directory(tmp_path / "b", verbose=False)
+    assert {"report_csv", "report_csv_2"} <= set(eng.tables)
+    assert spark.sql("SELECT x FROM report_csv").collect()[0][0] == 1
+    assert spark.sql("SELECT x FROM report_csv_2").collect()[0][0] == 2
+
+
+def test_json_normalize_escapes_backtick_keys(spark, tmp_path):
+    """A JSON key containing a backtick must flatten instead of raising
+    an invalid-identifier parse error (code-review r9)."""
+    from localsql_spark.sources.readers import df_from_file
+
+    f = tmp_path / "bt.json"
+    f.write_text('{"a`b": 1, "nest": {"c": 2}}\n')
+    df = df_from_file(spark, f, json_normalize=True)
+    row = df.collect()[0]
+    assert row["a`b"] == 1 and row["nest.c"] == 2
