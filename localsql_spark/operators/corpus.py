@@ -267,7 +267,7 @@ def unigram_logprob(docs: DataFrame, doc_id_col: str = "doc_id",
                   F.round(F.log10(F.col("cnt").cast("double")
                                   / F.col("total")), 9)
                   .cast("decimal(28,9)").alias("lp")))
-    return (words.join(F.broadcast(lp), "word")
+    return (words.join(lp, "word")
             .groupBy(doc_id_col)
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.sum("lp").alias("_sum_lp"))

@@ -118,6 +118,15 @@ def scd2_enrich_asof(facts: DataFrame, history: DataFrame,
                | (F.col(ts_us_col) < F.col("__h_valid_to_us"))))
     attrs = [c for c in history.columns
              if c not in (*key_cols, "valid_from_us", "valid_to_us")]
+    # a fact column sharing a dimension attribute's name would yield a
+    # frame with two identically-named columns — every downstream
+    # F.col/write/join then dies on AMBIGUOUS_REFERENCE; fail loudly at
+    # the enrich instead (rename the fact column or project it away)
+    clash = sorted(set(attrs) & set(facts.columns))
+    if clash:
+        raise ValueError(
+            f"fact columns {clash} collide with dimension attribute "
+            f"names — rename or drop them before scd2_enrich_asof")
     return (facts.join(h, cond, "left")
             .select(*facts.columns,
                     *[F.col(f"__h_{c}").alias(c) for c in attrs]))

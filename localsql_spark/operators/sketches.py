@@ -346,7 +346,12 @@ def hll_set_estimates(df: DataFrame, col: str, group_col: str,
     regs = (df.select(F.col(group_col).alias("grp"), bucket,
                       rank.cast("int").alias("rank"))
             .groupBy("grp", "bucket").agg(F.max("rank").alias("m_rank")))
-    regs = regs.persist()
+    from localsql_spark.operators import track_persist
+
+    # tracked so operators.cleanup() can release it — a bare persist()
+    # accumulated unreleasable cached register tables per call in
+    # long-lived sessions (code-review r9)
+    regs = track_persist(regs)
     est_a = _estimate_from_regs(regs.filter(F.col("grp") == group_a)) \
         .select(F.col("estimate").alias("est_a"))
     est_b = _estimate_from_regs(regs.filter(F.col("grp") == group_b)) \

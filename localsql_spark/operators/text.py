@@ -93,13 +93,17 @@ def avg_word_len(text: Column) -> Column:
 
 def quality_score(text: Column) -> Column:
     """Composite 0..4 quality heuristic (each signal contributes one point):
-    reasonable length, low punctuation, low digits, sane avg word length."""
-    return (
-        F.length(text).between(50, 20000).cast("int")
-        + (punct_ratio(text) < 0.10).cast("int")
-        + (digit_ratio(text) < 0.20).cast("int")
-        + avg_word_len(text).between(2.0, 12.0).cast("int")
-    ).cast("long")
+    reasonable length, low punctuation, low digits, sane avg word length.
+    Empty/NULL text scores 0 — the nullif-guarded ratios are NULL there
+    and an unguarded sum propagated NULL, so the worst-quality input
+    slipped BOTH a `score < n` bad-filter and its complement
+    (the oracles carry the same COALESCE)."""
+    return F.coalesce(
+        (F.length(text).between(50, 20000).cast("int")
+         + (punct_ratio(text) < 0.10).cast("int")
+         + (digit_ratio(text) < 0.20).cast("int")
+         + avg_word_len(text).between(2.0, 12.0).cast("int")).cast("long"),
+        F.lit(0).cast("long"))
 
 
 def normalize_text(text: Column) -> Column:
@@ -123,13 +127,25 @@ def fingerprint_h32(text: Column) -> Column:
 
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles of the normalized text (array<string>).
-    Row-local (no shuffle); the building block for MinHash/Jaccard dedup."""
+    Row-local (no shuffle); the building block for MinHash/Jaccard dedup.
+
+    Built by zipping k offset SLICES of the token array (identical
+    output strings to the index form) — element_at(toks, i+j+1) inside a
+    transform lambda re-evaluates the whole normalize+split pipeline per
+    shingle per offset (no CSE across lambda boundaries; the same
+    pattern measured 12x slower in dup_ngram_fraction), O(words x len)
+    per document instead of O(k) token-array evaluations."""
+    import functools
+
     toks = F.split(normalize_text(text), " ")
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j + 1) for j in range(k)])
-    return F.when(n >= k, F.array_distinct(F.transform(idx, shingle))
+    m = F.greatest(n - k + 1, F.lit(0))
+    parts = [F.slice(toks, j + 1, m) for j in range(k)]
+    shingles = functools.reduce(
+        lambda acc, nxt: F.zip_with(acc, nxt,
+                                    lambda a, b: F.concat_ws(" ", a, b)),
+        parts)
+    return F.when(n >= k, F.array_distinct(shingles)
                   ).otherwise(F.array(normalize_text(text)))
 
 
@@ -277,6 +293,32 @@ def dup_ngram_fraction(text: Column, n: int = 2) -> Column:
 # Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003)
 # ---------------------------------------------------------------------------
 
+def _gram_hashes(docs, k: int, doc_id_col: str, text_col: str):
+    """(doc_id, ng, i, h): the winnowing k-gram hash stream, with the
+    NORMALIZED text materialized behind a persist barrier — referencing
+    the normalize pipeline inside the per-gram transform lambda re-runs
+    it once per gram (no CSE across lambda boundaries, and a plain
+    projection would be re-inlined by CollapseProject — the same
+    O(len^2)-per-document trap _token_table documents as a measured
+    114s -> 2s cliff)."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators import hash32, spread, track_persist
+
+    base = track_persist(
+        spread(docs).select(doc_id_col,
+                            normalize_text(F.col(text_col)).alias("_t"))
+        .filter(F.length("_t") - k + 1 >= 1))
+    ng = F.length("_t") - k + 1
+    return (base
+            .select(doc_id_col, ng.alias("ng"),
+                    F.posexplode(
+                        F.transform(F.sequence(F.lit(1), ng),
+                                    lambda i: hash32(
+                                        F.substring(F.col("_t"), i, k))))
+                    .alias("i", "h")))
+
+
 def winnowing_fingerprints(docs, k: int = 8, w: int = 4,
                            doc_id_col: str = "doc_id",
                            text_col: str = "text"):
@@ -314,16 +356,9 @@ def winnowing_fingerprints(docs, k: int = 8, w: int = 4,
 
     from localsql_spark.operators import hash32, spread
 
-    t = normalize_text(F.col(text_col))
-    ng = F.length(t) - k + 1
     wmin = (Window.partitionBy(doc_id_col).orderBy("i")
             .rowsBetween(Window.currentRow, w - 1))
-    gh = (spread(docs).filter(ng >= 1)
-          .select(doc_id_col, ng.alias("ng"),
-                  F.posexplode(
-                      F.transform(F.sequence(F.lit(1), ng),
-                                  lambda i: hash32(F.substring(t, i, k))))
-                  .alias("i", "h")))
+    gh = _gram_hashes(docs, k, doc_id_col, text_col)
     sel = (gh.withColumn(
         "fp", F.min(F.struct(F.col("h"), F.col("i"))).over(wmin))
         .filter(F.col("i") <= F.greatest(F.col("ng") - w, F.lit(0)))
@@ -368,16 +403,9 @@ def winnowing_shared_pairs(docs, k: int = 8, w: int = 4,
 
     from localsql_spark.operators import hash32, spread
 
-    t = normalize_text(F.col(text_col))
-    ng = F.length(t) - k + 1
     wmin = (Window.partitionBy(doc_id_col).orderBy("i")
             .rowsBetween(Window.currentRow, w - 1))
-    gh = (spread(docs).filter(ng >= 1)
-          .select(doc_id_col, ng.alias("ng"),
-                  F.posexplode(
-                      F.transform(F.sequence(F.lit(1), ng),
-                                  lambda i: hash32(F.substring(t, i, k))))
-                  .alias("i", "h")))
+    gh = _gram_hashes(docs, k, doc_id_col, text_col)
     # distinct fingerprint VALUES per doc (positions irrelevant to
     # sharing); persisted — the posting-count aggregate and BOTH pair-join
     # sides read it, and without the cut Catalyst re-expands the whole

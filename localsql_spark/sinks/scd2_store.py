@@ -121,6 +121,20 @@ def apply_batch(spark: SparkSession, store_dir: str, updates: DataFrame,
     staging = store / "_staging" / f"batch_{batch_id}"
     shutil.rmtree(staging, ignore_errors=True)
     current = spark.read.parquet(str(prev))
+    # out-of-order timestamps corrupt the interval algebra silently: a
+    # batch_ts at or before an open version's valid_from closes it as an
+    # INVERTED interval [from, ts) with ts < from (matches no as-of time)
+    # and the new open version overlaps the earlier closed one — as-of
+    # reads then fan out.  One tiny agg over the dimension-sized open
+    # slice catches it up front (batch_id monotonicity alone does not
+    # constrain the timestamps).
+    max_from = current.agg(F.max("valid_from_us")).first()[0]
+    if max_from is not None and batch_ts_us <= max_from:
+        raise ValueError(
+            f"batch_ts_us={batch_ts_us} is not after the open slice's "
+            f"latest valid_from_us={max_from} — out-of-order SCD2 "
+            f"timestamps would create inverted/overlapping version "
+            f"intervals; replay with the original batch timestamp")
     new_hist = scd2_apply(current, updates, key_cols, attr_cols, batch_ts_us)
     new_hist = new_hist.localCheckpoint(eager=True)  # one compute, two writes
     (new_hist.filter(F.col("valid_to_us") == batch_ts_us)

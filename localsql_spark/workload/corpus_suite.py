@@ -316,10 +316,10 @@ q AS (SELECT doc_id, source, md5(t) AS text_hash,
              CASE WHEN length(trim(text)) = 0 THEN 0
                   ELSE len(string_split_regex(trim(text), '\s+')) END
                AS ws_tokens,
-             CAST((length(text) BETWEEN 50 AND 20000) AS INT)
+             COALESCE(CAST((length(text) BETWEEN 50 AND 20000) AS INT)
                + CAST((CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE) / NULLIF(length(text), 0) < 0.10) AS INT)
                + CAST((CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / NULLIF(length(text), 0) < 0.20) AS INT)
-               + CAST((CAST(length(regexp_replace(t, '\s', '', 'g')) AS DOUBLE) / len(string_split(t, ' ')) BETWEEN 2.0 AND 12.0) AS INT)
+               + CAST((CAST(length(regexp_replace(t, '\s', '', 'g')) AS DOUBLE) / len(string_split(t, ' ')) BETWEEN 2.0 AND 12.0) AS INT), 0)
                AS quality
       FROM norm)
 SELECT source,
