@@ -202,17 +202,34 @@ def main() -> None:
         sf_val = sf
     # Full per-run detail goes to STDERR: round 5 embedded `runs` in the
     # final stdout line and the line outgrew the driver's tail capture
-    # (BENCH_r05.json recorded parsed:null).  The LAST stdout line must stay
-    # compact — headline total + per-query mins only.
+    # (BENCH_r05.json recorded parsed:null); round 9's per-query `queries`
+    # map itself outgrew the 2000-byte tail at 61 headliners
+    # (BENCH_r09.json parsed:null).  The LAST stdout line must stay compact
+    # at ANY headliner count: summary only, per-query map to a detail file
+    # (next to this script) and stderr.
     print(f"# runs: {json.dumps(all_runs)}", file=sys.stderr)
-    print(json.dumps({
+    print(f"# queries: {json.dumps(timings)}", file=sys.stderr)
+    detail = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "runs": all_runs,
         "sf": sf_val,
         "runs_per_query": 2,
         "timing": "min",
+    }
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": detail["value"],
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "runs_per_query": 2,
+        "timing": "min",
+        "detail_path": str(detail_path),
     }))
 
 

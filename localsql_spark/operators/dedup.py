@@ -700,12 +700,45 @@ class IndexMaintenanceBusy(OSError):
 _INDEX_LOCK_STALE_S = 3600.0
 
 
+def _break_stale_lock(lock, brk) -> None:
+    """Serialized stale-lock break.  An O_CREAT|O_EXCL create of the
+    sidecar ``.break`` file is the breakers' mutex: exactly one of N
+    concurrent breakers wins it (losers fall through to the ordinary
+    create/Busy path), and the winner RE-VERIFIES staleness under the
+    mutex before unlinking — so a second breaker can never unlink the
+    first breaker's fresh lock (the r9-verdict TOCTOU: both observed a
+    >1h lock, both unlinked, both acquired).  A ``.break`` file itself
+    older than the stale threshold is an abandoned breaker and is
+    cleared first."""
+    import os
+    import time
+    try:
+        if time.time() - brk.stat().st_mtime > _INDEX_LOCK_STALE_S:
+            brk.unlink(missing_ok=True)  # breaker crashed mid-break
+    except OSError:
+        pass
+    try:
+        bfd = os.open(brk, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return  # another breaker is mid-break; the create path decides
+    try:
+        try:
+            if time.time() - lock.stat().st_mtime > _INDEX_LOCK_STALE_S:
+                lock.unlink(missing_ok=True)  # still stale under the mutex
+        except OSError:
+            pass
+    finally:
+        os.close(bfd)
+        brk.unlink(missing_ok=True)
+
+
 def _index_lock(index_path: str):
     """Advisory single-writer lock for index maintenance, as a context
     manager.  Acquisition is an O_CREAT|O_EXCL create of ``<index>.lock``
     — atomic on POSIX local filesystems.  A lock file older than
     ``_INDEX_LOCK_STALE_S`` is presumed abandoned by a crashed writer and
-    broken (unlinked) before one retry; live contention raises
+    broken via :func:`_break_stale_lock` (a serialized, re-verified
+    unlink) before one retry; live contention raises
     :class:`IndexMaintenanceBusy` instead of blocking, because the caller
     has a correct (just slower) flat-scan fallback."""
     import contextlib
@@ -716,6 +749,7 @@ def _index_lock(index_path: str):
     @contextlib.contextmanager
     def _cm():
         lock = Path(str(index_path).rstrip("/") + ".lock")
+        brk = Path(str(index_path).rstrip("/") + ".lock.break")
         lock.parent.mkdir(parents=True, exist_ok=True)
         for attempt in range(2):
             try:
@@ -727,7 +761,7 @@ def _index_lock(index_path: str):
                 except OSError:
                     continue  # holder just released; retry the create
                 if attempt == 0 and age > _INDEX_LOCK_STALE_S:
-                    lock.unlink(missing_ok=True)  # break abandoned lock
+                    _break_stale_lock(lock, brk)
                     continue
                 raise IndexMaintenanceBusy(
                     f"index maintenance lock held: {lock}")
@@ -1025,9 +1059,14 @@ def erase_from_signature_store(spark: SparkSession, store_path: str,
     from localsql_spark.sinks.erase import normalize_erase_keys
     k = normalize_erase_keys(keys)
     idx = index_path or f"{store_path.rstrip('/')}_banded"
-    has_index = (_P(idx) / "_meta.json").exists()
 
     def _erase() -> dict:
+        # has_index is decided INSIDE the lock (advisor r9): deciding it
+        # before acquisition let a concurrent ensure_banded_index build
+        # and meta-stamp an index from the pre-erase store between the
+        # check and the store swap
+        nonlocal has_index
+        has_index = (_P(idx) / "_meta.json").exists()
         _heal_store_swap(store_path)
         # plain persist, unpersisted in the finally: a cached
         # read_signature_store PLAN would otherwise keep serving the
@@ -1101,7 +1140,12 @@ def erase_from_signature_store(spark: SparkSession, store_path: str,
         return {"erased": n_erased, "store_rows": n_after,
                 "index_prefixes": prefixes if has_index else []}
 
-    if has_index:
+    # lock whenever the index DIRECTORY exists, not just when _meta.json
+    # does: a builder mid-rebuild has the dir but no meta yet, and an
+    # unlocked erase mid-swap can make the store transiently unreadable
+    # to that builder (advisor r9)
+    has_index = False
+    if _P(idx).exists():
         with _index_lock(idx):
             return _erase()
     return _erase()

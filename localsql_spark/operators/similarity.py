@@ -1344,17 +1344,23 @@ def write_ivfpq_index(corpus: DataFrame, path: str, n_cells: int = 8,
     read only the probed cells' partitions, and the float corpus is
     never touched at query time.  Same deterministic seeding as the
     in-memory operator, so the persisted probe shares its exact oracle."""
-    # a retrain supersedes any pending partial-erase manifest on the codes
-    # table (a crashed ivfpq_erase_vectors run) — clear it, or the next
-    # recover_pending_merge would replay pre-retrain codes (encoded with
-    # the OLD codebooks) over the fresh index
+    # APPLY (never discard) any pending partial-erase manifest on the
+    # codes table first: a crashed ivfpq_erase_vectors run that died
+    # between its manifest commit and the partition swaps has COMMITTED
+    # the erasure — unlinking the manifest here would permanently resurrect
+    # erased PQ codes if this retrain then crashed before rewriting codes.
+    # Applying it completes the erase AND deletes the manifest, which also
+    # closes the stale-replay hazard (pre-retrain codes encoded with the
+    # old codebooks can no longer be replayed over the fresh index).
     import shutil as _shutil
     from pathlib import Path as _P
 
-    from localsql_spark.sinks.merge import _manifest_path
+    from localsql_spark.sinks.merge import recover_pending_merge
     codes_base = _P(f"{path}/codes")
     codes_base.parent.mkdir(parents=True, exist_ok=True)
-    _manifest_path(codes_base).unlink(missing_ok=True)
+    recover_pending_merge(str(codes_base))
+    # an UNCOMMITTED staging leftover (crash before manifest rename) is
+    # discardable — the erase never committed
     _shutil.rmtree(codes_base.parent / f".{codes_base.name}.staging",
                    ignore_errors=True)
     cents = _coarse_cells(corpus, n_cells, id_col, vec_col)
@@ -1385,6 +1391,12 @@ def knn_ivfpq_from_index(spark: SparkSession, index_path: str,
     cells' codes partitions (plan-asserted) — the index is never
     rebuilt, no float vector is read.  Returns (query_id, neighbor_id,
     adc_dist, rn)."""
+    # crash-consistent read: a crashed ivfpq_erase_vectors (died between
+    # manifest commit and partition swap) must not leave erased PQ codes
+    # servable — complete the committed erase before probing, mirroring
+    # read_bucketed_store/read_join_view
+    from localsql_spark.sinks.merge import recover_pending_merge
+    recover_pending_merge(f"{index_path}/codes")
     cents_read = spark.read.parquet(f"{index_path}/_centroids")
     cents = spark.createDataFrame(cents_read.collect(),
                                   schema=cents_read.schema)

@@ -132,13 +132,37 @@ def read_json(spark: SparkSession, path: str | Path) -> DataFrame:
         # a million-line file with one bad line to a single row.
         head = spark.read.text(str(path)).limit(1).collect()
         first_char = head[0][0].lstrip()[:1] if head and head[0][0] else ""
-        if first_char != "{" or df.columns == ["_corrupt_record"]:
-            # whole-file JSON array/object (reference fallback:
-            # localsql.py:111)
-            return spark.read.option("multiLine", True).json(str(path))
-        raise ValueError(
-            f"{path}: malformed JSONL — some lines parsed and some did "
-            f"not; refusing to guess (fix or remove the corrupt lines)")
+        line_parsed = df.columns != ["_corrupt_record"]
+        if first_char == "{" and line_parsed:
+            raise ValueError(
+                f"{path}: malformed JSONL — some lines parsed and some "
+                f"did not; refusing to guess (fix or remove the corrupt "
+                f"lines)")
+        if line_parsed:
+            # ambiguous: a genuine pretty-printed array lands here (its
+            # last element line parses), but so does partially-corrupt
+            # JSONL whose first line is a '['-array / blank / corrupt
+            # (advisor r9).  Spark's multiLine parser accepts the FIRST
+            # document and ignores trailing bytes, so it would silently
+            # collapse the latter to one record — validate driver-side
+            # that ONE JSON document spans the whole file (json.loads
+            # rejects trailing content).  The collect is codec-aware via
+            # spark.read.text and costs the same order as multiLine's
+            # one-record whole-file read, and only ambiguous files pay it.
+            import json as _json
+            full = "\n".join(r[0] for r in
+                             spark.read.text(str(path)).collect())
+            try:
+                _json.loads(full)
+            except ValueError:
+                raise ValueError(
+                    f"{path}: malformed JSONL — some lines parsed and "
+                    f"some did not, and the file is not a single JSON "
+                    f"document; refusing to guess (fix or remove the "
+                    f"corrupt lines)") from None
+        # whole-file JSON array/object (reference fallback:
+        # localsql.py:111)
+        return spark.read.option("multiLine", True).json(str(path))
     return df
 
 

@@ -335,3 +335,65 @@ def test_store_swap_crash_heals_forward_and_back(spark, tmp_path):
     D._heal_store_swap(str(store))
     assert store.exists()
     assert spark.read.parquet(str(store)).count() == 6
+
+
+def test_ivfpq_crashed_erase_heals_on_probe_and_retrain(spark, tmp_path,
+                                                        monkeypatch):
+    """A crashed ivfpq_erase_vectors (died between manifest commit and the
+    partition swaps) has COMMITTED the erasure: a probe must complete it
+    before reading codes, and a retrain must APPLY it — not discard the
+    manifest — so a retrain that itself crashes before rewriting codes
+    cannot resurrect erased PQ codes (advisor r9, RTBF path)."""
+    from localsql_spark.operators import similarity as S
+    from localsql_spark.sinks import merge as M
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 13 + j * 7) % 11) for j in range(16)])
+         for i in range(40)], "vec_id long, embedding array<double>")
+    index = str(tmp_path / "ivfpq")
+    S.write_ivfpq_index(emb, index, n_cells=4, m=2, k_codes=8)
+    gone = spark.createDataFrame([(i,) for i in range(10, 40, 3)],
+                                 "vec_id long")
+    bad = {r[0] for r in gone.collect()}
+
+    # crash injection: the manifest rename lands, the swaps never run
+    monkeypatch.setattr(M, "_apply_manifest", lambda *a, **k: None)
+    S.ivfpq_erase_vectors(spark, index, gone)
+    monkeypatch.undo()
+    manifest = M._manifest_path(Path(index) / "codes")
+    assert manifest.exists()  # committed, unapplied
+    # the stale store still serves erased codes — that's the hazard
+    assert spark.read.parquet(f"{index}/codes").join(
+        gone.withColumnRenamed("vec_id", "neighbor_id"),
+        "neighbor_id", "semi").count() > 0
+
+    # probe heals: completes the committed erase before scoring
+    out = S.knn_ivfpq_from_index(spark, index,
+                                 emb.filter(F.col("vec_id") < 3), k=5)
+    assert not any(r.neighbor_id in bad for r in out.collect())
+    assert not manifest.exists()
+    assert spark.read.parquet(f"{index}/codes").join(
+        gone.withColumnRenamed("vec_id", "neighbor_id"),
+        "neighbor_id", "semi").count() == 0
+
+    # retrain-crash scenario: re-create the crashed-erase state, then run
+    # a retrain that dies right after its recovery preamble — the
+    # committed erasure must already be applied on disk (not discarded)
+    monkeypatch.setattr(M, "_apply_manifest", lambda *a, **k: None)
+    S.write_ivfpq_index(emb, index, n_cells=4, m=2, k_codes=8)  # reset
+    # (reset ran with apply disabled — codes wrote via plain overwrite, no
+    # manifest involved, so the reset itself is unaffected)
+    S.ivfpq_erase_vectors(spark, index, gone)
+    monkeypatch.undo()
+    assert manifest.exists()
+
+    def _boom(*a, **k):
+        raise RuntimeError("injected retrain crash")
+    monkeypatch.setattr(S, "_coarse_cells", _boom)
+    with pytest.raises(RuntimeError, match="injected retrain crash"):
+        S.write_ivfpq_index(emb, index, n_cells=4, m=2, k_codes=8)
+    monkeypatch.undo()
+    assert not manifest.exists()  # applied, not discarded
+    assert spark.read.parquet(f"{index}/codes").join(
+        gone.withColumnRenamed("vec_id", "neighbor_id"),
+        "neighbor_id", "semi").count() == 0

@@ -436,6 +436,24 @@ def test_partially_corrupt_jsonl_raises_instead_of_one_row(spark, tmp_path):
     g = tmp_path / "arr.json"
     g.write_text('[\n  {"a": 1},\n  {"a": 2}\n]\n')
     assert read_json(spark, g).count() == 2
+    # '['-leading JSONL (array-per-line, Spark-legal) with one corrupt
+    # line must RAISE too, not collapse to the first record — first_char
+    # alone misses it (advisor r9)
+    h = tmp_path / "arrlines.json"
+    h.write_text('[{"a": 1}, {"a": 2}]\n[{"a": 3}\n[{"a": 4}]\n')
+    with pytest.raises(Exception, match="malformed JSONL"):
+        read_json(spark, h).collect()
+    # ...and JSONL whose FIRST line is blank (multiLine would silently
+    # collapse it to the first record)
+    j = tmp_path / "blankfirst.json"
+    j.write_text('\n{"a": 1}\nnot json\n{"a": 2}\n')
+    with pytest.raises(Exception, match="malformed JSONL"):
+        read_json(spark, j).collect()
+    # ...and so must JSONL whose FIRST line is the corrupt one
+    i = tmp_path / "badfirst.json"
+    i.write_text('not json at all\n{"a": 1}\n{"a": 2}\n')
+    with pytest.raises(Exception, match="malformed JSONL"):
+        read_json(spark, i).collect()
 
 
 def test_xlsx_error_date_and_empty_cells_do_not_abort(tmp_path):

@@ -1674,6 +1674,108 @@ def test_index_maintenance_lock_contention_and_staleness(spark, tmp_path):
     assert D.ensure_banded_index(spark, store, str(sidecar)) == "fresh"
 
 
+def test_stale_lock_break_is_single_winner(tmp_path):
+    """The stale-lock break is serialized and re-verified: a second
+    breaker that already observed staleness can never unlink the first
+    breaker's FRESH lock (r9-verdict TOCTOU — both used to unlink, both
+    used to acquire).  Exactly one of two concurrent stale-breakers
+    acquires."""
+    import os
+    import threading
+    import time
+    from pathlib import Path
+
+    import pytest
+
+    from localsql_spark.operators import dedup as D
+
+    idx = str(tmp_path / "idx")
+    lock = Path(idx + ".lock")
+    brk = Path(idx + ".lock.break")
+    stale_t = time.time() - D._INDEX_LOCK_STALE_S - 60
+
+    # deterministic interleaving: breaker 1 broke the stale lock and now
+    # HOLDS a fresh one; breaker 2 (who also observed the stale lock)
+    # then runs its break step — the fresh lock must survive, and
+    # breaker 2's acquisition must fail Busy
+    lock.write_text("pid=crashed\n")
+    os.utime(lock, (stale_t, stale_t))
+    with D._index_lock(idx):  # breaker 1: breaks + acquires
+        assert lock.exists() and not brk.exists()
+        D._break_stale_lock(lock, brk)  # breaker 2's break step
+        assert lock.exists(), "second breaker unlinked the fresh lock"
+        with pytest.raises(D.IndexMaintenanceBusy):
+            with D._index_lock(idx):
+                pass
+    assert not lock.exists()
+
+    # a breaker mid-break (its .break mutex held, fresh) blocks other
+    # breakers: they fall through to the ordinary create path -> Busy
+    lock.write_text("pid=crashed\n")
+    os.utime(lock, (stale_t, stale_t))
+    brk.write_text("pid=breaking\n")
+    with pytest.raises(D.IndexMaintenanceBusy):
+        with D._index_lock(idx):
+            pass
+    assert lock.exists()
+    # an ABANDONED .break file (crashed breaker) is cleared and the
+    # break proceeds
+    os.utime(brk, (stale_t, stale_t))
+    with D._index_lock(idx):
+        pass
+    assert not lock.exists() and not brk.exists()
+
+    # thread race: N breakers hit the same stale lock; at most one holds
+    # at any instant, and at least one acquires
+    lock.write_text("pid=crashed\n")
+    os.utime(lock, (stale_t, stale_t))
+    holders, peak, acquired = [0], [0], [0]
+    gate = threading.Barrier(8)
+    mu = threading.Lock()
+
+    def contend():
+        gate.wait()
+        try:
+            with D._index_lock(idx):
+                with mu:
+                    holders[0] += 1
+                    peak[0] = max(peak[0], holders[0])
+                    acquired[0] += 1
+                time.sleep(0.02)
+                with mu:
+                    holders[0] -= 1
+        except D.IndexMaintenanceBusy:
+            pass
+
+    ts = [threading.Thread(target=contend) for _ in range(8)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert peak[0] == 1 and acquired[0] >= 1
+
+
+def test_erase_locks_meta_less_index_dir(spark, tmp_path):
+    """erase_from_signature_store takes the maintenance lock whenever the
+    index DIRECTORY exists — not only when _meta.json does — so an erase
+    cannot run unlocked under a builder mid-rebuild (advisor r9)."""
+    import pytest
+
+    from localsql_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, f"body text {i % 5} shared phrasing") for i in range(20)],
+        "doc_id long, text string")
+    store = str(tmp_path / "sigs")
+    D.write_signature_store(docs, store)
+    idx = tmp_path / "sigs_banded"
+    idx.mkdir()  # builder created the dir; no _meta.json yet
+    (tmp_path / "sigs_banded.lock").write_text("pid=builder\n")
+    with pytest.raises(D.IndexMaintenanceBusy):
+        D.erase_from_signature_store(
+            spark, store, spark.createDataFrame([(1,)], "doc_id long"))
+    # store untouched: the erasure was refused, not half-applied
+    assert spark.read.parquet(store).filter("doc_id = 1").count() == 1
+
+
 def test_index_meta_records_bucket_cap_and_append_honors_it(spark,
                                                             tmp_path):
     """The sidecar meta records the bucket_cap the index was built with:
