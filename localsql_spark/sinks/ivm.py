@@ -136,7 +136,7 @@ def maintain_join_view(spark: SparkSession, view_dir: str,
 
 
 def _fold_delta(spark: SparkSession, view_dir: str,
-                delta: DataFrame) -> list:
+                delta: DataFrame, marker: str | None = None) -> list:
     """Shared fold tail: collect the delta's touched buckets (bounded by
     n_buckets), partition-prune the stored read to them, merge, drop
     groups whose row count reached zero (a retraction emptied them), and
@@ -170,14 +170,16 @@ def _fold_delta(spark: SparkSession, view_dir: str,
     # old partition would survive the swap (grp_bucket is an int value,
     # so Python and Spark path-encode the name identically)
     commit_staged_partitions(view_dir, "grp_bucket",
-                             [f"grp_bucket={b}" for b in buckets])
+                             [f"grp_bucket={b}" for b in buckets],
+                             marker=marker)
     return sorted(buckets)
 
 
 def apply_dim_change(spark: SparkSession, view_dir: str, fact: DataFrame,
                      old_dim_rows: DataFrame, new_dim_rows: DataFrame,
                      fact_key: str, dim_key: str, group_col: str,
-                     value_col: str, n_buckets: int = 8) -> list:
+                     value_col: str, n_buckets: int = 8,
+                     marker: str | None = None) -> list:
     """Maintain the view through a DIMENSION change — the counting-
     algorithm dim-side delta rule (Gupta & Mumick 1995): for the changed
     dim keys only, RETRACT their facts' contribution from the old groups
@@ -210,7 +212,8 @@ def apply_dim_change(spark: SparkSession, view_dir: str, fact: DataFrame,
                      .alias("sum_value"), "grp_bucket"))
     plus = join_rollup(changed_fact, new_dim_rows, fact_key, dim_key,
                        group_col, value_col, n_buckets)
-    return _fold_delta(spark, view_dir, minus.unionByName(plus))
+    return _fold_delta(spark, view_dir, minus.unionByName(plus),
+                       marker=marker)
 
 
 def read_join_view(spark: SparkSession, view_dir: str) -> DataFrame:

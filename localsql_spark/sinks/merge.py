@@ -183,8 +183,8 @@ def _manifest_path(base: Path) -> Path:
 
 
 def commit_staged_partitions(base_dir: str, partition_col: str,
-                             touched_names: list[str] | None = None
-                             ) -> list[str]:
+                             touched_names: list[str] | None = None,
+                             marker: str | None = None) -> list[str]:
     """Shared manifest-commit tail for every partition-swap fold (merge,
     rollup, IVM, sketch view, inverted index, erase): the caller has
     already written the merged partitions into the conventional staging
@@ -193,9 +193,15 @@ def commit_staged_partitions(base_dir: str, partition_col: str,
     staged dir as explicit removals (the caller passes names in the REAL
     on-disk encoding — int/hex-safe values only; pass None to skip
     removal tracking), writes the manifest (COMMIT POINT — one rename)
-    and applies it.  Centralizing the tail is what keeps the commit
-    details (removal semantics, crash replay) from drifting per store.
-    Returns the staged partition names."""
+    and applies it.  ``marker`` (a file name, created next to
+    ``base_dir`` at apply time) rides IN the manifest, so the single
+    commit rename also commits an applied-batch marker — a caller whose
+    correctness depends on detecting "this delta already folded" across
+    a crash (the dim-side IVM twin: its replayed delta is NOT net-zero
+    against an unadvanced snapshot) checks the marker instead of
+    re-folding.  Centralizing the tail is what keeps the commit details
+    (removal semantics, crash replay) from drifting per store.  Returns
+    the staged partition names."""
     base = Path(base_dir)
     staging = base.parent / f".{base.name}.staging"
     base.mkdir(parents=True, exist_ok=True)
@@ -203,9 +209,11 @@ def commit_staged_partitions(base_dir: str, partition_col: str,
     removed = sorted(set(touched_names or []) - set(pnames))
     manifest = _manifest_path(base)
     tmp = manifest.with_suffix(".json.tmp")
-    tmp.write_text(json.dumps({"staging": staging.name,
-                               "partitions": pnames,
-                               "removed": removed}))
+    spec = {"staging": staging.name, "partitions": pnames,
+            "removed": removed}
+    if marker is not None:
+        spec["marker"] = marker
+    tmp.write_text(json.dumps(spec))
     os.rename(tmp, manifest)  # COMMIT POINT — one rename
     _apply_manifest(base, manifest)
     return pnames
@@ -239,6 +247,12 @@ def _apply_manifest(base: Path, manifest: Path) -> None:
     # committed as explicit removals; rmtree is replay-idempotent
     for pname in spec.get("removed", []):
         shutil.rmtree(base / pname, ignore_errors=True)
+    # the applied-batch marker lands BEFORE the manifest unlink: a crash
+    # between the two leaves the manifest, and the replayed apply
+    # re-touches the marker (idempotent) — so marker-present always
+    # means manifest-applied
+    if spec.get("marker"):
+        (base.parent / spec["marker"]).touch()
     manifest.unlink()
     shutil.rmtree(staging, ignore_errors=True)
 

@@ -20,11 +20,13 @@ once from the initial dimension).  Per landed batch, in order:
 3. the snapshot advances to a new generation (write-then-pointer-flip).
 
 Crash windows: the view commit precedes the snapshot flip, so a replay
-after the flip recomputes old == new and folds a NET-ZERO delta (no-op);
-the remaining exposure is the same single window every MERGE twin
-documents (crash between the view's manifest commit and the snapshot
-flip / applied marker re-folds one batch — rebuild from the landed dirs,
-which stay the durable exactly-once record).
+after the flip recomputes old == new and folds a NET-ZERO delta (no-op).
+The window BETWEEN the view's manifest commit and the snapshot flip is
+closed by an applied-batch marker that rides in the same manifest commit
+(:func:`sinks.merge.commit_staged_partitions` ``marker=``): a replay
+that finds the marker skips the fold (whose recomputed delta against
+the unadvanced snapshot would NOT be net-zero — it would double-apply)
+and goes straight to the snapshot advance.
 
 The reference has no streaming surface (reference: localsql/localsql.py:31);
 scale extension.
@@ -83,10 +85,21 @@ def apply_dim_batch(spark: SparkSession, view_dir: str, dim_dir: str,
                     fact: DataFrame, batch: DataFrame, batch_id: int, *,
                     dim_key: str, group_col: str, fact_key: str,
                     value_col: str, n_buckets: int = 8) -> list:
-    """Fold ONE dim-change batch: view delta first (manifest-committed),
-    snapshot advance second.  A replayed batch whose snapshot already
-    advanced computes old == new and the delta nets to zero — the fold
-    is a no-op, which is what makes the marker window safe."""
+    """Fold ONE dim-change batch: view delta first (manifest-committed,
+    carrying an applied-batch marker), snapshot advance second, marker
+    cleanup last.  A replayed batch whose snapshot already advanced
+    computes old == new and the delta nets to zero (no-op); a replayed
+    batch that crashed BETWEEN the view commit and the snapshot advance
+    finds the marker and skips the fold — re-folding against the
+    unadvanced snapshot would double-apply the retract+re-add delta
+    (advisor r9)."""
+    from localsql_spark.sinks.merge import recover_pending_merge
+
+    marker = (Path(view_dir).parent /
+              f".{Path(view_dir).name}.dim_applied_{batch_id}")
+    # settle any pending commit first: a crash mid-apply leaves the
+    # manifest, and the replayed apply writes the marker too
+    recover_pending_merge(view_dir)
     # one row per changed key, deterministically (latest-wins needs a
     # version column the SCD feed shape doesn't carry; full-row hash is
     # stable across replays, same rule as merge_upsert's in-batch ties)
@@ -97,15 +110,22 @@ def apply_dim_batch(spark: SparkSession, view_dir: str, dim_dir: str,
                 .select(dim_key, group_col)
                 .localCheckpoint(eager=True))
     cur = read_dim_snapshot(spark, dim_dir).select(dim_key, group_col)
-    old_rows = cur.join(F.broadcast(new_rows.select(dim_key)), dim_key,
-                        "semi")
-    touched = apply_dim_change(
-        spark, view_dir, fact, old_dim_rows=old_rows,
-        new_dim_rows=new_rows, fact_key=fact_key, dim_key=dim_key,
-        group_col=group_col, value_col=value_col, n_buckets=n_buckets)
+    if marker.exists():
+        touched: list = []  # view already carries this batch's delta
+    else:
+        old_rows = cur.join(F.broadcast(new_rows.select(dim_key)),
+                            dim_key, "semi")
+        touched = apply_dim_change(
+            spark, view_dir, fact, old_dim_rows=old_rows,
+            new_dim_rows=new_rows, fact_key=fact_key, dim_key=dim_key,
+            group_col=group_col, value_col=value_col,
+            n_buckets=n_buckets, marker=marker.name)
     advanced = (cur.join(F.broadcast(new_rows.select(dim_key)), dim_key,
                          "left_anti").unionByName(new_rows))
     _advance_snapshot(advanced, dim_dir, batch_id)
+    # crash between the advance and this unlink: the replay sees the
+    # marker, skips the fold, re-advances (no-op) and cleans up
+    marker.unlink(missing_ok=True)
     return touched
 
 

@@ -965,6 +965,68 @@ def test_stream_ivm_dim_replay_and_snapshot_advance(spark, tmp_path):
             for r in read_join_view(spark, view).collect()} == expect
 
 
+def test_stream_ivm_dim_crash_before_advance_no_double_apply(
+        spark, tmp_path, monkeypatch):
+    """The remaining r8 crash window, now closed (advisor r9): a crash
+    BETWEEN the view's manifest commit and the snapshot advance used to
+    replay the batch against the OLD snapshot and double-apply the
+    retract+re-add delta.  The applied-batch marker rides in the view's
+    manifest commit, so the replay detects it, skips the fold, and only
+    advances the snapshot."""
+    from pathlib import Path
+
+    from localsql_spark.sinks.ivm import maintain_join_view, read_join_view
+    from localsql_spark.streaming import stream_ivm_dim as SID
+
+    fact = spark.createDataFrame(
+        [(i, i % 6, float(10 + i)) for i in range(60)],
+        "o_id long, custkey long, price double")
+    dim = spark.createDataFrame([(k, k % 3) for k in range(6)],
+                                "custkey long, nation long")
+    view = str(tmp_path / "view")
+    dim_dir = str(tmp_path / "dim")
+    maintain_join_view(spark, view, fact, dim, fact_key="custkey",
+                       dim_key="custkey", group_col="nation",
+                       value_col="price", n_buckets=4)
+    SID.init_dim_snapshot(dim, dim_dir)
+
+    batch = spark.createDataFrame([(0, 9)], "custkey long, nation long")
+
+    def _boom(*a, **k):
+        raise RuntimeError("injected crash before snapshot advance")
+    monkeypatch.setattr(SID, "_advance_snapshot", _boom)
+    import pytest as _pt
+    with _pt.raises(RuntimeError, match="injected crash"):
+        SID.apply_dim_batch(spark, view, dim_dir, fact, batch, 1,
+                            dim_key="custkey", group_col="nation",
+                            fact_key="custkey", value_col="price",
+                            n_buckets=4)
+    monkeypatch.undo()
+    # the view committed (key 0's facts moved to nation 9), the marker
+    # is down, the snapshot did NOT advance
+    marker = (Path(view).parent / f".{Path(view).name}.dim_applied_1")
+    assert marker.exists()
+    assert {r.custkey: r.nation
+            for r in SID.read_dim_snapshot(spark, dim_dir).collect()}[0] == 0
+
+    # replay the SAME batch: must not fold the delta again
+    SID.apply_dim_batch(spark, view, dim_dir, fact, batch, 1,
+                        dim_key="custkey", group_col="nation",
+                        fact_key="custkey", value_col="price",
+                        n_buckets=4)
+    assert not marker.exists()
+    assert {r.custkey: r.nation
+            for r in SID.read_dim_snapshot(spark, dim_dir).collect()}[0] == 9
+    expect = {}
+    for i in range(60):
+        g = 9 if i % 6 == 0 else (i % 6) % 3
+        c, s = expect.get(g, (0, 0.0))
+        expect[g] = (c + 1, s + 10 + i)
+    got = {r.grp: (r.n_rows, float(r.sum_value))
+           for r in read_join_view(spark, view).collect()}
+    assert got == expect
+
+
 def test_feed_offsets_and_retention(spark, tmp_path):
     """CDC feed retention: a consumer tails the feed with committed
     offsets (monotone, crash = re-read the same tail), and prune_feed
