@@ -29,7 +29,10 @@ maintenance run with ``target_files`` output files.
 
 from __future__ import annotations
 
+import json
+import os
 import shutil
+import warnings
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,6 +40,40 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _gen_id(p: Path) -> int:
     return int(p.name.rsplit("_", 1)[1])
+
+
+def note_blocker(state_file: Path, blocker: int | None, what: str) -> None:
+    """Surface a wedged landing queue.  The ordered fold/compaction walks
+    deliberately STOP at the first torn dir (no ``_SUCCESS``) or missing
+    batch id — correct for ordering, but a dir that is never rewritten
+    (stream dead, dir lost externally) would otherwise stall every later
+    fold forever while the maintenance call just returns smaller counts.
+    Callers record the blocking id here after each walk: the first
+    sighting is normal (the stream usually rewrites the dir before the
+    next maintenance call), but the SAME id blocking a second consecutive
+    call raises a ``RuntimeWarning`` so the operator sees the wedge
+    instead of silent rot.  Progress (``blocker=None`` or a different id)
+    resets the sidecar."""
+    if blocker is None:
+        state_file.unlink(missing_ok=True)
+        return
+    try:
+        prev = json.loads(state_file.read_text())
+    except (OSError, ValueError):
+        prev = None
+    count = prev.get("count", 0) + 1 if (
+        prev and prev.get("id") == blocker) else 1
+    if count > 1:
+        warnings.warn(
+            f"{what}: batch id {blocker} has blocked maintenance for "
+            f"{count} consecutive calls (torn landing dir never "
+            f"rewritten, or an id gap that never fills) — no later "
+            f"batch can fold until it lands; inspect the landing queue "
+            f"or rebuild from the landed dirs", RuntimeWarning,
+            stacklevel=3)
+    tmp = Path(str(state_file) + ".tmp")
+    tmp.write_text(json.dumps({"id": blocker, "count": count}))
+    os.rename(tmp, state_file)
 
 
 def compacted_through(dir_: str) -> int:
@@ -126,14 +163,21 @@ def compact_batches(spark: SparkSession, dir_: str, *, keep_last: int = 1,
     # stream_rollup.prune_landed
     fold: list[Path] = []
     prev = upto
+    blocker: int | None = None
     for p in candidates:
         gid = _gen_id(p)
-        if gid != prev + 1 or not (p / "_SUCCESS").exists():
+        if gid != prev + 1:
+            blocker = prev + 1  # missing intermediate id
+            break
+        if not (p / "_SUCCESS").exists():
+            blocker = gid  # torn landing
             break
         if max_upto is not None and gid > max_upto:
-            break
+            break  # caller-chosen cap, not a stall
         fold.append(p)
         prev = gid
+    note_blocker(root / ".blocked_compact", blocker,
+                 f"compact_batches({dir_})")
     if not fold:
         return 0
     new_upto = _gen_id(fold[-1])

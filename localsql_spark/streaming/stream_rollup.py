@@ -91,8 +91,14 @@ def fold_landed_with(spark: SparkSession, land_dir: str, store_dir: str,
     completion is a no-op (markers); re-invocation after a crash resumes
     from the first unmarked batch.  Shared by every MERGE-style persisted
     store whose per-batch apply is NOT naturally idempotent (rollup, IVM
-    join view) — the marker, not the store write, carries exactly-once."""
+    join view) — the marker, not the store write, carries exactly-once.
+    A torn landing dir blocking two consecutive calls raises a
+    ``RuntimeWarning`` (:func:`batch_dirs.note_blocker`) so a dead
+    stream's wedge is surfaced, not silently rotting."""
+    from localsql_spark.streaming.batch_dirs import note_blocker
+
     n = 0
+    blocker: int | None = None
     wm = _applied_through(store_dir)
     for b in sorted(Path(land_dir).glob("batch_*"),
                     key=lambda p: int(p.name.split("_")[1])):
@@ -108,6 +114,7 @@ def fold_landed_with(spark: SparkSession, land_dir: str, store_dir: str,
             # of id order, which corrupts order-sensitive appliers (the
             # IVM dim fold computes old rows from a snapshot that must
             # reflect every PRIOR batch) and silently reorders the rest
+            blocker = bid
             break
         if pass_batch_id:
             apply_fn(spark.read.parquet(str(b)), bid)
@@ -120,6 +127,9 @@ def fold_landed_with(spark: SparkSession, land_dir: str, store_dir: str,
         tmp.write_text("applied")
         os.rename(tmp, marker)  # commit point for this batch's fold
         n += 1
+    note_blocker(Path(store_dir).parent /
+                 f".{Path(store_dir).name}.blocked_fold",
+                 blocker, f"fold_landed_with({land_dir})")
     return n
 
 
@@ -167,20 +177,30 @@ def prune_landed(land_dir: str, rollup_dir: str, keep_last: int = 1) -> int:
     def _is_applied(i: int) -> bool:
         return i <= wm or _applied_marker(rollup_dir, i).exists()
 
+    from localsql_spark.streaming.batch_dirs import note_blocker
+
     applied = []
     prev = wm  # ids <= wm are applied by definition
+    blocker = None
     for b in landed:
         bid = int(b.name.split("_")[1])
         if bid <= wm:
             applied.append(b)
             continue
         # gap ids with no landing dir must each prove applied-ness
-        if any(not _is_applied(g) for g in range(max(prev, wm) + 1, bid)):
+        gap = [g for g in range(max(prev, wm) + 1, bid)
+               if not _is_applied(g)]
+        if gap:
+            blocker = gap[0]
             break  # unapplied gap id: nothing above it may prune
         if not _is_applied(bid):
+            blocker = bid
             break  # unapplied gap: nothing above it may prune
         applied.append(b)
         prev = bid
+    note_blocker(Path(rollup_dir).parent /
+                 f".{Path(rollup_dir).name}.blocked_prune",
+                 blocker, f"prune_landed({land_dir})")
     prune = applied[:-keep_last] if keep_last > 0 else applied
     if not prune:
         return 0

@@ -1162,3 +1162,74 @@ def test_stream_erase_ingest_exactly_once_and_replay(spark, tmp_path):
                "doc_id", n_buckets=4)
     assert {r.doc_id for r in read_bucketed_store(spark, store)
             .select("doc_id").collect()} == left
+
+
+def test_fold_blocker_warned_on_second_consecutive_call(spark, tmp_path):
+    """A torn landing dir correctly STOPS the ordered fold — but a dir
+    that never gets rewritten (dead stream) must be surfaced, not left
+    silently stalling every later batch forever (advisor r9).  The first
+    blocked call is quiet (the stream normally rewrites the dir before
+    the next maintenance tick); the SAME id blocking a second
+    consecutive call warns; progress clears the sidecar."""
+    import warnings as _w
+
+    from localsql_spark.streaming.stream_rollup import fold_landed_with
+
+    land = tmp_path / "land"
+    store = str(tmp_path / "store")
+    for i in range(3):
+        (spark.range(5).withColumn("b", F.lit(i))
+         .coalesce(1).write.parquet(str(land / f"batch_{i}")))
+    (land / "batch_1" / "_SUCCESS").unlink()  # torn landing
+
+    folded: list[int] = []
+
+    def apply_fn(df):
+        folded.append(df.select(F.max("b")).first()[0])
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # first blocked call: NO warning
+        assert fold_landed_with(spark, str(land), store, apply_fn) == 1
+    assert folded == [0]
+
+    with pytest.warns(RuntimeWarning, match="batch id 1 has blocked"):
+        assert fold_landed_with(spark, str(land), store, apply_fn) == 0
+
+    # the stream rewrites the torn dir: fold resumes, sidecar clears
+    (land / "batch_1" / "_SUCCESS").touch()
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        assert fold_landed_with(spark, str(land), store, apply_fn) == 2
+    assert folded == [0, 1, 2]
+    from pathlib import Path
+    assert not (Path(store).parent / ".store.blocked_fold").exists()
+
+
+def test_compact_blocker_warned_on_persistent_id_gap(spark, tmp_path):
+    """compact_batches stops at a missing intermediate batch id (correct:
+    folding past it would mark the id superseded before its rows ever
+    landed) — but a gap that never fills must warn on the second
+    consecutive blocked call instead of silently capping the fold."""
+    import warnings as _w
+
+    from localsql_spark.streaming.batch_dirs import compact_batches
+
+    d = tmp_path / "landq"
+    for i in (0, 2):  # id 1 never lands
+        (spark.range(4).withColumn("b", F.lit(i))
+         .coalesce(1).write.parquet(str(d / f"batch_{i}")))
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # folds batch_0, quiet on first block
+        assert compact_batches(spark, str(d), keep_last=0) == 1
+
+    with pytest.warns(RuntimeWarning, match="batch id 1 has blocked"):
+        assert compact_batches(spark, str(d), keep_last=0) == 0
+
+    # the gap fills: compaction resumes and the sidecar clears
+    (spark.range(4).withColumn("b", F.lit(1))
+     .coalesce(1).write.parquet(str(d / "batch_1")))
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        assert compact_batches(spark, str(d), keep_last=0) == 2
+    assert not (d / ".blocked_compact").exists()
