@@ -261,3 +261,105 @@ def erase_everywhere(spark: SparkSession, keys: DataFrame, *,
                scd2["key_col"], rows)
     return spark.createDataFrame(
         rows, "store string, rows_after long, erased_refs long")
+
+
+# ---------------------------------------------------------------------------
+# Rebuild policy for non-retractable aggregates
+# ---------------------------------------------------------------------------
+
+def _swap_rebuilt(dst: Path, built: Path) -> None:
+    """Swap a freshly-built store into place: park the old generation,
+    rename the new one in (commit), drop the old.  A crash between the
+    two renames leaves the store parked under ``.<name>.pre_rebuild`` —
+    re-running the rebuild is the recovery (the trainers are
+    deterministic, so the re-run reproduces the same bytes); the next
+    rebuild also sweeps any parked leftover."""
+    old = dst.parent / f".{dst.name}.pre_rebuild"
+    shutil.rmtree(old, ignore_errors=True)
+    if dst.exists():
+        os.rename(dst, old)
+    os.rename(built, dst)  # commit
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def rebuild_nonretractable(spark: SparkSession, *,
+                           nb_model: dict | None = None,
+                           sketch_view: dict | None = None,
+                           ivfpq_index: dict | None = None) -> DataFrame:
+    """The REBUILD half of the right-to-be-forgotten story: trained
+    aggregates whose per-subject contribution is not retractable
+    row-by-row — NB additive token counts, HLL registers (a register max
+    cannot be un-maxed), trained IVFPQ model tables (centroids/codebooks
+    absorb every training vector's residual) — are erased by RETRAINING
+    from the post-erase corpus.  :func:`erase_everywhere` handles the
+    row-addressable stores; this operator completes the surface, turning
+    the "periodic retrain" docstring policy into runnable maintenance.
+
+    Each config names the store and carries its POST-ERASE training
+    input (the caller erased the primary first, so these frames no
+    longer contain the subjects):
+
+    - ``nb_model={'model_dir', 'docs', 'positive', ['n_buckets',
+      'doc_id_col', 'text_col']}`` — one from-scratch
+      :func:`~localsql_spark.operators.selection.nb_model_update` fold
+      (additive counts: one fold over the corpus == the full train).
+    - ``sketch_view={'view_dir', 'docs', ['n', 'group_col',
+      'text_col']}`` — one from-scratch
+      :func:`~localsql_spark.sinks.sketch_view.sketch_view_update` fold
+      (register maxes: same single-fold identity).
+    - ``ivfpq_index={'index_path', 'corpus', ['n_cells', 'm', 'k_codes',
+      'n_iter', 'id_col', 'vec_col']}`` —
+      :func:`~localsql_spark.operators.similarity.write_ivfpq_index`
+      retrains coarse centroids + codebooks AND re-encodes the codes, so
+      the erased vectors' influence leaves the quantizers too.
+
+    Each rebuild trains into a sibling staging dir and swaps in with a
+    rename pair (:func:`_swap_rebuilt`) — readers never see a
+    half-trained store, and a mid-build crash leaves the old generation
+    serving.  Single-writer maintenance, same contract as the other
+    store compactions.  Deliberately a FULL retrain, not incremental:
+    that is the definition of this state class, and the cost is
+    model-table-bounded per store (one training pass over the kept
+    corpus) on whatever cadence the compliance policy sets.
+
+    Returns an audit frame ``(store, rows_after)`` counting the rebuilt
+    state rows (NB word rows, HLL register rows, PQ code rows) read back
+    from the post-swap bytes."""
+    rows: list = []
+    if nb_model is not None:
+        from localsql_spark.operators.selection import (nb_model_read,
+                                                        nb_model_update)
+        cfg = dict(nb_model)
+        dst = Path(cfg.pop("model_dir"))
+        docs, positive = cfg.pop("docs"), cfg.pop("positive")
+        built = dst.parent / f".{dst.name}.rebuild"
+        shutil.rmtree(built, ignore_errors=True)
+        nb_model_update(spark, str(built), docs, positive, **cfg)
+        _swap_rebuilt(dst, built)
+        model, _ = nb_model_read(spark, str(dst),
+                                 n_buckets=cfg.get("n_buckets", 16))
+        rows.append(("nb_model", model.count()))
+    if sketch_view is not None:
+        from localsql_spark.sinks.sketch_view import sketch_view_update
+        cfg = dict(sketch_view)
+        dst = Path(cfg.pop("view_dir"))
+        docs = cfg.pop("docs")
+        built = dst.parent / f".{dst.name}.rebuild"
+        shutil.rmtree(built, ignore_errors=True)
+        sketch_view_update(spark, str(built), docs, **cfg)
+        _swap_rebuilt(dst, built)
+        regs = (spark.read.option("basePath", str(dst)).parquet(str(dst))
+                .filter(F.col("bucket") >= 0))
+        rows.append(("sketch_view", regs.count()))
+    if ivfpq_index is not None:
+        from localsql_spark.operators.similarity import write_ivfpq_index
+        cfg = dict(ivfpq_index)
+        dst = Path(cfg.pop("index_path"))
+        corpus = cfg.pop("corpus")
+        built = dst.parent / f".{dst.name}.rebuild"
+        shutil.rmtree(built, ignore_errors=True)
+        write_ivfpq_index(corpus, str(built), **cfg)
+        _swap_rebuilt(dst, built)
+        rows.append(("ivfpq_index",
+                     spark.read.parquet(str(dst / "codes")).count()))
+    return spark.createDataFrame(rows, "store string, rows_after long")

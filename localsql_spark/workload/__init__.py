@@ -454,19 +454,22 @@ def _changed_since_verified() -> dict:
 # land this round).  Refresh each round: drop names once their new green
 # row appears in the latest CORRECTNESS file.
 _MUST_RECHECK: tuple[str, ...] = (
-    # all round-8 entries re-earned green CORRECTNESS_r08 rows and were
-    # dropped.  Round 9 semantics edits:
-    # merge_upsert's tie rule changed (an incoming row that only TIES the
-    # stored version now loses, matching change_feed's empty output) and
-    # merge_into_partitioned's tombstoned-partition commit moved to
-    # Spark-encoded manifest removals — the merge/CDC consumers must
-    # re-earn rows under the new semantics
-    "merge_upsert_documents", "change_feed_documents",
-    "streaming_change_feed", "streaming_upsert_latest_event",
-    # pack_sequences' applyInPandas schema now derives doc_id's dtype
-    # from the input (string chunk ids pack)
-    "pack_sequences_cap128",
+    # all round-9 entries (merge/CDC tie-rule consumers, pack_sequences)
+    # re-earned green CORRECTNESS_r09 rows and were dropped.  Round 10's
+    # edits are crash-window closures (dim-IVM applied-batch marker,
+    # landing-queue wedge warnings, erase-manifest recovery) — steady-
+    # state semantics unchanged, so nothing is pinned; the changed-since-
+    # verified scan routes the touched modules' queries automatically.
 )
+
+
+# Record-hygiene rotation: how many of the OLDEST driver greens to
+# re-surface at the head of the stale block each round, so no entry's
+# independent driver CORRECTNESS row ages indefinitely even though the
+# pytest oracle mirror re-proves every entry every round.  Ten slots per
+# 50-entry window re-earns the whole 250-query registry's records about
+# every five rounds.
+_N_ROTATE = 10
 
 
 def _ordered() -> dict[str, QuerySpec]:
@@ -487,13 +490,24 @@ def _ordered() -> dict[str, QuerySpec]:
     deferred = {n: s for n, s in REGISTRY.items()
                 if n not in verified and n in _DEFERRED}
     must = [n for n in _MUST_RECHECK if n in REGISTRY and n in verified]
+    # oldest-green rotation (record hygiene): the _N_ROTATE entries whose
+    # latest driver row is oldest re-enter the window ahead of the
+    # automatically-flagged stale block — stale entries displaced past
+    # the window edge re-flag themselves next round, so nothing is lost
+    green_round = _last_green_rounds()
+    rotate = sorted(
+        (n for n in REGISTRY if n in verified and n not in must),
+        key=lambda n: (green_round.get(n, 0), n))[:_N_ROTATE]
     stale_rest = sorted(
         (n for n in REGISTRY
-         if n in verified and n in changed and n not in must),
+         if n in verified and n in changed
+         and n not in must and n not in rotate),
         key=lambda n: (n in _HEAVY, -changed[n]))  # cheap + newest first
-    stale = {n: REGISTRY[n] for n in (*must, *stale_rest)}
-    done = {n: s for n, s in REGISTRY.items()
-            if n in verified and n not in stale}
+    stale = {n: REGISTRY[n] for n in (*must, *rotate, *stale_rest)}
+    done_rest = sorted(
+        (n for n in REGISTRY if n in verified and n not in stale),
+        key=lambda n: (green_round.get(n, 0), n))  # oldest records first
+    done = {n: REGISTRY[n] for n in done_rest}
     return {**pending_cheap, **pending_heavy, **deferred, **stale, **done}
 
 

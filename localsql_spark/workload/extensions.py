@@ -5076,3 +5076,148 @@ def streaming_erase_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Rebuild of non-retractable aggregates after erasure
+# ---------------------------------------------------------------------------
+
+_VH13 = ("CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) "
+         "AS BIGINT) % 13")
+
+# each sub-oracle is the full-corpus oracle of the corresponding live
+# query, retargeted at the POST-ERASE corpus — "rebuilt == from-scratch
+# on the kept rows" is exactly the claim the operator makes
+_REBUILD_NB = _NB_ORACLE.replace(
+    "FROM documents)", f"FROM documents WHERE {_H13} <> 0)")
+_REBUILD_PQ = (_IVFPQ_ORACLE
+               .replace("FROM embeddings)",
+                        f"FROM embeddings\n"
+                        f"            WHERE NOT ({_VH13} = 0 "
+                        f"AND vec_id >= 10))")
+               .replace(
+    "seeds AS (SELECT s, vec_id - 8 AS code, sp, x AS y FROM sv\n"
+    "          WHERE vec_id >= 8 AND vec_id < 24),",
+    "sids AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1\n"
+    "                  AS code\n"
+    "         FROM (SELECT DISTINCT vec_id FROM sv WHERE vec_id >= 8\n"
+    "               ORDER BY vec_id LIMIT 16) q),\n"
+    "seeds AS (SELECT sv.s, sids.code, sv.sp, sv.x AS y\n"
+    "          FROM sv JOIN sids USING (vec_id)),"))
+
+
+def _rebuild_oracle() -> str:
+    from localsql_spark.workload.corpus_suite import _hll_diversity_oracle
+
+    hll = _hll_diversity_oracle().replace(
+        "FROM documents", f"FROM documents WHERE {_H13} <> 0")
+    return f"""
+SELECT component, k, metric FROM (
+  SELECT 'nb' AS component, CAST(doc_id AS VARCHAR) AS k,
+         nb_score AS metric FROM ({_REBUILD_NB}) nbq
+  UNION ALL
+  SELECT 'hll', concat(COALESCE(source, '<null>'), '#distinct'),
+         approx_distinct FROM ({hll}) h1
+  UNION ALL
+  SELECT 'hll', concat(COALESCE(source, '<null>'), '#ngrams'),
+         CAST(total_ngrams AS DOUBLE) FROM ({hll}) h2
+  UNION ALL
+  SELECT 'ivfpq',
+         CAST(query_id AS VARCHAR) || ':' || CAST(rn AS VARCHAR),
+         CAST(neighbor_id AS DOUBLE) FROM ({_REBUILD_PQ}) pqq) u
+"""
+
+
+@query("erase_rebuild_models", oracle=_rebuild_oracle())
+def erase_rebuild_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REBUILD half of right-to-be-forgotten (sinks.erase.
+    rebuild_nonretractable): NB token counts, HLL registers, and trained
+    IVFPQ model tables cannot retract a subject row-by-row, so erasure
+    for that state class is a RETRAIN from the post-erase corpus.  This
+    query stands up all three on the FULL corpus, erases a deterministic
+    1/13 of subjects (docs everywhere; vectors >= 10 so the coarse seeds
+    stay probeable), erases the retractable IVFPQ code rows, then runs
+    the rebuild operator and probes every rebuilt store:
+
+    - NB: every kept document re-scored against the rebuilt count model;
+    - HLL: per-source diversity estimates from the rebuilt registers;
+    - IVFPQ: top-5 ADC neighbors from the rebuilt index (fresh
+      centroids, codebooks AND codes — trained WITHOUT the erased
+      vectors, unlike erase_ivfpq_probe's stale-model policy half).
+
+    The oracle recomputes each observable from scratch on the kept rows
+    only — equality proves the rebuilt state is bit-identical to one
+    that never saw the erased subjects, the same discipline as the three
+    erase probes.  One long-format frame (component, k, metric) carries
+    all three."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from localsql_spark.operators import hash32
+    from localsql_spark.operators.selection import (nb_model_read,
+                                                    nb_model_update,
+                                                    nb_score_with_model)
+    from localsql_spark.sinks.erase import rebuild_nonretractable
+    from localsql_spark.sinks.sketch_view import (sketch_view_read,
+                                                  sketch_view_update)
+
+    t = load(spark, sf_dir)
+    docs, emb = t["documents"], t["embeddings"]
+    kept_docs = (docs.filter(hash32(F.col("doc_id")) % 13 != 0)
+                 .localCheckpoint(eager=False))
+    erased_vecs = (emb.filter((hash32(F.col("vec_id")) % 13 == 0)
+                              & (F.col("vec_id") >= 10))
+                   .select("vec_id"))
+    kept_emb = (emb.join(F.broadcast(erased_vecs), "vec_id", "left_anti")
+                .localCheckpoint(eager=False))
+    is_pos = F.substring("source", 4, 10).cast("int") < 5
+
+    scratch = Path(tempfile.mkdtemp(prefix="erase_rebuild_"))
+    model_dir = str(scratch / "nb_model")
+    view_dir = str(scratch / "sketch_view")
+    index = str(scratch / "ivfpq")
+    try:
+        # full-corpus builds: the state to be forgotten
+        nb_model_update(spark, model_dir, docs, is_pos)
+        sketch_view_update(spark, view_dir, docs)
+        S.write_ivfpq_index(emb, index, n_cells=8, m=4, k_codes=16,
+                            n_iter=1)
+        # retractable half first (code rows), then retrain the rest
+        S.ivfpq_erase_vectors(spark, index, erased_vecs)
+        rebuild_nonretractable(
+            spark,
+            nb_model={"model_dir": model_dir, "docs": kept_docs,
+                      "positive": is_pos},
+            sketch_view={"view_dir": view_dir, "docs": kept_docs},
+            ivfpq_index={"index_path": index, "corpus": kept_emb,
+                         "n_cells": 8, "m": 4, "k_codes": 16,
+                         "n_iter": 1})
+
+        model, dc = nb_model_read(spark, model_dir)
+        nb = (nb_score_with_model(kept_docs, model, dc, is_pos)
+              .select(F.lit("nb").alias("component"),
+                      F.col("doc_id").cast("string").alias("k"),
+                      F.col("nb_score").alias("metric")))
+        hll = sketch_view_read(spark, view_dir)
+        grp = F.coalesce(F.col("source"), F.lit("<null>"))
+        h1 = hll.select(F.lit("hll").alias("component"),
+                        F.concat(grp, F.lit("#distinct")).alias("k"),
+                        F.col("approx_distinct").alias("metric"))
+        h2 = hll.select(F.lit("hll").alias("component"),
+                        F.concat(grp, F.lit("#ngrams")).alias("k"),
+                        F.col("total_ngrams").cast("double")
+                        .alias("metric"))
+        pq = S.knn_ivfpq_from_index(spark, index,
+                                    emb.filter(F.col("vec_id") < 10),
+                                    k=5, n_probe=4, exclude_self=True)
+        p1 = pq.select(F.lit("ivfpq").alias("component"),
+                       F.concat(F.col("query_id").cast("string"),
+                                F.lit(":"),
+                                F.col("rn").cast("string")).alias("k"),
+                       F.col("neighbor_id").cast("double")
+                       .alias("metric"))
+        return (nb.unionByName(h1).unionByName(h2).unionByName(p1)
+                .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -397,3 +397,109 @@ def test_ivfpq_crashed_erase_heals_on_probe_and_retrain(spark, tmp_path,
     assert spark.read.parquet(f"{index}/codes").join(
         gone.withColumnRenamed("vec_id", "neighbor_id"),
         "neighbor_id", "semi").count() == 0
+
+
+def _docs40(spark):
+    return spark.createDataFrame(
+        [(i, f"src{i % 8}",
+          " ".join(f"w{(i * 7 + j * 3) % 23}" for j in range(12)))
+         for i in range(40)], "doc_id long, source string, text string")
+
+
+def test_rebuild_nonretractable_equals_from_scratch(spark, tmp_path):
+    """The documented rebuild policy as an operator: after erasure, a
+    rebuilt NB model / HLL sketch view / IVFPQ index must be
+    BIT-IDENTICAL to one trained on a corpus that never contained the
+    erased subjects — the same discipline the erase probes established."""
+    from localsql_spark.operators.selection import nb_model_update
+    from localsql_spark.operators.similarity import write_ivfpq_index
+    from localsql_spark.sinks.erase import rebuild_nonretractable
+    from localsql_spark.sinks.sketch_view import sketch_view_update
+
+    docs = _docs40(spark)
+    kept = docs.filter(F.col("doc_id") % 5 != 0)
+    emb = spark.createDataFrame(
+        [(i, [float((i * 13 + j * 7) % 11) for j in range(16)])
+         for i in range(40)], "vec_id long, embedding array<double>")
+    kept_emb = emb.filter((F.col("vec_id") % 5 != 0)
+                          | (F.col("vec_id") < 10))
+    is_pos = F.substring("source", 4, 10).cast("int") < 4
+
+    # full-corpus stores, then rebuild from the kept corpus
+    model = str(tmp_path / "model")
+    view = str(tmp_path / "view")
+    index = str(tmp_path / "ivfpq")
+    nb_model_update(spark, model, docs, is_pos)
+    sketch_view_update(spark, view, docs)
+    write_ivfpq_index(emb, index, n_cells=4, m=2, k_codes=8)
+    audit = rebuild_nonretractable(
+        spark,
+        nb_model={"model_dir": model, "docs": kept, "positive": is_pos},
+        sketch_view={"view_dir": view, "docs": kept},
+        ivfpq_index={"index_path": index, "corpus": kept_emb,
+                     "n_cells": 4, "m": 2, "k_codes": 8})
+    assert {r.store for r in audit.collect()} == {
+        "nb_model", "sketch_view", "ivfpq_index"}
+
+    # from-scratch twins on the kept corpus
+    nb_model_update(spark, str(tmp_path / "model2"), kept, is_pos)
+    sketch_view_update(spark, str(tmp_path / "view2"), kept)
+    write_ivfpq_index(kept_emb, str(tmp_path / "ivfpq2"),
+                      n_cells=4, m=2, k_codes=8)
+
+    def rows(path, drop=()):
+        df = spark.read.parquet(path)
+        cols = [c for c in sorted(df.columns) if c not in drop]
+        return sorted(map(tuple, df.select(cols).collect()),
+                      key=lambda t: tuple(str(x) for x in t))
+
+    assert rows(model) == rows(str(tmp_path / "model2"))
+    assert rows(view) == rows(str(tmp_path / "view2"))
+    for part in ("codes", "_centroids", "_codebooks"):
+        assert rows(f"{index}/{part}") == \
+            rows(str(tmp_path / "ivfpq2" / part)), part
+    # no parked generation or staging left behind
+    leftovers = [p.name for p in tmp_path.iterdir()
+                 if ".pre_rebuild" in p.name or ".rebuild" in p.name]
+    assert leftovers == []
+
+
+def test_rebuild_crash_mid_build_leaves_old_generation(spark, tmp_path,
+                                                       monkeypatch):
+    """A crash DURING the retrain must leave the old store serving (the
+    swap only happens after the build completes), and the re-run heals
+    the staging leftover."""
+    from localsql_spark.operators import selection as SEL
+    from localsql_spark.operators.selection import (nb_model_read,
+                                                    nb_model_update)
+    from localsql_spark.sinks import erase as E
+
+    docs = _docs40(spark)
+    kept = docs.filter(F.col("doc_id") % 5 != 0)
+    is_pos = F.substring("source", 4, 10).cast("int") < 4
+    model = str(tmp_path / "model")
+    nb_model_update(spark, model, docs, is_pos)
+    before = sorted(map(tuple, spark.read.parquet(model).collect()))
+
+    real = SEL.nb_model_update
+
+    def boom(spark_, dir_, *a, **k):
+        real(spark_, dir_, *a, **k)  # build completes...
+        raise RuntimeError("injected crash before swap")
+    monkeypatch.setattr(E, "nb_model_update", boom, raising=False)
+    # rebuild_nonretractable imports inside the function body — patch the
+    # source module it imports from
+    monkeypatch.setattr(SEL, "nb_model_update", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        E.rebuild_nonretractable(spark, nb_model={
+            "model_dir": model, "docs": kept, "positive": is_pos})
+    # old generation still serving, byte-identical
+    assert sorted(map(tuple, spark.read.parquet(model).collect())) == before
+    monkeypatch.setattr(SEL, "nb_model_update", real)
+    E.rebuild_nonretractable(spark, nb_model={
+        "model_dir": model, "docs": kept, "positive": is_pos})
+    model2, _ = nb_model_read(spark, model)
+    fresh = str(tmp_path / "fresh")
+    nb_model_update(spark, fresh, kept, is_pos)
+    assert sorted(map(tuple, spark.read.parquet(model).collect())) == \
+        sorted(map(tuple, spark.read.parquet(fresh).collect()))
