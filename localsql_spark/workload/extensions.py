@@ -4850,12 +4850,16 @@ def erase_users_everywhere(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole design prices for: every store's erase cost tracks the REQUEST
     (touched buckets/prefixes/cells), not the corpus.  The 1/13-sized
     mass-erase coverage lives in the three erase_*_probe queries.  The
-    stores themselves are a content-stable FIXTURE built once per sf and
-    COPIED per call (erasure mutates them), so what this query times is
-    copy + request-sized erase + audit — the steady-state compliance
-    loop, same framing as dedup_incremental_store.  The IVFPQ path is
-    exercised by erase_ivfpq_probe (its training composition priced
-    separately)."""
+    stores themselves are a content-stable FIXTURE built once per sf;
+    each call works on a HARDLINK farm of it (erasure mutates the store,
+    but every store mutation in this engine is staged-write + rename —
+    new inodes — so the fixture's bytes can never be written through a
+    link, and the per-call 'copy' is metadata-only).  The timed wall is
+    therefore the compliance loop itself — request-sized erase + audit —
+    not driver-side file duplication (round-9 verdict: the byte-copy
+    dominated the headline).  The IVFPQ path is exercised by
+    erase_ivfpq_probe (its training composition priced separately)."""
+    import os
     import shutil
     import tempfile
     from pathlib import Path
@@ -4891,10 +4895,14 @@ def erase_users_everywhere(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ["doc_id"], ["lang"], 2_000_000, batch_id=1)
         marker.touch()
 
-    scratch = Path(tempfile.mkdtemp(prefix="erase_all_"))
+    # scratch lives NEXT TO the fixture (same filesystem) so the per-call
+    # farm is hardlinks: new directory entries, zero data bytes copied
+    scratch = Path(tempfile.mkdtemp(prefix="erase_all_",
+                                    dir=str(fixture.parent)))
     try:
         for store in ("primary", "inv", "sigs", "sigs_banded", "scd2"):
-            shutil.copytree(fixture / store, scratch / store)
+            shutil.copytree(fixture / store, scratch / store,
+                            copy_function=os.link)
         audit = erase_everywhere(
             spark, keys,
             primary={"base_dir": str(scratch / "primary"),
