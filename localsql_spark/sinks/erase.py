@@ -58,8 +58,13 @@ def bucket_of(key_col, n_buckets: int):
 def write_bucketed_store(df: DataFrame, base_dir: str, key_col: str,
                          n_buckets: int = 32) -> None:
     """Materialize a key-bucketed store: hive-partitioned on
-    ``kb = hash(key) % n_buckets``.  One shuffle on the bucket key."""
+    ``kb = hash(key) % n_buckets``.  One shuffle on the bucket key —
+    the explicit repartition matters: partitionBy alone leaves every
+    upstream task writing a sliver into every bucket (files-per-bucket
+    = writer parallelism), and the per-file open cost then makes a
+    request-pruned erase scale with the CLUSTER, not the request."""
     (df.withColumn("kb", bucket_of(F.col(key_col), n_buckets))
+     .repartition(F.col("kb"))
      .write.mode("overwrite").partitionBy("kb").parquet(base_dir))
 
 
@@ -94,7 +99,12 @@ def erase_keys(spark: SparkSession, base_dir: str, keys: DataFrame,
     base = Path(base_dir)
     staging = base.parent / f".{base.name}.staging"
     shutil.rmtree(staging, ignore_errors=True)
-    (kept.write.mode("overwrite").partitionBy("kb").parquet(str(staging)))
+    # re-cluster on kb before the staged write: without it every reading
+    # task writes a sliver into every touched bucket and the store's
+    # files-per-bucket compounds across erases (same rationale as
+    # write_bucketed_store)
+    (kept.repartition(F.col("kb"))
+     .write.mode("overwrite").partitionBy("kb").parquet(str(staging)))
     # a bucket whose every row was erased writes no partition dir — it is
     # committed as an explicit manifest removal (kb is an int partition
     # value, so Python and Spark path-encode it identically)

@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 from pathlib import Path
 
@@ -54,12 +55,18 @@ from pyspark.sql import functions as F
 
 from localsql_spark.streaming.foreach_upsert import merge_upsert
 
+# partition values that hive path-encode as themselves (no %-escaping):
+# safe to turn into literal partition-directory names for pruned listing
+_SAFE_PART = re.compile(r"^[A-Za-z0-9._-]+$")
+
 
 def read_base_partitions(spark: SparkSession, base_dir: str,
                          partition_col: str, values: list) -> DataFrame | None:
     """Read only the named partitions of a hive-partitioned parquet table
-    (None if the table doesn't exist yet).  The isin filter reaches the
-    scan as a partition filter — touched-partition I/O only."""
+    (None if the table doesn't exist yet — or if none of the named
+    partitions do, which callers already treat identically: fold against
+    nothing).  The isin filter reaches the scan as a partition filter —
+    touched-partition I/O only."""
     base = Path(base_dir)
     # "table doesn't exist" includes an EMPTIED table: a store whose every
     # partition was tombstoned/erased/retracted leaves base_dir present but
@@ -68,6 +75,23 @@ def read_base_partitions(spark: SparkSession, base_dir: str,
     # (any() short-circuits at the first part file, no full listing)
     if not base.exists() or not any(base.rglob("*.parquet")):
         return None
+    # DRIVER-SIDE listing must track the request too: reading base_dir
+    # whole makes Spark's file index list EVERY partition dir before the
+    # filter prunes them — O(store files) planning that turned the
+    # fixed-request erase probe super-linear at 16x store growth.  When
+    # every requested value path-encodes trivially (the int bucket keys
+    # every fold uses; dates too), list ONLY the named dirs.  Values that
+    # could hive-escape (None, strings with specials) fall back to the
+    # full read + filter, which is always correct.
+    vals = [str(v) for v in values]
+    if all(v is not None for v in values) \
+            and all(_SAFE_PART.match(s) for s in vals):
+        present = [str(base / f"{partition_col}={s}") for s in vals
+                   if (base / f"{partition_col}={s}").is_dir()]
+        if not present:
+            return None
+        df = spark.read.option("basePath", base_dir).parquet(*present)
+        return df.filter(F.col(partition_col).isin(values))
     df = spark.read.option("basePath", base_dir).parquet(base_dir)
     return df.filter(F.col(partition_col).isin(values))
 

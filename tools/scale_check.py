@@ -348,6 +348,55 @@ def main() -> None:
         shutil.rmtree(scratch, ignore_errors=True)
         return n, dt
 
+    def op_erase_fixed_request(f):
+        # right-to-be-forgotten scaling claim: erase cost tracks the
+        # REQUEST, not the store.  Fixed ~n/53-key request drawn from the
+        # 1x id range (present at every factor) against a store growing
+        # with f; n_buckets grows WITH the store (production posture —
+        # constant expected bucket size, same discipline as semdedup's k)
+        # so the touched-bucket rewrite stays request-bounded.  Store
+        # build is fixture; the timer covers erase_keys only.
+        from localsql_spark.operators import hash32
+        from localsql_spark.sinks.erase import (erase_keys,
+                                                write_bucketed_store)
+        docs = spark.read.parquet(paths[f]["documents"])
+        n_base = docs.count() // f
+        n_buckets = 32 * f
+        store = str(root / f"erase_store_{f}x")
+        write_bucketed_store(docs.select("doc_id", "lang", "text"), store,
+                             "doc_id", n_buckets=n_buckets)
+        keys = (docs.filter((F.col("doc_id") < n_base)
+                            & (hash32(F.col("doc_id")) % 53 == 0))
+                .select("doc_id").localCheckpoint(eager=True))
+        t0 = time.perf_counter()
+        erase_keys(spark, store, keys, "doc_id", n_buckets=n_buckets)
+        dt = time.perf_counter() - t0
+        return (spark.read.option("basePath", store).parquet(store)
+                .count(), dt)
+
+    def op_erase_sig_store_fixed_request(f):
+        # same claim for the near-dup state: the signature-store erase
+        # rewrites only the erased docs' own kb buckets and band-key
+        # prefixes (plus the sidecar meta re-stamp) — fixed request vs a
+        # signature store growing with f.  Store + banded sidecar build
+        # is fixture; the timer covers erase_from_signature_store only.
+        from localsql_spark.operators import dedup as D2
+        from localsql_spark.operators import hash32
+        docs = spark.read.parquet(paths[f]["documents"])
+        n_base = docs.count() // f
+        store = str(root / f"erase_sig_{f}x")
+        index = str(root / f"erase_sig_{f}x_banded")
+        D2.write_signature_store(docs, store)
+        D2.ensure_banded_index(spark, store, index)
+        keys = (docs.filter((F.col("doc_id") < n_base)
+                            & (hash32(F.col("doc_id")) % 53 == 0))
+                .select("doc_id").localCheckpoint(eager=True))
+        t0 = time.perf_counter()
+        D2.erase_from_signature_store(spark, store, keys,
+                                      index_path=index)
+        dt = time.perf_counter() - t0
+        return D2.read_signature_store(spark, store).count(), dt
+
     def op_profile(f):
         from localsql_spark.operators.corpus import profile_columns
         ev = spark.read.parquet(paths[f]["events"])
@@ -606,7 +655,9 @@ def main() -> None:
            "hybrid_retrieval": op_hybrid_retrieval,
            "sketch_view_fold": op_sketch_view_fold,
            "invidx_fold": op_index_fold,
-           "invidx_probe": op_index_probe}
+           "invidx_probe": op_index_probe,
+           "erase_fixed_request": op_erase_fixed_request,
+           "erase_sig_fixed_request": op_erase_sig_store_fixed_request}
 
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:
