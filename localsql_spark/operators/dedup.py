@@ -1117,7 +1117,8 @@ def erase_from_signature_store(spark: SparkSession, store_path: str,
             base = _P(idx)
             staging = base.parent / f".{base.name}.staging"
             _shutil.rmtree(staging, ignore_errors=True)
-            (kept_idx.write.mode("overwrite").partitionBy("bk_prefix")
+            (kept_idx.repartition(F.col("bk_prefix"))
+             .write.mode("overwrite").partitionBy("bk_prefix")
              .parquet(str(staging)))
             # bk_prefix values are two hex chars — path-safe by
             # construction, so emptied prefixes commit as removals by name

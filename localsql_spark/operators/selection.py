@@ -597,7 +597,8 @@ def nb_model_update(spark, model_dir: str, new_docs: DataFrame,
     base = Path(model_dir)
     staging = base.parent / f".{base.name}.staging"
     shutil.rmtree(staging, ignore_errors=True)
-    (merged.write.mode("overwrite").partitionBy("wb")
+    (merged.repartition(F.col("wb"))
+     .write.mode("overwrite").partitionBy("wb")
      .parquet(str(staging)))
     base.mkdir(parents=True, exist_ok=True)
     pnames = sorted(p.name for p in staging.glob("wb=*"))

@@ -262,8 +262,9 @@ def write_ivf_index(corpus: DataFrame, path: str, n_cells: int = 16,
                         F.col("b.v").alias("cv"),
                         F.col("b.vn").alias("cn"),
                         (-F.col("b.nc")).cast("int").alias("cell")))
-    assigned.write.mode("overwrite").partitionBy("cell") \
-        .parquet(f"{path}/cells")
+    (assigned.repartition(F.col("cell"))
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(f"{path}/cells"))
 
 
 def knn_ivf_from_index(spark: SparkSession, index_path: str,
@@ -1089,7 +1090,8 @@ def append_ivf_index(spark: SparkSession, index_path: str,
                         F.col("b.v").alias("cv"),
                         F.col("b.vn").alias("cn"),
                         (-F.col("b.nc")).cast("int").alias("cell")))
-    (assigned.write.mode("overwrite").partitionBy("cell")
+    (assigned.repartition(F.col("cell"))
+     .write.mode("overwrite").partitionBy("cell")
      .parquet(f"{index_path}/delta/batch_{batch_id}"))
     return assigned.count()
 
@@ -1168,7 +1170,8 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> int:
     new_upto = int(deltas[-1].name.rsplit("_", 1)[1])
     merged = _ivf_slices(spark, index_path)
     staged = root / f"_staging_cells_{new_upto}"
-    (merged.write.mode("overwrite").partitionBy("cell")
+    (merged.repartition(F.col("cell"))
+     .write.mode("overwrite").partitionBy("cell")
      .parquet(str(staged)))
     staged.rename(root / f"cells_upto_{new_upto}")  # COMMIT — one rename
     # opportunistic cleanup: superseded by name whether or not this runs
@@ -1600,7 +1603,8 @@ def ivfpq_erase_vectors(spark: SparkSession, index_path: str,
     base = Path(codes_dir)
     staging = base.parent / f".{base.name}.staging"
     shutil.rmtree(staging, ignore_errors=True)
-    (kept.write.mode("overwrite").partitionBy("cell")
+    (kept.repartition(F.col("cell"))
+     .write.mode("overwrite").partitionBy("cell")
      .parquet(str(staging)))
     # cell is an int partition value — path-safe, removals commit by name
     from localsql_spark.sinks.merge import commit_staged_partitions

@@ -109,7 +109,8 @@ def index_add_documents(spark: SparkSession, index_dir: str,
     base = Path(index_dir)
     staging = base.parent / f".{base.name}.staging"
     shutil.rmtree(staging, ignore_errors=True)
-    (merged.write.mode("overwrite").partitionBy("tb")
+    (merged.repartition(F.col("tb"))
+     .write.mode("overwrite").partitionBy("tb")
      .parquet(str(staging)))
     commit_staged_partitions(index_dir, "tb")
     return sorted(parts)
@@ -225,7 +226,8 @@ def index_erase_documents(spark: SparkSession, index_dir: str,
     base = Path(index_dir)
     staging = base.parent / f".{base.name}.staging"
     shutil.rmtree(staging, ignore_errors=True)
-    (merged.write.mode("overwrite").partitionBy("tb")
+    (merged.repartition(F.col("tb"))
+     .write.mode("overwrite").partitionBy("tb")
      .parquet(str(staging)))
     # tb is an int partition value — Python and Spark path-encode it
     # identically, so emptied buckets commit as removals by name

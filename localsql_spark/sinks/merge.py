@@ -153,7 +153,11 @@ def merge_into_partitioned(spark: SparkSession, base_dir: str,
     base = Path(base_dir)
     staging = base.parent / f".{base.name}.staging"
     shutil.rmtree(staging, ignore_errors=True)
-    (merged.write.mode("overwrite").partitionBy(partition_col)
+    # cluster on the partition key first: without it every merge task
+    # writes a sliver into every touched partition and files-per-
+    # partition compounds with writer parallelism across folds
+    (merged.repartition(F.col(partition_col))
+     .write.mode("overwrite").partitionBy(partition_col)
      .parquet(str(staging)))
     # a touched partition whose every row was tombstoned writes no staged
     # dir (Spark emits nothing for an empty partition); it is committed as

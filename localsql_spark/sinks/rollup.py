@@ -125,7 +125,8 @@ def maintain_rollup(spark: SparkSession, rollup_dir: str,
     base = Path(rollup_dir)
     staging = base.parent / f".{base.name}.staging"
     shutil.rmtree(staging, ignore_errors=True)
-    (merged.write.mode("overwrite").partitionBy("event_date")
+    (merged.repartition(F.col("event_date"))
+     .write.mode("overwrite").partitionBy("event_date")
      .parquet(str(staging)))
     commit_staged_partitions(rollup_dir, "event_date")
     return dates
@@ -169,7 +170,8 @@ def backfill_rollup(spark: SparkSession, rollup_dir: str,
     base = Path(rollup_dir)
     staging = base.parent / f".{base.name}.staging"
     shutil.rmtree(staging, ignore_errors=True)
-    (fresh.write.mode("overwrite").partitionBy("event_date")
+    (fresh.repartition(F.col("event_date"))
+     .write.mode("overwrite").partitionBy("event_date")
      .parquet(str(staging)))
     # a backfill date with NO source rows must still swap (to empty) —
     # its stale stored rows are exactly what the repair removes

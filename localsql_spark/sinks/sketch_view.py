@@ -117,7 +117,8 @@ def sketch_view_update(spark: SparkSession, view_dir: str,
     base = Path(view_dir)
     staging = base.parent / f".{base.name}.staging"
     shutil.rmtree(staging, ignore_errors=True)
-    (merged.write.mode("overwrite").partitionBy("gb")
+    (merged.repartition(F.col("gb"))
+     .write.mode("overwrite").partitionBy("gb")
      .parquet(str(staging)))
     commit_staged_partitions(view_dir, "gb")
     return parts
