@@ -227,7 +227,10 @@ def main() -> None:
         "runs_per_query": 2,
         "timing": "min",
     }
-    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    # a SPARK_GRAFT_BENCH_ONLY subset run must not clobber the committed
+    # full-population detail file — subset details go to a sibling
+    detail_name = "BENCH_DETAIL_SUBSET.json" if only else "BENCH_DETAIL.json"
+    detail_path = Path(__file__).resolve().parent / detail_name
     detail_path.write_text(json.dumps(detail, indent=1) + "\n")
     print(json.dumps({
         "metric": "headline_queries_total_wall",
