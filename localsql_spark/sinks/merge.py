@@ -86,8 +86,12 @@ def read_base_partitions(spark: SparkSession, base_dir: str,
     vals = [str(v) for v in values]
     if all(v is not None for v in values) \
             and all(_SAFE_PART.match(s) for s in vals):
-        present = [str(base / f"{partition_col}={s}") for s in vals
-                   if (base / f"{partition_col}={s}").is_dir()]
+        # a dir must hold at least one part file: an interrupted rmtree
+        # can leave an empty partition dir, and parquet-reading it raises
+        # 'Unable to infer schema' where the old full-dir read shrugged
+        present = [str(d) for d in
+                   (base / f"{partition_col}={s}" for s in vals)
+                   if d.is_dir() and any(d.glob("*.parquet"))]
         if not present:
             return None
         df = spark.read.option("basePath", base_dir).parquet(*present)
@@ -298,6 +302,41 @@ def recover_pending_merge(base_dir: str) -> bool:
         return False
     _apply_manifest(base, manifest)
     return True
+
+
+def compact_partitions(spark: SparkSession, base_dir: str,
+                       partition_col: str, max_files: int = 1) -> list:
+    """Small-files maintenance for a hive-partitioned store: rewrite every
+    partition holding more than ``max_files`` part files down to one file,
+    through the same staged-write + manifest-rename commit as the folds —
+    crash-safe, readers see old or new bytes, never a mix.
+
+    Store writes cluster on the partition key since round 10, so NEW folds
+    leave one file per partition; this operator repairs long-lived stores
+    written before that (or by external writers), where per-file open cost
+    makes partition-pruned reads scale with accumulated fold count rather
+    than data size.  Cost tracks the OVER-LIMIT partitions only: the file
+    census is a driver-side directory walk (no Spark job), and only the
+    offending partitions are read and rewritten.  Returns the rewritten
+    partition directory names."""
+    recover_pending_merge(base_dir)
+    base = Path(base_dir)
+    if not base.exists():
+        return []
+    fat = sorted(
+        d.name for d in base.glob(f"{partition_col}=*")
+        if d.is_dir() and len(list(d.glob("*.parquet"))) > max_files)
+    if not fat:
+        return []
+    df = (spark.read.option("basePath", base_dir)
+          .parquet(*[str(base / n) for n in fat]))
+    staging = base.parent / f".{base.name}.staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    (df.repartition(F.col(partition_col))
+     .write.mode("overwrite").partitionBy(partition_col)
+     .parquet(str(staging)))
+    commit_staged_partitions(base_dir, partition_col, fat)
+    return fat
 
 
 def change_feed(existing: DataFrame | None, batch: DataFrame, *,

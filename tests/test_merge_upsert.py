@@ -488,3 +488,31 @@ def test_in_batch_tie_winner_matches_feed_regardless_of_column_order(spark):
         assert len(feed) == 1 and feed[0].op == "update"
         assert feed[0].new_txt == kept.txt, \
             "feed must report the row the merge actually kept"
+
+
+def test_compact_partitions_repairs_sliver_files(spark, tmp_path):
+    """compact_partitions rewrites only the over-limit partitions down to
+    one file each, byte-preserving the rows, through the manifest commit
+    (a crash mid-compaction heals like any fold)."""
+    from pathlib import Path
+
+    from localsql_spark.sinks.merge import compact_partitions
+
+    base = str(tmp_path / "store")
+    # legacy layout: partitionBy without clustering -> sliver per task
+    df = spark.createDataFrame(
+        [(i, "abc"[i % 3], float(i)) for i in range(300)],
+        "k long, lang string, v double").repartition(8)
+    df.write.mode("overwrite").partitionBy("lang").parquet(base)
+    fat = [d.name for d in Path(base).glob("lang=*")
+           if len(list(d.glob("*.parquet"))) > 1]
+    assert fat, "fixture should have sliver files"
+    before = sorted(map(tuple, spark.read.parquet(base).collect()))
+
+    rewritten = compact_partitions(spark, base, "lang")
+    assert sorted(rewritten) == sorted(fat)
+    for d in Path(base).glob("lang=*"):
+        assert len(list(d.glob("*.parquet"))) == 1, d.name
+    assert sorted(map(tuple, spark.read.parquet(base).collect())) == before
+    # already-compact store: no-op
+    assert compact_partitions(spark, base, "lang") == []

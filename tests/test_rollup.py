@@ -786,3 +786,41 @@ def test_read_batches_skips_torn_dirs(spark, tmp_path):
         str(land / "batch_1"))
     (land / "batch_1" / "_SUCCESS").unlink()
     assert [r.v for r in read_batches(spark, str(land)).collect()] == [0]
+
+
+def test_folds_write_one_file_per_partition(spark, tmp_path):
+    """Layout contract behind the request-bounded erase/fold reads: the
+    staged writes cluster on the partition key, so a partition dir holds
+    ONE part file per fold, not one sliver per writer task (the defect
+    the 64x erase scale probe exposed — files-per-partition equal to
+    writer parallelism made pruned reads scale with the cluster)."""
+    import datetime as dt
+    from pathlib import Path
+
+    from localsql_spark.sinks.erase import erase_keys, write_bucketed_store
+    from localsql_spark.sinks.rollup import maintain_rollup
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    roll = str(tmp_path / "roll")
+    for b in range(3):  # three folds over the same three dates
+        batch = _events(spark, [
+            (b * 1000 + i, base + dt.timedelta(hours=i % 72), "ab"[i % 2],
+             float(i)) for i in range(200)]).repartition(8)
+        maintain_rollup(spark, roll, batch, grain="hour")
+    for d in Path(roll).glob("event_date=*"):
+        files = list(d.glob("*.parquet"))
+        assert len(files) == 1, (d.name, len(files))
+
+    store = str(tmp_path / "store")
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text")).repartition(16)
+    write_bucketed_store(docs, store, "doc_id", n_buckets=8)
+    for d in Path(store).glob("kb=*"):
+        assert len(list(d.glob("*.parquet"))) == 1, d.name
+    erase_keys(spark, store,
+               spark.createDataFrame([(i,) for i in range(0, 2000, 7)],
+                                     "doc_id long"),
+               "doc_id", n_buckets=8)
+    for d in Path(store).glob("kb=*"):
+        assert len(list(d.glob("*.parquet"))) == 1, d.name
