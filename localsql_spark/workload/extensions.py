@@ -5229,3 +5229,49 @@ def erase_rebuild_models(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint(eager=True))
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query("maintenance_compact_store", oracle="""
+SELECT lang, count(*) AS n_docs,
+       round(CAST(sum(CAST(round(n_chars, 6) AS DECIMAL(28,6)))
+                  AS DOUBLE), 6) AS sum_chars
+FROM documents GROUP BY lang ORDER BY lang
+""")
+def maintenance_compact_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files maintenance (sinks.merge.compact_partitions): lay the
+    corpus out the way a pre-round-10 fold loop did (partitionBy straight
+    off a parallel shuffle — one sliver file per task per partition),
+    compact every over-limit partition down to one file through the
+    manifest commit, and return per-partition counts + an exact content
+    checksum read from the POST-compaction bytes.  The oracle recomputes
+    both from the raw table — equality proves compaction is purely a
+    layout rewrite (no row lost, duplicated, or altered), the same
+    discipline as the erase probes.  Asserts the layout goal directly:
+    any partition still holding more than one part file raises."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from localsql_spark.sinks.merge import compact_partitions
+
+    docs = load(spark, sf_dir)["documents"]
+    scratch = Path(tempfile.mkdtemp(prefix="compact_store_"))
+    base = str(scratch / "store")
+    try:
+        (docs.select("doc_id", "lang", "n_chars").repartition(16)
+         .write.mode("overwrite").partitionBy("lang").parquet(base))
+        compact_partitions(spark, base, "lang")
+        fat = [d.name for d in Path(base).glob("lang=*")
+               if len(list(d.glob("*.parquet"))) > 1]
+        if fat:
+            raise AssertionError(f"partitions still sliver-filed: {fat}")
+        out = (spark.read.option("basePath", base).parquet(base)
+               .groupBy("lang")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.round(F.sum(F.round(F.col("n_chars"), 6)
+                                  .cast("decimal(28,6)")).cast("double"), 6)
+                    .alias("sum_chars"))
+               .orderBy("lang"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
