@@ -212,15 +212,21 @@ def erase_everywhere(spark: SparkSession, keys: DataFrame, *,
     at every store."""
     k = normalize_erase_keys(keys).localCheckpoint(eager=True)
 
+    audits: list[DataFrame] = []
+
     def _audit(name: str, df: DataFrame, ref_col: str, rows: list) -> None:
-        # one job per store: the left join against the distinct key set
-        # preserves row count (<=1 match per row), so rows_after and
-        # erased_refs come out of a single aggregate
-        row = (df.join(F.broadcast(k),
-                       F.col(ref_col) == F.col("_erase_key"), "left")
-               .agg(F.count(F.lit(1)).alias("n"),
-                    F.count("_erase_key").alias("refs")).first())
-        rows.append((name, row["n"], row["refs"]))
+        # the left join against the distinct key set preserves row count
+        # (<=1 match per row), so rows_after and erased_refs come out of
+        # a single aggregate; the per-store aggregates are DEFERRED and
+        # unioned into ONE job at the end — five stores' audits cost one
+        # Spark job's overhead, not five (``rows`` kept for signature
+        # parity; the union result is authoritative)
+        audits.append(
+            df.join(F.broadcast(k),
+                    F.col(ref_col) == F.col("_erase_key"), "left")
+            .agg(F.lit(name).alias("store"),
+                 F.count(F.lit(1)).alias("rows_after"),
+                 F.count("_erase_key").alias("erased_refs")))
 
     rows: list = []
     if inverted_index is not None:
@@ -269,8 +275,17 @@ def erase_everywhere(spark: SparkSession, keys: DataFrame, *,
         scd2_erase_keys(spark, scd2["store_dir"], k, scd2["key_col"])
         _audit("scd2_history", read_history(spark, scd2["store_dir"]),
                scd2["key_col"], rows)
+    if not audits:
+        return spark.createDataFrame(
+            [], "store string, rows_after long, erased_refs long")
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    # one collect = one job for all five stores' post-erase recounts
     return spark.createDataFrame(
-        rows, "store string, rows_after long, erased_refs long")
+        [(r["store"], r["rows_after"], r["erased_refs"])
+         for r in out.collect()],
+        "store string, rows_after long, erased_refs long")
 
 
 # ---------------------------------------------------------------------------
