@@ -492,3 +492,29 @@ def test_bm25_index_probe_prunes_term_buckets(spark, tmp_path):
               if "PartitionFilters" in ln and "tb" in ln]
     assert pruned, "postings scan lost its term-bucket partition prune"
     assert scores.count() > 0
+
+
+def test_read_base_partitions_lists_only_touched_dirs(spark, tmp_path):
+    """The request-bounded listing contract (round 10): a touched-
+    partition read must hand Spark ONLY the named partition dirs — the
+    file index over the whole store made every fold's planning cost
+    O(store files) (caught by the 64x erase scale probe).  inputFiles()
+    is the ground truth for what the scan would touch."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.sinks.erase import write_bucketed_store
+    from localsql_spark.sinks.merge import read_base_partitions
+
+    docs = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"))
+    store = str(tmp_path / "store")
+    write_bucketed_store(docs, store, "doc_id", n_buckets=64)
+    pruned = read_base_partitions(spark, store, "kb", [3, 7])
+    files = pruned.inputFiles()
+    assert files, "pruned read found no files"
+    assert all("/kb=3/" in f or "/kb=7/" in f for f in files), files[:5]
+    # one file per bucket (the clustered-write layout contract)
+    assert len(files) == 2, files
+    # absent partitions degrade to None (callers fold against nothing)
+    assert read_base_partitions(spark, store, "kb", [9999]) is None
