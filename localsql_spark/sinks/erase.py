@@ -201,9 +201,11 @@ def erase_everywhere(spark: SparkSession, keys: DataFrame, *,
     touched-bucket set is pruned to the documents' own terms; the
     primary erase follows; fingerprint/code/history stores are
     key-addressable and run in any order.  Non-retractable aggregates
-    (NB counts, HLL registers, trained IVFPQ model tables) follow the
-    documented rebuild policy instead — see
-    :func:`localsql_spark.operators.similarity.ivfpq_erase_vectors`.
+    (NB counts, HLL registers, trained IVFPQ model tables) are erased by
+    RETRAINING from the post-erase corpus — run
+    :func:`rebuild_nonretractable` after this returns (see
+    :func:`localsql_spark.operators.similarity.ivfpq_erase_vectors` for
+    why that state class cannot retract row-by-row).
 
     Returns a per-store AUDIT: ``(store, rows_after, erased_refs)``
     where ``erased_refs`` recounts rows still referencing an erased key

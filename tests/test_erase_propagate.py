@@ -503,3 +503,49 @@ def test_rebuild_crash_mid_build_leaves_old_generation(spark, tmp_path,
     nb_model_update(spark, fresh, kept, is_pos)
     assert sorted(map(tuple, spark.read.parquet(model).collect())) == \
         sorted(map(tuple, spark.read.parquet(fresh).collect()))
+
+
+def test_erase_through_hardlink_farm_never_mutates_fixture(spark, tmp_path):
+    """The bench fixture contract behind erase_users_everywhere's
+    hardlink farm: every store mutation is staged-write + rename (new
+    inodes), so erasing a hardlink COPY of a store can never write
+    through a link into the fixture's bytes."""
+    import hashlib
+    import os
+    import shutil
+
+    from localsql_spark.operators import dedup as D
+    from localsql_spark.sinks.erase import erase_keys, write_bucketed_store
+
+    def tree_hash(root):
+        h = hashlib.sha256()
+        for p in sorted(Path(root).rglob("*")):
+            if p.is_file():
+                h.update(str(p.relative_to(root)).encode())
+                h.update(p.read_bytes())
+        return h.hexdigest()
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 19}" for j in range(10)))
+         for i in range(200)], "doc_id long, text string")
+    fixture = tmp_path / "fixture"
+    write_bucketed_store(docs, str(fixture / "primary"), "doc_id",
+                         n_buckets=8)
+    D.write_signature_store(docs, str(fixture / "sigs"))
+    D.ensure_banded_index(spark, str(fixture / "sigs"),
+                          str(fixture / "sigs_banded"))
+    before = tree_hash(fixture)
+
+    keys = spark.createDataFrame([(i,) for i in range(0, 200, 9)],
+                                 "doc_id long")
+    for rep in range(2):
+        scratch = tmp_path / f"scratch_{rep}"
+        for store in ("primary", "sigs", "sigs_banded"):
+            shutil.copytree(fixture / store, scratch / store,
+                            copy_function=os.link)
+        erase_keys(spark, str(scratch / "primary"), keys, "doc_id",
+                   n_buckets=8)
+        D.erase_from_signature_store(
+            spark, str(scratch / "sigs"), keys,
+            index_path=str(scratch / "sigs_banded"))
+        assert tree_hash(fixture) == before, f"fixture mutated on rep {rep}"
