@@ -1123,6 +1123,12 @@ def _ivf_slices(spark: SparkSession, index_path: str) -> DataFrame:
     from pathlib import Path
 
     base, upto = _ivf_base(index_path)
+    # crash-consistent read: a crashed ivf_erase_vectors (died between
+    # manifest commit and partition swap) must not leave erased vectors
+    # servable — complete the committed erase before reading, mirroring
+    # knn_ivfpq_from_index/read_bucketed_store
+    from localsql_spark.sinks.merge import recover_pending_merge
+    recover_pending_merge(base)
     idx = spark.read.option("basePath", base).parquet(base)
     deltas = sorted(p for p in Path(index_path).glob("delta/batch_*")
                     if int(p.name.rsplit("_", 1)[1]) > upto)
@@ -1182,6 +1188,65 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> int:
     for d in deltas:
         shutil.rmtree(d, ignore_errors=True)
     return len(deltas)
+
+
+def ivf_erase_vectors(spark: SparkSession, index_path: str,
+                      keys: DataFrame) -> list:
+    """Right-to-be-forgotten PROPAGATION into the persisted IVF index —
+    unlike the PQ variant this index stores the subjects' FULL embedding
+    vectors, so leaving rows behind retains the raw personal data, not
+    just a quantized sketch.
+
+    Mechanics: compact first (:func:`compact_ivf_index` folds every
+    non-superseded delta into one base generation — necessary because
+    delta dirs are per-batch-overwrite idempotent, and erasing inside
+    one would be silently undone by a checkpoint redelivery rewriting
+    the dir; once folded, a superseded redelivery is invisible to
+    readers by the ``upto`` gate).  Then touched cells come from one
+    index-sized (neighbor_id, cell) pass, and only those ``cell=``
+    partitions rewrite through the manifest protocol (emptied cells
+    commit as removals).  Idempotent; a crashed erase heals on the next
+    probe/erase via the pending manifest.
+
+    The ``_centroids`` table is MODEL state (the deterministic seed
+    variant stores seed subjects' vectors verbatim) — if an erased key
+    seeded a centroid, retrain via
+    :func:`localsql_spark.sinks.erase.rebuild_nonretractable`
+    (``ivf_index`` config), same policy as the IVFPQ model tables.
+    Returns the rewritten cell values."""
+    import shutil
+    from pathlib import Path
+
+    from localsql_spark.sinks.erase import normalize_erase_keys
+    from localsql_spark.sinks.merge import (commit_staged_partitions,
+                                            read_base_partitions,
+                                            recover_pending_merge)
+
+    compact_ivf_index(spark, index_path)
+    base, _ = _ivf_base(index_path)
+    recover_pending_merge(base)
+    k = normalize_erase_keys(keys)
+    cells = spark.read.option("basePath", base).parquet(base)
+    touched = sorted({r[0] for r in (
+        cells.join(F.broadcast(k),
+                   F.col("neighbor_id") == F.col("_erase_key"), "semi")
+        .select("cell").distinct().collect())})
+    if not touched:
+        return []
+    stored = read_base_partitions(spark, base, "cell", touched)
+    if stored is None:
+        return []
+    kept = stored.join(F.broadcast(k),
+                       F.col("neighbor_id") == F.col("_erase_key"),
+                       "left_anti")
+    bp = Path(base)
+    staging = bp.parent / f".{bp.name}.staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    (kept.repartition(F.col("cell"))
+     .write.mode("overwrite").partitionBy("cell").parquet(str(staging)))
+    commit_staged_partitions(base, "cell",
+                             [f"cell={c}" for c in touched])
+    return touched
 
 
 # ---------------------------------------------------------------------------

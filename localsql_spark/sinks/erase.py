@@ -181,6 +181,7 @@ def erase_everywhere(spark: SparkSession, keys: DataFrame, *,
                      inverted_index: dict | None = None,
                      signature_store: dict | None = None,
                      ivfpq_index: dict | None = None,
+                     ivf_index: dict | None = None,
                      scd2: dict | None = None) -> DataFrame:
     """Right-to-be-forgotten across the WHOLE persistence surface: erase
     the subjects from the primary store and PROPAGATE through every
@@ -271,6 +272,12 @@ def erase_everywhere(spark: SparkSession, keys: DataFrame, *,
         _audit("ivfpq_codes",
                spark.read.parquet(f"{ivfpq_index['index_path']}/codes"),
                "neighbor_id", rows)
+    if ivf_index is not None:
+        from localsql_spark.operators.similarity import (_ivf_slices,
+                                                         ivf_erase_vectors)
+        ivf_erase_vectors(spark, ivf_index["index_path"], k)
+        _audit("ivf_cells", _ivf_slices(spark, ivf_index["index_path"]),
+               "neighbor_id", rows)
     if scd2 is not None:
         from localsql_spark.sinks.scd2_store import (read_history,
                                                      scd2_erase_keys)
@@ -339,6 +346,11 @@ def rebuild_nonretractable(spark: SparkSession, *,
       :func:`~localsql_spark.operators.similarity.write_ivfpq_index`
       retrains coarse centroids + codebooks AND re-encodes the codes, so
       the erased vectors' influence leaves the quantizers too.
+    - ``ivf_index={'index_path', 'corpus', ['n_cells', 'id_col',
+      'vec_col']}`` —
+      :func:`~localsql_spark.operators.similarity.write_ivf_index`
+      rebuilds the full-vector IVF index INCLUDING its centroid table,
+      which stores seed subjects' vectors verbatim.
 
     Each rebuild trains into a sibling staging dir and swaps in with a
     rename pair (:func:`_swap_rebuilt`) — readers never see a
@@ -389,4 +401,19 @@ def rebuild_nonretractable(spark: SparkSession, *,
         _swap_rebuilt(dst, built)
         rows.append(("ivfpq_index",
                      spark.read.parquet(str(dst / "codes")).count()))
+    if ivf_index is not None:
+        # the IVF centroid table stores seed subjects' vectors VERBATIM
+        # (deterministic-seed variant), so an erased seed's embedding
+        # survives in the model until this retrain
+        from localsql_spark.operators.similarity import (_ivf_slices,
+                                                         write_ivf_index)
+        cfg = dict(ivf_index)
+        dst = Path(cfg.pop("index_path"))
+        corpus = cfg.pop("corpus")
+        built = dst.parent / f".{dst.name}.rebuild"
+        shutil.rmtree(built, ignore_errors=True)
+        write_ivf_index(corpus, str(built), **cfg)
+        _swap_rebuilt(dst, built)
+        rows.append(("ivf_index",
+                     _ivf_slices(spark, str(dst)).count()))
     return spark.createDataFrame(rows, "store string, rows_after long")

@@ -5275,3 +5275,47 @@ def maintenance_compact_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+_ERASE_IVF_ORACLE = _IVF_ORACLE.replace(
+    "cassign AS (SELECT vec_id AS neighbor_id, cell FROM ranked "
+    "WHERE crn = 1),",
+    f"cassign AS (SELECT vec_id AS neighbor_id, cell FROM ranked\n"
+    f"            WHERE crn = 1\n"
+    f"              AND NOT ({_VH13} = 0 AND vec_id >= 16)),")
+
+
+@query("erase_ivf_index_probe", oracle=_ERASE_IVF_ORACLE)
+def erase_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten through the FULL-VECTOR ANN index
+    (operators.similarity.ivf_erase_vectors): build the persisted IVF
+    index on part of the corpus, append the rest as a delta batch
+    (assignment against the same centroid table — union == one build),
+    erase a deterministic 1/13 of non-seed vectors (the erase compacts
+    the delta first, then rewrites only the touched cell partitions —
+    unlike IVFPQ this index stores the subjects' raw embeddings, so the
+    bytes must go), and probe.  The oracle computes the IVF probe with
+    the erased vectors absent from the assignment — post-erase serving
+    == an index that never held the subjects.  Seeds (vec_id < 16) stay
+    un-erased here so the deterministic centroid table matches the
+    oracle's; erasing a SEED additionally requires the centroid retrain
+    (sinks.erase.rebuild_nonretractable, ivf_index config)."""
+    import shutil
+    import tempfile
+
+    from localsql_spark.operators import hash32
+
+    emb = load(spark, sf_dir)["embeddings"]
+    is_delta = (F.col("vec_id") >= 16) & (F.col("vec_id") % 5 == 3)
+    erased = (emb.filter((hash32(F.col("vec_id")) % 13 == 0)
+                         & (F.col("vec_id") >= 16)).select("vec_id"))
+    index = tempfile.mkdtemp(prefix="erase_ivf_")
+    try:
+        S.write_ivf_index(emb.filter(~is_delta), index, n_cells=16)
+        S.append_ivf_index(spark, index, emb.filter(is_delta), batch_id=1)
+        S.ivf_erase_vectors(spark, index, erased)
+        return S.knn_ivf_from_index(
+            spark, index, emb.filter(F.col("vec_id") < 10), k=5,
+            n_probe=4).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(index, ignore_errors=True)

@@ -549,3 +549,73 @@ def test_erase_through_hardlink_farm_never_mutates_fixture(spark, tmp_path):
             spark, str(scratch / "sigs"), keys,
             index_path=str(scratch / "sigs_banded"))
         assert tree_hash(fixture) == before, f"fixture mutated on rep {rep}"
+
+
+def test_ivf_erase_removes_full_vectors_across_base_and_deltas(
+        spark, tmp_path):
+    """The persisted IVF index stores FULL vectors — erase must reach
+    them wherever they live (base cells AND appended delta batches, via
+    the compact-first fold), prune to touched cells, and be idempotent."""
+    from localsql_spark.operators.similarity import (append_ivf_index,
+                                                     ivf_erase_vectors,
+                                                     knn_ivf_from_index,
+                                                     write_ivf_index)
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 13 + j * 7) % 11) for j in range(16)])
+         for i in range(60)], "vec_id long, embedding array<double>")
+    index = str(tmp_path / "ivf")
+    write_ivf_index(emb.filter(F.col("vec_id") < 40), index, n_cells=4)
+    append_ivf_index(spark, index,
+                     emb.filter(F.col("vec_id") >= 40), batch_id=1)
+
+    gone = spark.createDataFrame(
+        [(i,) for i in range(10, 60, 7)], "vec_id long")  # base AND delta
+    touched = ivf_erase_vectors(spark, index, gone)
+    assert touched
+    from localsql_spark.operators.similarity import _ivf_slices
+    left = _ivf_slices(spark, index)
+    assert left.join(gone.withColumnRenamed("vec_id", "neighbor_id"),
+                     "neighbor_id", "semi").count() == 0
+    assert left.count() == 60 - gone.count()
+    out = knn_ivf_from_index(spark, index,
+                             emb.filter(F.col("vec_id") < 3), k=5)
+    bad = {r[0] for r in gone.collect()}
+    assert not any(r.neighbor_id in bad for r in out.collect())
+    # idempotent
+    assert ivf_erase_vectors(spark, index, gone) == []
+
+
+def test_ivf_crashed_erase_heals_on_probe(spark, tmp_path, monkeypatch):
+    """A crash between the erase's manifest commit and the partition
+    swaps must not leave erased full vectors servable: the probe path
+    recovers the committed manifest before reading."""
+    from localsql_spark.operators.similarity import (_ivf_slices,
+                                                     ivf_erase_vectors,
+                                                     write_ivf_index)
+    from localsql_spark.sinks import merge as M
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 13 + j * 7) % 11) for j in range(16)])
+         for i in range(40)], "vec_id long, embedding array<double>")
+    index = str(tmp_path / "ivf")
+    write_ivf_index(emb, index, n_cells=4)
+    gone = spark.createDataFrame([(i,) for i in range(10, 40, 5)],
+                                 "vec_id long")
+
+    real_apply = M._apply_manifest
+    calls = {"n": 0}
+
+    def crash_on_apply(base, manifest):
+        calls["n"] += 1
+        raise RuntimeError("injected crash after manifest commit")
+    monkeypatch.setattr(M, "_apply_manifest", crash_on_apply)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ivf_erase_vectors(spark, index, gone)
+    assert calls["n"] == 1
+    monkeypatch.setattr(M, "_apply_manifest", real_apply)
+
+    # the probe read heals the committed erase before serving
+    left = _ivf_slices(spark, index)
+    assert left.join(gone.withColumnRenamed("vec_id", "neighbor_id"),
+                     "neighbor_id", "semi").count() == 0
