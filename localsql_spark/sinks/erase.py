@@ -319,7 +319,8 @@ def _swap_rebuilt(dst: Path, built: Path) -> None:
 def rebuild_nonretractable(spark: SparkSession, *,
                            nb_model: dict | None = None,
                            sketch_view: dict | None = None,
-                           ivfpq_index: dict | None = None) -> DataFrame:
+                           ivfpq_index: dict | None = None,
+                           ivf_index: dict | None = None) -> DataFrame:
     """The REBUILD half of the right-to-be-forgotten story: trained
     aggregates whose per-subject contribution is not retractable
     row-by-row — NB additive token counts, HLL registers (a register max

@@ -432,14 +432,18 @@ def test_rebuild_nonretractable_equals_from_scratch(spark, tmp_path):
     nb_model_update(spark, model, docs, is_pos)
     sketch_view_update(spark, view, docs)
     write_ivfpq_index(emb, index, n_cells=4, m=2, k_codes=8)
+    from localsql_spark.operators.similarity import write_ivf_index
+    ivf = str(tmp_path / "ivf")
+    write_ivf_index(emb, ivf, n_cells=4)
     audit = rebuild_nonretractable(
         spark,
         nb_model={"model_dir": model, "docs": kept, "positive": is_pos},
         sketch_view={"view_dir": view, "docs": kept},
         ivfpq_index={"index_path": index, "corpus": kept_emb,
-                     "n_cells": 4, "m": 2, "k_codes": 8})
+                     "n_cells": 4, "m": 2, "k_codes": 8},
+        ivf_index={"index_path": ivf, "corpus": kept_emb, "n_cells": 4})
     assert {r.store for r in audit.collect()} == {
-        "nb_model", "sketch_view", "ivfpq_index"}
+        "nb_model", "sketch_view", "ivfpq_index", "ivf_index"}
 
     # from-scratch twins on the kept corpus
     nb_model_update(spark, str(tmp_path / "model2"), kept, is_pos)
@@ -458,6 +462,10 @@ def test_rebuild_nonretractable_equals_from_scratch(spark, tmp_path):
     for part in ("codes", "_centroids", "_codebooks"):
         assert rows(f"{index}/{part}") == \
             rows(str(tmp_path / "ivfpq2" / part)), part
+    write_ivf_index(kept_emb, str(tmp_path / "ivf2"), n_cells=4)
+    for part in ("cells", "_centroids"):
+        assert rows(f"{ivf}/{part}") == \
+            rows(str(tmp_path / "ivf2" / part)), part
     # no parked generation or staging left behind
     leftovers = [p.name for p in tmp_path.iterdir()
                  if ".pre_rebuild" in p.name or ".rebuild" in p.name]
