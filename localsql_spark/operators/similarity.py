@@ -1289,11 +1289,71 @@ def _coarse_assign(df: DataFrame, cents: DataFrame, key_col: str,
                     .alias("resid")))
 
 
+def coarse_assign_two_level(df: DataFrame, cents: DataFrame, key_col: str,
+                            vec_col: str, n_coarse: int | None = None,
+                            n_probe: int = 1) -> DataFrame:
+    """Hierarchically-routed coarse assignment for corpus-proportional
+    cell counts — the same (key, cell, resid) contract as
+    :func:`_coarse_assign`, at O(N x (kc + n_probe x k/kc)) instead of
+    O(N x k).  Flat assignment against k ∝ N cells is quadratic in the
+    corpus (measured: the knn_ivfpq scale probe read 13.7x wall per 4x
+    data at n_cells = 8 x factor — SCALE.md round 10); the standard fix
+    (faiss's IVF idea, certified linear here as
+    :func:`semdedup_prune_two_level`) routes each vector through a small
+    super-quantizer built by k-means over the k CELL CENTROIDS (k rows,
+    cheap), then argmins only against the routed super-cell's fine
+    cells.
+
+    ``n_probe`` super-cells are probed per vector (multi-probe recovers
+    boundary-straddlers); fine cells partition disjointly across
+    super-cells, so multi-probe introduces no duplicate candidates and
+    the argmin (same (-d, -cell) struct fold and tie-break as the flat
+    path) stays deterministic.  **Exactness identity**: ``n_probe =
+    n_coarse`` probes every super-cell — candidates become all k cells
+    and the result equals :func:`_coarse_assign` row-for-row
+    (property-tested); smaller n_probe trades exactness of the
+    ASSIGNMENT (never of any distance) for the linear bound, the
+    standard IVF recall trade."""
+    import math
+
+    k = cents.count()  # literal/broadcastable model frame — cheap
+    kc = n_coarse if n_coarse is not None else max(2, int(math.sqrt(k)))
+    fine = cents.select(F.col("cell").alias("fine"), F.col("cent"))
+    sup = kmeans_update(fine, kmeans_lloyd(fine, n_clusters=kc, n_iter=0,
+                                           id_col="fine", vec_col="cent"),
+                        id_col="fine", vec_col="cent")
+    cell_sup = (kmeans_assign(cents.select(F.col("cell").alias("f_id"),
+                                           F.col("cent")),
+                              sup, id_col="f_id", vec_col="cent")
+                .select(F.col("f_id").alias("cell"),
+                        F.col("cluster_id").alias("_sup")))
+    routed_cents = F.broadcast(cents.join(cell_sup, "cell"))
+    vecs = df.select(F.col(key_col), F.col(vec_col))
+    vsup = (kmeans_assign_topn(vecs, sup, min(n_probe, kc),
+                               id_col=key_col, vec_col=vec_col)
+            .select(key_col, F.col("cluster_id").alias("_sup")))
+    cand = (vecs.join(vsup, key_col).join(routed_cents, "_sup")
+            .withColumn("_d", l2_sq(F.col(vec_col), F.col("cent"))))
+    return (cand.groupBy(key_col)
+            .agg(F.max(F.struct(
+                (-F.col("_d")).alias("nd"),
+                (-F.col("cell")).alias("nc"),
+                F.col(vec_col).alias("v"),
+                F.col("cent").alias("ct"))).alias("b"))
+            .select(key_col,
+                    (-F.col("b.nc")).cast("int").alias("cell"),
+                    F.zip_with(F.col("b.v"), F.col("b.ct"),
+                               lambda x, y: x.cast("double") - y)
+                    .alias("resid")))
+
+
 def knn_ivfpq_adc(corpus: DataFrame, queries: DataFrame, k: int = 5,
                   n_cells: int = 8, n_probe: int = 4, m: int = 4,
                   k_codes: int = 16, n_iter: int = 1,
                   id_col: str = "vec_id", vec_col: str = "embedding",
-                  exclude_self: bool = False) -> DataFrame:
+                  exclude_self: bool = False,
+                  two_level_assign: bool = False,
+                  assign_probe: int = 1) -> DataFrame:
     """IVFADC approximate kNN (Jégou et al., "Product Quantization for
     Nearest Neighbor Search", TPAMI 2011, §V — public algorithm): coarse-
     quantize vectors into ``n_cells`` inverted lists, product-quantize
@@ -1327,8 +1387,16 @@ def knn_ivfpq_adc(corpus: DataFrame, queries: DataFrame, k: int = 5,
     cents = _coarse_cells(corpus, n_cells, id_col, vec_col)
 
     # ---- index build: cell + residual per corpus vector, PQ on residuals
-    c = _coarse_assign(spread(corpus).select(id_col, vec_col), cents,
-                       id_col, vec_col)
+    # (two_level_assign routes through a super-quantizer for k ∝ N
+    # postures — O(N*sqrt(k)) build instead of O(N*k); assignment-
+    # approximate, distance-exact.  The exact-oracled defaults stay flat.)
+    if two_level_assign:
+        c = coarse_assign_two_level(
+            spread(corpus).select(id_col, vec_col), cents, id_col,
+            vec_col, n_probe=assign_probe)
+    else:
+        c = _coarse_assign(spread(corpus).select(id_col, vec_col), cents,
+                           id_col, vec_col)
     c = c.localCheckpoint(eager=False)  # assignment feeds train AND encode
     res = c.select(id_col, F.col("resid").alias(vec_col))
     # train the codebooks on residuals ABOVE the coarse seeds: ids

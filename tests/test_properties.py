@@ -2119,3 +2119,48 @@ def test_salted_agg_allows_columns_named_distinct(spark):
     assert got == {1: 30, 2: 5}
     with _pytest.raises(ValueError, match="DISTINCT"):
         salted_agg(df, ["g"], {"s": F.count_distinct("distinct_users")})
+
+
+def test_two_level_assign_full_probe_equals_flat(spark):
+    """coarse_assign_two_level's exactness identity: probing every
+    super-cell makes the candidate set all k cells, so the result equals
+    the flat O(N*k) assignment row-for-row (same argmin struct fold and
+    tie-break); with n_probe=1 the assignment is still VALID (resid
+    consistent with the assigned cell's centroid) — the linear-bound
+    path for k-proportional-to-N index builds."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators.similarity import (_coarse_assign,
+                                                     _coarse_cells,
+                                                     coarse_assign_two_level,
+                                                     spread)
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 17 + j * 5) % 13) for j in range(16)])
+         for i in range(120)], "vec_id long, embedding array<double>")
+    cents = _coarse_cells(emb, 12, "vec_id", "embedding")
+    vecs = spread(emb).select("vec_id", "embedding")
+
+    def rows(df):
+        return sorted(
+            (r["vec_id"], r["cell"], tuple(round(x, 9) for x in r["resid"]))
+            for r in df.collect())
+
+    flat = rows(_coarse_assign(vecs, cents, "vec_id", "embedding"))
+    full = rows(coarse_assign_two_level(vecs, cents, "vec_id", "embedding",
+                                        n_coarse=3, n_probe=3))
+    assert full == flat
+
+    # n_probe=1: every vector lands in a real cell with a consistent
+    # residual (v - cent[cell]), even where routing picks a non-nearest
+    one = coarse_assign_two_level(vecs, cents, "vec_id", "embedding",
+                                  n_coarse=3, n_probe=1)
+    cent_map = {r["cell"]: r["cent"] for r in cents.collect()}
+    vec_map = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    got = one.collect()
+    assert len(got) == 120
+    for r in got:
+        assert r["cell"] in cent_map
+        expect = [a - b for a, b in
+                  zip(vec_map[r["vec_id"]], cent_map[r["cell"]])]
+        assert all(abs(x - y) < 1e-9 for x, y in zip(r["resid"], expect))

@@ -596,6 +596,17 @@ def main() -> None:
         return S.knn_ivfpq_adc(emb, queries, k=5, n_cells=8 * f,
                                n_probe=4).count()
 
+    def op_knn_ivfpq_2l(f):
+        # same k-proportional-to-N posture as op_knn_ivfpq, with the
+        # hierarchical O(N*sqrt(k)) coarse assignment — the linear-bound
+        # build path for corpus-scaled cell counts (assign_probe=2
+        # multi-probe; assignment-approximate, distance-exact)
+        emb = spark.read.parquet(paths[f]["embeddings"])
+        queries = emb.filter(F.col("vec_id") < 50)
+        return S.knn_ivfpq_adc(emb, queries, k=5, n_cells=8 * f,
+                               n_probe=4, two_level_assign=True,
+                               assign_probe=2).count()
+
     def op_ivm_maintain(f):
         from localsql_spark.sinks.ivm import maintain_join_view
         ev = spark.read.parquet(paths[f]["events"])
@@ -656,6 +667,7 @@ def main() -> None:
            "sketch_view_fold": op_sketch_view_fold,
            "invidx_fold": op_index_fold,
            "invidx_probe": op_index_probe,
+           "knn_ivfpq_2l": op_knn_ivfpq_2l,
            "erase_fixed_request": op_erase_fixed_request,
            "erase_sig_fixed_request": op_erase_sig_store_fixed_request}
 
