@@ -5319,3 +5319,22 @@ def erase_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_probe=4).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(index, ignore_errors=True)
+
+
+@query("knn_ivfpq_2l_top5", oracle=_IVFPQ_ORACLE)
+def knn_ivfpq_2l_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC with the TWO-LEVEL coarse assignment
+    (operators.similarity.coarse_assign_two_level — the O(N*sqrt(k))
+    build path for corpus-proportional cell counts; SCALE.md round 10:
+    6.3x faster than flat at 64x) pinned under the driver gate through
+    its exactness identity: probing every super-cell (assign_probe =
+    n_coarse = 2 at n_cells = 8) makes the candidate set all k cells, so
+    the assignment — and therefore the whole IVFADC answer — equals the
+    flat path row-for-row and SHARES knn_ivfpq_top5's exact oracle.  Any
+    drift in the routing (super-quantizer build, disjoint-partition
+    multi-probe, argmin tie-break) shows up as a hash mismatch."""
+    emb = load(spark, sf_dir)["embeddings"]
+    return S.knn_ivfpq_adc(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                           n_cells=8, n_probe=4, m=4, k_codes=16,
+                           n_iter=1, exclude_self=True,
+                           two_level_assign=True, assign_probe=2)
