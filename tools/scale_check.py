@@ -108,8 +108,16 @@ def update_scale_md(results: dict[str, dict[int, float]],
             done.add(parts[1])
     missing = [n for n in results if n not in done]
     if missing:
-        last_row = max((i for i, ln in enumerate(out_lines)
-                        if ln.startswith("|")), default=-1)
+        # append after the FIRST table block (the main operator table),
+        # not the last "|" line in the file — the hand-written 64x
+        # narrative tables below would otherwise swallow new rows
+        # (happened twice in round 10)
+        first_row = next(i for i, ln in enumerate(out_lines)
+                         if ln.startswith("|"))
+        last_row = first_row
+        while last_row + 1 < len(out_lines) \
+                and out_lines[last_row + 1].startswith("|"):
+            last_row += 1
         out_lines[last_row + 1:last_row + 1] = [
             _fmt_row(n, results[n]) for n in missing]
     scale_md.write_text("\n".join(out_lines) + "\n")
