@@ -714,7 +714,17 @@ def _break_stale_lock(lock, brk) -> None:
     import time
     try:
         if time.time() - brk.stat().st_mtime > _INDEX_LOCK_STALE_S:
-            brk.unlink(missing_ok=True)  # breaker crashed mid-break
+            # breaker crashed mid-break: CLAIM the abandoned .break by
+            # renaming it aside (atomic, single-winner) instead of
+            # unlinking it in place — two breakers that both stat a
+            # stale .break and both unlink could otherwise remove each
+            # other's freshly re-created file and run the re-verify
+            # section concurrently (advisor r10); rename losers get
+            # ENOENT and fall through to the O_EXCL create, which the
+            # claim winner then wins or loses normally
+            claimed = brk.with_name(f"{brk.name}.claimed.{os.getpid()}")
+            os.rename(brk, claimed)
+            claimed.unlink(missing_ok=True)
     except OSError:
         pass
     try:
@@ -1141,12 +1151,11 @@ def erase_from_signature_store(spark: SparkSession, store_path: str,
         return {"erased": n_erased, "store_rows": n_after,
                 "index_prefixes": prefixes if has_index else []}
 
-    # lock whenever the index DIRECTORY exists, not just when _meta.json
-    # does: a builder mid-rebuild has the dir but no meta yet, and an
-    # unlocked erase mid-swap can make the store transiently unreadable
-    # to that builder (advisor r9)
+    # ALWAYS acquire the maintenance lock (advisor r10): the lock file
+    # lives NEXT TO the index path and needs no index dir, so nothing is
+    # saved by gating acquisition on _P(idx).exists() — and that gate was
+    # itself a race (a builder creating the dir just after the check left
+    # this erase running unlocked while the builder held the lock)
     has_index = False
-    if _P(idx).exists():
-        with _index_lock(idx):
-            return _erase()
-    return _erase()
+    with _index_lock(idx):
+        return _erase()

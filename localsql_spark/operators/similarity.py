@@ -1226,6 +1226,13 @@ def ivf_erase_vectors(spark: SparkSession, index_path: str,
     base, _ = _ivf_base(index_path)
     recover_pending_merge(base)
     k = normalize_erase_keys(keys)
+    # a prior erase can have emptied EVERY cell (each committed as a
+    # manifest removal): base exists but holds no parquet, and a direct
+    # read would raise 'Unable to infer schema' — same emptiness contract
+    # as read_base_partitions (advisor r10)
+    bp = Path(base)
+    if not bp.exists() or not any(bp.rglob("*.parquet")):
+        return []
     cells = spark.read.option("basePath", base).parquet(base)
     touched = sorted({r[0] for r in (
         cells.join(F.broadcast(k),

@@ -83,8 +83,16 @@ def read_base_partitions(spark: SparkSession, base_dir: str,
     # every fold uses; dates too), list ONLY the named dirs.  Values that
     # could hive-escape (None, strings with specials) fall back to the
     # full read + filter, which is always correct.
+    # the fast path is gated on TYPE as well as the regex (advisor r10):
+    # str(value) only matches Spark's hive encoding for ints and plain
+    # strings — e.g. a bool stringifies as 'True' but Spark writes
+    # 'kb=true', so a regex-passing non-int/str value would list a dir
+    # that does not exist and wrongly return None.  bool is excluded
+    # explicitly (it IS an int subclass); anything else falls back to
+    # the always-correct full read + filter.
     vals = [str(v) for v in values]
-    if all(v is not None for v in values) \
+    if all(isinstance(v, (int, str)) and not isinstance(v, bool)
+           for v in values) \
             and all(_SAFE_PART.match(s) for s in vals):
         # a dir must hold at least one part file: an interrupted rmtree
         # can leave an empty partition dir, and parquet-reading it raises

@@ -108,6 +108,11 @@ def read_csv(spark: SparkSession, path: str | Path, sep: str = ",") -> DataFrame
             .csv(str(path)))
 
 
+# ambiguous-JSONL validation reads the whole file to the driver; refuse
+# above this on-disk size (decoded content is larger still for gz/bz2)
+_JSON_VALIDATE_CAP_BYTES = 64 * 1024 * 1024
+
+
 def read_json(spark: SparkSession, path: str | Path) -> DataFrame:
     """JSONL first, fall back to a whole-file JSON array/object
     (reference: localsql/localsql.py:108-111).
@@ -150,16 +155,40 @@ def read_json(spark: SparkSession, path: str | Path) -> DataFrame:
             # spark.read.text and costs the same order as multiLine's
             # one-record whole-file read, and only ambiguous files pay it.
             import json as _json
-            full = "\n".join(r[0] for r in
-                             spark.read.text(str(path)).collect())
+            # size cap (advisor r10): the collect holds ~2-3x the
+            # DECODED file in driver memory (Row objects + joined str),
+            # so a misnamed multi-GB file could OOM the driver that the
+            # executor-side multiLine parse survives.  Above the cap,
+            # skip validation with a warning and let multiLine decide —
+            # the reference-parity ingestion path targets laptop-sized
+            # files, and an over-cap ambiguous file is already suspect.
+            # (st_size is the ON-DISK size: for gz/bz2 that undercounts
+            # the decoded bytes, which is why the cap is conservative.)
             try:
-                _json.loads(full)
-            except ValueError:
-                raise ValueError(
-                    f"{path}: malformed JSONL — some lines parsed and "
-                    f"some did not, and the file is not a single JSON "
-                    f"document; refusing to guess (fix or remove the "
-                    f"corrupt lines)") from None
+                on_disk = Path(path).stat().st_size
+            except OSError:
+                on_disk = 0
+            if on_disk > _JSON_VALIDATE_CAP_BYTES:
+                import warnings
+                warnings.warn(
+                    f"{path}: ambiguous JSON layout in a "
+                    f"{on_disk}-byte file — skipping the driver-side "
+                    f"single-document validation (cap "
+                    f"{_JSON_VALIDATE_CAP_BYTES} bytes) and taking the "
+                    f"whole-file JSON fallback; a partially-corrupt "
+                    f"JSONL file this large may silently collapse to "
+                    f"one record", RuntimeWarning)
+            else:
+                full = "\n".join(r[0] for r in
+                                 spark.read.text(str(path)).collect())
+                try:
+                    _json.loads(full)
+                except ValueError:
+                    raise ValueError(
+                        f"{path}: malformed JSONL — some lines parsed "
+                        f"and some did not, and the file is not a "
+                        f"single JSON document; refusing to guess (fix "
+                        f"or remove the corrupt lines)") from None
         # whole-file JSON array/object (reference fallback:
         # localsql.py:111)
         return spark.read.option("multiLine", True).json(str(path))
