@@ -124,6 +124,92 @@ def read_bucketed_store(spark: SparkSession, base_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Erase ledger: closing the erase-vs-late-landing-batch window
+# ---------------------------------------------------------------------------
+#
+# THE WINDOW: with a data-ingest stream and an erase-request stream over
+# the same corpus, a deletion request can fold while an earlier data
+# batch containing the subject sits landed-but-unapplied; if that data
+# batch folds AFTER the erase, the subject is re-ingested post-erasure —
+# the erase ran against a store that had never seen the rows it was
+# supposed to remove.  Watermark sequencing alone cannot close this (a
+# checkpoint redelivery can re-land a pruned batch), so the fix is a
+# persisted LEDGER of erased keys that every data fold consults: a
+# subject's late-arriving rows are dropped at ingest no matter when the
+# batch lands.  Either the data landed before the erase fold (the erase
+# removes it from the store) or after (the ledger drops it) — with folds
+# of the two queues serialized at batch granularity (the single-writer
+# maintenance contract every fold in this package already has), there is
+# no third interleaving.  This is the streaming analogue of tombstone
+# retention in compacted logs: the ledger must be retained at least as
+# long as any in-flight batch could arrive.
+
+def erase_ledger_append(keys: DataFrame, ledger_dir: str,
+                        batch_id: int) -> None:
+    """Record one erase-request batch's keys in the ledger — called by
+    the erase fold BEFORE it touches any store, so a crash between the
+    two leaves the key ledgered (late data already blocked) and the
+    idempotent erase simply re-runs.  Per-batch overwrite dirs: a
+    checkpoint redelivery rewrites the same dir byte-for-byte; a batch
+    already folded into a compacted generation is skipped (superseded
+    gate, same as every landing sink)."""
+    from localsql_spark.streaming.batch_dirs import superseded
+
+    if Path(ledger_dir).exists() and superseded(ledger_dir, batch_id):
+        return
+    Path(ledger_dir).mkdir(parents=True, exist_ok=True)
+    (normalize_erase_keys(keys).coalesce(1).write.mode("overwrite")
+     .parquet(str(Path(ledger_dir) / f"batch_{batch_id}")))
+
+
+def read_erase_ledger(spark: SparkSession,
+                      ledger_dir: str) -> DataFrame | None:
+    """Every erased key recorded so far (distinct ``_erase_key``), or
+    None for an absent/empty ledger.  Reads committed batch dirs plus
+    any compacted generation (``batch_dirs.read_batches`` semantics —
+    a torn dir is excluded until its writer rewrites it)."""
+    from localsql_spark.streaming.batch_dirs import _live_parts, read_batches
+
+    root = Path(ledger_dir)
+    if not root.exists():
+        return None
+    gen, batches = _live_parts(str(root))
+    if gen is None and not any((b / "_SUCCESS").exists() for b in batches):
+        return None
+    return read_batches(spark, str(root)).select("_erase_key").distinct()
+
+
+def filter_erased(batch: DataFrame, ledger_dir: str | None,
+                  key_col: str) -> DataFrame:
+    """Drop rows whose ``key_col`` appears in the erase ledger — the
+    ingest-side half of the ledger contract.  Every data fold that can
+    land subject-keyed rows calls this on its batch first; a None/absent
+    ledger passes the batch through.  One broadcast anti-join against a
+    request-sized key set — batch-priced at any corpus scale."""
+    if ledger_dir is None:
+        return batch
+    led = read_erase_ledger(batch.sparkSession, ledger_dir)
+    if led is None:
+        return batch
+    return batch.join(F.broadcast(led),
+                      F.col(key_col) == F.col("_erase_key"), "left_anti")
+
+
+def compact_erase_ledger(spark: SparkSession, ledger_dir: str,
+                         keep_last: int = 1) -> int:
+    """Ledger retention: fold old per-request batch dirs into one
+    generation (``batch_dirs.compact_batches`` — same crash-safe rename
+    commit).  The ledger stays request-sized; compaction only bounds the
+    directory count.  NEVER delete ledger content while any batch that
+    could carry a ledgered subject is still in flight — the retention
+    window is the ingest pipeline's maximum landing delay."""
+    from localsql_spark.streaming.batch_dirs import compact_batches
+
+    return compact_batches(spark, ledger_dir, keep_last=keep_last,
+                           target_files=1)
+
+
+# ---------------------------------------------------------------------------
 # Pseudonymization vault
 # ---------------------------------------------------------------------------
 
@@ -182,7 +268,10 @@ def erase_everywhere(spark: SparkSession, keys: DataFrame, *,
                      signature_store: dict | None = None,
                      ivfpq_index: dict | None = None,
                      ivf_index: dict | None = None,
-                     scd2: dict | None = None) -> DataFrame:
+                     scd2: dict | None = None,
+                     rollup: dict | None = None,
+                     ivm_view: dict | None = None,
+                     feed: dict | None = None) -> DataFrame:
     """Right-to-be-forgotten across the WHOLE persistence surface: erase
     the subjects from the primary store and PROPAGATE through every
     derived store that retains their content — inverted-index postings
@@ -195,24 +284,41 @@ def erase_everywhere(spark: SparkSession, keys: DataFrame, *,
     ``primary={'base_dir', 'key_col', 'n_buckets'}``,
     ``inverted_index={'index_dir', 'n_buckets', 'doc_id_col',
     'text_col'}``, ``signature_store={'store_path', 'index_path'}``,
-    ``ivfpq_index={'index_path'}``, ``scd2={'store_dir', 'key_col'}``.
+    ``ivfpq_index={'index_path'}``, ``scd2={'store_dir', 'key_col'}``,
+    ``rollup={'rollup_dir', 'events', 'subject_col', ['grain',
+    'ts_col', 'key_col', 'value_col']}`` (``events`` = the PRE-erase
+    event source), ``ivm_view={'view_dir', 'fact', 'subject_col',
+    'dim', 'fact_key', 'dim_key', 'group_col', 'value_col',
+    ['n_buckets']}`` (``fact`` = the PRE-erase fact source),
+    ``feed={'feed_dir', 'key_col'}``.
 
     Ordering: the inverted-index pass runs FIRST, fed the erased
     documents' text read from the still-intact primary store, so its
     touched-bucket set is pruned to the documents' own terms; the
-    primary erase follows; fingerprint/code/history stores are
-    key-addressable and run in any order.  Non-retractable aggregates
-    (NB counts, HLL registers, trained IVFPQ model tables) are erased by
-    RETRAINING from the post-erase corpus — run
-    :func:`rebuild_nonretractable` after this returns (see
+    AGGREGATE retractions (rollup, IVM view) run next — their negative
+    deltas are computed from the subjects' rows in the PRE-erase
+    ``events``/``fact`` frames, which must still be readable; the
+    primary erase follows; fingerprint/code/history stores and the
+    durable CDC feed are key-addressable and run in any order.
+    Non-retractable aggregates (NB counts, HLL registers, trained IVFPQ
+    model tables) are erased by RETRAINING from the post-erase corpus —
+    run :func:`rebuild_nonretractable` after this returns (see
     :func:`localsql_spark.operators.similarity.ivfpq_erase_vectors` for
     why that state class cannot retract row-by-row).
 
     Returns a per-store AUDIT: ``(store, rows_after, erased_refs)``
     where ``erased_refs`` recounts rows still referencing an erased key
     in the actual post-erase bytes — the verifiable claim is that every
-    entry is 0.  Each erase is idempotent; re-running a request is safe
-    at every store."""
+    entry is 0.  For the AGGREGATE stores (no subject column survives in
+    a count/sum row), ``erased_refs`` instead counts stored rows that
+    DIVERGE from a from-scratch recompute on the kept rows — the same
+    "equals a store that never saw the subjects" claim, checked against
+    the actual post-erase bytes.  Each erase is idempotent; re-running a
+    request is safe at every store (the aggregate retractions become
+    no-ops because the subjects' rows are gone from the primary-derived
+    sources after the first pass — when their source frames read a
+    separate immutable table, do not re-run the request against an
+    already-retracted rollup/view)."""
     k = normalize_erase_keys(keys).localCheckpoint(eager=True)
 
     audits: list[DataFrame] = []
@@ -231,6 +337,33 @@ def erase_everywhere(spark: SparkSession, keys: DataFrame, *,
                  F.count(F.lit(1)).alias("rows_after"),
                  F.count("_erase_key").alias("erased_refs")))
 
+    def _audit_divergence(name: str, got: DataFrame, exp: DataFrame,
+                          join_cols: list[str],
+                          val_cols: list[str]) -> None:
+        # aggregate-store audit: full-outer join the post-erase bytes
+        # against the from-scratch recompute on kept rows; a row is
+        # DIVERGENT when present on one side only or any value differs
+        # (null-safe equality — and the join itself is null-safe so a
+        # NULL group compares rather than double-counting).  Deferred
+        # into the same single union job as the key-recount audits.
+        g = got.select(*[F.col(c).alias(f"__jg_{c}") for c in join_cols],
+                       *[F.col(c).alias(f"__g_{c}") for c in val_cols],
+                       F.lit(1).alias("__in_g"))
+        e = exp.select(*[F.col(c).alias(f"__je_{c}") for c in join_cols],
+                       *[F.col(c).alias(f"__e_{c}") for c in val_cols],
+                       F.lit(1).alias("__in_e"))
+        cond = F.lit(True)
+        for c in join_cols:
+            cond = cond & F.col(f"__jg_{c}").eqNullSafe(F.col(f"__je_{c}"))
+        same = F.col("__in_g").isNotNull() & F.col("__in_e").isNotNull()
+        for c in val_cols:
+            same = same & F.col(f"__g_{c}").eqNullSafe(F.col(f"__e_{c}"))
+        audits.append(
+            g.join(e, cond, "full_outer")
+            .agg(F.lit(name).alias("store"),
+                 F.count("__in_g").alias("rows_after"),
+                 F.count(F.when(~same, 1)).alias("erased_refs")))
+
     rows: list = []
     if inverted_index is not None:
         from localsql_spark.sinks.inverted_index import index_erase_documents
@@ -248,6 +381,39 @@ def erase_everywhere(spark: SparkSession, keys: DataFrame, *,
         post = (spark.read.option("basePath", idx_dir).parquet(idx_dir)
                 .filter(F.col("tb") != nb))
         _audit("inverted_index", post, "doc_id", rows)
+    if rollup is not None:
+        from localsql_spark.sinks.rollup import (erase_from_rollup,
+                                                 read_rollup, rollup_events)
+        cfg = dict(rollup)
+        rdir = cfg.pop("rollup_dir")
+        events = cfg.pop("events")
+        subject_col = cfg.pop("subject_col")
+        erase_from_rollup(spark, rdir, events, k, subject_col, **cfg)
+        kept_ev = events.join(F.broadcast(k),
+                              F.col(subject_col) == F.col("_erase_key"),
+                              "left_anti")
+        _audit_divergence("rollup", read_rollup(spark, rdir),
+                          rollup_events(kept_ev, **cfg),
+                          ["bucket_ts", "key", "event_date"],
+                          ["n_events", "sum_value",
+                           "min_value", "max_value"])
+    if ivm_view is not None:
+        from localsql_spark.sinks.ivm import (erase_from_view, join_rollup,
+                                              read_join_view)
+        cfg = dict(ivm_view)
+        vdir = cfg.pop("view_dir")
+        fact = cfg.pop("fact")
+        subject_col = cfg.pop("subject_col", cfg["fact_key"])
+        erase_from_view(spark, vdir, fact, k, subject_col, **cfg)
+        kept_fact = fact.join(F.broadcast(k),
+                              F.col(subject_col) == F.col("_erase_key"),
+                              "left_anti")
+        _audit_divergence(
+            "ivm_view", read_join_view(spark, vdir),
+            join_rollup(kept_fact, cfg["dim"], cfg["fact_key"],
+                        cfg["dim_key"], cfg["group_col"], cfg["value_col"],
+                        cfg.get("n_buckets", 8)),
+            ["grp", "grp_bucket"], ["n_rows", "sum_value"])
     if primary is not None:
         erase_keys(spark, primary["base_dir"], k, primary["key_col"],
                    n_buckets=primary.get("n_buckets", 32))
@@ -284,6 +450,13 @@ def erase_everywhere(spark: SparkSession, keys: DataFrame, *,
         scd2_erase_keys(spark, scd2["store_dir"], k, scd2["key_col"])
         _audit("scd2_history", read_history(spark, scd2["store_dir"]),
                scd2["key_col"], rows)
+    if feed is not None:
+        from localsql_spark.streaming.foreach_upsert import (erase_from_feed,
+                                                             read_feed)
+        erase_from_feed(spark, feed["feed_dir"], k, feed["key_col"])
+        post_feed = read_feed(spark, feed["feed_dir"])
+        if post_feed is not None:
+            _audit("change_feed", post_feed, feed["key_col"], rows)
     if not audits:
         return spark.createDataFrame(
             [], "store string, rows_after long, erased_refs long")

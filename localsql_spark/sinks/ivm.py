@@ -216,6 +216,54 @@ def apply_dim_change(spark: SparkSession, view_dir: str, fact: DataFrame,
                        marker=marker)
 
 
+def erase_from_view(spark: SparkSession, view_dir: str, fact: DataFrame,
+                    keys: DataFrame, subject_col: str, dim: DataFrame,
+                    fact_key: str, dim_key: str, group_col: str,
+                    value_col: str, n_buckets: int = 8,
+                    marker: str | None = None) -> list:
+    """Right-to-be-forgotten RETRACTION from the maintained join view:
+    remove the erased subjects' fact rows' contribution from every group
+    — the join-aggregate half of the erasure surface (the view carries
+    no subject column, but a subject's facts still live inside its
+    counts/sums).  Returns the rewritten ``grp_bucket`` partitions.
+
+    The view's aggregates are count/sum only — both group-invertible —
+    so this is the pure Gupta-Mumick negative delta (the retract half of
+    :func:`apply_dim_change`, against an unchanged dim):
+
+        ΔQ = -(fact_subjects ⋈ dim)
+
+    folded through the shared :func:`_fold_delta` tail, which already
+    drops groups retracted to zero and commits emptied buckets as
+    partition removals.  Decimal sums make the retraction exact:
+    post-erase view == a view that never folded the subjects' rows,
+    bit-for-bit — which is what the registered probe's from-scratch
+    oracle checks.
+
+    ``fact`` is the PRE-ERASE fact source (same ordering contract as
+    :func:`localsql_spark.sinks.rollup.erase_from_rollup`: run before
+    the primary erase).  ``subject_col`` names the fact column matched
+    against the deletion request — ``fact_key`` itself when erasing a
+    dimension entity (a customer and all their orders).  Cost tracks
+    the request: one batch-sized Δ ⋈ dim aggregate over the subjects'
+    rows, a bucket-pruned stored read, and the staged swap of only the
+    touched ``grp_bucket`` partitions."""
+    from localsql_spark.sinks.erase import normalize_erase_keys
+
+    recover_pending_merge(view_dir)
+    _check_bucket_meta(view_dir, n_buckets)
+    k = normalize_erase_keys(keys)
+    subjects = fact.join(F.broadcast(k),
+                         fact[subject_col] == F.col("_erase_key"),
+                         "left_semi")
+    neg = (join_rollup(subjects, dim, fact_key, dim_key, group_col,
+                       value_col, n_buckets)
+           .select("grp", (-F.col("n_rows")).alias("n_rows"),
+                   (-F.col("sum_value")).cast("decimal(28,6)")
+                   .alias("sum_value"), "grp_bucket"))
+    return _fold_delta(spark, view_dir, neg, marker=marker)
+
+
 def read_join_view(spark: SparkSession, view_dir: str) -> DataFrame:
     """Read the maintained join view; filters on ``grp_bucket`` prune
     whole partitions, and averages derive as sum/count at read time.

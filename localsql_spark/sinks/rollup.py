@@ -132,6 +132,133 @@ def maintain_rollup(spark: SparkSession, rollup_dir: str,
     return dates
 
 
+def erase_from_rollup(spark: SparkSession, rollup_dir: str,
+                      events: DataFrame, keys: DataFrame, subject_col: str,
+                      grain: str = "hour", ts_col: str = "ts",
+                      key_col: str = "event_type",
+                      value_col: str = "value") -> list:
+    """Right-to-be-forgotten RETRACTION from the maintained rollup: remove
+    the erased subjects' contribution from every (bucket_ts, key) group —
+    the aggregate store half of the erasure surface (the rollup carries
+    no subject column, but a subject's events still live INSIDE its
+    counts/sums, so erasing only the row stores leaves their data
+    aggregated here).  Returns the rewritten ``event_date`` partitions.
+
+    ``events`` is the PRE-ERASE event source (erase the primary store
+    AFTER this — the subjects' rows must still be readable to compute
+    their delta; same ordering contract as the inverted-index erase in
+    :func:`localsql_spark.sinks.erase.erase_everywhere`).
+
+    Mechanics — the Gupta-Mumick negative delta, specialized per
+    aggregate class:
+
+    - ``n_events`` / ``sum_value`` are group-invertible: subtract the
+      subjects' batch aggregate (decimal sums, so retraction is exact
+      and incremental-erase == full recompute bit-for-bit).
+    - ``min_value`` / ``max_value`` are NOT invertible (an erased min
+      cannot be un-minned).  They are healed by RECOMPUTE, but only for
+      the groups whose stored extreme the subjects actually attained
+      (``sub_min <= min_value OR sub_max >= max_value``) — for every
+      other touched group the stored extreme provably stands.  The heal
+      scan reads kept events pruned to the touched dates (partition-
+      pruned at scale) and broadcast-semi-joined down to the heal groups
+      before aggregating.
+
+    Cost tracks the REQUEST: one batch-sized aggregate over the
+    subjects' rows, a touched-date-pruned stored read, the heal scan
+    above, and a manifest-committed swap of only the touched dates.  A
+    group retracted to zero rows leaves the rollup; a date emptied
+    entirely commits as an explicit partition removal.  Idempotent:
+    re-running the request retracts nothing (the subjects' rows are
+    gone from ``events`` after the primary erase) only if the primary
+    was erased first — run this FIRST, once, per request."""
+    from localsql_spark.sinks.erase import normalize_erase_keys
+    from localsql_spark.sinks.merge import commit_staged_partitions
+
+    recover_pending_merge(rollup_dir)
+    k = normalize_erase_keys(keys)
+    subjects = events.join(F.broadcast(k),
+                           F.col(subject_col) == F.col("_erase_key"),
+                           "left_semi")
+    # localCheckpoint: the delta is consumed twice (date collect + the
+    # merged write), same rationale as maintain_rollup
+    neg = (rollup_events(subjects, grain, ts_col, key_col, value_col)
+           .select("bucket_ts", "key", "event_date",
+                   F.col("n_events").alias("__sub_n"),
+                   F.col("sum_value").alias("__sub_sum"),
+                   F.col("min_value").alias("__sub_min"),
+                   F.col("max_value").alias("__sub_max"))
+           .localCheckpoint(eager=True))
+    dates = [r[0] for r in neg.select("event_date").distinct().collect()]
+    if not dates:
+        return []
+    stored = read_base_partitions(spark, rollup_dir, "event_date", dates)
+    if stored is None:
+        return []
+
+    j = stored.join(neg, ["bucket_ts", "key", "event_date"], "left")
+    retained = (j.withColumn(
+        "n_events",
+        F.col("n_events") - F.coalesce(F.col("__sub_n"), F.lit(0)))
+        .filter(F.col("n_events") > 0)
+        .withColumn(
+            "sum_value",
+            (F.col("sum_value")
+             - F.coalesce(F.col("__sub_sum"),
+                          F.lit(0).cast("decimal(28,6)")))
+            .cast("decimal(28,6)"))
+        .withColumn(
+            "__heal",
+            F.col("__sub_n").isNotNull()
+            & ((F.col("__sub_min") <= F.col("min_value"))
+               | (F.col("__sub_max") >= F.col("max_value")))))
+    # heal-group list: bounded by the touched groups whose extreme the
+    # subjects attained — collected implicitly via the broadcast below
+    heal_groups = (retained.filter(F.col("__heal"))
+                   .select(F.col("bucket_ts").alias("__h_bts"),
+                           F.col("key").alias("__h_key"))
+                   .localCheckpoint(eager=True))
+
+    kept = events.join(F.broadcast(k),
+                       F.col(subject_col) == F.col("_erase_key"),
+                       "left_anti")
+    bucket = F.date_trunc(grain, F.col(ts_col))
+    # prune the heal scan BEFORE the aggregate: touched dates (partition-
+    # prunable at scale), then broadcast semi join to the heal groups
+    kept_scoped = (kept
+                   .filter(F.date_format(bucket, "yyyy-MM-dd").isin(dates))
+                   .join(F.broadcast(heal_groups),
+                         (F.date_format(bucket, _GRAINS[grain])
+                          == F.col("__h_bts"))
+                         & (F.col(key_col) == F.col("__h_key")),
+                         "left_semi"))
+    heal = (rollup_events(kept_scoped, grain, ts_col, key_col, value_col)
+            .select("bucket_ts", "key", "event_date",
+                    F.col("min_value").alias("__heal_min"),
+                    F.col("max_value").alias("__heal_max")))
+
+    merged = (retained.join(heal, ["bucket_ts", "key", "event_date"],
+                            "left")
+              .select("bucket_ts", "key", "event_date", "n_events",
+                      "sum_value",
+                      F.when(F.col("__heal"), F.col("__heal_min"))
+                      .otherwise(F.col("min_value")).alias("min_value"),
+                      F.when(F.col("__heal"), F.col("__heal_max"))
+                      .otherwise(F.col("max_value")).alias("max_value")))
+
+    base = Path(rollup_dir)
+    staging = base.parent / f".{base.name}.staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    (merged.repartition(F.col("event_date"))
+     .write.mode("overwrite").partitionBy("event_date")
+     .parquet(str(staging)))
+    # a date whose every group retracted to zero writes no staged dir —
+    # committed as an explicit removal (dates are path-safe strings)
+    commit_staged_partitions(rollup_dir, "event_date",
+                             [f"event_date={d}" for d in dates])
+    return sorted(dates)
+
+
 def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
     """Read the maintained rollup; filters on ``event_date`` prune whole
     partitions, and ``avg`` derives as sum/count at read time."""

@@ -205,7 +205,10 @@ def read_feed(spark: SparkSession, feed_dir: str) -> DataFrame | None:
     producer gates on _SUCCESS at :func:`apply_batch_with_feed` and will
     rewrite it on restart), so subscribers must not read its partial rows
     as applied changes; skipping mirrors fold_landed_with's
-    partial-landing check."""
+    partial-landing check.  A pending subject-erase rewrite
+    (:func:`erase_from_feed`) is healed first, so readers never see a
+    half-applied erase."""
+    recover_feed_erase(feed_dir)
     dirs = sorted((p for p in Path(feed_dir).glob("batch_*")
                    if (p / "_SUCCESS").exists()),
                   key=lambda p: int(p.name.split("_")[1]))
@@ -244,6 +247,115 @@ def commit_feed_offset(feed_dir: str, consumer: str, batch_id: int) -> None:
     tmp = d / f"{consumer}.tmp.{os.getpid()}"
     tmp.write_text(str(batch_id))
     os.replace(tmp, d / consumer)
+
+
+def _feed_erase_manifest(feed_dir: str) -> Path:
+    return Path(feed_dir) / "_erase_commit.json"
+
+
+def _apply_feed_erase(feed_dir: str, manifest: Path) -> None:
+    """Replay a committed feed-erase swap set.  Same idempotent rename
+    dance as the partitioned stores' ``_apply_manifest``: an already-
+    swapped batch is skipped (its staged dir is gone), a crash between
+    the two renames restores from the ``.old`` backup, and re-running
+    after a crash at ANY point completes the remaining swaps."""
+    import json
+
+    spec = json.loads(manifest.read_text())
+    staging = Path(feed_dir) / spec["staging"]
+    for name in spec["batches"]:
+        staged = staging / name
+        target = Path(feed_dir) / name
+        old = Path(feed_dir) / f".{name}.old"
+        if staged.exists():
+            shutil.rmtree(old, ignore_errors=True)
+            if target.exists():
+                target.rename(old)
+            staged.rename(target)
+        elif not target.exists() and old.exists():
+            old.rename(target)
+        shutil.rmtree(old, ignore_errors=True)
+    manifest.unlink()
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def recover_feed_erase(feed_dir: str) -> bool:
+    """Complete a subject erase whose process died after the manifest
+    commit but before all batch swaps landed.  No-op without a pending
+    manifest; every feed reader calls it first, so a crashed erase heals
+    on the next read.  Returns True if a pending erase was applied."""
+    m = _feed_erase_manifest(feed_dir)
+    if not m.exists():
+        return False
+    _apply_feed_erase(feed_dir, m)
+    return True
+
+
+def erase_from_feed(spark: SparkSession, feed_dir: str, keys,
+                    key_col: str) -> list:
+    """Subject erasure from the DURABLE change feed — the compliance gap
+    retention alone cannot close: a feed batch persists erased subjects'
+    pre-images (old_* columns) and new-images indefinitely, so a
+    consumer replaying the feed after an erase would re-learn exactly
+    the data the erasure removed; :func:`prune_feed` is retention-gated
+    (consumer-offset watermark), not subject-addressable.
+
+    Rewrites ONLY the batch dirs containing erased keys: one
+    column-pruned scan of the committed feed names the touched batch
+    ids, each touched batch anti-joins the broadcast key set into a
+    staging tree, and a write-ahead manifest (tmp+rename — the COMMIT
+    POINT) makes the multi-dir swap atomic-or-healable
+    (:func:`recover_feed_erase` replays it from any crash point, and
+    every feed reader heals first).  Untouched batch dirs are never
+    opened or rewritten — byte-stable, pinned by test.  Batch ids,
+    per-batch ``_SUCCESS`` markers (Spark re-emits one in each staged
+    rewrite), consumer offsets, and the ``_pruned_through`` watermark
+    all survive: a fully-erased batch becomes an EMPTY committed batch
+    (Spark writes a schema-bearing empty part file), not a missing id,
+    so replay and offset arithmetic are unchanged.
+
+    Idempotent (re-erasing finds no touched batches).  Single-writer
+    maintenance: do not run concurrently with :func:`prune_feed` (a
+    prune could delete a touched batch between staging and swap).
+    Post-erase, replaying the feed equals replaying one produced by a
+    store that never saw the subjects — change_feed emits rows per-key,
+    so removing a subject's rows never perturbs another key's rows —
+    which is what the registered probe's oracle states from scratch.
+    Returns the rewritten batch ids."""
+    import json
+
+    from localsql_spark.sinks.erase import normalize_erase_keys
+
+    recover_feed_erase(feed_dir)
+    k = normalize_erase_keys(keys)
+    feed = read_feed(spark, feed_dir)
+    if feed is None:
+        return []
+    touched = sorted(
+        r[0] for r in feed.join(F.broadcast(k),
+                                feed[key_col] == F.col("_erase_key"),
+                                "left_semi")
+        .select("batch_id").distinct().collect())
+    if not touched:
+        return []
+    staging = Path(feed_dir) / "_erase_staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    for bid in touched:
+        src = Path(feed_dir) / f"batch_{bid}"
+        kept = (spark.read.parquet(str(src))
+                .join(F.broadcast(k),
+                      F.col(key_col) == F.col("_erase_key"), "left_anti"))
+        # batch-sized data: one file per rewritten batch keeps the feed's
+        # per-dir open cost flat across repeated erases
+        (kept.coalesce(1).write.mode("overwrite")
+         .parquet(str(staging / f"batch_{bid}")))
+    manifest = _feed_erase_manifest(feed_dir)
+    tmp = Path(str(manifest) + ".tmp")
+    tmp.write_text(json.dumps({"staging": staging.name,
+                               "batches": [f"batch_{b}" for b in touched]}))
+    os.replace(tmp, manifest)  # COMMIT POINT — one rename
+    _apply_feed_erase(feed_dir, manifest)
+    return touched
 
 
 def _pruned_through(feed_dir: str) -> int:
@@ -307,6 +419,7 @@ def read_feed_since(spark: SparkSession, feed_dir: str,
     max batch_id via :func:`commit_feed_offset`; a crash before the
     offset commit re-reads the same tail, so the downstream apply must
     be idempotent (same contract as every feed subscriber)."""
+    recover_feed_erase(feed_dir)
     wm = feed_watermark(feed_dir, consumer)
     dirs = sorted((p for p in Path(feed_dir).glob("batch_*")
                    if (p / "_SUCCESS").exists()

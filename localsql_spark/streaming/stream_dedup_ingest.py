@@ -55,11 +55,24 @@ _SIG_SCHEMA = "doc_id long, sig array<bigint>"
 def dedup_ingest_batch(batch: DataFrame, batch_id: int, *, store_dir: str,
                        out_dir: str, text_col: str = "text",
                        id_col: str = "doc_id", threshold: float = 0.5,
-                       n: int = N_MINHASH, bands: int = N_BANDS) -> int:
+                       n: int = N_MINHASH, bands: int = N_BANDS,
+                       erase_ledger: str | None = None) -> int:
     """Apply ONE micro-batch: probe → drop → commit keepers to the corpus
     and their signatures to the store.  Returns the number of keepers.
     Doc ids must be unique across the stream (standard ingest contract;
-    the id is the dedup identity)."""
+    the id is the dedup identity).
+
+    ``erase_ledger`` (optional) names the persisted erase ledger the
+    paired erase stream maintains (``sinks.erase.erase_ledger_append``):
+    the batch anti-joins it FIRST, so a subject erased while this batch
+    sat landed-but-unapplied is dropped at ingest instead of being
+    re-ingested post-erasure — the ledger half of the
+    erase-vs-late-landing-batch contract (see stream_erase_ingest).
+    The filter runs before the superseded gate's replay decision never
+    matters for it: a replayed superseded batch returns without writing,
+    and a replayed NON-superseded batch re-filters against the
+    now-larger ledger, which can only drop more — the rewrite stays a
+    subset, never a resurrection."""
     spark = batch.sparkSession
     store = Path(store_dir)
     if superseded(out_dir, batch_id) or superseded(store_dir, batch_id):
@@ -68,6 +81,9 @@ def dedup_ingest_batch(batch: DataFrame, batch_id: int, *, store_dir: str,
         # recreating batch_<id> would double-read them, and recomputing
         # drops against the NOW-larger store would change the keeper set
         return 0
+    if erase_ledger is not None:
+        from localsql_spark.sinks.erase import filter_erased
+        batch = filter_erased(batch, erase_ledger, id_col)
     try:
         return _apply(spark, batch, batch_id, store, out_dir, text_col,
                       id_col, threshold, n, bands)
@@ -122,16 +138,19 @@ def stream_dedup_ingest(spark: SparkSession, *, source_dir: str, schema,
                         store_dir: str, out_dir: str, checkpoint_dir: str,
                         text_col: str = "text", id_col: str = "doc_id",
                         threshold: float = 0.5,
+                        erase_ledger: str | None = None,
                         max_files_per_trigger: int = 1) -> None:
     """Drain a document file stream through the dedup-on-ingest sink
-    (availableNow trigger: process the backlog in order, then stop)."""
+    (availableNow trigger: process the backlog in order, then stop).
+    ``erase_ledger`` — see :func:`dedup_ingest_batch`."""
     Path(store_dir).mkdir(parents=True, exist_ok=True)
     Path(out_dir).mkdir(parents=True, exist_ok=True)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         dedup_ingest_batch(batch_df, batch_id, store_dir=store_dir,
                            out_dir=out_dir, text_col=text_col,
-                           id_col=id_col, threshold=threshold)
+                           id_col=id_col, threshold=threshold,
+                           erase_ledger=erase_ledger)
 
     q = (spark.readStream.schema(schema)
          .option("maxFilesPerTrigger", max_files_per_trigger)

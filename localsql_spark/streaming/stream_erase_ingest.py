@@ -35,17 +35,35 @@ def stream_erase_ingest(spark: SparkSession, *, source_dir: str, schema,
                         land_dir: str, store_dir: str, checkpoint_dir: str,
                         key_col: str, n_buckets: int = 32,
                         derived: dict | None = None,
+                        ledger_dir: str | None = None,
                         max_files_per_trigger: int = 1) -> int:
     """Land + fold in one call: drain the deletion-request file stream
     into per-batch landing dirs, then erase every landed batch's keys
     from the bucketed store at ``store_dir`` (and, with ``derived``, the
     configured derived stores via erase_everywhere).  Returns the number
-    of request batches folded."""
+    of request batches folded.
+
+    ``ledger_dir`` (optional but recommended when a DATA ingest stream
+    feeds the same corpus) records each request batch's keys in the
+    persisted erase ledger BEFORE any store is touched — closing the
+    erase-vs-late-landing-batch window: a data batch containing the
+    subject that was landed-but-unapplied when the erase folded would
+    otherwise re-ingest the subject post-erasure; with the ledger, the
+    data fold (``sinks.erase.filter_erased`` — wired into
+    ``stream_dedup_ingest``) drops those rows at ingest.  Commit order
+    makes every crash point safe: ledger append (idempotent per-batch
+    overwrite) -> store erase (idempotent) -> applied marker; a crash
+    between any two re-runs the rest, and the subject is blocked from
+    the instant the ledger dir commits."""
+    from localsql_spark.sinks.erase import erase_ledger_append
+
     stream_land_batches(spark, source_dir=source_dir, schema=schema,
                         land_dir=land_dir, checkpoint_dir=checkpoint_dir,
                         max_files_per_trigger=max_files_per_trigger)
 
-    def _fold(df: DataFrame) -> None:
+    def _fold(df: DataFrame, batch_id: int) -> None:
+        if ledger_dir is not None:
+            erase_ledger_append(df, ledger_dir, batch_id)
         if derived:
             erase_everywhere(
                 spark, df,
@@ -54,4 +72,5 @@ def stream_erase_ingest(spark: SparkSession, *, source_dir: str, schema,
         else:
             erase_keys(spark, store_dir, df, key_col, n_buckets=n_buckets)
 
-    return fold_landed_with(spark, land_dir, store_dir, _fold)
+    return fold_landed_with(spark, land_dir, store_dir, _fold,
+                            pass_batch_id=True)

@@ -5338,3 +5338,264 @@ def knn_ivfpq_2l_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
                            n_cells=8, n_probe=4, m=4, k_codes=16,
                            n_iter=1, exclude_self=True,
                            two_level_assign=True, assign_probe=2)
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten: aggregate stores + durable CDC feed (round 11)
+# ---------------------------------------------------------------------------
+
+_UH13 = ("CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) "
+         "AS BIGINT) % 13")
+_CH13 = ("CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) "
+         "AS BIGINT) % 13")
+
+
+@query("erase_rollup_probe", oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS bucket_ts,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE), 6)
+         AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+WHERE {_UH13} <> 0
+GROUP BY 1, 2
+""")
+def erase_rollup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten through the AGGREGATE rollup store
+    (sinks.rollup.erase_from_rollup, wired via erase_everywhere): the
+    persisted hourly rollup carries no user column, but erased users'
+    events still live inside its counts/sums/extremes — this probe
+    erases a deterministic 1/13 of users from the full-corpus rollup
+    fixture (hardlink farm per call, same discipline as
+    erase_users_everywhere) and reads the post-erase store back.  The
+    invertible aggregates (count, decimal sum) retract as a
+    Gupta-Mumick negative delta; min/max heal by a recompute pruned to
+    the groups whose extreme the subjects attained.  The oracle states
+    the rollup from scratch on the kept events — post-erase bytes == a
+    store that never folded the subjects, bit-for-bit — and
+    erase_everywhere's divergence audit re-checks the same claim inside
+    the flow (any non-zero raises here)."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from localsql_spark.operators import hash32
+    from localsql_spark.sinks.erase import erase_everywhere
+    from localsql_spark.sinks.rollup import maintain_rollup, read_rollup
+
+    ev = load(spark, sf_dir)["events"]
+    keys = (ev.filter(hash32(F.col("user_id")) % 13 == 0)
+            .select("user_id").distinct())
+    fixture = (Path(__file__).resolve().parent.parent.parent / ".cache"
+               / "erase_rollup" / Path(sf_dir.rstrip("/")).name)
+    marker = fixture / "_fixture_ok"
+    if not marker.exists():
+        shutil.rmtree(fixture, ignore_errors=True)
+        fixture.mkdir(parents=True, exist_ok=True)
+        maintain_rollup(spark, str(fixture / "roll"), ev, grain="hour")
+        marker.touch()
+    scratch = Path(tempfile.mkdtemp(prefix="erase_roll_",
+                                    dir=str(fixture.parent)))
+    try:
+        shutil.copytree(fixture / "roll", scratch / "roll",
+                        copy_function=os.link)
+        audit = erase_everywhere(
+            spark, keys,
+            rollup={"rollup_dir": str(scratch / "roll"), "events": ev,
+                    "subject_col": "user_id", "grain": "hour"})
+        bad = [r for r in audit.collect() if r["erased_refs"] != 0]
+        if bad:
+            raise AssertionError(f"post-erase rollup diverges: {bad}")
+        r = read_rollup(spark, str(scratch / "roll"))
+        return (r.select(
+            "bucket_ts", F.col("key").alias("event_type"), "n_events",
+            F.round(F.col("sum_value").cast("double"), 6)
+            .alias("sum_value"), "min_value", "max_value")
+            .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query("erase_ivm_probe", oracle=f"""
+SELECT c.c_nationkey AS grp,
+       count(*) AS n_rows,
+       round(CAST(sum(CAST(round(o.o_totalprice, 6) AS DECIMAL(28,6)))
+                  AS DOUBLE), 6) AS sum_value
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE {_CH13} <> 0
+GROUP BY 1
+""")
+def erase_ivm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten through the incrementally-maintained
+    JOIN-aggregate view (sinks.ivm.erase_from_view, wired via
+    erase_everywhere): erase a deterministic 1/13 of customers from the
+    revenue-by-nation view — their orders' contribution retracts as the
+    pure Gupta-Mumick negative delta (-(fact_subjects ⋈ dim), the
+    retract half of apply_dim_change), rewriting only the touched
+    grp_bucket partitions.  Count and decimal sum are both invertible,
+    so no heal pass is needed; the oracle recomputes the view from the
+    kept fact rows — post-erase bytes == a view that never folded the
+    subjects — and erase_everywhere's divergence audit re-checks the
+    same claim inside the flow."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from localsql_spark.operators import hash32
+    from localsql_spark.sinks.erase import erase_everywhere
+    from localsql_spark.sinks.ivm import maintain_join_view, read_join_view
+
+    t = load(spark, sf_dir)
+    orders, customer = t["orders"], t["customer"]
+    keys = (customer.filter(hash32(F.col("c_custkey")) % 13 == 0)
+            .select("c_custkey"))
+    fixture = (Path(__file__).resolve().parent.parent.parent / ".cache"
+               / "erase_ivm" / Path(sf_dir.rstrip("/")).name)
+    marker = fixture / "_fixture_ok"
+    if not marker.exists():
+        shutil.rmtree(fixture, ignore_errors=True)
+        fixture.mkdir(parents=True, exist_ok=True)
+        maintain_join_view(spark, str(fixture / "view"), orders, customer,
+                           fact_key="o_custkey", dim_key="c_custkey",
+                           group_col="c_nationkey",
+                           value_col="o_totalprice")
+        marker.touch()
+    scratch = Path(tempfile.mkdtemp(prefix="erase_ivm_",
+                                    dir=str(fixture.parent)))
+    try:
+        shutil.copytree(fixture / "view", scratch / "view",
+                        copy_function=os.link)
+        # the bucket-count meta + schema sidecars live NEXT TO the view
+        # dir, outside the copytree — carry them into the farm
+        for sidecar in (".view.meta.json", ".view.schema.json"):
+            if (fixture / sidecar).exists():
+                shutil.copy(fixture / sidecar, scratch / sidecar)
+        audit = erase_everywhere(
+            spark, keys,
+            ivm_view={"view_dir": str(scratch / "view"), "fact": orders,
+                      "subject_col": "o_custkey", "dim": customer,
+                      "fact_key": "o_custkey", "dim_key": "c_custkey",
+                      "group_col": "c_nationkey",
+                      "value_col": "o_totalprice"})
+        bad = [r for r in audit.collect() if r["erased_refs"] != 0]
+        if bad:
+            raise AssertionError(f"post-erase IVM view diverges: {bad}")
+        v = read_join_view(spark, str(scratch / "view"))
+        return (v.select(
+            "grp", "n_rows",
+            F.round(F.col("sum_value").cast("double"), 6)
+            .alias("sum_value"))
+            .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query("erase_feed_probe", oracle="""
+WITH d AS (SELECT doc_id, lang, text,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 3 AS h3,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 13 AS h13
+           FROM documents)
+SELECT doc_id,
+       CASE WHEN h3 = 0 THEN 'insert' ELSE NULL END AS op,
+       1 AS new_version, CAST(NULL AS INT) AS old_version,
+       md5(concat('v1 ', text)) AS new_text_md5
+FROM d WHERE h3 <= 0 AND h13 <> 0
+UNION ALL
+SELECT doc_id,
+       CASE WHEN h3 = 1 THEN 'insert' ELSE 'update' END,
+       2, CASE WHEN h3 = 1 THEN NULL ELSE 1 END,
+       md5(concat('v2 ', text))
+FROM d WHERE h3 <= 1 AND h13 <> 0
+UNION ALL
+SELECT doc_id,
+       CASE WHEN h3 = 2 THEN 'insert' ELSE 'update' END,
+       3, CASE WHEN h3 = 2 THEN NULL ELSE 2 END,
+       md5(concat('v3 ', text))
+FROM d WHERE h3 <= 2 AND h13 <> 0
+""")
+def erase_feed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten through the DURABLE change feed
+    (streaming.foreach_upsert.erase_from_feed, wired via
+    erase_everywhere): the CDC record persists every subject's pre- and
+    new-images forever, and prune_feed is retention-gated, not
+    subject-addressable — so erasure must rewrite the feed itself.
+    This probe produces streaming_change_feed's three-batch durable
+    feed (same cached source fixture), erases a deterministic 1/13 of
+    documents from it, and replays the post-erase feed.  Only batches
+    containing subjects rewrite (staged + manifest-committed, healable
+    from any crash point; untouched dirs byte-stable — pinned in
+    tests/test_erase_propagate.py); batch ids, _SUCCESS markers and
+    consumer offsets survive.  The oracle states the ENTIRE feed a
+    store that never saw the subjects would have produced — per-key
+    change emission is what makes erased-feed == never-saw-feed exact."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from localsql_spark.catalog import _CACHE_DIR
+    from localsql_spark.operators import hash32
+    from localsql_spark.sinks.erase import erase_everywhere
+    from localsql_spark.streaming.foreach_upsert import (
+        read_feed, stream_upsert_with_feed)
+
+    docs = load(spark, sf_dir)["documents"]
+    h3 = hash32(F.col("doc_id")) % 3
+    keys = (docs.filter(hash32(F.col("doc_id")) % 13 == 0)
+            .select("doc_id"))
+    src_dir = (_CACHE_DIR.parent / "stream_feed_src"
+               / Path(sf_dir.rstrip("/")).name)
+    if not src_dir.exists():  # shared with streaming_change_feed
+        src_dir.parent.mkdir(parents=True, exist_ok=True)
+        build = Path(tempfile.mkdtemp(prefix=f".{src_dir.name}.build_",
+                                      dir=src_dir.parent))
+        names = ("a_batch0.parquet", "b_batch1.parquet", "c_batch2.parquet")
+        for i, name in enumerate(names):
+            b = (docs.filter(h3 <= i)
+                 .select("doc_id", "lang",
+                         F.concat(F.lit(f"v{i + 1} "), F.col("text"))
+                         .alias("text"),
+                         F.lit(i + 1).cast("int").alias("version")))
+            tmp = tempfile.mkdtemp(prefix="cfsplit_")
+            b.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(Path(tmp).glob("part-*.parquet"))
+            shutil.move(str(part), build / name)
+            shutil.rmtree(tmp, ignore_errors=True)
+        t0 = (build / names[0]).stat().st_mtime
+        for i, name in enumerate(names):
+            os.utime(build / name, (t0 + 100 * i, t0 + 100 * i))
+        try:
+            os.rename(build, src_dir)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+
+    schema = spark.read.parquet(str(src_dir / "a_batch0.parquet")).schema
+    scratch = Path(tempfile.mkdtemp(prefix="erase_feed_"))
+    try:
+        stream_upsert_with_feed(
+            spark, source_dir=str(src_dir), schema=schema,
+            key="doc_id", version="version",
+            out_dir=str(scratch / "table"), feed_dir=str(scratch / "feed"),
+            checkpoint_dir=str(scratch / "ck"))
+        audit = erase_everywhere(
+            spark, keys,
+            feed={"feed_dir": str(scratch / "feed"),
+                  "key_col": "doc_id"})
+        bad = [r for r in audit.collect() if r["erased_refs"] != 0]
+        if bad:
+            raise AssertionError(f"post-erase feed retains subjects: {bad}")
+        feed = read_feed(spark, str(scratch / "feed"))
+        return (feed.select(
+            "doc_id", "op",
+            F.col("new_version").cast("int").alias("new_version"),
+            F.col("old_version").cast("int").alias("old_version"),
+            F.md5("new_text").alias("new_text_md5"))
+            .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

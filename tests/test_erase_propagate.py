@@ -627,3 +627,355 @@ def test_ivf_crashed_erase_heals_on_probe(spark, tmp_path, monkeypatch):
     left = _ivf_slices(spark, index)
     assert left.join(gone.withColumnRenamed("vec_id", "neighbor_id"),
                      "neighbor_id", "semi").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Aggregate stores: rollup + IVM join view (round 11)
+# ---------------------------------------------------------------------------
+
+def _events(spark):
+    """Synthetic events engineered so the erased subject (user 99):
+    - holds the group MIN in (d1 00h, A) and the group MAX in (d1 00h, B)
+      -> extreme-heal path fires;
+    - is the ENTIRE group (d1 01h, B) -> group retracts to zero;
+    - owns EVERY event of date d2 -> the whole partition is removed."""
+    rows = [
+        # (event_id, user_id, event_type, value, ts)
+        (1, 1, "A", 5.0, "2024-01-01 00:10:00"),
+        (2, 2, "A", 7.0, "2024-01-01 00:20:00"),
+        (3, 99, "A", 1.0, "2024-01-01 00:30:00"),   # group min
+        (4, 1, "B", 2.0, "2024-01-01 00:40:00"),
+        (5, 99, "B", 9.0, "2024-01-01 00:50:00"),   # group max
+        (6, 99, "B", 4.0, "2024-01-01 01:00:00"),   # sole member
+        (7, 2, "A", 3.0, "2024-01-01 01:10:00"),
+        (8, 99, "A", 6.0, "2024-01-02 00:00:00"),   # whole date d2
+        (9, 99, "B", 8.0, "2024-01-02 01:00:00"),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "value double, ts_s string").withColumn(
+        "ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+
+
+def test_rollup_erase_equals_fresh_rollup(spark, tmp_path):
+    """Post-erase rollup == a rollup maintained from scratch on the kept
+    events, covering all three retraction classes: invertible count/sum,
+    non-invertible min/max (healed only where the subject attained the
+    extreme), group-retracts-to-zero, and date-partition removal."""
+    from localsql_spark.sinks.rollup import (erase_from_rollup,
+                                             maintain_rollup, read_rollup)
+
+    ev = _events(spark)
+    keys = spark.createDataFrame([(99,)], "user_id long")
+
+    store = str(tmp_path / "roll")
+    maintain_rollup(spark, store, ev, grain="hour")
+    dates = erase_from_rollup(spark, store, ev, keys, "user_id",
+                              grain="hour")
+    assert dates == ["2024-01-01", "2024-01-02"]
+
+    fresh = str(tmp_path / "fresh")
+    maintain_rollup(spark, fresh, ev.filter(F.col("user_id") != 99),
+                    grain="hour")
+
+    def rows(d):
+        return sorted(map(tuple, read_rollup(spark, d)
+                          .select("bucket_ts", "key", "n_events",
+                                  "sum_value", "min_value", "max_value",
+                                  "event_date").collect()))
+
+    got, want = rows(store), rows(fresh)
+    assert got == want and len(got) == 3
+    # the healed extremes specifically: (d1 00h, A) min was 1.0 -> 5.0,
+    # (d1 00h, B) max was 9.0 -> 2.0 (only kept row)
+    by_grp = {(r[0], r[1]): r for r in got}
+    assert by_grp[("2024-01-01 00:00:00", "A")][4] == 5.0
+    assert by_grp[("2024-01-01 00:00:00", "B")][5] == 2.0
+    # emptied date partition is GONE from disk, not just empty
+    assert not (tmp_path / "roll" / "event_date=2024-01-02").exists()
+    # idempotent against the post-erase source (the production re-run
+    # shape: the primary was erased first, so the subjects match nothing)
+    again = erase_from_rollup(spark, store,
+                              ev.filter(F.col("user_id") != 99), keys,
+                              "user_id", grain="hour")
+    assert again == [] and rows(store) == want
+
+
+def test_rollup_erase_rewrites_only_touched_dates(spark, tmp_path):
+    """Request-bounded cost: a subject whose events all land in one date
+    leaves every other date partition's bytes untouched."""
+    from localsql_spark.sinks.rollup import erase_from_rollup, maintain_rollup
+
+    ev = _events(spark)
+    store = str(tmp_path / "roll")
+    maintain_rollup(spark, store, ev, grain="hour")
+    d1 = tmp_path / "roll" / "event_date=2024-01-01"
+    before = sorted((p.name, p.stat().st_mtime_ns, p.stat().st_ino)
+                    for p in d1.rglob("*.parquet"))
+
+    # user 3 exists only in d2 after we add one event there
+    extra = spark.createDataFrame(
+        [(10, 3, "A", 2.5, "2024-01-02 05:00:00")],
+        "event_id long, user_id long, event_type string, value double, "
+        "ts_s string").withColumn(
+        "ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    maintain_rollup(spark, store, extra, grain="hour")
+    before = sorted((p.name, p.stat().st_mtime_ns, p.stat().st_ino)
+                    for p in d1.rglob("*.parquet"))
+
+    keys = spark.createDataFrame([(3,)], "user_id long")
+    dates = erase_from_rollup(spark, store, ev.unionByName(extra), keys,
+                              "user_id", grain="hour")
+    assert dates == ["2024-01-02"]
+    after = sorted((p.name, p.stat().st_mtime_ns, p.stat().st_ino)
+                   for p in d1.rglob("*.parquet"))
+    assert after == before, "untouched date partition was rewritten"
+
+
+def test_ivm_erase_equals_fresh_view_and_drops_zero_groups(spark, tmp_path):
+    """Post-erase join view == a view folded from scratch on the kept
+    fact rows; a group whose every fact row belonged to subjects leaves
+    the view entirely."""
+    from localsql_spark.sinks.ivm import (erase_from_view,
+                                          maintain_join_view,
+                                          read_join_view)
+
+    dim = spark.createDataFrame(
+        [(1, "g1"), (2, "g1"), (3, "g2"), (4, "g3")],
+        "k long, grp_name string")
+    fact = spark.createDataFrame(
+        [(10, 1, 5.0), (11, 2, 7.0), (12, 3, 2.0), (13, 3, 4.0),
+         (14, 4, 9.0), (15, 4, 1.0)],
+        "fid long, k long, v double")
+
+    view = str(tmp_path / "view")
+    maintain_join_view(spark, view, fact, dim, fact_key="k", dim_key="k",
+                       group_col="grp_name", value_col="v", n_buckets=4)
+    # erase customer 4 (sole contributor to g3) and 1 (partial g1)
+    keys = spark.createDataFrame([(4,), (1,)], "k long")
+    erase_from_view(spark, view, fact, keys, "k", dim,
+                    fact_key="k", dim_key="k", group_col="grp_name",
+                    value_col="v", n_buckets=4)
+
+    fresh = str(tmp_path / "fresh")
+    kept = fact.filter(~F.col("k").isin(1, 4))
+    maintain_join_view(spark, fresh, kept, dim, fact_key="k", dim_key="k",
+                       group_col="grp_name", value_col="v", n_buckets=4)
+
+    def rows(d):
+        return sorted(map(tuple, read_join_view(spark, d)
+                          .select("grp", "n_rows", "sum_value",
+                                  "grp_bucket").collect()))
+
+    got, want = rows(view), rows(fresh)
+    assert got == want
+    assert {r[0] for r in got} == {"g1", "g2"}  # g3 retracted away
+
+
+def test_ivm_erase_rewrites_only_touched_buckets(spark, tmp_path):
+    """Request-bounded cost: buckets holding no touched group keep their
+    bytes (mtime+inode stable across the erase)."""
+    from localsql_spark.operators import hash32
+    from localsql_spark.sinks.ivm import erase_from_view, maintain_join_view
+
+    n_groups, n_buckets = 12, 8
+    dim = spark.createDataFrame([(i, f"g{i % n_groups}")
+                                 for i in range(48)],
+                                "k long, grp_name string")
+    fact = spark.createDataFrame([(100 + i, i % 48, float(i))
+                                  for i in range(96)],
+                                 "fid long, k long, v double")
+    view = str(tmp_path / "view")
+    maintain_join_view(spark, view, fact, dim, fact_key="k", dim_key="k",
+                       group_col="grp_name", value_col="v",
+                       n_buckets=n_buckets)
+    keys = spark.createDataFrame([(5,)], "k long")  # one dim entity
+    # the subject's only group is g5 -> exactly one touched bucket
+    touched = erase_from_view(spark, view, fact, keys, "k", dim,
+                              fact_key="k", dim_key="k",
+                              group_col="grp_name", value_col="v",
+                              n_buckets=n_buckets)
+    assert len(touched) == 1
+    # can't snapshot before the call without knowing the bucket; redo:
+    # rebuild, snapshot all buckets, erase, compare the untouched ones
+    import shutil
+    shutil.rmtree(view)
+    (Path(str(tmp_path)) / ".view.meta.json").unlink(missing_ok=True)
+    (Path(str(tmp_path)) / ".view.schema.json").unlink(missing_ok=True)
+    maintain_join_view(spark, view, fact, dim, fact_key="k", dim_key="k",
+                       group_col="grp_name", value_col="v",
+                       n_buckets=n_buckets)
+    snap = {d.name: sorted((p.name, p.stat().st_mtime_ns, p.stat().st_ino)
+                           for p in d.rglob("*.parquet"))
+            for d in Path(view).glob("grp_bucket=*")}
+    touched2 = erase_from_view(spark, view, fact, keys, "k", dim,
+                               fact_key="k", dim_key="k",
+                               group_col="grp_name", value_col="v",
+                               n_buckets=n_buckets)
+    assert touched2 == touched
+    tname = {f"grp_bucket={b}" for b in touched2}
+    for name, files in snap.items():
+        if name in tname:
+            continue
+        now = sorted((p.name, p.stat().st_mtime_ns, p.stat().st_ino)
+                     for p in (Path(view) / name).rglob("*.parquet"))
+        assert now == files, f"untouched bucket {name} was rewritten"
+
+
+# ---------------------------------------------------------------------------
+# Durable CDC feed erasure (round 11)
+# ---------------------------------------------------------------------------
+
+def _feed_batches(spark):
+    b0 = spark.createDataFrame([(i, 1, f"t{i}") for i in range(1, 7)],
+                               "k long, v int, payload string")
+    b1 = spark.createDataFrame([(i, 2, f"u{i}") for i in range(1, 4)],
+                               "k long, v int, payload string")
+    b2 = spark.createDataFrame([(i, 1, f"w{i}") for i in (100, 101)],
+                               "k long, v int, payload string")
+    return [b0, b1, b2]
+
+
+def _produce_feed(spark, root, batches):
+    from localsql_spark.streaming.foreach_upsert import apply_batch_with_feed
+
+    out, feed = root / "table", root / "feed"
+    out.mkdir(parents=True, exist_ok=True)
+    feed.mkdir(parents=True, exist_ok=True)
+    for i, b in enumerate(batches):
+        apply_batch_with_feed(b, i, key="k", version="v",
+                              out_dir=str(out), feed_dir=str(feed))
+    return str(feed)
+
+
+def test_feed_erase_equals_never_saw_feed(spark, tmp_path):
+    """Post-erase feed replay == the feed a store that never saw the
+    subjects would have produced (same batches minus subject rows);
+    untouched batch dirs byte-identical; consumer offsets and batch ids
+    survive; idempotent."""
+    from localsql_spark.streaming.foreach_upsert import (commit_feed_offset,
+                                                         erase_from_feed,
+                                                         feed_watermark,
+                                                         read_feed)
+
+    batches = _feed_batches(spark)
+    feed = _produce_feed(spark, tmp_path / "a", batches)
+    commit_feed_offset(feed, "c1", 1)
+
+    keys = spark.createDataFrame([(2,), (3,)], "k long")
+    import hashlib
+
+    def tree_hash(d):
+        h = hashlib.md5()
+        for p in sorted(Path(d).rglob("*")):
+            if p.is_file():
+                h.update(p.name.encode())
+                h.update(p.read_bytes())
+        return h.hexdigest()
+
+    b2_before = tree_hash(Path(feed) / "batch_2")
+    touched = erase_from_feed(spark, feed, keys, "k")
+    assert touched == [0, 1]
+    assert tree_hash(Path(feed) / "batch_2") == b2_before
+    assert feed_watermark(feed, "c1") == 1
+
+    # never-saw twin: produce the feed from batches minus the subjects
+    never = _produce_feed(spark, tmp_path / "b",
+                          [b.filter(~F.col("k").isin(2, 3))
+                           for b in batches])
+
+    def rows(d):
+        return sorted(map(tuple, read_feed(spark, d)
+                          .select("k", "op", "new_v", "old_v", "batch_id")
+                          .collect()))
+
+    assert rows(feed) == rows(never)
+    assert erase_from_feed(spark, feed, keys, "k") == []  # idempotent
+
+
+def test_feed_erase_crash_after_commit_heals_on_read(spark, tmp_path,
+                                                     monkeypatch):
+    """A crash between the manifest commit and the batch swaps must heal
+    on the next feed read — the manifest is the commit point."""
+    from localsql_spark.streaming import foreach_upsert as FU
+
+    feed = _produce_feed(spark, tmp_path, _feed_batches(spark))
+    keys = spark.createDataFrame([(2,), (3,)], "k long")
+
+    real_apply = FU._apply_feed_erase
+    calls = {"n": 0}
+
+    def crashing(feed_dir, manifest):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("simulated crash after manifest commit")
+        return real_apply(feed_dir, manifest)
+
+    monkeypatch.setattr(FU, "_apply_feed_erase", crashing)
+    with pytest.raises(OSError, match="simulated crash"):
+        FU.erase_from_feed(spark, feed, keys, "k")
+    assert FU._feed_erase_manifest(feed).exists()
+
+    # next reader heals: no subject rows, every batch id still present
+    got = FU.read_feed(spark, feed)
+    ks = {r["k"] for r in got.collect()}
+    assert ks.isdisjoint({2, 3}) and len(ks) > 0
+    assert not FU._feed_erase_manifest(feed).exists()
+    assert sorted(int(p.name.split("_")[1])
+                  for p in Path(feed).glob("batch_*")) == [0, 1, 2]
+
+
+def test_feed_fully_erased_batch_stays_committed_and_empty(spark, tmp_path):
+    """Erasing every key of a batch leaves an EMPTY committed batch dir
+    (id survives for offset arithmetic), not a missing one."""
+    from localsql_spark.streaming.foreach_upsert import (erase_from_feed,
+                                                         read_feed)
+
+    feed = _produce_feed(spark, tmp_path, _feed_batches(spark))
+    # batch_2's only keys are 100/101 — erase both
+    erase_from_feed(spark, feed,
+                    spark.createDataFrame([(100,), (101,)], "k long"), "k")
+    b2 = Path(feed) / "batch_2"
+    assert (b2 / "_SUCCESS").exists()
+    got = read_feed(spark, feed)
+    assert got.filter(F.col("batch_id") == 2).count() == 0
+    assert got.filter(F.col("batch_id") < 2).count() > 0
+
+
+def test_erase_everywhere_covers_aggregate_stores_and_feed(spark, tmp_path):
+    """The composed flow with rollup + IVM + feed configs: one call, all
+    three audits at zero divergence/refs."""
+    from localsql_spark.sinks.erase import erase_everywhere
+    from localsql_spark.sinks.ivm import maintain_join_view
+    from localsql_spark.sinks.rollup import maintain_rollup
+
+    ev = _events(spark)
+    dim = spark.createDataFrame([(1, "g1"), (2, "g1"), (99, "g9")],
+                                "k long, grp_name string")
+    fact = ev.select(F.col("event_id").alias("fid"),
+                     F.col("user_id").alias("k"), F.col("value").alias("v"))
+    roll = str(tmp_path / "roll")
+    view = str(tmp_path / "view")
+    maintain_rollup(spark, roll, ev, grain="hour")
+    maintain_join_view(spark, view, fact, dim, fact_key="k", dim_key="k",
+                       group_col="grp_name", value_col="v", n_buckets=4)
+    feed = _produce_feed(spark, tmp_path, [
+        ev.select("event_id", F.col("user_id").alias("k"),
+                  F.lit(1).alias("v"))])
+
+    keys = spark.createDataFrame([(99,)], "user_id long")
+    audit = erase_everywhere(
+        spark, keys,
+        rollup={"rollup_dir": roll, "events": ev,
+                "subject_col": "user_id", "grain": "hour"},
+        ivm_view={"view_dir": view, "fact": fact, "subject_col": "k",
+                  "dim": dim, "fact_key": "k", "dim_key": "k",
+                  "group_col": "grp_name", "value_col": "v",
+                  "n_buckets": 4},
+        feed={"feed_dir": feed, "key_col": "k"})
+    rows = {r["store"]: r for r in audit.collect()}
+    assert set(rows) == {"rollup", "ivm_view", "change_feed"}
+    for name, r in rows.items():
+        assert r["erased_refs"] == 0, (name, r)
+    assert rows["rollup"]["rows_after"] == 3
+    assert rows["ivm_view"]["rows_after"] == 1  # g9 retracted, g1 stays

@@ -1233,3 +1233,138 @@ def test_compact_blocker_warned_on_persistent_id_gap(spark, tmp_path):
         _w.simplefilter("error")
         assert compact_batches(spark, str(d), keep_last=0) == 2
     assert not (d / ".blocked_compact").exists()
+
+
+# ---------------------------------------------------------------------------
+# Erase ledger: the erase-vs-late-landing-batch window (round 11)
+# ---------------------------------------------------------------------------
+
+def test_erase_ledger_blocks_late_landing_batch(spark, tmp_path):
+    """THE WINDOW, driven end-to-end at batch granularity: a deletion
+    request folds while a data batch containing the subject is
+    landed-but-unapplied.  With the ledger, the late data fold drops the
+    subject at ingest — post-interleave corpus == one that never saw the
+    subject.  Without the ledger the subject IS re-ingested (the hole
+    the ledger exists to close), pinned so the contract stays visible."""
+    from pathlib import Path
+
+    from localsql_spark.sinks.erase import erase_ledger_append
+    from localsql_spark.streaming.stream_dedup_ingest import (
+        dedup_ingest_batch, read_accepted)
+
+    b0 = _mk_docs(spark, [
+        (1, "first unique document with entirely fresh vocabulary"),
+        (2, "second unique document carrying different words wholly")])
+    b1 = _mk_docs(spark, [  # subject 5 arrives LATE, in batch 1
+        (5, "subject document whose author requested deletion earlier"),
+        (6, "bystander document with its own unrelated content here")])
+
+    for with_ledger in (True, False):
+        root = tmp_path / ("led" if with_ledger else "noled")
+        store, out = root / "store", root / "out"
+        ledger = str(root / "ledger") if with_ledger else None
+        store.mkdir(parents=True), out.mkdir(parents=True)
+
+        # t0: data batch 0 folds
+        dedup_ingest_batch(b0, 0, store_dir=str(store), out_dir=str(out),
+                           erase_ledger=ledger)
+        # t1: erase request for subject 5 folds — subject not yet in any
+        # store (batch 1 is landed-but-unapplied); the ledger append is
+        # the ONLY trace the request can leave
+        if with_ledger:
+            erase_ledger_append(
+                spark.createDataFrame([(5,)], "doc_id long"), ledger, 0)
+        # t2: the late data batch folds
+        dedup_ingest_batch(b1, 1, store_dir=str(store), out_dir=str(out),
+                           erase_ledger=ledger)
+
+        kept = sorted(r.doc_id for r in
+                      read_accepted(spark, str(out)).collect())
+        if with_ledger:
+            assert kept == [1, 2, 6], "subject re-ingested despite ledger"
+        else:
+            assert 5 in kept  # the documented hole without a ledger
+
+
+def test_stream_erase_ingest_populates_ledger_before_store(
+        spark, tmp_path, monkeypatch):
+    """Commit order: the ledger append lands BEFORE the store erase, so a
+    crash between the two leaves the subject blocked (ledger committed)
+    while the idempotent erase re-runs on resume."""
+    import shutil
+
+    from localsql_spark.sinks import erase as E
+    from localsql_spark.sinks.erase import (read_erase_ledger,
+                                            write_bucketed_store)
+    from localsql_spark.streaming.stream_erase_ingest import \
+        stream_erase_ingest
+
+    docs = _mk_docs(spark, [(i, f"doc number {i} body") for i in range(8)])
+    store = str(tmp_path / "store")
+    write_bucketed_store(docs, store, "doc_id", n_buckets=4)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    tmp = tmp_path / "one"
+    (spark.createDataFrame([(3,)], "doc_id long").coalesce(1)
+     .write.parquet(str(tmp)))
+    next(tmp.glob("part-*.parquet")).rename(src / "req0.parquet")
+    shutil.rmtree(tmp)
+
+    real_erase = E.erase_keys
+    seen = {}
+
+    def crashing(spark_, base_dir, keys, key_col, n_buckets=32):
+        led = read_erase_ledger(spark_, str(tmp_path / "ledger"))
+        seen["ledger_at_erase"] = sorted(
+            r[0] for r in led.collect()) if led is not None else None
+        raise OSError("simulated crash before the store erase")
+
+    import localsql_spark.streaming.stream_erase_ingest as SEI
+    monkeypatch.setattr(SEI, "erase_keys", crashing)
+    with pytest.raises(Exception, match="simulated crash"):
+        stream_erase_ingest(
+            spark, source_dir=str(src), schema="doc_id long",
+            land_dir=str(tmp_path / "land"), store_dir=store,
+            checkpoint_dir=str(tmp_path / "ck"), key_col="doc_id",
+            n_buckets=4, ledger_dir=str(tmp_path / "ledger"))
+    assert seen["ledger_at_erase"] == [3], \
+        "ledger must commit before the store erase runs"
+
+    # resume: the fold marker never landed, so the batch re-folds and the
+    # erase completes; the ledger append is an idempotent overwrite
+    monkeypatch.setattr(SEI, "erase_keys", real_erase)
+    n = stream_erase_ingest(
+        spark, source_dir=str(src), schema="doc_id long",
+        land_dir=str(tmp_path / "land"), store_dir=store,
+        checkpoint_dir=str(tmp_path / "ck"), key_col="doc_id",
+        n_buckets=4, ledger_dir=str(tmp_path / "ledger"))
+    assert n == 1
+    from localsql_spark.sinks.erase import read_bucketed_store
+    left = sorted(r.doc_id for r in
+                  read_bucketed_store(spark, store).collect())
+    assert left == [0, 1, 2, 4, 5, 6, 7]
+    led = read_erase_ledger(spark, str(tmp_path / "ledger"))
+    assert sorted(r[0] for r in led.collect()) == [3]
+
+
+def test_erase_ledger_compaction_and_replay(spark, tmp_path):
+    """Ledger retention: compaction folds request dirs into a generation
+    without losing keys, and a checkpoint redelivery of a compacted
+    request id is a no-op (superseded gate) instead of a resurrection."""
+    from localsql_spark.sinks.erase import (compact_erase_ledger,
+                                            erase_ledger_append,
+                                            read_erase_ledger)
+
+    led = str(tmp_path / "ledger")
+    for i, key in enumerate([11, 22, 33]):
+        erase_ledger_append(
+            spark.createDataFrame([(key,)], "doc_id long"), led, i)
+    assert compact_erase_ledger(spark, led, keep_last=1) == 2
+    got = sorted(r[0] for r in read_erase_ledger(spark, led).collect())
+    assert got == [11, 22, 33]
+    # redelivery of folded batch 0 with DIFFERENT content must not land
+    erase_ledger_append(
+        spark.createDataFrame([(999,)], "doc_id long"), led, 0)
+    got2 = sorted(r[0] for r in read_erase_ledger(spark, led).collect())
+    assert got2 == [11, 22, 33]
