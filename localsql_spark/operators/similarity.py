@@ -1354,13 +1354,23 @@ def coarse_assign_two_level(df: DataFrame, cents: DataFrame, key_col: str,
                     .alias("resid")))
 
 
+# AUTO threshold for the two-level coarse assignment: below this cell
+# count flat assignment is cheap and exactness-of-assignment is what the
+# registry oracles check; at or above it the build is in the k ∝ N
+# posture where flat is the measured quadratic cliff (SCALE.md round 10:
+# 13.7x wall per 4x data) and two-level routing on structured data
+# agrees near-perfectly at assign_probe=2 (ANN.md round-11 planted-
+# cluster table).  Pinned by test_two_level_auto_default.
+TWO_LEVEL_AUTO_CELLS = 64
+
+
 def knn_ivfpq_adc(corpus: DataFrame, queries: DataFrame, k: int = 5,
                   n_cells: int = 8, n_probe: int = 4, m: int = 4,
                   k_codes: int = 16, n_iter: int = 1,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   exclude_self: bool = False,
-                  two_level_assign: bool = False,
-                  assign_probe: int = 1) -> DataFrame:
+                  two_level_assign: bool | None = None,
+                  assign_probe: int = 2) -> DataFrame:
     """IVFADC approximate kNN (Jégou et al., "Product Quantization for
     Nearest Neighbor Search", TPAMI 2011, §V — public algorithm): coarse-
     quantize vectors into ``n_cells`` inverted lists, product-quantize
@@ -1396,7 +1406,12 @@ def knn_ivfpq_adc(corpus: DataFrame, queries: DataFrame, k: int = 5,
     # ---- index build: cell + residual per corpus vector, PQ on residuals
     # (two_level_assign routes through a super-quantizer for k ∝ N
     # postures — O(N*sqrt(k)) build instead of O(N*k); assignment-
-    # approximate, distance-exact.  The exact-oracled defaults stay flat.)
+    # approximate, distance-exact.  None = AUTO: two-level at
+    # n_cells >= TWO_LEVEL_AUTO_CELLS, flat below — so the exact-oracled
+    # small-cell registry queries stay flat while a production-sized
+    # build gets the linear bound without opting in.)
+    if two_level_assign is None:
+        two_level_assign = n_cells >= TWO_LEVEL_AUTO_CELLS
     if two_level_assign:
         c = coarse_assign_two_level(
             spread(corpus).select(id_col, vec_col), cents, id_col,
@@ -1476,7 +1491,9 @@ def _ivfpq_adc_scan(codes: DataFrame, lut: DataFrame, k: int,
 def write_ivfpq_index(corpus: DataFrame, path: str, n_cells: int = 8,
                       m: int = 4, k_codes: int = 16, n_iter: int = 1,
                       id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> None:
+                      vec_col: str = "embedding",
+                      two_level_assign: bool | None = None,
+                      assign_probe: int = 2) -> None:
     """Persist the IVFADC index :func:`knn_ivfpq_adc` builds per call:
     the m-rows-per-vector codes table (neighbor_id, s, code)
     hive-partitioned BY CELL under ``codes/``, the n_cells-row coarse
@@ -1508,8 +1525,18 @@ def write_ivfpq_index(corpus: DataFrame, path: str, n_cells: int = 8,
                    ignore_errors=True)
     cents = _coarse_cells(corpus, n_cells, id_col, vec_col)
     cents.write.mode("overwrite").parquet(f"{path}/_centroids")
-    c = _coarse_assign(spread(corpus).select(id_col, vec_col), cents,
-                       id_col, vec_col)
+    # same AUTO default as knn_ivfpq_adc: flat assignment below
+    # TWO_LEVEL_AUTO_CELLS (exact, cheap), super-quantizer routing at or
+    # above it (the k ∝ N posture where flat is quadratic)
+    if two_level_assign is None:
+        two_level_assign = n_cells >= TWO_LEVEL_AUTO_CELLS
+    if two_level_assign:
+        c = coarse_assign_two_level(
+            spread(corpus).select(id_col, vec_col), cents, id_col,
+            vec_col, n_probe=assign_probe)
+    else:
+        c = _coarse_assign(spread(corpus).select(id_col, vec_col), cents,
+                           id_col, vec_col)
     c = c.localCheckpoint(eager=False)  # assignment feeds train AND encode
     res = c.select(id_col, F.col("resid").alias(vec_col))
     codebooks = pq_train(res.filter(F.col(id_col) >= n_cells), m, k_codes,

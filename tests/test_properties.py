@@ -2164,3 +2164,55 @@ def test_two_level_assign_full_probe_equals_flat(spark):
         expect = [a - b for a, b in
                   zip(vec_map[r["vec_id"]], cent_map[r["cell"]])]
         assert all(abs(x - y) < 1e-9 for x, y in zip(r["resid"], expect))
+
+
+def test_two_level_auto_default(spark, monkeypatch):
+    """two_level_assign=None is AUTO: flat assignment below
+    TWO_LEVEL_AUTO_CELLS, super-quantizer routing at or above it —
+    pinning the threshold the ANN.md round-11 planted-cluster posture
+    measurement backs.  Explicit True/False still forces either path."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 17 + j * 5) % 13) for j in range(16)])
+         for i in range(80)], "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    calls = {"two_level": 0, "flat": 0}
+    real_two = S.coarse_assign_two_level
+    real_flat = S._coarse_assign
+
+    def spy_two(*a, **kw):
+        calls["two_level"] += 1
+        return real_two(*a, **kw)
+
+    def spy_flat(*a, **kw):
+        calls["flat"] += 1
+        return real_flat(*a, **kw)
+
+    monkeypatch.setattr(S, "coarse_assign_two_level", spy_two)
+    monkeypatch.setattr(S, "_coarse_assign", spy_flat)
+
+    assert S.TWO_LEVEL_AUTO_CELLS == 64
+    # below the threshold: auto -> flat
+    S.knn_ivfpq_adc(emb, queries, k=2, n_cells=8, n_probe=2, m=2,
+                    k_codes=4).count()
+    assert calls == {"two_level": 0, "flat": 1}
+    # at the threshold: auto -> two-level
+    S.knn_ivfpq_adc(emb, queries, k=2, n_cells=64, n_probe=2, m=2,
+                    k_codes=4).count()
+    assert calls["two_level"] == 1
+    # explicit False forces flat even at a large cell count
+    flat_before = calls["flat"]
+    S.knn_ivfpq_adc(emb, queries, k=2, n_cells=64, n_probe=2, m=2,
+                    k_codes=4, two_level_assign=False).count()
+    assert calls["flat"] == flat_before + 1 and calls["two_level"] == 1
+    # write_ivfpq_index shares the auto default
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        S.write_ivfpq_index(emb, f"{d}/small", n_cells=8, m=2, k_codes=4)
+        assert calls["two_level"] == 1
+        S.write_ivfpq_index(emb, f"{d}/big", n_cells=64, m=2, k_codes=4)
+        assert calls["two_level"] == 2

@@ -600,9 +600,11 @@ def main() -> None:
         emb = spark.read.parquet(paths[f]["embeddings"])
         queries = emb.filter(F.col("vec_id") < 50)
         # cells scale with the corpus (fixed expected list size), the
-        # standard IVF posture; probe count fixed
+        # standard IVF posture; probe count fixed.  two_level_assign is
+        # pinned False: this curve MEASURES the flat-assignment cliff
+        # the auto default (None -> two-level at n_cells >= 64) avoids
         return S.knn_ivfpq_adc(emb, queries, k=5, n_cells=8 * f,
-                               n_probe=4).count()
+                               n_probe=4, two_level_assign=False).count()
 
     def op_knn_ivfpq_2l(f):
         # same k-proportional-to-N posture as op_knn_ivfpq, with the
