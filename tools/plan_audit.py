@@ -97,7 +97,15 @@ def main() -> None:
                       # static plan trivially empty; per-round plan
                       # evidence is bpe_pair_stats' section (same
                       # aggregation shape)
-                      "bpe_train_merges"}
+                      "bpe_train_merges",
+                      # round 11: same shape — the RTBF probes erase
+                      # eagerly through erase_everywhere and return a
+                      # checkpointed read-back; the retraction paths'
+                      # plan evidence is the prune tests in
+                      # tests/test_erase_propagate.py (touched dates/
+                      # buckets/batches only, byte-stable elsewhere)
+                      "erase_rollup_probe", "erase_ivm_probe",
+                      "erase_feed_probe"}
     names = list(dict.fromkeys(          # a name in bench AND extra audits once
         bench.HEADLINE
         + [n for n in bench.EXTENSION_HEADLINE
@@ -142,8 +150,12 @@ def main() -> None:
            "the per-call farm is now HARDLINKS (safe because every store",
            "mutation is staged-write + rename — new inodes, never a write",
            "through a link).  Measured split at sf0.1: link farm 0.03s,",
-           "erase+audit 8.5s steady-state — the headline (6.7s min-of-2",
-           "in BENCH_r10) is the compliance loop itself: request-pruned",
+           "erase+audit 8.5s steady-state (builder-run numbers; the",
+           "DRIVER record is BENCH_r10 = 8.67s — the builder's same-code",
+           "full-population run totalled 78.67s vs the driver's 88.29s,",
+           "a uniform ~1.12x environment drift, which is exactly what",
+           "the round-11 bench calibration probe now measures per",
+           "round).  The headline is the compliance loop: request-pruned",
            "erases across five stores plus five full-store audits (the",
            "audit SCANS each store to recount erased refs from the bytes;",
            "that full scan is the verification artifact, the erase itself",

@@ -405,6 +405,104 @@ def main() -> None:
         dt = time.perf_counter() - t0
         return D2.read_signature_store(spark, store).count(), dt
 
+    def op_erase_rollup_fixed_request(f):
+        # aggregate-retraction scaling: a FIXED base-range user request
+        # against a rollup maintained over events growing with f.  The
+        # rollup store itself stays hours x types rows at every factor
+        # (the aggregate's cardinality is corpus-independent), so the
+        # claim under test is the RETRACTION pipeline: subjects' batch
+        # aggregate (one pass over the subjects' slice), touched-date
+        # pruned store read + swap (flat), and the min/max heal scan
+        # (kept events in touched dates, broadcast-semi-pruned to heal
+        # groups before aggregating).  Build is fixture; timer covers
+        # erase_from_rollup only.
+        from localsql_spark.operators import hash32
+        from localsql_spark.sinks.rollup import (erase_from_rollup,
+                                                 maintain_rollup)
+        import shutil
+        ev = spark.read.parquet(paths[f]["events"])
+        roll = str(root / f"erase_roll_{f}x")
+        shutil.rmtree(roll, ignore_errors=True)  # fresh per attempt
+        maintain_rollup(spark, roll, ev, grain="hour")
+        keys = (ev.filter((F.col("user_id") < 1000)
+                          & (hash32(F.col("user_id")) % 53 == 0))
+                .select("user_id").distinct()
+                .localCheckpoint(eager=True))
+        t0 = time.perf_counter()
+        dates = erase_from_rollup(spark, roll, ev, keys, "user_id",
+                                  grain="hour")
+        dt = time.perf_counter() - t0
+        return len(dates), dt
+
+    def op_erase_ivm_fixed_request(f):
+        # join-view retraction scaling: fixed base-range subject set vs a
+        # fact table growing with f; the view (64 groups) is corpus-
+        # independent, so the timed pipeline is the subjects' Δ ⋈ dim
+        # aggregate + the touched-bucket-pruned fold.  Build is fixture;
+        # timer covers erase_from_view only.
+        from localsql_spark.operators import hash32
+        from localsql_spark.sinks.ivm import (erase_from_view,
+                                              maintain_join_view)
+        ev = spark.read.parquet(paths[f]["events"])
+        dim = (ev.select("user_id").distinct()
+               .select("user_id", F.pmod(F.col("user_id"), F.lit(64))
+                       .alias("grp")))
+        import shutil
+        view = str(root / f"erase_view_{f}x")
+        shutil.rmtree(view, ignore_errors=True)  # fresh per attempt
+        for sidecar in (f".erase_view_{f}x.meta.json",
+                        f".erase_view_{f}x.schema.json"):
+            (root / sidecar).unlink(missing_ok=True)
+        maintain_join_view(spark, view, ev, dim, fact_key="user_id",
+                           dim_key="user_id", group_col="grp",
+                           value_col="value")
+        keys = (ev.filter((F.col("user_id") < 1000)
+                          & (hash32(F.col("user_id")) % 53 == 0))
+                .select("user_id").distinct()
+                .localCheckpoint(eager=True))
+        t0 = time.perf_counter()
+        buckets = erase_from_view(spark, view, ev, keys, "user_id", dim,
+                                  fact_key="user_id", dim_key="user_id",
+                                  group_col="grp", value_col="value")
+        dt = time.perf_counter() - t0
+        return len(buckets), dt
+
+    def op_erase_feed_fixed_request(f):
+        # durable-CDC-feed erasure scaling: 8 feed batches whose SIZE
+        # grows with f; the subject set is pinned to 2 of the 8 batches
+        # (base ids with doc_id % 8 in {0,1}), so the claim under test is
+        # that only those 2 dirs rewrite — the key scan reads the feed
+        # once (column-pruned), the rewrite cost tracks the touched
+        # batches.  Feed production is fixture; timer covers
+        # erase_from_feed only.
+        from localsql_spark.operators import hash32
+        from localsql_spark.streaming.foreach_upsert import (
+            apply_batch_with_feed, erase_from_feed)
+        docs = spark.read.parquet(paths[f]["documents"])
+        n_base = docs.count() // f
+        import shutil
+        froot = root / f"erase_feed_{f}x"
+        shutil.rmtree(froot, ignore_errors=True)  # fresh per attempt
+        out_dir, feed_dir = froot / "table", froot / "feed"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        feed_dir.mkdir(parents=True, exist_ok=True)
+        base = docs.select("doc_id", F.lit(1).alias("version"),
+                           F.col("text"))
+        for i in range(8):
+            apply_batch_with_feed(
+                base.filter(F.pmod(F.col("doc_id"), F.lit(8)) == i), i,
+                key="doc_id", version="version", out_dir=str(out_dir),
+                feed_dir=str(feed_dir))
+        keys = (docs.filter((F.col("doc_id") < n_base)
+                            & (F.pmod(F.col("doc_id"), F.lit(8)) < 2)
+                            & (hash32(F.col("doc_id")) % 53 == 0))
+                .select("doc_id").localCheckpoint(eager=True))
+        t0 = time.perf_counter()
+        touched = erase_from_feed(spark, str(feed_dir), keys, "doc_id")
+        dt = time.perf_counter() - t0
+        assert sorted(touched) == [0, 1], touched
+        return len(touched), dt
+
     def op_profile(f):
         from localsql_spark.operators.corpus import profile_columns
         ev = spark.read.parquet(paths[f]["events"])
@@ -679,7 +777,10 @@ def main() -> None:
            "invidx_probe": op_index_probe,
            "knn_ivfpq_2l": op_knn_ivfpq_2l,
            "erase_fixed_request": op_erase_fixed_request,
-           "erase_sig_fixed_request": op_erase_sig_store_fixed_request}
+           "erase_sig_fixed_request": op_erase_sig_store_fixed_request,
+           "erase_rollup_fixed_request": op_erase_rollup_fixed_request,
+           "erase_ivm_fixed_request": op_erase_ivm_fixed_request,
+           "erase_feed_fixed_request": op_erase_feed_fixed_request}
 
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:
