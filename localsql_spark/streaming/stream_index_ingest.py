@@ -29,16 +29,23 @@ def stream_index_ingest(spark: SparkSession, *, source_dir: str, schema,
                         land_dir: str, index_dir: str, checkpoint_dir: str,
                         n_buckets: int = 16, doc_id_col: str = "doc_id",
                         text_col: str = "text",
+                        erase_ledger: str | None = None,
                         max_files_per_trigger: int = 1) -> int:
     """Land + fold in one call: drain the document file stream into
     per-batch landing dirs, then fold every unapplied batch's postings
-    into the persisted index.  Returns the number of batches folded."""
+    into the persisted index.  Returns the number of batches folded.
+    ``erase_ledger`` (optional) drops erased subjects' late-arriving
+    documents before they index — the ledger half of the
+    erase-vs-late-landing-batch contract (sinks.erase.filter_erased;
+    see stream_erase_ingest)."""
+    from localsql_spark.sinks.erase import filter_erased
+
     stream_land_batches(spark, source_dir=source_dir, schema=schema,
                         land_dir=land_dir, checkpoint_dir=checkpoint_dir,
                         max_files_per_trigger=max_files_per_trigger)
     return fold_landed_with(
         spark, land_dir, index_dir,
-        lambda df: index_add_documents(spark, index_dir, df,
-                                       n_buckets=n_buckets,
-                                       doc_id_col=doc_id_col,
-                                       text_col=text_col))
+        lambda df: index_add_documents(
+            spark, index_dir, filter_erased(df, erase_ledger, doc_id_col),
+            n_buckets=n_buckets, doc_id_col=doc_id_col,
+            text_col=text_col))

@@ -36,13 +36,22 @@ from localsql_spark.operators.similarity import _ivf_base, append_ivf_index
 
 def ivf_ingest_batch(batch: DataFrame, batch_id: int, *,
                      index_path: str, id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> int:
+                     vec_col: str = "embedding",
+                     erase_ledger: str | None = None) -> int:
     """Apply ONE micro-batch: assign against the existing centroids and
     land as ``delta/batch_<id>``.  Returns vectors appended (0 for a
-    replay already folded into a compacted generation)."""
+    replay already folded into a compacted generation).
+    ``erase_ledger`` (optional) drops erased subjects' late-arriving
+    vectors before they land — this index stores RAW embeddings, so a
+    late re-ingest is the personal data itself coming back
+    (sinks.erase.filter_erased; a ledger-filtered redelivery rewrites
+    its delta dir as a SUBSET, never a resurrection)."""
     _, upto = _ivf_base(index_path)
     if batch_id <= upto:
         return 0
+    if erase_ledger is not None:
+        from localsql_spark.sinks.erase import filter_erased
+        batch = filter_erased(batch, erase_ledger, id_col)
     return append_ivf_index(batch.sparkSession, index_path, batch,
                             batch_id, id_col=id_col, vec_col=vec_col)
 
@@ -50,6 +59,7 @@ def ivf_ingest_batch(batch: DataFrame, batch_id: int, *,
 def stream_ivf_ingest(spark: SparkSession, *, source_dir: str, schema,
                       index_path: str, checkpoint_dir: str,
                       id_col: str = "vec_id", vec_col: str = "embedding",
+                      erase_ledger: str | None = None,
                       max_files_per_trigger: int = 1) -> None:
     """Drain a file stream of embedding batches into the persisted IVF
     index (availableNow trigger: process the backlog in order, then
@@ -61,7 +71,8 @@ def stream_ivf_ingest(spark: SparkSession, *, source_dir: str, schema,
         if batch_df.isEmpty():
             return
         ivf_ingest_batch(batch_df, batch_id + 1, index_path=index_path,
-                         id_col=id_col, vec_col=vec_col)
+                         id_col=id_col, vec_col=vec_col,
+                         erase_ledger=erase_ledger)
 
     q = (spark.readStream.schema(schema)
          .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -38,17 +38,25 @@ def stream_nb_ingest(spark: SparkSession, *, source_dir: str, schema,
                      land_dir: str, model_dir: str, checkpoint_dir: str,
                      positive: Column, n_buckets: int = 16,
                      doc_id_col: str = "doc_id", text_col: str = "text",
+                     erase_ledger: str | None = None,
                      max_files_per_trigger: int = 1) -> int:
     """Land + fold in one call: drain the document file stream into
     per-batch landing dirs, then fold every unapplied batch's token
     counts into the persisted model.  Returns the number of batches
-    folded."""
+    folded.  ``erase_ledger`` (optional) keeps erased subjects' late-
+    arriving documents out of the additive counts — the model is
+    NON-retractable, so a subject trained in by a late batch could only
+    leave via a full retrain (sinks.erase.rebuild_nonretractable);
+    dropping at ingest is the cheap half of that contract
+    (sinks.erase.filter_erased; see stream_erase_ingest)."""
+    from localsql_spark.sinks.erase import filter_erased
+
     stream_land_batches(spark, source_dir=source_dir, schema=schema,
                         land_dir=land_dir, checkpoint_dir=checkpoint_dir,
                         max_files_per_trigger=max_files_per_trigger)
     return fold_landed_with(
         spark, land_dir, model_dir,
-        lambda df: nb_model_update(spark, model_dir, df, positive,
-                                   n_buckets=n_buckets,
-                                   doc_id_col=doc_id_col,
-                                   text_col=text_col))
+        lambda df: nb_model_update(
+            spark, model_dir, filter_erased(df, erase_ledger, doc_id_col),
+            positive, n_buckets=n_buckets, doc_id_col=doc_id_col,
+            text_col=text_col))

@@ -39,8 +39,14 @@ _ROW_LOCAL = ("not_null", "between", "accepted", "matches")
 
 def validate_ingest_batch(batch: DataFrame, batch_id: int, *,
                           rules: list[Rule], out_dir: str,
-                          quarantine_dir: str) -> tuple[int, int]:
-    """Route ONE micro-batch; returns (n_passed, n_quarantined)."""
+                          quarantine_dir: str,
+                          erase_ledger: str | None = None,
+                          subject_col: str | None = None) -> tuple[int, int]:
+    """Route ONE micro-batch; returns (n_passed, n_quarantined).
+    ``erase_ledger`` + ``subject_col`` (optional, together) drop erased
+    subjects' late-arriving rows before routing — BOTH routes, since the
+    quarantine is a persisted store too (sinks.erase.filter_erased; see
+    stream_erase_ingest for the contract)."""
     bad = [r.kind for r in rules if r.kind not in _ROW_LOCAL]
     if bad:
         raise ValueError(
@@ -51,6 +57,9 @@ def validate_ingest_batch(batch: DataFrame, batch_id: int, *,
         # batch are already durable inside a generation dir — recreating
         # batch_<id> would double-read them
         return 0, 0
+    if erase_ledger is not None and subject_col is not None:
+        from localsql_spark.sinks.erase import filter_erased
+        batch = filter_erased(batch, erase_ledger, subject_col)
     passed, quarantined = validate_and_split(batch, rules)
     (passed.write.mode("overwrite")
      .parquet(str(Path(out_dir) / f"batch_{batch_id}")))
@@ -64,15 +73,20 @@ def validate_ingest_batch(batch: DataFrame, batch_id: int, *,
 def stream_validate_ingest(spark: SparkSession, *, source_dir: str, schema,
                            rules: list[Rule], out_dir: str,
                            quarantine_dir: str, checkpoint_dir: str,
+                           erase_ledger: str | None = None,
+                           subject_col: str | None = None,
                            max_files_per_trigger: int = 1) -> None:
     """Drain a file stream through the validation gate (availableNow
-    trigger: process the backlog in order, then stop)."""
+    trigger: process the backlog in order, then stop).
+    ``erase_ledger``/``subject_col`` — see :func:`validate_ingest_batch`."""
     Path(out_dir).mkdir(parents=True, exist_ok=True)
     Path(quarantine_dir).mkdir(parents=True, exist_ok=True)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         validate_ingest_batch(batch_df, batch_id, rules=rules,
-                              out_dir=out_dir, quarantine_dir=quarantine_dir)
+                              out_dir=out_dir, quarantine_dir=quarantine_dir,
+                              erase_ledger=erase_ledger,
+                              subject_col=subject_col)
 
     q = (spark.readStream.schema(schema)
          .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -1368,3 +1368,68 @@ def test_erase_ledger_compaction_and_replay(spark, tmp_path):
         spark.createDataFrame([(999,)], "doc_id long"), led, 0)
     got2 = sorted(r[0] for r in read_erase_ledger(spark, led).collect())
     assert got2 == [11, 22, 33]
+
+
+def test_erase_ledger_wired_across_ingest_twins(spark, tmp_path):
+    """Every subject-keyed ingest fold consults the ledger: a ledgered
+    subject's late batch never reaches the inverted index, the NB count
+    store, the IVF delta, or either validation route."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators.selection import nb_model_read
+    from localsql_spark.operators.similarity import (_ivf_slices,
+                                                     write_ivf_index)
+    from localsql_spark.sinks.erase import erase_ledger_append
+    from localsql_spark.sinks.inverted_index import index_add_documents
+    from localsql_spark.streaming.stream_ivf_ingest import ivf_ingest_batch
+    from localsql_spark.streaming.stream_validate_ingest import (
+        read_routed, validate_ingest_batch)
+
+    led = str(tmp_path / "ledger")
+    erase_ledger_append(spark.createDataFrame([(5,)], "id long"), led, 0)
+
+    docs = _mk_docs(spark, [(5, "subject words here"),
+                            (6, "bystander text body")])
+
+    # inverted index (via the fold lambda's filter — call the sink the
+    # way stream_index_ingest now does)
+    from localsql_spark.sinks.erase import filter_erased
+    idx = str(tmp_path / "idx")
+    index_add_documents(spark, idx, filter_erased(docs, led, "doc_id"))
+    post = (spark.read.option("basePath", idx).parquet(idx)
+            .filter(F.col("tb") != 16))
+    assert post.filter(F.col("doc_id") == 5).count() == 0
+    assert post.filter(F.col("doc_id") == 6).count() > 0
+
+    # NB model fold
+    from localsql_spark.operators.selection import nb_model_update
+    model = str(tmp_path / "nb")
+    nb_model_update(spark, model, filter_erased(docs, led, "doc_id"),
+                    positive=F.col("doc_id") % 2 == 0)
+    m, _meta = nb_model_read(spark, model)
+    assert m.filter(F.col("word") == "subject").count() == 0
+
+    # IVF delta
+    emb = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(4)]) for i in range(4)],
+        "vec_id long, embedding array<double>")
+    late = spark.createDataFrame(
+        [(5, [9.0, 9.0, 9.0, 9.0]), (6, [1.0, 2.0, 3.0, 4.0])],
+        "vec_id long, embedding array<double>")
+    ivf = str(tmp_path / "ivf")
+    write_ivf_index(emb, ivf, n_cells=2)
+    n = ivf_ingest_batch(late, 1, index_path=ivf, erase_ledger=led)
+    ids = {r["neighbor_id"] for r in _ivf_slices(spark, ivf).collect()}
+    assert 5 not in ids and 6 in ids and n == 1
+
+    # validation gate: neither route lands the subject
+    ev = spark.createDataFrame([(5, 10.0), (6, -1.0), (7, 3.0)],
+                               "id long, v double")
+    out, quar = str(tmp_path / "ok"), str(tmp_path / "bad")
+    from localsql_spark.operators.quality import between
+    validate_ingest_batch(
+        ev, 0, rules=[between("v", 0.0, 5.0)],
+        out_dir=out, quarantine_dir=quar, erase_ledger=led,
+        subject_col="id")
+    assert {r["id"] for r in read_routed(spark, out).collect()} == {7}
+    assert {r["id"] for r in read_routed(spark, quar).collect()} == {6}
