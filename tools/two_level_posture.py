@@ -72,7 +72,10 @@ def main() -> None:
                 "embedding",
                 lambda x, i: F.lit(10.0) * F.sin(c * 31 + i * 7)
                 + x.cast("double") * F.lit(0.05)).alias("embedding"))
-        planted = planted.localCheckpoint(eager=True)
+        # the crossJoin-grown frame inherits the single-file read's
+        # partitioning — spread it or the O(N*k) flat baseline runs on
+        # ~2 cores and the wall numbers measure partition count
+        planted = planted.repartition(64).localCheckpoint(eager=True)
         queries = planted.filter(F.col("vec_id") < N_QUERIES)
         cents = _coarse_cells(planted, n_cells, "vec_id", "embedding")
 
