@@ -166,6 +166,23 @@ def main() -> None:
            "result), hence no sections below; bpe_train's per-round",
            "aggregation shape is bpe_pair_stats' section.",
            "",
+           "Round-11 note on bench drift (and why BENCH_CALIBRATION.json",
+           "exists): the r11 builder's full run totalled ~102s vs r10's",
+           "88.29s driver record, and the control worktree experiment",
+           "(same 3-query subset on the UNCHANGED r10 commit, same day)",
+           "reproduced the slowdown code-free: knn_ivfpq_top5 9.08s on",
+           "r10 code vs 9.34s on r11 code (r10 record: 7.59s);",
+           "knn_ivf_trained_planted 7.79s r10 code vs 6.83s r11 code.",
+           "So the delta is ENVIRONMENT, with a twist the calibration",
+           "probe now captures: the drift is NON-uniform — sub-second",
+           "scan/agg queries ran at r10 speed while multi-second",
+           "shuffle-heavy queries ran ~25% slower — which is why the",
+           "probe includes a shuffle-heavy member (dedup_minhash_pairs)",
+           "and why BENCH_DETAIL.json records pre/post calibration plus",
+           "drift_vs_reference against the committed",
+           "BENCH_CALIBRATION.json anchor: future rounds can separate",
+           "machine from code without re-running this experiment.",
+           "",
            "Round-6 note on the r5 `dedup_clusters_bigstar` (6.33s) and",
            "`pipeline_clean_corpus` (3.76s) `weak` marks: the controlled",
            "experiment the verdict asked for (SPARK_GRAFT_BENCH_ONLY, r4's",
