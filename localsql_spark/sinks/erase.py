@@ -262,6 +262,57 @@ def k_anonymity_audit(df: DataFrame, qi_cols: list[str],
             .withColumn("at_risk", F.col("class_size") < k))
 
 
+def dp_noisy_counts(df: DataFrame, group_cols: list[str],
+                    epsilon: float = 1.0, min_class: int = 0,
+                    seed: str = "dp") -> DataFrame:
+    """Laplace-mechanism noisy counts for a RELEASED group-by — the
+    standard output-perturbation step (Dwork et al., "Calibrating Noise
+    to Sensitivity in Private Data Analysis", TCC 2006 — public) that
+    completes the governance trio next to :func:`pseudonymize` and
+    :func:`k_anonymity_audit`: pseudonymization breaks direct
+    identifiers, k-anonymity flags re-identifiable classes, and noisy
+    counts bound what the released AGGREGATES themselves reveal about
+    any one subject.
+
+    A count's sensitivity under add/remove-one-row is 1, so noise is
+    Laplace(1/epsilon): inverse-CDF transform of a uniform draw,
+    ``-b * sign(u) * ln(1 - 2|u|)`` for u in (-0.5, 0.5).  The draw is
+    DETERMINISTIC — hash32(seed || group key) — which makes the release
+    reproducible, oracle-checkable, and stable across re-runs (releasing
+    twice with the same seed reveals nothing new; releasing with a FRESH
+    seed per release is the caller's epsilon-budget decision).  This is
+    the honest trade to state: true DP requires fresh randomness per
+    release; the mechanism and its calibration are exactly the Laplace
+    mechanism, and a production deployment swaps the seeded draw for a
+    secure one without touching the plan shape.
+
+    ``min_class`` > 0 additionally SUPPRESSES groups smaller than it
+    (the k-anonymity composition: tiny classes are both re-identifiable
+    and the ones noise distorts most, so standard releases drop them).
+
+    Plan shape: one groupBy with map-side combine, then row-local noise
+    — no second shuffle; output is class-count-sized at any corpus
+    scale.  Returns ``(*group_cols, noisy_n)`` with noisy_n rounded to
+    6 decimals (portable float)."""
+    from localsql_spark.operators import hash32
+
+    counted = (df.groupBy(*group_cols)
+               .agg(F.count(F.lit(1)).alias("__true_n")))
+    if min_class > 0:
+        counted = counted.filter(F.col("__true_n") >= min_class)
+    key = F.concat_ws(
+        "\x1f", F.lit(seed),
+        *[F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+          for c in group_cols])
+    # hash -> uniform in (-0.5, 0.5), exactly reproducible in DuckDB
+    u = ((hash32(key) % 1_000_000).cast("double") + 0.5) / 1_000_000.0 - 0.5
+    b = 1.0 / epsilon
+    noise = (-b) * F.signum(u) * F.log(1 - 2 * F.abs(u))
+    return counted.select(
+        *group_cols,
+        F.round(F.col("__true_n") + noise, 6).alias("noisy_n"))
+
+
 def erase_everywhere(spark: SparkSession, keys: DataFrame, *,
                      primary: dict | None = None,
                      inverted_index: dict | None = None,

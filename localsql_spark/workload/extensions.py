@@ -5599,3 +5599,40 @@ def erase_feed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True))
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query("dp_release_lang_source", oracle="""
+WITH counted AS (
+  SELECT lang, source, count(*) AS true_n
+  FROM documents GROUP BY lang, source HAVING count(*) >= 5),
+noised AS (
+  SELECT lang, source, true_n,
+         ((CAST(CAST('0x' || substr(md5(
+             concat_ws(chr(31), 'dp-release',
+                       COALESCE(CAST(lang AS VARCHAR), '<null>'),
+                       COALESCE(CAST(source AS VARCHAR), '<null>'))),
+             1, 8) AS BIGINT) % 1000000 AS DOUBLE) + 0.5) / 1000000.0)
+         - 0.5 AS u
+  FROM counted)
+SELECT lang, source,
+       round(true_n + (-1.0) * sign(u) * ln(1 - 2 * abs(u)), 6) AS noisy_n
+FROM noised
+""")
+def dp_release_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance release with the Laplace mechanism
+    (sinks.erase.dp_noisy_counts, Dwork et al. TCC 2006): per
+    (lang, source) document counts released with k-anonymity
+    suppression (classes under 5 dropped) and seeded Laplace(1/eps)
+    noise at eps=1 — the output-perturbation step that bounds what the
+    released aggregate reveals about any one subject, completing the
+    governance trio next to pseudonymize and k_anonymity_audit.  The
+    oracle replays the hash-seeded inverse-CDF draw exactly (portable
+    md5-derived uniform, sign/ln arithmetic), so the DRAW ITSELF is
+    hash-verified cross-engine, not just the counts.  One map-side-
+    combined groupBy + row-local noise; output is class-count-sized at
+    any corpus scale."""
+    from localsql_spark.sinks.erase import dp_noisy_counts
+
+    docs = load(spark, sf_dir)["documents"]
+    return dp_noisy_counts(docs, ["lang", "source"], epsilon=1.0,
+                           min_class=5, seed="dp-release")

@@ -2216,3 +2216,89 @@ def test_two_level_auto_default(spark, monkeypatch):
         assert calls["two_level"] == 1
         S.write_ivfpq_index(emb, f"{d}/big", n_cells=64, m=2, k_codes=4)
         assert calls["two_level"] == 2
+
+
+def test_rollup_erase_equals_fresh_on_random_corpora(spark, tmp_path):
+    """Randomized (seeded) stress of the rollup retraction: for several
+    generated event corpora and subject sets — including subjects owning
+    group minima/maxima, whole groups, and whole dates — the erased
+    store equals a rollup maintained from scratch on the kept rows,
+    row-for-row."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from localsql_spark.sinks.rollup import (erase_from_rollup,
+                                             maintain_rollup, read_rollup)
+
+    rng = random.Random(1711)
+    for case in range(4):
+        users = list(range(1, 8))
+        rows = []
+        for eid in range(60):
+            u = rng.choice(users)
+            day = rng.choice(["2024-03-01", "2024-03-02"])
+            hour = rng.choice(["00", "01"])
+            typ = rng.choice(["A", "B"])
+            val = round(rng.uniform(-50, 50), 3)
+            rows.append((eid, u, typ, val, f"{day} {hour}:15:00"))
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, "
+                  "value double, ts_s string").withColumn(
+            "ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        subjects = rng.sample(users, rng.randint(1, 4))
+        keys = spark.createDataFrame([(u,) for u in subjects],
+                                     "user_id long")
+
+        store = str(tmp_path / f"roll_{case}")
+        fresh = str(tmp_path / f"fresh_{case}")
+        maintain_rollup(spark, store, ev, grain="hour")
+        erase_from_rollup(spark, store, ev, keys, "user_id", grain="hour")
+        maintain_rollup(spark, fresh,
+                        ev.filter(~F.col("user_id").isin(subjects)),
+                        grain="hour")
+
+        def rows_of(d):
+            return sorted(map(tuple, read_rollup(spark, d)
+                              .select("bucket_ts", "key", "n_events",
+                                      "sum_value", "min_value",
+                                      "max_value", "event_date")
+                              .collect()))
+
+        assert rows_of(store) == rows_of(fresh), f"case {case} diverged"
+
+
+def test_dp_noisy_counts_mechanism(spark):
+    """The seeded Laplace release: deterministic across calls, class
+    suppression below min_class, noise bounded by the inverse-CDF's
+    range at the draw resolution, and a different seed moves the
+    noise."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.sinks.erase import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de", f"s{i % 2}") for i in range(40)],
+        "id long, lang string, source string")
+    rel1 = {(r["lang"], r["source"]): r["noisy_n"]
+            for r in dp_noisy_counts(df, ["lang", "source"],
+                                     epsilon=1.0).collect()}
+    rel2 = {(r["lang"], r["source"]): r["noisy_n"]
+            for r in dp_noisy_counts(df, ["lang", "source"],
+                                     epsilon=1.0).collect()}
+    assert rel1 == rel2 and len(rel1) == 4  # deterministic release
+    true = {(r["lang"], r["source"]): r["n"]
+            for r in df.groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    # Laplace(1) noise at draw resolution 1e6: |noise| <= ln(1e6) ~ 13.8
+    import math
+    for k, v in rel1.items():
+        assert abs(v - true[k]) <= math.log(1_000_000) + 1e-9
+    # suppression: every class here is under 100
+    assert dp_noisy_counts(df, ["lang", "source"],
+                           min_class=100).count() == 0
+    # seed moves the draw on at least one class
+    rel3 = {(r["lang"], r["source"]): r["noisy_n"]
+            for r in dp_noisy_counts(df, ["lang", "source"], epsilon=1.0,
+                                     seed="other").collect()}
+    assert rel3 != rel1
