@@ -114,6 +114,8 @@ EXTENSION_HEADLINE = [
     # Structured Streaming startup for the feed PRODUCER, not erase work.
     "erase_rollup_probe",
     "erase_ivm_probe",
+    # round 11: governance release (suppressed + seeded-Laplace counts)
+    "dp_release_lang_source",
     # round 10: erase_rebuild_models is correctness-gated, not benched —
     # it deliberately trains the IVFPQ/NB/HLL stores TWICE (full corpus,
     # then post-erase retrain) to prove rebuilt == never-saw-the-subjects,

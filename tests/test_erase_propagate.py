@@ -979,3 +979,65 @@ def test_erase_everywhere_covers_aggregate_stores_and_feed(spark, tmp_path):
         assert r["erased_refs"] == 0, (name, r)
     assert rows["rollup"]["rows_after"] == 3
     assert rows["ivm_view"]["rows_after"] == 1  # g9 retracted, g1 stays
+
+
+def test_rollup_and_ivm_erase_crash_after_commit_heals_on_read(
+        spark, tmp_path, monkeypatch):
+    """A crash between the erase's manifest commit and the partition
+    swaps heals on the next read for BOTH aggregate stores — the shared
+    commit_staged_partitions machinery, pinned at these two new call
+    sites."""
+    from localsql_spark.sinks import merge as M
+    from localsql_spark.sinks.ivm import (erase_from_view,
+                                          maintain_join_view,
+                                          read_join_view)
+    from localsql_spark.sinks.rollup import (erase_from_rollup,
+                                             maintain_rollup, read_rollup)
+
+    ev = _events(spark)
+    keys = spark.createDataFrame([(99,)], "user_id long")
+    store = str(tmp_path / "roll")
+    maintain_rollup(spark, store, ev, grain="hour")
+
+    real_apply = M._apply_manifest
+    crashes = {"arm": False}
+
+    def crashing(base, manifest):
+        if crashes["arm"]:
+            crashes["arm"] = False
+            raise OSError("simulated crash after manifest commit")
+        return real_apply(base, manifest)
+
+    monkeypatch.setattr(M, "_apply_manifest", crashing)
+    crashes["arm"] = True
+    with pytest.raises(OSError, match="simulated crash"):
+        erase_from_rollup(spark, store, ev, keys, "user_id", grain="hour")
+    # manifest stands; the next read heals and serves the erased state
+    assert M._manifest_path(Path(store)).exists()
+    got = read_rollup(spark, store)
+    fresh = str(tmp_path / "fresh")
+    maintain_rollup(spark, fresh, ev.filter(F.col("user_id") != 99),
+                    grain="hour")
+    cols = ["bucket_ts", "key", "n_events", "sum_value",
+            "min_value", "max_value", "event_date"]
+    assert sorted(map(tuple, got.select(*cols).collect())) \
+        == sorted(map(tuple,
+                      read_rollup(spark, fresh).select(*cols).collect()))
+
+    # IVM twin
+    dim = spark.createDataFrame([(1, "g1"), (2, "g1"), (99, "g9")],
+                                "k long, grp_name string")
+    fact = ev.select(F.col("event_id").alias("fid"),
+                     F.col("user_id").alias("k"),
+                     F.col("value").alias("v"))
+    view = str(tmp_path / "view")
+    maintain_join_view(spark, view, fact, dim, fact_key="k", dim_key="k",
+                       group_col="grp_name", value_col="v", n_buckets=4)
+    crashes["arm"] = True
+    with pytest.raises(OSError, match="simulated crash"):
+        erase_from_view(spark, view, fact, keys, "k", dim, fact_key="k",
+                        dim_key="k", group_col="grp_name", value_col="v",
+                        n_buckets=4)
+    assert M._manifest_path(Path(view)).exists()
+    v = read_join_view(spark, view)
+    assert {r["grp"] for r in v.collect()} == {"g1"}  # g9 retracted away
