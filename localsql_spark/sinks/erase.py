@@ -388,6 +388,8 @@ def erase_everywhere(spark: SparkSession, keys: DataFrame, *,
                  F.count(F.lit(1)).alias("rows_after"),
                  F.count("_erase_key").alias("erased_refs")))
 
+    eager_audits: list[tuple] = []
+
     def _audit_divergence(name: str, got: DataFrame, exp: DataFrame,
                           join_cols: list[str],
                           val_cols: list[str]) -> None:
@@ -395,8 +397,15 @@ def erase_everywhere(spark: SparkSession, keys: DataFrame, *,
         # against the from-scratch recompute on kept rows; a row is
         # DIVERGENT when present on one side only or any value differs
         # (null-safe equality — and the join itself is null-safe so a
-        # NULL group compares rather than double-counting).  Deferred
-        # into the same single union job as the key-recount audits.
+        # NULL group compares rather than double-counting).  Evaluated
+        # EAGERLY, before the primary erase runs: the kept-rows
+        # recompute reads the caller's events/fact frame, and when that
+        # frame reads FROM the primary store being erased (a legitimate
+        # composition — the test pins it), a deferred evaluation would
+        # run against the store's pre-erase FILE LISTING after the
+        # rewrite replaced those files (FAILED_READ_FILE, or worse,
+        # stale bytes).  Cost: one extra aggregate job per aggregate
+        # store; the key-recount audits keep their fused single job.
         g = got.select(*[F.col(c).alias(f"__jg_{c}") for c in join_cols],
                        *[F.col(c).alias(f"__g_{c}") for c in val_cols],
                        F.lit(1).alias("__in_g"))
@@ -409,11 +418,13 @@ def erase_everywhere(spark: SparkSession, keys: DataFrame, *,
         same = F.col("__in_g").isNotNull() & F.col("__in_e").isNotNull()
         for c in val_cols:
             same = same & F.col(f"__g_{c}").eqNullSafe(F.col(f"__e_{c}"))
-        audits.append(
-            g.join(e, cond, "full_outer")
-            .agg(F.lit(name).alias("store"),
-                 F.count("__in_g").alias("rows_after"),
-                 F.count(F.when(~same, 1)).alias("erased_refs")))
+        row = (g.join(e, cond, "full_outer")
+               .agg(F.lit(name).alias("store"),
+                    F.count("__in_g").alias("rows_after"),
+                    F.count(F.when(~same, 1)).alias("erased_refs"))
+               .collect()[0])
+        eager_audits.append(
+            (row["store"], row["rows_after"], row["erased_refs"]))
 
     rows: list = []
     if inverted_index is not None:
@@ -508,17 +519,20 @@ def erase_everywhere(spark: SparkSession, keys: DataFrame, *,
         post_feed = read_feed(spark, feed["feed_dir"])
         if post_feed is not None:
             _audit("change_feed", post_feed, feed["key_col"], rows)
-    if not audits:
+    if not audits and not eager_audits:
         return spark.createDataFrame(
             [], "store string, rows_after long, erased_refs long")
-    out = audits[0]
-    for a in audits[1:]:
-        out = out.unionByName(a)
-    # one collect = one job for all five stores' post-erase recounts
+    collected = list(eager_audits)
+    if audits:
+        out = audits[0]
+        for a in audits[1:]:
+            out = out.unionByName(a)
+        # one collect = one job for all key-recount audits (the eager
+        # aggregate-store audits above already collected)
+        collected += [(r["store"], r["rows_after"], r["erased_refs"])
+                      for r in out.collect()]
     return spark.createDataFrame(
-        [(r["store"], r["rows_after"], r["erased_refs"])
-         for r in out.collect()],
-        "store string, rows_after long, erased_refs long")
+        collected, "store string, rows_after long, erased_refs long")
 
 
 # ---------------------------------------------------------------------------

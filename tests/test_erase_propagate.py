@@ -1041,3 +1041,48 @@ def test_rollup_and_ivm_erase_crash_after_commit_heals_on_read(
     assert M._manifest_path(Path(view)).exists()
     v = read_join_view(spark, view)
     assert {r["grp"] for r in v.collect()} == {"g1"}  # g9 retracted away
+
+
+def test_erase_everywhere_rollup_before_primary_ordering(spark, tmp_path):
+    """The ordering contract: when the rollup's ``events`` frame READS
+    FROM the primary store being erased, the composed flow must still
+    retract correctly — the aggregate retraction runs BEFORE the primary
+    erase (subjects' rows still readable for the negative delta), and
+    the deferred audit's kept-rows recompute stays correct because the
+    anti-join of already-erased rows is a no-op."""
+    from localsql_spark.sinks.erase import (erase_everywhere,
+                                            read_bucketed_store,
+                                            write_bucketed_store)
+    from localsql_spark.sinks.rollup import maintain_rollup, read_rollup
+
+    ev = _events(spark)
+    primary = str(tmp_path / "primary")
+    write_bucketed_store(
+        ev.select("event_id", "user_id", "event_type", "value", "ts"),
+        primary, "event_id", n_buckets=8)
+    events_from_primary = read_bucketed_store(spark, primary).drop("kb")
+
+    roll = str(tmp_path / "roll")
+    maintain_rollup(spark, roll, events_from_primary, grain="hour")
+
+    # erase by event_id (the primary's key): user 99's events
+    keys = (ev.filter(F.col("user_id") == 99).select("event_id"))
+    audit = erase_everywhere(
+        spark, keys,
+        primary={"base_dir": primary, "key_col": "event_id",
+                 "n_buckets": 8},
+        rollup={"rollup_dir": roll, "events": events_from_primary,
+                "subject_col": "event_id", "grain": "hour"})
+    rows = {r["store"]: r for r in audit.collect()}
+    assert rows["primary"]["erased_refs"] == 0
+    assert rows["rollup"]["erased_refs"] == 0
+
+    fresh = str(tmp_path / "fresh")
+    maintain_rollup(spark, fresh, ev.filter(F.col("user_id") != 99),
+                    grain="hour")
+    cols = ["bucket_ts", "key", "n_events", "sum_value",
+            "min_value", "max_value", "event_date"]
+    assert sorted(map(tuple, read_rollup(spark, roll)
+                      .select(*cols).collect())) \
+        == sorted(map(tuple, read_rollup(spark, fresh)
+                      .select(*cols).collect()))
