@@ -214,13 +214,21 @@ def read_feed(spark: SparkSession, feed_dir: str) -> DataFrame | None:
                   key=lambda p: int(p.name.split("_")[1]))
     if not dirs:
         return None
-    out = None
-    for d in dirs:
-        part = (spark.read.parquet(str(d))
-                .withColumn("batch_id",
-                            F.lit(int(d.name.split("_")[1]))))
-        out = part if out is None else out.unionByName(part)
-    return out
+    return _read_feed_dirs(spark, dirs)
+
+
+def _read_feed_dirs(spark: SparkSession, dirs: list[Path]) -> DataFrame:
+    """ONE multi-path scan over committed batch dirs with ``batch_id``
+    recovered from each row's file path — not a per-dir union, whose
+    plan grows one scan node per batch dir (an unconsumed feed
+    accumulates thousands; planning cost then scales with feed AGE
+    rather than with the data read).  Column pruning still reaches the
+    parquet scan; input_file_name is row metadata, not a read."""
+    return (spark.read.parquet(*[str(d) for d in dirs])
+            .withColumn(
+                "batch_id",
+                F.regexp_extract(F.input_file_name(), r"batch_(\d+)/", 1)
+                .cast("long")))
 
 
 def feed_watermark(feed_dir: str, consumer: str) -> int:
@@ -427,10 +435,4 @@ def read_feed_since(spark: SparkSession, feed_dir: str,
                   key=lambda p: int(p.name.split("_")[1]))
     if not dirs:
         return None
-    out = None
-    for d in dirs:
-        part = (spark.read.parquet(str(d))
-                .withColumn("batch_id",
-                            F.lit(int(d.name.split("_")[1]))))
-        out = part if out is None else out.unionByName(part)
-    return out
+    return _read_feed_dirs(spark, dirs)
