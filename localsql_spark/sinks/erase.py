@@ -290,6 +290,10 @@ def dp_noisy_counts(df: DataFrame, group_cols: list[str],
     (the k-anonymity composition: tiny classes are both re-identifiable
     and the ones noise distorts most, so standard releases drop them).
 
+    The draw's 1e6-step resolution truncates the Laplace tail at
+    ``|noise| <= b * ln(1e6)`` (~13.8/epsilon) — negligible mass
+    (~1e-6) and the direction that UNDER-perturbs, stated for honesty.
+
     Plan shape: one groupBy with map-side combine, then row-local noise
     — no second shuffle; output is class-count-sized at any corpus
     scale.  Returns ``(*group_cols, noisy_n)`` with noisy_n rounded to
@@ -322,7 +326,8 @@ def erase_everywhere(spark: SparkSession, keys: DataFrame, *,
                      scd2: dict | None = None,
                      rollup: dict | None = None,
                      ivm_view: dict | None = None,
-                     feed: dict | None = None) -> DataFrame:
+                     feed: dict | None = None,
+                     ledger: dict | None = None) -> DataFrame:
     """Right-to-be-forgotten across the WHOLE persistence surface: erase
     the subjects from the primary store and PROPAGATE through every
     derived store that retains their content — inverted-index postings
@@ -341,9 +346,15 @@ def erase_everywhere(spark: SparkSession, keys: DataFrame, *,
     event source), ``ivm_view={'view_dir', 'fact', 'subject_col',
     'dim', 'fact_key', 'dim_key', 'group_col', 'value_col',
     ['n_buckets']}`` (``fact`` = the PRE-erase fact source),
-    ``feed={'feed_dir', 'key_col'}``.
+    ``feed={'feed_dir', 'key_col'}``, ``ledger={'ledger_dir',
+    'batch_id'}`` (record the request in the erase LEDGER before any
+    store is touched, so in-flight ingest batches carrying the subjects
+    are dropped at their own fold time — the batch flow's half of the
+    late-landing contract the streaming queue already has).
 
-    Ordering: the inverted-index pass runs FIRST, fed the erased
+    Ordering: the LEDGER append runs before everything (its commit is
+    what blocks late re-ingestion); the inverted-index pass runs next,
+    fed the erased
     documents' text read from the still-intact primary store, so its
     touched-bucket set is pruned to the documents' own terms; the
     AGGREGATE retractions (rollup, IVM view) run next — their negative
@@ -427,6 +438,9 @@ def erase_everywhere(spark: SparkSession, keys: DataFrame, *,
             (row["store"], row["rows_after"], row["erased_refs"]))
 
     rows: list = []
+    if ledger is not None:
+        erase_ledger_append(k, ledger["ledger_dir"],
+                            ledger.get("batch_id", 0))
     if inverted_index is not None:
         from localsql_spark.sinks.inverted_index import index_erase_documents
         cfg = dict(inverted_index)

@@ -966,6 +966,7 @@ def test_erase_everywhere_covers_aggregate_stores_and_feed(spark, tmp_path):
     keys = spark.createDataFrame([(99,)], "user_id long")
     audit = erase_everywhere(
         spark, keys,
+        ledger={"ledger_dir": str(tmp_path / "ledger"), "batch_id": 0},
         rollup={"rollup_dir": roll, "events": ev,
                 "subject_col": "user_id", "grain": "hour"},
         ivm_view={"view_dir": view, "fact": fact, "subject_col": "k",
@@ -979,6 +980,10 @@ def test_erase_everywhere_covers_aggregate_stores_and_feed(spark, tmp_path):
         assert r["erased_refs"] == 0, (name, r)
     assert rows["rollup"]["rows_after"] == 3
     assert rows["ivm_view"]["rows_after"] == 1  # g9 retracted, g1 stays
+    # the batch flow recorded the request in the erase ledger too
+    from localsql_spark.sinks.erase import read_erase_ledger
+    led = read_erase_ledger(spark, str(tmp_path / "ledger"))
+    assert sorted(r[0] for r in led.collect()) == [99]
 
 
 def test_rollup_and_ivm_erase_crash_after_commit_heals_on_read(
