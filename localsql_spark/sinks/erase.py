@@ -317,6 +317,177 @@ def dp_noisy_counts(df: DataFrame, group_cols: list[str],
         F.round(F.col("__true_n") + noise, 6).alias("noisy_n"))
 
 
+def export_subject(spark: SparkSession, keys: DataFrame, *,
+                   primary: dict | None = None,
+                   inverted_index: dict | None = None,
+                   signature_store: dict | None = None,
+                   scd2: dict | None = None,
+                   feed: dict | None = None,
+                   ledger: dict | None = None) -> dict[str, DataFrame]:
+    """Subject ACCESS request across the persistence surface — the read
+    half of the compliance pair whose write half is
+    :func:`erase_everywhere` (GDPR Art. 15 right of access / Art. 20
+    data portability, both public law): gather every stored row that
+    references the subjects, from every store that holds one.  An
+    access response that misses a derived store under-discloses exactly
+    the way an erase that misses one under-deletes, so the store map
+    and, critically, the PRUNED READS are shared with the erase path —
+    an access request costs what the request touches, never a
+    full-surface scan:
+
+    - ``primary`` (``base_dir``, ``key_col``, ``n_buckets``): buckets
+      hashed FROM THE KEYS prune the partition read (same bound as
+      :func:`erase_keys` — at most min(K, n_buckets) partitions).
+    - ``inverted_index`` (``index_dir``, ``n_buckets``, ``doc_id_col``,
+      ``text_col``, optional ``docs``): with ``docs`` (the subjects'
+      text, readable pre-response from the primary), the read prunes to
+      the term buckets the subjects' own tokens hash into; without it,
+      one full-width but column-pruned posting pass.  Postings are
+      part of the subject's stored footprint — their content is
+      reconstructible from them, which is why both halves must cover
+      the index.
+    - ``signature_store`` (``store_path``): narrow (doc_id, sig) scan
+      filtered to the subjects (the store is content-hash-keyed, not
+      subject-bucketed, so the scan is store-wide but two columns).
+    - ``scd2`` (``store_dir``, ``key_col``): the FULL version history —
+      an access response must disclose old versions for the same
+      reason the erase must remove them.
+    - ``feed`` (``feed_dir``, ``key_col``): one column-pruned scan
+      names the batch dirs holding subject rows (the locator
+      :func:`streaming.foreach_upsert.erase_from_feed` uses); only
+      those dirs are then read in full.
+    - ``ledger`` (``ledger_dir``): prior DELETION requests naming the
+      subjects — processing history is itself disclosable.
+
+    Returns ``{store_name: DataFrame}`` of the subjects' rows per
+    configured store (empty frames for stores holding nothing).  Feed
+    frames carry ``batch_id``; every frame still contains the store's
+    own key column.  Fold into one auditable frame with
+    :func:`access_manifest`."""
+    k = normalize_erase_keys(keys).localCheckpoint(eager=True)
+    out: dict[str, DataFrame] = {}
+
+    def _match(df: DataFrame, ref_col: str) -> DataFrame:
+        return df.join(F.broadcast(k),
+                       F.col(ref_col) == F.col("_erase_key"), "left_semi")
+
+    if primary is not None:
+        from localsql_spark.sinks.merge import (read_base_partitions,
+                                                recover_pending_merge)
+        n_buckets = primary.get("n_buckets", 32)
+        touched = [r[0] for r in
+                   k.select(bucket_of(F.col("_erase_key"), n_buckets)
+                            .alias("kb")).distinct().collect()]
+        recover_pending_merge(primary["base_dir"])
+        stored = read_base_partitions(spark, primary["base_dir"], "kb",
+                                      touched) if touched else None
+        if stored is None:  # empty request or store holds none of the keys
+            stored = read_bucketed_store(
+                spark, primary["base_dir"]).limit(0)
+        out["primary"] = _match(stored, primary["key_col"]).drop("kb")
+
+    if inverted_index is not None:
+        from localsql_spark.operators.text import normalize_text
+        from localsql_spark.sinks.merge import (read_base_partitions,
+                                                recover_pending_merge)
+        idx = inverted_index
+        nb = idx.get("n_buckets", 16)
+        recover_pending_merge(idx["index_dir"])
+        docs = idx.get("docs")
+        if docs is not None:
+            touched = sorted({r[0] for r in (
+                _match(docs, idx.get("doc_id_col", "doc_id"))
+                .select(F.explode(F.split(
+                    normalize_text(F.col(idx.get("text_col", "text"))),
+                    " ")).alias("term"))
+                .select(F.pmod(hash32(F.col("term")), F.lit(nb))
+                        .cast("int").alias("tb")).distinct().collect())})
+        else:
+            touched = list(range(nb))
+        stored = read_base_partitions(spark, idx["index_dir"], "tb",
+                                      touched) if touched else None
+        if stored is None:
+            out["inverted_index"] = spark.createDataFrame(
+                [], "term string, doc_id long")
+        else:
+            out["inverted_index"] = _match(
+                stored.filter(F.col("tb") != nb), "doc_id").drop("tb")
+
+    if signature_store is not None:
+        from localsql_spark.operators.dedup import read_signature_store
+        sigs = read_signature_store(spark, signature_store["store_path"])
+        out["signature_store"] = _match(sigs, "doc_id")
+
+    if scd2 is not None:
+        from localsql_spark.sinks.scd2_store import read_history
+        hist = read_history(spark, scd2["store_dir"])
+        out["scd2"] = _match(hist, scd2["key_col"])
+
+    if feed is not None:
+        from localsql_spark.streaming.foreach_upsert import (
+            _read_feed_dirs, read_feed)
+        f = read_feed(spark, feed["feed_dir"])
+        if f is None:
+            out["feed"] = spark.createDataFrame([], "batch_id long")
+        else:
+            touched = sorted(
+                r[0] for r in _match(f, feed["key_col"])
+                .select("batch_id").distinct().collect())
+            if not touched:
+                out["feed"] = f.limit(0)
+            else:
+                dirs = [Path(feed["feed_dir"]) / f"batch_{b}"
+                        for b in touched]
+                out["feed"] = _match(_read_feed_dirs(spark, dirs),
+                                     feed["key_col"])
+
+    if ledger is not None:
+        led = read_erase_ledger(spark, ledger["ledger_dir"])
+        if led is None:
+            out["ledger"] = spark.createDataFrame([], "erased_key string")
+        else:  # rename: the request frame also carries _erase_key
+            out["ledger"] = _match(
+                led.withColumnRenamed("_erase_key", "erased_key"),
+                "erased_key")
+
+    return out
+
+
+def access_manifest(exports: dict[str, DataFrame],
+                    key_cols: dict[str, str],
+                    record_cols: dict[str, list[str]] | None = None
+                    ) -> DataFrame:
+    """Fold :func:`export_subject`'s per-store frames into ONE auditable
+    manifest: ``(store, subject_key, record_md5)``, one row per stored
+    record, where ``record_md5`` hashes the record's columns in
+    column-NAME-sorted order with nulls encoded as ``<null>`` — a
+    deterministic, cross-engine-replayable digest (the registered probe's
+    DuckDB oracle recomputes it from the base tables, so the manifest is
+    hash-verified end-to-end, not just counted).  ``key_cols`` names each
+    store's subject-key column; ``record_cols`` optionally restricts a
+    store's digest to listed columns (callers digest e.g. ``md5(text)``
+    instead of megabyte blobs by pre-shaping the frame).  All stores'
+    rows union into a single frame — the access response is one job, not
+    one per store.  Columns whose string cast is engine-dependent
+    (floats, arrays, structs) should be pre-cast by the caller."""
+    if not exports:
+        raise ValueError("access_manifest needs at least one store frame")
+    parts = []
+    for store, df in exports.items():
+        cols = (record_cols or {}).get(store) or sorted(df.columns)
+        digest = F.md5(F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+                      for c in cols]))
+        parts.append(df.select(
+            F.lit(store).alias("store"),
+            F.col(key_cols[store]).cast("string").alias("subject_key"),
+            digest.alias("record_md5")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def erase_everywhere(spark: SparkSession, keys: DataFrame, *,
                      primary: dict | None = None,
                      inverted_index: dict | None = None,

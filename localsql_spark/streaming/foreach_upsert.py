@@ -419,6 +419,56 @@ def prune_feed(feed_dir: str, keep_last: int = 1) -> int:
     return len(prune)
 
 
+def read_feed_as_of(spark: SparkSession, feed_dir: str,
+                    batch_id: int) -> DataFrame | None:
+    """The feed PREFIX through ``batch_id`` inclusive — the time-travel
+    read (Delta's ``versionAsOf`` is the table-format incarnation): only
+    committed batch dirs with id <= the cutoff are opened, a driver-side
+    name filter (no job, no scan of later batches).  None when no batch
+    qualifies.  Note :func:`prune_feed` bounds how far back a feed can
+    travel — a consumer that needs deep history must retain it
+    (``keep_last``) or snapshot downstream."""
+    recover_feed_erase(feed_dir)
+    dirs = sorted((p for p in Path(feed_dir).glob("batch_*")
+                   if (p / "_SUCCESS").exists()
+                   and int(p.name.split("_")[1]) <= batch_id),
+                  key=lambda p: int(p.name.split("_")[1]))
+    if not dirs:
+        return None
+    return _read_feed_dirs(spark, dirs)
+
+
+def table_as_of(spark: SparkSession, feed_dir: str, *, key: str,
+                batch_id: int) -> DataFrame | None:
+    """Reconstruct the upserted TABLE as of a feed batch — the
+    reproducibility primitive a training pipeline needs ("the corpus
+    exactly as run 2024-03-07 saw it"): replay the change feed through
+    ``batch_id`` and keep each key's LAST applied image.  The feed emits
+    one row per affected key per batch (stale/no-op rows emit nothing),
+    so the latest (batch_id) row per key IS the stored row at that
+    point; a final tombstone drops the key.  One key-partitioned window
+    over the read prefix — at scale the cost is the replayed prefix,
+    which is why long-lived feeds compact downstream snapshots and
+    travel from the nearest one.  Returns ``key`` + the value columns
+    (``new_`` prefix stripped) + ``_as_of_batch``, or None for an empty
+    prefix.  A subject erased via :func:`erase_from_feed` is absent from
+    every reconstruction — time travel cannot resurrect erased data."""
+    from pyspark.sql.window import Window
+
+    feed = read_feed_as_of(spark, feed_dir, batch_id)
+    if feed is None:
+        return None
+    w = (Window.partitionBy(key)
+         .orderBy(F.col("batch_id").desc()))
+    last = (feed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .filter(F.col("op") != "delete"))
+    vals = [c for c in feed.columns if c.startswith("new_")]
+    return last.select(
+        F.col(key), *[F.col(c).alias(c[len("new_"):]) for c in vals],
+        F.col("batch_id").alias("_as_of_batch"))
+
+
 def read_feed_since(spark: SparkSession, feed_dir: str,
                     consumer: str) -> DataFrame | None:
     """The named consumer's UNCONSUMED feed tail: committed batch dirs

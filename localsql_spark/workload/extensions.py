@@ -8,6 +8,8 @@ correctness gate checks the real computation, not a proxy.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -5636,3 +5638,271 @@ def dp_release_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir)["documents"]
     return dp_noisy_counts(docs, ["lang", "source"], epsilon=1.0,
                            min_class=5, seed="dp-release")
+
+
+def _feed_src_fixture(spark: SparkSession, docs: DataFrame,
+                      sf_dir: str) -> Path:
+    """The shared three-batch change-feed SOURCE fixture (same layout and
+    cache key as streaming_change_feed / erase_feed_probe build inline):
+    batch i holds every h3<=i document at version i+1 with 'v{i+1} '
+    prefixed text.  Built once per sf_dir under the catalog cache."""
+    import os
+    import shutil
+    import tempfile
+
+    from localsql_spark.catalog import _CACHE_DIR
+    from localsql_spark.operators import hash32
+
+    h3 = hash32(F.col("doc_id")) % 3
+    src_dir = (_CACHE_DIR.parent / "stream_feed_src"
+               / Path(sf_dir.rstrip("/")).name)
+    if src_dir.exists():
+        return src_dir
+    src_dir.parent.mkdir(parents=True, exist_ok=True)
+    build = Path(tempfile.mkdtemp(prefix=f".{src_dir.name}.build_",
+                                  dir=src_dir.parent))
+    names = ("a_batch0.parquet", "b_batch1.parquet", "c_batch2.parquet")
+    for i, name in enumerate(names):
+        b = (docs.filter(h3 <= i)
+             .select("doc_id", "lang",
+                     F.concat(F.lit(f"v{i + 1} "), F.col("text"))
+                     .alias("text"),
+                     F.lit(i + 1).cast("int").alias("version")))
+        tmp = tempfile.mkdtemp(prefix="cfsplit_")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(Path(tmp).glob("part-*.parquet"))
+        shutil.move(str(part), build / name)
+        shutil.rmtree(tmp, ignore_errors=True)
+    t0 = (build / names[0]).stat().st_mtime
+    for i, name in enumerate(names):
+        os.utime(build / name, (t0 + 100 * i, t0 + 100 * i))
+    try:
+        os.rename(build, src_dir)
+    except OSError:
+        shutil.rmtree(build, ignore_errors=True)
+    return src_dir
+
+
+@query("subject_access_probe", oracle="""
+WITH d AS (SELECT doc_id, lang, source, text,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) AS h
+           FROM documents),
+s AS (SELECT *, h % 3 AS h3 FROM d WHERE h % 17 = 0)
+SELECT 'primary' AS store, CAST(doc_id AS VARCHAR) AS subject_key,
+       md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), lang, source,
+                     md5(text))) AS record_md5
+FROM s
+UNION ALL
+SELECT 'scd2', CAST(doc_id AS VARCHAR),
+       md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), lang,
+                     '1000000', '<null>'))
+FROM s WHERE h % 5 <> 0
+UNION ALL
+SELECT 'scd2', CAST(doc_id AS VARCHAR),
+       md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), lang,
+                     '1000000', '2000000'))
+FROM s WHERE h % 5 = 0
+UNION ALL
+SELECT 'scd2', CAST(doc_id AS VARCHAR),
+       md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), 'xx',
+                     '2000000', '<null>'))
+FROM s WHERE h % 5 = 0
+UNION ALL
+SELECT 'feed', CAST(doc_id AS VARCHAR),
+       md5(concat_ws(chr(31), CAST(b AS VARCHAR), CAST(doc_id AS VARCHAR),
+                     md5(concat('v', CAST(b + 1 AS VARCHAR), ' ', text)),
+                     CAST(b + 1 AS VARCHAR),
+                     CASE WHEN b = h3 THEN '<null>'
+                          ELSE md5(concat('v', CAST(b AS VARCHAR), ' ',
+                                          text)) END,
+                     CASE WHEN b = h3 THEN '<null>'
+                          ELSE CAST(b AS VARCHAR) END,
+                     CASE WHEN b = h3 THEN 'insert' ELSE 'update' END))
+FROM s, UNNEST(range(0, 3)) t(b) WHERE h3 <= b
+UNION ALL
+SELECT 'ledger', CAST(doc_id AS VARCHAR),
+       md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR)))
+FROM s WHERE h % 13 = 0
+""")
+def subject_access_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subject ACCESS request across the persistence surface
+    (sinks.erase.export_subject + access_manifest — GDPR Art. 15/20,
+    the read half of the erase_everywhere pair): builds a bucketed
+    primary store, a two-batch SCD2 history, the shared three-batch
+    durable change feed, and an erase ledger holding a prior request,
+    then exports one deterministic subject cohort (hash %17) from all
+    four and folds the responses into the (store, subject_key,
+    record_md5) manifest.  Every read is pruned the way the matching
+    erase is pruned — subject buckets, touched feed batches — so an
+    access request costs what it touches at any corpus scale.  The
+    oracle restates every record each store must disclose (primary row,
+    both history versions, every feed image incl. pre-images, the prior
+    deletion request), so the response is proven COMPLETE and exact,
+    not just non-empty."""
+    import shutil
+    import tempfile
+
+    from localsql_spark.operators import hash32
+    from localsql_spark.sinks.erase import (access_manifest,
+                                            erase_ledger_append,
+                                            export_subject,
+                                            write_bucketed_store)
+    from localsql_spark.sinks.scd2_store import apply_batch, init_store
+    from localsql_spark.streaming.foreach_upsert import stream_upsert_with_feed
+
+    docs = load(spark, sf_dir)["documents"]
+    h = hash32(F.col("doc_id"))
+    subjects = docs.filter(h % 17 == 0).select("doc_id")
+
+    src_dir = _feed_src_fixture(spark, docs, sf_dir)
+    schema = spark.read.parquet(str(src_dir / "a_batch0.parquet")).schema
+    scratch = Path(tempfile.mkdtemp(prefix="access_"))
+    try:
+        primary_dir = str(scratch / "primary")
+        write_bucketed_store(
+            docs.select("doc_id", "lang", "source", "text"),
+            primary_dir, "doc_id", n_buckets=32)
+
+        scd2_dir = str(scratch / "scd2")
+        init_store(docs.select("doc_id", "lang"), scd2_dir,
+                   ["doc_id"], ["lang"], 1_000_000)
+        upd = (docs.filter(h % 5 == 0)
+               .select("doc_id", F.lit("xx").alias("lang")))
+        apply_batch(spark, scd2_dir, upd, ["doc_id"], ["lang"],
+                    2_000_000, batch_id=1)
+
+        stream_upsert_with_feed(
+            spark, source_dir=str(src_dir), schema=schema,
+            key="doc_id", version="version",
+            out_dir=str(scratch / "table"),
+            feed_dir=str(scratch / "feed"),
+            checkpoint_dir=str(scratch / "ck"))
+
+        ledger_dir = str(scratch / "ledger")
+        erase_ledger_append(docs.filter(h % 13 == 0).select("doc_id"),
+                            ledger_dir, batch_id=0)
+
+        exp = export_subject(
+            spark, subjects,
+            primary={"base_dir": primary_dir, "key_col": "doc_id",
+                     "n_buckets": 32},
+            scd2={"store_dir": scd2_dir, "key_col": "doc_id"},
+            feed={"feed_dir": str(scratch / "feed"), "key_col": "doc_id"},
+            ledger={"ledger_dir": ledger_dir})
+        # pre-shape for a cross-engine digest: blobs to md5, versions to
+        # int-strings; column-name-sorted order is what the oracle states
+        shaped = {
+            "primary": exp["primary"].select(
+                "doc_id", "lang", "source", F.md5("text").alias("text_md5")),
+            "scd2": exp["scd2"].select(
+                "doc_id", "lang", "valid_from_us", "valid_to_us"),
+            "feed": exp["feed"].select(
+                "batch_id", "doc_id", "op",
+                F.col("new_version").cast("int").alias("new_version"),
+                F.col("old_version").cast("int").alias("old_version"),
+                F.md5("new_text").alias("new_text_md5"),
+                F.md5("old_text").alias("old_text_md5")),
+            "ledger": exp["ledger"].select(
+                F.col("erased_key").cast("string").alias("erased_key")),
+        }
+        man = access_manifest(shaped, key_cols={
+            "primary": "doc_id", "scd2": "doc_id", "feed": "doc_id",
+            "ledger": "erased_key"})
+        return man.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query("retention_expiry_probe", oracle="""
+WITH mx AS (SELECT max(CAST(ts AS DATE)) AS m FROM events)
+SELECT event_id,
+       CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date, event_type
+FROM events, mx
+WHERE CAST(ts AS DATE) >= m - 7
+""")
+def retention_expiry_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-grained retention enforcement
+    (sinks.merge.expire_partitions — the storage-limitation principle):
+    lands events into a date-partitioned store, expires every partition
+    older than max_date - 7 days, and reads the store back.  The expiry
+    is METADATA-ONLY — one driver-side dir listing plus the shared
+    manifest commit; expired names commit as explicit removals, no
+    partition is read or rewritten, untouched partitions stay
+    byte-identical (pinned in tests/test_access_retention.py) — which is
+    why expiring a day from a 100 TB store costs the same as from 100
+    GB.  The oracle restates the kept rows from the base table."""
+    import shutil
+    import tempfile
+
+    from localsql_spark.sinks.merge import expire_partitions
+
+    ev = load(spark, sf_dir)["events"]
+    dated = ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        "event_type")
+    base = tempfile.mkdtemp(prefix="retention_")
+    try:
+        (dated.repartition(F.col("event_date"))
+         .write.mode("overwrite").partitionBy("event_date").parquet(base))
+        mx = dated.agg(F.max("event_date")).first()[0]
+        import datetime
+        cutoff = (datetime.date.fromisoformat(mx)
+                  - datetime.timedelta(days=7)).isoformat()
+        expire_partitions(base, "event_date", cutoff)
+        out = (spark.read.parquet(base)
+               .select("event_id", F.col("event_date").cast("string")
+                       .alias("event_date"), "event_type"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@query("feed_time_travel", oracle="""
+WITH d AS (SELECT doc_id, lang, text,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 3 AS h3
+           FROM documents)
+SELECT doc_id, lang, 2 AS version, md5(concat('v2 ', text)) AS text_md5,
+       1 AS of_batch
+FROM d WHERE h3 <= 1
+""")
+def feed_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table state AS OF a feed batch
+    (streaming.foreach_upsert.table_as_of — the reproducibility
+    primitive: "the corpus exactly as the 2024-03-07 training run saw
+    it", Delta's versionAsOf re-expressed over the engine's own durable
+    change feed): replays the shared three-batch feed through batch 1
+    and keeps each key's last applied image.  Only batch dirs <= the
+    cutoff are opened (driver-side name filter — later batches are
+    never read, pinned by a corruption test); one key-partitioned
+    window over the replayed prefix.  The oracle states the exact
+    mid-history table: every h3<=1 document at version 2 with the v2
+    text — including keys batch 2 later updated, which is the point."""
+    import shutil
+    import tempfile
+
+    from localsql_spark.streaming.foreach_upsert import (
+        stream_upsert_with_feed, table_as_of)
+
+    docs = load(spark, sf_dir)["documents"]
+    src_dir = _feed_src_fixture(spark, docs, sf_dir)
+    schema = spark.read.parquet(str(src_dir / "a_batch0.parquet")).schema
+    scratch = Path(tempfile.mkdtemp(prefix="timetravel_"))
+    try:
+        stream_upsert_with_feed(
+            spark, source_dir=str(src_dir), schema=schema,
+            key="doc_id", version="version",
+            out_dir=str(scratch / "table"),
+            feed_dir=str(scratch / "feed"),
+            checkpoint_dir=str(scratch / "ck"))
+        state = table_as_of(spark, str(scratch / "feed"),
+                            key="doc_id", batch_id=1)
+        out = state.select(
+            "doc_id", "lang", F.col("version").cast("int").alias("version"),
+            F.md5("text").alias("text_md5"),
+            F.col("_as_of_batch").cast("int").alias("of_batch"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
