@@ -1778,3 +1778,74 @@ def ivfpq_erase_vectors(spark: SparkSession, index_path: str,
     commit_staged_partitions(codes_dir, "cell",
                              [f"cell={c}" for c in touched])
     return touched
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (Achlioptas 2001, public)
+# ---------------------------------------------------------------------------
+
+def jl_signs(dim: int, out_dim: int, seed: str = "jl") -> list[list[float]]:
+    """Hash-derived ±1 projection matrix (Achlioptas, "Database-friendly
+    random projections", PODS 2001 — public: JL with entries drawn from
+    {+1,-1} preserves pairwise distances with the same guarantee as
+    Gaussian entries).  ``s[k][j] = +1 if hash32(f"{seed}:{j}:{k}")
+    even else -1`` — no RNG state, so the matrix is a pure function of
+    (seed, dim, out_dim): reproducible across runs and cluster sizes,
+    regenerable on any executor, and replayable in the DuckDB oracle
+    from the same md5 idiom.  dim*out_dim entries (64x16 = 1 KiB of
+    literals) — broadcast-free, they ride in the plan."""
+    import hashlib
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    return [[1.0 if h32(f"{seed}:{j}:{k}") % 2 == 0 else -1.0
+             for j in range(dim)] for k in range(out_dim)]
+
+
+def jl_project(df: DataFrame, vec_col: str = "embedding",
+               out_col: str = "jl_vec", out_dim: int = 16,
+               dim: int | None = None, seed: str = "jl") -> DataFrame:
+    """Project ``vec_col`` (array<float>, length ``dim``) to ``out_dim``
+    dimensions: ``out[k] = round(sum_j v[j]*s[k][j] / sqrt(out_dim), 9)``
+    — ROW-LOCAL (one zip_with+decimal-fold per output component, no
+    shuffle, no Python), so at 100 TB it rides the scan for free.  The
+    point at scale: every distance computed downstream costs
+    out_dim/dim as much (4x compression here), and because JL preserves
+    inner products in expectation, the projected space is a drop-in for
+    shortlist generation — rerank survivors with full vectors when
+    exactness matters (same two-stage pattern as pq_shortlist_rerank).
+    Components round to 9 decimals (portable double) and the fold is
+    the decimal-sum discipline, so the projection is bit-reproducible
+    cross-engine."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    signs = jl_signs(dim, out_dim, seed)
+    scale = float(out_dim) ** 0.5
+    comps = [
+        F.round(_dec_sum(F.zip_with(
+            F.col(vec_col),
+            F.array(*[F.lit(s) for s in signs[k]]),
+            lambda x, sgn: x.cast("double") * sgn)) / F.lit(scale), 9)
+        for k in range(out_dim)]
+    return df.withColumn(out_col, F.array(*comps))
+
+
+def knn_jl(corpus: DataFrame, queries: DataFrame, k: int = 5,
+           id_col: str = "vec_id", vec_col: str = "embedding",
+           out_dim: int = 16, dim: int | None = None,
+           seed: str = "jl") -> DataFrame:
+    """Exact cosine top-k IN THE JL-PROJECTED SPACE: both sides project
+    row-locally (below the join, so the fold runs once per row, never
+    per pair), then the standard broadcast-queries x corpus scan.  Same
+    output shape as :func:`knn_brute_force`; recall vs the full-space
+    exact answer is the JL distortion (measured in ANN.md).  The scan's
+    pair work drops by dim/out_dim — the cheap first stage of a
+    shortlist -> full-vector rerank cascade."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    cp = jl_project(corpus, vec_col, "jl_vec", out_dim, dim, seed) \
+        .select(id_col, "jl_vec")
+    qp = jl_project(queries, vec_col, "jl_vec", out_dim, dim, seed) \
+        .select(id_col, "jl_vec")
+    return knn_brute_force(cp, qp, k=k, id_col=id_col, vec_col="jl_vec")

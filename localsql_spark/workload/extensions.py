@@ -5906,3 +5906,53 @@ def feed_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query("knn_jl_top5", oracle="""
+WITH sj AS (SELECT CAST(j AS INT) AS j, CAST(kk AS INT) AS kk,
+       CASE WHEN CAST('0x' || substr(md5(concat('jl:', CAST(j AS VARCHAR),
+                  ':', CAST(kk AS VARCHAR))), 1, 8) AS BIGINT) % 2 = 0
+            THEN 1.0 ELSE -1.0 END AS s
+     FROM UNNEST(range(0, 64)) a(j), UNNEST(range(0, 16)) b(kk)),
+ve AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+              CAST(unnest(embedding) AS DOUBLE) AS x
+       FROM embeddings),
+proj AS (SELECT vec_id, kk,
+                round(CAST(SUM(CAST(round(x * s, 12) AS DECIMAL(28,12)))
+                           AS DOUBLE) / sqrt(16.0), 9) AS p
+         FROM ve JOIN sj USING (j) GROUP BY vec_id, kk),
+norms AS (SELECT vec_id,
+                 sqrt(CAST(SUM(CAST(round(p * p, 12) AS DECIMAL(28,12)))
+                      AS DOUBLE)) AS nrm
+          FROM proj GROUP BY vec_id),
+q AS (SELECT vec_id AS query_id, kk, p FROM proj WHERE vec_id < 10),
+dots AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                CAST(SUM(CAST(round(q.p * c.p, 12) AS DECIMAL(28,12)))
+                     AS DOUBLE) AS dotp
+         FROM q JOIN proj c ON q.kk = c.kk AND c.vec_id <> q.query_id
+         GROUP BY 1, 2),
+scored AS (SELECT query_id, neighbor_id,
+                  round(dotp / (nq.nrm * nc.nrm), 9) AS cos_sim
+           FROM dots JOIN norms nq ON nq.vec_id = query_id
+                     JOIN norms nc ON nc.vec_id = neighbor_id)
+SELECT query_id, neighbor_id, cos_sim, rn FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored) ranked
+WHERE rn <= 5
+""")
+def knn_jl_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projected kNN
+    (operators.similarity.jl_project + knn_jl — Achlioptas PODS 2001):
+    corpus and queries project row-locally to 16 dims through the
+    hash-derived ±1 matrix (4x compression, no shuffle, no Python),
+    then exact cosine top-5 runs in the projected space — every pair
+    costs 1/4 of the full-space scan, the cheap shortlist stage of a
+    shortlist -> full-vector rerank cascade.  The oracle replays the
+    sign matrix from the same md5 idiom, the projection's decimal fold,
+    the 9-decimal component rounding, and the projected-space cosine
+    bit-for-bit — the DRAWN MATRIX is hash-verified cross-engine, not
+    just the output shape."""
+    emb = load(spark, sf_dir)["embeddings"]
+    return S.knn_jl(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                    out_dim=16, dim=64)

@@ -2302,3 +2302,62 @@ def test_dp_noisy_counts_mechanism(spark):
             for r in dp_noisy_counts(df, ["lang", "source"], epsilon=1.0,
                                      seed="other").collect()}
     assert rel3 != rel1
+
+
+def test_jl_projection_matches_numpy_and_preserves_distance(spark):
+    """The JL projection equals an independent numpy replay of the same
+    hash-derived ±1 matrix, and pairwise distances in the projected
+    space stay within the JL distortion band on deterministic vectors
+    (Achlioptas 2001: eps ~ sqrt(ln n / out_dim) — loose bound checked
+    at 3x to keep the test sharp against sign-matrix bugs but immune to
+    noise)."""
+    import hashlib
+
+    import numpy as np
+    from localsql_spark.operators.similarity import jl_project, jl_signs
+
+    dim, out_dim, n = 32, 16, 40
+    vecs = {i: np.array([((i * 13 + j * 7) % 19) - 9.0 for j in range(dim)])
+            for i in range(n)}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>")
+    got = {r.vec_id: np.array(r.jl_vec) for r in
+           jl_project(df, out_dim=out_dim, dim=dim).collect()}
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    S = np.array([[1.0 if h32(f"jl:{j}:{k}") % 2 == 0 else -1.0
+                   for j in range(dim)] for k in range(out_dim)])
+    for i, v in vecs.items():
+        want = np.round(S @ v / np.sqrt(out_dim), 9)
+        assert np.allclose(got[i], want, atol=1e-9), i
+
+    # distance preservation (unit-normalized): projected pairwise sq-dists
+    # track the originals within a generous JL band
+    ids = list(range(0, n, 5))
+    for a in ids:
+        for b in ids:
+            if a >= b:
+                continue
+            va, vb = vecs[a], vecs[b]
+            orig = float(np.sum((va - vb) ** 2))
+            proj = float(np.sum((got[a] - got[b]) ** 2))
+            assert 0.25 * orig <= proj <= 2.5 * orig, (a, b, orig, proj)
+
+
+def test_knn_jl_same_shape_and_determinism(spark):
+    from localsql_spark.operators.similarity import knn_jl
+
+    rows = [(i, [float(((i * 31 + j * 17) % 23) - 11.0) for j in range(32)])
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 3")
+    a = sorted(tuple(r) for r in knn_jl(df, q, k=4, out_dim=8,
+                                        dim=32).collect())
+    b = sorted(tuple(r) for r in knn_jl(df, q, k=4, out_dim=8,
+                                        dim=32).collect())
+    assert a == b
+    assert len(a) == 12  # 3 queries x top-4
+    assert all(r[3] <= 4 for r in a)
