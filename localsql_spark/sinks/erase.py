@@ -321,6 +321,8 @@ def export_subject(spark: SparkSession, keys: DataFrame, *,
                    primary: dict | None = None,
                    inverted_index: dict | None = None,
                    signature_store: dict | None = None,
+                   ivf_index: dict | None = None,
+                   ivfpq_index: dict | None = None,
                    scd2: dict | None = None,
                    feed: dict | None = None,
                    ledger: dict | None = None) -> dict[str, DataFrame]:
@@ -349,6 +351,16 @@ def export_subject(spark: SparkSession, keys: DataFrame, *,
     - ``signature_store`` (``store_path``): narrow (doc_id, sig) scan
       filtered to the subjects (the store is content-hash-keyed, not
       subject-bucketed, so the scan is store-wide but two columns).
+    - ``ivf_index`` (``index_path``): the subjects' FULL stored
+      embedding vectors — raw personal data the same way text is.  A
+      narrow (neighbor_id, cell) locate names the touched cells, then
+      only those partitions are read wide (same two-phase bound as
+      :func:`operators.similarity.ivf_erase_vectors`).
+    - ``ivfpq_index`` (``index_path``): the subjects' PQ code rows —
+      codes reconstruct the embedding to within quantization error, so
+      they are disclosable state too.  The codes table IS the compact
+      m-bytes-per-vector representation, so the semi-joined pass is
+      index-sized, never corpus-sized.
     - ``scd2`` (``store_dir``, ``key_col``): the FULL version history —
       an access response must disclose old versions for the same
       reason the erase must remove them.
@@ -417,6 +429,35 @@ def export_subject(spark: SparkSession, keys: DataFrame, *,
         from localsql_spark.operators.dedup import read_signature_store
         sigs = read_signature_store(spark, signature_store["store_path"])
         out["signature_store"] = _match(sigs, "doc_id")
+
+    if ivf_index is not None:
+        from localsql_spark.operators.similarity import _ivf_base, _ivf_slices
+        base, _ = _ivf_base(ivf_index["index_path"])
+        bp = Path(base)
+        has_deltas = any(
+            Path(ivf_index["index_path"]).glob("delta/batch_*"))
+        if (not bp.exists() or not any(bp.rglob("*.parquet"))) \
+                and not has_deltas:
+            out["ivf_index"] = spark.createDataFrame(
+                [], "neighbor_id long, cell int")
+        else:
+            narrow = _ivf_slices(spark, ivf_index["index_path"]) \
+                .select("neighbor_id", "cell")
+            touched = sorted({r[0] for r in _match(narrow, "neighbor_id")
+                              .select("cell").distinct().collect()})
+            wide = _ivf_slices(spark, ivf_index["index_path"])
+            if not touched:
+                out["ivf_index"] = wide.limit(0)
+            else:  # isin on the partition column prunes base AND deltas
+                out["ivf_index"] = _match(
+                    wide.filter(F.col("cell").isin(touched)), "neighbor_id")
+
+    if ivfpq_index is not None:
+        from localsql_spark.sinks.merge import recover_pending_merge
+        codes_dir = f"{ivfpq_index['index_path']}/codes"
+        recover_pending_merge(codes_dir)
+        codes = spark.read.option("basePath", codes_dir).parquet(codes_dir)
+        out["ivfpq_index"] = _match(codes, "neighbor_id")
 
     if scd2 is not None:
         from localsql_spark.sinks.scd2_store import read_history

@@ -329,3 +329,45 @@ def test_table_as_of_tombstone_drop(spark, tmp_path):
     got = table_as_of(spark, str(feed_dir), key="k", batch_id=1)
     assert [(r.k, r.val, r.version) for r in got.collect()] == \
         [(1, "a2", 2)]
+
+
+def test_export_vector_stores_match_direct(spark, tmp_path):
+    """IVF (full vectors, cell-pruned two-phase read) and IVFPQ (code
+    rows) exports return exactly the subjects' stored rows; after the
+    matching erase both exports are empty (access/erase coherence on
+    the vector surface)."""
+    from localsql_spark.operators.similarity import (ivf_erase_vectors,
+                                                     ivfpq_erase_vectors,
+                                                     write_ivf_index,
+                                                     write_ivfpq_index)
+    from localsql_spark.sinks.erase import export_subject
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 13 + j * 7) % 11) for j in range(16)])
+         for i in range(40)], "vec_id long, embedding array<double>")
+    ivf = str(tmp_path / "ivf")
+    pq = str(tmp_path / "ivfpq")
+    write_ivf_index(emb, ivf, n_cells=4)
+    write_ivfpq_index(emb, pq, n_cells=4, m=2, k_codes=8)
+
+    keys = spark.createDataFrame([(i,) for i in range(0, 40, 7)],
+                                 "vec_id long")
+    subj = {r[0] for r in keys.collect()}
+    got = export_subject(spark, keys,
+                         ivf_index={"index_path": ivf},
+                         ivfpq_index={"index_path": pq})
+    ivf_rows = got["ivf_index"].collect()
+    assert {r.neighbor_id for r in ivf_rows} == subj
+    # the full embedding is disclosed
+    assert all(len(r.cv) == 16 for r in ivf_rows)
+    pq_rows = got["ivfpq_index"].collect()
+    assert {r.neighbor_id for r in pq_rows} == subj
+    assert len(pq_rows) == 2 * len(subj)  # m rows per vector
+
+    ivf_erase_vectors(spark, ivf, keys)
+    ivfpq_erase_vectors(spark, pq, keys)
+    after = export_subject(spark, keys,
+                           ivf_index={"index_path": ivf},
+                           ivfpq_index={"index_path": pq})
+    assert after["ivf_index"].count() == 0
+    assert after["ivfpq_index"].count() == 0

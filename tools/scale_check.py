@@ -503,6 +503,82 @@ def main() -> None:
         assert sorted(touched) == [0, 1], touched
         return len(touched), dt
 
+    def op_access_fixed_request(f):
+        # subject-ACCESS export scaling (the read half of the erase pair):
+        # primary store grows with f, the subject set is pinned to base
+        # ids — the claim under test is that the export's cost tracks the
+        # REQUEST (bucket-pruned read + broadcast semi join), not the
+        # store.  Store build is fixture; timer covers export_subject +
+        # materialization.
+        from localsql_spark.operators import hash32
+        from localsql_spark.sinks.erase import (export_subject,
+                                                write_bucketed_store)
+        docs = spark.read.parquet(paths[f]["documents"])
+        n_base = docs.count() // f
+        import shutil
+        base = root / f"access_store_{f}x"
+        shutil.rmtree(base, ignore_errors=True)
+        write_bucketed_store(docs.select("doc_id", "lang", "text"),
+                             str(base), "doc_id", n_buckets=64)
+        keys = (docs.filter((F.col("doc_id") < n_base)
+                            & (hash32(F.col("doc_id")) % 53 == 0))
+                .select("doc_id").localCheckpoint(eager=True))
+        t0 = time.perf_counter()
+        exp = export_subject(
+            spark, keys,
+            primary={"base_dir": str(base), "key_col": "doc_id",
+                     "n_buckets": 64})
+        n = exp["primary"].count()
+        dt = time.perf_counter() - t0
+        return n, dt
+
+    def op_retention_expire(f):
+        # partition-grained retention expiry: the store grows with f but
+        # the delete is METADATA-ONLY (driver listing + manifest commit),
+        # so wall should be FLAT — no Spark job at all.
+        from localsql_spark.sinks.merge import expire_partitions
+        ev = spark.read.parquet(paths[f]["events"])
+        base = str(root / f"retention_{f}x")
+        (ev.select("event_id", F.date_format("ts", "yyyy-MM-dd")
+                   .alias("d"), "value")
+         .repartition(F.col("d"))
+         .write.mode("overwrite").partitionBy("d").parquet(base))
+        dates = sorted(p.name[2:] for p in Path(base).glob("d=*"))
+        cutoff = dates[min(3, len(dates) - 1)]
+        t0 = time.perf_counter()
+        removed = expire_partitions(base, "d", cutoff)
+        dt = time.perf_counter() - t0
+        assert removed, "expiry must drop the oldest partitions"
+        return len(removed), dt
+
+    def op_table_as_of(f):
+        # feed time travel: reconstruct the table as of batch 3 of 8 —
+        # the replay cost tracks the READ PREFIX (4 of 8 batch dirs,
+        # growing with corpus), never the feed's full length; linear
+        # growth in f is the documented contract (travel from the
+        # nearest downstream snapshot when the prefix dominates).
+        from localsql_spark.streaming.foreach_upsert import (
+            apply_batch_with_feed, table_as_of)
+        docs = spark.read.parquet(paths[f]["documents"])
+        import shutil
+        froot = root / f"asof_feed_{f}x"
+        shutil.rmtree(froot, ignore_errors=True)
+        out_dir, feed_dir = froot / "table", froot / "feed"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        feed_dir.mkdir(parents=True, exist_ok=True)
+        base = docs.select("doc_id", F.lit(1).alias("version"),
+                           F.col("text"))
+        for i in range(8):
+            apply_batch_with_feed(
+                base.filter(F.pmod(F.col("doc_id"), F.lit(8)) == i), i,
+                key="doc_id", version="version", out_dir=str(out_dir),
+                feed_dir=str(feed_dir))
+        t0 = time.perf_counter()
+        n = table_as_of(spark, str(feed_dir), key="doc_id",
+                        batch_id=3).count()
+        dt = time.perf_counter() - t0
+        return n, dt
+
     def op_profile(f):
         from localsql_spark.operators.corpus import profile_columns
         ev = spark.read.parquet(paths[f]["events"])
@@ -780,7 +856,10 @@ def main() -> None:
            "erase_sig_fixed_request": op_erase_sig_store_fixed_request,
            "erase_rollup_fixed_request": op_erase_rollup_fixed_request,
            "erase_ivm_fixed_request": op_erase_ivm_fixed_request,
-           "erase_feed_fixed_request": op_erase_feed_fixed_request}
+           "erase_feed_fixed_request": op_erase_feed_fixed_request,
+           "access_fixed_request": op_access_fixed_request,
+           "retention_expire": op_retention_expire,
+           "table_as_of_b3": op_table_as_of}
 
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:
