@@ -116,6 +116,14 @@ EXTENSION_HEADLINE = [
     "erase_ivm_probe",
     # round 11: governance release (suppressed + seeded-Laplace counts)
     "dp_release_lang_source",
+    # round 11 (late): JL-projected kNN — prices the projection fold +
+    # projected-space scan (the routing/blocking primitive, ANN.md).
+    # subject_access_probe / feed_time_travel are correctness-gated, not
+    # benched (their wall is the Structured Streaming feed PRODUCER, the
+    # same reason erase_feed_probe is absent); retention_expiry_probe's
+    # wall is the fixture store write around a 0.00s metadata expiry
+    # (SCALE.md) — benching it would price the fixture.
+    "knn_jl_top5",
     # round 10: erase_rebuild_models is correctness-gated, not benched —
     # it deliberately trains the IVFPQ/NB/HLL stores TWICE (full corpus,
     # then post-erase retrain) to prove rebuilt == never-saw-the-subjects,

@@ -317,6 +317,53 @@ def dp_noisy_counts(df: DataFrame, group_cols: list[str],
         F.round(F.col("__true_n") + noise, 6).alias("noisy_n"))
 
 
+def dp_noisy_sums(df: DataFrame, group_cols: list[str], value_col: str,
+                  epsilon: float = 1.0, clip: float = 100.0,
+                  min_class: int = 0, seed: str = "dp") -> DataFrame:
+    """Laplace-mechanism noisy SUMS — the second half of the DP release
+    surface (:func:`dp_noisy_counts` releases how many, this releases
+    how much).  A sum's sensitivity is unbounded until each row's
+    CONTRIBUTION is bounded, so values clip to ``[0, clip]`` first (the
+    standard contribution-bounding step — Dwork et al. TCC 2006; clip
+    choice is the caller's bias/noise trade: too low biases the total,
+    too high inflates noise); sensitivity under add/remove-one-row is
+    then ``clip`` and the noise is Laplace(clip/epsilon).
+
+    Same determinism contract as the counts: the draw is
+    hash32(seed || group key) through the inverse CDF — reproducible,
+    oracle-checkable, tail truncated at ~13.8*clip/epsilon (negligible
+    mass, under-perturbing direction); swap in secure randomness per
+    release in production without touching the plan.  The clipped sum
+    itself is a DECIMAL fold (exact, order-insensitive) so the released
+    value differs from truth by exactly the noise, never by float
+    reduction order.  ``min_class`` suppresses small groups (count via
+    the same aggregate — no second shuffle).
+
+    Plan: ONE map-side-combined groupBy, then row-local noise; output is
+    class-count-sized at any corpus scale.  Returns ``(*group_cols,
+    noisy_sum)`` rounded to 6 decimals."""
+    from localsql_spark.operators import hash32
+
+    clipped = F.round(
+        F.least(F.greatest(F.col(value_col).cast("double"), F.lit(0.0)),
+                F.lit(float(clip))), 12).cast("decimal(28,12)")
+    agg = (df.groupBy(*group_cols)
+           .agg(F.sum(clipped).cast("double").alias("__sum"),
+                F.count(F.lit(1)).alias("__n")))
+    if min_class > 0:
+        agg = agg.filter(F.col("__n") >= min_class)
+    key = F.concat_ws(
+        "\x1f", F.lit(seed),
+        *[F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+          for c in group_cols])
+    u = ((hash32(key) % 1_000_000).cast("double") + 0.5) / 1_000_000.0 - 0.5
+    b = float(clip) / epsilon
+    noise = (-b) * F.signum(u) * F.log(1 - 2 * F.abs(u))
+    return agg.select(
+        *group_cols,
+        F.round(F.col("__sum") + noise, 6).alias("noisy_sum"))
+
+
 def export_subject(spark: SparkSession, keys: DataFrame, *,
                    primary: dict | None = None,
                    inverted_index: dict | None = None,

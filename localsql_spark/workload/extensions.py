@@ -5956,3 +5956,40 @@ def knn_jl_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir)["embeddings"]
     return S.knn_jl(emb, emb.filter(F.col("vec_id") < 10), k=5,
                     out_dim=16, dim=64)
+
+
+@query("dp_release_value_sums", oracle="""
+WITH agg AS (
+  SELECT event_type,
+         CAST(SUM(CAST(round(least(greatest(CAST(value AS DOUBLE), 0.0),
+                                   100.0), 12)
+                       AS DECIMAL(28,12))) AS DOUBLE) AS s,
+         count(*) AS n
+  FROM events GROUP BY event_type HAVING count(*) >= 5),
+noised AS (
+  SELECT event_type, s,
+         ((CAST(CAST('0x' || substr(md5(
+             concat_ws(chr(31), 'dp-sums',
+                       COALESCE(CAST(event_type AS VARCHAR), '<null>'))),
+             1, 8) AS BIGINT) % 1000000 AS DOUBLE) + 0.5) / 1000000.0)
+         - 0.5 AS u
+  FROM agg)
+SELECT event_type,
+       round(s + (-100.0) * sign(u) * ln(1 - 2 * abs(u)), 6) AS noisy_sum
+FROM noised
+""")
+def dp_release_value_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private value totals (sinks.erase.dp_noisy_sums):
+    per-event-type sums of `value` released with contribution bounding
+    (each row clipped to [0,100] — the step that gives a sum finite
+    sensitivity at all), k-suppression of classes under 5, and seeded
+    Laplace(clip/eps) noise at eps=1.  The clipped sum is an exact
+    decimal fold, so released-minus-true is exactly the noise term —
+    and the oracle replays clip, fold, and draw bit-for-bit, verifying
+    the MECHANISM cross-engine.  One map-side-combined groupBy + row-
+    local noise; class-count-sized output at any scale."""
+    from localsql_spark.sinks.erase import dp_noisy_sums
+
+    ev = load(spark, sf_dir)["events"]
+    return dp_noisy_sums(ev, ["event_type"], "value", epsilon=1.0,
+                         clip=100.0, min_class=5, seed="dp-sums")

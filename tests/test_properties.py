@@ -2304,6 +2304,42 @@ def test_dp_noisy_counts_mechanism(spark):
     assert rel3 != rel1
 
 
+def test_dp_noisy_sums_mechanism(spark):
+    """Clipped-sum release: released-minus-clipped-true is exactly the
+    Laplace draw (bounded by clip*ln(1e6)/eps), clipping bounds any one
+    row's influence at clip, determinism across calls, suppression."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from localsql_spark.sinks.erase import dp_noisy_sums
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b", float(i * 7 % 50) - 5.0)
+         for i in range(40)], "id long, g string, v double")
+    rel1 = {r["g"]: r["noisy_sum"]
+            for r in dp_noisy_sums(df, ["g"], "v", epsilon=1.0,
+                                   clip=10.0).collect()}
+    rel2 = {r["g"]: r["noisy_sum"]
+            for r in dp_noisy_sums(df, ["g"], "v", epsilon=1.0,
+                                   clip=10.0).collect()}
+    assert rel1 == rel2 and len(rel1) == 2
+    true = {r["g"]: r["s"] for r in df.groupBy("g").agg(
+        F.sum(F.least(F.greatest(F.col("v"), F.lit(0.0)), F.lit(10.0)))
+        .alias("s")).collect()}
+    for g, v in rel1.items():
+        assert abs(v - true[g]) <= 10.0 * math.log(1_000_000) + 1e-6
+    # one row can shift the release by at most clip + the noise delta:
+    # adding a huge-value row changes the clipped true sum by exactly clip
+    df2 = df.unionByName(spark.createDataFrame(
+        [(999, "a", 1e9)], "id long, g string, v double"))
+    rel_plus = {r["g"]: r["noisy_sum"]
+                for r in dp_noisy_sums(df2, ["g"], "v", epsilon=1.0,
+                                       clip=10.0).collect()}
+    assert abs(rel_plus["a"] - rel1["a"] - 10.0) < 1e-6  # same seed/noise
+    assert dp_noisy_sums(df, ["g"], "v", min_class=100).count() == 0
+
+
 def test_jl_projection_matches_numpy_and_preserves_distance(spark):
     """The JL projection equals an independent numpy replay of the same
     hash-derived ±1 matrix, and pairwise distances in the projected
