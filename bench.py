@@ -124,6 +124,9 @@ EXTENSION_HEADLINE = [
     # wall is the fixture store write around a 0.00s metadata expiry
     # (SCALE.md) — benching it would price the fixture.
     "knn_jl_top5",
+    # round 11 (late): distributed PCA — prices the dim^2-bounded
+    # covariance fold + the in-plan power iteration + row-local projection
+    "pca_pc1_scores",
     # round 10: erase_rebuild_models is correctness-gated, not benched —
     # it deliberately trains the IVFPQ/NB/HLL stores TWICE (full corpus,
     # then post-erase retrain) to prove rebuilt == never-saw-the-subjects,

@@ -1849,3 +1849,114 @@ def knn_jl(corpus: DataFrame, queries: DataFrame, k: int = 5,
     qp = jl_project(queries, vec_col, "jl_vec", out_dim, dim, seed) \
         .select(id_col, "jl_vec")
     return knn_brute_force(cp, qp, k=k, id_col=id_col, vec_col="jl_vec")
+
+
+# ---------------------------------------------------------------------------
+# PCA: exact covariance + power iteration (embedding curation)
+# ---------------------------------------------------------------------------
+
+def covariance_matrix(df: DataFrame, vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> DataFrame:
+    """EXACT population covariance of an embedding column, as a
+    (j, k, cov) table: one pass explodes each row's position pairs
+    (dim^2 per row, row-local) and a map-side-combined groupBy folds
+    them — the shuffle carries at most dim^2 x partitions partial rows
+    whatever the corpus size, which is the distributed-covariance shape
+    (MLlib's RowMatrix.computeCovariance does the same fold as a
+    treeAggregate of outer products; at dim >> 256 switch to an
+    Arrow-batched numpy outer-product accumulator via mapInPandas —
+    same bound, lower constant).  Products round to 12 decimals and sum
+    as DECIMAL (order-insensitive), means and the final
+    ``E[xy] - E[x]E[y]`` round to 12 — bit-reproducible cross-engine,
+    so a DuckDB oracle can replay the matrix exactly.  Population (1/n)
+    normalization."""
+    n = df.count()
+    e1 = df.select(F.col(vec_col).alias("__v"),
+                   F.posexplode(F.col(vec_col)).alias("j", "x"))
+    pairs = e1.select(
+        "j", F.col("x").cast("double").alias("x"),
+        F.posexplode(F.col("__v")).alias("k", "y"))
+    sxy = (pairs.groupBy("j", "k")
+           .agg(F.sum(F.round(F.col("x") * F.col("y").cast("double"), 12)
+                      .cast(_DEC)).cast("double").alias("sxy")))
+    means = (e1.groupBy("j")
+             .agg((F.sum(F.round(F.col("x").cast("double"), 12)
+                         .cast(_DEC)).cast("double") / F.lit(float(n)))
+                  .alias("mean_raw"))
+             .select("j", F.round("mean_raw", 12).alias("mean")))
+    mj = means.select(F.col("j").alias("j"), F.col("mean").alias("mean_j"))
+    mk = means.select(F.col("j").alias("k"), F.col("mean").alias("mean_k"))
+    return (sxy.join(mj, "j").join(mk, "k")
+            .select("j", "k",
+                    F.round(F.round(F.col("sxy") / F.lit(float(n)), 12)
+                            - F.col("mean_j") * F.col("mean_k"), 12)
+                    .alias("cov")))
+
+
+def power_iteration_top(cov: DataFrame, rounds: int = 6) -> DataFrame:
+    """Top eigenvector of a (j, k, cov) matrix table by power iteration —
+    kept IN Spark ops (matrix-vector product = one join + groupBy over
+    the dim^2-row table, norm via a broadcast scalar frame, iterates
+    rounded to 12 decimals) precisely so the DuckDB oracle can replay
+    every round bit-for-bit; the matrix is model-sized (dim^2 rows), so
+    each round is milliseconds at any corpus scale.  Deterministic: the
+    all-ones start vector and the fixed round count make the sign and
+    value a pure function of the input.  Returns (j, vj) unit-normed.
+    Convergence is geometric in the eigengap — rounds=6 resolves a
+    dominant direction; raise it (or hand the COLLECTED dim^2 matrix to
+    a driver-side eigensolver — model-sized state, same license as
+    collecting centroids) when the top eigenvalues are close."""
+    # materialize the matrix ONCE: every round references cov, and an
+    # unCheckpointed lineage would re-run the full covariance fold per
+    # round (the exact re-evaluation trap the oracle's MATERIALIZED CTE
+    # avoids on the DuckDB side)
+    cov = cov.localCheckpoint(eager=True)
+    dim_rows = cov.select("j").distinct()
+    v = dim_rows.select("j", F.lit(1.0).alias("vj")) \
+        .localCheckpoint(eager=True)
+    for _ in range(rounds):
+        w = (cov.join(v.withColumnRenamed("j", "k"), "k")
+             .groupBy("j")
+             .agg(F.sum(F.round(F.col("cov") * F.col("vj"), 12)
+                        .cast(_DEC)).cast("double").alias("w")))
+        nrm = w.agg(F.sqrt(F.sum(F.round(F.col("w") * F.col("w"), 12)
+                                 .cast(_DEC)).cast("double")).alias("nrm"))
+        v = (w.crossJoin(F.broadcast(nrm))
+             .select("j", F.round(F.col("w") / F.col("nrm"), 12)
+                     .alias("vj"))
+             .localCheckpoint(eager=True))
+    return v
+
+
+def pca_scores(df: DataFrame, vec_col: str = "embedding",
+               id_col: str = "vec_id", rounds: int = 6) -> DataFrame:
+    """First-principal-component scores for every embedding — the
+    curation axis (sort by pc1 to see the corpus's dominant variation;
+    trim tails as an outlier gate; residual-after-projection feeds the
+    next component).  Pipeline: exact covariance
+    (:func:`covariance_matrix`), power iteration
+    (:func:`power_iteration_top`), then the mean vector and eigenvector
+    COLLECT as model-sized state (dim doubles each — the same license
+    as centroid collects) and the centered projection
+    ``(x - mean) . v`` runs row-locally over the scan with literal
+    arrays: no join, no shuffle, corpus never moves.  Returns (id, pc1)
+    with pc1 rounded to 9."""
+    cov = covariance_matrix(df, vec_col, id_col)
+    v = power_iteration_top(cov, rounds)
+    vmap = {r["j"]: r["vj"] for r in v.collect()}
+    e1 = df.select(F.posexplode(F.col(vec_col)).alias("j", "x"))
+    n = df.count()
+    means = (e1.groupBy("j")
+             .agg((F.sum(F.round(F.col("x").cast("double"), 12)
+                         .cast(_DEC)).cast("double") / F.lit(float(n)))
+                  .alias("m"))
+             .select("j", F.round("m", 12).alias("m")))
+    mmap = {r["j"]: r["m"] for r in means.collect()}
+    dim = len(vmap)
+    varr = F.array(*[F.lit(vmap[j]) for j in range(dim)])
+    marr = F.array(*[F.lit(mmap[j]) for j in range(dim)])
+    centered = F.zip_with(F.col(vec_col), marr,
+                          lambda x, m: x.cast("double") - m)
+    proj = _dec_sum(F.zip_with(centered, varr,
+                               lambda c, vv: F.round(c * vv, 12)))
+    return df.select(F.col(id_col), F.round(proj, 9).alias("pc1"))

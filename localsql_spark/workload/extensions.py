@@ -5993,3 +5993,71 @@ def dp_release_value_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir)["events"]
     return dp_noisy_sums(ev, ["event_type"], "value", epsilon=1.0,
                          clip=100.0, min_class=5, seed="dp-sums")
+
+
+def _pca_oracle(rounds: int = 6) -> str:
+    """Unrolled-CTE oracle for pca_pc1_scores (the PageRank discipline:
+    the fixed iteration count is generated, never hand-maintained):
+    exact covariance, `rounds` power-iteration rounds, centered
+    projection — every fold the decimal-sum discipline."""
+    parts = ["""
+WITH ve AS MATERIALIZED (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+pairs AS (SELECT a.j, a.x, b.j AS k, b.x AS y
+          FROM ve a JOIN ve b USING (vec_id)),
+sxy AS (SELECT j, k,
+               CAST(SUM(CAST(round(x * y, 12) AS DECIMAL(28,12)))
+                    AS DOUBLE) AS sxy
+        FROM pairs GROUP BY j, k),
+means AS MATERIALIZED (
+    SELECT j, round(CAST(SUM(CAST(round(x, 12) AS DECIMAL(28,12)))
+                         AS DOUBLE) / (SELECT n FROM nn), 12) AS m
+    FROM ve GROUP BY j),
+cov AS MATERIALIZED (
+    SELECT s.j, s.k,
+           round(round(s.sxy / (SELECT n FROM nn), 12)
+                 - mj.m * mk.m, 12) AS cov
+    FROM sxy s JOIN means mj ON mj.j = s.j
+               JOIN means mk ON mk.j = s.k),
+pit0 AS (SELECT DISTINCT j, 1.0 AS vj FROM cov)"""]
+    prev = "pit0"
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+pw{t} AS (SELECT c.j,
+                 CAST(SUM(CAST(round(c.cov * p.vj, 12) AS DECIMAL(28,12)))
+                      AS DOUBLE) AS w
+          FROM cov c JOIN {prev} p ON c.k = p.j GROUP BY c.j),
+pn{t} AS (SELECT sqrt(CAST(SUM(CAST(round(w * w, 12) AS DECIMAL(28,12)))
+                           AS DOUBLE)) AS nrm FROM pw{t}),
+pit{t} AS (SELECT j, round(w / (SELECT nrm FROM pn{t}), 12) AS vj
+           FROM pw{t})""")
+        prev = f"pit{t}"
+    parts.append(f"""
+SELECT ve.vec_id,
+       round(CAST(SUM(CAST(round((ve.x - m.m) * p.vj, 12)
+                           AS DECIMAL(28,12))) AS DOUBLE), 9) AS pc1
+FROM ve JOIN means m ON m.j = ve.j JOIN {prev} p ON p.j = ve.j
+GROUP BY ve.vec_id""")
+    return "".join(parts)
+
+
+@query("pca_pc1_scores", oracle=_pca_oracle(rounds=6))
+def pca_pc1_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-principal-component score per embedding
+    (operators.similarity.covariance_matrix + power_iteration_top +
+    pca_scores — the curation axis: sort/trim the corpus along its
+    dominant direction of variation, the classical embedding-space
+    outlier/drift view next to the per-cluster z-score gate).  Exact
+    distributed covariance (dim^2-bounded shuffle whatever the corpus
+    size), six power-iteration rounds kept in Spark ops so the DuckDB
+    oracle replays them round-for-round (generated CTE chain, the
+    PageRank discipline), then a row-local centered projection with
+    the model-sized (mean, eigenvector) state as literal arrays —
+    corpus rows never shuffle.  Every fold decimal-summed; the oracle
+    replays covariance, all six rounds, AND the projection
+    bit-for-bit."""
+    emb = load(spark, sf_dir)["embeddings"]
+    return S.pca_scores(emb, rounds=6)

@@ -2397,3 +2397,47 @@ def test_knn_jl_same_shape_and_determinism(spark):
     assert a == b
     assert len(a) == 12  # 3 queries x top-4
     assert all(r[3] <= 4 for r in a)
+
+
+def test_pca_matches_numpy_on_anisotropic_data(spark):
+    """Covariance table equals numpy's population covariance; the
+    power-iterated top component aligns with numpy eigh's dominant
+    eigenvector (|cos| > 0.999 on data with a clear eigengap); scores
+    equal the centered numpy projection."""
+    import numpy as np
+
+    from localsql_spark.operators.similarity import (covariance_matrix,
+                                                     pca_scores,
+                                                     power_iteration_top)
+
+    rng = [((i * 37 + 11) % 97) / 97.0 - 0.5 for i in range(600)]
+    dim, n = 6, 100
+    # dominant direction: big spread along a fixed unit vector u
+    u = np.array([3.0, 1.0, -2.0, 0.5, -1.0, 2.0])
+    u = u / np.linalg.norm(u)
+    X = np.array([[rng[i * dim + j] * 0.1 for j in range(dim)]
+                  for i in range(n)])
+    X += np.outer([rng[i] * 10 for i in range(n)], u)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+
+    cov = covariance_matrix(df)
+    got = np.zeros((dim, dim))
+    for r in cov.collect():
+        got[r.j][r.k] = r.cov
+    want = np.cov(X, rowvar=False, bias=True)
+    assert np.allclose(got, want, atol=1e-9)
+
+    v = power_iteration_top(cov, rounds=12)
+    vv = np.zeros(dim)
+    for r in v.collect():
+        vv[r.j] = r.vj
+    _, eigvecs = np.linalg.eigh(want)
+    top = eigvecs[:, -1]
+    assert abs(float(np.dot(vv, top))) > 0.999
+
+    scores = {r.vec_id: r.pc1 for r in pca_scores(df, rounds=12).collect()}
+    centered = X - X.mean(axis=0)
+    for i in range(0, n, 17):
+        assert abs(scores[i] - float(centered[i] @ vv)) < 1e-6, i
