@@ -50,6 +50,10 @@ def export_result(df: DataFrame, path: str | Path, *,
         df.write.mode("overwrite").parquet(path)
     elif ext == "orc":
         df.write.mode("overwrite").orc(path)
+    elif ext == "xml":
+        # Spark 4 native xml sink (one <row> element per record)
+        (df.write.mode("overwrite").format("xml")
+         .option("rootTag", "rows").option("rowTag", "row").save(path))
     else:
         raise ValueError(f"unsupported export format {ext!r}")
     return path

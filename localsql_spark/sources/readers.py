@@ -36,7 +36,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 SUPPORTED_EXTS = ("csv", "tsv", "xlsx", "json", "jsonl", "ndjson", "parquet",
-                  "orc", "txt")
+                  "orc", "txt", "xml")
 COMPRESSORS = ("gz", "bz2", "zip", "xz")  # reference: localsql/localsql.py:91
 
 
@@ -348,7 +348,25 @@ def df_from_file(spark: SparkSession, file: str | Path, *,
         return spark.read.orc(str(path))
     if fmt == "txt":
         return read_text_lines(spark, path)
+    if fmt == "xml":
+        return read_xml(spark, path)
     raise ValueError(f"unsupported format {fmt!r} for {file}")
+
+
+def read_xml(spark: SparkSession, path: str | Path,
+             row_tag: str = "row") -> DataFrame:
+    """XML through Spark 4's NATIVE xml source (spark-xml was merged
+    upstream in 4.0 — executor-side, splittable, schema-inferred): one
+    row per ``row_tag`` element, attributes as ``_attr`` columns, nested
+    elements as structs.  Extension beyond the reference's format
+    surface (localsql/localsql.py:78-100 stops at csv/xlsx/json);
+    registered here so directory discovery and the REPL pick ``.xml``
+    files up like any other table file.  gz/bz2 stream through the
+    text-based codec path like csv/json."""
+    return (spark.read.format("xml")
+            .option("rowTag", row_tag)
+            .option("inferSchema", "true")
+            .load(str(path)))
 
 
 def read_text_lines(spark: SparkSession, path: str | Path) -> DataFrame:

@@ -6061,3 +6061,41 @@ def pca_pc1_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit."""
     emb = load(spark, sf_dir)["embeddings"]
     return S.pca_scores(emb, rounds=6)
+
+
+@query("xml_roundtrip_documents", oracle="""
+SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+FROM documents
+""")
+def xml_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink roundtrip at corpus size (sources.readers.read_xml
+    + sinks.writers.export_result — Spark 4's NATIVE xml reader/writer,
+    executor-side and splittable; an extension beyond the reference's
+    csv/xlsx/json surface): the documents table writes to XML and reads
+    back through the same dispatch the REPL's directory discovery uses.
+    The oracle is the base table itself — the roundtrip must be exact
+    through XML escaping, type inference, and the gz-capable text codec
+    path (text is digested to md5 BEFORE the write so the compared
+    payload is fixed-width; the digest column rides THROUGH the XML)."""
+    import shutil
+    import tempfile
+
+    from localsql_spark.sinks.writers import export_result
+    from localsql_spark.sources.readers import read_xml
+
+    docs = load(spark, sf_dir)["documents"].select(
+        "doc_id", "lang", "source", "n_chars",
+        F.md5("text").alias("text_md5"))
+    scratch = tempfile.mkdtemp(prefix="xmlrt_")
+    try:
+        out = f"{scratch}/docs.xml"
+        export_result(docs, out)
+        back = read_xml(spark, out).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("lang").cast("string").alias("lang"),
+            F.col("source").cast("string").alias("source"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("text_md5").cast("string").alias("text_md5"))
+        return back.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -520,3 +520,37 @@ def test_json_normalize_escapes_backtick_keys(spark, tmp_path):
     df = df_from_file(spark, f, json_normalize=True)
     row = df.collect()[0]
     assert row["a`b"] == 1 and row["nest.c"] == 2
+
+
+def test_xml_source_and_sink_roundtrip(spark, tmp_path):
+    """XML extension (Spark 4 native xml source/sink): sniffed, engine-
+    registered, roundtrips through export_result; gz variant streams."""
+    from localsql_spark.engine import LocalSparkSQL
+    from localsql_spark.sinks.writers import export_result
+    from localsql_spark.sources.readers import (df_from_file, read_xml,
+                                                sniff_format)
+
+    assert sniff_format("a/b/data.xml") == ("xml", None)
+    assert sniff_format("data.xml.gz") == ("xml", "gz")
+
+    xml = tmp_path / "people.xml"
+    xml.write_text(
+        "<rows>"
+        "<row><id>1</id><name>ada</name></row>"
+        "<row><id>2</id><name>bob &amp; co</name></row>"
+        "</rows>")
+    df = df_from_file(spark, xml)
+    got = sorted((r.id, r.name) for r in df.collect())
+    assert got == [(1, "ada"), (2, "bob & co")]
+
+    eng = LocalSparkSQL(spark)
+    eng.load_directory(str(tmp_path), verbose=False)
+    rows = eng.run_sql(
+        "SELECT id, name FROM people_xml ORDER BY id").collect()
+    assert [tuple(r) for r in rows] == [(1, "ada"), (2, "bob & co")]
+
+    out = str(tmp_path / "exported.xml")
+    export_result(df, out)
+    back = sorted((r.id, r.name)
+                  for r in read_xml(spark, out).collect())
+    assert back == got
