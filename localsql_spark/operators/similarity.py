@@ -1960,3 +1960,55 @@ def pca_scores(df: DataFrame, vec_col: str = "embedding",
     proj = _dec_sum(F.zip_with(centered, varr,
                                lambda c, vv: F.round(c * vv, 12)))
     return df.select(F.col(id_col), F.round(proj, 9).alias("pc1"))
+
+
+def pca_explained(cov: DataFrame, rounds: int = 6) -> DataFrame:
+    """Top-2 eigenvalues + explained-variance ratios from a (j, k, cov)
+    table: power iteration for the first component, Hotelling deflation
+    ``C2 = C - lam1 * v vT`` (rounded to 12 like every iterate) for the
+    second — all in Spark ops over the model-sized matrix so the oracle
+    replays both chains.  ``trace`` (total variance) is the diagonal
+    fold, so ``ratio = lam / trace`` is the curation dashboard number:
+    how much of the corpus's variance one axis carries (a near-1 top
+    ratio on an embedding corpus usually means a degenerate/constant
+    feature dominating — the thing to catch BEFORE training).  Returns
+    two rows (component, eigenvalue, trace, ratio)."""
+    cov = cov.localCheckpoint(eager=True)
+
+    def lam_of(c: DataFrame, v: DataFrame) -> DataFrame:
+        w = (c.join(v.withColumnRenamed("j", "k")
+                    .withColumnRenamed("vj", "vk"), "k")
+             .groupBy("j")
+             .agg(F.sum(F.round(F.col("cov") * F.col("vk"), 12)
+                        .cast(_DEC)).cast("double").alias("w")))
+        return (w.join(v, "j")
+                .agg(F.round(F.sum(F.round(F.col("w") * F.col("vj"), 12)
+                                   .cast(_DEC)).cast("double"), 12)
+                     .alias("lam")))
+
+    v1 = power_iteration_top(cov, rounds)
+    lam1 = lam_of(cov, v1).localCheckpoint(eager=True)
+    trace = (cov.filter(F.col("j") == F.col("k"))
+             .agg(F.sum(F.round(F.col("cov"), 12).cast(_DEC))
+                  .cast("double").alias("trace"))
+             .localCheckpoint(eager=True))
+    c2 = (cov.join(v1, "j")
+          .join(v1.withColumnRenamed("j", "k")
+                .withColumnRenamed("vj", "vk"), "k")
+          .crossJoin(F.broadcast(lam1))
+          .select("j", "k",
+                  F.round(F.col("cov")
+                          - F.col("lam") * F.col("vj") * F.col("vk"), 12)
+                  .alias("cov")))
+    v2 = power_iteration_top(c2, rounds)
+    lam2 = lam_of(c2.localCheckpoint(eager=True), v2)
+    one = (lam1.crossJoin(F.broadcast(trace))
+           .select(F.lit(1).alias("component"),
+                   F.col("lam").alias("eigenvalue"), "trace"))
+    two = (lam2.crossJoin(F.broadcast(trace))
+           .select(F.lit(2).alias("component"),
+                   F.col("lam").alias("eigenvalue"), "trace"))
+    return (one.unionByName(two)
+            .select("component", "eigenvalue", "trace",
+                    F.round(F.col("eigenvalue") / F.col("trace"), 9)
+                    .alias("ratio")))

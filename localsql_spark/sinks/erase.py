@@ -422,7 +422,10 @@ def export_subject(spark: SparkSession, keys: DataFrame, *,
     configured store (empty frames for stores holding nothing).  Feed
     frames carry ``batch_id``; every frame still contains the store's
     own key column.  Fold into one auditable frame with
-    :func:`access_manifest`."""
+    :func:`access_manifest`.  The returned frames are LAZY reads —
+    consume them before running maintenance (prune_feed, compaction,
+    an erase) on the same stores, the package-wide single-writer
+    contract; the frames themselves never take locks."""
     k = normalize_erase_keys(keys).localCheckpoint(eager=True)
     out: dict[str, DataFrame] = {}
 

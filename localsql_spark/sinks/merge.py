@@ -368,7 +368,11 @@ def expire_partitions(base_dir: str, partition_col: str, cutoff,
     Row-level retention inside the boundary partition is deliberately
     out of scope: partition-grained expiry is the cheap contract, and a
     finer cutoff is one :func:`merge_into_partitioned` of the boundary
-    partition's survivors.  Idempotent.  Returns the removed partition
+    partition's survivors.  Idempotent.  Single-writer maintenance step
+    (the same contract as every fold here): do not run concurrently
+    with a merge/compaction on the same store — this call clears the
+    shared staging dir before committing, and a concurrent writer's
+    staged partitions would be lost.  Returns the removed partition
     names."""
     recover_pending_merge(base_dir)
     base = Path(base_dir)

@@ -6026,14 +6026,15 @@ pit0 AS (SELECT DISTINCT j, 1.0 AS vj FROM cov)"""]
     prev = "pit0"
     for t in range(1, rounds + 1):
         parts.append(f""",
-pw{t} AS (SELECT c.j,
-                 CAST(SUM(CAST(round(c.cov * p.vj, 12) AS DECIMAL(28,12)))
-                      AS DOUBLE) AS w
-          FROM cov c JOIN {prev} p ON c.k = p.j GROUP BY c.j),
+pw{t} AS MATERIALIZED (
+    SELECT c.j,
+           CAST(SUM(CAST(round(c.cov * p.vj, 12) AS DECIMAL(28,12)))
+                AS DOUBLE) AS w
+    FROM cov c JOIN {prev} p ON c.k = p.j GROUP BY c.j),
 pn{t} AS (SELECT sqrt(CAST(SUM(CAST(round(w * w, 12) AS DECIMAL(28,12)))
                            AS DOUBLE)) AS nrm FROM pw{t}),
-pit{t} AS (SELECT j, round(w / (SELECT nrm FROM pn{t}), 12) AS vj
-           FROM pw{t})""")
+pit{t} AS MATERIALIZED (
+    SELECT j, round(w / (SELECT nrm FROM pn{t}), 12) AS vj FROM pw{t})""")
         prev = f"pit{t}"
     parts.append(f"""
 SELECT ve.vec_id,
@@ -6099,3 +6100,102 @@ def xml_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         return back.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+_PCA_COV_PREFIX = """
+WITH ve AS MATERIALIZED (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+pairs AS (SELECT a.j, a.x, b.j AS k, b.x AS y
+          FROM ve a JOIN ve b USING (vec_id)),
+sxy AS (SELECT j, k,
+               CAST(SUM(CAST(round(x * y, 12) AS DECIMAL(28,12)))
+                    AS DOUBLE) AS sxy
+        FROM pairs GROUP BY j, k),
+means AS MATERIALIZED (
+    SELECT j, round(CAST(SUM(CAST(round(x, 12) AS DECIMAL(28,12)))
+                         AS DOUBLE) / (SELECT n FROM nn), 12) AS m
+    FROM ve GROUP BY j),
+cov AS MATERIALIZED (
+    SELECT s.j, s.k,
+           round(round(s.sxy / (SELECT n FROM nn), 12)
+                 - mj.m * mk.m, 12) AS cov
+    FROM sxy s JOIN means mj ON mj.j = s.j
+               JOIN means mk ON mk.j = s.k)"""
+
+
+def _power_chain(src: str, prefix: str, rounds: int) -> tuple[str, str]:
+    """Emit a power-iteration CTE chain over matrix CTE ``src``; returns
+    (sql_fragment, final_vector_cte_name)."""
+    parts = [f""",
+{prefix}0 AS (SELECT DISTINCT j, 1.0 AS vj FROM {src})"""]
+    prev = f"{prefix}0"
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+{prefix}w{t} AS MATERIALIZED (SELECT c.j,
+                 CAST(SUM(CAST(round(c.cov * p.vj, 12) AS DECIMAL(28,12)))
+                      AS DOUBLE) AS w
+          FROM {src} c JOIN {prev} p ON c.k = p.j GROUP BY c.j),
+{prefix}n{t} AS (SELECT sqrt(CAST(SUM(CAST(round(w * w, 12)
+                                           AS DECIMAL(28,12)))
+                                  AS DOUBLE)) AS nrm FROM {prefix}w{t}),
+{prefix}{t} AS MATERIALIZED (
+    SELECT j, round(w / (SELECT nrm FROM {prefix}n{t}), 12)
+                       AS vj
+                FROM {prefix}w{t})""")
+        prev = f"{prefix}{t}"
+    return "".join(parts), prev
+
+
+def _pca_explained_oracle(rounds: int = 6) -> str:
+    chain1, v1 = _power_chain("cov", "pa", rounds)
+    lam1 = f""",
+law1 AS MATERIALIZED (SELECT c.j,
+                CAST(SUM(CAST(round(c.cov * p.vj, 12) AS DECIMAL(28,12)))
+                     AS DOUBLE) AS w
+         FROM cov c JOIN {v1} p ON c.k = p.j GROUP BY c.j),
+lam1 AS MATERIALIZED (SELECT round(CAST(SUM(CAST(round(l.w * p.vj, 12)
+                                    AS DECIMAL(28,12))) AS DOUBLE), 12)
+                AS lam
+         FROM law1 l JOIN {v1} p ON l.j = p.j),
+tr AS (SELECT CAST(SUM(CAST(round(cov, 12) AS DECIMAL(28,12)))
+              AS DOUBLE) AS trace FROM cov WHERE j = k),
+cov2 AS MATERIALIZED (
+    SELECT c.j, c.k,
+           round(c.cov - (SELECT lam FROM lam1) * pj.vj * pk.vj, 12)
+             AS cov
+    FROM cov c JOIN {v1} pj ON pj.j = c.j
+               JOIN {v1} pk ON pk.j = c.k)"""
+    chain2, v2 = _power_chain("cov2", "pb", rounds)
+    lam2 = f""",
+lbw1 AS MATERIALIZED (SELECT c.j,
+                CAST(SUM(CAST(round(c.cov * p.vj, 12) AS DECIMAL(28,12)))
+                     AS DOUBLE) AS w
+         FROM cov2 c JOIN {v2} p ON c.k = p.j GROUP BY c.j),
+lam2 AS MATERIALIZED (SELECT round(CAST(SUM(CAST(round(l.w * p.vj, 12)
+                                    AS DECIMAL(28,12))) AS DOUBLE), 12)
+                AS lam
+         FROM lbw1 l JOIN {v2} p ON l.j = p.j)"""
+    tail = """
+SELECT 1 AS component, lam AS eigenvalue, trace,
+       round(lam / trace, 9) AS ratio FROM lam1, tr
+UNION ALL
+SELECT 2, lam, trace, round(lam / trace, 9) FROM lam2, tr"""
+    return _PCA_COV_PREFIX + chain1 + lam1 + chain2 + lam2 + tail
+
+
+@query("pca_explained_variance", oracle=_pca_explained_oracle(rounds=6))
+def pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 eigenvalues + explained-variance ratios of the embedding
+    covariance (operators.similarity.pca_explained: power iteration,
+    Hotelling deflation C - lam*v*vT, diagonal trace fold — all in Spark
+    ops over the model-sized matrix).  The curation dashboard number: a
+    near-1 top ratio flags a degenerate axis dominating the corpus
+    BEFORE it skews training.  The oracle replays covariance, BOTH
+    six-round power chains, the deflation, and the trace bit-for-bit
+    (generated CTEs, the PageRank discipline)."""
+    emb = load(spark, sf_dir)["embeddings"]
+    cov = S.covariance_matrix(emb)
+    return S.pca_explained(cov, rounds=6)

@@ -2441,3 +2441,32 @@ def test_pca_matches_numpy_on_anisotropic_data(spark):
     centered = X - X.mean(axis=0)
     for i in range(0, n, 17):
         assert abs(scores[i] - float(centered[i] @ vv)) < 1e-6, i
+
+
+def test_pca_explained_matches_numpy_eigenvalues(spark):
+    import numpy as np
+
+    from localsql_spark.operators.similarity import (covariance_matrix,
+                                                     pca_explained)
+
+    rng = [((i * 37 + 11) % 97) / 97.0 - 0.5 for i in range(600)]
+    dim, n = 6, 100
+    u1 = np.array([3.0, 1.0, -2.0, 0.5, -1.0, 2.0]); u1 /= np.linalg.norm(u1)
+    u2 = np.array([1.0, -3.0, 0.0, 2.0, 1.0, 0.5])
+    u2 -= u2 @ u1 * u1; u2 /= np.linalg.norm(u2)
+    X = np.array([[rng[i * dim + j] * 0.05 for j in range(dim)]
+                  for i in range(n)])
+    X += np.outer([rng[i] * 10 for i in range(n)], u1)
+    X += np.outer([rng[(i * 7) % 600] * 4 for i in range(n)], u2)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    got = {r.component: (r.eigenvalue, r.trace, r.ratio)
+           for r in pca_explained(covariance_matrix(df),
+                                  rounds=14).collect()}
+    C = np.cov(X, rowvar=False, bias=True)
+    eig = np.sort(np.linalg.eigvalsh(C))[::-1]
+    assert abs(got[1][0] - eig[0]) < 1e-6 * max(1.0, eig[0])
+    assert abs(got[2][0] - eig[1]) < 1e-4 * max(1.0, eig[1])
+    assert abs(got[1][1] - float(np.trace(C))) < 1e-9
+    assert 0 < got[2][2] < got[1][2] < 1
