@@ -1870,6 +1870,10 @@ def covariance_matrix(df: DataFrame, vec_col: str = "embedding",
     ``E[xy] - E[x]E[y]`` round to 12 — bit-reproducible cross-engine,
     so a DuckDB oracle can replay the matrix exactly.  Population (1/n)
     normalization."""
+    df = spread(df)  # the dim^2-per-row expand is CPU-bound: a one-split
+    # local file would otherwise serialize the whole fold on one core
+    # (measured 12s -> 2s at sf0.1); at real scale the scan already has
+    # >= cores splits and this is a no-op
     n = df.count()
     e1 = df.select(F.col(vec_col).alias("__v"),
                    F.posexplode(F.col(vec_col)).alias("j", "x"))
@@ -1909,8 +1913,11 @@ def power_iteration_top(cov: DataFrame, rounds: int = 6) -> DataFrame:
     # materialize the matrix ONCE: every round references cov, and an
     # unCheckpointed lineage would re-run the full covariance fold per
     # round (the exact re-evaluation trap the oracle's MATERIALIZED CTE
-    # avoids on the DuckDB side)
-    cov = cov.localCheckpoint(eager=True)
+    # avoids on the DuckDB side).  coalesce(1): the matrix is dim^2 rows
+    # — letting each round's groupBy fan 32 shuffle partitions just buys
+    # per-round scheduler overhead (measured: the rounds, not the
+    # corpus-sized covariance fold, dominated the sf0.1 wall)
+    cov = cov.coalesce(1).localCheckpoint(eager=True)
     dim_rows = cov.select("j").distinct()
     v = dim_rows.select("j", F.lit(1.0).alias("vj")) \
         .localCheckpoint(eager=True)

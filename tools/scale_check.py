@@ -579,6 +579,14 @@ def main() -> None:
         dt = time.perf_counter() - t0
         return n, dt
 
+    def op_pca_covariance(f):
+        # exact-covariance fold: dim^2 products per row, map-side combine,
+        # shuffle bounded at dim^2 x partitions — wall should track the
+        # corpus linearly (the explode is row-local CPU)
+        from localsql_spark.operators.similarity import covariance_matrix
+        emb = spark.read.parquet(paths[f]["embeddings"])
+        return covariance_matrix(emb).count()
+
     def op_profile(f):
         from localsql_spark.operators.corpus import profile_columns
         ev = spark.read.parquet(paths[f]["events"])
@@ -859,7 +867,8 @@ def main() -> None:
            "erase_feed_fixed_request": op_erase_feed_fixed_request,
            "access_fixed_request": op_access_fixed_request,
            "retention_expire": op_retention_expire,
-           "table_as_of_b3": op_table_as_of}
+           "table_as_of_b3": op_table_as_of,
+           "pca_covariance": op_pca_covariance}
 
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:
