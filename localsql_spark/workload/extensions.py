@@ -6199,3 +6199,36 @@ def pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir)["embeddings"]
     cov = S.covariance_matrix(emb)
     return S.pca_explained(cov, rounds=6)
+
+
+@query("pca_cov_incremental", oracle=_PCA_COV_PREFIX + """
+SELECT j, k, cov FROM cov
+""")
+def pca_cov_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained covariance store
+    (sinks.cov_store: fold/read/erase): the embeddings land as THREE
+    ingest batches of exact decimal sufficient statistics (n, per-dim
+    sums, per-pair product sums — purely additive, so
+    fold(a);fold(b);fold(c) == one full pass bit-for-bit), and the
+    matrix re-derives from the model-sized state without ever
+    re-reading the corpus — the daily-loop shape for PCA over a growing
+    corpus.  The oracle is the ONE-SHOT covariance computation itself
+    (shared with pca_pc1_scores), so the driver row proves
+    incremental == full exactly.  Per-day cost at 100 TB: one
+    batch-sized expand + a model-sized append + a model-sized read."""
+    import shutil
+    import tempfile
+
+    from localsql_spark.operators import hash32
+    from localsql_spark.sinks.cov_store import cov_from_store, cov_store_fold
+
+    emb = load(spark, sf_dir)["embeddings"]
+    store = tempfile.mkdtemp(prefix="cov_store_")
+    try:
+        for i in range(3):
+            cov_store_fold(spark, store,
+                           emb.filter(hash32(F.col("vec_id")) % 3 == i),
+                           batch_id=i)
+        return cov_from_store(spark, store).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)

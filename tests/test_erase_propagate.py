@@ -1091,3 +1091,75 @@ def test_erase_everywhere_rollup_before_primary_ordering(spark, tmp_path):
                       .select(*cols).collect())) \
         == sorted(map(tuple, read_rollup(spark, fresh)
                       .select(*cols).collect()))
+
+
+# ---------------------------------------------------------------------------
+# incrementally-maintained covariance store (sinks/cov_store.py)
+# ---------------------------------------------------------------------------
+
+def _vecs(spark, n=30, dim=5, skip=None):
+    rows = [(i, [float(((i * 13 + j * 7) % 11) - 5) for j in range(dim)])
+            for i in range(n) if skip is None or not skip(i)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cov_store_incremental_equals_full_and_erases(spark, tmp_path):
+    """fold(b0);fold(b1) == one-shot covariance_matrix bit-for-bit;
+    a negative-partial erase makes the store equal one that never saw
+    the subjects; redelivery of a folded batch is byte-idempotent;
+    compaction preserves the derived matrix."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators.similarity import covariance_matrix
+    from localsql_spark.sinks.cov_store import (cov_from_store,
+                                                cov_store_erase,
+                                                cov_store_fold)
+    from localsql_spark.streaming.batch_dirs import compact_batches
+
+    all_ = _vecs(spark)
+    store = str(tmp_path / "cov")
+    cov_store_fold(spark, store, all_.filter(F.col("vec_id") % 2 == 0), 0)
+    cov_store_fold(spark, store, all_.filter(F.col("vec_id") % 2 == 1), 1)
+
+    def mat(df):
+        return {(r.j, r.k): r.cov for r in df.collect()}
+
+    assert mat(cov_from_store(spark, store)) == mat(covariance_matrix(all_))
+
+    # redelivery: re-folding batch 1 rewrites the same bytes, matrix fixed
+    cov_store_fold(spark, store, all_.filter(F.col("vec_id") % 2 == 1), 1)
+    assert mat(cov_from_store(spark, store)) == mat(covariance_matrix(all_))
+
+    # erase: retract vec_id % 7 == 0 via negative partials
+    subjects = all_.filter(F.col("vec_id") % 7 == 0)
+    cov_store_erase(spark, store, subjects, batch_id=2)
+    kept = _vecs(spark, skip=lambda i: i % 7 == 0)
+    assert mat(cov_from_store(spark, store)) == mat(covariance_matrix(kept))
+
+    # compaction: content-preserving fold of old batch dirs
+    compact_batches(spark, store)
+    assert mat(cov_from_store(spark, store)) == mat(covariance_matrix(kept))
+    # superseded redelivery after compaction is skipped
+    assert cov_store_fold(
+        spark, store, all_.filter(F.col("vec_id") % 2 == 0), 0) is False
+
+
+def test_cov_store_ledger_blocks_late_subjects(spark, tmp_path):
+    """A deletion request ledgered BEFORE a late data batch folds keeps
+    the subjects' contribution out of the covariance state."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators.similarity import covariance_matrix
+    from localsql_spark.sinks.cov_store import cov_from_store, cov_store_fold
+    from localsql_spark.sinks.erase import erase_ledger_append
+
+    all_ = _vecs(spark)
+    ledger = str(tmp_path / "ledger")
+    erase_ledger_append(
+        all_.filter(F.col("vec_id") % 7 == 0).select("vec_id"), ledger, 0)
+    store = str(tmp_path / "cov")
+    cov_store_fold(spark, store, all_, 0, ledger_dir=ledger)
+    kept = _vecs(spark, skip=lambda i: i % 7 == 0)
+    got = {(r.j, r.k): r.cov for r in cov_from_store(spark, store).collect()}
+    want = {(r.j, r.k): r.cov for r in covariance_matrix(kept).collect()}
+    assert got == want
