@@ -6232,3 +6232,63 @@ def pca_cov_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cov_from_store(spark, store).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(store, ignore_errors=True)
+
+
+@query("streaming_cov_ingest", oracle=_PCA_COV_PREFIX + """
+SELECT j, k, cov FROM cov
+""")
+def streaming_cov_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the covariance store, driven end-to-end
+    (streaming.stream_cov_ingest — the streaming twin of
+    sinks.cov_store, keeping the one-twin-per-persisted-store
+    invariant): the embeddings arrive as an mtime-ordered file stream
+    (maxFilesPerTrigger=1, availableNow), each micro-batch lands its
+    exact decimal sufficient statistics as an idempotent batch dir, and
+    the matrix re-derives from the model-sized state.  Sharing the
+    one-shot covariance oracle proves streamed ingest == the full-pass
+    computation bit-for-bit — the invariance a continuously-maintained
+    PCA input must hold under any delivery schedule."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from localsql_spark.catalog import _CACHE_DIR
+    from localsql_spark.operators import hash32
+    from localsql_spark.sinks.cov_store import cov_from_store
+    from localsql_spark.streaming.stream_cov_ingest import stream_cov_ingest
+
+    emb = load(spark, sf_dir)["embeddings"]
+    m = F.pmod(hash32(F.col("vec_id")), F.lit(3))
+    src_dir = (_CACHE_DIR.parent / "stream_cov_src"
+               / Path(sf_dir.rstrip("/")).name)
+    if not src_dir.exists():
+        src_dir.parent.mkdir(parents=True, exist_ok=True)
+        build = Path(tempfile.mkdtemp(prefix=f".{src_dir.name}.build_",
+                                      dir=src_dir.parent))
+        names = ("a_batch0.parquet", "b_batch1.parquet", "c_batch2.parquet")
+        for i, name in enumerate(names):
+            tmp = tempfile.mkdtemp(prefix="covsplit_")
+            emb.filter(m == i).coalesce(1) \
+                .write.mode("overwrite").parquet(tmp)
+            part = next(Path(tmp).glob("part-*.parquet"))
+            shutil.move(str(part), build / name)
+            shutil.rmtree(tmp, ignore_errors=True)
+        t0 = (build / names[0]).stat().st_mtime
+        for i, name in enumerate(names):
+            os.utime(build / name, (t0 + 100 * i, t0 + 100 * i))
+        try:
+            os.rename(build, src_dir)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+
+    schema = spark.read.parquet(str(src_dir / "a_batch0.parquet")).schema
+    store = tempfile.mkdtemp(prefix="cov_stream_")
+    ck = tempfile.mkdtemp(prefix="cov_stream_ck_")
+    try:
+        stream_cov_ingest(spark, source_dir=str(src_dir), schema=schema,
+                          store_dir=store, checkpoint_dir=ck)
+        return cov_from_store(spark, store).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+        shutil.rmtree(store, ignore_errors=True)

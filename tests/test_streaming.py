@@ -1433,3 +1433,44 @@ def test_erase_ledger_wired_across_ingest_twins(spark, tmp_path):
         subject_col="id")
     assert {r["id"] for r in read_routed(spark, out).collect()} == {7}
     assert {r["id"] for r in read_routed(spark, quar).collect()} == {6}
+
+
+def test_stream_cov_ingest_replay_is_idempotent(spark, tmp_path):
+    """Fresh-checkpoint full replay of the covariance stream rewrites
+    each batch dir byte-for-byte: the derived matrix is a pure function
+    of the delivered row set, whatever the delivery schedule."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators.similarity import covariance_matrix
+    from localsql_spark.sinks.cov_store import cov_from_store
+    from localsql_spark.streaming.stream_cov_ingest import stream_cov_ingest
+
+    rows = [(i, [float(((i * 13 + j * 7) % 11) - 5) for j in range(4)])
+            for i in range(24)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    src = tmp_path / "src"
+    src.mkdir()
+    import shutil
+    for i in range(3):
+        tmp = str(tmp_path / f"b{i}")
+        df.filter(F.col("vec_id") % 3 == i).coalesce(1) \
+            .write.mode("overwrite").parquet(tmp)
+        part = next((tmp_path / f"b{i}").glob("part-*.parquet"))
+        shutil.move(str(part), src / f"{chr(97 + i)}_batch{i}.parquet")
+
+    schema = df.schema
+    store = str(tmp_path / "store")
+    stream_cov_ingest(spark, source_dir=str(src), schema=schema,
+                      store_dir=store,
+                      checkpoint_dir=str(tmp_path / "ck1"))
+
+    def mat(d):
+        return {(r.j, r.k): r.cov for r in d.collect()}
+
+    want = mat(covariance_matrix(df))
+    assert mat(cov_from_store(spark, store)) == want
+    # fresh checkpoint = full redelivery of every batch id
+    stream_cov_ingest(spark, source_dir=str(src), schema=schema,
+                      store_dir=store,
+                      checkpoint_dir=str(tmp_path / "ck2"))
+    assert mat(cov_from_store(spark, store)) == want
