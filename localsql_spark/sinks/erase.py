@@ -588,6 +588,7 @@ def erase_everywhere(spark: SparkSession, keys: DataFrame, *,
                      scd2: dict | None = None,
                      rollup: dict | None = None,
                      ivm_view: dict | None = None,
+                     cov_store: dict | None = None,
                      feed: dict | None = None,
                      ledger: dict | None = None) -> DataFrame:
     """Right-to-be-forgotten across the WHOLE persistence surface: erase
@@ -608,6 +609,9 @@ def erase_everywhere(spark: SparkSession, keys: DataFrame, *,
     event source), ``ivm_view={'view_dir', 'fact', 'subject_col',
     'dim', 'fact_key', 'dim_key', 'group_col', 'value_col',
     ['n_buckets']}`` (``fact`` = the PRE-erase fact source),
+    ``cov_store={'store_dir', 'vectors', 'batch_id', ['subject_col',
+    'vec_col']}`` (``vectors`` = the PRE-erase embedding source; the
+    retraction folds the subjects' NEGATIVE partials as that batch id),
     ``feed={'feed_dir', 'key_col'}``, ``ledger={'ledger_dir',
     'batch_id'}`` (record the request in the erase LEDGER before any
     store is touched, so in-flight ingest batches carrying the subjects
@@ -752,6 +756,26 @@ def erase_everywhere(spark: SparkSession, keys: DataFrame, *,
                         cfg["dim_key"], cfg["group_col"], cfg["value_col"],
                         cfg.get("n_buckets", 8)),
             ["grp", "grp_bucket"], ["n_rows", "sum_value"])
+    if cov_store is not None:
+        from localsql_spark.operators.similarity import covariance_matrix
+        from localsql_spark.sinks.cov_store import (cov_from_store,
+                                                    cov_store_erase)
+        cfg = dict(cov_store)
+        cdir = cfg.pop("store_dir")
+        vectors = cfg.pop("vectors")
+        subject_col = cfg.pop("subject_col", "vec_id")
+        vec_col = cfg.get("vec_col", "embedding")
+        subjects = vectors.join(
+            F.broadcast(k), F.col(subject_col) == F.col("_erase_key"),
+            "left_semi")
+        cov_store_erase(spark, cdir, subjects,
+                        batch_id=cfg.pop("batch_id"), vec_col=vec_col)
+        kept_vecs = vectors.join(
+            F.broadcast(k), F.col(subject_col) == F.col("_erase_key"),
+            "left_anti")
+        _audit_divergence("cov_store", cov_from_store(spark, cdir),
+                          covariance_matrix(kept_vecs, vec_col),
+                          ["j", "k"], ["cov"])
     if primary is not None:
         erase_keys(spark, primary["base_dir"], k, primary["key_col"],
                    n_buckets=primary.get("n_buckets", 32))

@@ -1163,3 +1163,24 @@ def test_cov_store_ledger_blocks_late_subjects(spark, tmp_path):
     got = {(r.j, r.k): r.cov for r in cov_from_store(spark, store).collect()}
     want = {(r.j, r.k): r.cov for r in covariance_matrix(kept).collect()}
     assert got == want
+
+
+def test_erase_everywhere_covers_cov_store(spark, tmp_path):
+    """erase_everywhere's cov_store config retracts and the divergence
+    audit (post-erase bytes vs recompute on kept vectors) reads zero."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.sinks.cov_store import cov_store_fold
+    from localsql_spark.sinks.erase import erase_everywhere
+
+    vecs = _vecs(spark)
+    store = str(tmp_path / "cov")
+    cov_store_fold(spark, store, vecs, 0)
+    keys = vecs.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    audit = erase_everywhere(
+        spark, keys,
+        cov_store={"store_dir": store, "vectors": vecs, "batch_id": 1})
+    rows = {r.store: (r.rows_after, r.erased_refs)
+            for r in audit.collect()}
+    assert rows["cov_store"][1] == 0  # zero divergent matrix entries
+    assert rows["cov_store"][0] > 0
