@@ -1804,3 +1804,78 @@ def window_groups_frame_emulated(spark: SparkSession,
         "o_orderkey", "o_custkey",
         F.sum("p").over(w_grp).cast("double").alias("s_groups"),
         F.count(F.lit(1)).over(w_grp).cast("long").alias("n_groups"))
+
+
+@query("window_count_distinct_emulated", oracle="""
+SELECT event_id, user_id,
+       count(DISTINCT event_type) OVER (PARTITION BY user_id)
+         AS n_types,
+       count(DISTINCT event_type) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS n_types_so_far
+FROM events
+""")
+def window_count_distinct_emulated(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """DISTINCT window aggregates — a real dialect gap (Spark 4 raises
+    DISTINCT_WINDOW_FUNCTION_UNSUPPORTED; SQLite and DuckDB both accept
+    `COUNT(DISTINCT x) OVER`): emulated as ``size(collect_set(x) OVER
+    w)`` — JVM-side, same single Window exchange, works for the
+    whole-partition AND the running ROWS frame.  The oracle is DuckDB's
+    NATIVE distinct window aggregate, so the emulation is checked
+    against the actual semantics, not a restatement (the same
+    discipline as window_exclude_emulated).  At scale: one shuffle on
+    the partition key; the per-row set is bounded by the column's
+    per-partition cardinality — fine for categorical columns, use HLL
+    for unbounded ones."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir)["events"]
+    w_all = Window.partitionBy("user_id")
+    w_run = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return ev.select(
+        "event_id", "user_id",
+        F.size(F.collect_set("event_type").over(w_all))
+        .cast("long").alias("n_types"),
+        F.size(F.collect_set("event_type").over(w_run))
+        .cast("long").alias("n_types_so_far"))
+
+
+@query("fn_median_mode", oracle="""
+WITH m AS (SELECT event_type, round(median(CAST(value AS DOUBLE)), 9)
+                    AS median_value
+           FROM events GROUP BY event_type),
+counts AS (SELECT event_type, user_id % 10 AS bucket, count(*) AS c
+           FROM events GROUP BY 1, 2),
+md AS (SELECT event_type, bucket AS mode_bucket
+       FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                          ORDER BY c DESC, bucket) AS rn
+             FROM counts) r WHERE rn = 1)
+SELECT m.event_type, m.median_value, md.mode_bucket
+FROM m JOIN md ON m.event_type = md.event_type
+""")
+def fn_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """median() (Spark 3.4+ native, interpolated — matches DuckDB's
+    numeric median on identical doubles) and a DETERMINISTIC mode:
+    Spark's and DuckDB's builtin mode() are both tie-arbitrary, so the
+    portable form is the rank-by-(count DESC, value) construction both
+    engines replay identically — the same pin-the-tie discipline as
+    every sampling key in this repo.  One groupBy for the medians, one
+    two-level count+window for the mode."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir)["events"]
+    med = (ev.groupBy("event_type")
+           .agg(F.round(F.median(F.col("value").cast("double")), 9)
+                .alias("median_value")))
+    counts = (ev.groupBy("event_type",
+                         (F.col("user_id") % 10).alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("c")))
+    w = (Window.partitionBy("event_type")
+         .orderBy(F.col("c").desc(), F.col("bucket")))
+    md = (counts.withColumn("rn", F.row_number().over(w))
+          .filter(F.col("rn") == 1)
+          .select("event_type", F.col("bucket").alias("mode_bucket")))
+    return med.join(md, "event_type")
