@@ -89,7 +89,8 @@ def cov_store_fold(spark: SparkSession, store_dir: str, batch: DataFrame,
     return True
 
 
-def cov_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
+def cov_from_store(spark: SparkSession,
+                   store_dir: str) -> DataFrame | None:
     """Re-derive the (j, k, cov) matrix from the summed partials —
     bit-identical to
     :func:`localsql_spark.operators.similarity.covariance_matrix` over
@@ -97,9 +98,17 @@ def cov_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
     associative and commutative; the double casts and 12-decimal
     roundings happen HERE, at the same points the one-shot operator
     applies them).  Model-sized read: dim^2 + dim + 1 rows per live
-    part."""
-    from localsql_spark.streaming.batch_dirs import read_batches
+    part.  Returns None for an absent or empty store (nothing folded
+    yet) instead of an unreadable-path error — the read_erase_ledger
+    contract."""
+    from localsql_spark.streaming.batch_dirs import _live_parts, read_batches
 
+    root = Path(store_dir)
+    if not root.exists():
+        return None
+    gen, batches = _live_parts(store_dir)
+    if gen is None and not any((b / "_SUCCESS").exists() for b in batches):
+        return None
     parts = read_batches(spark, store_dir)
     tot = (parts.groupBy("j", "k")
            .agg(F.sum(F.col("s").cast(_DEC)).cast(_DEC).alias("s")))

@@ -1184,3 +1184,12 @@ def test_erase_everywhere_covers_cov_store(spark, tmp_path):
             for r in audit.collect()}
     assert rows["cov_store"][1] == 0  # zero divergent matrix entries
     assert rows["cov_store"][0] > 0
+
+
+def test_cov_store_empty_reads_none(spark, tmp_path):
+    from localsql_spark.sinks.cov_store import cov_from_store
+
+    assert cov_from_store(spark, str(tmp_path / "absent")) is None
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert cov_from_store(spark, str(empty)) is None
