@@ -639,3 +639,69 @@ def nb_score_with_model(docs: DataFrame, model: DataFrame,
     incrementally scores bit-identically to a single-pass train."""
     lab, words = _nb_words(docs, positive, doc_id_col, text_col)
     return _nb_score(lab, words, model, doc_counts)
+
+
+def perplexity_buckets_by_lang(docs: DataFrame, doc_id_col: str = "doc_id",
+                               text_col: str = "text",
+                               lang_col: str = "lang",
+                               labels: tuple[str, ...] = ("head", "middle",
+                                                          "tail"),
+                               k: int = 1024) -> DataFrame:
+    """CCNet head/middle/tail with PER-LANGUAGE models and thresholds —
+    the paper's actual semantics (Wenzek et al. arXiv:1911.00359 train a
+    KenLM per language and cut percentiles per language): a corpus-global
+    cut lets a high-resource language's fluency distribution set the bar
+    for every other language, so low-resource text lands wholesale in
+    'tail' — the fidelity gap :func:`perplexity_buckets` (the global
+    variant, kept for single-language corpora) has by construction.
+
+    Per-language unigram LM: frequencies keyed (lang, word), totals per
+    lang (the LM join stays one word-key shuffle — lang rides along);
+    per-language tercile edges from the GROUPED bottom-k quantile sketch
+    (operators.sketches.quantile_sketch_by — WindowGroupLimit-bounded,
+    never corpus-bound); assignment is row-local against the broadcast
+    (lang, edges) table.  Same determinism discipline as the global
+    variant: per-word log10 rounded to 9 and decimal-summed, ppl rounded
+    to 6, strict ``v > e`` bucket rule.
+
+    Output: ``(doc_id, lang, ppl, bucket, ccnet_bucket)``."""
+    from localsql_spark.operators import spread, track_persist
+    from localsql_spark.operators.corpus import _tokens
+    from localsql_spark.operators.sketches import (quantile_estimates_by,
+                                                   quantile_sketch_by)
+
+    n_buckets = len(labels)
+    words = (spread(docs)
+             .select(doc_id_col, lang_col,
+                     F.explode(_tokens(F.col(text_col))).alias("word"))
+             .filter(F.col("word") != ""))
+    freq = (words.groupBy(lang_col, "word")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    total = freq.groupBy(lang_col).agg(F.sum("cnt").alias("total"))
+    lp = (freq.join(F.broadcast(total), lang_col)
+          .select(lang_col, "word",
+                  F.round(F.log10(F.col("cnt").cast("double")
+                                  / F.col("total")), 9)
+                  .cast("decimal(28,9)").alias("lp")))
+    scored = track_persist(
+        words.join(lp, [lang_col, "word"])
+        .groupBy(doc_id_col, lang_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.sum("lp").alias("_sum_lp"))
+        .select(doc_id_col, lang_col,
+                (-F.round(F.col("_sum_lp").cast("double")
+                          / F.col("n_tokens"), 6)).alias("ppl")))
+    sketch = quantile_sketch_by(scored, "ppl", doc_id_col, lang_col, k)
+    qs = tuple(i / n_buckets for i in range(1, n_buckets))
+    edges = (quantile_estimates_by(sketch, qs=qs)
+             .groupBy("grp")
+             .agg(F.sort_array(F.collect_list("estimate")).alias("edges")))
+    bucket = F.aggregate(
+        "edges", F.lit(0),
+        lambda acc, e: acc + F.when(F.col("ppl") > e, 1).otherwise(0))
+    label_arr = F.array(*[F.lit(x) for x in labels])
+    return (scored.join(F.broadcast(edges),
+                        scored[lang_col] == F.col("grp"))
+            .select(doc_id_col, lang_col, "ppl", bucket.alias("bucket"))
+            .withColumn("ccnet_bucket",
+                        F.element_at(label_arr, F.col("bucket") + 1)))

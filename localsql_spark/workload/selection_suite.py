@@ -286,3 +286,67 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir)["documents"]
     return (perplexity_buckets(docs)
             .withColumn("bucket", F.col("bucket").cast("int")))
+
+
+@query("ccnet_perplexity_by_lang", oracle=r"""
+WITH norm AS (SELECT doc_id, lang,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM documents),
+tok AS (SELECT doc_id, lang,
+               list_filter(string_split(t, ' '), w -> w <> '') AS toks
+        FROM norm),
+w AS (SELECT doc_id, lang, word FROM tok, UNNEST(toks) u(word)
+      WHERE word <> ''),
+freq AS (SELECT lang, word, count(*) AS cnt FROM w GROUP BY 1, 2),
+tot AS (SELECT lang, SUM(cnt) AS total FROM freq GROUP BY 1),
+lp AS (SELECT f.lang, f.word,
+              CAST(round(log10(CAST(f.cnt AS DOUBLE) / t.total), 9)
+                   AS DECIMAL(28,9)) AS lp
+       FROM freq f JOIN tot t ON f.lang = t.lang),
+scored AS (SELECT w.doc_id, w.lang,
+                  -round(CAST(SUM(lp.lp) AS DOUBLE) / count(*), 6) AS ppl
+           FROM w JOIN lp ON w.lang = lp.lang AND w.word = lp.word
+           GROUP BY 1, 2),
+s AS (SELECT * FROM (
+        SELECT lang, ppl AS v,
+               CAST('0x' || substr(md5('qsk:' || CAST(doc_id AS VARCHAR)),
+                    1, 8) AS BIGINT) AS rk,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY CAST('0x' || substr(md5('qsk:'
+                                    || CAST(doc_id AS VARCHAR)), 1, 8)
+                                    AS BIGINT), ppl) AS srn
+        FROM scored WHERE ppl IS NOT NULL) z
+      WHERE srn <= 1024),
+r AS (SELECT lang, v, row_number() OVER (PARTITION BY lang
+                                         ORDER BY v, rk) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM s),
+qs AS (SELECT i / 3.0 AS q FROM UNNEST(range(1, 3)) t(i)),
+ed AS (SELECT lang, v AS e FROM r JOIN qs
+       ON rn = CAST(floor(q * (n - 1)) AS BIGINT) + 1),
+bk AS (SELECT sc.doc_id, sc.lang, sc.ppl,
+              (SELECT count(*) FROM ed
+               WHERE ed.lang = sc.lang AND sc.ppl > ed.e) AS bucket
+       FROM scored sc)
+SELECT doc_id, lang, ppl, CAST(bucket AS INT) AS bucket,
+       CASE bucket WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                   ELSE 'tail' END AS ccnet_bucket
+FROM bk
+""")
+def ccnet_perplexity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet partition with PER-LANGUAGE LMs and thresholds
+    (operators.selection.perplexity_buckets_by_lang) — the paper's
+    actual semantics: Wenzek et al. train a model per language and cut
+    percentiles per language, because a global cut lets the dominant
+    language's fluency distribution classify every low-resource
+    document as 'tail'.  Per-language unigram LM (one word-key shuffle,
+    lang rides along), per-language tercile edges from the GROUPED
+    bottom-k sketch (WindowGroupLimit-bounded), row-local assignment
+    against the broadcast (lang, edges) table.  The oracle replays the
+    per-language LM, the per-language sketch sample, the edge
+    selection, and the strict-greater rule bit-for-bit."""
+    from localsql_spark.operators.selection import perplexity_buckets_by_lang
+
+    docs = load(spark, sf_dir)["documents"]
+    return (perplexity_buckets_by_lang(docs)
+            .withColumn("bucket", F.col("bucket").cast("int")))

@@ -410,3 +410,44 @@ def test_gopher_null_text_rules_read_false(spark):
         assert r.rule_word_count is False
         assert r.rule_stopwords is False
         assert r.keep is False
+
+
+def test_ccnet_by_lang_thresholds_are_language_relative(spark):
+    """Each language is cut against its OWN distribution: a language
+    whose documents are globally improbable still splits ~1/3 per
+    bucket, where the global variant would push it wholesale into
+    'tail' (the fidelity gap the per-lang variant closes)."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators.selection import (
+        perplexity_buckets, perplexity_buckets_by_lang)
+
+    common = [f"w{i}" for i in range(8)]
+    rare = [f"zq{i}" for i in range(40)]
+    rows = []
+    for i in range(60):  # fluent majority language
+        toks = [common[(i + j) % 8] for j in range(20)]
+        rows.append((i, "en", " ".join(toks)))
+    for i in range(60, 120):  # minority language: disjoint rare vocab
+        toks = [rare[(i * 7 + j * 3) % 40] for j in range(20)]
+        rows.append((i, "xx", " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    by_lang = perplexity_buckets_by_lang(docs).collect()
+    for lang in ("en", "xx"):
+        counts = {}
+        for r in by_lang:
+            if r.lang == lang:
+                counts[r.ccnet_bucket] = counts.get(r.ccnet_bucket, 0) + 1
+        # every bucket populated within its own language
+        assert set(counts) == {"head", "middle", "tail"}, (lang, counts)
+        assert min(counts.values()) >= 10, (lang, counts)
+
+    # the global cut, by contrast, ranks against ONE distribution: the
+    # minority language's docs (rare words -> high ppl) skew into tail
+    glob = {r.doc_id: r.ccnet_bucket
+            for r in perplexity_buckets(docs).collect()}
+    xx_tail = sum(1 for i in range(60, 120) if glob[i] == "tail")
+    # a language-fair tercile would put ~20 of 60 in tail; the global
+    # cut roughly doubles that (measured 38) — the skew the variant fixes
+    assert xx_tail >= 30
