@@ -1855,8 +1855,8 @@ def knn_jl(corpus: DataFrame, queries: DataFrame, k: int = 5,
 # PCA: exact covariance + power iteration (embedding curation)
 # ---------------------------------------------------------------------------
 
-def covariance_matrix(df: DataFrame, vec_col: str = "embedding",
-                      id_col: str = "vec_id") -> DataFrame:
+def covariance_matrix(df: DataFrame,
+                      vec_col: str = "embedding") -> DataFrame:
     """EXACT population covariance of an embedding column, as a
     (j, k, cov) table: one pass explodes each row's position pairs
     (dim^2 per row, row-local) and a map-side-combined groupBy folds
@@ -1870,6 +1870,15 @@ def covariance_matrix(df: DataFrame, vec_col: str = "embedding",
     ``E[xy] - E[x]E[y]`` round to 12 — bit-reproducible cross-engine,
     so a DuckDB oracle can replay the matrix exactly.  Population (1/n)
     normalization."""
+    return covariance_and_means(df, vec_col)[0]
+
+
+def covariance_and_means(df: DataFrame, vec_col: str = "embedding"
+                         ) -> tuple[DataFrame, DataFrame]:
+    """(cov, means) from ONE corpus pass — means fall out of the same
+    fold the covariance needs, so callers that want both (pca_scores'
+    centered projection) don't pay a second exploded aggregate.  means
+    is (j, mean) rounded to 12."""
     df = spread(df)  # the dim^2-per-row expand is CPU-bound: a one-split
     # local file would otherwise serialize the whole fold on one core
     # (measured 12s -> 2s at sf0.1); at real scale the scan already has
@@ -1887,14 +1896,19 @@ def covariance_matrix(df: DataFrame, vec_col: str = "embedding",
              .agg((F.sum(F.round(F.col("x").cast("double"), 12)
                          .cast(_DEC)).cast("double") / F.lit(float(n)))
                   .alias("mean_raw"))
-             .select("j", F.round("mean_raw", 12).alias("mean")))
+             .select("j", F.round("mean_raw", 12).alias("mean"))
+             # materialized once: the cov join below AND any caller
+             # consuming the returned means reuse the dim-row result
+             # instead of re-running the exploded aggregate
+             .localCheckpoint(eager=True))
     mj = means.select(F.col("j").alias("j"), F.col("mean").alias("mean_j"))
     mk = means.select(F.col("j").alias("k"), F.col("mean").alias("mean_k"))
-    return (sxy.join(mj, "j").join(mk, "k")
-            .select("j", "k",
-                    F.round(F.round(F.col("sxy") / F.lit(float(n)), 12)
-                            - F.col("mean_j") * F.col("mean_k"), 12)
-                    .alias("cov")))
+    cov = (sxy.join(mj, "j").join(mk, "k")
+           .select("j", "k",
+                   F.round(F.round(F.col("sxy") / F.lit(float(n)), 12)
+                           - F.col("mean_j") * F.col("mean_k"), 12)
+                   .alias("cov")))
+    return cov, means
 
 
 def power_iteration_top(cov: DataFrame, rounds: int = 6) -> DataFrame:
@@ -1928,8 +1942,14 @@ def power_iteration_top(cov: DataFrame, rounds: int = 6) -> DataFrame:
                         .cast(_DEC)).cast("double").alias("w")))
         nrm = w.agg(F.sqrt(F.sum(F.round(F.col("w") * F.col("w"), 12)
                                  .cast(_DEC)).cast("double")).alias("nrm"))
+        # zero-norm guard: a zero/rank-deficient matrix (identical
+        # embeddings; a deflated rank-1 covariance) folds w to 0 — map
+        # the iterate to the zero vector instead of raising
+        # DIVIDE_BY_ZERO under ANSI mode (oracle chains mirror the CASE)
         v = (w.crossJoin(F.broadcast(nrm))
-             .select("j", F.round(F.col("w") / F.col("nrm"), 12)
+             .select("j", F.round(F.when(F.col("nrm") != 0,
+                                         F.col("w") / F.col("nrm"))
+                                  .otherwise(0.0), 12)
                      .alias("vj"))
              .localCheckpoint(eager=True))
     return v
@@ -1948,17 +1968,10 @@ def pca_scores(df: DataFrame, vec_col: str = "embedding",
     ``(x - mean) . v`` runs row-locally over the scan with literal
     arrays: no join, no shuffle, corpus never moves.  Returns (id, pc1)
     with pc1 rounded to 9."""
-    cov = covariance_matrix(df, vec_col, id_col)
+    cov, means = covariance_and_means(df, vec_col)
     v = power_iteration_top(cov, rounds)
     vmap = {r["j"]: r["vj"] for r in v.collect()}
-    e1 = df.select(F.posexplode(F.col(vec_col)).alias("j", "x"))
-    n = df.count()
-    means = (e1.groupBy("j")
-             .agg((F.sum(F.round(F.col("x").cast("double"), 12)
-                         .cast(_DEC)).cast("double") / F.lit(float(n)))
-                  .alias("m"))
-             .select("j", F.round("m", 12).alias("m")))
-    mmap = {r["j"]: r["m"] for r in means.collect()}
+    mmap = {r["j"]: r["mean"] for r in means.collect()}
     dim = len(vmap)
     varr = F.array(*[F.lit(vmap[j]) for j in range(dim)])
     marr = F.array(*[F.lit(mmap[j]) for j in range(dim)])

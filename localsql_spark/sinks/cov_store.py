@@ -18,7 +18,10 @@ generation is skipped by the ``superseded`` gate), and
 :func:`localsql_spark.streaming.batch_dirs.compact_batches` bounds the
 dir count.  Compaction is CONTENT-PRESERVING (rows concatenate); the
 read side sums partials anyway, so fold order, compaction timing, and
-crash replay can never change the derived matrix.
+crash replay can never change the derived matrix.  RTBF retractions
+land in a separate ``erase_<request_id>`` namespace (first write wins)
+so no ingest batch id can ever collide with — and overwrite — a
+retraction.
 
 Row encoding (one narrow table): ``(j, k, s)`` with
 ``j >= 0, k >= 0`` = pair product sums; ``k = -1`` = per-dimension sums;
@@ -110,11 +113,22 @@ def cov_from_store(spark: SparkSession,
     if gen is None and not any((b / "_SUCCESS").exists() for b in batches):
         return None
     parts = read_batches(spark, store_dir)
+    # retractions live in their own erase_<id> namespace (see
+    # cov_store_erase) — summed alongside, never compacted over
+    erases = sorted(p for p in root.glob("erase_*")
+                    if (p / "_SUCCESS").exists())
+    if erases:
+        parts = parts.unionByName(
+            spark.read.parquet(*[str(p) for p in erases]))
     tot = (parts.groupBy("j", "k")
            .agg(F.sum(F.col("s").cast(_DEC)).cast(_DEC).alias("s")))
     n_val = F.col("n_s").cast("double")
+    # a fully-retracted store sums n to 0: the matrix is undefined over
+    # zero rows — emit NO rows rather than raise DIVIDE_BY_ZERO under
+    # Spark 4's default ANSI mode
     n_row = (tot.filter((F.col("j") == -1) & (F.col("k") == -1))
-             .select(F.col("s").alias("n_s")))
+             .select(F.col("s").alias("n_s"))
+             .filter(F.col("n_s") != 0))
     means = (tot.filter((F.col("k") == -1) & (F.col("j") >= 0))
              .crossJoin(F.broadcast(n_row))
              .select("j", F.round(F.col("s").cast("double") / n_val, 12)
@@ -144,18 +158,26 @@ def cov_store_erase(spark: SparkSession, store_dir: str,
     primary store (the rollup-erase contract: retract before the
     source rows disappear).  Post-retraction,
     :func:`cov_from_store` == a store that never saw the subjects,
-    bit-for-bit.  The retraction lands as a normal overwrite-idempotent
-    batch dir, so crash replay and redelivery are covered by the same
-    ``superseded`` gate as data folds.  Returns False if ``batch_id``
-    was superseded."""
-    from localsql_spark.streaming.batch_dirs import superseded
+    bit-for-bit.
 
+    Retractions land in their OWN ``erase_<id>`` namespace, NOT the
+    ingest stream's ``batch_<id>`` space: sharing it would let a later
+    stream micro-batch with the same id overwrite the retraction (the
+    batch dirs are overwrite-idempotent by design), silently
+    resurrecting the subjects' contributions — and a compaction could
+    mark the id superseded and drop the retraction outright.
+    ``batch_id`` here is the DELETION REQUEST's id.  A request id that
+    already landed is SKIPPED, never rewritten (first write wins):
+    recomputing it after the primary erase would find no subjects and
+    overwrite the real retraction with zeros — the rollup-erase
+    re-run hazard, enforced structurally here.  Returns False if the
+    request had already landed."""
     root = Path(store_dir)
-    if root.exists() and superseded(store_dir, batch_id):
-        return False
+    edir = root / f"erase_{batch_id}"
+    if (edir / "_SUCCESS").exists():
+        return False  # request already applied; inputs may have changed
     root.mkdir(parents=True, exist_ok=True)
     neg = cov_partials(subject_rows, vec_col) \
         .select("j", "k", (-F.col("s")).cast(_DEC).alias("s"))
-    (neg.coalesce(1)
-     .write.mode("overwrite").parquet(str(root / f"batch_{batch_id}")))
+    neg.coalesce(1).write.mode("overwrite").parquet(str(edir))
     return True

@@ -262,6 +262,20 @@ def k_anonymity_audit(df: DataFrame, qi_cols: list[str],
             .withColumn("at_risk", F.col("class_size") < k))
 
 
+def _laplace_noise(group_cols: list[str], seed: str, b: float):
+    """The seeded Laplace draw both DP releases share: uniform from
+    hash32(seed || group key) at 1e6 resolution through the inverse CDF
+    — ONE definition so the tail-truncation and null-key encoding can
+    never drift between the counts and sums surfaces (their oracles
+    replay this exact expression)."""
+    key = F.concat_ws(
+        "\x1f", F.lit(seed),
+        *[F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+          for c in group_cols])
+    u = ((hash32(key) % 1_000_000).cast("double") + 0.5) / 1_000_000.0 - 0.5
+    return (-b) * F.signum(u) * F.log(1 - 2 * F.abs(u))
+
+
 def dp_noisy_counts(df: DataFrame, group_cols: list[str],
                     epsilon: float = 1.0, min_class: int = 0,
                     seed: str = "dp") -> DataFrame:
@@ -298,20 +312,11 @@ def dp_noisy_counts(df: DataFrame, group_cols: list[str],
     — no second shuffle; output is class-count-sized at any corpus
     scale.  Returns ``(*group_cols, noisy_n)`` with noisy_n rounded to
     6 decimals (portable float)."""
-    from localsql_spark.operators import hash32
-
     counted = (df.groupBy(*group_cols)
                .agg(F.count(F.lit(1)).alias("__true_n")))
     if min_class > 0:
         counted = counted.filter(F.col("__true_n") >= min_class)
-    key = F.concat_ws(
-        "\x1f", F.lit(seed),
-        *[F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
-          for c in group_cols])
-    # hash -> uniform in (-0.5, 0.5), exactly reproducible in DuckDB
-    u = ((hash32(key) % 1_000_000).cast("double") + 0.5) / 1_000_000.0 - 0.5
-    b = 1.0 / epsilon
-    noise = (-b) * F.signum(u) * F.log(1 - 2 * F.abs(u))
+    noise = _laplace_noise(group_cols, seed, 1.0 / epsilon)
     return counted.select(
         *group_cols,
         F.round(F.col("__true_n") + noise, 6).alias("noisy_n"))
@@ -342,8 +347,6 @@ def dp_noisy_sums(df: DataFrame, group_cols: list[str], value_col: str,
     Plan: ONE map-side-combined groupBy, then row-local noise; output is
     class-count-sized at any corpus scale.  Returns ``(*group_cols,
     noisy_sum)`` rounded to 6 decimals."""
-    from localsql_spark.operators import hash32
-
     clipped = F.round(
         F.least(F.greatest(F.col(value_col).cast("double"), F.lit(0.0)),
                 F.lit(float(clip))), 12).cast("decimal(28,12)")
@@ -352,13 +355,7 @@ def dp_noisy_sums(df: DataFrame, group_cols: list[str], value_col: str,
                 F.count(F.lit(1)).alias("__n")))
     if min_class > 0:
         agg = agg.filter(F.col("__n") >= min_class)
-    key = F.concat_ws(
-        "\x1f", F.lit(seed),
-        *[F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
-          for c in group_cols])
-    u = ((hash32(key) % 1_000_000).cast("double") + 0.5) / 1_000_000.0 - 0.5
-    b = float(clip) / epsilon
-    noise = (-b) * F.signum(u) * F.log(1 - 2 * F.abs(u))
+    noise = _laplace_noise(group_cols, seed, float(clip) / epsilon)
     return agg.select(
         *group_cols,
         F.round(F.col("__sum") + noise, 6).alias("noisy_sum"))
@@ -443,9 +440,18 @@ def export_subject(spark: SparkSession, keys: DataFrame, *,
         recover_pending_merge(primary["base_dir"])
         stored = read_base_partitions(spark, primary["base_dir"], "kb",
                                       touched) if touched else None
-        if stored is None:  # empty request or store holds none of the keys
-            stored = read_bucketed_store(
-                spark, primary["base_dir"]).limit(0)
+        if stored is None:
+            # empty request, keys hash to absent buckets, or the store
+            # itself is emptied/absent (read_base_partitions' None case)
+            # — read_bucketed_store would raise on the latter two, so
+            # probe the bytes before falling back to a schema-true read
+            bp = Path(primary["base_dir"])
+            if bp.exists() and any(bp.rglob("*.parquet")):
+                stored = read_bucketed_store(
+                    spark, primary["base_dir"]).limit(0)
+            else:
+                stored = spark.createDataFrame(
+                    [], f"{primary['key_col']} string, kb int")
         out["primary"] = _match(stored, primary["key_col"]).drop("kb")
 
     if inverted_index is not None:
@@ -506,8 +512,14 @@ def export_subject(spark: SparkSession, keys: DataFrame, *,
         from localsql_spark.sinks.merge import recover_pending_merge
         codes_dir = f"{ivfpq_index['index_path']}/codes"
         recover_pending_merge(codes_dir)
-        codes = spark.read.option("basePath", codes_dir).parquet(codes_dir)
-        out["ivfpq_index"] = _match(codes, "neighbor_id")
+        cp = Path(codes_dir)
+        if not cp.exists() or not any(cp.rglob("*.parquet")):
+            out["ivfpq_index"] = spark.createDataFrame(
+                [], "neighbor_id long, cell int")  # absent/emptied index
+        else:
+            codes = spark.read.option("basePath", codes_dir) \
+                .parquet(codes_dir)
+            out["ivfpq_index"] = _match(codes, "neighbor_id")
 
     if scd2 is not None:
         from localsql_spark.sinks.scd2_store import read_history
@@ -518,8 +530,9 @@ def export_subject(spark: SparkSession, keys: DataFrame, *,
         from localsql_spark.streaming.foreach_upsert import (
             _read_feed_dirs, read_feed)
         f = read_feed(spark, feed["feed_dir"])
-        if f is None:
-            out["feed"] = spark.createDataFrame([], "batch_id long")
+        if f is None:  # keep the documented every-frame-has-its-key contract
+            out["feed"] = spark.createDataFrame(
+                [], f"batch_id long, {feed['key_col']} string")
         else:
             touched = sorted(
                 r[0] for r in _match(f, feed["key_col"])

@@ -452,9 +452,20 @@ def table_as_of(spark: SparkSession, feed_dir: str, *, key: str,
     travel from the nearest one.  Returns ``key`` + the value columns
     (``new_`` prefix stripped) + ``_as_of_batch``, or None for an empty
     prefix.  A subject erased via :func:`erase_from_feed` is absent from
-    every reconstruction — time travel cannot resurrect erased data."""
+    every reconstruction — time travel cannot resurrect erased data.
+    A feed PRUNED by :func:`prune_feed` raises instead of silently
+    reconstructing from an incomplete prefix (keys last touched in the
+    pruned batches would simply vanish — fabricated history, the exact
+    failure the producer's ``_pruned_through`` write gate exists to
+    prevent): travel from a downstream snapshot once retention has
+    discarded the prefix."""
     from pyspark.sql.window import Window
 
+    pruned = _pruned_through(feed_dir)
+    if pruned >= 0:
+        raise ValueError(
+            f"feed pruned through batch {pruned}: the replay prefix is "
+            f"incomplete — reconstruct from a downstream snapshot instead")
     feed = read_feed_as_of(spark, feed_dir, batch_id)
     if feed is None:
         return None

@@ -4597,43 +4597,15 @@ def streaming_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     states the ENTIRE expected feed: each doc inserts in its first
     batch and updates in every later one, with the right old/new
     versions."""
-    import os
     import shutil
     import tempfile
     from pathlib import Path
 
-    from localsql_spark.catalog import _CACHE_DIR
-    from localsql_spark.operators import hash32
     from localsql_spark.streaming.foreach_upsert import (
         read_feed, stream_upsert_with_feed)
 
     docs = load(spark, sf_dir)["documents"]
-    h3 = hash32(F.col("doc_id")) % 3
-    src_dir = (_CACHE_DIR.parent / "stream_feed_src"
-               / Path(sf_dir.rstrip("/")).name)
-    if not src_dir.exists():
-        src_dir.parent.mkdir(parents=True, exist_ok=True)
-        build = Path(tempfile.mkdtemp(prefix=f".{src_dir.name}.build_",
-                                      dir=src_dir.parent))
-        names = ("a_batch0.parquet", "b_batch1.parquet", "c_batch2.parquet")
-        for i, name in enumerate(names):
-            b = (docs.filter(h3 <= i)
-                 .select("doc_id", "lang",
-                         F.concat(F.lit(f"v{i + 1} "), F.col("text"))
-                         .alias("text"),
-                         F.lit(i + 1).cast("int").alias("version")))
-            tmp = tempfile.mkdtemp(prefix="cfsplit_")
-            b.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(Path(tmp).glob("part-*.parquet"))
-            shutil.move(str(part), build / name)
-            shutil.rmtree(tmp, ignore_errors=True)
-        t0 = (build / names[0]).stat().st_mtime
-        for i, name in enumerate(names):
-            os.utime(build / name, (t0 + 100 * i, t0 + 100 * i))
-        try:
-            os.rename(build, src_dir)
-        except OSError:
-            shutil.rmtree(build, ignore_errors=True)
+    src_dir = _feed_src_fixture(spark, docs, sf_dir)
 
     schema = spark.read.parquet(str(src_dir / "a_batch0.parquet")).schema
     scratch = Path(tempfile.mkdtemp(prefix="stream_feed_"))
@@ -5536,46 +5508,19 @@ def erase_feed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer offsets survive.  The oracle states the ENTIRE feed a
     store that never saw the subjects would have produced — per-key
     change emission is what makes erased-feed == never-saw-feed exact."""
-    import os
     import shutil
     import tempfile
     from pathlib import Path
 
-    from localsql_spark.catalog import _CACHE_DIR
     from localsql_spark.operators import hash32
     from localsql_spark.sinks.erase import erase_everywhere
     from localsql_spark.streaming.foreach_upsert import (
         read_feed, stream_upsert_with_feed)
 
     docs = load(spark, sf_dir)["documents"]
-    h3 = hash32(F.col("doc_id")) % 3
     keys = (docs.filter(hash32(F.col("doc_id")) % 13 == 0)
             .select("doc_id"))
-    src_dir = (_CACHE_DIR.parent / "stream_feed_src"
-               / Path(sf_dir.rstrip("/")).name)
-    if not src_dir.exists():  # shared with streaming_change_feed
-        src_dir.parent.mkdir(parents=True, exist_ok=True)
-        build = Path(tempfile.mkdtemp(prefix=f".{src_dir.name}.build_",
-                                      dir=src_dir.parent))
-        names = ("a_batch0.parquet", "b_batch1.parquet", "c_batch2.parquet")
-        for i, name in enumerate(names):
-            b = (docs.filter(h3 <= i)
-                 .select("doc_id", "lang",
-                         F.concat(F.lit(f"v{i + 1} "), F.col("text"))
-                         .alias("text"),
-                         F.lit(i + 1).cast("int").alias("version")))
-            tmp = tempfile.mkdtemp(prefix="cfsplit_")
-            b.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(Path(tmp).glob("part-*.parquet"))
-            shutil.move(str(part), build / name)
-            shutil.rmtree(tmp, ignore_errors=True)
-        t0 = (build / names[0]).stat().st_mtime
-        for i, name in enumerate(names):
-            os.utime(build / name, (t0 + 100 * i, t0 + 100 * i))
-        try:
-            os.rename(build, src_dir)
-        except OSError:
-            shutil.rmtree(build, ignore_errors=True)
+    src_dir = _feed_src_fixture(spark, docs, sf_dir)
 
     schema = spark.read.parquet(str(src_dir / "a_batch0.parquet")).schema
     scratch = Path(tempfile.mkdtemp(prefix="erase_feed_"))
@@ -6034,7 +5979,9 @@ pw{t} AS MATERIALIZED (
 pn{t} AS (SELECT sqrt(CAST(SUM(CAST(round(w * w, 12) AS DECIMAL(28,12)))
                            AS DOUBLE)) AS nrm FROM pw{t}),
 pit{t} AS MATERIALIZED (
-    SELECT j, round(w / (SELECT nrm FROM pn{t}), 12) AS vj FROM pw{t})""")
+    SELECT j, CASE WHEN (SELECT nrm FROM pn{t}) = 0 THEN 0.0
+              ELSE round(w / (SELECT nrm FROM pn{t}), 12) END AS vj
+    FROM pw{t})""")
         prev = f"pit{t}"
     parts.append(f"""
 SELECT ve.vec_id,
@@ -6142,9 +6089,9 @@ def _power_chain(src: str, prefix: str, rounds: int) -> tuple[str, str]:
                                            AS DECIMAL(28,12)))
                                   AS DOUBLE)) AS nrm FROM {prefix}w{t}),
 {prefix}{t} AS MATERIALIZED (
-    SELECT j, round(w / (SELECT nrm FROM {prefix}n{t}), 12)
-                       AS vj
-                FROM {prefix}w{t})""")
+    SELECT j, CASE WHEN (SELECT nrm FROM {prefix}n{t}) = 0 THEN 0.0
+              ELSE round(w / (SELECT nrm FROM {prefix}n{t}), 12) END AS vj
+    FROM {prefix}w{t})""")
         prev = f"{prefix}{t}"
     return "".join(parts), prev
 
