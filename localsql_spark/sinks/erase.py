@@ -415,6 +415,13 @@ def export_subject(spark: SparkSession, keys: DataFrame, *,
     - ``ledger`` (``ledger_dir``): prior DELETION requests naming the
       subjects — processing history is itself disclosable.
 
+    The AGGREGATE stores (rollup, IVM view, covariance partials) are
+    deliberately NOT export surfaces: no subject-addressable row
+    survives in a count/sum — what an aggregate reveals about one
+    subject is the differential-privacy question, answered by the
+    :func:`dp_noisy_counts` / :func:`dp_noisy_sums` release path, not
+    by row export.
+
     Returns ``{store_name: DataFrame}`` of the subjects' rows per
     configured store (empty frames for stores holding nothing).  Feed
     frames carry ``batch_id``; every frame still contains the store's
