@@ -394,3 +394,66 @@ def equidepth_histogram(df: DataFrame, value_col: str, key_col: str,
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.min("v").alias("min_v"), F.max("v").alias("max_v")))
+
+
+def psi_drift(reference: DataFrame, current: DataFrame, value_col: str,
+              key_col: str, n_buckets: int = 10,
+              k: int = QUANTILE_K) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    distribution — the standard production drift monitor (credit-risk
+    lineage, public: PSI = sum over buckets of
+    ``(p_cur - p_ref) * ln(p_cur / p_ref)``; rule of thumb < 0.1
+    stable, 0.1-0.25 drifting, > 0.25 shifted).  Complements the
+    engine's EXACT drift tools (fingerprint_diff localizes which rows
+    changed) with the DISTRIBUTIONAL question: has the population
+    moved, even if no individual row is wrong?
+
+    Bucket edges come from the REFERENCE side's portable bottom-k
+    quantile sketch (deciles by default) — the reference defines the
+    binning, as PSI prescribes — then ONE row-local assignment + one
+    n_buckets-row groupBy per side.  Proportions are clamped at 1e-6
+    before the log (the standard empty-bucket guard, deterministic on
+    both engines); per-bucket terms round to 12 and decimal-sum into
+    the total, so the index is bit-reproducible cross-engine.
+
+    Returns one row per bucket ``(bucket, p_ref, p_cur, psi_term)``
+    plus the same ``psi_total`` on every row (one broadcast scalar —
+    callers read it off any row; the per-bucket terms are the
+    diagnosis: WHICH quantiles moved).  Scale shape: two scans, two
+    bounded shuffles, never a reference-vs-current join."""
+    sketch = quantile_sketch(reference, value_col, key_col, k)
+    qs = tuple(i / n_buckets for i in range(1, n_buckets))
+    edges = (quantile_estimates(sketch, qs=qs)
+             .agg(F.sort_array(F.collect_list("estimate")).alias("edges")))
+    v = F.col(value_col).cast("double")
+    bucket = F.aggregate(
+        "edges", F.lit(0),
+        lambda acc, e: acc + F.when(v > e, 1).otherwise(0))
+
+    def props(df: DataFrame, name: str) -> DataFrame:
+        counts = (df.filter(v.isNotNull())
+                  .crossJoin(F.broadcast(edges))
+                  .select(bucket.alias("bucket"))
+                  .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
+        total = counts.agg(F.sum("n").alias("tot"))
+        return (counts.crossJoin(F.broadcast(total))
+                .select("bucket",
+                        F.greatest(F.col("n").cast("double")
+                                   / F.col("tot").cast("double"),
+                                   F.lit(1e-6)).alias(name)))
+    spark = reference.sparkSession
+    all_buckets = spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"))
+    joined = (all_buckets
+              .join(props(reference, "p_ref"), "bucket", "left")
+              .join(props(current, "p_cur"), "bucket", "left")
+              .fillna(1e-6, subset=["p_ref", "p_cur"]))
+    term = F.round((F.col("p_cur") - F.col("p_ref"))
+                   * F.log(F.col("p_cur") / F.col("p_ref")), 12)
+    with_terms = joined.select(
+        "bucket", F.round("p_ref", 12).alias("p_ref"),
+        F.round("p_cur", 12).alias("p_cur"), term.alias("psi_term"))
+    total = with_terms.agg(
+        F.round(F.sum(F.col("psi_term").cast("decimal(28,12)"))
+                .cast("double"), 6).alias("psi_total"))
+    return with_terms.crossJoin(F.broadcast(total))

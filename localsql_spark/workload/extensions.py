@@ -6239,3 +6239,62 @@ def streaming_cov_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ck, ignore_errors=True)
         shutil.rmtree(store, ignore_errors=True)
+
+
+@query("drift_psi_click_vs_purchase", oracle="""
+WITH ref AS (SELECT CAST(value AS DOUBLE) AS v, event_id FROM events
+             WHERE event_type = 'click' AND value IS NOT NULL),
+cur AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL),
+s AS (SELECT v,
+             CAST('0x' || substr(md5('qsk:' || CAST(event_id AS VARCHAR)),
+                  1, 8) AS BIGINT) AS rk
+      FROM ref ORDER BY rk, v LIMIT 1024),
+r AS (SELECT v, row_number() OVER (ORDER BY v, rk) AS rn,
+             count(*) OVER () AS n FROM s),
+qs AS (SELECT i / 10.0 AS q FROM UNNEST(range(1, 10)) t(i)),
+ed AS (SELECT v AS e FROM r JOIN qs
+       ON rn = CAST(floor(q * (n - 1)) AS BIGINT) + 1),
+rb AS (SELECT (SELECT count(*) FROM ed WHERE ref.v > ed.e) AS bucket
+       FROM ref),
+cb AS (SELECT (SELECT count(*) FROM ed WHERE cur.v > ed.e) AS bucket
+       FROM cur),
+rp AS (SELECT bucket, greatest(CAST(count(*) AS DOUBLE)
+                               / (SELECT count(*) FROM rb), 1e-6) AS p
+       FROM rb GROUP BY bucket),
+cp AS (SELECT bucket, greatest(CAST(count(*) AS DOUBLE)
+                               / (SELECT count(*) FROM cb), 1e-6) AS p
+       FROM cb GROUP BY bucket),
+spine AS (SELECT CAST(i AS INT) AS bucket FROM UNNEST(range(0, 10)) t(i)),
+terms AS (SELECT s.bucket,
+                 COALESCE(rp.p, 1e-6) AS p_ref,
+                 COALESCE(cp.p, 1e-6) AS p_cur,
+                 round((COALESCE(cp.p, 1e-6) - COALESCE(rp.p, 1e-6))
+                       * ln(COALESCE(cp.p, 1e-6) / COALESCE(rp.p, 1e-6)),
+                       12) AS psi_term
+          FROM spine s LEFT JOIN rp ON rp.bucket = s.bucket
+                       LEFT JOIN cp ON cp.bucket = s.bucket),
+tot AS (SELECT round(CAST(SUM(CAST(psi_term AS DECIMAL(28,12)))
+                          AS DOUBLE), 6) AS psi_total FROM terms)
+SELECT bucket, round(p_ref, 12) AS p_ref, round(p_cur, 12) AS p_cur,
+       psi_term, psi_total
+FROM terms, tot
+""")
+def drift_psi_click_vs_purchase(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor
+    (operators.sketches.psi_drift): the `value` distribution of
+    purchase events checked against click events as the reference —
+    the DISTRIBUTIONAL drift question (has the population moved?) next
+    to fingerprint_diff's exact row-level one.  Reference deciles from
+    the portable bottom-k sketch define the binning (as PSI
+    prescribes), one row-local assignment + one 10-row groupBy per
+    side, 1e-6 empty-bucket clamp, per-bucket terms rounded to 12 and
+    decimal-summed.  The oracle replays sketch, edges, both bucket
+    passes, the clamp, and the index arithmetic bit-for-bit."""
+    from localsql_spark.operators.sketches import psi_drift
+
+    ev = load(spark, sf_dir)["events"]
+    return psi_drift(ev.filter(F.col("event_type") == "click"),
+                     ev.filter(F.col("event_type") == "purchase"),
+                     "value", "event_id", n_buckets=10)

@@ -195,3 +195,25 @@ def test_fs_match_scores_weighting(spark):
     common_only = ER.fs_match_scores(df, cand2, "rid",
                                      ["common", "rare"]).collect()[0].score
     assert got[(0, 10)][1] > common_only
+
+
+def test_psi_drift_detects_shift_and_reads_zero_on_identical(spark):
+    """PSI ~ 0 on an identical distribution; large on a location shift;
+    per-bucket terms are non-negative... wait, PSI terms are always
+    >= 0 by construction ((a-b) and ln(a/b) share sign)."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators.sketches import psi_drift
+
+    rows = [(i, float((i * 37 % 100))) for i in range(2000)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    same = psi_drift(df, df, "value", "event_id").collect()
+    assert abs(same[0].psi_total) < 1e-9
+    assert all(r.psi_term >= 0 for r in same)
+
+    shifted = df.select("event_id",
+                        (F.col("value") + 50.0).alias("value"))
+    moved = psi_drift(df, shifted, "value", "event_id").collect()
+    assert moved[0].psi_total > 0.25  # the "shifted" rule-of-thumb band
+    assert all(r.psi_term >= -1e-15 for r in moved)
+    assert len(moved) == 10
