@@ -198,9 +198,9 @@ def test_fs_match_scores_weighting(spark):
 
 
 def test_psi_drift_detects_shift_and_reads_zero_on_identical(spark):
-    """PSI ~ 0 on an identical distribution; large on a location shift;
-    per-bucket terms are non-negative... wait, PSI terms are always
-    >= 0 by construction ((a-b) and ln(a/b) share sign)."""
+    """PSI ~ 0 on an identical distribution; large on a location shift.
+    Per-bucket terms are non-negative by construction — (a-b) and
+    ln(a/b) always share sign."""
     from pyspark.sql import functions as F
 
     from localsql_spark.operators.sketches import psi_drift
