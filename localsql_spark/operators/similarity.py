@@ -1982,6 +1982,35 @@ def pca_scores(df: DataFrame, vec_col: str = "embedding",
     return df.select(F.col(id_col), F.round(proj, 9).alias("pc1"))
 
 
+def _rayleigh(c: DataFrame, v: DataFrame) -> DataFrame:
+    """One-row eigenvalue estimate ``vT C v`` for a unit iterate —
+    the decimal-fold Rayleigh quotient both the explained-variance and
+    top-k projection paths share."""
+    w = (c.join(v.withColumnRenamed("j", "k")
+                .withColumnRenamed("vj", "vk"), "k")
+         .groupBy("j")
+         .agg(F.sum(F.round(F.col("cov") * F.col("vk"), 12)
+                    .cast(_DEC)).cast("double").alias("w")))
+    return (w.join(v, "j")
+            .agg(F.round(F.sum(F.round(F.col("w") * F.col("vj"), 12)
+                               .cast(_DEC)).cast("double"), 12)
+                 .alias("lam")))
+
+
+def _deflate(c: DataFrame, v: DataFrame, lam: DataFrame) -> DataFrame:
+    """Hotelling deflation ``C - lam * v vT``, rounded to 12 like every
+    iterate — removes the found component so the next power run
+    converges to the next eigenpair."""
+    return (c.join(v, "j")
+            .join(v.withColumnRenamed("j", "k")
+                  .withColumnRenamed("vj", "vk"), "k")
+            .crossJoin(F.broadcast(lam))
+            .select("j", "k",
+                    F.round(F.col("cov")
+                            - F.col("lam") * F.col("vj") * F.col("vk"), 12)
+                    .alias("cov")))
+
+
 def pca_explained(cov: DataFrame, rounds: int = 6) -> DataFrame:
     """Top-2 eigenvalues + explained-variance ratios from a (j, k, cov)
     table: power iteration for the first component, Hotelling deflation
@@ -1994,34 +2023,15 @@ def pca_explained(cov: DataFrame, rounds: int = 6) -> DataFrame:
     feature dominating — the thing to catch BEFORE training).  Returns
     two rows (component, eigenvalue, trace, ratio)."""
     cov = cov.localCheckpoint(eager=True)
-
-    def lam_of(c: DataFrame, v: DataFrame) -> DataFrame:
-        w = (c.join(v.withColumnRenamed("j", "k")
-                    .withColumnRenamed("vj", "vk"), "k")
-             .groupBy("j")
-             .agg(F.sum(F.round(F.col("cov") * F.col("vk"), 12)
-                        .cast(_DEC)).cast("double").alias("w")))
-        return (w.join(v, "j")
-                .agg(F.round(F.sum(F.round(F.col("w") * F.col("vj"), 12)
-                                   .cast(_DEC)).cast("double"), 12)
-                     .alias("lam")))
-
     v1 = power_iteration_top(cov, rounds)
-    lam1 = lam_of(cov, v1).localCheckpoint(eager=True)
+    lam1 = _rayleigh(cov, v1).localCheckpoint(eager=True)
     trace = (cov.filter(F.col("j") == F.col("k"))
              .agg(F.sum(F.round(F.col("cov"), 12).cast(_DEC))
                   .cast("double").alias("trace"))
              .localCheckpoint(eager=True))
-    c2 = (cov.join(v1, "j")
-          .join(v1.withColumnRenamed("j", "k")
-                .withColumnRenamed("vj", "vk"), "k")
-          .crossJoin(F.broadcast(lam1))
-          .select("j", "k",
-                  F.round(F.col("cov")
-                          - F.col("lam") * F.col("vj") * F.col("vk"), 12)
-                  .alias("cov")))
+    c2 = _deflate(cov, v1, lam1)
     v2 = power_iteration_top(c2, rounds)
-    lam2 = lam_of(c2.localCheckpoint(eager=True), v2)
+    lam2 = _rayleigh(c2.localCheckpoint(eager=True), v2)
     one = (lam1.crossJoin(F.broadcast(trace))
            .select(F.lit(1).alias("component"),
                    F.col("lam").alias("eigenvalue"), "trace"))
@@ -2032,3 +2042,44 @@ def pca_explained(cov: DataFrame, rounds: int = 6) -> DataFrame:
             .select("component", "eigenvalue", "trace",
                     F.round(F.col("eigenvalue") / F.col("trace"), 9)
                     .alias("ratio")))
+
+
+def pca_project(df: DataFrame, vec_col: str = "embedding",
+                id_col: str = "vec_id", n_components: int = 2,
+                rounds: int = 6, whiten: bool = False) -> DataFrame:
+    """Project every embedding onto the top-``n_components`` principal
+    axes — the actual dimensionality REDUCER the PCA arc exists for
+    (curation plots, cheap downstream clustering, decorrelated
+    features), generalizing :func:`pca_scores` (k=1) via repeated
+    Hotelling deflation.  All eigen-math stays in Spark ops (oracle-
+    replayable chains over the model-sized matrix); the collected
+    (mean, component, eigenvalue) state is dim*(k+1) doubles, and the
+    projection is ONE row-local pass — the corpus never shuffles.
+    ``whiten`` divides each score by sqrt(lam) (unit-variance
+    components; lam <= 0 yields NULL, the degenerate-axis signal).
+    Returns ``(id, pc1..pck)`` rounded to 9."""
+    cov, means = covariance_and_means(df, vec_col)
+    c = cov.localCheckpoint(eager=True)
+    comps: list[tuple[dict, float]] = []
+    for ci in range(n_components):
+        v = power_iteration_top(c, rounds)
+        lam = _rayleigh(c, v).localCheckpoint(eager=True)
+        comps.append(({r["j"]: r["vj"] for r in v.collect()},
+                      lam.first()["lam"]))
+        if ci + 1 < n_components:
+            c = _deflate(c, v, lam).localCheckpoint(eager=True)
+    mmap = {r["j"]: r["mean"] for r in means.collect()}
+    dim = len(mmap)
+    marr = F.array(*[F.lit(mmap[j]) for j in range(dim)])
+    centered = F.zip_with(F.col(vec_col), marr,
+                          lambda x, m: x.cast("double") - m)
+    cols = [F.col(id_col)]
+    for ci, (vmap, lam) in enumerate(comps, start=1):
+        varr = F.array(*[F.lit(vmap[j]) for j in range(dim)])
+        score = _dec_sum(F.zip_with(centered, varr,
+                                    lambda c_, vv: F.round(c_ * vv, 12)))
+        if whiten:
+            score = F.when(F.lit(lam) > 0,
+                           score / F.sqrt(F.lit(lam)))
+        cols.append(F.round(score, 9).alias(f"pc{ci}"))
+    return df.select(*cols)

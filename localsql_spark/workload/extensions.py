@@ -6298,3 +6298,54 @@ def drift_psi_click_vs_purchase(spark: SparkSession,
     return psi_drift(ev.filter(F.col("event_type") == "click"),
                      ev.filter(F.col("event_type") == "purchase"),
                      "value", "event_id", n_buckets=10)
+
+
+
+def _pca_project_oracle(rounds: int = 6) -> str:
+    """Top-2 projection oracle: the explained-variance chains plus TWO
+    centered projections joined on vec_id."""
+    chain1, v1 = _power_chain("cov", "pa", rounds)
+    lam1 = f""",
+law1 AS MATERIALIZED (SELECT c.j,
+                CAST(SUM(CAST(round(c.cov * p.vj, 12) AS DECIMAL(28,12)))
+                     AS DOUBLE) AS w
+         FROM cov c JOIN {v1} p ON c.k = p.j GROUP BY c.j),
+lam1 AS MATERIALIZED (SELECT round(CAST(SUM(CAST(round(l.w * p.vj, 12)
+                                    AS DECIMAL(28,12))) AS DOUBLE), 12)
+                AS lam
+         FROM law1 l JOIN {v1} p ON l.j = p.j),
+cov2 AS MATERIALIZED (
+    SELECT c.j, c.k,
+           round(c.cov - (SELECT lam FROM lam1) * pj.vj * pk.vj, 12)
+             AS cov
+    FROM cov c JOIN {v1} pj ON pj.j = c.j
+               JOIN {v1} pk ON pk.j = c.k)"""
+    chain2, v2 = _power_chain("cov2", "pb", rounds)
+    tail = f"""
+,p1 AS (SELECT ve.vec_id,
+       round(CAST(SUM(CAST(round((ve.x - m.m) * p.vj, 12)
+                           AS DECIMAL(28,12))) AS DOUBLE), 9) AS pc1
+FROM ve JOIN means m ON m.j = ve.j JOIN {v1} p ON p.j = ve.j
+GROUP BY ve.vec_id),
+p2 AS (SELECT ve.vec_id,
+       round(CAST(SUM(CAST(round((ve.x - m.m) * p.vj, 12)
+                           AS DECIMAL(28,12))) AS DOUBLE), 9) AS pc2
+FROM ve JOIN means m ON m.j = ve.j JOIN {v2} p ON p.j = ve.j
+GROUP BY ve.vec_id)
+SELECT p1.vec_id, p1.pc1, p2.pc2 FROM p1 JOIN p2 USING (vec_id)"""
+    return _PCA_COV_PREFIX + chain1 + lam1 + chain2 + tail
+
+
+@query("pca_project_top2", oracle=_pca_project_oracle(rounds=6))
+def pca_project_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal-component projection of every embedding
+    (operators.similarity.pca_project — the dimensionality REDUCER the
+    PCA arc exists for: 64 dims down to the 2-axis curation view,
+    decorrelated features for cheap downstream clustering).  Repeated
+    Hotelling deflation finds the axes in oracle-replayable Spark ops;
+    the projection itself is one row-local pass with dim*(k+1) doubles
+    of collected model state — the corpus never shuffles.  The oracle
+    replays covariance, both six-round chains, the deflation, and BOTH
+    centered projections bit-for-bit."""
+    emb = load(spark, sf_dir)["embeddings"]
+    return S.pca_project(emb, n_components=2, rounds=6)

@@ -2470,3 +2470,46 @@ def test_pca_explained_matches_numpy_eigenvalues(spark):
     assert abs(got[2][0] - eig[1]) < 1e-4 * max(1.0, eig[1])
     assert abs(got[1][1] - float(np.trace(C))) < 1e-9
     assert 0 < got[2][2] < got[1][2] < 1
+
+
+def test_pca_project_matches_numpy_and_whitening(spark):
+    """Top-2 projection equals the numpy eigvec projections (up to the
+    deterministic power-iteration sign); whitened components have
+    ~unit variance on data with a clear eigengap."""
+    import numpy as np
+
+    from localsql_spark.operators.similarity import pca_project
+
+    rng = [((i * 37 + 11) % 97) / 97.0 - 0.5 for i in range(600)]
+    dim, n = 6, 100
+    u1 = np.array([3.0, 1.0, -2.0, 0.5, -1.0, 2.0]); u1 /= np.linalg.norm(u1)
+    u2 = np.array([1.0, -3.0, 0.0, 2.0, 1.0, 0.5])
+    u2 -= u2 @ u1 * u1; u2 /= np.linalg.norm(u2)
+    X = np.array([[rng[i * dim + j] * 0.05 for j in range(dim)]
+                  for i in range(n)])
+    X += np.outer([rng[i] * 10 for i in range(n)], u1)
+    X += np.outer([rng[(i * 7) % 600] * 4 for i in range(n)], u2)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+
+    got = {r.vec_id: (r.pc1, r.pc2)
+           for r in pca_project(df, n_components=2, rounds=14).collect()}
+    C = np.cov(X, rowvar=False, bias=True)
+    _, vecs = np.linalg.eigh(C)
+    t1, t2 = vecs[:, -1], vecs[:, -2]
+    centered = X - X.mean(axis=0)
+    w1 = np.array([got[i][0] for i in range(n)])
+    w2 = np.array([got[i][1] for i in range(n)])
+    r1 = centered @ t1
+    r2 = centered @ t2
+    # sign is deterministic but arbitrary vs eigh's — compare |corr|
+    assert abs(np.corrcoef(w1, r1)[0, 1]) > 0.9999
+    assert abs(np.corrcoef(w2, r2)[0, 1]) > 0.999
+    # whitened: per-component population variance ~ 1
+    white = {r.vec_id: (r.pc1, r.pc2)
+             for r in pca_project(df, n_components=2, rounds=14,
+                                  whiten=True).collect()}
+    z1 = np.array([white[i][0] for i in range(n)])
+    z2 = np.array([white[i][1] for i in range(n)])
+    assert abs(z1.var() - 1.0) < 1e-3 and abs(z2.var() - 1.0) < 2e-2
