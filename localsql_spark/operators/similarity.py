@@ -2057,19 +2057,26 @@ def pca_project(df: DataFrame, vec_col: str = "embedding",
     projection is ONE row-local pass — the corpus never shuffles.
     ``whiten`` divides each score by sqrt(lam) (unit-variance
     components; lam <= 0 yields NULL, the degenerate-axis signal).
-    Returns ``(id, pc1..pck)`` rounded to 9."""
+    Returns ``(id, pc1..pck)`` rounded to 9.
+
+    The eigen-chains run DRIVER-SIDE over the collected matrix via
+    :func:`power_iteration_local` — bit-identical to the in-plan
+    operators (tested), but k components cost a loop over dim^2 floats
+    instead of ~15k tiny Spark jobs (which measurably degrade a
+    long-lived session's per-job overhead); the corpus-sized work is
+    still the one distributed covariance fold."""
     cov, means = covariance_and_means(df, vec_col)
-    c = cov.localCheckpoint(eager=True)
-    comps: list[tuple[dict, float]] = []
-    for ci in range(n_components):
-        v = power_iteration_top(c, rounds)
-        lam = _rayleigh(c, v).localCheckpoint(eager=True)
-        comps.append(({r["j"]: r["vj"] for r in v.collect()},
-                      lam.first()["lam"]))
-        if ci + 1 < n_components:
-            c = _deflate(c, v, lam).localCheckpoint(eager=True)
     mmap = {r["j"]: r["mean"] for r in means.collect()}
     dim = len(mmap)
+    rows = [(r["j"], r["k"], r["cov"]) for r in cov.collect()]
+    comps: list[tuple[dict, float]] = []
+    for ci in range(n_components):
+        v = power_iteration_local(rows, dim, rounds)
+        lam = rayleigh_local(rows, dim, v)
+        comps.append(({j: v[j] for j in range(dim)}, lam))
+        if ci + 1 < n_components:  # Hotelling deflation, same rounding
+            rows = [(j, k, _round12(c - lam * v[j] * v[k]))
+                    for j, k, c in rows]
     marr = F.array(*[F.lit(mmap[j]) for j in range(dim)])
     centered = F.zip_with(F.col(vec_col), marr,
                           lambda x, m: x.cast("double") - m)
@@ -2083,3 +2090,67 @@ def pca_project(df: DataFrame, vec_col: str = "embedding",
                            score / F.sqrt(F.lit(lam)))
         cols.append(F.round(score, 9).alias(f"pc{ci}"))
     return df.select(*cols)
+
+
+def _round12(x: float) -> float:
+    """Spark's F.round(double, 12) exactly: BigDecimal.valueOf(double)
+    parses Double.toString's shortest decimal repr (== Python repr) and
+    rounds HALF_UP — reproduced with decimal.Decimal so driver-side
+    eigen-math lands bit-for-bit on the in-plan operators' values."""
+    import decimal
+
+    return float(decimal.Decimal(repr(x)).quantize(
+        decimal.Decimal("1e-12"), rounding=decimal.ROUND_HALF_UP))
+
+
+def power_iteration_local(cov_rows: list[tuple[int, int, float]],
+                          dim: int, rounds: int = 6) -> list[float]:
+    """Driver-side power iteration over the COLLECTED matrix, replicating
+    the in-plan :func:`power_iteration_top` arithmetic exactly (products
+    rounded to 12 HALF_UP, exact-decimal sums, IEEE division/sqrt, the
+    zero-norm guard) — verified bit-for-bit against the Spark version by
+    test_power_iteration_local_matches_inplan.  The matrix is MODEL
+    state (dim^2 doubles, the centroid-collect license); keeping the
+    chain on the driver avoids ~15 tiny Spark jobs per component, which
+    is what made many-component extraction degrade a long-lived local
+    session (uniform per-job overhead growth measured at component 5+).
+    The registered correctness gates keep the in-plan chains — the
+    oracle replays those; this is the serving path for k > 2."""
+    import decimal
+    import math
+
+    mat: dict[tuple[int, int], float] = {(j, k): c for j, k, c in cov_rows}
+    v = [1.0] * dim
+    for _ in range(rounds):
+        w = []
+        for j in range(dim):
+            acc = decimal.Decimal(0)
+            for k in range(dim):
+                c = mat.get((j, k), 0.0)
+                acc += decimal.Decimal(repr(_round12(c * v[k])))
+            w.append(float(acc))
+        acc = decimal.Decimal(0)
+        for x in w:
+            acc += decimal.Decimal(repr(_round12(x * x)))
+        nrm = math.sqrt(float(acc))
+        v = [(_round12(x / nrm) if nrm != 0 else 0.0) for x in w]
+    return v
+
+
+def rayleigh_local(cov_rows: list[tuple[int, int, float]], dim: int,
+                   v: list[float]) -> float:
+    """Driver-side twin of :func:`_rayleigh` (same rounding points)."""
+    import decimal
+
+    mat = {(j, k): c for j, k, c in cov_rows}
+    w = []
+    for j in range(dim):
+        acc = decimal.Decimal(0)
+        for k in range(dim):
+            acc += decimal.Decimal(repr(_round12(mat.get((j, k), 0.0)
+                                                 * v[k])))
+        w.append(float(acc))
+    acc = decimal.Decimal(0)
+    for j in range(dim):
+        acc += decimal.Decimal(repr(_round12(w[j] * v[j])))
+    return _round12(float(acc))

@@ -2513,3 +2513,26 @@ def test_pca_project_matches_numpy_and_whitening(spark):
     z1 = np.array([white[i][0] for i in range(n)])
     z2 = np.array([white[i][1] for i in range(n)])
     assert abs(z1.var() - 1.0) < 1e-3 and abs(z2.var() - 1.0) < 2e-2
+
+
+def test_power_iteration_local_matches_inplan(spark):
+    """The driver-side chain is bit-identical to the in-plan operators
+    (same HALF_UP 12-decimal rounding, exact-decimal sums, IEEE
+    division) — the license for pca_project's local eigen-math."""
+    from localsql_spark.operators.similarity import (_rayleigh,
+                                                     covariance_matrix,
+                                                     power_iteration_local,
+                                                     power_iteration_top,
+                                                     rayleigh_local)
+
+    rows = [(i, [float(((i * 13 + j * 7) % 11) - 5) for j in range(6)])
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cov = covariance_matrix(df).localCheckpoint(eager=True)
+    mat = [(r.j, r.k, r.cov) for r in cov.collect()]
+    vp = power_iteration_top(cov, 6)
+    v_plan = {r["j"]: r["vj"] for r in vp.collect()}
+    v_loc = power_iteration_local(mat, 6, 6)
+    assert all(v_plan[j] == v_loc[j] for j in range(6))
+    assert _rayleigh(cov, vp).first()["lam"] == \
+        rayleigh_local(mat, 6, v_loc)
