@@ -84,7 +84,8 @@ def merge_rollup(stored: DataFrame | None, delta: DataFrame) -> DataFrame:
 def maintain_rollup(spark: SparkSession, rollup_dir: str,
                     new_events: DataFrame, grain: str = "hour",
                     ts_col: str = "ts", key_col: str = "event_type",
-                    value_col: str = "value") -> list:
+                    value_col: str = "value",
+                    retain_from: str | None = None) -> list:
     """Fold a new event batch into the persisted rollup at ``rollup_dir``
     (created on first call).  Returns the rewritten ``event_date``
     partition values.
@@ -95,10 +96,24 @@ def maintain_rollup(spark: SparkSession, rollup_dir: str,
     partitions via the manifest commit.  Nothing scales with the stored
     table except the touched-partition read — whose size is bounded by
     buckets x keys per date, not by event count.
-    """
+
+    ``retain_from`` ('YYYY-MM-DD') wires RETENTION into the maintenance
+    loop — the continuous-aggregate + TTL pattern (TimescaleDB's
+    retention policy on a continuous aggregate, public): after the fold
+    commits, ``event_date`` partitions strictly below the cutoff drop
+    via the metadata-only :func:`sinks.merge.expire_partitions` (no
+    partition read, survivors byte-stable).  Incoming batch rows below
+    the cutoff are dropped BEFORE the fold — folding them would
+    resurrect an expired date for one cycle.  Same single-writer
+    contract as the fold itself."""
     from localsql_spark.sinks.merge import commit_staged_partitions
 
     recover_pending_merge(rollup_dir)
+    if retain_from is not None:
+        # expired rows must not fold: a batch straggler below the cutoff
+        # would re-create a dropped partition for one cycle
+        new_events = new_events.filter(
+            F.to_date(F.col(ts_col)) >= F.lit(retain_from).cast("date"))
     # localCheckpoint: the delta is consumed twice (date collect + merge
     # write); a source that re-evaluates differently between the two
     # could otherwise stage a date absent from the collected list, whose
@@ -108,6 +123,11 @@ def maintain_rollup(spark: SparkSession, rollup_dir: str,
              .localCheckpoint(eager=True))
     dates = [r[0] for r in delta.select("event_date").distinct().collect()]
     if not dates:
+        # an all-expired (or empty) batch still enforces retention —
+        # the expiry is this cycle's obligation, not the fold's
+        if retain_from is not None:
+            from localsql_spark.sinks.merge import expire_partitions
+            expire_partitions(rollup_dir, "event_date", retain_from)
         return []
     # NULL timestamps roll up to a NULL event_date, which isin()-based
     # pruning can never read back — the staged __HIVE_DEFAULT_PARTITION__
@@ -129,6 +149,9 @@ def maintain_rollup(spark: SparkSession, rollup_dir: str,
      .write.mode("overwrite").partitionBy("event_date")
      .parquet(str(staging)))
     commit_staged_partitions(rollup_dir, "event_date")
+    if retain_from is not None:
+        from localsql_spark.sinks.merge import expire_partitions
+        expire_partitions(rollup_dir, "event_date", retain_from)
     return dates
 
 

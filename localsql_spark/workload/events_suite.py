@@ -1223,3 +1223,51 @@ def events_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir)["events"]
     return km_survival(ev, churn_gap_s=14 * 86400.0)
+
+
+@query("rollup_with_retention", oracle="""
+WITH mx AS (SELECT max(CAST(ts AS DATE)) AS m FROM events)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS bucket_ts,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE), 6)
+         AS sum_value
+FROM events, mx
+WHERE CAST(ts AS DATE) >= m - 7
+GROUP BY 1, 2
+""")
+def rollup_with_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate WITH a retention policy
+    (sinks.rollup.maintain_rollup retain_from= — the TimescaleDB
+    pattern: a rolling window of hourly stats, old days dropped by the
+    maintenance loop itself): two ingest folds under a max_date-7
+    cutoff, where the expiry is METADATA-ONLY (expire_partitions — no
+    partition read, survivors byte-stable) and batch stragglers below
+    the cutoff are dropped BEFORE the fold so an expired date can never
+    resurrect for a cycle.  The oracle recomputes the retained window
+    from the base table — incremental-with-retention == full recompute
+    over exactly the window."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from localsql_spark.operators import hash32
+    from localsql_spark.sinks.rollup import maintain_rollup, read_rollup
+
+    ev = load(spark, sf_dir)["events"]
+    mx = ev.agg(F.max(F.to_date("ts"))).first()[0]
+    cutoff = (mx - datetime.timedelta(days=7)).isoformat()
+    scratch = tempfile.mkdtemp(prefix="rollup_ret_")
+    try:
+        m = F.pmod(hash32(F.col("event_id")), F.lit(13))
+        for batch in (ev.filter(m >= 1), ev.filter(m == 0)):
+            maintain_rollup(spark, scratch, batch, grain="hour",
+                            retain_from=cutoff)
+        r = read_rollup(spark, scratch)
+        return (r.select(
+            "bucket_ts", F.col("key").alias("event_type"), "n_events",
+            F.round(F.col("sum_value").cast("double"), 6)
+            .alias("sum_value"))
+            .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -824,3 +824,49 @@ def test_folds_write_one_file_per_partition(spark, tmp_path):
                "doc_id", n_buckets=8)
     for d in Path(store).glob("kb=*"):
         assert len(list(d.glob("*.parquet"))) == 1, d.name
+
+
+def test_maintain_rollup_retention_drops_and_blocks_stragglers(spark,
+                                                               tmp_path):
+    """retain_from drops expired partitions metadata-only, keeps
+    survivors byte-identical, and a straggler batch below the cutoff
+    cannot resurrect an expired date."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from localsql_spark.sinks.rollup import maintain_rollup, read_rollup
+
+    rows = [(i, f"2024-01-{(i % 9) + 1:02d} 0{i % 10}:15:00",
+             "t", float(i)) for i in range(90)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+             "event_type", "value")
+    store = str(tmp_path / "roll")
+    maintain_rollup(spark, store, ev)
+    kept_files = {str(f): f.read_bytes()
+                  for d in Path(store).glob("event_date=*")
+                  if d.name >= "event_date=2024-01-04"
+                  for f in d.rglob("*.parquet")}
+    # a retention-gated fold of an empty batch enforces the cutoff
+    maintain_rollup(spark, store, ev.limit(0), retain_from="2024-01-04")
+    dates = sorted(d.name for d in Path(store).glob("event_date=*"))
+    assert dates[0] == "event_date=2024-01-04" and len(dates) == 6
+    for path, bytes_ in kept_files.items():
+        assert Path(path).read_bytes() == bytes_
+    # straggler below the cutoff: dropped before the fold
+    straggler = ev.filter(F.to_date("ts") < F.lit("2024-01-04"))
+    assert straggler.count() > 0
+    maintain_rollup(spark, store, straggler, retain_from="2024-01-04")
+    assert sorted(d.name for d in Path(store).glob("event_date=*")) == dates
+    # retained content == recompute over exactly the window
+    from localsql_spark.sinks.rollup import rollup_events
+    got = {(r.bucket_ts, r.key, r.n_events)
+           for r in read_rollup(spark, store)
+           .select("bucket_ts", "key", "n_events").collect()}
+    want = {(r.bucket_ts, r.key, r.n_events)
+            for r in rollup_events(
+                ev.filter(F.to_date("ts") >= F.lit("2024-01-04")))
+            .select("bucket_ts", "key", "n_events").collect()}
+    assert got == want and got
