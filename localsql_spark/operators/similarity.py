@@ -1819,7 +1819,12 @@ def jl_project(df: DataFrame, vec_col: str = "embedding",
     the decimal-sum discipline, so the projection is bit-reproducible
     cross-engine."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        first = df.select(vec_col).first()
+        if first is None or first[0] is None:
+            raise ValueError(
+                "jl_project: empty corpus (or null first vector) — pass "
+                "dim= explicitly to project a possibly-empty frame")
+        dim = len(first[0])
     signs = jl_signs(dim, out_dim, seed)
     scale = float(out_dim) ** 0.5
     comps = [
@@ -1843,7 +1848,12 @@ def knn_jl(corpus: DataFrame, queries: DataFrame, k: int = 5,
     pair work drops by dim/out_dim — the cheap first stage of a
     shortlist -> full-vector rerank cascade."""
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        first = corpus.select(vec_col).first()
+        if first is None or first[0] is None:
+            raise ValueError(
+                "knn_jl: empty corpus (or null first vector) — pass "
+                "dim= explicitly")
+        dim = len(first[0])
     cp = jl_project(corpus, vec_col, "jl_vec", out_dim, dim, seed) \
         .select(id_col, "jl_vec")
     qp = jl_project(queries, vec_col, "jl_vec", out_dim, dim, seed) \
@@ -1884,6 +1894,10 @@ def covariance_and_means(df: DataFrame, vec_col: str = "embedding"
     # (measured 12s -> 2s at sf0.1); at real scale the scan already has
     # >= cores splits and this is a no-op
     n = df.count()
+    if n == 0:
+        raise ValueError(
+            "covariance_and_means: covariance is undefined over zero "
+            "rows (the 1/n normalization divides by the corpus size)")
     e1 = df.select(F.col(vec_col).alias("__v"),
                    F.posexplode(F.col(vec_col)).alias("j", "x"))
     pairs = e1.select(

@@ -262,14 +262,26 @@ def k_anonymity_audit(df: DataFrame, qi_cols: list[str],
             .withColumn("at_risk", F.col("class_size") < k))
 
 
-def _laplace_noise(group_cols: list[str], seed: str, b: float):
+def _laplace_noise(group_cols: list[str], seed: str, b: float,
+                   mechanism: str = ""):
     """The seeded Laplace draw both DP releases share: uniform from
-    hash32(seed || group key) at 1e6 resolution through the inverse CDF
-    — ONE definition so the tail-truncation and null-key encoding can
-    never drift between the counts and sums surfaces (their oracles
-    replay this exact expression)."""
+    hash32(seed || mechanism || group key) at 1e6 resolution through
+    the inverse CDF — ONE definition so the tail-truncation and
+    null-key encoding can never drift between the counts and sums
+    surfaces (their oracles replay this exact expression).
+
+    ``mechanism`` DOMAIN-SEPARATES the draw per release surface and
+    parameterization (e.g. ``"counts|eps=1"`` vs ``"sums|eps=1|
+    clip=100"``).  Without it, releasing counts AND sums over the same
+    group columns under one seed would draw the SAME u per group, and
+    ``noisy_sum - clip * noisy_n`` would cancel the noise exactly —
+    the combined release would reveal ``true_sum - clip * true_n``
+    noise-free, which is not epsilon-DP at any epsilon.  With the
+    domain in the hash key the two draws are independent and the
+    composition degrades gracefully (sequential composition spends
+    both epsilons; it never cancels)."""
     key = F.concat_ws(
-        "\x1f", F.lit(seed),
+        "\x1f", F.lit(seed), F.lit(mechanism),
         *[F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
           for c in group_cols])
     u = ((hash32(key) % 1_000_000).cast("double") + 0.5) / 1_000_000.0 - 0.5
@@ -300,6 +312,13 @@ def dp_noisy_counts(df: DataFrame, group_cols: list[str],
     mechanism, and a production deployment swaps the seeded draw for a
     secure one without touching the plan shape.
 
+    The draw is domain-separated per mechanism and parameterization
+    (``counts|eps=...`` inside the hash key), so a counts release and a
+    sums release over the same groups under the same seed draw
+    INDEPENDENT noise — without that, ``noisy_sum - clip * noisy_n``
+    would cancel the shared draw exactly and the combined release would
+    not be DP at all (see :func:`_laplace_noise`).
+
     ``min_class`` > 0 additionally SUPPRESSES groups smaller than it
     (the k-anonymity composition: tiny classes are both re-identifiable
     and the ones noise distorts most, so standard releases drop them).
@@ -316,7 +335,8 @@ def dp_noisy_counts(df: DataFrame, group_cols: list[str],
                .agg(F.count(F.lit(1)).alias("__true_n")))
     if min_class > 0:
         counted = counted.filter(F.col("__true_n") >= min_class)
-    noise = _laplace_noise(group_cols, seed, 1.0 / epsilon)
+    noise = _laplace_noise(group_cols, seed, 1.0 / epsilon,
+                           mechanism=f"counts|eps={epsilon:g}")
     return counted.select(
         *group_cols,
         F.round(F.col("__true_n") + noise, 6).alias("noisy_n"))
@@ -335,7 +355,10 @@ def dp_noisy_sums(df: DataFrame, group_cols: list[str], value_col: str,
     then ``clip`` and the noise is Laplace(clip/epsilon).
 
     Same determinism contract as the counts: the draw is
-    hash32(seed || group key) through the inverse CDF — reproducible,
+    hash32(seed || "sums|eps=..|clip=.." || group key) through the
+    inverse CDF — domain-separated from the counts draw so the two
+    releases never share noise (see :func:`_laplace_noise`) —
+    reproducible,
     oracle-checkable, tail truncated at ~13.8*clip/epsilon (negligible
     mass, under-perturbing direction); swap in secure randomness per
     release in production without touching the plan.  The clipped sum
@@ -355,7 +378,8 @@ def dp_noisy_sums(df: DataFrame, group_cols: list[str], value_col: str,
                 F.count(F.lit(1)).alias("__n")))
     if min_class > 0:
         agg = agg.filter(F.col("__n") >= min_class)
-    noise = _laplace_noise(group_cols, seed, float(clip) / epsilon)
+    noise = _laplace_noise(group_cols, seed, float(clip) / epsilon,
+                           mechanism=f"sums|eps={epsilon:g}|clip={clip:g}")
     return agg.select(
         *group_cols,
         F.round(F.col("__sum") + noise, 6).alias("noisy_sum"))
@@ -450,15 +474,29 @@ def export_subject(spark: SparkSession, keys: DataFrame, *,
         if stored is None:
             # empty request, keys hash to absent buckets, or the store
             # itself is emptied/absent (read_base_partitions' None case)
-            # — read_bucketed_store would raise on the latter two, so
-            # probe the bytes before falling back to a schema-true read
+            # — probe the bytes: a present store yields its TRUE schema
+            # via a limit(0) read, so an empty export frame always
+            # carries the store's own columns.
             bp = Path(primary["base_dir"])
             if bp.exists() and any(bp.rglob("*.parquet")):
                 stored = read_bucketed_store(
                     spark, primary["base_dir"]).limit(0)
+            elif "empty_schema" in primary:
+                # caller supplied the store's schema (DDL string incl.
+                # the kb column) for the absent-store case — the only
+                # way to keep the every-frame-has-the-store's-columns
+                # manifest shape when no bytes exist to infer from
+                stored = spark.createDataFrame([], primary["empty_schema"])
             else:
-                stored = spark.createDataFrame(
-                    [], f"{primary['key_col']} string, kb int")
+                raise ValueError(
+                    f"export_subject: primary store "
+                    f"{primary['base_dir']!r} holds no parquet — the "
+                    f"store's columns cannot be inferred, so an empty "
+                    f"export frame would carry a fabricated schema and "
+                    f"its manifest digest would differ from a present-"
+                    f"but-empty store's.  Pass primary['empty_schema'] "
+                    f"(DDL) to export against an absent store, the same "
+                    f"contract read_bucketed_store enforces by raising.")
         out["primary"] = _match(stored, primary["key_col"]).drop("kb")
 
     if inverted_index is not None:
@@ -631,7 +669,14 @@ def erase_everywhere(spark: SparkSession, keys: DataFrame, *,
     ['n_buckets']}`` (``fact`` = the PRE-erase fact source),
     ``cov_store={'store_dir', 'vectors', 'batch_id', ['subject_col',
     'vec_col']}`` (``vectors`` = the PRE-erase embedding source; the
-    retraction folds the subjects' NEGATIVE partials as that batch id),
+    retraction folds the subjects' NEGATIVE partials as that batch id.
+    CONTRACT: ``vectors`` must equal the union of ALL rows the store
+    folded for the subjects — i.e. the store ingested an append-only
+    source.  If the store folded multiple versions of a subject's row
+    (re-ingest/upsert source), retracting only the current vector
+    under-retracts; the divergence audit below is the detection signal
+    — it recomputes from scratch and flags the residual, and the fix is
+    a store rebuild, not a second retraction),
     ``feed={'feed_dir', 'key_col'}``, ``ledger={'ledger_dir',
     'batch_id'}`` (record the request in the erase LEDGER before any
     store is touched, so in-flight ingest batches carrying the subjects

@@ -5555,7 +5555,7 @@ WITH counted AS (
 noised AS (
   SELECT lang, source, true_n,
          ((CAST(CAST('0x' || substr(md5(
-             concat_ws(chr(31), 'dp-release',
+             concat_ws(chr(31), 'dp-release', 'counts|eps=1',
                        COALESCE(CAST(lang AS VARCHAR), '<null>'),
                        COALESCE(CAST(source AS VARCHAR), '<null>'))),
              1, 8) AS BIGINT) % 1000000 AS DOUBLE) + 0.5) / 1000000.0)
@@ -5914,7 +5914,7 @@ WITH agg AS (
 noised AS (
   SELECT event_type, s,
          ((CAST(CAST('0x' || substr(md5(
-             concat_ws(chr(31), 'dp-sums',
+             concat_ws(chr(31), 'dp-sums', 'sums|eps=1|clip=100',
                        COALESCE(CAST(event_type AS VARCHAR), '<null>'))),
              1, 8) AS BIGINT) % 1000000 AS DOUBLE) + 0.5) / 1000000.0)
          - 0.5 AS u

@@ -51,6 +51,28 @@ def test_export_primary_matches_filter_and_prunes(spark, tmp_path):
     assert rows == want and len(rows) == 4
 
 
+def test_export_primary_absent_store_contract(spark, tmp_path):
+    """An ABSENT primary store raises (no bytes to infer the store's
+    columns from — a fabricated schema would give the manifest a
+    different digest shape than a present-but-empty store); passing
+    empty_schema opts into an empty frame with the caller's columns."""
+    import pytest
+
+    from localsql_spark.sinks.erase import export_subject
+
+    keys = spark.createDataFrame([(1,)], "doc_id long")
+    absent = {"base_dir": str(tmp_path / "nope"), "key_col": "doc_id",
+              "n_buckets": 8}
+    with pytest.raises(ValueError, match="empty_schema"):
+        export_subject(spark, keys, primary=absent)
+    got = export_subject(
+        spark, keys,
+        primary={**absent,
+                 "empty_schema": "doc_id long, text string, kb int"})
+    assert got["primary"].columns == ["doc_id", "text"]
+    assert got["primary"].count() == 0
+
+
 def test_export_derived_stores_match_direct(spark, tmp_path):
     """Inverted-index postings (term-bucket-pruned via the subjects'
     text), signature rows, and SCD2 history all export exactly the

@@ -2340,6 +2340,61 @@ def test_dp_noisy_sums_mechanism(spark):
     assert dp_noisy_sums(df, ["g"], "v", min_class=100).count() == 0
 
 
+def test_dp_counts_sums_noise_not_correlated(spark):
+    """Domain-separation regression: releasing counts AND sums over the
+    same groups under the SAME seed must not draw the same uniform per
+    group — otherwise noisy_sum - clip*noisy_n cancels the noise and
+    reveals true_sum - clip*true_n exactly (not DP at any epsilon).
+    With per-mechanism domains in the hash key the combination keeps a
+    nonzero residual on every group here."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.sinks.erase import dp_noisy_counts, dp_noisy_sums
+
+    clip = 10.0
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b", float(i * 7 % 50) - 5.0)
+         for i in range(40)], "id long, g string, v double")
+    counts = {r["g"]: r["noisy_n"]
+              for r in dp_noisy_counts(df, ["g"], epsilon=1.0,
+                                       seed="shared").collect()}
+    sums = {r["g"]: r["noisy_sum"]
+            for r in dp_noisy_sums(df, ["g"], "v", epsilon=1.0, clip=clip,
+                                   seed="shared").collect()}
+    true = {r["g"]: (r["n"], r["s"]) for r in df.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.least(F.greatest(F.col("v"), F.lit(0.0)), F.lit(clip)))
+        .alias("s")).collect()}
+    for g in true:
+        released = sums[g] - clip * counts[g]
+        truth = true[g][1] - clip * true[g][0]
+        # under the old shared draw these were equal to 6 decimals
+        assert abs(released - truth) > 1e-3, (
+            f"noise cancelled on group {g!r}: combined release leaks "
+            f"the exact clipped residual")
+
+
+def test_empty_corpus_guards_jl_pca(spark):
+    """Empty-input contracts: dim inference and covariance raise a clear
+    ValueError on zero rows (not NoneType subscripts / NaN means);
+    passing dim= explicitly lets an empty frame project to an empty
+    result."""
+    import pytest
+
+    from localsql_spark.operators.similarity import (covariance_and_means,
+                                                     jl_project, knn_jl)
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="dim="):
+        jl_project(empty)
+    with pytest.raises(ValueError, match="dim="):
+        knn_jl(empty, empty)
+    with pytest.raises(ValueError, match="zero rows"):
+        covariance_and_means(empty)
+    out = jl_project(empty, dim=4, out_dim=2)
+    assert out.count() == 0 and "jl_vec" in out.columns
+
+
 def test_jl_projection_matches_numpy_and_preserves_distance(spark):
     """The JL projection equals an independent numpy replay of the same
     hash-derived ±1 matrix, and pairwise distances in the projected
