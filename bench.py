@@ -127,6 +127,10 @@ EXTENSION_HEADLINE = [
     # round 11 (late): distributed PCA — prices the dim^2-bounded
     # covariance fold + the in-plan power iteration + row-local projection
     "pca_pc1_scores",
+    # round 12: the composed nightly maintenance pass (hardlink farm of a
+    # debris-laden 7-store fixture; the timed wall is heal + census-gated
+    # compaction + retention + sidecar sync + the audit itself)
+    "maintain_everywhere_probe",
     # round 10: erase_rebuild_models is correctness-gated, not benched —
     # it deliberately trains the IVFPQ/NB/HLL stores TWICE (full corpus,
     # then post-erase retrain) to prove rebuilt == never-saw-the-subjects,

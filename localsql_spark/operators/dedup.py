@@ -522,7 +522,8 @@ def _heal_store_swap(path: str) -> None:
         old.rename(store)  # roll BACK to the pre-swap state
 
 
-def compact_signature_store(spark: SparkSession, path: str) -> int:
+def compact_signature_store(spark: SparkSession, path: str,
+                            target_files: int | None = None) -> int:
     """Rewrite a signature store's accumulated per-batch subdirectories
     (the streaming ingest sink grows one per micro-batch) into flat
     part-files — the small-file compaction every long-running ingest needs:
@@ -530,13 +531,19 @@ def compact_signature_store(spark: SparkSession, path: str) -> int:
     task schedule on every probe.  Whole-store swap via rename; run it as a
     single-writer maintenance step BETWEEN stream runs (it moves the
     directory out from under a concurrently-running stream's append).
-    Returns the row count of the compacted store."""
+    ``target_files`` coalesces the rewrite to at most that many part
+    files (the steady-state bound a debris census can gate on —
+    without it the rewrite emits one file per shuffle partition and a
+    file-count-based "needs compacting?" check would re-trigger every
+    pass).  Returns the row count of the compacted store."""
     import shutil
     from pathlib import Path
 
     store = Path(path)
     _heal_store_swap(path)
     df = read_signature_store(spark, str(store))
+    if target_files is not None:
+        df = df.coalesce(target_files)
     tmp = store.parent / f".{store.name}.compact"
     shutil.rmtree(tmp, ignore_errors=True)
     df.write.mode("overwrite").parquet(str(tmp))

@@ -1,0 +1,278 @@
+"""Composed store maintenance — the nightly pass an operator of this
+engine actually runs.
+
+Every persisted store in the package has grown its own maintenance entry
+points: crash-heal (`sinks.merge.recover_pending_merge`, the SCD2
+orphaned-swap sweep, `streaming.foreach_upsert.recover_feed_erase`),
+small-files compaction (`sinks.merge.compact_partitions`,
+`operators.dedup.compact_signature_store`,
+`sinks.scd2_store.compact_scd2_store`,
+`operators.similarity.compact_ivf_index`,
+`streaming.batch_dirs.compact_batches`), retention
+(`sinks.merge.expire_partitions`, `streaming.foreach_upsert.prune_feed`,
+`sinks.erase.compact_erase_ledger`), and sidecar sync
+(`operators.dedup.ensure_banded_index`).  What was missing — the
+round-11 review's top gap — is the single pass that runs them all under
+one audit, symmetric to :func:`localsql_spark.sinks.erase.
+erase_everywhere` composing the erases: a fleet operator does not script
+eleven store-specific calls nightly, they run ONE maintenance job and
+read ONE audit frame.
+
+:func:`maintain_everywhere` walks the same store map as
+``erase_everywhere`` and applies, per store, the fixed discipline
+**heal → compact → retain → sync**:
+
+- **heal** first: a crashed predecessor's committed-but-unapplied
+  manifest (or orphaned swap backup) must be rolled forward before any
+  rewrite, or the compaction would rebuild from a torn view.  Every
+  heal here is the store's own idempotent recovery entry point.
+- **compact** second: fold small-files debris (sliver part files from
+  pre-clustered writes, per-micro-batch landing dirs, IVF delta dirs)
+  down to the store's steady-state layout.  Compactions are gated on a
+  DEBRIS CENSUS (a driver-side directory walk, no Spark job): a clean
+  store is never read, so the pass over a quiet store costs directory
+  listings only — cost tracks debris, not store size (SCALE.md row).
+- **retain** third: enforce the store's retention policy — the
+  metadata-only :func:`~localsql_spark.sinks.merge.expire_partitions`
+  for date-partitioned stores, the consumer-watermark-gated
+  :func:`~localsql_spark.streaming.foreach_upsert.prune_feed` for the
+  CDC feed, generation-folding for the erase ledger.  Retention runs
+  AFTER compaction so an expired partition is never first rewritten and
+  then dropped.
+- **sync** last: bring derived sidecars up to date with the store the
+  earlier steps may have rewritten (the banded LSH index's
+  :func:`~localsql_spark.operators.dedup.ensure_banded_index`; a store
+  compaction rewrites the file listing, so the sync after one is a full
+  sidecar rebuild — the documented policy that also clears any
+  duplicate rows a crashed append left behind).
+
+Single-writer contract: this composes the stores' own single-writer
+maintenance steps, so the whole pass must not run concurrently with
+folds, erases, or another maintenance pass on the same stores — the
+same contract every entry point documents individually.  Stores the
+pass finds clean are untouched byte-for-byte (pinned by test), and the
+namespaces the entry points deliberately never fold (the cov store's
+``erase_<id>`` retraction dirs, unconsumed feed batches, the newest
+``keep_last`` landing dirs) stay untouched here too.
+
+Returns one audit frame ``(store, action, units)`` — one row per
+applicable action per configured store, ``units`` = work actually done
+(partitions rewritten, dirs folded, partitions expired, pending
+recoveries applied; 0 = store was already clean).  The audit is built
+from the entry points' own driver-side return values: reading it costs
+no Spark job.
+
+At 100 TB: every compaction here reads only its debris (over-limit
+partitions, the un-folded batch tail, non-superseded deltas), every
+retention step is metadata-only or watermark-bounded, and every heal is
+a rename replay — the nightly pass over a petabyte store farm is
+bounded by one day's ingest debris, which is the property that makes
+running it nightly affordable at all.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["maintain_everywhere"]
+
+
+def _flat_parquet_count(path: Path) -> int:
+    return sum(1 for _ in path.glob("*.parquet"))
+
+
+def maintain_everywhere(spark: SparkSession, *,
+                        primary: dict | None = None,
+                        inverted_index: dict | None = None,
+                        signature_store: dict | None = None,
+                        scd2: dict | None = None,
+                        rollup: dict | None = None,
+                        ivm_view: dict | None = None,
+                        cov_store: dict | None = None,
+                        ivf_index: dict | None = None,
+                        ivfpq_index: dict | None = None,
+                        feed: dict | None = None,
+                        ledger: dict | None = None) -> DataFrame:
+    """One composed heal → compact → retain → sync pass over every
+    configured store (module docstring has the discipline and the
+    scale argument).  Store configs mirror ``erase_everywhere``'s map;
+    pass only what exists:
+
+    - ``primary={'base_dir', ['partition_col'='kb'], ['max_files'=1],
+      ['retention': {'cutoff', ['partition_col'], ['parse']}]}`` — any
+      hive-partitioned merge-sink store.  ``retention`` drops whole
+      partitions below ``cutoff`` (only meaningful when the store
+      partitions on a retention-ordered column; a key-bucketed store
+      omits it).
+    - ``inverted_index={'index_dir', ['max_files'=1]}`` — term-bucket
+      (tb) partitions, including the stats row's bucket.
+    - ``signature_store={'store_path', ['index_path'], ['max_files'=8],
+      ['n', 'bands', 'bucket_cap']}`` — heal the whole-store swap,
+      compact per-batch landing dirs / sliver files into flat parquet
+      (gated: the whole-store rewrite runs only when the census finds
+      batch dirs, a generation layout, or more than ``max_files`` flat
+      files), then ``ensure_banded_index`` syncs the banded sidecar
+      when ``index_path`` is given (units: 0 = fresh, 1 = appended or
+      rebuilt).
+    - ``scd2={'store_dir', ['target_files'=4]}`` — orphaned-swap sweep,
+      then fold committed closed dirs below the latest open batch.
+    - ``rollup={'rollup_dir', ['max_files'=1], ['retain_from']}`` —
+      event_date partitions; ``retain_from`` ('YYYY-MM-DD') applies the
+      TTL via the metadata-only expiry.
+    - ``ivm_view={'view_dir', ['max_files'=1]}`` — grp_bucket
+      partitions.
+    - ``cov_store={'store_dir', ['keep_last'=1], ['target_files'=1]}``
+      — fold ``batch_<id>`` partial dirs into a generation; the
+      ``erase_<id>`` retraction namespace is NEVER folded (first-write-
+      wins retractions must survive every compaction — see
+      ``cov_store_erase``).
+    - ``ivf_index={'index_path'}`` — fold delta batches into a new base
+      generation (``compact_ivf_index``).
+    - ``ivfpq_index={'index_path', ['max_files'=1]}`` — heal + compact
+      the cell-partitioned codes table (model tables are tiny,
+      single-file, and rewritten only by retrain).
+    - ``feed={'feed_dir', ['keep_last'=1]}`` — heal a torn feed erase,
+      then prune batches every registered consumer has consumed.
+    - ``ledger={'ledger_dir', ['keep_last'=1]}`` — fold old request
+      dirs into one generation (content is never deleted; see
+      ``compact_erase_ledger``'s retention-window warning).
+
+    Returns ``(store, action, units)`` with actions drawn from
+    ``heal | compact | retain | sync``.
+    """
+    rows: list[tuple[str, str, int]] = []
+
+    if primary is not None:
+        from localsql_spark.sinks.merge import (compact_partitions,
+                                                expire_partitions,
+                                                recover_pending_merge)
+        pcol = primary.get("partition_col", "kb")
+        rows.append(("primary", "heal",
+                     int(recover_pending_merge(primary["base_dir"]))))
+        rows.append(("primary", "compact", len(compact_partitions(
+            spark, primary["base_dir"], pcol,
+            max_files=primary.get("max_files", 1)))))
+        ret = primary.get("retention")
+        if ret is not None:
+            rows.append(("primary", "retain", len(expire_partitions(
+                primary["base_dir"], ret.get("partition_col", pcol),
+                ret["cutoff"], parse=ret.get("parse")))))
+
+    if inverted_index is not None:
+        from localsql_spark.sinks.merge import (compact_partitions,
+                                                recover_pending_merge)
+        rows.append(("inverted_index", "heal",
+                     int(recover_pending_merge(inverted_index["index_dir"]))))
+        rows.append(("inverted_index", "compact", len(compact_partitions(
+            spark, inverted_index["index_dir"], "tb",
+            max_files=inverted_index.get("max_files", 1)))))
+
+    if signature_store is not None:
+        from localsql_spark.operators.dedup import (_heal_store_swap,
+                                                    compact_signature_store,
+                                                    ensure_banded_index)
+        sp = Path(signature_store["store_path"])
+        existed = sp.exists()
+        _heal_store_swap(str(sp))
+        rows.append(("signature_store", "heal",
+                     int(sp.exists() and not existed)))
+        # debris census: per-batch landing dirs, a generation layout
+        # (mixed read path), or more flat files than steady state —
+        # only then is the whole-store compaction swap worth its read
+        debris = (any(sp.glob("batch_*")) or any(sp.glob("upto_*"))
+                  or _flat_parquet_count(sp)
+                  > signature_store.get("max_files", 8)) if sp.exists() \
+            else False
+        if debris:
+            # coalesce to the census threshold so the compacted layout
+            # passes the same census next pass (idempotence)
+            compact_signature_store(
+                spark, str(sp),
+                target_files=signature_store.get("max_files", 8))
+        rows.append(("signature_store", "compact", int(debris)))
+        if signature_store.get("index_path"):
+            kw = {k: signature_store[k] for k in ("n", "bands", "bucket_cap")
+                  if k in signature_store}
+            state = ensure_banded_index(spark, str(sp),
+                                        signature_store["index_path"], **kw)
+            rows.append(("signature_store", "sync",
+                         int(state != "fresh")))
+
+    if scd2 is not None:
+        from localsql_spark.sinks.scd2_store import (_recover_orphaned_swaps,
+                                                     compact_scd2_store)
+        store = Path(scd2["store_dir"])
+        orphans = len(list(store.glob("*/.*.old")))
+        _recover_orphaned_swaps(store)
+        rows.append(("scd2", "heal", orphans))
+        rows.append(("scd2", "compact", compact_scd2_store(
+            spark, scd2["store_dir"],
+            target_files=scd2.get("target_files", 4))))
+
+    if rollup is not None:
+        from localsql_spark.sinks.merge import (compact_partitions,
+                                                expire_partitions,
+                                                recover_pending_merge)
+        rows.append(("rollup", "heal",
+                     int(recover_pending_merge(rollup["rollup_dir"]))))
+        rows.append(("rollup", "compact", len(compact_partitions(
+            spark, rollup["rollup_dir"], "event_date",
+            max_files=rollup.get("max_files", 1)))))
+        if rollup.get("retain_from") is not None:
+            rows.append(("rollup", "retain", len(expire_partitions(
+                rollup["rollup_dir"], "event_date",
+                rollup["retain_from"]))))
+
+    if ivm_view is not None:
+        from localsql_spark.sinks.merge import (compact_partitions,
+                                                recover_pending_merge)
+        rows.append(("ivm_view", "heal",
+                     int(recover_pending_merge(ivm_view["view_dir"]))))
+        rows.append(("ivm_view", "compact", len(compact_partitions(
+            spark, ivm_view["view_dir"], "grp_bucket",
+            max_files=ivm_view.get("max_files", 1)))))
+
+    if cov_store is not None:
+        from localsql_spark.streaming.batch_dirs import compact_batches
+        rows.append(("cov_store", "compact", compact_batches(
+            spark, cov_store["store_dir"],
+            keep_last=cov_store.get("keep_last", 1),
+            target_files=cov_store.get("target_files", 1))))
+
+    if ivf_index is not None:
+        from localsql_spark.operators.similarity import compact_ivf_index
+        rows.append(("ivf_index", "compact",
+                     compact_ivf_index(spark, ivf_index["index_path"])))
+
+    if ivfpq_index is not None:
+        from localsql_spark.sinks.merge import (compact_partitions,
+                                                recover_pending_merge)
+        codes = f"{ivfpq_index['index_path'].rstrip('/')}/codes"
+        rows.append(("ivfpq_index", "heal",
+                     int(recover_pending_merge(codes))))
+        rows.append(("ivfpq_index", "compact", len(compact_partitions(
+            spark, codes, "cell",
+            max_files=ivfpq_index.get("max_files", 1)))))
+
+    if feed is not None:
+        from localsql_spark.streaming.foreach_upsert import (
+            prune_feed, recover_feed_erase)
+        rows.append(("feed", "heal",
+                     int(recover_feed_erase(feed["feed_dir"]))))
+        rows.append(("feed", "retain", prune_feed(
+            feed["feed_dir"], keep_last=feed.get("keep_last", 1))))
+
+    if ledger is not None:
+        from localsql_spark.sinks.erase import compact_erase_ledger
+        rows.append(("ledger", "retain", compact_erase_ledger(
+            spark, ledger["ledger_dir"],
+            keep_last=ledger.get("keep_last", 1))))
+
+    if not rows:
+        return spark.createDataFrame(
+            [], "store string, action string, units long")
+    return spark.createDataFrame(
+        [(s, a, int(u)) for s, a, u in rows],
+        "store string, action string, units long")

@@ -6349,3 +6349,257 @@ def pca_project_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     centered projections bit-for-bit."""
     emb = load(spark, sf_dir)["embeddings"]
     return S.pca_project(emb, n_components=2, rounds=6)
+
+
+# ---------------------------------------------------------------------------
+# Composed maintenance: maintain_everywhere (round 12)
+# ---------------------------------------------------------------------------
+
+_IVF_ASSIGN_CTES = """
+icents AS (SELECT vec_id AS cell, embedding AS cent FROM embeddings
+           WHERE vec_id < 16),
+inorms AS (SELECT vec_id,
+                  sqrt(CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 12)
+                                AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+           FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) ne
+           GROUP BY vec_id),
+ive AS (SELECT vec_id, generate_subscripts(embedding, 1) AS p,
+               unnest(embedding) AS x FROM embeddings),
+ice AS (SELECT cell, generate_subscripts(cent, 1) AS p, unnest(cent) AS y
+        FROM icents),
+icelldots AS (SELECT vec_id, cell,
+                     CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 12)
+                              AS DECIMAL(38,12))) AS DOUBLE) AS dotp
+              FROM ive JOIN ice ON ive.p = ice.p GROUP BY vec_id, cell),
+icellsim AS (SELECT cd.vec_id, cd.cell,
+                    round(dotp / (nv.nrm * nc.nrm), 9) AS csim
+             FROM icelldots cd JOIN inorms nv ON nv.vec_id = cd.vec_id
+                               JOIN inorms nc ON nc.vec_id = cd.cell),
+iranked AS (SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY csim DESC, cell) AS crn
+            FROM icellsim),
+icassign AS (SELECT vec_id AS neighbor_id, cell FROM iranked WHERE crn = 1)"""
+
+
+@query("maintain_everywhere_probe", oracle=_PCA_COV_PREFIX + "," +
+       _IVF_ASSIGN_CTES + """
+SELECT * FROM (
+  SELECT 'cov_store' AS store, CAST(count(*) AS BIGINT) AS n_rows,
+         round(CAST(SUM(CAST(round(cov * (j * 64 + k + 1), 12)
+                             AS DECIMAL(38,12))) AS DOUBLE), 6) AS checksum
+  FROM cov
+  UNION ALL
+  SELECT 'feed', CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS DOUBLE)
+  FROM documents
+  UNION ALL
+  SELECT 'ivf_index', CAST(count(*) AS BIGINT),
+         CAST(sum(neighbor_id * 131 + cell) AS DOUBLE)
+  FROM icassign
+  UNION ALL
+  SELECT 'ledger', CAST(3 AS BIGINT), CAST(303 AS DOUBLE)
+  UNION ALL
+  SELECT 'primary', CAST(count(*) AS BIGINT),
+         round(CAST(sum(CAST(round(n_chars, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE), 6)
+  FROM documents
+  UNION ALL
+  SELECT 'rollup', CAST(count(*) AS BIGINT),
+         round(CAST(sum(s) AS DOUBLE), 6)
+  FROM (SELECT CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6)))
+               AS DECIMAL(28,6)) AS s
+        FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
+        GROUP BY date_trunc('hour', ts), event_type) g
+  UNION ALL
+  SELECT 'signature_store', CAST(count(*) AS BIGINT),
+         CAST(sum(h % 1000000) AS DOUBLE)
+  FROM (SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) AS h
+        FROM documents) t
+  WHERE h % 4 = 0
+) ORDER BY store
+""")
+def maintain_everywhere_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed nightly maintenance pass
+    (sinks.maintenance.maintain_everywhere — heal, compact, retain,
+    sidecar-sync over the whole persisted-store farm under ONE audit,
+    symmetric to erase_everywhere composing the erases).  Fixture: a
+    debris-laden farm built once per sf — sliver-filed primary store,
+    three-append signature store, full hourly rollup, three cov-partial
+    batches, IVF base + delta, three consumed feed batches, three
+    ledger requests — hardlink-copied per call (every store mutation is
+    staged-write + rename, so the fixture's bytes can never be written
+    through a link).  The probe runs the one-pass maintenance, asserts
+    the audit counted exactly the expected work (compactions where
+    debris existed, retention where policy applied, a sidecar rebuild
+    after the store rewrite, ZERO units on nothing else), asserts the
+    layout goals directly (<=1 file per primary partition, no landing
+    dirs left in the signature store), re-checks content the heavy way
+    in-plan (maintained signature store == recomputed signatures;
+    banded sidecar covers exactly the store's doc set), and returns one
+    (store, n_rows, checksum) row per store read from the
+    POST-maintenance bytes.  The oracle recomputes every store's
+    content summary from the raw tables — equality proves maintenance
+    is purely a layout/retention operation: nothing lost, duplicated,
+    or altered anywhere it touched, and retention dropped exactly the
+    policy's partitions.  SCALE.md: the pass costs debris + retention
+    work, not store size."""
+    import os
+    import shutil
+    import tempfile
+
+    from localsql_spark.operators import hash32
+    from localsql_spark.sinks.cov_store import cov_from_store, cov_store_fold
+    from localsql_spark.sinks.erase import bucket_of, erase_ledger_append
+    from localsql_spark.sinks.maintenance import maintain_everywhere
+    from localsql_spark.sinks.rollup import maintain_rollup, read_rollup
+    from localsql_spark.streaming.batch_dirs import read_batches
+    from localsql_spark.streaming.foreach_upsert import commit_feed_offset
+
+    tabs = load(spark, sf_dir)
+    docs, ev, emb = tabs["documents"], tabs["events"], tabs["embeddings"]
+    sig_docs = docs.filter(hash32(F.col("doc_id")) % 4 == 0)
+    is_delta = (F.col("vec_id") >= 16) & (F.col("vec_id") % 5 == 3)
+
+    fixture = (Path(__file__).resolve().parent.parent.parent / ".cache"
+               / "maintain_farm" / Path(sf_dir.rstrip("/")).name)
+    marker = fixture / "_fixture_ok"
+    if not marker.exists():
+        shutil.rmtree(fixture, ignore_errors=True)
+        fixture.mkdir(parents=True, exist_ok=True)
+        # primary: the pre-clustered-writes layout (slivers per bucket)
+        (docs.select("doc_id", "lang", "n_chars")
+         .withColumn("kb", bucket_of(F.col("doc_id"), 8))
+         .repartition(8).write.partitionBy("kb")
+         .parquet(str(fixture / "primary")))
+        # signature store: three append batches of flat files
+        thirds = [sig_docs.filter(F.col("doc_id") % 3 == i)
+                  for i in range(3)]
+        D.write_signature_store(thirds[0], str(fixture / "sigs"))
+        for t in thirds[1:]:
+            D.append_signature_store(t, str(fixture / "sigs"))
+        # full hourly rollup (retention applied by the maintenance pass)
+        maintain_rollup(spark, str(fixture / "roll"), ev, grain="hour")
+        # cov store: three partial batches
+        for b in range(3):
+            cov_store_fold(spark, str(fixture / "cov"),
+                           emb.filter(F.col("vec_id") % 3 == b), b)
+        # IVF: base + one delta batch (seeds vec_id < 16, oracle cents)
+        S.write_ivf_index(emb.filter(~is_delta), str(fixture / "ivf"),
+                          n_cells=16)
+        S.append_ivf_index(spark, str(fixture / "ivf"),
+                           emb.filter(is_delta), batch_id=1)
+        # feed: three write-once batches, consumer caught up through 2
+        h3 = hash32(F.col("doc_id")) % 3
+        for b in range(3):
+            (docs.filter(h3 <= b)
+             .select("doc_id", F.lit(b + 1).alias("version"))
+             .coalesce(1).write
+             .parquet(str(fixture / "feed" / f"batch_{b}")))
+        commit_feed_offset(str(fixture / "feed"), "etl", 2)
+        # ledger: three singleton requests
+        for b in range(3):
+            erase_ledger_append(
+                spark.createDataFrame([(100 + b,)], "doc_id long"),
+                str(fixture / "ledger"), b)
+        marker.touch()
+
+    scratch = Path(tempfile.mkdtemp(prefix="maintain_farm_",
+                                    dir=str(fixture.parent)))
+    try:
+        for store in ("primary", "sigs", "roll", "cov", "ivf", "feed",
+                      "ledger"):
+            shutil.copytree(fixture / store, scratch / store,
+                            copy_function=os.link)
+        audit = maintain_everywhere(
+            spark,
+            primary={"base_dir": str(scratch / "primary")},
+            signature_store={"store_path": str(scratch / "sigs"),
+                             "index_path": str(scratch / "sigs_banded"),
+                             "max_files": 2},
+            rollup={"rollup_dir": str(scratch / "roll"),
+                    "retain_from": "2024-01-10"},
+            cov_store={"store_dir": str(scratch / "cov")},
+            ivf_index={"index_path": str(scratch / "ivf")},
+            feed={"feed_dir": str(scratch / "feed")},
+            ledger={"ledger_dir": str(scratch / "ledger")})
+        a = {(r["store"], r["action"]): r["units"] for r in audit.collect()}
+        expect = {("primary", "heal"): 0, ("signature_store", "heal"): 0,
+                  ("signature_store", "compact"): 1,
+                  ("signature_store", "sync"): 1, ("rollup", "heal"): 0,
+                  ("rollup", "compact"): 0, ("rollup", "retain"): 9,
+                  ("cov_store", "compact"): 2, ("ivf_index", "compact"): 1,
+                  ("feed", "heal"): 0, ("feed", "retain"): 2,
+                  ("ledger", "retain"): 2}
+        bad = {k: (a.get(k), v) for k, v in expect.items()
+               if a.get(k) != v}
+        if bad or a[("primary", "compact")] < 1:
+            raise AssertionError(f"maintenance audit off: {bad or a}")
+        fat = [d.name for d in (scratch / "primary").glob("kb=*")
+               if len(list(d.glob("*.parquet"))) > 1]
+        if fat or any((scratch / "sigs").glob("batch_*")):
+            raise AssertionError(f"layout goal missed: {fat}")
+        # content re-check the heavy way: maintained sigs == recomputed
+        got_sigs = D.read_signature_store(spark, str(scratch / "sigs"))
+        want_sigs = D.compute_signatures(sig_docs)
+        if got_sigs.exceptAll(want_sigs).count() \
+                or want_sigs.exceptAll(got_sigs).count():
+            raise AssertionError("signature store diverged under compaction")
+        banded_ids = (spark.read.option("basePath",
+                                        str(scratch / "sigs_banded"))
+                      .parquet(str(scratch / "sigs_banded"))
+                      .select("doc_id").distinct())
+        store_ids = got_sigs.select("doc_id").distinct()
+        if banded_ids.exceptAll(store_ids).count() \
+                or store_ids.exceptAll(banded_ids).count():
+            raise AssertionError("banded sidecar out of sync")
+
+        dim = 64
+        rows = [
+            cov_from_store(spark, str(scratch / "cov")).agg(
+                F.lit("cov_store").alias("store"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum(F.round(F.col("cov")
+                                      * (F.col("j") * dim + F.col("k") + 1),
+                                      12).cast("decimal(38,12)"))
+                        .cast("double"), 6).alias("checksum")),
+            spark.read.parquet(
+                *[str(p) for p in sorted((scratch / "feed")
+                                         .glob("batch_*"))]).agg(
+                F.lit("feed").alias("store"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("doc_id").cast("double").alias("checksum")),
+            S._ivf_slices(spark, str(scratch / "ivf")).agg(
+                F.lit("ivf_index").alias("store"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("neighbor_id") * 131 + F.col("cell"))
+                .cast("double").alias("checksum")),
+            read_batches(spark, str(scratch / "ledger")).agg(
+                F.lit("ledger").alias("store"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("_erase_key").cast("double"))
+                .alias("checksum")),
+            spark.read.option("basePath", str(scratch / "primary"))
+            .parquet(str(scratch / "primary")).agg(
+                F.lit("primary").alias("store"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum(F.round(F.col("n_chars"), 6)
+                              .cast("decimal(28,6)")).cast("double"), 6)
+                .alias("checksum")),
+            read_rollup(spark, str(scratch / "roll")).agg(
+                F.lit("rollup").alias("store"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum(F.col("sum_value")).cast("double"), 6)
+                .alias("checksum")),
+            got_sigs.agg(
+                F.lit("signature_store").alias("store"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(hash32(F.col("doc_id")) % 1000000).cast("double")
+                .alias("checksum")),
+        ]
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return out.orderBy("store").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -1,0 +1,306 @@
+"""maintain_everywhere — the composed heal/compact/retain/sync pass
+(sinks/maintenance.py), symmetric to erase_everywhere: content
+preserved on every store it touches, layout goals met, protected
+namespaces and clean stores byte-stable, and a second pass is a no-op.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, n=40):
+    rows = [(i, f"doc {i} body " + " ".join(
+        f"w{(i * 7 + j) % 23}" for j in range(12)) +
+        (" table join" if i % 3 == 0 else " window hash"))
+        for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _tree_digest(root: Path) -> dict[str, str]:
+    """Relative path -> content md5 for every file under root."""
+    out = {}
+    for p in sorted(root.rglob("*")):
+        if p.is_file():
+            out[str(p.relative_to(root))] = hashlib.md5(
+                p.read_bytes()).hexdigest()
+    return out
+
+
+def test_maintain_everywhere_full_surface(spark, tmp_path):
+    from localsql_spark.operators.dedup import (compute_signatures,
+                                                read_signature_store,
+                                                write_signature_store)
+    from localsql_spark.operators.similarity import (_ivf_slices,
+                                                     append_ivf_index,
+                                                     write_ivf_index)
+    from localsql_spark.sinks.cov_store import (cov_from_store,
+                                                cov_store_erase,
+                                                cov_store_fold)
+    from localsql_spark.sinks.erase import bucket_of, erase_ledger_append
+    from localsql_spark.sinks.inverted_index import index_add_documents
+    from localsql_spark.sinks.ivm import maintain_join_view, read_join_view
+    from localsql_spark.sinks.maintenance import maintain_everywhere
+    from localsql_spark.sinks.rollup import (maintain_rollup, read_rollup,
+                                             rollup_events)
+    from localsql_spark.sinks.scd2_store import (apply_batch, init_store,
+                                                 read_history)
+    from localsql_spark.streaming.batch_dirs import read_batches
+    from localsql_spark.streaming.foreach_upsert import commit_feed_offset
+
+    docs = _docs(spark)
+
+    # primary: sliver-filed kb store (the pre-round-10 layout)
+    base = tmp_path / "primary"
+    (docs.withColumn("kb", bucket_of(F.col("doc_id"), 8))
+     .repartition(16).write.partitionBy("kb").parquet(str(base)))
+    assert any(len(list(d.glob("*.parquet"))) > 1
+               for d in base.glob("kb=*"))
+
+    # inverted index: two adds -> >=2 files in shared tb partitions
+    idx = tmp_path / "inv"
+    index_add_documents(spark, str(idx), docs.filter("doc_id < 20"))
+    index_add_documents(spark, str(idx), docs.filter("doc_id >= 20"))
+    # the clustered folds write one file per partition — split one
+    # partition's file to simulate an external writer's sliver debris
+    import shutil as _sh
+    d0 = sorted(idx.glob("tb=*"))[0]
+    split_rows = spark.read.parquet(str(d0))
+    split_tmp = tmp_path / "split"
+    split_rows.repartition(2).write.parquet(str(split_tmp))
+    for f in d0.glob("*.parquet"):
+        f.unlink()
+    for i, f in enumerate(sorted(split_tmp.glob("*.parquet"))):
+        _sh.copy(f, d0 / f"part-split-{i}.parquet")
+    pre_postings = {(r.term, r.doc_id, r.tf) for r in
+                    spark.read.option("basePath", str(idx))
+                    .parquet(str(idx)).filter(F.col("tb") != 16)
+                    .select("term", "doc_id", "tf").collect()}
+
+    # signature store: 3 flat files + stale banded sidecar
+    sig = tmp_path / "sigs"
+    write_signature_store(docs.filter("doc_id < 15"), str(sig))
+    write_signature_store(docs.filter("doc_id >= 15 and doc_id < 30"),
+                          str(sig), mode="append")
+    write_signature_store(docs.filter("doc_id >= 30"), str(sig),
+                          mode="append")
+    banded = tmp_path / "sigs_banded"
+    from localsql_spark.operators.dedup import ensure_banded_index
+    assert ensure_banded_index(spark, str(sig), str(banded)) == "rebuilt"
+
+    # scd2: init + two batches -> foldable closed dirs
+    scd2 = tmp_path / "scd2"
+    dim = docs.select("doc_id", F.substring("text", 1, 8).alias("attr"))
+    init_store(dim, str(scd2), ["doc_id"], ["attr"], 1_000_000)
+    apply_batch(spark, str(scd2),
+                docs.filter("doc_id % 2 = 0")
+                .select("doc_id", F.lit("V2").alias("attr")),
+                ["doc_id"], ["attr"], 2_000_000, batch_id=1)
+    apply_batch(spark, str(scd2),
+                docs.filter("doc_id % 4 = 0")
+                .select("doc_id", F.lit("V3").alias("attr")),
+                ["doc_id"], ["attr"], 3_000_000, batch_id=2)
+    apply_batch(spark, str(scd2),
+                docs.filter("doc_id % 8 = 0")
+                .select("doc_id", F.lit("V4").alias("attr")),
+                ["doc_id"], ["attr"], 4_000_000, batch_id=3)
+    pre_hist = {tuple(r) for r in read_history(spark, str(scd2)).collect()}
+
+    # rollup over 3 dates; retention drops the oldest
+    ev = spark.createDataFrame(
+        [(i, f"t{i % 3}", float(i),
+          f"2024-01-0{1 + i % 3} 0{i % 9}:30:00") for i in range(60)],
+        "eid long, event_type string, value double, ts_s string") \
+        .select("eid", "event_type", "value",
+                F.col("ts_s").cast("timestamp").alias("ts"))
+    roll = tmp_path / "roll"
+    maintain_rollup(spark, str(roll), ev, grain="hour")
+
+    # ivm view: CLEAN store -> byte-stability pin
+    view = tmp_path / "view"
+    dimtab = spark.createDataFrame([(i, f"g{i % 4}") for i in range(10)],
+                                   "dk long, grp string")
+    fact = spark.createDataFrame(
+        [(i, i % 10, float(i)) for i in range(50)],
+        "fid long, dk long, v double")
+    maintain_join_view(spark, str(view), fact, dimtab, "dk", "dk",
+                       "grp", "v", n_buckets=4)
+    pre_view = {tuple(r) for r in read_join_view(spark, str(view)).collect()}
+
+    # cov store: 3 batch dirs + one retraction (protected namespace)
+    emb = spark.createDataFrame(
+        [(i, [float((i * 3 + j) % 7) for j in range(4)])
+         for i in range(30)], "vec_id long, embedding array<double>")
+    cov = tmp_path / "cov"
+    for b in range(3):
+        cov_store_fold(spark, str(cov),
+                       emb.filter(F.col("vec_id") % 3 == b), b)
+    cov_store_erase(spark, str(cov),
+                    emb.filter("vec_id = 29"), batch_id=0)
+    pre_cov = {(r.j, r.k, r.cov)
+               for r in cov_from_store(spark, str(cov)).collect()}
+
+    # ivf index: base + one delta
+    ivf = tmp_path / "ivf"
+    write_ivf_index(emb.filter("vec_id < 24"), str(ivf), n_cells=4)
+    append_ivf_index(spark, str(ivf), emb.filter("vec_id >= 24"),
+                     batch_id=1)
+    pre_ivf = {(r.neighbor_id, r.cell) for r in
+               _ivf_slices(spark, str(ivf))
+               .select("neighbor_id", "cell").collect()}
+
+    # feed: 3 write-once batch dirs, consumer caught up through id 2
+    feed = tmp_path / "feed"
+    for b in range(3):
+        (docs.filter(F.col("doc_id") % 3 == b)
+         .withColumn("op", F.lit("upsert"))
+         .write.parquet(str(feed / f"batch_{b}")))
+    commit_feed_offset(str(feed), "etl", 2)
+
+    # ledger: 3 request dirs
+    led = tmp_path / "ledger"
+    for b in range(3):
+        erase_ledger_append(
+            spark.createDataFrame([(100 + b,)], "doc_id long"),
+            str(led), b)
+    pre_ledger = {tuple(r) for r in
+                  read_batches(spark, str(led)).collect()}
+
+    audit = maintain_everywhere(
+        spark,
+        primary={"base_dir": str(base)},
+        inverted_index={"index_dir": str(idx)},
+        signature_store={"store_path": str(sig), "index_path": str(banded),
+                         "max_files": 2},
+        scd2={"store_dir": str(scd2)},
+        rollup={"rollup_dir": str(roll), "retain_from": "2024-01-02"},
+        ivm_view={"view_dir": str(view)},
+        cov_store={"store_dir": str(cov)},
+        ivf_index={"index_path": str(ivf)},
+        feed={"feed_dir": str(feed)},
+        ledger={"ledger_dir": str(led)},
+    )
+    a = {(r.store, r.action): r.units for r in audit.collect()}
+
+    # work happened where debris existed
+    assert a[("primary", "compact")] > 0
+    assert a[("inverted_index", "compact")] > 0
+    assert a[("signature_store", "compact")] == 1
+    assert a[("signature_store", "sync")] == 1  # rebuilt after compaction
+    assert a[("scd2", "compact")] >= 2
+    assert a[("rollup", "retain")] == 1  # 2024-01-01 expired
+    assert a[("ivm_view", "compact")] == 0  # clean store untouched
+    assert a[("cov_store", "compact")] == 2  # batches 0,1 folded
+    assert a[("ivf_index", "compact")] == 1
+    assert a[("feed", "retain")] == 2  # batches 0,1 pruned
+    assert a[("ledger", "retain")] == 2
+
+    # layout goals
+    assert all(len(list(d.glob("*.parquet"))) <= 1
+               for d in base.glob("kb=*"))
+    assert all(len(list(d.glob("*.parquet"))) <= 1
+               for d in idx.glob("tb=*"))
+    assert not any(sig.glob("batch_*")) and not any(sig.glob("upto_*"))
+
+    # content preserved / retention applied
+    got_docs = {(r.doc_id, r.text) for r in
+                spark.read.option("basePath", str(base)).parquet(str(base))
+                .select("doc_id", "text").collect()}
+    assert got_docs == {(r.doc_id, r.text) for r in docs.collect()}
+    post_postings = {(r.term, r.doc_id, r.tf) for r in
+                     spark.read.option("basePath", str(idx))
+                     .parquet(str(idx)).filter(F.col("tb") != 16)
+                     .select("term", "doc_id", "tf").collect()}
+    assert post_postings == pre_postings
+    got_sigs = {(r.doc_id, tuple(r.sig)) for r in
+                read_signature_store(spark, str(sig)).collect()}
+    want_sigs = {(r.doc_id, tuple(r.sig)) for r in
+                 compute_signatures(docs).collect()}
+    assert got_sigs == want_sigs
+    assert {tuple(r) for r in
+            read_history(spark, str(scd2)).collect()} == pre_hist
+    roll_cols = ["bucket_ts", "key", "n_events", "sum_value",
+                 "min_value", "max_value"]
+    got_roll = {tuple(r) for r in read_rollup(spark, str(roll))
+                .select(*roll_cols,
+                        F.col("event_date").cast("string")).collect()}
+    want_roll = {tuple(r) for r in rollup_events(
+        ev.filter(F.to_date("ts") >= F.lit("2024-01-02")))
+        .select(*[F.col(c).cast("decimal(28,6)") if c == "sum_value"
+                  else F.col(c) for c in roll_cols],
+                F.col("event_date").cast("string")).collect()}
+    assert got_roll == want_roll
+    assert {tuple(r) for r in
+            read_join_view(spark, str(view)).collect()} == pre_view
+    assert {(r.j, r.k, r.cov) for r in
+            cov_from_store(spark, str(cov)).collect()} == pre_cov
+    assert {(r.neighbor_id, r.cell) for r in
+            _ivf_slices(spark, str(ivf))
+            .select("neighbor_id", "cell").collect()} == pre_ivf
+    assert {tuple(r) for r in
+            read_batches(spark, str(led)).collect()} == pre_ledger
+
+    # protected namespaces survived: the retraction dir and the newest
+    # feed batch are byte-identical, pruned feed batches are gone
+    assert (cov / "erase_0" / "_SUCCESS").exists()
+    assert not (feed / "batch_0").exists()
+    assert not (feed / "batch_1").exists()
+    assert (feed / "batch_2").exists()
+
+    # idempotence: a second pass does nothing and moves no byte
+    before = _tree_digest(tmp_path)
+    audit2 = maintain_everywhere(
+        spark,
+        primary={"base_dir": str(base)},
+        inverted_index={"index_dir": str(idx)},
+        signature_store={"store_path": str(sig), "index_path": str(banded),
+                         "max_files": 2},
+        scd2={"store_dir": str(scd2)},
+        rollup={"rollup_dir": str(roll), "retain_from": "2024-01-02"},
+        ivm_view={"view_dir": str(view)},
+        cov_store={"store_dir": str(cov)},
+        ivf_index={"index_path": str(ivf)},
+        feed={"feed_dir": str(feed)},
+        ledger={"ledger_dir": str(led)},
+    )
+    assert all(r.units == 0 for r in audit2.collect())
+    assert _tree_digest(tmp_path) == before
+
+
+def test_maintain_everywhere_heals_crashed_merge(spark, tmp_path):
+    """A committed-but-unapplied merge manifest (crash after the
+    manifest rename, before the partition swaps) rolls FORWARD before
+    compaction — the maintained store shows the staged content."""
+    import json
+
+    from localsql_spark.sinks.erase import write_bucketed_store
+    from localsql_spark.sinks.maintenance import maintain_everywhere
+
+    docs = _docs(spark, 20)
+    base = tmp_path / "store"
+    write_bucketed_store(docs, str(base), "doc_id", n_buckets=4)
+
+    # build the crash state by hand: a staged rewrite of kb=0 with
+    # prefixed text, plus the committed manifest — exactly what a crash
+    # between commit_staged_partitions' rename and the swaps leaves
+    pre = spark.read.option("basePath", str(base)).parquet(str(base))
+    kb0 = pre.filter(F.col("kb") == 0).withColumn(
+        "text", F.concat(F.lit("NEW "), F.col("text")))
+    n0 = kb0.count()
+    assert n0 > 0
+    staging = base.parent / f".{base.name}.staging"
+    (kb0.repartition(F.col("kb")).write.mode("overwrite")
+     .partitionBy("kb").parquet(str(staging)))
+    (base.parent / f".{base.name}.commit.json").write_text(json.dumps(
+        {"staging": staging.name, "partitions": ["kb=0"], "removed": []}))
+
+    audit = maintain_everywhere(spark, primary={"base_dir": str(base)})
+    a = {(r.store, r.action): r.units for r in audit.collect()}
+    assert a[("primary", "heal")] == 1
+    got = spark.read.option("basePath", str(base)).parquet(str(base))
+    assert got.count() == 20
+    assert got.filter(F.col("text").startswith("NEW ")).count() == n0
+    assert not (base.parent / f".{base.name}.commit.json").exists()

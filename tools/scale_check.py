@@ -819,6 +819,76 @@ def main() -> None:
         dt = time.perf_counter() - t0
         return spark.read.parquet(view).count(), dt
 
+    def op_maintain_fixed_debris(f):
+        # composed-maintenance scaling claim: the nightly
+        # maintain_everywhere pass costs DEBRIS + retention work, not
+        # store size.  Stores grow with f; the debris is FIXED — two
+        # sliver-split primary partitions, two un-folded cov batch dirs
+        # of 1x-range rows, three fixed-size feed batches (two
+        # prunable), three ledger requests, and a retention cutoff
+        # dropping a fixed share of rollup dates (metadata-only).
+        # Store/fixture build is untimed; the timer covers the one
+        # composed pass.
+        import shutil
+
+        from localsql_spark.sinks.cov_store import cov_store_fold
+        from localsql_spark.sinks.erase import (bucket_of,
+                                                erase_ledger_append,
+                                                write_bucketed_store)
+        from localsql_spark.sinks.maintenance import maintain_everywhere
+        from localsql_spark.sinks.rollup import maintain_rollup
+        from localsql_spark.streaming.foreach_upsert import \
+            commit_feed_offset
+
+        docs = spark.read.parquet(paths[f]["documents"])
+        ev = spark.read.parquet(paths[f]["events"])
+        emb = spark.read.parquet(paths[f]["embeddings"])
+        n_base = docs.count() // f
+        base = root / f"maint_{f}x"
+        shutil.rmtree(base, ignore_errors=True)  # attempt-2 rebuild
+        store = base / "primary"
+        write_bucketed_store(docs.select("doc_id", "lang", "n_chars"),
+                             str(store), "doc_id", n_buckets=32 * f)
+        # fixed debris: split two partitions' single file into two
+        for d in sorted(store.glob("kb=*"))[:2]:
+            rows_df = spark.read.parquet(str(d))
+            split = base / f"split_{d.name}"
+            rows_df.repartition(2).write.parquet(str(split))
+            for pf in d.glob("*.parquet"):
+                pf.unlink()
+            for i, pf in enumerate(sorted(split.glob("*.parquet"))):
+                shutil.copy(pf, d / f"part-split-{i}.parquet")
+        maintain_rollup(spark, str(base / "roll"), ev, grain="hour")
+        emb_base = emb.filter(F.col("vec_id") < 500)
+        cov_store_fold(spark, str(base / "cov"), emb, 0)
+        from localsql_spark.streaming.batch_dirs import compact_batches
+        compact_batches(spark, str(base / "cov"), keep_last=0)
+        for b in (1, 2):  # fixed-size un-folded tail
+            cov_store_fold(spark, str(base / "cov"),
+                           emb_base.filter(F.col("vec_id") % 2 == b % 2),
+                           b)
+        for b in range(3):
+            (docs.filter(F.col("doc_id") < n_base // 8)
+             .select("doc_id").coalesce(1)
+             .write.parquet(str(base / "feed" / f"batch_{b}")))
+        commit_feed_offset(str(base / "feed"), "etl", 2)
+        for b in range(3):
+            erase_ledger_append(
+                spark.createDataFrame([(b,)], "doc_id long"),
+                str(base / "ledger"), b)
+        t0 = time.perf_counter()
+        audit = maintain_everywhere(
+            spark,
+            primary={"base_dir": str(store)},
+            rollup={"rollup_dir": str(base / "roll"),
+                    "retain_from": "2024-01-10"},
+            cov_store={"store_dir": str(base / "cov")},
+            feed={"feed_dir": str(base / "feed")},
+            ledger={"ledger_dir": str(base / "ledger")})
+        n = sum(r.units for r in audit.collect())
+        dt = time.perf_counter() - t0
+        return n, dt
+
     ops = {"exact_dedup": op_exact_dedup, "minhash_lsh_pairs": op_minhash,
            "pack_sequences": op_pack_sequences,
            "er_sorted_neighborhood": op_er_sorted_neighborhood,
@@ -868,7 +938,8 @@ def main() -> None:
            "access_fixed_request": op_access_fixed_request,
            "retention_expire": op_retention_expire,
            "table_as_of_b3": op_table_as_of,
-           "pca_covariance": op_pca_covariance}
+           "pca_covariance": op_pca_covariance,
+           "maintain_fixed_debris": op_maintain_fixed_debris}
 
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:
