@@ -123,6 +123,9 @@ EXTENSION_HEADLINE = [
     # same reason erase_feed_probe is absent); retention_expiry_probe's
     # wall is the fixture store write around a 0.00s metadata expiry
     # (SCALE.md) — benching it would price the fixture.
+    # schema_evolution_probe is correctness-gated for the same reason:
+    # the evolution itself is one registry rename; the probe's wall is
+    # its per-call store build + merge + erase, all priced elsewhere.
     "knn_jl_top5",
     # round 11 (late): distributed PCA — prices the dim^2-bounded
     # covariance fold + the in-plan power iteration + row-local projection

@@ -116,11 +116,20 @@ def erase_keys(spark: SparkSession, base_dir: str, keys: DataFrame,
 
 def read_bucketed_store(spark: SparkSession, base_dir: str) -> DataFrame:
     """Read the store back (healing any crashed erase first); filters on
-    the bucket column prune whole partitions."""
+    the bucket column prune whole partitions.  A schema-registered store
+    (sinks/schema_evolution.py) reconciles every partition to the
+    registry's current contract — buckets written before an evolution
+    read back with nulls/defaults in the added columns."""
     from localsql_spark.sinks.merge import recover_pending_merge
+    from localsql_spark.sinks.schema_evolution import (read_registry,
+                                                       reconcile_frame)
 
     recover_pending_merge(base_dir)
-    return spark.read.option("basePath", base_dir).parquet(base_dir)
+    if read_registry(base_dir) is None:
+        return spark.read.option("basePath", base_dir).parquet(base_dir)
+    df = (spark.read.option("basePath", base_dir)
+          .option("mergeSchema", "true").parquet(base_dir))
+    return reconcile_frame(df, base_dir, keep_extra=["kb"])
 
 
 # ---------------------------------------------------------------------------

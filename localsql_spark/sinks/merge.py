@@ -67,6 +67,9 @@ def read_base_partitions(spark: SparkSession, base_dir: str,
     partitions do, which callers already treat identically: fold against
     nothing).  The isin filter reaches the scan as a partition filter —
     touched-partition I/O only."""
+    from localsql_spark.sinks.schema_evolution import (read_registry,
+                                                       reconcile_frame)
+
     base = Path(base_dir)
     # "table doesn't exist" includes an EMPTIED table: a store whose every
     # partition was tombstoned/erased/retracted leaves base_dir present but
@@ -75,6 +78,17 @@ def read_base_partitions(spark: SparkSession, base_dir: str,
     # (any() short-circuits at the first part file, no full listing)
     if not base.exists() or not any(base.rglob("*.parquet")):
         return None
+    # schema-registered store (sinks/schema_evolution.py): merge footer
+    # schemas across the evolution boundary, then conform to the
+    # registry's current contract — partitions written before an
+    # evolution read back with nulls/defaults in the added columns.
+    # Registry absence = the pre-evolution fast path, bit-unchanged.
+    evolved = read_registry(base_dir) is not None
+
+    def _finish(df: DataFrame) -> DataFrame:
+        return reconcile_frame(df, base_dir,
+                               keep_extra=[partition_col]) if evolved \
+            else df
     # DRIVER-SIDE listing must track the request too: reading base_dir
     # whole makes Spark's file index list EVERY partition dir before the
     # filter prunes them — O(store files) planning that turned the
@@ -102,10 +116,13 @@ def read_base_partitions(spark: SparkSession, base_dir: str,
                    if d.is_dir() and any(d.glob("*.parquet"))]
         if not present:
             return None
-        df = spark.read.option("basePath", base_dir).parquet(*present)
-        return df.filter(F.col(partition_col).isin(values))
-    df = spark.read.option("basePath", base_dir).parquet(base_dir)
-    return df.filter(F.col(partition_col).isin(values))
+        df = (spark.read.option("basePath", base_dir)
+              .option("mergeSchema", str(evolved).lower())
+              .parquet(*present))
+        return _finish(df.filter(F.col(partition_col).isin(values)))
+    df = (spark.read.option("basePath", base_dir)
+          .option("mergeSchema", str(evolved).lower()).parquet(base_dir))
+    return _finish(df.filter(F.col(partition_col).isin(values)))
 
 
 def merge_into_partitioned(spark: SparkSession, base_dir: str,
@@ -124,6 +141,17 @@ def merge_into_partitioned(spark: SparkSession, base_dir: str,
     #    this merge reads anything — its staged partitions are the durable
     #    table state (spark.read infers the base schema eagerly in step 2)
     recover_pending_merge(base_dir)
+    # schema-registered store: conform the batch to the current contract
+    # — pads columns an old producer doesn't send yet (null/default),
+    # REJECTS columns the registry doesn't know (evolve_schema first,
+    # then ingest), and makes the union against reconciled base rows
+    # well-formed across the evolution boundary
+    from localsql_spark.sinks.schema_evolution import (read_registry,
+                                                       reconcile_frame)
+    if read_registry(base_dir) is not None:
+        updates = reconcile_frame(
+            updates, base_dir,
+            keep_extra=[partition_col] + ([op_col] if op_col else []))
     # 1. touched partitions — the ONLY driver-side materialization, bounded
     #    by the batch's partition fan-out
     parts = [r[0] for r in

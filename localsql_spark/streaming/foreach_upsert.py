@@ -79,9 +79,18 @@ def _current_generation(out_dir: str) -> Path | None:
 
 
 def read_table(spark: SparkSession, out_dir: str) -> DataFrame | None:
-    """Read the current generation of an upsert table (None if empty)."""
+    """Read the current generation of an upsert table (None if empty).
+    A schema-registered table reconciles a generation written before an
+    evolution to the current contract (added columns null/default)."""
     gen = _current_generation(out_dir)
-    return spark.read.parquet(str(gen)) if gen is not None else None
+    if gen is None:
+        return None
+    from localsql_spark.sinks.schema_evolution import (read_registry,
+                                                       reconcile_frame)
+    df = spark.read.parquet(str(gen))
+    if read_registry(out_dir) is not None:
+        df = reconcile_frame(df, out_dir)
+    return df
 
 
 def apply_batch(batch_df: DataFrame, batch_id: int, *, key: str,
@@ -101,6 +110,13 @@ def apply_batch(batch_df: DataFrame, batch_id: int, *, key: str,
     old = _current_generation(out_dir)
     if old is not None and old.name == new_gen:
         return False
+    # schema-registered table: conform the micro-batch (pads columns an
+    # old producer doesn't send, rejects unregistered ones) so the merge
+    # union is well-formed across the evolution boundary
+    from localsql_spark.sinks.schema_evolution import (read_registry,
+                                                       reconcile_frame)
+    if read_registry(out_dir) is not None:
+        batch_df = reconcile_frame(batch_df, out_dir)
     # existence is checked explicitly — any OTHER read failure must
     # propagate, not silently restart the table from this batch
     existing = read_table(spark, out_dir)
@@ -157,8 +173,15 @@ def apply_batch_with_feed(batch_df: DataFrame, batch_id: int, *, key: str,
     batch byte-stable.
     """
     from localsql_spark.sinks.merge import change_feed
+    from localsql_spark.sinks.schema_evolution import (read_registry,
+                                                       reconcile_frame)
 
     spark = batch_df.sparkSession
+    if read_registry(out_dir) is not None:
+        # conform BEFORE the feed computation so the change rows carry
+        # the evolved shape the moment the table does (feed dirs written
+        # before the evolution reconcile at read via the feed registry)
+        batch_df = reconcile_frame(batch_df, out_dir)
     old = _current_generation(out_dir)
     if old is not None and old.name == f"gen_{batch_id}":
         return False  # already applied; its feed dir already stands
@@ -223,12 +246,26 @@ def _read_feed_dirs(spark: SparkSession, dirs: list[Path]) -> DataFrame:
     plan grows one scan node per batch dir (an unconsumed feed
     accumulates thousands; planning cost then scales with feed AGE
     rather than with the data read).  Column pruning still reaches the
-    parquet scan; input_file_name is row metadata, not a read."""
-    return (spark.read.parquet(*[str(d) for d in dirs])
-            .withColumn(
-                "batch_id",
-                F.regexp_extract(F.input_file_name(), r"batch_(\d+)/", 1)
-                .cast("long")))
+    parquet scan; input_file_name is row metadata, not a read.
+
+    A schema-registered feed (sinks/schema_evolution.py registry at the
+    feed dir) reconciles batches across the evolution boundary: dirs
+    written before an evolution read back with nulls/defaults in the
+    added columns, so every reader — tail, as-of prefix, time-travel
+    replay — sees one stable frame shape."""
+    from localsql_spark.sinks.schema_evolution import (read_registry,
+                                                       reconcile_frame)
+
+    feed_dir = str(dirs[0].parent)
+    evolved = read_registry(feed_dir) is not None
+    df = (spark.read.option("mergeSchema", str(evolved).lower())
+          .parquet(*[str(d) for d in dirs]))
+    if evolved:
+        df = reconcile_frame(df, feed_dir)
+    return df.withColumn(
+        "batch_id",
+        F.regexp_extract(F.input_file_name(), r"batch_(\d+)/", 1)
+        .cast("long"))
 
 
 def feed_watermark(feed_dir: str, consumer: str) -> int:

@@ -6603,3 +6603,77 @@ def maintain_everywhere_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.orderBy("store").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query("schema_evolution_probe", oracle="""
+WITH h AS (SELECT doc_id, lang, n_chars,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) AS h32
+           FROM documents)
+SELECT doc_id, lang, n_chars,
+       CAST(CASE WHEN h32 % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version,
+       CASE WHEN h32 % 3 = 0 THEN round(n_chars / 100.0, 6)
+            ELSE 0.5 END AS quality
+FROM h WHERE h32 % 17 <> 0
+""")
+def schema_evolution_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution on a persisted store
+    (sinks/schema_evolution.py — the registry-gated contract: evolution
+    is a METADATA-ONLY commit, old bytes never rewritten, every read
+    reconciles files from every schema vintage to the current contract
+    with nulls/defaults).  The probe builds the bucketed primary store
+    under its v1 schema, EVOLVES it (add ``quality double`` with
+    default 0.5), merges a v2 batch carrying the new column for a
+    deterministic 1/3 of keys (those buckets now hold evolved bytes
+    next to v1 bytes), then erases a deterministic 1/17 ACROSS the
+    boundary (the erase rewrite reads reconciled rows from both
+    vintages — schema-version-safety of the compliance path), and
+    reads the store back.  The oracle is the full rebuild on the
+    evolved schema: merged keys at v2 with their real quality,
+    untouched keys at v1 reading the declared default, erased keys
+    absent — proving the evolution changed WHAT READS RETURN without
+    touching, losing, or corrupting any stored byte it didn't merge.
+    At 100 TB: evolving costs one registry rename (expire_partitions'
+    metadata-only discipline applied to schema), and the reconciled
+    read adds a footer-schema merge over only the files actually
+    scanned."""
+    import shutil
+    import tempfile
+
+    from localsql_spark.operators import hash32
+    from localsql_spark.sinks.erase import (bucket_of, erase_keys,
+                                            read_bucketed_store,
+                                            write_bucketed_store)
+    from localsql_spark.sinks.merge import merge_into_partitioned
+    from localsql_spark.sinks.schema_evolution import (evolve_schema,
+                                                       init_schema)
+
+    docs = load(spark, sf_dir)["documents"]
+    h = hash32(F.col("doc_id"))
+    base = tempfile.mkdtemp(prefix="schema_evo_")
+    store = f"{base}/store"
+    try:
+        write_bucketed_store(
+            docs.select("doc_id", "lang", "n_chars",
+                        F.lit(1).cast("long").alias("version")),
+            store, "doc_id", n_buckets=8)
+        init_schema(store, {"doc_id": "bigint", "lang": "string",
+                            "n_chars": "int", "version": "bigint"})
+        evolve_schema(store, {"quality": "double"},
+                      defaults={"quality": 0.5})
+        upd = (docs.filter(h % 3 == 0)
+               .select("doc_id", "lang", "n_chars",
+                       F.lit(2).cast("long").alias("version"),
+                       F.round(F.col("n_chars") / 100.0, 6)
+                       .alias("quality"))
+               .withColumn("kb", bucket_of(F.col("doc_id"), 8)))
+        merge_into_partitioned(spark, store, upd, key="doc_id",
+                               version="version", partition_col="kb")
+        erase_keys(spark, store,
+                   docs.filter(h % 17 == 0).select("doc_id"),
+                   "doc_id", n_buckets=8)
+        out = (read_bucketed_store(spark, store)
+               .select("doc_id", "lang", "n_chars", "version", "quality"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

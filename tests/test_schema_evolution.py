@@ -1,0 +1,250 @@
+"""Additive schema evolution (sinks/schema_evolution.py): registry
+mechanics, reconciled reads across the evolution boundary on the
+bucketed store / generation table / CDC feed, time travel across the
+boundary, and erase/access schema-version-safety."""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, n=24):
+    return spark.createDataFrame(
+        [(i, f"text {i}", 1) for i in range(n)],
+        "doc_id long, text string, version long")
+
+
+# ---------------------------------------------------------------------------
+# registry mechanics
+# ---------------------------------------------------------------------------
+
+def test_registry_mechanics(tmp_path):
+    from localsql_spark.sinks.schema_evolution import (current_columns,
+                                                       evolve_schema,
+                                                       init_schema,
+                                                       schema_version)
+
+    store = str(tmp_path / "s")
+    assert schema_version(store) == 0
+    with pytest.raises(ValueError, match="init_schema"):
+        evolve_schema(store, {"q": "double"})
+    assert init_schema(store, {"doc_id": "bigint", "text": "string"}) == 1
+    # idempotent re-init with the same base schema
+    assert init_schema(store, {"doc_id": "bigint", "text": "string"}) == 1
+    with pytest.raises(ValueError, match="different base schema"):
+        init_schema(store, {"doc_id": "bigint"})
+    assert evolve_schema(store, {"q": "double"},
+                         defaults={"q": 0.5}) == 2
+    with pytest.raises(ValueError, match="additive"):
+        evolve_schema(store, {"q": "string"})  # type change in disguise
+    with pytest.raises(ValueError, match="nothing to add"):
+        evolve_schema(store, {})
+    with pytest.raises(ValueError, match="defaults name columns"):
+        evolve_schema(store, {"r": "int"}, defaults={"zz": 1})
+    cols, defaults = current_columns(store)
+    assert list(cols) == ["doc_id", "text", "q"]
+    assert defaults == {"q": 0.5}
+    assert schema_version(store) == 2
+
+
+# ---------------------------------------------------------------------------
+# bucketed store: merge + erase + access across the boundary
+# ---------------------------------------------------------------------------
+
+def test_bucketed_store_evolution_merge_erase_access(spark, tmp_path):
+    from localsql_spark.sinks.erase import (erase_keys, export_subject,
+                                            read_bucketed_store,
+                                            write_bucketed_store)
+    from localsql_spark.sinks.merge import merge_into_partitioned
+    from localsql_spark.sinks.schema_evolution import (evolve_schema,
+                                                       init_schema)
+
+    docs = _docs(spark)
+    base = str(tmp_path / "store")
+    write_bucketed_store(docs, base, "doc_id", n_buckets=4)
+    init_schema(base, {"doc_id": "bigint", "text": "string",
+                       "version": "bigint"})
+    evolve_schema(base, {"quality": "double"}, defaults={"quality": 0.5})
+
+    # pin untouched partitions: the evolution itself moves no byte
+    pre = {str(p): hashlib.md5(p.read_bytes()).hexdigest()
+           for p in Path(base).rglob("*.parquet")}
+
+    # merge a v2 batch carrying the new column for doc_id % 4 == 1
+    upd = (docs.filter("doc_id % 4 = 1")
+           .select("doc_id", F.concat(F.lit("NEW "), "text").alias("text"),
+                   F.lit(2).alias("version"),
+                   (F.col("doc_id") / 10.0).alias("quality")))
+    from localsql_spark.sinks.erase import bucket_of
+    upd = upd.withColumn("kb", bucket_of(F.col("doc_id"), 4))
+    merge_into_partitioned(spark, base, upd, key="doc_id",
+                           version="version", partition_col="kb")
+
+    got = {r.doc_id: (r.text, r.version, r.quality)
+           for r in read_bucketed_store(spark, base).collect()}
+    assert len(got) == 24
+    for i in range(24):
+        if i % 4 == 1:
+            assert got[i] == (f"NEW text {i}", 2, i / 10.0)
+        else:
+            # pre-evolution rows read back with the declared default
+            assert got[i] == (f"text {i}", 1, 0.5)
+    # partitions the merge didn't touch are byte-stable (evolution +
+    # reconciled read never rewrite old bytes)
+    touched_kb = {r[0] for r in upd.select("kb").distinct().collect()}
+    for p, h in pre.items():
+        kb = int(Path(p).parent.name.split("=")[1])
+        if kb not in touched_kb:
+            assert hashlib.md5(Path(p).read_bytes()).hexdigest() == h
+
+    # unregistered column rejected: evolve first, then ingest
+    bad = upd.withColumn("rogue", F.lit(1))
+    with pytest.raises(ValueError, match="unregistered columns.*rogue"):
+        merge_into_partitioned(spark, base, bad, key="doc_id",
+                               version="version", partition_col="kb")
+
+    # erase across the boundary: keys in touched AND untouched buckets
+    keys = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    erase_keys(spark, base, keys, "doc_id", n_buckets=4)
+    post = {r.doc_id: (r.text, r.version, r.quality)
+            for r in read_bucketed_store(spark, base).collect()}
+    assert set(post) == set(range(24)) - {1, 2}
+    assert post[5] == ("NEW text 5", 2, 0.5)  # rewritten bucket, default
+    assert post[0] == ("text 0", 1, 0.5)
+
+    # access export sees the evolved shape from any bucket vintage
+    exp = export_subject(
+        spark, spark.createDataFrame([(0,), (5,)], "doc_id long"),
+        primary={"base_dir": base, "key_col": "doc_id", "n_buckets": 4})
+    rows = {r.doc_id: r.quality for r in exp["primary"].collect()}
+    assert rows == {0: 0.5, 5: 0.5}
+    assert "quality" in exp["primary"].columns
+
+
+# ---------------------------------------------------------------------------
+# generation table + CDC feed: streaming twin, time travel across boundary
+# ---------------------------------------------------------------------------
+
+def test_feed_and_table_evolution_time_travel(spark, tmp_path):
+    from localsql_spark.sinks.schema_evolution import (evolve_schema,
+                                                       init_schema)
+    from localsql_spark.streaming.foreach_upsert import (apply_batch_with_feed,
+                                                         read_feed,
+                                                         read_table,
+                                                         table_as_of)
+
+    out = str(tmp_path / "table")
+    feed = str(tmp_path / "feed")
+    Path(out).mkdir()
+    Path(feed).mkdir()
+    init_schema(out, {"doc_id": "bigint", "text": "string",
+                      "version": "bigint"})
+    init_schema(feed, {"doc_id": "bigint", "op": "string",
+                       "new_text": "string", "new_version": "bigint",
+                       "old_text": "string", "old_version": "bigint"})
+
+    b0 = spark.createDataFrame(
+        [(i, f"t{i}", 1) for i in range(6)],
+        "doc_id long, text string, version long")
+    apply_batch_with_feed(b0, 0, key="doc_id", version="version",
+                          out_dir=out, feed_dir=feed)
+    b1 = spark.createDataFrame(
+        [(i, f"u{i}", 2) for i in range(0, 6, 2)],
+        "doc_id long, text string, version long")
+    apply_batch_with_feed(b1, 1, key="doc_id", version="version",
+                          out_dir=out, feed_dir=feed)
+
+    # EVOLVE table + feed, then land a post-boundary batch with the column
+    evolve_schema(out, {"quality": "double"}, defaults={"quality": 0.9})
+    evolve_schema(feed, {"new_quality": "double",
+                         "old_quality": "double"})
+    b2 = spark.createDataFrame(
+        [(1, "w1", 3, 0.7), (7, "w7", 3, 0.2)],
+        "doc_id long, text string, version long, quality double")
+    apply_batch_with_feed(b2, 2, key="doc_id", version="version",
+                          out_dir=out, feed_dir=feed)
+
+    # current table: evolved shape, pre-boundary rows get the default
+    cur = {r.doc_id: (r.text, r.quality)
+           for r in read_table(spark, out).collect()}
+    assert cur[1] == ("w1", 0.7) and cur[7] == ("w7", 0.2)
+    assert cur[0] == ("u0", 0.9) and cur[3] == ("t3", 0.9)
+
+    # feed read spans the boundary with one stable shape
+    f = read_feed(spark, feed)
+    assert "new_quality" in f.columns
+    by_batch = {(r.batch_id, r.doc_id): r.new_quality for r in f.collect()}
+    assert by_batch[(2, 1)] == 0.7
+    assert by_batch[(0, 1)] is None  # pre-boundary feed rows: null
+
+    # TIME TRAVEL across the boundary: as-of batch 1 (pre-evolution
+    # history) reconstructs under the CURRENT contract — quality null
+    # (feed registry declares no default), doc set exactly mid-history
+    t1 = {r.doc_id: (r.text, r.version, r.quality)
+          for r in table_as_of(spark, feed, key="doc_id",
+                               batch_id=1).collect()}
+    assert set(t1) == set(range(6))
+    assert t1[0] == ("u0", 2, None) and t1[1] == ("t1", 1, None)
+    t2 = {r.doc_id: (r.text, r.version, r.quality)
+          for r in table_as_of(spark, feed, key="doc_id",
+                               batch_id=2).collect()}
+    assert t2[1] == ("w1", 3, 0.7) and t2[7] == ("w7", 3, 0.2)
+    assert t2[0] == ("u0", 2, None)
+
+    # old producer keeps working post-evolution: batch WITHOUT the new
+    # column pads (default applies at the table)
+    b3 = spark.createDataFrame([(2, "x2", 4)],
+                               "doc_id long, text string, version long")
+    apply_batch_with_feed(b3, 3, key="doc_id", version="version",
+                          out_dir=out, feed_dir=feed)
+    cur = {r.doc_id: (r.text, r.quality)
+           for r in read_table(spark, out).collect()}
+    assert cur[2] == ("x2", 0.9)
+
+    # unregistered column raises at the streaming sink too
+    b4 = spark.createDataFrame([(3, "y3", 5, "zzz")],
+                               "doc_id long, text string, version long, "
+                               "rogue string")
+    with pytest.raises(ValueError, match="unregistered columns"):
+        apply_batch_with_feed(b4, 4, key="doc_id", version="version",
+                              out_dir=out, feed_dir=feed)
+
+
+def test_feed_erase_schema_version_safe(spark, tmp_path):
+    """erase_from_feed across the boundary: each touched dir rewrites
+    from its OWN per-dir read, so an old-schema dir keeps its shape and
+    a new-schema dir keeps its added column — no cross-contamination."""
+    from localsql_spark.sinks.schema_evolution import (evolve_schema,
+                                                       init_schema)
+    from localsql_spark.streaming.foreach_upsert import (erase_from_feed,
+                                                         read_feed)
+
+    feed = str(tmp_path / "feed")
+    init_schema(feed, {"doc_id": "bigint", "op": "string",
+                       "new_text": "string"})
+    spark.createDataFrame([(i, "insert", f"t{i}") for i in range(4)],
+                          "doc_id long, op string, new_text string") \
+        .coalesce(1).write.parquet(str(Path(feed) / "batch_0"))
+    evolve_schema(feed, {"new_quality": "double"})
+    spark.createDataFrame([(i, "update", f"u{i}", 0.1 * i)
+                           for i in range(4)],
+                          "doc_id long, op string, new_text string, "
+                          "new_quality double") \
+        .coalesce(1).write.parquet(str(Path(feed) / "batch_1"))
+
+    touched = erase_from_feed(
+        spark, feed, spark.createDataFrame([(2,)], "doc_id long"),
+        "doc_id")
+    assert touched == [0, 1]
+    rows = {(r.batch_id, r.doc_id): (r.new_text, r.new_quality)
+            for r in read_feed(spark, feed).collect()}
+    assert (0, 2) not in rows and (1, 2) not in rows
+    assert rows[(1, 3)] == ("u3", pytest.approx(0.3))
+    assert rows[(0, 3)] == ("t3", None)
+    # the rewritten old-schema dir kept its historical shape on disk
+    raw0 = spark.read.parquet(str(Path(feed) / "batch_0"))
+    assert "new_quality" not in raw0.columns
