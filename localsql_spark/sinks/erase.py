@@ -402,7 +402,10 @@ def export_subject(spark: SparkSession, keys: DataFrame, *,
                    ivfpq_index: dict | None = None,
                    scd2: dict | None = None,
                    feed: dict | None = None,
-                   ledger: dict | None = None) -> dict[str, DataFrame]:
+                   ledger: dict | None = None,
+                   rollup: dict | None = None,
+                   ivm_view: dict | None = None,
+                   cov_store: dict | None = None) -> dict[str, DataFrame]:
     """Subject ACCESS request across the persistence surface — the read
     half of the compliance pair whose write half is
     :func:`erase_everywhere` (GDPR Art. 15 right of access / Art. 20
@@ -448,12 +451,28 @@ def export_subject(spark: SparkSession, keys: DataFrame, *,
     - ``ledger`` (``ledger_dir``): prior DELETION requests naming the
       subjects — processing history is itself disclosable.
 
-    The AGGREGATE stores (rollup, IVM view, covariance partials) are
-    deliberately NOT export surfaces: no subject-addressable row
-    survives in a count/sum — what an aggregate reveals about one
-    subject is the differential-privacy question, answered by the
+    The AGGREGATE stores (rollup, IVM view, covariance partials) remain
+    NOT row-export surfaces: no subject-addressable row survives in a
+    count/sum — what an aggregate reveals about one subject is the
+    differential-privacy question, answered by the
     :func:`dp_noisy_counts` / :func:`dp_noisy_sums` release path, not
-    by row export.
+    by row export.  The response can still cheaply NAME them: the
+    optional ``rollup`` / ``ivm_view`` / ``cov_store`` configs add an
+    AGGREGATE FOOTPRINT — per subject, WHICH groups of each aggregate
+    store hold their contributions and how many rows they contributed
+    — computed from the subjects' own rows in the store's source
+    (exactly the touched-group lists the erase retractions derive, per
+    subject instead of pooled), never from the aggregate bytes:
+
+    - ``rollup={'events', 'subject_col', ['grain', 'ts_col',
+      'key_col']}`` -> ``rollup_footprint`` frame
+      ``(subject_col, bucket_ts, key, n_contributed)``.
+    - ``ivm_view={'fact', 'subject_col', 'dim', 'fact_key', 'dim_key',
+      'group_col'}`` -> ``ivm_footprint``
+      ``(subject_col, grp, n_contributed)``.
+    - ``cov_store={'vectors', 'subject_col'}`` -> ``cov_footprint``
+      ``(subject_col, n_vectors)`` (every folded vector contributes to
+      every covariance cell, so the group list degenerates to a count).
 
     Returns ``{store_name: DataFrame}`` of the subjects' rows per
     configured store (empty frames for stores holding nothing).  Feed
@@ -607,6 +626,43 @@ def export_subject(spark: SparkSession, keys: DataFrame, *,
             out["ledger"] = _match(
                 led.withColumnRenamed("_erase_key", "erased_key"),
                 "erased_key")
+
+    # aggregate FOOTPRINTS (docstring): which groups hold the subjects'
+    # contributions, from the subjects' own source rows — one broadcast
+    # semi-join + one batch-sized groupBy each, never an aggregate-store
+    # read (the stores hold no subject-addressable row to read)
+    if rollup is not None:
+        from localsql_spark.sinks.rollup import _GRAINS
+        scol = rollup["subject_col"]
+        subj_ev = _match(rollup["events"], scol)
+        grain = rollup.get("grain", "hour")
+        ts_col = rollup.get("ts_col", "ts")
+        key_col = rollup.get("key_col", "event_type")
+        # the rollup's OWN bucket expression (rollup_events), so the
+        # disclosed group ids can never drift from the store's
+        bucket = F.date_format(F.date_trunc(grain, F.col(ts_col)),
+                               _GRAINS[grain])
+        out["rollup_footprint"] = (
+            subj_ev.groupBy(F.col(scol), bucket.alias("bucket_ts"),
+                            F.col(key_col).alias("key"))
+            .agg(F.count(F.lit(1)).alias("n_contributed")))
+    if ivm_view is not None:
+        scol = ivm_view["subject_col"]
+        subj_fact = _match(ivm_view["fact"], scol)
+        dim = ivm_view["dim"].select(
+            F.col(ivm_view["dim_key"]).alias("__dk"),
+            F.col(ivm_view["group_col"]).alias("grp"))
+        out["ivm_footprint"] = (
+            subj_fact.join(F.broadcast(dim),
+                           F.col(ivm_view["fact_key"]) == F.col("__dk"))
+            .groupBy(F.col(scol), "grp")
+            .agg(F.count(F.lit(1)).alias("n_contributed")))
+    if cov_store is not None:
+        scol = cov_store["subject_col"]
+        out["cov_footprint"] = (
+            _match(cov_store["vectors"], scol)
+            .groupBy(F.col(scol))
+            .agg(F.count(F.lit(1)).alias("n_vectors")))
 
     return out
 

@@ -6674,3 +6674,43 @@ def schema_evolution_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query("access_aggregate_footprint", oracle="""
+WITH k AS (SELECT DISTINCT user_id FROM events
+           WHERE CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) % 29 = 0)
+SELECT e.user_id,
+       strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:00:00') AS bucket_ts,
+       e.event_type AS key,
+       count(*) AS n_contributed
+FROM events e JOIN k USING (user_id)
+GROUP BY 1, 2, 3
+""")
+def access_aggregate_footprint(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The access manifest's AGGREGATE FOOTPRINT
+    (sinks.erase.export_subject, rollup config — round-11 verdict task
+    #7): the Art. 15 response keeps its principled row-exclusion for
+    aggregate stores (no subject-addressable row survives in a
+    count/sum; what the aggregate REVEALS is the DP release path's
+    question), but now NAMES the subject's contributions — per
+    subject, which (bucket_ts, key) groups of the maintained rollup
+    hold their events and how many.  Computed from the subjects' own
+    source rows (one broadcast semi-join + one batch-sized groupBy
+    using the rollup's OWN bucket expression, so the disclosed group
+    ids can never drift from the store's), never by reading aggregate
+    bytes.  The oracle recomputes the touched-group list from the base
+    table — the same from-scratch discipline as the erase probes, on
+    the read side."""
+    from localsql_spark.operators import hash32
+    from localsql_spark.sinks.erase import export_subject
+
+    ev = load(spark, sf_dir)["events"]
+    keys = (ev.filter(hash32(F.col("user_id")) % 29 == 0)
+            .select("user_id").distinct())
+    exp = export_subject(spark, keys,
+                         rollup={"events": ev, "subject_col": "user_id"})
+    return (exp["rollup_footprint"]
+            .select("user_id", "bucket_ts", "key", "n_contributed")
+            .localCheckpoint(eager=True))

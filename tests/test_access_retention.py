@@ -73,6 +73,59 @@ def test_export_primary_absent_store_contract(spark, tmp_path):
     assert got["primary"].count() == 0
 
 
+def test_export_aggregate_footprints(spark):
+    """The aggregate-footprint section: per-subject touched-group lists
+    for rollup / IVM view / cov store, derived from the subjects' own
+    source rows and matching a direct recompute."""
+    from localsql_spark.sinks.erase import export_subject
+
+    ev = spark.createDataFrame(
+        [(i, i % 5, f"t{i % 2}", float(i),
+          f"2024-01-01 0{i % 3}:15:00") for i in range(40)],
+        "eid long, user_id long, event_type string, value double, "
+        "ts_s string").select(
+        "eid", "user_id", "event_type", "value",
+        F.col("ts_s").cast("timestamp").alias("ts"))
+    fact = spark.createDataFrame(
+        [(i, i % 5, i % 3) for i in range(30)],
+        "fid long, user_id long, dk long")
+    dim = spark.createDataFrame([(d, f"g{d}") for d in range(3)],
+                                "dk long, grp string")
+    vecs = spark.createDataFrame(
+        [(i, i % 5, [float(i), 1.0]) for i in range(20)],
+        "vid long, user_id long, embedding array<double>")
+    keys = spark.createDataFrame([(1,), (3,)], "user_id long")
+
+    exp = export_subject(
+        spark, keys,
+        rollup={"events": ev, "subject_col": "user_id"},
+        ivm_view={"fact": fact, "subject_col": "user_id", "dim": dim,
+                  "fact_key": "dk", "dim_key": "dk", "group_col": "grp"},
+        cov_store={"vectors": vecs, "subject_col": "user_id"})
+
+    roll = {(r.user_id, r.bucket_ts, r.key): r.n_contributed
+            for r in exp["rollup_footprint"].collect()}
+    want = {(r.user_id, r.b, r.event_type): r.n for r in
+            ev.filter(F.col("user_id").isin([1, 3]))
+            .groupBy("user_id",
+                     F.date_format(F.date_trunc("hour", "ts"),
+                                   "yyyy-MM-dd HH:00:00").alias("b"),
+                     "event_type")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert roll == want and roll
+
+    ivm = {(r.user_id, r.grp): r.n_contributed
+           for r in exp["ivm_footprint"].collect()}
+    want_ivm = {(r.user_id, r.grp): r.n for r in
+                fact.filter(F.col("user_id").isin([1, 3])).join(dim, "dk")
+                .groupBy("user_id", "grp")
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert ivm == want_ivm and ivm
+
+    cov = {r.user_id: r.n_vectors for r in exp["cov_footprint"].collect()}
+    assert cov == {1: 4, 3: 4}
+
+
 def test_export_derived_stores_match_direct(spark, tmp_path):
     """Inverted-index postings (term-bucket-pruned via the subjects'
     text), signature rows, and SCD2 history all export exactly the

@@ -819,6 +819,51 @@ def main() -> None:
         dt = time.perf_counter() - t0
         return spark.read.parquet(view).count(), dt
 
+    def op_drift_psi(f):
+        # PSI drift monitor: sketch-bounded by design (reference edges
+        # from a bottom-k quantile sketch, one n_buckets-row groupBy
+        # per side, never a reference-vs-current join) — the wall
+        # should track the two scans, i.e. stay in the linear band
+        from localsql_spark.operators.sketches import psi_drift
+        ev = spark.read.parquet(paths[f]["events"])
+        out = psi_drift(ev.filter(F.col("event_type") == "click"),
+                        ev.filter(F.col("event_type") == "purchase"),
+                        "value", "event_id")
+        return out.count()
+
+    def op_ccnet_perlang(f):
+        # per-language CCNet partition: the lang key rides the same
+        # word-key shuffle the global variant uses — the per-language
+        # models/edges must not add a lang x corpus term
+        from localsql_spark.operators.selection import \
+            perplexity_buckets_by_lang
+        docs = spark.read.parquet(paths[f]["documents"])
+        return perplexity_buckets_by_lang(docs).count()
+
+    def op_rollup_ttl(f):
+        # continuous-aggregate TTL: the rollup store grows with f; the
+        # timed call folds a FIXED-size late batch WITH retain_from —
+        # fold cost tracks the batch's date fan-out, and the expiry is
+        # the metadata-only commit retention_expire certifies at 0.00s
+        from localsql_spark.sinks.rollup import maintain_rollup
+        ev = spark.read.parquet(paths[f]["events"])
+        roll = str(root / f"rollup_ttl_{f}x")
+        maintain_rollup(spark, roll, ev, grain="hour")
+        late = (ev.filter(F.to_date("ts") >= "2024-01-28").limit(2000)
+                .localCheckpoint(eager=True))
+        t0 = time.perf_counter()
+        dates = maintain_rollup(spark, roll, late, grain="hour",
+                                retain_from="2024-01-10")
+        dt = time.perf_counter() - t0
+        return len(dates), dt
+
+    def op_pca_project(f):
+        # top-k PCA projection: covariance fold is dim^2-bounded at any
+        # corpus size, eigen-chain is model-sized, projection row-local
+        from localsql_spark.operators.similarity import pca_project
+        emb = spark.read.parquet(paths[f]["embeddings"])
+        return pca_project(emb, n_components=2, rounds=6).count()
+
     def op_maintain_fixed_debris(f):
         # composed-maintenance scaling claim: the nightly
         # maintain_everywhere pass costs DEBRIS + retention work, not
@@ -939,7 +984,11 @@ def main() -> None:
            "retention_expire": op_retention_expire,
            "table_as_of_b3": op_table_as_of,
            "pca_covariance": op_pca_covariance,
-           "maintain_fixed_debris": op_maintain_fixed_debris}
+           "maintain_fixed_debris": op_maintain_fixed_debris,
+           "drift_psi": op_drift_psi,
+           "ccnet_perlang": op_ccnet_perlang,
+           "rollup_ttl_fold": op_rollup_ttl,
+           "pca_project_top2": op_pca_project}
 
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:
