@@ -134,6 +134,9 @@ EXTENSION_HEADLINE = [
     # debris-laden 7-store fixture; the timed wall is heal + census-gated
     # compaction + retention + sidecar sync + the audit itself)
     "maintain_everywhere_probe",
+    # round 12: OPQ-lite rotated IVFADC — prices the residual-covariance
+    # fold + dim driver-side eigen-chains + rotated encode + rerank
+    "knn_ivfpq_rot_planted_top5",
     # round 10: erase_rebuild_models is correctness-gated, not benched —
     # it deliberately trains the IVFPQ/NB/HLL stores TWICE (full corpus,
     # then post-erase retrain) to prove rebuilt == never-saw-the-subjects,

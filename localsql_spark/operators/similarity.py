@@ -1364,13 +1364,69 @@ def coarse_assign_two_level(df: DataFrame, cents: DataFrame, key_col: str,
 TWO_LEVEL_AUTO_CELLS = 64
 
 
+def opq_rotation(res: DataFrame, vec_col: str = "embedding",
+                 rounds: int = 6) -> list[list[float]]:
+    """OPQ-lite rotation (Ge et al., "Optimized Product Quantization",
+    CVPR 2013 — public; the 'parametric' simplification): the FULL PCA
+    eigenbasis of the residual covariance, used to rotate residuals
+    before PQ so the m subspaces decorrelate — full OPQ alternates
+    rotation and codebook optimization; the PCA-basis shortcut captures
+    the decorrelation term, which is the dominant win when subspace
+    variances are unbalanced (and measurably nothing on an isotropic
+    corpus — ANN.md's posture table says which regime a corpus is in
+    via the explained-variance dashboard).
+
+    Mechanics: ONE distributed dim^2-bounded covariance fold over the
+    residuals, then dim driver-side power-iteration + Hotelling
+    deflation chains over the collected matrix (the
+    :func:`power_iteration_local` discipline — bit-identical to the
+    in-plan operators, no micro-job storm).  Deterministic: uniform
+    start, fixed rounds, rounding at the shared 12-decimal points, so
+    the rotation is a pure function of the residual set.  A component
+    that deflates to the zero vector (rank-deficient residuals —
+    fewer distinct residual directions than dims) falls back to the
+    standard basis axis of its index, keeping R full so the rotated
+    vector loses no coordinate; the fallback rows are not orthogonal
+    to the found components in general, which is harmless here because
+    corpus and queries rotate through the SAME matrix.  Returns
+    ``R[r][j]`` (row r = component r)."""
+    cov, _ = covariance_and_means(res, vec_col)
+    rows = [(r["j"], r["k"], r["cov"]) for r in cov.collect()]
+    dim = max(j for j, _k, _c in rows) + 1 if rows else 0
+    basis: list[list[float]] = []
+    for ci in range(dim):
+        v = power_iteration_local(rows, dim, rounds)
+        if all(x == 0.0 for x in v):
+            v = [1.0 if j == ci else 0.0 for j in range(dim)]
+        lam = rayleigh_local(rows, dim, v)
+        basis.append(list(v))
+        if ci + 1 < dim:
+            rows = [(j, k, _round12(c - lam * v[j] * v[k]))
+                    for j, k, c in rows]
+    return basis
+
+
+def _rotate_expr(vec, rotation: list[list[float]]):
+    """Row-local rotated vector: component r = decimal-fold dot of the
+    input with R[r], rounded to 9 (portable double) — dim x dim literal
+    multiplies per row, riding the scan like the JL projection; no
+    shuffle, no Python."""
+    comps = [
+        F.round(_dec_sum(F.zip_with(
+            vec, F.array(*[F.lit(w) for w in row]),
+            lambda x, ww: F.round(x.cast("double") * ww, 12))), 9)
+        for row in rotation]
+    return F.array(*comps)
+
+
 def knn_ivfpq_adc(corpus: DataFrame, queries: DataFrame, k: int = 5,
                   n_cells: int = 8, n_probe: int = 4, m: int = 4,
                   k_codes: int = 16, n_iter: int = 1,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   exclude_self: bool = False,
                   two_level_assign: bool | None = None,
-                  assign_probe: int = 2) -> DataFrame:
+                  assign_probe: int = 2,
+                  rotate: bool = False) -> DataFrame:
     """IVFADC approximate kNN (Jégou et al., "Product Quantization for
     Nearest Neighbor Search", TPAMI 2011, §V — public algorithm): coarse-
     quantize vectors into ``n_cells`` inverted lists, product-quantize
@@ -1421,6 +1477,17 @@ def knn_ivfpq_adc(corpus: DataFrame, queries: DataFrame, k: int = 5,
                            id_col, vec_col)
     c = c.localCheckpoint(eager=False)  # assignment feeds train AND encode
     res = c.select(id_col, F.col("resid").alias(vec_col))
+    # OPQ-lite (rotate=True): rotate residuals into the eigenbasis of
+    # their covariance before PQ so subspaces decorrelate (opq_rotation
+    # docstring; query residuals rotate through the SAME matrix in the
+    # LUT below, so ADC distances are computed consistently in the
+    # rotated space — an orthogonal transform preserves L2)
+    rotation = None
+    if rotate:
+        rotation = opq_rotation(res, vec_col)
+        res = res.select(id_col,
+                         _rotate_expr(F.col(vec_col), rotation)
+                         .alias(vec_col))
     # train the codebooks on residuals ABOVE the coarse seeds: ids
     # < n_cells ARE the coarse centroids, so their residuals are
     # identically zero — seeding pq_train there collapses every codebook
@@ -1434,29 +1501,34 @@ def knn_ivfpq_adc(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      "cell", "s", "code"))
 
     # ---- query side + ADC scan (shared with the persisted-index probe)
-    lut = _ivfpq_lut(queries, cents, codebooks, m, n_probe, id_col, vec_col)
+    lut = _ivfpq_lut(queries, cents, codebooks, m, n_probe, id_col, vec_col,
+                     rotation=rotation)
     return _ivfpq_adc_scan(codes, lut, k, exclude_self)
 
 
 def _ivfpq_lut(queries: DataFrame, cents: DataFrame, codebooks: DataFrame,
                m: int, n_probe: int, id_col: str,
-               vec_col: str) -> DataFrame:
+               vec_col: str,
+               rotation: list[list[float]] | None = None) -> DataFrame:
     """Query-side IVFADC preparation: route each query to its ``n_probe``
     nearest coarse cells, compute the per-cell residual, and build the
     per-(query, cell) asymmetric-distance lookup table — |queries| x
-    n_probe x m x k_codes rows, broadcastable at any corpus size."""
+    n_probe x m x k_codes rows, broadcastable at any corpus size.
+    ``rotation`` (OPQ-lite) rotates the per-cell residual through the
+    same matrix the corpus residuals were encoded under."""
     from pyspark.sql.window import Window
 
     q = queries.select(F.col(id_col).alias("query_id"), vec_col)
     qscored = (q.crossJoin(F.broadcast(cents))
                .withColumn("_d", l2_sq(F.col(vec_col), F.col("cent"))))
     wq = Window.partitionBy("query_id").orderBy("_d", "cell")
+    resid = F.zip_with(F.col(vec_col), F.col("cent"),
+                       lambda x, y: x.cast("double") - y)
+    if rotation is not None:
+        resid = _rotate_expr(resid, rotation)
     qprobe = (qscored.withColumn("_rn", F.row_number().over(wq))
               .filter(F.col("_rn") <= n_probe)
-              .select("query_id", "cell",
-                      F.zip_with(F.col(vec_col), F.col("cent"),
-                                 lambda x, y: x.cast("double") - y)
-                      .alias("resid")))
+              .select("query_id", "cell", resid.alias("resid")))
     dsub = (F.size("_v") / F.lit(m)).cast("int")
     qsub = (qprobe
             .select("query_id", "cell", F.col("resid").alias("_v"),
@@ -1493,7 +1565,8 @@ def write_ivfpq_index(corpus: DataFrame, path: str, n_cells: int = 8,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding",
                       two_level_assign: bool | None = None,
-                      assign_probe: int = 2) -> None:
+                      assign_probe: int = 2,
+                      rotate: bool = False) -> None:
     """Persist the IVFADC index :func:`knn_ivfpq_adc` builds per call:
     the m-rows-per-vector codes table (neighbor_id, s, code)
     hive-partitioned BY CELL under ``codes/``, the n_cells-row coarse
@@ -1539,6 +1612,19 @@ def write_ivfpq_index(corpus: DataFrame, path: str, n_cells: int = 8,
                            id_col, vec_col)
     c = c.localCheckpoint(eager=False)  # assignment feeds train AND encode
     res = c.select(id_col, F.col("resid").alias(vec_col))
+    if rotate:  # OPQ-lite: persist R so the probe rotates identically
+        rotation = opq_rotation(res, vec_col)
+        res = res.select(id_col,
+                         _rotate_expr(F.col(vec_col), rotation)
+                         .alias(vec_col))
+        spark = corpus.sparkSession
+        (spark.createDataFrame(
+            [(r, j, w) for r, row in enumerate(rotation)
+             for j, w in enumerate(row)], "r int, j int, w double")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(f"{path}/_rotation"))
+    else:
+        _shutil.rmtree(f"{path}/_rotation", ignore_errors=True)
     codebooks = pq_train(res.filter(F.col(id_col) >= n_cells), m, k_codes,
                          n_iter, id_col, vec_col)
     codebooks.write.mode("overwrite").parquet(f"{path}/_codebooks")
@@ -1574,8 +1660,21 @@ def knn_ivfpq_from_index(spark: SparkSession, index_path: str,
     codebooks = spark.createDataFrame(codebooks_read.collect(),
                                       schema=codebooks_read.schema)
     m = codebooks_read.agg(F.max("s")).first()[0] + 1
+    # OPQ-lite index: the persisted rotation is model state (dim^2
+    # doubles) — query residuals must rotate through the SAME matrix
+    # the codes were encoded under
+    from pathlib import Path as _P
+    rotation = None
+    rot_dir = _P(f"{index_path}/_rotation")
+    if rot_dir.exists() and any(rot_dir.glob("*.parquet")):
+        rrows = spark.read.parquet(str(rot_dir)).collect()
+        dim_r = max(r["r"] for r in rrows) + 1
+        dim_j = max(r["j"] for r in rrows) + 1
+        rotation = [[0.0] * dim_j for _ in range(dim_r)]
+        for r in rrows:
+            rotation[r["r"]][r["j"]] = r["w"]
     lut = _ivfpq_lut(queries, cents, codebooks, m, n_probe, id_col,
-                     vec_col)
+                     vec_col, rotation=rotation)
     # touched-cell list: bounded by n_cells whatever the batch size
     probed = sorted({r[0] for r in
                      lut.select("cell").distinct().collect()})
@@ -1590,7 +1689,8 @@ def knn_ivfpq_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      n_probe: int = 4, m: int = 4, k_codes: int = 16,
                      n_iter: int = 1, id_col: str = "vec_id",
                      vec_col: str = "embedding",
-                     exclude_self: bool = False) -> DataFrame:
+                     exclude_self: bool = False,
+                     rotate: bool = False) -> DataFrame:
     """IVFADC shortlist -> exact cosine re-rank: the full production ANN
     stack (IVF bounds what is scanned, PQ bounds bytes per scanned row,
     the re-rank restores exact top-k quality on the shortlist).  Same
@@ -1605,7 +1705,7 @@ def knn_ivfpq_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
     cand = (knn_ivfpq_adc(corpus, queries, k=shortlist, n_cells=n_cells,
                           n_probe=n_probe, m=m, k_codes=k_codes,
                           n_iter=n_iter, id_col=id_col, vec_col=vec_col,
-                          exclude_self=exclude_self)
+                          exclude_self=exclude_self, rotate=rotate)
             .select("query_id", "neighbor_id"))
     nv = (corpus.select(F.col(id_col).alias("neighbor_id"),
                         F.col(vec_col).alias("cv"))

@@ -6714,3 +6714,123 @@ def access_aggregate_footprint(spark: SparkSession,
     return (exp["rollup_footprint"]
             .select("user_id", "bucket_ts", "key", "n_contributed")
             .localCheckpoint(eager=True))
+
+
+# ---------------------------------------------------------------------------
+# OPQ-lite: PCA-rotated residual PQ (round 12)
+# ---------------------------------------------------------------------------
+
+def _opq_rotation_oracle(dim: int = 8, rounds: int = 6) -> str:
+    """Generated oracle for opq_rotation_basis: covariance of the
+    dim-sliced embeddings, then ``dim`` power-iteration chains with
+    Rayleigh + Hotelling deflation between them — the full eigenbasis,
+    every chain the `_power_chain` idiom (MATERIALIZED per round, the
+    non-MATERIALIZED-CTE cascade trap documented at _pca_oracle).
+    Generated, never hand-maintained — the PageRank/BPE discipline."""
+    prefix = f"""
+WITH se AS (SELECT vec_id, CAST(embedding[1:{dim}] AS DOUBLE[]) AS v
+            FROM embeddings),
+ve AS MATERIALIZED (
+    SELECT vec_id, generate_subscripts(v, 1) - 1 AS j,
+           CAST(unnest(v) AS DOUBLE) AS x
+    FROM se),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM se),
+pairs AS (SELECT a.j, a.x, b.j AS k, b.x AS y
+          FROM ve a JOIN ve b USING (vec_id)),
+sxy AS (SELECT j, k,
+               CAST(SUM(CAST(round(x * y, 12) AS DECIMAL(28,12)))
+                    AS DOUBLE) AS sxy
+        FROM pairs GROUP BY j, k),
+means AS MATERIALIZED (
+    SELECT j, round(CAST(SUM(CAST(round(x, 12) AS DECIMAL(28,12)))
+                         AS DOUBLE) / (SELECT n FROM nn), 12) AS m
+    FROM ve GROUP BY j),
+cov0 AS MATERIALIZED (
+    SELECT s.j, s.k,
+           round(round(s.sxy / (SELECT n FROM nn), 12)
+                 - mj.m * mk.m, 12) AS cov
+    FROM sxy s JOIN means mj ON mj.j = s.j
+               JOIN means mk ON mk.j = s.k)"""
+    parts = [prefix]
+    selects = []
+    src = "cov0"
+    for c in range(dim):
+        chain, v = _power_chain(src, f"e{c}x", rounds)
+        parts.append(chain)
+        selects.append(f"SELECT {c} AS r, j, vj AS w FROM {v}")
+        if c + 1 < dim:
+            parts.append(f""",
+e{c}lw AS MATERIALIZED (SELECT c.j,
+                CAST(SUM(CAST(round(c.cov * p.vj, 12) AS DECIMAL(28,12)))
+                     AS DOUBLE) AS w
+         FROM {src} c JOIN {v} p ON c.k = p.j GROUP BY c.j),
+e{c}lam AS MATERIALIZED (SELECT round(CAST(SUM(CAST(round(l.w * p.vj, 12)
+                                    AS DECIMAL(28,12))) AS DOUBLE), 12)
+                AS lam
+         FROM e{c}lw l JOIN {v} p ON l.j = p.j),
+cov{c + 1} AS MATERIALIZED (
+    SELECT c.j, c.k,
+           round(c.cov - (SELECT lam FROM e{c}lam) * pj.vj * pk.vj, 12)
+             AS cov
+    FROM {src} c JOIN {v} pj ON pj.j = c.j
+                 JOIN {v} pk ON pk.j = c.k)""")
+            src = f"cov{c + 1}"
+    tail = ("\nSELECT r, j, w FROM (\n"
+            + "\nUNION ALL\n".join(selects) + "\n) basis")
+    return "".join(parts) + tail
+
+
+@query("opq_rotation_basis", oracle=_opq_rotation_oracle())
+def opq_rotation_basis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPQ-lite rotation matrix itself, hash-verified cross-engine
+    (operators.similarity.opq_rotation — Ge et al. CVPR 2013's
+    parametric simplification: the full PCA eigenbasis of the residual
+    covariance, computed as one distributed dim^2-bounded fold + dim
+    DRIVER-SIDE power/deflation chains bit-identical to the in-plan
+    operators).  Probed on the 8-dim slice of the embeddings so the
+    oracle's generated chain count stays DuckDB-friendly (8 chains x 6
+    rounds; the 64-dim production path runs the same code — the
+    dimension is a loop bound, not a branch).  Any drift in the
+    eigen-chain arithmetic, the Rayleigh estimate, the deflation
+    rounding, or the chain ordering shows up as a hash mismatch on the
+    full (r, j, w) matrix."""
+    emb = load(spark, sf_dir)["embeddings"]
+    sl = emb.select(
+        "vec_id",
+        F.transform(F.slice("embedding", 1, 8),
+                    lambda x: x.cast("double")).alias("embedding"))
+    R = S.opq_rotation(sl, "embedding")
+    return spark.createDataFrame(
+        [(r, j, float(w)) for r, row in enumerate(R)
+         for j, w in enumerate(row)], "r int, j int, w double")
+
+
+@query("knn_ivfpq_rot_planted_top5", oracle=_PLANTED_IVF_ORACLE)
+def knn_ivfpq_rot_planted_top5(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """ROTATED IVFADC (rotate=True — OPQ-lite) under the planted-cluster
+    exact oracle, the knn_ivf_trained_planted_top5 discipline: on the
+    planted transform (10*e_{id%16} + 0.05*x) the 16 coarse seeds land
+    one per cluster, in-cluster ADC distances sit orders below
+    cross-cluster ones WHATEVER near-orthogonal rotation is applied
+    (an orthogonal transform preserves L2; the fixed-round eigenbasis
+    is orthogonal to ~1e-3, perturbing distances orders below the
+    planted separation), so an ADC shortlist of 150 >= the largest
+    planted cluster provably contains the true top-5 and the exact
+    cosine re-rank returns the global brute-force answer — closed-form
+    for DuckDB.  A wrong rotation (non-orthogonal R, corpus/query
+    rotation drift, residual handling) breaks the containment and the
+    hash.  The rotation's VALUES are hash-verified separately by
+    opq_rotation_basis; this gates the end-to-end rotated pipeline."""
+    emb = load(spark, sf_dir)["embeddings"]
+    c = (F.col("vec_id") % 16).cast("int")
+    planted = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == c, F.lit(10.0)).otherwise(F.lit(0.0))
+            + x.cast("double") * F.lit(0.05)).alias("embedding"))
+    return S.knn_ivfpq_rerank(
+        planted, planted.filter(F.col("vec_id") < 10), k=5,
+        shortlist=150, n_cells=16, n_probe=4, m=4, k_codes=16,
+        exclude_self=True, rotate=True)

@@ -2395,6 +2395,64 @@ def test_empty_corpus_guards_jl_pca(spark):
     assert out.count() == 0 and "jl_vec" in out.columns
 
 
+def test_opq_rotation_orthogonal_and_index_twin(spark, tmp_path):
+    """OPQ-lite: the eigenbasis rotation is orthogonal to rounding
+    (R R^T ~ I), rotating preserves pairwise L2 to the same tolerance,
+    and the persisted rotated index serves the SAME answer as the
+    in-memory rotated pipeline (the stored _rotation table round-trips
+    through the probe)."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators import similarity as S
+
+    # spread per-dim variances so eigengaps are wide: fixed-round power
+    # iteration converges geometrically in the gap ratio, so a clustered
+    # spectrum leaves components orthogonal only to ~1e-2 at 6 rounds —
+    # harmless for OPQ (corpus and queries rotate through the SAME R;
+    # consistency, not exact orthogonality, is the requirement) but the
+    # orthogonality ASSERTION needs a converged basis to be meaningful
+    emb = spark.createDataFrame(
+        [(i, [(float((i * 37 + j * 101 + i * j * 13) % 97) / 97.0 - 0.5)
+              * (1.0 + 0.9 * j) for j in range(8)]) for i in range(64)],
+        "vec_id long, embedding array<double>")
+    R = S.opq_rotation(emb, "embedding", rounds=40)
+    dim = len(R)
+    assert dim == 8 and all(len(row) == dim for row in R)
+    for a in range(dim):
+        for b in range(dim):
+            dot = sum(R[a][j] * R[b][j] for j in range(dim))
+            want = 1.0 if a == b else 0.0
+            assert abs(dot - want) < 2e-3, (a, b, dot)
+    # near-orthogonal, not exact: fixed-round power iteration converges
+    # in the eigengap ratio; OPQ only needs corpus/query consistency
+    # rotated pairwise L2 == original (orthogonal transform)
+    rot = emb.select("vec_id",
+                     S._rotate_expr(F.col("embedding"), R).alias("r"))
+    import math
+    orig = {r.vec_id: r.embedding for r in emb.collect()}
+    rv = {r.vec_id: r.r for r in rot.collect()}
+    for a, b in [(0, 1), (5, 17), (30, 63)]:
+        d0 = math.sqrt(sum((x - y) ** 2
+                           for x, y in zip(orig[a], orig[b])))
+        d1 = math.sqrt(sum((x - y) ** 2 for x, y in zip(rv[a], rv[b])))
+        assert abs(d0 - d1) < 1e-3 * max(d0, 1.0)
+
+    # persisted rotated index == in-memory rotated pipeline
+    q = emb.filter("vec_id < 5")
+    mem = {(r.query_id, r.neighbor_id, r.adc_dist) for r in
+           S.knn_ivfpq_adc(emb, q, k=3, n_cells=4, n_probe=2, m=2,
+                           k_codes=8, exclude_self=True,
+                           rotate=True).collect()}
+    idx = str(tmp_path / "ivfpq_rot")
+    S.write_ivfpq_index(emb, idx, n_cells=4, m=2, k_codes=8, rotate=True)
+    import pathlib
+    assert any(pathlib.Path(idx, "_rotation").glob("*.parquet"))
+    served = {(r.query_id, r.neighbor_id, r.adc_dist) for r in
+              S.knn_ivfpq_from_index(spark, idx, q, k=3, n_probe=2,
+                                     exclude_self=True).collect()}
+    assert served == mem and served
+
+
 def test_jl_projection_matches_numpy_and_preserves_distance(spark):
     """The JL projection equals an independent numpy replay of the same
     hash-derived ±1 matrix, and pairwise distances in the projected
