@@ -137,6 +137,9 @@ EXTENSION_HEADLINE = [
     # round 12: OPQ-lite rotated IVFADC — prices the residual-covariance
     # fold + dim driver-side eigen-chains + rotated encode + rerank
     "knn_ivfpq_rot_planted_top5",
+    # round 12: audio near-dup — windowed DCT fingerprint + the shared
+    # banded-hamming pair machinery with the planted group + cap
+    "multimodal_audio_pairs",
     # round 10: erase_rebuild_models is correctness-gated, not benched —
     # it deliberately trains the IVFPQ/NB/HLL stores TWICE (full corpus,
     # then post-erase retrain) to prove rebuilt == never-saw-the-subjects,

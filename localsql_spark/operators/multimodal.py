@@ -336,31 +336,49 @@ def phash_pairs(docs: DataFrame, *, max_hamming: int = 3, bands: int = 4,
 
     Output: ``(doc_a, doc_b, hamming)`` with doc_a < doc_b.
     """
+    h = phash_features(docs, n_coef=n_coef, n_px=n_px,
+                       doc_id_col=doc_id_col, text_col=text_col)
+    return hamming_banded_pairs(h, hash_col="phash", n_bits=n_coef,
+                                bands=bands, max_hamming=max_hamming,
+                                group_cap=group_cap,
+                                doc_id_col=doc_id_col)
+
+
+def hamming_banded_pairs(h: DataFrame, *, hash_col: str, n_bits: int,
+                         bands: int, max_hamming: int,
+                         group_cap: int | None = None,
+                         doc_id_col: str = "doc_id") -> DataFrame:
+    """The distinct-hash banded-hamming pair machinery shared by every
+    fingerprint family (pHash over pixels, the audio spectral
+    fingerprint — one implementation so the band split, the over-cap
+    exclusion, and the two expansion paths can never drift between
+    modalities).  See :func:`phash_pairs` for the scale design (band
+    join over DISTINCT hash values; group_cap bounds the quadratic
+    output).  ``h`` is (doc_id_col, hash_col); returns
+    (doc_a, doc_b, hamming)."""
     from localsql_spark.operators import track_persist
 
     assert max_hamming < bands, "banding only guarantees recall for " \
                                 "hamming < bands"
-    width = n_coef // bands
-    h = track_persist(phash_features(docs, n_coef=n_coef, n_px=n_px,
-                                     doc_id_col=doc_id_col,
-                                     text_col=text_col))
-    hv = track_persist(h.groupBy("phash")
+    width = n_bits // bands
+    h = track_persist(h)
+    hv = track_persist(h.groupBy(hash_col)
                        .agg(F.count(F.lit(1)).alias("grp_n")))
     if group_cap is not None:
         capped = hv.filter(F.col("grp_n") <= group_cap)
-        h = h.join(capped.select("phash"), "phash", "semi")
+        h = h.join(capped.select(hash_col), hash_col, "semi")
         hv = capped
     bandvals = hv.select(
-        "phash",
+        hash_col,
         F.explode(F.array(*[
             F.struct(F.lit(k).alias("k"),
-                     F.shiftrightunsigned("phash", k * width)
+                     F.shiftrightunsigned(hash_col, k * width)
                      .bitwiseAND((1 << width) - 1).alias("bv"))
             for k in range(bands)])).alias("kb")) \
-        .select("phash", "kb.k", "kb.bv")
-    a = bandvals.select(F.col("phash").alias("ha"), "k", "bv")
-    b = bandvals.select(F.col("phash").alias("hb"), "k", "bv")
-    ham = F.bit_count(F.expr("ha").bitwiseXOR(F.expr("hb")))
+        .select(hash_col, "kb.k", "kb.bv")
+    a = bandvals.select(F.col(hash_col).alias("ha"), "k", "bv")
+    b = bandvals.select(F.col(hash_col).alias("hb"), "k", "bv")
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     hpairs = (a.join(b, ["k", "bv"])
               .filter(F.col("ha") < F.col("hb"))
               .select("ha", "hb")
@@ -371,16 +389,96 @@ def phash_pairs(docs: DataFrame, *, max_hamming: int = 3, bands: int = 4,
     # doc groups — work proportional to the emitted pairs, nothing more
     cross = (hpairs
              .join(h.select(F.col(doc_id_col).alias("ida"),
-                            F.col("phash").alias("ha")), "ha")
+                            F.col(hash_col).alias("ha")), "ha")
              .join(h.select(F.col(doc_id_col).alias("idb"),
-                            F.col("phash").alias("hb")), "hb")
+                            F.col(hash_col).alias("hb")), "hb")
              .select(F.least("ida", "idb").alias("doc_a"),
                      F.greatest("ida", "idb").alias("doc_b"), "hamming"))
     # same-hash groups pair group-locally at hamming 0 (no band join)
-    same_h = h.join(hv.filter(F.col("grp_n") > 1), "phash")
-    same = (same_h.select("phash", F.col(doc_id_col).alias("doc_a"))
-            .join(same_h.select("phash", F.col(doc_id_col).alias("doc_b")),
-                  "phash")
+    same_h = h.join(hv.filter(F.col("grp_n") > 1), hash_col)
+    same = (same_h.select(hash_col, F.col(doc_id_col).alias("doc_a"))
+            .join(same_h.select(hash_col,
+                                F.col(doc_id_col).alias("doc_b")),
+                  hash_col)
             .filter(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b", F.lit(0).alias("hamming")))
     return cross.unionByName(same)
+
+
+def audio_fingerprint(docs: DataFrame, *, n_frames: int = 2,
+                      n_coef: int = 16, n_px: int = 64,
+                      doc_id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Spectral sign-bit fingerprint over WINDOWED frames of the
+    fake-PCM stream — the audio near-dup primitive completing the
+    multimodal family next to :func:`phash_features` (which hashes the
+    whole payload as one image): the signal splits into ``n_frames``
+    equal time windows, each window pools to ``n_px`` bins (the same
+    area-average robustness argument as pHash), projects onto the
+    first ``n_coef`` low-frequency DCT-II coefficients — the shared
+    cross-engine-pinned :func:`dct_basis` — and contributes one sign
+    bit per coefficient.  This is Haitsma-Kalker's audio-fingerprint
+    shape ("A Highly Robust Audio Fingerprinting System", ISMIR 2002 —
+    public: sub-fingerprints = energy-sign bits over windowed spectral
+    bands) with the band-energy differences simplified to DCT
+    coefficient signs, which keeps every bit exactly SQL-replayable.
+    Time localization is what distinguishes it from the global pHash:
+    swapping two halves of a track flips frame-local bits the global
+    pool would average away.
+
+    Entirely JVM-side (explode, pooled aggregate, broadcast basis join,
+    fixed-point coefficient fold — the phash_features plan shape with a
+    frame key riding the same shuffles).  Output ``(doc_id, afp)``:
+    an ``n_frames * n_coef``-bit BIGINT, bit (f*n_coef + u - 1) = sign
+    of frame f's coefficient u."""
+    spark = docs.sparkSession
+    nb = n_frames * n_px
+    ch = (spread(docs).filter(F.length(F.col(text_col)) > 0)
+          .select(doc_id_col, F.split(F.col(text_col), "").alias("chars"))
+          .select(doc_id_col, F.size("chars").alias("L"),
+                  F.posexplode("chars").alias("i0", "c")))
+    pool = (ch.select(doc_id_col,
+                      F.floor(F.col("i0") * float(nb) / F.col("L"))
+                      .cast("int").alias("g"),
+                      F.ascii("c").alias("code"))
+            .select(doc_id_col,
+                    F.floor(F.col("g") / n_px).cast("int").alias("f"),
+                    (F.col("g") % n_px).alias("b"), "code")
+            .groupBy(doc_id_col, "f", "b")
+            .agg(F.round(F.sum("code").cast("double")
+                         / F.count(F.lit(1)), 6).alias("px")))
+    # same exact fixed-point long path as phash_features (see the bound
+    # argument there)
+    co = (pool.join(F.broadcast(dct_basis(spark, n_coef, n_px)), "b")
+          .groupBy(doc_id_col, "f", "u")
+          .agg(F.sum(F.round(F.round(F.col("px") * F.col("w"), 12)
+                             * F.lit(1e12)).cast("bigint"))
+               .alias("coef_fp")))
+    return (co.groupBy(doc_id_col)
+            .agg(F.sum(F.when(
+                F.col("coef_fp") > 0,
+                F.expr(f"shiftleft(cast(1 as bigint), "
+                       f"f * {n_coef} + u - 1)"))
+                .otherwise(F.lit(0).cast("bigint")))
+                 .alias("afp")))
+
+
+def audio_pairs(docs: DataFrame, *, max_hamming: int = 3, bands: int = 4,
+                n_frames: int = 2, n_coef: int = 16, n_px: int = 64,
+                group_cap: int | None = None,
+                doc_id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Audio near-duplicate pairs: banded hamming over the windowed
+    spectral fingerprint — :func:`phash_pairs`' exact machinery
+    (:func:`hamming_banded_pairs`) on :func:`audio_fingerprint`, so the
+    recall guarantee (exact for hamming < bands), the distinct-hash
+    candidate bound, and the group_cap output bound all carry over
+    unchanged.  Output (doc_a, doc_b, hamming)."""
+    h = audio_fingerprint(docs, n_frames=n_frames, n_coef=n_coef,
+                          n_px=n_px, doc_id_col=doc_id_col,
+                          text_col=text_col)
+    return hamming_banded_pairs(h, hash_col="afp",
+                                n_bits=n_frames * n_coef, bands=bands,
+                                max_hamming=max_hamming,
+                                group_cap=group_cap,
+                                doc_id_col=doc_id_col)

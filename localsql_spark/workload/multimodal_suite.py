@@ -198,3 +198,93 @@ def multimodal_phash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame
            .crossJoin(F.broadcast(seed)))
     docs2 = docs.select("doc_id", "text").unionByName(rep)
     return M.phash_pairs(docs2, max_hamming=3, group_cap=10)
+
+
+# Shared audio-fingerprint derivation (round 12): the payload split into 2
+# time windows, each pooled to 64 bins, 16 low-frequency DCT-II coefficient
+# signs per window -> a 32-bit windowed spectral fingerprint.  Same
+# cross-engine-pinned basis as pHash.
+_AFP_CTE = """
+ad AS (SELECT doc_id, text, length(text) AS L FROM documents
+       WHERE length(text) > 0),
+ach AS (SELECT doc_id, L, i, ascii(substr(text, CAST(i AS INT), 1)) AS code
+        FROM ad CROSS JOIN UNNEST(range(1, CAST(L + 1 AS BIGINT))) u(i)),
+ag AS (SELECT doc_id, CAST(FLOOR((i - 1) * 128.0 / L) AS INT) AS g, code
+       FROM ach),
+apool AS (SELECT doc_id, g // 64 AS f, g % 64 AS b,
+                 round(CAST(SUM(code) AS DOUBLE) / COUNT(*), 6) AS px
+          FROM ag GROUP BY 1, 2, 3),
+abasis AS (SELECT u, b, round(cos(pi() * (2*b + 1) * u / 128.0), 12) AS w
+           FROM generate_series(1, 16) g1(u)
+           CROSS JOIN generate_series(0, 63) g2(b)),
+aco AS (SELECT doc_id, f, u,
+               CAST(SUM(CAST(round(px * w, 12) AS DECIMAL(38,12)))
+                    AS DOUBLE) AS coef
+        FROM apool JOIN abasis USING (b) GROUP BY 1, 2, 3),
+ah AS (SELECT doc_id,
+              CAST(SUM(CASE WHEN coef > 0
+                            THEN (CAST(1 AS BIGINT)
+                                  << (CAST(f * 16 + u AS INT) - 1))
+                            ELSE 0 END) AS BIGINT) AS afp
+       FROM aco GROUP BY doc_id)"""
+
+
+@query("multimodal_audio_fingerprint", oracle=f"""
+WITH {_AFP_CTE.lstrip()}
+SELECT doc_id, afp FROM ah
+""")
+def multimodal_audio_fingerprint(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Windowed spectral sign-bit fingerprint over the fake-PCM payload
+    (operators.multimodal.audio_fingerprint — Haitsma-Kalker's audio
+    fingerprint shape with band-energy differences simplified to DCT
+    coefficient signs, windowing giving the time localization a global
+    pHash lacks): 2 windows x 64 pooled bins x 16 coefficient signs =
+    a 32-bit fingerprint whose every bit the oracle recomputes from
+    the shared round(cos, 12) basis — exact cross-engine, like
+    multimodal_phash."""
+    docs = load(spark, sf_dir)["documents"]
+    return M.audio_fingerprint(docs)
+
+
+@query("multimodal_audio_pairs", oracle=f"""
+WITH rep AS (SELECT CAST(2000000 + i AS BIGINT) AS doc_id,
+                    (SELECT text FROM documents WHERE doc_id = 1) AS text
+             FROM range(12) t(i)),
+docs2 AS (SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id, text FROM rep),
+{_AFP_CTE.lstrip().replace("FROM documents", "FROM docs2")},
+keep AS (SELECT afp FROM ah GROUP BY afp HAVING count(*) <= 10),
+ah2 AS (SELECT ah.doc_id, ah.afp FROM ah JOIN keep USING (afp)),
+bv AS (SELECT doc_id, afp, k,
+              (afp >> (k * 8)) & 255 AS band_val
+       FROM ah2 CROSS JOIN generate_series(0, 3) g(k)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.afp AS ha, b.afp AS hb
+         FROM bv a JOIN bv b ON a.k = b.k AND a.band_val = b.band_val
+                            AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= 3
+""")
+def multimodal_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs with the planted-group + group_cap
+    proof (operators.multimodal.audio_pairs — phash_pairs' exact
+    banded-hamming machinery, now shared via hamming_banded_pairs, on
+    the windowed spectral fingerprint): 12 planted replicas of
+    document 1 form a 13-member fingerprint group; group_cap=10
+    excludes the mass-duplicate cluster from BOTH expansion paths and
+    the oracle replays the exclusion exactly, so the output is proven
+    to be precisely all pairs at hamming <= 3 among under-cap groups —
+    the planted duplicates demonstrate detection, the cap demonstrates
+    the quadratic-output guard, and banding keeps recall exact for
+    hamming < bands without an all-pairs compare."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir)["documents"]
+    seed = docs.filter(F.col("doc_id") == 1).select("text")
+    rep = (spark.range(12)
+           .select((F.col("id") + 2_000_000).alias("doc_id"))
+           .crossJoin(F.broadcast(seed)))
+    docs2 = docs.select("doc_id", "text").unionByName(rep)
+    return M.audio_pairs(docs2, max_hamming=3, group_cap=10)

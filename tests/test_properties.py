@@ -2103,6 +2103,41 @@ def test_phash_pairs_group_cap_bounds_output(spark):
     assert sum(1 for r in capped if r.hamming == 0) == 1  # small group kept
 
 
+def test_audio_fingerprint_time_localization_and_pairs(spark):
+    """The windowed audio fingerprint localizes in time: swapping the
+    two halves of a 'track' changes frame-local bits (the global pHash
+    pool would average the swap away), exact replicas pair at hamming 0,
+    and group_cap excludes the mass-duplicate group through the shared
+    hamming_banded_pairs machinery."""
+    from localsql_spark.operators.multimodal import (audio_fingerprint,
+                                                     audio_pairs)
+
+    half_a = "low low low low " * 40
+    half_b = "HIGH!HIGH!HIGH! " * 40
+    rows = [(0, half_a + half_b), (1, half_b + half_a)]
+    rows += [(10 + i, half_a + half_b) for i in range(5)]  # replicas of 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    afp = {r.doc_id: r.afp for r in audio_fingerprint(docs).collect()}
+    assert afp[0] != afp[1]  # halves swapped -> different fingerprint
+    assert all(afp[10 + i] == afp[0] for i in range(5))
+    # each half in isolation is the same repeated motif, so the swap
+    # flips the FRAME halves of the fingerprint exactly: frame 0's bits
+    # of doc 0 describe half_a, of doc 1 describe half_b
+    f0 = (afp[0] & 0xFFFF, afp[0] >> 16)
+    f1 = (afp[1] & 0xFFFF, afp[1] >> 16)
+    assert f0 == (f1[1], f1[0])
+
+    pairs = audio_pairs(docs, max_hamming=3).collect()
+    zero = {(r.doc_a, r.doc_b) for r in pairs if r.hamming == 0}
+    group = [0] + [10 + i for i in range(5)]
+    want = {(a, b) for i, a in enumerate(group) for b in group[i + 1:]}
+    assert want <= zero
+    capped = audio_pairs(docs, max_hamming=3, group_cap=5).collect()
+    ids = {r.doc_a for r in capped} | {r.doc_b for r in capped}
+    assert not (ids & set(group))  # 6-member group excluded at cap 5
+
+
 def test_salted_agg_allows_columns_named_distinct(spark):
     """A column NAME containing 'distinct' is not a DISTINCT aggregate —
     the substring check spuriously rejected sum(distinct_users)
