@@ -248,6 +248,14 @@ def main() -> None:
 
     from localsql_spark.operators import cleanup
 
+    # one DISCARDED warmup pass of the calibration probe before the timed
+    # pre pass: the r11 detail showed pre_total 1.7x post_total on
+    # identical queries (first-touch plan/codegen cost landing on the pre
+    # pass), which made the pre numbers meaningless for drift reading —
+    # drift correctly used POST only.  Warming the probe queries first
+    # makes pre and post converge, so pre-vs-post spread now measures
+    # WITHIN-RUN machine movement instead of warmup (r11 verdict item).
+    _run_calibration(spark, queries, sf_dir, cleanup)
     cal_pre = _run_calibration(spark, queries, sf_dir, cleanup)
     print(f"# calibration(pre): {json.dumps(cal_pre)}", file=sys.stderr)
 

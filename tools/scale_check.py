@@ -746,6 +746,15 @@ def main() -> None:
                .agg(F.count(F.lit(1)), F.sum("hamming")).collect()[0])
         return int(row[0])
 
+    def op_audio_pairs(f):
+        # audio twin of op_phash_pairs: windowed spectral fingerprint +
+        # the shared banded-hamming pair machinery
+        from localsql_spark.operators.multimodal import audio_pairs
+        docs = spark.read.parquet(paths[f]["documents"])
+        row = (audio_pairs(docs, max_hamming=3)
+               .agg(F.count(F.lit(1)), F.sum("hamming")).collect()[0])
+        return int(row[0])
+
     def op_pack_sequences(f):
         from localsql_spark.operators.corpus import pack_sequences
         docs = spark.read.parquet(paths[f]["documents"])
@@ -985,6 +994,7 @@ def main() -> None:
            "table_as_of_b3": op_table_as_of,
            "pca_covariance": op_pca_covariance,
            "maintain_fixed_debris": op_maintain_fixed_debris,
+           "audio_pairs": op_audio_pairs,
            "drift_psi": op_drift_psi,
            "ccnet_perlang": op_ccnet_perlang,
            "rollup_ttl_fold": op_rollup_ttl,
