@@ -94,7 +94,9 @@ def maintain_everywhere(spark: SparkSession, *,
                         ivf_index: dict | None = None,
                         ivfpq_index: dict | None = None,
                         feed: dict | None = None,
-                        ledger: dict | None = None) -> DataFrame:
+                        ledger: dict | None = None,
+                        nb_model: dict | None = None,
+                        sketch_view: dict | None = None) -> DataFrame:
     """One composed heal → compact → retain → sync pass over every
     configured store (module docstring has the discipline and the
     scale argument).  Store configs mirror ``erase_everywhere``'s map;
@@ -138,6 +140,10 @@ def maintain_everywhere(spark: SparkSession, *,
     - ``ledger={'ledger_dir', ['keep_last'=1]}`` — fold old request
       dirs into one generation (content is never deleted; see
       ``compact_erase_ledger``'s retention-window warning).
+    - ``nb_model={'model_dir', ['max_files'=1]}`` — the NB count
+      model's wb partitions (incl. the reserved doc-count bucket).
+    - ``sketch_view={'view_dir', ['max_files'=1]}`` — the diversity
+      sketch view's gb partitions.
 
     Returns ``(store, action, units)`` with actions drawn from
     ``heal | compact | retain | sync``.
@@ -269,6 +275,24 @@ def maintain_everywhere(spark: SparkSession, *,
         rows.append(("ledger", "retain", compact_erase_ledger(
             spark, ledger["ledger_dir"],
             keep_last=ledger.get("keep_last", 1))))
+
+    if nb_model is not None:
+        from localsql_spark.sinks.merge import (compact_partitions,
+                                                recover_pending_merge)
+        rows.append(("nb_model", "heal",
+                     int(recover_pending_merge(nb_model["model_dir"]))))
+        rows.append(("nb_model", "compact", len(compact_partitions(
+            spark, nb_model["model_dir"], "wb",
+            max_files=nb_model.get("max_files", 1)))))
+
+    if sketch_view is not None:
+        from localsql_spark.sinks.merge import (compact_partitions,
+                                                recover_pending_merge)
+        rows.append(("sketch_view", "heal",
+                     int(recover_pending_merge(sketch_view["view_dir"]))))
+        rows.append(("sketch_view", "compact", len(compact_partitions(
+            spark, sketch_view["view_dir"], "gb",
+            max_files=sketch_view.get("max_files", 1)))))
 
     if not rows:
         return spark.createDataFrame(

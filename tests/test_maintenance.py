@@ -160,6 +160,22 @@ def test_maintain_everywhere_full_surface(spark, tmp_path):
          .write.parquet(str(feed / f"batch_{b}")))
     commit_feed_offset(str(feed), "etl", 2)
 
+    # NB model + sketch view: CLEAN merge-protocol stores (clustered
+    # folds) -> byte-stability legs of the pass
+    from localsql_spark.operators.selection import nb_model_update
+    from localsql_spark.sinks.sketch_view import (sketch_view_read,
+                                                  sketch_view_update)
+    nb = tmp_path / "nb"
+    nb_model_update(spark, str(nb), docs.select(
+        "doc_id", "text", (F.col("doc_id") % 2 == 0).alias("pos")),
+        F.col("pos"), n_buckets=4)
+    sk = tmp_path / "sketch"
+    sketch_view_update(spark, str(sk),
+                       docs.withColumn("source",
+                                       (F.col("doc_id") % 3).cast("string")))
+    pre_sketch = {tuple(r) for r in
+                  sketch_view_read(spark, str(sk)).collect()}
+
     # ledger: 3 request dirs
     led = tmp_path / "ledger"
     for b in range(3):
@@ -182,6 +198,8 @@ def test_maintain_everywhere_full_surface(spark, tmp_path):
         ivf_index={"index_path": str(ivf)},
         feed={"feed_dir": str(feed)},
         ledger={"ledger_dir": str(led)},
+        nb_model={"model_dir": str(nb)},
+        sketch_view={"view_dir": str(sk)},
     )
     a = {(r.store, r.action): r.units for r in audit.collect()}
 
@@ -193,6 +211,8 @@ def test_maintain_everywhere_full_surface(spark, tmp_path):
     assert a[("scd2", "compact")] >= 2
     assert a[("rollup", "retain")] == 1  # 2024-01-01 expired
     assert a[("ivm_view", "compact")] == 0  # clean store untouched
+    assert a[("nb_model", "compact")] == 0
+    assert a[("sketch_view", "compact")] == 0
     assert a[("cov_store", "compact")] == 2  # batches 0,1 folded
     assert a[("ivf_index", "compact")] == 1
     assert a[("feed", "retain")] == 2  # batches 0,1 pruned
@@ -242,6 +262,8 @@ def test_maintain_everywhere_full_surface(spark, tmp_path):
             .select("neighbor_id", "cell").collect()} == pre_ivf
     assert {tuple(r) for r in
             read_batches(spark, str(led)).collect()} == pre_ledger
+    assert {tuple(r) for r in
+            sketch_view_read(spark, str(sk)).collect()} == pre_sketch
 
     # protected namespaces survived: the retraction dir and the newest
     # feed batch are byte-identical, pruned feed batches are gone
@@ -265,6 +287,8 @@ def test_maintain_everywhere_full_surface(spark, tmp_path):
         ivf_index={"index_path": str(ivf)},
         feed={"feed_dir": str(feed)},
         ledger={"ledger_dir": str(led)},
+        nb_model={"model_dir": str(nb)},
+        sketch_view={"view_dir": str(sk)},
     )
     assert all(r.units == 0 for r in audit2.collect())
     assert _tree_digest(tmp_path) == before
