@@ -134,9 +134,15 @@ EXTENSION_HEADLINE = [
     # debris-laden 7-store fixture; the timed wall is heal + census-gated
     # compaction + retention + sidecar sync + the audit itself)
     "maintain_everywhere_probe",
-    # round 12: OPQ-lite rotated IVFADC — prices the residual-covariance
-    # fold + dim driver-side eigen-chains + rotated encode + rerank
-    "knn_ivfpq_rot_planted_top5",
+    # round 12: OPQ-lite rotated IVFADC, SERVING path (fixture-cached
+    # rotated index — the knn_ivfpq_index_top5 discipline): prices the
+    # model+rotation reads, frame-path query rotation, pruned code scan
+    # and exact rerank.  The TRAINING composition
+    # (knn_ivfpq_rot_planted_top5: covariance fold + eigenbasis + rotated
+    # encode in-query, ~19s warm at sf0.1) stays correctness-gated — its
+    # training cost is already priced by knn_ivfpq_top5 + pca_pc1_scores,
+    # so benching it would double-count training in the headline total.
+    "knn_ivfpq_rot_index_top5",
     # round 12: audio near-dup — windowed DCT fingerprint + the shared
     # banded-hamming pair machinery with the planted group + cap
     "multimodal_audio_pairs",

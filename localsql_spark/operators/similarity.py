@@ -1365,7 +1365,7 @@ TWO_LEVEL_AUTO_CELLS = 64
 
 
 def opq_rotation(res: DataFrame, vec_col: str = "embedding",
-                 rounds: int = 6) -> list[list[float]]:
+                 rounds: int = 6, exact: bool = False) -> list[list[float]]:
     """OPQ-lite rotation (Ge et al., "Optimized Product Quantization",
     CVPR 2013 — public; the 'parametric' simplification): the FULL PCA
     eigenbasis of the residual covariance, used to rotate residuals
@@ -1389,20 +1389,61 @@ def opq_rotation(res: DataFrame, vec_col: str = "embedding",
     vector loses no coordinate; the fallback rows are not orthogonal
     to the found components in general, which is harmless here because
     corpus and queries rotate through the SAME matrix.  Returns
-    ``R[r][j]`` (row r = component r)."""
+    ``R[r][j]`` (row r = component r).
+
+    ``exact=True`` runs the chains with the package's 12-decimal
+    Decimal discipline — bit-identical to the in-plan operators and to
+    the generated SQL oracle (the ``opq_rotation_basis`` gate).  The
+    default is the PLAIN-FLOAT twin: same algorithm, same start, same
+    sequential evaluation order (deterministic IEEE — no BLAS, no
+    parallel reduction), minus the per-term 1e-12 quantization.  The
+    pipeline callers use it because NO oracle replays the 64-dim
+    rotation values (the planted gate is rotation-agnostic by
+    construction) and the Decimal path costs ~3 Decimal constructions
+    per matrix term — measured 30s of pure driver arithmetic at dim 64
+    vs ~0.3s for the float twin."""
+    import math
+
+    # the residual frame usually arrives as an AQE-coalesced single
+    # partition (tiny shuffle output); the dim^2-per-row covariance
+    # expand below is CPU-bound and would serialize on one core —
+    # spread it across the executor cores first (the spread() trap:
+    # it only widens FILE scans, not checkpointed/shuffled frames)
+    res = res.repartition(res.sparkSession.sparkContext.defaultParallelism)
     cov, _ = covariance_and_means(res, vec_col)
     rows = [(r["j"], r["k"], r["cov"]) for r in cov.collect()]
     dim = max(j for j, _k, _c in rows) + 1 if rows else 0
     basis: list[list[float]] = []
+    if exact:
+        for ci in range(dim):
+            v = power_iteration_local(rows, dim, rounds)
+            if all(x == 0.0 for x in v):
+                v = [1.0 if j == ci else 0.0 for j in range(dim)]
+            lam = rayleigh_local(rows, dim, v)
+            basis.append(list(v))
+            if ci + 1 < dim:
+                rows = [(j, k, _round12(c - lam * v[j] * v[k]))
+                        for j, k, c in rows]
+        return basis
+    mat = [[0.0] * dim for _ in range(dim)]
+    for j, k, c in rows:
+        mat[j][k] = c
     for ci in range(dim):
-        v = power_iteration_local(rows, dim, rounds)
+        v = [1.0] * dim
+        for _ in range(rounds):
+            w = [sum(mat[j][k] * v[k] for k in range(dim))
+                 for j in range(dim)]
+            nrm = math.sqrt(sum(x * x for x in w))
+            v = [x / nrm if nrm else 0.0 for x in w]
         if all(x == 0.0 for x in v):
             v = [1.0 if j == ci else 0.0 for j in range(dim)]
-        lam = rayleigh_local(rows, dim, v)
+        lam = sum(v[j] * sum(mat[j][k] * v[k] for k in range(dim))
+                  for j in range(dim))
         basis.append(list(v))
         if ci + 1 < dim:
-            rows = [(j, k, _round12(c - lam * v[j] * v[k]))
-                    for j, k, c in rows]
+            for j in range(dim):
+                for k in range(dim):
+                    mat[j][k] -= lam * v[j] * v[k]
     return basis
 
 
@@ -1410,13 +1451,55 @@ def _rotate_expr(vec, rotation: list[list[float]]):
     """Row-local rotated vector: component r = decimal-fold dot of the
     input with R[r], rounded to 9 (portable double) — dim x dim literal
     multiplies per row, riding the scan like the JL projection; no
-    shuffle, no Python."""
+    shuffle, no Python.  Right-sized for the QUERY side (tens of
+    residual rows): the expression tree is dim fold aggregates wide,
+    which Catalyst evaluates interpreted — use :func:`_rotate_frame`
+    for corpus-sized inputs."""
     comps = [
         F.round(_dec_sum(F.zip_with(
             vec, F.array(*[F.lit(w) for w in row]),
             lambda x, ww: F.round(x.cast("double") * ww, 12))), 9)
         for row in rotation]
     return F.array(*comps)
+
+
+def _rotate_frame(df: DataFrame, id_col: str | list[str], vec_col: str,
+                  rotation: list[list[float]]) -> DataFrame:
+    """Corpus-side rotation: posexplode -> broadcast (r, j, w) rotation
+    table -> one map-side-combined fixed-point aggregate per (row,
+    component) -> re-assemble the array.  Bit-identical to
+    :func:`_rotate_expr` (round(x*w, 12) products; the exact
+    fixed-point long sum equals the decimal sum under the pHash
+    magnitude bound, and fp/1e12 cast-to-double rounds once exactly
+    like CAST(decimal AS DOUBLE)) but runs in whole-stage codegen on
+    primitive longs — the dim-wide interpreted fold tree of the
+    expression form cost ~14s to evaluate over 2,000 rows where this
+    path is sub-second."""
+    keys = [id_col] if isinstance(id_col, str) else list(id_col)
+    spark = df.sparkSession
+    dp = spark.sparkContext.defaultParallelism
+    rot_tbl = F.broadcast(spark.createDataFrame(
+        [(r, j, w) for r, row in enumerate(rotation)
+         for j, w in enumerate(row)], "r int, j int, w double"))
+    # widen first: the input is typically an AQE-coalesced 1-partition
+    # frame, and the dim x dim expand below is CPU-bound row-local work
+    e = (df.repartition(dp)
+         .select(*keys, F.posexplode(F.col(vec_col)).alias("j", "x")))
+    co = (e.join(rot_tbl, "j")
+          .groupBy(*keys, "r")
+          .agg(F.sum(F.round(F.round(F.col("x").cast("double")
+                                     * F.col("w"), 12)
+                             * F.lit(1e12)).cast("bigint")).alias("fp")))
+    # re-widen on the way out for the same reason: consumers (PQ train /
+    # encode) immediately run their own per-row expands
+    return (co.groupBy(*keys)
+            .agg(F.transform(
+                F.sort_array(F.collect_list(F.struct(
+                    "r",
+                    F.round(F.col("fp").cast("double") / F.lit(1e12), 9)
+                    .alias("val")))),
+                lambda st: st["val"]).alias(vec_col))
+            .repartition(dp))
 
 
 def knn_ivfpq_adc(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -1485,9 +1568,11 @@ def knn_ivfpq_adc(corpus: DataFrame, queries: DataFrame, k: int = 5,
     rotation = None
     if rotate:
         rotation = opq_rotation(res, vec_col)
-        res = res.select(id_col,
-                         _rotate_expr(F.col(vec_col), rotation)
-                         .alias(vec_col))
+        # codegen'd corpus rotation, materialized ONCE (dim doubles per
+        # row, the centroid-collect license): pq_train's Lloyd round,
+        # pq_encode, and the codes join each consume the rotated frame
+        res = _rotate_frame(res, id_col, vec_col, rotation) \
+            .localCheckpoint(eager=True)
     # train the codebooks on residuals ABOVE the coarse seeds: ids
     # < n_cells ARE the coarse centroids, so their residuals are
     # identically zero — seeding pq_train there collapses every codebook
@@ -1524,11 +1609,15 @@ def _ivfpq_lut(queries: DataFrame, cents: DataFrame, codebooks: DataFrame,
     wq = Window.partitionBy("query_id").orderBy("_d", "cell")
     resid = F.zip_with(F.col(vec_col), F.col("cent"),
                        lambda x, y: x.cast("double") - y)
-    if rotation is not None:
-        resid = _rotate_expr(resid, rotation)
     qprobe = (qscored.withColumn("_rn", F.row_number().over(wq))
               .filter(F.col("_rn") <= n_probe)
               .select("query_id", "cell", resid.alias("resid")))
+    if rotation is not None:
+        # frame-path rotation (same arithmetic as the corpus side — the
+        # dim-wide _rotate_expr tree costs seconds of driver/codegen
+        # time even over a handful of probe rows)
+        qprobe = _rotate_frame(qprobe, ["query_id", "cell"], "resid",
+                               rotation)
     dsub = (F.size("_v") / F.lit(m)).cast("int")
     qsub = (qprobe
             .select("query_id", "cell", F.col("resid").alias("_v"),
@@ -1614,9 +1703,10 @@ def write_ivfpq_index(corpus: DataFrame, path: str, n_cells: int = 8,
     res = c.select(id_col, F.col("resid").alias(vec_col))
     if rotate:  # OPQ-lite: persist R so the probe rotates identically
         rotation = opq_rotation(res, vec_col)
-        res = res.select(id_col,
-                         _rotate_expr(F.col(vec_col), rotation)
-                         .alias(vec_col))
+        # codegen'd corpus rotation, materialized once (see
+        # knn_ivfpq_adc)
+        res = _rotate_frame(res, id_col, vec_col, rotation) \
+            .localCheckpoint(eager=True)
         spark = corpus.sparkSession
         (spark.createDataFrame(
             [(r, j, w) for r, row in enumerate(rotation)

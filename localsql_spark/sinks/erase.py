@@ -1011,10 +1011,13 @@ def rebuild_nonretractable(spark: SparkSession, *,
       :func:`~localsql_spark.sinks.sketch_view.sketch_view_update` fold
       (register maxes: same single-fold identity).
     - ``ivfpq_index={'index_path', 'corpus', ['n_cells', 'm', 'k_codes',
-      'n_iter', 'id_col', 'vec_col']}`` —
+      'n_iter', 'id_col', 'vec_col', 'rotate']}`` —
       :func:`~localsql_spark.operators.similarity.write_ivfpq_index`
       retrains coarse centroids + codebooks AND re-encodes the codes, so
-      the erased vectors' influence leaves the quantizers too.
+      the erased vectors' influence leaves the quantizers too.  Pass the
+      SAME ``rotate`` the index was built with: the retrain recomputes
+      the OPQ rotation from the post-erase residuals (stale ``_rotation``
+      state is removed on an unrotated retrain).
     - ``ivf_index={'index_path', 'corpus', ['n_cells', 'id_col',
       'vec_col']}`` —
       :func:`~localsql_spark.operators.similarity.write_ivf_index`

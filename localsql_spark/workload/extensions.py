@@ -6799,7 +6799,7 @@ def opq_rotation_basis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform(F.slice("embedding", 1, 8),
                     lambda x: x.cast("double")).alias("embedding"))
-    R = S.opq_rotation(sl, "embedding")
+    R = S.opq_rotation(sl, "embedding", exact=True)
     return spark.createDataFrame(
         [(r, j, float(w)) for r, row in enumerate(R)
          for j, w in enumerate(row)], "r int, j int, w double")
@@ -6829,8 +6829,70 @@ def knn_ivfpq_rot_planted_top5(spark: SparkSession,
         F.transform(
             "embedding",
             lambda x, i: F.when(i == c, F.lit(10.0)).otherwise(F.lit(0.0))
-            + x.cast("double") * F.lit(0.05)).alias("embedding"))
+            + x.cast("double") * F.lit(0.05)).alias("embedding")) \
+        .localCheckpoint(eager=True)  # the transform feeds assign,
+    # rotation covariance, encode AND the exact rerank — evaluate once
     return S.knn_ivfpq_rerank(
         planted, planted.filter(F.col("vec_id") < 10), k=5,
         shortlist=150, n_cells=16, n_probe=4, m=4, k_codes=16,
         exclude_self=True, rotate=True)
+
+
+@query("knn_ivfpq_rot_index_top5", oracle=_PLANTED_IVF_ORACLE)
+def knn_ivfpq_rot_index_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rotated index's SERVING path (write_ivfpq_index(rotate=True)
+    + knn_ivfpq_from_index + exact re-rank) — the steady-state twin of
+    knn_ivfpq_rot_planted_top5, which prices the whole training
+    composition in-query: here the rotated index is a content-stable
+    per-sf fixture, so the timed wall is what a query batch actually
+    costs at scale — two model reads (centroids, codebooks) PLUS the
+    persisted rotation matrix, the frame-path rotation of the probe
+    residuals, a partition-pruned scan of the probed cells' codes, and
+    the exact cosine re-rank of the shortlist.  Shares the
+    planted-cluster closed-form oracle: the shortlist (>= the largest
+    cluster) provably contains the true top-5 whatever near-orthogonal
+    rotation rides in the index, so serving == global brute force."""
+    import shutil
+    from pathlib import Path as _Path
+
+    from pyspark.sql.window import Window
+
+    from localsql_spark.operators.similarity import cosine_pre, norm
+
+    emb = load(spark, sf_dir)["embeddings"]
+    c = (F.col("vec_id") % 16).cast("int")
+    planted = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == c, F.lit(10.0)).otherwise(F.lit(0.0))
+            + x.cast("double") * F.lit(0.05)).alias("embedding")) \
+        .localCheckpoint(eager=True)
+    fixture = (_Path(__file__).resolve().parent.parent.parent / ".cache"
+               / "ivfpq_rot" / _Path(sf_dir.rstrip("/")).name)
+    marker = fixture / "_fixture_ok"
+    if not marker.exists():
+        shutil.rmtree(fixture, ignore_errors=True)
+        fixture.mkdir(parents=True, exist_ok=True)
+        S.write_ivfpq_index(planted, str(fixture / "idx"), n_cells=16,
+                            m=4, k_codes=16, rotate=True)
+        marker.touch()
+    q = planted.filter(F.col("vec_id") < 10)
+    cand = (S.knn_ivfpq_from_index(spark, str(fixture / "idx"), q, k=150,
+                                   n_probe=4, exclude_self=True)
+            .select("query_id", "neighbor_id"))
+    nv = (planted.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("embedding").alias("cv"))
+          .withColumn("cn", norm(F.col("cv"))))
+    qv = (q.select(F.col("vec_id").alias("query_id"),
+                   F.col("embedding").alias("qv"))
+          .withColumn("qn", norm(F.col("qv"))))
+    re = (nv.join(F.broadcast(cand), "neighbor_id")
+          .join(F.broadcast(qv), "query_id")
+          .select("query_id", "neighbor_id",
+                  cosine_pre(F.col("qv"), F.col("cv"),
+                             F.col("qn"), F.col("cn")).alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                               "neighbor_id")
+    return (re.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5).localCheckpoint(eager=True))

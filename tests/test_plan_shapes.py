@@ -64,6 +64,18 @@ def test_multimodal_is_narrow(spark, queries):
         "feature extraction must stay a narrow map (one spread repartition max)"
 
 
+def test_audio_fingerprint_jvm_side_equi_joins(spark, queries):
+    """The audio fingerprint + banded pairs stay entirely JVM-side (no
+    Python eval in the hot path — the DCT fold is codegen'd fixed-point
+    longs) and the band join is an equi-join over distinct fingerprints,
+    never a cross product."""
+    plan = _plan(queries["multimodal_audio_fingerprint"](spark, SF_SMALL))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    plan2 = _plan(queries["multimodal_audio_pairs"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan2
+    assert "BatchEvalPython" not in plan2
+
+
 def test_lateral_decorrelates_to_group_limit(spark, queries):
     """LATERAL (ORDER BY ... LIMIT k) must decorrelate into a join +
     per-key rank limit — NOT a per-outer-row subquery loop."""

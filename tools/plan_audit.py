@@ -131,6 +131,29 @@ def main() -> None:
            "InMemoryTableScan.  Read those blocks' counts as 'build once +",
            "cheap scans', not N independent pipelines.",
            "",
+           "Round-12 adjudication of the r11 drift pair",
+           "(`bm25_search_top10` 1.13->1.79s, `ccnet_perplexity_buckets`",
+           "1.05->1.56s on unchanged code while r11 calibration said the",
+           "machine was FASTER, drift 0.8952 — the r11 verdict's watch",
+           "item, control protocol ordered): SPARK_GRAFT_BENCH_ONLY run",
+           "of the pair ALONE (min-of-2, drift 1.3483 that session) gave",
+           "bm25 1.734s / ccnet 1.753s; the full 67-query population run",
+           "the same day (drift 1.1998) gave 1.690s / 1.544s — alone ==",
+           "in-population, so NO population effect, same verdict as the",
+           "r9/r10 clusters.  The sharper signal: raw wall matched r11's",
+           "numbers on a machine the calibration probe measured ~34%",
+           "SLOWER than r11's, i.e. these two queries do not scale with",
+           "the calibration probe (both are fixed-overhead-heavy: bm25's",
+           "probe reads STATS + a handful of term buckets, ccnet's wall",
+           "is dominated by its persist build's job count, not scan",
+           "bytes).  Their ~1.5-1.8s raw band is the steady state; r10's",
+           "1.05-1.13 was the favorable end of the noise band, and r11's",
+           "'2.0x normalized' was the calibration DIVIDING a",
+           "non-calibration-sensitive query by a fast-machine drift",
+           "factor.  Conclusion: not a regression — but a documented",
+           "limit of drift-normalization for overhead-bound queries (raw",
+           "wall is the number to watch for these two).",
+           "",
            "Round-10 note on the r9 1.3x drift cluster",
            "(`hybrid_search_top10` 1.24->1.77s worst; also knn_ivf_top5,",
            "q3_top_orders, ccnet_perplexity_buckets): the controlled",

@@ -127,6 +127,30 @@ def main() -> None:
         "",
     ]
 
+    # -- 1b3: same corpus through the audio fingerprint's group_cap ---------
+    # clones share one windowed spectral fingerprint too; the shared
+    # hamming_banded_pairs machinery applies the identical guard
+    from localsql_spark.operators.multimodal import audio_pairs
+
+    t0 = time.perf_counter()
+    n_af_uncap = audio_pairs(skewed_docs, max_hamming=3).count()
+    t_af_uncap = time.perf_counter() - t0
+    cleanup()
+    t0 = time.perf_counter()
+    n_af_cap = audio_pairs(skewed_docs, max_hamming=3,
+                           group_cap=64).count()
+    t_af_cap = time.perf_counter() - t0
+    cleanup()
+    lines += [
+        "## Audio-fingerprint near-dup pairs over the same corpus",
+        "",
+        "| variant | pairs emitted | wall |",
+        "|---|---|---|",
+        f"| no cap (one fingerprint group of 2,000) | {n_af_uncap:,} | {t_af_uncap:.2f}s |",
+        f"| group_cap=64 (shared hamming_banded_pairs guard) | {n_af_cap:,} | {t_af_cap:.2f}s |",
+        "",
+    ]
+
     # -- 1c: planted mega-cluster vs SemDeDup cluster_cap -------------------
     # 2,000 near-identical vectors (one real embedding + per-id jitter in one
     # dimension) collapse into a single k-means cell — the learned-blocking
