@@ -124,11 +124,16 @@ def read_bucketed_store(spark: SparkSession, base_dir: str) -> DataFrame:
     from localsql_spark.sinks.schema_evolution import (read_registry,
                                                        reconcile_frame)
 
+    from localsql_spark.sinks.schema_evolution import evolved_read_schema
+
     recover_pending_merge(base_dir)
     if read_registry(base_dir) is None:
         return spark.read.option("basePath", base_dir).parquet(base_dir)
-    df = (spark.read.option("basePath", base_dir)
-          .option("mergeSchema", "true").parquet(base_dir))
+    # bucketed stores partition on kb int by construction, so the scan
+    # always gets the explicit evolved schema (no footer sweep)
+    ddl = evolved_read_schema(base_dir, extra={"kb": "int"})
+    df = (spark.read.schema(ddl).option("basePath", base_dir)
+          .parquet(base_dir))
     return reconcile_frame(df, base_dir, keep_extra=["kb"])
 
 

@@ -20,25 +20,28 @@ read ONE audit frame.
 
 :func:`maintain_everywhere` walks the same store map as
 ``erase_everywhere`` and applies, per store, the fixed discipline
-**heal → compact → retain → sync**:
+**heal → retain → compact → sync**:
 
 - **heal** first: a crashed predecessor's committed-but-unapplied
   manifest (or orphaned swap backup) must be rolled forward before any
   rewrite, or the compaction would rebuild from a torn view.  Every
   heal here is the store's own idempotent recovery entry point.
-- **compact** second: fold small-files debris (sliver part files from
+- **retain** second: enforce the store's retention policy — the
+  metadata-only :func:`~localsql_spark.sinks.merge.expire_partitions`
+  for date-partitioned stores, the consumer-watermark-gated
+  :func:`~localsql_spark.streaming.foreach_upsert.prune_feed` for the
+  CDC feed, generation-folding for the erase ledger.  Retention runs
+  BEFORE compaction so a partition about to expire is never first
+  rewritten and then deleted — aged partitions are where sliver debris
+  accumulates, and the metadata-only expiry makes their debris vanish
+  for free (review round 12: the original compact-first order paid a
+  staged rewrite per expiring over-limit partition, pure wasted I/O).
+- **compact** third: fold small-files debris (sliver part files from
   pre-clustered writes, per-micro-batch landing dirs, IVF delta dirs)
   down to the store's steady-state layout.  Compactions are gated on a
   DEBRIS CENSUS (a driver-side directory walk, no Spark job): a clean
   store is never read, so the pass over a quiet store costs directory
   listings only — cost tracks debris, not store size (SCALE.md row).
-- **retain** third: enforce the store's retention policy — the
-  metadata-only :func:`~localsql_spark.sinks.merge.expire_partitions`
-  for date-partitioned stores, the consumer-watermark-gated
-  :func:`~localsql_spark.streaming.foreach_upsert.prune_feed` for the
-  CDC feed, generation-folding for the erase ledger.  Retention runs
-  AFTER compaction so an expired partition is never first rewritten and
-  then dropped.
 - **sync** last: bring derived sidecars up to date with the store the
   earlier steps may have rewritten (the banded LSH index's
   :func:`~localsql_spark.operators.dedup.ensure_banded_index`; a store
@@ -97,7 +100,7 @@ def maintain_everywhere(spark: SparkSession, *,
                         ledger: dict | None = None,
                         nb_model: dict | None = None,
                         sketch_view: dict | None = None) -> DataFrame:
-    """One composed heal → compact → retain → sync pass over every
+    """One composed heal → retain → compact → sync pass over every
     configured store (module docstring has the discipline and the
     scale argument).  Store configs mirror ``erase_everywhere``'s map;
     pass only what exists:
@@ -157,14 +160,14 @@ def maintain_everywhere(spark: SparkSession, *,
         pcol = primary.get("partition_col", "kb")
         rows.append(("primary", "heal",
                      int(recover_pending_merge(primary["base_dir"]))))
-        rows.append(("primary", "compact", len(compact_partitions(
-            spark, primary["base_dir"], pcol,
-            max_files=primary.get("max_files", 1)))))
         ret = primary.get("retention")
-        if ret is not None:
+        if ret is not None:  # retain BEFORE compact (module docstring)
             rows.append(("primary", "retain", len(expire_partitions(
                 primary["base_dir"], ret.get("partition_col", pcol),
                 ret["cutoff"], parse=ret.get("parse")))))
+        rows.append(("primary", "compact", len(compact_partitions(
+            spark, primary["base_dir"], pcol,
+            max_files=primary.get("max_files", 1)))))
 
     if inverted_index is not None:
         from localsql_spark.sinks.merge import (compact_partitions,
@@ -182,8 +185,19 @@ def maintain_everywhere(spark: SparkSession, *,
         sp = Path(signature_store["store_path"])
         existed = sp.exists()
         _heal_store_swap(str(sp))
-        rows.append(("signature_store", "heal",
-                     int(sp.exists() and not existed)))
+        healed = int(sp.exists() and not existed)
+        # a COMPLETED erase/compaction swap that crashed before its final
+        # cleanup leaves .NAME.old holding the full PRE-swap store —
+        # after an erase that is the erased subjects' data, which must
+        # not survive the nightly pass (_heal_store_swap deliberately
+        # no-ops when the store exists: rolling BACK would undo the
+        # committed swap; the leftover is cleanup debris, not state)
+        stale_old = sp.parent / f".{sp.name}.old"
+        if sp.exists() and stale_old.exists():
+            import shutil as _sh
+            _sh.rmtree(stale_old, ignore_errors=True)
+            healed += 1
+        rows.append(("signature_store", "heal", healed))
         # debris census: per-batch landing dirs, a generation layout
         # (mixed read path), or more flat files than steady state —
         # only then is the whole-store compaction swap worth its read
@@ -223,13 +237,16 @@ def maintain_everywhere(spark: SparkSession, *,
                                                 recover_pending_merge)
         rows.append(("rollup", "heal",
                      int(recover_pending_merge(rollup["rollup_dir"]))))
-        rows.append(("rollup", "compact", len(compact_partitions(
-            spark, rollup["rollup_dir"], "event_date",
-            max_files=rollup.get("max_files", 1)))))
         if rollup.get("retain_from") is not None:
+            # retain BEFORE compact: expiring event_date partitions are
+            # exactly where sliver debris ages — drop them metadata-only
+            # instead of rewriting them first (module docstring)
             rows.append(("rollup", "retain", len(expire_partitions(
                 rollup["rollup_dir"], "event_date",
                 rollup["retain_from"]))))
+        rows.append(("rollup", "compact", len(compact_partitions(
+            spark, rollup["rollup_dir"], "event_date",
+            max_files=rollup.get("max_files", 1)))))
 
     if ivm_view is not None:
         from localsql_spark.sinks.merge import (compact_partitions,

@@ -67,8 +67,10 @@ def read_base_partitions(spark: SparkSession, base_dir: str,
     partitions do, which callers already treat identically: fold against
     nothing).  The isin filter reaches the scan as a partition filter —
     touched-partition I/O only."""
-    from localsql_spark.sinks.schema_evolution import (read_registry,
-                                                       reconcile_frame)
+    from localsql_spark.sinks.schema_evolution import (evolved_read_schema,
+                                                       read_registry,
+                                                       reconcile_frame,
+                                                       registered_partition)
 
     base = Path(base_dir)
     # "table doesn't exist" includes an EMPTIED table: a store whose every
@@ -78,12 +80,24 @@ def read_base_partitions(spark: SparkSession, base_dir: str,
     # (any() short-circuits at the first part file, no full listing)
     if not base.exists() or not any(base.rglob("*.parquet")):
         return None
-    # schema-registered store (sinks/schema_evolution.py): merge footer
-    # schemas across the evolution boundary, then conform to the
-    # registry's current contract — partitions written before an
-    # evolution read back with nulls/defaults in the added columns.
+    # schema-registered store (sinks/schema_evolution.py): conform every
+    # file vintage to the registry's current contract — partitions
+    # written before an evolution read back with nulls/read-defaults in
+    # the added columns.  When the registry recorded the partition
+    # column (init_schema's partition=), the scan gets the EXPLICIT
+    # evolved schema — O(1) metadata, no footer sweep; otherwise fall
+    # back to a footer-merge read over the (already pruned) paths.
     # Registry absence = the pre-evolution fast path, bit-unchanged.
     evolved = read_registry(base_dir) is not None
+    part = registered_partition(base_dir) if evolved else None
+    explicit = (evolved_read_schema(base_dir, extra={part[0]: part[1]})
+                if part is not None and part[0] == partition_col else None)
+
+    def _reader():
+        r = spark.read.option("basePath", base_dir)
+        if explicit is not None:
+            return r.schema(explicit)
+        return r.option("mergeSchema", str(evolved).lower())
 
     def _finish(df: DataFrame) -> DataFrame:
         return reconcile_frame(df, base_dir,
@@ -116,12 +130,9 @@ def read_base_partitions(spark: SparkSession, base_dir: str,
                    if d.is_dir() and any(d.glob("*.parquet"))]
         if not present:
             return None
-        df = (spark.read.option("basePath", base_dir)
-              .option("mergeSchema", str(evolved).lower())
-              .parquet(*present))
+        df = _reader().parquet(*present)
         return _finish(df.filter(F.col(partition_col).isin(values)))
-    df = (spark.read.option("basePath", base_dir)
-          .option("mergeSchema", str(evolved).lower()).parquet(base_dir))
+    df = _reader().parquet(base_dir)
     return _finish(df.filter(F.col(partition_col).isin(values)))
 
 
@@ -151,7 +162,8 @@ def merge_into_partitioned(spark: SparkSession, base_dir: str,
     if read_registry(base_dir) is not None:
         updates = reconcile_frame(
             updates, base_dir,
-            keep_extra=[partition_col] + ([op_col] if op_col else []))
+            keep_extra=[partition_col] + ([op_col] if op_col else []),
+            mode="write")
     # 1. touched partitions — the ONLY driver-side materialization, bounded
     #    by the batch's partition fan-out
     parts = [r[0] for r in

@@ -32,8 +32,17 @@ semantics, re-expressed over plain hive-partitioned parquet):
 - Writers are VALIDATED against the registry: a batch carrying a
   column the registry does not know raises (evolve first, then
   ingest — the drift report's 'added' status now has an action), and
-  a batch missing registered columns is padded with nulls/defaults so
-  old producers keep working after an evolution.
+  a batch missing registered columns is padded with NULL so old
+  producers keep working after an evolution.  Write reconciliation
+  never materializes a default into the bytes (an explicit NULL is
+  stored as NULL); declared defaults are READ-TIME null-fill — see
+  :func:`reconcile_frame` for the exact contract and its honest
+  plain-parquet limitation.
+- The registry's types are ENFORCED against the bytes: readers supply
+  the explicit evolved schema to the scan (when the partition column
+  was recorded at init), so a registry that declares a narrower type
+  than the files hold fails fast at read instead of silently casting —
+  the registry is a contract over the store, not a view over it.
 
 Registry JSON shape::
 
@@ -62,7 +71,8 @@ SCHEMA_FILE = "_schema.json"
 
 __all__ = ["SCHEMA_FILE", "read_registry", "current_columns",
            "init_schema", "evolve_schema", "reconcile_frame",
-           "evolved_read_schema", "schema_version"]
+           "evolved_read_schema", "schema_version",
+           "registered_partition"]
 
 
 def _registry_path(store_dir: str) -> Path:
@@ -100,21 +110,40 @@ def current_columns(store_dir: str) -> tuple[dict[str, str], dict] | None:
     return cols, {k: v for k, v in defaults.items() if k in cols}
 
 
-def init_schema(store_dir: str, columns: dict[str, str]) -> int:
+def init_schema(store_dir: str, columns: dict[str, str],
+                partition: tuple[str, str] | None = None) -> int:
     """Register version 1 = the store's current contract.  Idempotent
-    when the existing v1 matches; raises on mismatch (a registry is a
-    contract, not a cache)."""
+    when ``columns`` matches the registered v1 base OR the current
+    (evolved) contract — a setup script may naturally re-init with
+    either; any other shape raises (a registry is a contract, not a
+    cache).  ``partition`` optionally records the store's hive
+    partition column as (name, spark_sql_type) so readers can supply
+    an EXPLICIT scan schema (O(1) metadata) instead of falling back to
+    a whole-read footer merge."""
     reg = read_registry(store_dir)
     if reg is not None:
-        if reg[0]["columns"] == columns and len(reg) >= 1:
+        if columns in (reg[0]["columns"], reg[-1]["columns"]):
             return reg[-1]["v"]
         raise ValueError(
             f"store {store_dir!r} already registered with a different "
-            f"base schema: {reg[0]['columns']} != {columns}")
-    _write_registry(store_dir, [{
-        "v": 1, "columns": dict(columns),
-        "added": list(columns), "defaults": {}}])
+            f"schema: base {reg[0]['columns']} / current "
+            f"{reg[-1]['columns']} != {columns}")
+    spec = {"v": 1, "columns": dict(columns),
+            "added": list(columns), "defaults": {}}
+    if partition is not None:
+        spec["partition"] = {"name": partition[0], "type": partition[1]}
+    _write_registry(store_dir, [spec])
     return 1
+
+
+def registered_partition(store_dir: str) -> tuple[str, str] | None:
+    """The (name, type) the registry recorded for the store's hive
+    partition column at init, or None."""
+    reg = read_registry(store_dir)
+    if not reg:
+        return None
+    p = reg[0].get("partition")
+    return (p["name"], p["type"]) if p else None
 
 
 def evolve_schema(store_dir: str, add: dict[str, str],
@@ -178,15 +207,37 @@ def _default_lit(v) -> Column:
 
 
 def reconcile_frame(df: DataFrame, store_dir: str,
-                    keep_extra: list[str] | None = None) -> DataFrame:
+                    keep_extra: list[str] | None = None,
+                    mode: str = "read") -> DataFrame:
     """Conform ``df`` to the registry's current contract: registered
-    columns in registry order (absent ones added as default/null,
-    declared defaults coalesced over nulls in evolved columns for rows
-    that predate them), ``keep_extra`` columns (partition/bookkeeping)
-    carried through.  Raises on a column the registry does not know —
-    the evolve-first-then-ingest gate that turns the drift report's
-    'added' finding into an action instead of silent schema corruption.
-    Row-local projection: no shuffle, no job."""
+    columns in registry order, ``keep_extra`` columns
+    (partition/bookkeeping) carried through.  Raises on a column the
+    registry does not know — the evolve-first-then-ingest gate that
+    turns the drift report's 'added' finding into an action instead of
+    silent schema corruption.  Row-local projection: no shuffle, no
+    job.
+
+    Default semantics are MODE-split so stored bytes never fabricate a
+    value:
+
+    - ``mode="write"`` (ingest reconciliation): a column the batch
+      does not carry pads with NULL — never the declared default — so
+      the stored bytes stay canonical and a later default change
+      applies retroactively; a column the batch DOES carry is cast
+      only, so a producer's explicit NULL is stored as NULL.
+    - ``mode="read"``: declared defaults fill nulls in their columns.
+      Plain parquet cannot distinguish a pre-evolution absent value
+      from a post-evolution explicit NULL at frame level (both read
+      back as NULL; Delta/Iceberg make the distinction per data file
+      via table metadata), so a declared default is a READ-TIME
+      null-fill for the WHOLE column: declare one only where NULL
+      never carries meaning, otherwise omit it and handle nulls
+      downstream — this is the honest contract, stated here instead
+      of silently overwriting stored NULLs at write time (review
+      round 12)."""
+    if mode not in ("read", "write"):
+        raise ValueError(f"reconcile_frame mode must be read|write, "
+                         f"got {mode!r}")
     cur = current_columns(store_dir)
     if cur is None:
         return df
@@ -202,9 +253,9 @@ def reconcile_frame(df: DataFrame, store_dir: str,
     for name, typ in cols.items():
         if name in df.columns:
             c = F.col(name).cast(typ)
-            if name in defaults:
+            if mode == "read" and name in defaults:
                 c = F.coalesce(c, _default_lit(defaults[name]).cast(typ))
-        elif name in defaults:
+        elif mode == "read" and name in defaults:
             c = _default_lit(defaults[name]).cast(typ)
         else:
             c = F.lit(None).cast(typ)

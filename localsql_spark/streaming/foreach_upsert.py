@@ -85,12 +85,13 @@ def read_table(spark: SparkSession, out_dir: str) -> DataFrame | None:
     gen = _current_generation(out_dir)
     if gen is None:
         return None
-    from localsql_spark.sinks.schema_evolution import (read_registry,
+    from localsql_spark.sinks.schema_evolution import (evolved_read_schema,
                                                        reconcile_frame)
-    df = spark.read.parquet(str(gen))
-    if read_registry(out_dir) is not None:
-        df = reconcile_frame(df, out_dir)
-    return df
+    ddl = evolved_read_schema(out_dir)
+    if ddl is None:
+        return spark.read.parquet(str(gen))
+    return reconcile_frame(spark.read.schema(ddl).parquet(str(gen)),
+                           out_dir)
 
 
 def apply_batch(batch_df: DataFrame, batch_id: int, *, key: str,
@@ -116,7 +117,7 @@ def apply_batch(batch_df: DataFrame, batch_id: int, *, key: str,
     from localsql_spark.sinks.schema_evolution import (read_registry,
                                                        reconcile_frame)
     if read_registry(out_dir) is not None:
-        batch_df = reconcile_frame(batch_df, out_dir)
+        batch_df = reconcile_frame(batch_df, out_dir, mode="write")
     # existence is checked explicitly — any OTHER read failure must
     # propagate, not silently restart the table from this batch
     existing = read_table(spark, out_dir)
@@ -181,7 +182,7 @@ def apply_batch_with_feed(batch_df: DataFrame, batch_id: int, *, key: str,
         # conform BEFORE the feed computation so the change rows carry
         # the evolved shape the moment the table does (feed dirs written
         # before the evolution reconcile at read via the feed registry)
-        batch_df = reconcile_frame(batch_df, out_dir)
+        batch_df = reconcile_frame(batch_df, out_dir, mode="write")
     old = _current_generation(out_dir)
     if old is not None and old.name == f"gen_{batch_id}":
         return False  # already applied; its feed dir already stands
@@ -253,14 +254,15 @@ def _read_feed_dirs(spark: SparkSession, dirs: list[Path]) -> DataFrame:
     written before an evolution read back with nulls/defaults in the
     added columns, so every reader — tail, as-of prefix, time-travel
     replay — sees one stable frame shape."""
-    from localsql_spark.sinks.schema_evolution import (read_registry,
+    from localsql_spark.sinks.schema_evolution import (evolved_read_schema,
                                                        reconcile_frame)
 
     feed_dir = str(dirs[0].parent)
-    evolved = read_registry(feed_dir) is not None
-    df = (spark.read.option("mergeSchema", str(evolved).lower())
-          .parquet(*[str(d) for d in dirs]))
-    if evolved:
+    ddl = evolved_read_schema(feed_dir)
+    if ddl is None:
+        df = spark.read.parquet(*[str(d) for d in dirs])
+    else:  # explicit evolved schema: O(1) metadata, no footer sweep
+        df = (spark.read.schema(ddl).parquet(*[str(d) for d in dirs]))
         df = reconcile_frame(df, feed_dir)
     return df.withColumn(
         "batch_id",

@@ -6655,7 +6655,8 @@ def schema_evolution_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(1).cast("long").alias("version")),
             store, "doc_id", n_buckets=8)
         init_schema(store, {"doc_id": "bigint", "lang": "string",
-                            "n_chars": "int", "version": "bigint"})
+                            "n_chars": "bigint", "version": "bigint"},
+                    partition=("kb", "int"))
         evolve_schema(store, {"quality": "double"},
                       defaults={"quality": 0.5})
         upd = (docs.filter(h % 3 == 0)

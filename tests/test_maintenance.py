@@ -294,6 +294,39 @@ def test_maintain_everywhere_full_surface(spark, tmp_path):
     assert _tree_digest(tmp_path) == before
 
 
+def test_maintain_clears_completed_swap_backup(spark, tmp_path):
+    """A COMPLETED signature-store swap that crashed before its final
+    cleanup leaves .NAME.old holding the full PRE-swap store — after an
+    erase, the erased subjects' data.  The nightly pass's heal leg must
+    clear it (review round 12: _heal_store_swap deliberately no-ops
+    when the store exists, so nothing else ever removed it)."""
+    from localsql_spark.operators.dedup import (read_signature_store,
+                                                write_signature_store)
+    from localsql_spark.sinks.maintenance import maintain_everywhere
+
+    docs = _docs(spark, 12)
+    sig = tmp_path / "sigs"
+    write_signature_store(docs.filter("doc_id >= 4"), str(sig))
+    # simulate the crash leftover: pre-erase backup next to the store
+    import shutil
+    old = tmp_path / ".sigs.old"
+    shutil.copytree(sig, old)
+    pre = {r.doc_id for r in read_signature_store(spark, str(sig)).collect()}
+
+    audit = maintain_everywhere(
+        spark, signature_store={"store_path": str(sig)})
+    a = {(r.store, r.action): r.units for r in audit.collect()}
+    assert a[("signature_store", "heal")] == 1
+    assert not old.exists()
+    assert {r.doc_id for r in
+            read_signature_store(spark, str(sig)).collect()} == pre
+    # second pass: nothing left to heal
+    audit2 = maintain_everywhere(
+        spark, signature_store={"store_path": str(sig)})
+    a2 = {(r.store, r.action): r.units for r in audit2.collect()}
+    assert a2[("signature_store", "heal")] == 0
+
+
 def test_maintain_everywhere_heals_crashed_merge(spark, tmp_path):
     """A committed-but-unapplied merge manifest (crash after the
     manifest rename, before the partition swaps) rolls FORWARD before

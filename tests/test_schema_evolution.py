@@ -35,7 +35,7 @@ def test_registry_mechanics(tmp_path):
     assert init_schema(store, {"doc_id": "bigint", "text": "string"}) == 1
     # idempotent re-init with the same base schema
     assert init_schema(store, {"doc_id": "bigint", "text": "string"}) == 1
-    with pytest.raises(ValueError, match="different base schema"):
+    with pytest.raises(ValueError, match="different schema"):
         init_schema(store, {"doc_id": "bigint"})
     assert evolve_schema(store, {"q": "double"},
                          defaults={"q": 0.5}) == 2
@@ -49,6 +49,12 @@ def test_registry_mechanics(tmp_path):
     assert list(cols) == ["doc_id", "text", "q"]
     assert defaults == {"q": 0.5}
     assert schema_version(store) == 2
+    # idempotent re-init accepts the CURRENT (evolved) contract too —
+    # a setup script naturally re-registers with what the store now is
+    assert init_schema(store, {"doc_id": "bigint", "text": "string",
+                               "q": "double"}) == 2
+    with pytest.raises(ValueError, match="different schema"):
+        init_schema(store, {"doc_id": "bigint", "q": "double"})
 
 
 # ---------------------------------------------------------------------------
@@ -67,7 +73,7 @@ def test_bucketed_store_evolution_merge_erase_access(spark, tmp_path):
     base = str(tmp_path / "store")
     write_bucketed_store(docs, base, "doc_id", n_buckets=4)
     init_schema(base, {"doc_id": "bigint", "text": "string",
-                       "version": "bigint"})
+                       "version": "bigint"}, partition=("kb", "int"))
     evolve_schema(base, {"quality": "double"}, defaults={"quality": 0.5})
 
     # pin untouched partitions: the evolution itself moves no byte
@@ -248,3 +254,48 @@ def test_feed_erase_schema_version_safe(spark, tmp_path):
     # the rewritten old-schema dir kept its historical shape on disk
     raw0 = spark.read.parquet(str(Path(feed) / "batch_0"))
     assert "new_quality" not in raw0.columns
+
+
+def test_write_mode_preserves_explicit_null_in_bytes(spark, tmp_path):
+    """The mode-split default contract (review round 12): a
+    post-evolution producer's explicit NULL is STORED as NULL (write
+    reconciliation never coalesces a present column), so the bytes stay
+    canonical; a declared default is a READ-TIME null-fill — it applies
+    at read (documented: plain parquet cannot distinguish pre-evolution
+    absence from explicit NULL at frame level), and a column WITHOUT a
+    declared default round-trips NULL exactly."""
+    from localsql_spark.sinks.erase import (read_bucketed_store,
+                                            write_bucketed_store)
+    from localsql_spark.sinks.merge import merge_into_partitioned
+    from localsql_spark.sinks.schema_evolution import (evolve_schema,
+                                                       init_schema)
+
+    docs = _docs(spark, 8)
+    base = str(tmp_path / "store")
+    write_bucketed_store(docs, base, "doc_id", n_buckets=2)
+    init_schema(base, {"doc_id": "bigint", "text": "string",
+                       "version": "bigint"}, partition=("kb", "int"))
+    evolve_schema(base, {"quality": "double"}, defaults={"quality": 0.5})
+    evolve_schema(base, {"note": "string"})  # no default
+
+    from localsql_spark.sinks.erase import bucket_of
+    upd = spark.createDataFrame(
+        [(0, "t0", 2, None, None), (1, "t1", 2, 0.7, "kept")],
+        "doc_id long, text string, version long, quality double, "
+        "note string").withColumn("kb", bucket_of(F.col("doc_id"), 2))
+    merge_into_partitioned(spark, base, upd, key="doc_id",
+                           version="version", partition_col="kb")
+
+    # RAW bytes of the touched partitions: explicit NULL stored as NULL
+    raw = {r.doc_id: (r.quality, r.note) for r in
+           spark.read.option("basePath", base).parquet(base)
+           .filter("version = 2").collect()}
+    assert raw[0] == (None, None)
+    assert raw[1] == (0.7, "kept")
+    # registry read: declared default fills quality's nulls (documented
+    # whole-column read-time semantics); no-default note stays NULL
+    got = {r.doc_id: (r.quality, r.note) for r in
+           read_bucketed_store(spark, base).collect()}
+    assert got[0] == (0.5, None)
+    assert got[1] == (0.7, "kept")
+    assert got[2] == (0.5, None)  # pre-evolution row
