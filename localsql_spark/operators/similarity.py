@@ -1665,26 +1665,44 @@ def write_ivfpq_index(corpus: DataFrame, path: str, n_cells: int = 8,
     the float row — the persisted IVF index stores full vectors), probes
     read only the probed cells' partitions, and the float corpus is
     never touched at query time.  Same deterministic seeding as the
-    in-memory operator, so the persisted probe shares its exact oracle."""
-    # APPLY (never discard) any pending partial-erase manifest on the
-    # codes table first: a crashed ivfpq_erase_vectors run that died
-    # between its manifest commit and the partition swaps has COMMITTED
-    # the erasure — unlinking the manifest here would permanently resurrect
-    # erased PQ codes if this retrain then crashed before rewriting codes.
-    # Applying it completes the erase AND deletes the manifest, which also
-    # closes the stale-replay hazard (pre-retrain codes encoded with the
-    # old codebooks can no longer be replayed over the fresh index).
+    in-memory operator, so the persisted probe shares its exact oracle.
+
+    Crash-safe in-place retrain (advisor r12): the whole index —
+    centroids, optional OPQ ``_rotation``, codebooks, codes — is built
+    into a sibling ``.<name>.build`` staging dir and swapped in with
+    one rename pair (the ``rebuild_nonretractable`` pattern), so model
+    state commits ATOMICALLY as a set.  The old non-atomic in-place
+    write could crash between the rotation overwrite and the codes
+    rewrite, leaving a live index whose served codes were encoded in a
+    DIFFERENT basis than the persisted rotation — ADC distances then
+    silently compute in the wrong basis.  A mid-build crash now leaves
+    the previous index generation serving untouched."""
     import shutil as _shutil
     from pathlib import Path as _P
 
+    from localsql_spark.sinks.erase import _swap_rebuilt
     from localsql_spark.sinks.merge import recover_pending_merge
-    codes_base = _P(f"{path}/codes")
-    codes_base.parent.mkdir(parents=True, exist_ok=True)
+
+    dst = _P(path)
+    dst.parent.mkdir(parents=True, exist_ok=True)
+    # APPLY (never discard) any pending partial-erase manifest on the
+    # LIVE codes table first: a crashed ivfpq_erase_vectors run that died
+    # between its manifest commit and the partition swaps has COMMITTED
+    # the erasure — retraining and swapping without applying it would
+    # drop the manifest with the old generation, but a crash BEFORE this
+    # build's swap must leave a live index on which the committed erase
+    # still completes (readers heal it).  Applying it also closes the
+    # stale-replay hazard (pre-retrain codes encoded with the old
+    # codebooks can no longer be replayed over the fresh index).
+    codes_base = dst / "codes"
     recover_pending_merge(str(codes_base))
     # an UNCOMMITTED staging leftover (crash before manifest rename) is
     # discardable — the erase never committed
     _shutil.rmtree(codes_base.parent / f".{codes_base.name}.staging",
                    ignore_errors=True)
+    build = dst.parent / f".{dst.name}.build"
+    _shutil.rmtree(build, ignore_errors=True)
+    path = str(build)  # every model table below stages here
     cents = _coarse_cells(corpus, n_cells, id_col, vec_col)
     cents.write.mode("overwrite").parquet(f"{path}/_centroids")
     # same AUTO default as knn_ivfpq_adc: flat assignment below
@@ -1713,8 +1731,8 @@ def write_ivfpq_index(corpus: DataFrame, path: str, n_cells: int = 8,
              for j, w in enumerate(row)], "r int, j int, w double")
          .coalesce(1).write.mode("overwrite")
          .parquet(f"{path}/_rotation"))
-    else:
-        _shutil.rmtree(f"{path}/_rotation", ignore_errors=True)
+    # (no rotate=False cleanup: the staged build simply lacks _rotation,
+    # and the swap replaces the whole index dir)
     codebooks = pq_train(res.filter(F.col(id_col) >= n_cells), m, k_codes,
                          n_iter, id_col, vec_col)
     codebooks.write.mode("overwrite").parquet(f"{path}/_codebooks")
@@ -1723,6 +1741,7 @@ def write_ivfpq_index(corpus: DataFrame, path: str, n_cells: int = 8,
      .select(F.col(id_col).alias("neighbor_id"), "s", "code", "cell")
      .repartition(F.col("cell"))
      .write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes"))
+    _swap_rebuilt(dst, build)  # COMMIT — one rename pair, whole index
 
 
 def knn_ivfpq_from_index(spark: SparkSession, index_path: str,

@@ -89,7 +89,10 @@ def erase_keys(spark: SparkSession, base_dir: str, keys: DataFrame,
                         .alias("kb")).distinct().collect()]
     if not touched:
         return []
-    stored = read_base_partitions(spark, base_dir, "kb", touched)
+    # mode='write': the kept rows are REWRITTEN — a read-default
+    # coalesce here would bake defaults into carried rows' bytes
+    stored = read_base_partitions(spark, base_dir, "kb", touched,
+                                  mode="write")
     if stored is None:
         return []
     kept = stored.join(F.broadcast(k),

@@ -61,12 +61,23 @@ _SAFE_PART = re.compile(r"^[A-Za-z0-9._-]+$")
 
 
 def read_base_partitions(spark: SparkSession, base_dir: str,
-                         partition_col: str, values: list) -> DataFrame | None:
+                         partition_col: str, values: list,
+                         mode: str = "read") -> DataFrame | None:
     """Read only the named partitions of a hive-partitioned parquet table
     (None if the table doesn't exist yet — or if none of the named
     partitions do, which callers already treat identically: fold against
     nothing).  The isin filter reaches the scan as a partition filter —
-    touched-partition I/O only."""
+    touched-partition I/O only.
+
+    ``mode`` is the schema-evolution reconcile mode and MUST be
+    ``"write"`` for any read that feeds a partition REWRITE (merge,
+    erase, compaction): mode='read' coalesces declared read-defaults
+    into the frame, and a rewrite would BAKE those defaults into the
+    carried base rows' bytes — silently converting a post-evolution
+    explicit NULL into the default on disk, contradicting the registry
+    contract that stored bytes stay canonical and a later default
+    change applies retroactively (advisor r12).  Pure-read consumers
+    keep the default ``"read"``."""
     from localsql_spark.sinks.schema_evolution import (evolved_read_schema,
                                                        read_registry,
                                                        reconcile_frame,
@@ -100,8 +111,8 @@ def read_base_partitions(spark: SparkSession, base_dir: str,
         return r.option("mergeSchema", str(evolved).lower())
 
     def _finish(df: DataFrame) -> DataFrame:
-        return reconcile_frame(df, base_dir,
-                               keep_extra=[partition_col]) if evolved \
+        return reconcile_frame(df, base_dir, keep_extra=[partition_col],
+                               mode=mode) if evolved \
             else df
     # DRIVER-SIDE listing must track the request too: reading base_dir
     # whole makes Spark's file index list EVERY partition dir before the
@@ -191,8 +202,11 @@ def merge_into_partitioned(spark: SparkSession, base_dir: str,
             f"updates carry multiple {partition_col!r} values for one "
             f"{key!r} — partition value must be stable per key")
 
-    # 2. prune the base read to touched partitions
-    existing = read_base_partitions(spark, base_dir, partition_col, parts)
+    # 2. prune the base read to touched partitions — mode='write': this
+    #    frame's carried rows are REWRITTEN into the staged partitions,
+    #    so read-defaults must not be baked into their bytes
+    existing = read_base_partitions(spark, base_dir, partition_col, parts,
+                                    mode="write")
 
     # 3. latest-version-per-key resolution (shared with the streaming
     #    sink); op_col enables tombstones — a winning 'delete' removes
@@ -376,8 +390,29 @@ def compact_partitions(spark: SparkSession, base_dir: str,
         if d.is_dir() and len(list(d.glob("*.parquet"))) > max_files)
     if not fat:
         return []
-    df = (spark.read.option("basePath", base_dir)
-          .parquet(*[str(base / n) for n in fat]))
+    # schema-registered store: the fat partitions may span evolution
+    # vintages (external/sliver writers are exactly this operator's
+    # target), and a raw read would infer the scan schema from ONE
+    # arbitrary file — a pre-evolution file there silently DROPS the
+    # evolved columns' data from newer files in the rewrite (advisor
+    # r12).  Supply the registry's explicit evolved schema (partition
+    # column recorded at init) so every vintage's columns survive; a
+    # registered store without the partition record falls back to a
+    # footer-merge read over the (already pruned) fat paths.  No
+    # reconcile_frame here: compaction must preserve bytes as-is, never
+    # coalesce read-defaults into them.
+    from localsql_spark.sinks.schema_evolution import (evolved_read_schema,
+                                                       read_registry,
+                                                       registered_partition)
+    reader = spark.read.option("basePath", base_dir)
+    if read_registry(base_dir) is not None:
+        part = registered_partition(base_dir)
+        if part is not None and part[0] == partition_col:
+            reader = reader.schema(
+                evolved_read_schema(base_dir, extra={part[0]: part[1]}))
+        else:
+            reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*[str(base / n) for n in fat])
     staging = base.parent / f".{base.name}.staging"
     shutil.rmtree(staging, ignore_errors=True)
     (df.repartition(F.col(partition_col))

@@ -206,6 +206,32 @@ def _default_lit(v) -> Column:
     return F.lit(v)
 
 
+def _validated_cast(df: DataFrame, name: str, typ: str) -> Column:
+    """Write-mode cast of a batch column to its registry type that
+    FAILS FAST when a value would be silently NULLed: a mistyped
+    producer value (string ``'abc'`` into a ``double``) is schema
+    corruption, not data — the bare ``cast`` stores NULL for it in
+    non-ANSI sessions, and the registry's 'types are enforced' claim
+    held only for the read-scan path (advisor r12).  Row-local in-plan
+    guard (``try_cast`` + ``raise_error``), no extra job; skipped
+    entirely when the batch already carries the registered type (the
+    cast is the identity, nothing to validate)."""
+    c = F.col(name)
+    have = df.schema[name].dataType.simpleString().lower()
+    if have == typ.strip().lower():
+        return c
+    tc = c.try_cast(typ)
+    return F.when(
+        c.isNotNull() & tc.isNull(),
+        F.raise_error(F.concat(
+            F.lit(f"reconcile_frame: column {name!r} value "),
+            c.cast("string"),
+            F.lit(f" (batch type {have}) does not cast to the "
+                  f"registry type {typ} — fix the producer or "
+                  f"migrate the store"))).cast(typ)
+    ).otherwise(tc)
+
+
 def reconcile_frame(df: DataFrame, store_dir: str,
                     keep_extra: list[str] | None = None,
                     mode: str = "read") -> DataFrame:
@@ -224,7 +250,13 @@ def reconcile_frame(df: DataFrame, store_dir: str,
       does not carry pads with NULL — never the declared default — so
       the stored bytes stay canonical and a later default change
       applies retroactively; a column the batch DOES carry is cast
-      only, so a producer's explicit NULL is stored as NULL.
+      only, so a producer's explicit NULL is stored as NULL.  The cast
+      is VALIDATED in-plan (advisor r12): when the batch's column type
+      differs from the registry's, a value the cast would silently
+      NULL (e.g. the string ``'abc'`` into a ``double`` column) raises
+      at write instead of storing a fabricated NULL — the same
+      fail-fast contract the read-scan path already has.  Same-type
+      columns skip the guard (the cast is the identity).
     - ``mode="read"``: declared defaults fill nulls in their columns.
       Plain parquet cannot distinguish a pre-evolution absent value
       from a post-evolution explicit NULL at frame level (both read
@@ -253,6 +285,8 @@ def reconcile_frame(df: DataFrame, store_dir: str,
     for name, typ in cols.items():
         if name in df.columns:
             c = F.col(name).cast(typ)
+            if mode == "write":
+                c = _validated_cast(df, name, typ)
             if mode == "read" and name in defaults:
                 c = F.coalesce(c, _default_lit(defaults[name]).cast(typ))
         elif mode == "read" and name in defaults:

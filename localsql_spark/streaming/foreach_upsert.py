@@ -78,10 +78,15 @@ def _current_generation(out_dir: str) -> Path | None:
     return gen if gen.exists() else None
 
 
-def read_table(spark: SparkSession, out_dir: str) -> DataFrame | None:
+def read_table(spark: SparkSession, out_dir: str,
+               mode: str = "read") -> DataFrame | None:
     """Read the current generation of an upsert table (None if empty).
     A schema-registered table reconciles a generation written before an
-    evolution to the current contract (added columns null/default)."""
+    evolution to the current contract (added columns null/default).
+    ``mode="write"`` is for reads that feed the NEXT generation's
+    rewrite (:func:`apply_batch`): it skips the read-default coalesce
+    so carried rows' explicit NULLs are not baked over with defaults
+    in the rewritten bytes (advisor r12)."""
     gen = _current_generation(out_dir)
     if gen is None:
         return None
@@ -91,7 +96,7 @@ def read_table(spark: SparkSession, out_dir: str) -> DataFrame | None:
     if ddl is None:
         return spark.read.parquet(str(gen))
     return reconcile_frame(spark.read.schema(ddl).parquet(str(gen)),
-                           out_dir)
+                           out_dir, mode=mode)
 
 
 def apply_batch(batch_df: DataFrame, batch_id: int, *, key: str,
@@ -119,8 +124,9 @@ def apply_batch(batch_df: DataFrame, batch_id: int, *, key: str,
     if read_registry(out_dir) is not None:
         batch_df = reconcile_frame(batch_df, out_dir, mode="write")
     # existence is checked explicitly — any OTHER read failure must
-    # propagate, not silently restart the table from this batch
-    existing = read_table(spark, out_dir)
+    # propagate, not silently restart the table from this batch.
+    # mode='write': this frame is rewritten into the new generation
+    existing = read_table(spark, out_dir, mode="write")
     result = merge_upsert(existing, batch_df, key=key, version=version)
     # write the new generation FIRST, then flip the pointer atomically
     # (temp + rename): a failure mid-write leaves the previous generation
@@ -192,7 +198,10 @@ def apply_batch_with_feed(batch_df: DataFrame, batch_id: int, *, key: str,
     # generation and fabricate history (the merge below still applies)
     if batch_id > _pruned_through(feed_dir) \
             and not (fdir / "_SUCCESS").exists():
-        existing = read_table(spark, out_dir)
+        # mode='write': the feed is a DURABLE record — old_* images must
+        # carry the stored bytes' canonical values (explicit NULLs), not
+        # read-defaults that a later default change would invalidate
+        existing = read_table(spark, out_dir, mode="write")
         feed = change_feed(existing, batch_df, key=key, version=version)
         feed.write.mode("overwrite").parquet(str(fdir))
     return apply_batch(batch_df, batch_id, key=key, version=version,

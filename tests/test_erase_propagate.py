@@ -1193,3 +1193,53 @@ def test_cov_store_empty_reads_none(spark, tmp_path):
     empty = tmp_path / "empty"
     empty.mkdir()
     assert cov_from_store(spark, str(empty)) is None
+
+
+def test_ivfpq_retrain_crash_leaves_consistent_live_index(spark, tmp_path,
+                                                          monkeypatch):
+    """Advisor r12: write_ivfpq_index over a LIVE index must commit model
+    state atomically — a retrain that dies after writing some model
+    tables but before the codes must leave the OLD generation serving in
+    ONE consistent basis (rotation + codebooks + codes all from the same
+    train), never a mixed state whose ADC distances compute in the wrong
+    basis.  The staged-build + whole-index swap is the mechanism."""
+    from localsql_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 13 + j * 7) % 11) for j in range(16)])
+         for i in range(40)], "vec_id long, embedding array<double>")
+    index = str(tmp_path / "ivfpq")
+    S.write_ivfpq_index(emb, index, n_cells=4, m=2, k_codes=8, rotate=True)
+    q = emb.filter(F.col("vec_id") < 3)
+    before = sorted((r.query_id, r.rn, r.neighbor_id, r.adc_dist)
+                    for r in S.knn_ivfpq_from_index(spark, index, q,
+                                                    k=5).collect())
+    pre_bytes = {str(p): p.stat().st_size
+                 for p in Path(index).rglob("*.parquet")}
+
+    # crash injection: rotation/centroids already trained, codebook
+    # training dies — the exact window the non-atomic write left open
+    def _boom(*a, **k):
+        raise RuntimeError("injected codebook-train crash")
+    monkeypatch.setattr(S, "pq_train", _boom)
+    with pytest.raises(RuntimeError, match="injected codebook-train"):
+        S.write_ivfpq_index(emb.filter(F.col("vec_id") != 7), index,
+                            n_cells=4, m=2, k_codes=8, rotate=True)
+    monkeypatch.undo()
+
+    # live index: byte-identical file set, identical serving results
+    post_bytes = {str(p): p.stat().st_size
+                  for p in Path(index).rglob("*.parquet")}
+    assert post_bytes == pre_bytes
+    after = sorted((r.query_id, r.rn, r.neighbor_id, r.adc_dist)
+                   for r in S.knn_ivfpq_from_index(spark, index, q,
+                                                   k=5).collect())
+    assert after == before
+
+    # a subsequent clean retrain sweeps the dead staging dir and commits
+    S.write_ivfpq_index(emb, index, n_cells=4, m=2, k_codes=8, rotate=True)
+    assert not (Path(index).parent / f".{Path(index).name}.build").exists()
+    again = sorted((r.query_id, r.rn, r.neighbor_id, r.adc_dist)
+                   for r in S.knn_ivfpq_from_index(spark, index, q,
+                                                   k=5).collect())
+    assert again == before  # deterministic trainer: same corpus, same index

@@ -299,3 +299,184 @@ def test_write_mode_preserves_explicit_null_in_bytes(spark, tmp_path):
     assert got[0] == (0.5, None)
     assert got[1] == (0.7, "kept")
     assert got[2] == (0.5, None)  # pre-evolution row
+
+
+def test_rewrite_does_not_bake_defaults_into_carried_rows(spark, tmp_path):
+    """Advisor r12: reads that FEED A REWRITE must reconcile in write
+    mode.  A carried base row's post-evolution explicit NULL (and a
+    pre-evolution row's absent value) must stay NULL in the rewritten
+    partition bytes after a later merge or erase touches its partition —
+    the read-default is read-time only, never baked into storage."""
+    from localsql_spark.sinks.erase import (bucket_of, erase_keys,
+                                            read_bucketed_store,
+                                            write_bucketed_store)
+    from localsql_spark.sinks.merge import merge_into_partitioned
+    from localsql_spark.sinks.schema_evolution import (evolve_schema,
+                                                       init_schema)
+
+    docs = _docs(spark, 8)
+    base = str(tmp_path / "store")
+    write_bucketed_store(docs, base, "doc_id", n_buckets=2)
+    init_schema(base, {"doc_id": "bigint", "text": "string",
+                       "version": "bigint"}, partition=("kb", "int"))
+    evolve_schema(base, {"quality": "double"}, defaults={"quality": 0.5})
+
+    # batch 1: doc 0 stores an EXPLICIT NULL quality (canonical bytes)
+    upd1 = spark.createDataFrame(
+        [(0, "t0", 2, None)],
+        "doc_id long, text string, version long, quality double") \
+        .withColumn("kb", bucket_of(F.col("doc_id"), 2))
+    merge_into_partitioned(spark, base, upd1, key="doc_id",
+                           version="version", partition_col="kb")
+
+    # pick two other keys that share doc 0's bucket, so batch 2 and the
+    # erase both REWRITE the partition holding doc 0's explicit NULL
+    kbs = {r.doc_id: r.kb for r in
+           docs.withColumn("kb", bucket_of(F.col("doc_id"), 2)).collect()}
+    same = [i for i in range(1, 8) if kbs[i] == kbs[0]]
+    key2, ekey = same[0], same[1]
+
+    # batch 2 touches the SAME partition via a different key: doc 0 and
+    # the pre-evolution rows are CARRIED rows in the rewrite
+    upd2 = spark.createDataFrame(
+        [(key2, "t2", 2, 0.9)],
+        "doc_id long, text string, version long, quality double") \
+        .withColumn("kb", bucket_of(F.col("doc_id"), 2))
+    merge_into_partitioned(spark, base, upd2, key="doc_id",
+                           version="version", partition_col="kb")
+
+    raw = {r.doc_id: r.quality for r in
+           spark.read.option("basePath", base).parquet(base).collect()}
+    assert raw[0] is None, "explicit NULL baked over by merge rewrite"
+    assert raw[key2] == 0.9
+    # pre-evolution carried rows also store NULL, not the default
+    pre_ev = [r.quality for r in
+              spark.read.option("basePath", base).parquet(base)
+              .filter("version = 1").collect()]
+    assert all(q is None for q in pre_ev)
+
+    # erase is a rewrite too: erasing another key in the same bucket
+    # must not bake defaults into the kept rows' bytes
+    erase_keys(spark, base,
+               spark.createDataFrame([(ekey,)], "doc_id long"),
+               "doc_id", n_buckets=2)
+    raw = {r.doc_id: r.quality for r in
+           spark.read.option("basePath", base).parquet(base).collect()}
+    assert ekey not in raw
+    assert raw[0] is None, "explicit NULL baked over by erase rewrite"
+    # the READ surface still applies the declared default
+    got = {r.doc_id: r.quality
+           for r in read_bucketed_store(spark, base).collect()}
+    assert got[0] == 0.5 and got[key2] == 0.9
+
+
+def test_generation_rewrite_keeps_explicit_null(spark, tmp_path):
+    """Same advisor-r12 contract on the generation-pointer table: the
+    next apply_batch rewrites EVERY carried row into the new generation;
+    explicit NULLs must survive in the new generation's bytes."""
+    from localsql_spark.sinks.schema_evolution import (evolve_schema,
+                                                       init_schema)
+    from localsql_spark.streaming.foreach_upsert import (_current_generation,
+                                                         apply_batch,
+                                                         read_table)
+
+    out = str(tmp_path / "table")
+    Path(out).mkdir()
+    init_schema(out, {"doc_id": "bigint", "text": "string",
+                      "version": "bigint"})
+    apply_batch(spark.createDataFrame(
+        [(0, "t0", 1), (1, "t1", 1)],
+        "doc_id long, text string, version long"),
+        0, key="doc_id", version="version", out_dir=out)
+    evolve_schema(out, {"quality": "double"}, defaults={"quality": 0.9})
+    # explicit NULL for doc 0 post-evolution
+    apply_batch(spark.createDataFrame(
+        [(0, "u0", 2, None)],
+        "doc_id long, text string, version long, quality double"),
+        1, key="doc_id", version="version", out_dir=out)
+    # a third batch carries doc 0 and 1 forward into gen_2's bytes
+    apply_batch(spark.createDataFrame(
+        [(2, "t2", 1, 0.3)],
+        "doc_id long, text string, version long, quality double"),
+        2, key="doc_id", version="version", out_dir=out)
+
+    gen = _current_generation(out)
+    raw = {r.doc_id: r.quality
+           for r in spark.read.parquet(str(gen)).collect()}
+    assert raw[0] is None, "explicit NULL baked over by generation rewrite"
+    assert raw[1] is None  # pre-evolution carried row: canonical NULL
+    assert raw[2] == 0.3
+    got = {r.doc_id: r.quality for r in read_table(spark, out).collect()}
+    assert got == {0: 0.9, 1: 0.9, 2: 0.3}  # read-time default intact
+
+
+def test_compact_preserves_evolved_columns_across_vintages(spark, tmp_path):
+    """Advisor r12: compact_partitions on a schema-registered store whose
+    fat partition spans evolution vintages must supply the registry's
+    evolved schema to the compaction read — a raw read infers from one
+    arbitrary file, and a pre-evolution file there silently DROPS the
+    evolved column's data from newer files."""
+    from localsql_spark.sinks.erase import (read_bucketed_store,
+                                            write_bucketed_store)
+    from localsql_spark.sinks.merge import compact_partitions
+    from localsql_spark.sinks.schema_evolution import (evolve_schema,
+                                                       init_schema)
+
+    docs = _docs(spark, 6)
+    base = str(tmp_path / "store")
+    write_bucketed_store(docs.coalesce(1), base, "doc_id", n_buckets=1)
+    init_schema(base, {"doc_id": "bigint", "text": "string",
+                       "version": "bigint"}, partition=("kb", "int"))
+    evolve_schema(base, {"quality": "double"})
+
+    # an external/sliver writer lands a SECOND file in the same
+    # partition dir carrying the evolved column
+    pdir = Path(base) / "kb=0"
+    extra = spark.createDataFrame(
+        [(100, "x100", 1, 0.7), (101, "x101", 1, 0.2)],
+        "doc_id long, text string, version long, quality double") \
+        .withColumn("kb", F.lit(0))
+    scratch = tmp_path / "scratch"
+    (extra.coalesce(1).write.mode("overwrite").partitionBy("kb")
+     .parquet(str(scratch)))
+    import shutil
+    src = next((scratch / "kb=0").glob("*.parquet"))
+    shutil.copy(src, pdir / f"part-extra-{src.name}")
+    assert len(list(pdir.glob("*.parquet"))) == 2
+
+    rewritten = compact_partitions(spark, base, "kb")
+    assert rewritten == ["kb=0"]
+    assert len(list(pdir.glob("*.parquet"))) == 1
+    got = {r.doc_id: r.quality
+           for r in read_bucketed_store(spark, base).collect()}
+    assert got[100] == 0.7 and got[101] == 0.2, \
+        "evolved column data lost in compaction rewrite"
+    assert got[0] is None  # pre-evolution rows: NULL, never fabricated
+
+
+def test_write_mode_rejects_uncastable_values(spark, tmp_path):
+    """Advisor r12: write-mode reconciliation validates the cast — a
+    producer value the registry type cannot represent raises at write
+    instead of being silently stored as NULL (schema corruption); a
+    genuinely castable representation still flows."""
+    from localsql_spark.sinks.schema_evolution import (init_schema,
+                                                       reconcile_frame)
+
+    store = str(tmp_path / "s")
+    init_schema(store, {"doc_id": "bigint", "quality": "double"})
+
+    ok = spark.createDataFrame([(1, "0.75")],
+                               "doc_id long, quality string")
+    got = reconcile_frame(ok, store, mode="write").collect()
+    assert got[0].quality == 0.75
+
+    bad = spark.createDataFrame([(1, "0.5"), (2, "abc")],
+                                "doc_id long, quality string")
+    with pytest.raises(Exception, match="does not cast"):
+        reconcile_frame(bad, store, mode="write").collect()
+
+    # a NULL in a mistyped column is still a NULL, not an error
+    nullish = spark.createDataFrame([(3, None)],
+                                    "doc_id long, quality string")
+    assert reconcile_frame(nullish, store,
+                           mode="write").first().quality is None
