@@ -1410,7 +1410,12 @@ def opq_rotation(res: DataFrame, vec_col: str = "embedding",
     # spread it across the executor cores first (the spread() trap:
     # it only widens FILE scans, not checkpointed/shuffled frames)
     res = res.repartition(res.sparkSession.sparkContext.defaultParallelism)
-    cov, _ = covariance_and_means(res, vec_col)
+    # exact path: the decimal fold the opq_rotation_basis oracle
+    # replays; float twin: the Arrow/numpy accumulator (the planted
+    # pipeline gates are rotation-agnostic, so the twin only needs a
+    # deterministic near-orthogonal basis, not bit-replayable entries)
+    cov, _ = (covariance_and_means if exact
+              else covariance_and_means_arrow)(res, vec_col)
     rows = [(r["j"], r["k"], r["cov"]) for r in cov.collect()]
     dim = max(j for j, _k, _c in rows) + 1 if rows else 0
     basis: list[list[float]] = []
@@ -2082,9 +2087,10 @@ def covariance_matrix(df: DataFrame,
     them — the shuffle carries at most dim^2 x partitions partial rows
     whatever the corpus size, which is the distributed-covariance shape
     (MLlib's RowMatrix.computeCovariance does the same fold as a
-    treeAggregate of outer products; at dim >> 256 switch to an
-    Arrow-batched numpy outer-product accumulator via mapInPandas —
-    same bound, lower constant).  Products round to 12 decimals and sum
+    treeAggregate of outer products; the production-path twin of that
+    shape is :func:`covariance_and_means_arrow`'s per-partition numpy
+    outer-product accumulator — same bound, ~40x lower constant,
+    minus the bit-replayability).  Products round to 12 decimals and sum
     as DECIMAL (order-insensitive), means and the final
     ``E[xy] - E[x]E[y]`` round to 12 — bit-reproducible cross-engine,
     so a DuckDB oracle can replay the matrix exactly.  Population (1/n)
@@ -2129,6 +2135,97 @@ def covariance_and_means(df: DataFrame, vec_col: str = "embedding"
     cov = (sxy.join(mj, "j").join(mk, "k")
            .select("j", "k",
                    F.round(F.round(F.col("sxy") / F.lit(float(n)), 12)
+                           - F.col("mean_j") * F.col("mean_k"), 12)
+                   .alias("cov")))
+    return cov, means
+
+
+def covariance_and_means_arrow(df: DataFrame, vec_col: str = "embedding"
+                               ) -> tuple[DataFrame, DataFrame]:
+    """FLOAT-TWIN of :func:`covariance_and_means`: the same
+    ``(cov, means)`` contract computed with a per-partition
+    Arrow-batched numpy outer-product accumulator instead of the
+    in-plan dim^2-per-row exact-decimal expand.  This is the
+    PRODUCTION path (the docstring switch `covariance_matrix` always
+    promised at dim >> 256): each partition folds its rows into ONE
+    dim x dim float64 partial (``X.T @ X``, plus the column sums and
+    count) inside mapInPandas, so the corpus is read once, nothing
+    corpus-sized shuffles, and total work is N*dim^2 BLAS flops
+    instead of N*dim^2 codegen'd BigDecimal constructions — measured
+    ~40x at 64x sf0.1 (SCALE.md round-13 row).  The tiny final reduce
+    (dim^2 rows x partitions) rounds each partial to 12 and
+    decimal-sums, so the cross-partition fold is order-exact and the
+    result is deterministic for a fixed input layout.
+
+    Equivalence vs the exact fold (ANN.md "float-twin bound"): the
+    only divergences are the dropped per-product 1e-12 quantization
+    (<= N * 0.5e-12 per entry, signs i.i.d. so typically
+    ~sqrt(N)*3e-13) and the within-partition float64 accumulation
+    (<= rows_per_partition * eps * max|running sum|).  Both sit
+    orders below the 1e-9 output quantum of every consumer at the
+    tested scales; callers that need BIT-exact cross-engine replay
+    (the DuckDB oracles) use the exact fold — the opq_rotation
+    exact-vs-float-twin discipline."""
+    import numpy as np
+    import pandas as pd
+
+    df = spread(df)
+    col = vec_col
+
+    def _acc(batches):
+        sxy = None
+        sx = None
+        n = 0
+        for pdf in batches:
+            vals = pdf[col].dropna()
+            if not len(vals):
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in vals])
+            if sxy is None:
+                sxy = x.T @ x
+                sx = x.sum(axis=0)
+            else:
+                sxy += x.T @ x
+                sx += x.sum(axis=0)
+            n += x.shape[0]
+        if n == 0:
+            return
+        d = sx.shape[0]
+        jj = np.repeat(np.arange(d, dtype=np.int32), d)
+        kk = np.tile(np.arange(d, dtype=np.int32), d)
+        yield pd.DataFrame({
+            "j": np.concatenate([jj, np.arange(d, dtype=np.int32),
+                                 np.array([-1], dtype=np.int32)]),
+            "k": np.concatenate([kk, np.full(d, -1, dtype=np.int32),
+                                 np.array([-1], dtype=np.int32)]),
+            "val": np.concatenate([sxy.ravel(), sx,
+                                   np.array([float(n)])])})
+
+    part = df.select(col).mapInPandas(_acc, "j int, k int, val double")
+    # order-exact cross-partition reduce over model-sized partials;
+    # materialized once — n, means and cov all read it
+    tot = (part.groupBy("j", "k")
+           .agg(F.sum(F.round(F.col("val"), 12).cast(_DEC))
+                .cast("double").alias("val"))
+           .localCheckpoint(eager=True))
+    nrow = tot.filter((F.col("j") == -1) & (F.col("k") == -1)).collect()
+    if not nrow:
+        raise ValueError(
+            "covariance_and_means_arrow: covariance is undefined over "
+            "zero rows (the 1/n normalization divides by the corpus "
+            "size)")
+    n = float(nrow[0]["val"])
+    means = (tot.filter((F.col("k") == -1) & (F.col("j") >= 0))
+             .select("j", F.round(F.col("val") / F.lit(n), 12)
+                     .alias("mean"))
+             .localCheckpoint(eager=True))
+    mj = means.select("j", F.col("mean").alias("mean_j"))
+    mk = means.select(F.col("j").alias("k"), F.col("mean").alias("mean_k"))
+    cov = (tot.filter((F.col("j") >= 0) & (F.col("k") >= 0))
+           .join(mj, "j").join(mk, "k")
+           .select("j", "k",
+                   F.round(F.round(F.col("val") / F.lit(n), 12)
                            - F.col("mean_j") * F.col("mean_k"), 12)
                    .alias("cov")))
     return cov, means
@@ -2269,7 +2366,8 @@ def pca_explained(cov: DataFrame, rounds: int = 6) -> DataFrame:
 
 def pca_project(df: DataFrame, vec_col: str = "embedding",
                 id_col: str = "vec_id", n_components: int = 2,
-                rounds: int = 6, whiten: bool = False) -> DataFrame:
+                rounds: int = 6, whiten: bool = False,
+                method: str = "arrow") -> DataFrame:
     """Project every embedding onto the top-``n_components`` principal
     axes — the actual dimensionality REDUCER the PCA arc exists for
     (curation plots, cheap downstream clustering, decorrelated
@@ -2287,8 +2385,22 @@ def pca_project(df: DataFrame, vec_col: str = "embedding",
     operators (tested), but k components cost a loop over dim^2 floats
     instead of ~15k tiny Spark jobs (which measurably degrade a
     long-lived session's per-job overhead); the corpus-sized work is
-    still the one distributed covariance fold."""
-    cov, means = covariance_and_means(df, vec_col)
+    still the one distributed covariance fold.
+
+    ``method`` picks that fold: ``"arrow"`` (default — the production
+    path) uses :func:`covariance_and_means_arrow`'s per-partition
+    numpy outer-product accumulator, killing the O(N*dim^2)
+    decimal-product wall (SCALE.md round-13: 64x re-measure);
+    ``"exact"`` keeps the in-plan exact-decimal fold whose every step
+    a DuckDB oracle replays bit-for-bit — the oracle twin
+    (pca_project_top2 uses it; pca_project_arrow_top10 gates the two
+    paths against each other at ranking precision)."""
+    if method not in ("arrow", "exact"):
+        raise ValueError(f"pca_project method must be arrow|exact, "
+                         f"got {method!r}")
+    fold = covariance_and_means_arrow if method == "arrow" \
+        else covariance_and_means
+    cov, means = fold(df, vec_col)
     mmap = {r["j"]: r["mean"] for r in means.collect()}
     dim = len(mmap)
     rows = [(r["j"], r["k"], r["cov"]) for r in cov.collect()]

@@ -77,7 +77,16 @@ def erase_keys(spark: SparkSession, base_dir: str, keys: DataFrame,
     the store read is partition-pruned to them, the anti join broadcasts
     the key set, and the rewrite commits via the manifest protocol.
     Erasing absent keys is a no-op rewrite of their buckets (idempotent
-    — re-running a deletion request is safe)."""
+    — re-running a deletion request is safe).  Single-writer: holds the
+    store's maintenance lock (reentrant under erase_everywhere /
+    maintain_everywhere)."""
+    from localsql_spark.sinks.locks import store_lock
+    with store_lock(base_dir):
+        return _erase_keys_locked(spark, base_dir, keys, key_col, n_buckets)
+
+
+def _erase_keys_locked(spark: SparkSession, base_dir: str, keys: DataFrame,
+                       key_col: str, n_buckets: int) -> list:
     from localsql_spark.sinks.merge import (_apply_manifest, _manifest_path,
                                             read_base_partitions,
                                             recover_pending_merge)
@@ -784,7 +793,31 @@ def erase_everywhere(spark: SparkSession, keys: DataFrame, *,
     no-ops because the subjects' rows are gone from the primary-derived
     sources after the first pass — when their source frames read a
     separate immutable table, do not re-run the request against an
-    already-retracted rollup/view)."""
+    already-retracted rollup/view).
+
+    Single-writer contract — enforced (round 13): entry acquires every
+    configured store's maintenance lock (``sinks.locks.farm_locks``,
+    shared with ``maintain_everywhere`` and the merge-family fold entry
+    points), so a concurrent fold/maintenance/erase pass raises
+    :class:`~localsql_spark.sinks.locks.MaintenanceBusy` instead of
+    interleaving with the rewrites here."""
+    from localsql_spark.sinks.locks import (configured_store_paths,
+                                            farm_locks)
+    cfgs = {"primary": primary, "inverted_index": inverted_index,
+            "signature_store": signature_store,
+            "ivfpq_index": ivfpq_index, "ivf_index": ivf_index,
+            "scd2": scd2, "rollup": rollup, "ivm_view": ivm_view,
+            "cov_store": cov_store, "feed": feed, "ledger": ledger}
+    with farm_locks(configured_store_paths(cfgs)):
+        return _erase_pass(spark, keys, primary, inverted_index,
+                           signature_store, ivfpq_index, ivf_index, scd2,
+                           rollup, ivm_view, cov_store, feed, ledger)
+
+
+def _erase_pass(spark: SparkSession, keys: DataFrame, primary,
+                inverted_index, signature_store, ivfpq_index, ivf_index,
+                scd2, rollup, ivm_view, cov_store, feed,
+                ledger) -> DataFrame:
     k = normalize_erase_keys(keys).localCheckpoint(eager=True)
 
     audits: list[DataFrame] = []

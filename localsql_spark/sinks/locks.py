@@ -1,0 +1,182 @@
+"""Advisory single-writer locks for store maintenance — the signature
+store's rename-claimed lock discipline (operators/dedup.py:_index_lock,
+reviewed through two TOCTOU rounds), generalized so the COMPOSED passes
+can enforce the farm-wide single-writer contract instead of documenting
+it (verdict r12 task 3: "must not run concurrently" becomes "cannot").
+
+Mechanics (all POSIX-atomic on local filesystems; object stores need a
+real lock service, the documented limitation):
+
+- Acquisition is an ``O_CREAT|O_EXCL`` create of ``.<name>.maint.lock``
+  next to the store.  Live contention raises :class:`MaintenanceBusy`
+  immediately — callers are maintenance jobs with a scheduler, not
+  latency-sensitive readers, so fail-fast beats blocking.
+- A lock older than ``stale_s`` is presumed abandoned by a crashed
+  holder and broken via the serialized, re-verified ``.break`` protocol
+  (claim the breaker mutex by O_EXCL create, re-verify staleness UNDER
+  it, then unlink — the exact dance that closed the r9/r10 TOCTOUs in
+  the index lock: two breakers can never unlink each other's fresh
+  lock).
+- Locks are PER-PROCESS REENTRANT with a refcount: the composed passes
+  (``maintain_everywhere``, ``erase_everywhere``) take every configured
+  store's lock up front and then call the per-store fold entry points,
+  which take the same lock — reentrancy is what lets the entry points
+  be individually safe without deadlocking the pass that composes them.
+  Cross-process exclusion is unaffected (the file exists either way).
+- Multi-store acquisition (:func:`farm_locks`) sorts paths before
+  acquiring, so two passes over overlapping farms always contend on the
+  first shared store instead of deadlocking, and rolls back everything
+  it took when any acquisition fails.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import threading
+import time
+from pathlib import Path
+
+__all__ = ["MaintenanceBusy", "store_lock", "farm_locks", "lock_path_for",
+           "configured_store_paths"]
+
+# the store-map vocabulary shared by maintain_everywhere and
+# erase_everywhere: config name -> the key holding the store's path.
+# One table so the two passes can never disagree about which path a
+# config locks.
+_STORE_PATH_KEYS = {
+    "primary": "base_dir", "inverted_index": "index_dir",
+    "signature_store": "store_path", "ivfpq_index": "index_path",
+    "ivf_index": "index_path", "scd2": "store_dir",
+    "rollup": "rollup_dir", "ivm_view": "view_dir",
+    "cov_store": "store_dir", "feed": "feed_dir",
+    "ledger": "ledger_dir", "nb_model": "model_dir",
+    "sketch_view": "view_dir",
+}
+
+
+def configured_store_paths(cfgs: dict) -> list[str]:
+    """The store paths a composed pass over ``cfgs`` (config name ->
+    config dict or None) will touch — the lock set for
+    :func:`farm_locks`."""
+    return [cfg[_STORE_PATH_KEYS[name]] for name, cfg in cfgs.items()
+            if cfg is not None and name in _STORE_PATH_KEYS]
+
+
+class MaintenanceBusy(OSError):
+    """Another process holds a maintenance lock this operation needs.
+    Retry later (or let the scheduler's next run pick the work up);
+    never fall through to an unlocked rewrite."""
+
+
+_STALE_S = 3600.0
+
+# process-local reentrancy: lock file path -> hold count.  The composed
+# passes hold every configured store's lock while calling fold entry
+# points that re-acquire the same lock.
+_HELD: dict[str, int] = {}
+_HELD_MU = threading.Lock()
+
+
+def lock_path_for(store_dir: str, name: str = "maint") -> Path:
+    """The canonical lock file for a store: sibling dotfile, same
+    convention as the staging dir and commit manifest — so hardlink-farm
+    copies and store moves carry no stale lock inside the store."""
+    base = Path(str(store_dir).rstrip("/"))
+    return base.parent / f".{base.name}.{name}.lock"
+
+
+def _break_stale(lock: Path, stale_s: float) -> None:
+    """Serialized stale-lock break (the dedup._break_stale_lock
+    discipline): claim the ``.break`` mutex by O_EXCL create, re-verify
+    the lock is STILL stale under it, then unlink.  An abandoned
+    ``.break`` older than the threshold is claimed by rename (atomic,
+    single winner) before the create."""
+    brk = lock.with_name(lock.name + ".break")
+    try:
+        if time.time() - brk.stat().st_mtime > stale_s:
+            claimed = brk.with_name(f"{brk.name}.claimed.{os.getpid()}")
+            os.rename(brk, claimed)
+            claimed.unlink(missing_ok=True)
+    except OSError:
+        pass
+    try:
+        bfd = os.open(brk, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return  # another breaker is mid-break; the create path decides
+    try:
+        try:
+            if time.time() - lock.stat().st_mtime > stale_s:
+                lock.unlink(missing_ok=True)
+        except OSError:
+            pass
+    finally:
+        os.close(bfd)
+        brk.unlink(missing_ok=True)
+
+
+@contextlib.contextmanager
+def store_lock(store_dir: str, name: str = "maint",
+               stale_s: float = _STALE_S):
+    """Hold the store's advisory maintenance lock for the with-block.
+    Reentrant within the process; raises :class:`MaintenanceBusy` on
+    live cross-process contention; breaks a stale lock once before
+    giving up."""
+    lock = lock_path_for(store_dir, name)
+    key = str(lock)
+    with _HELD_MU:
+        if _HELD.get(key, 0) > 0:  # reentrant re-acquire
+            _HELD[key] += 1
+            reentered = True
+        else:
+            reentered = False
+    if reentered:
+        try:
+            yield
+        finally:
+            with _HELD_MU:
+                _HELD[key] -= 1
+        return
+    lock.parent.mkdir(parents=True, exist_ok=True)
+    for attempt in range(2):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - lock.stat().st_mtime
+            except OSError:
+                continue  # holder just released; retry the create
+            if attempt == 0 and age > stale_s:
+                _break_stale(lock, stale_s)
+                continue
+            raise MaintenanceBusy(
+                f"maintenance lock held on {store_dir!r}: {lock}")
+    else:
+        raise MaintenanceBusy(
+            f"maintenance lock held on {store_dir!r}: {lock}")
+    try:
+        os.write(fd, f"pid={os.getpid()}\n".encode())
+        os.close(fd)
+        with _HELD_MU:
+            _HELD[key] = 1
+        try:
+            yield
+        finally:
+            with _HELD_MU:
+                _HELD.pop(key, None)
+    finally:
+        lock.unlink(missing_ok=True)
+
+
+@contextlib.contextmanager
+def farm_locks(store_dirs, name: str = "maint", stale_s: float = _STALE_S):
+    """Hold the locks of EVERY given store for the with-block — the
+    composed-pass entry: sorted acquisition (no deadlock between two
+    overlapping passes), all-or-nothing (a Busy mid-acquisition releases
+    everything already taken before propagating)."""
+    dirs = sorted({str(Path(str(d).rstrip("/"))) for d in store_dirs})
+    with contextlib.ExitStack() as stack:
+        for d in dirs:
+            stack.enter_context(store_lock(d, name=name, stale_s=stale_s))
+        yield

@@ -49,10 +49,18 @@ read ONE audit frame.
   sidecar rebuild — the documented policy that also clears any
   duplicate rows a crashed append left behind).
 
-Single-writer contract: this composes the stores' own single-writer
-maintenance steps, so the whole pass must not run concurrently with
-folds, erases, or another maintenance pass on the same stores — the
-same contract every entry point documents individually.  Stores the
+Single-writer contract — ENFORCED, not documented (round 13): the pass
+CANNOT run concurrently with the merge-family folds, an erase pass, or
+another maintenance pass on the same stores.  Entry acquires every
+configured store's advisory maintenance lock (``sinks.locks.farm_locks``
+— sorted acquisition, all-or-nothing, stale-break after 1h), the same
+locks ``erase_everywhere`` and the merge-family fold entry points
+(``merge_into_partitioned``, ``erase_keys``, ``compact_partitions``,
+``expire_partitions``) take; a concurrent caller gets
+:class:`~localsql_spark.sinks.locks.MaintenanceBusy` instead of an
+interleaved rewrite.  Locks are per-process reentrant, which is how
+this pass composes the individually-locked entry points without
+deadlocking itself.  Stores the
 pass finds clean are untouched byte-for-byte (pinned by test), and the
 namespaces the entry points deliberately never fold (the cov store's
 ``erase_<id>`` retraction dirs, unconsumed feed batches, the newest
@@ -102,8 +110,11 @@ def maintain_everywhere(spark: SparkSession, *,
                         sketch_view: dict | None = None) -> DataFrame:
     """One composed heal → retain → compact → sync pass over every
     configured store (module docstring has the discipline and the
-    scale argument).  Store configs mirror ``erase_everywhere``'s map;
-    pass only what exists:
+    scale argument).  Entry acquires every configured store's
+    maintenance lock — a concurrent fold/erase/maintenance pass on any
+    of them raises :class:`~localsql_spark.sinks.locks.MaintenanceBusy`
+    instead of interleaving.  Store configs mirror
+    ``erase_everywhere``'s map; pass only what exists:
 
     - ``primary={'base_dir', ['partition_col'='kb'], ['max_files'=1],
       ['retention': {'cutoff', ['partition_col'], ['parse']}]}`` — any
@@ -151,6 +162,25 @@ def maintain_everywhere(spark: SparkSession, *,
     Returns ``(store, action, units)`` with actions drawn from
     ``heal | compact | retain | sync``.
     """
+    from localsql_spark.sinks.locks import (configured_store_paths,
+                                            farm_locks)
+    cfgs = {"primary": primary, "inverted_index": inverted_index,
+            "signature_store": signature_store, "scd2": scd2,
+            "rollup": rollup, "ivm_view": ivm_view,
+            "cov_store": cov_store, "ivf_index": ivf_index,
+            "ivfpq_index": ivfpq_index, "feed": feed, "ledger": ledger,
+            "nb_model": nb_model, "sketch_view": sketch_view}
+    with farm_locks(configured_store_paths(cfgs)):
+        return _maintain_pass(spark, primary, inverted_index,
+                              signature_store, scd2, rollup, ivm_view,
+                              cov_store, ivf_index, ivfpq_index, feed,
+                              ledger, nb_model, sketch_view)
+
+
+def _maintain_pass(spark: SparkSession, primary, inverted_index,
+                   signature_store, scd2, rollup, ivm_view, cov_store,
+                   ivf_index, ivfpq_index, feed, ledger, nb_model,
+                   sketch_view) -> DataFrame:
     rows: list[tuple[str, str, int]] = []
 
     if primary is not None:

@@ -158,7 +158,23 @@ def merge_into_partitioned(spark: SparkSession, base_dir: str,
     Ties on (key, version) resolve by a deterministic full-row hash (same
     rule as the streaming upsert sink), so re-running the same batch is
     idempotent.
+
+    Single-writer: holds the store's maintenance lock for the duration
+    (shared with compact/expire/erase and the composed passes, which
+    re-enter it) — a concurrent writer raises
+    :class:`~localsql_spark.sinks.locks.MaintenanceBusy` instead of
+    clobbering the shared staging dir.
     """
+    from localsql_spark.sinks.locks import store_lock
+    with store_lock(base_dir):
+        return _merge_locked(spark, base_dir, updates, key=key,
+                             version=version, partition_col=partition_col,
+                             op_col=op_col)
+
+
+def _merge_locked(spark: SparkSession, base_dir: str, updates: DataFrame,
+                  *, key: str, version: str, partition_col: str,
+                  op_col: str | None = None) -> list:
     # 0. a manifest left by a crashed predecessor must be replayed BEFORE
     #    this merge reads anything — its staged partitions are the durable
     #    table state (spark.read infers the base schema eagerly in step 2)
@@ -379,8 +395,16 @@ def compact_partitions(spark: SparkSession, base_dir: str,
     makes partition-pruned reads scale with accumulated fold count rather
     than data size.  Cost tracks the OVER-LIMIT partitions only: the file
     census is a driver-side directory walk (no Spark job), and only the
-    offending partitions are read and rewritten.  Returns the rewritten
-    partition directory names."""
+    offending partitions are read and rewritten.  Single-writer: holds
+    the store's maintenance lock (reentrant under the composed passes).
+    Returns the rewritten partition directory names."""
+    from localsql_spark.sinks.locks import store_lock
+    with store_lock(base_dir):
+        return _compact_locked(spark, base_dir, partition_col, max_files)
+
+
+def _compact_locked(spark: SparkSession, base_dir: str,
+                    partition_col: str, max_files: int) -> list:
     recover_pending_merge(base_dir)
     base = Path(base_dir)
     if not base.exists():
@@ -444,11 +468,18 @@ def expire_partitions(base_dir: str, partition_col: str, cutoff,
     out of scope: partition-grained expiry is the cheap contract, and a
     finer cutoff is one :func:`merge_into_partitioned` of the boundary
     partition's survivors.  Idempotent.  Single-writer maintenance step
-    (the same contract as every fold here): do not run concurrently
-    with a merge/compaction on the same store — this call clears the
-    shared staging dir before committing, and a concurrent writer's
-    staged partitions would be lost.  Returns the removed partition
-    names."""
+    — ENFORCED: holds the store's maintenance lock (a concurrent
+    merge/compaction raises MaintenanceBusy rather than losing its
+    staged partitions when this call clears the shared staging dir;
+    the composed passes re-enter the lock).  Returns the removed
+    partition names."""
+    from localsql_spark.sinks.locks import store_lock
+    with store_lock(base_dir):
+        return _expire_locked(base_dir, partition_col, cutoff, parse)
+
+
+def _expire_locked(base_dir: str, partition_col: str, cutoff,
+                   parse=None) -> list[str]:
     recover_pending_merge(base_dir)
     base = Path(base_dir)
     if not base.exists():

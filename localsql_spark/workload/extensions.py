@@ -6346,9 +6346,56 @@ def pca_project_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     the projection itself is one row-local pass with dim*(k+1) doubles
     of collected model state — the corpus never shuffles.  The oracle
     replays covariance, both six-round chains, the deflation, and BOTH
-    centered projections bit-for-bit."""
+    centered projections bit-for-bit — which is why this entry pins
+    method='exact': it IS the oracle twin of the covariance fold.  The
+    production default (method='arrow', the per-partition numpy
+    accumulator that killed the O(N*dim^2) decimal wall) is gated by
+    pca_project_arrow_top10 against this exact path."""
     emb = load(spark, sf_dir)["embeddings"]
-    return S.pca_project(emb, n_components=2, rounds=6)
+    return S.pca_project(emb, n_components=2, rounds=6, method="exact")
+
+
+def _pca_arrow_gate_oracle(rounds: int = 6) -> str:
+    """Top-10-by-pc1 oracle replaying the EXACT covariance fold + power
+    chain — the gate pca_project_arrow_top10 runs the ARROW fold
+    against."""
+    chain1, v1 = _power_chain("cov", "pa", rounds)
+    tail = f"""
+,p1 AS (SELECT ve.vec_id,
+       round(CAST(SUM(CAST(round((ve.x - m.m) * p.vj, 12)
+                           AS DECIMAL(28,12))) AS DOUBLE), 9) AS pc1
+FROM ve JOIN means m ON m.j = ve.j JOIN {v1} p ON p.j = ve.j
+GROUP BY ve.vec_id)
+SELECT CAST(row_number() OVER (ORDER BY pc1 DESC, vec_id) AS INT) AS rn,
+       vec_id, round(pc1, 3) AS pc1_approx
+FROM p1 ORDER BY pc1 DESC, vec_id LIMIT 10"""
+    return _PCA_COV_PREFIX + chain1 + tail
+
+
+@query("pca_project_arrow_top10", oracle=_pca_arrow_gate_oracle(rounds=6))
+def pca_project_arrow_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ARROW covariance path (covariance_and_means_arrow: one
+    dim x dim numpy outer-product partial per partition inside
+    mapInPandas, order-exact decimal reduce over the model-sized
+    partials — the production fold that killed pca_project_top2's
+    O(N*dim^2) decimal-product scale curve, SCALE.md round 13) gated
+    against the EXACT fold: the oracle replays the exact-decimal
+    covariance + six-round power chain, and this query runs the float
+    twin — agreement on the top-10 pc1 ranking (ids, order, 3-decimal
+    scores) is the measured float-twin equivalence bound (ANN.md: cov
+    entries within 1e-12, pc scores within 2e-9 — three orders below
+    the ranking gaps) holding end-to-end.  A regression in the Arrow
+    accumulator (batch handling, partial rounding, the reduce) breaks
+    the hash."""
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir)["embeddings"]
+    p = S.pca_project(emb, n_components=1, rounds=6, method="arrow")
+    w = Window.orderBy(F.col("pc1").desc(), "vec_id")
+    return (p.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .select("rn", "vec_id",
+                    F.round("pc1", 3).alias("pc1_approx")))
 
 
 # ---------------------------------------------------------------------------

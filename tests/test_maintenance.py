@@ -361,3 +361,93 @@ def test_maintain_everywhere_heals_crashed_merge(spark, tmp_path):
     assert got.count() == 20
     assert got.filter(F.col("text").startswith("NEW ")).count() == n0
     assert not (base.parent / f".{base.name}.commit.json").exists()
+
+
+def test_single_writer_lock_enforced(spark, tmp_path):
+    """Verdict r13 task 3: the single-writer contract is a LOCK, not a
+    docstring.  A held lock makes the composed passes and every
+    merge-family fold entry point raise MaintenanceBusy (never
+    interleave); acquisition is all-or-nothing across a farm; a stale
+    lock (crashed holder) is broken and the pass proceeds; the passes
+    re-enter their own locks when composing the fold entry points."""
+    import os
+    import time
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from localsql_spark.sinks.erase import (bucket_of, erase_everywhere,
+                                            erase_keys,
+                                            write_bucketed_store)
+    from localsql_spark.sinks.locks import (MaintenanceBusy, lock_path_for,
+                                            store_lock)
+    from localsql_spark.sinks.maintenance import maintain_everywhere
+    from localsql_spark.sinks.merge import (compact_partitions,
+                                            expire_partitions,
+                                            merge_into_partitioned)
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", 1) for i in range(8)],
+        "doc_id long, text string, version long")
+    base = str(tmp_path / "store")
+    write_bucketed_store(docs, base, "doc_id", n_buckets=2)
+
+    # simulate another live process holding the store's lock
+    lock = lock_path_for(base)
+    lock.parent.mkdir(parents=True, exist_ok=True)
+    lock.write_text("pid=99999\n")
+
+    keys = spark.createDataFrame([(1,)], "doc_id long")
+    upd = (docs.filter("doc_id = 1")
+           .withColumn("version", F.lit(2))
+           .withColumn("kb", bucket_of(F.col("doc_id"), 2)))
+    with pytest.raises(MaintenanceBusy):
+        maintain_everywhere(spark, primary={"base_dir": base})
+    with pytest.raises(MaintenanceBusy):
+        erase_everywhere(spark, keys,
+                         primary={"base_dir": base, "key_col": "doc_id",
+                                  "n_buckets": 2})
+    with pytest.raises(MaintenanceBusy):
+        merge_into_partitioned(spark, base, upd, key="doc_id",
+                               version="version", partition_col="kb")
+    with pytest.raises(MaintenanceBusy):
+        compact_partitions(spark, base, "kb")
+    with pytest.raises(MaintenanceBusy):
+        expire_partitions(base, "kb", 99, parse=int)
+    with pytest.raises(MaintenanceBusy):
+        erase_keys(spark, base, keys, "doc_id", n_buckets=2)
+
+    # all-or-nothing farm acquisition: only the SECOND store is locked;
+    # after the Busy, the first store's lock must not linger
+    other = str(tmp_path / "rollup")
+    os.makedirs(other)
+    # farm_locks sorts paths; ensure 'other' sorts after 'store' or
+    # before — either way the unlocked one's lock must be released
+    with pytest.raises(MaintenanceBusy):
+        maintain_everywhere(spark, primary={"base_dir": other},
+                            ivm_view={"view_dir": base})
+    assert not lock_path_for(other).exists()
+
+    # release -> the pass proceeds and composes the (reentrant) locked
+    # fold entry points without deadlocking
+    lock.unlink()
+    audit = {(r.store, r.action): r.units
+             for r in maintain_everywhere(
+                 spark, primary={"base_dir": base}).collect()}
+    assert ("primary", "compact") in audit
+    assert not lock.exists()  # released on exit
+
+    # stale lock (crashed holder): broken after the threshold, pass runs
+    lock.write_text("pid=99999\n")
+    old = time.time() - 7200
+    os.utime(lock, (old, old))
+    audit = maintain_everywhere(spark, primary={"base_dir": base})
+    assert audit.count() >= 1
+    assert not lock.exists()
+
+    # reentrancy: a caller already holding the lock can run the locked
+    # entry points (the composed-pass shape) in-process
+    with store_lock(base):
+        with store_lock(base):
+            assert compact_partitions(spark, base, "kb") == []
+    assert not lock.exists()

@@ -2684,3 +2684,49 @@ def test_power_iteration_local_matches_inplan(spark):
     assert all(v_plan[j] == v_loc[j] for j in range(6))
     assert _rayleigh(cov, vp).first()["lam"] == \
         rayleigh_local(mat, 6, v_loc)
+
+
+def test_covariance_arrow_matches_exact(spark):
+    """Float-twin equivalence bound (ANN.md): the Arrow/numpy
+    per-partition accumulator agrees with the exact-decimal fold to
+    within the documented bound — cov entries and means within
+    ~N*0.5e-12 + float accumulation (<< 1e-9 at test scale; a mean can
+    land one 1e-12 quantum off when a partial float sum sits on a
+    rounding boundary), and the projection ranking is unchanged.  Also
+    pins the empty-corpus contract shared with the exact fold."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators.similarity import (
+        covariance_and_means, covariance_and_means_arrow, pca_project)
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    cov_e, m_e = covariance_and_means(emb)
+    cov_a, m_a = covariance_and_means_arrow(emb)
+    e = {(r.j, r.k): r.cov for r in cov_e.collect()}
+    a = {(r.j, r.k): r.cov for r in cov_a.collect()}
+    assert set(e) == set(a) and len(e) == 64 * 64
+    assert max(abs(e[k] - a[k]) for k in e) <= 1e-9
+    me = {r.j: r.mean for r in m_e.collect()}
+    ma = {r.j: r.mean for r in m_a.collect()}
+    assert max(abs(me[j] - ma[j]) for j in me) <= 2e-12
+
+    # ranking-level agreement end-to-end (the pca_project_arrow_top10
+    # gate's local twin): same top-10 ids and order by pc1
+    pe = {r.vec_id: r.pc1
+          for r in pca_project(emb, n_components=1, rounds=6,
+                               method="exact").collect()}
+    pa = {r.vec_id: r.pc1
+          for r in pca_project(emb, n_components=1, rounds=6,
+                               method="arrow").collect()}
+    assert max(abs(pe[i] - pa[i]) for i in pe) <= 1e-6
+    top_e = sorted(pe, key=lambda i: (-pe[i], i))[:10]
+    top_a = sorted(pa, key=lambda i: (-pa[i], i))[:10]
+    assert top_e == top_a
+
+    empty = emb.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="zero rows"):
+        covariance_and_means_arrow(empty)
+    with pytest.raises(ValueError, match="arrow|exact"):
+        pca_project(emb, method="bogus")

@@ -867,11 +867,24 @@ def main() -> None:
         return len(dates), dt
 
     def op_pca_project(f):
-        # top-k PCA projection: covariance fold is dim^2-bounded at any
-        # corpus size, eigen-chain is model-sized, projection row-local
+        # top-k PCA projection, EXACT fold (the oracle twin): covariance
+        # shuffle is dim^2-bounded at any corpus size, but total WORK is
+        # O(N*dim^2) exact-decimal products — the documented non-flat
+        # curve (20.6x per 64x, SCALE.md r12) the arrow row below kills
         from localsql_spark.operators.similarity import pca_project
         emb = spark.read.parquet(paths[f]["embeddings"])
-        return pca_project(emb, n_components=2, rounds=6).count()
+        return pca_project(emb, n_components=2, rounds=6,
+                           method="exact").count()
+
+    def op_pca_project_arrow(f):
+        # the PRODUCTION path (round-13): per-partition numpy
+        # outer-product partials via mapInPandas, order-exact decimal
+        # reduce over dim^2 x partitions rows — wall should track the
+        # SCAN, not the N*dim^2 product count
+        from localsql_spark.operators.similarity import pca_project
+        emb = spark.read.parquet(paths[f]["embeddings"])
+        return pca_project(emb, n_components=2, rounds=6,
+                           method="arrow").count()
 
     def op_maintain_fixed_debris(f):
         # composed-maintenance scaling claim: the nightly
@@ -998,7 +1011,8 @@ def main() -> None:
            "drift_psi": op_drift_psi,
            "ccnet_perlang": op_ccnet_perlang,
            "rollup_ttl_fold": op_rollup_ttl,
-           "pca_project_top2": op_pca_project}
+           "pca_project_top2": op_pca_project,
+           "pca_project_arrow": op_pca_project_arrow}
 
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:
