@@ -461,8 +461,18 @@ def write_signature_store(df: DataFrame, path: str,
     At 100 TB of text the store is ~1% of corpus bytes (128 longs + id per
     doc), scans at full parquet speed, and is the natural bucketing
     candidate (by doc_id) if downstream re-attachment joins dominate.
+
+    A schema-registered store validates the write (ingest semantics:
+    unregistered columns raise — evolve first; registered columns the
+    batch lacks pad NULL so old producers keep working; explicit NULLs
+    store as NULL).
     """
-    compute_signatures(df, text_col, id_col, n).write.mode(mode).parquet(path)
+    from localsql_spark.sinks.schema_evolution import (read_registry,
+                                                       reconcile_frame)
+    sigs = compute_signatures(df, text_col, id_col, n)
+    if read_registry(path) is not None:
+        sigs = reconcile_frame(sigs, path, mode="write")
+    sigs.write.mode(mode).parquet(path)
 
 
 def append_signature_store(df: DataFrame, path: str,
@@ -473,26 +483,76 @@ def append_signature_store(df: DataFrame, path: str,
     write_signature_store(df, path, text_col, id_col, n, mode="append")
 
 
-def read_signature_store(spark: SparkSession, path: str) -> DataFrame:
+def read_signature_store(spark: SparkSession, path: str,
+                         mode: str = "read") -> DataFrame:
     """The previous run's (doc_id, sig) table — a narrow columnar scan with
     no text processing at all.  Covers all three layouts: flat part-files
     (batch ``write``/``append``), per-batch subdirectories (the streaming
     ingest sink's idempotent layout, streaming/stream_dedup_ingest.py),
     and the compacted-generation layout (streaming/batch_dirs.py) — the
     generation resolver is used whenever an ``upto_*`` dir exists, so a
-    compaction that committed but hasn't cleaned up never double-reads."""
+    compaction that committed but hasn't cleaned up never double-reads.
+
+    A schema-registered store (sinks/schema_evolution.py: _schema.json
+    next to the bytes) reads every file vintage under the registry's
+    explicit evolved schema and returns ALL registered columns
+    reconciled (files written before an evolution yield nulls/read-
+    defaults in the added columns); unregistered stores keep the
+    original narrow (doc_id, sig) contract bit-unchanged.
+    ``mode="write"`` is for reads feeding a REWRITE (compaction, erase):
+    it skips the read-default coalesce so rewritten bytes stay
+    canonical."""
     from pathlib import Path as _P
+
+    from localsql_spark.sinks.schema_evolution import (evolved_read_schema,
+                                                       read_registry,
+                                                       reconcile_frame)
+
+    reg = read_registry(path) is not None
+    ddl = evolved_read_schema(path) if reg else None
+    cols = ([c for c in read_registry(path)[-1]["columns"]] if reg
+            else ["doc_id", "sig"])
+
+    def _reader():
+        r = spark.read.option("recursiveFileLookup", "true")
+        return r.schema(ddl) if ddl is not None else r
+
+    def _finish(df: DataFrame) -> DataFrame:
+        return reconcile_frame(df, path, mode=mode) if reg else df
 
     if any(_P(path).glob("upto_*")):
         from localsql_spark.streaming.batch_dirs import read_batches
-        sigs = read_batches(spark, path).select("doc_id", "sig")
+        if ddl is None:
+            sigs = read_batches(spark, path).select(*cols)
+        else:  # committed-parts rule + explicit vintage-stable schema
+            from localsql_spark.streaming.batch_dirs import _live_parts
+            gen, batches = _live_parts(path)
+            paths = ([str(gen)] if gen else []) + \
+                [str(p) for p in batches if (p / "_SUCCESS").exists()]
+            sigs = (_reader().parquet(*paths).select(*cols) if paths
+                    else spark.createDataFrame([], ddl).select(*cols))
         flat = [str(p) for p in _P(path).glob("*.parquet")]
         if flat:  # mixed layout: batch-writer flat files + generations
             sigs = sigs.unionByName(
-                spark.read.parquet(*flat).select("doc_id", "sig"))
-        return sigs
-    return (spark.read.option("recursiveFileLookup", "true").parquet(path)
-            .select("doc_id", "sig"))
+                _reader().parquet(*flat).select(*cols))
+        return _finish(sigs)
+    return _finish(_reader().parquet(path).select(*cols))
+
+
+def _carry_schema_registry(store, tmp) -> None:
+    """A whole-dir swap replaces the store directory wholesale — the
+    schema-evolution registry (_schema.json, sinks/schema_evolution.py)
+    lives INSIDE it and must ride into the replacement, or the swap
+    silently de-registers the store (found round 13: a compaction
+    dropped the registry with the old generation and the next read fell
+    back to the narrow unregistered contract)."""
+    import shutil
+    from pathlib import Path
+
+    from localsql_spark.sinks.schema_evolution import SCHEMA_FILE
+    reg = Path(store) / SCHEMA_FILE
+    if reg.exists():
+        shutil.copy2(reg, Path(tmp) / SCHEMA_FILE)
 
 
 def _heal_store_swap(path: str) -> None:
@@ -541,12 +601,15 @@ def compact_signature_store(spark: SparkSession, path: str,
 
     store = Path(path)
     _heal_store_swap(path)
-    df = read_signature_store(spark, str(store))
+    # mode='write': the compacted bytes must stay canonical (no
+    # read-default coalesce baked into the rewrite)
+    df = read_signature_store(spark, str(store), mode="write")
     if target_files is not None:
         df = df.coalesce(target_files)
     tmp = store.parent / f".{store.name}.compact"
     shutil.rmtree(tmp, ignore_errors=True)
     df.write.mode("overwrite").parquet(str(tmp))
+    _carry_schema_registry(store, tmp)
     n = spark.read.parquet(str(tmp)).count()
     old = store.parent / f".{store.name}.old"
     shutil.rmtree(old, ignore_errors=True)
@@ -1091,7 +1154,8 @@ def erase_from_signature_store(spark: SparkSession, store_path: str,
         # (Spark's cache manager matches by canonicalized plan, and the
         # path does not change across the swap) — and a failure AFTER the
         # swap but before cleanup must not leak that stale cache either
-        sigs = read_signature_store(spark, store_path).persist()
+        sigs = read_signature_store(spark, store_path,
+                                    mode="write").persist()
         try:
             return _erase_inner(sigs)
         finally:
@@ -1114,6 +1178,7 @@ def erase_from_signature_store(spark: SparkSession, store_path: str,
         tmp = store.parent / f".{store.name}.erasing"
         _shutil.rmtree(tmp, ignore_errors=True)
         kept.write.mode("overwrite").parquet(str(tmp))
+        _carry_schema_registry(store, tmp)
         n_after = spark.read.parquet(str(tmp)).count()
         old = store.parent / f".{store.name}.old"
         _shutil.rmtree(old, ignore_errors=True)

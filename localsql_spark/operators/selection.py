@@ -589,7 +589,8 @@ def nb_model_update(spark, model_dir: str, new_docs: DataFrame,
         F.lit(int(n_buckets)).cast("int").alias("wb"))
     delta = delta_words.unionByName(delta_docs)
     parts = [r[0] for r in delta.select("wb").distinct().collect()]
-    stored = read_base_partitions(spark, model_dir, "wb", parts)
+    stored = read_base_partitions(spark, model_dir, "wb", parts,
+                                  mode="write")
     both = delta if stored is None else stored.unionByName(delta)
     merged = both.groupBy("word", "wb").agg(F.sum("cp").alias("cp"),
                                             F.sum("cn").alias("cn"))

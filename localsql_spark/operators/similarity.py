@@ -1240,7 +1240,8 @@ def ivf_erase_vectors(spark: SparkSession, index_path: str,
         .select("cell").distinct().collect())})
     if not touched:
         return []
-    stored = read_base_partitions(spark, base, "cell", touched)
+    stored = read_base_partitions(spark, base, "cell", touched,
+                                  mode="write")
     if stored is None:
         return []
     kept = stored.join(F.broadcast(k),

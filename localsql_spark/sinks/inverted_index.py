@@ -51,6 +51,36 @@ from localsql_spark.operators.text import normalize_text
 _STATS = "<STATS>"
 
 
+def _validate_write(df: DataFrame, index_dir: str) -> DataFrame:
+    """Schema-registered index: conform a frame about to be written —
+    rejects unregistered columns (evolve first) AND registered columns
+    the fold does not compute (strict: the group-projecting merge would
+    overwrite their stored values with NULL — extend the fold with the
+    evolution).  Unregistered index: unchanged."""
+    from localsql_spark.sinks.schema_evolution import (read_registry,
+                                                       reconcile_frame)
+    if read_registry(index_dir) is None:
+        return df
+    return reconcile_frame(df, index_dir, keep_extra=["tb"], mode="write",
+                           strict=True)
+
+
+def _registered_reader(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The scan for a (possibly registered) index read: explicit evolved
+    schema + reconcile when a registry exists (bucket vintages written
+    before an evolution read back with nulls/read-defaults in the added
+    columns), plain inference otherwise."""
+    from localsql_spark.sinks.schema_evolution import (evolved_read_schema,
+                                                       read_registry,
+                                                       reconcile_frame)
+    if read_registry(index_dir) is None:
+        return spark.read.option("basePath", index_dir).parquet(index_dir)
+    ddl = evolved_read_schema(index_dir, extra={"tb": "int"})
+    df = (spark.read.schema(ddl).option("basePath", index_dir)
+          .parquet(index_dir))
+    return reconcile_frame(df, index_dir, keep_extra=["tb"])
+
+
 def _batch_postings(docs: DataFrame, n_buckets: int, doc_id_col: str,
                     text_col: str) -> DataFrame:
     """Posting + counter rows for one document batch."""
@@ -88,9 +118,15 @@ def index_add_documents(spark: SparkSession, index_dir: str,
                                             recover_pending_merge)
 
     recover_pending_merge(index_dir)
-    delta = _batch_postings(new_docs, n_buckets, doc_id_col, text_col)
+    # validate the fold output BEFORE the stored union: on an evolved
+    # registry this raises the clear strict message instead of a union
+    # shape error
+    delta = _validate_write(
+        _batch_postings(new_docs, n_buckets, doc_id_col, text_col),
+        index_dir)
     parts = [r[0] for r in delta.select("tb").distinct().collect()]
-    stored = read_base_partitions(spark, index_dir, "tb", parts)
+    stored = read_base_partitions(spark, index_dir, "tb", parts,
+                                  mode="write")
     both = delta if stored is None else stored.unionByName(delta)
     # dl merges differently per row kind: a posting's dl is a PROPERTY of
     # the document (any fold carries the same value -> max), the STATS
@@ -105,6 +141,7 @@ def index_add_documents(spark: SparkSession, index_dir: str,
                       F.when(F.col("term") == _STATS, F.col("_dlsum"))
                       .otherwise(F.col("_dlmax")).alias("dl"),
                       "tb"))
+    merged = _validate_write(merged, index_dir)
 
     base = Path(index_dir)
     staging = base.parent / f".{base.name}.staging"
@@ -127,7 +164,7 @@ def bm25_from_index(spark: SparkSession, index_dir: str, terms: list[str],
     from localsql_spark.sinks.merge import recover_pending_merge
 
     recover_pending_merge(index_dir)
-    df = spark.read.option("basePath", index_dir).parquet(index_dir)
+    df = _registered_reader(spark, index_dir)
     # term -> bucket is driver-side arithmetic over the (tiny) query bag;
     # the isin filter reaches the scan as a partition filter
     import hashlib
@@ -198,7 +235,8 @@ def index_erase_documents(spark: SparkSession, index_dir: str,
     else:
         touched = list(range(n_buckets))
     touched = touched + [n_buckets]  # counters always rewrite with postings
-    stored = read_base_partitions(spark, index_dir, "tb", touched)
+    stored = read_base_partitions(spark, index_dir, "tb", touched,
+                                  mode="write")
     if stored is None:
         return []
     stats = stored.filter(F.col("tb") == n_buckets)
@@ -221,7 +259,7 @@ def index_erase_documents(spark: SparkSession, index_dir: str,
         (F.sum("tf") - F.lit(int(gone["nd"]))).alias("tf"),
         (F.sum("dl") - F.lit(int(gone["dlsum"]))).alias("dl"),
         F.lit(int(n_buckets)).cast("int").alias("tb"))
-    merged = kept_posts.unionByName(new_stats)
+    merged = _validate_write(kept_posts.unionByName(new_stats), index_dir)
 
     base = Path(index_dir)
     staging = base.parent / f".{base.name}.staging"

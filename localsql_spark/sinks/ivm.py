@@ -143,13 +143,31 @@ def _fold_delta(spark: SparkSession, view_dir: str,
     stage-swap just those partitions via the manifest commit."""
     from localsql_spark.sinks.merge import commit_staged_partitions
 
+    # validate the fold output BEFORE the stored union: on an evolved
+    # registry this raises the clear strict message instead of a union
+    # shape error
+    from localsql_spark.sinks.schema_evolution import (read_registry,
+                                                       reconcile_frame)
+    if read_registry(view_dir) is not None:
+        delta = reconcile_frame(delta, view_dir, keep_extra=["grp_bucket"],
+                                mode="write", strict=True)
     delta = delta.localCheckpoint(eager=True)  # bucket collect + merge
     buckets = [r[0] for r in
                delta.select("grp_bucket").distinct().collect()]
     if not buckets:
         return []
-    stored = read_base_partitions(spark, view_dir, "grp_bucket", buckets)
+    stored = read_base_partitions(spark, view_dir, "grp_bucket", buckets,
+                                  mode="write")
     merged = merge_join_rollup(stored, delta).filter(F.col("n_rows") != 0)
+    # schema-registered view: reject fold columns the registry does not
+    # know (evolve first), pad registered-but-missing with NULL — the
+    # same write gate every registered store has
+    from localsql_spark.sinks.schema_evolution import (read_registry,
+                                                       reconcile_frame)
+    if read_registry(view_dir) is not None:
+        merged = reconcile_frame(merged, view_dir,
+                                 keep_extra=["grp_bucket"],
+                                 mode="write", strict=True)
 
     base = Path(view_dir)
     staging = base.parent / f".{base.name}.staging"
@@ -269,7 +287,13 @@ def read_join_view(spark: SparkSession, view_dir: str) -> DataFrame:
     whole partitions, and averages derive as sum/count at read time.
     A view whose every group has been retracted (no parquet files left
     after the removal commits) reads as an EMPTY frame with the schema
-    the folds recorded, not a schema-inference crash."""
+    the folds recorded, not a schema-inference crash.  A
+    schema-registered view (sinks/schema_evolution.py) reconciles every
+    partition vintage to the registry's current contract."""
+    from localsql_spark.sinks.schema_evolution import (evolved_read_schema,
+                                                       read_registry,
+                                                       reconcile_frame,
+                                                       registered_partition)
     recover_pending_merge(view_dir)
     base = Path(view_dir)
     if not any(base.rglob("*.parquet")):
@@ -278,4 +302,10 @@ def read_join_view(spark: SparkSession, view_dir: str) -> DataFrame:
             from pyspark.sql.types import StructType
             return spark.createDataFrame(
                 [], StructType.fromJson(json.loads(schema_file.read_text())))
-    return spark.read.option("basePath", view_dir).parquet(view_dir)
+    if read_registry(view_dir) is None:
+        return spark.read.option("basePath", view_dir).parquet(view_dir)
+    part = registered_partition(view_dir) or ("grp_bucket", "int")
+    ddl = evolved_read_schema(view_dir, extra={part[0]: part[1]})
+    df = (spark.read.schema(ddl).option("basePath", view_dir)
+          .parquet(view_dir))
+    return reconcile_frame(df, view_dir, keep_extra=[part[0]])

@@ -119,7 +119,9 @@ def maintain_rollup(spark: SparkSession, rollup_dir: str,
     # could otherwise stage a date absent from the collected list, whose
     # stored rows would then be replaced unmerged (and the batch
     # aggregation runs once instead of twice)
-    delta = (rollup_events(new_events, grain, ts_col, key_col, value_col)
+    delta = (_validate_write(
+        rollup_events(new_events, grain, ts_col, key_col, value_col),
+        rollup_dir, "event_date")
              .localCheckpoint(eager=True))
     dates = [r[0] for r in delta.select("event_date").distinct().collect()]
     if not dates:
@@ -139,8 +141,10 @@ def maintain_rollup(spark: SparkSession, rollup_dir: str,
             f"events carry NULL {ts_col!r} values — a NULL event_date "
             "cannot be maintained safely (isin-based partition pruning "
             "skips it); filter or backfill the timestamp column first")
-    stored = read_base_partitions(spark, rollup_dir, "event_date", dates)
-    merged = merge_rollup(stored, delta)
+    stored = read_base_partitions(spark, rollup_dir, "event_date", dates,
+                                  mode="write")
+    merged = _validate_write(merge_rollup(stored, delta), rollup_dir,
+                             "event_date")
 
     base = Path(rollup_dir)
     staging = base.parent / f".{base.name}.staging"
@@ -215,7 +219,8 @@ def erase_from_rollup(spark: SparkSession, rollup_dir: str,
     dates = [r[0] for r in neg.select("event_date").distinct().collect()]
     if not dates:
         return []
-    stored = read_base_partitions(spark, rollup_dir, "event_date", dates)
+    stored = read_base_partitions(spark, rollup_dir, "event_date", dates,
+                                  mode="write")
     if stored is None:
         return []
 
@@ -268,6 +273,7 @@ def erase_from_rollup(spark: SparkSession, rollup_dir: str,
                       .otherwise(F.col("min_value")).alias("min_value"),
                       F.when(F.col("__heal"), F.col("__heal_max"))
                       .otherwise(F.col("max_value")).alias("max_value")))
+    merged = _validate_write(merged, rollup_dir, "event_date")
 
     base = Path(rollup_dir)
     staging = base.parent / f".{base.name}.staging"
@@ -282,11 +288,49 @@ def erase_from_rollup(spark: SparkSession, rollup_dir: str,
     return sorted(dates)
 
 
+def _validate_write(df: DataFrame, store_dir: str,
+                    partition_col: str) -> DataFrame:
+    """Schema-registered store: conform a frame about to be WRITTEN to
+    the registry contract — rejects columns the registry does not know
+    (evolve_schema first: catches a fold-code change racing ahead of
+    the store's declared contract) AND registered columns the fold does
+    not compute (strict: the group-projecting merge would overwrite
+    their stored values with NULL — deploy extended fold code with the
+    evolution); never bakes read-defaults into bytes (mode='write').
+    Unregistered store: unchanged frame (registry presence is the
+    feature gate, here as everywhere)."""
+    from localsql_spark.sinks.schema_evolution import (read_registry,
+                                                       reconcile_frame)
+    if read_registry(store_dir) is None:
+        return df
+    return reconcile_frame(df, store_dir, keep_extra=[partition_col],
+                           mode="write", strict=True)
+
+
 def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
     """Read the maintained rollup; filters on ``event_date`` prune whole
-    partitions, and ``avg`` derives as sum/count at read time."""
+    partitions, and ``avg`` derives as sum/count at read time.  A
+    schema-registered rollup (sinks/schema_evolution.py) reconciles
+    every partition vintage to the registry's current contract —
+    partitions written before an evolution read back with nulls/read-
+    defaults in the added columns."""
+    from localsql_spark.sinks.schema_evolution import (evolved_read_schema,
+                                                       read_registry,
+                                                       reconcile_frame,
+                                                       registered_partition)
     recover_pending_merge(rollup_dir)
-    return spark.read.option("basePath", rollup_dir).parquet(rollup_dir)
+    if read_registry(rollup_dir) is None:
+        return spark.read.option("basePath", rollup_dir).parquet(rollup_dir)
+    # register rollup stores with partition=("event_date", "string"):
+    # the fold frames carry event_date as the string rollup_events
+    # formats, and the explicit scan schema must agree so stored-vs-
+    # delta unions and isin pruning stay type-stable (an unregistered
+    # read leaves Spark's partition-type inference as before)
+    part = registered_partition(rollup_dir) or ("event_date", "string")
+    ddl = evolved_read_schema(rollup_dir, extra={part[0]: part[1]})
+    df = (spark.read.schema(ddl).option("basePath", rollup_dir)
+          .parquet(rollup_dir))
+    return reconcile_frame(df, rollup_dir, keep_extra=[part[0]])
 
 
 def backfill_rollup(spark: SparkSession, rollup_dir: str,
@@ -315,7 +359,9 @@ def backfill_rollup(spark: SparkSession, rollup_dir: str,
     bucket = F.date_trunc(grain, F.col(ts_col))
     scoped = events.filter(
         F.date_format(bucket, "yyyy-MM-dd").isin(list(dates)))
-    fresh = rollup_events(scoped, grain, ts_col, key_col, value_col)
+    fresh = _validate_write(
+        rollup_events(scoped, grain, ts_col, key_col, value_col),
+        rollup_dir, "event_date")
 
     base = Path(rollup_dir)
     staging = base.parent / f".{base.name}.staging"

@@ -60,6 +60,43 @@ def _batch_id(p: Path) -> int:
     return int(p.name.rsplit("_", 1)[1])
 
 
+_INTERVAL_COLS = ("valid_from_us", "valid_to_us")
+
+
+def _registry_attrs(store_dir: str, key_cols: list[str]) -> list[str] | None:
+    """The ATTRIBUTE columns the store's schema registry declares (all
+    registered columns minus keys and interval bounds), or None when the
+    store is unregistered.  SCD2 is the store family where additive
+    evolution flows END-TO-END: attr_cols are parameters of the apply,
+    so an evolved dimension needs no fold-code change — the registry is
+    the single source of truth for which attributes a version row
+    carries, and every reader sees ONE stable shape across ``as_of``
+    boundaries."""
+    from localsql_spark.sinks.schema_evolution import current_columns
+    cur = current_columns(store_dir)
+    if cur is None:
+        return None
+    cols, _ = cur
+    return [c for c in cols if c not in key_cols
+            and c not in _INTERVAL_COLS]
+
+
+def _read_slice(spark: SparkSession, store_dir: str, paths: list[str],
+                mode: str = "read") -> DataFrame:
+    """Read history dirs under the registry's evolved schema when one
+    exists (dirs written before an evolution yield nulls/read-defaults
+    in the added columns), plain inference otherwise.  ``mode='write'``
+    for reads feeding a rewrite (apply's carried rows, compaction) —
+    read-defaults must never bake into stored bytes."""
+    from localsql_spark.sinks.schema_evolution import (evolved_read_schema,
+                                                       reconcile_frame)
+    ddl = evolved_read_schema(store_dir)
+    if ddl is None:
+        return spark.read.parquet(*paths)
+    return reconcile_frame(spark.read.schema(ddl).parquet(*paths),
+                           store_dir, mode=mode)
+
+
 def _commit_dir(staged: Path, live: Path) -> None:
     live.parent.mkdir(parents=True, exist_ok=True)
     staged.rename(live)
@@ -102,7 +139,19 @@ def apply_batch(spark: SparkSession, store_dir: str, updates: DataFrame,
     open snapshot and the versions this batch closed, then commits both
     via directory renames (closed first — see module docstring).
     Replaying the same ``batch_id`` (same updates) recreates identical
-    directories."""
+    directories.
+
+    Schema-registered store (sinks/schema_evolution.py): the registry's
+    attribute set is AUTHORITATIVE — ``attr_cols`` must be a subset
+    (an unregistered attribute raises: evolve_schema first, then
+    apply), the open slice reads under the evolved schema (a
+    pre-evolution snapshot yields nulls in the added columns), and a
+    registered attribute the batch does not carry CARRIES FORWARD from
+    each key's current open version (new keys get NULL) — padding NULL
+    instead would close every current version against an old producer's
+    batch and erase the evolved attribute from the open slice.  Old
+    producers therefore keep working after an evolution, updating only
+    the attributes they know."""
     store = Path(store_dir)
     prev = _latest_open(store)
     if _batch_id(prev) > batch_id:
@@ -120,7 +169,30 @@ def apply_batch(spark: SparkSession, store_dir: str, updates: DataFrame,
     # 1. stage both slices — no live-tree writes
     staging = store / "_staging" / f"batch_{batch_id}"
     shutil.rmtree(staging, ignore_errors=True)
-    current = spark.read.parquet(str(prev))
+    # mode='write': the open slice's carried rows are REWRITTEN into the
+    # new snapshot — read-defaults must not bake into their bytes
+    current = _read_slice(spark, store_dir, [str(prev)], mode="write")
+    reg_attrs = _registry_attrs(store_dir, key_cols)
+    if reg_attrs is not None:
+        rogue = sorted(set(attr_cols) - set(reg_attrs))
+        if rogue:
+            raise ValueError(
+                f"updates carry unregistered attributes {rogue} for store "
+                f"{store_dir!r} — evolve_schema first, then apply")
+        unknown = sorted(set(updates.columns) - set(key_cols)
+                         - set(reg_attrs))
+        if unknown:
+            raise ValueError(
+                f"update batch carries unregistered columns {unknown} for "
+                f"store {store_dir!r} — evolve_schema first, then apply")
+        # carry-forward: registered attributes the batch does not carry
+        # take each key's CURRENT value (one dimension-bounded join,
+        # only when an old producer writes post-evolution)
+        absent = [c for c in reg_attrs if c not in updates.columns]
+        if absent:
+            cur_vals = current.select(*key_cols, *absent)
+            updates = updates.join(cur_vals, key_cols, "left")
+        attr_cols = reg_attrs
     # out-of-order timestamps corrupt the interval algebra silently: a
     # batch_ts at or before an open version's valid_from closes it as an
     # INVERTED interval [from, ts) with ts < from (matches no as-of time)
@@ -183,12 +255,17 @@ def _committed_closed_dirs(store: Path) -> list[Path]:
 
 def read_history(spark: SparkSession, store_dir: str) -> DataFrame:
     """The full version history: latest open snapshot + every committed
-    closed dir.  Compatible with operators.scd2.scd2_as_of/enrich_asof."""
+    closed dir.  Compatible with operators.scd2.scd2_as_of/enrich_asof.
+    A schema-registered store reads EVERY dir vintage under the
+    registry's evolved schema, so versions closed before an evolution
+    carry nulls/read-defaults in the added columns and an ``as_of``
+    read across the boundary sees one stable shape."""
     store = Path(store_dir)
-    h = spark.read.parquet(str(_latest_open(store)))
+    h = _read_slice(spark, store_dir, [str(_latest_open(store))])
     closed_dirs = _committed_closed_dirs(store)
     if closed_dirs:
-        closed = spark.read.parquet(*[str(p) for p in closed_dirs])
+        closed = _read_slice(spark, store_dir,
+                             [str(p) for p in closed_dirs])
         h = h.unionByName(closed.select(h.columns))
     return h
 
@@ -224,7 +301,12 @@ def compact_scd2_store(spark: SparkSession, store_dir: str,
     upto = latest - 1
     staged = store / "_staging" / f"compact_{upto}"
     shutil.rmtree(staged, ignore_errors=True)
-    (spark.read.parquet(*[str(p) for p in dirs])
+    # registered store: the folded dirs may span evolution vintages — a
+    # raw multi-path read infers the scan schema from one arbitrary file
+    # and would silently drop evolved columns' data from newer dirs
+    # (the compact_partitions lesson, advisor r12); mode='write' so no
+    # read-default bakes into the compacted bytes
+    (_read_slice(spark, store_dir, [str(p) for p in dirs], mode="write")
      .coalesce(target_files)
      .write.mode("overwrite").parquet(str(staged)))
     live = store / "closed" / f"compact_upto_{upto}"

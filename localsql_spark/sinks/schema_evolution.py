@@ -234,7 +234,7 @@ def _validated_cast(df: DataFrame, name: str, typ: str) -> Column:
 
 def reconcile_frame(df: DataFrame, store_dir: str,
                     keep_extra: list[str] | None = None,
-                    mode: str = "read") -> DataFrame:
+                    mode: str = "read", strict: bool = False) -> DataFrame:
     """Conform ``df`` to the registry's current contract: registered
     columns in registry order, ``keep_extra`` columns
     (partition/bookkeeping) carried through.  Raises on a column the
@@ -266,7 +266,17 @@ def reconcile_frame(df: DataFrame, store_dir: str,
       never carries meaning, otherwise omit it and handle nulls
       downstream — this is the honest contract, stated here instead
       of silently overwriting stored NULLs at write time (review
-      round 12)."""
+      round 12).
+
+    ``strict=True`` (write mode, FOLD stores): a registered column the
+    frame does not carry RAISES instead of padding NULL.  Ingest stores
+    pad (an old producer's batch legitimately lacks an evolved column —
+    the merge carries whole stored rows through untouched), but a
+    GROUP-PROJECTING fold (rollup/IVM/inverted-index merges) rebuilds
+    the touched partitions from its own output columns: padding an
+    evolved column there would overwrite stored values with NULL.  The
+    strict gate makes 'evolve the registry' and 'extend the fold code'
+    one atomic rollout."""
     if mode not in ("read", "write"):
         raise ValueError(f"reconcile_frame mode must be read|write, "
                          f"got {mode!r}")
@@ -281,6 +291,16 @@ def reconcile_frame(df: DataFrame, store_dir: str,
             f"batch carries unregistered columns {unknown} for store "
             f"{store_dir!r} (schema v{schema_version(store_dir)}) — "
             f"evolve_schema first, then ingest")
+    if strict and mode == "write":
+        absent = sorted(set(cols) - set(df.columns))
+        if absent:
+            raise ValueError(
+                f"fold output is missing registered columns {absent} for "
+                f"store {store_dir!r} (schema "
+                f"v{schema_version(store_dir)}) — a group-projecting fold "
+                f"rewrite would overwrite their stored values with NULL; "
+                f"extend the fold to compute them (deploy fold code with "
+                f"the evolution)")
     out = []
     for name, typ in cols.items():
         if name in df.columns:

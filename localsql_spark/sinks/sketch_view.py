@@ -107,7 +107,8 @@ def sketch_view_update(spark: SparkSession, view_dir: str,
     delta = (regs.unionByName(counters).withColumn("gb", gb)
              .localCheckpoint(eager=True))
     parts = [r[0] for r in delta.select("gb").distinct().collect()]
-    stored = read_base_partitions(spark, view_dir, "gb", parts)
+    stored = read_base_partitions(spark, view_dir, "gb", parts,
+                                  mode="write")
     both = delta if stored is None else stored.unionByName(delta)
     merged = (both.groupBy("grp", "gb", "bucket")
               .agg(F.max("m_rank").alias("m_rank"),

@@ -2905,6 +2905,136 @@ def scd2_store_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(store, ignore_errors=True)
 
 
+_SCD2_EVOLUTION_ORACLE = """
+WITH cur0 AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+                     CAST(NULL AS VARCHAR) AS tier
+              FROM customer),
+u1 AS (SELECT c_custkey AS k, 'MIGRATED' AS seg FROM customer
+       WHERE c_custkey % 7 = 0),
+closed1 AS (
+  SELECT c.k, c.seg, c.tier,
+         CAST(1000000 AS BIGINT) AS f, CAST(2000000 AS BIGINT) AS t
+  FROM cur0 c JOIN u1 u ON c.k = u.k AND u.seg IS DISTINCT FROM c.seg),
+open1 AS (
+  SELECT c.k, c.seg, c.tier, CAST(1000000 AS BIGINT) AS f
+  FROM cur0 c LEFT JOIN u1 u ON c.k = u.k
+  WHERE u.k IS NULL OR u.seg IS NOT DISTINCT FROM c.seg
+  UNION ALL
+  SELECT u.k, u.seg, CAST(NULL AS VARCHAR), CAST(2000000 AS BIGINT)
+  FROM u1 u JOIN cur0 c ON c.k = u.k
+  WHERE u.seg IS DISTINCT FROM c.seg),
+u2 AS (SELECT c_custkey AS k, 'RESEG' AS seg,
+              'T' || CAST(c_custkey % 4 AS VARCHAR) AS tier
+       FROM customer WHERE c_custkey % 3 = 0),
+closed2 AS (
+  SELECT o.k, o.seg, o.tier, o.f, CAST(3000000 AS BIGINT) AS t
+  FROM open1 o JOIN u2 u
+    ON o.k = u.k
+   AND (u.seg IS DISTINCT FROM o.seg OR u.tier IS DISTINCT FROM o.tier)),
+open2 AS (
+  SELECT o.k, o.seg, o.tier, o.f
+  FROM open1 o LEFT JOIN u2 u ON o.k = u.k
+  WHERE u.k IS NULL OR (u.seg IS NOT DISTINCT FROM o.seg
+                        AND u.tier IS NOT DISTINCT FROM o.tier)
+  UNION ALL
+  SELECT u.k, u.seg, u.tier, CAST(3000000 AS BIGINT)
+  FROM u2 u JOIN open1 o ON o.k = u.k
+  WHERE u.seg IS DISTINCT FROM o.seg OR u.tier IS DISTINCT FROM o.tier),
+u3 AS (SELECT c_custkey AS k, 'OLDP' AS seg FROM customer
+       WHERE c_custkey % 5 = 0),
+closed3 AS (
+  SELECT o.k, o.seg, o.tier, o.f, CAST(4000000 AS BIGINT) AS t
+  FROM open2 o JOIN u3 u ON o.k = u.k AND u.seg IS DISTINCT FROM o.seg),
+open3 AS (
+  SELECT o.k, o.seg, o.tier, o.f
+  FROM open2 o LEFT JOIN u3 u ON o.k = u.k
+  WHERE u.k IS NULL OR u.seg IS NOT DISTINCT FROM o.seg
+  UNION ALL
+  SELECT u.k, u.seg, o.tier, CAST(4000000 AS BIGINT)
+  FROM u3 u JOIN open2 o ON o.k = u.k
+  WHERE u.seg IS DISTINCT FROM o.seg),
+hist AS (
+  SELECT k, seg, tier, f, t, false AS is_current FROM closed1
+  UNION ALL SELECT k, seg, tier, f, t, false FROM closed2
+  UNION ALL SELECT k, seg, tier, f, t, false FROM closed3
+  UNION ALL SELECT k, seg, tier, f, CAST(NULL AS BIGINT), true FROM open3)
+SELECT k AS c_custkey, seg AS c_mktsegment, tier AS c_tier,
+       f AS valid_from_us, t AS valid_to_us, is_current
+FROM hist WHERE k % 11 <> 0
+"""
+
+
+@query("scd2_evolution_probe", oracle=_SCD2_EVOLUTION_ORACLE)
+def scd2_evolution_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution flowing END-TO-END through the
+    persisted SCD2 store (verdict r12 task 2 — the sharpest store for
+    evolution, since an as-of read must see ONE stable shape across the
+    boundary): the customer dimension registers its contract
+    (sinks/schema_evolution.py), folds a pre-evolution batch, EVOLVES
+    to add ``c_tier``, folds a new-producer batch carrying it, then an
+    OLD-producer batch without it — whose carried tier values come from
+    the registry-driven CARRY-FORWARD (apply_batch joins the absent
+    attribute from each key's current open version; padding NULL would
+    have closed every current version and erased the evolved attribute)
+    — compacts the closed dirs ACROSS the vintage boundary (explicit
+    evolved-schema fold: a raw read would silently drop c_tier from the
+    newer dirs), and erases the %11 subjects' whole version chains.
+    The oracle derives the same three-batch evolved history
+    set-theoretically on the evolved schema — the
+    ``schema_evolution_probe`` rebuild discipline — so the driver row
+    proves registered writes + carry-forward + cross-vintage compaction
+    + erase == the from-scratch chain bit-for-bit."""
+    import shutil
+    import tempfile
+
+    from localsql_spark.sinks.scd2_store import (apply_batch,
+                                                 compact_scd2_store,
+                                                 init_store, read_history,
+                                                 scd2_erase_keys)
+    from localsql_spark.sinks.schema_evolution import (evolve_schema,
+                                                       init_schema)
+
+    t = load(spark, sf_dir)
+    cust = t["customer"]
+    key = F.col("c_custkey")
+    store = tempfile.mkdtemp(prefix="scd2_evo_")
+    try:
+        dim = cust.select("c_custkey", "c_mktsegment")
+        init_store(dim, store, ["c_custkey"], ["c_mktsegment"], 1_000_000)
+        init_schema(store, {"c_custkey": "bigint",
+                            "c_mktsegment": "string",
+                            "valid_from_us": "bigint",
+                            "valid_to_us": "bigint"})
+        u1 = (cust.filter(key % 7 == 0)
+              .withColumn("c_mktsegment", F.lit("MIGRATED"))
+              .select("c_custkey", "c_mktsegment"))
+        apply_batch(spark, store, u1, ["c_custkey"], ["c_mktsegment"],
+                    2_000_000, batch_id=1)
+        evolve_schema(store, {"c_tier": "string"})
+        u2 = (cust.filter(key % 3 == 0)
+              .select("c_custkey", F.lit("RESEG").alias("c_mktsegment"),
+                      F.concat(F.lit("T"), (key % 4).cast("string"))
+                      .alias("c_tier")))
+        apply_batch(spark, store, u2, ["c_custkey"],
+                    ["c_mktsegment", "c_tier"], 3_000_000, batch_id=2)
+        # old producer: no c_tier column, old attr list — carry-forward
+        u3 = (cust.filter(key % 5 == 0)
+              .select("c_custkey", F.lit("OLDP").alias("c_mktsegment")))
+        apply_batch(spark, store, u3, ["c_custkey"], ["c_mktsegment"],
+                    4_000_000, batch_id=3)
+        compact_scd2_store(spark, store)
+        scd2_erase_keys(spark, store,
+                        cust.filter(key % 11 == 0).select("c_custkey"),
+                        "c_custkey")
+        h = read_history(spark, store)
+        out = h.select(
+            "c_custkey", "c_mktsegment", "c_tier", "valid_from_us",
+            "valid_to_us", F.col("valid_to_us").isNull().alias("is_current"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 @query("histogram_equidepth_values", oracle="""
 WITH s AS (
   SELECT CAST(value AS DOUBLE) AS v,

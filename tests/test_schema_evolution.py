@@ -480,3 +480,154 @@ def test_write_mode_rejects_uncastable_values(spark, tmp_path):
                                     "doc_id long, quality string")
     assert reconcile_frame(nullish, store,
                            mode="write").first().quality is None
+
+
+# ---------------------------------------------------------------------------
+# round 13: registry extended to the fold stores + signature store
+# ---------------------------------------------------------------------------
+
+def test_rollup_registry_read_and_strict_fold_gate(spark, tmp_path):
+    """A registered rollup reconciles mixed partition vintages at read,
+    and the STRICT write gate refuses a fold whose output lacks an
+    evolved column (a group-projecting rewrite would overwrite stored
+    values with NULL) — evolve registry + extend fold code together."""
+    from localsql_spark.sinks.rollup import maintain_rollup, read_rollup
+    from localsql_spark.sinks.schema_evolution import (evolve_schema,
+                                                       init_schema)
+
+    ev = spark.createDataFrame(
+        [(i, "click", float(i), f"2024-01-0{1 + i % 2} 10:{i % 60:02d}:00")
+         for i in range(20)],
+        "event_id long, event_type string, value double, ts_s string") \
+        .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    rdir = str(tmp_path / "rollup")
+    maintain_rollup(spark, rdir, ev)
+    init_schema(rdir, {"bucket_ts": "string", "key": "string",
+                       "n_events": "bigint",
+                       "sum_value": "decimal(28,6)",
+                       "min_value": "double", "max_value": "double"},
+                partition=("event_date", "string"))
+    # registered, unevolved: fold + read still work, values unchanged
+    maintain_rollup(spark, rdir, ev)
+    got = {(r.bucket_ts, r.key): r.n_events
+           for r in read_rollup(spark, rdir).collect()}
+    assert sum(got.values()) == 40 and len(got) == 2  # two folds of 20
+
+    evolve_schema(rdir, {"sum_sq": "decimal(28,6)"})
+    # read reconciles: old partitions yield NULL for the evolved column
+    rows = read_rollup(spark, rdir).collect()
+    assert all(r.sum_sq is None for r in rows)
+    # the fold code does not compute sum_sq -> strict gate raises
+    with pytest.raises(ValueError, match="missing registered columns"):
+        maintain_rollup(spark, rdir, ev)
+
+
+def test_ivm_registry_read_and_strict_fold_gate(spark, tmp_path):
+    from localsql_spark.sinks.ivm import maintain_join_view, read_join_view
+    from localsql_spark.sinks.schema_evolution import (evolve_schema,
+                                                       init_schema)
+
+    fact = spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(20)],
+        "id long, fk long, value double")
+    dim = spark.createDataFrame(
+        [(i, f"g{i % 2}") for i in range(4)], "dk long, grp_name string")
+    vdir = str(tmp_path / "view")
+    maintain_join_view(spark, vdir, fact, dim, "fk", "dk", "grp_name",
+                       "value", n_buckets=4)
+    init_schema(vdir, {"grp": "string", "n_rows": "bigint",
+                       "sum_value": "decimal(28,6)"},
+                partition=("grp_bucket", "int"))
+    maintain_join_view(spark, vdir, fact, dim, "fk", "dk", "grp_name",
+                       "value", n_buckets=4)
+    got = {r.grp: r.n_rows for r in read_join_view(spark, vdir).collect()}
+    assert got == {"g0": 20, "g1": 20}
+
+    evolve_schema(vdir, {"min_value": "double"})
+    assert all(r.min_value is None
+               for r in read_join_view(spark, vdir).collect())
+    with pytest.raises(ValueError, match="missing registered columns"):
+        maintain_join_view(spark, vdir, fact, dim, "fk", "dk", "grp_name",
+                           "value", n_buckets=4)
+
+
+def test_inverted_index_registry_and_strict_gate(spark, tmp_path):
+    from localsql_spark.sinks.inverted_index import (bm25_from_index,
+                                                     index_add_documents)
+    from localsql_spark.sinks.schema_evolution import (evolve_schema,
+                                                       init_schema)
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i}") for i in range(10)],
+        "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    index_add_documents(spark, idx, docs, n_buckets=4)
+    before = {r.doc_id: r.score
+              for r in bm25_from_index(spark, idx, ["alpha"],
+                                       n_buckets=4).collect()}
+    init_schema(idx, {"term": "string", "doc_id": "bigint",
+                      "tf": "bigint", "dl": "bigint"},
+                partition=("tb", "int"))
+    # registered read serves identical scores (explicit-schema scan)
+    after = {r.doc_id: r.score
+             for r in bm25_from_index(spark, idx, ["alpha"],
+                                      n_buckets=4).collect()}
+    assert after == before
+    # registered fold still works pre-evolution
+    more = spark.createDataFrame([(100, "alpha gamma")],
+                                 "doc_id long, text string")
+    index_add_documents(spark, idx, more, n_buckets=4)
+    assert 100 in {r.doc_id
+                   for r in bm25_from_index(spark, idx, ["alpha"],
+                                            n_buckets=4).collect()}
+    evolve_schema(idx, {"field": "string"})
+    with pytest.raises(ValueError, match="missing registered columns"):
+        index_add_documents(spark, idx, more, n_buckets=4)
+
+
+def test_signature_store_registry_ingest_evolution(spark, tmp_path):
+    """The signature store takes INGEST semantics (rows are independent
+    per-doc facts): after an evolution, an old producer's append pads
+    the new column NULL in its own bytes, a new producer stores values,
+    and the registered read returns one stable evolved shape across
+    vintages; compaction preserves every vintage's values."""
+    from localsql_spark.operators.dedup import (append_signature_store,
+                                                compact_signature_store,
+                                                compute_signatures,
+                                                read_signature_store,
+                                                write_signature_store)
+    from localsql_spark.sinks.schema_evolution import (evolve_schema,
+                                                       init_schema)
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(12)))
+         for i in range(10)], "doc_id long, text string")
+    store = str(tmp_path / "sigs")
+    write_signature_store(docs, store)
+    init_schema(store, {"doc_id": "bigint", "sig": "array<bigint>"})
+    # unevolved registered read == the narrow contract
+    assert read_signature_store(spark, store).columns == ["doc_id", "sig"]
+
+    evolve_schema(store, {"lang": "string"})
+    # old producer keeps appending (pads NULL in its bytes)
+    more = spark.createDataFrame(
+        [(100, "x y z a b c d e f g h i")], "doc_id long, text string")
+    append_signature_store(more, store)
+    # new producer writes the evolved column directly
+    sigs2 = compute_signatures(
+        spark.createDataFrame([(200, "p q r s t u v w x y z a")],
+                              "doc_id long, text string")) \
+        .withColumn("lang", F.lit("en"))
+    from localsql_spark.sinks.schema_evolution import reconcile_frame
+    reconcile_frame(sigs2, store, mode="write") \
+        .write.mode("append").parquet(store)
+
+    got = {r.doc_id: r.lang
+           for r in read_signature_store(spark, store).collect()}
+    assert len(got) == 12
+    assert got[200] == "en" and got[100] is None and got[0] is None
+
+    compact_signature_store(spark, store, target_files=2)
+    got2 = {r.doc_id: r.lang
+            for r in read_signature_store(spark, store).collect()}
+    assert got2 == got, "compaction lost evolved-column values"
