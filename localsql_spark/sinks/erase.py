@@ -422,7 +422,9 @@ def export_subject(spark: SparkSession, keys: DataFrame, *,
                    ledger: dict | None = None,
                    rollup: dict | None = None,
                    ivm_view: dict | None = None,
-                   cov_store: dict | None = None) -> dict[str, DataFrame]:
+                   cov_store: dict | None = None,
+                   nb_model: dict | None = None,
+                   sketch_view: dict | None = None) -> dict[str, DataFrame]:
     """Subject ACCESS request across the persistence surface — the read
     half of the compliance pair whose write half is
     :func:`erase_everywhere` (GDPR Art. 15 right of access / Art. 20
@@ -490,6 +492,23 @@ def export_subject(spark: SparkSession, keys: DataFrame, *,
     - ``cov_store={'vectors', 'subject_col'}`` -> ``cov_footprint``
       ``(subject_col, n_vectors)`` (every folded vector contributes to
       every covariance cell, so the group list degenerates to a count).
+    - ``nb_model={'docs', 'subject_col', ['text_col']}`` ->
+      ``nb_footprint`` ``(subject_col, word, n_contributed)`` — which
+      WORD rows of the persisted NB count model hold the subject's
+      token contributions, computed with the trainer's OWN tokenizer
+      (``_nb_words``: normalize_text split, empties removed), so the
+      disclosed word set can never drift from what ``nb_model_update``
+      folded.
+    - ``sketch_view={'docs', 'subject_col', ['group_col', 'text_col',
+      'n']}`` -> ``sketch_footprint`` ``(subject_col, grp,
+      n_docs_contributed, n_ngrams_contributed)`` — which GROUP rows of
+      the diversity sketch view hold the subject's contributions, with
+      the n-gram count matching ``ngram_stream``'s emission exactly
+      (grams per doc = max(tokens - (n-1), 0) over the shared
+      tokenizer) — the total_ngrams counter's per-subject share.
+    Like the erase path, NB counts and HLL registers are NOT
+    row-retractable — the footprint names the touched state the
+    rebuild (:func:`rebuild_nonretractable`) would retrain away.
 
     Returns ``{store_name: DataFrame}`` of the subjects' rows per
     configured store (empty frames for stores holding nothing).  Feed
@@ -680,6 +699,34 @@ def export_subject(spark: SparkSession, keys: DataFrame, *,
             _match(cov_store["vectors"], scol)
             .groupBy(F.col(scol))
             .agg(F.count(F.lit(1)).alias("n_vectors")))
+    if nb_model is not None:
+        from localsql_spark.operators.selection import _nb_words
+        scol = nb_model["subject_col"]
+        subj_docs = _match(nb_model["docs"], scol)
+        # the trainer's own tokenizer; the label is irrelevant to WHICH
+        # word rows hold contributions, so a constant stands in
+        _, words = _nb_words(subj_docs, F.lit(True), scol,
+                             nb_model.get("text_col", "text"))
+        out["nb_footprint"] = (
+            words.groupBy(F.col("doc_id").alias(scol), "word")
+            .agg(F.count(F.lit(1)).alias("n_contributed")))
+    if sketch_view is not None:
+        from localsql_spark.operators.corpus import _tokens
+        scol = sketch_view["subject_col"]
+        gcol = sketch_view.get("group_col", "source")
+        tcol = sketch_view.get("text_col", "text")
+        n_ = sketch_view.get("n", 2)
+        subj_docs = _match(sketch_view["docs"], scol)
+        # gram count per doc matches ngram_stream's emission exactly:
+        # slice-after-zip yields max(tokens - (n-1), 0) grams
+        toks = F.array_remove(_tokens(F.col(tcol)), "")
+        n_grams = F.greatest(F.size(toks) - F.lit(n_ - 1), F.lit(0))
+        out["sketch_footprint"] = (
+            subj_docs.select(F.col(scol), F.col(gcol).alias("grp"),
+                             n_grams.alias("__ng"))
+            .groupBy(scol, "grp")
+            .agg(F.count(F.lit(1)).alias("n_docs_contributed"),
+                 F.sum("__ng").alias("n_ngrams_contributed")))
 
     return out
 

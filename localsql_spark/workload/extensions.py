@@ -6894,6 +6894,86 @@ def access_aggregate_footprint(spark: SparkSession,
             .localCheckpoint(eager=True))
 
 
+@query("access_model_footprint", oracle=r"""
+WITH dk AS (SELECT DISTINCT doc_id FROM documents
+            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 17 = 0),
+lab AS (SELECT d.doc_id, d.source,
+               trim(regexp_replace(lower(d.text), '\s+', ' ', 'g')) AS t
+        FROM documents d JOIN dk USING (doc_id)),
+w AS (SELECT doc_id, word FROM lab, UNNEST(string_split(t, ' ')) u(word)
+      WHERE word <> ''),
+nbf AS (SELECT 'nb_model' AS store, doc_id AS subject_key, word AS grp,
+               count(*) AS n_contributed
+        FROM w GROUP BY 2, 3),
+tk AS (SELECT doc_id, source,
+              len(list_filter(string_split(t, ' '), x -> x <> '')) AS nt
+       FROM lab),
+skf AS (SELECT 'sketch_view' AS store, doc_id AS subject_key,
+               source AS grp,
+               CAST(SUM(greatest(nt - 1, 0)) AS BIGINT) AS n_contributed
+        FROM tk GROUP BY 2, 3),
+vk AS (SELECT DISTINCT vec_id FROM embeddings
+       WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 13 = 0),
+cvf AS (SELECT 'cov_store' AS store, e.vec_id AS subject_key,
+               '<all-cells>' AS grp, count(*) AS n_contributed
+        FROM embeddings e JOIN vk USING (vec_id) GROUP BY 2)
+SELECT store, subject_key, grp, n_contributed FROM nbf
+UNION ALL SELECT store, subject_key, grp, n_contributed FROM skf
+UNION ALL SELECT store, subject_key, grp, n_contributed FROM cvf
+""")
+def access_model_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The access manifest's MODEL-STORE footprints (verdict r12 task 6,
+    completing access_aggregate_footprint's rollup/IVM coverage): the
+    NB count model, the HLL diversity sketch view, and the covariance
+    store all hold subject contributions that are not row-exportable
+    (additive counts, register maxes, dim^2 partials — the
+    rebuild_nonretractable state class), so the Art. 15 response NAMES
+    them instead: per subject, which WORD rows of the NB model carry
+    their tokens (the trainer's own _nb_words tokenizer), which GROUP
+    rows of the sketch view carry their docs/n-grams (gram arithmetic
+    identical to ngram_stream's emission), and how many vectors they
+    contributed to the covariance partials.  Computed from the
+    subjects' own source rows — one broadcast semi-join + one
+    batch-sized groupBy per store, never an aggregate-bytes read.  The
+    oracle recomputes every touched group from the base tables (the
+    from-scratch discipline); the sketch footprint's n_docs_contributed
+    column is pinned by the unit test (uniform 4-column shape here)."""
+    from localsql_spark.operators import hash32
+    from localsql_spark.sinks.erase import export_subject
+
+    docs = load(spark, sf_dir)["documents"]
+    emb = load(spark, sf_dir)["embeddings"]
+    dkeys = (docs.filter(hash32(F.col("doc_id")) % 17 == 0)
+             .select("doc_id").distinct())
+    vkeys = (emb.filter(hash32(F.col("vec_id")) % 13 == 0)
+             .select("vec_id").distinct())
+    exp_d = export_subject(
+        spark, dkeys,
+        nb_model={"docs": docs, "subject_col": "doc_id"},
+        sketch_view={"docs": docs, "subject_col": "doc_id",
+                     "group_col": "source"})
+    exp_v = export_subject(
+        spark, vkeys,
+        cov_store={"vectors": emb, "subject_col": "vec_id"})
+    nbf = exp_d["nb_footprint"].select(
+        F.lit("nb_model").alias("store"),
+        F.col("doc_id").alias("subject_key"),
+        F.col("word").alias("grp"), "n_contributed")
+    skf = exp_d["sketch_footprint"].select(
+        F.lit("sketch_view").alias("store"),
+        F.col("doc_id").alias("subject_key"),
+        F.col("grp"),
+        F.col("n_ngrams_contributed").alias("n_contributed"))
+    cvf = exp_v["cov_footprint"].select(
+        F.lit("cov_store").alias("store"),
+        F.col("vec_id").alias("subject_key"),
+        F.lit("<all-cells>").alias("grp"),
+        F.col("n_vectors").alias("n_contributed"))
+    return nbf.unionByName(skf).unionByName(cvf)
+
+
 # ---------------------------------------------------------------------------
 # OPQ-lite: PCA-rotated residual PQ (round 12)
 # ---------------------------------------------------------------------------

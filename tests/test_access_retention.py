@@ -446,3 +446,47 @@ def test_export_vector_stores_match_direct(spark, tmp_path):
                            ivfpq_index={"index_path": pq})
     assert after["ivf_index"].count() == 0
     assert after["ivfpq_index"].count() == 0
+
+
+def test_model_store_footprints(spark):
+    """NB / sketch-view / cov-store footprints (verdict r12 task 6): the
+    non-row-exportable model stores are NAMED in the access response —
+    word rows, group rows, vector counts — computed from the subjects'
+    own source rows with each store's own expressions."""
+    from pyspark.sql import functions as F
+
+    from localsql_spark.sinks.erase import export_subject
+
+    docs = spark.createDataFrame(
+        [(1, "srcA", "alpha beta alpha"),
+         (2, "srcA", "gamma"),
+         (3, "srcB", "delta epsilon zeta eta"),
+         (4, "srcB", "")],
+        "doc_id long, source string, text string")
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(6)],
+        "vec_id long, embedding array<double>")
+
+    exp = export_subject(
+        spark, spark.createDataFrame([(1,), (3,), (4,)], "doc_id long"),
+        nb_model={"docs": docs, "subject_col": "doc_id"},
+        sketch_view={"docs": docs, "subject_col": "doc_id",
+                     "group_col": "source"})
+    nb = {(r.doc_id, r.word): r.n_contributed
+          for r in exp["nb_footprint"].collect()}
+    # doc 2 is not a subject; doc 1's repeated token counts twice
+    assert nb == {(1, "alpha"): 2, (1, "beta"): 1,
+                  (3, "delta"): 1, (3, "epsilon"): 1,
+                  (3, "zeta"): 1, (3, "eta"): 1}
+    sk = {(r.doc_id, r.grp): (r.n_docs_contributed, r.n_ngrams_contributed)
+          for r in exp["sketch_footprint"].collect()}
+    # bigram counts = max(tokens-1, 0): doc1 3 toks -> 2 grams,
+    # doc3 4 -> 3, doc4 empty -> 0 grams but still 1 contributed doc
+    assert sk == {(1, "srcA"): (1, 2), (3, "srcB"): (1, 3),
+                  (4, "srcB"): (1, 0)}
+
+    expv = export_subject(
+        spark, spark.createDataFrame([(0,), (5,)], "vec_id long"),
+        cov_store={"vectors": emb, "subject_col": "vec_id"})
+    cov = {r.vec_id: r.n_vectors for r in expv["cov_footprint"].collect()}
+    assert cov == {0: 1, 5: 1}
