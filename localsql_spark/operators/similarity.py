@@ -1366,7 +1366,8 @@ TWO_LEVEL_AUTO_CELLS = 64
 
 
 def opq_rotation(res: DataFrame, vec_col: str = "embedding",
-                 rounds: int = 6, exact: bool = False) -> list[list[float]]:
+                 rounds: int = 6, exact: bool = False,
+                 balance_m: int | None = None) -> list[list[float]]:
     """OPQ-lite rotation (Ge et al., "Optimized Product Quantization",
     CVPR 2013 — public; the 'parametric' simplification): the FULL PCA
     eigenbasis of the residual covariance, used to rotate residuals
@@ -1434,6 +1435,7 @@ def opq_rotation(res: DataFrame, vec_col: str = "embedding",
     mat = [[0.0] * dim for _ in range(dim)]
     for j, k, c in rows:
         mat[j][k] = c
+    lams: list[float] = []
     for ci in range(dim):
         v = [1.0] * dim
         for _ in range(rounds):
@@ -1446,11 +1448,47 @@ def opq_rotation(res: DataFrame, vec_col: str = "embedding",
         lam = sum(v[j] * sum(mat[j][k] * v[k] for k in range(dim))
                   for j in range(dim))
         basis.append(list(v))
+        lams.append(lam)
         if ci + 1 < dim:
             for j in range(dim):
                 for k in range(dim):
                     mat[j][k] -= lam * v[j] * v[k]
+    if balance_m:
+        basis = [basis[i] for i in
+                 _balance_allocation(lams, balance_m)]
     return basis
+
+
+def _balance_allocation(lams: list[float], m: int) -> list[int]:
+    """Eigenvalue allocation (Ge et al., CVPR 2013, parametric OPQ's
+    SECOND half): permute the eigenbasis rows so each of the ``m`` PQ
+    subspaces receives components of ~equal VARIANCE PRODUCT — greedy:
+    eigenvalues in descending order, each to the least-loaded subspace
+    (sum of log-eigenvalues) with a free slot.  Round 13 found this
+    step load-bearing, not optional: PCA-only rotation CONCENTRATES a
+    spiky spectrum into the leading subspace, and with a fixed per-
+    subspace code budget that measurably HURTS quantization (ANN.md:
+    +116%/+84% error on the planted-anisotropic regimes) — balancing is
+    what turns decorrelation into a win there while leaving the
+    near-flat-spectrum regime's ordering essentially unchanged.
+    Returns the component order (subspace 0's rows first)."""
+    import math
+
+    dim = len(lams)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    order = sorted(range(dim), key=lambda i: (-lams[i], i))
+    loads = [0.0] * m
+    slots = [dsub] * m
+    assign: list[list[int]] = [[] for _ in range(m)]
+    for i in order:
+        s = min((t for t in range(m) if slots[t] > 0),
+                key=lambda t: (loads[t], t))
+        assign[s].append(i)
+        slots[s] -= 1
+        loads[s] += math.log(max(lams[i], 1e-12))
+    return [i for sub in assign for i in sub]
 
 
 def _rotate_expr(vec, rotation: list[list[float]]):
@@ -1573,7 +1611,7 @@ def knn_ivfpq_adc(corpus: DataFrame, queries: DataFrame, k: int = 5,
     # rotated space — an orthogonal transform preserves L2)
     rotation = None
     if rotate:
-        rotation = opq_rotation(res, vec_col)
+        rotation = opq_rotation(res, vec_col, balance_m=m)
         # codegen'd corpus rotation, materialized ONCE (dim doubles per
         # row, the centroid-collect license): pq_train's Lloyd round,
         # pq_encode, and the codes join each consume the rotated frame
@@ -1726,7 +1764,7 @@ def write_ivfpq_index(corpus: DataFrame, path: str, n_cells: int = 8,
     c = c.localCheckpoint(eager=False)  # assignment feeds train AND encode
     res = c.select(id_col, F.col("resid").alias(vec_col))
     if rotate:  # OPQ-lite: persist R so the probe rotates identically
-        rotation = opq_rotation(res, vec_col)
+        rotation = opq_rotation(res, vec_col, balance_m=m)
         # codegen'd corpus rotation, materialized once (see
         # knn_ivfpq_adc)
         res = _rotate_frame(res, id_col, vec_col, rotation) \
