@@ -402,7 +402,8 @@ def main() -> None:
         # fabricates movement (module docstring) — report them raw and
         # keep value_normalized comparable by adding their raw wall
         detail["queries_normalized"] = {
-            k: (round(v / drift, 3) if k not in RAW_WALL else v)
+            k: (round(v / drift, 3) if k not in RAW_WALL
+                else round(v, 3))
             for k, v in timings.items()}
         detail["raw_wall_queries"] = sorted(
             k for k in timings if k in RAW_WALL)

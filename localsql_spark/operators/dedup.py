@@ -508,10 +508,10 @@ def read_signature_store(spark: SparkSession, path: str,
                                                        read_registry,
                                                        reconcile_frame)
 
-    reg = read_registry(path) is not None
+    registry = read_registry(path)
+    reg = registry is not None
     ddl = evolved_read_schema(path) if reg else None
-    cols = ([c for c in read_registry(path)[-1]["columns"]] if reg
-            else ["doc_id", "sig"])
+    cols = list(registry[-1]["columns"]) if reg else ["doc_id", "sig"]
 
     def _reader():
         r = spark.read.option("recursiveFileLookup", "true")
@@ -701,7 +701,11 @@ def minhash_lsh_pairs_from_banded_index(
              .select(F.least("ida", "idb").alias("doc_a"),
                      F.greatest("ida", "idb").alias("doc_b"))
              .distinct())
+    # narrow to the probe contract: a schema-registered store returns
+    # ALL registered columns, and the union with compute_signatures'
+    # (doc_id, sig) frame must stay shape-stable (review round 13)
     sig_all = (read_signature_store(spark, sig_store_path)
+               .select("doc_id", "sig")
                .unionByName(sig_new))
     sa = sig_all.select(F.col("doc_id").alias("doc_a"),
                         F.col("sig").alias("sig_a"))
@@ -947,7 +951,8 @@ def ensure_banded_index(spark: SparkSession, store_path: str,
                 prefix=f".{Path(index_path).name}.staged-", dir=parent)
             try:
                 write_banded_index(
-                    read_signature_store(spark, store_path),
+                    read_signature_store(spark, store_path)
+                    .select("doc_id", "sig"),
                     staged, n, bands, bucket_cap=bucket_cap)
                 # a pending partial-erase manifest from a crashed
                 # erase_from_signature_store is superseded by this
@@ -1012,7 +1017,7 @@ def minhash_lsh_pairs_from_store(spark: SparkSession, store_path: str,
                     spark, idx, store_path, new, text_col, id_col,
                     threshold, n, bands)
     return pairs_touching_new(
-        read_signature_store(spark, store_path),
+        read_signature_store(spark, store_path).select("doc_id", "sig"),
         compute_signatures(new, text_col, id_col, n),
         threshold=threshold, n=n, bands=bands, bucket_cap=bucket_cap)
 

@@ -34,6 +34,8 @@ import operator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from localsql_spark.sinks.locks import locked_by
+
 from localsql_spark.operators import hash32
 from localsql_spark.operators import text as T
 
@@ -536,6 +538,7 @@ def nb_seed_scores(docs: DataFrame, positive: Column,
     return _nb_score(lab, words, _nb_counts(words), _nb_doc_counts(lab))
 
 
+@locked_by("model_dir")
 def nb_model_update(spark, model_dir: str, new_docs: DataFrame,
                     positive: Column, n_buckets: int = 16,
                     doc_id_col: str = "doc_id",

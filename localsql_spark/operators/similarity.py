@@ -1411,6 +1411,11 @@ def opq_rotation(res: DataFrame, vec_col: str = "embedding",
     # expand below is CPU-bound and would serialize on one core —
     # spread it across the executor cores first (the spread() trap:
     # it only widens FILE scans, not checkpointed/shuffled frames)
+    if exact and balance_m:
+        raise ValueError(
+            "opq_rotation: balance_m composes with the float twin only — "
+            "the exact path exists for the opq_rotation_basis oracle, "
+            "which replays the UNBALANCED chain order")
     res = res.repartition(res.sparkSession.sparkContext.defaultParallelism)
     # exact path: the decimal fold the opq_rotation_basis oracle
     # replays; float twin: the Arrow/numpy accumulator (the planted

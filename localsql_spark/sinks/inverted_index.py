@@ -45,6 +45,8 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from localsql_spark.sinks.locks import locked_by
+
 from localsql_spark.operators import hash32
 from localsql_spark.operators.text import normalize_text
 
@@ -106,6 +108,7 @@ def _batch_postings(docs: DataFrame, n_buckets: int, doc_id_col: str,
     return postings.unionByName(counters)
 
 
+@locked_by("index_dir")
 def index_add_documents(spark: SparkSession, index_dir: str,
                         new_docs: DataFrame, n_buckets: int = 16,
                         doc_id_col: str = "doc_id",
@@ -189,6 +192,7 @@ def bm25_from_index(spark: SparkSession, index_dir: str, terms: list[str],
                          9).cast("double").alias("score")))
 
 
+@locked_by("index_dir")
 def index_erase_documents(spark: SparkSession, index_dir: str,
                           keys: DataFrame, n_buckets: int = 16,
                           docs: DataFrame | None = None,
@@ -259,7 +263,14 @@ def index_erase_documents(spark: SparkSession, index_dir: str,
         (F.sum("tf") - F.lit(int(gone["nd"]))).alias("tf"),
         (F.sum("dl") - F.lit(int(gone["dlsum"]))).alias("dl"),
         F.lit(int(n_buckets)).cast("int").alias("tb"))
-    merged = _validate_write(kept_posts.unionByName(new_stats), index_dir)
+    # allowMissingColumns: on an evolved registered index kept_posts
+    # carries the evolved columns and the 5-column stats aggregate pads
+    # NULL — erasure must work across the boundary, not raise a raw
+    # union shape error (review round 13); _validate_write then
+    # conforms/validates the merged frame
+    merged = _validate_write(
+        kept_posts.unionByName(new_stats, allowMissingColumns=True),
+        index_dir)
 
     base = Path(index_dir)
     staging = base.parent / f".{base.name}.staging"

@@ -44,6 +44,8 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from localsql_spark.sinks.locks import locked_by
+
 from localsql_spark.operators import hash32
 from localsql_spark.sinks.merge import (_apply_manifest, _manifest_path,
                                         read_base_partitions,
@@ -135,6 +137,7 @@ def maintain_join_view(spark: SparkSession, view_dir: str,
     return _fold_delta(spark, view_dir, delta)
 
 
+@locked_by("view_dir")
 def _fold_delta(spark: SparkSession, view_dir: str,
                 delta: DataFrame, marker: str | None = None) -> list:
     """Shared fold tail: collect the delta's touched buckets (bounded by
@@ -148,7 +151,8 @@ def _fold_delta(spark: SparkSession, view_dir: str,
     # shape error
     from localsql_spark.sinks.schema_evolution import (read_registry,
                                                        reconcile_frame)
-    if read_registry(view_dir) is not None:
+    registered = read_registry(view_dir) is not None
+    if registered:
         delta = reconcile_frame(delta, view_dir, keep_extra=["grp_bucket"],
                                 mode="write", strict=True)
     delta = delta.localCheckpoint(eager=True)  # bucket collect + merge
@@ -159,12 +163,9 @@ def _fold_delta(spark: SparkSession, view_dir: str,
     stored = read_base_partitions(spark, view_dir, "grp_bucket", buckets,
                                   mode="write")
     merged = merge_join_rollup(stored, delta).filter(F.col("n_rows") != 0)
-    # schema-registered view: reject fold columns the registry does not
-    # know (evolve first), pad registered-but-missing with NULL — the
-    # same write gate every registered store has
-    from localsql_spark.sinks.schema_evolution import (read_registry,
-                                                       reconcile_frame)
-    if read_registry(view_dir) is not None:
+    # the same strict write gate on the merged output (stored rows can
+    # carry evolved columns the delta-side gate never saw)
+    if registered:
         merged = reconcile_frame(merged, view_dir,
                                  keep_extra=["grp_bucket"],
                                  mode="write", strict=True)

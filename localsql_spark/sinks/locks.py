@@ -71,10 +71,13 @@ class MaintenanceBusy(OSError):
 
 _STALE_S = 3600.0
 
-# process-local reentrancy: lock file path -> hold count.  The composed
+# reentrancy is per (thread, lock path) — NOT per process: the composed
 # passes hold every configured store's lock while calling fold entry
-# points that re-acquire the same lock.
-_HELD: dict[str, int] = {}
+# points that re-acquire the same lock ON THE SAME CALL STACK, but a
+# sibling thread in the same driver (a Structured Streaming foreachBatch
+# callback, a user scheduler) is a genuinely concurrent writer and must
+# get MaintenanceBusy, not a free reentrant pass (review round 13).
+_HELD: dict[tuple[int, str], int] = {}
 _HELD_MU = threading.Lock()
 
 
@@ -123,7 +126,7 @@ def store_lock(store_dir: str, name: str = "maint",
     live cross-process contention; breaks a stale lock once before
     giving up."""
     lock = lock_path_for(store_dir, name)
-    key = str(lock)
+    key = (threading.get_ident(), str(lock))
     with _HELD_MU:
         if _HELD.get(key, 0) > 0:  # reentrant re-acquire
             _HELD[key] += 1
@@ -167,6 +170,29 @@ def store_lock(store_dir: str, name: str = "maint",
                 _HELD.pop(key, None)
     finally:
         lock.unlink(missing_ok=True)
+
+
+def locked_by(param: str):
+    """Decorator: hold the maintenance lock of the store named by
+    parameter ``param`` for the call — the fold-entry-point form of
+    :func:`store_lock` (reentrant under the composed passes, Busy for a
+    genuinely concurrent writer).  Every fold that touches a store's
+    shared staging dir wears this, so 'single-writer' is enforced at
+    every entry point, not just the composed passes (review round
+    13)."""
+    import functools
+    import inspect
+
+    def deco(fn):
+        sig = inspect.signature(fn)
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            bound = sig.bind(*args, **kwargs)
+            with store_lock(bound.arguments[param]):
+                return fn(*args, **kwargs)
+        return wrapper
+    return deco
 
 
 @contextlib.contextmanager

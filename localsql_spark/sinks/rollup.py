@@ -40,6 +40,8 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from localsql_spark.sinks.locks import locked_by
+
 from localsql_spark.sinks.merge import (_apply_manifest, _manifest_path,
                                         read_base_partitions,
                                         recover_pending_merge)
@@ -81,6 +83,7 @@ def merge_rollup(stored: DataFrame | None, delta: DataFrame) -> DataFrame:
                  F.max("max_value").alias("max_value")))
 
 
+@locked_by("rollup_dir")
 def maintain_rollup(spark: SparkSession, rollup_dir: str,
                     new_events: DataFrame, grain: str = "hour",
                     ts_col: str = "ts", key_col: str = "event_type",
@@ -159,6 +162,7 @@ def maintain_rollup(spark: SparkSession, rollup_dir: str,
     return dates
 
 
+@locked_by("rollup_dir")
 def erase_from_rollup(spark: SparkSession, rollup_dir: str,
                       events: DataFrame, keys: DataFrame, subject_col: str,
                       grain: str = "hour", ts_col: str = "ts",
@@ -333,6 +337,7 @@ def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
     return reconcile_frame(df, rollup_dir, keep_extra=[part[0]])
 
 
+@locked_by("rollup_dir")
 def backfill_rollup(spark: SparkSession, rollup_dir: str,
                     events: DataFrame, dates: list[str],
                     grain: str = "hour", ts_col: str = "ts",

@@ -53,6 +53,8 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from localsql_spark.sinks.locks import locked_by
+
 from localsql_spark.operators.scd2 import scd2_apply, scd2_init
 
 
@@ -102,6 +104,7 @@ def _commit_dir(staged: Path, live: Path) -> None:
     staged.rename(live)
 
 
+@locked_by("store_dir")
 def init_store(dim: DataFrame, store_dir: str, key_cols: list[str],
                attr_cols: list[str], ts_us: int) -> None:
     """Open version for every dimension row, committed as batch 0."""
@@ -132,6 +135,7 @@ def _latest_open(store: Path) -> Path:
     return batches[-1]
 
 
+@locked_by("store_dir")
 def apply_batch(spark: SparkSession, store_dir: str, updates: DataFrame,
                 key_cols: list[str], attr_cols: list[str],
                 batch_ts_us: int, batch_id: int) -> None:
@@ -270,6 +274,7 @@ def read_history(spark: SparkSession, store_dir: str) -> DataFrame:
     return h
 
 
+@locked_by("store_dir")
 def compact_scd2_store(spark: SparkSession, store_dir: str,
                        target_files: int = 4) -> int:
     """Fold the committed ``closed/batch_*`` dirs (and any previous
@@ -335,6 +340,7 @@ def _recover_orphaned_swaps(store: Path) -> None:
             old.rename(target)
 
 
+@locked_by("store_dir")
 def scd2_erase_keys(spark: SparkSession, store_dir: str, keys: DataFrame,
                     key_col: str) -> int:
     """Right-to-be-forgotten PROPAGATION into the SCD2 history store:

@@ -304,9 +304,8 @@ def reconcile_frame(df: DataFrame, store_dir: str,
     out = []
     for name, typ in cols.items():
         if name in df.columns:
-            c = F.col(name).cast(typ)
-            if mode == "write":
-                c = _validated_cast(df, name, typ)
+            c = _validated_cast(df, name, typ) if mode == "write" \
+                else F.col(name).cast(typ)
             if mode == "read" and name in defaults:
                 c = F.coalesce(c, _default_lit(defaults[name]).cast(typ))
         elif mode == "read" and name in defaults:

@@ -45,6 +45,8 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from localsql_spark.sinks.locks import locked_by
+
 from localsql_spark.operators.sketches import HLL_ALPHA, HLL_B, HLL_M
 
 
@@ -65,6 +67,7 @@ def _group_registers(grams: DataFrame, group_col: str = "source") \
             .groupBy("grp", "bucket").agg(F.max("rank").alias("m_rank")))
 
 
+@locked_by("view_dir")
 def sketch_view_update(spark: SparkSession, view_dir: str,
                        new_docs: DataFrame, n: int = 2,
                        group_col: str = "source",

@@ -101,7 +101,8 @@ def _apply(spark: SparkSession, batch: DataFrame, batch_id: int, store: Path,
     sig_new = track_persist(compute_signatures(batch, text_col, id_col, n))
     if any(store.glob("batch_*")) or any(store.glob("*.parquet")) \
             or any(store.glob("upto_*")):
-        sig_corpus = read_signature_store(spark, str(store))
+        sig_corpus = read_signature_store(spark, str(store)) \
+            .select("doc_id", "sig")
     else:
         sig_corpus = spark.createDataFrame([], _SIG_SCHEMA)
     pairs = pairs_touching_new(sig_corpus, sig_new,

@@ -2119,7 +2119,8 @@ def dedup_incremental_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     store, index = root / "sigs", root / "index"
     shutil.rmtree(root, ignore_errors=True)
     D.write_signature_store(docs.filter(~is_new), str(store))
-    D.write_banded_index(D.read_signature_store(spark, str(store)),
+    D.write_banded_index(D.read_signature_store(spark, str(store))
+                         .select("doc_id", "sig"),
                          str(index))
     return D.minhash_lsh_pairs_from_banded_index(
         spark, str(index), str(store), docs.filter(is_new), threshold=0.5)

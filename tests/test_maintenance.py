@@ -451,3 +451,86 @@ def test_single_writer_lock_enforced(spark, tmp_path):
         with store_lock(base):
             assert compact_partitions(spark, base, "kb") == []
     assert not lock.exists()
+
+
+def test_lock_not_reentrant_across_threads(spark, tmp_path):
+    """Reentrancy is per (thread, lock): a sibling thread in the same
+    driver process is a genuinely concurrent writer and gets
+    MaintenanceBusy while the first thread holds the store lock
+    (review round 13 — a process-global refcount would have waved it
+    through into the shared staging dir)."""
+    import threading
+
+    import pytest
+
+    from localsql_spark.sinks.locks import MaintenanceBusy, store_lock
+
+    base = str(tmp_path / "store")
+    result: dict = {}
+
+    def other_thread():
+        try:
+            with store_lock(base):
+                result["acquired"] = True
+        except MaintenanceBusy:
+            result["busy"] = True
+
+    with store_lock(base):
+        t = threading.Thread(target=other_thread)
+        t.start()
+        t.join()
+    assert result == {"busy": True}
+    # released: the sibling thread can acquire now
+    result.clear()
+    t = threading.Thread(target=other_thread)
+    t.start()
+    t.join()
+    assert result == {"acquired": True}
+
+
+def test_fold_entry_points_respect_store_lock(spark, tmp_path):
+    """Every fold that touches a store's shared staging dir raises
+    MaintenanceBusy while another process holds the store's lock —
+    the round-13 review found only the merge-family four were
+    instrumented while the docstrings claimed full coverage."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from localsql_spark.sinks.locks import MaintenanceBusy, lock_path_for
+
+    ev = spark.createDataFrame(
+        [(1, "click", 1.0, "2024-01-01 10:00:00")],
+        "event_id long, event_type string, value double, ts_s string") \
+        .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    docs = spark.createDataFrame([(1, "srcA", "alpha beta")],
+                                 "doc_id long, source string, text string")
+
+    cases = []
+    from localsql_spark.sinks.rollup import maintain_rollup
+    cases.append(("rollup", lambda d: maintain_rollup(spark, d, ev)))
+    from localsql_spark.sinks.ivm import maintain_join_view
+    dim = spark.createDataFrame([(1, "g0")], "dk long, grp_name string")
+    fact = spark.createDataFrame([(1, 1, 2.0)],
+                                 "id long, fk long, value double")
+    cases.append(("ivm", lambda d: maintain_join_view(
+        spark, d, fact, dim, "fk", "dk", "grp_name", "value")))
+    from localsql_spark.sinks.inverted_index import index_add_documents
+    cases.append(("invidx", lambda d: index_add_documents(spark, d, docs)))
+    from localsql_spark.sinks.sketch_view import sketch_view_update
+    cases.append(("sketch", lambda d: sketch_view_update(spark, d, docs)))
+    from localsql_spark.operators.selection import nb_model_update
+    cases.append(("nb", lambda d: nb_model_update(
+        spark, d, docs, F.lit(True))))
+    from localsql_spark.sinks.scd2_store import init_store
+    cases.append(("scd2", lambda d: init_store(
+        docs.select("doc_id", "source"), d, ["doc_id"], ["source"], 1)))
+
+    for name, fn in cases:
+        d = str(tmp_path / name)
+        lock = lock_path_for(d)
+        lock.parent.mkdir(parents=True, exist_ok=True)
+        lock.write_text("pid=99999\n")
+        with pytest.raises(MaintenanceBusy):
+            fn(d)
+        lock.unlink()
+        fn(d)  # released -> the fold proceeds

@@ -583,6 +583,15 @@ def test_inverted_index_registry_and_strict_gate(spark, tmp_path):
     evolve_schema(idx, {"field": "string"})
     with pytest.raises(ValueError, match="missing registered columns"):
         index_add_documents(spark, idx, more, n_buckets=4)
+    # erasure must WORK across the boundary (the stats aggregate pads
+    # the evolved column instead of raising a union shape error)
+    from localsql_spark.sinks.inverted_index import index_erase_documents
+    index_erase_documents(spark, idx,
+                          spark.createDataFrame([(100,)], "doc_id long"),
+                          n_buckets=4)
+    assert 100 not in {r.doc_id
+                       for r in bm25_from_index(spark, idx, ["alpha"],
+                                                n_buckets=4).collect()}
 
 
 def test_signature_store_registry_ingest_evolution(spark, tmp_path):
@@ -631,3 +640,15 @@ def test_signature_store_registry_ingest_evolution(spark, tmp_path):
     got2 = {r.doc_id: r.lang
             for r in read_signature_store(spark, store).collect()}
     assert got2 == got, "compaction lost evolved-column values"
+
+    # the LSH probe paths narrow to (doc_id, sig) and keep working over
+    # the evolved store (review round 13: the wide registered read must
+    # not break the union with compute_signatures' narrow frame)
+    from localsql_spark.operators.dedup import minhash_lsh_pairs_from_store
+    new_batch = spark.createDataFrame(
+        [(300, " ".join(f"w{(7 + j) % 23}" for j in range(12)))],
+        "doc_id long, text string")
+    pairs = minhash_lsh_pairs_from_store(spark, store, new_batch,
+                                         threshold=0.0)
+    assert {c for c in ("doc_a", "doc_b")} <= set(pairs.columns)
+    pairs.collect()  # must not raise on the evolved store
