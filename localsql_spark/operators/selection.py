@@ -591,12 +591,27 @@ def nb_model_update(spark, model_dir: str, new_docs: DataFrame,
         F.coalesce("nn_docs", F.lit(0)).alias("cn"),
         F.lit(int(n_buckets)).cast("int").alias("wb"))
     delta = delta_words.unionByName(delta_docs)
+    # validate the fold output BEFORE the stored union: on an evolved
+    # registry this raises the clear strict message instead of a union
+    # shape error (same discipline as rollup/IVM/inverted-index)
+    from localsql_spark.sinks.schema_evolution import (read_registry,
+                                                       reconcile_frame)
+    if read_registry(model_dir) is not None:
+        delta = reconcile_frame(delta, model_dir, keep_extra=["wb"],
+                                mode="write", strict=True)
     parts = [r[0] for r in delta.select("wb").distinct().collect()]
     stored = read_base_partitions(spark, model_dir, "wb", parts,
                                   mode="write")
     both = delta if stored is None else stored.unionByName(delta)
     merged = both.groupBy("word", "wb").agg(F.sum("cp").alias("cp"),
                                             F.sum("cn").alias("cn"))
+    # schema-registered model: the same strict fold write gate as the
+    # other fold stores (evolve registry + extend fold code together)
+    from localsql_spark.sinks.schema_evolution import (read_registry,
+                                                       reconcile_frame)
+    if read_registry(model_dir) is not None:
+        merged = reconcile_frame(merged, model_dir, keep_extra=["wb"],
+                                 mode="write", strict=True)
 
     base = Path(model_dir)
     staging = base.parent / f".{base.name}.staging"
@@ -622,9 +637,20 @@ def nb_model_read(spark, model_dir: str,
     prior input — exactly the inputs ``nb_score_with_model`` needs.
     Heals any crashed fold first (manifest replay)."""
     from localsql_spark.sinks.merge import recover_pending_merge
+    from localsql_spark.sinks.schema_evolution import (evolved_read_schema,
+                                                       read_registry,
+                                                       reconcile_frame,
+                                                       registered_partition)
 
     recover_pending_merge(model_dir)
-    df = spark.read.option("basePath", model_dir).parquet(model_dir)
+    if read_registry(model_dir) is None:
+        df = spark.read.option("basePath", model_dir).parquet(model_dir)
+    else:  # registered model: reconcile every partition vintage
+        part = registered_partition(model_dir) or ("wb", "int")
+        ddl = evolved_read_schema(model_dir, extra={part[0]: part[1]})
+        df = reconcile_frame(
+            spark.read.schema(ddl).option("basePath", model_dir)
+            .parquet(model_dir), model_dir, keep_extra=[part[0]])
     model = (df.filter(F.col("wb") != n_buckets)
              .select("word", "cp", "cn"))
     doc_counts = (df.filter(F.col("wb") == n_buckets)

@@ -107,8 +107,15 @@ def sketch_view_update(spark: SparkSession, view_dir: str,
     # merge write) — a re-evaluating source could otherwise stage a
     # bucket absent from the collected list, replacing its stored rows
     # unmerged; and the n-gram explode+aggregate runs once, not twice
-    delta = (regs.unionByName(counters).withColumn("gb", gb)
-             .localCheckpoint(eager=True))
+    delta = regs.unionByName(counters).withColumn("gb", gb)
+    # validate BEFORE the stored union (clear strict message on an
+    # evolved registry instead of a union shape error)
+    from localsql_spark.sinks.schema_evolution import (read_registry,
+                                                       reconcile_frame)
+    if read_registry(view_dir) is not None:
+        delta = reconcile_frame(delta, view_dir, keep_extra=["gb"],
+                                mode="write", strict=True)
+    delta = delta.localCheckpoint(eager=True)
     parts = [r[0] for r in delta.select("gb").distinct().collect()]
     stored = read_base_partitions(spark, view_dir, "gb", parts,
                                   mode="write")
@@ -117,6 +124,14 @@ def sketch_view_update(spark: SparkSession, view_dir: str,
               .agg(F.max("m_rank").alias("m_rank"),
                    F.sum("total_ngrams").alias("total_ngrams"),
                    F.sum("n_docs").alias("n_docs")))
+    # schema-registered view: the same strict fold write gate as
+    # rollup/IVM/inverted-index (a fold output missing an evolved
+    # column raises instead of NULL-overwriting stored values)
+    from localsql_spark.sinks.schema_evolution import (read_registry,
+                                                       reconcile_frame)
+    if read_registry(view_dir) is not None:
+        merged = reconcile_frame(merged, view_dir, keep_extra=["gb"],
+                                 mode="write", strict=True)
 
     base = Path(view_dir)
     staging = base.parent / f".{base.name}.staging"
@@ -136,9 +151,20 @@ def sketch_view_read(spark: SparkSession, view_dir: str,
     (linear-counting small-range correction), identical in the DuckDB
     oracle.  Heals any crashed fold first."""
     from localsql_spark.sinks.merge import recover_pending_merge
+    from localsql_spark.sinks.schema_evolution import (evolved_read_schema,
+                                                       read_registry,
+                                                       reconcile_frame,
+                                                       registered_partition)
 
     recover_pending_merge(view_dir)
-    df = spark.read.option("basePath", view_dir).parquet(view_dir)
+    if read_registry(view_dir) is None:
+        df = spark.read.option("basePath", view_dir).parquet(view_dir)
+    else:  # registered view: reconcile every partition vintage
+        part = registered_partition(view_dir) or ("gb", "int")
+        ddl = evolved_read_schema(view_dir, extra={part[0]: part[1]})
+        df = reconcile_frame(
+            spark.read.schema(ddl).option("basePath", view_dir)
+            .parquet(view_dir), view_dir, keep_extra=[part[0]])
     regs = df.filter(F.col("bucket") >= 0)
     counters = (df.filter(F.col("bucket") == -1)
                 .select("grp", "total_ngrams", "n_docs"))

@@ -652,3 +652,52 @@ def test_signature_store_registry_ingest_evolution(spark, tmp_path):
                                          threshold=0.0)
     assert {c for c in ("doc_a", "doc_b")} <= set(pairs.columns)
     pairs.collect()  # must not raise on the evolved store
+
+
+def test_nb_and_sketch_registry_read_and_strict_gate(spark, tmp_path):
+    """NB count model and diversity sketch view complete the fold-store
+    registry symmetry (round 13 follow-up): registered reads reconcile
+    partition vintages; the strict fold write gate refuses output
+    missing an evolved column."""
+    from localsql_spark.operators.selection import (nb_model_read,
+                                                    nb_model_update)
+    from localsql_spark.sinks.schema_evolution import (evolve_schema,
+                                                       init_schema)
+    from localsql_spark.sinks.sketch_view import (sketch_view_read,
+                                                  sketch_view_update)
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 2}", f"alpha beta w{i}") for i in range(8)],
+        "doc_id long, source string, text string")
+
+    mdir = str(tmp_path / "nb")
+    nb_model_update(spark, mdir, docs, F.col("doc_id") % 2 == 0)
+    init_schema(mdir, {"word": "string", "cp": "bigint", "cn": "bigint"},
+                partition=("wb", "int"))
+    nb_model_update(spark, mdir, docs, F.col("doc_id") % 2 == 0)
+    model, dc = nb_model_read(spark, mdir)
+    assert {r.word: r.cp for r in model.collect()}["alpha"] == 8
+    assert dc.first()["np_docs"] == 8
+    evolve_schema(mdir, {"cneutral": "bigint"})
+    # the reader keeps its narrow (word, cp, cn) consumer contract but
+    # now scans under the evolved schema — counts survive the boundary
+    model2, _ = nb_model_read(spark, mdir)
+    assert {r.word: r.cp for r in model2.collect()}["alpha"] == 8
+    with pytest.raises(ValueError, match="missing registered columns"):
+        nb_model_update(spark, mdir, docs, F.col("doc_id") % 2 == 0)
+
+    vdir = str(tmp_path / "view")
+    sketch_view_update(spark, vdir, docs)
+    init_schema(vdir, {"grp": "string", "bucket": "int", "m_rank": "int",
+                       "total_ngrams": "bigint", "n_docs": "bigint"},
+                partition=("gb", "int"))
+    sketch_view_update(spark, vdir, docs)
+    got = {r.source: r.n_docs
+           for r in sketch_view_read(spark, vdir).collect()}
+    assert got == {"src0": 8, "src1": 8}
+    evolve_schema(vdir, {"n_chars": "bigint"})
+    # registered read still serves the estimate columns post-evolution
+    assert set(got) == {r.source for r in
+                        sketch_view_read(spark, vdir).collect()}
+    with pytest.raises(ValueError, match="missing registered columns"):
+        sketch_view_update(spark, vdir, docs)
