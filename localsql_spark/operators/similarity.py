@@ -2184,12 +2184,16 @@ def covariance_and_means(df: DataFrame, vec_col: str = "embedding"
     return cov, means
 
 
-def covariance_and_means_arrow(df: DataFrame, vec_col: str = "embedding"
-                               ) -> tuple[DataFrame, DataFrame]:
-    """FLOAT-TWIN of :func:`covariance_and_means`: the same
-    ``(cov, means)`` contract computed with a per-partition
+def _covariance_partials_arrow(df: DataFrame,
+                               vec_col: str = "embedding") -> DataFrame:
+    """The Arrow fold behind :func:`covariance_and_means_arrow` —
+    FLOAT-TWIN of :func:`covariance_and_means`'s expand: returns the
+    REDUCED partial frame ``(j, k, val)`` (sxy entries, per-dim sums
+    under k=-1, the count under j=k=-1), computed with a per-partition
     Arrow-batched numpy outer-product accumulator instead of the
-    in-plan dim^2-per-row exact-decimal expand.  This is the
+    in-plan dim^2-per-row exact-decimal expand.  Split out so the
+    plan-shape test can assert the scale contract on the live plan
+    (the public finisher checkpoints it away).  This is the
     PRODUCTION path (the docstring switch `covariance_matrix` always
     promised at dim >> 256): each partition folds its rows into ONE
     dim x dim float64 partial (``X.T @ X``, plus the column sums and
@@ -2251,8 +2255,17 @@ def covariance_and_means_arrow(df: DataFrame, vec_col: str = "embedding"
     # materialized once — n, means and cov all read it
     tot = (part.groupBy("j", "k")
            .agg(F.sum(F.round(F.col("val"), 12).cast(_DEC))
-                .cast("double").alias("val"))
-           .localCheckpoint(eager=True))
+                .cast("double").alias("val")))
+    return tot
+
+
+def covariance_and_means_arrow(df: DataFrame, vec_col: str = "embedding"
+                               ) -> tuple[DataFrame, DataFrame]:
+    """See :func:`_covariance_partials_arrow` for the fold itself —
+    this finisher materializes the reduced partials once and derives
+    (cov, means) exactly as the exact fold does."""
+    tot = _covariance_partials_arrow(df, vec_col).localCheckpoint(
+        eager=True)
     nrow = tot.filter((F.col("j") == -1) & (F.col("k") == -1)).collect()
     if not nrow:
         raise ValueError(

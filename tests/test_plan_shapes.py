@@ -530,3 +530,33 @@ def test_read_base_partitions_lists_only_touched_dirs(spark, tmp_path):
     assert len(files) == 2, files
     # absent partitions degrade to None (callers fold against nothing)
     assert read_base_partitions(spark, store, "kb", [9999]) is None
+
+
+def test_arrow_covariance_plan_is_pruned_and_model_bounded(spark):
+    """The arrow covariance fold's scale contract in the physical plan:
+    the corpus scan reads ONLY the vector column (pruning reaches the
+    parquet scan through the mapInPandas projection), exactly one
+    Python stage (the per-partition accumulator), and the only
+    aggregate shuffle carries the (j, k, val) partial rows — dim^2 x
+    partitions, never corpus-sized (no exchange of the embedding
+    column after the Python node)."""
+    from localsql_spark.operators.similarity import (
+        _covariance_partials_arrow)
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    tot = _covariance_partials_arrow(emb.select("vec_id", "embedding"))
+    plan = _plan(tot)
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads and all("vec_id" not in ln and "label" not in ln
+                         for ln in reads), \
+        "scan must prune to the embedding column"
+    assert plan.count("MapInPandas") == 1
+    # the reduce shuffles the partials on (j, k): hashpartitioning of
+    # the partial columns, and no exchange carries the vector column
+    post = plan.split("MapInPandas")[0]  # executed bottom-up: the
+    # aggregate above the Python node prints BEFORE it in the tree
+    assert "hashpartitioning(j" in post
+    for ln in post.splitlines():
+        if "Exchange" in ln:
+            assert "embedding" not in ln, \
+                "no post-accumulator exchange may carry vectors"
