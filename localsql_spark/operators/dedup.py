@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from localsql_spark.operators import spread, track_persist
+from localsql_spark.sinks.locks import locked_by
 from localsql_spark.operators.text import normalize_text, word_shingles
 
 N_MINHASH = 16
@@ -447,6 +448,7 @@ def compute_signatures(df: DataFrame, text_col: str = "text",
         minhash_signature(F.col(text_col), n).alias("sig"))
 
 
+@locked_by("path")
 def write_signature_store(df: DataFrame, path: str,
                           text_col: str = "text", id_col: str = "doc_id",
                           n: int = N_MINHASH, mode: str = "overwrite") -> None:
@@ -582,6 +584,7 @@ def _heal_store_swap(path: str) -> None:
         old.rename(store)  # roll BACK to the pre-swap state
 
 
+@locked_by("path")
 def compact_signature_store(spark: SparkSession, path: str,
                             target_files: int | None = None) -> int:
     """Rewrite a signature store's accumulated per-batch subdirectories
@@ -1103,6 +1106,7 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
             .filter(F.col("containment") >= threshold))
 
 
+@locked_by("store_path")
 def erase_from_signature_store(spark: SparkSession, store_path: str,
                                keys: DataFrame, index_path: str | None = None,
                                n: int = N_MINHASH,

@@ -524,6 +524,10 @@ def test_fold_entry_points_respect_store_lock(spark, tmp_path):
     from localsql_spark.sinks.scd2_store import init_store
     cases.append(("scd2", lambda d: init_store(
         docs.select("doc_id", "source"), d, ["doc_id"], ["source"], 1)))
+    from localsql_spark.operators.dedup import (compact_signature_store,
+                                                erase_from_signature_store,
+                                                write_signature_store)
+    cases.append(("sigs", lambda d: write_signature_store(docs, d)))
 
     for name, fn in cases:
         d = str(tmp_path / name)
@@ -534,3 +538,18 @@ def test_fold_entry_points_respect_store_lock(spark, tmp_path):
             fn(d)
         lock.unlink()
         fn(d)  # released -> the fold proceeds
+
+    # the signature store's whole-dir swappers hold the same lock (a
+    # maintenance compaction and an erase_from_signature_store could
+    # otherwise interleave their .compact/.erasing swaps).  The "sigs"
+    # store written by the loop above is the fixture.
+    d = str(tmp_path / "sigs")
+    keys = spark.createDataFrame([(1,)], "doc_id long")
+    lock = lock_path_for(d)
+    lock.write_text("pid=99999\n")
+    with pytest.raises(MaintenanceBusy):
+        compact_signature_store(spark, d, target_files=1)
+    with pytest.raises(MaintenanceBusy):
+        erase_from_signature_store(spark, d, keys)
+    lock.unlink()
+    assert compact_signature_store(spark, d, target_files=1) == 1
