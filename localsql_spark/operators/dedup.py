@@ -548,13 +548,8 @@ def _carry_schema_registry(store, tmp) -> None:
     silently de-registers the store (found round 13: a compaction
     dropped the registry with the old generation and the next read fell
     back to the narrow unregistered contract)."""
-    import shutil
-    from pathlib import Path
-
-    from localsql_spark.sinks.schema_evolution import SCHEMA_FILE
-    reg = Path(store) / SCHEMA_FILE
-    if reg.exists():
-        shutil.copy2(reg, Path(tmp) / SCHEMA_FILE)
+    from localsql_spark.sinks.schema_evolution import carry_registry
+    carry_registry(store, tmp)
 
 
 def _heal_store_swap(path: str) -> None:

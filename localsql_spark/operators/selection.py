@@ -594,11 +594,8 @@ def nb_model_update(spark, model_dir: str, new_docs: DataFrame,
     # validate the fold output BEFORE the stored union: on an evolved
     # registry this raises the clear strict message instead of a union
     # shape error (same discipline as rollup/IVM/inverted-index)
-    from localsql_spark.sinks.schema_evolution import (read_registry,
-                                                       reconcile_frame)
-    if read_registry(model_dir) is not None:
-        delta = reconcile_frame(delta, model_dir, keep_extra=["wb"],
-                                mode="write", strict=True)
+    from localsql_spark.sinks.schema_evolution import gate_fold_write
+    delta = gate_fold_write(delta, model_dir, "wb")
     parts = [r[0] for r in delta.select("wb").distinct().collect()]
     stored = read_base_partitions(spark, model_dir, "wb", parts,
                                   mode="write")
@@ -607,11 +604,7 @@ def nb_model_update(spark, model_dir: str, new_docs: DataFrame,
                                             F.sum("cn").alias("cn"))
     # schema-registered model: the same strict fold write gate as the
     # other fold stores (evolve registry + extend fold code together)
-    from localsql_spark.sinks.schema_evolution import (read_registry,
-                                                       reconcile_frame)
-    if read_registry(model_dir) is not None:
-        merged = reconcile_frame(merged, model_dir, keep_extra=["wb"],
-                                 mode="write", strict=True)
+    merged = gate_fold_write(merged, model_dir, "wb")
 
     base = Path(model_dir)
     staging = base.parent / f".{base.name}.staging"

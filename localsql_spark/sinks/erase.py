@@ -1063,7 +1063,14 @@ def _swap_rebuilt(dst: Path, built: Path) -> None:
     two renames leaves the store parked under ``.<name>.pre_rebuild`` —
     re-running the rebuild is the recovery (the trainers are
     deterministic, so the re-run reproduces the same bytes); the next
-    rebuild also sweeps any parked leftover."""
+    rebuild also sweeps any parked leftover.  The schema-evolution
+    registry lives INSIDE the store dir and rides into the replacement
+    (same whole-dir-swap obligation as the signature-store compactor);
+    callers hold the destination's maintenance lock."""
+    from localsql_spark.sinks.schema_evolution import carry_registry
+
+    if dst.exists():
+        carry_registry(dst, built)
     old = dst.parent / f".{dst.name}.pre_rebuild"
     shutil.rmtree(old, ignore_errors=True)
     if dst.exists():
@@ -1115,8 +1122,14 @@ def rebuild_nonretractable(spark: SparkSession, *,
     Each rebuild trains into a sibling staging dir and swaps in with a
     rename pair (:func:`_swap_rebuilt`) — readers never see a
     half-trained store, and a mid-build crash leaves the old generation
-    serving.  Single-writer maintenance, same contract as the other
-    store compactions.  Deliberately a FULL retrain, not incremental:
+    serving.  Single-writer maintenance ENFORCED: each leg holds the
+    destination store's maintenance lock (``sinks.locks``) for its
+    build+swap, so a concurrent fold on the live store gets
+    MaintenanceBusy instead of losing its commit to the swap; a
+    schema-registered store's registry is pre-seeded into the staging
+    dir (the trainer's own strict write gate then validates the rebuilt
+    frame against the evolved contract) and rides through the swap.
+    Deliberately a FULL retrain, not incremental:
     that is the definition of this state class, and the cost is
     model-table-bounded per store (one training pass over the kept
     corpus) on whatever cadence the compliance policy sets.
@@ -1124,6 +1137,9 @@ def rebuild_nonretractable(spark: SparkSession, *,
     Returns an audit frame ``(store, rows_after)`` counting the rebuilt
     state rows (NB word rows, HLL register rows, PQ code rows) read back
     from the post-swap bytes."""
+    from localsql_spark.sinks.locks import store_lock
+    from localsql_spark.sinks.schema_evolution import carry_registry
+
     rows: list = []
     if nb_model is not None:
         from localsql_spark.operators.selection import (nb_model_read,
@@ -1132,9 +1148,12 @@ def rebuild_nonretractable(spark: SparkSession, *,
         dst = Path(cfg.pop("model_dir"))
         docs, positive = cfg.pop("docs"), cfg.pop("positive")
         built = dst.parent / f".{dst.name}.rebuild"
-        shutil.rmtree(built, ignore_errors=True)
-        nb_model_update(spark, str(built), docs, positive, **cfg)
-        _swap_rebuilt(dst, built)
+        with store_lock(str(dst)):
+            shutil.rmtree(built, ignore_errors=True)
+            if dst.exists():
+                carry_registry(dst, built)
+            nb_model_update(spark, str(built), docs, positive, **cfg)
+            _swap_rebuilt(dst, built)
         model, _ = nb_model_read(spark, str(dst),
                                  n_buckets=cfg.get("n_buckets", 16))
         rows.append(("nb_model", model.count()))
@@ -1144,9 +1163,12 @@ def rebuild_nonretractable(spark: SparkSession, *,
         dst = Path(cfg.pop("view_dir"))
         docs = cfg.pop("docs")
         built = dst.parent / f".{dst.name}.rebuild"
-        shutil.rmtree(built, ignore_errors=True)
-        sketch_view_update(spark, str(built), docs, **cfg)
-        _swap_rebuilt(dst, built)
+        with store_lock(str(dst)):
+            shutil.rmtree(built, ignore_errors=True)
+            if dst.exists():
+                carry_registry(dst, built)
+            sketch_view_update(spark, str(built), docs, **cfg)
+            _swap_rebuilt(dst, built)
         regs = (spark.read.option("basePath", str(dst)).parquet(str(dst))
                 .filter(F.col("bucket") >= 0))
         rows.append(("sketch_view", regs.count()))
@@ -1156,9 +1178,10 @@ def rebuild_nonretractable(spark: SparkSession, *,
         dst = Path(cfg.pop("index_path"))
         corpus = cfg.pop("corpus")
         built = dst.parent / f".{dst.name}.rebuild"
-        shutil.rmtree(built, ignore_errors=True)
-        write_ivfpq_index(corpus, str(built), **cfg)
-        _swap_rebuilt(dst, built)
+        with store_lock(str(dst)):
+            shutil.rmtree(built, ignore_errors=True)
+            write_ivfpq_index(corpus, str(built), **cfg)
+            _swap_rebuilt(dst, built)
         rows.append(("ivfpq_index",
                      spark.read.parquet(str(dst / "codes")).count()))
     if ivf_index is not None:
@@ -1171,9 +1194,10 @@ def rebuild_nonretractable(spark: SparkSession, *,
         dst = Path(cfg.pop("index_path"))
         corpus = cfg.pop("corpus")
         built = dst.parent / f".{dst.name}.rebuild"
-        shutil.rmtree(built, ignore_errors=True)
-        write_ivf_index(corpus, str(built), **cfg)
-        _swap_rebuilt(dst, built)
+        with store_lock(str(dst)):
+            shutil.rmtree(built, ignore_errors=True)
+            write_ivf_index(corpus, str(built), **cfg)
+            _swap_rebuilt(dst, built)
         rows.append(("ivf_index",
                      _ivf_slices(spark, str(dst)).count()))
     return spark.createDataFrame(rows, "store string, rows_after long")

@@ -54,17 +54,10 @@ _STATS = "<STATS>"
 
 
 def _validate_write(df: DataFrame, index_dir: str) -> DataFrame:
-    """Schema-registered index: conform a frame about to be written —
-    rejects unregistered columns (evolve first) AND registered columns
-    the fold does not compute (strict: the group-projecting merge would
-    overwrite their stored values with NULL — extend the fold with the
-    evolution).  Unregistered index: unchanged."""
-    from localsql_spark.sinks.schema_evolution import (read_registry,
-                                                       reconcile_frame)
-    if read_registry(index_dir) is None:
-        return df
-    return reconcile_frame(df, index_dir, keep_extra=["tb"], mode="write",
-                           strict=True)
+    """The shared strict fold write gate — see
+    :func:`~localsql_spark.sinks.schema_evolution.gate_fold_write`."""
+    from localsql_spark.sinks.schema_evolution import gate_fold_write
+    return gate_fold_write(df, index_dir, "tb")
 
 
 def _registered_reader(spark: SparkSession, index_dir: str) -> DataFrame:

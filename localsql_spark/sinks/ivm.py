@@ -149,12 +149,8 @@ def _fold_delta(spark: SparkSession, view_dir: str,
     # validate the fold output BEFORE the stored union: on an evolved
     # registry this raises the clear strict message instead of a union
     # shape error
-    from localsql_spark.sinks.schema_evolution import (read_registry,
-                                                       reconcile_frame)
-    registered = read_registry(view_dir) is not None
-    if registered:
-        delta = reconcile_frame(delta, view_dir, keep_extra=["grp_bucket"],
-                                mode="write", strict=True)
+    from localsql_spark.sinks.schema_evolution import gate_fold_write
+    delta = gate_fold_write(delta, view_dir, "grp_bucket")
     delta = delta.localCheckpoint(eager=True)  # bucket collect + merge
     buckets = [r[0] for r in
                delta.select("grp_bucket").distinct().collect()]
@@ -165,10 +161,7 @@ def _fold_delta(spark: SparkSession, view_dir: str,
     merged = merge_join_rollup(stored, delta).filter(F.col("n_rows") != 0)
     # the same strict write gate on the merged output (stored rows can
     # carry evolved columns the delta-side gate never saw)
-    if registered:
-        merged = reconcile_frame(merged, view_dir,
-                                 keep_extra=["grp_bucket"],
-                                 mode="write", strict=True)
+    merged = gate_fold_write(merged, view_dir, "grp_bucket")
 
     base = Path(view_dir)
     staging = base.parent / f".{base.name}.staging"

@@ -294,21 +294,10 @@ def erase_from_rollup(spark: SparkSession, rollup_dir: str,
 
 def _validate_write(df: DataFrame, store_dir: str,
                     partition_col: str) -> DataFrame:
-    """Schema-registered store: conform a frame about to be WRITTEN to
-    the registry contract — rejects columns the registry does not know
-    (evolve_schema first: catches a fold-code change racing ahead of
-    the store's declared contract) AND registered columns the fold does
-    not compute (strict: the group-projecting merge would overwrite
-    their stored values with NULL — deploy extended fold code with the
-    evolution); never bakes read-defaults into bytes (mode='write').
-    Unregistered store: unchanged frame (registry presence is the
-    feature gate, here as everywhere)."""
-    from localsql_spark.sinks.schema_evolution import (read_registry,
-                                                       reconcile_frame)
-    if read_registry(store_dir) is None:
-        return df
-    return reconcile_frame(df, store_dir, keep_extra=[partition_col],
-                           mode="write", strict=True)
+    """The shared strict fold write gate — see
+    :func:`~localsql_spark.sinks.schema_evolution.gate_fold_write`."""
+    from localsql_spark.sinks.schema_evolution import gate_fold_write
+    return gate_fold_write(df, store_dir, partition_col)
 
 
 def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:

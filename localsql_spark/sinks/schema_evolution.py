@@ -72,7 +72,7 @@ SCHEMA_FILE = "_schema.json"
 __all__ = ["SCHEMA_FILE", "read_registry", "current_columns",
            "init_schema", "evolve_schema", "reconcile_frame",
            "evolved_read_schema", "schema_version",
-           "registered_partition"]
+           "registered_partition", "gate_fold_write", "carry_registry"]
 
 
 def _registry_path(store_dir: str) -> Path:
@@ -315,3 +315,40 @@ def reconcile_frame(df: DataFrame, store_dir: str,
         out.append(c.alias(name))
     out += [F.col(c) for c in extra if c in df.columns]
     return df.select(*out)
+
+
+def gate_fold_write(df: DataFrame, store_dir: str,
+                    partition_col: str) -> DataFrame:
+    """THE strict fold write gate, shared by every partitioned fold
+    store (rollup, IVM, inverted index, NB model, sketch view): conform
+    a frame about to be WRITTEN to the registry contract — rejects
+    columns the registry does not know (evolve_schema first: catches a
+    fold-code change racing ahead of the store's declared contract) AND
+    registered columns the fold does not compute (strict: the
+    group-projecting merge would overwrite their stored values with
+    NULL — deploy extended fold code with the evolution); never bakes
+    read-defaults into bytes (mode='write').  Unregistered store:
+    unchanged frame (registry presence is the feature gate, here as
+    everywhere).  One implementation so the fold stores can never
+    diverge on what 'gated' means."""
+    if read_registry(store_dir) is None:
+        return df
+    return reconcile_frame(df, store_dir, keep_extra=[partition_col],
+                           mode="write", strict=True)
+
+
+def carry_registry(src_dir, dst_dir) -> None:
+    """Copy ``src_dir``'s schema registry into ``dst_dir`` (no-op when
+    unregistered).  Every WHOLE-DIR swap must call this on its
+    replacement dir before the rename — the registry lives INSIDE the
+    store directory, so a compaction / erase / rebuild that swaps the
+    dir wholesale would otherwise silently de-register the store (found
+    round 13 on the signature-store compactor; the rebuild swapper had
+    the same gap)."""
+    import shutil
+
+    src = Path(src_dir) / SCHEMA_FILE
+    if src.exists():
+        dst = Path(dst_dir)
+        dst.mkdir(parents=True, exist_ok=True)
+        shutil.copy2(src, dst / SCHEMA_FILE)

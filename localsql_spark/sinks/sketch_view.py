@@ -110,11 +110,8 @@ def sketch_view_update(spark: SparkSession, view_dir: str,
     delta = regs.unionByName(counters).withColumn("gb", gb)
     # validate BEFORE the stored union (clear strict message on an
     # evolved registry instead of a union shape error)
-    from localsql_spark.sinks.schema_evolution import (read_registry,
-                                                       reconcile_frame)
-    if read_registry(view_dir) is not None:
-        delta = reconcile_frame(delta, view_dir, keep_extra=["gb"],
-                                mode="write", strict=True)
+    from localsql_spark.sinks.schema_evolution import gate_fold_write
+    delta = gate_fold_write(delta, view_dir, "gb")
     delta = delta.localCheckpoint(eager=True)
     parts = [r[0] for r in delta.select("gb").distinct().collect()]
     stored = read_base_partitions(spark, view_dir, "gb", parts,
@@ -127,11 +124,7 @@ def sketch_view_update(spark: SparkSession, view_dir: str,
     # schema-registered view: the same strict fold write gate as
     # rollup/IVM/inverted-index (a fold output missing an evolved
     # column raises instead of NULL-overwriting stored values)
-    from localsql_spark.sinks.schema_evolution import (read_registry,
-                                                       reconcile_frame)
-    if read_registry(view_dir) is not None:
-        merged = reconcile_frame(merged, view_dir, keep_extra=["gb"],
-                                 mode="write", strict=True)
+    merged = gate_fold_write(merged, view_dir, "gb")
 
     base = Path(view_dir)
     staging = base.parent / f".{base.name}.staging"

@@ -544,7 +544,7 @@ def test_fold_entry_points_respect_store_lock(spark, tmp_path):
     # otherwise interleave their .compact/.erasing swaps).  The "sigs"
     # store written by the loop above is the fixture.
     d = str(tmp_path / "sigs")
-    keys = spark.createDataFrame([(1,)], "doc_id long")
+    keys = spark.createDataFrame([(999,)], "doc_id long")  # not in store
     lock = lock_path_for(d)
     lock.write_text("pid=99999\n")
     with pytest.raises(MaintenanceBusy):
@@ -552,4 +552,21 @@ def test_fold_entry_points_respect_store_lock(spark, tmp_path):
     with pytest.raises(MaintenanceBusy):
         erase_from_signature_store(spark, d, keys)
     lock.unlink()
-    assert compact_signature_store(spark, d, target_files=1) == 1
+    # released: both swappers run (and their internal lock round-trips
+    # don't self-deadlock); compact returns the store's row count
+    erase_from_signature_store(spark, d, keys)
+    assert compact_signature_store(spark, d, target_files=1) == docs.count()
+
+    # rebuild_nonretractable's whole-store swap holds the destination's
+    # lock too (an unlocked swap could drop a concurrent fold's commit)
+    from localsql_spark.sinks.erase import rebuild_nonretractable
+    model = str(tmp_path / "nbm")
+    nb_model_update(spark, model, docs, F.lit(True))
+    lock = lock_path_for(model)
+    lock.write_text("pid=99999\n")
+    with pytest.raises(MaintenanceBusy):
+        rebuild_nonretractable(spark, nb_model={
+            "model_dir": model, "docs": docs, "positive": F.lit(True)})
+    lock.unlink()
+    rebuild_nonretractable(spark, nb_model={
+        "model_dir": model, "docs": docs, "positive": F.lit(True)})

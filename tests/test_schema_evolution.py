@@ -701,3 +701,51 @@ def test_nb_and_sketch_registry_read_and_strict_gate(spark, tmp_path):
                         sketch_view_read(spark, vdir).collect()}
     with pytest.raises(ValueError, match="missing registered columns"):
         sketch_view_update(spark, vdir, docs)
+
+
+def test_rebuild_nonretractable_carries_registry_and_gates(spark, tmp_path):
+    """The compliance rebuild's whole-store swap must carry the schema
+    registry into the replacement (review round 13: the swap otherwise
+    silently de-registered a freshly registry-enabled store, and —
+    because the staging dir trained unregistered — the rebuild also
+    bypassed the strict fold write gate).  The registry is pre-seeded
+    into the staging dir, so an EVOLVED registry the trainer cannot
+    satisfy refuses the rebuild with the same strict message as a live
+    fold."""
+    from localsql_spark.operators.selection import (nb_model_read,
+                                                    nb_model_update)
+    from localsql_spark.sinks.erase import rebuild_nonretractable
+    from localsql_spark.sinks.schema_evolution import (evolve_schema,
+                                                       init_schema,
+                                                       schema_version)
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 2}", f"alpha beta w{i}") for i in range(8)],
+        "doc_id long, source string, text string")
+    is_pos = F.col("doc_id") % 2 == 0
+
+    mdir = str(tmp_path / "nb")
+    nb_model_update(spark, mdir, docs, is_pos)
+    init_schema(mdir, {"word": "string", "cp": "bigint", "cn": "bigint"},
+                partition=("wb", "int"))
+    assert schema_version(mdir) == 1
+
+    kept = docs.filter(F.col("doc_id") != 3)
+    rebuild_nonretractable(spark, nb_model={
+        "model_dir": mdir, "docs": kept, "positive": is_pos})
+    # the swap carried the registry: still registered, same version,
+    # and the registered read serves the rebuilt counts
+    assert schema_version(mdir) == 1
+    model, _ = nb_model_read(spark, mdir)
+    assert {r.word: r.cp for r in model.collect()}["alpha"] == 4
+
+    # an evolution the trainer does not compute refuses the rebuild
+    # (trainer output is gated against the PRE-SEEDED registry) and
+    # leaves the old generation serving, still registered
+    evolve_schema(mdir, {"cneutral": "bigint"})
+    with pytest.raises(ValueError, match="missing registered columns"):
+        rebuild_nonretractable(spark, nb_model={
+            "model_dir": mdir, "docs": kept, "positive": is_pos})
+    assert schema_version(mdir) == 2
+    model2, _ = nb_model_read(spark, mdir)
+    assert {r.word: r.cp for r in model2.collect()}["alpha"] == 4
