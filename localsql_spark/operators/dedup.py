@@ -523,16 +523,11 @@ def read_signature_store(spark: SparkSession, path: str,
         return reconcile_frame(df, path, mode=mode) if reg else df
 
     if any(_P(path).glob("upto_*")):
+        # the committed-parts rule (newest generation + _SUCCESS-gated
+        # batch dirs) lives in read_batches — the schema parameter keeps
+        # the registered read on the same single implementation
         from localsql_spark.streaming.batch_dirs import read_batches
-        if ddl is None:
-            sigs = read_batches(spark, path).select(*cols)
-        else:  # committed-parts rule + explicit vintage-stable schema
-            from localsql_spark.streaming.batch_dirs import _live_parts
-            gen, batches = _live_parts(path)
-            paths = ([str(gen)] if gen else []) + \
-                [str(p) for p in batches if (p / "_SUCCESS").exists()]
-            sigs = (_reader().parquet(*paths).select(*cols) if paths
-                    else spark.createDataFrame([], ddl).select(*cols))
+        sigs = read_batches(spark, path, schema=ddl).select(*cols)
         flat = [str(p) for p in _P(path).glob("*.parquet")]
         if flat:  # mixed layout: batch-writer flat files + generations
             sigs = sigs.unionByName(

@@ -28,6 +28,7 @@ import operator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from localsql_spark.sinks.locks import locked_by
 from localsql_spark.operators import spread
 
 _DEC = "decimal(28,12)"
@@ -228,6 +229,7 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "neighbor_id", "cos_sim", "rn"))
 
 
+@locked_by("path")
 def write_ivf_index(corpus: DataFrame, path: str, n_cells: int = 16,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding") -> None:
@@ -1057,6 +1059,7 @@ def near_dup_threshold_sweep(corpus: DataFrame, bits: int = 8,
         .orderBy(F.col("band_lo").desc()))
 
 
+@locked_by("index_path")
 def append_ivf_index(spark: SparkSession, index_path: str,
                      new_batch: DataFrame, batch_id: int,
                      id_col: str = "vec_id",
@@ -1138,6 +1141,7 @@ def _ivf_slices(spark: SparkSession, index_path: str) -> DataFrame:
     return idx
 
 
+@locked_by("index_path")
 def compact_ivf_index(spark: SparkSession, index_path: str) -> int:
     """Fold the non-superseded ``delta/batch_*`` dirs into a NEW base
     generation ``cells_upto_<B>`` (B = highest folded batch id).
@@ -1190,6 +1194,7 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> int:
     return len(deltas)
 
 
+@locked_by("index_path")
 def ivf_erase_vectors(spark: SparkSession, index_path: str,
                       keys: DataFrame) -> list:
     """Right-to-be-forgotten PROPAGATION into the persisted IVF index —
@@ -1698,6 +1703,7 @@ def _ivfpq_adc_scan(codes: DataFrame, lut: DataFrame, k: int,
             .filter(F.col("rn") <= k))
 
 
+@locked_by("path")
 def write_ivfpq_index(corpus: DataFrame, path: str, n_cells: int = 8,
                       m: int = 4, k_codes: int = 16, n_iter: int = 1,
                       id_col: str = "vec_id",
@@ -1981,6 +1987,7 @@ def bm25_hard_negatives(docs: DataFrame, emb: DataFrame,
             .withColumn("rk", F.row_number().over(w)))
 
 
+@locked_by("index_path")
 def ivfpq_erase_vectors(spark: SparkSession, index_path: str,
                         keys: DataFrame) -> list:
     """Right-to-be-forgotten PROPAGATION into the persisted IVFPQ index:
@@ -2147,8 +2154,14 @@ def covariance_and_means(df: DataFrame, vec_col: str = "embedding"
     """(cov, means) from ONE corpus pass — means fall out of the same
     fold the covariance needs, so callers that want both (pca_scores'
     centered projection) don't pay a second exploded aggregate.  means
-    is (j, mean) rounded to 12."""
-    df = spread(df)  # the dim^2-per-row expand is CPU-bound: a one-split
+    is (j, mean) rounded to 12.  NULL-vector rows are EXCLUDED from
+    both the sums and the 1/n normalization (the statistically
+    consistent choice, and the Arrow twin's semantics — review round
+    13: the explode already dropped NULLs from the sums while n counted
+    them, silently biasing every entry by n_nonnull/n_total on a corpus
+    with missing embeddings)."""
+    df = spread(df.filter(F.col(vec_col).isNotNull()))
+    # ^ the dim^2-per-row expand is CPU-bound: a one-split
     # local file would otherwise serialize the whole fold on one core
     # (measured 12s -> 2s at sf0.1); at real scale the scan already has
     # >= cores splits and this is a no-op
@@ -2156,7 +2169,8 @@ def covariance_and_means(df: DataFrame, vec_col: str = "embedding"
     if n == 0:
         raise ValueError(
             "covariance_and_means: covariance is undefined over zero "
-            "rows (the 1/n normalization divides by the corpus size)")
+            "rows with a non-null vector (the 1/n normalization "
+            "divides by the corpus size)")
     e1 = df.select(F.col(vec_col).alias("__v"),
                    F.posexplode(F.col(vec_col)).alias("j", "x"))
     pairs = e1.select(

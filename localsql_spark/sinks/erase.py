@@ -1177,11 +1177,13 @@ def rebuild_nonretractable(spark: SparkSession, *,
         cfg = dict(ivfpq_index)
         dst = Path(cfg.pop("index_path"))
         corpus = cfg.pop("corpus")
-        built = dst.parent / f".{dst.name}.rebuild"
+        # write_ivfpq_index is itself atomic (stages into .<name>.build
+        # and swaps — the same rename-pair discipline), so the rebuild
+        # calls it on the destination directly instead of wrapping a
+        # second redundant staging layer; the lock is held here and
+        # reentrant under the writer's own acquisition
         with store_lock(str(dst)):
-            shutil.rmtree(built, ignore_errors=True)
-            write_ivfpq_index(corpus, str(built), **cfg)
-            _swap_rebuilt(dst, built)
+            write_ivfpq_index(corpus, str(dst), **cfg)
         rows.append(("ivfpq_index",
                      spark.read.parquet(str(dst / "codes")).count()))
     if ivf_index is not None:

@@ -44,7 +44,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from localsql_spark.sinks.locks import locked_by
+from localsql_spark.sinks.locks import locked_by, store_lock
 
 from localsql_spark.operators import hash32
 from localsql_spark.sinks.merge import (_apply_manifest, _manifest_path,
@@ -130,8 +130,13 @@ def maintain_join_view(spark: SparkSession, view_dir: str,
     view read to those buckets, merge, and stage-swap just those
     partitions via the manifest commit (crash-safe: a torn run heals on
     the next call's ``recover_pending_merge``)."""
-    recover_pending_merge(view_dir)
-    _check_bucket_meta(view_dir, n_buckets)
+    # heal + meta-check run UNDER the store lock: recover_pending_merge
+    # replays a torn manifest (a store WRITE) and must not interleave
+    # with a concurrent fold's own manifest application (review round
+    # 13); the lock is reentrant, so _fold_delta's acquisition nests
+    with store_lock(view_dir):
+        recover_pending_merge(view_dir)
+        _check_bucket_meta(view_dir, n_buckets)
     delta = join_rollup(fact_batch, dim, fact_key, dim_key, group_col,
                         value_col, n_buckets)
     return _fold_delta(spark, view_dir, delta)
@@ -211,8 +216,13 @@ def apply_dim_change(spark: SparkSession, view_dir: str, fact: DataFrame,
     (DECIMAL), so retraction is exact, and incremental == full recompute
     against the new dim — which is what the registered oracle checks.
     """
-    recover_pending_merge(view_dir)
-    _check_bucket_meta(view_dir, n_buckets)
+    # heal + meta-check run UNDER the store lock: recover_pending_merge
+    # replays a torn manifest (a store WRITE) and must not interleave
+    # with a concurrent fold's own manifest application (review round
+    # 13); the lock is reentrant, so _fold_delta's acquisition nests
+    with store_lock(view_dir):
+        recover_pending_merge(view_dir)
+        _check_bucket_meta(view_dir, n_buckets)
     keys = (old_dim_rows.select(dim_key)
             .unionByName(new_dim_rows.select(dim_key)).distinct())
     changed_fact = fact.join(F.broadcast(keys),
@@ -262,8 +272,13 @@ def erase_from_view(spark: SparkSession, view_dir: str, fact: DataFrame,
     touched ``grp_bucket`` partitions."""
     from localsql_spark.sinks.erase import normalize_erase_keys
 
-    recover_pending_merge(view_dir)
-    _check_bucket_meta(view_dir, n_buckets)
+    # heal + meta-check run UNDER the store lock: recover_pending_merge
+    # replays a torn manifest (a store WRITE) and must not interleave
+    # with a concurrent fold's own manifest application (review round
+    # 13); the lock is reentrant, so _fold_delta's acquisition nests
+    with store_lock(view_dir):
+        recover_pending_merge(view_dir)
+        _check_bucket_meta(view_dir, n_buckets)
     k = normalize_erase_keys(keys)
     subjects = fact.join(F.broadcast(k),
                          fact[subject_col] == F.col("_erase_key"),

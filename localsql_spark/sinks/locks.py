@@ -118,13 +118,65 @@ def _break_stale(lock: Path, stale_s: float) -> None:
         brk.unlink(missing_ok=True)
 
 
+# live locks held by THIS process: lock path -> the unique token written
+# into the file at acquisition.  The heartbeat thread refreshes their
+# mtimes so a legitimately long pass (> stale_s) is never broken as
+# stale by a second scheduler, and release verifies the token so a
+# holder whose lock WAS broken (crash recovery on a truly dead pid, or
+# a clock-skewed breaker) can never unlink the NEW holder's lock — the
+# two halves of the ownership contract (review round 13: an
+# unconditional unlink after a stale break admitted a third writer).
+_LIVE: dict[str, str] = {}
+_HEARTBEAT_S = 60.0
+_HB_STARTED = False
+
+
+def _heartbeat() -> None:
+    while True:
+        time.sleep(_HEARTBEAT_S)
+        with _HELD_MU:
+            paths = list(_LIVE)
+        for p in paths:
+            try:
+                os.utime(p)
+            except OSError:
+                pass  # released (or broken) since the snapshot
+
+
+def _ensure_heartbeat() -> None:
+    global _HB_STARTED
+    with _HELD_MU:
+        if _HB_STARTED:
+            return
+        _HB_STARTED = True
+    threading.Thread(target=_heartbeat, name="store-lock-heartbeat",
+                     daemon=True).start()
+
+
+def _release_owned(lock: Path, token: str) -> None:
+    """Unlink the lock ONLY if this process still owns it (the token we
+    wrote is still in the file).  A mismatch means a breaker decided we
+    were dead and a new holder acquired — leaving their file alone is
+    the correct, quiet outcome (our own work may have interleaved with
+    theirs, which the stale threshold + heartbeat make a
+    clock-skew-grade anomaly, but unlinking would cascade it to a THIRD
+    concurrent writer)."""
+    try:
+        if lock.read_text() == token:
+            lock.unlink(missing_ok=True)
+    except OSError:
+        pass
+
+
 @contextlib.contextmanager
 def store_lock(store_dir: str, name: str = "maint",
                stale_s: float = _STALE_S):
     """Hold the store's advisory maintenance lock for the with-block.
     Reentrant within the process; raises :class:`MaintenanceBusy` on
     live cross-process contention; breaks a stale lock once before
-    giving up."""
+    giving up.  Held locks are heartbeat-refreshed (mtime touch every
+    ``_HEARTBEAT_S``) so staleness measures HOLDER DEATH, not pass
+    duration; release is ownership-verified (see :func:`_release_owned`)."""
     lock = lock_path_for(store_dir, name)
     key = (threading.get_ident(), str(lock))
     with _HELD_MU:
@@ -158,18 +210,22 @@ def store_lock(store_dir: str, name: str = "maint",
     else:
         raise MaintenanceBusy(
             f"maintenance lock held on {store_dir!r}: {lock}")
+    token = f"pid={os.getpid()} token={os.urandom(8).hex()}\n"
     try:
-        os.write(fd, f"pid={os.getpid()}\n".encode())
+        os.write(fd, token.encode())
         os.close(fd)
+        _ensure_heartbeat()
         with _HELD_MU:
             _HELD[key] = 1
+            _LIVE[str(lock)] = token
         try:
             yield
         finally:
             with _HELD_MU:
                 _HELD.pop(key, None)
+                _LIVE.pop(str(lock), None)
     finally:
-        lock.unlink(missing_ok=True)
+        _release_owned(lock, token)
 
 
 def locked_by(param: str):

@@ -313,7 +313,10 @@ def reconcile_frame(df: DataFrame, store_dir: str,
         else:
             c = F.lit(None).cast(typ)
         out.append(c.alias(name))
-    out += [F.col(c) for c in extra if c in df.columns]
+    # a keep_extra column the registry ALSO knows was already emitted by
+    # the loop above — appending it again would produce a duplicate-name
+    # frame (ambiguous references downstream of every fold gate)
+    out += [F.col(c) for c in extra if c in df.columns and c not in cols]
     return df.select(*out)
 
 

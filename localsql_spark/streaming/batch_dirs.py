@@ -99,19 +99,33 @@ def _live_parts(dir_: str) -> tuple[Path | None, list[Path]]:
     return gen, batches
 
 
-def read_batches(spark: SparkSession, dir_: str) -> DataFrame:
+def read_batches(spark: SparkSession, dir_: str,
+                 schema: str | None = None) -> DataFrame:
     """All COMMITTED rows: newest generation + non-superseded batch dirs.
     A batch dir without ``_SUCCESS`` is a partial landing or mid-rewrite
     (the stream will rewrite it) — excluded here exactly as the
     compaction and fold loops exclude it, so a reader can never see a
-    torn subset of a batch or files from two write attempts."""
+    torn subset of a batch or files from two write attempts.
+
+    ``schema`` (DDL string) supplies an explicit scan schema — the
+    schema-evolution readers pass the registry's evolved schema here so
+    the committed-parts rule lives in exactly ONE place (review round
+    13: the registered signature-store read had re-implemented it
+    inline).  With a schema, an empty landing dir returns an empty
+    frame of that shape; without one, the old recursive-read error
+    shape is preserved."""
     gen, batches = _live_parts(dir_)
     paths = ([str(gen)] if gen else []) + \
         [str(p) for p in batches if (p / "_SUCCESS").exists()]
+    rd = spark.read.option("recursiveFileLookup", "true")
+    if schema is not None:
+        rd = rd.schema(schema)
     if not paths:
+        if schema is not None:
+            return spark.createDataFrame([], schema)
         # empty landing dir: preserve the old recursive-read error shape
-        return spark.read.option("recursiveFileLookup", "true").parquet(dir_)
-    return spark.read.option("recursiveFileLookup", "true").parquet(*paths)
+        return rd.parquet(dir_)
+    return rd.parquet(*paths)
 
 
 def fold_cutoff(dir_: str, keep_last: int = 1) -> int:

@@ -24,6 +24,8 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from localsql_spark.sinks.locks import locked_by
+
 
 def merge_upsert(existing: DataFrame | None, batch: DataFrame, *,
                  key: str, version: str,
@@ -347,6 +349,7 @@ def recover_feed_erase(feed_dir: str) -> bool:
     return True
 
 
+@locked_by("feed_dir")
 def erase_from_feed(spark: SparkSession, feed_dir: str, keys,
                     key_col: str) -> list:
     """Subject erasure from the DURABLE change feed — the compliance gap
@@ -426,6 +429,7 @@ def _pruned_through(feed_dir: str) -> int:
         return -1
 
 
+@locked_by("feed_dir")
 def prune_feed(feed_dir: str, keep_last: int = 1) -> int:
     """Retention for the durable change feed: delete batch dirs every
     registered consumer has consumed (id <= min over consumer offsets),

@@ -570,3 +570,73 @@ def test_fold_entry_points_respect_store_lock(spark, tmp_path):
     lock.unlink()
     rebuild_nonretractable(spark, nb_model={
         "model_dir": model, "docs": docs, "positive": F.lit(True)})
+
+
+def test_lock_release_is_ownership_verified(tmp_path):
+    """A holder whose lock file was broken and re-claimed by another
+    process must NOT unlink the new holder's lock on release (review
+    round 13: the unconditional unlink cascaded a stale-break into a
+    THIRD concurrent writer).  Also pins the heartbeat registry: a held
+    lock is registered for mtime refresh, and deregistered on release."""
+    from localsql_spark.sinks import locks as L
+
+    d = str(tmp_path / "store")
+    lock = L.lock_path_for(d)
+    with L.store_lock(d):
+        assert str(lock) in L._LIVE  # heartbeat will refresh this path
+        # simulate: a breaker decided we were dead; a new holder owns it
+        lock.write_text("pid=4242 token=deadbeef\n")
+    assert lock.exists()  # release left the new holder's lock alone
+    assert lock.read_text() == "pid=4242 token=deadbeef\n"
+    assert str(lock) not in L._LIVE
+    lock.unlink()
+
+    # normal case: our own token -> release unlinks
+    with L.store_lock(d):
+        assert lock.read_text() in L._LIVE.values()
+    assert not lock.exists()
+
+
+def test_index_and_feed_entry_points_respect_store_lock(spark, tmp_path):
+    """The ANN index writers/erasers and the CDC feed's whole-dir
+    maintenance ops hold the same per-store lock as the fold entry
+    points (review round 13: a direct per-store call could interleave
+    with a locked composed pass — e.g. an ivfpq_erase_vectors committing
+    into the old generation mid-rebuild, its retraction then discarded
+    by the swap)."""
+    import pytest
+
+    from localsql_spark.operators.similarity import (
+        append_ivf_index, compact_ivf_index, ivf_erase_vectors,
+        ivfpq_erase_vectors, write_ivf_index, write_ivfpq_index)
+    from localsql_spark.sinks.locks import MaintenanceBusy, lock_path_for
+    from localsql_spark.streaming.foreach_upsert import (erase_from_feed,
+                                                         prune_feed)
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i % 3), 1.0, 0.0]) for i in range(12)],
+        "vec_id long, embedding array<double>")
+    keys = spark.createDataFrame([(1,)], "vec_id long")
+
+    cases = [
+        lambda d: write_ivf_index(emb, d, n_cells=2),
+        lambda d: append_ivf_index(spark, d, emb, batch_id=1),
+        lambda d: compact_ivf_index(spark, d),
+        lambda d: ivf_erase_vectors(spark, d, keys),
+        lambda d: write_ivfpq_index(emb, d, n_cells=2, m=2, k_codes=4),
+        lambda d: ivfpq_erase_vectors(spark, d, keys),
+        lambda d: erase_from_feed(spark, d, keys, "vec_id"),
+        lambda d: prune_feed(d),
+    ]
+    d = str(tmp_path / "idx")
+    lock = lock_path_for(d)
+    lock.parent.mkdir(parents=True, exist_ok=True)
+    lock.write_text("pid=99999\n")
+    for fn in cases:
+        with pytest.raises(MaintenanceBusy):
+            fn(d)
+    lock.unlink()
+    # released: the writers proceed end-to-end (and their internal lock
+    # round-trips don't self-deadlock)
+    write_ivf_index(emb, d, n_cells=2)
+    ivf_erase_vectors(spark, d, keys)

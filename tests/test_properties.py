@@ -2725,9 +2725,32 @@ def test_covariance_arrow_matches_exact(spark):
     top_a = sorted(pa, key=lambda i: (-pa[i], i))[:10]
     assert top_e == top_a
 
+    # NULL-vector rows are excluded from sums AND the 1/n normalization
+    # in BOTH paths (review round 13: the exact fold's explode dropped
+    # NULLs from the sums while n counted them — a corpus with missing
+    # embeddings silently biased every entry by n_nonnull/n_total and
+    # the two paths diverged far beyond the float-twin bound)
+    with_nulls = emb.unionByName(
+        emb.limit(3).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.lit(None).cast("array<double>").alias("embedding")))
+    cov_en, m_en = covariance_and_means(with_nulls)
+    cov_an, m_an = covariance_and_means_arrow(with_nulls)
+    en = {(r.j, r.k): r.cov for r in cov_en.collect()}
+    an = {(r.j, r.k): r.cov for r in cov_an.collect()}
+    assert en == e  # NULL rows change nothing vs the clean corpus
+    assert max(abs(en[k] - an[k]) for k in en) <= 1e-9
+
     empty = emb.filter(F.col("vec_id") < 0)
     with pytest.raises(ValueError, match="zero rows"):
         covariance_and_means_arrow(empty)
+    # all-NULL corpus: the shared contract is the same clear raise in
+    # both paths (previously exact returned empty frames here)
+    all_null = with_nulls.filter(F.col("embedding").isNull())
+    with pytest.raises(ValueError, match="zero rows"):
+        covariance_and_means(all_null)
+    with pytest.raises(ValueError, match="zero rows"):
+        covariance_and_means_arrow(all_null)
     with pytest.raises(ValueError, match="arrow|exact"):
         pca_project(emb, method="bogus")
 

@@ -749,3 +749,21 @@ def test_rebuild_nonretractable_carries_registry_and_gates(spark, tmp_path):
     assert schema_version(mdir) == 2
     model2, _ = nb_model_read(spark, mdir)
     assert {r.word: r.cp for r in model2.collect()}["alpha"] == 4
+
+
+def test_reconcile_keep_extra_overlapping_registry_column(spark, tmp_path):
+    """A keep_extra (partition) column the registry ALSO declares must
+    be emitted once, not twice (review round 13: the duplicate produced
+    an ambiguous-reference frame downstream of every fold gate when a
+    user registered the partition column inside the contract)."""
+    from localsql_spark.sinks.schema_evolution import (gate_fold_write,
+                                                       init_schema)
+
+    d = str(tmp_path / "store")
+    init_schema(d, {"k": "bigint", "v": "double", "pt": "string"})
+    df = spark.createDataFrame([(1, 2.0, "a")],
+                               "k long, v double, pt string")
+    out = gate_fold_write(df, d, "pt")
+    assert out.columns == ["k", "v", "pt"]
+    # the de-duplicated column is selectable (previously ambiguous)
+    assert out.select("pt").distinct().count() == 1
