@@ -119,21 +119,25 @@ def init_schema(store_dir: str, columns: dict[str, str],
     cache).  ``partition`` optionally records the store's hive
     partition column as (name, spark_sql_type) so readers can supply
     an EXPLICIT scan schema (O(1) metadata) instead of falling back to
-    a whole-read footer merge."""
-    reg = read_registry(store_dir)
-    if reg is not None:
-        if columns in (reg[0]["columns"], reg[-1]["columns"]):
-            return reg[-1]["v"]
-        raise ValueError(
-            f"store {store_dir!r} already registered with a different "
-            f"schema: base {reg[0]['columns']} / current "
-            f"{reg[-1]['columns']} != {columns}")
-    spec = {"v": 1, "columns": dict(columns),
-            "added": list(columns), "defaults": {}}
-    if partition is not None:
-        spec["partition"] = {"name": partition[0], "type": partition[1]}
-    _write_registry(store_dir, [spec])
-    return 1
+    a whole-read footer merge.  Locked read-modify-write, same contract
+    as :func:`evolve_schema`."""
+    from localsql_spark.sinks.locks import store_lock
+    with store_lock(store_dir):
+        reg = read_registry(store_dir)
+        if reg is not None:
+            if columns in (reg[0]["columns"], reg[-1]["columns"]):
+                return reg[-1]["v"]
+            raise ValueError(
+                f"store {store_dir!r} already registered with a "
+                f"different schema: base {reg[0]['columns']} / current "
+                f"{reg[-1]['columns']} != {columns}")
+        spec = {"v": 1, "columns": dict(columns),
+                "added": list(columns), "defaults": {}}
+        if partition is not None:
+            spec["partition"] = {"name": partition[0],
+                                 "type": partition[1]}
+        _write_registry(store_dir, [spec])
+        return 1
 
 
 def registered_partition(store_dir: str) -> tuple[str, str] | None:
@@ -154,30 +158,39 @@ def evolve_schema(store_dir: str, add: dict[str, str],
     existing columns (a type change in disguise) and requires the store
     to be registered (:func:`init_schema`).  Metadata-only: commits the
     registry via tmp+rename, touches no data file.  Returns the new
-    version number."""
-    reg = read_registry(store_dir)
-    if reg is None:
-        raise ValueError(
-            f"store {store_dir!r} has no schema registry — call "
-            f"init_schema with the current contract first")
-    cur = reg[-1]["columns"]
-    clash = sorted(set(add) & set(cur))
-    if clash:
-        raise ValueError(
-            f"additive evolution only: {clash} already exist in "
-            f"version {reg[-1]['v']} (a type change or re-add requires "
-            f"a store migration, not an evolution)")
-    if not add:
-        raise ValueError("evolve_schema: nothing to add")
-    bad_defaults = sorted(set(defaults or {}) - set(add))
-    if bad_defaults:
-        raise ValueError(
-            f"defaults name columns not being added: {bad_defaults}")
-    new = {"v": reg[-1]["v"] + 1,
-           "columns": {**cur, **{k: add[k] for k in add}},
-           "added": list(add), "defaults": dict(defaults or {})}
-    _write_registry(store_dir, reg + [new])
-    return new["v"]
+    version number.
+
+    Runs under the store's maintenance lock — the read-modify-write of
+    the version list is otherwise a lost-update race between two
+    evolutions, and an evolution mid-fold could slip between a fold's
+    write gate and its commit (the docstring's single-writer contract,
+    now enforced like every other maintenance step; a held fold lock
+    makes a concurrent evolve raise MaintenanceBusy)."""
+    from localsql_spark.sinks.locks import store_lock
+    with store_lock(store_dir):
+        reg = read_registry(store_dir)
+        if reg is None:
+            raise ValueError(
+                f"store {store_dir!r} has no schema registry — call "
+                f"init_schema with the current contract first")
+        cur = reg[-1]["columns"]
+        clash = sorted(set(add) & set(cur))
+        if clash:
+            raise ValueError(
+                f"additive evolution only: {clash} already exist in "
+                f"version {reg[-1]['v']} (a type change or re-add "
+                f"requires a store migration, not an evolution)")
+        if not add:
+            raise ValueError("evolve_schema: nothing to add")
+        bad_defaults = sorted(set(defaults or {}) - set(add))
+        if bad_defaults:
+            raise ValueError(
+                f"defaults name columns not being added: {bad_defaults}")
+        new = {"v": reg[-1]["v"] + 1,
+               "columns": {**cur, **{k: add[k] for k in add}},
+               "added": list(add), "defaults": dict(defaults or {})}
+        _write_registry(store_dir, reg + [new])
+        return new["v"]
 
 
 def _write_registry(store_dir: str, versions: list[dict]) -> None:

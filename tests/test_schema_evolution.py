@@ -767,3 +767,31 @@ def test_reconcile_keep_extra_overlapping_registry_column(spark, tmp_path):
     assert out.columns == ["k", "v", "pt"]
     # the de-duplicated column is selectable (previously ambiguous)
     assert out.select("pt").distinct().count() == 1
+
+
+def test_registry_writes_respect_store_lock(tmp_path):
+    """init_schema/evolve_schema are read-modify-writes of the version
+    list: they hold the store's maintenance lock (a concurrent evolution
+    was a lost-update race, and an evolution mid-fold could slip between
+    a fold's write gate and its commit)."""
+    import pytest
+
+    from localsql_spark.sinks.locks import MaintenanceBusy, lock_path_for
+    from localsql_spark.sinks.schema_evolution import (evolve_schema,
+                                                       init_schema,
+                                                       schema_version)
+
+    d = str(tmp_path / "store")
+    lock = lock_path_for(d)
+    lock.parent.mkdir(parents=True, exist_ok=True)
+    lock.write_text("pid=99999\n")
+    with pytest.raises(MaintenanceBusy):
+        init_schema(d, {"k": "bigint"})
+    lock.unlink()
+    init_schema(d, {"k": "bigint"})
+    lock.write_text("pid=99999\n")
+    with pytest.raises(MaintenanceBusy):
+        evolve_schema(d, {"v2": "double"})
+    lock.unlink()
+    assert evolve_schema(d, {"v2": "double"}) == 2
+    assert schema_version(d) == 2
