@@ -67,6 +67,8 @@ from pathlib import Path
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from localsql_spark.sinks.locks import store_lock
+
 SCHEMA_FILE = "_schema.json"
 
 __all__ = ["SCHEMA_FILE", "read_registry", "current_columns",
@@ -119,18 +121,26 @@ def init_schema(store_dir: str, columns: dict[str, str],
     cache).  ``partition`` optionally records the store's hive
     partition column as (name, spark_sql_type) so readers can supply
     an EXPLICIT scan schema (O(1) metadata) instead of falling back to
-    a whole-read footer merge.  Locked read-modify-write, same contract
-    as :func:`evolve_schema`."""
-    from localsql_spark.sinks.locks import store_lock
+    a whole-read footer merge.  The WRITE is a locked read-modify-write
+    (same contract as :func:`evolve_schema`); the idempotent re-init of
+    an already-registered store is a pure read and stays available
+    during a maintenance window (no lock) — re-checked under the lock
+    before any write."""
+    def _check(reg):
+        if columns in (reg[0]["columns"], reg[-1]["columns"]):
+            return reg[-1]["v"]
+        raise ValueError(
+            f"store {store_dir!r} already registered with a "
+            f"different schema: base {reg[0]['columns']} / current "
+            f"{reg[-1]['columns']} != {columns}")
+
+    reg = read_registry(store_dir)
+    if reg is not None:  # idempotent fast path, lock-free
+        return _check(reg)
     with store_lock(store_dir):
-        reg = read_registry(store_dir)
+        reg = read_registry(store_dir)  # re-check under the lock
         if reg is not None:
-            if columns in (reg[0]["columns"], reg[-1]["columns"]):
-                return reg[-1]["v"]
-            raise ValueError(
-                f"store {store_dir!r} already registered with a "
-                f"different schema: base {reg[0]['columns']} / current "
-                f"{reg[-1]['columns']} != {columns}")
+            return _check(reg)
         spec = {"v": 1, "columns": dict(columns),
                 "added": list(columns), "defaults": {}}
         if partition is not None:
@@ -166,7 +176,6 @@ def evolve_schema(store_dir: str, add: dict[str, str],
     write gate and its commit (the docstring's single-writer contract,
     now enforced like every other maintenance step; a held fold lock
     makes a concurrent evolve raise MaintenanceBusy)."""
-    from localsql_spark.sinks.locks import store_lock
     with store_lock(store_dir):
         reg = read_registry(store_dir)
         if reg is None:
@@ -186,8 +195,7 @@ def evolve_schema(store_dir: str, add: dict[str, str],
         if bad_defaults:
             raise ValueError(
                 f"defaults name columns not being added: {bad_defaults}")
-        new = {"v": reg[-1]["v"] + 1,
-               "columns": {**cur, **{k: add[k] for k in add}},
+        new = {"v": reg[-1]["v"] + 1, "columns": {**cur, **add},
                "added": list(add), "defaults": dict(defaults or {})}
         _write_registry(store_dir, reg + [new])
         return new["v"]

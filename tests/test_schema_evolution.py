@@ -790,8 +790,15 @@ def test_registry_writes_respect_store_lock(tmp_path):
     lock.unlink()
     init_schema(d, {"k": "bigint"})
     lock.write_text("pid=99999\n")
+    # the IDEMPOTENT re-init is a pure read: it stays available during
+    # a maintenance window (no lock taken on the fast path)
+    assert init_schema(d, {"k": "bigint"}) == 1
     with pytest.raises(MaintenanceBusy):
         evolve_schema(d, {"v2": "double"})
     lock.unlink()
     assert evolve_schema(d, {"v2": "double"}) == 2
     assert schema_version(d) == 2
+    # idempotent re-init with the CURRENT evolved contract, also lock-free
+    lock.write_text("pid=99999\n")
+    assert init_schema(d, {"k": "bigint", "v2": "double"}) == 2
+    lock.unlink()
