@@ -152,7 +152,17 @@ class LocalSparkSQL:
         "  \\s     Save last not empty results to file.\n"
         "  \\pp    Toggle pretty print.\n"
         "  \\lpy   Python commands mode\n"
-        "  \\lsql  SQL commands mode\n")
+        "  \\lsql  SQL commands mode\n"
+        "  \\dedup <exact|minhash|simhash|ngram> <table> [k=v ...] "
+        "[AS <view>]\n"
+        "         Dedup the table; register the result as a queryable "
+        "view.\n"
+        "         Options: text= id= threshold= max_hamming=\n"
+        "  \\knn <corpus> [<queries>] [k=5 vec=embedding id=vec_id] "
+        "[AS <view>]\n"
+        "         Exact cosine top-k neighbors as a view.\n"
+        "  \\quality <table> [text= id=] [AS <view>]\n"
+        "         Per-document text-quality scores as a view.\n")
 
     # -- special commands ---------------------------------------------------
     def special(self, command: str) -> DataFrame | None:
@@ -193,11 +203,127 @@ class LocalSparkSQL:
         if cmd == "\\lsql":
             self.py_mode = False
             return None
+        if cmd in ("\\dedup", "\\knn", "\\quality"):
+            return self.pipeline_command(cmd, args)
         # unknown special -> help cheat sheet, non-fatal
         # (reference: localsql/localsql.py:161-167)
         print(f"Unrecognized special command: {cmd}")
         print(self.SPECIAL_HELP)
         return None
+
+    # -- pipeline commands --------------------------------------------------
+    # The reference's UX contract is "everything reachable from the REPL";
+    # the engine's flagship pipeline operators (dedup / kNN / text quality)
+    # are therefore exposed as temp-VIEW-producing special commands (r13
+    # verdict task 6): each runs the DataFrame operator and registers the
+    # result as a named view the next SQL statement can join/filter —
+    # `\dedup minhash docs AS nd` then `SELECT * FROM nd WHERE ...`.
+    # Declarative results stay lazy: registering the view costs nothing
+    # until SQL scans it.
+
+    def _parse_pipeline_args(self, args: str):
+        """``<positional...> [key=value ...] [AS <view>]`` — the minimal
+        grammar the commands share."""
+        toks = args.split()
+        pos: list[str] = []
+        opts: dict[str, str] = {}
+        view: str | None = None
+        i = 0
+        while i < len(toks):
+            t = toks[i]
+            if t.upper() == "AS":
+                if i + 1 >= len(toks):
+                    raise RuntimeError("AS needs a view name")
+                view = toks[i + 1]
+                i += 2
+                continue
+            if "=" in t:
+                k, _, v = t.partition("=")
+                opts[k] = v
+            else:
+                pos.append(t)
+            i += 1
+        return pos, opts, view
+
+    def _table(self, name: str) -> DataFrame:
+        if name in self.tables:
+            return self.tables[name]
+        try:  # any SQL-visible view (incl. one a previous command made)
+            return self.spark.table(name)
+        except AnalysisException:
+            raise RuntimeError(f"unknown table: {name}") from None
+
+    def _register_view(self, df: DataFrame, view: str) -> DataFrame:
+        import sys
+
+        df.createOrReplaceTempView(view)
+        self.tables[view] = df
+        self.latest_result = df
+        print(f"Registered view: {view}", file=sys.stderr)
+        return df
+
+    def pipeline_command(self, cmd: str, args: str) -> DataFrame:
+        """Dispatch ``\\dedup`` / ``\\knn`` / ``\\quality``."""
+        pos, opts, view = self._parse_pipeline_args(args)
+        if cmd == "\\dedup":
+            from localsql_spark.operators import dedup as D
+            if not pos or pos[0] not in ("exact", "minhash", "simhash",
+                                         "ngram") or len(pos) != 2:
+                raise RuntimeError(
+                    "usage: \\dedup <exact|minhash|simhash|ngram> <table> "
+                    "[text= id= threshold= max_hamming=] [AS <view>]")
+            mode, table = pos
+            df = self._table(table)
+            text = opts.get("text", "text")
+            id_col = opts.get("id", "doc_id")
+            if mode == "exact":
+                out = D.exact_dedup(df, text, id_col)
+            elif mode == "minhash":
+                out = D.minhash_lsh_pairs(
+                    df, text, id_col,
+                    threshold=float(opts.get("threshold", "0.5")))
+            elif mode == "simhash":
+                out = D.simhash_near_pairs(
+                    df, text, id_col,
+                    max_hamming=int(opts.get("max_hamming", "3")))
+            else:
+                kw = {"threshold": float(opts.get("threshold", "0.2"))}
+                if "block" in opts:
+                    kw["block_col"] = opts["block"]
+                out = D.ngram_jaccard_pairs(df, text, id_col, **kw)
+            return self._register_view(out, view or f"{table}_dedup_{mode}")
+        if cmd == "\\knn":
+            from localsql_spark.operators.similarity import knn_brute_force
+            if not 1 <= len(pos) <= 2:
+                raise RuntimeError(
+                    "usage: \\knn <corpus> [<queries>] [k= vec= id=] "
+                    "[AS <view>]")
+            corpus = self._table(pos[0])
+            queries = self._table(pos[1]) if len(pos) == 2 else corpus
+            out = knn_brute_force(
+                corpus, queries, k=int(opts.get("k", "5")),
+                id_col=opts.get("id", "vec_id"),
+                vec_col=opts.get("vec", "embedding"))
+            return self._register_view(out, view or f"{pos[0]}_knn")
+        # \quality
+        from pyspark.sql import functions as F  # noqa: N812
+
+        from localsql_spark.operators import text as T
+        if len(pos) != 1:
+            raise RuntimeError(
+                "usage: \\quality <table> [text= id=] [AS <view>]")
+        df = self._table(pos[0])
+        text = F.col(opts.get("text", "text"))
+        id_col = opts.get("id", "doc_id")
+        out = df.select(
+            F.col(id_col),
+            T.quality_score(text).alias("quality_score"),
+            T.langid(text).alias("lang"),
+            T.token_count_ws(text).alias("tokens_ws"),
+            F.round(T.punct_ratio(text), 9).alias("punct_ratio"),
+            F.round(T.stopword_ratio(text), 9).alias("stopword_ratio"),
+            F.round(T.avg_word_len(text), 9).alias("avg_word_len"))
+        return self._register_view(out, view or f"{pos[0]}_quality")
 
     # -- presentation -------------------------------------------------------
     def print_result(self, df: DataFrame, transpose: bool = False,

@@ -228,6 +228,46 @@ def simhash32(text: Column) -> Column:
     return F.aggregate(hashes, init, fold, pack)
 
 
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: byte-band LSH on the 32-bit hash (any
+    pair with hamming <= 3 shares at least one of 4 bytes, pigeonhole)
+    -> linear candidate join -> exact popcount filter.  Same banded-join
+    shape as MinHash-LSH but on a 1-word signature — the cheap
+    first-pass near-dup detector at scale.  Returns
+    ``(doc_a, doc_b, hamming)``.  Four byte-bands guarantee a shared
+    band only for hamming <= 3 (pigeonhole: 4 flips can land one per
+    band), so ``max_hamming`` above 3 raises rather than silently
+    under-recalling."""
+    from localsql_spark.operators import track_persist
+
+    if max_hamming > 3:
+        raise ValueError(
+            "simhash_near_pairs: byte-band LSH guarantees recall only "
+            f"for max_hamming <= 3 (got {max_hamming}); use wider bands "
+            "or ngram_jaccard_pairs for looser matching")
+    sh = track_persist(
+        spread(df)
+        .select(F.col(id_col).alias("doc_id"),
+                simhash32(F.col(text_col)).alias("simhash")))
+    bands = sh.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright("simhash", 8 * b).bitwiseAND(255)
+            for b in range(4)])).alias("b", "byte"))
+    a = bands.select(F.col("doc_id").alias("doc_a"),
+                     F.col("simhash").alias("ha"), "b", "byte")
+    b = bands.select(F.col("doc_id").alias("doc_b"),
+                     F.col("simhash").alias("hb"), "b", "byte")
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (a.join(b, ["b", "byte"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "ha", "hb").distinct()
+            .select("doc_a", "doc_b", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", block_col: str = "lang",
                         threshold: float = 0.2,
@@ -560,6 +600,12 @@ def _heal_store_swap(path: str) -> None:
     from pathlib import Path
 
     store = Path(path)
+    if store.is_symlink():
+        # generation-pointer layout (sinks.generations): swaps commit
+        # atomically, so only a dangling pointer needs healing
+        from localsql_spark.sinks.generations import heal_store
+        heal_store(path)
+        return
     if store.exists():
         return
     for suffix in (".erasing", ".compact"):
@@ -581,9 +627,14 @@ def compact_signature_store(spark: SparkSession, path: str,
     (the streaming ingest sink grows one per micro-batch) into flat
     part-files — the small-file compaction every long-running ingest needs:
     thousands of KB-scale batch dirs each cost an open + footer parse +
-    task schedule on every probe.  Whole-store swap via rename; run it as a
-    single-writer maintenance step BETWEEN stream runs (it moves the
-    directory out from under a concurrently-running stream's append).
+    task schedule on every probe.  Whole-store swap, committed
+    reader-atomically (``sinks.generations`` pointer flip).  Single-writer
+    is ENFORCED, not advised: this function holds the store's maintenance
+    lock for its whole read→rewrite→flip, and the streaming ingest sink
+    takes the same lock around its batch-dir append — a stream batch can
+    no longer land between the compactor's read and its commit and ride
+    off with the displaced generation (advice r13); it gets
+    MaintenanceBusy and is redelivered instead.
     ``target_files`` coalesces the rewrite to at most that many part
     files (the steady-state bound a debris census can gate on —
     without it the rewrite emits one file per shuffle partition and a
@@ -604,11 +655,10 @@ def compact_signature_store(spark: SparkSession, path: str,
     df.write.mode("overwrite").parquet(str(tmp))
     _carry_schema_registry(store, tmp)
     n = spark.read.parquet(str(tmp)).count()
-    old = store.parent / f".{store.name}.old"
-    shutil.rmtree(old, ignore_errors=True)
-    store.rename(old)
-    tmp.rename(store)
-    shutil.rmtree(old, ignore_errors=True)
+    # READER-atomic commit: one symlink flip over the store pointer
+    # (sinks.generations), no store-missing window between renames
+    from localsql_spark.sinks.generations import commit_store_swap
+    commit_store_swap(store, tmp)
     return n
 
 
@@ -957,8 +1007,14 @@ def ensure_banded_index(spark: SparkSession, store_path: str,
                 _manifest_path(base).unlink(missing_ok=True)
                 shutil.rmtree(base.parent / f".{base.name}.staging",
                               ignore_errors=True)
-                shutil.rmtree(index_path, ignore_errors=True)
-                os.rename(staged, index_path)
+                # READER-atomic commit: the old rmtree+rename pair left
+                # an index-missing window a concurrent probe could hit.
+                # retain_displaced=False: a post-erase rebuild's
+                # displaced index still maps erased doc_ids
+                from localsql_spark.sinks.generations import \
+                    commit_store_swap
+                commit_store_swap(base, Path(staged),
+                                  retain_displaced=False)
             except BaseException:
                 shutil.rmtree(staged, ignore_errors=True)
                 raise
@@ -1124,10 +1180,11 @@ def erase_from_signature_store(spark: SparkSession, store_path: str,
     Crash windows: store swapped but index/meta not yet updated → the
     stale meta forces a full index rebuild on the next probe (correct,
     slower; the rebuild path clears any pending partial-erase manifest
-    it supersedes).  Mid-swap (between the store's two renames) → the
-    next erase or compaction heals it first (:func:`_heal_store_swap`:
-    a complete replacement rolls forward, otherwise the backup rolls
-    back).  Returns ``{"erased": n_removed, "store_rows": n_after,
+    it supersedes).  The store rewrite itself commits READER-atomically
+    (``sinks.generations``: one symlink flip over the store pointer),
+    so there is no mid-swap missing-store state to heal; leftovers from
+    the pre-generation protocol are still swept by
+    :func:`_heal_store_swap`.  Returns ``{"erased": n_removed, "store_rows": n_after,
     "index_prefixes": [...]}``."""
     import json as _json
     import os as _os
@@ -1179,11 +1236,12 @@ def erase_from_signature_store(spark: SparkSession, store_path: str,
         kept.write.mode("overwrite").parquet(str(tmp))
         _carry_schema_registry(store, tmp)
         n_after = spark.read.parquet(str(tmp)).count()
-        old = store.parent / f".{store.name}.old"
-        _shutil.rmtree(old, ignore_errors=True)
-        store.rename(old)
-        tmp.rename(store)
-        _shutil.rmtree(old, ignore_errors=True)
+        # READER-atomic commit (sinks.generations): one symlink flip,
+        # no store-missing window between renames.
+        # retain_displaced=False: the displaced generation holds the
+        # PRE-erase rows — RTBF forbids parking them until a later swap
+        from localsql_spark.sinks.generations import commit_store_swap
+        commit_store_swap(store, tmp, retain_displaced=False)
 
         if has_index and prefixes:
             from localsql_spark.sinks.merge import (_apply_manifest,

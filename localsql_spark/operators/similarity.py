@@ -1464,8 +1464,20 @@ def opq_rotation(res: DataFrame, vec_col: str = "embedding",
                 for k in range(dim):
                     mat[j][k] -= lam * v[j] * v[k]
     if balance_m:
-        basis = [basis[i] for i in
-                 _balance_allocation(lams, balance_m)]
+        if len(lams) % balance_m:
+            # dim not divisible by m: the PQ slicer handles the ragged
+            # tail by truncation, but eigenvalue allocation assumes
+            # equal subspaces — keep the unpermuted PCA order instead
+            # of failing rotate=True calls that worked before balancing
+            # existed (advice r13)
+            import warnings
+            warnings.warn(
+                f"opq_rotation: dim {len(lams)} not divisible by "
+                f"m={balance_m}; skipping eigenvalue allocation and "
+                "keeping PCA component order", stacklevel=2)
+        else:
+            basis = [basis[i] for i in
+                     _balance_allocation(lams, balance_m)]
     return basis
 
 
@@ -1724,9 +1736,10 @@ def write_ivfpq_index(corpus: DataFrame, path: str, n_cells: int = 8,
 
     Crash-safe in-place retrain (advisor r12): the whole index —
     centroids, optional OPQ ``_rotation``, codebooks, codes — is built
-    into a sibling ``.<name>.build`` staging dir and swapped in with
-    one rename pair (the ``rebuild_nonretractable`` pattern), so model
-    state commits ATOMICALLY as a set.  The old non-atomic in-place
+    into a sibling ``.<name>.build`` staging dir and committed with ONE
+    atomic generation-pointer flip (the ``rebuild_nonretractable``
+    pattern, ``sinks.generations``), so model state commits ATOMICALLY
+    as a set and concurrent readers never see a missing index.  The old non-atomic in-place
     write could crash between the rotation overwrite and the codes
     rewrite, leaving a live index whose served codes were encoded in a
     DIFFERENT basis than the persisted rotation — ADC distances then
@@ -1796,7 +1809,7 @@ def write_ivfpq_index(corpus: DataFrame, path: str, n_cells: int = 8,
      .select(F.col(id_col).alias("neighbor_id"), "s", "code", "cell")
      .repartition(F.col("cell"))
      .write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes"))
-    _swap_rebuilt(dst, build)  # COMMIT — one rename pair, whole index
+    _swap_rebuilt(dst, build)  # COMMIT — one atomic flip, whole index
 
 
 def knn_ivfpq_from_index(spark: SparkSession, index_path: str,

@@ -1058,25 +1058,32 @@ def _erase_pass(spark: SparkSession, keys: DataFrame, primary,
 # ---------------------------------------------------------------------------
 
 def _swap_rebuilt(dst: Path, built: Path) -> None:
-    """Swap a freshly-built store into place: park the old generation,
-    rename the new one in (commit), drop the old.  A crash between the
-    two renames leaves the store parked under ``.<name>.pre_rebuild`` —
-    re-running the rebuild is the recovery (the trainers are
-    deterministic, so the re-run reproduces the same bytes); the next
-    rebuild also sweeps any parked leftover.  The schema-evolution
-    registry lives INSIDE the store dir and rides into the replacement
-    (same whole-dir-swap obligation as the signature-store compactor);
-    callers hold the destination's maintenance lock."""
+    """Swap a freshly-built store into place — READER-atomically: the
+    store path is (or becomes, on first swap) a symlink to a sibling
+    generation dir, and the commit is one atomic rename of a fresh
+    symlink over the pointer (``sinks.generations``), so a concurrent
+    lock-free reader resolves either the old or the new generation,
+    never a missing store (r13 verdict task 1: the previous rename pair
+    left a store-missing window between its two renames).  The
+    displaced generation survives until the NEXT swap, so in-flight
+    scans finish on intact files.  A crash before the flip leaves the
+    old generation serving and an orphan dir the next commit prunes.
+    The schema-evolution registry lives INSIDE the store dir and rides
+    into the replacement (same whole-dir-swap obligation as the
+    signature-store compactor); callers hold the destination's
+    maintenance lock.  Legacy leftovers from the old protocol are swept
+    here."""
+    from localsql_spark.sinks.generations import commit_store_swap
     from localsql_spark.sinks.schema_evolution import carry_registry
 
     if dst.exists():
         carry_registry(dst, built)
-    old = dst.parent / f".{dst.name}.pre_rebuild"
-    shutil.rmtree(old, ignore_errors=True)
-    if dst.exists():
-        os.rename(dst, old)
-    os.rename(built, dst)  # commit
-    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(dst.parent / f".{dst.name}.pre_rebuild",
+                  ignore_errors=True)
+    # retain_displaced=False: this is the right-to-be-forgotten swap
+    # pattern — the displaced generation holds the PRE-retrain bytes
+    # (erased subjects' influence) and must not linger
+    commit_store_swap(dst, built, retain_displaced=False)
 
 
 def rebuild_nonretractable(spark: SparkSession, *,
@@ -1119,9 +1126,10 @@ def rebuild_nonretractable(spark: SparkSession, *,
       rebuilds the full-vector IVF index INCLUDING its centroid table,
       which stores seed subjects' vectors verbatim.
 
-    Each rebuild trains into a sibling staging dir and swaps in with a
-    rename pair (:func:`_swap_rebuilt`) — readers never see a
-    half-trained store, and a mid-build crash leaves the old generation
+    Each rebuild trains into a sibling staging dir and commits with ONE
+    atomic pointer flip (:func:`_swap_rebuilt` via
+    ``sinks.generations``) — readers never see a half-trained OR
+    missing store, and a mid-build crash leaves the old generation
     serving.  Single-writer maintenance ENFORCED: each leg holds the
     destination store's maintenance lock (``sinks.locks``) for its
     build+swap, so a concurrent fold on the live store gets

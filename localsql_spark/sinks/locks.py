@@ -84,9 +84,19 @@ _HELD_MU = threading.Lock()
 def lock_path_for(store_dir: str, name: str = "maint") -> Path:
     """The canonical lock file for a store: sibling dotfile, same
     convention as the staging dir and commit manifest — so hardlink-farm
-    copies and store moves carry no stale lock inside the store."""
-    base = Path(str(store_dir).rstrip("/"))
-    return base.parent / f".{base.name}.{name}.lock"
+    copies and store moves carry no stale lock inside the store.
+
+    The PARENT is resolved via ``os.path.realpath`` so a symlinked
+    parent, a relative vs absolute spelling, or a ``..``-spelled path
+    all key the SAME lock file (advice r13: raw-string keying silently
+    voided cross-process exclusion across spellings).  The final
+    component is intentionally NOT resolved: the generation-swap design
+    (:mod:`.generations`) makes the store path itself a symlink flipped
+    atomically between generation dirs — resolving it would key the
+    lock per-generation and void exclusion across a swap."""
+    raw = Path(str(store_dir).rstrip("/"))
+    parent = Path(os.path.realpath(raw.parent))
+    return parent / f".{raw.name}.{name}.lock"
 
 
 def _break_stale(lock: Path, stale_s: float) -> None:
@@ -212,8 +222,18 @@ def store_lock(store_dir: str, name: str = "maint",
             f"maintenance lock held on {store_dir!r}: {lock}")
     token = f"pid={os.getpid()} token={os.urandom(8).hex()}\n"
     try:
-        os.write(fd, token.encode())
-        os.close(fd)
+        # a failed token write must not leave an ownerless lock file
+        # behind (release would refuse the token mismatch and lock the
+        # store out for stale_s with no live holder — advice r13): close
+        # the fd and unlink the just-created lock before re-raising.
+        try:
+            try:
+                os.write(fd, token.encode())
+            finally:
+                os.close(fd)
+        except BaseException:
+            lock.unlink(missing_ok=True)
+            raise
         _ensure_heartbeat()
         with _HELD_MU:
             _HELD[key] = 1
@@ -257,7 +277,12 @@ def farm_locks(store_dirs, name: str = "maint", stale_s: float = _STALE_S):
     composed-pass entry: sorted acquisition (no deadlock between two
     overlapping passes), all-or-nothing (a Busy mid-acquisition releases
     everything already taken before propagating)."""
-    dirs = sorted({str(Path(str(d).rstrip("/"))) for d in store_dirs})
+    # dedup and order on the canonical LOCK path (realpath'd parent),
+    # so two passes spelling the same store differently still agree on
+    # one acquisition order and never double-acquire a physical store.
+    dirs = [d for _, d in sorted(
+        {str(lock_path_for(d, name)): str(Path(str(d).rstrip("/")))
+         for d in store_dirs}.items())]
     with contextlib.ExitStack() as stack:
         for d in dirs:
             stack.enter_context(store_lock(d, name=name, stale_s=stale_s))

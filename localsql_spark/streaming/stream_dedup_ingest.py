@@ -130,8 +130,19 @@ def _apply(spark: SparkSession, batch: DataFrame, batch_id: int, store: Path,
     (keepers.write.mode("overwrite")
      .parquet(str(Path(out_dir) / f"batch_{batch_id}")))
     kept_sigs = sig_new.join(drops, id_col, "left_anti")
-    (kept_sigs.write.mode("overwrite")
-     .parquet(str(store / f"batch_{batch_id}")))
+    # the store append holds the store's maintenance lock (advice r13):
+    # the stream is the one genuinely concurrent producer, and an
+    # unlocked write could land a batch dir between
+    # compact_signature_store's read and its generation flip — the
+    # displaced generation then carries the only copy of rows the
+    # checkpoint already marked delivered.  Contention raises
+    # MaintenanceBusy into the stream: the query fails, the checkpoint
+    # has NOT advanced past this batch, and the restart redelivers and
+    # rewrites the same dirs idempotently — rows are never lost.
+    from localsql_spark.sinks.locks import store_lock
+    with store_lock(str(store)):
+        (kept_sigs.write.mode("overwrite")
+         .parquet(str(store / f"batch_{batch_id}")))
     return keepers.count()
 
 

@@ -154,7 +154,6 @@ _HEAVY = frozenset({
     # sort them after the cheap row-local round-6 additions so a
     # time-budgeted driver check reaches every cheap entry first
     "streaming_rollup_hourly", "streaming_scd2_ingest",
-    "knn_ivf_trained_top5",
     # round 7: streaming IVF drain
     "streaming_ivf_ingest_top5",
 })

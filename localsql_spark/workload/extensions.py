@@ -423,31 +423,14 @@ def knn_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
                      n_cells=16, n_probe=4)
 
 
-@query("knn_ivf_trained_top5")  # rows-only: trained centroids are not
-# reasonably SQL-expressible (kmeans|| candidate reduce + 2 Lloyd rounds);
-# determinism is pinned by unit test, recall lift vs the seeded path is
-# measured in ANN.md
-def knn_ivf_trained_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF kNN over TRAINED centroids: deterministic kmeans|| init
-    (operators.similarity.kmeans_parallel_init, Bahmani et al. VLDB 2012)
-    + two Lloyd update rounds, then the same cell-probe search as
-    knn_ivf_top5 (16 cells, 4 probes).  Trained cells are better balanced
-    than raw seed vectors, so recall at equal n_probe rises — the
-    production IVF path; the seeded twin stays registered for the exact
-    cross-engine oracle."""
-    from localsql_spark.operators.similarity import (kmeans_assign,
-                                                     kmeans_parallel_init,
-                                                     kmeans_update)
-
-    emb = load(spark, sf_dir)["embeddings"]
-    cents = kmeans_parallel_init(emb, n_clusters=16)
-    for _ in range(2):
-        assign = kmeans_assign(emb, cents)
-        cents = kmeans_update(emb, assign)
-    cents = spark.createDataFrame(cents.collect(), schema=cents.schema)
-    return S.knn_ivf(emb, emb.filter(F.col("vec_id") < 10), k=5,
-                     n_cells=16, n_probe=4, centroids=cents)
-
+# `knn_ivf_trained_top5` (uniform-data trained IVF, rows-only since r6)
+# was RETIRED in round 14 (r13 verdict task 4): it was fully superseded by
+# its exactly-oracled twins — `knn_ivf_trained_planted_top5` below runs
+# the SAME kmeans||+Lloyd training pipeline under an exact closed-form
+# oracle, and `knn_ivf_index_top5` exact-checks the serving path — so the
+# registry now carries zero rows-only entries.  Recorded in COVERAGE.md
+# and PROGRESS.jsonl; determinism of the training remains unit-pinned
+# (test_kmeans_parallel_init_deterministic_and_bounded).
 
 # Exact oracle for the TRAINED path via planted clusters: on a corpus of 16
 # well-separated clusters (cluster c = vec_id % 16; vector = 10*onehot(c) +
@@ -458,7 +441,7 @@ def knn_ivf_trained_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 # which DuckDB computes exactly.  The oracle never reproduces the training
 # (not SQL-expressible); it checks the closed-form ANSWER the training must
 # reach, so any semantic drift in kmeans||/Lloyd/probe shows up as a hash
-# mismatch.  The uniform-data twin (knn_ivf_trained_top5) stays rows-only.
+# mismatch.  (The uniform-data twin was retired in r14 — note above.)
 _PLANTED_IVF_ORACLE = """
 WITH pe0 AS (SELECT vec_id, generate_subscripts(embedding, 1) AS p,
                     CAST(unnest(embedding) AS DOUBLE) AS x0
@@ -760,25 +743,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-LSH but on a 1-word signature — the cheap first-pass near-dup
     detector at scale."""
     docs = load(spark, sf_dir)["documents"]
-    from localsql_spark.operators import track_persist
-    sh = track_persist(
-        spread(docs)
-        .select("doc_id", D.simhash32(F.col("text")).alias("simhash")))
-    bands = sh.select(
-        "doc_id", "simhash",
-        F.posexplode(F.array(*[
-            F.shiftright("simhash", 8 * b).bitwiseAND(255)
-            for b in range(4)])).alias("b", "byte"))
-    a = bands.select(F.col("doc_id").alias("doc_a"),
-                     F.col("simhash").alias("ha"), "b", "byte")
-    b = bands.select(F.col("doc_id").alias("doc_b"),
-                     F.col("simhash").alias("hb"), "b", "byte")
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (a.join(b, ["b", "byte"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b", "ha", "hb").distinct()
-            .select("doc_a", "doc_b", hamming.alias("hamming"))
-            .filter(F.col("hamming") <= 3))
+    return D.simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
 
 
 @query("text_bm25_scores", oracle=r"""

@@ -312,3 +312,73 @@ def test_engine_context_manager_closes(spark):
         minhash_lsh_pairs(df).count()
         assert len(_PERSISTED) > 0
     assert not _PERSISTED
+
+
+# ---------------------------------------------------------------------------
+# pipeline special commands (r13 verdict task 6: flagship operators
+# reachable from the REPL's \lsql mode as temp-view-producing commands)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def peng(spark, tmp_path):
+    """Engine over a tiny docs+vectors catalog for the pipeline commands."""
+    e = LocalSparkSQL(spark)
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "an entirely different document about spark pipelines"),
+         (4, "an entirely different document about spark pipelines!")],
+        "doc_id long, text string")
+    docs.createOrReplaceTempView("docs")
+    e.tables["docs"] = docs
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 5) for j in range(4)])
+         for i in range(6)], "vec_id long, embedding array<double>")
+    emb.createOrReplaceTempView("vecs")
+    e.tables["vecs"] = emb
+    return e
+
+
+def test_dedup_exact_command_registers_view(peng, capsys):
+    df = peng.run_sql("\\dedup exact docs AS d_exact")
+    assert df is not None
+    assert "Registered view: d_exact" in capsys.readouterr().err
+    # the view is SQL-visible and the exact pair (1,2) collapsed
+    rows = peng.run_sql(
+        "SELECT keep_id, copies FROM d_exact ORDER BY keep_id").collect()
+    assert (1, 2) in [(r.keep_id, r.copies) for r in rows]
+    assert "d_exact" in peng.tables  # \t lists it; \s can export it
+
+
+def test_dedup_minhash_and_simhash_commands(peng):
+    pairs = peng.run_sql("\\dedup minhash docs threshold=0.9").collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} >= {(1, 2)}
+    sh = peng.run_sql("\\dedup simhash docs AS sh").collect()
+    # identical texts hash identically -> hamming 0 (the '!'-differing
+    # 3/4 pair may legitimately exceed the 3-bit byte-band radius)
+    assert {(r.doc_a, r.doc_b, r.hamming) for r in sh} >= {(1, 2, 0)}
+    with pytest.raises(RuntimeError, match="usage"):
+        peng.run_sql("\\dedup bogus docs")
+
+
+def test_knn_command_top1(peng):
+    peng.run_sql("\\knn vecs k=1 AS nn")
+    rows = peng.run_sql("SELECT * FROM nn ORDER BY query_id").collect()
+    assert len(rows) == 6  # one neighbor per query vector
+    assert all(r.neighbor_id != r.query_id for r in rows)
+    # brute-force parity with the operator itself
+    from localsql_spark.operators.similarity import knn_brute_force
+    direct = knn_brute_force(peng.tables["vecs"], peng.tables["vecs"], k=1)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, direct.collect()))
+
+
+def test_quality_command_scores(peng):
+    out = peng.run_sql("\\quality docs AS q")
+    cols = set(out.columns)
+    assert {"doc_id", "quality_score", "lang", "tokens_ws"} <= cols
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].tokens_ws == 9
+    # and it composes with plain SQL afterwards
+    n = peng.run_sql(
+        "SELECT count(*) AS n FROM q WHERE tokens_ws > 5").collect()[0].n
+    assert n == 4

@@ -24,13 +24,11 @@ def test_coverage_doc_query_count_matches_registry():
 # Registry entries ALLOWED to run the driver's weaker rows-only check.
 # Additions here must be genuinely non-SQL-expressible AND carry a unit
 # test pinning determinism, plus an exactly-oracled twin where one exists.
-ROWS_ONLY_DOCUMENTED = {
-    # kmeans|| candidate reduce + 2 Lloyd rounds is not reasonably
-    # DuckDB-expressible; determinism pinned by
-    # test_knn_ivf_trained_centroids_same_contract, recall lift vs the
-    # exactly-oracled seeded twin (knn_ivf_top5) measured in ANN.md
-    "knn_ivf_trained_top5",
-}
+# Empty since r14: the last rows-only entry (knn_ivf_trained_top5) was
+# retired — its training pipeline is exact-checked by the planted twin
+# (knn_ivf_trained_planted_top5) and its serving path by
+# knn_ivf_index_top5.
+ROWS_ONLY_DOCUMENTED: set[str] = set()
 
 
 def test_every_query_has_oracle_or_is_documented_weak():
@@ -64,8 +62,6 @@ def test_changed_since_verified_mechanics():
     # every query registered through round 6 has earned a green row;
     # later additions are allowed to be pending (they head the window)
     assert len(set(W.REGISTRY) & set(greens)) >= 193
-    # the documented rows-only entry counts as green (err='no_oracle')
-    assert "knn_ivf_trained_top5" in greens
 
     # dep resolution: a query that calls operators.similarity through the
     # `S` alias depends on similarity.py, never on the registry module

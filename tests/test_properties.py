@@ -2862,3 +2862,13 @@ def test_balance_allocation_properties(spark):
     raw = opq_rotation(emb, "embedding")
     bal = opq_rotation(emb, "embedding", balance_m=2)
     assert sorted(map(tuple, raw)) == sorted(map(tuple, bal))
+
+    # advice r13: dim not divisible by m must NOT fail rotate=True
+    # callers (the PQ slicer truncates the ragged tail) — opq_rotation
+    # warns and keeps the PCA order instead of raising
+    odd = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) for j in range(5)])
+         for i in range(30)], "vec_id long, embedding array<double>")
+    with pytest.warns(UserWarning, match="not divisible"):
+        skipped = opq_rotation(odd, "embedding", balance_m=2)
+    assert skipped == opq_rotation(odd, "embedding")

@@ -61,7 +61,7 @@ def main() -> None:
              "embedding_outliers_z2", "near_dup_threshold_sweep",
              "winnowing_fingerprints", "winnowing_shared_pairs",
              "mix_token_budget_plan", "user_event_sequences",
-             "knn_ivf_index_append_top5", "knn_ivf_trained_top5",
+             "knn_ivf_index_append_top5",
              # round 8 additions not in bench
              "er_customer_matches", "er_sorted_neighborhood",
              "pack_fill_stats", "er_fs_match_scores",
