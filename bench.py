@@ -192,38 +192,54 @@ EXTENSION_HEADLINE = [
 ]
 
 
-# Fixed calibration probe (the 7-query SHOOTOUT subset): run before AND
-# after the population, committed to the detail file.  Four of ten rounds
-# produced a spurious uniform 1.1-1.4x wall drift that cost a controlled
-# experiment to dismiss as machine contention; the calibration separates
-# machine from code without reconstruction — a code regression moves ONE
-# query against a flat calibration, machine drift moves the calibration
+# Fixed calibration probe: run before AND after the population,
+# committed to the detail file.  Four of ten rounds produced a spurious
+# uniform 1.1-1.4x wall drift that cost a controlled experiment to
+# dismiss as machine contention; the calibration separates machine from
+# code without reconstruction — a code regression moves ONE query
+# against a flat calibration, machine drift moves the calibration
 # itself.  BENCH_CALIBRATION.json (committed once, from a quiet run)
 # anchors `drift_vs_reference`; `queries_normalized` divides the raw
 # timings by that drift so rounds stay comparable.
 # Overhead-bound headliners (module docstring: RAW-WALL TAG) — excluded
 # from drift normalization, reported raw.  Membership requires the
 # documented BENCH_ONLY calibration-insensitivity evidence (PLANS.md
-# round-12 adjudication covers these two).
+# round-12 adjudication covers these two; re-qualified against the v2
+# probe in the round-14 loaded/idle control — PLANS.md round-14 note).
 RAW_WALL = {
     "bm25_search_top10",
     "ccnet_perplexity_buckets",
 }
 
+# PROBE v2 (round 14, verdict r13 task 2).  The original probe was
+# eight sub-second queries; the round-13 same-code run series proved it
+# measures SCHEDULER NOISE, not machine speed — the probe swung 46%
+# across runs whose multi-second headliners moved ~2%, forcing a
+# best-raw-at-clean-drift archaeology every round.  v2 is five
+# MULTI-SECOND, corpus-proportional population members chosen to span
+# the population's work shapes, so probe movement tracks the heavy
+# median by construction (validated by the round-14 loaded-vs-idle
+# control series, PLANS.md: under 24 full-priority hogs the probe and
+# the >2s-heavy median agreed within 8%; under 64 hogs — 3x CPU
+# oversubscription — the four CPU/shuffle members moved a uniform
+# 1.95-2.31x, tracking the CPU-bound heavies (2.0-2.8x) but
+# over-reading the mixed heavy MEDIAN (1.77x) by ~19%, which is why
+# the fifth, store-I/O-shaped member is part of the probe: it pulls
+# the blend onto the population mix, landing within the ±10% band at
+# both load levels):
+#   q3_top_orders            — relational scan + shuffle join + top-k
+#   dedup_minhash_pairs      — interpreted CPU fold + LSH shuffle
+#   multimodal_phash_pairs   — posexplode + broadcast join + codegen fold
+#   semdedup_keep            — vector distance CPU + grouped shuffle
+#   rollup_incremental_hourly — persisted-store fold: scan + merge I/O
+# drift_vs_reference values before round 14 used the v1 probe and are
+# NOT comparable to v2 drifts; BENCH_CALIBRATION.json was re-anchored.
 _CALIBRATION = [
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "left_join_order_counts",
-    "having_count_distinct",
-    "window_rank_top3_orders",
-    "dedup_exact_documents",
-    "events_tumbling_hourly",
-    # one shuffle-heavy probe beyond the SHOOTOUT seven: the round-11
-    # control experiment found NON-uniform drift (sub-second queries
-    # flat while multi-second shuffle-heavy ones ran ~25% slower on the
-    # same code), so a tiny-query-only calibration would under-report
-    # exactly the drift that moves the headline total
+    "q3_top_orders",
     "dedup_minhash_pairs",
+    "multimodal_phash_pairs",
+    "semdedup_keep",
+    "rollup_incremental_hourly",
 ]
 
 
@@ -368,18 +384,21 @@ def main() -> None:
         "pre_total": round(sum(cal_pre.values()), 3),
         "post_total": round(sum(cal_post.values()), 3),
     }
-    # drift uses the POST pass only: the pre pass runs each probe query
-    # for the first time in the session, so it carries one-off plan
-    # compilation the population's min-of-2 already discards — measured
-    # round 11: pre_total ~5.5s vs post_total ~3.3-4.1s on the same
-    # machine state.  The pre pass stays recorded (it bounds how much
-    # the machine changed DURING the run).
+    # drift uses the FASTER of the two passes (v2 probe): both passes run
+    # pre-warmed multi-second queries, and the slowness sources this
+    # probe exists to detect (co-tenant load, within-run session aging —
+    # the round-14 idle run measured post_total 14.4s vs pre_total 9.6s
+    # on the same code and machine) are strictly ADDITIVE, so the faster
+    # pass is the closer estimate of the machine's capability for the
+    # run.  Both passes stay recorded; their spread bounds how much the
+    # environment moved DURING the run.
     drift = None
     ref_path = Path(__file__).resolve().parent / "BENCH_CALIBRATION.json"
     if ref_path.exists():
         try:
             ref_total = json.loads(ref_path.read_text())["total"]
-            drift = round(calibration["post_total"] / ref_total, 4)
+            drift = round(min(calibration["pre_total"],
+                              calibration["post_total"]) / ref_total, 4)
         except (ValueError, KeyError, ZeroDivisionError):
             drift = None
     calibration["drift_vs_reference"] = drift
@@ -399,14 +418,20 @@ def main() -> None:
     }
     if drift:
         # RAW_WALL queries are overhead-bound: dividing them by drift
-        # fabricates movement (module docstring) — report them raw and
-        # keep value_normalized comparable by adding their raw wall
+        # fabricates movement (module docstring).  They are kept OUT of
+        # queries_normalized/value_normalized entirely (advice r13:
+        # folding their raw walls into the normalized sum mixed units in
+        # one aggregate) and reported in their own raw_wall_* keys;
+        # cross-round comparisons use value_normalized + raw_wall_total
+        # as two separately-based series.
         detail["queries_normalized"] = {
-            k: (round(v / drift, 3) if k not in RAW_WALL
-                else round(v, 3))
-            for k, v in timings.items()}
-        detail["raw_wall_queries"] = sorted(
-            k for k in timings if k in RAW_WALL)
+            k: round(v / drift, 3) for k, v in timings.items()
+            if k not in RAW_WALL}
+        detail["raw_wall_queries"] = {
+            k: round(v, 3) for k, v in sorted(timings.items())
+            if k in RAW_WALL}
+        detail["raw_wall_total"] = round(
+            sum(detail["raw_wall_queries"].values()), 3)
         detail["value_normalized"] = round(
             sum(detail["queries_normalized"].values()), 3)
     # a SPARK_GRAFT_BENCH_ONLY subset run must not clobber the committed

@@ -181,6 +181,35 @@ def commit_store_swap(dst: Path, built: Path,
     _flip(dst, new_gen)
 
 
+def prune_generations(store_dir: str, keep: int = 2) -> int:
+    """Sweep generation debris beyond the newest ``keep`` dirs (default:
+    current + displaced — the per-commit retention rule).  Covers the
+    crash window where a commit renamed its build into a generation dir
+    but died before the flip: that orphan would otherwise wait for the
+    next swap.  Returns the number of dirs removed.  Callers hold the
+    store's maintenance lock (a live commit is also pruning)."""
+    gens = [g for g in generation_dirs(store_dir) if g.is_dir()]
+    current = current_generation(store_dir)
+    if current is None:
+        # no pointer (legacy real dir, or nothing): keep the newest few
+        # so heal_store can still roll forward
+        keep_names = {g.name for g in gens[-keep:]}
+    else:
+        # retention is keyed off the POINTER, not raw numbering: an
+        # orphan from a crashed commit is numbered ABOVE current and
+        # must go, while the displaced generation (newest BELOW
+        # current) must stay for in-flight readers
+        keep_names = {current.name}
+        below = [g for g in gens if g.name < current.name]
+        keep_names.update(g.name for g in below[-(keep - 1):] if keep > 1)
+    removed = 0
+    for g in gens:
+        if g.name not in keep_names:
+            shutil.rmtree(g, ignore_errors=True)
+            removed += 1
+    return removed
+
+
 def remove_store(store_dir: str) -> None:
     """Delete a store wholesale — pointer (or legacy real dir) AND every
     generation.  ``shutil.rmtree`` on a symlink raises, so whole-store

@@ -59,34 +59,33 @@ def dir_bytes(path: str | Path) -> int:
 def compact_parquet(spark: SparkSession, path: str | Path,
                     target_mb: int = 128) -> int:
     """Rewrite a parquet directory into ceil(bytes / target_mb) files;
-    returns the new file count.  The data is never at risk: the rewrite
-    lands in a staging dir, the live dir moves aside, staging moves in, and
-    only then is the old data deleted.  The two renames are not one atomic
-    operation, so a crash can leave the table momentarily absent — the
-    recovery pass at the top of the NEXT run heals every intermediate state
-    (restores the old generation if the swap died mid-way, clears stale
-    staging), which is the contract a scheduled maintenance job needs.  On a
-    cluster this runs after streaming ingestion; coalesce (not repartition)
-    keeps the rewrite shuffle-free."""
+    returns the new file count.  The rewrite lands in a staging dir and
+    commits READER-atomically (``sinks.generations``: one symlink-pointer
+    flip, with the displaced generation kept until the next swap for
+    in-flight scans) — a crash never leaves the table absent, and a
+    concurrent lock-free reader sees old or new, never missing.  Legacy
+    leftovers from the pre-generation protocol are healed on entry.  On a
+    cluster this runs after streaming ingestion; coalesce (not
+    repartition) keeps the rewrite shuffle-free."""
     import shutil
+
+    from localsql_spark.sinks.generations import commit_store_swap
 
     path = Path(path)
     staging = path.with_name(path.name + "__compacting")
     old = path.with_name(path.name + "__old")
-    # ---- recovery from a previous crashed run --------------------------
+    # ---- recovery from the PRE-generation protocol's crash states ------
     if old.exists() and not path.exists():
-        old.rename(path)            # died between the two renames
+        old.rename(path)            # died between the old two renames
     if staging.exists():
         shutil.rmtree(staging)      # incomplete rewrite: discard
     if old.exists():
-        shutil.rmtree(old)          # swap finished, cleanup didn't
-    # ---- rewrite + swap ------------------------------------------------
+        shutil.rmtree(old)          # old-protocol swap finished mid-cleanup
+    # ---- rewrite + atomic commit ---------------------------------------
     n_files = max(1, math.ceil(dir_bytes(path) / (target_mb * (1 << 20))))
     df = spark.read.parquet(str(path))
     df.coalesce(n_files).write.mode("overwrite").parquet(str(staging))
-    path.rename(old)
-    staging.rename(path)
-    shutil.rmtree(old)
+    commit_store_swap(path, staging)
     return len([p for p in path.glob("*.parquet")])
 
 

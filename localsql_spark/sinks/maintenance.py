@@ -227,6 +227,12 @@ def _maintain_pass(spark: SparkSession, primary, inverted_index,
             import shutil as _sh
             _sh.rmtree(stale_old, ignore_errors=True)
             healed += 1
+        # generation-layout debris: a commit that renamed its build into
+        # a generation dir but crashed before the pointer flip leaves an
+        # orphan the next swap would prune — the nightly pass sweeps it
+        # now (the lock this pass holds excludes a live committer)
+        from localsql_spark.sinks.generations import prune_generations
+        healed += prune_generations(str(sp))
         rows.append(("signature_store", "heal", healed))
         # debris census: per-batch landing dirs, a generation layout
         # (mixed read path), or more flat files than steady state —

@@ -275,3 +275,27 @@ def test_stream_ingest_append_respects_store_lock(spark, tmp_path):
                            out_dir=str(out))
     assert n == 2
     assert any(store.glob("batch_*"))
+
+
+def test_prune_generations_sweeps_orphans(tmp_path):
+    """A commit that renamed its build into a gen dir but crashed before
+    the flip leaves an orphan; prune keeps current + displaced and
+    sweeps the rest (the nightly-maintenance sweep)."""
+    from localsql_spark.sinks.generations import (commit_store_swap,
+                                                  current_generation,
+                                                  generation_dirs,
+                                                  prune_generations)
+
+    store = tmp_path / "store"
+    commit_store_swap(store, _write_built(tmp_path, 0))
+    commit_store_swap(store, _write_built(tmp_path, 1))
+    # simulate the crashed commit: a build renamed to a HIGHER gen, no flip
+    orphan = tmp_path / ".store.gen-00000009"
+    _write_built(tmp_path, 9, "orph").rename(orphan)
+    assert len(generation_dirs(str(store))) == 3
+    cur = current_generation(str(store))
+    removed = prune_generations(str(store))
+    assert removed == 1 and not orphan.exists()
+    assert current_generation(str(store)) == cur
+    assert _read_store(store) == [1] * 4
+    assert prune_generations(str(store)) == 0  # idempotent
