@@ -237,6 +237,128 @@ def dct_basis(spark, n_coef: int = 32, n_px: int = 64) -> DataFrame:
         f"FROM range(1, {n_coef + 1}) r1 CROSS JOIN range(0, {n_px}) r2")
 
 
+def _halfup_fixed(vals, scale: int):
+    """``round(v, scale) * 10^scale`` as exact int64 — the fixed-point image
+    of Spark's ``Round(double, scale)`` (BigDecimal HALF_UP on the double's
+    shortest repr), vectorized (optimization round 14).
+
+    Fast path: ``floor(v*10^scale + 0.5)``.  It can only disagree with the
+    repr-HALF_UP result when the scaled value sits within float error of a
+    .5 tie, so elements inside a conservative tie band (4 ulps of the scaled
+    value + 1e-9) are recomputed exactly with Decimal(repr(v)).  Error
+    budget: |fl(v*10^s) - repr(v)*10^s| <= 0.5 ulp (the multiply) + 0.5 ulp
+    (repr-vs-binary of v, same relative scale) — the 4-ulp band covers it
+    with margin.  Exact ties (repr lands on .5 exactly) fall inside the
+    band and take the Decimal path, which rounds HALF_UP like the JVM.
+    Pinned bit-for-bit against the relational plan by
+    test_fingerprint_arrow_matches_relational and the phash/audio oracles."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-scale)
+    t = vals * float(10 ** scale)
+    fl = np.floor(t)
+    k = fl + np.floor((t - fl) + 0.5)  # floor(t + 0.5) without big-mag loss
+    frac = t - fl
+    band = 4.0 * np.spacing(np.abs(t)) + 1e-9
+    risky = np.abs(frac - 0.5) <= band
+    if risky.any():
+        idx = np.nonzero(risky)
+        vs = np.asarray(vals)[idx]
+        k[idx] = [int(Decimal(repr(float(v))).quantize(q, ROUND_HALF_UP)
+                      .scaleb(scale)) for v in vs]
+    return k.astype(np.int64)
+
+
+def _np_dct_basis(n_coef: int, n_px: int):
+    """The exact numpy image of :func:`dct_basis`: math.cos (== JVM
+    Math.cos on this grid — pinned by test_phash_basis_matches_python)
+    rounded by the same repr-HALF_UP-12 rule.  Returns (n_coef, n_px)
+    float64 with W[u-1, b] = round(cos(pi*(2b+1)*u/(2*n_px)), 12)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    q = Decimal("1e-12")
+    W = np.empty((n_coef, n_px), dtype=np.float64)
+    for u in range(1, n_coef + 1):
+        for b in range(n_px):
+            c = math.cos(math.pi * (2 * b + 1) * u / (2.0 * n_px))
+            W[u - 1, b] = float(Decimal(repr(c)).quantize(q, ROUND_HALF_UP))
+    return W
+
+
+def _fingerprint_arrow(docs: DataFrame, *, n_frames: int, n_coef: int,
+                       n_px: int, out_col: str, doc_id_col: str,
+                       text_col: str) -> DataFrame:
+    """One Arrow-batched narrow map computing the pooled-DCT sign-bit
+    fingerprint per document — bit-identical to the relational plan the
+    oracles replay (optimization round 14, guide §4.2).
+
+    The relational plan exploded every CHARACTER into a row (split +
+    posexplode), shuffled |corpus chars| rows into the pooling aggregate,
+    then joined the broadcast basis into a |docs| x n_px x n_coef-row
+    aggregate (~10M rows at sf0.1, measured 2.7s of the 4.8s wall).  All
+    of that is doc-local arithmetic, so it now runs as ONE mapInPandas
+    over (doc_id, text) — zero shuffles, |docs| rows out; at 100 TB this
+    removes two corpus-sized exchanges and the JVM->pooling shuffle
+    entirely.  Exactness: pooling sums/counts are exact integers; the two
+    Round(double) sites reproduce via :func:`_halfup_fixed`; the basis
+    via :func:`_np_dct_basis`; the coefficient sum is the same exact
+    int64 fixed-point sum the JVM fold used.  The relational builder is
+    kept (``_fingerprint_relational``) and equivalence is pinned by
+    test_fingerprint_arrow_matches_relational plus the unchanged
+    phash/audio DuckDB oracles.
+
+    Unicode note: characters are code points (utf-32), matching Spark's
+    split('')+ascii() on every BMP string (and all fixture data)."""
+    from typing import Iterator  # noqa: PLC0415
+
+    nb = n_frames * n_px
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        W = _np_dct_basis(n_coef, n_px)  # once per task
+        shifts = np.array([[(f * n_coef + u) for u in range(n_coef)]
+                           for f in range(n_frames)], dtype=np.int64)
+        for pdf in batches:
+            ids, hashes = [], []
+            for did, txt in zip(pdf[doc_id_col], pdf[text_col]):
+                if not txt:
+                    continue
+                codes = np.frombuffer(txt.encode("utf-32-le"),
+                                      dtype=np.uint32).astype(np.float64)
+                L = len(codes)
+                g = np.floor(np.arange(L, dtype=np.float64)
+                             * float(nb) / float(L)).astype(np.int64)
+                sums = np.bincount(g, weights=codes, minlength=nb)
+                cnts = np.bincount(g, minlength=nb)
+                hit = cnts > 0
+                px = np.zeros(nb, dtype=np.float64)
+                px[hit] = _halfup_fixed(sums[hit] / cnts[hit], 6) / 1e6
+                h = 0
+                for f in range(n_frames):
+                    sl = slice(f * n_px, (f + 1) * n_px)
+                    m = hit[sl]
+                    if not m.any():
+                        continue
+                    prod = px[sl][m][None, :] * W[:, m]
+                    coef = _halfup_fixed(prod, 12).sum(axis=1)
+                    bits = np.where(coef > 0,
+                                    np.int64(1) << shifts[f], np.int64(0))
+                    h |= int(bits.sum())
+                ids.append(did)
+                hashes.append(h)
+            yield pd.DataFrame({doc_id_col: ids, out_col: hashes})
+
+    return (spread(docs.select(doc_id_col, text_col))
+            .filter(F.length(F.col(text_col)) > 0)
+            .mapInPandas(run, schema=f"{doc_id_col} long, {out_col} long"))
+
+
 def phash_features(docs: DataFrame, *, n_coef: int = 32, n_px: int = 64,
                    doc_id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
@@ -261,7 +383,23 @@ def phash_features(docs: DataFrame, *, n_coef: int = 32, n_px: int = 64,
     the pooler down is unchanged.
 
     Output: ``(doc_id, phash)`` with phash the n_coef-bit BIGINT.
+
+    Since optimization round 14 the computation runs as one Arrow-batched
+    narrow map (:func:`_fingerprint_arrow` — bit-identical, zero shuffles,
+    no corpus-chars-sized rows); this relational body is kept as
+    ``phash_features_relational``, the oracle-shaped reference the
+    equivalence test compares against.
     """
+    return _fingerprint_arrow(docs, n_frames=1, n_coef=n_coef, n_px=n_px,
+                              out_col="phash", doc_id_col=doc_id_col,
+                              text_col=text_col)
+
+
+def phash_features_relational(docs: DataFrame, *, n_coef: int = 32,
+                              n_px: int = 64, doc_id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """The original JVM-relational phash plan (see :func:`phash_features`
+    docstring) — the oracle-shaped reference implementation."""
     spark = docs.sparkSession
     ch = (spread(docs).filter(F.length(F.col(text_col)) > 0)
           .select(doc_id_col, F.split(F.col(text_col), "").alias("chars"))
@@ -426,11 +564,24 @@ def audio_fingerprint(docs: DataFrame, *, n_frames: int = 2,
     swapping two halves of a track flips frame-local bits the global
     pool would average away.
 
-    Entirely JVM-side (explode, pooled aggregate, broadcast basis join,
-    fixed-point coefficient fold — the phash_features plan shape with a
-    frame key riding the same shuffles).  Output ``(doc_id, afp)``:
-    an ``n_frames * n_coef``-bit BIGINT, bit (f*n_coef + u - 1) = sign
-    of frame f's coefficient u."""
+    Output ``(doc_id, afp)``: an ``n_frames * n_coef``-bit BIGINT, bit
+    (f*n_coef + u - 1) = sign of frame f's coefficient u.
+
+    Since optimization round 14 the computation runs as one Arrow-batched
+    narrow map (:func:`_fingerprint_arrow` — bit-identical, zero shuffles);
+    the relational body is kept as ``audio_fingerprint_relational`` for
+    the equivalence test."""
+    return _fingerprint_arrow(docs, n_frames=n_frames, n_coef=n_coef,
+                              n_px=n_px, out_col="afp",
+                              doc_id_col=doc_id_col, text_col=text_col)
+
+
+def audio_fingerprint_relational(docs: DataFrame, *, n_frames: int = 2,
+                                 n_coef: int = 16, n_px: int = 64,
+                                 doc_id_col: str = "doc_id",
+                                 text_col: str = "text") -> DataFrame:
+    """The original JVM-relational audio-fingerprint plan (see
+    :func:`audio_fingerprint`) — the oracle-shaped reference."""
     spark = docs.sparkSession
     nb = n_frames * n_px
     ch = (spread(docs).filter(F.length(F.col(text_col)) > 0)

@@ -715,3 +715,31 @@ def test_km_censors_at_last_observed_activity(spark):
     assert out[20] == (2, 0, 1), "user 2 censored at last activity day 20"
     assert out[30] == (1, 0, 1)
     assert 3 not in out and 10 not in out
+
+
+def test_fingerprint_arrow_matches_relational(spark):
+    """The round-14 Arrow fingerprint map must be bit-identical to the
+    relational (oracle-shaped) plan on adversarial texts: short docs
+    (empty pool bins), exact duplicates, punctuation/digit mixes, and
+    lengths straddling the bin count."""
+    import random
+    import string
+
+    from localsql_spark.operators.multimodal import (
+        audio_fingerprint, audio_fingerprint_relational, phash_features,
+        phash_features_relational)
+
+    rng = random.Random(14)
+    rows = [(1, "short text"), (2, "x"), (3, "short text")]
+    for i in range(4, 120):
+        n = rng.choice([3, 17, 63, 64, 65, 127, 128, 129, 300, 900])
+        rows.append((i, "".join(rng.choice(string.printable[:95])
+                                for _ in range(n))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for fast, ref, col in ((phash_features, phash_features_relational,
+                            "phash"),
+                           (audio_fingerprint, audio_fingerprint_relational,
+                            "afp")):
+        got = {r["doc_id"]: r[col] for r in fast(docs).collect()}
+        want = {r["doc_id"]: r[col] for r in ref(docs).collect()}
+        assert got == want, f"{col}: arrow/relational fingerprints diverge"

@@ -64,13 +64,17 @@ def test_multimodal_is_narrow(spark, queries):
         "feature extraction must stay a narrow map (one spread repartition max)"
 
 
-def test_audio_fingerprint_jvm_side_equi_joins(spark, queries):
-    """The audio fingerprint + banded pairs stay entirely JVM-side (no
-    Python eval in the hot path — the DCT fold is codegen'd fixed-point
-    longs) and the band join is an equi-join over distinct fingerprints,
-    never a cross product."""
+def test_audio_fingerprint_arrow_map_equi_joins(spark, queries):
+    """Since optimization round 14 the fingerprint is ONE Arrow-batched
+    narrow map (guide §4.2: batch the doc-local numeric work into numpy
+    instead of exploding every character into JVM rows) — the plan must
+    show exactly one MapInPandas over a column-pruned scan, no row-at-a-
+    time Python (BatchEvalPython), and no exchange between the scan and
+    the map beyond the spread() repartition.  The banded pair join stays
+    an equi-join over distinct fingerprints, never a cross product."""
     plan = _plan(queries["multimodal_audio_fingerprint"](spark, SF_SMALL))
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("MapInPandas") == 1
     plan2 = _plan(queries["multimodal_audio_pairs"](spark, SF_SMALL))
     assert "CartesianProduct" not in plan2
     assert "BatchEvalPython" not in plan2

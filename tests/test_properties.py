@@ -2872,3 +2872,62 @@ def test_balance_allocation_properties(spark):
     with pytest.warns(UserWarning, match="not divisible"):
         skipped = opq_rotation(odd, "embedding", balance_m=2)
     assert skipped == opq_rotation(odd, "embedding")
+
+
+def test_fp_sum_matches_decimal_fold(spark):
+    """The round-14 fixed-point _dec_sum must be value-identical to the
+    original decimal(28,12) fold on adversarial inputs: tie-adjacent
+    values, negatives, tiny/large magnitudes within the envelope, NULLs,
+    empty arrays, and long sums near the 2^53 fast/slow boundary."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators.similarity import _DEC, _dec_sum
+
+    def legacy(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast(_DEC),
+            lambda acc, x: (acc + F.round(x, 12).cast(_DEC)).cast(_DEC),
+        ).cast("double")
+
+    rng = random.Random(20260817)
+    rows = []
+    for _ in range(300):
+        n = rng.randint(0, 80)
+        arr = []
+        for _ in range(n):
+            kind = rng.random()
+            if kind < 0.25:  # tie-adjacent at the 12th decimal
+                arr.append(rng.randint(-10**9, 10**9) * 1e-12
+                           + 5e-13 * rng.choice([1, -1, 0.999999, 1.000001]))
+            elif kind < 0.5:  # embedding-product-like
+                arr.append(rng.uniform(-1, 1) * rng.uniform(0, 1))
+            elif kind < 0.7:  # larger magnitudes inside the envelope
+                arr.append(rng.uniform(-2047, 2047))
+            elif kind < 0.8:  # exact representables
+                arr.append(rng.randint(-2000, 2000) / 2**rng.randint(0, 20))
+            else:
+                arr.append(rng.gauss(0, 1e-6))
+        rows.append((arr,))
+    rows.append(([None, 1.0, 2.0],))    # NULL poisons
+    rows.append(([],))                  # empty -> 0.0
+    rows.append(([2000.0] * 4000,))     # |sum| > 2^53*1e-12: slow arm
+    df = spark.createDataFrame(rows, "arr array<double>")
+    got = df.select(_dec_sum(F.col("arr")).alias("new"),
+                    legacy(F.col("arr")).alias("old")).collect()
+    for i, r in enumerate(got):
+        assert (r["new"] is None and r["old"] is None) or r["new"] == r["old"], \
+            f"row {i}: new={r['new']!r} old={r['old']!r}"
+
+
+def test_fp_sum_envelope_raises(spark):
+    """Out-of-envelope elements raise instead of silently degrading."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from localsql_spark.operators.similarity import _dec_sum
+
+    df = spark.createDataFrame([([3000.0, 1.0],)], "arr array<double>")
+    with _pytest.raises(Exception, match="envelope"):
+        df.select(_dec_sum(F.col("arr"))).collect()

@@ -85,6 +85,8 @@ def main() -> None:
         "spark.driver.extraJavaOptions": f"-Xms{heap} -XX:+AlwaysPreTouch",
         "spark.eventLog.enabled": "true",
         "spark.eventLog.dir": evdir.as_uri(),
+        "spark.eventLog.compress": "false",
+        "spark.eventLog.rolling.enabled": "false",
     })
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
@@ -111,10 +113,14 @@ def main() -> None:
     app_id = spark.sparkContext.applicationId
     spark.stop()
 
-    logs = list(evdir.glob(f"{app_id}*"))
+    logs = list(evdir.glob(f"*{app_id}*"))
     if not logs:
         logs = sorted(evdir.iterdir())
-    parsed = parse_event_log(logs[0])
+    log = logs[0]
+    if log.is_dir():  # Spark 4 rolling event-log dir (eventlog_v2_*)
+        inner = sorted(p for p in log.iterdir() if "appstatus" not in p.name)
+        log = inner[0]
+    parsed = parse_event_log(log)
     out: dict[str, dict] = {}
     for name, (t0, t1) in windows.items():
         jobs = {jid: j for jid, j in parsed["jobs"].items()
