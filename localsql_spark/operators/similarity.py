@@ -36,50 +36,25 @@ _DEC = "decimal(28,12)"
 
 def _dec_sum(arr: Column) -> Column:
     """Exact (order-insensitive) sum of an array<double>: round each element
-    to 12 decimals, accumulate, emit double — value-identical to the original
-    decimal(28,12) fold, computed on the FIXED-POINT LONG path (optimization
-    round 14).  ArrayAggregate runs interpreted (codegen-fallback), and the
-    profiled cost of this fold was BigDecimal work per element: Round, cast
-    to decimal, decimal add, re-cast.  Equivalence argument for the long
-    path, element by element:
+    to 12 decimals, accumulate as decimal, emit double.  The post-add cast
+    pins the accumulator type (Spark widens decimal addition to (38,11),
+    which would drift the lambda's type); values here are <<1e15 so the
+    recast is lossless.
 
-    - ``xr = round(x, 12)`` is unchanged (it DEFINES the value: HALF_UP on
-      the double's shortest repr — same expression as before).
-    - ``k = floor(xr * 1e12 + 0.5)``: xr is the double nearest k*1e-12, so
-      ``xr*1e12`` lands within |k|*2.3e-16 < 2.3e-3 of the integer k for
-      |xr| < 2048 (the guarded envelope), hence +0.5/floor recovers k
-      EXACTLY and ties are impossible.  Elements outside the envelope
-      raise rather than degrade (no similarity input is within orders of
-      magnitude of it: embeddings/distances/projections are O(1..1e3)).
-      NULL elements stay NULL and poison the sum, as the decimal fold did.
-    - ``sum(k)`` over longs is exact (|sum| <= n * 2048 * 1e12; overflow
-      would raise under ANSI, but the envelope keeps it < 2^63 for any
-      realistic dim).
-    - emit: for |sum| < 2^53 the long is exactly representable, so
-      ``sum / 1e12`` in double is ONE correctly-rounded operation — the
-      same value decimal(28,12).toDouble produces.  Larger sums take the
-      decimal division arm, which is the old path's arithmetic verbatim.
-
-    Pinned by test_properties.py::test_fp_sum_matches_decimal_fold against
-    the original decimal fold on adversarial values, and by the full
-    oracle mirror (every consumer's query hash is unchanged)."""
-    ks = F.transform(arr, _fp_k)
-    s = F.aggregate(ks, F.lit(0).cast("long"), lambda acc, k: acc + k)
-    return (F.when(F.abs(s) <= F.lit(1 << 53), s.cast("double") / F.lit(1e12))
-            .otherwise((s.cast("decimal(20,0)")
-                        / F.lit(10**12).cast("decimal(13,0)"))
-                       .cast("double")))
-
-
-def _fp_k(x: Column) -> Column:
-    """round(x, 12) as its exact fixed-point long (k = value * 1e12); see
-    the _dec_sum equivalence argument.  Out-of-envelope magnitudes raise."""
-    xr = F.round(x, 12)
-    return (F.when(F.abs(xr) >= 2048,
-                   F.raise_error(F.lit(
-                       "_dec_sum fixed-point envelope exceeded "
-                       "(|element| >= 2048)")).cast("long"))
-            .otherwise(F.floor(xr * F.lit(1e12) + F.lit(0.5))))
+    Optimization-round-14 measurement note: a value-identical fixed-point
+    long fold (round -> floor(x*1e12+0.5) -> sum longs) benched ~20%
+    SLOWER here — ArrayAggregate runs interpreted either way, and the
+    per-element cost is Round(double)'s BigDecimal round-trip plus lambda
+    dispatch, not the decimal adds; the extra guard/floor nodes cost more
+    than the decimal accumulator saved (see
+    test_properties.py::test_fp_sum_matches_decimal_fold for the proven-
+    equivalent form, kept as documentation of the equivalence).  The real
+    escape from the interpreted fold is the Arrow scoring path."""
+    return F.aggregate(
+        arr,
+        F.lit(0).cast(_DEC),
+        lambda acc, x: (acc + F.round(x, 12).cast(_DEC)).cast(_DEC),
+    ).cast("double")
 
 
 def dot(a: Column, b: Column) -> Column:
