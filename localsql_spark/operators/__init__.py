@@ -41,31 +41,62 @@ def spread(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     Non-file plans and non-local storage are left untouched: their
     partitioning already comes from shuffle sizing or the source's own splits.
     """
+    est_splits = _est_input_splits(df)
     sess = df.sparkSession
     target = sess.sparkContext.defaultParallelism
     threshold = max(2, int(target * min_fraction))
+    if est_splits is not None and est_splits < threshold:
+        return df.repartition(target)
+    return df
+
+
+def _est_input_splits(df: DataFrame) -> int | None:
+    """Plan-side estimate of how many scan splits ``df``'s file sources
+    yield (None = not a local-file plan / unknown: leave partitioning
+    alone).  Shared by :func:`spread` and :func:`spread_derived`."""
+    sess = df.sparkSession
     try:
         files = df.inputFiles()
     except Exception:  # noqa: BLE001 — estimate only, never fail the query
-        return df
+        return None
     if not files:
-        return df
+        return None
     from urllib.parse import unquote
 
     total = 0
     for f in files:
         if not f.startswith("file:"):
-            return df  # remote storage: trust the source's split planning
+            return None  # remote storage: trust the source's split planning
         try:
             # inputFiles() returns percent-encoded URIs — 'my docs' arrives
             # as 'my%20docs' and must be unquoted before stat'ing
             total += os.path.getsize(unquote(f.removeprefix("file:")))
         except OSError:
-            return df
+            return None
     max_bytes = _parse_bytes(
         sess.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-    est_splits = max(len(files), -(-total // max_bytes))
-    if est_splits < threshold:
+    return max(len(files), -(-total // max_bytes))
+
+
+def spread_derived(df: DataFrame, base: DataFrame,
+                   min_fraction: float = 0.5) -> DataFrame:
+    """Widen a SHUFFLE-DERIVED frame whose file-backed ancestor ``base``
+    is in the small-input regime :func:`spread` targets.
+
+    AQE coalesces a tiny-byte exchange to 1-2 partitions, and a
+    localCheckpoint downstream FREEZES that width — every later
+    compute-dense stage (residual folds, PQ training distances) then runs
+    serialized however many cores exist (optimization r14 measurement:
+    knn_ivfpq_top5 carried a 3.8s and a 2.8s single-task stage this way).
+    The decision is made from ``base``'s file sizes, exactly like
+    :func:`spread`: at real scale the ancestor has >= cores' worth of
+    splits and this is a no-op, so AQE's own byte-based sizing is never
+    overridden where it matters."""
+    est_splits = _est_input_splits(base)
+    sess = df.sparkSession
+    target = sess.sparkContext.defaultParallelism
+    threshold = max(2, int(target * min_fraction))
+    if est_splits is not None and est_splits < threshold:
         return df.repartition(target)
     return df
 

@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from localsql_spark.sinks.locks import locked_by
-from localsql_spark.operators import spread
+from localsql_spark.operators import spread, spread_derived
 
 _DEC = "decimal(28,12)"
 
@@ -357,24 +357,37 @@ def l2_sq(a: Column, b: Column) -> Column:
 
 
 def kmeans_assign(corpus: DataFrame, centroids: DataFrame,
-                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  keep_vec: bool = False) -> DataFrame:
     """Nearest-centroid assignment: (id, cluster_id, dist).  Centroids are
     broadcast (k rows); the distance is a row-local zip_with fold, the
-    argmin a per-vector window — one shuffle on the vector id, corpus never
-    collected.  Ties break on cluster id."""
-    from pyspark.sql.window import Window
+    argmin a map-side min(struct) fold — partial aggregation collapses the
+    k candidate rows per vector BEFORE the exchange, so the shuffle carries
+    one row per vector and no sort (a window argmin shuffles and sorts all
+    k candidates; same idiom as _coarse_assign / nearest_cells n==1).
+    Ties break on cluster id — min(struct(dist, cell)) == the old
+    ORDER BY dist, cell row_number()==1 row exactly.
 
+    ``keep_vec`` additionally returns the vector as ``__v`` (riding the
+    struct, never compared — (dist, cell) is unique per candidate), so
+    training loops can feed the update step without re-joining the corpus.
+    """
     c = centroids.select(F.col("cell"), F.col("cent"))
     scored = (spread(corpus)
               .select(F.col(id_col), F.col(vec_col).alias("v"))
               .crossJoin(F.broadcast(c))
-              .select(id_col, "cell", l2_sq(F.col("v"), F.col("cent"))
-                      .alias("dist")))
-    w = Window.partitionBy(id_col).orderBy("dist", "cell")
-    return (scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(id_col, F.col("cell").alias("cluster_id"),
-                    F.col("dist")))
+              .select(id_col, "v", "cell",
+                      l2_sq(F.col("v"), F.col("cent")).alias("dist")))
+    fields = [F.col("dist"), F.col("cell")]
+    if keep_vec:
+        fields.append(F.col("v"))
+    out = (scored.groupBy(id_col)
+           .agg(F.min(F.struct(*fields)).alias("b")))
+    cols = [F.col(id_col), F.col("b.cell").alias("cluster_id"),
+            F.col("b.dist").alias("dist")]
+    if keep_vec:
+        cols.append(F.col("b.v").alias("__v"))
+    return out.select(*cols)
 
 
 def kmeans_assign_topn(corpus: DataFrame, centroids: DataFrame, n: int,
@@ -407,10 +420,17 @@ def kmeans_update(corpus: DataFrame, assign: DataFrame,
     array<double>.  posexplode -> groupBy(cluster, dim) partial-aggregated
     decimal mean (deterministic: exact decimal sum, ONE double division) ->
     sort-collect back to arrays.  Shuffle volume is |vectors|x|dims| narrow
-    rows, the standard distributed-kmeans shape."""
-    elems = (corpus.join(assign.select(id_col, "cluster_id"), id_col)
-             .select("cluster_id",
-                     F.posexplode(F.col(vec_col)).alias("p", "x")))
+    rows, the standard distributed-kmeans shape.  When ``assign`` carries
+    the vector itself (``__v`` from kmeans_assign(keep_vec=True)) the
+    corpus re-join — a second shuffle + sort of the whole corpus — is
+    skipped entirely."""
+    if "__v" in assign.columns:
+        elems = assign.select("cluster_id",
+                              F.posexplode(F.col("__v")).alias("p", "x"))
+    else:
+        elems = (corpus.join(assign.select(id_col, "cluster_id"), id_col)
+                 .select("cluster_id",
+                         F.posexplode(F.col(vec_col)).alias("p", "x")))
     dim_means = (elems.groupBy("cluster_id", "p")
                  .agg((F.sum(F.round(F.col("x").cast("double"), 12)
                              .cast("decimal(38,12)")).cast("double")
@@ -522,7 +542,7 @@ def kmeans_lloyd(corpus: DataFrame, n_clusters: int = 8, n_iter: int = 1,
                      F.transform(F.col(vec_col),
                                  lambda x: x.cast("double")).alias("cent")))
     for _ in range(n_iter):
-        assign = kmeans_assign(corpus, cents, id_col, vec_col)
+        assign = kmeans_assign(corpus, cents, id_col, vec_col, keep_vec=True)
         cents = kmeans_update(corpus, assign, id_col, vec_col)
     final = kmeans_assign(corpus, cents, id_col, vec_col)
     return final.select(id_col, "cluster_id", F.round("dist", 9).alias("dist"))
@@ -813,18 +833,30 @@ def _pq_sub(df: DataFrame, m: int, id_col: str, vec_col: str) -> DataFrame:
 
 
 def _pq_assign(sub: DataFrame, codebooks: DataFrame,
-               id_col: str) -> DataFrame:
+               id_col: str, keep_vec: bool = False) -> DataFrame:
     """Nearest code per (vector, subspace): the per-subspace analog of
-    kmeans_assign.  Codebooks broadcast (m x k rows); ties break on code."""
-    from pyspark.sql.window import Window
+    kmeans_assign.  Codebooks broadcast (m x k rows); ties break on code —
+    min(struct(dist, code)) == the old ORDER BY dist, code
+    row_number()==1 row exactly, but the partial aggregation collapses the
+    k candidate rows per (vector, subspace) BEFORE the exchange, so the
+    shuffle carries one row per subvector and no sort.
 
+    ``keep_vec`` additionally returns the subvector as ``__v`` (riding the
+    struct, never compared — (dist, code) is unique per candidate), so
+    pq_train can feed the update step without re-joining the subvectors."""
     scored = (sub.join(F.broadcast(codebooks), "s")
-              .select(id_col, "s", "code",
+              .select(id_col, "s", "v", "code",
                       l2_sq(F.col("v"), F.col("cent")).alias("dist")))
-    w = Window.partitionBy(id_col, "s").orderBy("dist", "code")
-    return (scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(id_col, "s", "code", "dist"))
+    fields = [F.col("dist"), F.col("code")]
+    if keep_vec:
+        fields.append(F.col("v"))
+    out = (scored.groupBy(id_col, "s")
+           .agg(F.min(F.struct(*fields)).alias("b")))
+    cols = [F.col(id_col), F.col("s"), F.col("b.code").alias("code"),
+            F.col("b.dist").alias("dist")]
+    if keep_vec:
+        cols.append(F.col("b.v").alias("__v"))
+    return out.select(*cols)
 
 
 def pq_train(corpus: DataFrame, m: int = 4, k_codes: int = 16,
@@ -867,9 +899,9 @@ def pq_train(corpus: DataFrame, m: int = 4, k_codes: int = 16,
                      F.transform("v", lambda x: x.cast("double"))
                      .alias("cent")))
     for _ in range(n_iter):
-        assign = _pq_assign(sub, cents, id_col)
-        elems = (sub.join(assign.select(id_col, "s", "code"), [id_col, "s"])
-                 .select("s", "code", F.posexplode("v").alias("p", "x")))
+        assign = _pq_assign(sub, cents, id_col, keep_vec=True)
+        elems = assign.select("s", "code",
+                              F.posexplode("__v").alias("p", "x"))
         dim_means = (elems.groupBy("s", "code", "p")
                      .agg((F.sum(F.round(F.col("x").cast("double"), 12)
                                  .cast("decimal(38,12)")).cast("double")
@@ -1634,7 +1666,11 @@ def knn_ivfpq_adc(corpus: DataFrame, queries: DataFrame, k: int = 5,
     else:
         c = _coarse_assign(spread(corpus).select(id_col, vec_col), cents,
                            id_col, vec_col)
-    c = c.localCheckpoint(eager=False)  # assignment feeds train AND encode
+    # assignment feeds train AND encode; the checkpoint freezes partition
+    # width, so widen the AQE-coalesced exchange FIRST (small-input regime
+    # only — spread_derived is a no-op at scale) or every downstream
+    # residual/PQ-train fold serializes on 1-2 tasks
+    c = spread_derived(c, corpus).localCheckpoint(eager=False)
     res = c.select(id_col, F.col("resid").alias(vec_col))
     # OPQ-lite (rotate=True): rotate residuals into the eigenbasis of
     # their covariance before PQ so subspaces decorrelate (opq_rotation
@@ -1795,7 +1831,11 @@ def write_ivfpq_index(corpus: DataFrame, path: str, n_cells: int = 8,
     else:
         c = _coarse_assign(spread(corpus).select(id_col, vec_col), cents,
                            id_col, vec_col)
-    c = c.localCheckpoint(eager=False)  # assignment feeds train AND encode
+    # assignment feeds train AND encode; the checkpoint freezes partition
+    # width, so widen the AQE-coalesced exchange FIRST (small-input regime
+    # only — spread_derived is a no-op at scale) or every downstream
+    # residual/PQ-train fold serializes on 1-2 tasks
+    c = spread_derived(c, corpus).localCheckpoint(eager=False)
     res = c.select(id_col, F.col("resid").alias(vec_col))
     if rotate:  # OPQ-lite: persist R so the probe rotates identically
         rotation = opq_rotation(res, vec_col, balance_m=m)
@@ -2115,13 +2155,23 @@ def jl_project(df: DataFrame, vec_col: str = "embedding",
         dim = len(first[0])
     signs = jl_signs(dim, out_dim, seed)
     scale = float(out_dim) ** 0.5
-    comps = [
-        F.round(_dec_sum(F.zip_with(
-            F.col(vec_col),
-            F.array(*[F.lit(s) for s in signs[k]]),
-            lambda x, sgn: x.cast("double") * sgn)) / F.lit(scale), 9)
-        for k in range(out_dim)]
-    return df.withColumn(out_col, F.array(*comps))
+    # The sign matrix rides the plan as ONE literal parsed JVM-side
+    # (array<array<double>>), and the out_dim components are one
+    # ``transform`` lambda over its rows.  Value-identical to building
+    # out_dim separate fold expressions each with dim F.lit() calls, but
+    # that form cost ~4-7s of DRIVER time per call — dim*out_dim py4j
+    # round-trips to construct plus a ~2k-node expression tree re-analyzed
+    # by every downstream Dataset op (optimization r14 measurement:
+    # knn_jl_top5 spent 4.6s of its 6.1s wall building the two
+    # projections before any task ran; this form builds in ~0.1s).
+    smat = F.expr("array(" + ",".join(
+        "array(" + ",".join(f"{s:.1f}D" for s in row) + ")"
+        for row in signs) + ")")
+    comp = lambda srow: F.round(  # noqa: E731
+        _dec_sum(F.zip_with(F.col(vec_col), srow,
+                            lambda x, sgn: x.cast("double") * sgn))
+        / F.lit(scale), 9)
+    return df.withColumn(out_col, F.transform(smat, comp))
 
 
 def knn_jl(corpus: DataFrame, queries: DataFrame, k: int = 5,

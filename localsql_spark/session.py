@@ -59,6 +59,16 @@ def get_spark(app_name: str = "localsql_spark", master: str | None = None,
             os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "16g"))
     shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
     builder = builder.config("spark.sql.shuffle.partitions", shuffle_parts)
+    # AQE coalescing floor deliberately stays at Spark's 1m default: the
+    # r14 A/B (OPTIMIZATION_r14.md) measured a global 64k floor as a NET
+    # LOSS (subset 52.3s vs 41.8s) — it parallelizes the rare compute-
+    # dense tiny-byte stage (knn_ivfpq -43%) but multiplies per-task
+    # overhead across every iterative small-stage pipeline (knn_pq +235%).
+    # Compute-dense small-byte frames widen EXPLICITLY instead
+    # (operators.similarity.spread / _rotate_frame's repartition).
+    builder = builder.config(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "1m"))
     for k, v in _DEFAULTS.items():
         builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
