@@ -65,6 +65,22 @@ def blocked_edit_matches(df: DataFrame, id_col: str, attr_col: str,
                     F.col("_attr").alias("_attr_a"), *block_cols)
     b = recs.select(F.col("_id").alias("id_b"),
                     F.col("_attr").alias("_attr_b"), *block_cols)
+    # The |block|^2 pair expansion AND the per-pair levenshtein both
+    # evaluate INSIDE the join stage, whose width AQE sizes from the tiny
+    # shuffled input BYTES — at sf0.1 that serialized ~1.8M edit distances
+    # onto 2 post-shuffle tasks (r14 profile: one 3.9s stage, 2 tasks).
+    # In the small-input regime, broadcast the probe side instead: the
+    # join then runs over the spread() scan partitions at full width with
+    # no exchange at all.  At real scale the estimate gate keeps the
+    # shuffled block join (a corpus-sized side must never broadcast).
+    from localsql_spark.operators import _est_input_splits, spread
+
+    sess = df.sparkSession
+    est = _est_input_splits(df)
+    if est is not None and est < max(2, sess.sparkContext
+                                     .defaultParallelism // 2):
+        a = spread(a)
+        b = F.broadcast(b)
     dist = F.levenshtein(F.col("_attr_a"), F.col("_attr_b"))
     return (a.join(b, block_cols)
             .filter(F.col("id_a") < F.col("id_b"))
