@@ -97,6 +97,14 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     deterministic and engine-checkable; convergence-threshold looping is
     a trivial wrapper (iterate until max |Δrank| < ε).
     """
+    # The edge frame often derives from a corpus-sized computation (e.g.
+    # a window over every event) while the aggregated edges themselves
+    # are graph-sized.  nodes, norm and the dangling probe each
+    # materialize independently, so WITHOUT this persist the corpus
+    # derivation re-runs three times before the first iteration
+    # (optimization r14 measurement: 3 full event-window passes in
+    # pagerank_event_transitions' profile).
+    edges = track_persist(edges)
     nodes = (edges.select(F.col(src).alias("node"))
              .union(edges.select(F.col(dst).alias("node")))
              .distinct())
