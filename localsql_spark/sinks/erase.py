@@ -867,27 +867,22 @@ def _erase_pass(spark: SparkSession, keys: DataFrame, primary,
                 ledger) -> DataFrame:
     k = normalize_erase_keys(keys).localCheckpoint(eager=True)
 
-    audits: list[DataFrame] = []
-
-    def _audit(name: str, df: DataFrame, ref_col: str, rows: list) -> None:
+    def _audit(name: str, df: DataFrame, ref_col: str) -> DataFrame:
         # the left join against the distinct key set preserves row count
         # (<=1 match per row), so rows_after and erased_refs come out of
         # a single aggregate; the per-store aggregates are DEFERRED and
         # unioned into ONE job at the end — five stores' audits cost one
-        # Spark job's overhead, not five (``rows`` kept for signature
-        # parity; the union result is authoritative)
-        audits.append(
+        # Spark job's overhead, not five
+        return (
             df.join(F.broadcast(k),
                     F.col(ref_col) == F.col("_erase_key"), "left")
             .agg(F.lit(name).alias("store"),
                  F.count(F.lit(1)).alias("rows_after"),
                  F.count("_erase_key").alias("erased_refs")))
 
-    eager_audits: list[tuple] = []
-
     def _audit_divergence(name: str, got: DataFrame, exp: DataFrame,
                           join_cols: list[str],
-                          val_cols: list[str]) -> None:
+                          val_cols: list[str]) -> tuple:
         # aggregate-store audit: full-outer join the post-erase bytes
         # against the from-scratch recompute on kept rows; a row is
         # DIVERGENT when present on one side only or any value differs
@@ -918,125 +913,196 @@ def _erase_pass(spark: SparkSession, keys: DataFrame, primary,
                     F.count("__in_g").alias("rows_after"),
                     F.count(F.when(~same, 1)).alias("erased_refs"))
                .collect()[0])
-        eager_audits.append(
-            (row["store"], row["rows_after"], row["erased_refs"]))
+        return (row["store"], row["rows_after"], row["erased_refs"])
 
-    rows: list = []
     if ledger is not None:
+        # the ledger append runs FIRST and alone: its commit is what
+        # blocks late re-ingestion, so no store may be touched before it
         erase_ledger_append(k, ledger["ledger_dir"],
                             ledger.get("batch_id", 0))
-    if inverted_index is not None:
-        from localsql_spark.sinks.inverted_index import index_erase_documents
-        cfg = dict(inverted_index)
-        nb = cfg.pop("n_buckets", 16)
-        idx_dir = cfg.pop("index_dir")
-        docs = None
-        if primary is not None:  # text for bucket pruning, pre-erase
-            store = read_bucketed_store(spark, primary["base_dir"])
-            docs = store.join(
-                F.broadcast(k),
-                F.col(primary["key_col"]) == F.col("_erase_key"), "semi")
-        index_erase_documents(spark, idx_dir, k, n_buckets=nb, docs=docs,
-                              **cfg)
-        post = (spark.read.option("basePath", idx_dir).parquet(idx_dir)
-                .filter(F.col("tb") != nb))
-        _audit("inverted_index", post, "doc_id", rows)
-    if rollup is not None:
-        from localsql_spark.sinks.rollup import (erase_from_rollup,
-                                                 read_rollup, rollup_events)
-        cfg = dict(rollup)
-        rdir = cfg.pop("rollup_dir")
-        events = cfg.pop("events")
-        subject_col = cfg.pop("subject_col")
-        erase_from_rollup(spark, rdir, events, k, subject_col, **cfg)
-        kept_ev = events.join(F.broadcast(k),
-                              F.col(subject_col) == F.col("_erase_key"),
-                              "left_anti")
-        _audit_divergence("rollup", read_rollup(spark, rdir),
-                          rollup_events(kept_ev, **cfg),
-                          ["bucket_ts", "key", "event_date"],
-                          ["n_events", "sum_value",
-                           "min_value", "max_value"])
-    if ivm_view is not None:
-        from localsql_spark.sinks.ivm import (erase_from_view, join_rollup,
-                                              read_join_view)
-        cfg = dict(ivm_view)
-        vdir = cfg.pop("view_dir")
-        fact = cfg.pop("fact")
-        subject_col = cfg.pop("subject_col", cfg["fact_key"])
-        erase_from_view(spark, vdir, fact, k, subject_col, **cfg)
-        kept_fact = fact.join(F.broadcast(k),
-                              F.col(subject_col) == F.col("_erase_key"),
-                              "left_anti")
-        _audit_divergence(
-            "ivm_view", read_join_view(spark, vdir),
-            join_rollup(kept_fact, cfg["dim"], cfg["fact_key"],
-                        cfg["dim_key"], cfg["group_col"], cfg["value_col"],
-                        cfg.get("n_buckets", 8)),
-            ["grp", "grp_bucket"], ["n_rows", "sum_value"])
-    if cov_store is not None:
-        from localsql_spark.operators.similarity import covariance_matrix
-        from localsql_spark.sinks.cov_store import (cov_from_store,
-                                                    cov_store_erase)
-        cfg = dict(cov_store)
-        cdir = cfg.pop("store_dir")
-        vectors = cfg.pop("vectors")
-        subject_col = cfg.pop("subject_col", "vec_id")
-        vec_col = cfg.get("vec_col", "embedding")
-        subjects = vectors.join(
-            F.broadcast(k), F.col(subject_col) == F.col("_erase_key"),
-            "left_semi")
-        cov_store_erase(spark, cdir, subjects,
-                        batch_id=cfg.pop("batch_id"), vec_col=vec_col)
-        kept_vecs = vectors.join(
-            F.broadcast(k), F.col(subject_col) == F.col("_erase_key"),
-            "left_anti")
-        _audit_divergence("cov_store", cov_from_store(spark, cdir),
-                          covariance_matrix(kept_vecs, vec_col),
-                          ["j", "k"], ["cov"])
-    if primary is not None:
-        erase_keys(spark, primary["base_dir"], k, primary["key_col"],
-                   n_buckets=primary.get("n_buckets", 32))
-        _audit("primary", read_bucketed_store(spark, primary["base_dir"]),
-               primary["key_col"], rows)
-    if signature_store is not None:
+
+    # Independent store erases run OVERLAPPED on delegate threads
+    # (sinks.overlap, guide §2.6) instead of serializing each store's
+    # chain of small jobs and driver-side commits.  The ordering
+    # contract survives as ONE sequential chain: inverted index and the
+    # aggregate retractions read pre-erase state (primary bytes, or the
+    # caller's events/fact frames which may read FROM the primary
+    # store), so they precede the primary rewrite within their chain;
+    # the key-addressable stores are documented any-order and get their
+    # own chains.  Each task returns (deferred audit frames, eager
+    # audit tuples); assembly below reproduces the sequential pass's
+    # audit order exactly.
+    def _chain_primary_path() -> tuple[list, list]:
+        deferred: list[DataFrame] = []
+        eager: list[tuple] = []
+        if inverted_index is not None:
+            from localsql_spark.sinks.inverted_index import (
+                index_erase_documents)
+            cfg = dict(inverted_index)
+            nb = cfg.pop("n_buckets", 16)
+            idx_dir = cfg.pop("index_dir")
+            docs = None
+            if primary is not None:  # text for bucket pruning, pre-erase
+                store = read_bucketed_store(spark, primary["base_dir"])
+                docs = store.join(
+                    F.broadcast(k),
+                    F.col(primary["key_col"]) == F.col("_erase_key"),
+                    "semi")
+            index_erase_documents(spark, idx_dir, k, n_buckets=nb,
+                                  docs=docs, **cfg)
+            post = (spark.read.option("basePath", idx_dir).parquet(idx_dir)
+                    .filter(F.col("tb") != nb))
+            deferred.append(_audit("inverted_index", post, "doc_id"))
+        if rollup is not None:
+            from localsql_spark.sinks.rollup import (erase_from_rollup,
+                                                     read_rollup,
+                                                     rollup_events)
+            cfg = dict(rollup)
+            rdir = cfg.pop("rollup_dir")
+            events = cfg.pop("events")
+            subject_col = cfg.pop("subject_col")
+            erase_from_rollup(spark, rdir, events, k, subject_col, **cfg)
+            kept_ev = events.join(F.broadcast(k),
+                                  F.col(subject_col) == F.col("_erase_key"),
+                                  "left_anti")
+            eager.append(_audit_divergence(
+                "rollup", read_rollup(spark, rdir),
+                rollup_events(kept_ev, **cfg),
+                ["bucket_ts", "key", "event_date"],
+                ["n_events", "sum_value", "min_value", "max_value"]))
+        if ivm_view is not None:
+            from localsql_spark.sinks.ivm import (erase_from_view,
+                                                  join_rollup,
+                                                  read_join_view)
+            cfg = dict(ivm_view)
+            vdir = cfg.pop("view_dir")
+            fact = cfg.pop("fact")
+            subject_col = cfg.pop("subject_col", cfg["fact_key"])
+            erase_from_view(spark, vdir, fact, k, subject_col, **cfg)
+            kept_fact = fact.join(F.broadcast(k),
+                                  F.col(subject_col) == F.col("_erase_key"),
+                                  "left_anti")
+            eager.append(_audit_divergence(
+                "ivm_view", read_join_view(spark, vdir),
+                join_rollup(kept_fact, cfg["dim"], cfg["fact_key"],
+                            cfg["dim_key"], cfg["group_col"],
+                            cfg["value_col"], cfg.get("n_buckets", 8)),
+                ["grp", "grp_bucket"], ["n_rows", "sum_value"]))
+        if cov_store is not None:
+            from localsql_spark.operators.similarity import covariance_matrix
+            from localsql_spark.sinks.cov_store import (cov_from_store,
+                                                        cov_store_erase)
+            cfg = dict(cov_store)
+            cdir = cfg.pop("store_dir")
+            vectors = cfg.pop("vectors")
+            subject_col = cfg.pop("subject_col", "vec_id")
+            vec_col = cfg.get("vec_col", "embedding")
+            subjects = vectors.join(
+                F.broadcast(k), F.col(subject_col) == F.col("_erase_key"),
+                "left_semi")
+            cov_store_erase(spark, cdir, subjects,
+                            batch_id=cfg.pop("batch_id"), vec_col=vec_col)
+            kept_vecs = vectors.join(
+                F.broadcast(k), F.col(subject_col) == F.col("_erase_key"),
+                "left_anti")
+            eager.append(_audit_divergence(
+                "cov_store", cov_from_store(spark, cdir),
+                covariance_matrix(kept_vecs, vec_col),
+                ["j", "k"], ["cov"]))
+        if primary is not None:
+            erase_keys(spark, primary["base_dir"], k, primary["key_col"],
+                       n_buckets=primary.get("n_buckets", 32))
+            deferred.append(_audit(
+                "primary", read_bucketed_store(spark, primary["base_dir"]),
+                primary["key_col"]))
+        return deferred, eager
+
+    def _chain_signature_store() -> tuple[list, list]:
         from localsql_spark.operators.dedup import (
             erase_from_signature_store, read_signature_store)
         erase_from_signature_store(spark, signature_store["store_path"], k,
                                    index_path=signature_store.get(
                                        "index_path"))
-        _audit("signature_store",
-               read_signature_store(spark, signature_store["store_path"]),
-               "doc_id", rows)
+        deferred = [_audit(
+            "signature_store",
+            read_signature_store(spark, signature_store["store_path"]),
+            "doc_id")]
         idx = (signature_store.get("index_path")
                or f"{signature_store['store_path'].rstrip('/')}_banded")
         if Path(idx).exists():
-            _audit("banded_index", spark.read.parquet(idx), "doc_id", rows)
-    if ivfpq_index is not None:
+            deferred.append(_audit("banded_index", spark.read.parquet(idx),
+                                   "doc_id"))
+        return deferred, []
+
+    def _chain_ivfpq() -> tuple[list, list]:
         from localsql_spark.operators.similarity import ivfpq_erase_vectors
         ivfpq_erase_vectors(spark, ivfpq_index["index_path"], k)
-        _audit("ivfpq_codes",
-               spark.read.parquet(f"{ivfpq_index['index_path']}/codes"),
-               "neighbor_id", rows)
-    if ivf_index is not None:
+        return [_audit(
+            "ivfpq_codes",
+            spark.read.parquet(f"{ivfpq_index['index_path']}/codes"),
+            "neighbor_id")], []
+
+    def _chain_ivf() -> tuple[list, list]:
         from localsql_spark.operators.similarity import (_ivf_slices,
                                                          ivf_erase_vectors)
         ivf_erase_vectors(spark, ivf_index["index_path"], k)
-        _audit("ivf_cells", _ivf_slices(spark, ivf_index["index_path"]),
-               "neighbor_id", rows)
-    if scd2 is not None:
+        return [_audit("ivf_cells",
+                       _ivf_slices(spark, ivf_index["index_path"]),
+                       "neighbor_id")], []
+
+    def _chain_scd2() -> tuple[list, list]:
         from localsql_spark.sinks.scd2_store import (read_history,
                                                      scd2_erase_keys)
         scd2_erase_keys(spark, scd2["store_dir"], k, scd2["key_col"])
-        _audit("scd2_history", read_history(spark, scd2["store_dir"]),
-               scd2["key_col"], rows)
-    if feed is not None:
+        return [_audit("scd2_history", read_history(spark, scd2["store_dir"]),
+                       scd2["key_col"])], []
+
+    def _chain_feed() -> tuple[list, list]:
         from localsql_spark.streaming.foreach_upsert import (erase_from_feed,
                                                              read_feed)
         erase_from_feed(spark, feed["feed_dir"], k, feed["key_col"])
         post_feed = read_feed(spark, feed["feed_dir"])
         if post_feed is not None:
-            _audit("change_feed", post_feed, feed["key_col"], rows)
+            return [_audit("change_feed", post_feed, feed["key_col"])], []
+        return [], []
+
+    from localsql_spark.sinks.locks import delegated_locks
+    from localsql_spark.sinks.overlap import run_overlapped
+
+    primary_path_stores = [cfg[key] for cfg, key in (
+        (inverted_index, "index_dir"), (rollup, "rollup_dir"),
+        (ivm_view, "view_dir"), (cov_store, "store_dir"),
+        (primary, "base_dir")) if cfg is not None]
+    chains: list[tuple[str, object, list[str]]] = []
+    if primary_path_stores:
+        chains.append(("primary_path", _chain_primary_path,
+                       primary_path_stores))
+    for name, fn, cfg, key in (
+            ("signature_store", _chain_signature_store, signature_store,
+             "store_path"),
+            ("ivfpq", _chain_ivfpq, ivfpq_index, "index_path"),
+            ("ivf", _chain_ivf, ivf_index, "index_path"),
+            ("scd2", _chain_scd2, scd2, "store_dir"),
+            ("feed", _chain_feed, feed, "feed_dir")):
+        if cfg is not None:
+            chains.append((name, fn, [cfg[key]]))
+
+    def _delegated(fn, store_dirs):
+        def run():
+            with delegated_locks(store_dirs):
+                return fn()
+        return run
+
+    results = run_overlapped(
+        [(name, _delegated(fn, dirs)) for name, fn, dirs in chains],
+        spark=spark)
+    # canonical audit order == the old sequential pass: eager aggregate
+    # audits first (rollup, ivm, cov — primary-path chain order), then
+    # the deferred key-recount audits (inv, primary, sigs, banded,
+    # ivfpq, ivf, scd2, feed)
+    audits = [d for name, _, _ in chains for d in results[name][0]]
+    eager_audits = [e for name, _, _ in chains for e in results[name][1]]
+
     if not audits and not eager_audits:
         return spark.createDataFrame(
             [], "store string, rows_after long, erased_refs long")

@@ -38,7 +38,7 @@ import time
 from pathlib import Path
 
 __all__ = ["MaintenanceBusy", "store_lock", "farm_locks", "lock_path_for",
-           "configured_store_paths"]
+           "configured_store_paths", "delegated_locks"]
 
 # the store-map vocabulary shared by maintain_everywhere and
 # erase_everywhere: config name -> the key holding the store's path.
@@ -269,6 +269,46 @@ def locked_by(param: str):
                 return fn(*args, **kwargs)
         return wrapper
     return deco
+
+
+@contextlib.contextmanager
+def delegated_locks(store_dirs, name: str = "maint"):
+    """Enroll the CURRENT thread as a delegate of store locks ALREADY
+    HELD by this process — the structured-concurrency counterpart of
+    :func:`farm_locks`: a composed pass that holds the farm's locks may
+    fan its independent per-store work out to worker threads (guide-
+    style job overlap), and each worker wraps its store's work in this
+    so the fold entry points' ``locked_by`` re-acquires take the
+    reentrant path instead of raising :class:`MaintenanceBusy`.
+
+    This does NOT weaken the per-(thread, path) reentrancy contract
+    (review round 13: an unrelated sibling thread — a streaming
+    foreachBatch callback, a user scheduler — must get Busy, not a free
+    pass): delegation is explicit opt-in by the orchestration that
+    spawned the worker, scoped to the with-block, touches no lock file,
+    and raises if the process does not actually hold the lock.  The
+    owner thread's token and heartbeat stay authoritative; exiting the
+    delegation never releases the real lock."""
+    keys = [(threading.get_ident(), str(lock_path_for(d, name)))
+            for d in store_dirs]
+    with _HELD_MU:
+        missing = [k[1] for k in keys if k[1] not in _LIVE]
+        if missing:
+            raise MaintenanceBusy(
+                f"delegation requested for locks this process does not "
+                f"hold: {missing}")
+        for k in keys:
+            _HELD[k] = _HELD.get(k, 0) + 1
+    try:
+        yield
+    finally:
+        with _HELD_MU:
+            for k in keys:
+                n = _HELD.get(k, 0) - 1
+                if n <= 0:
+                    _HELD.pop(k, None)
+                else:
+                    _HELD[k] = n
 
 
 @contextlib.contextmanager

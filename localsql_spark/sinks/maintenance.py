@@ -181,12 +181,21 @@ def _maintain_pass(spark: SparkSession, primary, inverted_index,
                    signature_store, scd2, rollup, ivm_view, cov_store,
                    ivf_index, ivfpq_index, feed, ledger, nb_model,
                    sketch_view) -> DataFrame:
-    rows: list[tuple[str, str, int]] = []
+    # Each store's heal -> retain -> compact -> sync chain is independent
+    # of every other store's (each touches only its own dirs), so the
+    # chains run OVERLAPPED on delegate threads (sinks.overlap, guide
+    # §2.6) instead of serializing N chains of small jobs and their
+    # driver-side planning/commit work.  Audit rows are assembled in the
+    # same canonical store order as the old sequential pass, so the
+    # returned frame is identical row-for-row.
+    from localsql_spark.sinks.locks import delegated_locks
+    from localsql_spark.sinks.overlap import run_overlapped
 
-    if primary is not None:
+    def _primary() -> list[tuple[str, str, int]]:
         from localsql_spark.sinks.merge import (compact_partitions,
                                                 expire_partitions,
                                                 recover_pending_merge)
+        rows: list[tuple[str, str, int]] = []
         pcol = primary.get("partition_col", "kb")
         rows.append(("primary", "heal",
                      int(recover_pending_merge(primary["base_dir"]))))
@@ -198,20 +207,23 @@ def _maintain_pass(spark: SparkSession, primary, inverted_index,
         rows.append(("primary", "compact", len(compact_partitions(
             spark, primary["base_dir"], pcol,
             max_files=primary.get("max_files", 1)))))
+        return rows
 
-    if inverted_index is not None:
+    def _inverted_index() -> list[tuple[str, str, int]]:
         from localsql_spark.sinks.merge import (compact_partitions,
                                                 recover_pending_merge)
-        rows.append(("inverted_index", "heal",
-                     int(recover_pending_merge(inverted_index["index_dir"]))))
+        rows = [("inverted_index", "heal",
+                 int(recover_pending_merge(inverted_index["index_dir"])))]
         rows.append(("inverted_index", "compact", len(compact_partitions(
             spark, inverted_index["index_dir"], "tb",
             max_files=inverted_index.get("max_files", 1)))))
+        return rows
 
-    if signature_store is not None:
+    def _signature_store() -> list[tuple[str, str, int]]:
         from localsql_spark.operators.dedup import (_heal_store_swap,
                                                     compact_signature_store,
                                                     ensure_banded_index)
+        rows: list[tuple[str, str, int]] = []
         sp = Path(signature_store["store_path"])
         existed = sp.exists()
         _heal_store_swap(str(sp))
@@ -255,24 +267,26 @@ def _maintain_pass(spark: SparkSession, primary, inverted_index,
                                         signature_store["index_path"], **kw)
             rows.append(("signature_store", "sync",
                          int(state != "fresh")))
+        return rows
 
-    if scd2 is not None:
+    def _scd2() -> list[tuple[str, str, int]]:
         from localsql_spark.sinks.scd2_store import (_recover_orphaned_swaps,
                                                      compact_scd2_store)
         store = Path(scd2["store_dir"])
         orphans = len(list(store.glob("*/.*.old")))
         _recover_orphaned_swaps(store)
-        rows.append(("scd2", "heal", orphans))
+        rows = [("scd2", "heal", orphans)]
         rows.append(("scd2", "compact", compact_scd2_store(
             spark, scd2["store_dir"],
             target_files=scd2.get("target_files", 4))))
+        return rows
 
-    if rollup is not None:
+    def _rollup() -> list[tuple[str, str, int]]:
         from localsql_spark.sinks.merge import (compact_partitions,
                                                 expire_partitions,
                                                 recover_pending_merge)
-        rows.append(("rollup", "heal",
-                     int(recover_pending_merge(rollup["rollup_dir"]))))
+        rows = [("rollup", "heal",
+                 int(recover_pending_merge(rollup["rollup_dir"])))]
         if rollup.get("retain_from") is not None:
             # retain BEFORE compact: expiring event_date partitions are
             # exactly where sliver debris ages — drop them metadata-only
@@ -283,69 +297,106 @@ def _maintain_pass(spark: SparkSession, primary, inverted_index,
         rows.append(("rollup", "compact", len(compact_partitions(
             spark, rollup["rollup_dir"], "event_date",
             max_files=rollup.get("max_files", 1)))))
+        return rows
 
-    if ivm_view is not None:
+    def _ivm_view() -> list[tuple[str, str, int]]:
         from localsql_spark.sinks.merge import (compact_partitions,
                                                 recover_pending_merge)
-        rows.append(("ivm_view", "heal",
-                     int(recover_pending_merge(ivm_view["view_dir"]))))
+        rows = [("ivm_view", "heal",
+                 int(recover_pending_merge(ivm_view["view_dir"])))]
         rows.append(("ivm_view", "compact", len(compact_partitions(
             spark, ivm_view["view_dir"], "grp_bucket",
             max_files=ivm_view.get("max_files", 1)))))
+        return rows
 
-    if cov_store is not None:
+    def _cov_store() -> list[tuple[str, str, int]]:
         from localsql_spark.streaming.batch_dirs import compact_batches
-        rows.append(("cov_store", "compact", compact_batches(
+        return [("cov_store", "compact", compact_batches(
             spark, cov_store["store_dir"],
             keep_last=cov_store.get("keep_last", 1),
-            target_files=cov_store.get("target_files", 1))))
+            target_files=cov_store.get("target_files", 1)))]
 
-    if ivf_index is not None:
+    def _ivf_index() -> list[tuple[str, str, int]]:
         from localsql_spark.operators.similarity import compact_ivf_index
-        rows.append(("ivf_index", "compact",
-                     compact_ivf_index(spark, ivf_index["index_path"])))
+        return [("ivf_index", "compact",
+                 compact_ivf_index(spark, ivf_index["index_path"]))]
 
-    if ivfpq_index is not None:
+    def _ivfpq_index() -> list[tuple[str, str, int]]:
         from localsql_spark.sinks.merge import (compact_partitions,
                                                 recover_pending_merge)
         codes = f"{ivfpq_index['index_path'].rstrip('/')}/codes"
-        rows.append(("ivfpq_index", "heal",
-                     int(recover_pending_merge(codes))))
+        rows = [("ivfpq_index", "heal",
+                 int(recover_pending_merge(codes)))]
         rows.append(("ivfpq_index", "compact", len(compact_partitions(
             spark, codes, "cell",
             max_files=ivfpq_index.get("max_files", 1)))))
+        return rows
 
-    if feed is not None:
+    def _feed() -> list[tuple[str, str, int]]:
         from localsql_spark.streaming.foreach_upsert import (
             prune_feed, recover_feed_erase)
-        rows.append(("feed", "heal",
-                     int(recover_feed_erase(feed["feed_dir"]))))
+        rows = [("feed", "heal",
+                 int(recover_feed_erase(feed["feed_dir"])))]
         rows.append(("feed", "retain", prune_feed(
             feed["feed_dir"], keep_last=feed.get("keep_last", 1))))
+        return rows
 
-    if ledger is not None:
+    def _ledger() -> list[tuple[str, str, int]]:
         from localsql_spark.sinks.erase import compact_erase_ledger
-        rows.append(("ledger", "retain", compact_erase_ledger(
+        return [("ledger", "retain", compact_erase_ledger(
             spark, ledger["ledger_dir"],
-            keep_last=ledger.get("keep_last", 1))))
+            keep_last=ledger.get("keep_last", 1)))]
 
-    if nb_model is not None:
+    def _nb_model() -> list[tuple[str, str, int]]:
         from localsql_spark.sinks.merge import (compact_partitions,
                                                 recover_pending_merge)
-        rows.append(("nb_model", "heal",
-                     int(recover_pending_merge(nb_model["model_dir"]))))
+        rows = [("nb_model", "heal",
+                 int(recover_pending_merge(nb_model["model_dir"])))]
         rows.append(("nb_model", "compact", len(compact_partitions(
             spark, nb_model["model_dir"], "wb",
             max_files=nb_model.get("max_files", 1)))))
+        return rows
 
-    if sketch_view is not None:
+    def _sketch_view() -> list[tuple[str, str, int]]:
         from localsql_spark.sinks.merge import (compact_partitions,
                                                 recover_pending_merge)
-        rows.append(("sketch_view", "heal",
-                     int(recover_pending_merge(sketch_view["view_dir"]))))
+        rows = [("sketch_view", "heal",
+                 int(recover_pending_merge(sketch_view["view_dir"])))]
         rows.append(("sketch_view", "compact", len(compact_partitions(
             spark, sketch_view["view_dir"], "gb",
             max_files=sketch_view.get("max_files", 1)))))
+        return rows
+
+    # canonical order == the old sequential pass's audit order
+    chains: list[tuple[str, object, str]] = [
+        (name, fn, cfg[path_key]) for name, fn, cfg, path_key in (
+            ("primary", _primary, primary, "base_dir"),
+            ("inverted_index", _inverted_index, inverted_index,
+             "index_dir"),
+            ("signature_store", _signature_store, signature_store,
+             "store_path"),
+            ("scd2", _scd2, scd2, "store_dir"),
+            ("rollup", _rollup, rollup, "rollup_dir"),
+            ("ivm_view", _ivm_view, ivm_view, "view_dir"),
+            ("cov_store", _cov_store, cov_store, "store_dir"),
+            ("ivf_index", _ivf_index, ivf_index, "index_path"),
+            ("ivfpq_index", _ivfpq_index, ivfpq_index, "index_path"),
+            ("feed", _feed, feed, "feed_dir"),
+            ("ledger", _ledger, ledger, "ledger_dir"),
+            ("nb_model", _nb_model, nb_model, "model_dir"),
+            ("sketch_view", _sketch_view, sketch_view, "view_dir"),
+        ) if cfg is not None]
+
+    def _delegated(fn, store_dir):
+        def run():
+            with delegated_locks([store_dir]):
+                return fn()
+        return run
+
+    results = run_overlapped(
+        [(name, _delegated(fn, store_dir))
+         for name, fn, store_dir in chains], spark=spark)
+    rows = [row for name, _, _ in chains for row in results[name]]
 
     if not rows:
         return spark.createDataFrame(

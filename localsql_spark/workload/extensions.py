@@ -4970,9 +4970,16 @@ def erase_users_everywhere(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = Path(tempfile.mkdtemp(prefix="erase_all_",
                                     dir=str(fixture.parent)))
     try:
-        for store in ("primary", "inv", "sigs", "sigs_banded", "scd2"):
-            shutil.copytree(fixture / store, scratch / store,
-                            copy_function=os.link)
+        # hardlink farm: driver-side metadata ops with no shared state —
+        # link the five stores concurrently instead of walking them
+        # one after another (guide §2.6 discipline applied to file ops)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            list(pool.map(
+                lambda store: shutil.copytree(fixture / store,
+                                              scratch / store,
+                                              copy_function=os.link),
+                ("primary", "inv", "sigs", "sigs_banded", "scd2")))
         audit = erase_everywhere(
             spark, keys,
             primary={"base_dir": str(scratch / "primary"),
@@ -6652,10 +6659,17 @@ def maintain_everywhere_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = Path(tempfile.mkdtemp(prefix="maintain_farm_",
                                     dir=str(fixture.parent)))
     try:
-        for store in ("primary", "sigs", "roll", "cov", "ivf", "feed",
-                      "ledger"):
-            shutil.copytree(fixture / store, scratch / store,
-                            copy_function=os.link)
+        # hardlink farm: driver-side metadata ops with no shared state —
+        # link the seven stores concurrently instead of walking them
+        # one after another (guide §2.6 discipline applied to file ops)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            list(pool.map(
+                lambda store: shutil.copytree(fixture / store,
+                                              scratch / store,
+                                              copy_function=os.link),
+                ("primary", "sigs", "roll", "cov", "ivf", "feed",
+                 "ledger")))
         audit = maintain_everywhere(
             spark,
             primary={"base_dir": str(scratch / "primary")},
@@ -6688,8 +6702,15 @@ def maintain_everywhere_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         # content re-check the heavy way: maintained sigs == recomputed
         # (counts compared via the returned n_rows row below; equal
         # counts + empty one-direction exceptAll == multiset equality)
-        got_sigs = D.read_signature_store(spark, str(scratch / "sigs"))
-        want_sigs = D.compute_signatures(sig_docs)
+        # both sides of the recheck are consumed three times (two counts
+        # + exceptAll, and got_sigs again in the checksum row below) —
+        # persist so the maintained-store read and the minhash recompute
+        # each run once, not three times (r14: the recompute was the
+        # probe's single heaviest stage, executed twice)
+        from localsql_spark.operators import track_persist
+        got_sigs = track_persist(
+            D.read_signature_store(spark, str(scratch / "sigs")))
+        want_sigs = track_persist(D.compute_signatures(sig_docs))
         if got_sigs.count() != want_sigs.count() \
                 or not got_sigs.exceptAll(want_sigs).isEmpty():
             raise AssertionError("signature store diverged under compaction")
