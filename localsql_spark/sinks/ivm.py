@@ -171,7 +171,10 @@ def _fold_delta(spark: SparkSession, view_dir: str,
     base = Path(view_dir)
     staging = base.parent / f".{base.name}.staging"
     shutil.rmtree(staging, ignore_errors=True)
-    (merged.repartition(F.col("grp_bucket"))
+    # explicit width = touched-bucket fan-out (AQE would coalesce the
+    # bare repartition(col) to one task writing every bucket dir
+    # sequentially; N is exempt and the clustered layout is unchanged)
+    (merged.repartition(max(1, len(buckets)), F.col("grp_bucket"))
      .write.mode("overwrite").partitionBy("grp_bucket")
      .parquet(str(staging)))
     # schema sidecar (once): lets read_join_view return an EMPTY frame

@@ -238,7 +238,10 @@ def _merge_locked(spark: SparkSession, base_dir: str, updates: DataFrame,
     # cluster on the partition key first: without it every merge task
     # writes a sliver into every touched partition and files-per-
     # partition compounds with writer parallelism across folds
-    (merged.repartition(F.col(partition_col))
+    # explicit width = touched-partition fan-out (AQE would coalesce
+    # the bare repartition(col) to one task writing every partition dir
+    # sequentially; N is exempt and the clustered layout is unchanged)
+    (merged.repartition(max(1, len(parts)), F.col(partition_col))
      .write.mode("overwrite").partitionBy(partition_col)
      .parquet(str(staging)))
     # a touched partition whose every row was tombstoned writes no staged
@@ -439,7 +442,8 @@ def _compact_locked(spark: SparkSession, base_dir: str,
     df = reader.parquet(*[str(base / n) for n in fat])
     staging = base.parent / f".{base.name}.staging"
     shutil.rmtree(staging, ignore_errors=True)
-    (df.repartition(F.col(partition_col))
+    # explicit width: see merge_into_partitioned's staged write
+    (df.repartition(max(1, len(fat)), F.col(partition_col))
      .write.mode("overwrite").partitionBy(partition_col)
      .parquet(str(staging)))
     commit_staged_partitions(base_dir, partition_col, fat)

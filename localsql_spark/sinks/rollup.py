@@ -152,7 +152,13 @@ def maintain_rollup(spark: SparkSession, rollup_dir: str,
     base = Path(rollup_dir)
     staging = base.parent / f".{base.name}.staging"
     shutil.rmtree(staging, ignore_errors=True)
-    (merged.repartition(F.col("event_date"))
+    # explicit width = the touched-date fan-out: a bare repartition(col)
+    # is an AQE-coalescible exchange, and the tiny merged frame collapses
+    # to ONE task that writes every date dir sequentially (r14 profile:
+    # 0.7s single-task write stages); user-specified N is exempt from
+    # coalescing, keeps the same clustered one-file-per-partition layout,
+    # and caps at the useful write parallelism (one task per date)
+    (merged.repartition(max(1, len(dates)), F.col("event_date"))
      .write.mode("overwrite").partitionBy("event_date")
      .parquet(str(staging)))
     commit_staged_partitions(rollup_dir, "event_date")
@@ -282,7 +288,8 @@ def erase_from_rollup(spark: SparkSession, rollup_dir: str,
     base = Path(rollup_dir)
     staging = base.parent / f".{base.name}.staging"
     shutil.rmtree(staging, ignore_errors=True)
-    (merged.repartition(F.col("event_date"))
+    # explicit width: see maintain_rollup's staged write
+    (merged.repartition(max(1, len(dates)), F.col("event_date"))
      .write.mode("overwrite").partitionBy("event_date")
      .parquet(str(staging)))
     # a date whose every group retracted to zero writes no staged dir —
@@ -360,7 +367,8 @@ def backfill_rollup(spark: SparkSession, rollup_dir: str,
     base = Path(rollup_dir)
     staging = base.parent / f".{base.name}.staging"
     shutil.rmtree(staging, ignore_errors=True)
-    (fresh.repartition(F.col("event_date"))
+    # explicit width: see maintain_rollup's staged write
+    (fresh.repartition(max(1, len(dates)), F.col("event_date"))
      .write.mode("overwrite").partitionBy("event_date")
      .parquet(str(staging)))
     # a backfill date with NO source rows must still swap (to empty) —
