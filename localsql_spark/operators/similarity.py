@@ -2222,6 +2222,206 @@ def covariance_matrix(df: DataFrame,
     return covariance_and_means(df, vec_col)[0]
 
 
+def _round12_fixed_image(v: float) -> int:
+    """The scaled-int image of Spark's ``Round(v: double, 12)`` followed
+    by a decimal cast, for magnitudes past :func:`_halfup_fixed`'s fast
+    path (scaled value >= 2^52 — realistically never hit by embedding
+    data; pinned against the live relational plan by
+    test_cov_exact_arrow_matches_relational's large-magnitude rows).
+
+    Image being reproduced: ``BigDecimal.valueOf(v)`` (Double.toString)
+    -> setScale(12, HALF_UP) -> toDouble -> exact decimal cast.  Below
+    2^53, Double.toString agrees with Python repr (both shortest
+    round-trip); at and above 2^53 doubles are exact integers and the
+    JVM prints every digit while Python repr shortens — so the exact
+    binary value is the faithful image there."""
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+    q = Decimal(1).scaleb(-12)
+    with localcontext() as ctx:
+        ctx.prec = 340  # any double's digits (<= 309) + the 12-decimal scale
+
+        def _img(x: float) -> Decimal:
+            if abs(x) >= 2.0 ** 53:
+                return Decimal(x).quantize(q, ROUND_HALF_UP)
+            return Decimal(repr(x)).quantize(q, ROUND_HALF_UP)
+
+        d1 = _img(v)
+        r = float(d1)  # Round's BigDecimal.toDouble round-trip
+        if r != v:
+            d1 = _img(r)
+        return int(d1.scaleb(12))
+
+
+def cov_sums_exact_arrow(df: DataFrame, vec_col: str = "embedding",
+                         dec: str = _DEC) -> DataFrame:
+    """EXACT sufficient statistics of an embedding column from ONE
+    corpus pass — the bit-identical Arrow image of the relational
+    dim^2-per-row decimal expand (optimization round 14, the
+    `_halfup_fixed` discipline the multimodal fingerprints pinned).
+
+    Output is the narrow reduced table ``(j, k, s)``: pair product sums
+    (``j, k >= 0``), per-dimension sums (``k = -1``), the row count
+    (``j = k = -1``) — dim^2 + dim + 1 rows whatever the corpus.
+    Every per-element ``Round(x*y, 12)`` / ``Round(x, 12)`` is
+    reproduced exactly: products are computed in float64 (IEEE — the
+    same doubles the JVM multiplies), fixed-point-rounded to int64 via
+    :func:`localsql_spark.operators.multimodal._halfup_fixed` (repr
+    HALF_UP with a tie-band Decimal fallback; values too large for the
+    fast path fall inside the widening tie band and take the exact
+    Decimal path automatically), and summed as INTEGERS — per-chunk in
+    int64 (chunk sized so the sum cannot overflow), across chunks in
+    arbitrary-precision Python ints, across partitions as Spark
+    DECIMALs.  Integer addition is associative, so the result equals
+    the relational ``sum(Round(..) as DECIMAL)`` bit-for-bit at any
+    partitioning (pinned by test_cov_exact_arrow_matches_relational
+    and by the fold == one-shot store probes).
+
+    Semantics preserved from the explode: NULL-vector rows contribute
+    to the count but not to the sums; non-finite elements/products
+    (NULL/NaN -> Round -> NULL) are excluded per element, and a grid
+    cell whose every product was non-finite yields s = NULL, exactly
+    like ``sum`` over an all-NULL group.  Ragged rows contribute pairs
+    only up to their own length (posexplode semantics).
+
+    The row count includes every input row (null vectors too) — the
+    cov_store contract; :func:`covariance_and_means` pre-filters null
+    vectors so its 1/n matches the non-null count."""
+    import numpy as np
+    import pandas as pd
+
+    df = spread(df)
+    # ^ the per-row outer-product work is CPU-bound: a one-split local
+    # file would otherwise serialize the fold on one core; at real
+    # scale the scan already has >= cores splits and this is a no-op
+    col = vec_col
+
+    def _acc(batches):
+        from localsql_spark.operators.multimodal import _halfup_fixed
+
+        d_cap = 0
+        pair_sum = pair_ok = None  # object (d,d) ints / int64 counts
+        dim_sum = dim_ok = None
+        n_rows = 0
+
+        def _grow(d):
+            nonlocal d_cap, pair_sum, pair_ok, dim_sum, dim_ok
+            ps = np.zeros((d, d), dtype=object)
+            po = np.zeros((d, d), dtype=np.int64)
+            ds = np.zeros(d, dtype=object)
+            do = np.zeros(d, dtype=np.int64)
+            if d_cap:
+                ps[:d_cap, :d_cap] = pair_sum
+                po[:d_cap, :d_cap] = pair_ok
+                ds[:d_cap] = dim_sum
+                do[:d_cap] = dim_ok
+            pair_sum, pair_ok, dim_sum, dim_ok = ps, po, ds, do
+            d_cap = d
+
+        for pdf in batches:
+            n_rows += len(pdf)
+            vals = pdf[col].dropna()
+            if not len(vals):
+                continue
+            by_len: dict[int, list] = {}
+            for v in vals:
+                try:
+                    a = np.asarray(v, dtype=np.float64)
+                except (TypeError, ValueError):
+                    a = np.asarray([np.nan if e is None else float(e)
+                                    for e in v], dtype=np.float64)
+                if a.ndim != 1:
+                    a = a.ravel()
+                by_len.setdefault(a.shape[0], []).append(a)
+            for d, rows in by_len.items():
+                if d == 0:
+                    continue
+                if d > d_cap:
+                    _grow(d)
+                X = np.stack(rows)
+                # chunk so (rows x d^2) product tensors stay ~32 MB;
+                # per-element magnitudes are bounded by the 4e3 escape
+                # below, so int64 chunk sums are overflow-safe
+                step = max(1, min(512, 4_000_000 // (d * d)))
+                for lo in range(0, X.shape[0], step):
+                    C = X[lo:lo + step]
+                    P = (C[:, :, None] * C[:, None, :]).reshape(-1)
+                    ok = np.isfinite(P)
+                    Pz = np.where(ok, P, 0.0)
+                    # the fast path is exact only while the scaled
+                    # value fits float64's integer range (< 2^52):
+                    # route larger magnitudes (realistically never hit
+                    # by embeddings) through the exact Decimal image
+                    # directly into the big-int accumulator
+                    huge = np.abs(Pz) > 4e3
+                    if huge.any():
+                        for i in np.nonzero(huge)[0]:
+                            jj = (i // d) % d
+                            kk = i % d
+                            pair_sum[jj, kk] += _round12_fixed_image(
+                                float(Pz[i]))
+                        Pz = np.where(huge, 0.0, Pz)
+                    R = _halfup_fixed(Pz, 12)
+                    R[~ok] = 0
+                    m = C.shape[0]
+                    # int64 chunk sums cannot overflow: every element is
+                    # < 2^52 (the escape above) and chunk rows <= 512,
+                    # so |sum| < 512 * 2^52 < 2^63
+                    pair_sum[:d, :d] += R.reshape(m, d, d).sum(
+                        axis=0, dtype=np.int64)
+                    pair_ok[:d, :d] += ok.reshape(m, d, d).sum(
+                        axis=0, dtype=np.int64)
+                    okx = np.isfinite(C)
+                    Cz = np.where(okx, C, 0.0).reshape(-1)
+                    hugx = np.abs(Cz) > 4e3
+                    if hugx.any():
+                        for i in np.nonzero(hugx)[0]:
+                            dim_sum[i % d] += _round12_fixed_image(
+                                float(Cz[i]))
+                        Cz = np.where(hugx, 0.0, Cz)
+                    Rx = _halfup_fixed(Cz, 12)
+                    Rx[~okx.reshape(-1)] = 0
+                    dim_sum[:d] += Rx.reshape(m, d).sum(
+                        axis=0, dtype=np.int64)
+                    dim_ok[:d] += okx.sum(axis=0, dtype=np.int64)
+        if n_rows == 0:
+            return
+        from decimal import Decimal, localcontext
+
+        js, ks, ss = [], [], []
+        # scaleb is context-bound (default prec 28 silently rounds a
+        # 29+-digit scaled sum): widen the context for exact emission
+        with localcontext() as ctx:
+            ctx.prec = 60
+            for j in range(d_cap):
+                for k in range(d_cap):
+                    js.append(j)
+                    ks.append(k)
+                    ss.append(Decimal(int(pair_sum[j, k])).scaleb(-12)
+                              if pair_ok[j, k] else None)
+            for j in range(d_cap):
+                js.append(j)
+                ks.append(-1)
+                ss.append(Decimal(int(dim_sum[j])).scaleb(-12)
+                          if dim_ok[j] else None)
+            js.append(-1)
+            ks.append(-1)
+            ss.append(Decimal(n_rows * 10 ** 12).scaleb(-12))
+        yield pd.DataFrame({"j": pd.array(js, dtype="int32"),
+                            "k": pd.array(ks, dtype="int32"),
+                            "s": ss})
+
+    part = df.select(col).mapInPandas(_acc, f"j int, k int, s {dec}")
+    # an all-empty input yields no partition rows: the literal zero
+    # count row keeps the (-1,-1) encoding total (adds 0 otherwise)
+    zero = (df.sparkSession.range(0, 1, numPartitions=1)
+            .select(F.lit(-1).alias("j"), F.lit(-1).alias("k"),
+                    F.lit(0).cast(dec).alias("s")))
+    return (part.unionByName(zero)
+            .groupBy("j", "k")
+            .agg(F.sum("s").cast(dec).alias("s")))
+
+
 def covariance_and_means(df: DataFrame, vec_col: str = "embedding"
                          ) -> tuple[DataFrame, DataFrame]:
     """(cov, means) from ONE corpus pass — means fall out of the same
@@ -2232,12 +2432,54 @@ def covariance_and_means(df: DataFrame, vec_col: str = "embedding"
     consistent choice, and the Arrow twin's semantics — review round
     13: the explode already dropped NULLs from the sums while n counted
     them, silently biasing every entry by n_nonnull/n_total on a corpus
-    with missing embeddings)."""
+    with missing embeddings).
+
+    Since optimization round 14 the sums come from
+    :func:`cov_sums_exact_arrow` (bit-identical integer fixed-point
+    fold, ONE corpus pass instead of count + sxy + means = three); the
+    finisher below applies the same double casts and 12-decimal
+    roundings at the same points, so every consumer's oracle replays
+    unchanged.  The relational expand survives as
+    :func:`covariance_and_means_relational` for the equivalence test."""
+    tot = (cov_sums_exact_arrow(
+        df.filter(F.col(vec_col).isNotNull()), vec_col)
+        .localCheckpoint(eager=True))
+    nrow = tot.filter((F.col("j") == -1) & (F.col("k") == -1)).collect()
+    n = int(nrow[0]["s"]) if nrow else 0
+    if n == 0:
+        raise ValueError(
+            "covariance_and_means: covariance is undefined over zero "
+            "rows with a non-null vector (the 1/n normalization "
+            "divides by the corpus size)")
+    means = (tot.filter((F.col("k") == -1) & (F.col("j") >= 0))
+             .select("j", (F.col("s").cast("double") / F.lit(float(n)))
+                     .alias("mean_raw"))
+             .select("j", F.round("mean_raw", 12).alias("mean"))
+             # materialized once: the cov join below AND any caller
+             # consuming the returned means reuse the dim-row result
+             # instead of re-running the fold
+             .localCheckpoint(eager=True))
+    sxy = (tot.filter((F.col("j") >= 0) & (F.col("k") >= 0))
+           .select("j", "k", F.col("s").cast("double").alias("sxy")))
+    mj = means.select(F.col("j").alias("j"), F.col("mean").alias("mean_j"))
+    mk = means.select(F.col("j").alias("k"), F.col("mean").alias("mean_k"))
+    cov = (sxy.join(mj, "j").join(mk, "k")
+           .select("j", "k",
+                   F.round(F.round(F.col("sxy") / F.lit(float(n)), 12)
+                           - F.col("mean_j") * F.col("mean_k"), 12)
+                   .alias("cov")))
+    return cov, means
+
+
+def covariance_and_means_relational(df: DataFrame,
+                                    vec_col: str = "embedding"
+                                    ) -> tuple[DataFrame, DataFrame]:
+    """The in-plan dim^2-per-row exact-decimal expand — the original
+    body of :func:`covariance_and_means`, kept as the equivalence
+    reference for the Arrow integer fold (the *_relational discipline:
+    the slow twin IS the specification the fast path must match
+    bit-for-bit)."""
     df = spread(df.filter(F.col(vec_col).isNotNull()))
-    # ^ the dim^2-per-row expand is CPU-bound: a one-split
-    # local file would otherwise serialize the whole fold on one core
-    # (measured 12s -> 2s at sf0.1); at real scale the scan already has
-    # >= cores splits and this is a no-op
     n = df.count()
     if n == 0:
         raise ValueError(
@@ -2257,9 +2499,6 @@ def covariance_and_means(df: DataFrame, vec_col: str = "embedding"
                          .cast(_DEC)).cast("double") / F.lit(float(n)))
                   .alias("mean_raw"))
              .select("j", F.round("mean_raw", 12).alias("mean"))
-             # materialized once: the cov join below AND any caller
-             # consuming the returned means reuse the dim-row result
-             # instead of re-running the exploded aggregate
              .localCheckpoint(eager=True))
     mj = means.select(F.col("j").alias("j"), F.col("mean").alias("mean_j"))
     mk = means.select(F.col("j").alias("k"), F.col("mean").alias("mean_k"))
@@ -2431,12 +2670,22 @@ def pca_scores(df: DataFrame, vec_col: str = "embedding",
     as centroid collects) and the centered projection
     ``(x - mean) . v`` runs row-locally over the scan with literal
     arrays: no join, no shuffle, corpus never moves.  Returns (id, pc1)
-    with pc1 rounded to 9."""
+    with pc1 rounded to 9.
+
+    The power chain runs DRIVER-SIDE over the collected dim^2 matrix
+    via :func:`power_iteration_local` (optimization round 14) — the
+    matrix is model-sized state (the same license as the mean/
+    eigenvector collects below, and :func:`pca_project`'s existing
+    posture), bit-identical to the in-plan operator (pinned by
+    test_power_iteration_local_matches_inplan), and it replaces ~20
+    tiny driver-latency-bound jobs per call with a dim^2 loop."""
     cov, means = covariance_and_means(df, vec_col)
-    v = power_iteration_top(cov, rounds)
-    vmap = {r["j"]: r["vj"] for r in v.collect()}
+    rows = [(r["j"], r["k"], r["cov"]) for r in cov.collect()
+            if r["cov"] is not None]
+    dim = max(j for j, _k, _c in rows) + 1 if rows else 0
+    vloc = power_iteration_local(rows, dim, rounds)
+    vmap = dict(enumerate(vloc))
     mmap = {r["j"]: r["mean"] for r in means.collect()}
-    dim = len(vmap)
     varr = F.array(*[F.lit(vmap[j]) for j in range(dim)])
     marr = F.array(*[F.lit(mmap[j]) for j in range(dim)])
     centered = F.zip_with(F.col(vec_col), marr,
@@ -2485,27 +2734,48 @@ def pca_explained(cov: DataFrame, rounds: int = 6) -> DataFrame:
     how much of the corpus's variance one axis carries (a near-1 top
     ratio on an embedding corpus usually means a degenerate/constant
     feature dominating — the thing to catch BEFORE training).  Returns
-    two rows (component, eigenvalue, trace, ratio)."""
-    cov = cov.localCheckpoint(eager=True)
-    v1 = power_iteration_top(cov, rounds)
-    lam1 = _rayleigh(cov, v1).localCheckpoint(eager=True)
-    trace = (cov.filter(F.col("j") == F.col("k"))
-             .agg(F.sum(F.round(F.col("cov"), 12).cast(_DEC))
-                  .cast("double").alias("trace"))
-             .localCheckpoint(eager=True))
-    c2 = _deflate(cov, v1, lam1)
-    v2 = power_iteration_top(c2, rounds)
-    lam2 = _rayleigh(c2.localCheckpoint(eager=True), v2)
-    one = (lam1.crossJoin(F.broadcast(trace))
-           .select(F.lit(1).alias("component"),
-                   F.col("lam").alias("eigenvalue"), "trace"))
-    two = (lam2.crossJoin(F.broadcast(trace))
-           .select(F.lit(2).alias("component"),
-                   F.col("lam").alias("eigenvalue"), "trace"))
-    return (one.unionByName(two)
-            .select("component", "eigenvalue", "trace",
-                    F.round(F.col("eigenvalue") / F.col("trace"), 9)
-                    .alias("ratio")))
+    two rows (component, eigenvalue, trace, ratio).
+
+    Since optimization round 14 the whole chain runs DRIVER-SIDE over
+    the collected dim^2 matrix (the :func:`pca_project` posture):
+    :func:`power_iteration_local` / :func:`rayleigh_local` replicate
+    the in-plan rounding points bit-for-bit (pinned tests), the trace
+    and deflation use the same exact-decimal image, and ~45 tiny
+    driver-latency-bound jobs per call collapse into one collect.  The
+    in-plan operators (:func:`power_iteration_top`, :func:`_rayleigh`,
+    :func:`_deflate`) survive for the equivalence tests."""
+    import decimal
+
+    rows = [(r["j"], r["k"], r["cov"]) for r in cov.collect()
+            if r["cov"] is not None]
+    dim = max(j for j, _k, _c in rows) + 1 if rows else 0
+    spark = cov.sparkSession
+    v1 = power_iteration_local(rows, dim, rounds)
+    lam1 = rayleigh_local(rows, dim, v1)
+    acc = decimal.Decimal(0)
+    for j, k, c in rows:
+        if j == k:
+            acc += decimal.Decimal(repr(_round12(c)))
+    trace = float(acc)
+    mat = {(j, k): c for j, k, c in rows}
+    rows2 = [(j, k, _round12(mat.get((j, k), 0.0)
+                             - lam1 * v1[j] * v1[k]))
+             for j in range(dim) for k in range(dim)]
+    v2 = power_iteration_local(rows2, dim, rounds)
+    lam2 = rayleigh_local(rows2, dim, v2)
+    def _ratio(lam: float) -> float:
+        import math
+
+        if trace == 0.0:  # IEEE double division, as the in-plan expr
+            return (float("nan") if lam == 0.0 or math.isnan(lam)
+                    else math.copysign(math.inf, lam))
+        return _round_half_up(lam / trace, 9)
+
+    out = [(1, lam1, trace, _ratio(lam1)),
+           (2, lam2, trace, _ratio(lam2))]
+    return spark.createDataFrame(
+        out, "component int, eigenvalue double, trace double, "
+             "ratio double")
 
 
 def pca_project(df: DataFrame, vec_col: str = "embedding",
@@ -2576,10 +2846,20 @@ def _round12(x: float) -> float:
     parses Double.toString's shortest decimal repr (== Python repr) and
     rounds HALF_UP — reproduced with decimal.Decimal so driver-side
     eigen-math lands bit-for-bit on the in-plan operators' values."""
-    import decimal
+    return _round_half_up(x, 12)
 
+
+def _round_half_up(x: float, scale: int) -> float:
+    """:func:`_round12` generalized to any scale; non-finite inputs pass
+    through unchanged, matching Spark's Round on double."""
+    import decimal
+    import math
+
+    if not math.isfinite(x):
+        return x
     return float(decimal.Decimal(repr(x)).quantize(
-        decimal.Decimal("1e-12"), rounding=decimal.ROUND_HALF_UP))
+        decimal.Decimal(1).scaleb(-scale),
+        rounding=decimal.ROUND_HALF_UP))
 
 
 def power_iteration_local(cov_rows: list[tuple[int, int, float]],

@@ -49,7 +49,22 @@ def cov_partials(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """One batch's sufficient statistics as the narrow (j, k, s) table.
     Same product-rounding points as
     :func:`localsql_spark.operators.similarity.covariance_matrix`, but
-    the sums STAY decimal — exactness across folds is the whole point."""
+    the sums STAY decimal — exactness across folds is the whole point.
+
+    Since optimization round 14 the fold is
+    :func:`localsql_spark.operators.similarity.cov_sums_exact_arrow`
+    (bit-identical integer fixed-point image, one batch pass instead of
+    three); the relational expand survives below as
+    :func:`cov_partials_relational` for the equivalence test."""
+    from localsql_spark.operators.similarity import cov_sums_exact_arrow
+
+    return cov_sums_exact_arrow(df, vec_col, dec=_DEC)
+
+
+def cov_partials_relational(df: DataFrame,
+                            vec_col: str = "embedding") -> DataFrame:
+    """The original in-plan dim^2-per-row expand — the equivalence
+    reference the Arrow integer fold must match bit-for-bit."""
     from localsql_spark.operators import spread
 
     df = spread(df)

@@ -2755,6 +2755,60 @@ def test_covariance_arrow_matches_exact(spark):
         pca_project(emb, method="bogus")
 
 
+def test_cov_exact_arrow_matches_relational(spark):
+    """BIT-exactness of the round-14 integer fixed-point covariance fold
+    (cov_sums_exact_arrow) against the relational dim^2-per-row decimal
+    expand it replaced — on adversarial inputs: NULL vectors, NULL
+    elements, ragged rows, exact rounding ties, and magnitudes that
+    cross both the _halfup_fixed fast path's exact range (scaled 2^52)
+    and the 2^53 integer threshold where the JVM prints every digit.
+    Equality is on the Decimal values themselves, not a tolerance."""
+    import random
+
+    from localsql_spark.operators.similarity import (
+        covariance_and_means, covariance_and_means_relational)
+    from localsql_spark.sinks.cov_store import (cov_partials,
+                                                cov_partials_relational)
+
+    random.seed(7)
+    rows = []
+    for i in range(400):
+        v = [random.uniform(-3, 3) for _ in range(5)]
+        if i % 57 == 0:
+            v = None                      # NULL vector: counted, no sums
+        elif i % 91 == 0:
+            v = v[:3]                     # ragged: pairs up to own length
+        elif i % 83 == 0:
+            v[2] = None                   # NULL element: skipped per cell
+        elif i % 79 == 0:
+            v = [x * 1e5 for x in v]      # fast-path/escape boundary
+        elif i % 73 == 0:
+            v = [x * 1e8 for x in v]      # products beyond 2^53
+        elif i % 71 == 0:
+            v = [0.0000000000005] * 5     # exact HALF_UP ties at 1e-12
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def key(d_):
+        return sorted(tuple(r) for r in d_.collect())
+
+    # cov_store sufficient statistics: decimal(38,12), n counts all rows
+    assert key(cov_partials_relational(df)) == key(cov_partials(df))
+
+    # one-pass (cov, means): decimal(28,12) sums, n excludes NULL vectors
+    moderate = df.filter("vec_id % 73 != 0")  # 28-digit precision range
+    ce, me = covariance_and_means_relational(moderate)
+    ca, ma = covariance_and_means(moderate)
+    assert key(ce) == key(ca)
+    assert key(me) == key(ma)
+
+    # float32 input (the embeddings table dtype): cast points identical
+    f32 = moderate.selectExpr(
+        "vec_id", "cast(embedding as array<float>) as embedding")
+    assert key(covariance_and_means_relational(f32)[0]) \
+        == key(covariance_and_means(f32)[0])
+
+
 def test_rotate_composes_with_two_level_auto(spark, monkeypatch):
     """rotate=True composes with the two-level coarse assignment at
     production cell counts (verdict r12 task 5): at n_cells=64 the AUTO
