@@ -455,8 +455,33 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
     per round (same discipline as the connected-components loops — without
     it the nested-fold plan grows per round).  Only the single argmax row
     reaches the driver each round.
+
+    In the SMALL-INPUT regime (estimated corpus scan splits below half
+    the cores — the er.py broadcast gate, optimization round 14) the
+    vocabulary table collects to the driver and the rounds run locally
+    (:func:`_bpe_train_local`, bit-identical by construction and pinned
+    by test_bpe_local_matches_distributed): the per-round cost at that
+    size is Spark plan analysis, not compute — ~0.2s of driver latency
+    per round for a sub-millisecond aggregation.  At real scale the gate
+    keeps the distributed loop, since the vocabulary (Heaps-bounded but
+    corpus-derived) must never collect.
     """
     words = word_frequencies(docs, doc_id_col, text_col)
+    from localsql_spark.operators import _est_input_splits
+
+    sess = docs.sparkSession
+    est = _est_input_splits(docs)
+    if est is not None and est < max(2, sess.sparkContext
+                                     .defaultParallelism // 2):
+        return _bpe_train_local(
+            [(r["word"], r["cnt"]) for r in words.collect()], n_merges)
+    return _bpe_train_distributed(words, n_merges)
+
+
+def _bpe_train_distributed(words: DataFrame,
+                           n_merges: int) -> list[tuple[str, str, int]]:
+    """The distributed merge loop over the (word, cnt) table — the
+    at-scale path of :func:`bpe_train` (see its docstring)."""
     symbols = (words.select("word", "cnt",
                             _chars(F.col("word")).alias("syms"))
                .localCheckpoint(eager=False))
@@ -472,6 +497,55 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
         symbols = (symbols.select(
             "word", "cnt", _apply_merge(F.col("syms"), a, b).alias("syms"))
             .localCheckpoint(eager=False))
+    return merges
+
+
+def _bpe_train_local(word_counts: list[tuple[str, int]],
+                     n_merges: int) -> list[tuple[str, str, int]]:
+    """Driver-side image of :func:`_bpe_train_distributed` over the
+    COLLECTED vocabulary, replicating every decision point exactly:
+
+    - ``list(word)`` splits by code point, which is what Java regex's
+      zero-width ``(?!^)`` split produces (match boundaries never land
+      inside a surrogate pair);
+    - pair counts key on the (a, b) tuple (the struct-key discipline);
+    - the argmax orders by (n desc, 'a|b', a) with Python's code-point
+      string comparison, which equals Spark's UTF8String binary order
+      (UTF-8 byte order is code-point order);
+    - the merge rewrite joins each leftmost non-overlapping adjacent
+      (a, b), the exact ``_apply_merge`` fold;
+    - counts are exact ints; the n < 2 stop rule is shared.
+
+    Pinned against the distributed loop by
+    test_bpe_local_matches_distributed on adversarial vocabulary."""
+    syms: list[tuple[list[str], int]] = [
+        (list(w), int(c)) for w, c in word_counts]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for s, cnt in syms:
+            for i in range(len(s) - 1):
+                pr = (s[i], s[i + 1])
+                counts[pr] = counts.get(pr, 0) + cnt
+        if not counts:
+            break
+        (a, b), n = min(
+            counts.items(),
+            key=lambda kv: (-kv[1], kv[0][0] + "|" + kv[0][1], kv[0][0]))
+        if n < 2:
+            break
+        merges.append((a, b, n))
+        ab = a + b
+        nxt: list[tuple[list[str], int]] = []
+        for s, cnt in syms:
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = ab
+                else:
+                    out.append(x)
+            nxt.append((out, cnt))
+        syms = nxt
     return merges
 
 

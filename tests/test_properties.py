@@ -1125,6 +1125,32 @@ def test_bpe_train_reference_example(spark):
     assert bpe_train(df, n_merges=3) == merges
 
 
+def test_bpe_local_matches_distributed(spark):
+    """The round-14 small-regime local trainer must reproduce the
+    distributed loop's merges EXACTLY — pick order, tie-breaks, merge
+    application, counts — on adversarial vocabulary: '|' inside
+    symbols (the separator-collision trap), exact count ties broken by
+    the 'a|b' string then a, repeated-char runs (leftmost
+    non-overlapping rewrite), multi-byte code points (UTF-8 binary
+    order == code-point order), and a stop-rule tail of singletons."""
+    from localsql_spark.operators.corpus import (_bpe_train_distributed,
+                                                 _bpe_train_local,
+                                                 word_frequencies)
+
+    words = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+             + ["aaaa"] * 4 + ["a|b"] * 4 + ["ab"] * 2
+             + ["héllo"] * 3 + ["héro"] * 3 + ["你好"] * 5
+             + ["zz"] * 1 + ["qx"] * 1)
+    df = spark.createDataFrame([(1, " ".join(words))],
+                               "doc_id long, text string")
+    wf = word_frequencies(df)
+    collected = [(r["word"], r["cnt"]) for r in wf.collect()]
+    for n_merges in (3, 8, 40):
+        dist = _bpe_train_distributed(wf, n_merges)
+        loc = _bpe_train_local(collected, n_merges)
+        assert loc == dist, (n_merges, loc, dist)
+
+
 def test_bpe_pair_counts_separator_in_token_no_collision(spark):
     """Symbols containing the display separator '|' must not collide:
     ('x|','y') and ('x','|y') are distinct pairs and each keeps its own
