@@ -97,6 +97,30 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     deterministic and engine-checkable; convergence-threshold looping is
     a trivial wrapper (iterate until max |Δrank| < ε).
     """
+    # Small-input regime (optimization r14, the er.py estimate gate):
+    # the aggregated edge table is graph-sized, and when its file-backed
+    # ancestor is below half-the-cores' worth of scan splits the whole
+    # graph collects and the rounds run driver-side — at that size each
+    # round costs ~0.2s of plan analysis for a sub-millisecond join, 34
+    # tiny jobs per call (r14 profile).  The recurrence is replicated
+    # exactly (_pagerank_local, pinned by
+    # test_pagerank_local_matches_distributed); at real scale the gate
+    # keeps the distributed loop — edges are corpus-derived and must
+    # never collect.  Salted runs stay distributed: n_salts exists to
+    # exercise the two-phase aggregation plan itself.
+    if n_salts == 0:
+        from localsql_spark.operators import _est_input_splits
+
+        sess = edges.sparkSession
+        est = _est_input_splits(edges)
+        if est is not None and est < max(2, sess.sparkContext
+                                         .defaultParallelism // 2):
+            node_t = edges.schema[src].dataType.simpleString()
+            rows = [(r[0], r[1], float(r[2])) for r in
+                    edges.select(src, dst, weight).collect()]
+            ranks = _pagerank_local(rows, damping, n_iter)
+            return sess.createDataFrame(
+                ranks, f"node {node_t}, rank double")
     # The edge frame often derives from a corpus-sized computation (e.g.
     # a window over every event) while the aggregated edges themselves
     # are graph-sized.  nodes, norm and the dangling probe each
@@ -137,6 +161,44 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                                 n_salts)
                  .localCheckpoint(eager=False))
     return ranks
+
+
+def _pagerank_local(edge_rows: list[tuple],
+                    damping: float, n_iter: int) -> list[tuple]:
+    """Driver-side image of the distributed loop over the COLLECTED
+    edge table, replicating every arithmetic point: out-weight sums are
+    exact (edge weights are integer-valued doubles), p = w/tw is one
+    IEEE division, each round computes
+    ``(1-d)/n + d * (sum(rank*p) + dangling/n)`` with the same Python-
+    evaluated literals the in-plan expression folds in, and the
+    dangling mass is the rank sum over no-out-edge nodes.  Float sums
+    run in edge-list order; the unsalted distributed aggregation is
+    single-partition at gated sizes, so both orders are deterministic
+    and agree far below the consumers' 6-decimal output rounding
+    (pinned by test_pagerank_local_matches_distributed).  Returns
+    [(node, rank)] — order irrelevant, callers aggregate or sort."""
+    tw: dict = {}
+    for s, _d, w in edge_rows:
+        tw[s] = tw.get(s, 0.0) + w
+    nodes = sorted({s for s, _d, _w in edge_rows}
+                   | {d for _s, d, _w in edge_rows})
+    n = len(nodes)
+    norm = [(s, d, w / tw[s]) for s, d, w in edge_rows]
+    dangling_nodes = [v for v in nodes if v not in tw]
+    inv = 1.0 / n  # ZeroDivisionError on an empty graph, like the loop
+    rank = {v: inv for v in nodes}
+    for _ in range(n_iter):
+        dang = 0.0
+        for v in dangling_nodes:
+            dang += rank[v]
+        acc: dict = {}
+        for u, v, p in norm:
+            acc[v] = acc.get(v, 0.0) + rank[u] * p
+        base = (1.0 - damping) / n
+        dang_n = dang / n
+        rank = {v: base + damping * (acc.get(v, 0.0) + dang_n)
+                for v in nodes}
+    return list(rank.items())
 
 
 def triangle_counts(edges: DataFrame, a_col: str = "doc_a",

@@ -1374,6 +1374,27 @@ def test_scd2_enrich_asof_picks_right_version(spark):
                    14: None}   # before any version existed
 
 
+def test_pagerank_local_matches_distributed(spark):
+    """The round-14 small-regime driver-side PageRank must agree with
+    the distributed loop at (beyond) the consumers' 6-decimal output
+    rounding, on a graph with dangling mass, a hub, multi-edges folded
+    to weights, and an isolated-destination node; and the rank total
+    must stay 1 each iteration."""
+    from localsql_spark.operators.graph import _pagerank_local, pagerank
+
+    edges = [("a", "b", 3.0), ("a", "c", 1.0), ("b", "c", 2.0),
+             ("c", "a", 1.0), ("c", "d", 5.0), ("e", "a", 2.0),
+             ("b", "d", 1.0)]  # d dangles; e is a pure source
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    for it in (1, 4, 6):
+        dist = {r["node"]: r["rank"]
+                for r in pagerank(df, n_iter=it).collect()}
+        loc = dict(_pagerank_local(edges, 0.85, it))
+        assert set(dist) == set(loc)
+        assert max(abs(dist[v] - loc[v]) for v in dist) < 1e-12
+        assert abs(sum(loc.values()) - 1.0) < 1e-9
+
+
 def test_pagerank_salted_matches_plain_to_float_noise(spark):
     """Salting only changes float sum ORDER: ranks must agree to ~1 ulp
     with the unsalted path on a graph with a genuine hot hub."""
