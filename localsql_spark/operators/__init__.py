@@ -78,6 +78,20 @@ def _est_input_splits(df: DataFrame) -> int | None:
     return max(len(files), -(-total // max_bytes))
 
 
+def small_input_regime(base: DataFrame) -> bool:
+    """True when ``base``'s file-backed scan is estimated below half the
+    cores' worth of splits — the shared regime gate (optimization r14)
+    behind the local/broadcast fast paths (blocked-ER probe broadcast,
+    driver-side BPE/PageRank/CC rounds).  False for non-file-backed or
+    remote plans: the gate must NEVER fire at real scale, where the
+    estimate is either large or unknowable."""
+    est = _est_input_splits(base)
+    if est is None:
+        return False
+    target = base.sparkSession.sparkContext.defaultParallelism
+    return est < max(2, target // 2)
+
+
 def spread_derived(df: DataFrame, base: DataFrame,
                    min_fraction: float = 0.5) -> DataFrame:
     """Widen a SHUFFLE-DERIVED frame whose file-backed ancestor ``base``

@@ -467,12 +467,9 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
     corpus-derived) must never collect.
     """
     words = word_frequencies(docs, doc_id_col, text_col)
-    from localsql_spark.operators import _est_input_splits
+    from localsql_spark.operators import small_input_regime
 
-    sess = docs.sparkSession
-    est = _est_input_splits(docs)
-    if est is not None and est < max(2, sess.sparkContext
-                                     .defaultParallelism // 2):
+    if small_input_regime(docs):
         return _bpe_train_local(
             [(r["word"], r["cnt"]) for r in words.collect()], n_merges)
     return _bpe_train_distributed(words, n_merges)

@@ -316,9 +316,57 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .filter(F.col("jaccard") >= threshold))
 
 
+def _cc_local(pair_rows: list[tuple], drop_self_only: bool) -> list[tuple]:
+    """Driver-side min-label connected components over the COLLECTED
+    pair list — union-find with the min id as every root, so labels are
+    IDENTICAL (exact integers/strings, no float anywhere) to both
+    distributed formulations' fixed point.  ``drop_self_only`` mirrors
+    the operators' self-loop contracts: min-label propagation keeps a
+    pure-self-loop node (it appears in the symmetrized edge set), the
+    big-star formulation filters u != v before collecting nodes.
+    Python's ``<`` on strings is code-point order == Spark's UTF8String
+    binary order, so string-id tie-breaks agree too."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pair_rows:
+        if a == b:
+            if not drop_self_only:
+                parent.setdefault(a, a)
+            continue
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra
+    return [(n, find(n)) for n in parent]
+
+
+def _cc_local_frame(edges: DataFrame, a_col: str, b_col: str,
+                    drop_self_only: bool) -> DataFrame:
+    """Collect the (gated, graph-sized) pair list, label locally, and
+    return the (node, cluster_id) frame with the edge id type."""
+    node_t = edges.schema[a_col].dataType.simpleString()
+    rows = [(r[0], r[1]) for r in edges.select(a_col, b_col).collect()]
+    return edges.sparkSession.createDataFrame(
+        _cc_local(rows, drop_self_only),
+        f"node {node_t}, cluster_id {node_t}")
+
+
 def connected_components(edges: DataFrame, a_col: str = "doc_a",
                          b_col: str = "doc_b",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         base: DataFrame | None = None) -> DataFrame:
     """Connected components over an undirected pair list: every node gets the
     MIN node id reachable from it (the canonical duplicate-cluster id).
 
@@ -337,7 +385,19 @@ def connected_components(edges: DataFrame, a_col: str = "doc_a",
     cluster where executor loss must not kill the job, swap in
     ``checkpoint()`` with a durable checkpoint dir — same shape, durable
     lineage cut.
+
+    ``base`` (optional) is the file-backed corpus the edges derive from:
+    in the small-input regime (operators.small_input_regime) the
+    graph-sized pair list collects and labels locally via union-find —
+    identical labels, none of the per-round plan-analysis latency that
+    dominates the loop at that size (optimization r14).  The pair frame
+    itself usually hides its scan behind persisted LSH intermediates,
+    which is why the hint is the caller's base frame.
     """
+    from localsql_spark.operators import small_input_regime
+
+    if base is not None and small_input_regime(base):
+        return _cc_local_frame(edges, a_col, b_col, drop_self_only=False)
     sym = (edges.select(F.col(a_col).alias("s"), F.col(b_col).alias("t"))
            .unionByName(edges.select(F.col(b_col).alias("s"),
                                      F.col(a_col).alias("t"))))
@@ -394,7 +454,8 @@ def connected_components(edges: DataFrame, a_col: str = "doc_a",
 
 def connected_components_bigstar(edges: DataFrame, a_col: str = "doc_a",
                                  b_col: str = "doc_b",
-                                 max_iter: int = 20) -> DataFrame:
+                                 max_iter: int = 20,
+                                 base: DataFrame | None = None) -> DataFrame:
     """Connected components via alternating large-star / small-star rounds
     (the MapReduce CC formulation of Kiveris et al., "Connected Components
     in MapReduce and Beyond", SoCC'14 — public algorithm).
@@ -410,7 +471,16 @@ def connected_components_bigstar(edges: DataFrame, a_col: str = "doc_a",
     Both are one groupBy (local min) + one equi-join per round, fully
     distributed; the driver only compares a (count, hash-sum) fingerprint
     for the convergence test.
+
+    ``base`` routes the small-input regime to the same local union-find
+    as :func:`connected_components` (identical fixed point; self-loops
+    dropped here, matching the u != v filter below).
     """
+    from localsql_spark.operators import small_input_regime
+
+    if base is not None and small_input_regime(base):
+        return _cc_local_frame(edges, a_col, b_col, drop_self_only=True)
+
     def star(E: DataFrame, larger: bool) -> DataFrame:
         # E is symmetric (u, v); m(u) = min over the closed neighborhood
         m = (E.groupBy("u").agg(F.min("v").alias("mn"))

@@ -73,12 +73,9 @@ def blocked_edit_matches(df: DataFrame, id_col: str, attr_col: str,
     # join then runs over the spread() scan partitions at full width with
     # no exchange at all.  At real scale the estimate gate keeps the
     # shuffled block join (a corpus-sized side must never broadcast).
-    from localsql_spark.operators import _est_input_splits, spread
+    from localsql_spark.operators import small_input_regime, spread
 
-    sess = df.sparkSession
-    est = _est_input_splits(df)
-    if est is not None and est < max(2, sess.sparkContext
-                                     .defaultParallelism // 2):
+    if small_input_regime(df):
         a = spread(a)
         b = F.broadcast(b)
     dist = F.levenshtein(F.col("_attr_a"), F.col("_attr_b"))
@@ -110,7 +107,7 @@ def resolve_entities(df: DataFrame, matches: DataFrame,
     assignment is one left join."""
     cc = connected_components(
         matches.select(F.col("id_a").alias("doc_a"),
-                       F.col("id_b").alias("doc_b")))
+                       F.col("id_b").alias("doc_b")), base=df)
     # join strategy left to AQE: the cc side tracks match count (usually
     # broadcastable, but unbounded in a pathological corpus)
     return (df.select(F.col(id_col).alias("id"))

@@ -109,12 +109,10 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # never collect.  Salted runs stay distributed: n_salts exists to
     # exercise the two-phase aggregation plan itself.
     if n_salts == 0:
-        from localsql_spark.operators import _est_input_splits
+        from localsql_spark.operators import small_input_regime
 
-        sess = edges.sparkSession
-        est = _est_input_splits(edges)
-        if est is not None and est < max(2, sess.sparkContext
-                                         .defaultParallelism // 2):
+        if small_input_regime(edges):
+            sess = edges.sparkSession
             node_t = edges.schema[src].dataType.simpleString()
             rows = [(r[0], r[1], float(r[2])) for r in
                     edges.select(src, dst, weight).collect()]

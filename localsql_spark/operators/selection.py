@@ -405,7 +405,7 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
     """
     from localsql_spark.operators.dedup import connected_components
 
-    cc = connected_components(pairs)
+    cc = connected_components(pairs, base=docs)
     base = (docs.select(F.col(doc_id_col).alias("doc_id"))
             .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left"))
     gid = F.coalesce("cluster_id", F.col("doc_id"))

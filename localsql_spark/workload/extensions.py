@@ -795,7 +795,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators.dedup.connected_components)."""
     docs = load(spark, sf_dir)["documents"]
     pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
-    cc = D.connected_components(pairs)
+    cc = D.connected_components(pairs, base=docs)
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
@@ -1186,7 +1186,7 @@ def dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs one round per hop."""
     docs = load(spark, sf_dir)["documents"]
     pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
-    cc = D.connected_components_bigstar(pairs)
+    cc = D.connected_components_bigstar(pairs, base=docs)
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
 
 

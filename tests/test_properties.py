@@ -237,6 +237,35 @@ def test_knn_brute_force_matches_numpy_ground_truth(spark):
             assert got[(q, rank)] == i, (q, rank, got[(q, rank)], i)
 
 
+def test_cc_local_matches_distributed(spark):
+    """The round-14 small-regime local union-find must reproduce BOTH
+    distributed CC formulations' labels exactly, including each one's
+    self-loop contract: min-label propagation keeps a pure-self-loop
+    node, big-star drops it (u != v filter).  Chains, stars, dup edges,
+    reversed edges, and string ids (code-point == UTF8String binary
+    order) all covered."""
+    from localsql_spark.operators.dedup import (_cc_local,
+                                                connected_components,
+                                                connected_components_bigstar)
+
+    edges = [(2, 1), (2, 3), (9, 8), (8, 7), (7, 9), (5, 5), (4, 4),
+             (4, 6), (10, 11), (11, 10), (12, 13), (13, 14), (14, 15),
+             (15, 16), (16, 17)]  # chain, triangle, self-loops, dup both ways
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    prop = {(r["node"], r["cluster_id"])
+            for r in connected_components(df).collect()}
+    star = {(r["node"], r["cluster_id"])
+            for r in connected_components_bigstar(df).collect()}
+    assert set(_cc_local(edges, drop_self_only=False)) == prop
+    assert set(_cc_local(edges, drop_self_only=True)) == star
+    # string ids: tie-breaks via binary/code-point order must agree
+    sedges = [("b", "a"), ("b", "c"), ("é", "z"), ("Z", "é")]
+    sdf = spark.createDataFrame(sedges, "doc_a string, doc_b string")
+    sprop = {(r["node"], r["cluster_id"])
+             for r in connected_components(sdf).collect()}
+    assert set(_cc_local(sedges, drop_self_only=False)) == sprop
+
+
 @given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40)),
                 min_size=1, max_size=60))
 @settings(max_examples=12, deadline=None)
