@@ -104,21 +104,16 @@ def knn_brute_force(corpus: DataFrame, queries: DataFrame, k: int = 5,
     Returns (query_id, neighbor_id, cos_sim) excluding self-matches."""
     from pyspark.sql.window import Window
 
-    q = (queries.select(F.col(id_col).alias("query_id"),
-                        F.col(vec_col).alias("qv"))
-         .withColumn("qn", norm(F.col("qv"))))  # materialized by the broadcast
-    # the norm column sits BELOW the join: join children materialize their
-    # output rows, so cn is evaluated once per corpus row and reused across
-    # every matched pair (projection collapse only merges ADJACENT projects —
-    # computing cosine() above the join would re-fold the norm per pair)
-    c = (spread(corpus).select(F.col(id_col).alias("neighbor_id"),
-                               F.col(vec_col).alias("cv"))
-         .withColumn("cn", norm(F.col("cv"))))
-    scored = (c.crossJoin(F.broadcast(q))
-              .filter(F.col("neighbor_id") != F.col("query_id"))
-              .select("query_id", "neighbor_id",
-                      cosine_pre(F.col("qv"), F.col("cv"),
-                                 F.col("qn"), F.col("cn")).alias("cos_sim")))
+    # ONE narrow Arrow map scores every corpus row against the bounded
+    # query set from the task closure (optimization r14, guide §4.2):
+    # the crossJoin, the broadcast, the below-join norm columns and the
+    # interpreted decimal folds are all gone; only corpus vector bytes
+    # cross the boundary, once
+    q_items = sorted(_collect_query_vectors(
+        queries, id_col, vec_col).items())
+    scored = (arrow_cosine_scan(corpus, id_col, vec_col, q_items,
+                                "query_id", "neighbor_id", "cos_sim")
+              .filter(F.col("neighbor_id") != F.col("query_id")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (scored.withColumn("rn", F.row_number().over(w))
@@ -133,24 +128,102 @@ def knn_lsh_bucketed(corpus: DataFrame, queries: DataFrame, k: int = 5,
     Same output shape as knn_brute_force; recall trades off with ``bits``."""
     from pyspark.sql.window import Window
 
-    q = (queries.select(F.col(id_col).alias("query_id"),
-                        F.col(vec_col).alias("qv"),
-                        sign_bucket(F.col(vec_col), bits).alias("bucket"))
-         .withColumn("qn", norm(F.col("qv"))))
-    c = (spread(corpus).select(F.col(id_col).alias("neighbor_id"),
-                               F.col(vec_col).alias("cv"),
-                               sign_bucket(F.col(vec_col), bits).alias("bucket"))
-         .withColumn("cn", norm(F.col("cv"))))  # below-join barrier, see knn_brute_force
-    scored = (c.join(F.broadcast(q), "bucket")
-              .filter(F.col("neighbor_id") != F.col("query_id"))
-              .select("query_id", "neighbor_id",
-                      cosine_pre(F.col("qv"), F.col("cv"),
-                                 F.col("qn"), F.col("cn")).alias("cos_sim")))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       sign_bucket(F.col(vec_col), bits).alias("bucket"))
+    c = spread(corpus).select(F.col(id_col).alias("neighbor_id"),
+                              F.col(vec_col).alias("cv"),
+                              sign_bucket(F.col(vec_col), bits).alias("bucket"))
+    # bucket join carries ids only; scoring reads the bounded query
+    # vectors from the task closure (one Arrow map: dot + norms, r14)
+    scored = arrow_cosine_lookup(
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id")),
+        "cos_sim", "query_id", "cv",
+        _collect_query_vectors(queries, id_col, vec_col),
+        keep=["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .select("query_id", "neighbor_id", "cos_sim", "rn"))
+
+
+def _cosine_fixed_matrix(X, C):
+    """Exact cosine matrix (n x kc) of clean float64 rows vs centroids:
+    the image of ``cosine_pre(v, cent, norm(v), norm(cent))`` per pair.
+    Returns (csim float64 matrix, none_mask) — the mask marks
+    zero-denominator entries (``_safe_div``'s NULL)."""
+    import numpy as np
+
+    from localsql_spark.operators.multimodal import _halfup_fixed
+
+    n, d = X.shape
+    kc = C.shape[0]
+    dots = np.empty((n, kc), dtype=np.float64)
+    step = max(1, 4_000_000 // max(1, kc * d))
+    for lo in range(0, n, step):
+        Pm = X[lo:lo + step, None, :] * C[None, :, :]
+        m = Pm.shape[0]
+        dots[lo:lo + step] = _fixed12_rowsum(
+            Pm.reshape(m * kc, d)).reshape(m, kc)
+    na = np.sqrt(_fixed12_rowsum(X * X))
+    nc = np.sqrt(_fixed12_rowsum(C * C))
+    den = na[:, None] * nc[None, :]
+    none = den == 0
+    x = np.divide(dots, den, out=np.zeros_like(dots), where=~none)
+    flat = x.reshape(-1)
+    big = np.abs(flat) > 4e3
+    k9 = _halfup_fixed(np.where(big, 0.0, flat), 9)
+    csim = (k9.astype(np.float64) / 1e9).reshape(n, kc)
+    if big.any():
+        for i in np.nonzero(big)[0]:
+            csim[i // kc, i % kc] = _round9_image(float(flat[i]))
+    return csim, none
+
+
+def _arrow_nearest_cells(df: DataFrame, side_id: str, vec: str, n: int,
+                         cells: list, C, emit_vec: bool = True) -> DataFrame:
+    """The n nearest cells (by cosine to centroid) per row, in ONE Arrow
+    map with the collected centroid matrix in the closure (optimization
+    r14) — replaces the broadcast crossJoin + interpreted cosine folds +
+    argmax exchange/window of the relational ``nearest_cells``.  Emits
+    (side_id, vec, cell) x n rows per input, ordered exactly like
+    ``ORDER BY __csim DESC, cell`` with NULL cosines LAST (a NULL-scoring
+    or NULL/ragged vector ranks after every real score, landing on the
+    ascending-cell prefix when every score is NULL — matching both the
+    max(struct) n=1 fold and the window path)."""
+    import pandas as pd  # noqa: F401
+
+    id_t = df.schema[side_id].dataType.simpleString()
+    vec_t = df.schema[vec].dataType.simpleString()
+    schema = (f"{side_id} {id_t}, {vec} {vec_t}, cell long" if emit_vec
+              else f"{side_id} {id_t}, cell long")
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        cells_np = np.asarray(cells, dtype=np.int64)
+        kc = C.shape[0]
+        take = min(n, kc)
+        for pdf in batches:
+            nrow = len(pdf)
+            X, bad = _clean_matrix(pdf[vec], C.shape[1])
+            csim, none = _cosine_fixed_matrix(X, C)
+            # rank key: real scores first (desc), NULLs last, ties/NULL
+            # by ascending cell — cells[] is ascending, argsort stable
+            # (csims are never -0.0: Round's BigDecimal kills the sign)
+            key = np.where(none | bad[:, None], -np.inf, csim)
+            order = np.argsort(-key, axis=1, kind="stable")[:, :take]
+            idx_rows = np.repeat(np.arange(nrow), take)
+            out = {side_id: pdf[side_id].iloc[idx_rows]
+                   .reset_index(drop=True)}
+            if emit_vec:
+                out[vec] = pdf[vec].iloc[idx_rows].reset_index(drop=True)
+            out["cell"] = cells_np[order.reshape(-1)]
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=schema)
 
 
 def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -160,13 +233,61 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """IVF (inverted-file) approximate kNN: coarse-quantize the corpus into
     ``n_cells`` cells, probe the ``n_probe`` cells nearest each query.
 
-    Index build = one pass assigning every vector to its nearest centroid
-    (broadcast centroids); search = probe-cell equi-join instead of a full
-    scan, so each query touches ~n_probe/n_cells of the corpus. Centroids
-    here are deterministic seed vectors (vec_id < n_cells) rather than
-    k-means iterates, keeping the whole structure oracle-expressible; on a
-    real deployment swap in trained centroids — the plan shape is identical.
-    """
+    Index build = one pass assigning every vector to its nearest centroid;
+    search = probe-cell equi-join instead of a full scan, so each query
+    touches ~n_probe/n_cells of the corpus. Centroids here are
+    deterministic seed vectors (vec_id < n_cells) rather than k-means
+    iterates, keeping the whole structure oracle-expressible; on a real
+    deployment swap in trained centroids — the plan shape is identical.
+
+    Optimization r14: both routing passes run as Arrow maps with the
+    collected centroids in the closure (`_arrow_nearest_cells`) and the
+    probed-pair cosine as one Arrow map (`arrow_cosine_pairs`) — the
+    interpreted decimal folds, the two below-join norm columns, the
+    centroid crossJoins and the corpus-side argmax exchange are all gone
+    from the plan; a degenerate centroid table falls back to the
+    relational body (:func:`knn_ivf_relational`, the oracle-mirrored
+    form)."""
+    from pyspark.sql.window import Window
+
+    cents_raw = (centroids.select("cell", "cent") if centroids is not None
+                 else corpus.filter(F.col(id_col) < n_cells)
+                 .select(F.col(id_col).alias("cell"),
+                         F.col(vec_col).alias("cent")))
+    cells, C, _ = _collect_centroids(cents_raw)
+    if C is None or not cells:
+        return knn_ivf_relational(corpus, queries, k, id_col, vec_col,
+                                  n_cells, n_probe, centroids)
+    c_cells = _arrow_nearest_cells(
+        spread(corpus).select(F.col(id_col).alias("neighbor_id"),
+                              F.col(vec_col).alias("cv")),
+        "neighbor_id", "cv", 1, cells, C)
+    q_cells = _arrow_nearest_cells(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv")),
+        "query_id", "qv", n_probe, cells, C, emit_vec=False)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id"))
+    # probe join ships (query_id, cell) only; pair scoring reads the
+    # bounded query vectors from the task closure (r14)
+    return (arrow_cosine_lookup(
+        c_cells.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id")),
+        "cos_sim", "query_id", "cv",
+        _collect_query_vectors(queries, id_col, vec_col),
+        keep=["query_id", "neighbor_id"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn"))
+
+
+def knn_ivf_relational(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       n_cells: int = 16, n_probe: int = 4,
+                       centroids: DataFrame | None = None) -> DataFrame:
+    """The in-plan IVF body (broadcast crossJoin routing + interpreted
+    cosine folds + argmax exchange / window) — equivalence reference for
+    :func:`knn_ivf` and the form the DuckDB oracles replay."""
     from pyspark.sql.window import Window
 
     if centroids is not None:
@@ -311,14 +432,21 @@ def knn_ivf_from_index(spark: SparkSession, index_path: str,
     idx = _ivf_slices(spark, index_path).filter(F.col("cell").isin(probed))
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (idx.join(F.broadcast(q_cells), "cell")
-            .filter(F.col("neighbor_id") != F.col("query_id"))
-            .select("query_id", "neighbor_id",
-                    cosine_pre(F.col("qv"), F.col("cv"),
-                               F.col("qn"), F.col("cn")).alias("cos_sim"))
-            .withColumn("rn", F.row_number().over(w2))
-            .filter(F.col("rn") <= k)
-            .select("query_id", "neighbor_id", "cos_sim", "rn"))
+    # pair scoring as one Arrow map (r14) with the bounded query vectors
+    # in the task closure (the probe join ships routing columns only);
+    # norms are recomputed in the map — value-identical to the STORED cn
+    # (it was written as norm(cv) by the same fold image), so the index
+    # layout keeps carrying cn for the relational twins while the hot
+    # path skips reading it
+    return (arrow_cosine_lookup(
+        idx.join(F.broadcast(q_cells.select("query_id", "cell")), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id")),
+        "cos_sim", "query_id", "cv",
+        _collect_query_vectors(queries, id_col, vec_col),
+        keep=["query_id", "neighbor_id"])
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn"))
 
 
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
@@ -328,21 +456,17 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
     pairs within a bucket with cosine >= threshold.  High-cosine pairs agree
     on leading signs with high probability, so the bucket join replaces the
     O(n²) cross product. Returns (vec_a, vec_b, cos_sim)."""
-    normed = (  # norm below the self-join: once per vector, not per pair
-        spread(corpus).select(F.col(id_col).alias("vid"),
-                              F.col(vec_col).alias("v"),
-                              sign_bucket(F.col(vec_col), bits).alias("bucket"))
-        .withColumn("vn", norm(F.col("v"))))
-    c1 = normed.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"),
-                       F.col("vn").alias("na"), "bucket")
-    c2 = normed.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"),
-                       F.col("vn").alias("nb"), "bucket")
-    return (c1.join(c2, "bucket")
-            .filter(F.col("vec_a") < F.col("vec_b"))
-            .select("vec_a", "vec_b",
-                    cosine_pre(F.col("va"), F.col("vb"),
-                               F.col("na"), F.col("nb")).alias("cos_sim"))
-            .filter(F.col("cos_sim") >= threshold))
+    normed = spread(corpus).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"))
+    c1 = normed.select(F.col("vid").alias("vec_a"),
+                       F.col("v").alias("va"), "bucket")
+    c2 = normed.select(F.col("vid").alias("vec_b"),
+                       F.col("v").alias("vb"), "bucket")
+    return (arrow_cosine_pairs(  # one Arrow map: dot + norms (r14)
+        c1.join(c2, "bucket").filter(F.col("vec_a") < F.col("vec_b")),
+        "cos_sim", "va", "vb", keep=["vec_a", "vec_b"])
+        .filter(F.col("cos_sim") >= threshold))
 
 
 # ---------------------------------------------------------------------------
@@ -356,22 +480,437 @@ def l2_sq(a: Column, b: Column) -> Column:
         * (x.cast("double") - y.cast("double"))))
 
 
+# ---------------------------------------------------------------------------
+# Arrow scoring kernel (optimization r14, guide §4.2): the exact numpy image
+# of the interpreted decimal l2 fold.  l2_sq(a, b) is
+# double(sum_decimal(Round((a_i-b_i)^2, 12))); every piece is reproduced
+# bit-for-bit: float64 subtraction/multiplication are the same IEEE ops the
+# JVM executes, Round(x, 12)+decimal cast is `_halfup_fixed` (the
+# multimodal/covariance discipline, with the same >4e3 magnitude escape to
+# the exact Decimal image), integer addition is associative so int64 sums
+# equal the decimal fold at any order, and the final decimal->double cast is
+# a correctly-rounded integer division (int64 < 2^53 fast path, Python
+# int/int otherwise).  Pinned by test_arrow_assign_matches_relational.
+# ---------------------------------------------------------------------------
+
+def _clean_matrix(vecs, d: int):
+    """(rows x d) float64 matrix + a boolean 'unclean' mask: a row is
+    unclean when the vector is NULL, has a NULL element, or its length
+    differs from ``d`` — every case where the zip_with fold yields a NULL
+    element and the decimal sum (acc + NULL) collapses to NULL."""
+    import numpy as np
+
+    n = len(vecs)
+    X = np.zeros((n, d), dtype=np.float64)
+    bad = np.zeros(n, dtype=bool)
+    for i, v in enumerate(vecs):
+        if v is None:
+            bad[i] = True
+            continue
+        try:
+            a = np.asarray(v, dtype=np.float64)
+        except (TypeError, ValueError):
+            bad[i] = True
+            continue
+        if a.ndim != 1 or a.shape[0] != d or not np.isfinite(a).all():
+            # NaN can only arrive from a NULL element's pandas image —
+            # a literal NaN input would make the relational plan's ANSI
+            # decimal cast raise, so treating both as NULL-poisoned is
+            # the conservative match (pinned by the null battery test)
+            bad[i] = True
+            continue
+        X[i] = a
+    return X, bad
+
+
+def _fixed12_rowsum(P):
+    """Exact double row-sums of a (rows x d) float64 element matrix: the
+    image of ``double(sum_decimal(Round(p, 12)))`` over each row.
+    int64-sums are overflow-safe under the 4e3 element escape: every kept
+    |fix| <= 4e3*1e12 + 1 < 2^52, so a row sum over d <= 2048 elements
+    stays < 2^63 (a wider dim must widen to object sums); larger elements
+    route through the exact Decimal image into object ints, and the
+    decimal->double cast is a correctly-rounded division (int64 < 2^53
+    fast path, Python int/int otherwise)."""
+    import numpy as np
+
+    from localsql_spark.operators.multimodal import _halfup_fixed
+
+    rows, d = P.shape
+    assert d <= 2048, "int64 row-sum bound: widen to object sums for d > 2048"
+    if d == 0:
+        return np.zeros(rows, dtype=np.float64)
+    P = P.reshape(-1)
+    huge = np.abs(P) > 4e3
+    S_extra = None
+    if huge.any():
+        S_extra = np.zeros(rows, dtype=object)
+        for i in np.nonzero(huge)[0]:
+            S_extra[i // d] += _round12_fixed_image(float(P[i]))
+        P = np.where(huge, 0.0, P)
+    S = _halfup_fixed(P, 12).reshape(rows, d).sum(axis=1)
+    if S_extra is None and (rows == 0 or np.abs(S).max() < 2 ** 53):
+        return S.astype(np.float64) / 1e12
+    tot = S.astype(object) + (S_extra if S_extra is not None else 0)
+    return np.asarray([int(s) / 10 ** 12 for s in tot], dtype=np.float64)
+
+
+def _l2_fixed_dists(X, C):
+    """Exact distances double-matrix (n x k): the fixed-point image of
+    ``l2_sq`` between every row of X and every row of C (both clean
+    float64), via :func:`_fixed12_rowsum`."""
+    import numpy as np
+
+    n, d = X.shape
+    k = C.shape[0]
+    out = np.empty((n, k), dtype=np.float64)
+    # chunk rows so the (rows x k x d) difference tensor stays ~32 MB
+    step = max(1, 4_000_000 // max(1, k * d))
+    for lo in range(0, n, step):
+        D = X[lo:lo + step, None, :] - C[None, :, :]
+        m = D.shape[0]
+        out[lo:lo + step] = _fixed12_rowsum(
+            (D * D).reshape(m * k, d)).reshape(m, k)
+    return out
+
+
+def _cosine_fixed_pairs(A, B):
+    """Exact per-row cosine of two clean (n x d) float64 matrices: the
+    image of ``cosine_pre(a, b, norm(a), norm(b))`` — fixed-point dot and
+    norm sums, IEEE sqrt/multiply/divide, and ``Round(x, 9)`` via the
+    repr-HALF_UP fixed image.  Returns (csim float64, none_mask) where
+    the mask marks zero-denominator rows (``_safe_div``'s NULL)."""
+    import numpy as np
+
+    from localsql_spark.operators.multimodal import _halfup_fixed
+
+    dot = _fixed12_rowsum(A * B)
+    na = np.sqrt(_fixed12_rowsum(A * A))
+    nb = np.sqrt(_fixed12_rowsum(B * B))
+    den = na * nb
+    none = den == 0
+    x = np.divide(dot, den, out=np.zeros_like(dot), where=~none)
+    big = np.abs(x) > 4e3
+    k9 = _halfup_fixed(np.where(big, 0.0, x), 9)
+    # note: Round(double, 9) goes through BigDecimal, which has no
+    # negative zero — a tiny negative cosine rounds to +0.0, exactly
+    # what the int path emits (pinned by test_arrow_cosine_negative_zero)
+    csim = k9.astype(np.float64) / 1e9  # |k9| <= 4e12 < 2^53: exact
+    if big.any():
+        for i in np.nonzero(big)[0]:
+            csim[i] = _round9_image(float(x[i]))
+    return csim, none
+
+
+def _round9_image(v: float) -> float:
+    """Spark ``Round(v: double, 9)`` for magnitudes past the fast path."""
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+    q = Decimal(1).scaleb(-9)
+    with localcontext() as ctx:
+        ctx.prec = 340
+        if abs(v) >= 2.0 ** 53:
+            return float(Decimal(v).quantize(q, ROUND_HALF_UP))
+        return float(Decimal(repr(v)).quantize(q, ROUND_HALF_UP))
+
+
+def _pair_matrices(avals, bvals):
+    """Batch pair columns -> per-dim groups of clean (A, B) matrices.
+    Returns (groups, none_idx): ``groups`` maps d -> (row_idx, A, B) for
+    rows where both vectors are clean and of equal length d; every other
+    row (NULL / ragged / NULL-element / length mismatch — the zip_with
+    fold's NULL collapse) lands in ``none_idx``."""
+    import numpy as np
+
+    by_d: dict[int, list] = {}
+    none_idx = []
+    for i, (a, b) in enumerate(zip(avals, bvals)):
+        if a is None or b is None:
+            none_idx.append(i)
+            continue
+        try:
+            aa = np.asarray(a, dtype=np.float64)
+            bb = np.asarray(b, dtype=np.float64)
+        except (TypeError, ValueError):
+            none_idx.append(i)
+            continue
+        if (aa.ndim != 1 or bb.ndim != 1 or aa.shape[0] != bb.shape[0]
+                or not (np.isfinite(aa).all() and np.isfinite(bb).all())):
+            none_idx.append(i)
+            continue
+        by_d.setdefault(aa.shape[0], []).append((i, aa, bb))
+    groups = {}
+    for d, rows in by_d.items():
+        idx = np.asarray([r[0] for r in rows])
+        A = np.stack([r[1] for r in rows]) if rows else np.zeros((0, d))
+        B = np.stack([r[2] for r in rows]) if rows else np.zeros((0, d))
+        groups[d] = (idx, A, B)
+    return groups, none_idx
+
+
+def arrow_cosine_pairs(df: DataFrame, out_col: str, a_col: str, b_col: str,
+                       keep: list[str]) -> DataFrame:
+    """Replace the per-pair interpreted cosine projection
+    ``select(keep..., cosine_pre(a, b, norm(a), norm(b)))`` with ONE
+    Arrow map computing the identical value (optimization r14, guide
+    §4.2) — including the norms, so the upstream ``withColumn(norm)``
+    folds disappear too.  NULL semantics preserved: NULL/ragged/
+    NULL-element vectors and zero-norm denominators yield NULL, exactly
+    like the decimal fold + ``_safe_div``.  Pinned by
+    test_arrow_cosine_matches_relational."""
+    import pandas as pd  # noqa: F401
+
+    # opaque functions defeat Catalyst's column pruning: ship ONLY the
+    # pair vectors + passthrough columns across the boundary (guide §4.1)
+    df = df.select(*keep, a_col, b_col)
+    schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in keep)
+    schema += f", {out_col} double"
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            out = pd.array([None] * n, dtype="Float64")
+            groups, _ = _pair_matrices(pdf[a_col], pdf[b_col])
+            for _, (idx, A, B) in groups.items():
+                csim, none = _cosine_fixed_pairs(A, B)
+                good = idx[~none]
+                out[good] = csim[~none]
+            res = pdf[keep].copy()
+            res[out_col] = out
+            yield res
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def _collect_query_vectors(queries: DataFrame, id_col: str, vec_col: str):
+    """Bounded query table -> {query_id: vector-list | None} (None for
+    NULL/NULL-element vectors, which NULL-poison every cosine).  Collect
+    license: the relational paths broadcast this exact table."""
+    out = {}
+    for r in queries.select(id_col, vec_col).collect():
+        v = r[1]
+        if v is not None:
+            v = list(v)
+            if any(e is None for e in v):
+                v = None
+        out[r[0]] = v
+    return out
+
+
+def arrow_cosine_lookup(df: DataFrame, out_col: str, qid_col: str,
+                        vec_col: str, q_map: dict,
+                        keep: list[str]) -> DataFrame:
+    """The closure-side-query variant of :func:`arrow_cosine_pairs`: the
+    pair frame carries only (qid, corpus vector); the bounded query
+    vectors live in the task closure (``q_map`` from
+    :func:`_collect_query_vectors`), so the map ships HALF the vector
+    bytes and the plan never attaches qv at all.  Values and NULL
+    semantics identical to ``cosine_pre(qv, cv, norm(qv), norm(cv))``."""
+    import pandas as pd  # noqa: F401
+
+    cols = list(dict.fromkeys([*keep, qid_col, vec_col]))
+    df = df.select(*cols)
+    schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in keep)
+    schema += f", {out_col} double"
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            out = pd.array([None] * n, dtype="Float64")
+            qvs = [q_map.get(q) for q in pdf[qid_col]]
+            groups, _ = _pair_matrices(qvs, pdf[vec_col])
+            for _, (idx, A, B) in groups.items():
+                csim, none = _cosine_fixed_pairs(A, B)
+                good = idx[~none]
+                out[good] = csim[~none]
+            res = pdf[keep].copy()
+            res[out_col] = out
+            yield res
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def arrow_cosine_scan(corpus: DataFrame, id_col: str, vec_col: str,
+                      q_items: list, qid_out: str, nid_out: str,
+                      out_col: str) -> DataFrame:
+    """Brute-force scoring as ONE narrow Arrow map: every corpus row is
+    scored against EVERY query from the closure (``q_items``: ordered
+    (query_id, vector|None) pairs), emitting |queries| narrow rows per
+    corpus row — the crossJoin never materializes and only corpus vector
+    bytes cross the boundary once.  Values/NULL semantics identical to
+    the relational crossJoin + ``cosine_pre`` (a NULL/ragged corpus or
+    query vector, a length mismatch, or a zero norm yields NULL)."""
+    import pandas as pd  # noqa: F401
+
+    import numpy as np
+
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    schema = f"{qid_out} long, {nid_out} {id_t}, {out_col} double"
+    q_ids = [q for q, _ in q_items]
+    q_clean: dict[int, tuple] = {}  # dim -> (positions, Q matrix)
+    by_d: dict[int, list] = {}
+    for pos, (_, v) in enumerate(q_items):
+        if v is None:
+            continue
+        by_d.setdefault(len(v), []).append(pos)
+    for d, poss in by_d.items():
+        q_clean[d] = (np.asarray(poss),
+                      np.asarray([q_items[p][1] for p in poss],
+                                 dtype=np.float64))
+    kq = len(q_items)
+
+    def run(batches):
+        import pandas as pd
+
+        q_ids_np = np.asarray(q_ids, dtype=np.int64)
+        for pdf in batches:
+            rows_by_d: dict[int, list] = {}
+            vals = pdf[vec_col]
+            ids = pdf[id_col]
+            n = len(pdf)
+            # full (n, kq) score grid, NULL by default
+            grid = np.full((n, kq), np.nan)
+            null_grid = np.ones((n, kq), dtype=bool)
+            for i, v in enumerate(vals):
+                if v is None:
+                    continue
+                try:
+                    a = np.asarray(v, dtype=np.float64)
+                except (TypeError, ValueError):
+                    continue
+                if a.ndim != 1 or not np.isfinite(a).all():
+                    continue
+                rows_by_d.setdefault(a.shape[0], []).append((i, a))
+            for d, rows in rows_by_d.items():
+                if d not in q_clean:
+                    continue
+                poss, Q = q_clean[d]
+                ridx = np.asarray([r[0] for r in rows])
+                X = np.stack([r[1] for r in rows])
+                csim, none = _cosine_fixed_matrix(X, Q)
+                for j, p in enumerate(poss):
+                    col_ok = ~none[:, j]
+                    grid[ridx[col_ok], p] = csim[col_ok, j]
+                    null_grid[ridx[col_ok], p] = False
+            qi = np.tile(np.arange(kq), n)
+            out = pd.array(grid.reshape(-1), dtype="Float64")
+            out[null_grid.reshape(-1)] = None
+            yield pd.DataFrame({
+                qid_out: q_ids_np[qi],
+                nid_out: ids.iloc[np.repeat(np.arange(n), kq)]
+                .reset_index(drop=True),
+                out_col: out})
+
+    return (spread(corpus)
+            .select(F.col(id_col), F.col(vec_col))
+            .mapInPandas(run, schema=schema))
+
+
+def _collect_centroids(centroids: DataFrame, cell_col: str = "cell",
+                       cent_col: str = "cent"):
+    """Model-sized centroid table -> (cells list, C matrix, clean flag),
+    sorted ascending by cell id (so first-minimum == smallest-cell
+    tie-break).  The collect is the same license as the broadcast the
+    relational path built (k rows)."""
+    import numpy as np
+
+    rows = sorted(centroids.select(cell_col, cent_col).collect(),
+                  key=lambda r: r[0])
+    cells = [r[0] for r in rows]
+    vecs = [list(r[1]) if r[1] is not None else None for r in rows]
+    d = 0
+    clean = True
+    for v in vecs:
+        if v is None or any(e is None for e in v):
+            clean = False
+            continue
+        d = max(d, len(v))
+    if clean and vecs and any(len(v) != d for v in vecs):
+        clean = False
+    if not clean:
+        return cells, None, vecs
+    C = np.asarray(vecs, dtype=np.float64) if vecs else np.zeros((0, 0))
+    if not np.isfinite(C).all():
+        return cells, None, vecs
+    return cells, C, vecs
+
+
 def kmeans_assign(corpus: DataFrame, centroids: DataFrame,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   keep_vec: bool = False) -> DataFrame:
-    """Nearest-centroid assignment: (id, cluster_id, dist).  Centroids are
-    broadcast (k rows); the distance is a row-local zip_with fold, the
-    argmin a map-side min(struct) fold — partial aggregation collapses the
-    k candidate rows per vector BEFORE the exchange, so the shuffle carries
-    one row per vector and no sort (a window argmin shuffles and sorts all
-    k candidates; same idiom as _coarse_assign / nearest_cells n==1).
-    Ties break on cluster id — min(struct(dist, cell)) == the old
-    ORDER BY dist, cell row_number()==1 row exactly.
+    """Nearest-centroid assignment: (id, cluster_id, dist).
 
-    ``keep_vec`` additionally returns the vector as ``__v`` (riding the
-    struct, never compared — (dist, cell) is unique per candidate), so
-    training loops can feed the update step without re-joining the corpus.
-    """
+    Optimization r14 (guide §4.2): ONE Arrow ``mapInPandas`` over the
+    corpus with the k collected centroids in the task closure — the
+    dominant CPU of every training round was the interpreted decimal
+    zip_with fold evaluated k times per vector; the numpy kernel
+    (`_l2_fixed_dists`) reproduces it bit-for-bit, and the argmin happens
+    in the map, so the broadcast crossJoin AND the one-row-per-vector
+    groupBy exchange both disappear from the plan.  Tie-break and NULL
+    semantics match ``min(struct(dist, cell))`` exactly: first-minimum
+    over cells sorted ascending, and a NULL-producing vector (NULL/ragged/
+    NULL-element — the fold's acc+NULL collapse) sorts FIRST, landing on
+    the smallest cell with dist NULL (pinned by
+    test_arrow_assign_matches_relational's null battery).
+
+    ``keep_vec`` additionally returns the vector as ``__v`` so training
+    loops can feed the update step without re-joining the corpus.
+    Degenerate centroid tables (NULL/ragged centroids) fall back to the
+    relational plan, which is also kept as
+    :func:`kmeans_assign_relational` — the form the oracles mirror."""
+    import pandas as pd  # noqa: F401 — fail fast if Arrow unavailable
+
+    cells, C, _ = _collect_centroids(centroids)
+    if C is None or not cells:
+        return kmeans_assign_relational(corpus, centroids, id_col, vec_col,
+                                        keep_vec)
+    cell_t = centroids.schema["cell"].dataType.simpleString()
+    vec_t = corpus.schema[vec_col].dataType.simpleString()
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_t}, cluster_id {cell_t}, dist double"
+    if keep_vec:
+        schema += f", __v {vec_t}"
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        cells_np = np.asarray(cells)
+        for pdf in batches:
+            X, bad = _clean_matrix(pdf["v"], C.shape[1])
+            D = _l2_fixed_dists(X, C)
+            idx = np.argmin(D, axis=1)  # first minimum == smallest cell
+            dist = pd.array(D[np.arange(len(D)), idx], dtype="Float64")
+            dist[bad] = None
+            res = pd.DataFrame({
+                id_col: pdf[id_col],
+                "cluster_id": np.where(bad, cells_np[0], cells_np[idx]),
+                "dist": dist})
+            if keep_vec:
+                res["__v"] = pdf["v"]
+            yield res
+
+    return (spread(corpus)
+            .select(F.col(id_col), F.col(vec_col).alias("v"))
+            .mapInPandas(run, schema=schema))
+
+
+def kmeans_assign_relational(corpus: DataFrame, centroids: DataFrame,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             keep_vec: bool = False) -> DataFrame:
+    """The in-plan assignment (broadcast crossJoin + interpreted decimal
+    fold + map-side min(struct) argmin — partial aggregation collapses the
+    k candidate rows per vector BEFORE the exchange, so the shuffle
+    carries one row per vector and no sort).  Equivalence reference for
+    :func:`kmeans_assign` and the form the DuckDB oracles replay."""
     c = centroids.select(F.col("cell"), F.col("cent"))
     scored = (spread(corpus)
               .select(F.col(id_col), F.col(vec_col).alias("v"))
@@ -479,29 +1018,54 @@ def kmeans_parallel_init(corpus: DataFrame, n_clusters: int = 8,
                       F.pmod(hash32(F.col(id_col)), F.lit(n)).alias("rk")))
     cand = (ranked.orderBy("rk", "cand_id").limit(int(target))
             .select("cand_id", "cv"))
-    # 2. weight candidates: nearest-candidate assignment over the corpus
-    # (broadcast candidates; map-side-combined count).  Plain float64 fold,
-    # NOT the decimal-summed l2_sq: no oracle ever replays init (the
-    # trained path's driver check is rows-only; the planted oracle is
-    # closed-form), aggregate() is a sequential left fold so the sum is
-    # bit-deterministic in-engine, and argmin ties still break on cand_id
-    # — while the decimal fold made this O(corpus x candidates) pass the
-    # dominant training cost (measured ~6s of a 7.2s sf0.1 run).
-    d_f64 = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"),
-                   lambda x, y: (x.cast("double") - y.cast("double"))
-                   * (x.cast("double") - y.cast("double"))),
-        F.lit(0.0), lambda acc, x: acc + x)
-    scored = (base
-              .crossJoin(F.broadcast(cand))
-              .select(id_col, "cand_id", d_f64.alias("d")))
-    nearest = (scored.groupBy(id_col)
-               .agg(F.min(F.struct(F.col("d"), F.col("cand_id"))).alias("b"))
-               .select(F.col("b.cand_id").alias("cand_id")))
-    weights = {r["cand_id"]: r["w"] for r in
-               nearest.groupBy("cand_id").agg(F.count(F.lit(1)).alias("w"))
-               .collect()}
+    # 2. weight candidates: nearest-candidate assignment over the corpus.
+    # Plain float64 fold, NOT the decimal-summed l2_sq: no oracle ever
+    # replays init (the trained path's driver check is rows-only; the
+    # planted oracle is closed-form), and the fold is a SEQUENTIAL left
+    # sum, bit-deterministic in-engine.  Optimization r14 (guide §4.2):
+    # the pass runs as ONE Arrow map with the collected candidates in the
+    # closure — np.cumsum reproduces the left fold's IEEE add order
+    # exactly (each partial is previous + x), squares are never -0.0 so
+    # the 0.0 init is absorbing, argmin ties break on cand_id via the
+    # ascending-sorted candidate matrix, NULL-poisoned rows land on the
+    # smallest cand_id (min(struct) NULLS FIRST) and NaN distances lose
+    # (NaN sorts greatest) — each pinned by
+    # test_parallel_init_weights_match_relational.  The map emits
+    # per-batch partial counts; only the tiny (cand_id, w) table shuffles.
     cands = [(r["cand_id"], list(r["cv"])) for r in cand.collect()]
+    import numpy as np
+
+    order = sorted(range(len(cands)), key=lambda i: cands[i][0])
+    cand_ids = np.asarray([cands[i][0] for i in order], dtype=np.int64)
+    Cm = np.asarray([cands[i][1] for i in order], dtype=np.float64)
+
+    def _weigh(batches):
+        import pandas as pd
+
+        counts: dict[int, int] = {}
+        kc, d = Cm.shape
+        step = max(1, 4_000_000 // max(1, kc * d))  # ~32 MB cumsum tensor
+        for pdf in batches:
+            X, bad = _clean_matrix(pdf["v"], d)
+            for lo in range(0, len(X), step):
+                Xc = X[lo:lo + step]
+                D2 = Xc[:, None, :] - Cm[None, :, :]
+                # cumsum == the sequential left fold, partial by partial
+                D = (np.cumsum(D2 * D2, axis=2)[:, :, -1] if d
+                     else np.zeros((len(Xc), kc)))
+                K = np.where(np.isnan(D), np.inf, D)
+                idx = np.argmin(K, axis=1)
+                idx[bad[lo:lo + step]] = 0  # NULL dists -> smallest cand_id
+                for cid, n_rows in zip(*np.unique(cand_ids[idx],
+                                                  return_counts=True)):
+                    counts[int(cid)] = counts.get(int(cid), 0) + int(n_rows)
+        yield pd.DataFrame({"cand_id": list(counts),
+                            "w": list(counts.values())})
+
+    partials = (base.select("v").mapInPandas(_weigh, "cand_id long, w long"))
+    weights = {r["cand_id"]: r["w"] for r in
+               partials.groupBy("cand_id").agg(F.sum("w").alias("w"))
+               .collect()}
     # 3. greedy weighted k-means++ reduce on the bounded candidate set
     def d2(a: list, b: list) -> float:
         return sum((x - y) * (x - y) for x, y in zip(a, b))
@@ -576,7 +1140,7 @@ def _drop_over_cap_clusters(tagged: DataFrame, cluster_col: str,
 def _pair_drops(tagged: DataFrame, pair_src: DataFrame, threshold: float,
                 cluster_col: str, backend: str = "gemm") -> DataFrame:
     """(vid) rows to DROP: the higher id of every same-cluster pair whose
-    round(cosine, 9) >= threshold.  ``tagged`` carries (vid, v, vn, ...) for
+    round(cosine, 9) >= threshold.  ``tagged`` carries (vid, v, ...) for
     every vector (rescore side); ``pair_src`` is the cap-filtered subset
     actually compared.
 
@@ -640,28 +1204,25 @@ def _pair_drops(tagged: DataFrame, pair_src: DataFrame, threshold: float,
                 # coalesces the shuffle away.
                 .repartition(F.col("vec_a"), F.col("vec_b")))
         ra = tagged.select(F.col("vid").alias("vec_a"),
-                          F.col("v").alias("va"), F.col("vn").alias("na"))
+                          F.col("v").alias("va"))
         rb = tagged.select(F.col("vid").alias("vec_b"),
-                          F.col("v").alias("vb"), F.col("vn").alias("nb"))
-        return (cand.join(ra, "vec_a").join(rb, "vec_b")
-                .select("vec_b",
-                        cosine_pre(F.col("va"), F.col("vb"),
-                                   F.col("na"), F.col("nb")).alias("cos_sim"))
-                .filter(F.col("cos_sim") >= threshold)
-                .select(F.col("vec_b").alias("vid"))
-                .distinct())
-    a = pair_src.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"),
-                        F.col("vn").alias("na"), cluster_col)
-    b = pair_src.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"),
-                        F.col("vn").alias("nb"), cluster_col)
-    return (a.join(b, cluster_col)
-            .filter(F.col("vec_a") < F.col("vec_b"))
-            .select("vec_b",
-                    cosine_pre(F.col("va"), F.col("vb"),
-                               F.col("na"), F.col("nb")).alias("cos_sim"))
+                          F.col("v").alias("vb"))
+        return (arrow_cosine_pairs(  # exact rescore in one Arrow map (r14)
+            cand.join(ra, "vec_a").join(rb, "vec_b"),
+            "cos_sim", "va", "vb", keep=["vec_b"])
             .filter(F.col("cos_sim") >= threshold)
             .select(F.col("vec_b").alias("vid"))
             .distinct())
+    a = pair_src.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"),
+                        cluster_col)
+    b = pair_src.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"),
+                        cluster_col)
+    return (arrow_cosine_pairs(  # one Arrow map: dot + norms (r14)
+        a.join(b, cluster_col).filter(F.col("vec_a") < F.col("vec_b")),
+        "cos_sim", "va", "vb", keep=["vec_b"])
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("vec_b").alias("vid"))
+        .distinct())
 
 
 def semdedup_prune(corpus: DataFrame, n_clusters: int = 8,
@@ -695,8 +1256,7 @@ def semdedup_prune(corpus: DataFrame, n_clusters: int = 8,
     tagged = track_persist(
         spread(corpus).join(assign.select(id_col, "cluster_id"), id_col)
         .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
-                "cluster_id")
-        .withColumn("vn", norm(F.col("v"))))
+                "cluster_id"))
     pair_src = (tagged if cluster_cap is None else
                 _drop_over_cap_clusters(tagged, "cluster_id", cluster_cap))
     drops = _pair_drops(tagged, pair_src, threshold, "cluster_id",
@@ -803,8 +1363,7 @@ def semdedup_prune_two_level(corpus: DataFrame, n_clusters: int = 64,
               .select(F.col("cell").alias("fine"), "cent"))
     final = assign(cells_of(cents1))
 
-    t2 = track_persist(vecs.join(final, "vid")
-                       .withColumn("vn", norm(F.col("v"))))
+    t2 = track_persist(vecs.join(final, "vid"))
     pair_src = (t2 if cluster_cap is None else
                 _drop_over_cap_clusters(t2, "fine", cluster_cap))
     drops = _pair_drops(t2, pair_src, threshold, "fine",
@@ -835,15 +1394,88 @@ def _pq_sub(df: DataFrame, m: int, id_col: str, vec_col: str) -> DataFrame:
 def _pq_assign(sub: DataFrame, codebooks: DataFrame,
                id_col: str, keep_vec: bool = False) -> DataFrame:
     """Nearest code per (vector, subspace): the per-subspace analog of
-    kmeans_assign.  Codebooks broadcast (m x k rows); ties break on code —
-    min(struct(dist, code)) == the old ORDER BY dist, code
-    row_number()==1 row exactly, but the partial aggregation collapses the
-    k candidate rows per (vector, subspace) BEFORE the exchange, so the
-    shuffle carries one row per subvector and no sort.
+    kmeans_assign — and the same Arrow map (optimization r14): the m
+    per-subspace codebooks are collected into the task closure and each
+    (id, s, v) row is scored against ITS subspace's codebook in the map,
+    removing the broadcast join and the one-row-per-subvector groupBy
+    exchange.  Tie-break/NULL semantics match min(struct(dist, code))
+    (first minimum over codes ascending; NULL-poisoned subvectors sort
+    first).  ``keep_vec`` returns the subvector as ``__v``.  Relational
+    twin: :func:`_pq_assign_relational`."""
+    import pandas as pd  # noqa: F401
 
-    ``keep_vec`` additionally returns the subvector as ``__v`` (riding the
-    struct, never compared — (dist, code) is unique per candidate), so
-    pq_train can feed the update step without re-joining the subvectors."""
+    cb_rows = sorted(codebooks.select("s", "code", "cent").collect(),
+                     key=lambda r: (r[0], r[1]))
+    by_s: dict[int, tuple] = {}
+    clean = bool(cb_rows)
+    for r in cb_rows:
+        by_s.setdefault(r[0], []).append((r[1], r[2]))
+    import numpy as np
+
+    packed: dict[int, tuple] = {}
+    for s, rows in by_s.items():
+        codes = [c for c, _ in rows]
+        vecs = [list(v) if v is not None else None for _, v in rows]
+        d = {len(v) for v in vecs if v is not None
+             and not any(e is None for e in v)}
+        if len(d) != 1 or any(v is None or any(e is None for e in v)
+                              for v in vecs):
+            clean = False
+            break
+        Cm = np.asarray(vecs, dtype=np.float64)
+        if not np.isfinite(Cm).all():
+            clean = False
+            break
+        packed[s] = (np.asarray(codes), Cm)
+    if not clean:
+        return _pq_assign_relational(sub, codebooks, id_col, keep_vec)
+    id_t = sub.schema[id_col].dataType.simpleString()
+    s_t = sub.schema["s"].dataType.simpleString()
+    code_t = codebooks.schema["code"].dataType.simpleString()
+    vec_t = sub.schema["v"].dataType.simpleString()
+    schema = f"{id_col} {id_t}, s {s_t}, code {code_t}, dist double"
+    if keep_vec:
+        schema += f", __v {vec_t}"
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            code_out = np.zeros(n, dtype=np.int64)
+            dist_out = pd.array([None] * n, dtype="Float64")
+            svals = pdf["s"].to_numpy()
+            for s, (codes_np, Cm) in packed.items():
+                sel = np.nonzero(svals == s)[0]
+                if not len(sel):
+                    continue
+                X, bad = _clean_matrix(pdf["v"].iloc[sel].tolist(),
+                                       Cm.shape[1])
+                D = _l2_fixed_dists(X, Cm)
+                idx = np.argmin(D, axis=1)
+                code_out[sel] = np.where(bad, codes_np[0], codes_np[idx])
+                good = sel[~bad]
+                dist_out[good] = D[np.arange(len(D)), idx][~bad]
+            res = pd.DataFrame({id_col: pdf[id_col], "s": pdf["s"],
+                                "code": code_out, "dist": dist_out})
+            if keep_vec:
+                res["__v"] = pdf["v"]
+            yield res
+
+    # rows whose subspace has no codebook entry would be DROPPED by the
+    # relational inner join; reproduce by filtering to known subspaces
+    known = sorted(packed)
+    out = sub.filter(F.col("s").isin(known)) if known else sub.filter(
+        F.lit(False))
+    return out.mapInPandas(run, schema=schema)
+
+
+def _pq_assign_relational(sub: DataFrame, codebooks: DataFrame,
+                          id_col: str, keep_vec: bool = False) -> DataFrame:
+    """In-plan nearest-code assignment (broadcast join + interpreted
+    decimal fold + map-side min(struct)) — the equivalence reference for
+    :func:`_pq_assign` and the form the oracles replay."""
     scored = (sub.join(F.broadcast(codebooks), "s")
               .select(id_col, "s", "v", "code",
                       l2_sq(F.col("v"), F.col("cent")).alias("dist")))
@@ -992,17 +1624,14 @@ def knn_pq_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
                        n_iter=n_iter, id_col=id_col, vec_col=vec_col,
                        exclude_self=exclude_self)
             .select("query_id", "neighbor_id"))
-    nv = (corpus.select(F.col(id_col).alias("neighbor_id"),
-                        F.col(vec_col).alias("cv"))
-          .withColumn("cn", norm(F.col("cv"))))
-    qv = (queries.select(F.col(id_col).alias("query_id"),
-                         F.col(vec_col).alias("qv"))
-          .withColumn("qn", norm(F.col("qv"))))
-    re = (nv.join(F.broadcast(cand), "neighbor_id")
-          .join(F.broadcast(qv), "query_id")
-          .select("query_id", "neighbor_id",
-                  cosine_pre(F.col("qv"), F.col("cv"),
-                             F.col("qn"), F.col("cn")).alias("cos_sim")))
+    nv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("cv"))
+    re = arrow_cosine_lookup(  # one Arrow map: dot + norms (r14);
+        # query vectors ride the task closure, not a broadcast join
+        nv.join(F.broadcast(cand), "neighbor_id"),
+        "cos_sim", "query_id", "cv",
+        _collect_query_vectors(queries, id_col, vec_col),
+        keep=["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
                                                "neighbor_id")
     return re.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
@@ -1325,10 +1954,77 @@ def _coarse_cells(corpus: DataFrame, n_cells: int, id_col: str,
 def _coarse_assign(df: DataFrame, cents: DataFrame, key_col: str,
                    vec_col: str) -> DataFrame:
     """Nearest coarse cell per vector, with the residual against that
-    cell's centroid: (key, cell, resid).  One broadcast crossJoin + a
-    map-side argmin fold (max over a (-dist, -cell) struct — ties break to
-    the smallest cell, matching the window/oracle ordering), so the
-    exchange carries ONE row per vector, never n_cells candidates."""
+    cell's centroid: (key, cell, resid).
+
+    Optimization r14: the same Arrow map as :func:`kmeans_assign`
+    (collected centroids in the closure; crossJoin + argmin exchange
+    both gone), emitting the residual v - cent as float64 — elementwise
+    IEEE subtraction, identical to the zip_with.  NULL semantics differ
+    from kmeans_assign because the relational argmin here was
+    ``max(struct(-d, -cell))`` where a NULL distance sorts SMALLEST: a
+    NULL-poisoned vector only lands on the smallest cell when EVERY
+    distance is NULL (true by construction once the centroid table is
+    verified clean), and its residual NULL-propagates per element — both
+    reproduced inline below and pinned by the null battery test.
+    Degenerate centroid tables route through
+    :func:`_coarse_assign_relational`."""
+    import pandas as pd  # noqa: F401
+
+    cells, C, _ = _collect_centroids(cents)
+    if C is None or not cells:
+        return _coarse_assign_relational(df, cents, key_col, vec_col)
+    key_t = df.schema[key_col].dataType.simpleString()
+    schema = f"{key_col} {key_t}, cell int, resid array<double>"
+
+    def _bad_resid(v, c0, d):
+        # zip_with(v, cent, x - y) with NULL propagation, against the
+        # smallest cell's centroid (the all-NULL-distance tie winner)
+        if v is None:
+            return None
+        vv = list(v)
+        ln = max(len(vv), d)
+        out = []
+        for i in range(ln):
+            x = vv[i] if i < len(vv) else None
+            y = c0[i] if i < d else None
+            ok = (x is not None and y is not None
+                  and x == x)  # NaN-poisoned elements stay NULL-like
+            out.append(float(x) - float(y) if ok else None)
+        return out
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        cells_np = np.asarray(cells)
+        d = C.shape[1]
+        c0 = [float(x) for x in C[0]]
+        for pdf in batches:
+            X, bad = _clean_matrix(pdf["v"], d)
+            D = _l2_fixed_dists(X, C)
+            idx = np.argmin(D, axis=1)
+            resid = list(X - C[idx])
+            if bad.any():
+                vals = pdf["v"].tolist()
+                for i in np.nonzero(bad)[0]:
+                    resid[i] = _bad_resid(vals[i], c0, d)
+            res = pd.DataFrame({
+                key_col: pdf[key_col],
+                "cell": pd.array(np.where(bad, cells_np[0],
+                                          cells_np[idx]), dtype="int32"),
+                "resid": resid})
+            yield res
+
+    return (df.select(F.col(key_col), F.col(vec_col).alias("v"))
+            .mapInPandas(run, schema=schema))
+
+
+def _coarse_assign_relational(df: DataFrame, cents: DataFrame, key_col: str,
+                              vec_col: str) -> DataFrame:
+    """In-plan coarse assignment: one broadcast crossJoin + a map-side
+    argmin fold (max over a (-dist, -cell) struct — ties break to the
+    smallest cell), so the exchange carries ONE row per vector, never
+    n_cells candidates.  Equivalence reference for :func:`_coarse_assign`."""
     scored = (df.crossJoin(F.broadcast(cents))
               .withColumn("_d", l2_sq(F.col(vec_col), F.col("cent"))))
     return (scored.groupBy(key_col)
@@ -1934,17 +2630,14 @@ def knn_ivfpq_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
                           n_iter=n_iter, id_col=id_col, vec_col=vec_col,
                           exclude_self=exclude_self, rotate=rotate)
             .select("query_id", "neighbor_id"))
-    nv = (corpus.select(F.col(id_col).alias("neighbor_id"),
-                        F.col(vec_col).alias("cv"))
-          .withColumn("cn", norm(F.col("cv"))))
-    qv = (queries.select(F.col(id_col).alias("query_id"),
-                         F.col(vec_col).alias("qv"))
-          .withColumn("qn", norm(F.col("qv"))))
-    re = (nv.join(F.broadcast(cand), "neighbor_id")
-          .join(F.broadcast(qv), "query_id")
-          .select("query_id", "neighbor_id",
-                  cosine_pre(F.col("qv"), F.col("cv"),
-                             F.col("qn"), F.col("cn")).alias("cos_sim")))
+    nv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("cv"))
+    re = arrow_cosine_lookup(  # one Arrow map: dot + norms (r14);
+        # query vectors ride the task closure, not a broadcast join
+        nv.join(F.broadcast(cand), "neighbor_id"),
+        "cos_sim", "query_id", "cv",
+        _collect_query_vectors(queries, id_col, vec_col),
+        keep=["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
                                                "neighbor_id")
     return (re.withColumn("rn", F.row_number().over(w))
@@ -1992,6 +2685,9 @@ def hybrid_bm25_cosine_topk(docs: DataFrame, emb: DataFrame,
                        F.col("embedding").alias("cv"))
             .join(F.broadcast(short), "doc_id")
             .withColumn("cn", norm(F.col("cv"))))
+    # NOT the Arrow scorer: the shortlist is tens of rows, where a map
+    # stage's fixed cost exceeds the fold (r14 A/B: hybrid 1.68s -> 2.20s
+    # under the Arrow map; reverted)
     scored = (cand.crossJoin(F.broadcast(qv))
               .select("doc_id", "bm25_score",
                       cosine_pre(F.col("qv"), F.col("cv"),
@@ -2039,6 +2735,8 @@ def bm25_hard_negatives(docs: DataFrame, emb: DataFrame,
                        F.col("embedding").alias("cv"))
             .join(F.broadcast(short), "doc_id")
             .withColumn("cn", norm(F.col("cv"))))
+    # relational on purpose: shortlist-sized input (see
+    # hybrid_bm25_cosine_topk's r14 A/B note)
     scored = (cand.crossJoin(F.broadcast(qv))
               .select("doc_id", "bm25_score",
                       cosine_pre(F.col("qv"), F.col("cv"),

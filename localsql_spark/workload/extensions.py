@@ -7102,7 +7102,8 @@ def knn_ivfpq_rot_index_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.window import Window
 
-    from localsql_spark.operators.similarity import cosine_pre, norm
+    from localsql_spark.operators.similarity import (
+        _collect_query_vectors, arrow_cosine_lookup)
 
     emb = load(spark, sf_dir)["embeddings"]
     c = (F.col("vec_id") % 16).cast("int")
@@ -7126,17 +7127,14 @@ def knn_ivfpq_rot_index_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (S.knn_ivfpq_from_index(spark, str(fixture / "idx"), q, k=150,
                                    n_probe=4, exclude_self=True)
             .select("query_id", "neighbor_id"))
-    nv = (planted.select(F.col("vec_id").alias("neighbor_id"),
-                         F.col("embedding").alias("cv"))
-          .withColumn("cn", norm(F.col("cv"))))
-    qv = (q.select(F.col("vec_id").alias("query_id"),
-                   F.col("embedding").alias("qv"))
-          .withColumn("qn", norm(F.col("qv"))))
-    re = (nv.join(F.broadcast(cand), "neighbor_id")
-          .join(F.broadcast(qv), "query_id")
-          .select("query_id", "neighbor_id",
-                  cosine_pre(F.col("qv"), F.col("cv"),
-                             F.col("qn"), F.col("cn")).alias("cos_sim")))
+    nv = planted.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("embedding").alias("cv"))
+    re = arrow_cosine_lookup(  # one Arrow map: dot + norms (r14);
+        # query vectors ride the task closure, not a broadcast join
+        nv.join(F.broadcast(cand), "neighbor_id"),
+        "cos_sim", "query_id", "cv",
+        _collect_query_vectors(q, "vec_id", "embedding"),
+        keep=["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
                                                "neighbor_id")
     return (re.withColumn("rn", F.row_number().over(w))

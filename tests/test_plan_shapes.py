@@ -140,11 +140,12 @@ def test_repetition_signals_zero_shuffle_pruned(spark, queries):
     assert "text" in read and "source" not in read and "lang" not in read
 
 
-def test_kmeans_broadcasts_centroids_not_corpus(spark, queries):
-    """Assignment joins must broadcast the k centroids; the corpus side
-    stays distributed (no corpus-side BroadcastExchange of embeddings)."""
+def test_kmeans_assignment_is_narrow_arrow_map(spark, queries):
+    """Optimization r14: the assignment is ONE Arrow map with the k
+    collected centroids in the closure — no centroid crossJoin, no
+    per-vector argmin exchange, and never a corpus-side broadcast."""
     plan = _plan(queries["embedding_kmeans_clusters"](spark, SF_SMALL))
-    assert "BroadcastExchange" in plan
+    assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
 
 
