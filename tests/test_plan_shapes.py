@@ -45,9 +45,13 @@ def test_q3_top_k_never_global_sorts(spark, queries):
         "ORDER BY+LIMIT must compile to top-k, not a global sort"
 
 
-def test_knn_broadcasts_queries_not_corpus(spark, queries):
+def test_knn_scores_in_narrow_scan_map(spark, queries):
+    """Optimization r14: brute-force scoring is ONE narrow Arrow map with
+    the bounded query set in the task closure — the query crossJoin (and
+    its BroadcastExchange) no longer exists, and the corpus is never the
+    build side of anything."""
     plan = _plan(queries["knn_brute_force_top5"](spark, SF_SMALL))
-    assert "BroadcastExchange" in plan
+    assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
 
 
