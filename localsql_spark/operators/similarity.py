@@ -956,13 +956,167 @@ def kmeans_assign_topn(corpus: DataFrame, centroids: DataFrame, n: int,
 def kmeans_update(corpus: DataFrame, assign: DataFrame,
                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Centroid update: per-cluster per-dimension mean, rebuilt into an
-    array<double>.  posexplode -> groupBy(cluster, dim) partial-aggregated
-    decimal mean (deterministic: exact decimal sum, ONE double division) ->
-    sort-collect back to arrays.  Shuffle volume is |vectors|x|dims| narrow
-    rows, the standard distributed-kmeans shape.  When ``assign`` carries
-    the vector itself (``__v`` from kmeans_assign(keep_vec=True)) the
-    corpus re-join — a second shuffle + sort of the whole corpus — is
-    skipped entirely."""
+    array<double>.
+
+    Optimization r15 (guide §4.2, §2.3 — the proven covariance
+    partial-sum pattern): ONE Arrow ``mapInPandas`` folds each partition
+    into per-(cluster, dim) EXACT fixed-point sums + posexplode row
+    counts, so the exchange carries at most k x dim x partitions partial
+    rows instead of |vectors| x dims interpreted posexplode rows, and the
+    per-element ``Round(x, 12) -> decimal`` image runs vectorized in
+    numpy (`_halfup_fixed`, the multimodal/covariance discipline) instead
+    of the interpreted JVM fold.  Integer addition is associative, so
+    summing the decimal partials equals the relational
+    ``sum(round(x,12)::decimal(38,12))`` bit-for-bit at any partitioning;
+    the mean stays ONE double division in-plan (identical expression
+    shape to the relational twin).  Per-element semantics preserved:
+    NULL vectors contribute nothing (posexplode of NULL emits no rows),
+    NULL elements count toward the per-dim row count but not the sum, a
+    (cluster, dim) cell whose every element was NULL yields a NULL mean,
+    ragged rows contribute only up to their own length.  Equivalence
+    reference kept as :func:`kmeans_update_relational` (the form the
+    oracles replay), pinned by test_kmeans_update_matches_relational.
+
+    When ``assign`` carries the vector itself (``__v`` from
+    kmeans_assign(keep_vec=True)) the corpus re-join — a second shuffle +
+    sort of the whole corpus — is skipped entirely."""
+    if "__v" in assign.columns:
+        elems_src = assign.select("cluster_id", F.col("__v").alias("_v"))
+    else:
+        elems_src = (corpus.join(assign.select(id_col, "cluster_id"), id_col)
+                     .select("cluster_id", F.col(vec_col).alias("_v")))
+    dim_means = _grouped_dim_means(elems_src, ["cluster_id"])
+    return (dim_means.groupBy("cluster_id")
+            .agg(F.transform(F.sort_array(F.collect_list(F.struct("p", "m"))),
+                             lambda s: s["m"]).alias("cent"))
+            .select(F.col("cluster_id").alias("cell"), "cent"))
+
+
+def _grouped_dim_means(src: DataFrame, keys: list[str]) -> DataFrame:
+    """(keys..., p, m): exact grouped per-dimension means of the vector
+    column ``_v`` — the Arrow image of ``posexplode -> groupBy(keys, p)
+    .agg(sum(round(x,12)::decimal(38,12))::double / count(1))``.
+
+    One ``mapInPandas`` folds each partition into per-(keys, dim)
+    fixed-point int sums (`_halfup_fixed` per-element image, 4e3 escape to
+    the exact Decimal path) + posexplode row counts; the mean stays ONE
+    in-plan double division over the decimal-summed partials, so the
+    result is bit-identical to the relational fold at any partitioning
+    (integer addition is associative).  NULL vectors emit no rows, NULL
+    elements count but don't sum, all-NULL cells yield NULL means, ragged
+    rows contribute up to their own length, NULL group keys stay groups."""
+    import pandas as pd  # noqa: F401 — fail fast if Arrow unavailable
+
+    key_ts = ", ".join(
+        f"{k} {src.schema[k].dataType.simpleString()}" for k in keys)
+    schema = f"{key_ts}, p int, _fsum decimal(38,12), _fcnt long"
+
+    def _acc(batches):
+        import numpy as np
+        import pandas as pd
+        from localsql_spark.operators.multimodal import _halfup_fixed
+
+        sums: dict = {}   # key tuple -> object int array (1e12-scaled)
+        oks: dict = {}    # key tuple -> int64 finite-element counts
+        cnts: dict = {}   # key tuple -> int64 posexplode row counts
+
+        def _grow(cl, d):
+            s, o, c = sums[cl], oks[cl], cnts[cl]
+            if len(s) >= d:
+                return
+            s2 = np.zeros(d, dtype=object)
+            o2 = np.zeros(d, dtype=np.int64)
+            c2 = np.zeros(d, dtype=np.int64)
+            s2[:len(s)], o2[:len(o)], c2[:len(c)] = s, o, c
+            sums[cl], oks[cl], cnts[cl] = s2, o2, c2
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # dropna=False: a NULL key is a real group to the relational
+            # groupBy and must stay one here
+            for cl, idxs in pdf.groupby(keys, sort=False,
+                                        dropna=False).indices.items():
+                if not isinstance(cl, tuple):
+                    cl = (cl,)
+                if cl not in sums:
+                    sums[cl] = np.zeros(0, dtype=object)
+                    oks[cl] = np.zeros(0, dtype=np.int64)
+                    cnts[cl] = np.zeros(0, dtype=np.int64)
+                by_len: dict[int, list] = {}
+                for v in pdf["_v"].iloc[idxs]:
+                    if v is None:
+                        continue  # posexplode(NULL) emits no rows
+                    try:
+                        a = np.asarray(v, dtype=np.float64)
+                    except (TypeError, ValueError):
+                        a = np.asarray([np.nan if e is None else float(e)
+                                        for e in v], dtype=np.float64)
+                    if a.ndim != 1:
+                        a = a.ravel()
+                    if a.shape[0]:
+                        by_len.setdefault(a.shape[0], []).append(a)
+                for d, rows in by_len.items():
+                    _grow(cl, d)
+                    s, o, c = sums[cl], oks[cl], cnts[cl]
+                    X = np.stack(rows)
+                    # chunk rows so int64 chunk sums cannot overflow:
+                    # the 4e3 escape bounds each scaled element < 2^52,
+                    # and 512 * 2^52 < 2^63
+                    for lo in range(0, X.shape[0], 512):
+                        Cc = X[lo:lo + 512]
+                        ok = np.isfinite(Cc)
+                        Z = np.where(ok, Cc, 0.0)
+                        huge = np.abs(Z) > 4e3
+                        if huge.any():
+                            for i, j in zip(*np.nonzero(huge)):
+                                s[j] += _round12_fixed_image(float(Z[i, j]))
+                            Z = np.where(huge, 0.0, Z)
+                        R = _halfup_fixed(Z, 12)
+                        R[~ok] = 0
+                        s[:d] += R.sum(axis=0, dtype=np.int64)
+                        o[:d] += ok.sum(axis=0, dtype=np.int64)
+                        c[:d] += Cc.shape[0]
+        if not sums:
+            return
+        from decimal import Decimal, localcontext
+
+        kcols: list[list] = [[] for _ in keys]
+        ps, ss, cs = [], [], []
+        with localcontext() as ctx:
+            ctx.prec = 60  # exact emission of any 38-digit scaled sum
+            for cl, s in sums.items():
+                o, c = oks[cl], cnts[cl]
+                key = [None if pd.isna(x) else x for x in cl]
+                for p in range(len(s)):
+                    if not c[p]:
+                        continue
+                    for i, x in enumerate(key):
+                        kcols[i].append(x)
+                    ps.append(p)
+                    ss.append(Decimal(int(s[p])).scaleb(-12)
+                              if o[p] else None)
+                    cs.append(int(c[p]))
+        out = {k: kcols[i] for i, k in enumerate(keys)}
+        out["p"] = pd.array(ps, dtype="int32")
+        out["_fsum"] = ss
+        out["_fcnt"] = pd.array(cs, dtype="int64")
+        yield pd.DataFrame(out)
+
+    partials = src.mapInPandas(_acc, schema=schema)
+    return (partials.groupBy(*keys, "p")
+            .agg((F.sum("_fsum").cast("double")
+                  / F.sum("_fcnt")).alias("m")))
+
+
+def kmeans_update_relational(corpus: DataFrame, assign: DataFrame,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """The in-plan centroid update (posexplode -> groupBy(cluster, dim)
+    partial-aggregated decimal mean -> sort-collect back to arrays) — the
+    equivalence reference for :func:`kmeans_update` and the form the
+    DuckDB oracles replay.  Shuffle volume is |vectors| x |dims| narrow
+    rows."""
     if "__v" in assign.columns:
         elems = assign.select("cluster_id",
                               F.posexplode(F.col("__v")).alias("p", "x"))
@@ -1044,15 +1198,23 @@ def kmeans_parallel_init(corpus: DataFrame, n_clusters: int = 8,
 
         counts: dict[int, int] = {}
         kc, d = Cm.shape
-        step = max(1, 4_000_000 // max(1, kc * d))  # ~32 MB cumsum tensor
+        # working set is a few (rows x kc) planes, not a (rows x kc x d)
+        # tensor (optimization r15: the cumsum formulation materialized
+        # ~32 MB per chunk and was memory-bandwidth-bound — 52.6s of task
+        # time in the r15 baseline profile; the per-dimension loop below
+        # runs the SAME sequential left fold cache-resident)
+        step = max(1, 2_000_000 // max(1, kc))
         for pdf in batches:
             X, bad = _clean_matrix(pdf["v"], d)
             for lo in range(0, len(X), step):
                 Xc = X[lo:lo + step]
-                D2 = Xc[:, None, :] - Cm[None, :, :]
-                # cumsum == the sequential left fold, partial by partial
-                D = (np.cumsum(D2 * D2, axis=2)[:, :, -1] if d
-                     else np.zeros((len(Xc), kc)))
+                # per-dim accumulation == the sequential left fold: the
+                # 0.0 init is absorbing (squares are never -0.0) and each
+                # dim's square is added in order, partial by partial
+                D = np.zeros((len(Xc), kc))
+                for j in range(d):
+                    t = Xc[:, j, None] - Cm[None, :, j]
+                    D += t * t
                 K = np.where(np.isnan(D), np.inf, D)
                 idx = np.argmin(K, axis=1)
                 idx[bad[lo:lo + step]] = 0  # NULL dists -> smallest cand_id
@@ -1532,16 +1694,18 @@ def pq_train(corpus: DataFrame, m: int = 4, k_codes: int = 16,
                      .alias("cent")))
     for _ in range(n_iter):
         assign = _pq_assign(sub, cents, id_col, keep_vec=True)
-        elems = assign.select("s", "code",
-                              F.posexplode("__v").alias("p", "x"))
-        dim_means = (elems.groupBy("s", "code", "p")
-                     .agg((F.sum(F.round(F.col("x").cast("double"), 12)
-                                 .cast("decimal(38,12)")).cast("double")
-                           / F.count(F.lit(1))).alias("mn")))
+        # Arrow fixed-point partial-sum fold (optimization r15, guide
+        # §4.2/§2.3 — the kmeans_update/covariance pattern): the exchange
+        # carries m x k_codes x dim x partitions partial rows instead of
+        # |vectors| x dims interpreted posexplode rows; bit-identical to
+        # the posexplode decimal mean (test_pq_train_matches_relational)
+        dim_means = _grouped_dim_means(
+            assign.select("s", "code", F.col("__v").alias("_v")),
+            ["s", "code"])
         cents = (dim_means.groupBy("s", "code")
                  .agg(F.transform(
-                     F.sort_array(F.collect_list(F.struct("p", "mn"))),
-                     lambda st: st["mn"]).alias("cent")))
+                     F.sort_array(F.collect_list(F.struct("p", "m"))),
+                     lambda st: st["m"]).alias("cent")))
     return spark.createDataFrame(cents.collect(), schema=cents.schema)
 
 

@@ -453,12 +453,15 @@ def _changed_since_verified() -> dict:
 # land this round).  Refresh each round: drop names once their new green
 # row appears in the latest CORRECTNESS file.
 _MUST_RECHECK: tuple[str, ...] = (
-    # all round-9 entries (merge/CDC tie-rule consumers, pack_sequences)
-    # re-earned green CORRECTNESS_r09 rows and were dropped.  Round 10's
-    # edits are crash-window closures (dim-IVM applied-batch marker,
-    # landing-queue wedge warnings, erase-manifest recovery) — steady-
-    # state semantics unchanged, so nothing is pinned; the changed-since-
-    # verified scan routes the touched modules' queries automatically.
+    # Round 14 rewrote these queries' compute paths (Arrow fingerprint
+    # kernels, driver-side eigen/pagerank/BPE/CC small-regime paths) but
+    # the round-14 driver window sampled other entries, so their green
+    # rows predate the rewrite (r14 verdict item 2).  Pin them so the
+    # round-15 driver window re-hashes the NEW code.  pca_pc1_scores
+    # already re-enters via the changed-since-verified scan.
+    "multimodal_phash_pairs", "multimodal_audio_pairs",
+    "pagerank_event_transitions", "bpe_train_merges",
+    "dedup_clusters_bigstar",
 )
 
 

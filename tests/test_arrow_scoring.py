@@ -262,3 +262,61 @@ def test_knn_lsh_bucketed_matches_relational(spark, corpus):
             .filter(F.col("rn") <= 3)
             .select("query_id", "neighbor_id", "cos_sim", "rn"))
     _assert_same(got, want, ["query_id", "rn"])
+
+
+def test_kmeans_update_matches_relational(spark, corpus, cents):
+    """The r15 Arrow fixed-point partial-sum centroid update must equal
+    the posexplode decimal-mean fold bit-for-bit — including NULL
+    vectors (no rows), NULL elements (count but no sum), ragged rows,
+    values rounding to +/-0 at 12dp, and both the keep_vec and the
+    corpus-join entry paths."""
+    assign_kv = S.kmeans_assign(corpus, cents, keep_vec=True)
+    _assert_same(S.kmeans_update(corpus, assign_kv),
+                 S.kmeans_update_relational(corpus, assign_kv), ["cell"])
+    assign = S.kmeans_assign(corpus, cents)
+    _assert_same(S.kmeans_update(corpus, assign),
+                 S.kmeans_update_relational(corpus, assign), ["cell"])
+
+
+def test_kmeans_update_partitioning_invariant(spark, corpus, cents):
+    """Integer associativity claim, checked live: the Arrow fold's result
+    is identical at 1 partition and at 7 (different partial groupings)."""
+    assign = S.kmeans_assign(corpus, cents, keep_vec=True)
+    one = S.kmeans_update(corpus, assign.coalesce(1))
+    many = S.kmeans_update(corpus, assign.repartition(7))
+    _assert_same(one, many, ["cell"])
+    _assert_same(one, S.kmeans_update_relational(corpus, assign), ["cell"])
+
+
+def test_pq_train_matches_relational(spark, corpus):
+    """pq_train's Arrow Lloyd round must reproduce the posexplode
+    (s, code, p) decimal mean exactly.  Uses the clean battery rows only
+    (pq codebooks from NULL vectors fall back relationally anyway)."""
+    clean = corpus.filter(F.col("vec_id").isin(1, 5, 6, 8, 10, 11, 12))
+    books = S.pq_train(clean, m=2, k_codes=2, n_iter=2)
+    # relational reference: rebuild the same loop with the posexplode fold
+    sub = S._pq_sub(clean, 2, "vec_id", "embedding")
+    seed_ids = [r[0] for r in
+                clean.select("vec_id").orderBy("vec_id").limit(2).collect()]
+    code_map = F.broadcast(spark.createDataFrame(
+        [(i, c) for c, i in enumerate(seed_ids)], ["vec_id", "code"]))
+    cents = (sub.join(code_map, "vec_id")
+             .select("s", "code",
+                     F.transform("v", lambda x: x.cast("double"))
+                     .alias("cent")))
+    for _ in range(2):
+        assign = S._pq_assign_relational(sub, cents, "vec_id",
+                                         keep_vec=True)
+        elems = assign.select("s", "code",
+                              F.posexplode("__v").alias("p", "x"))
+        dim_means = (elems.groupBy("s", "code", "p")
+                     .agg((F.sum(F.round(F.col("x").cast("double"), 12)
+                                 .cast("decimal(38,12)")).cast("double")
+                           / F.count(F.lit(1))).alias("mn")))
+        cents = (dim_means.groupBy("s", "code")
+                 .agg(F.transform(
+                     F.sort_array(F.collect_list(F.struct("p", "mn"))),
+                     lambda st: st["mn"]).alias("cent")))
+    _assert_same(books, spark.createDataFrame(cents.collect(),
+                                              schema=cents.schema),
+                 ["s", "code"])

@@ -1,10 +1,10 @@
 #!/usr/bin/env python
-"""Capture ``.explain("formatted")`` for named queries into plans/r14/.
+"""Capture ``.explain("formatted")`` for named queries into plans/r15/.
 
     python tools/capture_plans.py before q1 q2 ...
     python tools/capture_plans.py after  q1 q2 ...
 
-Writes plans/r14/<query>_<tag>.txt (the optimization round's evidence files).
+Writes plans/r15/<query>_<tag>.txt (the optimization round's evidence files).
 """
 
 from __future__ import annotations
@@ -30,7 +30,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
     load(spark, sf_dir)
-    outdir = REPO / "plans" / "r14"
+    outdir = REPO / "plans" / "r15"
     outdir.mkdir(parents=True, exist_ok=True)
     for name in names:
         fn = queries.get(name)
@@ -42,7 +42,7 @@ def main() -> None:
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         (outdir / f"{name}_{tag}.txt").write_text(buf.getvalue())
-        print(f"# wrote plans/r14/{name}_{tag}.txt", file=sys.stderr)
+        print(f"# wrote plans/r15/{name}_{tag}.txt", file=sys.stderr)
         from localsql_spark.operators import cleanup
         cleanup()
 
