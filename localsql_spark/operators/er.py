@@ -61,40 +61,62 @@ def blocked_edit_matches(df: DataFrame, id_col: str, attr_col: str,
         wb = Window.partitionBy(*block_cols)
         recs = (recs.withColumn("_bn", F.count(F.lit(1)).over(wb))
                 .filter(F.col("_bn") <= block_cap).drop("_bn"))
-    a = recs.select(F.col("_id").alias("id_a"),
-                    F.col("_attr").alias("_attr_a"), *block_cols)
-    b = recs.select(F.col("_id").alias("id_b"),
-                    F.col("_attr").alias("_attr_b"), *block_cols)
-    # The |block|^2 pair expansion AND the per-pair levenshtein both
+    # Optimization r15 (guide §8: decide on a small proxy, attach after):
+    # the edit distance is a pure function of the NAME pair, so compare
+    # each DISTINCT (block, attr) pair once and expand the survivors back
+    # to id pairs with two equi-joins.  Duplicate attribute values are
+    # the norm in entity-resolution inputs (that is what ER exists for),
+    # and under r-fold duplication the |block|² levenshtein work drops
+    # r²-fold while the expansion cost tracks the MATCH count — the sf1.0
+    # profile measured 90.8M pair evaluations (345 CPU-seconds) where
+    # only 1.8M distinct name pairs exist.  The id-pair set and its
+    # dist/sim values are identical by construction: (id_a, id_b) is
+    # generated exactly once, through its own ordered name pair, and the
+    # id_a < id_b filter keeps the same orientation as before.  NULL
+    # attrs drop in both forms (levenshtein(NULL,·) fails the dist gate;
+    # an equi-join key never matches NULL).
+    dn = recs.select(*block_cols, "_attr").distinct()
+    na = dn.select(*block_cols, F.col("_attr").alias("_attr_a"))
+    nb = dn.select(*block_cols, F.col("_attr").alias("_attr_b"))
+    # The distinct-name-pair expansion AND the per-pair levenshtein both
     # evaluate INSIDE the join stage, whose width AQE sizes from the tiny
     # shuffled input BYTES — at sf0.1 that serialized ~1.8M edit distances
     # onto 2 post-shuffle tasks (r14 profile: one 3.9s stage, 2 tasks).
     # In the small-input regime, broadcast the probe side instead: the
-    # join then runs over the spread() scan partitions at full width with
-    # no exchange at all.  At real scale the estimate gate keeps the
-    # shuffled block join (a corpus-sized side must never broadcast).
+    # join then runs over the distinct exchange's partitions at full
+    # width.  At real scale the estimate gate keeps the shuffled block
+    # join (a corpus-sized side must never broadcast).
     from localsql_spark.operators import small_input_regime, spread
 
     if small_input_regime(df):
-        a = spread(a)
-        b = F.broadcast(b)
+        na = spread(na)
+        nb = F.broadcast(nb)
     dist = F.levenshtein(F.col("_attr_a"), F.col("_attr_b"))
-    return (a.join(b, block_cols)
+    name_pairs = (na.join(nb, block_cols)
+                  .withColumn("dist", dist)
+                  .filter(F.col("dist") <= max_dist)
+                  .select(*block_cols, "_attr_a", "_attr_b", "dist",
+                          # two EMPTY attrs pass the dist gate with maxlen
+                          # 0; they are identical, so sim is 1.0 — a bare
+                          # division raises DIVIDE_BY_ZERO under ANSI mode
+                          # and kills the whole ER job on one degenerate
+                          # pair
+                          F.round(F.when(
+                              F.greatest(F.length("_attr_a"),
+                                         F.length("_attr_b")) == 0,
+                              F.lit(1.0))
+                              .otherwise(F.lit(1.0) - F.col("dist")
+                                         / F.greatest(F.length("_attr_a"),
+                                                      F.length("_attr_b"))
+                                         .cast("double")), 9).alias("sim")))
+    a = recs.select(F.col("_id").alias("id_a"),
+                    F.col("_attr").alias("_attr_a"), *block_cols)
+    b = recs.select(F.col("_id").alias("id_b"),
+                    F.col("_attr").alias("_attr_b"), *block_cols)
+    return (a.join(name_pairs, [*block_cols, "_attr_a"])
+            .join(b, [*block_cols, "_attr_b"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .withColumn("dist", dist)
-            .filter(F.col("dist") <= max_dist)
-            .select("id_a", "id_b", "dist",
-                    # two EMPTY attrs pass the dist gate with maxlen 0;
-                    # they are identical, so sim is 1.0 — a bare division
-                    # raises DIVIDE_BY_ZERO under ANSI mode and kills the
-                    # whole ER job on one degenerate pair
-                    F.round(F.when(
-                        F.greatest(F.length("_attr_a"),
-                                   F.length("_attr_b")) == 0, F.lit(1.0))
-                        .otherwise(F.lit(1.0) - F.col("dist")
-                                   / F.greatest(F.length("_attr_a"),
-                                                F.length("_attr_b"))
-                                   .cast("double")), 9).alias("sim")))
+            .select("id_a", "id_b", "dist", "sim"))
 
 
 def resolve_entities(df: DataFrame, matches: DataFrame,

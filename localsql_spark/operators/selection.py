@@ -288,8 +288,7 @@ def perplexity_buckets(docs: DataFrame, doc_id_col: str = "doc_id",
     """
     from localsql_spark.operators import track_persist
     from localsql_spark.operators.corpus import unigram_logprob
-    from localsql_spark.operators.sketches import (quantile_estimates,
-                                                   quantile_sketch)
+    from localsql_spark.operators.sketches import quantile_sketch
 
     n_buckets = len(labels)
     # persist the narrow (doc_id, ppl) table: BOTH the sketch sample and
@@ -302,13 +301,31 @@ def perplexity_buckets(docs: DataFrame, doc_id_col: str = "doc_id",
         .select(doc_id_col, (-F.col("avg_logprob")).alias("ppl")))
     sketch = quantile_sketch(scored, "ppl", doc_id_col, k)
     qs = tuple(i / n_buckets for i in range(1, n_buckets))
-    edges = (quantile_estimates(sketch, qs=qs)
-             .agg(F.sort_array(F.collect_list("estimate")).alias("edges")))
+    # Edge selection runs DRIVER-SIDE on the collected sketch
+    # (optimization r15, guide §7.3): the sketch is <= k rows at ANY
+    # corpus size (the same bounded-collect license as the ANN model
+    # tables), so the single-partition window + broadcast-crossJoin
+    # subtree of quantile_estimates collapses to one TakeOrdered collect
+    # and a literal edges array.  The selection reproduces the in-plan
+    # arithmetic exactly: (v, rk) sort (Spark normalizes -0.0 == 0.0 in
+    # sort keys, as Python tuple sort does), 0-based index
+    # floor(q * (n-1)) in IEEE double, edges sorted ascending; the
+    # strict ppl > e bucket rule is order-insensitive over the edges.
+    # quantile_estimates stays the in-plan reference (sketch_quantiles'
+    # RESULT is those estimates, so its plan is unchanged).
+    import math
+
+    vals = sorted((r["v"], r["rk"]) for r in sketch.collect())
+    n = len(vals)
+    edge_vals = (sorted(vals[int(math.floor(q * (n - 1)))][0] for q in qs)
+                 if n else [])
+    edges_arr = (F.array(*[F.lit(float(e)) for e in edge_vals])
+                 if edge_vals else F.expr("CAST(array() AS array<double>)"))
     bucket = F.aggregate(
-        "edges", F.lit(0),
+        edges_arr, F.lit(0),
         lambda acc, e: acc + F.when(F.col("ppl") > e, 1).otherwise(0))
     label_arr = F.array(*[F.lit(x) for x in labels])
-    return (scored.crossJoin(F.broadcast(edges))
+    return (scored
             .select(doc_id_col, "ppl", bucket.alias("bucket"))
             .withColumn("ccnet_bucket",
                         F.element_at(label_arr, F.col("bucket") + 1)))

@@ -2998,16 +2998,123 @@ def jl_project(df: DataFrame, vec_col: str = "embedding",
                dim: int | None = None, seed: str = "jl") -> DataFrame:
     """Project ``vec_col`` (array<float>, length ``dim``) to ``out_dim``
     dimensions: ``out[k] = round(sum_j v[j]*s[k][j] / sqrt(out_dim), 9)``
-    — ROW-LOCAL (one zip_with+decimal-fold per output component, no
-    shuffle, no Python), so at 100 TB it rides the scan for free.  The
-    point at scale: every distance computed downstream costs
-    out_dim/dim as much (4x compression here), and because JL preserves
-    inner products in expectation, the projected space is a drop-in for
-    shortlist generation — rerank survivors with full vectors when
-    exactness matters (same two-stage pattern as pq_shortlist_rerank).
-    Components round to 9 decimals (portable double) and the fold is
-    the decimal-sum discipline, so the projection is bit-reproducible
-    cross-engine."""
+    — ROW-LOCAL, so at 100 TB it rides the scan for free.  The point at
+    scale: every distance computed downstream costs out_dim/dim as much
+    (4x compression here), and because JL preserves inner products in
+    expectation, the projected space is a drop-in for shortlist
+    generation — rerank survivors with full vectors when exactness
+    matters (same two-stage pattern as pq_shortlist_rerank).
+
+    Optimization r15 (guide §4.2): ONE Arrow map computes the projection
+    as an integer matmul of the per-element fixed-point images against
+    the ±1 sign matrix — sign * HALF_UP(x) == HALF_UP(sign * x) (HALF_UP
+    is symmetric), integer addition is associative, and the
+    decimal->double cast is a correctly-rounded division — so the result
+    is the bit-exact image of the interpreted zip_with decimal fold
+    (`_dec_sum` per component), which cost ~0.9 ms/row and, worse,
+    evaluated INSIDE the pre-spread scan stage: the sf1.0 profile
+    measured the whole corpus projection serialized on ONE task for
+    17.7 s.  NULL / ragged / NULL-element / non-finite vectors emit
+    ``out_dim`` NULL components exactly like the fold's NULL collapse
+    (every component sums over every position).  Relational twin kept as
+    :func:`jl_project_relational`, pinned by
+    test_jl_project_matches_relational."""
+    import pandas as pd  # noqa: F401 — fail fast if Arrow unavailable
+
+    if dim is None:
+        first = df.select(vec_col).first()
+        if first is None or first[0] is None:
+            raise ValueError(
+                "jl_project: empty corpus (or null first vector) — pass "
+                "dim= explicitly to project a possibly-empty frame")
+        dim = len(first[0])
+    if dim > 2048:  # int64 matmul bound: d * 4.0001e15 < 2^63
+        return jl_project_relational(df, vec_col, out_col, out_dim, dim,
+                                     seed)
+    import numpy as np
+
+    signs = jl_signs(dim, out_dim, seed)
+    scale = float(out_dim) ** 0.5
+    S_T = np.asarray(signs, dtype=np.int64).T  # (dim, out_dim)
+    in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in df.schema)
+    schema = f"{in_schema}, {out_col} array<double>"
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd  # noqa: F401
+        from localsql_spark.operators.multimodal import _halfup_fixed
+
+        for pdf in batches:
+            n = len(pdf)
+            out: list = [None] * n
+            clean_idx, clean_rows = [], []
+            for i, v in enumerate(pdf[vec_col]):
+                a = None
+                if v is not None:
+                    try:
+                        a = np.asarray(v, dtype=np.float64)
+                    except (TypeError, ValueError):
+                        a = None
+                if (a is None or a.ndim != 1 or a.shape[0] != dim
+                        or not np.isfinite(a).all()):
+                    # the fold's NULL collapse: every component is NULL
+                    out[i] = [None] * out_dim
+                else:
+                    clean_idx.append(i)
+                    clean_rows.append(a)
+            if clean_rows:
+                X = np.stack(clean_rows)
+                hugerow = (np.abs(X) > 4e3).any(axis=1)
+                Xf = np.where(hugerow[:, None], 0.0, X)
+                R = _halfup_fixed(Xf.reshape(-1), 12).reshape(Xf.shape)
+                P = R @ S_T  # int64-exact: |elem| <= 4.0001e15, d <= 2048
+                # decimal -> double: correctly-rounded division (int64
+                # < 2^53 fast path, Python int/int otherwise)
+                if P.size and np.abs(P).max() < 2 ** 53:
+                    D = P.astype(np.float64) / 1e12
+                else:
+                    D = np.asarray([int(p) / 10 ** 12
+                                    for p in P.reshape(-1)],
+                                   dtype=np.float64).reshape(P.shape)
+                C = D / scale
+                big = np.abs(C) > 4e3
+                K = (_halfup_fixed(np.where(big, 0.0, C).reshape(-1), 9)
+                     .astype(np.float64) / 1e9).reshape(C.shape)
+                if big.any():
+                    for i, k in zip(*np.nonzero(big)):
+                        K[i, k] = _round9_image(float(C[i, k]))
+                if hugerow.any():
+                    # magnitudes past the fast path: exact Decimal image
+                    for i in np.nonzero(hugerow)[0]:
+                        row = X[i]
+                        for k in range(out_dim):
+                            tot = 0
+                            for j in range(dim):
+                                tot += (_round12_fixed_image(float(row[j]))
+                                        * int(S_T[j, k]))
+                            K[i, k] = _round9_image(
+                                (int(tot) / 10 ** 12) / scale)
+                for r_i, i in enumerate(clean_idx):
+                    out[i] = [float(x) for x in K[r_i]]
+            res = pdf.copy()
+            res[out_col] = out
+            yield res
+
+    from localsql_spark.operators import spread
+
+    # spread BEFORE the map: the projection must run post-exchange, not
+    # inside the (possibly single-split) scan stage
+    return spread(df).mapInPandas(run, schema=schema)
+
+
+def jl_project_relational(df: DataFrame, vec_col: str = "embedding",
+                          out_col: str = "jl_vec", out_dim: int = 16,
+                          dim: int | None = None,
+                          seed: str = "jl") -> DataFrame:
+    """The in-plan projection (one zip_with+decimal-fold per output
+    component, no shuffle, no Python) — the equivalence reference for
+    :func:`jl_project` and the form the DuckDB oracles replay."""
     if dim is None:
         first = df.select(vec_col).first()
         if first is None or first[0] is None:

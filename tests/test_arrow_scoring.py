@@ -320,3 +320,17 @@ def test_pq_train_matches_relational(spark, corpus):
     _assert_same(books, spark.createDataFrame(cents.collect(),
                                               schema=cents.schema),
                  ["s", "code"])
+
+
+def test_jl_project_matches_relational(spark, corpus):
+    """The r15 Arrow JL kernel (fixed-point integer matmul) must equal
+    the interpreted zip_with decimal fold bit-for-bit, including the
+    NULL battery (NULL / ragged / NULL-element vectors project to
+    all-NULL components) and large magnitudes past the fast path."""
+    big = spark.createDataFrame(
+        [(100, [1e15, -2.5e14]), (101, [3.3, 4.4])],
+        "vec_id long, embedding array<double>")
+    for df in (corpus, big):
+        _assert_same(
+            S.jl_project(df, dim=2, out_dim=4),
+            S.jl_project_relational(df, dim=2, out_dim=4), ["vec_id"])
