@@ -65,10 +65,17 @@ def minhash_signature(text: Column, n: int = N_MINHASH) -> Column:
         lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
         % MINHASH_P)
     init = F.array_repeat(F.lit(MINHASH_P).cast("long"), n)
+    # the (a_j, b_j) constants ride as ONE literal struct array parsed
+    # JVM-side: building the n-expression candidate array per call cost
+    # ~0.25s of DRIVER py4j round-trips (r15 profile of the incremental
+    # probe; same lesson as the r14 JL sign-matrix literal), repeated by
+    # every signature-computing query
+    ab = F.expr("array(" + ",".join(
+        f"struct({minhash_a(j)}L as a, {minhash_b(j)}L as b)"
+        for j in range(n)) + ")")
 
     def fold(acc: Column, h: Column) -> Column:
-        cand = F.array(*[(h * minhash_a(j) + minhash_b(j)) % MINHASH_P
-                         for j in range(n)])
+        cand = F.transform(ab, lambda p: (h * p["a"] + p["b"]) % MINHASH_P)
         return F.zip_with(acc, cand, lambda a, c: F.least(a, c))
 
     return F.aggregate(hs, init, fold)
@@ -802,8 +809,13 @@ def minhash_lsh_pairs_from_banded_index(
         .withColumn("bk_prefix", F.substring("band_key", 1, 2)))
     prefixes = [r[0] for r in
                 new_banded.select("bk_prefix").distinct().collect()]
+    # one-string IN predicate: Column.isin(256 values) builds one py4j
+    # literal per value (~0.3s of driver time per probe); the prefixes
+    # are 2-char hex substrings of md5 output, safe to inline
+    in_list = ",".join(f"'{p}'" for p in sorted(prefixes))
     idx = (spark.read.option("basePath", index_path).parquet(index_path)
-           .filter(F.col("bk_prefix").isin(prefixes)))
+           .filter(F.expr(f"bk_prefix IN ({in_list})") if prefixes
+                   else F.lit(False)))
     a = (idx.select(F.col("doc_id").alias("ida"), "band_id", "band_key")
          .unionByName(new_banded.select(F.col("doc_id").alias("ida"),
                                         "band_id", "band_key")))

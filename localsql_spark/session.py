@@ -30,6 +30,15 @@ _DEFAULTS = {
     # Files: keep scan partitions big enough to amortize task overhead but
     # small enough to fit executor memory at scale.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # Partition discovery: the default threshold (32 dirs) launches a
+    # listing JOB for every read of a >32-partition local store (the
+    # banded LSH index has 256), paying job-scheduling latency to list
+    # directories a local FS stats in microseconds.  On object stores —
+    # where parallel listing earns its keep — set the env override low
+    # again; manifest-backed table formats avoid the listing entirely
+    # (optimization guide §6).
+    "spark.sql.sources.parallelPartitionDiscovery.threshold":
+        os.environ.get("SPARK_GRAFT_PARTITION_DISCOVERY_THRESHOLD", "1024"),
     # UI off for test/bench runs; a real deployment can re-enable.
     "spark.ui.enabled": "false",
 }
