@@ -314,7 +314,18 @@ def main() -> None:
                                simhash32(warm_txt).alias("sh"))
      .agg(F.max("sh"), F.max(F.element_at("sig", 1))).collect())
 
-    from localsql_spark.operators import cleanup
+    from localsql_spark.operators import cleanup as _op_cleanup
+
+    def cleanup() -> None:
+        # release operator-persisted intermediates AND drop Python refs
+        # so the ContextCleaner can free accumulated localCheckpoint
+        # blocks / broadcasts from earlier queries (session aging: the
+        # r14 report measured semdedup_keep 4.77s in-population vs 2.4s
+        # isolated in the same run).  Runs OUTSIDE the timed region.
+        import gc
+
+        _op_cleanup()
+        gc.collect()
 
     # one DISCARDED warmup pass of the calibration probe before the timed
     # pre pass: the r11 detail showed pre_total 1.7x post_total on

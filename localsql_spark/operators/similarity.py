@@ -2431,18 +2431,138 @@ def _rotate_expr(vec, rotation: list[list[float]]):
     return F.array(*comps)
 
 
+def _rot_fixed_image_huge(t: float) -> int:
+    """The scaled-int image of the RELATIONAL rotation fold's per-element
+    chain for magnitudes past `_halfup_fixed`'s fast path:
+    ``Round(t, 12)`` (double) -> ``* 1e12`` -> ``Round(·, 0)::bigint``.
+    Unlike :func:`_round12_fixed_image` this stays in doubles between the
+    two Rounds, exactly like the plan does."""
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+    q12 = Decimal(1).scaleb(-12)
+    with localcontext() as ctx:
+        ctx.prec = 340
+        if abs(t) >= 2.0 ** 53:
+            d1 = float(Decimal(t).quantize(q12, ROUND_HALF_UP))
+        else:
+            d1 = float(Decimal(repr(t)).quantize(q12, ROUND_HALF_UP))
+        t2 = d1 * 1e12
+        if abs(t2) >= 2.0 ** 53:
+            n = Decimal(t2).quantize(Decimal(1), ROUND_HALF_UP)
+        else:
+            n = Decimal(repr(t2)).quantize(Decimal(1), ROUND_HALF_UP)
+        return int(float(n))
+
+
 def _rotate_frame(df: DataFrame, id_col: str | list[str], vec_col: str,
                   rotation: list[list[float]]) -> DataFrame:
-    """Corpus-side rotation: posexplode -> broadcast (r, j, w) rotation
+    """Rotation of a whole frame: ONE Arrow map computes the per-row
+    (dim x dim) fixed-point product fold in numpy (optimization r15,
+    guide §4.2) — the posexplode -> broadcast-join -> two-exchange
+    aggregate this replaces is kept as :func:`_rotate_frame_relational`
+    and pinned by test_rotate_frame_matches_relational.  Per-element
+    image identical to the relational fold: round(x*w, 12) -> scaled
+    int (`_halfup_fixed`; the double d1*1e12 round-trip of the
+    relational form lands on the same integer), integer sums, and
+    fp/1e12 -> double -> round 9.  Row semantics reproduced exactly:
+    a NULL (or empty) vector row is DROPPED (posexplode emits no rows),
+    NULL/non-finite elements are skipped by the sum, an all-skipped
+    component is NULL, ragged rows fold only their present positions,
+    and positions past the rotation's width drop (the j-join)."""
+    keys = [id_col] if isinstance(id_col, str) else list(id_col)
+    import numpy as np
+    import pandas as pd  # noqa: F401 — fail fast if Arrow unavailable
+
+    dim_r = len(rotation)
+    dim_j = len(rotation[0]) if dim_r else 0
+    W = np.asarray(rotation, dtype=np.float64)  # (r, j)
+    spark = df.sparkSession
+    dp = spark.sparkContext.defaultParallelism
+    key_ts = ", ".join(
+        f"{k} {df.schema[k].dataType.simpleString()}" for k in keys)
+    schema = f"{key_ts}, {vec_col} array<double>"
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+        from localsql_spark.operators.multimodal import _halfup_fixed
+
+        for pdf in batches:
+            out_keys: dict[str, list] = {k: [] for k in keys}
+            out_vecs: list = []
+            for i, v in enumerate(pdf[vec_col]):
+                if v is None:
+                    continue  # posexplode(NULL): row dropped
+                try:
+                    a = np.asarray(v, dtype=np.float64)
+                except (TypeError, ValueError):
+                    a = np.asarray([np.nan if e is None else float(e)
+                                    for e in v], dtype=np.float64)
+                if a.ndim != 1 or a.shape[0] == 0:
+                    continue  # empty array: no exploded rows either
+                a = a[:dim_j]  # positions past the rotation width drop
+                ok = np.isfinite(a)
+                if not ok.any():
+                    # every element skipped: fp NULL for every r
+                    out_vecs.append([None] * dim_r)
+                    for k in keys:
+                        out_keys[k].append(pdf[k].iloc[i])
+                    continue
+                Z = np.where(ok, a, 0.0)
+                # (r, j) product grid -> per-element fixed image -> int
+                # sums over j.  |round12(x*w)| <= 4e3*1e12 under the
+                # escape; dim_j <= 2048 keeps int64 sums exact.
+                P = Z[None, :] * W[:, :len(Z)]
+                huge = np.abs(P) > 4e3
+                R = _halfup_fixed(np.where(huge, 0.0, P).reshape(-1), 12) \
+                    .reshape(P.shape)
+                if huge.any():
+                    Ro = R.astype(object)
+                    for r_i, j_i in zip(*np.nonzero(huge)):
+                        # the relational form goes double->double here
+                        # (Round(x*w,12) then Round(d1*1e12,0)::bigint),
+                        # which past the fast path is NOT the decimal
+                        # image — reproduce that exact double chain
+                        Ro[r_i, j_i] = _rot_fixed_image_huge(
+                            float(P[r_i, j_i]))
+                    R = Ro
+                R[:, ~ok[:len(Z)]] = 0
+                fp = R.sum(axis=1)
+                # fp -> double -> /1e12 -> Round 9 (the relational form's
+                # long->double cast, correctly-rounded division, Round)
+                vec_out: list = []
+                for r_i in range(dim_r):
+                    x9 = float(int(fp[r_i])) / 1e12
+                    if abs(x9) > 4e3:
+                        vec_out.append(_round9_image(x9))
+                    else:
+                        vec_out.append(
+                            float(_halfup_fixed(
+                                np.asarray([x9]), 9)[0]) / 1e9)
+                out_vecs.append(vec_out)
+                for k in keys:
+                    out_keys[k].append(pdf[k].iloc[i])
+            res = {k: out_keys[k] for k in keys}
+            res[vec_col] = out_vecs
+            yield pd.DataFrame(res)
+
+    # widen first (the input is typically an AQE-coalesced 1-partition
+    # frame and the per-row dim x dim fold is CPU-bound); consumers
+    # (PQ train / encode) run their own per-row expands at this width
+    return df.repartition(dp).select(*keys, vec_col) \
+        .mapInPandas(run, schema=schema)
+
+
+def _rotate_frame_relational(df: DataFrame, id_col: str | list[str],
+                             vec_col: str,
+                             rotation: list[list[float]]) -> DataFrame:
+    """The in-plan rotation (posexplode -> broadcast (r, j, w) rotation
     table -> one map-side-combined fixed-point aggregate per (row,
-    component) -> re-assemble the array.  Bit-identical to
-    :func:`_rotate_expr` (round(x*w, 12) products; the exact
-    fixed-point long sum equals the decimal sum under the pHash
-    magnitude bound, and fp/1e12 cast-to-double rounds once exactly
-    like CAST(decimal AS DOUBLE)) but runs in whole-stage codegen on
-    primitive longs — the dim-wide interpreted fold tree of the
-    expression form cost ~14s to evaluate over 2,000 rows where this
-    path is sub-second."""
+    component) -> re-assemble the array) — the equivalence reference for
+    :func:`_rotate_frame`.  Bit-identical to :func:`_rotate_expr`
+    (round(x*w, 12) products; the exact fixed-point long sum equals the
+    decimal sum under the pHash magnitude bound, and fp/1e12
+    cast-to-double rounds once exactly like CAST(decimal AS DOUBLE))."""
     keys = [id_col] if isinstance(id_col, str) else list(id_col)
     spark = df.sparkSession
     dp = spark.sparkContext.defaultParallelism

@@ -494,14 +494,11 @@ def knn_ivf_trained_planted_top5(spark: SparkSession, sf_dir: str) \
             "embedding",
             lambda x, i: F.when(i == c, F.lit(10.0)).otherwise(F.lit(0.0))
             + x.cast("double") * F.lit(0.05)).alias("embedding"))
-    # The interpreted planted transform (~1 ms/row of per-element WHEN
-    # branches) is read by FIVE corpus passes (init weigh, 2x assign, the
-    # update folds, the final search); persist it once per call
-    # (lifecycle-tracked, released by operators.cleanup) instead of
-    # recomputing it per pass — the sf1.0 profile charged it ~80 task-
-    # seconds per pass (optimization r15, guide §5 persist-on-reuse)
-    from localsql_spark.operators import track_persist
-    planted = track_persist(planted)
+    # NOT persisted (r15 measured-and-reverted): five corpus passes read
+    # the interpreted planted transform, but a paired sf0.1 A/B put the
+    # persist at 4.56s vs 3.78s without — the cache materialization costs
+    # more than the recomputes at bench scale (guide §5: persist only
+    # when recompute is the more expensive side).
     cents = kmeans_parallel_init(planted, n_clusters=16)
     for _ in range(2):
         assign = kmeans_assign(planted, cents)

@@ -334,3 +334,23 @@ def test_jl_project_matches_relational(spark, corpus):
         _assert_same(
             S.jl_project(df, dim=2, out_dim=4),
             S.jl_project_relational(df, dim=2, out_dim=4), ["vec_id"])
+
+
+def test_rotate_frame_matches_relational(spark, corpus):
+    """The r15 Arrow rotation kernel must equal the posexplode/broadcast
+    fixed-point aggregate bit-for-bit: NULL vectors drop, NULL-element
+    positions are skipped by the component sums, all-NULL rows keep NULL
+    components, ragged rows fold only their present positions."""
+    rot = [[0.6, -0.8], [0.8, 0.6]]
+    got = S._rotate_frame(corpus, "vec_id", "embedding", rot)
+    exp = S._rotate_frame_relational(corpus, "vec_id", "embedding", rot)
+    _assert_same(got, exp, ["vec_id"])
+    # past the _halfup_fixed fast path (|x*w| > 4e3) but inside the
+    # bigint range the relational cast allows (an ANSI overflow there
+    # kills the relational plan too, so it is out of contract)
+    big = spark.createDataFrame(
+        [(100, [1e5, -2.5e4]), (101, [5e3, 1.0])],
+        "vec_id long, embedding array<double>")
+    _assert_same(S._rotate_frame(big, "vec_id", "embedding", rot),
+                 S._rotate_frame_relational(big, "vec_id", "embedding",
+                                            rot), ["vec_id"])
