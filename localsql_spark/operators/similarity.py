@@ -3281,10 +3281,12 @@ def knn_jl(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 "knn_jl: empty corpus (or null first vector) — pass "
                 "dim= explicitly")
         dim = len(first[0])
-    cp = jl_project(corpus, vec_col, "jl_vec", out_dim, dim, seed) \
-        .select(id_col, "jl_vec")
-    qp = jl_project(queries, vec_col, "jl_vec", out_dim, dim, seed) \
-        .select(id_col, "jl_vec")
+    # project only (id, vec): the Arrow map ships every column it is
+    # given (guide §4.1 — opaque functions defeat column pruning)
+    cp = jl_project(corpus.select(id_col, vec_col), vec_col, "jl_vec",
+                    out_dim, dim, seed).select(id_col, "jl_vec")
+    qp = jl_project(queries.select(id_col, vec_col), vec_col, "jl_vec",
+                    out_dim, dim, seed).select(id_col, "jl_vec")
     return knn_brute_force(cp, qp, k=k, id_col=id_col, vec_col="jl_vec")
 
 

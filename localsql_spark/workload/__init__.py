@@ -461,7 +461,13 @@ _MUST_RECHECK: tuple[str, ...] = (
     # already re-enters via the changed-since-verified scan.
     "multimodal_phash_pairs", "multimodal_audio_pairs",
     "pagerank_event_transitions", "bpe_train_merges",
-    "dedup_clusters_bigstar",
+    "dedup_clusters_bigstar", "pca_pc1_scores",
+    # Round 15 rewrote these queries' compute paths (Arrow JL projection,
+    # driver-side ccnet edges, minhash literal-constants fold, Arrow
+    # rotation kernel); the module-granular changed-scan alone would let
+    # them lose window slots to incidentally-flagged module-mates.
+    "knn_jl_top5", "ccnet_perplexity_buckets", "dedup_minhash_pairs",
+    "knn_ivfpq_rot_index_top5",
 )
 
 
